@@ -1,0 +1,249 @@
+package graft.compile
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.analyzers.Analyzers
+import graft.model._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** The compiled form of one catalog search: two predicate trees (the §2.3
+  * query-vs-post segregation), an optional score column, and a page.
+  *
+  * - `queryFilter` restricts hits AND facets (creationTime ranges, ACL, and —
+  *   in non-default modes — orgUUID/isPublic user filters).
+  * - `postFilter` restricts hits only (all other whitelisted fields), so facet
+  *   lists stay populated with counts from the pre-post-filter result set
+  *   (reference: data_catalog/query_translation.py:75-96,215-243).
+  * - `score` is present iff the DSL carried text; hits with score == 0 are
+  *   dropped (match-if-any-clause, reference: query_translation.py:116-160).
+  */
+final case class CompiledQuery(
+    queryFilter: Column,
+    postFilter: Column,
+    score: Option[Column],
+    from: Int,
+    size: Int
+)
+
+/** DSL JSON → CompiledQuery. Pure plan construction: no Spark action, no
+  * session. Catalyst then pushes the resulting predicates down to the scan.
+  *
+  * Reference pipeline being re-expressed: parse (query_translation.py:57-68),
+  * base text query (:116-160), filter extraction + segregation (:168-243),
+  * pagination (:98-109). The reference emits an ES query AST; we emit Catalyst
+  * `Column` trees and let Catalyst optimize.
+  */
+object QueryCompiler {
+
+  val DefaultFrom = 0
+  /** ES default page size, applied when the client sets none
+    * (reference: query_translation.py:98-109 passes from/size through verbatim
+    * and lets ES default to 10).
+    */
+  val DefaultSize = 10
+
+  /** Clause boosts of the scored multi-field text query
+    * (reference: query_translation.py:134-155).
+    */
+  val TitleBoost = 3.0
+  val SampleBoost = 2.0
+  val UriBoost = 1.0
+
+  private val mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------- parsing
+
+  /** JSON string → CatalogQuery. Empty/None → match-all; malformed JSON or an
+    * illegal shape → InvalidQueryException (HTTP 400 in the reference,
+    * query_translation.py:57-68 + tests/test_query_translation.py:543-550).
+    */
+  def parse(raw: String): CatalogQuery = {
+    if (raw == null || raw.trim.isEmpty) return CatalogQuery()
+    val root =
+      try mapper.readTree(raw)
+      catch { case e: Exception => throw new InvalidQueryException(s"malformed query JSON: ${e.getMessage}") }
+    if (!root.isObject) throw new InvalidQueryException("query DSL must be a JSON object")
+    val query = Option(root.get("query")).filter(!_.isNull).map(_.asText).filter(_.nonEmpty)
+    val filters = Option(root.get("filters")).filter(!_.isNull).map { fnode =>
+      if (!fnode.isArray) throw new InvalidQueryException("'filters' must be a list")
+      fnode.elements.asScala.flatMap { f =>
+        if (!f.isObject) throw new InvalidQueryException("each filter must be an object")
+        f.properties.asScala.map { e =>
+          val values = e.getValue
+          if (!values.isArray) throw new InvalidQueryException(s"filter '${e.getKey}' values must be a list")
+          e.getKey -> values.elements.asScala.map(jsonScalar).toSeq
+        }
+      }.toSeq
+    }.getOrElse(Nil)
+    val from = intField(root, "from")
+    val size = intField(root, "size")
+    CatalogQuery(query, filters, from, size)
+  }
+
+  private def jsonScalar(n: JsonNode): Any = n match {
+    case _ if n.isTextual => n.asText
+    case _ if n.isBoolean => n.asBoolean
+    case _ if n.isIntegralNumber => n.asLong
+    case _ if n.isFloatingPointNumber => n.asDouble
+    case _ => throw new InvalidQueryException(s"unsupported filter value: $n")
+  }
+
+  private def intField(root: JsonNode, name: String): Option[Int] =
+    Option(root.get(name)).filter(!_.isNull).map { n =>
+      if (!n.canConvertToInt) throw new InvalidQueryException(s"'$name' must be an integer")
+      n.asInt
+    }
+
+  // ------------------------------------------------------------- compiling
+
+  def compile(q: CatalogQuery, acl: AclContext): CompiledQuery = {
+    // 1. validate user filters against the whitelist (fail fast, F6).
+    q.filters.foreach { case (field, _) =>
+      if (!MetadataSchema.filterWhitelist.contains(field))
+        throw new InvalidQueryException(s"illegal filter field: $field")
+    }
+
+    // 2. inject the ACL predicate as filters ahead of user filters, exactly as
+    //    the reference appends them before segregation
+    //    (reference: query_translation.py:182-191).
+    val unscopedAdmin = acl.isAdmin && acl.orgUuidList.isEmpty
+    val injected: Seq[(String, Seq[Any])] = acl.filtering match {
+      case DataSetFiltering.Both =>
+        if (unscopedAdmin) Nil // admin with no org scope sees everything
+        else Seq("orgUUID" -> acl.orgUuidList.map(x => x: Any), "isPublic" -> Seq(true))
+      case DataSetFiltering.OnlyPrivate =>
+        (if (unscopedAdmin) Nil else Seq("orgUUID" -> acl.orgUuidList.map(x => x: Any))) ++
+          Seq("isPublic" -> Seq(false))
+      case DataSetFiltering.OnlyPublic =>
+        Seq("isPublic" -> Seq(true))
+    }
+    val allFilters = injected ++ q.filters
+
+    // 3. segregate (reference: query_translation.py:215-243):
+    //    - creationTime → query filters, always
+    //    - orgUUID/isPublic → OR-group in default mode, query filters otherwise
+    //    - everything else → post filters
+    val isDefault = acl.filtering == DataSetFiltering.Both
+    val (aclish, rest) = allFilters.partition { case (f, _) => f == "orgUUID" || f == "isPublic" }
+    val (timeFilters, postFilters) = rest.partition { case (f, _) => f == "creationTime" }
+
+    val timeCols = timeFilters.map { case (_, vs) => timeRange(vs) }
+    val aclCols = aclish.map { case (f, vs) => predicate(f, vs) }
+    val queryCols =
+      if (isDefault) timeCols ++ reduceOr(aclCols).toSeq
+      else timeCols ++ aclCols
+    val postCols = postFilters.map { case (f, vs) => predicate(f, vs) }
+
+    CompiledQuery(
+      queryFilter = queryCols.reduceOption(_ && _).getOrElse(lit(true)),
+      postFilter = postCols.reduceOption(_ && _).getOrElse(lit(true)),
+      score = q.query.map(scoreColumn),
+      from = q.from.getOrElse(DefaultFrom),
+      size = q.size.getOrElse(DefaultSize)
+    )
+  }
+
+  private def reduceOr(cols: Seq[Column]): Option[Column] = cols.reduceOption(_ || _)
+
+  /** One attribute filter → predicate. Typed comparison per field kind:
+    *  - orgUUID is `not_analyzed` in the reference mapping → exact match on
+    *    the lowercased value (the auth layer lowercases orgs,
+    *    reference: auth.py:149-169; the translator lowercases all values,
+    *    query_translation.py:272).
+    *  - analyzed string fields: an ES `term` matches one lowercased token, so
+    *    the faithful predicate is token-membership, not whole-string equality.
+    *  - booleans/longs: typed equality (documented deviation from the
+    *    reference's stringified terms, SURVEY.md §2.1 F1).
+    * Single value → equality shape, multi value → OR/membership
+    * (reference: query_translation.py:271-276).
+    */
+  private def predicate(field: String, values: Seq[Any]): Column = {
+    if (values.isEmpty) throw new InvalidQueryException(s"filter '$field' needs at least one value")
+    field match {
+      case "orgUUID" =>
+        val vs = values.map(_.toString.toLowerCase)
+        if (vs.size == 1) col(field) === vs.head else col(field).isin(vs: _*)
+      case "isPublic" =>
+        val vs = values.map(toBool)
+        if (vs.size == 1) col(field) === vs.head else col(field).isin(vs: _*)
+      case "recordCount" | "size" =>
+        val vs = values.map(toLong(field, _))
+        if (vs.size == 1) col(field) === vs.head else col(field).isin(vs: _*)
+      case "creationTime" => timeRange(values)
+      case _ => // analyzed string fields: category, format, title, dataSample, sourceUri, targetUri
+        val toks = Analyzers.standardTokens(col(field))
+        values.map(v => array_contains(toks, v.toString.toLowerCase)).reduce(_ || _)
+    }
+  }
+
+  private def toBool(v: Any): Boolean = v match {
+    case b: Boolean => b
+    case s: String => s.equalsIgnoreCase("true")
+    case n: Long => n != 0L
+    case other => throw new InvalidQueryException(s"not a boolean: $other")
+  }
+
+  private def toLong(field: String, v: Any): Long = v match {
+    case n: Long => n
+    case d: Double => d.toLong
+    case s: String =>
+      try s.toLong
+      catch { case _: NumberFormatException => throw new InvalidQueryException(s"filter '$field': not an integer: $s") }
+    case other => throw new InvalidQueryException(s"filter '$field': not an integer: $other")
+  }
+
+  /** creationTime range: exactly two values [from, to], inclusive both ends
+    * (ES range default gte/lte); -1 on either side = unbounded
+    * (reference: query_translation.py:278-291).
+    */
+  private def timeRange(values: Seq[Any]): Column = {
+    if (values.size != 2)
+      throw new InvalidQueryException(s"creationTime filter takes exactly 2 values, got ${values.size}")
+    val Seq(fromV, toV) = values
+    def unbounded(v: Any): Boolean = v match {
+      case n: Long => n == -1L
+      case d: Double => d == -1.0
+      case s: String => s == "-1"
+      case _ => false
+    }
+    val c = col("creationTime")
+    val lo = if (unbounded(fromV)) None else Some(c >= to_timestamp(lit(fromV.toString)))
+    val hi = if (unbounded(toV)) None else Some(c <= to_timestamp(lit(toV.toString)))
+    (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Scored multi-field text query, Q1 (reference:
+    * query_translation.py:116-160): OR-of-three, clause boosts 3/2/1, doc
+    * matches if ANY clause matches.
+    *
+    *  - title, boost 3: the reference compiles `wildcard *q*` over analyzed
+    *    title terms — constant-score in ES. Parity: whole-lowercased-title
+    *    contains (documented superset for multi-word queries, SURVEY.md §2.2).
+    *  - dataSample, boost 2: analyzed `match` = OR-of-terms. Scored here as
+    *    the matched fraction of query terms (ES 2.x coordination factor);
+    *    exact TF-IDF values are not part of the reference contract — only
+    *    ordering, which stays monotone in clause weight.
+    *  - sourceUri, boost 1: both sides analyzed with the uri_analyzer.
+    *
+    * Everything below is built from codegen'd built-ins (split/filter/
+    * array_intersect/size) — no UDF, stays inside WholeStageCodegen.
+    */
+  def scoreColumn(rawQuery: String): Column = {
+    val qLower = rawQuery.toLowerCase
+    val qStd = Analyzers.standardTokensScala(rawQuery).distinct
+    val qUri = Analyzers.uriTokensScala(rawQuery).distinct
+
+    val titleHit = when(lower(col("title")).contains(qLower), TitleBoost).otherwise(0.0)
+    val sample =
+      if (qStd.isEmpty) lit(0.0)
+      else size(array_intersect(Analyzers.standardTokens(col("dataSample")), lit(qStd.toArray)))
+        .cast("double") / qStd.size * SampleBoost
+    val uri =
+      if (qUri.isEmpty) lit(0.0)
+      else size(array_intersect(Analyzers.uriTokens(col("sourceUri")), lit(qUri.toArray)))
+        .cast("double") / qUri.size * UriBoost
+    titleHit + sample + uri
+  }
+}

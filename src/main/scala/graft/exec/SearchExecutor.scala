@@ -1,0 +1,94 @@
+package graft.exec
+
+import graft.compile.{CompiledQuery, QueryCompiler}
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Executes a CompiledQuery with the reference's facet/post-filter interplay
+  * (SURVEY.md §2.3): two plan branches off one shared `base`:
+  *
+  *   base   = scan.where(queryFilter [&& score > 0])      — hits AND facets
+  *   facets = base.groupBy(dim).count.top(N)              — post filter NOT applied
+  *   hits   = base.where(postFilter).orderBy(score desc, id).offset(from).limit(size)
+  *   total  = base.where(postFilter).count                — ES hits.total counts the
+  *                                                          post-filtered set
+  *
+  * `base` is cached across the branches (the reference gets this for free as a
+  * single ES `post_filter` pass; here it is an explicit one-materialization
+  * reuse). At catalog scale the cache is in-memory columnar; at 100 TB the
+  * same two-branch plan holds — base becomes a parquet scan with the query
+  * filter pushed down, and the facet branch is a partial+final hash aggregate.
+  *
+  * Ordering: relevance desc (ES default, implicit in reference search.py:108-112),
+  * tie-broken by id for determinism (tie order is unspecified in the
+  * reference; pinning it makes tests and pagination stable).
+  */
+object SearchExecutor {
+
+  val CategoryFacetSize = 100 // reference: query_translation.py:84-89
+  val FormatFacetSize = 10 // ES default, reference: query_translation.py:90-94
+  val ScoreCol = "_score"
+
+  /** The shared base branch: query filter + text score (+ score>0 cut). */
+  def baseBranch(ds: DataFrame, cq: CompiledQuery): DataFrame = {
+    val filtered = ds.where(cq.queryFilter)
+    cq.score match {
+      case Some(s) => filtered.withColumn(ScoreCol, s).where(col(ScoreCol) > 0.0)
+      case None => filtered.withColumn(ScoreCol, lit(0.0))
+    }
+  }
+
+  /** Facet branch: top-N bucket keys by doc count (counts are discarded in the
+    * response shape, reference: search.py:121-135; ties broken by key asc —
+    * ES breaks terms-agg ties by key ascending).
+    */
+  def facetBranch(base: DataFrame, dim: String, topN: Int): DataFrame =
+    base.groupBy(col(dim)).count()
+      .orderBy(col("count").desc, col(dim).asc)
+      .limit(topN)
+
+  /** Hits branch: post filter, relevance order, offset/limit pagination
+    * (Q2/Q3). Catalyst plans orderBy+limit as TakeOrderedAndProject — no
+    * full sort.
+    */
+  def hitsBranch(base: DataFrame, cq: CompiledQuery): DataFrame =
+    base.where(cq.postFilter)
+      .orderBy(col(ScoreCol).desc, col("id").asc)
+      .offset(cq.from)
+      .limit(cq.size)
+
+  /** Full search → SearchResult (reference response shape, search.py:121-135).
+    */
+  def search(spark: SparkSession, ds: Dataset[MetadataEntry], cq: CompiledQuery): SearchResult = {
+    import spark.implicits._
+    val base = baseBranch(ds.toDF(), cq)
+    base.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postFiltered = base.where(cq.postFilter)
+      val total = postFiltered.count()
+      val hits = hitsBranch(base, cq)
+        .drop(ScoreCol).as[MetadataEntry].collect().toSeq
+      val categories = facetBranch(base, "category", CategoryFacetSize)
+        .select("category").as[String].collect().toSeq
+      val formats = facetBranch(base, "format", FormatFacetSize)
+        .select("format").as[String].collect().toSeq
+      SearchResult(hits, total, categories, formats)
+    } finally base.unpersist()
+  }
+
+  /** Convenience: raw DSL string + ACL → SearchResult (the reference's
+    * `DataSetSearch.search(query, orgs, filtering, isAdmin)` signature,
+    * search.py:105).
+    */
+  def search(spark: SparkSession, ds: Dataset[MetadataEntry], rawDsl: String, acl: AclContext): SearchResult =
+    search(spark, ds, QueryCompiler.compile(QueryCompiler.parse(rawDsl), acl))
+
+  /** Count endpoint: an empty search's total (reference: dataset_count.py:39-48).
+    */
+  def count(spark: SparkSession, ds: Dataset[MetadataEntry], acl: AclContext): Long = {
+    val cq = QueryCompiler.compile(CatalogQuery(), acl)
+    baseBranch(ds.toDF(), cq).where(cq.postFilter).count()
+  }
+}

@@ -1,0 +1,254 @@
+package graft.store
+
+import graft.model.{MetadataEntry, MetadataSchema}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** Mutation-side of the catalog: S3 upsert / S4 partial update / S5 delete /
+  * S6 bulk load / S7 drop (reference: data_catalog/metadata_entry.py:149-274,
+  * elastic_admin.py:41-83), re-hosted as a log-structured, versioned parquet
+  * store.
+  *
+  * Layout under `root/`:
+  *   CURRENT       — pointer file holding the latest committed version number
+  *   base-<v>/     — full parquet snapshot committed at version v (compaction)
+  *   delta-<v>/    — parquet delta committed at version v; rows carry
+  *                   (_version, _op ∈ {upsert, delete}) alongside the entry
+  *
+  * Read path (merge-on-read): newest base ≤ CURRENT, plus every delta in
+  * (baseVersion, CURRENT], latest row per id wins
+  * (row_number over id / _version desc), tombstones drop out. Mutations are
+  * O(delta) writes — never a snapshot rewrite — and the atomic pointer swap
+  * gives the same read-your-writes guarantee the reference buys with an
+  * explicit ES index flush (reference: bases.py:81-82). Periodic `compact()`
+  * folds the log into a new base so the merge window stays small.
+  *
+  * Scale note: this is the classic lakehouse merge-on-read design. Catalog
+  * metadata is small (O(10^5) entries), but the same layout holds at 100 TB:
+  * the base is partition-pruned parquet, deltas are tiny, and the resolve
+  * window shuffles only on `id`. On a real cluster the pointer swap would sit
+  * on a log-backed commit protocol rather than a local rename.
+  */
+class MetadataStore(spark: SparkSession, rootDir: String,
+                    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+  import spark.implicits._
+
+  private val root: Path = Paths.get(rootDir)
+  Files.createDirectories(root)
+
+  private val OpCol = "_op"
+  private val VersionCol = "_version"
+  private val entryCols = MetadataSchema.structType.fieldNames.toSeq
+
+  // ------------------------------------------------------------- versioning
+
+  private def currentVersion: Long = {
+    val p = root.resolve("CURRENT")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
+  /** Atomic pointer swap — commit point of every mutation. */
+  private def commit(v: Long): Unit = {
+    val tmp = root.resolve(s"CURRENT.tmp.$v")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, root.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def listVersions(prefix: String): Seq[Long] =
+    Files.list(root).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
+      .toSeq.sorted
+
+  // ------------------------------------------------------------------ reads
+
+  /** Resolved current table as Dataset[MetadataEntry]. */
+  def current: Dataset[MetadataEntry] = resolved.select(entryCols.map(col): _*).as[MetadataEntry]
+
+  /** Resolved current table with no row-identity applied yet (includes
+    * neither _op nor _version).
+    */
+  private def resolved: DataFrame = {
+    val v = currentVersion
+    if (v == 0L) return emptyLog.select(entryCols.map(col): _*)
+    val baseV = listVersions("base-").filter(_ <= v).lastOption
+    val deltaVs = listVersions("delta-").filter(d => d <= v && d > baseV.getOrElse(0L))
+    val base = baseV.map(b => spark.read.parquet(root.resolve(s"base-$b").toString)
+      .withColumn(VersionCol, lit(b)).withColumn(OpCol, lit("upsert")))
+    val deltas = deltaVs.map(d => spark.read.parquet(root.resolve(s"delta-$d").toString))
+    val log = (base.toSeq ++ deltas).reduceOption(_ unionByName _).getOrElse(emptyLog)
+    val latest = Window.partitionBy(col("id")).orderBy(col(VersionCol).desc)
+    log.withColumn("_rn", row_number().over(latest))
+      .where(col("_rn") === 1 && col(OpCol) =!= "delete")
+      .drop("_rn", OpCol, VersionCol)
+  }
+
+  private def emptyLog: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      MetadataSchema.structType
+        .add(VersionCol, "long").add(OpCol, "string"))
+
+  /** S2 point lookup; None = the reference's 404
+    * (reference: metadata_entry.py:127-147, bases.py:51-63).
+    */
+  def get(id: String): Option[MetadataEntry] =
+    current.filter(col("id") === id).limit(1).collect().headOption
+
+  // -------------------------------------------------------------- mutations
+
+  /** S3 upsert: validate + write under the given id; returns true when the id
+    * was newly created (the reference's 201 vs 200,
+    * metadata_entry.py:178-181). Invalid entry → IllegalArgumentException
+    * (reference answers 400).
+    */
+  def upsert(entry: MetadataEntry): Boolean = {
+    val normalized = Validation.normalize(entry, clock)
+    val existed = get(entry.id).isDefined
+    writeDelta(Seq(normalized), "upsert")
+    !existed
+  }
+
+  /** S4 partial update: replace a subset of fields on one entry; update keys
+    * must be ⊆ schema (reference: metadata_entry.py:216-274, subset check
+    * :239-241). Returns false when the id does not exist (404).
+    */
+  def partialUpdate(id: String, fields: Map[String, Any]): Boolean = {
+    val unknown = fields.keySet -- MetadataSchema.filterWhitelist
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(s"unknown fields in update: ${unknown.mkString(",")}")
+    get(id) match {
+      case None => false
+      case Some(existing) =>
+        val merged = Validation.merge(existing, fields)
+        writeDelta(Seq(Validation.normalize(merged, clock)), "upsert")
+        true
+    }
+  }
+
+  /** S5 delete: tombstone the id; subsequent reads observe it immediately
+    * (read-your-writes; the reference flushes the ES index,
+    * bases.py:81-82). Returns false when absent (404). Cascades to external
+    * services are a service-layer concern (graft.serve.CascadeDeleter).
+    */
+  def delete(id: String): Boolean = {
+    get(id) match {
+      case None => false
+      case Some(entry) =>
+        writeDelta(Seq(entry), "delete")
+        true
+    }
+  }
+
+  /** S6 bulk load: validate each row, load the good ones, return the bad ones
+    * (per-row error isolation — a bad row never fails the job,
+    * reference: elastic_admin.py:54-83 logs and continues).
+    */
+  def bulkLoad(entries: Dataset[MetadataEntry]): Dataset[MetadataEntry] = {
+    val withValid = entries.withColumn("_valid", Validation.validColumn)
+    withValid.cache()
+    try {
+      val valid = withValid.where(col("_valid")).drop("_valid").as[MetadataEntry]
+        .map(e => Validation.normalize(e, clock))
+      writeDelta(valid.collect().toSeq, "upsert")
+      withValid.where(!col("_valid")).drop("_valid").as[MetadataEntry]
+        .collect().toSeq.toDS()
+    } finally { withValid.unpersist(); () }
+  }
+
+  /** S7 drop: empty the table (reference deletes the whole index,
+    * ignore-missing, elastic_admin.py:41-52).
+    */
+  def drop(): Unit = {
+    val v = currentVersion + 1
+    current.limit(0).toDF()
+      .write.mode("overwrite").parquet(root.resolve(s"base-$v").toString)
+    commit(v)
+  }
+
+  /** Fold the delta log into a new base snapshot. */
+  def compact(): Unit = {
+    val v = currentVersion + 1
+    resolved.write.mode("overwrite").parquet(root.resolve(s"base-$v").toString)
+    commit(v)
+  }
+
+  private def writeDelta(entries: Seq[MetadataEntry], op: String): Unit = this.synchronized {
+    val v = currentVersion + 1
+    entries.toDS().toDF()
+      .withColumn(VersionCol, lit(v)).withColumn(OpCol, lit(op))
+      .write.mode("overwrite").parquet(root.resolve(s"delta-$v").toString)
+    commit(v)
+  }
+}
+
+/** Ingest-time validation + normalization
+  * (reference: MetadataIndexingTransformer, metadata_entry.py:64-94).
+  */
+object Validation {
+
+  /** targetUri must parse with a scheme and a non-trivial path
+    * (reference: metadata_entry.py:82-86; invalid fixtures
+    * tests/test_metadata_entries.py:321-329: `//onet.pl/`, `hdfs://onet.pl/`,
+    * `http://`, `some_path`).
+    */
+  def validTargetUri(uri: String): Boolean =
+    try {
+      val u = new java.net.URI(uri)
+      u.getScheme != null && u.getScheme.nonEmpty &&
+        u.getPath != null && u.getPath.length > 1
+    } catch { case _: java.net.URISyntaxException => false }
+
+  /** Column form of the row validity check, for distributed bulk loads:
+    * required strings non-empty, counts non-negative, targetUri shaped
+    * `scheme://…/non-trivial-path`.
+    */
+  def validColumn: org.apache.spark.sql.Column = {
+    val requiredNonEmpty = Seq("category", "dataSample", "format", "orgUUID",
+      "sourceUri", "targetUri", "title")
+      .map(f => col(f).isNotNull && length(col(f)) > 0)
+      .reduce(_ && _)
+    requiredNonEmpty &&
+      col("recordCount") >= 0 && col("size") >= 0 &&
+      col("targetUri").rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]*/.+")
+  }
+
+  /** Driver-side validation + creationTime default-now (clock injectable for
+    * testability, as the reference does, metadata_entry.py:31-32,88-94).
+    */
+  def normalize(e: MetadataEntry, clock: () => Timestamp): MetadataEntry = {
+    def req(name: String, v: String): Unit =
+      if (v == null || v.isEmpty) throw new IllegalArgumentException(s"missing required field: $name")
+    req("category", e.category); req("dataSample", e.dataSample); req("format", e.format)
+    req("orgUUID", e.orgUUID); req("sourceUri", e.sourceUri); req("targetUri", e.targetUri)
+    req("title", e.title)
+    if (!validTargetUri(e.targetUri))
+      throw new IllegalArgumentException(s"invalid targetUri: ${e.targetUri}")
+    if (e.creationTime == null) e.copy(creationTime = clock()) else e
+  }
+
+  def merge(e: MetadataEntry, fields: Map[String, Any]): MetadataEntry = {
+    var out = e
+    fields.foreach {
+      case ("category", v: String) => out = out.copy(category = v)
+      case ("creationTime", v: String) => out = out.copy(creationTime = Timestamp.valueOf(v.replace("T", " ")))
+      case ("dataSample", v: String) => out = out.copy(dataSample = v)
+      case ("format", v: String) => out = out.copy(format = v)
+      case ("isPublic", v: Boolean) => out = out.copy(isPublic = v)
+      case ("orgUUID", v: String) => out = out.copy(orgUUID = v)
+      case ("recordCount", v) => out = out.copy(recordCount = v.toString.toLong)
+      case ("size", v) => out = out.copy(size = v.toString.toLong)
+      case ("sourceUri", v: String) => out = out.copy(sourceUri = v)
+      case ("targetUri", v: String) => out = out.copy(targetUri = v)
+      case ("title", v: String) => out = out.copy(title = v)
+      case (k, v) => throw new IllegalArgumentException(s"bad update $k=$v")
+    }
+    out
+  }
+}

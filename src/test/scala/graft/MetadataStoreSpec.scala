@@ -1,0 +1,96 @@
+package graft
+
+import graft.store.{MetadataStore, Validation}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private val fixedClock: () => Timestamp = () => Timestamp.valueOf("2020-01-01 00:00:00")
+
+  private def freshStore(): MetadataStore =
+    new MetadataStore(spark, Files.createTempDirectory("graft-store").toString, fixedClock)
+
+  private val e0 = Fixtures.corpus.head
+
+  test("S3 upsert: created vs updated distinguished (201 vs 200)") {
+    val st = freshStore()
+    st.upsert(e0) shouldBe true // created
+    st.upsert(e0.copy(title = "v2")) shouldBe false // updated
+    st.current.count() shouldBe 1
+    st.get(e0.id).get.title shouldBe "v2" // read-your-writes
+  }
+
+  test("S2 point lookup: absent id → None (404)") {
+    val st = freshStore()
+    st.get("nope") shouldBe None
+  }
+
+  test("creationTime defaulted from injected clock (reference metadata_entry.py:88-94)") {
+    val st = freshStore()
+    st.upsert(e0.copy(creationTime = null))
+    st.get(e0.id).get.creationTime shouldBe fixedClock()
+  }
+
+  test("invalid targetUri rejected (reference tests/test_metadata_entries.py:321-329)") {
+    Seq("//onet.pl/", "http://", "some_path").foreach { bad =>
+      Validation.validTargetUri(bad) shouldBe false
+    }
+    Validation.validTargetUri("hdfs://nameservice1/org/db0/x") shouldBe true
+    val st = freshStore()
+    an[IllegalArgumentException] should be thrownBy st.upsert(e0.copy(targetUri = "some_path"))
+  }
+
+  test("S4 partial update: subset of fields; unknown key rejected; absent id → false") {
+    val st = freshStore()
+    st.upsert(e0)
+    st.partialUpdate(e0.id, Map("title" -> "patched", "recordCount" -> 777L)) shouldBe true
+    val got = st.get(e0.id).get
+    got.title shouldBe "patched"
+    got.recordCount shouldBe 777L
+    got.category shouldBe e0.category
+    an[IllegalArgumentException] should be thrownBy st.partialUpdate(e0.id, Map("bogus" -> "x"))
+    st.partialUpdate("ghost", Map("title" -> "x")) shouldBe false
+  }
+
+  test("S5 delete: tombstone observed immediately; absent id → false") {
+    val st = freshStore()
+    st.upsert(e0)
+    st.delete(e0.id) shouldBe true
+    st.get(e0.id) shouldBe None
+    st.current.count() shouldBe 0
+    st.delete(e0.id) shouldBe false
+  }
+
+  test("S6 bulk load: per-row error isolation — bad rows returned, good rows loaded") {
+    val st = freshStore()
+    val bad = e0.copy(id = "bad", targetUri = "some_path")
+    val rejected = st.bulkLoad(spark.createDataset(Fixtures.corpus :+ bad))
+    rejected.collect().map(_.id).toSeq shouldBe Seq("bad")
+    st.current.count() shouldBe 10
+  }
+
+  test("S7 drop empties the table; subsequent upserts work") {
+    val st = freshStore()
+    st.bulkLoad(spark.createDataset(Fixtures.corpus))
+    st.drop()
+    st.current.count() shouldBe 0
+    st.upsert(e0) shouldBe true
+    st.current.count() shouldBe 1
+  }
+
+  test("compact folds the delta log, preserving state") {
+    val st = freshStore()
+    Fixtures.corpus.foreach(st.upsert)
+    st.delete("3")
+    st.partialUpdate("1", Map("title" -> "compacted?"))
+    st.compact()
+    st.current.count() shouldBe 9
+    st.get("1").get.title shouldBe "compacted?"
+    st.get("3") shouldBe None
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.compile.QueryCompiler
+import graft.exec.SearchExecutor
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private def ds = spark.createDataset(Fixtures.corpus)
+  private val admin = AclContext(Nil, isAdmin = true)
+
+  test("A3: post filter restricts hits + total but NOT facets (reference query_translation.py:75-96)") {
+    val r = SearchExecutor.search(spark, ds, """{"filters":[{"format":["csv"]}]}""", admin)
+    r.total shouldBe 8 // json rows 3,6 excluded from hits
+    r.hits.map(_.id).toSet should not contain "3"
+    // facet lists computed BEFORE the format post-filter: json still present
+    r.formats.toSet shouldBe Set("csv", "json")
+    r.categories.toSet shouldBe Fixtures.corpus.map(_.category).toSet
+  }
+
+  test("A3: creationTime is a query filter — restricts facets too (reference query_translation.py:229-231)") {
+    val r = SearchExecutor.search(spark, ds,
+      """{"filters":[{"creationTime":["2015-10-01T00:00:00",-1]}]}""", admin)
+    r.total shouldBe 2 // ids 8,9
+    r.categories.toSet shouldBe Set("health", "finance")
+  }
+
+  test("A1/A2 facet ordering: count desc, key asc; top-N") {
+    val r = SearchExecutor.search(spark, ds, "{}", admin)
+    // category counts: health 2, finance 2, others 1 → first two buckets are the count-2 pair, key asc
+    r.categories.take(2) shouldBe Seq("finance", "health")
+    r.categories.size shouldBe 8
+    r.formats shouldBe Seq("csv", "json")
+  }
+
+  test("A4 count endpoint = post-filtered total of an empty search") {
+    SearchExecutor.count(spark, ds, admin) shouldBe 10
+    SearchExecutor.count(spark, ds, AclContext(Seq("org01"), isAdmin = false)) shouldBe 7
+  }
+
+  test("Q3 pagination: offset+limit with deterministic tie-break by id") {
+    val r0 = SearchExecutor.search(spark, ds, """{"from":0,"size":3}""", admin)
+    val r1 = SearchExecutor.search(spark, ds, """{"from":3,"size":3}""", admin)
+    r0.hits.map(_.id) shouldBe Seq("0", "1", "2")
+    r1.hits.map(_.id) shouldBe Seq("3", "4", "5")
+    r0.total shouldBe 10 // total ignores pagination
+  }
+
+  test("default page size is 10 (ES default, reference query_translation.py:98-109)") {
+    val many = (0 until 25).map(i => Fixtures.corpus.head.copy(id = s"x$i"))
+    val r = SearchExecutor.search(spark, spark.createDataset(many), "{}", admin)
+    r.hits.size shouldBe 10
+    r.total shouldBe 25
+  }
+
+  test("R1 result shape: hits carry full entries, facets carry keys only") {
+    val r = SearchExecutor.search(spark, ds, """{"query":"heart"}""", admin)
+    r.hits.head shouldBe Fixtures.corpus.head
+    r.total shouldBe 1
+  }
+
+  test("combined: text + post filter + ACL (the M2 vertical slice)") {
+    // query "prices" hits title of 1 (Stock market prices); org01 non-admin default mode
+    val r = SearchExecutor.search(spark, ds,
+      """{"query":"prices","filters":[{"format":["csv"]}]}""",
+      AclContext(Seq("org01"), isAdmin = false))
+    r.hits.map(_.id) shouldBe Seq("1")
+    r.total shouldBe 1
+  }
+}
