@@ -75,7 +75,16 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   /** Resolved current table with no row-identity applied yet (includes
     * neither _op nor _version).
     */
-  private def resolved: DataFrame = {
+  private def resolved: DataFrame = resolved(None)
+
+  /** Merge-on-read resolve. `prune` (a predicate on `id`) is applied BELOW
+    * the window: row identity is per-id, so id-pruning before the
+    * latest-wins resolution is semantics-preserving, and Catalyst pushes the
+    * filter through the union into every parquet scan — a point lookup reads
+    * only the row groups whose id-range matches instead of windowing the
+    * whole log (the round-2 scale-killer).
+    */
+  private def resolved(prune: Option[org.apache.spark.sql.Column]): DataFrame = {
     val v = currentVersion
     if (v == 0L) return emptyLog.select(entryCols.map(col): _*)
     val baseV = listVersions("base-").filter(_ <= v).lastOption
@@ -83,7 +92,8 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     val base = baseV.map(b => spark.read.parquet(root.resolve(s"base-$b").toString)
       .withColumn(VersionCol, lit(b)).withColumn(OpCol, lit("upsert")))
     val deltas = deltaVs.map(d => spark.read.parquet(root.resolve(s"delta-$d").toString))
-    val log = (base.toSeq ++ deltas).reduceOption(_ unionByName _).getOrElse(emptyLog)
+    val logAll = (base.toSeq ++ deltas).reduceOption(_ unionByName _).getOrElse(emptyLog)
+    val log = prune.fold(logAll)(logAll.where)
     val latest = Window.partitionBy(col("id")).orderBy(col(VersionCol).desc)
     log.withColumn("_rn", row_number().over(latest))
       .where(col("_rn") === 1 && col(OpCol) =!= "delete")
@@ -99,7 +109,9 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * (reference: metadata_entry.py:127-147, bases.py:51-63).
     */
   def get(id: String): Option[MetadataEntry] =
-    current.filter(col("id") === id).limit(1).collect().headOption
+    resolved(Some(col("id") === id))
+      .select(entryCols.map(col): _*).as[MetadataEntry]
+      .limit(1).collect().headOption
 
   // -------------------------------------------------------------- mutations
 
@@ -154,11 +166,14 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     val withValid = entries.withColumn("_valid", Validation.validColumn)
     withValid.cache()
     try {
-      val valid = withValid.where(col("_valid")).drop("_valid").as[MetadataEntry]
-        .map(e => Validation.normalize(e, clock))
-      writeDelta(valid.collect().toSeq, "upsert")
+      // Normalization as Columns (not a closure over `this`): the only
+      // normalize step validColumn doesn't already guarantee is the
+      // creationTime default-now (reference: metadata_entry.py:88-94).
+      val now = clock()
+      val valid = withValid.where(col("_valid")).drop("_valid")
+        .withColumn("creationTime", coalesce(col("creationTime"), lit(now)))
+      writeDeltaDF(valid, "upsert")
       withValid.where(!col("_valid")).drop("_valid").as[MetadataEntry]
-        .collect().toSeq.toDS()
     } finally { withValid.unpersist(); () }
   }
 
@@ -179,10 +194,13 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     commit(v)
   }
 
-  private def writeDelta(entries: Seq[MetadataEntry], op: String): Unit = this.synchronized {
+  private def writeDelta(entries: Seq[MetadataEntry], op: String): Unit =
+    writeDeltaDF(entries.toDS().toDF(), op)
+
+  /** Executor-side delta write — bulk loads never pass through the driver. */
+  private def writeDeltaDF(df: DataFrame, op: String): Unit = this.synchronized {
     val v = currentVersion + 1
-    entries.toDS().toDF()
-      .withColumn(VersionCol, lit(v)).withColumn(OpCol, lit(op))
+    df.withColumn(VersionCol, lit(v)).withColumn(OpCol, lit(op))
       .write.mode("overwrite").parquet(root.resolve(s"delta-$v").toString)
     commit(v)
   }
