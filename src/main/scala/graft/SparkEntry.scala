@@ -3,6 +3,7 @@ package graft
 import graft.compile.QueryCompiler
 import graft.exec.SearchExecutor
 import graft.model.{AclContext, DataSetFiltering, InvalidQueryException}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,6 +46,12 @@ object SparkEntry {
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     hits(spark, "/root/testdata/sf0.001", """{"query":"red","size":100}""", admin)
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
 
   // ------------------------------------------------------------------------
   // queries + oracleSql: keys must match; output column names must match the
@@ -174,6 +181,72 @@ object SparkEntry {
       Seq(base.where(cq.postFilter).count()).toDF("total")
     }),
 
+    // ---------------- LLM-pipeline operators (documents / embeddings) ------
+
+    // Text analysis: token counting
+    "t1_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
+
+    // Text analysis: stopword-profile language ID
+    "t2_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+
+    // Text analysis: quality scoring (length/stopword/diversity blend)
+    "t3_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
+
+    // Text analysis: normalized content fingerprint
+    "t4_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+
+    // Text analysis: corpus top-20 bigrams
+    "t5_top_bigrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(docs(s, d), 2, 20)),
+
+    // Text analysis: Karp-Rabin rolling fingerprint over the token stream
+    "t6_rolling_fp" -> ((s, d) =>
+      TextAnalysis.rollingFingerprint(docs(s, d)).orderBy("doc_id")),
+
+    // Dedup: exact (content-hash, min doc_id representative)
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy("doc_id")),
+
+    // Dedup: n-gram-shingle Jaccard near-dup pairs (inverted-index blocked)
+    "d2_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d)).orderBy("a_id", "b_id")),
+
+    // Dedup: MinHash+LSH banded pairs (xxhash64 sigs — no SQL oracle;
+    // rows-only check + DedupSpec planted-duplicate assertions)
+    "d3_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d)).orderBy("a_id", "b_id")),
+
+    // Dedup: SimHash Hamming-ball pairs (rows-only + DedupSpec)
+    "d4_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d)).orderBy("a_id", "b_id")),
+
+    // Dedup: fuzzy survivors after collapsing Jaccard near-dup groups
+    "d5_fuzzy_survivors" -> ((s, d) =>
+      Dedup.fuzzyDedupSurvivors(docs(s, d), Dedup.jaccardPairs(docs(s, d)))
+        .orderBy("doc_id")),
+
+    // Similarity: brute-force cosine top-10 for query vectors vec_id < 5
+    "v1_cosine_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Similarity: SRP-LSH bucketed top-10 (rows-only + SimilaritySpec recall)
+    "v2_lsh_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 5), 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Similarity: embedding-cosine near-dup pairs (rows-only + spec)
+    "v3_embedding_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(emb(s, d)).orderBy("a_id", "b_id")),
+
     // R1 result shaping: full entry columns on a paged, filtered, scored search
     "r1_result_shape" -> ((s, d) =>
       hits(s, d, """{"query":"red","filters":[{"format":["json"]}],"size":5}""",
@@ -187,8 +260,38 @@ object SparkEntry {
           col("title")))
   )
 
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Shared CTEs for the documents-table oracle SQL. */
+  private val T = s"WITH toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM documents) "
+
+  /** Jaccard-pair pipeline CTE chain (mirrors Dedup.jaccardPairs exactly:
+    * 3-gram shingles, df∈[2,20] blocking, round-6 Jaccard ≥ 0.8).
+    */
+  private val JaccardCte = T +
+    """, sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks)
+      |, inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+      |, keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND 20)
+      |, cands AS (SELECT i.s, i.doc_id FROM inv i JOIN keep k ON i.s = k.s)
+      |, pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM cands a JOIN cands b ON a.s = b.s AND a.doc_id < b.doc_id)
+      |, jac AS (SELECT a_id, b_id, round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+      |          FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id) """.stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB cosine of two float-list columns, matching Similarity.cosine
+    * (double cast per element, left-to-right sums, round 6).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+       | (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+       |  sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin.replaceAll("\n", " ")
+
   def oracleSql: Map[String, String] = {
     val aclOr = "(orgUUID = 'org1' OR isPublic)"
+    val stop = sqlList(graft.analyzers.Analyzers.EnglishStopwords)
+    val langScores = TextAnalysis.LangProfiles.map { case (lang, ws) =>
+      s"len(list_filter(t, x -> x IN ${sqlList(ws)})) AS $lang"
+    }.mkString(", ")
     def score1(q: String): String =
       s"""(CASE WHEN contains(lower(title), '$q') THEN 3.0 ELSE 0.0 END
          | + CASE WHEN list_contains(${stdToks("dataSample")}, '$q') THEN 2.0 ELSE 0.0 END
@@ -231,6 +334,41 @@ object SparkEntry {
         (M + s"SELECT id, score FROM (SELECT id, ${score1("red")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id LIMIT 10 OFFSET 5"),
       "q3_default_page" ->
         (M + s"SELECT id, score FROM (SELECT id, ${score1("red")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id LIMIT 10 OFFSET 0"),
+      "t1_token_stats" ->
+        (T + s"SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +
+          s"len(list_filter(t, x -> x IN $stop)) AS n_stopwords FROM toks ORDER BY doc_id"),
+      "t2_lang_id" ->
+        (T + s", sc AS (SELECT doc_id, $langScores FROM toks) " +
+          "SELECT doc_id, CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en' " +
+          "WHEN es >= de AND es >= fr AND es > 0 THEN 'es' WHEN de >= fr AND de > 0 THEN 'de' " +
+          "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS predicted_lang, " +
+          "greatest(en, es, de, fr)::BIGINT AS lang_score FROM sc ORDER BY doc_id"),
+      "t3_quality" ->
+        (T + s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, " +
+          s"len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
+          "SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
+          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st ORDER BY doc_id"),
+      "t4_fingerprint" ->
+        (T + "SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks ORDER BY doc_id"),
+      "t5_top_bigrams" ->
+        (T + ", bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram FROM toks) " +
+          "SELECT ngram, count(*) AS cnt FROM bg GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20"),
+      "t6_rolling_fp" ->
+        (T + "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+          "list_transform(t, w -> list_sum(list_transform(range(1, len(w)+1), i -> ord(substr(w, i, 1))))::BIGINT)), " +
+          "(acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp FROM toks ORDER BY doc_id"),
+      "d1_exact_dedup" ->
+        "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY doc_id",
+      "d2_jaccard_pairs" ->
+        (JaccardCte + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY a_id, b_id"),
+      "d5_fuzzy_survivors" ->
+        (JaccardCte + "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+          "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id"),
+      "v1_cosine_topk" ->
+        ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
+          s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM embeddings e, q WHERE e.vec_id <> q_id) " +
+          ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
+          "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
       "a1_facet_categories" ->
         (M + "SELECT category, count(*) AS cnt FROM meta GROUP BY category ORDER BY cnt DESC, category LIMIT 100"),
       "a2_facet_formats" ->

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table
+  * (vec_id, embedding: array<float>, label).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - brute-force cosine top-k: exact baseline. The query set is broadcast
+  *    (it is always small relative to the corpus), so the scan side never
+  *    shuffles — a single narrow pass over 100 TB of vectors with the top-k
+  *    kept per query by a partial TakeOrdered.
+  *  - LSH-bucketed (random hyperplane / SRP) top-k: sub-linear scale path.
+  *    Vectors hash to a b-bit sign signature against deterministic
+  *    pseudo-random hyperplanes; candidates are vectors agreeing with the
+  *    query on any band of the signature; exact cosine re-ranks candidates.
+  *
+  * All arithmetic is double-precision and left-to-right, so scores are
+  * bit-deterministic; ties (at 6-decimal granularity) break by vec_id.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity, rounded to 6 decimals (the comparison granularity —
+    * keeps cross-engine float summation noise out of orderings).
+    */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  // ------------------------------------------------------- brute-force top-k
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus vectors
+    * (self-matches excluded). `queries` is broadcast; ranking is
+    * (cosine desc, vec_id asc) for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
+  // --------------------------------------------------------- SRP-LSH top-k
+
+  /** Deterministic pseudo-random hyperplane component: a value in [-0.5, 0.5)
+    * derived from xxhash64(plane, dim) — reproducible on any cluster with no
+    * RNG state to ship.
+    */
+  private def planeComponent(plane: Column, d: Column): Column =
+    (pmod(xxhash64(plane, d), lit(100000L)).cast("double") / 100000.0) - 0.5
+
+  /** b-bit sign-random-projection signature of an embedding column. */
+  def srpSignature(emb: Column, bits: Int): Column =
+    transform(sequence(lit(0), lit(bits - 1)), p => {
+      val proj = aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
+        (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0.0, 1).otherwise(0)
+    })
+
+  /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing at
+    * least one signature band with the query; exact cosine re-ranks the
+    * candidates. bits=16, bands=4 → 4-bit band keys; recall rises with
+    * bands, cost with bucket size — both independent of |corpus|·|queries|.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 16, bands: Int = 4): DataFrame = {
+    val r = bits / bands
+    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding").as(embCol),
+          srpSignature(col("embedding"), bits).as("sig"))
+        .select(col(idCol), col(embCol),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
+            .as("bk"))
+        .select(col(idCol), col(embCol), col("bk.band"), col("bk.key"))
+    val qb = broadcast(banded(queries, "q_id", "q_emb"))
+    val cands = banded(corpus, "vec_id", "embedding")
+      .join(qb, Seq("band", "key"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    cands.select(col("q_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
+  // ------------------------------------------------- embedding near-dup pairs
+
+  /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
+    * threshold, blocked through the SRP signature (vectors within a small
+    * angle agree on most sign bits, so near-dups collide on ≥1 band with
+    * high probability). Never an all-pairs cross join.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
+                         bits: Int = 16, bands: Int = 4): DataFrame = {
+    val r = bits / bands
+    val banded = emb
+      .select(col("vec_id"), col("embedding"), srpSignature(col("embedding"), bits).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
+          .as("bk"))
+      .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.analyzers.Analyzers
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * driver's `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is a per-row Column pipeline built from codegen'd
+  * built-ins — no UDF, no shuffle except where an aggregation is the
+  * operator's semantics (top-n-grams). At 100 TB each of these runs as a
+  * single narrow map stage over the parquet scan with full column pruning:
+  * only `doc_id`/`text` are read.
+  *
+  * The reference has no corpus-analysis surface (its text analysis lives in
+  * the ES analyzers, reference: data_catalog/configuration_const.py:21-84);
+  * these operators extend the same tokenizer machinery (graft.analyzers) to
+  * the document-pipeline capabilities the north star asks for.
+  */
+object TextAnalysis {
+
+  /** Standard-analyzer tokens of the document text. */
+  def tokens(text: Column): Column = Analyzers.standardTokens(text)
+
+  // ------------------------------------------------------------ token stats
+
+  /** Token counting: total, distinct, and English-stopword token counts. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      size(filter(t, w => w.isInCollection(Analyzers.EnglishStopwords))).as("n_stopwords")
+    )
+  }
+
+  // -------------------------------------------------------------- language ID
+
+  /** Tiny function-word profiles (public-knowledge closed-class words). The
+    * heuristic is the classic stopword-overlap language identifier: score a
+    * language by how many of the document's tokens are that language's
+    * function words; argmax with a fixed precedence order (en, es, de, fr)
+    * for determinism.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "is", "and", "of", "to", "in", "that", "it", "with",
+      "as", "for", "was", "on", "are", "at", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no",
+      "por", "con", "para", "los", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den",
+      "nicht", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "les", "de", "et", "une", "est", "que", "pour", "dans",
+      "sur", "pas", "ce")
+  )
+
+  /** Language-ID: (doc_id, predicted_lang, lang_score). `lang_score` is the
+    * winning profile's function-word hit count.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(t, w => w.isInCollection(words)))
+    }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    val predicted =
+      when(en >= es && en >= de && en >= fr && en > 0, "en")
+        .when(es >= de && es >= fr && es > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    val best = greatest(en, es, de, fr)
+    docs.select(col("doc_id"), predicted.as("predicted_lang"),
+      best.cast("long").as("lang_score"))
+  }
+
+  // ---------------------------------------------------------- quality score
+
+  /** Quality scoring: a deterministic blend of length, stopword ratio, and
+    * lexical diversity (the standard cheap pre-training quality gates).
+    * quality = 0.4·min(1, n_tokens/100) + 0.3·stopword_ratio + 0.3·distinct_ratio,
+    * rounded to 6 decimals. Empty docs score 0.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val nStop = size(filter(t, w => w.isInCollection(Analyzers.EnglishStopwords))).cast("double")
+    val nDist = size(array_distinct(t)).cast("double")
+    val q = when(nTok > 0.0,
+      round(lit(0.4) * least(lit(1.0), nTok / 100.0) + lit(0.3) * (nStop / nTok)
+        + lit(0.3) * (nDist / nTok), 6)).otherwise(0.0)
+    docs.select(col("doc_id"), q.as("quality"))
+  }
+
+  // ----------------------------------------------------------- fingerprints
+
+  /** Canonical content fingerprint: md5 over the normalized token stream.
+    * Whitespace/punctuation/case changes don't perturb it — the cheap
+    * "same content modulo formatting" identity used before fuzzy dedup.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", tokens(col("text")))).as("fingerprint"))
+
+  /** Rolling polynomial (Karp-Rabin) fingerprint over the token stream —
+    * base-31 polynomial of per-token codes modulo 2^31-1, token code =
+    * sum of character codepoints (kept engine-portable: both Spark and any
+    * SQL oracle can reproduce it with integer arithmetic only).
+    * Intermediate values stay < 2^36, far from Long overflow.
+    */
+  def rollingFingerprint(docs: DataFrame): DataFrame = {
+    val Mod = 2147483647L // 2^31 - 1
+    val t = tokens(col("text"))
+    val tokCode = (w: Column) =>
+      aggregate(sequence(lit(1), length(w)), lit(0L),
+        (acc, i) => acc + ascii(call_function("substring", w, i, lit(1))).cast("long"))
+    val rolling = aggregate(t, lit(0L),
+      (acc, w) => (acc * 31L + tokCode(w)) % Mod)
+    docs.select(col("doc_id"), rolling.as("rolling_fp"))
+  }
+
+  // ---------------------------------------------------------------- n-grams
+
+  /** Word n-grams of the token stream as an array column; docs shorter than
+    * `n` tokens get an empty array.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Corpus-level top-K n-grams by document frequency-weighted count.
+    * One explode + one partial/final hash aggregate + top-K — the canonical
+    * map-side-combine shape; at 100 TB this is a single shuffle keyed on the
+    * n-gram with AQE handling skew.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+    docs.select(explode(ngrams(tokens(col("text")), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+}

@@ -1,0 +1,154 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Specs for the LLM-pipeline operator families. The SQL-expressible ops
+  * (exact dedup, Jaccard pairs, token stats, …) are additionally gated by the
+  * driver's DuckDB oracle; the hash-based ops (MinHash/SimHash/SRP-LSH) are
+  * only checkable here, with planted duplicates.
+  */
+class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from a warm window sill and the birds sing in the garden every single morning"
+  private val nearDup = base.replace("warm window", "cold window")
+
+  private def docsDf: DataFrame = Seq(
+    (0L, base),
+    (1L, nearDup), // near-dup of 0
+    (2L, base), // exact dup of 0
+    (3L, "completely different content about spark shuffles partitions and catalyst optimizer rules for distributed queries running on large clusters"),
+    (4L, "unrelated text mentioning databases indexes transactions and write ahead logs in storage engines with buffer pools and checkpoints")
+  ).toDF("doc_id", "text")
+
+  // ----------------------------------------------------------------- dedup
+
+  test("exact dedup keeps min doc_id per identical text") {
+    val out = Dedup.exact(docsDf).orderBy("doc_id").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 3L, 4L) // 2 collapsed into 0
+  }
+
+  test("jaccard pairs find the near-dup and exact-dup, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docsDf, threshold = 0.7, maxDf = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    pairs should contain(0L -> 2L) // exact dup, j = 1.0
+    pairs should contain(0L -> 1L) // near dup
+    pairs.exists { case (a, b) => a == 3L || b == 3L } shouldBe false
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashPairs(docsDf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    pairs should contain(0L -> 2L) // identical → identical signatures
+    pairs should contain(0L -> 1L) // near-dup → most bands agree
+    pairs.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L } shouldBe false
+  }
+
+  test("minhash signature is deterministic and k-sized") {
+    val sig = docsDf.where($"doc_id" === 0)
+      .select(Dedup.minhashSignature(Dedup.shingles($"text"), 64))
+      .collect().head.getSeq[Long](0)
+    sig.length shouldBe 64
+    val sig2 = docsDf.where($"doc_id" === 2) // same text
+      .select(Dedup.minhashSignature(Dedup.shingles($"text"), 64))
+      .collect().head.getSeq[Long](0)
+    sig2 shouldBe sig
+  }
+
+  test("simhash: identical docs share the signature; near-dups are close; unrelated far") {
+    val sigs = docsDf.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    sigs(0L) shouldBe sigs(2L)
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) should be <= 6
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) should be > 10
+  }
+
+  test("simhash pairs: exact dup found at hamming 0") {
+    val pairs = Dedup.simhashPairs(docsDf)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)) should contain(0L -> 2L)
+    pairs.find(p => (p._1, p._2) == (0L, 2L)).get._3 shouldBe 0L
+  }
+
+  test("fuzzy survivors collapse the near-dup cluster to its min doc_id") {
+    val survivors = Dedup.fuzzyDedupSurvivors(docsDf, Dedup.jaccardPairs(docsDf, threshold = 0.7, maxDf = 10))
+      .as[Long].collect().toSet
+    survivors shouldBe Set(0L, 3L, 4L)
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  private def embDf: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val planted = Seq(
+      (0L, Array.tabulate(16)(i => if (i == 0) 1f else 0f)),
+      (1L, Array.tabulate(16)(i => if (i == 0) 2f else 0f)), // parallel to 0 → cos 1.0
+      (2L, Array.tabulate(16)(i => if (i == 1) 1f else 0f)) // orthogonal to 0
+    )
+    val noise = (3L until 40L).map(i => i -> Array.fill(16)(rnd.nextFloat() - 0.5f))
+    (planted ++ noise).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: parallel vector ranks first with cos 1.0; self excluded") {
+    val top = Similarity.bruteForceTopK(embDf, embDf.where($"vec_id" === 0), 5)
+      .orderBy("rank").collect()
+    top.head.getLong(2) shouldBe 1L
+    top.head.getDouble(3) shouldBe 1.0
+    top.map(_.getLong(2)) should not contain 0L
+  }
+
+  test("lsh top-k: parallel vectors always collide (same signature) and agree with exact cosine") {
+    val lsh = Similarity.lshTopK(embDf, embDf.where($"vec_id" === 0), 5)
+      .orderBy("rank").collect()
+    lsh.head.getLong(2) shouldBe 1L // sign pattern identical → all bands collide
+    lsh.head.getDouble(3) shouldBe 1.0
+    // every LSH hit carries the exact cosine the brute-force path computes
+    val bf = Similarity.bruteForceTopK(embDf, embDf.where($"vec_id" === 0), 39)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toMap
+    lsh.foreach(r => r.getDouble(3) shouldBe bf(r.getLong(2)))
+  }
+
+  test("embedding near-dup pairs: parallel pair found, orthogonal not") {
+    val pairs = Similarity.cosineNearDupPairs(embDf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    pairs should contain(0L -> 1L)
+    pairs should not contain (0L -> 2L)
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  test("langId picks es for spanish function words, en for english") {
+    val d = Seq((0L, "el perro corre por la casa y el gato duerme en la cama"),
+      (1L, base)).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d).orderBy("doc_id")
+      .select("predicted_lang").as[String].collect()
+    out shouldBe Array("es", "en")
+  }
+
+  test("ngrams: counts and edges") {
+    val d = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val tri = d.select(TextAnalysis.ngrams(TextAnalysis.tokens($"text"), 3))
+      .collect().head.getSeq[String](0)
+    tri shouldBe Seq("a b c", "b c d")
+    val short = Seq((0L, "a b")).toDF("doc_id", "text")
+      .select(TextAnalysis.ngrams(TextAnalysis.tokens($"text"), 3))
+      .collect().head.getSeq[String](0)
+    short shouldBe Seq.empty
+  }
+
+  test("rolling fingerprint matches a reference implementation") {
+    def refFp(text: String): Long = {
+      val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      toks.foldLeft(0L)((acc, w) => (acc * 31L + w.map(_.toLong).sum) % 2147483647L)
+    }
+    val d = Seq((0L, base), (1L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.rollingFingerprint(d).orderBy("doc_id")
+      .select("rolling_fp").as[Long].collect()
+    out shouldBe Array(refFp(base), refFp("x"))
+  }
+}
