@@ -2,9 +2,11 @@ package graft
 
 import graft.compile.QueryCompiler
 import graft.exec.SearchExecutor
-import graft.model.{AclContext, DataSetFiltering, InvalidQueryException}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.{AclContext, DataSetFiltering, InvalidQueryException, MetadataEntry}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStream
+import graft.store.MetadataStore
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry (+ oracle SQL) per implemented
@@ -49,6 +51,24 @@ object SparkEntry {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
+
+  /** Store-op harness: fixed clock (determinism) + fresh temp-dir store. */
+  private val storeClock: () => java.sql.Timestamp =
+    () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+
+  private def freshStore(s: SparkSession): MetadataStore =
+    new MetadataStore(s,
+      java.nio.file.Files.createTempDirectory("graft-verify-store").toString, storeClock)
+
+  /** Corpus rows in a zero-padded id range, as typed entries. */
+  private def corpusEntries(s: SparkSession, d: String, lo: String, hi: String): Dataset[MetadataEntry] =
+    Corpus.metadata(s, d).where(col("id").between(lo, hi))
+      .as(Encoders.product[MetadataEntry])
+
+  private def badEntry(id: String, targetUri: String): MetadataEntry =
+    MetadataEntry(id, "catx", java.sql.Timestamp.valueOf("2015-01-01 00:00:00"),
+      "sample", "csv", isPublic = true, "org1", 1L, 1L,
+      "http://data.example.com/x", targetUri, "bad entry")
 
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
@@ -108,6 +128,21 @@ object SparkEntry {
         try { hits(s, d, """{"filters":[{"badField":["x"]}]}""", admin); "NO_ERROR" }
         catch { case _: InvalidQueryException => "InvalidQuery" }
       Seq(err).toDF("error")
+    }),
+
+    // F7 stemmed title term-filter: the reference's title field is
+    // english-analyzed, so {"title":["rings"]} matches stored token `ring`
+    "f7_title_stemmed" -> ((s, d) =>
+      hits(s, d, all("""{"filters":[{"title":["rings"]}]}"""), admin)
+        .select(col("id"), col("title"))),
+
+    // Q4 (M6) IDF-weighted scoring: corpus df snapshot → weighted sample clause
+    "q4_idf_score" -> ((s, d) => {
+      val meta = Corpus.metadata(s, d)
+      val (n, dfs) = QueryCompiler.idfWeights(meta, Seq("red", "widget"))
+      meta.withColumn("score", round(QueryCompiler.scoreColumnIdf("red widget", n, dfs), 6))
+        .where(col("score") > 0).select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id"))
     }),
 
     // X1 DSL parser: malformed JSON → InvalidQuery
@@ -181,6 +216,65 @@ object SparkEntry {
       Seq(base.where(cq.postFilter).count()).toDF("total")
     }),
 
+    // ------------------------- store ops (S1-S7, X2) -----------------------
+
+    // S1 index scan: resolved current table off the versioned store
+    "s1_store_scan" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050"))
+      st.current.toDF().select(col("id")).orderBy("id")
+    }),
+
+    // S2 point lookup by id (404 = empty result is covered in specs)
+    "s2_point_lookup" -> ((s, d) => {
+      import s.implicits._
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050"))
+      st.get("000005").toSeq.toDS().select(col("id"), col("title"))
+    }),
+
+    // S3 upsert + S4 partial update + S5 delete + compaction, read back
+    "s3_s4_s5_roundtrip" -> ((s, d) => {
+      val st = freshStore(s)
+      corpusEntries(s, d, "000001", "000010").collect().foreach(st.upsert)
+      st.partialUpdate("000002", Map("title" -> "patched"))
+      st.delete("000003")
+      st.compact()
+      st.current.toDF()
+        .select(col("id"), col("category"), col("title"),
+          col("recordCount").as("record_count"))
+        .orderBy("id")
+    }),
+
+    // S6 bulk load with per-row error isolation
+    "s6_bulk_isolation" -> ((s, d) => {
+      import s.implicits._
+      val st = freshStore(s)
+      val bad = Seq(badEntry("zbad1", "not_a_uri"), badEntry("zbad2", "http://")).toDS()
+      val rejected = st.bulkLoad(corpusEntries(s, d, "000001", "000100").unionByName(bad))
+      rejected.toDF().select(col("id"), lit("rejected").as("status"))
+        .unionByName(st.current.toDF().select(col("id"), lit("loaded").as("status")))
+        .orderBy("id")
+    }),
+
+    // S7 drop table, then the store keeps working
+    "s7_drop_reload" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050"))
+      st.drop()
+      corpusEntries(s, d, "000001", "000001").collect().foreach(st.upsert)
+      st.current.toDF().select(col("id"), col("title")).orderBy("id")
+    }),
+
+    // X2 full export scan: snapshot → parquet → read back
+    "x2_export" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000100"))
+      val out = java.nio.file.Files.createTempDirectory("graft-export").toString + "/exported"
+      st.export(out)
+      s.read.parquet(out).select(col("id"), col("category"), col("title")).orderBy("id")
+    }),
+
     // ---------------- LLM-pipeline operators (documents / embeddings) ------
 
     // Text analysis: token counting
@@ -247,6 +341,18 @@ object SparkEntry {
     "v3_embedding_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(emb(s, d)).orderBy("a_id", "b_id")),
 
+    // Multimodal: binary payload → batched feature extraction (stub decode,
+    // real plumbing: schema, mapPartitions batch shape, payload pruning)
+    "m1_media_features" -> ((s, d) =>
+      Multimodal.features(s, Multimodal.mediaFromDocuments(docs(s, d)))
+        .toDF().orderBy("media_id")),
+
+    // Streaming: event-time windowed aggregation through the streaming
+    // engine (AvailableNow backfill), exact decimal sums
+    "e1_stream_window_counts" -> ((s, d) =>
+      EventStream.backfillWindowedCounts(s, s"$d/events.parquet")
+        .orderBy("window_start", "event_type")),
+
     // R1 result shaping: full entry columns on a paged, filtered, scored search
     "r1_result_shape" -> ((s, d) =>
       hits(s, d, """{"query":"red","filters":[{"format":["json"]}],"size":5}""",
@@ -286,6 +392,15 @@ object SparkEntry {
        | (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |  sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin.replaceAll("\n", " ")
 
+  /** DuckDB twin of Analyzers.stemCol (two CASE stages). */
+  private def stemSql(w: String): String = {
+    val s1 = s"(CASE WHEN $w LIKE '%ies' AND length($w) > 4 THEN substr($w, 1, length($w)-3) || 'y' " +
+      s"WHEN $w LIKE '%sses' THEN substr($w, 1, length($w)-2) " +
+      s"WHEN $w LIKE '%s' AND $w NOT LIKE '%ss' AND length($w) > 3 THEN substr($w, 1, length($w)-1) ELSE $w END)"
+    s"(CASE WHEN $s1 LIKE '%ing' AND length($s1) > 5 THEN substr($s1, 1, length($s1)-3) " +
+      s"WHEN $s1 LIKE '%ed' AND length($s1) > 4 THEN substr($s1, 1, length($s1)-2) ELSE $s1 END)"
+  }
+
   def oracleSql: Map[String, String] = {
     val aclOr = "(orgUUID = 'org1' OR isPublic)"
     val stop = sqlList(graft.analyzers.Analyzers.EnglishStopwords)
@@ -323,6 +438,23 @@ object SparkEntry {
       "f5_only_public" ->
         (M + "SELECT id, isPublic AS is_public FROM meta WHERE isPublic ORDER BY id"),
       "f6_whitelist_reject" -> "SELECT 'InvalidQuery' AS error",
+      "f7_title_stemmed" ->
+        (M + s"SELECT id, title FROM meta WHERE list_contains(" +
+          s"list_transform(${stdToks("title")}, w -> ${stemSql("w")}), " +
+          s"'${graft.analyzers.Analyzers.stem("rings")}') ORDER BY id"),
+      "q4_idf_score" -> {
+        def m(t: String) = s"list_contains(${stdToks("dataSample")}, '$t')"
+        def idf(t: String) = s"ln(1 + n / (1 + df_$t))"
+        M + ", nd AS (SELECT count(*)::DOUBLE AS n, " +
+          s"sum(CASE WHEN ${m("red")} THEN 1 ELSE 0 END)::DOUBLE AS df_red, " +
+          s"sum(CASE WHEN ${m("widget")} THEN 1 ELSE 0 END)::DOUBLE AS df_widget FROM meta) " +
+          "SELECT id, score FROM (SELECT id, round(" +
+          "CASE WHEN contains(lower(title), 'red widget') THEN 3.0 ELSE 0.0 END + " +
+          s"(CASE WHEN ${m("red")} THEN ${idf("red")} ELSE 0.0 END + CASE WHEN ${m("widget")} THEN ${idf("widget")} ELSE 0.0 END) " +
+          s"/ (${idf("red")} + ${idf("widget")}) * 2.0 + " +
+          s"(list_contains(${uriToks("sourceUri")}, 'red')::INT + list_contains(${uriToks("sourceUri")}, 'widget')::INT) / 2.0 * 1.0" +
+          ", 6) AS score FROM meta, nd) WHERE score > 0 ORDER BY score DESC, id"
+      },
       "x1_dsl_error" -> "SELECT 'InvalidQuery' AS error",
       "q1_text_score" ->
         (M + s"SELECT id, score FROM (SELECT id, ${score1("red")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id"),
@@ -334,6 +466,21 @@ object SparkEntry {
         (M + s"SELECT id, score FROM (SELECT id, ${score1("red")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id LIMIT 10 OFFSET 5"),
       "q3_default_page" ->
         (M + s"SELECT id, score FROM (SELECT id, ${score1("red")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id LIMIT 10 OFFSET 0"),
+      "s1_store_scan" ->
+        (M + "SELECT id FROM meta WHERE id BETWEEN '000001' AND '000050' ORDER BY id"),
+      "s2_point_lookup" ->
+        (M + "SELECT id, title FROM meta WHERE id = '000005'"),
+      "s3_s4_s5_roundtrip" ->
+        (M + "SELECT id, category, CASE WHEN id = '000002' THEN 'patched' ELSE title END AS title, " +
+          "recordCount AS record_count FROM meta " +
+          "WHERE id BETWEEN '000001' AND '000010' AND id <> '000003' ORDER BY id"),
+      "s6_bulk_isolation" ->
+        (M + "SELECT id, 'loaded' AS status FROM meta WHERE id BETWEEN '000001' AND '000100' " +
+          "UNION ALL SELECT 'zbad1', 'rejected' UNION ALL SELECT 'zbad2', 'rejected' ORDER BY id"),
+      "s7_drop_reload" ->
+        (M + "SELECT id, title FROM meta WHERE id = '000001'"),
+      "x2_export" ->
+        (M + "SELECT id, category, title FROM meta WHERE id BETWEEN '000001' AND '000100' ORDER BY id"),
       "t1_token_stats" ->
         (T + s"SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +
           s"len(list_filter(t, x -> x IN $stop)) AS n_stopwords FROM toks ORDER BY doc_id"),
@@ -369,6 +516,14 @@ object SparkEntry {
           s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM embeddings e, q WHERE e.vec_id <> q_id) " +
           ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
           "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+      "m1_media_features" ->
+        ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+          "16 AS dim, list_transform(range(0, 16), i -> " +
+          "(length(md5(text)) - length(replace(md5(text), substr('0123456789abcdef', i+1, 1), '')))::DOUBLE) AS features " +
+          "FROM documents ORDER BY media_id"),
+      "e1_stream_window_counts" ->
+        ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
+          "sum(value::DECIMAL(18,6)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
       "a1_facet_categories" ->
         (M + "SELECT category, count(*) AS cnt FROM meta GROUP BY category ORDER BY cnt DESC, category LIMIT 100"),
       "a2_facet_formats" ->

@@ -70,8 +70,10 @@ object Analyzers {
       .filterNot(UriStopwords.contains).toSeq
 
   /** Light English stemmer (plural + common verbal/adverbial suffixes).
-    * Deterministic; used for term-level title matching only — never for the
-    * wildcard-contains path that defines reference parity.
+    * Deterministic; used for term-level title matching (the reference's
+    * title field is english-analyzed, configuration_const.py:26-29, so an ES
+    * `term` filter on title matches STEMMED tokens) — never for the
+    * wildcard-contains path that defines Q1 parity.
     */
   def stem(w: String): String = {
     var s = w
@@ -82,4 +84,25 @@ object Analyzers {
     else if (s.endsWith("ed") && s.length > 4) s = s.dropRight(2)
     s
   }
+
+  /** Column twin of [[stem]] — same two stages, codegen'd built-ins only.
+    * AnalyzersSpec asserts stemCol(w) === stem(w) over the corpus vocabulary.
+    */
+  def stemCol(w: Column): Column = {
+    def drop(c: Column, n: Int): Column =
+      call_function("substring", c, lit(1), length(c) - n)
+    def stage1(c: Column): Column =
+      when(c.endsWith("ies") && length(c) > 4, concat(drop(c, 3), lit("y")))
+        .when(c.endsWith("sses"), drop(c, 2))
+        .when(c.endsWith("s") && !c.endsWith("ss") && length(c) > 3, drop(c, 1))
+        .otherwise(c)
+    val s1 = stage1(w)
+    when(s1.endsWith("ing") && length(s1) > 5, drop(s1, 3))
+      .when(s1.endsWith("ed") && length(s1) > 4, drop(s1, 2))
+      .otherwise(s1)
+  }
+
+  /** Stemmed standard tokens — what an english-analyzed field stores. */
+  def stemmedTokens(c: Column): Column =
+    transform(standardTokens(c), w => stemCol(w))
 }

@@ -3,7 +3,7 @@ package graft.compile
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.analyzers.Analyzers
 import graft.model._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -172,7 +172,15 @@ object QueryCompiler {
         val vs = values.map(toLong(field, _))
         if (vs.size == 1) col(field) === vs.head else col(field).isin(vs: _*)
       case "creationTime" => timeRange(values)
-      case _ => // analyzed string fields: category, format, title, dataSample, sourceUri, targetUri
+      case "title" =>
+        // title is english-analyzed in the reference mapping
+        // (configuration_const.py:26-29): a `term` filter matches STEMMED
+        // lowercased tokens — {"title":["rates"]} matches stored token
+        // `rate`. Stem both sides.
+        val toks = Analyzers.stemmedTokens(col(field))
+        values.map(v => array_contains(toks, Analyzers.stem(v.toString.toLowerCase)))
+          .reduce(_ || _)
+      case _ => // analyzed string fields: category, format, dataSample, sourceUri, targetUri
         val toks = Analyzers.standardTokens(col(field))
         values.map(v => array_contains(toks, v.toString.toLowerCase)).reduce(_ || _)
     }
@@ -240,6 +248,52 @@ object QueryCompiler {
       if (qStd.isEmpty) lit(0.0)
       else size(array_intersect(Analyzers.standardTokens(col("dataSample")), lit(qStd.toArray)))
         .cast("double") / qStd.size * SampleBoost
+    val uri =
+      if (qUri.isEmpty) lit(0.0)
+      else size(array_intersect(Analyzers.uriTokens(col("sourceUri")), lit(qUri.toArray)))
+        .cast("double") / qUri.size * UriBoost
+    titleHit + sample + uri
+  }
+
+  // -------------------------------------------------- M6: IDF-weighted score
+
+  /** Corpus doc-frequency snapshot for the query terms: one aggregate pass
+    * over the corpus (count + one conditional sum per term). The returned
+    * map is the broadcast-able statistic ES keeps per segment
+    * (SURVEY.md §4.2); at catalog scale it rides into the score expression
+    * as literals, on a 100 TB corpus the same map is a tiny broadcast.
+    */
+  def idfWeights(corpus: DataFrame, terms: Seq[String],
+                 field: String = "dataSample"): (Long, Map[String, Long]) = {
+    val toks = Analyzers.standardTokens(col(field))
+    val aggs = count(lit(1)) +: terms.map(t =>
+      sum(when(array_contains(toks, t), 1L).otherwise(0L)))
+    val row = corpus.agg(aggs.head, aggs.tail: _*).collect().head
+    (row.getLong(0), terms.zipWithIndex.map { case (t, i) => t -> row.getLong(i + 1) }.toMap)
+  }
+
+  /** Q1 scoring with IDF-weighted dataSample matching (M6): rare query terms
+    * count more. sampleScore = Σ match(t)·idf(t) / Σ idf(t) · boost with
+    * idf(t) = ln(1 + N/(1+df(t))) — the add-one-smoothed IDF. Title/uri
+    * clauses keep their Q1 shape; ordering stays monotone in clause weight
+    * and is deterministic (the stats are a fixed snapshot, not
+    * per-partition).
+    */
+  def scoreColumnIdf(rawQuery: String, nDocs: Long, dfs: Map[String, Long]): Column = {
+    val qLower = rawQuery.toLowerCase
+    val qStd = Analyzers.standardTokensScala(rawQuery).distinct
+    val qUri = Analyzers.uriTokensScala(rawQuery).distinct
+    val titleHit = when(lower(col("title")).contains(qLower), TitleBoost).otherwise(0.0)
+    val sample =
+      if (qStd.isEmpty) lit(0.0)
+      else {
+        val idf = qStd.map(t =>
+          t -> math.log(1.0 + nDocs.toDouble / (1.0 + dfs.getOrElse(t, 0L).toDouble)))
+        val sumIdf = idf.map(_._2).sum
+        val toks = Analyzers.standardTokens(col("dataSample"))
+        idf.map { case (t, w) => when(array_contains(toks, t), w).otherwise(0.0) }
+          .reduce(_ + _) / sumIdf * SampleBoost
+      }
     val uri =
       if (qUri.isEmpty) lit(0.0)
       else size(array_intersect(Analyzers.uriTokens(col("sourceUri")), lit(qUri.toArray)))

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata,
+  * decoded/feature-extracted in batched partition passes.
+  *
+  * The decode step itself is a STUB — image/audio codecs are not available in
+  * this environment — but everything Spark-side is real and tested: the
+  * schema (binary payload + struct metadata), the partition-batched execution
+  * shape (mapPartitions over an iterator, the JVM analogue of a pandas-batch
+  * UDF: decode amortizes per-batch setup, never per-row), and the
+  * deterministic feature contract. Swapping [[FeatureExtractor.stub]] for a
+  * real codec changes one function, no plan shape.
+  *
+  * At 100 TB: payloads dominate row size, so operators project them away as
+  * early as possible (`features` drops the payload right after extraction),
+  * and the scan never shuffles — feature extraction is a narrow map.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRecord(media_id: Long, kind: String,
+                               payload: Array[Byte], width: Int, height: Int,
+                               format: String)
+
+  /** Extracted features: fixed-dim double vector per media row. */
+  final case class MediaFeatures(media_id: Long, kind: String, dim: Int,
+                                 features: Array[Double])
+
+  /** Deterministic media corpus derived from the documents table: payload =
+    * md5(text) bytes (a stand-in for real image/audio bytes), metadata from
+    * the doc row. Purely column-level — reproducible on any engine.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      to_binary(md5(col("text")), lit("hex")).as("payload"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      (col("n_chars") % 480).cast("int").as("height"),
+      lit("stub/v1").as("format"))
+
+  /** The decode/feature-extract stub: nibble histogram of the payload bytes
+    * (16 bins) — deterministic, cheap, and shaped exactly like a real
+    * embedding extraction (bytes in, fixed-dim vector out). A real
+    * implementation would decode pixels/samples here instead.
+    */
+  object FeatureExtractor {
+    val Dim = 16
+
+    def stub(payload: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](Dim)
+      payload.foreach { b =>
+        hist((b >> 4) & 0xF) += 1.0
+        hist(b & 0xF) += 1.0
+      }
+      hist
+    }
+  }
+
+  /** Batched feature extraction: one extractor "session" per partition
+    * (mapPartitions), rows streamed through it — the execution shape a real
+    * codec needs (model load / codec init once per batch, not per row).
+    */
+  def features(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec/model handle)
+        rows.map { case (id, kind, payload) =>
+          MediaFeatures(id, kind, FeatureExtractor.Dim, FeatureExtractor.stub(payload))
+        }
+      }
+  }
+
+  /** Frame/sample subsampling stub: deterministic stride over the payload —
+    * the plumbing for "take every Nth frame" without a codec.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        (id, payload.zipWithIndex.collect { case (b, i) if i % stride == 0 => b })
+      }
+      .toDF("media_id", "sampled")
+      .select(col("media_id"), length(col("sampled")).as("n_sampled"))
+  }
+}

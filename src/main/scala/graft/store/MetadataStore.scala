@@ -108,10 +108,12 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   /** S2 point lookup; None = the reference's 404
     * (reference: metadata_entry.py:127-147, bases.py:51-63).
     */
+  /** The id-pruned lookup plan (exposed for plan-shape assertions). */
+  private[graft] def lookup(id: String): DataFrame =
+    resolved(Some(col("id") === id)).select(entryCols.map(col): _*)
+
   def get(id: String): Option[MetadataEntry] =
-    resolved(Some(col("id") === id))
-      .select(entryCols.map(col): _*).as[MetadataEntry]
-      .limit(1).collect().headOption
+    lookup(id).as[MetadataEntry].limit(1).collect().headOption
 
   // -------------------------------------------------------------- mutations
 
@@ -186,6 +188,14 @@ class MetadataStore(spark: SparkSession, rootDir: String,
       .write.mode("overwrite").parquet(root.resolve(s"base-$v").toString)
     commit(v)
   }
+
+  /** X2 full export: write the resolved current table out as parquet
+    * (reference: tools/elastic_migrate_tool.py:44-63 does a count-then-refetch
+    * two-phase scroll because ES pages; a Spark snapshot exports in one
+    * distributed write — no two-phase needed).
+    */
+  def export(path: String): Unit =
+    current.write.mode("overwrite").parquet(path)
 
   /** Fold the delta log into a new base snapshot. */
   def compact(): Unit = {

@@ -1,0 +1,65 @@
+package graft
+
+import graft.analyzers.Analyzers
+import graft.compile.QueryCompiler
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class AnalyzersStemIdfSpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  test("stemCol agrees with the Scala stemmer across suffix classes") {
+    val words = Seq("rates", "rings", "berries", "classes", "glasses", "boss",
+      "running", "jumped", "red", "ss", "es", "a", "spring", "widgets",
+      "cities", "watches", "used", "sing", "ring", "gas")
+    val viaCol = words.toDF("w").select(Analyzers.stemCol($"w")).as[String].collect().toSeq
+    viaCol shouldBe words.map(Analyzers.stem)
+  }
+
+  test("stemmed title filter matches plural query value against singular stored token") {
+    val cq = QueryCompiler.compile(
+      QueryCompiler.parse("""{"filters":[{"title":["rings"]}]}"""),
+      graft.model.AclContext(Nil, isAdmin = true))
+    val df = Seq(("1", "small ring"), ("2", "blue bolt")).toDF("id", "title")
+    df.where(cq.postFilter).select("id").as[String].collect().toSeq shouldBe Seq("1")
+  }
+
+  test("IDF scoring: a rare-term match outranks a common-term match") {
+    // 'rare' appears in 1 of 10 docs, 'common' in 8
+    val docs = (1 to 10).map { i =>
+      val sample = if (i == 1) "rare words here"
+      else if (i <= 9) "common words here" else "nothing at all"
+      (f"$i%03d", sample)
+    }.toDF("id", "dataSample")
+    val (n, dfs) = QueryCompiler.idfWeights(docs, Seq("rare", "common"))
+    n shouldBe 10L
+    dfs("rare") shouldBe 1L
+    dfs("common") shouldBe 8L
+    val scored = docs
+      .withColumn("title", lit("t")).withColumn("sourceUri", lit("http://x.org/y"))
+      .withColumn("score", QueryCompiler.scoreColumnIdf("rare common", n, dfs))
+    val byId = scored.select($"id", $"score").as[(String, Double)].collect().toMap
+    byId("001") should be > byId("002") // rare match beats common match
+    byId("010") shouldBe 0.0
+    // monotone in clause weight: a title hit (boost 3) dominates any sample score
+    val titleDoc = Seq(("x", "nothing", "has rare common in title", "http://x.org/y"))
+      .toDF("id", "dataSample", "title", "sourceUri")
+      .withColumn("score", QueryCompiler.scoreColumnIdf("rare common", n, dfs))
+    titleDoc.select($"score").as[Double].head() should be > byId("001")
+  }
+
+  test("IDF scores are identical across partition layouts (broadcast snapshot, not per-partition)") {
+    val docs = (1 to 100).map(i => (f"$i%03d", if (i % 7 == 0) "seven up" else "plain text"))
+      .toDF("id", "dataSample")
+      .withColumn("title", lit("t")).withColumn("sourceUri", lit("http://x.org/y"))
+    val (n, dfs) = QueryCompiler.idfWeights(docs, Seq("seven"))
+    val one = docs.coalesce(1)
+      .withColumn("score", QueryCompiler.scoreColumnIdf("seven", n, dfs))
+      .select("id", "score").orderBy("id").as[(String, Double)].collect().toSeq
+    val many = docs.repartition(13)
+      .withColumn("score", QueryCompiler.scoreColumnIdf("seven", n, dfs))
+      .select("id", "score").orderBy("id").as[(String, Double)].collect().toSeq
+    one shouldBe many
+  }
+}

@@ -83,6 +83,13 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.current.count() shouldBe 1
   }
 
+  test("point lookup pushes the id filter into every parquet scan (no full-log window)") {
+    val st = freshStore()
+    Fixtures.corpus.foreach(st.upsert)
+    val plan = st.lookup("1").queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(id), EqualTo(id,1)]")
+  }
+
   test("compact folds the delta log, preserving state") {
     val st = freshStore()
     Fixtures.corpus.foreach(st.upsert)

@@ -1,0 +1,76 @@
+package graft
+
+import graft.model.AclContext
+import graft.serve._
+import graft.store.MetadataStore
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Serving-shell seams: every mutation notifies, deletes cascade with the
+  * reference's response shape (reference: metadata_entry.py:156-271,
+  * dataset_delete.py:31-103, tests/test_dataset_delete.py:50-73).
+  */
+class ServeSpec extends AnyFunSuite with Matchers with SparkSupport {
+
+  private val clock: () => Timestamp = () => Timestamp.valueOf("2020-01-01 00:00:00")
+
+  private def service(): (CatalogService, RecordingNotifier, RecordingCascadeDeleter) = {
+    val store = new MetadataStore(spark, Files.createTempDirectory("graft-serve").toString, clock)
+    val n = new RecordingNotifier
+    val c = new RecordingCascadeDeleter
+    (new CatalogService(spark, store, n, c), n, c)
+  }
+
+  private val e0 = Fixtures.corpus.head
+
+  test("put notifies created-vs-updated; get round-trips") {
+    val (svc, n, _) = service()
+    svc.put(e0) shouldBe true
+    svc.put(e0.copy(title = "v2")) shouldBe false
+    svc.get(e0.id).get.title shouldBe "v2"
+    n.events.map(_._2) shouldBe Seq(s"Dataset ${e0.id} created", s"Dataset ${e0.id} updated")
+    n.events.map(_._1).distinct shouldBe Seq(e0.orgUUID)
+  }
+
+  test("post notifies only on a found id") {
+    val (svc, n, _) = service()
+    svc.put(e0)
+    svc.post(e0.id, Map("title" -> "patched")) shouldBe true
+    svc.post("ghost", Map("title" -> "x")) shouldBe false
+    n.events.last._2 shouldBe s"Dataset ${e0.id} updated"
+    n.events should have size 2 // put + successful post, no ghost event
+  }
+
+  test("delete cascades with the reference's response shape and database id") {
+    val (svc, n, c) = service()
+    val entry = e0.copy(targetUri = "hdfs://nameservice1/org/db42/data")
+    svc.put(entry)
+    val res = svc.delete(entry.id)
+    res shouldBe DeleteResult(found = true, deletedFromDownloader = true, deletedFromPublisher = true)
+    svc.get(entry.id) shouldBe None
+    c.entries.map(_.id) shouldBe Seq(entry.id)
+    // targetUri.split('/')[-2] — reference: dataset_delete.py:99-103
+    c.databaseIds shouldBe Seq("db42")
+    n.events.last._2 shouldBe s"Dataset ${entry.id} deleted"
+  }
+
+  test("delete of an absent id reports not-found and triggers no side effects") {
+    val (svc, n, c) = service()
+    svc.delete("nope").found shouldBe false
+    n.events shouldBe empty
+    c.entries shouldBe empty
+  }
+
+  test("search and count flow through the facade") {
+    val (svc, _, _) = service()
+    Fixtures.corpus.foreach(svc.put)
+    val admin = AclContext(Nil, isAdmin = true)
+    svc.count(admin) shouldBe 10L
+    val res = svc.search("""{"size":100}""", admin)
+    res.total shouldBe 10L
+    res.hits should have size 10
+  }
+}
