@@ -40,6 +40,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
+      System.err.println(f"[bench] $name: $t%.3f s")
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

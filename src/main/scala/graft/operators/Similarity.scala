@@ -83,6 +83,8 @@ object Similarity {
     def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(embCol),
           srpSignature(col("embedding"), bits).as("sig"))
+        // barrier: materialize sig before banding (see Dedup.minhashPairs)
+        .repartition(col(idCol))
         .select(col(idCol), col(embCol),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
@@ -113,6 +115,8 @@ object Similarity {
     val r = bits / bands
     val banded = emb
       .select(col("vec_id"), col("embedding"), srpSignature(col("embedding"), bits).as("sig"))
+      // barrier: materialize sig before banding (see Dedup.minhashPairs)
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))

@@ -117,7 +117,9 @@ object TextAnalysis {
         (acc, i) => acc + ascii(call_function("substring", w, i, lit(1))).cast("long"))
     val rolling = aggregate(t, lit(0L),
       (acc, w) => (acc * 31L + tokCode(w)) % Mod)
-    docs.select(col("doc_id"), rolling.as("rolling_fp"))
+    // per-char interpreted evaluation is CPU-heavy; spread the (often
+    // single-file) scan across cores before computing
+    docs.repartition(col("doc_id")).select(col("doc_id"), rolling.as("rolling_fp"))
   }
 
   // ---------------------------------------------------------------- n-grams

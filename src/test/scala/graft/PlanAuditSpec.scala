@@ -1,0 +1,54 @@
+package graft
+
+import graft.compile.QueryCompiler
+import graft.exec.SearchExecutor
+import graft.model.AclContext
+import graft.operators.{Dedup, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan shape assertions — the 100 TB design properties SCALE.md
+  * claims, pinned so a refactor can't silently regress them.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private def docsDf = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+    .toDF("doc_id", "text")
+
+  private def embDf = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+    .toDF("vec_id", "embedding")
+
+  test("search hits plan uses TakeOrderedAndProject (no global sort)") {
+    // parquet-backed input: a LocalRelation would constant-fold the whole plan
+    val cq = QueryCompiler.compile(QueryCompiler.parse("""{"query":"red","size":5}"""),
+      AclContext(Nil, isAdmin = true))
+    val plan = SearchExecutor.hitsBranch(
+      SearchExecutor.baseBranch(Corpus.metadata(spark, "/root/testdata/sf0.001"), cq), cq)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  test("brute-force top-k broadcasts the query side, never shuffles the corpus scan") {
+    val plan = Similarity.bruteForceTopK(embDf, embDf.where($"vec_id" === 1), 3)
+      .queryExecution.executedPlan.toString
+    plan should include("Broadcast")
+    plan should not include "CartesianProduct"
+  }
+
+  test("jaccard pairs plan has no cartesian product and keeps map-side partial aggregates") {
+    val plan = Dedup.jaccardPairs(docsDf).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // candidate-pair count and df-cap both partial-aggregate before their shuffles
+    plan should include("partial_count")
+  }
+
+  test("minhash pairs keep the signature barrier (shuffle between sig projection and band join)") {
+    // the barrier stops CollapseProject from inlining the interpreted
+    // signature pipeline into band/join expressions (SCALE.md, Dedup scaladoc)
+    val plan = Dedup.minhashPairs(docsDf).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    "REPARTITION_BY_COL".r.findAllIn(plan).size should be >= 2
+  }
+}
