@@ -29,12 +29,25 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t = try {
         materialize(name) // warm-up: JIT, codegen, footers
-        val t0 = System.nanoTime()
-        materialize(name)
-        (System.nanoTime() - t0) / 1e9
+        // min of two timed passes: the JVM occasionally hits multi-second
+        // stalls (GC / deopt) that would randomly pollute one-shot numbers
+        val times = (1 to 2).map { _ =>
+          val (t0, g0) = (System.nanoTime(), gcMillis)
+          materialize(name)
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name pass: $dt%.3f s (gc ${gcMillis - g0} ms)")
+          dt
+        }
+        times.min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

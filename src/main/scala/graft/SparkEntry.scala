@@ -353,6 +353,14 @@ object SparkEntry {
       EventStream.backfillWindowedCounts(s, s"$d/events.parquet")
         .orderBy("window_start", "event_type")),
 
+    // Streaming custom state: gap sessionization via flatMapGroupsWithState,
+    // watermark-gated emission (trailing open sessions stay in state)
+    "e2_sessionize" -> ((s, d) =>
+      EventStream.backfillSessions(s, s"$d/events.parquet")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value").cast("decimal(20,6)").as("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // R1 result shaping: full entry columns on a paged, filtered, scored search
     "r1_result_shape" -> ((s, d) =>
       hits(s, d, """{"query":"red","filters":[{"format":["json"]}],"size":5}""",
@@ -524,6 +532,21 @@ object SparkEntry {
       "e1_stream_window_counts" ->
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
           "sum(value::DECIMAL(18,6)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      "e2_sessionize" ->
+        // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
+        // engine's timestamp_micros(ts/1000) normalization
+        ("WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, round(value, 6)::DECIMAL(18,6) AS v FROM events), " +
+          "b AS (SELECT user_id, ts, v, CASE WHEN lag(ts) OVER w IS NULL OR " +
+          "epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000 THEN 1 ELSE 0 END AS brk " +
+          "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+          "s AS (SELECT user_id, ts, v, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+          "ROWS UNBOUNDED PRECEDING) AS sid FROM b), " +
+          "agg AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end, " +
+          "count(*) AS n_events, sum(v) AS sum_value FROM s GROUP BY 1, 2), " +
+          "wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm FROM ev) " +
+          "SELECT user_id, session_start, session_end, n_events, sum_value::DECIMAL(20,6) AS sum_value " +
+          "FROM agg, wm WHERE epoch_ms(session_end) + 21600000 <= wm " +
+          "ORDER BY user_id, session_start"),
       "a1_facet_categories" ->
         (M + "SELECT category, count(*) AS cnt FROM meta GROUP BY category ORDER BY cnt DESC, category LIMIT 100"),
       "a2_facet_formats" ->

@@ -43,18 +43,29 @@ object Analyzers {
   // ---- Column (distributed, codegen'd) variants ----
 
   /** `standard`-analyzer approximation: lowercase, split on any run of
-    * non-letter/non-digit, drop empty tokens.
+    * non-letter/non-digit, drop empty tokens. Backed by the native codegen
+    * expression (graft.functions.StandardTokensExpr); semantics are
+    * bit-identical to the regex pipeline below (spec-asserted).
     */
   def standardTokens(c: Column): Column =
-    filter(split(lower(c), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    graft.functions.Tokenize.standardTokens(c)
 
   /** uri_analyzer: lowercase tokenizer splits on non-letters (digits split
-    * too, unlike standard), then drop the URI stopwords.
+    * too, unlike standard), then drop the URI stopwords. Native expression,
+    * same contract as [[standardTokens]].
     */
   def uriTokens(c: Column): Column =
-    array_except(
-      filter(split(lower(c), "[^\\p{L}]+"), t => length(t) > 0),
-      lit(UriStopwords.toArray))
+    graft.functions.Tokenize.uriTokens(c)
+
+  /** Reference regex implementations of the two tokenizers — the executable
+    * spec the native expressions are equivalence-tested against.
+    */
+  def standardTokensRegex(c: Column): Column =
+    filter(split(lower(c), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  def uriTokensRegex(c: Column): Column =
+    filter(split(lower(c), "[^\\p{L}]+"),
+      t => length(t) > 0 && !t.isInCollection(UriStopwords))
 
   /** Tokens minus English stopwords. */
   def contentTokens(c: Column): Column =

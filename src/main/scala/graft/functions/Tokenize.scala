@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst tokenizer expressions — the engine's hottest scalar path
+  * (Q1 scoring, dedup shingling, every text-analysis operator tokenizes).
+  *
+  * The Column-pipeline equivalent, `filter(split(lower(c), regex), …)`,
+  * evaluates interpreted (higher-order functions have no codegen) and
+  * `UTF8String.split` recompiles the regex Pattern on every row. These
+  * expressions replace that with a single allocation-light codepoint scan,
+  * participate in whole-stage codegen via a static-call `doGenCode`, and are
+  * registered for SQL users through [[GraftExtensions]]
+  * (`SparkSessionExtensions.injectFunction`).
+  *
+  * Token semantics are bit-identical to the regex pipeline (spec-asserted,
+  * including supplementary codepoints): lowercase, then split on runs of
+  * non-(letter|number) — the `standard`-analyzer approximation of
+  * SURVEY.md §1.2 (reference: data_catalog/configuration_const.py:30-38) —
+  * or non-letter for the uri_analyzer (reference: configuration_const.py:68-84).
+  */
+object Tok {
+
+  /** \p{L} ∪ \p{N} (all letter and number categories, not just Nd). */
+  private def isLetterOrNumber(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+      t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
+      t == Character.OTHER_LETTER || t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+  }
+
+  private def isLetter(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+      t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
+      t == Character.OTHER_LETTER
+  }
+
+  private def scan(s: UTF8String, keep: Int => Boolean,
+                   drop: UTF8String => Boolean): ArrayData = {
+    // UTF8String.toLowerCase matches lower(col) exactly
+    val str = s.toLowerCase.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    var start = -1
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (keep(cp)) { if (start < 0) start = i }
+      else if (start >= 0) {
+        val tok = UTF8String.fromString(str.substring(start, i))
+        if (!drop(tok)) { out.add(tok); () }
+        start = -1
+      }
+      i += w
+    }
+    if (start >= 0) {
+      val tok = UTF8String.fromString(str.substring(start))
+      if (!drop(tok)) { out.add(tok); () }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private val noDrop: UTF8String => Boolean = _ => false
+
+  private val uriStop: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    graft.analyzers.Analyzers.UriStopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** standard-analyzer tokens: lowercase, split on non-(letter|number). */
+  def standard(s: UTF8String): ArrayData = scan(s, isLetterOrNumber, noDrop)
+
+  /** uri_analyzer tokens: lowercase, split on non-letter, drop
+    * {http, https, ftp, www, com}.
+    */
+  def uri(s: UTF8String): ArrayData = scan(s, isLetter, uriStop.contains)
+}
+
+abstract class TokenizeBase extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  /** The static Tok method backing this expression. */
+  protected def fn: String
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (fn == "standard") Tok.standard(input.asInstanceOf[UTF8String])
+    else Tok.uri(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Tok.$fn($c)")
+}
+
+/** `graft_tokenize(str)` — standard-analyzer tokens. */
+case class StandardTokensExpr(child: Expression) extends TokenizeBase {
+  override protected def fn: String = "standard"
+  override def prettyName: String = "graft_tokenize"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_uri_tokenize(str)` — uri_analyzer tokens. */
+case class UriTokensExpr(child: Expression) extends TokenizeBase {
+  override protected def fn: String = "uri"
+  override def prettyName: String = "graft_uri_tokenize"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Tokenize {
+  /** Column forms, usable anywhere a built-in is. */
+  def standardTokens(c: Column): Column =
+    GraftBridge.column(StandardTokensExpr(GraftBridge.expression(c)))
+  def uriTokens(c: Column): Column =
+    GraftBridge.column(UriTokensExpr(GraftBridge.expression(c)))
+}

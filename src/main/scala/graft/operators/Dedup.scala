@@ -27,9 +27,26 @@ object Dedup {
 
   /** Distinct word-n-gram shingles of the text (empty for docs shorter than
     * n tokens — they cannot participate in shingle-based dedup).
+    *
+    * NOTE for operator authors: `ngrams` references its token array inside a
+    * lambda, and interpreted higher-order functions re-evaluate lambda-body
+    * subexpressions per element — so apply this to a MATERIALIZED token
+    * column (see [[withShingles]]), not directly to `toks(text)`, or the
+    * tokenizer runs once per n-gram position per row.
     */
   def shingles(text: Column, n: Int = 3): Column =
     array_distinct(TextAnalysis.ngrams(toks(text), n))
+
+  /** (doc_id, sh) with the tokenize → shingle pipeline split by shuffle
+    * barriers: tokens materialize once per row (and the single-file scan
+    * spreads across cores) before the per-position n-gram lambda reads them.
+    */
+  private def withShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.ngrams(col("toks"), n)).as("sh"))
+      .repartition(col("doc_id"))
 
   // ------------------------------------------------------------ exact dedup
 
@@ -59,11 +76,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxDf: Int = 20, minShared: Int = 3): DataFrame = {
-    // Barrier: materialize the shingle sets once (ReuseExchange then feeds
-    // the inverted index and both verify branches from one shuffle) and
-    // spread the single-file scan across cores.
-    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .repartition(col("doc_id"))
+    // Barriered tokenize→shingle pipeline; ReuseExchange then feeds the
+    // inverted index and both verify branches from one shuffle.
+    val sh = withShingles(docs, n)
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf))
@@ -116,10 +131,8 @@ object Dedup {
     // candidate pair (measured: one 20-minute task at sf0.1 vs seconds with
     // barriers). Each barrier materializes the named column exactly once per
     // row; ReuseExchange makes both join sides read a single shuffle.
-    val sigs = docs
-      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+    val sigs = withShingles(docs, shingleN)
       .where(size(col("sh")) > 0)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
       .repartition(col("doc_id"))
     val banded = sigs.select(col("doc_id"), col("sig"),

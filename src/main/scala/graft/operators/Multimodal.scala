@@ -77,6 +77,37 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: maps a payload to a fixed target "resolution" by
+    * deterministic byte bucketing (averaging each bucket) — the plumbing of
+    * a real image resize (payload in, smaller payload + updated metadata
+    * out) with the codec swapped for arithmetic. Batched like [[features]].
+    */
+  def resize(spark: SparkSession, media: DataFrame, targetBytes: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("width"), col("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, w, h) =>
+          val out = new Array[Byte](math.min(targetBytes, payload.length))
+          if (out.nonEmpty) {
+            val bucket = payload.length.toDouble / out.length
+            var i = 0
+            while (i < out.length) {
+              val from = (i * bucket).toInt
+              val until = math.max(((i + 1) * bucket).toInt, from + 1)
+              var sum = 0L
+              var j = from
+              while (j < until && j < payload.length) { sum += payload(j) & 0xFF; j += 1 }
+              out(i) = (sum / math.max(j - from, 1)).toByte
+              i += 1
+            }
+          }
+          (id, out, out.length, w, h)
+        }
+      }
+      .toDF("media_id", "resized", "n_bytes", "orig_width", "orig_height")
+  }
+
   /** Frame/sample subsampling stub: deterministic stride over the payload —
     * the plumbing for "take every Nth frame" without a codec.
     */

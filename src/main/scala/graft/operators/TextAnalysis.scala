@@ -126,11 +126,21 @@ object TextAnalysis {
 
   /** Word n-grams of the token stream as an array column; docs shorter than
     * `n` tokens get an empty array.
+    *
+    * Built from n shifted `slice`s folded with `zip_with` — NOT a
+    * `transform(sequence(...), i => slice(toks, i+1, n))`: interpreted
+    * higher-order functions re-evaluate lambda-BODY subexpressions per
+    * element, so referencing the token array inside the lambda re-runs the
+    * whole tokenizer once per n-gram position per row (measured: dominated
+    * dedup at sf0.1). Slice/zip_with arguments evaluate exactly once,
+    * whatever the optimizer does to surrounding projections.
     */
-  def ngrams(toks: Column, n: Int): Column =
+  def ngrams(toks: Column, n: Int): Column = {
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    val shifted = (0 until n).map(k => slice(toks, lit(k + 1), len))
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
+  }
 
   /** Corpus-level top-K n-grams by document frequency-weighted count.
     * One explode + one partial/final hash aggregate + top-K — the canonical
@@ -138,7 +148,9 @@ object TextAnalysis {
     * n-gram with AQE handling skew.
     */
   def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
-    docs.select(explode(ngrams(tokens(col("text")), n)).as("ngram"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // materialize tokens before the per-position lambda
+      .select(explode(ngrams(col("toks"), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)

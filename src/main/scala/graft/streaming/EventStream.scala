@@ -1,9 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+
+/** One gap-separated user session (event-time bounds at microsecond
+  * precision, value sum in exact micro-units).
+  */
+final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long,
+                         sum_value: java.math.BigDecimal)
+
+/** flatMapGroupsWithState state: the user's still-open sessions. */
+final case class OpenSession(startUs: Long, endUs: Long, n: Long, sumMicros: Long)
+final case class UserSessions(sessions: Seq[OpenSession])
 
 /** Structured-Streaming ingest over the driver's `events` table
   * (event_id, ts, user_id, event_type, value, props).
@@ -35,7 +46,10 @@ object EventStream {
     */
   def withEventTime(events: DataFrame): DataFrame =
     if (events.schema("ts").dataType == LongType)
-      events.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: Divide goes through DOUBLE, and epoch-ns
+      // longs (~1.7e18) exceed a double's 53-bit mantissa — the µs value
+      // comes back off by one
+      events.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else events
 
   /** Windowed per-type aggregation of a raw event stream: 1-hour tumbling
@@ -52,6 +66,111 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  // ------------------------------------------------ custom state: sessions
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Microsecond-precise Timestamp (the bare ms constructor drops micros). */
+  private def usToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def toMicroUnits(v: Double): Long =
+    new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
+  /** Gap-based sessionization with custom streaming state
+    * (`flatMapGroupsWithState` + event-time timeout): per user, events closer
+    * than `gap` merge into one session; a session is emitted exactly once,
+    * when the watermark passes session_end + gap (no earlier — a late event
+    * inside the horizon can still extend it). State per user is its open
+    * sessions only; the watermark bounds both state size and emission lag.
+    *
+    * Deterministic by construction: event-time logic only, value sums in
+    * exact micro-units, and emission depends on the watermark, not arrival
+    * order.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMs: Long = 6L * 3600 * 1000,
+                 delay: String = "1 hour"): Dataset[Session] = {
+    import spark.implicits._
+
+    def merge(open: List[OpenSession], evs: Seq[(Long, Double)]): List[OpenSession] = {
+      val all = open ++ evs.map { case (us, v) => OpenSession(us, us, 1L, toMicroUnits(v)) }
+      // gap compares in FLOORED milliseconds (matching epoch_ms arithmetic
+      // and the watermark's ms granularity), not raw microseconds
+      all.sortBy(s => (s.startUs, s.endUs, s.sumMicros)).foldLeft(List.empty[OpenSession]) {
+        case (prev :: rest, cur) if cur.startUs / 1000L - prev.endUs / 1000L <= gapMs =>
+          OpenSession(prev.startUs, math.max(prev.endUs, cur.endUs),
+            prev.n + cur.n, prev.sumMicros + cur.sumMicros) :: rest
+        case (acc, cur) => cur :: acc
+      }.reverse
+    }
+
+    def emitAndPark(open: List[OpenSession], uid: Long,
+                    state: GroupState[UserSessions]): Iterator[Session] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      val (closed, stillOpen) = open.partition(s => s.endUs / 1000L + gapMs <= wmMs)
+      if (stillOpen.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(UserSessions(stillOpen))
+        // earliest instant any open session can close, clamped strictly
+        // above the watermark
+        state.setTimeoutTimestamp(
+          math.max(stillOpen.map(_.endUs / 1000L + gapMs).min, wmMs + 1L))
+      }
+      closed.sortBy(_.startUs).iterator.map(s =>
+        Session(uid, usToTimestamp(s.startUs), usToTimestamp(s.endUs), s.n,
+          java.math.BigDecimal.valueOf(s.sumMicros).movePointLeft(6)))
+    }
+
+    withEventTime(events)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserSessions, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          val open = if (state.exists) state.get.sessions.toList else Nil
+          val evs = rows.map(r => (tsMicros(r._2), r._3)).toSeq.sortBy(identity)
+          emitAndPark(merge(open, evs), uid, state)
+      }
+  }
+
+  /** Deterministic sessionization backfill: file stream → AvailableNow.
+    * Trailing sessions (end + gap beyond the final watermark) stay in state —
+    * exactly the live-stream semantics, and still deterministic for a fixed
+    * input.
+    */
+  def backfillSessions(spark: SparkSession, path: String,
+                       gapMs: Long = 6L * 3600 * 1000): DataFrame = {
+    val name = "graft_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = stageDir(path)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = sessionize(spark, stream, gapMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stage a single parquet file behind a temp dir (FileStreamSource wants a
+    * directory).
+    */
+  private def stageDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isRegularFile(p)) {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+      d.toString
+    } else path
+  }
+
   /** Deterministic batch backfill through the *streaming* engine: read the
     * parquet events as a file stream, run the windowed aggregation to a
     * memory sink with Trigger.AvailableNow, and return the final table.
@@ -60,15 +179,7 @@ object EventStream {
     */
   def backfillWindowedCounts(spark: SparkSession, path: String): DataFrame = {
     val name = "graft_events_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // FileStreamSource wants a directory; stage a single-file input behind a
-    // temp-dir symlink so callers can point at one parquet file.
-    val p = java.nio.file.Paths.get(path)
-    val dir =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
-        d.toString
-      } else path
+    val dir = stageDir(path)
     // Infer the schema from a batch read of the same files: the driver's
     // parquet encodes ts as nanosecond INT64 (read as long nanos under
     // spark.sql.legacy.parquet.nanosAsLong), which a hand-declared

@@ -52,6 +52,70 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed shouldBe batch
   }
 
+  test("sessionization: custom state via flatMapGroupsWithState, watermark-gated emission") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventStream.sessionize(spark,
+      mem.toDF.toDF("user_id", "ts", "value"), gapMs = 3600000L, delay = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sesstest")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 20 min apart (one session), then a 3-hour jump
+      mem.addData(
+        (7L, Timestamp.valueOf("2020-01-01 10:00:00"), 1.5),
+        (7L, Timestamp.valueOf("2020-01-01 10:20:00"), 2.25),
+        (7L, Timestamp.valueOf("2020-01-01 13:30:00"), 4.0))
+      q.processAllAvailable()
+      // watermark after batch 1 = 13:30 - 30min = 13:00 ≥ 10:20 + 1h gap →
+      // the first session closes already; the 13:30 one stays open
+      spark.table("sesstest").count() shouldBe 1
+      // push the watermark past 13:30 + gap → the second session closes
+      mem.addData((99L, Timestamp.valueOf("2020-01-01 18:00:00"), 0.0))
+      q.processAllAvailable()
+      // watermark is now 17:30 → both user-7 sessions are past end+gap
+      val rows = spark.table("sesstest")
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"sum_value".cast("double"))
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+        .sortBy(_._2.getTime)
+      rows shouldBe Seq(
+        (7L, Timestamp.valueOf("2020-01-01 10:00:00"),
+          Timestamp.valueOf("2020-01-01 10:20:00"), 2L, 3.75),
+        (7L, Timestamp.valueOf("2020-01-01 13:30:00"),
+          Timestamp.valueOf("2020-01-01 13:30:00"), 1L, 4.0))
+    } finally q.stop()
+  }
+
+  test("sessionization backfill equals the batch gaps-and-islands computation") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = EventStream.backfillSessions(spark, path)
+      .orderBy("user_id", "session_start")
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"sum_value".cast("decimal(20,6)").cast("string"))
+      .collect().toSeq
+    val ev = EventStream.withEventTime(spark.read.parquet(path))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val gap = 6L * 3600 * 1000
+    val batch = ev
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("brk", when($"prev".isNull ||
+        (unix_millis($"ts") - unix_millis($"prev")) > gap, 1).otherwise(0))
+      .withColumn("sid", sum($"brk").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(round($"value", 6).cast("decimal(18,6)")).as("sum_value"))
+    val maxTs = ev.agg(max(unix_millis($"ts"))).as[Long].head()
+    val emitted = batch.where(unix_millis($"session_end") + gap <= maxTs - 3600000L)
+      .orderBy("user_id", "session_start")
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"sum_value".cast("decimal(20,6)").cast("string"))
+      .collect().toSeq
+    streamed should not be empty
+    streamed shouldBe emitted
+  }
+
   // ------------------------------------------------------------ multimodal
 
   private val docsDf = Seq(
@@ -75,6 +139,19 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     }
     val md = java.security.MessageDigest.getInstance("MD5").digest("hello world".getBytes)
     feats.head.features shouldBe Multimodal.FeatureExtractor.stub(md)
+  }
+
+  test("resize stub: deterministic byte bucketing to the target size") {
+    val media = Multimodal.mediaFromDocuments(docsDf)
+    val resized = Multimodal.resize(spark, media, 4).orderBy("media_id").collect()
+    resized.foreach { r =>
+      r.getInt(2) shouldBe 4 // 16-byte payload → 4 buckets
+      r.getAs[Array[Byte]]("resized").length shouldBe 4
+    }
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(spark, media, 4).orderBy("media_id").collect()
+    resized.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq shouldBe
+      again.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq
   }
 
   test("frame sampling stub: stride subsamples the payload deterministically") {
