@@ -111,7 +111,10 @@ object Similarity {
     * high probability). Never an all-pairs cross join.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
-                         bits: Int = 16, bands: Int = 4): DataFrame = {
+                         bits: Int = 24, bands: Int = 4): DataFrame = {
+    // 6-bit band keys: 64 buckets/band cuts candidate pairs ~6× vs 4-bit
+    // keys while band-collision probability for cos ≥ 0.95 pairs stays
+    // ≈ 0.53/band → ≥ 95% recall over 4 bands (SRP S-curve).
     val r = bits / bands
     val banded = emb
       .select(col("vec_id"), col("embedding"), srpSignature(col("embedding"), bits).as("sig"))
