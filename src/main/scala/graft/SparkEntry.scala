@@ -73,6 +73,23 @@ object SparkEntry {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** Embeddings plus deterministic planted near-duplicates: the first 20
+    * vectors re-inserted under vec_id+100000 with dim 0 shifted by +0.1f
+    * (cos ≈ 0.995 on unit vectors). The organic corpus's max pairwise cosine
+    * is ~0.51, so the exact near-dup answer is precisely the 20 planted
+    * pairs — which makes the LSH-blocked operator oracle-checkable. Float
+    * arithmetic (single IEEE add) reproduces bit-identically in DuckDB.
+    */
+  private def plantedEmb(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    val planted = e.where(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) + lit(0.1f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    e.unionByName(planted)
+  }
+
   // ------------------------------------------------------------------------
   // queries + oracleSql: keys must match; output column names must match the
   // oracle's aliases exactly (driver sorts columns by name before hashing).
@@ -337,9 +354,11 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // Similarity: embedding-cosine near-dup pairs (rows-only + spec)
+    // Similarity: embedding-cosine near-dup pairs over the planted corpus —
+    // exact answer = the 20 planted pairs, so the SRP-LSH blocking is held
+    // to an all-pairs DuckDB oracle (recall must be 100% at cos ≈ 0.995)
     "v3_embedding_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(emb(s, d)).orderBy("a_id", "b_id")),
+      Similarity.cosineNearDupPairs(plantedEmb(s, d)).orderBy("a_id", "b_id")),
 
     // Multimodal: binary payload → batched feature extraction (stub decode,
     // real plumbing: schema, mapPartitions batch shape, payload pruning)
@@ -519,6 +538,14 @@ object SparkEntry {
       "d5_fuzzy_survivors" ->
         (JaccardCte + "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
           "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id"),
+      "v3_embedding_neardup" ->
+        ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
+          "UNION ALL SELECT vec_id + 100000 AS vec_id, " +
+          "list_prepend((embedding[1] + 0.1::FLOAT)::FLOAT, embedding[2:64]) AS embedding " +
+          "FROM embeddings WHERE vec_id < 20), " +
+          s"p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.embedding", "b.embedding")} AS cos " +
+          "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) " +
+          "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
       "v1_cosine_topk" ->
         ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
           s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM embeddings e, q WHERE e.vec_id <> q_id) " +
