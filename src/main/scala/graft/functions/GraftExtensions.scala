@@ -28,8 +28,31 @@ object GraftFunctions {
       (args: Seq[Expression]) => StandardTokensExpr(args.head)),
     ("graft_uri_tokenize",
       new ExpressionInfo(classOf[UriTokensExpr].getName, "graft_uri_tokenize"),
-      (args: Seq[Expression]) => UriTokensExpr(args.head))
+      (args: Seq[Expression]) => UriTokensExpr(args.head)),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    ("graft_norm",
+      new ExpressionInfo(classOf[VecNormExpr].getName, "graft_norm"),
+      (args: Seq[Expression]) => VecNormExpr(args.head)),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSigExpr(args(0), intLit(args(1), "graft_minhash(shingles, k)"))),
+    ("graft_srp_sig",
+      new ExpressionInfo(classOf[SrpSigExpr].getName, "graft_srp_sig"),
+      (args: Seq[Expression]) => SrpSigExpr(args(0), intLit(args(1), "graft_srp_sig(emb, bits)")))
   )
+
+  /** SQL-side int parameters (k, bits) must be literals — they size the
+    * signature, which is part of the expression's static type/shape.
+    */
+  private def intLit(e: Expression, sig: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$sig needs an INT literal parameter")
+  }
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

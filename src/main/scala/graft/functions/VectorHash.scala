@@ -1,0 +1,242 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's numeric/hashing hot loops —
+  * the similarity and dedup operators' per-pair and per-row kernels.
+  *
+  * Each replaces an interpreted higher-order-function pipeline (HOFs never
+  * enter whole-stage codegen, and interpreted lambdas cost an Expression-tree
+  * walk per element) with a single tight JVM loop, while reproducing the
+  * pipeline's arithmetic bit-for-bit:
+  *
+  *  - sums run left-to-right in double, exactly like
+  *    `aggregate(…, lit(0.0), (acc, v) => acc + v)`;
+  *  - hashes call the same XXH64 primitives (seed 42, argument order) the
+  *    built-in `xxhash64(…)` expression uses, so signatures, band keys and
+  *    bucket assignments are unchanged down to the bit.
+  *
+  * The oracle contract depends on this: DuckDB recomputes cosines from the
+  * same float inputs, and the CORRECTNESS gate hashes the rounded values.
+  */
+object VecOps {
+
+  /** Left-to-right double dot product of two equal-length float arrays.
+    * Twin of `aggregate(zip_with(a, b, (x, y) => x.double * y.double), 0.0, +)`.
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** sqrt of the left-to-right double sum of squares. */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** 64-bit SimHash of a token-hash array: per bit position, sum +1/-1 votes
+    * of that bit across hashes; non-negative vote → bit set. Integer sums are
+    * exact, so any evaluation order matches the per-position HOF loop.
+    */
+  def simhash(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var p = 0
+      while (p < 64) {
+        if (((h >> p) & 1L) == 1L) votes(p) += 1 else votes(p) -= 1
+        p += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < 64) {
+      if (votes(p) >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  /** MinHash signature: element i = min over shingles of xxhash64(i, shingle),
+    * reproducing the built-in's chained-seed evaluation
+    * (seed 42 → hashInt(i) → hashUTF8String(s)). Empty input → null,
+    * matching `array_min` over an empty array.
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = shingles.getUTF8String(j)
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashUTF8String(s, XXH64.hashInt(i, 42L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Sign-random-projection signature: bit p = [Σ_d x_d · plane(p, d) ≥ 0]
+    * with plane(p, d) = pmod(xxhash64(p, d), 100000)/100000 − 0.5 — the
+    * deterministic pseudo-random hyperplane family of
+    * graft.operators.Similarity (no RNG state to ship to a cluster).
+    */
+  def srpSig(emb: ArrayData, bits: Int): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Int](bits)
+    var p = 0
+    while (p < bits) {
+      val seedP = XXH64.hashInt(p, 42L)
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val h = XXH64.hashInt(d, seedP)
+        val m = ((h % 100000L) + 100000L) % 100000L
+        acc += emb.getFloat(d).toDouble * (m.toDouble / 100000.0 - 0.5)
+        d += 1
+      }
+      out(p) = if (acc >= 0.0) 1 else 0
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+private[functions] trait FloatArrayInput { self: Expression =>
+  protected def checkFloatArray(dt: DataType, what: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$what requires ARRAY<FLOAT>, got ${other.sql}")
+  }
+}
+
+/** `graft_dot(a, b)` — left-to-right double dot product of float vectors. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayInput {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkFloatArray(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else checkFloatArray(right.dataType, prettyName)
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_norm(a)` — L2 norm of a float vector. */
+case class VecNormExpr(child: Expression) extends UnaryExpression with FloatArrayInput {
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkFloatArray(child.dataType, prettyName)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.norm($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(hashes)` — 64-bit SimHash of an ARRAY<BIGINT> of token hashes. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.simhash(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.simhash($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(shingles, k)` — k-element MinHash signature of ARRAY<STRING>. */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> and k > 0, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty shingle array → null signature
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.minhashSig(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // minhashSig returns null for empty arrays — route through the nullable
+    // eval path rather than defineCodeGen (which assumes non-null results)
+    val f = "graft.functions.VecOps.minhashSig"
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $f($a, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_srp_sig(emb, bits)` — sign-random-projection signature of ARRAY<FLOAT>. */
+case class SrpSigExpr(child: Expression, bits: Int)
+    extends UnaryExpression with FloatArrayInput {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bits <= 0) TypeCheckResult.TypeCheckFailure(s"$prettyName requires bits > 0")
+    else checkFloatArray(child.dataType, prettyName)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_srp_sig"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.srpSig(a.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.srpSig($a, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorHash {
+  def dotCol(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def normCol(a: Column): Column =
+    GraftBridge.column(VecNormExpr(GraftBridge.expression(a)))
+  def simhashCol(hashes: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(hashes)))
+  def minhashCol(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(shingles), k))
+  def srpSigCol(emb: Column, bits: Int): Column =
+    GraftBridge.column(SrpSigExpr(GraftBridge.expression(emb), bits))
+}

@@ -106,11 +106,13 @@ object Dedup {
   // ----------------------------------------------------------- MinHash LSH
 
   /** MinHash signature: element i = min over shingles of xxhash64(i, shingle).
-    * A single narrow map per row — k·|shingles| hashes, no shuffle.
+    * A single narrow map per row — k·|shingles| hashes, no shuffle. Native
+    * kernel ([[graft.functions.MinHashSigExpr]]) reuses the built-in's XXH64
+    * chain (seed 42 → hashInt(i) → hashUTF8String(s)), so signatures are
+    * bit-identical to the HOF formulation; empty shingle set → null.
     */
   def minhashSignature(sh: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    graft.functions.VectorHash.minhashCol(sh, k)
 
   /** MinHash+LSH near-duplicate pairs: band the k-element signature into
     * `bands` groups of k/bands rows, bucket-join docs agreeing on any whole
@@ -161,17 +163,13 @@ object Dedup {
   def simhash(text: Column): Column = simhashFromHashes(transform(toks(text), t => xxhash64(t)))
 
   /** SimHash from a materialized token-hash array (so callers can put a
-    * shuffle barrier between tokenization and the 64-bit vote loop).
+    * shuffle barrier between tokenization and the 64-bit vote loop). Native
+    * kernel ([[graft.functions.SimHash64Expr]]): one pass over the hashes
+    * with 64 integer vote counters — integer sums are exact, so the result
+    * equals the per-position HOF loop bit-for-bit.
     */
-  def simhashFromHashes(hashes: Column): Column = {
-    val bit = (p: Column) => {
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, p).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
-      when(votes >= 0L, call_function("shiftleft", lit(1L), p)).otherwise(0L)
-    }
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, p) => acc.bitwiseOR(bit(p)))
-  }
+  def simhashFromHashes(hashes: Column): Column =
+    graft.functions.VectorHash.simhashCol(hashes)
 
   /** SimHash near-duplicate pairs: block on 4 16-bit bands (any pair within
     * Hamming distance ≤ 3 of 64 bits agrees exactly on ≥1 band, by

@@ -22,19 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right double dot product of two float-array columns — a native
+    * codegen expression ([[graft.functions.DotProductExpr]]), bit-identical
+    * to `aggregate(zip_with(a, b, (x, y) => x.double * y.double), 0.0, +)`
+    * but a single JVM loop instead of an interpreted HOF tree walk per pair.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorHash.dotCol(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  /** Native L2 norm ([[graft.functions.VecNormExpr]]), same contract. */
+  def norm(a: Column): Column = graft.functions.VectorHash.normCol(a)
 
   /** Cosine similarity, rounded to 6 decimals (the comparison granularity —
     * keeps cross-engine float summation noise out of orderings).
     */
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Cosine from precomputed norms — same ops in the same order as [[cosine]]
+    * (dot / (na * nb), round 6), so results are bit-identical; callers
+    * materialize each vector's norm once instead of twice per candidate pair.
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
 
   // ------------------------------------------------------- brute-force top-k
 
@@ -43,11 +52,12 @@ object Similarity {
     * (cosine desc, vec_id asc) for determinism.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    val scored = corpus.select(col("vec_id"), col("embedding"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm")))
+    val scored = corpus.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .join(q, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -56,21 +66,13 @@ object Similarity {
 
   // --------------------------------------------------------- SRP-LSH top-k
 
-  /** Deterministic pseudo-random hyperplane component: a value in [-0.5, 0.5)
-    * derived from xxhash64(plane, dim) — reproducible on any cluster with no
-    * RNG state to ship.
+  /** b-bit sign-random-projection signature of an embedding column. The
+    * hyperplane family is deterministic pseudo-random — component (p, d) is
+    * pmod(xxhash64(p, d), 10^5)/10^5 − 0.5, reproducible on any cluster with
+    * no RNG state to ship. Native kernel: [[graft.functions.SrpSigExpr]].
     */
-  private def planeComponent(plane: Column, d: Column): Column =
-    (pmod(xxhash64(plane, d), lit(100000L)).cast("double") / 100000.0) - 0.5
-
-  /** b-bit sign-random-projection signature of an embedding column. */
   def srpSignature(emb: Column, bits: Int): Column =
-    transform(sequence(lit(0), lit(bits - 1)), p => {
-      val proj = aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
-        (x, d) => x.cast("double") * planeComponent(p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0.0, 1).otherwise(0)
-    })
+    graft.functions.VectorHash.srpSigCol(emb, bits)
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing at
     * least one signature band with the query; exact cosine re-ranks the
@@ -80,24 +82,27 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 16, bands: Int = 4): DataFrame = {
     val r = bits / bands
-    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    def banded(df: DataFrame, idCol: String, embCol: String, nrmCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(embCol),
+          norm(col("embedding")).as(nrmCol),
           srpSignature(col("embedding"), bits).as("sig"))
-        // barrier: materialize sig before banding (see Dedup.minhashPairs)
+        // barrier: materialize sig (and the norm) before banding
+        // (see Dedup.minhashPairs)
         .repartition(col(idCol))
-        .select(col(idCol), col(embCol),
+        .select(col(idCol), col(embCol), col(nrmCol),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
             .as("bk"))
-        .select(col(idCol), col(embCol), col("bk.band"), col("bk.key"))
-    val qb = broadcast(banded(queries, "q_id", "q_emb"))
-    val cands = banded(corpus, "vec_id", "embedding")
+        .select(col(idCol), col(embCol), col(nrmCol), col("bk.band"), col("bk.key"))
+    val qb = broadcast(banded(queries, "q_id", "q_emb", "q_nrm"))
+    val cands = banded(corpus, "vec_id", "embedding", "nrm")
       .join(qb, Seq("band", "key"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))
       .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    cands.select(col("q_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+    cands.select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
@@ -117,21 +122,25 @@ object Similarity {
     // ≈ 0.53/band → ≥ 95% recall over 4 bands (SRP S-curve).
     val r = bits / bands
     val banded = emb
-      .select(col("vec_id"), col("embedding"), srpSignature(col("embedding"), bits).as("sig"))
-      // barrier: materialize sig before banding (see Dedup.minhashPairs)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        srpSignature(col("embedding"), bits).as("sig"))
+      // barrier: materialize sig (and the norm) before banding
+      // (see Dedup.minhashPairs)
       .repartition(col("vec_id"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
           .as("bk"))
-      .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bk.band"), col("bk.key"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .dropDuplicates("a_id", "b_id")
-      .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("a_id"), col("b_id"),
+        cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -45,6 +45,14 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   private val VersionCol = "_version"
   private val entryCols = MetadataSchema.structType.fieldNames.toSeq
 
+  /** Static schemas for log segments: passing them to the reader skips the
+    * per-directory footer/schema-inference job — a resolve over an N-segment
+    * log costs N scans, not 2N jobs.
+    */
+  private val baseSchema = MetadataSchema.structType
+  private val deltaSchema = MetadataSchema.structType
+    .add(VersionCol, "long", nullable = false).add(OpCol, "string", nullable = false)
+
   // ------------------------------------------------------------- versioning
 
   private def currentVersion: Long = {
@@ -89,9 +97,9 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     if (v == 0L) return emptyLog.select(entryCols.map(col): _*)
     val baseV = listVersions("base-").filter(_ <= v).lastOption
     val deltaVs = listVersions("delta-").filter(d => d <= v && d > baseV.getOrElse(0L))
-    val base = baseV.map(b => spark.read.parquet(root.resolve(s"base-$b").toString)
+    val base = baseV.map(b => spark.read.schema(baseSchema).parquet(root.resolve(s"base-$b").toString)
       .withColumn(VersionCol, lit(b)).withColumn(OpCol, lit("upsert")))
-    val deltas = deltaVs.map(d => spark.read.parquet(root.resolve(s"delta-$d").toString))
+    val deltas = deltaVs.map(d => spark.read.schema(deltaSchema).parquet(root.resolve(s"delta-$d").toString))
     val logAll = (base.toSeq ++ deltas).reduceOption(_ unionByName _).getOrElse(emptyLog)
     val log = prune.fold(logAll)(logAll.where)
     val latest = Window.partitionBy(col("id")).orderBy(col(VersionCol).desc)

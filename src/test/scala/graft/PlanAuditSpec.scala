@@ -44,6 +44,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("partial_count")
   }
 
+  test("S2 point lookup pushes the id filter into every log scan (no full-table window)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planaudit-store").toString
+    val st = new graft.store.MetadataStore(spark, dir,
+      () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val entries = Corpus.metadata(spark, "/root/testdata/sf0.001")
+      .where($"id".between("000001", "000020"))
+      .as(org.apache.spark.sql.Encoders.product[graft.model.MetadataEntry])
+    st.bulkLoad(entries)
+    entries.limit(3).collect().foreach(st.upsert) // a second delta in the log
+    val plan = st.lookup("000005").queryExecution.executedPlan.toString
+    // every parquet scan in the union carries the pushed id predicate —
+    // the window resolves a handful of rows, not the whole log
+    val scans = "PushedFilters: \\[[^\\]]*EqualTo\\(id,000005\\)".r.findAllIn(plan).size
+    scans should be >= 2 // base/delta-1 scan + delta-2 scan
+    plan should include("Window")
+  }
+
   test("minhash pairs keep the signature barrier (shuffle between sig projection and band join)") {
     // the barrier stops CollapseProject from inlining the interpreted
     // signature pipeline into band/join expressions (SCALE.md, Dedup scaladoc)
