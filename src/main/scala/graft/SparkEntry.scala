@@ -354,6 +354,16 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity: IVF centroid-bucketed top-k. Registered at full probe
+    // (nprobe = nlist), where IVF degrades exactly to brute force — so the
+    // bucketed plan itself is held to the exact-cosine DuckDB oracle;
+    // partial-probe recall is OperatorsSpec territory
+    "v4_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10, nlist = 32, nprobe = 32)
+        .orderBy("q_id", "rank")
+    }),
+
     // Similarity: embedding-cosine near-dup pairs over the planted corpus —
     // exact answer = the 20 planted pairs, so the SRP-LSH blocking is held
     // to an all-pairs DuckDB oracle (recall must be 100% at cos ≈ 0.995)
@@ -538,6 +548,11 @@ object SparkEntry {
       "d5_fuzzy_survivors" ->
         (JaccardCte + "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
           "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id"),
+      "v4_ivf_topk" ->
+        ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
+          s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM embeddings e, q WHERE e.vec_id <> q_id) " +
+          ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
+          "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
       "v3_embedding_neardup" ->
         ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
           "UNION ALL SELECT vec_id + 100000 AS vec_id, " +

@@ -228,6 +228,64 @@ case class SrpSigExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** `IvfProbeExpr(emb, centroids, nprobe)` — the nprobe nearest coarse-quantizer
+  * cells for a vector, by (cosine desc, cell index asc). The centroid matrix
+  * is embedded in the expression as a plan-time snapshot (the IDF-weights
+  * pattern: collected once, shipped as part of the serialized plan — the
+  * broadcast-variable analogue for expression trees). One tight JVM loop per
+  * row; codegen embeds the expression instance via `addReferenceObj`.
+  */
+case class IvfProbeExpr(child: Expression, centroids: Seq[Seq[Float]], nprobe: Int)
+    extends UnaryExpression with FloatArrayInput {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (centroids.isEmpty || nprobe <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires centroids and nprobe > 0")
+    else checkFloatArray(child.dataType, prettyName)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_probe"
+
+  @transient private lazy val cents: Array[Array[Float]] = centroids.map(_.toArray).toArray
+  @transient private lazy val centNorms: Array[Double] = cents.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { val x = c(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Top-nprobe cell indices for one vector (cosine desc, index asc). */
+  def probe(emb: ArrayData): ArrayData = {
+    val n = cents.length
+    val p = math.min(nprobe, n)
+    val cos = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cent = cents(c)
+      var acc = 0.0
+      var normAcc = 0.0
+      var i = 0
+      val d = math.min(cent.length, emb.numElements())
+      while (i < d) {
+        val x = emb.getFloat(i).toDouble
+        acc += x * cent(i).toDouble
+        normAcc += x * x
+        i += 1
+      }
+      cos(c) = if (centNorms(c) == 0.0 || normAcc == 0.0) -2.0
+               else acc / (math.sqrt(normAcc) * centNorms(c))
+      c += 1
+    }
+    val idx = Array.range(0, n).sortBy(i => (-cos(i), i)).take(p)
+    new GenericArrayData(idx)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = probe(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfProbe", this, classOf[IvfProbeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorHash {
   def dotCol(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -239,4 +297,6 @@ object VectorHash {
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(shingles), k))
   def srpSigCol(emb: Column, bits: Int): Column =
     GraftBridge.column(SrpSigExpr(GraftBridge.expression(emb), bits))
+  def ivfProbeCol(emb: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
+    GraftBridge.column(IvfProbeExpr(GraftBridge.expression(emb), centroids, nprobe))
 }

@@ -108,6 +108,53 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
   }
 
+  // ------------------------------------------------------------- IVF top-k
+
+  /** Deterministic coarse-quantizer codebook: the `nlist` corpus vectors with
+    * the lowest xxhash64(vec_id) — a uniform hash-sample, reproducible on any
+    * cluster. Collected to the driver as a plan-time stats snapshot (nlist ×
+    * dim floats — the IDF-weights pattern; on a cluster this is what a
+    * broadcast variable carries). A Lloyd refinement would tighten cells but
+    * adds float-summation order-dependence; the hash-sample codebook keeps
+    * the operator bit-deterministic.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int): Seq[Seq[Float]] =
+    corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist)
+      .select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** IVF (inverted-file) approximate top-k — the centroid-bucketed scale
+    * path, same plan shape as [[lshTopK]] with learned cells instead of hash
+    * buckets: every corpus vector lands in its nearest centroid's cell (one
+    * narrow native-expression map — at 100 TB this assignment is computed
+    * once at ingest and the table is bucketed by cell); each query probes its
+    * `nprobe` nearest cells; candidates re-rank by exact cosine. Probing all
+    * cells (nprobe = nlist) degrades gracefully to exact brute force —
+    * spec-asserted.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 32, nprobe: Int = 8): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist)
+    val probe1 = (e: Column) =>
+      element_at(graft.functions.VectorHash.ivfProbeCol(e, cents, 1), 1)
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), probe1(col("embedding")).as("cell"))
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
+        explode(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, nprobe)).as("cell")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
   // ------------------------------------------------- embedding near-dup pairs
 
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine

@@ -113,6 +113,28 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     lsh.foreach(r => r.getDouble(3) shouldBe bf(r.getLong(2)))
   }
 
+  test("ivf top-k at full probe degrades exactly to brute force") {
+    val q = embDf.where($"vec_id" < 3)
+    val ivf = Similarity.ivfTopK(embDf, q, 5, nlist = 8, nprobe = 8)
+      .orderBy("q_id", "rank").collect().toSeq
+    val bf = Similarity.bruteForceTopK(embDf, q, 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    ivf shouldBe bf
+  }
+
+  test("ivf top-k partial probe: results are exact-cosine and the parallel vector is found") {
+    val ivf = Similarity.ivfTopK(embDf, embDf.where($"vec_id" === 0), 5, nlist = 8, nprobe = 2)
+      .orderBy("rank").collect()
+    // vectors 0 and 1 are parallel → identical cell assignment, and a query
+    // always probes its own cell first → the cos-1.0 neighbor must surface
+    ivf.head.getLong(2) shouldBe 1L
+    ivf.head.getDouble(3) shouldBe 1.0
+    // every candidate carries the same exact cosine as the brute-force path
+    val bf = Similarity.bruteForceTopK(embDf, embDf.where($"vec_id" === 0), 39)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toMap
+    ivf.foreach(r => r.getDouble(3) shouldBe bf(r.getLong(2)))
+  }
+
   test("embedding near-dup pairs: parallel pair found, orthogonal not") {
     val pairs = Similarity.cosineNearDupPairs(embDf)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
