@@ -390,6 +390,29 @@ object SparkEntry {
           col("n_events"), col("sum_value").cast("decimal(20,6)").as("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // Streaming exact dedup: every event delivered twice; the operator must
+    // reconstruct exactly the original table (bounded state via
+    // dropDuplicatesWithinWatermark)
+    "e3_stream_dedup" -> ((s, d) =>
+      EventStream.backfillStreamDedup(s, s"$d/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,6)").as("value"))
+        .orderBy("event_id")),
+
+    // S-ops × search: the serving flow end-to-end — bulk load into the
+    // versioned store, then compile + execute a catalog search over the
+    // store's resolved current table (not a pre-staged corpus)
+    "s8_store_search" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000200"))
+      val cq = QueryCompiler.compile(
+        QueryCompiler.parse(all("""{"filters":[{"category":["cat3"]}]}""")),
+        AclContext(Seq("org1"), isAdmin = false))
+      SearchExecutor.hitsBranch(SearchExecutor.baseBranch(st.current.toDF(), cq), cq)
+        .select(col("id"), col("category"), col("orgUUID").as("org_uuid"),
+          col("isPublic").as("is_public"))
+    }),
+
     // R1 result shaping: full entry columns on a paged, filtered, scored search
     "r1_result_shape" -> ((s, d) =>
       hits(s, d, """{"query":"red","filters":[{"format":["json"]}],"size":5}""",
@@ -589,6 +612,13 @@ object SparkEntry {
           "SELECT user_id, session_start, session_end, n_events, sum_value::DECIMAL(20,6) AS sum_value " +
           "FROM agg, wm WHERE epoch_ms(session_end) + 21600000 <= wm " +
           "ORDER BY user_id, session_start"),
+      "e3_stream_dedup" ->
+        ("SELECT event_id, event_type, value::DECIMAL(18,6) AS value " +
+          "FROM events ORDER BY event_id"),
+      "s8_store_search" ->
+        (M + "SELECT id, category, orgUUID AS org_uuid, isPublic AS is_public FROM meta " +
+          "WHERE id BETWEEN '000001' AND '000200' AND category = 'cat3' " +
+          "AND (orgUUID = 'org1' OR isPublic) ORDER BY id"),
       "a1_facet_categories" ->
         (M + "SELECT category, count(*) AS cnt FROM meta GROUP BY category ORDER BY cnt DESC, category LIMIT 100"),
       "a2_facet_formats" ->

@@ -41,6 +41,9 @@ object GraftFunctions {
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinHashSigExpr(args(0), intLit(args(1), "graft_minhash(shingles, k)"))),
+    ("graft_jaccard",
+      new ExpressionInfo(classOf[JaccardSimExpr].getName, "graft_jaccard"),
+      (args: Seq[Expression]) => JaccardSimExpr(args(0), args(1))),
     ("graft_srp_sig",
       new ExpressionInfo(classOf[SrpSigExpr].getName, "graft_srp_sig"),
       (args: Seq[Expression]) => SrpSigExpr(args(0), intLit(args(1), "graft_srp_sig(emb, bits)")))

@@ -104,6 +104,20 @@ object VecOps {
     new GenericArrayData(sig)
   }
 
+  /** Jaccard similarity of two distinct string arrays (see JaccardSimExpr). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[UTF8String](math.max(4, nb * 2))
+    var i = 0
+    while (i < nb) { set.add(b.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < na) { if (set.contains(a.getUTF8String(i))) inter += 1; i += 1 }
+    val denom = na + nb - inter
+    if (denom == 0) Double.NaN else inter.toDouble / denom
+  }
+
   /** Sign-random-projection signature: bit p = [Σ_d x_d · plane(p, d) ≥ 0]
     * with plane(p, d) = pmod(xxhash64(p, d), 100000)/100000 − 0.5 — the
     * deterministic pseudo-random hyperplane family of
@@ -228,6 +242,28 @@ case class SrpSigExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** `graft_jaccard(a, b)` — exact Jaccard similarity of two DISTINCT string
+  * arrays: |a∩b| / (|a|+|b|−|a∩b|). Bit-identical to
+  * `size(array_intersect(a,b)).double / size(array_distinct(concat(a,b)))`
+  * for distinct inputs (the dedup pipeline's shingle sets are
+  * `array_distinct`-ed at creation), including the 0/0 → NaN edge; one
+  * hash-set pass instead of three array-walk expressions per candidate pair.
+  */
+case class JaccardSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires two ARRAY<STRING> arguments")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `IvfProbeExpr(emb, centroids, nprobe)` — the nprobe nearest coarse-quantizer
   * cells for a vector, by (cosine desc, cell index asc). The centroid matrix
   * is embedded in the expression as a plan-time snapshot (the IDF-weights
@@ -299,4 +335,6 @@ object VectorHash {
     GraftBridge.column(SrpSigExpr(GraftBridge.expression(emb), bits))
   def ivfProbeCol(emb: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
     GraftBridge.column(IvfProbeExpr(GraftBridge.expression(emb), centroids, nprobe))
+  def jaccardCol(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -94,8 +94,9 @@ object Dedup {
       .agg(count(lit(1)).as("_shared"))
       .where(col("_shared") >= minShared)
       .select(col("a_id"), col("b_id"))
-    val j = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_distinct(concat(col("sa"), col("sb"))))
+    // native hash-set kernel; bit-identical to
+    // size(array_intersect)/size(array_distinct(concat)) on distinct inputs
+    val j = graft.functions.VectorHash.jaccardCol(col("sa"), col("sb"))
     pairs
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** One gap-separated user session (event-time bounds at microsecond
   * precision, value sum in exact micro-units).
   */
@@ -159,14 +161,45 @@ object EventStream {
     spark.table(name)
   }
 
-  /** Stage a single parquet file behind a temp dir (FileStreamSource wants a
-    * directory).
+  /** Streaming exact dedup: drop duplicate event_ids within the watermark
+    * horizon (`dropDuplicatesWithinWatermark` — state holds only ids inside
+    * the horizon, so it is bounded at 100 TB/day ingest; a plain streaming
+    * dropDuplicates would keep every id ever seen in state forever).
+    *
+    * The backfill stages the input file TWICE behind the source dir, so every
+    * event arrives as a true duplicate and the operator must reconstruct
+    * exactly the original table — which makes the result oracle-checkable
+    * against a plain batch read.
     */
-  private def stageDir(path: String): String = {
+  def backfillStreamDedup(spark: SparkSession, path: String): DataFrame = {
+    val name = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = stageDir(path, copies = 2)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = withEventTime(stream)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stage a single parquet file behind a temp dir (FileStreamSource wants a
+    * directory); `copies` > 1 links the file multiple times to simulate
+    * duplicate delivery.
+    */
+  private def stageDir(path: String, copies: Int = 1): String = {
     val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.isRegularFile(p)) {
+    if (java.nio.file.Files.isRegularFile(p) || copies > 1) {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
-      java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+      val files =
+        if (java.nio.file.Files.isRegularFile(p)) Seq(p)
+        else java.nio.file.Files.list(p).iterator.asScala.toSeq
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+      for (f <- files; i <- 1 to copies)
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(s"copy$i-${f.getFileName}"), f)
       d.toString
     } else path
   }

@@ -52,6 +52,16 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed shouldBe batch
   }
 
+  test("streaming dedup: doubled delivery reconstructs exactly the original events") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val deduped = EventStream.backfillStreamDedup(spark, path)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    val original = EventStream.withEventTime(spark.read.parquet(path))
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    deduped should not be empty
+    deduped shouldBe original
+  }
+
   test("sessionization: custom state via flatMapGroupsWithState, watermark-gated emission") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

@@ -76,6 +76,23 @@ class VectorHashExprSpec extends AnyFunSuite with Matchers with SparkSupport {
     rows.foreach { case (n, h) => n shouldBe h }
   }
 
+  test("graft_jaccard ≡ intersect/distinct-union expressions on distinct arrays") {
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = Seq.fill(40)((
+      rnd.shuffle(words).take(1 + rnd.nextInt(7)),
+      rnd.shuffle(words).take(1 + rnd.nextInt(7)))).toDF("sa", "sb")
+    val rows = docs.select(
+      graft.functions.VectorHash.jaccardCol($"sa", $"sb").as("n"),
+      (org.apache.spark.sql.functions.size(array_intersect($"sa", $"sb")).cast("double") /
+        org.apache.spark.sql.functions.size(array_distinct(concat($"sa", $"sb")))).as("h"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, h) => n shouldBe h }
+    // 0/0 edge: both empty → NaN, like the division expression
+    Seq((Seq.empty[String], Seq.empty[String])).toDF("sa", "sb")
+      .select(graft.functions.VectorHash.jaccardCol($"sa", $"sb"))
+      .as[Double].head().isNaN shouldBe true
+  }
+
   test("SQL registration + codegen for the vector kernels") {
     GraftFunctions.register(spark)
     spark.sql("SELECT graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
