@@ -44,6 +44,27 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("partial_count")
   }
 
+  test("raw-column query filters push into the parquet scan of a materialized entry table") {
+    // the Corpus derivation computes columns from p_partkey (nothing to push);
+    // a real deployment stores entries materialized — model that here
+    val dir = java.nio.file.Files.createTempDirectory("graft-planaudit-meta").toString + "/meta"
+    Corpus.metadata(spark, "/root/testdata/sf0.001").write.parquet(dir)
+    val cq = QueryCompiler.compile(QueryCompiler.parse(
+      """{"filters":[{"creationTime":["2015-03-01 00:00:00","2015-06-01 00:00:00"]}]}"""),
+      AclContext(Seq("org1"), isAdmin = false, graft.model.DataSetFiltering.OnlyPrivate))
+    val exec = SearchExecutor.hitsBranch(
+      SearchExecutor.baseBranch(spark.read.parquet(dir), cq), cq)
+      .queryExecution.executedPlan
+    // read the scan's own metadata — the plan's toString truncates long filter lists
+    val pushed = exec.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("PushedFilters")
+    }.get
+    // time range + ACL org/visibility equality all reach the scan
+    pushed should include("GreaterThanOrEqual(creationTime")
+    pushed should include("LessThanOrEqual(creationTime")
+    pushed should include("EqualTo(orgUUID,org1)")
+  }
+
   test("S2 point lookup pushes the id filter into every log scan (no full-table window)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-planaudit-store").toString
     val st = new graft.store.MetadataStore(spark, dir,
