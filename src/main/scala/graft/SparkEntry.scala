@@ -318,6 +318,15 @@ object SparkEntry {
     "t6_rolling_fp" -> ((s, d) =>
       TextAnalysis.rollingFingerprint(docs(s, d)).orderBy("doc_id")),
 
+    // Text analysis: whitespace vs BPE-ish pre-tokenizer counts
+    "t7_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
+
+    // Composed pre-training pipeline: language gate + quality gate +
+    // fuzzy-dedup survivors, one narrow gate stage + the blocked dedup leg
+    "p1_pretrain_corpus" -> ((s, d) =>
+      graft.operators.Pipeline.pretrainCorpus(docs(s, d)).orderBy("doc_id")),
+
     // Dedup: exact (content-hash, min doc_id representative)
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -564,6 +573,25 @@ object SparkEntry {
         (T + "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
           "list_transform(t, w -> list_sum(list_transform(range(1, len(w)+1), i -> ord(substr(w, i, 1))))::BIGINT)), " +
           "(acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp FROM toks ORDER BY doc_id"),
+      "t7_token_counts" ->
+        ("SELECT doc_id, len(regexp_extract_all(text, '[^\\s]+')) AS n_ws_tokens, " +
+          "len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS n_bpe_tokens " +
+          "FROM documents ORDER BY doc_id"),
+      "p1_pretrain_corpus" -> {
+        JaccardCte +
+          s", sc AS (SELECT doc_id, $langScores FROM toks) " +
+          ", lang AS (SELECT doc_id, CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en' " +
+          "WHEN es >= de AND es >= fr AND es > 0 THEN 'es' WHEN de >= fr AND de > 0 THEN 'de' " +
+          "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS predicted_lang FROM sc) " +
+          s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, " +
+          "len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
+          ", qual AS (SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
+          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st) " +
+          ", surv AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b_id FROM jac WHERE jaccard >= 0.8)) " +
+          "SELECT d.doc_id, predicted_lang, quality FROM documents d JOIN lang USING(doc_id) " +
+          "JOIN qual USING(doc_id) JOIN surv USING(doc_id) " +
+          "WHERE predicted_lang = 'en' AND quality >= 0.4::DOUBLE ORDER BY doc_id"
+      },
       "d1_exact_dedup" ->
         "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY doc_id",
       "d2_jaccard_pairs" ->

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composed training-data pipeline over the `documents` table — the
+  * filter-and-dedup pass every pre-training corpus build runs, assembled
+  * from this package's operators:
+  *
+  *   1. language gate: stopword-profile language ID == target language
+  *   2. quality gate: the length/stopword/diversity blend ≥ threshold
+  *   3. fuzzy dedup: only survivors of Jaccard near-dup collapsing remain
+  *
+  * Plan shape at 100 TB: gates 1+2 fuse into ONE narrow projection+filter
+  * on the scan (both are per-row Column expressions over the same token
+  * array — whole-stage codegen's subexpression elimination evaluates the
+  * native tokenizer once); the dedup leg is the inverted-index blocked
+  * pair pipeline (never all-pairs); the final survivor join co-shuffles on
+  * doc_id. Nothing touches the driver.
+  */
+object Pipeline {
+
+  /** (doc_id, predicted_lang, quality) for documents passing all three
+    * gates, deterministic doc_id order.
+    */
+  def pretrainCorpus(docs: DataFrame, language: String = "en",
+                     minQuality: Double = 0.4): DataFrame = {
+    val t: Column = TextAnalysis.tokens(col("text"))
+    val (predicted, _) = TextAnalysis.langCols(t)
+    val gated = docs.select(col("doc_id"), predicted.as("predicted_lang"),
+        TextAnalysis.qualityCol(t).as("quality"))
+      .where(col("predicted_lang") === language && col("quality") >= minQuality)
+    val survivors = Dedup.fuzzyDedupSurvivors(docs, Dedup.jaccardPairs(docs))
+    gated.join(survivors, "doc_id")
+      .select(col("doc_id"), col("predicted_lang"), col("quality"))
+  }
+}

@@ -55,11 +55,10 @@ object TextAnalysis {
       "sur", "pas", "ce")
   )
 
-  /** Language-ID: (doc_id, predicted_lang, lang_score). `lang_score` is the
-    * winning profile's function-word hit count.
+  /** (predicted_lang, lang_score) columns over a token-array expression —
+    * exposed so composed pipelines fuse the gate into one narrow stage.
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
+  private[operators] def langCols(t: Column): (Column, Column) = {
     val scores = LangProfiles.map { case (lang, words) =>
       lang -> size(filter(t, w => w.isInCollection(words)))
     }
@@ -70,9 +69,16 @@ object TextAnalysis {
         .when(de >= fr && de > 0, "de")
         .when(fr > 0, "fr")
         .otherwise("unknown")
-    val best = greatest(en, es, de, fr)
+    (predicted, greatest(en, es, de, fr).cast("long"))
+  }
+
+  /** Language-ID: (doc_id, predicted_lang, lang_score). `lang_score` is the
+    * winning profile's function-word hit count.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val (predicted, best) = langCols(tokens(col("text")))
     docs.select(col("doc_id"), predicted.as("predicted_lang"),
-      best.cast("long").as("lang_score"))
+      best.as("lang_score"))
   }
 
   // ---------------------------------------------------------- quality score
@@ -82,16 +88,37 @@ object TextAnalysis {
     * quality = 0.4·min(1, n_tokens/100) + 0.3·stopword_ratio + 0.3·distinct_ratio,
     * rounded to 6 decimals. Empty docs score 0.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityCol(tokens(col("text"))).as("quality"))
+
+  /** The quality blend over a token-array expression (see [[qualityScore]]). */
+  private[operators] def qualityCol(t: Column): Column = {
     val nTok = size(t).cast("double")
     val nStop = size(filter(t, w => w.isInCollection(Analyzers.EnglishStopwords))).cast("double")
     val nDist = size(array_distinct(t)).cast("double")
-    val q = when(nTok > 0.0,
+    when(nTok > 0.0,
       round(lit(0.4) * least(lit(1.0), nTok / 100.0) + lit(0.3) * (nStop / nTok)
         + lit(0.3) * (nDist / nTok), 6)).otherwise(0.0)
-    docs.select(col("doc_id"), q.as("quality"))
   }
+
+  // ---------------------------------------------- BPE-ish pre-tokenization
+
+  /** GPT-2-style pre-tokenizer pattern, simplified to syntax every regex
+    * engine (java.util.regex, RE2) agrees on: contractions, letter runs,
+    * digit runs, punctuation runs — each with an optional leading space.
+    * Applied to lowercased text.
+    */
+  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** Token counting, tokenizer-family comparison: whitespace-delimited words
+    * vs BPE-ish pre-tokens. Both counted via `regexp_extract_all` with a
+    * literal pattern (compiled once and cached — `split` recompiles its regex
+    * per row, the UTF8String.split hazard).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
 
   // ----------------------------------------------------------- fingerprints
 

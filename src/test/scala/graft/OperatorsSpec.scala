@@ -152,6 +152,31 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe Array("es", "en")
   }
 
+  test("token counts: whitespace words vs BPE-ish pre-tokens") {
+    val d = Seq((0L, "Don't panic, it's 42 meters!"), (1L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(d).orderBy("doc_id")
+      .select("n_ws_tokens", "n_bpe_tokens").as[(Int, Int)].collect()
+    // ws: [Don't, panic,, it's, 42, meters!] = 5
+    // bpe: [don]['t][ panic][,][ it]['s][ 42][ meters][!] = 9
+    out shouldBe Array((5, 9), (0, 0))
+  }
+
+  test("pretrain pipeline: non-target-language, low-quality, and collapsed near-dups drop out") {
+    // doc 5: spanish (fails the language gate); doc 2 is 0's exact dup
+    // (collapses at the default 0.8 threshold); doc 1's jaccard vs 0 sits in
+    // (0.7, 0.8) — near but below the default cut, so it survives
+    val d = docsDf.unionByName(Seq(
+      (5L, "el perro corre por la casa y el gato duerme en la cama del " +
+        "vecino mientras los pajaros cantan en el jardin con las flores")).toDF("doc_id", "text"))
+    val kept = graft.operators.Pipeline.pretrainCorpus(d, minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    kept should contain allOf (0L, 1L)
+    (kept intersect Set(2L, 5L)) shouldBe empty
+    // the quality gate alone removes everything at an impossible threshold
+    graft.operators.Pipeline.pretrainCorpus(d, minQuality = 0.999)
+      .count() shouldBe 0L
+  }
+
   test("ngrams: counts and edges") {
     val d = Seq((0L, "a b c d")).toDF("doc_id", "text")
     val tri = d.select(TextAnalysis.ngrams(TextAnalysis.tokens($"text"), 3))
