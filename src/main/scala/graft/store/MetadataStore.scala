@@ -35,7 +35,8 @@ import scala.jdk.CollectionConverters._
   * on a log-backed commit protocol rather than a local rename.
   */
 class MetadataStore(spark: SparkSession, rootDir: String,
-                    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+                    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+                    numBuckets: Int = 0) {
   import spark.implicits._
 
   private val root: Path = Paths.get(rootDir)
@@ -43,6 +44,21 @@ class MetadataStore(spark: SparkSession, rootDir: String,
 
   private val OpCol = "_op"
   private val VersionCol = "_version"
+  private val BucketCol = "_bucket"
+
+  private def isBucketed(dir: Path): Boolean =
+    Files.exists(dir) && Files.list(dir).iterator.asScala
+      .exists(_.getFileName.toString.startsWith(s"$BucketCol="))
+
+  /** Write-side/read-side bucket of an id: pmod(xxhash64(id), numBuckets) —
+    * the same XXH64 the Column expression computes, so the driver-side
+    * lookup key always agrees with the layout.
+    */
+  private def bucketOf(id: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(id), 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
   private val entryCols = MetadataSchema.structType.fieldNames.toSeq
 
   /** Static schemas for log segments: passing them to the reader skips the
@@ -90,15 +106,27 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * latest-wins resolution is semantics-preserving, and Catalyst pushes the
     * filter through the union into every parquet scan — a point lookup reads
     * only the row groups whose id-range matches instead of windowing the
-    * whole log (the round-2 scale-killer).
+    * whole log (the round-2 scale-killer). `bucket` additionally prunes a
+    * hash-bucketed base down to ONE partition directory (see [[compact]]).
     */
-  private def resolved(prune: Option[org.apache.spark.sql.Column]): DataFrame = {
+  private def resolved(prune: Option[org.apache.spark.sql.Column],
+                       bucket: Option[Int] = None): DataFrame = {
     val v = currentVersion
     if (v == 0L) return emptyLog.select(entryCols.map(col): _*)
     val baseV = listVersions("base-").filter(_ <= v).lastOption
     val deltaVs = listVersions("delta-").filter(d => d <= v && d > baseV.getOrElse(0L))
-    val base = baseV.map(b => spark.read.schema(baseSchema).parquet(root.resolve(s"base-$b").toString)
-      .withColumn(VersionCol, lit(b)).withColumn(OpCol, lit("upsert")))
+    val base = baseV.map { b =>
+      val dir = root.resolve(s"base-$b")
+      val df =
+        if (isBucketed(dir)) {
+          // partition column `_bucket` → directory-level pruning on lookups
+          val raw = spark.read
+            .schema(baseSchema.add(BucketCol, "int", nullable = false))
+            .parquet(dir.toString)
+          bucket.fold(raw)(k => raw.where(col(BucketCol) === k)).drop(BucketCol)
+        } else spark.read.schema(baseSchema).parquet(dir.toString)
+      df.withColumn(VersionCol, lit(b)).withColumn(OpCol, lit("upsert"))
+    }
     val deltas = deltaVs.map(d => spark.read.schema(deltaSchema).parquet(root.resolve(s"delta-$d").toString))
     val logAll = (base.toSeq ++ deltas).reduceOption(_ unionByName _).getOrElse(emptyLog)
     val log = prune.fold(logAll)(logAll.where)
@@ -116,9 +144,14 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   /** S2 point lookup; None = the reference's 404
     * (reference: metadata_entry.py:127-147, bases.py:51-63).
     */
-  /** The id-pruned lookup plan (exposed for plan-shape assertions). */
+  /** The id-pruned lookup plan (exposed for plan-shape assertions). On a
+    * bucketed store the base scan additionally prunes to the id's single
+    * `_bucket=` partition directory.
+    */
   private[graft] def lookup(id: String): DataFrame =
-    resolved(Some(col("id") === id)).select(entryCols.map(col): _*)
+    resolved(Some(col("id") === id),
+      if (numBuckets > 0) Some(bucketOf(id)) else None)
+      .select(entryCols.map(col): _*)
 
   def get(id: String): Option[MetadataEntry] =
     lookup(id).as[MetadataEntry].limit(1).collect().headOption
@@ -205,10 +238,24 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   def export(path: String): Unit =
     current.write.mode("overwrite").parquet(path)
 
-  /** Fold the delta log into a new base snapshot. */
+  /** Fold the delta log into a new base snapshot. With `numBuckets` > 0 the
+    * base is laid out as `_bucket=k/` partition directories keyed on
+    * pmod(xxhash64(id), numBuckets) — point lookups then prune to one
+    * directory (`PartitionFilters`, spec-asserted) on top of the row-group
+    * pruning the pushed id filter already buys. This is the 100 TB layout:
+    * the bucket count is a write-side decision, the resolve plan is
+    * unchanged, and unbucketed bases remain readable (changing `numBuckets`
+    * just requires one recompaction).
+    */
   def compact(): Unit = {
     val v = currentVersion + 1
-    resolved.write.mode("overwrite").parquet(root.resolve(s"base-$v").toString)
+    val snap = resolved
+    if (numBuckets > 0)
+      snap.withColumn(BucketCol, pmod(xxhash64(col("id")), lit(numBuckets.toLong)).cast("int"))
+        .write.partitionBy(BucketCol).mode("overwrite")
+        .parquet(root.resolve(s"base-$v").toString)
+    else
+      snap.write.mode("overwrite").parquet(root.resolve(s"base-$v").toString)
     commit(v)
   }
 

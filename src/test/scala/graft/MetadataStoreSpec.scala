@@ -25,6 +25,24 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.get(e0.id).get.title shouldBe "v2" // read-your-writes
   }
 
+  test("bucketed compaction: same contents, lookups and mutations still correct") {
+    val st = new MetadataStore(spark,
+      Files.createTempDirectory("graft-store-bucketed").toString, fixedClock, numBuckets = 8)
+    Fixtures.corpus.foreach(st.upsert)
+    st.compact()
+    st.current.collect().toSet shouldBe Fixtures.corpus.toSet
+    st.get(e0.id).get shouldBe e0
+    // post-compaction mutations (deltas over the bucketed base) still resolve
+    st.partialUpdate(e0.id, Map("title" -> "patched")) shouldBe true
+    st.get(e0.id).get.title shouldBe "patched"
+    st.delete(Fixtures.corpus(1).id) shouldBe true
+    st.current.count() shouldBe (Fixtures.corpus.size - 1).toLong
+    // a second compaction folds those deltas into a new bucketed base
+    st.compact()
+    st.get(e0.id).get.title shouldBe "patched"
+    st.get(Fixtures.corpus(1).id) shouldBe None
+  }
+
   test("S2 point lookup: absent id → None (404)") {
     val st = freshStore()
     st.get("nope") shouldBe None

@@ -82,6 +82,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("Window")
   }
 
+  test("bucketed base: point lookup prunes to one _bucket partition directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planaudit-bucketed").toString
+    val st = new graft.store.MetadataStore(spark, dir,
+      () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), numBuckets = 8)
+    val entries = Corpus.metadata(spark, "/root/testdata/sf0.001")
+      .where($"id".between("000001", "000040"))
+      .as(org.apache.spark.sql.Encoders.product[graft.model.MetadataEntry])
+    st.bulkLoad(entries)
+    st.compact()
+    // plan string, not node collect: AQE's AdaptiveSparkPlanExec hides the
+    // subtree from collect(); PartitionFilters is short enough to not truncate
+    val plan = st.lookup("000005").queryExecution.executedPlan.toString
+    // the (bucketed) base scan prunes to the id's partition directory,
+    // and the row-level id filter still pushes down alongside it
+    plan should include regex """PartitionFilters: \[[^\]]*_bucket"""
+    plan should include regex """PushedFilters: \[[^\]]*EqualTo\(id,000005\)"""
+  }
+
   test("minhash pairs keep the signature barrier (shuffle between sig projection and band join)") {
     // the barrier stops CollapseProject from inlining the interpreted
     // signature pipeline into band/join expressions (SCALE.md, Dedup scaladoc)
