@@ -385,6 +385,19 @@ object SparkEntry {
       Multimodal.features(s, Multimodal.mediaFromDocuments(docs(s, d)))
         .toDF().orderBy("media_id")),
 
+    // Multimodal: resize plumbing — payload-in/payload-out with metadata
+    // passthrough (byte-level stub semantics are spec-pinned; the oracle
+    // checks the shape/metadata contract)
+    "m2_media_resize" -> ((s, d) =>
+      Multimodal.resize(s, Multimodal.mediaFromDocuments(docs(s, d)), 8)
+        .select(col("media_id"), col("n_bytes"), col("orig_width"), col("orig_height"))
+        .orderBy("media_id")),
+
+    // Multimodal: frame/sample stride subsampling plumbing
+    "m3_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(s, Multimodal.mediaFromDocuments(docs(s, d)), 3)
+        .orderBy("media_id")),
+
     // Streaming: event-time windowed aggregation through the streaming
     // engine (AvailableNow backfill), exact decimal sums
     "e1_stream_window_counts" -> ((s, d) =>
@@ -622,6 +635,12 @@ object SparkEntry {
           "16 AS dim, list_transform(range(0, 16), i -> " +
           "(length(md5(text)) - length(replace(md5(text), substr('0123456789abcdef', i+1, 1), '')))::DOUBLE) AS features " +
           "FROM documents ORDER BY media_id"),
+      "m2_media_resize" ->
+        ("SELECT doc_id AS media_id, 8 AS n_bytes, (n_chars % 640)::INT AS orig_width, " +
+          "(n_chars % 480)::INT AS orig_height FROM documents ORDER BY media_id"),
+      "m3_frame_sample" ->
+        // md5 payloads are 16 bytes; stride 3 keeps offsets 0,3,6,9,12,15
+        "SELECT doc_id AS media_id, 6 AS n_sampled FROM documents ORDER BY media_id",
       "e1_stream_window_counts" ->
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
           "sum(value::DECIMAL(18,6)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
