@@ -587,8 +587,9 @@ object SparkEntry {
           "list_transform(t, w -> list_sum(list_transform(range(1, len(w)+1), i -> ord(substr(w, i, 1))))::BIGINT)), " +
           "(acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp FROM toks ORDER BY doc_id"),
       "t7_token_counts" ->
-        ("SELECT doc_id, len(regexp_extract_all(text, '[^\\s]+')) AS n_ws_tokens, " +
-          "len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS n_bpe_tokens " +
+        // whitespace as an explicit class (java \s ⊃ RE2 \s: vertical tab)
+        ("SELECT doc_id, len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS n_ws_tokens, " +
+          "len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\r]+')) AS n_bpe_tokens " +
           "FROM documents ORDER BY doc_id"),
       "p1_pretrain_corpus" -> {
         JaccardCte +

@@ -31,23 +31,32 @@ object GraftFunctions {
       (args: Seq[Expression]) => UriTokensExpr(args.head)),
     ("graft_dot",
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+      (args: Seq[Expression]) => { arity(args, 2, "graft_dot(a, b)"); DotProductExpr(args(0), args(1)) }),
     ("graft_norm",
       new ExpressionInfo(classOf[VecNormExpr].getName, "graft_norm"),
-      (args: Seq[Expression]) => VecNormExpr(args.head)),
+      (args: Seq[Expression]) => { arity(args, 1, "graft_norm(a)"); VecNormExpr(args.head) }),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHash64Expr(args.head)),
+      (args: Seq[Expression]) => { arity(args, 1, "graft_simhash(hashes)"); SimHash64Expr(args.head) }),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinHashSigExpr(args(0), intLit(args(1), "graft_minhash(shingles, k)"))),
+      (args: Seq[Expression]) => { arity(args, 2, "graft_minhash(shingles, k)")
+        MinHashSigExpr(args(0), intLit(args(1), "graft_minhash(shingles, k)")) }),
     ("graft_jaccard",
       new ExpressionInfo(classOf[JaccardSimExpr].getName, "graft_jaccard"),
-      (args: Seq[Expression]) => JaccardSimExpr(args(0), args(1))),
+      (args: Seq[Expression]) => { arity(args, 2, "graft_jaccard(a, b)"); JaccardSimExpr(args(0), args(1)) }),
     ("graft_srp_sig",
       new ExpressionInfo(classOf[SrpSigExpr].getName, "graft_srp_sig"),
-      (args: Seq[Expression]) => SrpSigExpr(args(0), intLit(args(1), "graft_srp_sig(emb, bits)")))
+      (args: Seq[Expression]) => { arity(args, 2, "graft_srp_sig(emb, bits)")
+        SrpSigExpr(args(0), intLit(args(1), "graft_srp_sig(emb, bits)")) })
   )
+
+  /** Wrong arity surfaces as a clear message during resolution, not an
+    * IndexOutOfBoundsException from the builder.
+    */
+  private def arity(args: Seq[Expression], n: Int, sig: String): Unit =
+    if (args.size != n)
+      throw new IllegalArgumentException(s"$sig takes $n arguments, got ${args.size}")
 
   /** SQL-side int parameters (k, bits) must be literals — they size the
     * signature, which is part of the expression's static type/shape.

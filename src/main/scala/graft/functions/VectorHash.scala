@@ -27,26 +27,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VecOps {
 
-  /** Left-to-right double dot product of two equal-length float arrays.
-    * Twin of `aggregate(zip_with(a, b, (x, y) => x.double * y.double), 0.0, +)`.
+  /** Left-to-right double dot product of two float arrays. Twin of
+    * `aggregate(zip_with(a, b, (x, y) => x.double * y.double), 0.0, +)`
+    * including its null algebra: ragged lengths (zip_with pads with null) or
+    * any null element poison the sum → null result, never an out-of-bounds
+    * read or a garbage number.
     */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
     acc
   }
 
-  /** sqrt of the left-to-right double sum of squares. */
-  def norm(a: ArrayData): Double = {
+  /** sqrt of the left-to-right double sum of squares; null element → null
+    * (the HOF's null propagation).
+    */
+  def norm(a: ArrayData): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       acc += x * x
       i += 1
@@ -56,14 +64,17 @@ object VecOps {
 
   /** 64-bit SimHash of a token-hash array: per bit position, sum +1/-1 votes
     * of that bit across hashes; non-negative vote → bit set. Integer sums are
-    * exact, so any evaluation order matches the per-position HOF loop.
+    * exact, so any evaluation order matches the per-position HOF loop. A null
+    * element votes −1 on every bit exactly like the HOF (its
+    * `when(bit-test).otherwise(-1)` turns the null test into the else
+    * branch) — i.e. it behaves as h = 0.
     */
   def simhash(hashes: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
+      val h = if (hashes.isNullAt(i)) 0L else hashes.getLong(i)
       var p = 0
       while (p < 64) {
         if (((h >> p) & 1L) == 1L) votes(p) += 1 else votes(p) -= 1
@@ -82,20 +93,23 @@ object VecOps {
 
   /** MinHash signature: element i = min over shingles of xxhash64(i, shingle),
     * reproducing the built-in's chained-seed evaluation
-    * (seed 42 → hashInt(i) → hashUTF8String(s)). Empty input → null,
-    * matching `array_min` over an empty array.
+    * (seed 42 → hashInt(i) → hashUTF8String(s)) INCLUDING its null algebra:
+    * a null shingle hashes to the unchanged seed (hash functions skip nulls),
+    * and an empty array yields k null elements (`array_min` of empty), not a
+    * null array.
     */
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
-    if (n == 0) return null
+    if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val s = shingles.getUTF8String(j)
+      val s = if (shingles.isNullAt(j)) null else shingles.getUTF8String(j)
       var i = 0
       while (i < k) {
-        val h = XXH64.hashUTF8String(s, XXH64.hashInt(i, 42L))
+        val seed = XXH64.hashInt(i, 42L)
+        val h = if (s == null) seed else XXH64.hashUTF8String(s, seed)
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -126,6 +140,13 @@ object VecOps {
   def srpSig(emb: ArrayData, bits: Int): ArrayData = {
     val n = emb.numElements()
     val out = new Array[Int](bits)
+    // a null element nulls every projection; when(null >= 0, 1).otherwise(0)
+    // takes the else branch → the HOF yields all-zero bits
+    var chk = 0
+    while (chk < n) {
+      if (emb.isNullAt(chk)) return new GenericArrayData(out)
+      chk += 1
+    }
     var p = 0
     while (p < bits) {
       val seedP = XXH64.hashInt(p, 42L)
@@ -161,11 +182,16 @@ case class DotProductExpr(left: Expression, right: Expression)
     else checkFloatArray(right.dataType, prettyName)
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged/null-element inputs → null
   override def prettyName: String = "graft_dot"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VecOps.dot($a, $b);
+      ${ev.isNull} = ${ev.value}_r == null;
+      if (!${ev.isNull}) ${ev.value} = ${ev.value}_r.doubleValue();
+    """)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -175,11 +201,16 @@ case class VecNormExpr(child: Expression) extends UnaryExpression with FloatArra
   override def checkInputDataTypes(): TypeCheckResult =
     checkFloatArray(child.dataType, prettyName)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null-element input → null
   override def prettyName: String = "graft_norm"
   override protected def nullSafeEval(a: Any): Any =
     VecOps.norm(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.norm($a)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VecOps.norm($a);
+      ${ev.isNull} = ${ev.value}_r == null;
+      if (!${ev.isNull}) ${ev.value} = ${ev.value}_r.doubleValue();
+    """)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -208,20 +239,13 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<STRING> and k > 0, got ${other.sql}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true // empty shingle array → null signature
+  // empty shingle array → k-element array of nulls (array_min of empty)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_minhash"
   override protected def nullSafeEval(a: Any): Any =
     VecOps.minhashSig(a.asInstanceOf[ArrayData], k)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // minhashSig returns null for empty arrays — route through the nullable
-    // eval path rather than defineCodeGen (which assumes non-null results)
-    val f = "graft.functions.VecOps.minhashSig"
-    nullSafeCodeGen(ctx, ev, a => s"""
-      ${ev.value} = $f($a, $k);
-      ${ev.isNull} = ${ev.value} == null;
-    """)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.minhashSig($a, $k)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -110,7 +110,9 @@ object Dedup {
     * A single narrow map per row — k·|shingles| hashes, no shuffle. Native
     * kernel ([[graft.functions.MinHashSigExpr]]) reuses the built-in's XXH64
     * chain (seed 42 → hashInt(i) → hashUTF8String(s)), so signatures are
-    * bit-identical to the HOF formulation; empty shingle set → null.
+    * bit-identical to the HOF formulation, including the empty-input edge
+    * (empty shingle set → k-element array of nulls, like `array_min` over an
+    * empty array) and null-shingle hash-skip.
     */
   def minhashSignature(sh: Column, k: Int = 64): Column =
     graft.functions.VectorHash.minhashCol(sh, k)

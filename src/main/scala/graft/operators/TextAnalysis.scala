@@ -103,12 +103,18 @@ object TextAnalysis {
 
   // ---------------------------------------------- BPE-ish pre-tokenization
 
+  /** Whitespace as an explicit character class, NOT `\s`: java.util.regex
+    * counts vertical tab in `\s`, RE2 (DuckDB) does not — an explicit
+    * `[ \t\n\r]` class means every engine tokenizes identically.
+    */
+  val WsClass: String = " \\t\\n\\r"
+
   /** GPT-2-style pre-tokenizer pattern, simplified to syntax every regex
     * engine (java.util.regex, RE2) agrees on: contractions, letter runs,
     * digit runs, punctuation runs — each with an optional leading space.
     * Applied to lowercased text.
     */
-  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+  val BpePattern: String = s"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9$WsClass]+"
 
   /** Token counting, tokenizer-family comparison: whitespace-delimited words
     * vs BPE-ish pre-tokens. Both counted via `regexp_extract_all` with a
@@ -117,7 +123,7 @@ object TextAnalysis {
     */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(s"[^$WsClass]+"), lit(0))).as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
 
   // ----------------------------------------------------------- fingerprints

@@ -45,19 +45,33 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   private val OpCol = "_op"
   private val VersionCol = "_version"
   private val BucketCol = "_bucket"
+  private val BucketCountFile = "_nbuckets" // _-prefixed → invisible to the FileIndex
 
-  private def isBucketed(dir: Path): Boolean =
-    Files.exists(dir) && Files.list(dir).iterator.asScala
-      .exists(_.getFileName.toString.startsWith(s"$BucketCol="))
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator.asScala) finally s.close()
+  }
 
-  /** Write-side/read-side bucket of an id: pmod(xxhash64(id), numBuckets) —
-    * the same XXH64 the Column expression computes, so the driver-side
-    * lookup key always agrees with the layout.
+  /** The bucket modulus a base was WRITTEN with, from its `_nbuckets` sidecar.
+    * The layout is self-describing: pruning always uses the written modulus,
+    * never the constructor's — reopening a store with a different `numBuckets`
+    * can therefore never prune to the wrong directory (it just governs the
+    * next compaction). A bucketed-looking base without the sidecar is treated
+    * as unbucketed: no pruning, still correct.
     */
-  private def bucketOf(id: String): Int = {
+  private def baseBucketCount(dir: Path): Option[Int] = {
+    val p = dir.resolve(BucketCountFile)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toInt).filter(_ > 0) else None
+  }
+
+  /** Write-side/read-side bucket of an id: pmod(xxhash64(id), n) — the same
+    * XXH64 the Column expression computes, so the driver-side lookup key
+    * always agrees with the layout.
+    */
+  private def bucketOf(id: String, n: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.XXH64
       .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(id), 42L)
-    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+    (((h % n) + n) % n).toInt
   }
   private val entryCols = MetadataSchema.structType.fieldNames.toSeq
 
@@ -85,11 +99,10 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   }
 
   private def listVersions(prefix: String): Seq[Long] =
-    Files.list(root).iterator.asScala
-      .map(_.getFileName.toString)
+    listDir(root)(_.map(_.getFileName.toString)
       .filter(_.startsWith(prefix))
       .map(_.stripPrefix(prefix).toLong)
-      .toSeq.sorted
+      .toSeq.sorted)
 
   // ------------------------------------------------------------------ reads
 
@@ -106,25 +119,28 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * latest-wins resolution is semantics-preserving, and Catalyst pushes the
     * filter through the union into every parquet scan — a point lookup reads
     * only the row groups whose id-range matches instead of windowing the
-    * whole log (the round-2 scale-killer). `bucket` additionally prunes a
+    * whole log (the round-2 scale-killer). `lookupId` additionally prunes a
     * hash-bucketed base down to ONE partition directory (see [[compact]]).
     */
   private def resolved(prune: Option[org.apache.spark.sql.Column],
-                       bucket: Option[Int] = None): DataFrame = {
+                       lookupId: Option[String] = None): DataFrame = {
     val v = currentVersion
     if (v == 0L) return emptyLog.select(entryCols.map(col): _*)
     val baseV = listVersions("base-").filter(_ <= v).lastOption
     val deltaVs = listVersions("delta-").filter(d => d <= v && d > baseV.getOrElse(0L))
     val base = baseV.map { b =>
       val dir = root.resolve(s"base-$b")
-      val df =
-        if (isBucketed(dir)) {
-          // partition column `_bucket` → directory-level pruning on lookups
+      val df = baseBucketCount(dir) match {
+        case Some(n) =>
+          // partition column `_bucket` → directory-level pruning on lookups,
+          // keyed by the modulus the base was written with
           val raw = spark.read
             .schema(baseSchema.add(BucketCol, "int", nullable = false))
             .parquet(dir.toString)
-          bucket.fold(raw)(k => raw.where(col(BucketCol) === k)).drop(BucketCol)
-        } else spark.read.schema(baseSchema).parquet(dir.toString)
+          lookupId.fold(raw)(id => raw.where(col(BucketCol) === bucketOf(id, n)))
+            .drop(BucketCol)
+        case None => spark.read.schema(baseSchema).parquet(dir.toString)
+      }
       df.withColumn(VersionCol, lit(b)).withColumn(OpCol, lit("upsert"))
     }
     val deltas = deltaVs.map(d => spark.read.schema(deltaSchema).parquet(root.resolve(s"delta-$d").toString))
@@ -149,8 +165,7 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * `_bucket=` partition directory.
     */
   private[graft] def lookup(id: String): DataFrame =
-    resolved(Some(col("id") === id),
-      if (numBuckets > 0) Some(bucketOf(id)) else None)
+    resolved(Some(col("id") === id), Some(id))
       .select(entryCols.map(col): _*)
 
   def get(id: String): Option[MetadataEntry] =
@@ -250,12 +265,16 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   def compact(): Unit = {
     val v = currentVersion + 1
     val snap = resolved
-    if (numBuckets > 0)
+    val dir = root.resolve(s"base-$v")
+    if (numBuckets > 0) {
       snap.withColumn(BucketCol, pmod(xxhash64(col("id")), lit(numBuckets.toLong)).cast("int"))
-        .write.partitionBy(BucketCol).mode("overwrite")
-        .parquet(root.resolve(s"base-$v").toString)
-    else
-      snap.write.mode("overwrite").parquet(root.resolve(s"base-$v").toString)
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(dir.toString)
+      // self-describing layout: record the modulus next to the data so reads
+      // prune with the WRITTEN bucket count, whatever this store is
+      // constructed with later
+      Files.writeString(dir.resolve(BucketCountFile), numBuckets.toString)
+      ()
+    } else snap.write.mode("overwrite").parquet(dir.toString)
     commit(v)
   }
 

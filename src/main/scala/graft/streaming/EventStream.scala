@@ -195,8 +195,11 @@ object EventStream {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
       val files =
         if (java.nio.file.Files.isRegularFile(p)) Seq(p)
-        else java.nio.file.Files.list(p).iterator.asScala.toSeq
-          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        else {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator.asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+          finally s.close()
+        }
       for (f <- files; i <- 1 to copies)
         java.nio.file.Files.createSymbolicLink(
           d.resolve(s"copy$i-${f.getFileName}"), f)

@@ -43,6 +43,19 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.get(Fixtures.corpus(1).id) shouldBe None
   }
 
+  test("bucketed layout is self-describing: reopening with a different numBuckets stays correct") {
+    val dir = Files.createTempDirectory("graft-store-rebucket").toString
+    val st8 = new MetadataStore(spark, dir, fixedClock, numBuckets = 8)
+    Fixtures.corpus.foreach(st8.upsert)
+    st8.compact()
+    // a config change before the next compaction must NOT mis-prune reads:
+    // the base's _nbuckets sidecar, not the constructor, keys the pruning
+    val st16 = new MetadataStore(spark, dir, fixedClock, numBuckets = 16)
+    Fixtures.corpus.foreach(e => st16.get(e.id) shouldBe Some(e))
+    st16.compact() // rewrites the base at 16 buckets
+    Fixtures.corpus.foreach(e => st16.get(e.id) shouldBe Some(e))
+  }
+
   test("S2 point lookup: absent id → None (404)") {
     val st = freshStore()
     st.get("nope") shouldBe None

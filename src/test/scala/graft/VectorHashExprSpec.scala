@@ -53,13 +53,39 @@ class VectorHashExprSpec extends AnyFunSuite with Matchers with SparkSupport {
     rows.foreach { case (nd, hd, nn, hn) => nd shouldBe hd; nn shouldBe hn }
   }
 
-  test("graft_minhash ≡ HOF signature; empty shingles → null") {
-    val docs = Seq(Seq("a b", "b c", "c d"), Seq("x y"), Seq.empty[String]).toDF("sh")
+  test("graft_minhash ≡ HOF signature, including empty input (k nulls) and null shingles") {
+    val docs = Seq(Seq("a b", "b c", "c d"), Seq("x y"), Seq.empty[String],
+      Seq("a b", null)).toDF("sh")
     val rows = docs.select(
       graft.operators.Dedup.minhashSignature($"sh", 16).as("n"),
-      when(sqlSize($"sh") > 0, hofMinhash($"sh", 16)).as("h"))
-      .as[(Option[Seq[Long]], Option[Seq[Long]])].collect()
+      hofMinhash($"sh", 16).as("h"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].collect()
     rows.foreach { case (n, h) => n shouldBe h }
+  }
+
+  test("null algebra: ragged/null-element inputs return null like the HOF twins") {
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(1f), Some(2f))),
+      (Seq[Option[Float]](Some(1f)), Seq[Option[Float]](Some(1f), Some(2f))) // ragged
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.operators.Similarity.dot($"a", $"b").as("nd"), hofDot($"a", $"b").as("hd"),
+      graft.operators.Similarity.norm($"a").as("nn"), hofNorm($"a").as("hn"))
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])].collect()
+    rows.foreach { case (nd, hd, nn, hn) => nd shouldBe hd; nn shouldBe hn }
+    // simhash: a null hash poisons the vote aggregate → null
+    val sh = Seq(Seq[Option[Long]](Some(5L), None)).toDF("hashes")
+    sh.select(graft.operators.Dedup.simhashFromHashes($"hashes").as("n"),
+      hofSimhash($"hashes").as("h"))
+      .as[(Option[Long], Option[Long])].head() match {
+      case (n, h) => n shouldBe h
+    }
+    // srp: a null element zeroes every sign bit in both formulations
+    val emb = Seq(Seq[Option[Float]](Some(1f), None)).toDF("v")
+    emb.select(graft.operators.Similarity.srpSignature($"v", 8).as("n"), hofSrp($"v", 8).as("h"))
+      .as[(Seq[Int], Seq[Int])].head() match {
+      case (n, h) => n shouldBe h
+    }
   }
 
   test("graft_simhash ≡ HOF vote loop on random token-hash arrays") {
