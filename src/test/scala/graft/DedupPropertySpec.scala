@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Structural invariants of the dedup/similarity family over seeded random
+  * corpora — properties the oracle can't see (it only checks fixed inputs):
+  * pair orientation, survivor partitioning, threshold monotonicity, and
+  * exact-dup guarantees that hold for EVERY input.
+  */
+class DedupPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+
+  /** Seeded corpus: random docs + planted exact dups + planted near-dups. */
+  private def corpus(seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    def doc() = Seq.fill(12 + rnd.nextInt(20))(words(rnd.nextInt(words.length))).mkString(" ")
+    val originals = (0L until 20L).map(i => i -> doc())
+    val exactDups = originals.take(4).map { case (i, t) => (100L + i) -> t }
+    val nearDups = originals.slice(4, 8).map { case (i, t) =>
+      (200L + i) -> (t + " " + words(rnd.nextInt(words.length)))
+    }
+    (originals ++ exactDups ++ nearDups).toDF("doc_id", "text")
+  }
+
+  test("property: every planted exact duplicate pair is found by every dedup tier") {
+    for (seed <- 1 to 3) {
+      val d = corpus(seed)
+      val expect = (0L until 4L).map(i => (i, 100L + i)).toSet
+      val jac = Dedup.jaccardPairs(d).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val mh = Dedup.minhashPairs(d).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val sh = Dedup.simhashPairs(d).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      expect.foreach { p => jac should contain(p); mh should contain(p); sh should contain(p) }
+    }
+  }
+
+  test("property: pairs are strictly ordered (a_id < b_id) and unique in every tier") {
+    val d = corpus(7)
+    Seq(Dedup.jaccardPairs(d), Dedup.minhashPairs(d), Dedup.simhashPairs(d),
+      Similarity.cosineNearDupPairs(
+        d.select($"doc_id".as("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(
+              org.apache.spark.sql.functions.lit(0), org.apache.spark.sql.functions.lit(15)),
+            i => (org.apache.spark.sql.functions.xxhash64($"doc_id", i)
+              .cast("double") / 1e18).cast("float")).as("embedding")),
+        threshold = 0.5)
+    ).foreach { pairs =>
+      val rows = pairs.select("a_id", "b_id").as[(Long, Long)].collect()
+      rows.foreach { case (a, b) => a should be < b }
+      rows.length shouldBe rows.toSet.size
+    }
+  }
+
+  test("property: survivors and collapsed docs partition the corpus; survivors contain each group's min id") {
+    for (seed <- 11 to 13) {
+      val d = corpus(seed)
+      val pairs = Dedup.jaccardPairs(d)
+      val survivors = Dedup.fuzzyDedupSurvivors(d, pairs).as[Long].collect().toSet
+      val all = d.select("doc_id").as[Long].collect().toSet
+      val collapsed = all -- survivors
+      // collapsed docs are exactly the b-side of some pair (min-id representative wins)
+      val bSides = pairs.select("b_id").as[Long].collect().toSet
+      collapsed shouldBe (bSides intersect all)
+      // every pair's a-side either survives or is itself collapsed into a smaller id
+      survivors should contain(all.min)
+    }
+  }
+
+  test("property: raising the Jaccard threshold only shrinks the pair set") {
+    val d = corpus(21)
+    val loose = Dedup.jaccardPairs(d, threshold = 0.5, maxDf = 50)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val strict = Dedup.jaccardPairs(d, threshold = 0.9, maxDf = 50)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    strict.subsetOf(loose) shouldBe true
+  }
+
+  test("property: exact dedup output ids are minimal per hash and cover all distinct texts") {
+    val d = corpus(31)
+    val out = Dedup.exact(d).select("doc_id", "content_hash")
+      .as[(Long, String)].collect()
+    out.length shouldBe d.select("text").distinct().count()
+    // representative is the minimum doc_id of its identity group
+    val byText = d.as[(Long, String)].collect().groupBy(_._2)
+    val minIds = byText.values.map(_.map(_._1).min).toSet
+    out.map(_._1).toSet shouldBe minIds
+  }
+}
