@@ -25,10 +25,10 @@ object GraftFunctions {
   private[functions] val entries: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_tokenize",
       new ExpressionInfo(classOf[StandardTokensExpr].getName, "graft_tokenize"),
-      (args: Seq[Expression]) => StandardTokensExpr(args.head)),
+      (args: Seq[Expression]) => { arity(args, 1, "graft_tokenize(str)"); StandardTokensExpr(args.head) }),
     ("graft_uri_tokenize",
       new ExpressionInfo(classOf[UriTokensExpr].getName, "graft_uri_tokenize"),
-      (args: Seq[Expression]) => UriTokensExpr(args.head)),
+      (args: Seq[Expression]) => { arity(args, 1, "graft_uri_tokenize(str)"); UriTokensExpr(args.head) }),
     ("graft_dot",
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (args: Seq[Expression]) => { arity(args, 2, "graft_dot(a, b)"); DotProductExpr(args(0), args(1)) }),

@@ -140,8 +140,10 @@ object VecOps {
   def srpSig(emb: ArrayData, bits: Int): ArrayData = {
     val n = emb.numElements()
     val out = new Array[Int](bits)
-    // a null element nulls every projection; when(null >= 0, 1).otherwise(0)
+    // empty array or any null element nulls every projection (zip_with over
+    // an empty/padded array → null sum); when(null >= 0, 1).otherwise(0)
     // takes the else branch → the HOF yields all-zero bits
+    if (n == 0) return new GenericArrayData(out)
     var chk = 0
     while (chk < n) {
       if (emb.isNullAt(chk)) return new GenericArrayData(out)

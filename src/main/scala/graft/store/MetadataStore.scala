@@ -47,22 +47,32 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   private val BucketCol = "_bucket"
   private val BucketCountFile = "_nbuckets" // _-prefixed → invisible to the FileIndex
 
-  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
-    val s = Files.list(dir)
-    try f(s.iterator.asScala) finally s.close()
-  }
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A =
+    graft.util.FsUtil.listDir(dir)(f)
 
   /** The bucket modulus a base was WRITTEN with, from its `_nbuckets` sidecar.
     * The layout is self-describing: pruning always uses the written modulus,
     * never the constructor's — reopening a store with a different `numBuckets`
     * can therefore never prune to the wrong directory (it just governs the
-    * next compaction). A bucketed-looking base without the sidecar is treated
-    * as unbucketed: no pruning, still correct.
+    * next compaction). The sidecar is written into the staging directory
+    * before the atomic publish, so a committed bucketed base always carries
+    * it; a corrupt/missing sidecar degrades to reading the partition column
+    * without pruning (see [[resolved]]), never to a wrong answer.
     */
   private def baseBucketCount(dir: Path): Option[Int] = {
     val p = dir.resolve(BucketCountFile)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toInt).filter(_ > 0) else None
+    if (Files.exists(p)) scala.util.Try(Files.readString(p).trim.toInt).toOption.filter(_ > 0)
+    else None
   }
+
+  /** Physical layout check: does this base have `_bucket=` partition dirs?
+    * Needed independently of the sidecar — a partitioned directory MUST be
+    * read with the partition column in the schema or the discovered column
+    * breaks the log union.
+    */
+  private def hasBucketDirs(dir: Path): Boolean =
+    Files.isDirectory(dir) && listDir(dir)(_.exists(
+      _.getFileName.toString.startsWith(s"$BucketCol=")))
 
   /** Write-side/read-side bucket of an id: pmod(xxhash64(id), n) — the same
     * XXH64 the Column expression computes, so the driver-side lookup key
@@ -98,6 +108,25 @@ class MetadataStore(spark: SparkSession, rootDir: String,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Version for the next segment: strictly above BOTH the committed pointer
+    * and every segment on disk — a crash that left an uncommitted orphan
+    * segment can never have its version number reused by a later mutation
+    * (which would make resolve adopt the orphan and hide the mutation).
+    */
+  private def nextVersion: Long = {
+    val maxSeg = (listVersions("base-") ++ listVersions("delta-")).maxOption.getOrElse(0L)
+    math.max(currentVersion, maxSeg) + 1
+  }
+
+  /** Publish a staged segment directory: atomic rename into its final name.
+    * Combined with [[nextVersion]], a segment is either fully present under
+    * its committed name or invisible — readers never see partial writes.
+    */
+  private def publish(staging: Path, finalName: String): Unit = {
+    Files.move(staging, root.resolve(finalName), StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   private def listVersions(prefix: String): Seq[Long] =
     listDir(root)(_.map(_.getFileName.toString)
       .filter(_.startsWith(prefix))
@@ -130,17 +159,18 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     val deltaVs = listVersions("delta-").filter(d => d <= v && d > baseV.getOrElse(0L))
     val base = baseV.map { b =>
       val dir = root.resolve(s"base-$b")
-      val df = baseBucketCount(dir) match {
-        case Some(n) =>
-          // partition column `_bucket` → directory-level pruning on lookups,
-          // keyed by the modulus the base was written with
+      val df =
+        if (hasBucketDirs(dir)) {
+          // a partitioned dir must be read with the partition column in the
+          // schema; pruning happens only when the sidecar gives the modulus
           val raw = spark.read
             .schema(baseSchema.add(BucketCol, "int", nullable = false))
             .parquet(dir.toString)
-          lookupId.fold(raw)(id => raw.where(col(BucketCol) === bucketOf(id, n)))
-            .drop(BucketCol)
-        case None => spark.read.schema(baseSchema).parquet(dir.toString)
-      }
+          (baseBucketCount(dir), lookupId) match {
+            case (Some(n), Some(id)) => raw.where(col(BucketCol) === bucketOf(id, n)).drop(BucketCol)
+            case _ => raw.drop(BucketCol)
+          }
+        } else spark.read.schema(baseSchema).parquet(dir.toString)
       df.withColumn(VersionCol, lit(b)).withColumn(OpCol, lit("upsert"))
     }
     val deltas = deltaVs.map(d => spark.read.schema(deltaSchema).parquet(root.resolve(s"delta-$d").toString))
@@ -238,10 +268,11 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   /** S7 drop: empty the table (reference deletes the whole index,
     * ignore-missing, elastic_admin.py:41-52).
     */
-  def drop(): Unit = {
-    val v = currentVersion + 1
-    current.limit(0).toDF()
-      .write.mode("overwrite").parquet(root.resolve(s"base-$v").toString)
+  def drop(): Unit = this.synchronized {
+    val v = nextVersion
+    val staging = root.resolve(s".staging-base-$v")
+    current.limit(0).toDF().write.mode("overwrite").parquet(staging.toString)
+    publish(staging, s"base-$v")
     commit(v)
   }
 
@@ -262,19 +293,21 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * unchanged, and unbucketed bases remain readable (changing `numBuckets`
     * just requires one recompaction).
     */
-  def compact(): Unit = {
-    val v = currentVersion + 1
+  def compact(): Unit = this.synchronized {
+    val v = nextVersion
     val snap = resolved
-    val dir = root.resolve(s"base-$v")
+    val staging = root.resolve(s".staging-base-$v")
     if (numBuckets > 0) {
       snap.withColumn(BucketCol, pmod(xxhash64(col("id")), lit(numBuckets.toLong)).cast("int"))
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(dir.toString)
-      // self-describing layout: record the modulus next to the data so reads
-      // prune with the WRITTEN bucket count, whatever this store is
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(staging.toString)
+      // self-describing layout: the modulus travels INSIDE the staged dir, so
+      // the atomic publish below makes data + sidecar visible together —
+      // reads prune with the WRITTEN bucket count, whatever this store is
       // constructed with later
-      Files.writeString(dir.resolve(BucketCountFile), numBuckets.toString)
+      Files.writeString(staging.resolve(BucketCountFile), numBuckets.toString)
       ()
-    } else snap.write.mode("overwrite").parquet(dir.toString)
+    } else snap.write.mode("overwrite").parquet(staging.toString)
+    publish(staging, s"base-$v")
     commit(v)
   }
 
@@ -283,9 +316,11 @@ class MetadataStore(spark: SparkSession, rootDir: String,
 
   /** Executor-side delta write — bulk loads never pass through the driver. */
   private def writeDeltaDF(df: DataFrame, op: String): Unit = this.synchronized {
-    val v = currentVersion + 1
+    val v = nextVersion
+    val staging = root.resolve(s".staging-delta-$v")
     df.withColumn(VersionCol, lit(v)).withColumn(OpCol, lit(op))
-      .write.mode("overwrite").parquet(root.resolve(s"delta-$v").toString)
+      .write.mode("overwrite").parquet(staging.toString)
+    publish(staging, s"delta-$v")
     commit(v)
   }
 }

@@ -195,11 +195,8 @@ object EventStream {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
       val files =
         if (java.nio.file.Files.isRegularFile(p)) Seq(p)
-        else {
-          val s = java.nio.file.Files.list(p)
-          try s.iterator.asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
-          finally s.close()
-        }
+        else graft.util.FsUtil.listDir(p)(
+          _.toSeq.filter(_.getFileName.toString.endsWith(".parquet")))
       for (f <- files; i <- 1 to copies)
         java.nio.file.Files.createSymbolicLink(
           d.resolve(s"copy$i-${f.getFileName}"), f)

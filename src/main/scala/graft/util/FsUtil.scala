@@ -1,0 +1,16 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Small filesystem helpers shared across the store and streaming stagers. */
+object FsUtil {
+
+  /** `Files.list` with a guaranteed stream close (the DirectoryStream must be
+    * closed or it leaks a file descriptor per call).
+    */
+  def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator.asScala) finally s.close()
+  }
+}

@@ -56,6 +56,24 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     Fixtures.corpus.foreach(e => st16.get(e.id) shouldBe Some(e))
   }
 
+  test("crash recovery: an orphan base from a failed compact never hides later mutations") {
+    val dir = Files.createTempDirectory("graft-store-crash")
+    val st = new MetadataStore(spark, dir.toString, fixedClock)
+    st.upsert(e0) // delta-1, CURRENT=1
+    st.compact() // base-2, CURRENT=2
+    // simulate a crash between segment publish and pointer commit:
+    // base-2 is fully on disk but CURRENT still reads 1
+    Files.writeString(dir.resolve("CURRENT"), "1")
+    st.get(e0.id) shouldBe Some(e0) // orphan invisible pre-commit
+    // the next mutation must NOT reuse version 2 (which would make resolve
+    // adopt the orphan as the base and drop this delta)
+    val e1 = Fixtures.corpus(1)
+    st.upsert(e1)
+    st.get(e1.id) shouldBe Some(e1)
+    st.get(e0.id) shouldBe Some(e0) // adopted orphan base still serves e0
+    st.current.count() shouldBe 2
+  }
+
   test("S2 point lookup: absent id → None (404)") {
     val st = freshStore()
     st.get("nope") shouldBe None

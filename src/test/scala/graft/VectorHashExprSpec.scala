@@ -73,19 +73,21 @@ class VectorHashExprSpec extends AnyFunSuite with Matchers with SparkSupport {
       graft.operators.Similarity.norm($"a").as("nn"), hofNorm($"a").as("hn"))
       .as[(Option[Double], Option[Double], Option[Double], Option[Double])].collect()
     rows.foreach { case (nd, hd, nn, hn) => nd shouldBe hd; nn shouldBe hn }
-    // simhash: a null hash poisons the vote aggregate → null
+    // simhash: a null hash votes −1 on every bit in BOTH formulations (the
+    // HOF's when(...).otherwise(-1) turns the null bit-test into the else
+    // branch) — the results are equal and non-null
     val sh = Seq(Seq[Option[Long]](Some(5L), None)).toDF("hashes")
     sh.select(graft.operators.Dedup.simhashFromHashes($"hashes").as("n"),
       hofSimhash($"hashes").as("h"))
       .as[(Option[Long], Option[Long])].head() match {
       case (n, h) => n shouldBe h
     }
-    // srp: a null element zeroes every sign bit in both formulations
-    val emb = Seq(Seq[Option[Float]](Some(1f), None)).toDF("v")
+    // srp: a null element — or an empty array — zeroes every sign bit in
+    // both formulations
+    val emb = Seq(Seq[Option[Float]](Some(1f), None), Seq.empty[Option[Float]]).toDF("v")
     emb.select(graft.operators.Similarity.srpSignature($"v", 8).as("n"), hofSrp($"v", 8).as("h"))
-      .as[(Seq[Int], Seq[Int])].head() match {
-      case (n, h) => n shouldBe h
-    }
+      .as[(Seq[Int], Seq[Int])].collect()
+      .foreach { case (n, h) => n shouldBe h }
   }
 
   test("graft_simhash ≡ HOF vote loop on random token-hash arrays") {
