@@ -283,6 +283,18 @@ object SparkEntry {
       st.current.toDF().select(col("id"), col("title")).orderBy("id")
     }),
 
+    // S9 time travel: read the table as of an older committed version —
+    // mutations after the snapshot version are invisible
+    "s9_time_travel" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // version 1
+      val vSnap = 1L
+      st.delete("000010")
+      st.partialUpdate("000020", Map("title" -> "mutated-later"))
+      st.compact()
+      st.currentAt(vSnap).toDF().select(col("id"), col("title")).orderBy("id")
+    }),
+
     // X2 full export scan: snapshot → parquet → read back
     "x2_export" -> ((s, d) => {
       val st = freshStore(s)
@@ -326,6 +338,11 @@ object SparkEntry {
     // fuzzy-dedup survivors, one narrow gate stage + the blocked dedup leg
     "p1_pretrain_corpus" -> ((s, d) =>
       graft.operators.Pipeline.pretrainCorpus(docs(s, d)).orderBy("doc_id")),
+
+    // Pipeline: deterministic train/val/test split (Knuth multiplicative
+    // hash — reprocessing-stable, engine-portable integer arithmetic)
+    "p2_hash_split" -> ((s, d) =>
+      graft.operators.Pipeline.hashSplit(docs(s, d)).orderBy("doc_id")),
 
     // Dedup: exact (content-hash, min doc_id representative)
     "d1_exact_dedup" -> ((s, d) =>
@@ -561,6 +578,12 @@ object SparkEntry {
           "UNION ALL SELECT 'zbad1', 'rejected' UNION ALL SELECT 'zbad2', 'rejected' ORDER BY id"),
       "s7_drop_reload" ->
         (M + "SELECT id, title FROM meta WHERE id = '000001'"),
+      "s9_time_travel" ->
+        (M + "SELECT id, title FROM meta WHERE id BETWEEN '000001' AND '000050' ORDER BY id"),
+      "p2_hash_split" ->
+        ("SELECT doc_id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split " +
+          "FROM (SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS b FROM documents) " +
+          "ORDER BY doc_id"),
       "x2_export" ->
         (M + "SELECT id, category, title FROM meta WHERE id BETWEEN '000001' AND '000100' ORDER BY id"),
       "t1_token_stats" ->

@@ -34,4 +34,22 @@ object Pipeline {
     gated.join(survivors, "doc_id")
       .select(col("doc_id"), col("predicted_lang"), col("quality"))
   }
+
+  /** Deterministic train/val/test assignment by Knuth multiplicative hashing
+    * of doc_id — pure 64-bit integer arithmetic, so ANY engine reproduces the
+    * split exactly and re-processing the corpus (or processing it shard by
+    * shard on 1000 executors) never reassigns a document. No shuffle, no
+    * sampling state: a narrow per-row map, the only splitting discipline that
+    * survives incremental 100 TB ingest.
+    *
+    * bucket = ((doc_id · 2654435761) mod 2³²) mod 100; products stay well
+    * under Long overflow for any plausible id space.
+    */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+    docs.select(col("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
 }

@@ -138,6 +138,15 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   /** Resolved current table as Dataset[MetadataEntry]. */
   def current: Dataset[MetadataEntry] = resolved.select(entryCols.map(col): _*).as[MetadataEntry]
 
+  /** Time travel: the table as of an older committed version — the versioned
+    * log gives historical reads for free (resolve with the version ceiling
+    * lowered; segments above it are simply not read). Querying a version
+    * above CURRENT reads CURRENT.
+    */
+  def currentAt(version: Long): Dataset[MetadataEntry] =
+    resolved(None, None, Some(math.min(version, currentVersion)))
+      .select(entryCols.map(col): _*).as[MetadataEntry]
+
   /** Resolved current table with no row-identity applied yet (includes
     * neither _op nor _version).
     */
@@ -152,8 +161,9 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * hash-bucketed base down to ONE partition directory (see [[compact]]).
     */
   private def resolved(prune: Option[org.apache.spark.sql.Column],
-                       lookupId: Option[String] = None): DataFrame = {
-    val v = currentVersion
+                       lookupId: Option[String] = None,
+                       asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion)
     if (v == 0L) return emptyLog.select(entryCols.map(col): _*)
     val baseV = listVersions("base-").filter(_ <= v).lastOption
     val deltaVs = listVersions("delta-").filter(d => d <= v && d > baseV.getOrElse(0L))

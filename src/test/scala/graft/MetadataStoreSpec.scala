@@ -56,6 +56,17 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     Fixtures.corpus.foreach(e => st16.get(e.id) shouldBe Some(e))
   }
 
+  test("S9 time travel: older versions stay readable; future versions clamp to current") {
+    val st = freshStore()
+    Fixtures.corpus.take(3).foreach(st.upsert) // versions 1..3
+    st.delete(Fixtures.corpus.head.id) // version 4
+    st.compact() // version 5
+    st.currentAt(3).collect().toSet shouldBe Fixtures.corpus.take(3).toSet
+    st.currentAt(1).collect().toSet shouldBe Set(Fixtures.corpus.head)
+    st.currentAt(999).collect().toSet shouldBe st.current.collect().toSet
+    st.current.count() shouldBe 2 // the delete holds at CURRENT
+  }
+
   test("crash recovery: an orphan base from a failed compact never hides later mutations") {
     val dir = Files.createTempDirectory("graft-store-crash")
     val st = new MetadataStore(spark, dir.toString, fixedClock)

@@ -177,6 +177,17 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       .count() shouldBe 0L
   }
 
+  test("hash split: deterministic, partition-layout independent, respects percentages") {
+    val d = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val once = graft.operators.Pipeline.hashSplit(d).as[(Long, String)].collect().toMap
+    val again = graft.operators.Pipeline.hashSplit(d.repartition(7)).as[(Long, String)].collect().toMap
+    again shouldBe once // layout-independent: pure function of doc_id
+    val counts = once.values.groupBy(identity).view.mapValues(_.size).toMap
+    counts("train").toDouble / 1000 shouldBe 0.9 +- 0.05
+    counts("val").toDouble / 1000 shouldBe 0.05 +- 0.03
+    counts("test").toDouble / 1000 shouldBe 0.05 +- 0.03
+  }
+
   test("ngrams: counts and edges") {
     val d = Seq((0L, "a b c d")).toDF("doc_id", "text")
     val tri = d.select(TextAnalysis.ngrams(TextAnalysis.tokens($"text"), 3))
