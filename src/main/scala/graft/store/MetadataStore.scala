@@ -294,6 +294,19 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   def export(path: String): Unit =
     current.write.mode("overwrite").parquet(path)
 
+  /** Compaction policy: fold the log once it exceeds `threshold` delta
+    * segments since the last base. Call after mutations (or from a
+    * maintenance job); keeps the merge window — and every read's segment
+    * fan-in — bounded without manual compaction scheduling. Returns whether
+    * a compaction ran.
+    */
+  def maybeCompact(threshold: Int = 16): Boolean = this.synchronized {
+    val v = currentVersion
+    val baseV = listVersions("base-").filter(_ <= v).lastOption.getOrElse(0L)
+    val deltas = listVersions("delta-").count(d => d <= v && d > baseV)
+    if (deltas >= threshold) { compact(); true } else false
+  }
+
   /** Fold the delta log into a new base snapshot. With `numBuckets` > 0 the
     * base is laid out as `_bucket=k/` partition directories keyed on
     * pmod(xxhash64(id), numBuckets) — point lookups then prune to one

@@ -67,6 +67,16 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.current.count() shouldBe 2 // the delete holds at CURRENT
   }
 
+  test("maybeCompact folds the log only past the threshold and preserves state") {
+    val st = freshStore()
+    Fixtures.corpus.take(3).foreach(st.upsert)
+    st.maybeCompact(threshold = 5) shouldBe false // 3 deltas < 5
+    Fixtures.corpus.slice(3, 6).foreach(st.upsert)
+    st.maybeCompact(threshold = 5) shouldBe true // 6 deltas ≥ 5
+    st.maybeCompact(threshold = 5) shouldBe false // log just folded
+    st.current.collect().toSet shouldBe Fixtures.corpus.take(6).toSet
+  }
+
   test("crash recovery: an orphan base from a failed compact never hides later mutations") {
     val dir = Files.createTempDirectory("graft-store-crash")
     val st = new MetadataStore(spark, dir.toString, fixedClock)
