@@ -74,7 +74,14 @@ final case class DeleteResult(found: Boolean, deletedFromDownloader: Boolean,
   */
 final class CatalogService(spark: SparkSession, store: MetadataStore,
                            notifier: Notifier = NoopNotifier,
-                           cascade: CascadeDeleter = NoopCascadeDeleter) {
+                           cascade: CascadeDeleter = NoopCascadeDeleter,
+                           compactThreshold: Int = 64) {
+
+  /** Every mutation route ends here: fold the delta log once it exceeds the
+    * threshold, so a long-serving store's read fan-in stays bounded without
+    * external maintenance scheduling.
+    */
+  private def afterMutation(): Unit = { store.maybeCompact(compactThreshold); () }
 
   /** GET /rest/datasets?query=… */
   def search(rawDsl: String, acl: AclContext): SearchResult =
@@ -89,6 +96,7 @@ final class CatalogService(spark: SparkSession, store: MetadataStore,
   def put(entry: MetadataEntry): Boolean = {
     val created = store.upsert(entry)
     notifier.notify(entry.orgUUID, s"Dataset ${entry.id} ${if (created) "created" else "updated"}")
+    afterMutation()
     created
   }
 
@@ -97,8 +105,10 @@ final class CatalogService(spark: SparkSession, store: MetadataStore,
     */
   def post(id: String, fields: Map[String, Any]): Boolean = {
     val updated = store.partialUpdate(id, fields)
-    if (updated)
+    if (updated) {
       notifier.notify(store.get(id).map(_.orgUUID).getOrElse(""), s"Dataset $id updated")
+      afterMutation()
+    }
     updated
   }
 
@@ -113,6 +123,7 @@ final class CatalogService(spark: SparkSession, store: MetadataStore,
         store.delete(id)
         val (dl, pub) = cascade.cascade(entry)
         notifier.notify(entry.orgUUID, s"Dataset $id deleted")
+        afterMutation()
         DeleteResult(found = true, dl, pub)
     }
 

@@ -64,6 +64,16 @@ class ServeSpec extends AnyFunSuite with Matchers with SparkSupport {
     c.entries shouldBe empty
   }
 
+  test("the facade self-compacts past its threshold; reads stay correct") {
+    val dir = Files.createTempDirectory("graft-serve-compact").toString
+    val store = new MetadataStore(spark, dir, clock)
+    val svc = new CatalogService(spark, store, compactThreshold = 4)
+    Fixtures.corpus.take(5).foreach(svc.put)
+    // 5 mutations with threshold 4 → at least one compaction produced a base
+    new java.io.File(dir).list().count(_.startsWith("base-")) should be >= 1
+    Fixtures.corpus.take(5).foreach(e => svc.get(e.id) shouldBe Some(e))
+  }
+
   test("search and count flow through the facade") {
     val (svc, _, _) = service()
     Fixtures.corpus.foreach(svc.put)
