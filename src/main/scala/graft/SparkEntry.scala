@@ -339,6 +339,10 @@ object SparkEntry {
     "p1_pretrain_corpus" -> ((s, d) =>
       graft.operators.Pipeline.pretrainCorpus(docs(s, d)).orderBy("doc_id")),
 
+    // Text analysis: corpus-level token report (single aggregate row)
+    "t8_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(docs(s, d))),
+
     // Pipeline: deterministic train/val/test split (Knuth multiplicative
     // hash — reprocessing-stable, engine-portable integer arithmetic)
     "p2_hash_split" -> ((s, d) =>
@@ -580,6 +584,11 @@ object SparkEntry {
         (M + "SELECT id, title FROM meta WHERE id = '000001'"),
       "s9_time_travel" ->
         (M + "SELECT id, title FROM meta WHERE id BETWEEN '000001' AND '000050' ORDER BY id"),
+      "t8_corpus_stats" ->
+        (T + "SELECT count(*) AS n_docs, sum(len(t)) AS total_tokens, " +
+          "round(avg(len(t)), 6) AS mean_tokens, " +
+          "round(quantile_cont(len(t), 0.5), 6) AS median_tokens, " +
+          "min(len(t)) AS min_tokens, max(len(t)) AS max_tokens FROM toks"),
       "p2_hash_split" ->
         ("SELECT doc_id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split " +
           "FROM (SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS b FROM documents) " +

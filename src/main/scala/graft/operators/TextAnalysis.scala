@@ -126,6 +126,25 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(s"[^$WsClass]+"), lit(0))).as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
 
+  // ------------------------------------------------------------ corpus stats
+
+  /** Corpus-level report: document count, total/mean/median/min/max token
+    * counts — the summary every pipeline prints before training. One partial+
+    * final aggregate over the token-count projection (map-side combined, a
+    * single scalar row out — the 100 TB-safe aggregation shape). Median is
+    * the standard linear-interpolated percentile; mean/median round to 6 for
+    * cross-engine comparability.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(size(tokens(col("text"))).as("n"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        round(avg(col("n")), 6).as("mean_tokens"),
+        round(expr("percentile(n, 0.5)"), 6).as("median_tokens"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+
   // ----------------------------------------------------------- fingerprints
 
   /** Canonical content fingerprint: md5 over the normalized token stream.

@@ -177,6 +177,17 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       .count() shouldBe 0L
   }
 
+  test("corpus stats: one row, exact counts, interpolated median") {
+    val d = Seq((0L, "a b c"), (1L, "a b"), (2L, "a b c d e"), (3L, "a")).toDF("doc_id", "text")
+    val r = TextAnalysis.corpusStats(d).collect().head
+    r.getAs[Long]("n_docs") shouldBe 4
+    r.getAs[Long]("total_tokens") shouldBe 11
+    r.getAs[Double]("mean_tokens") shouldBe 2.75
+    r.getAs[Double]("median_tokens") shouldBe 2.5 // interpolated between 2 and 3
+    r.getAs[Int]("min_tokens") shouldBe 1
+    r.getAs[Int]("max_tokens") shouldBe 5
+  }
+
   test("hash split: deterministic, partition-layout independent, respects percentages") {
     val d = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val once = graft.operators.Pipeline.hashSplit(d).as[(Long, String)].collect().toMap
