@@ -288,11 +288,10 @@ object SparkEntry {
     "s9_time_travel" -> ((s, d) => {
       val st = freshStore(s)
       st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // version 1
-      val vSnap = 1L
       st.delete("000010")
       st.partialUpdate("000020", Map("title" -> "mutated-later"))
       st.compact()
-      st.currentAt(vSnap).toDF().select(col("id"), col("title")).orderBy("id")
+      st.currentAt(1L).toDF().select(col("id"), col("title")).orderBy("id") // pre-mutation snapshot
     }),
 
     // X2 full export scan: snapshot → parquet → read back
@@ -506,6 +505,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val aclOr = "(orgUUID = 'org1' OR isPublic)"
+    // exact cosine top-10 for query vectors vec_id < 5 — the answer v1
+    // computes directly and v4 (IVF at full probe) must degrade to
+    val exactTopkSql =
+      "WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
+        s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM embeddings e, q WHERE e.vec_id <> q_id) " +
+        ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
+        "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
     val stop = sqlList(graft.analyzers.Analyzers.EnglishStopwords)
     val langScores = TextAnalysis.LangProfiles.map { case (lang, ws) =>
       s"len(list_filter(t, x -> x IN ${sqlList(ws)})) AS $lang"
@@ -645,11 +651,8 @@ object SparkEntry {
       "d5_fuzzy_survivors" ->
         (JaccardCte + "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
           "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id"),
-      "v4_ivf_topk" ->
-        ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
-          s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM embeddings e, q WHERE e.vec_id <> q_id) " +
-          ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
-          "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+      // v4 at full probe must equal exact brute force — same oracle as v1
+      "v4_ivf_topk" -> exactTopkSql,
       "v3_embedding_neardup" ->
         ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
           "UNION ALL SELECT vec_id + 100000 AS vec_id, " +
@@ -658,11 +661,7 @@ object SparkEntry {
           s"p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.embedding", "b.embedding")} AS cos " +
           "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) " +
           "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
-      "v1_cosine_topk" ->
-        ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
-          s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM embeddings e, q WHERE e.vec_id <> q_id) " +
-          ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
-          "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+      "v1_cosine_topk" -> exactTopkSql,
       "m1_media_features" ->
         ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
           "16 AS dim, list_transform(range(0, 16), i -> " +

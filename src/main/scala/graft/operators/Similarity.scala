@@ -79,23 +79,28 @@ object Similarity {
     * candidates. bits=16, bands=4 → 4-bit band keys; recall rises with
     * bands, cost with bucket size — both independent of |corpus|·|queries|.
     */
+  /** The shared SRP blocking stage of [[lshTopK]] and [[cosineNearDupPairs]]:
+    * materialize signature + norm behind a shuffle barrier (see
+    * Dedup.minhashPairs for why), then explode per-band (band, key) rows.
+    */
+  private def bandedSig(df: DataFrame, idCol: String, embCol: String, nrmCol: String,
+                        bits: Int, bands: Int): DataFrame = {
+    val r = bits / bands
+    df.select(col("vec_id").as(idCol), col("embedding").as(embCol),
+        norm(col("embedding")).as(nrmCol),
+        srpSignature(col("embedding"), bits).as("sig"))
+      .repartition(col(idCol))
+      .select(col(idCol), col(embCol), col(nrmCol),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
+          .as("bk"))
+      .select(col(idCol), col(embCol), col(nrmCol), col("bk.band"), col("bk.key"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 16, bands: Int = 4): DataFrame = {
-    val r = bits / bands
-    def banded(df: DataFrame, idCol: String, embCol: String, nrmCol: String): DataFrame =
-      df.select(col("vec_id").as(idCol), col("embedding").as(embCol),
-          norm(col("embedding")).as(nrmCol),
-          srpSignature(col("embedding"), bits).as("sig"))
-        // barrier: materialize sig (and the norm) before banding
-        // (see Dedup.minhashPairs)
-        .repartition(col(idCol))
-        .select(col(idCol), col(embCol), col(nrmCol),
-          explode(transform(sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
-            .as("bk"))
-        .select(col(idCol), col(embCol), col(nrmCol), col("bk.band"), col("bk.key"))
-    val qb = broadcast(banded(queries, "q_id", "q_emb", "q_nrm"))
-    val cands = banded(corpus, "vec_id", "embedding", "nrm")
+    val qb = broadcast(bandedSig(queries, "q_id", "q_emb", "q_nrm", bits, bands))
+    val cands = bandedSig(corpus, "vec_id", "embedding", "nrm", bits, bands)
       .join(qb, Seq("band", "key"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))
@@ -167,18 +172,7 @@ object Similarity {
     // 6-bit band keys: 64 buckets/band cuts candidate pairs ~6× vs 4-bit
     // keys while band-collision probability for cos ≥ 0.95 pairs stays
     // ≈ 0.53/band → ≥ 95% recall over 4 bands (SRP S-curve).
-    val r = bits / bands
-    val banded = emb
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-        srpSignature(col("embedding"), bits).as("sig"))
-      // barrier: materialize sig (and the norm) before banding
-      // (see Dedup.minhashPairs)
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
-          .as("bk"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("bk.band"), col("bk.key"))
+    val banded = bandedSig(emb, "vec_id", "embedding", "nrm", bits, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))

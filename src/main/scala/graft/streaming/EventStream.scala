@@ -149,17 +149,9 @@ object EventStream {
     * input.
     */
   def backfillSessions(spark: SparkSession, path: String,
-                       gapMs: Long = 6L * 3600 * 1000): DataFrame = {
-    val name = "graft_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val dir = stageDir(path)
-    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
-    val q = sessionize(spark, stream, gapMs)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+                       gapMs: Long = 6L * 3600 * 1000): DataFrame =
+    runToMemoryTable(spark,
+      sessionize(spark, fileStream(spark, stageDir(path)), gapMs).toDF(), "append")
 
   /** Streaming exact dedup: drop duplicate event_ids within the watermark
     * horizon (`dropDuplicatesWithinWatermark` — state holds only ids inside
@@ -171,15 +163,29 @@ object EventStream {
     * exactly the original table — which makes the result oracle-checkable
     * against a plain batch read.
     */
-  def backfillStreamDedup(spark: SparkSession, path: String): DataFrame = {
-    val name = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val dir = stageDir(path, copies = 2)
-    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
-    val q = withEventTime(stream)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
+  def backfillStreamDedup(spark: SparkSession, path: String): DataFrame =
+    runToMemoryTable(spark,
+      withEventTime(fileStream(spark, stageDir(path, copies = 2)))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id"),
+      "append")
+
+  /** File stream with the schema inferred from a batch read of the same
+    * files (the driver's parquet encodes ts as nanosecond INT64, read as
+    * long nanos under spark.sql.legacy.parquet.nanosAsLong — a hand-declared
+    * TimestampType would mis-read it).
+    */
+  private def fileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+
+  /** Run a streaming frame to completion (Trigger.AvailableNow) into a
+    * uniquely-named memory sink and return the sink table — the shared
+    * deterministic-backfill harness of every operator here.
+    */
+  private def runToMemoryTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = "graft_bf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
@@ -210,19 +216,7 @@ object EventStream {
     * Complete output mode emits every window (nothing is lost to the final
     * watermark, which is what an append-mode backfill would clip).
     */
-  def backfillWindowedCounts(spark: SparkSession, path: String): DataFrame = {
-    val name = "graft_events_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val dir = stageDir(path)
-    // Infer the schema from a batch read of the same files: the driver's
-    // parquet encodes ts as nanosecond INT64 (read as long nanos under
-    // spark.sql.legacy.parquet.nanosAsLong), which a hand-declared
-    // TimestampType would mis-read.
-    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
-    val q = windowedCounts(withEventTime(stream))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def backfillWindowedCounts(spark: SparkSession, path: String): DataFrame =
+    runToMemoryTable(spark,
+      windowedCounts(withEventTime(fileStream(spark, stageDir(path)))), "complete")
 }
