@@ -447,8 +447,11 @@ object SparkEntry {
     "s8_store_search" -> ((s, d) => {
       val st = freshStore(s)
       st.bulkLoad(corpusEntries(s, d, "000001", "000200"))
+      // cat5 rows in this id range are org1-owned and private: the result is
+      // non-empty precisely because the ACL org-clause admits them (an
+      // all-rows-filtered 0-row match would be vacuous evidence)
       val cq = QueryCompiler.compile(
-        QueryCompiler.parse(all("""{"filters":[{"category":["cat3"]}]}""")),
+        QueryCompiler.parse(all("""{"filters":[{"category":["cat5"]}]}""")),
         AclContext(Seq("org1"), isAdmin = false))
       SearchExecutor.hitsBranch(SearchExecutor.baseBranch(st.current.toDF(), cq), cq)
         .select(col("id"), col("category"), col("orgUUID").as("org_uuid"),
@@ -696,7 +699,7 @@ object SparkEntry {
           "FROM events ORDER BY event_id"),
       "s8_store_search" ->
         (M + "SELECT id, category, orgUUID AS org_uuid, isPublic AS is_public FROM meta " +
-          "WHERE id BETWEEN '000001' AND '000200' AND category = 'cat3' " +
+          "WHERE id BETWEEN '000001' AND '000200' AND category = 'cat5' " +
           "AND (orgUUID = 'org1' OR isPublic) ORDER BY id"),
       "a1_facet_categories" ->
         (M + "SELECT category, count(*) AS cnt FROM meta GROUP BY category ORDER BY cnt DESC, category LIMIT 100"),
