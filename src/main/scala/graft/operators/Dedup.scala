@@ -213,4 +213,57 @@ object Dedup {
       .groupBy("doc_id").agg(min("rep").as("rep"))
     docs.join(rep, Seq("doc_id"), "left_anti").select("doc_id")
   }
+
+  // --------------------------------------------- connected-component clusters
+
+  /** Connected-component canonicalization of a near-duplicate pair graph:
+    * every document maps to its cluster representative — the minimum doc_id
+    * reachable through dup pairs (itself when it has none). Unlike
+    * [[fuzzyDedupSurvivors]]' single min-propagation round (exact only for
+    * the star/clique shapes planted dups form), this iterates to fixpoint,
+    * so chains a–b, b–c collapse transitively.
+    *
+    * Each round a node takes the min of its own label, its neighbors'
+    * labels, and its label's label (pointer jumping / path halving), so
+    * rounds needed grow with log(component diameter), not diameter. One
+    * round = two shuffle-keyed joins + one map-side-combining min aggregate;
+    * the edge list materializes once and labels re-checkpoint per round to
+    * keep lineage flat (on a cluster: persisted shuffle outputs, reused via
+    * ReuseExchange across rounds). This is the simplified form of the
+    * alternating large-star/small-star MapReduce CC algorithm; near-dup
+    * graphs are shallow (dups of a doc are dups of each other), so the loop
+    * terminates in a handful of rounds. Convergence detection is one cheap
+    * scalar aggregate: labels only ever decrease, so an unchanged sum means
+    * a fixpoint, no join-and-diff needed.
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .repartition(col("u")).localCheckpoint()
+    var labels = e.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("lbl")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    var prev = labelSum(labels)
+    var converged = prev == 0L // empty pair graph: nothing to iterate
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbr = e.join(labels.select(col("u").as("_v"), col("lbl")), col("v") === col("_v"))
+        .select(col("u"), col("lbl"))
+      val merged = labels.unionByName(nbr).groupBy("u").agg(min("lbl").as("lbl"))
+      val jump = merged.select(col("u").as("_ju"), col("lbl").as("_jl"))
+      val next = merged.join(jump, col("lbl") === col("_ju"), "left")
+        .select(col("u"), least(col("lbl"), coalesce(col("_jl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val cur = labelSum(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+      iter += 1
+    }
+    docs.select(col("doc_id"))
+      .join(labels.select(col("u").as("doc_id"), col("lbl").as("rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_canonical", col("cluster_rep") === col("doc_id"))
+  }
 }
