@@ -400,10 +400,17 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(plantedEmb(s, d)).orderBy("a_id", "b_id")),
 
     // Multimodal: binary payload → batched feature extraction (stub decode,
-    // real plumbing: schema, mapPartitions batch shape, payload pruning)
+    // real plumbing: schema, mapPartitions batch shape, payload pruning).
+    // The feature vector is emitted as a CSV string: the driver's hasher
+    // can't sort/hash a list column, and the stub features are exact
+    // integer counts, so the long-cast CSV is full-fidelity and hashable.
     "m1_media_features" -> ((s, d) =>
       Multimodal.features(s, Multimodal.mediaFromDocuments(docs(s, d)))
-        .toDF().orderBy("media_id")),
+        .toDF()
+        .select(col("media_id"), col("kind"), col("dim"),
+          array_join(transform(col("features"),
+            x => x.cast("long").cast("string")), ",").as("features_csv"))
+        .orderBy("media_id")),
 
     // Multimodal: resize plumbing — payload-in/payload-out with metadata
     // passthrough (byte-level stub semantics are spec-pinned; the oracle
@@ -419,9 +426,14 @@ object SparkEntry {
         .orderBy("media_id")),
 
     // Streaming: event-time windowed aggregation through the streaming
-    // engine (AvailableNow backfill), exact decimal sums
+    // engine (AvailableNow backfill). Sums are exact decimals internally;
+    // the contract surface casts to DOUBLE so Spark's DECIMAL(28,6) and
+    // DuckDB's DECIMAL(38,6) reprs can't hash-diverge (same value, same
+    // IEEE bits after the cast).
     "e1_stream_window_counts" -> ((s, d) =>
       EventStream.backfillWindowedCounts(s, s"$d/events.parquet")
+        .select(col("window_start"), col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
         .orderBy("window_start", "event_type")),
 
     // Streaming custom state: gap sessionization via flatMapGroupsWithState,
@@ -429,7 +441,7 @@ object SparkEntry {
     "e2_sessionize" -> ((s, d) =>
       EventStream.backfillSessions(s, s"$d/events.parquet")
         .select(col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"), col("sum_value").cast("decimal(20,6)").as("sum_value"))
+          col("n_events"), col("sum_value").cast("double").as("sum_value"))
         .orderBy("user_id", "session_start")),
 
     // Streaming exact dedup: every event delivered twice; the operator must
@@ -438,7 +450,7 @@ object SparkEntry {
     "e3_stream_dedup" -> ((s, d) =>
       EventStream.backfillStreamDedup(s, s"$d/events.parquet")
         .select(col("event_id"), col("event_type"),
-          col("value").cast("decimal(18,6)").as("value"))
+          col("value").cast("decimal(18,6)").cast("double").as("value"))
         .orderBy("event_id")),
 
     // S-ops × search: the serving flow end-to-end — bulk load into the
@@ -594,7 +606,9 @@ object SparkEntry {
       "s9_time_travel" ->
         (M + "SELECT id, title FROM meta WHERE id BETWEEN '000001' AND '000050' ORDER BY id"),
       "t8_corpus_stats" ->
-        (T + "SELECT count(*) AS n_docs, sum(len(t)) AS total_tokens, " +
+        // ::BIGINT: DuckDB sum() yields HUGEINT, which lands in pandas as
+        // float64 and hash-diverges from Spark's int64
+        (T + "SELECT count(*) AS n_docs, sum(len(t))::BIGINT AS total_tokens, " +
           "round(avg(len(t)), 6) AS mean_tokens, " +
           "round(quantile_cont(len(t), 0.5), 6) AS median_tokens, " +
           "min(len(t)) AS min_tokens, max(len(t)) AS max_tokens FROM toks"),
@@ -667,8 +681,8 @@ object SparkEntry {
       "v1_cosine_topk" -> exactTopkSql,
       "m1_media_features" ->
         ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
-          "16 AS dim, list_transform(range(0, 16), i -> " +
-          "(length(md5(text)) - length(replace(md5(text), substr('0123456789abcdef', i+1, 1), '')))::DOUBLE) AS features " +
+          "16 AS dim, array_to_string(list_transform(range(0, 16), i -> " +
+          "(length(md5(text)) - length(replace(md5(text), substr('0123456789abcdef', i+1, 1), '')))::BIGINT), ',') AS features_csv " +
           "FROM documents ORDER BY media_id"),
       "m2_media_resize" ->
         ("SELECT doc_id AS media_id, 8 AS n_bytes, (n_chars % 640)::INT AS orig_width, " +
@@ -678,7 +692,7 @@ object SparkEntry {
         "SELECT doc_id AS media_id, 6 AS n_sampled FROM documents ORDER BY media_id",
       "e1_stream_window_counts" ->
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
-          "sum(value::DECIMAL(18,6)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+          "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
       "e2_sessionize" ->
         // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
         // engine's timestamp_micros(ts/1000) normalization
@@ -691,11 +705,11 @@ object SparkEntry {
           "agg AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end, " +
           "count(*) AS n_events, sum(v) AS sum_value FROM s GROUP BY 1, 2), " +
           "wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm FROM ev) " +
-          "SELECT user_id, session_start, session_end, n_events, sum_value::DECIMAL(20,6) AS sum_value " +
+          "SELECT user_id, session_start, session_end, n_events, sum_value::DOUBLE AS sum_value " +
           "FROM agg, wm WHERE epoch_ms(session_end) + 21600000 <= wm " +
           "ORDER BY user_id, session_start"),
       "e3_stream_dedup" ->
-        ("SELECT event_id, event_type, value::DECIMAL(18,6) AS value " +
+        ("SELECT event_id, event_type, (value::DECIMAL(18,6))::DOUBLE AS value " +
           "FROM events ORDER BY event_id"),
       "s8_store_search" ->
         (M + "SELECT id, category, orgUUID AS org_uuid, isPublic AS is_public FROM meta " +

@@ -142,8 +142,10 @@ object TextAnalysis {
         sum(col("n")).as("total_tokens"),
         round(avg(col("n")), 6).as("mean_tokens"),
         round(expr("percentile(n, 0.5)"), 6).as("median_tokens"),
-        min(col("n")).as("min_tokens"),
-        max(col("n")).as("max_tokens"))
+        // long-cast: size() is int32, but every cross-engine consumer of a
+        // token COUNT speaks int64 (DuckDB len() is BIGINT)
+        min(col("n")).cast("long").as("min_tokens"),
+        max(col("n")).cast("long").as("max_tokens"))
 
   // ----------------------------------------------------------- fingerprints
 

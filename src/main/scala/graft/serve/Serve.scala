@@ -12,25 +12,40 @@ import org.apache.spark.sql.SparkSession
   * NATS/real cascade targets plug in behind these traits.
   */
 
+/** The notification wire message — exactly the reference's published shape
+  * (reference: data_catalog/notifier.py:56-63 — {'OrgGuid': …, 'Message': …,
+  * 'Timestamp': int(time.time()*1000)}).
+  */
+final case class Notification(orgGuid: String, message: String, timestamp: Long)
+
 /** Mutation notification seam (reference: data_catalog/notifier.py:45-63
   * publishes {OrgGuid, Message, Timestamp} on subject platform.data-catalog
   * after every PUT/POST/DELETE, call sites metadata_entry.py:156-271).
+  * The timestamp is stamped by the notifier itself with an injectable
+  * epoch-ms clock (reference: notifier.py:64-66), matching the store's
+  * injectable-clock pattern — deterministic under test.
   */
 trait Notifier {
-  def notify(orgUUID: String, message: String): Unit
+  protected def clock: () => Long
+  /** Stamp and publish — every implementation emits the full wire shape. */
+  final def notify(orgUUID: String, message: String): Unit =
+    publish(Notification(orgUUID, message, clock()))
+  protected def publish(n: Notification): Unit
 }
 
 object NoopNotifier extends Notifier {
-  def notify(orgUUID: String, message: String): Unit = ()
+  protected val clock: () => Long = () => 0L
+  protected def publish(n: Notification): Unit = ()
 }
 
 /** Records notifications in order — the test double, mirroring the
   * reference's mocked-NATS tests (reference: tests/test_notifier.py:32-52).
   */
-final class RecordingNotifier extends Notifier {
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-  def notify(orgUUID: String, message: String): Unit = synchronized { buf += orgUUID -> message; () }
-  def events: Seq[(String, String)] = synchronized(buf.toSeq)
+final class RecordingNotifier(
+    protected val clock: () => Long = () => System.currentTimeMillis()) extends Notifier {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Notification]
+  protected def publish(n: Notification): Unit = synchronized { buf += n; () }
+  def events: Seq[Notification] = synchronized(buf.toSeq)
 }
 
 /** Cascading-delete seam (reference: data_catalog/dataset_delete.py:31-103 —
@@ -42,16 +57,31 @@ final class RecordingNotifier extends Notifier {
 trait CascadeDeleter {
   /** Returns (deletedFromDownloader, deletedFromPublisher). */
   def cascade(entry: MetadataEntry): (Boolean, Boolean)
+
+  /** Drop the public Hive view for an entry about to change visibility —
+    * the reference's delete_public_from_hive (dataset_delete.py:50-63):
+    * a scope=public delete against the Dataset Publisher, a no-op for
+    * entries that are not currently public. Returns whether something was
+    * deleted. Called with the PRE-update entry (the current visibility
+    * decides the drop, reference: metadata_entry.py:245-247).
+    */
+  def dropPublicView(entry: MetadataEntry): Boolean
 }
 
 object NoopCascadeDeleter extends CascadeDeleter {
   def cascade(entry: MetadataEntry): (Boolean, Boolean) = (true, true)
+  def dropPublicView(entry: MetadataEntry): Boolean = entry.isPublic
 }
 
 final class RecordingCascadeDeleter extends CascadeDeleter {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[MetadataEntry]
+  private val drops = scala.collection.mutable.ArrayBuffer.empty[MetadataEntry]
   def cascade(entry: MetadataEntry): (Boolean, Boolean) = synchronized { buf += entry; (true, true) }
+  def dropPublicView(entry: MetadataEntry): Boolean =
+    synchronized { drops += entry; entry.isPublic }
   def entries: Seq[MetadataEntry] = synchronized(buf.toSeq)
+  /** Entries dropPublicView was invoked with, in order. */
+  def publicViewDrops: Seq[MetadataEntry] = synchronized(drops.toSeq)
 
   /** The database id the reference's Downloader cascade extracts:
     * second-to-last path segment of targetUri
@@ -101,9 +131,15 @@ final class CatalogService(spark: SparkSession, store: MetadataStore,
   }
 
   /** POST /rest/datasets/{id} — partial update; notifies on success
-    * (reference: metadata_entry.py:262-271).
+    * (reference: metadata_entry.py:262-271). An update that touches
+    * `isPublic` first drops the public Hive view, BEFORE the update is
+    * applied — the reference calls delete_public_from_hive with the
+    * current entry whenever 'isPublic' is in the request body
+    * (reference: metadata_entry.py:245-247, dataset_delete.py:50-63).
     */
   def post(id: String, fields: Map[String, Any]): Boolean = {
+    if (fields.contains("isPublic"))
+      store.get(id).foreach(cascade.dropPublicView)
     val updated = store.partialUpdate(id, fields)
     if (updated) {
       notifier.notify(store.get(id).map(_.orgUUID).getOrElse(""), s"Dataset $id updated")

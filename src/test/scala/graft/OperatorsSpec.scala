@@ -184,8 +184,8 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     r.getAs[Long]("total_tokens") shouldBe 11
     r.getAs[Double]("mean_tokens") shouldBe 2.75
     r.getAs[Double]("median_tokens") shouldBe 2.5 // interpolated between 2 and 3
-    r.getAs[Int]("min_tokens") shouldBe 1
-    r.getAs[Int]("max_tokens") shouldBe 5
+    r.getAs[Long]("min_tokens") shouldBe 1L
+    r.getAs[Long]("max_tokens") shouldBe 5L
   }
 
   test("hash split: deterministic, partition-layout independent, respects percentages") {
