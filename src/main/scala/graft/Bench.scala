@@ -35,31 +35,63 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
 
+    // Contention evidence: driver-run numbers have repeatedly recorded
+    // multi-minute totals on externally loaded machines (BENCH_r04/r05) for
+    // code whose idle-machine profile is flat — so every run now carries the
+    // raw per-pass walls, per-pass GC, and the host's 1-minute loadavg, plus
+    // a derived "contended" verdict, directly in the JSON.
+    def loadavg1: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val nproc = Runtime.getRuntime.availableProcessors()
+    val loadStart = loadavg1
+
+    final case class QResult(name: String, best: Double,
+                             passes: Seq[Double], gc: Seq[Long])
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t = try {
+      val r = try {
         materialize(name) // warm-up: JIT, codegen, footers
         // min of two timed passes: the JVM occasionally hits multi-second
         // stalls (GC / deopt) that would randomly pollute one-shot numbers
-        val times = (1 to 2).map { _ =>
+        val passes = (1 to 2).map { _ =>
           val (t0, g0) = (System.nanoTime(), gcMillis)
           materialize(name)
           val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] $name pass: $dt%.3f s (gc ${gcMillis - g0} ms)")
-          dt
+          val gc = gcMillis - g0
+          System.err.println(f"[bench] $name pass: $dt%.3f s (gc $gc ms)")
+          (dt, gc)
         }
-        times.min
+        QResult(name, passes.map(_._1).min, passes.map(_._1), passes.map(_._2))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          QResult(name, -1.0, Nil, Nil)
       }
-      System.err.println(f"[bench] $name: $t%.3f s")
-      name -> t
+      System.err.println(f"[bench] ${r.name}: ${r.best}%.3f s")
+      r
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadEnd = loadavg1
+    // Contended = the host was visibly busy, or some non-trivial query's two
+    // passes disagreed by >5× (pure JVM noise stays well under that once the
+    // slower pass exceeds 1 s).
+    val varianceHit = results.exists(r =>
+      r.passes.size > 1 && r.passes.max > 1.0 && r.passes.max / r.passes.min.max(1e-9) > 5.0)
+    val contended = varianceHit || loadStart > nproc / 2.0 || loadEnd > nproc / 2.0
+
+    def jnum(d: Double): String = f"$d%.4f"
+    val qs = results.map(r => "\"" + r.name + "\":" + jnum(r.best))
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passesJson = results.map(r =>
+      "\"" + r.name + "\":" + r.passes.map(jnum).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val gcJson = results.map(r =>
+      "\"" + r.name + "\":" + r.gc.mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val total = results.map(_.best).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","passes":$passesJson,"gc_ms":$gcJson,"loadavg_start":$loadStart""" +
+      s""","loadavg_end":$loadEnd,"nproc":$nproc,"contended":$contended}""")
     spark.stop()
   }
 }

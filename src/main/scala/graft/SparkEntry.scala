@@ -73,6 +73,16 @@ object SparkEntry {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** Planted near-dup CHAINS for the connected-component oracle: doc→doc+1
+    * edges for doc_id % 50 < 3, giving disjoint 4-node paths (k, k+1, k+2,
+    * k+3). A path's endpoints are linked only transitively — the shape that
+    * separates true connected components from one-round min-propagation.
+    */
+  private def chainPairs(docs: DataFrame): DataFrame =
+    docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .where(col("a.doc_id") % 50 < 3)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+
   /** Embeddings plus deterministic planted near-duplicates: the first 20
     * vectors re-inserted under vec_id+100000 with dim 0 shifted by +0.1f
     * (cos ≈ 0.995 on unit vectors). The organic corpus's max pairwise cosine
@@ -369,6 +379,18 @@ object SparkEntry {
       Dedup.fuzzyDedupSurvivors(docs(s, d), Dedup.jaccardPairs(docs(s, d)))
         .orderBy("doc_id")),
 
+    // Dedup: connected-component cluster canonicalization. The pair graph is
+    // the real Jaccard near-dup pairs PLUS planted arithmetic chains
+    // (doc→doc+1 for doc_id % 50 < 3, i.e. chains of length 4) — transitive
+    // collapse across the chains is exactly what d5's single min-propagation
+    // round cannot do, so this oracle-checks the fixpoint iteration itself
+    "d6_dup_clusters" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.dupClusters(dd, Dedup.jaccardPairs(dd).select("a_id", "b_id")
+          .unionByName(chainPairs(dd)))
+        .orderBy("doc_id")
+    }),
+
     // Similarity: brute-force cosine top-10 for query vectors vec_id < 5
     "v1_cosine_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -452,6 +474,14 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"),
           col("value").cast("decimal(18,6)").cast("double").as("value"))
         .orderBy("event_id")),
+
+    // Streaming stream-static enrichment: broadcast dim join inside the
+    // micro-batch, then the windowed aggregate (complete-mode backfill)
+    "e4_enriched_counts" -> ((s, d) =>
+      EventStream.backfillEnrichedCounts(s, s"$d/events.parquet")
+        .select(col("window_start"), col("tier"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("window_start", "tier")),
 
     // S-ops × search: the serving flow end-to-end — bulk load into the
     // versioned store, then compile + execute a catalog search over the
@@ -668,6 +698,21 @@ object SparkEntry {
       "d5_fuzzy_survivors" ->
         (JaccardCte + "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
           "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id"),
+      // Connected components as a recursive reachability closure: rep(u) =
+      // min over everything reachable from u (the graph is small after
+      // near-dup blocking, so the closure is cheap for the oracle; the
+      // engine side iterates pointer-jumping min-propagation instead)
+      "d6_dup_clusters" ->
+        (JaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          ", chain AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM documents a " +
+          "JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 50 < 3) " +
+          ", jp AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.8 UNION SELECT a_id, b_id FROM chain) " +
+          ", e AS (SELECT a_id AS u, b_id AS v FROM jp UNION SELECT b_id, a_id FROM jp) " +
+          ", reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u) " +
+          ", lbl AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u) " +
+          "SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS cluster_rep, " +
+          "coalesce(l.rep, d.doc_id) = d.doc_id AS is_canonical " +
+          "FROM documents d LEFT JOIN lbl l USING (doc_id) ORDER BY d.doc_id"),
       // v4 at full probe must equal exact brute force — same oracle as v1
       "v4_ivf_topk" -> exactTopkSql,
       "v3_embedding_neardup" ->
@@ -711,6 +756,12 @@ object SparkEntry {
       "e3_stream_dedup" ->
         ("SELECT event_id, event_type, (value::DECIMAL(18,6))::DOUBLE AS value " +
           "FROM events ORDER BY event_id"),
+      "e4_enriched_counts" ->
+        // the dim is user_id → 'tier' || (user_id % 3), derived from the same
+        // event log, so the inner join keeps every event
+        ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, " +
+          "'tier' || (user_id % 3)::VARCHAR AS tier, count(*) AS cnt, " +
+          "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
       "s8_store_search" ->
         (M + "SELECT id, category, orgUUID AS org_uuid, isPublic AS is_public FROM meta " +
           "WHERE id BETWEEN '000001' AND '000200' AND category = 'cat5' " +

@@ -40,9 +40,11 @@ object NoopNotifier extends Notifier {
 
 /** Records notifications in order — the test double, mirroring the
   * reference's mocked-NATS tests (reference: tests/test_notifier.py:32-52).
+  * The default clock is fixed (0L) so tests are deterministic out of the box;
+  * inject a real clock explicitly if wall time is wanted.
   */
 final class RecordingNotifier(
-    protected val clock: () => Long = () => System.currentTimeMillis()) extends Notifier {
+    protected val clock: () => Long = () => 0L) extends Notifier {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Notification]
   protected def publish(n: Notification): Unit = synchronized { buf += n; () }
   def events: Seq[Notification] = synchronized(buf.toSeq)

@@ -223,7 +223,14 @@ object EventStream {
       .outputMode(mode).trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // Snapshot the sink eagerly (localCheckpoint materializes the rows into
+    // block storage and cuts lineage back to the memory sink), then release
+    // the query and drop its temp view — without this every backfill leaks a
+    // driver-held result table for the life of the session.
+    val out = spark.table(name).localCheckpoint()
+    q.stop()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Stage a single parquet file behind a temp dir (FileStreamSource wants a

@@ -81,6 +81,38 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     survivors shouldBe Set(0L, 3L, 4L)
   }
 
+  test("dup clusters: chains collapse transitively to the min doc_id") {
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // path 0-1-2-3 (endpoints linked only transitively) + isolated pair 7-8
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(docs, pairs)
+      .select("doc_id", "cluster_rep").as[(Long, Long)].collect().toMap
+    Seq(0L, 1L, 2L, 3L).map(out) shouldBe Seq(0L, 0L, 0L, 0L)
+    out(7L) shouldBe 7L
+    out(8L) shouldBe 7L
+    Seq(4L, 5L, 6L, 9L).map(out) shouldBe Seq(4L, 5L, 6L, 9L) // untouched docs self-represent
+  }
+
+  test("dup clusters: a long chain converges via pointer jumping; canonical flags are exact") {
+    val n = 33L // diameter 32 — one-round min-propagation would need 32 rounds
+    val docs = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(docs, pairs)
+      .select("doc_id", "cluster_rep", "is_canonical")
+      .as[(Long, Long, Boolean)].collect()
+    out.foreach { case (_, rep, _) => rep shouldBe 0L }
+    out.filter(_._3).map(_._1).toSeq shouldBe Seq(0L)
+  }
+
+  test("dup clusters agree with fuzzy survivors on star-shaped near-dup groups") {
+    val pairs = Dedup.jaccardPairs(docsDf, threshold = 0.7, maxDf = 10).select("a_id", "b_id")
+    val canonical = Dedup.dupClusters(docsDf, pairs)
+      .where($"is_canonical").select("doc_id").as[Long].collect().toSet
+    val survivors = Dedup.fuzzyDedupSurvivors(docsDf, Dedup.jaccardPairs(docsDf, threshold = 0.7, maxDf = 10))
+      .as[Long].collect().toSet
+    canonical shouldBe survivors
+  }
+
   // ------------------------------------------------------------ similarity
 
   private def embDf: DataFrame = {

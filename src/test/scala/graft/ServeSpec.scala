@@ -31,8 +31,8 @@ class ServeSpec extends AnyFunSuite with Matchers with SparkSupport {
     svc.put(e0) shouldBe true
     svc.put(e0.copy(title = "v2")) shouldBe false
     svc.get(e0.id).get.title shouldBe "v2"
-    n.events.map(_._2) shouldBe Seq(s"Dataset ${e0.id} created", s"Dataset ${e0.id} updated")
-    n.events.map(_._1).distinct shouldBe Seq(e0.orgUUID)
+    n.events.map(_.message) shouldBe Seq(s"Dataset ${e0.id} created", s"Dataset ${e0.id} updated")
+    n.events.map(_.orgGuid).distinct shouldBe Seq(e0.orgUUID)
   }
 
   test("post notifies only on a found id") {
@@ -40,8 +40,51 @@ class ServeSpec extends AnyFunSuite with Matchers with SparkSupport {
     svc.put(e0)
     svc.post(e0.id, Map("title" -> "patched")) shouldBe true
     svc.post("ghost", Map("title" -> "x")) shouldBe false
-    n.events.last._2 shouldBe s"Dataset ${e0.id} updated"
+    n.events.last.message shouldBe s"Dataset ${e0.id} updated"
     n.events should have size 2 // put + successful post, no ghost event
+  }
+
+  test("notifications carry the injected clock's timestamp in wire order") {
+    // reference: notifier.py:56-63 — {OrgGuid, Message, Timestamp} stamped
+    // by the notifier at publish time with an epoch-ms clock.
+    var now = 1000L
+    val store = new MetadataStore(spark, Files.createTempDirectory("graft-serve").toString, clock)
+    val n = new RecordingNotifier(() => { now += 1; now })
+    val svc = new CatalogService(spark, store, n, new RecordingCascadeDeleter)
+    svc.put(e0)
+    svc.post(e0.id, Map("title" -> "patched"))
+    svc.delete(e0.id)
+    n.events.map(_.timestamp) shouldBe Seq(1001L, 1002L, 1003L)
+    n.events.map(_.orgGuid).distinct shouldBe Seq(e0.orgUUID)
+  }
+
+  test("default RecordingNotifier clock is deterministic") {
+    val n = new RecordingNotifier
+    n.notify("org", "msg")
+    n.events.map(_.timestamp) shouldBe Seq(0L)
+  }
+
+  test("isPublic-touching post drops the public Hive view with the PRE-update entry") {
+    // reference: metadata_entry.py:245-247 — delete_public_from_hive(current)
+    // whenever 'isPublic' is in the body; dataset_delete.py:50-63.
+    val (svc, _, c) = service()
+    val entry = e0.copy(isPublic = true)
+    svc.put(entry)
+    svc.post(entry.id, Map("isPublic" -> false)) shouldBe true
+    c.publicViewDrops.map(_.id) shouldBe Seq(entry.id)
+    // the PRE-update visibility is what the cascade sees
+    c.publicViewDrops.head.isPublic shouldBe true
+    svc.get(entry.id).get.isPublic shouldBe false
+  }
+
+  test("a post that does not touch isPublic never drops the public view") {
+    val (svc, _, c) = service()
+    svc.put(e0)
+    svc.post(e0.id, Map("title" -> "renamed")) shouldBe true
+    c.publicViewDrops shouldBe empty
+    // and a ghost-id isPublic post is also a no-op (no entry to drop)
+    svc.post("ghost", Map("isPublic" -> true)) shouldBe false
+    c.publicViewDrops shouldBe empty
   }
 
   test("delete cascades with the reference's response shape and database id") {
@@ -54,7 +97,7 @@ class ServeSpec extends AnyFunSuite with Matchers with SparkSupport {
     c.entries.map(_.id) shouldBe Seq(entry.id)
     // targetUri.split('/')[-2] — reference: dataset_delete.py:99-103
     c.databaseIds shouldBe Seq("db42")
-    n.events.last._2 shouldBe s"Dataset ${entry.id} deleted"
+    n.events.last.message shouldBe s"Dataset ${entry.id} deleted"
   }
 
   test("delete of an absent id reports not-found and triggers no side effects") {

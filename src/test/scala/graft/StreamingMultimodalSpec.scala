@@ -96,6 +96,34 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     } finally q.stop()
   }
 
+  test("enriched backfill equals the batch broadcast-join aggregation") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = EventStream.backfillEnrichedCounts(spark, path)
+      .orderBy("window_start", "tier")
+      .select($"window_start", $"tier", $"cnt", $"sum_value".cast("string"))
+      .collect().toSeq
+    val ev = EventStream.withEventTime(spark.read.parquet(path))
+    val batch = ev.join(EventStream.userTiers(spark, path), Seq("user_id"))
+      .groupBy(window($"ts", "1 hour"), $"tier")
+      .agg(count(lit(1)).as("cnt"), sum($"value".cast("decimal(18,6)")).as("sum_value"))
+      .select($"window.start".as("window_start"), $"tier", $"cnt", $"sum_value".cast("string"))
+      .orderBy("window_start", "tier")
+      .collect().toSeq
+    streamed should not be empty
+    streamed shouldBe batch
+  }
+
+  test("backfills do not leak memory-sink temp tables or leave queries running") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    (1 to 10).foreach { _ =>
+      EventStream.backfillWindowedCounts(spark, path).count() should be > 0L
+    }
+    val after = spark.catalog.listTables().collect().map(_.name).toSet
+    after shouldBe before
+    spark.streams.active shouldBe empty
+  }
+
   test("sessionization backfill equals the batch gaps-and-islands computation") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val streamed = EventStream.backfillSessions(spark, path)
