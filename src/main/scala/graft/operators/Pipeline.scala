@@ -43,7 +43,10 @@ object Pipeline {
     * survives incremental 100 TB ingest.
     *
     * bucket = ((doc_id · 2654435761) mod 2³²) mod 100; products stay well
-    * under Long overflow for any plausible id space.
+    * under Long overflow for sequential ids (exact up to doc_id ≈ 3.4×10⁹).
+    * GUARD: if ids ever become full-range 64-bit hashes, the product wraps
+    * silently — pre-fold such ids (e.g. `pmod(id, 2³²)`) before calling, or
+    * the split is still deterministic but no longer the documented formula.
     */
   def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))

@@ -107,4 +107,26 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "CartesianProduct"
     "REPARTITION_BY_COL".r.findAllIn(plan).size should be >= 2
   }
+
+  test("dup-clusters output plan: equi-joins only, no cartesian product") {
+    // the CC loop is label-keyed equi-joins + min aggregates; a regression to
+    // a theta/cartesian join would be the 100 TB killer here
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val plan = Dedup.dupClusters(docsDf, pairs, maxIter = 2)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("stream-static enrichment joins with a broadcast, not a stream-side shuffle join") {
+    val events = Seq((java.sql.Timestamp.valueOf("2020-01-01 10:00:00"), 1L, 2.0))
+      .toDF("ts", "user_id", "value")
+    val dim = Seq((1L, "tier1")).toDF("user_id", "tier")
+    // batch twin of the micro-batch plan: the explicit broadcast() hint must
+    // survive into a BroadcastHashJoin
+    val plan = graft.streaming.EventStream.enrichedWindowedCounts(events, dim)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
 }
