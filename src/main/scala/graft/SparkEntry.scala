@@ -357,6 +357,17 @@ object SparkEntry {
     "p2_hash_split" -> ((s, d) =>
       graft.operators.Pipeline.hashSplit(docs(s, d)).orderBy("doc_id")),
 
+    // Pipeline: eval-set decontamination — doc_id % 97 == 0 plays the eval
+    // benchmark; every remaining training doc is scored by distinct shared
+    // 5-grams (the planted near-dup groups guarantee non-trivial hits
+    // whenever an eval doc has a near-duplicate in the training split)
+    "p3_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.Pipeline.contamination(
+        dd.where(col("doc_id") % 97 =!= 0), dd.where(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    }),
+
     // Dedup: exact (content-hash, min doc_id representative)
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -646,6 +657,16 @@ object SparkEntry {
         ("SELECT doc_id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split " +
           "FROM (SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS b FROM documents) " +
           "ORDER BY doc_id"),
+      "p3_decontaminate" ->
+        (T + ", ng AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+          "range(1, len(t)-3), i -> array_to_string(t[i:i+4], ' ')))) AS ng FROM toks) " +
+          ", ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0) " +
+          ", shared AS (SELECT g.doc_id, count(*) AS n_shared FROM ng g JOIN ev USING (ng) " +
+          "WHERE g.doc_id % 97 <> 0 GROUP BY 1) " +
+          "SELECT d.doc_id, coalesce(s.n_shared, 0) AS n_shared, " +
+          "coalesce(s.n_shared, 0) > 0 AS contaminated " +
+          "FROM documents d LEFT JOIN shared s USING (doc_id) " +
+          "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"),
       "x2_export" ->
         (M + "SELECT id, category, title FROM meta WHERE id BETWEEN '000001' AND '000100' ORDER BY id"),
       "t1_token_stats" ->

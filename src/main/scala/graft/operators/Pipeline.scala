@@ -55,4 +55,29 @@ object Pipeline {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test").as("split"))
   }
+
+  /** Eval-set decontamination: for every training document, count the
+    * distinct word-n-grams it shares with ANY eval document (the standard
+    * benchmark-contamination check run before pre-training).
+    *
+    * Plan shape at 100 TB: the eval side is tiny relative to the corpus, so
+    * its distinct n-gram set is BROADCAST — the training side is one narrow
+    * tokenize→n-gram pass plus a map-side-combining count, and the 100 TB
+    * scan never shuffles. Tokens materialize behind a shuffle barrier before
+    * the per-position n-gram lambda reads them (the CollapseProject /
+    * HOF-re-evaluation hazard — see Dedup.withShingles).
+    */
+  def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.ngrams(col("toks"), n))).as("ng"))
+    val evalNgrams = grams(evalDocs).select("ng").distinct()
+    val shared = grams(train).join(broadcast(evalNgrams), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
 }

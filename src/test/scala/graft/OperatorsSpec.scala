@@ -104,6 +104,20 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out.filter(_._3).map(_._1).toSeq shouldBe Seq(0L)
   }
 
+  test("decontamination: planted eval n-gram flags its training doc, clean docs stay clean") {
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "prefix words then alpha beta gamma delta epsilon inside the doc"), // shares 5-grams
+      (1L, "alpha beta gamma but the run stops short of five shared tokens"),
+      (2L, "entirely unrelated content about storage engines and buffer pools")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.contamination(train, eval_)
+      .select("doc_id", "n_shared", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // doc 0 contains "alpha beta gamma delta epsilon" — exactly one shared 5-gram
+    out shouldBe Seq((0L, 1L, true), (1L, 0L, false), (2L, 0L, false))
+  }
+
   test("dup clusters agree with fuzzy survivors on star-shaped near-dup groups") {
     val pairs = Dedup.jaccardPairs(docsDf, threshold = 0.7, maxDf = 10).select("a_id", "b_id")
     val canonical = Dedup.dupClusters(docsDf, pairs)
