@@ -343,6 +343,10 @@ object SparkEntry {
     "t7_token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
 
+    // Text analysis: Gopher-style bigram repetition signals
+    "t9_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
+
     // Composed pre-training pipeline: language gate + quality gate +
     // fuzzy-dedup survivors, one narrow gate stage + the blocked dedup leg
     "p1_pretrain_corpus" -> ((s, d) =>
@@ -697,6 +701,13 @@ object SparkEntry {
         ("SELECT doc_id, len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS n_ws_tokens, " +
           "len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\r]+')) AS n_bpe_tokens " +
           "FROM documents ORDER BY doc_id"),
+      "t9_repetition" ->
+        (T + ", bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks) " +
+          ", g AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) " +
+          ", a AS (SELECT doc_id, sum(c) AS n, max(c) AS top, count(*) AS nd FROM g GROUP BY 1) " +
+          "SELECT d.doc_id, coalesce(round(top::DOUBLE / n, 6), 0.0) AS top_bigram_frac, " +
+          "coalesce(round(1.0 - nd::DOUBLE / n, 6), 0.0) AS dup_bigram_frac " +
+          "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id"),
       "p1_pretrain_corpus" -> {
         JaccardCte +
           s", sc AS (SELECT doc_id, $langScores FROM toks) " +

@@ -208,4 +208,29 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
+
+  /** Gopher-style repetition signals per document: the fraction of bigram
+    * occurrences claimed by the single most frequent bigram, and the
+    * fraction that are repeats of an earlier bigram — high values mark
+    * boilerplate/spam that length and stopword ratios miss.
+    *
+    * Plan shape: one explode, then two map-side-combining aggregates keyed
+    * (doc_id, bigram) → doc_id — per-key state is tiny and keys are
+    * near-uniform, so both shuffles stay balanced at corpus scale. Docs with
+    * fewer than two tokens score 0.0 on both signals.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(ngrams(col("toks"), 2)).as("bg"))
+    val agg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), max("c").as("top"), count(lit(1)).as("nd"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(round(col("top").cast("double") / col("n"), 6), lit(0.0))
+          .as("top_bigram_frac"),
+        coalesce(round(lit(1.0) - col("nd").cast("double") / col("n"), 6), lit(0.0))
+          .as("dup_bigram_frac"))
+  }
 }

@@ -104,6 +104,18 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out.filter(_._3).map(_._1).toSeq shouldBe Seq(0L)
   }
 
+  test("repetition score: repeated bigrams dominate, distinct text scores low, short docs zero") {
+    val df = Seq(
+      (0L, "spam spam spam spam spam"), // 4 bigrams, all "spam spam" → top 1.0, dup 0.75
+      (1L, "one two three four five"), // 4 distinct bigrams → top 0.25, dup 0.0
+      (2L, "single") // no bigrams → both 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScore(df)
+      .orderBy("doc_id")
+      .as[(Long, Double, Double)].collect().toSeq
+    out shouldBe Seq((0L, 1.0, 0.75), (1L, 0.25, 0.0), (2L, 0.0, 0.0))
+  }
+
   test("decontamination: planted eval n-gram flags its training doc, clean docs stay clean") {
     val eval_ = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
