@@ -498,6 +498,13 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("window_start", "tier")),
 
+    // Streaming stream-stream interval join: click→purchase attribution
+    // within the hour, per user (watermark-bounded state both sides)
+    "e5_stream_join" -> ((s, d) =>
+      EventStream.backfillAttribution(s, s"$d/events.parquet")
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+        .orderBy("click_id", "purchase_id")),
+
     // S-ops × search: the serving flow end-to-end — bulk load into the
     // versioned store, then compile + execute a catalog search over the
     // store's resolved current table (not a pre-staged corpus)
@@ -794,6 +801,12 @@ object SparkEntry {
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, " +
           "'tier' || (user_id % 3)::VARCHAR AS tier, count(*) AS cnt, " +
           "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      "e5_stream_join" ->
+        ("SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id " +
+          "FROM events a JOIN events b ON a.user_id = b.user_id " +
+          "AND a.event_type = 'click' AND b.event_type = 'purchase' " +
+          "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR " +
+          "ORDER BY click_id, purchase_id"),
       "s8_store_search" ->
         (M + "SELECT id, category, orgUUID AS org_uuid, isPublic AS is_public FROM meta " +
           "WHERE id BETWEEN '000001' AND '000200' AND category = 'cat5' " +

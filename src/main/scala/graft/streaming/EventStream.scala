@@ -205,6 +205,37 @@ object EventStream {
         .dropDuplicatesWithinWatermark("event_id"),
       "append")
 
+  /** Stream-stream interval join: click→purchase attribution — each purchase
+    * joins to the same user's clicks in the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so state
+    * on BOTH sides is evicted as the watermark advances (clicks older than
+    * watermark − 1 h can never match again); without the interval bound a
+    * stream-stream join's state grows forever. State shuffles on user_id
+    * only — the natural key — and the match work is per-user-bucket, never
+    * a cross of the streams.
+    */
+  def attributionJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Deterministic attribution backfill (file stream → AvailableNow). */
+  def backfillAttribution(spark: SparkSession, path: String): DataFrame =
+    runToMemoryTable(spark,
+      attributionJoin(withEventTime(fileStream(spark, stageDir(path)))), "append")
+
   /** File stream with the schema inferred from a batch read of the same
     * files (the driver's parquet encodes ts as nanosecond INT64, read as
     * long nanos under spark.sql.legacy.parquet.nanosAsLong — a hand-declared

@@ -96,6 +96,45 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches within the hour, same user only") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val joined = EventStream.attributionJoin(
+      mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = joined.writeStream.format("memory").queryName("attrtest")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2020-01-01 10:00:00"), 7L, "click", 0.0, ""),
+        (2L, Timestamp.valueOf("2020-01-01 10:30:00"), 7L, "purchase", 1.0, ""), // match
+        (3L, Timestamp.valueOf("2020-01-01 12:00:00"), 7L, "purchase", 1.0, ""), // too late
+        (4L, Timestamp.valueOf("2020-01-01 10:20:00"), 8L, "purchase", 1.0, ""), // other user
+        (5L, Timestamp.valueOf("2020-01-01 09:50:00"), 7L, "purchase", 1.0, "")) // before click
+      q.processAllAvailable()
+      val rows = spark.table("attrtest")
+        .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSeq
+      rows shouldBe Seq(1L -> 2L)
+    } finally q.stop()
+  }
+
+  test("attribution backfill equals the batch interval self-join") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = EventStream.backfillAttribution(spark, path)
+      .select($"click_id", $"purchase_id", $"user_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val ev = EventStream.withEventTime(spark.read.parquet(path))
+    val batch = ev.where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .join(ev.where($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("purchase_ts")),
+        $"user_id" === $"p_user" && $"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"click_id", $"purchase_id", $"user_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    streamed should not be empty
+    streamed shouldBe batch
+  }
+
   test("enriched backfill equals the batch broadcast-join aggregation") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val streamed = EventStream.backfillEnrichedCounts(spark, path)
