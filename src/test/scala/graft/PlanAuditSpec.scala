@@ -118,6 +118,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("decontamination broadcasts the eval n-gram dictionary against the corpus scan") {
+    val plan = graft.operators.Pipeline.contamination(docsDf, docsDf.where($"doc_id" === 1))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   test("stream-static enrichment joins with a broadcast, not a stream-side shuffle join") {
     val events = Seq((java.sql.Timestamp.valueOf("2020-01-01 10:00:00"), 1L, 2.0))
       .toDF("ts", "user_id", "value")
