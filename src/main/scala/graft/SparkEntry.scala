@@ -372,6 +372,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Pipeline: token-budget curation — top 25% of docs by quality score,
+    // ties by doc_id (rank-based: no interpolated quantile threshold)
+    "p4_quality_sample" -> ((s, d) =>
+      graft.operators.Pipeline.qualitySample(docs(s, d)).orderBy("doc_id")),
+
     // Dedup: exact (content-hash, min doc_id representative)
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -435,6 +440,16 @@ object SparkEntry {
     // to an all-pairs DuckDB oracle (recall must be 100% at cos ≈ 0.995)
     "v3_embedding_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(plantedEmb(s, d)).orderBy("a_id", "b_id")),
+
+    // Similarity × dedup composition: embedding near-dup pairs → connected-
+    // component collapse — the image/audio dedup pipeline shape (detect
+    // near-identical payloads by embedding, keep one canonical per cluster)
+    "v5_embedding_dedup" -> ((s, d) => {
+      val e = plantedEmb(s, d)
+      Dedup.dupClusters(e.select(col("vec_id").as("doc_id")),
+          Similarity.cosineNearDupPairs(e).select(col("a_id"), col("b_id")))
+        .orderBy("doc_id")
+    }),
 
     // Multimodal: binary payload → batched feature extraction (stub decode,
     // real plumbing: schema, mapPartitions batch shape, payload pruning).
@@ -570,6 +585,17 @@ object SparkEntry {
       s"WHEN $s1 LIKE '%ed' AND length($s1) > 4 THEN substr($s1, 1, length($s1)-2) ELSE $s1 END)"
   }
 
+  /** Shared CTE: the planted-dup embedding corpus and its all-pairs cosine
+    * (the exact answer v3's LSH blocking and v5's CC collapse are held to).
+    */
+  private lazy val PlantedPairCte =
+    "WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
+      "UNION ALL SELECT vec_id + 100000 AS vec_id, " +
+      "list_prepend((embedding[1] + 0.1::FLOAT)::FLOAT, embedding[2:64]) AS embedding " +
+      "FROM embeddings WHERE vec_id < 20), " +
+      s"p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.embedding", "b.embedding")} AS cos " +
+      "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) "
+
   def oracleSql: Map[String, String] = {
     val aclOr = "(orgUUID = 'org1' OR isPublic)"
     // exact cosine top-10 for query vectors vec_id < 5 — the answer v1
@@ -694,6 +720,14 @@ object SparkEntry {
           s"len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
           "SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
           "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st ORDER BY doc_id"),
+      "p4_quality_sample" ->
+        (T + s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, " +
+          s"len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
+          ", qual AS (SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
+          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st) " +
+          "SELECT doc_id, quality FROM qual " +
+          "QUALIFY row_number() OVER (ORDER BY quality DESC, doc_id) <= (SELECT ceil(count(*) * 0.25) FROM qual) " +
+          "ORDER BY doc_id"),
       "t4_fingerprint" ->
         (T + "SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks ORDER BY doc_id"),
       "t5_top_bigrams" ->
@@ -755,13 +789,19 @@ object SparkEntry {
       // v4 at full probe must equal exact brute force — same oracle as v1
       "v4_ivf_topk" -> exactTopkSql,
       "v3_embedding_neardup" ->
-        ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
-          "UNION ALL SELECT vec_id + 100000 AS vec_id, " +
-          "list_prepend((embedding[1] + 0.1::FLOAT)::FLOAT, embedding[2:64]) AS embedding " +
-          "FROM embeddings WHERE vec_id < 20), " +
-          s"p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.embedding", "b.embedding")} AS cos " +
-          "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) " +
-          "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
+        (PlantedPairCte + "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
+      // v5: CC collapse over the exact planted pair graph (star shapes, but
+      // the oracle closure is the same recursive reachability as d6)
+      "v5_embedding_dedup" ->
+        ("WITH RECURSIVE " + PlantedPairCte.stripPrefix("WITH ") +
+          ", jp AS (SELECT a_id, b_id FROM p WHERE cos >= 0.95) " +
+          ", e AS (SELECT a_id AS u, b_id AS v FROM jp UNION SELECT b_id, a_id FROM jp) " +
+          ", reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u) " +
+          ", lbl AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u) " +
+          "SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS cluster_rep, " +
+          "coalesce(l.rep, d.doc_id) = d.doc_id AS is_canonical " +
+          "FROM (SELECT vec_id AS doc_id FROM corpus) d LEFT JOIN lbl l USING (doc_id) " +
+          "ORDER BY d.doc_id"),
       "v1_cosine_topk" -> exactTopkSql,
       "m1_media_features" ->
         ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +

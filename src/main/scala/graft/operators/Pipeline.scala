@@ -67,6 +67,20 @@ object Pipeline {
     * the per-position n-gram lambda reads them (the CollapseProject /
     * HOF-re-evaluation hazard — see Dedup.withShingles).
     */
+  /** Token-budget curation: keep the top `frac` of documents by quality
+    * score (ties broken by doc_id — fully deterministic, no interpolated
+    * quantile threshold to float-diverge on). The count is a scalar stats
+    * snapshot (broadcast-variable sized); selection runs as per-partition
+    * top-K + merge (`TakeOrderedAndProject`) — no global sort, no shuffle of
+    * the corpus.
+    */
+  def qualitySample(docs: DataFrame, frac: Double = 0.25): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+    val k = math.ceil(q.count() * frac).toInt
+    q.orderBy(col("quality").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("quality"))
+  }
+
   def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))

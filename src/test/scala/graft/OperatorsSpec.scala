@@ -130,6 +130,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe Seq((0L, 1L, true), (1L, 0L, false), (2L, 0L, false))
   }
 
+  test("quality sample keeps the top fraction by score with doc_id tie-breaks") {
+    val df = Seq(
+      (0L, base), // quality ≈ 0.475 (length + stopword + diversity blend)
+      (1L, nearDup), // identical blend → exact tie with doc 0
+      (2L, "a"), // all-stopword: 0.004 + 0.3·1.0 + 0.3·1.0 ≈ 0.604 — highest
+      (3L, "b c") // no stopwords, tiny: ≈ 0.308 — lowest
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Pipeline.qualitySample(df, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // ceil(4 · 0.5) = 2: doc 2 wins outright; the 0/1 tie breaks to doc 0
+    kept shouldBe Set(2L, 0L)
+  }
+
   test("dup clusters agree with fuzzy survivors on star-shaped near-dup groups") {
     val pairs = Dedup.jaccardPairs(docsDf, threshold = 0.7, maxDf = 10).select("a_id", "b_id")
     val canonical = Dedup.dupClusters(docsDf, pairs)
