@@ -304,6 +304,20 @@ object SparkEntry {
       st.currentAt(1L).toDF().select(col("id"), col("title")).orderBy("id") // pre-mutation snapshot
     }),
 
+    // S10 change feed: CDC read of the delta log after the initial bulk
+    // load (version 1) — an update, a delete, and an insert surface as net
+    // row-level changes; the untouched 49 rows do NOT appear
+    "s10_changefeed" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // commits version 1
+      st.partialUpdate("000010", Map("title" -> "changed-title"))
+      st.delete("000020")
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert)
+      st.changesBetween(1L)
+        .select(col("id"), col("change_op").as("op"), col("title"))
+        .orderBy("id")
+    }),
+
     // X2 full export scan: snapshot → parquet → read back
     "x2_export" -> ((s, d) => {
       val st = freshStore(s)
@@ -346,6 +360,22 @@ object SparkEntry {
     // Text analysis: Gopher-style bigram repetition signals
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
+
+    // Text analysis: PII scrubbing over a corpus with planted identifiers
+    // (doc_id % 29 == 0 gets an email + phone appended on BOTH sides, so
+    // the redaction and its audit count are fully oracle-checked; the
+    // scrubbed text is compared by md5)
+    "t10_pii_redact" -> ((s, d) => {
+      val planted = docs(s, d).withColumn("text",
+        when(col("doc_id") % 29 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-0100")))
+          .otherwise(col("text")))
+      TextAnalysis.redactPii(planted)
+        .select(col("doc_id"), col("n_redacted"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
 
     // Composed pre-training pipeline: language gate + quality gate +
     // fuzzy-dedup survivors, one narrow gate stage + the blocked dedup leg
@@ -706,6 +736,10 @@ object SparkEntry {
           "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"),
       "x2_export" ->
         (M + "SELECT id, category, title FROM meta WHERE id BETWEEN '000001' AND '000100' ORDER BY id"),
+      "s10_changefeed" ->
+        (M + "SELECT id, 'upsert' AS op, 'changed-title' AS title FROM meta WHERE id = '000010' " +
+          "UNION ALL SELECT id, 'delete' AS op, title FROM meta WHERE id = '000020' " +
+          "UNION ALL SELECT id, 'upsert' AS op, title FROM meta WHERE id = '000200' ORDER BY id"),
       "t1_token_stats" ->
         (T + s"SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +
           s"len(list_filter(t, x -> x IN $stop)) AS n_stopwords FROM toks ORDER BY doc_id"),
@@ -749,6 +783,16 @@ object SparkEntry {
           "SELECT d.doc_id, coalesce(round(top::DOUBLE / n, 6), 0.0) AS top_bigram_frac, " +
           "coalesce(round(1.0 - nd::DOUBLE / n, 6), 0.0) AS dup_bigram_frac " +
           "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id"),
+      "t10_pii_redact" -> {
+        val em = TextAnalysis.EmailRe
+        val ph = TextAnalysis.PhoneRe
+        "WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 29 = 0 " +
+          "THEN text || ' contact user' || doc_id || '@example.com or 555-0100' " +
+          "ELSE text END AS text FROM documents) " +
+          s"SELECT doc_id, (len(regexp_extract_all(text, '$em')) + len(regexp_extract_all(text, '$ph')))::BIGINT AS n_redacted, " +
+          s"md5(regexp_replace(regexp_replace(text, '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g')) AS clean_hash " +
+          "FROM planted ORDER BY doc_id"
+      },
       "p1_pretrain_corpus" -> {
         JaccardCte +
           s", sc AS (SELECT doc_id, $langScores FROM toks) " +

@@ -209,6 +209,27 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
 
+  /** PII scrubbing patterns — chosen to mean the same thing in Java regex
+    * (Spark codegen) and RE2 (so an external auditor can re-run the scrub in
+    * any engine): no backreferences, no lookaround.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\d{3}[- ]\\d{4}"
+
+  /** PII redaction over the text column: emails then phone-shaped digit runs
+    * replaced with typed placeholders, plus the match count (the audit
+    * signal a scrubbing pass reports). A narrow per-row projection — the
+    * codegen'd regex kernels run inside whole-stage codegen, nothing
+    * shuffles.
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+        .cast("long").as("n_redacted"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]").as("clean_text"))
+
   /** Gopher-style repetition signals per document: the fraction of bigram
     * occurrences claimed by the single most frequent bigram, and the
     * fraction that are repeats of an earlier bigram — high values mark

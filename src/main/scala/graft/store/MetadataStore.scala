@@ -286,6 +286,32 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     commit(v)
   }
 
+  /** Change feed: the NET row-level change per id in the version window
+    * (fromVersion, toVersion] — latest-wins within the window, so an id
+    * updated then deleted surfaces once, as a delete. Emits the entry
+    * columns plus (change_version, change_op ∈ {upsert, delete}); an
+    * incremental consumer checkpoints the version it has seen and asks for
+    * everything after it, exactly the lakehouse CDF contract.
+    *
+    * Reads DELTA segments only: compaction bases re-state existing rows
+    * (no logical change), and a `drop()` truncation is a table-level event
+    * a consumer observes via the version history, not as per-row deletes.
+    * Cost is O(changed rows), never a snapshot scan — the shuffle keys on
+    * id over just the windowed deltas.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
+    val to = math.min(toVersion, currentVersion)
+    val deltaVs = listVersions("delta-").filter(d => d > fromVersion && d <= to)
+    val log = deltaVs.map(d => spark.read.schema(deltaSchema)
+        .parquet(root.resolve(s"delta-$d").toString))
+      .reduceOption(_ unionByName _).getOrElse(emptyLog)
+    val latest = Window.partitionBy(col("id")).orderBy(col(VersionCol).desc)
+    log.withColumn("_rn", row_number().over(latest))
+      .where(col("_rn") === 1).drop("_rn")
+      .withColumnRenamed(VersionCol, "change_version")
+      .withColumnRenamed(OpCol, "change_op")
+  }
+
   /** X2 full export: write the resolved current table out as parquet
     * (reference: tools/elastic_migrate_tool.py:44-63 does a count-then-refetch
     * two-phase scroll because ES pages; a Spark snapshot exports in one

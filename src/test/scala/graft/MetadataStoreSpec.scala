@@ -17,6 +17,27 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
 
   private val e0 = Fixtures.corpus.head
 
+  test("change feed: net change per id in the window; untouched rows absent") {
+    val st = freshStore()
+    Fixtures.corpus.take(3).foreach(st.upsert) // versions 1-3
+    val e = Fixtures.corpus
+    st.partialUpdate(e(0).id, Map("title" -> "first")) // v4
+    st.partialUpdate(e(0).id, Map("title" -> "second")) // v5: supersedes v4
+    st.upsert(e(3)) // v6
+    st.delete(e(3).id) // v7: upsert-then-delete nets to a delete
+    val changes = st.changesBetween(3L)
+      .select("id", "change_op", "title")
+      .as[(String, String, String)].collect()
+      .map { case (i, o, t) => i -> ((o, t)) }.toMap
+    changes.keySet shouldBe Set(e(0).id, e(3).id) // e(1)/e(2) untouched → absent
+    changes(e(0).id) shouldBe ("upsert", "second")
+    changes(e(3).id)._1 shouldBe "delete"
+    // checkpoint-resume: a consumer who has seen through v5 gets only v6/v7
+    st.changesBetween(5L).select("id").as[String].collect().toSeq shouldBe Seq(e(3).id)
+    // nothing new after the head version
+    st.changesBetween(7L).count() shouldBe 0L
+  }
+
   test("S3 upsert: created vs updated distinguished (201 vs 200)") {
     val st = freshStore()
     st.upsert(e0) shouldBe true // created

@@ -116,6 +116,17 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe Seq((0L, 1.0, 0.75), (1L, 0.25, 0.0), (2L, 0.0, 0.0))
   }
 
+  test("pii redaction replaces emails and phone shapes, counts matches, leaves clean text alone") {
+    val df = Seq(
+      (0L, "reach me at jane.doe+spam@mail.example.org or 555-0199 thanks"),
+      (1L, "no identifiers in this row at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df).orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    out(0) shouldBe ((0L, 2L, "reach me at [EMAIL] or [PHONE] thanks"))
+    out(1) shouldBe ((1L, 0L, "no identifiers in this row at all"))
+  }
+
   test("decontamination: planted eval n-gram flags its training doc, clean docs stay clean") {
     val eval_ = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
