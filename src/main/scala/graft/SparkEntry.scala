@@ -318,6 +318,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // S11 CDC apply: the consumer half of the change feed — a replica
+    // snapshot at version 1 advanced by the feed must equal the source's
+    // current table (update applied, delete dropped, insert added)
+    "s11_cdc_apply" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // commits version 1
+      val snapshot = st.currentAt(1L).toDF()
+      st.partialUpdate("000010", Map("title" -> "cdc-title"))
+      st.delete("000020")
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert)
+      MetadataStore.applyChanges(snapshot, st.changesBetween(1L))
+        .select(col("id"), col("title")).orderBy("id")
+    }),
+
     // X2 full export scan: snapshot → parquet → read back
     "x2_export" -> ((s, d) => {
       val st = freshStore(s)
@@ -740,6 +754,10 @@ object SparkEntry {
         (M + "SELECT id, 'upsert' AS op, 'changed-title' AS title FROM meta WHERE id = '000010' " +
           "UNION ALL SELECT id, 'delete' AS op, title FROM meta WHERE id = '000020' " +
           "UNION ALL SELECT id, 'upsert' AS op, title FROM meta WHERE id = '000200' ORDER BY id"),
+      "s11_cdc_apply" ->
+        (M + "SELECT id, CASE WHEN id = '000010' THEN 'cdc-title' ELSE title END AS title " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' " +
+          "UNION ALL SELECT id, title FROM meta WHERE id = '000200' ORDER BY id"),
       "t1_token_stats" ->
         (T + s"SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +
           s"len(list_filter(t, x -> x IN $stop)) AS n_stopwords FROM toks ORDER BY doc_id"),

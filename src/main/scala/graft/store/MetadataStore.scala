@@ -374,6 +374,22 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   }
 }
 
+object MetadataStore {
+  /** Consumer half of the CDC contract: advance a replica snapshot with a
+    * [[MetadataStore.changesBetween]] batch — drop every changed id, then
+    * add back the upserts (deletes simply stay dropped). The changed-id set
+    * is an incremental batch, orders of magnitude smaller than the replica,
+    * so it broadcasts and the replica side never shuffles — MERGE semantics
+    * at a 100 TB replica without a sort or a co-partition requirement.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    val upserts = changes.where(col("change_op") === "upsert")
+      .drop("change_version", "change_op")
+    snapshot.join(broadcast(changes.select(col("id"))), Seq("id"), "left_anti")
+      .unionByName(upserts)
+  }
+}
+
 /** Ingest-time validation + normalization
   * (reference: MetadataIndexingTransformer, metadata_entry.py:64-94).
   */

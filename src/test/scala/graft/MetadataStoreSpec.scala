@@ -38,6 +38,19 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.changesBetween(7L).count() shouldBe 0L
   }
 
+  test("cdc apply: a replica advanced by the feed equals the source's current table") {
+    val st = freshStore()
+    Fixtures.corpus.take(5).foreach(st.upsert) // versions 1-5
+    val snapshot = st.currentAt(5L).toDF()
+    val e = Fixtures.corpus
+    st.partialUpdate(e(0).id, Map("title" -> "replicated"))
+    st.delete(e(1).id)
+    st.upsert(e(7))
+    val replica = MetadataStore.applyChanges(snapshot, st.changesBetween(5L))
+    replica.orderBy("id").collect().toSeq shouldBe
+      st.current.toDF().orderBy("id").collect().toSeq
+  }
+
   test("S3 upsert: created vs updated distinguished (201 vs 200)") {
     val st = freshStore()
     st.upsert(e0) shouldBe true // created

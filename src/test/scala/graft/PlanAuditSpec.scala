@@ -125,6 +125,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "CartesianProduct"
   }
 
+  test("quality sample runs as per-partition top-K merge, not a global sort") {
+    val docs = Corpus.metadata(spark, "/root/testdata/sf0.001")
+      .select($"id".cast("long").as("doc_id"), $"dataSample".as("text"))
+    val plan = graft.operators.Pipeline.qualitySample(docs)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("cdc apply broadcasts the changed-id set against the replica") {
+    val snapshot = Seq(("a", "t1"), ("b", "t2")).toDF("id", "title")
+    val changes = Seq(("a", 2L, "upsert", "t1b")).toDF("id", "change_version", "change_op", "title")
+    val plan = graft.store.MetadataStore.applyChanges(snapshot, changes)
+      .queryExecution.executedPlan.toString
+    plan should include("Broadcast")
+    plan should not include "SortMergeJoin"
+  }
+
   test("stream-static enrichment joins with a broadcast, not a stream-side shuffle join") {
     val events = Seq((java.sql.Timestamp.valueOf("2020-01-01 10:00:00"), 1L, 2.0))
       .toDF("ts", "user_id", "value")
