@@ -51,6 +51,18 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
       st.current.toDF().orderBy("id").collect().toSeq
   }
 
+  test("cdc apply is idempotent: re-applying the same batch changes nothing") {
+    val st = freshStore()
+    Fixtures.corpus.take(3).foreach(st.upsert)
+    val snapshot = st.currentAt(3L).toDF()
+    st.partialUpdate(Fixtures.corpus.head.id, Map("title" -> "once"))
+    st.delete(Fixtures.corpus(1).id)
+    val batch = st.changesBetween(3L)
+    val once = MetadataStore.applyChanges(snapshot, batch)
+    val twice = MetadataStore.applyChanges(once, batch)
+    twice.orderBy("id").collect().toSeq shouldBe once.orderBy("id").collect().toSeq
+  }
+
   test("S3 upsert: created vs updated distinguished (201 vs 200)") {
     val st = freshStore()
     st.upsert(e0) shouldBe true // created
