@@ -83,6 +83,71 @@ object SparkEntry {
       .where(col("a.doc_id") % 50 < 3)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
 
+  /** documents plus truncated near-copies — the d3 planted corpus. Every
+    * doc_id % 20 == 7 doc reappears at doc_id+300000 keeping its first
+    * ⌈98%⌉ tokens, so the copy's exact shingle Jaccard vs its source is
+    * closed-form computable in DuckDB (measured ∈ [0.97, 1.0] at sf0.01).
+    * The organic corpus separates hard around the 0.8 threshold — every
+    * true near-dup pair has exact J ≥ 0.89 and every other candidate pair
+    * J ≤ 0.07 — so the MinHash estimate (k=64: σ ≤ 0.04) cannot cross the
+    * keep/drop boundary on any pair, and the banded-LSH operator's full
+    * pair set is held to the exact-Jaccard oracle.
+    */
+  private def plantedTruncDocs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val t = graft.analyzers.Analyzers.standardTokens(col("text"))
+    base.unionByName(
+      base.where(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(slice(t, lit(1), ceil(size(t) * 0.98).cast("int")), " ").as("text")))
+  }
+
+  /** Fuzzy-dedup survivors plus token-REVERSED copies — the d4 planted
+    * corpus. SimHash is a function of the token multiset (order-free ±1
+    * votes), so a reversed copy's signature is bit-identical to its
+    * source's: Hamming 0, deterministically, for any hash function. The
+    * base is the FUZZY-DEDUPED corpus (the d5 survivor set — closed-form
+    * in DuckDB), not raw documents: organic near-dup pairs (J ≈ 0.99,
+    * differing by a couple of tokens) can collide at Hamming 0 when no bit's
+    * vote margin crosses zero, which no SQL oracle can predict. Among
+    * survivors the max pairwise Jaccard is 0.07 — docs differing in ~95% of
+    * tokens cannot tie all 64 vote margins — so Hamming 0 ⟺ identical
+    * multiset holds exactly and the multiset-equality oracle enumerates the
+    * full answer with no hash knowledge. (Fingerprint-after-fuzzy-dedup is
+    * also the natural pipeline order.)
+    */
+  private def plantedPermDocs(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val base = dd.join(Dedup.fuzzyDedupSurvivors(dd, Dedup.jaccardPairs(dd)),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val t = graft.analyzers.Analyzers.standardTokens(col("text"))
+    base.unionByName(
+      base.where(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(reverse(t), " ").as("text")))
+  }
+
+  /** Embeddings plus a planted 10-deep neighborhood per query vector — the
+    * v2 oracle geometry. Each query q (vec_id < 5) gets copies at
+    * q*100+j+200000 (j = 1..10) with dim 0 shifted by j/256 (exact in
+    * float): cosines land in [0.99923, 0.99999], distinct at 6 decimals,
+    * while the organic corpus never exceeds cos 0.40 to any query — so the
+    * exact top-10 is the 10 plants and SRP-LSH (16 bits, 4 bands) misses a
+    * plant with probability < 1e-5 per band set. The single float add
+    * reproduces bit-identically in DuckDB (the v3 pattern).
+    */
+  private def plantedTopKEmb(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    e.unionByName(
+      e.where(col("vec_id") < 5)
+        .select(col("vec_id"), explode(sequence(lit(1), lit(10))).as("j"), col("embedding"))
+        .select((col("vec_id") * 100L + col("j") + 200000L).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) + (col("j") / lit(256.0)).cast("float")).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding")))
+  }
+
   /** Embeddings plus deterministic planted near-duplicates: the first 20
     * vectors re-inserted under vec_id+100000 with dim 0 shifted by +0.1f
     * (cos ≈ 0.995 on unit vectors). The organic corpus's max pairwise cosine
@@ -429,14 +494,24 @@ object SparkEntry {
     "d2_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d)).orderBy("a_id", "b_id")),
 
-    // Dedup: MinHash+LSH banded pairs (xxhash64 sigs — no SQL oracle;
-    // rows-only check + DedupSpec planted-duplicate assertions)
+    // Dedup: MinHash+LSH banded pairs over the planted-truncation corpus.
+    // The registered projection is the pair SET (est_jaccard is a function
+    // of xxhash64, which no SQL engine reproduces); the oracle recomputes
+    // exact shingle Jaccard per pair — margin-separated corpus (docstring
+    // of plantedTruncDocs) makes the estimate's decision deterministic, so
+    // banding recall, signature math, and thresholding are all hash-checked
     "d3_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(docs(s, d)).orderBy("a_id", "b_id")),
+      Dedup.minhashPairs(plantedTruncDocs(s, d)).select("a_id", "b_id")
+        .orderBy("a_id", "b_id")),
 
-    // Dedup: SimHash Hamming-ball pairs (rows-only + DedupSpec)
+    // Dedup: SimHash pairs at maxHamming = 0 over the planted-permutation
+    // corpus — Hamming 0 ⟺ identical token multiset on this corpus (all
+    // organic multisets pairwise-distinct), so the full banded pipeline is
+    // held to a DuckDB multiset-equality oracle; the Hamming 1-3 regime
+    // stays covered by DedupPropertySpec's perturbation assertions
     "d4_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d)).orderBy("a_id", "b_id")),
+      Dedup.simhashPairs(plantedPermDocs(s, d), maxHamming = 0)
+        .orderBy("a_id", "b_id")),
 
     // Dedup: fuzzy survivors after collapsing Jaccard near-dup groups
     "d5_fuzzy_survivors" -> ((s, d) =>
@@ -462,10 +537,13 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // Similarity: SRP-LSH bucketed top-10 (rows-only + SimilaritySpec recall)
+    // Similarity: SRP-LSH bucketed top-10 over the planted neighborhood
+    // corpus — each query's true top-10 is its 10 plants (organic cos ≤
+    // 0.40 ≪ planted 0.999+), so the bucketed operator must recall every
+    // plant and exact-rerank them to match v1's exact-cosine oracle SQL
     "v2_lsh_topk" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.lshTopK(e, e.where(col("vec_id") < 5), 10)
+      Similarity.lshTopK(plantedTopKEmb(s, d), e.where(col("vec_id") < 5), 10)
         .orderBy("q_id", "rank")
     }),
 
@@ -602,8 +680,10 @@ object SparkEntry {
 
   /** Jaccard-pair pipeline CTE chain (mirrors Dedup.jaccardPairs exactly:
     * 3-gram shingles, df∈[2,20] blocking, round-6 Jaccard ≥ 0.8).
+    * [[JaccardChain]] is the `toks`-downstream half so planted-corpus
+    * oracles (d3) can swap in their own document set.
     */
-  private val JaccardCte = T +
+  private val JaccardChain =
     """, sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks)
       |, inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
       |, keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND 20)
@@ -611,6 +691,18 @@ object SparkEntry {
       |, pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM cands a JOIN cands b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 3)
       |, jac AS (SELECT a_id, b_id, round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
       |          FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id) """.stripMargin.replaceAll("\n", " ")
+
+  private val JaccardCte = T + JaccardChain
+
+  /** The d3 planted corpus (plantedTruncDocs) in DuckDB: documents plus
+    * first-⌈98%⌉-token truncations of every doc_id % 20 == 7 doc.
+    */
+  private val TruncDocsCte =
+    "WITH docs2 AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 300000 AS doc_id, " +
+      "array_to_string(t[1:ceil(len(t)*0.98)::BIGINT], ' ') AS text " +
+      s"FROM (SELECT doc_id, ${stdToks("text")} AS t FROM documents) WHERE doc_id % 20 = 7) " +
+      s", toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM docs2) "
 
   /** DuckDB cosine of two float-list columns, matching Similarity.cosine
     * (double cast per element, left-to-right sums, round 6).
@@ -830,6 +922,26 @@ object SparkEntry {
         "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY doc_id",
       "d2_jaccard_pairs" ->
         (JaccardCte + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY a_id, b_id"),
+      // d3: exact-Jaccard ground truth over the planted-truncation corpus —
+      // the MinHash+LSH pair set must reproduce it exactly (margins make the
+      // k=64 estimate's keep/drop decision deterministic; see plantedTruncDocs)
+      "d3_minhash_pairs" ->
+        (TruncDocsCte + JaccardChain +
+          "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.8 ORDER BY a_id, b_id"),
+      // d4: SimHash is order-free, so on the fuzzy-deduped base (max
+      // pairwise J = 0.07 — no organic Hamming-0 collisions possible)
+      // Hamming 0 ⟺ identical token multiset — enumerable with no hash
+      // knowledge via a sorted-token-key self-join over survivors + plants
+      "d4_simhash_pairs" ->
+        (JaccardCte +
+          ", surv AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN " +
+          "(SELECT b_id FROM jac WHERE jaccard >= 0.8)) " +
+          ", docs2 AS (SELECT doc_id, text FROM surv " +
+          "UNION ALL SELECT doc_id + 300000 AS doc_id, array_to_string(list_reverse(t), ' ') AS text " +
+          s"FROM (SELECT doc_id, ${stdToks("text")} AS t FROM surv) WHERE doc_id % 20 = 7) " +
+          s", k AS (SELECT doc_id, md5(array_to_string(list_sort(${stdToks("text")}), ' ')) AS mk FROM docs2) " +
+          "SELECT a.doc_id AS a_id, b.doc_id AS b_id, 0::BIGINT AS hamming " +
+          "FROM k a JOIN k b ON a.mk = b.mk AND a.doc_id < b.doc_id ORDER BY a_id, b_id"),
       "d5_fuzzy_survivors" ->
         (JaccardCte + "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
           "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id"),
@@ -850,6 +962,18 @@ object SparkEntry {
           "FROM documents d LEFT JOIN lbl l USING (doc_id) ORDER BY d.doc_id"),
       // v4 at full probe must equal exact brute force — same oracle as v1
       "v4_ivf_topk" -> exactTopkSql,
+      // v2: exact cosine top-10 over the planted neighborhood corpus — each
+      // query's true top-10 is its 10 plants (organic cos ≤ 0.40), so the
+      // SRP-bucketed operator must recall and exact-rerank all of them
+      "v2_lsh_topk" ->
+        ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
+          "UNION ALL SELECT vec_id*100 + j + 200000 AS vec_id, " +
+          "list_prepend((embedding[1] + (j/256.0)::FLOAT)::FLOAT, embedding[2:64]) AS embedding " +
+          "FROM embeddings, range(1,11) t(j) WHERE vec_id < 5) " +
+          ", q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
+          s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM corpus e, q WHERE e.vec_id <> q_id) " +
+          ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
+          "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
       "v3_embedding_neardup" ->
         (PlantedPairCte + "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
       // v5: CC collapse over the exact planted pair graph (star shapes, but
