@@ -79,7 +79,10 @@ object Bench {
       r.passes.size > 1 && r.passes.max > 1.0 && r.passes.max / r.passes.min.max(1e-9) > 5.0)
     val contended = varianceHit || loadStart > nproc / 2.0 || loadEnd > nproc / 2.0
 
-    def jnum(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // under a comma-decimal locale would emit "0,1234" and break the JSON
+    def jnum(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map(r => "\"" + r.name + "\":" + jnum(r.best))
       .mkString("{", ",", "}")
     val passesJson = results.map(r =>

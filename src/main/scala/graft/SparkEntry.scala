@@ -325,10 +325,11 @@ object SparkEntry {
       st.get("000005").toSeq.toDS().select(col("id"), col("title"))
     }),
 
-    // S3 upsert + S4 partial update + S5 delete + compaction, read back
+    // S3 upsert (batch form: ONE delta commit for the 10-entry load) +
+    // S4 partial update + S5 delete + compaction, read back
     "s3_s4_s5_roundtrip" -> ((s, d) => {
       val st = freshStore(s)
-      corpusEntries(s, d, "000001", "000010").collect().foreach(st.upsert)
+      st.upsertAll(corpusEntries(s, d, "000001", "000010").collect().toSeq)
       st.partialUpdate("000002", Map("title" -> "patched"))
       st.delete("000003")
       st.compact()

@@ -228,20 +228,25 @@ object Dedup {
     * rounds needed grow with log(component diameter), not diameter. One
     * round = two shuffle-keyed joins + one map-side-combining min aggregate;
     * the edge list materializes once and labels re-checkpoint per round to
-    * keep lineage flat (on a cluster: persisted shuffle outputs, reused via
-    * ReuseExchange across rounds). This is the simplified form of the
-    * alternating large-star/small-star MapReduce CC algorithm; near-dup
-    * graphs are shallow (dups of a doc are dups of each other), so the loop
-    * terminates in a handful of rounds. Convergence detection is one cheap
-    * scalar aggregate: labels only ever decrease, so an unchanged sum means
-    * a fixpoint, no join-and-diff needed.
+    * keep lineage flat. The lineage-cut strategy is injectable (`cut`): the
+    * default ([[graft.util.LineageCut.cut]]) uses a reliable `checkpoint()`
+    * whenever the context has a checkpoint dir — the cluster-safe choice,
+    * since localCheckpoint blocks die with their executor (lost to failure
+    * or dynamic deallocation mid-loop) — and falls back to localCheckpoint
+    * in single-JVM runs. This is the simplified form of the alternating
+    * large-star/small-star MapReduce CC algorithm; near-dup graphs are
+    * shallow (dups of a doc are dups of each other), so the loop terminates
+    * in a handful of rounds. Convergence detection is one cheap scalar
+    * aggregate: labels only ever decrease, so an unchanged sum means a
+    * fixpoint, no join-and-diff needed.
     */
-  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+                  cut: DataFrame => DataFrame = graft.util.LineageCut.cut): DataFrame = {
+    val e = cut(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .repartition(col("u")).localCheckpoint()
-    var labels = e.select(col("u")).distinct()
-      .select(col("u"), col("u").as("lbl")).localCheckpoint()
+      .repartition(col("u")))
+    var labels = cut(e.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl")))
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum("lbl")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     var prev = labelSum(labels)
@@ -252,9 +257,8 @@ object Dedup {
         .select(col("u"), col("lbl"))
       val merged = labels.unionByName(nbr).groupBy("u").agg(min("lbl").as("lbl"))
       val jump = merged.select(col("u").as("_ju"), col("lbl").as("_jl"))
-      val next = merged.join(jump, col("lbl") === col("_ju"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("_jl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val next = cut(merged.join(jump, col("lbl") === col("_ju"), "left")
+        .select(col("u"), least(col("lbl"), coalesce(col("_jl"), col("lbl"))).as("lbl")))
       val cur = labelSum(next)
       converged = cur == prev
       prev = cur

@@ -56,6 +56,25 @@ object Pipeline {
         .otherwise("test").as("split"))
   }
 
+  /** Token-budget curation: keep the top `frac` of documents by quality
+    * score (ties broken by doc_id — fully deterministic, no interpolated
+    * quantile threshold to float-diverge on). Sizing k counts the RAW input
+    * (a parquet-statistics count — no tokenize/score pass; the scored frame
+    * is row-for-row with `docs`); selection runs as per-partition top-K +
+    * merge (`TakeOrderedAndProject`) — no global sort, no shuffle of the
+    * corpus. k is guarded against Int overflow (`limit` takes an Int): past
+    * ~2.1 B selected documents this fails loudly instead of sampling a
+    * wrapped k — at that scale callers should switch to a rank predicate.
+    */
+  def qualitySample(docs: DataFrame, frac: Double = 0.25): DataFrame = {
+    val k = math.ceil(docs.count() * frac).toLong
+    require(k <= Int.MaxValue,
+      s"qualitySample: k=$k exceeds Int.MaxValue — use a rank-based filter at this scale")
+    TextAnalysis.qualityScore(docs)
+      .orderBy(col("quality").desc, col("doc_id")).limit(k.toInt)
+      .select(col("doc_id"), col("quality"))
+  }
+
   /** Eval-set decontamination: for every training document, count the
     * distinct word-n-grams it shares with ANY eval document (the standard
     * benchmark-contamination check run before pre-training).
@@ -67,20 +86,6 @@ object Pipeline {
     * the per-position n-gram lambda reads them (the CollapseProject /
     * HOF-re-evaluation hazard — see Dedup.withShingles).
     */
-  /** Token-budget curation: keep the top `frac` of documents by quality
-    * score (ties broken by doc_id — fully deterministic, no interpolated
-    * quantile threshold to float-diverge on). The count is a scalar stats
-    * snapshot (broadcast-variable sized); selection runs as per-partition
-    * top-K + merge (`TakeOrderedAndProject`) — no global sort, no shuffle of
-    * the corpus.
-    */
-  def qualitySample(docs: DataFrame, frac: Double = 0.25): DataFrame = {
-    val q = TextAnalysis.qualityScore(docs)
-    val k = math.ceil(q.count() * frac).toInt
-    q.orderBy(col("quality").desc, col("doc_id")).limit(k)
-      .select(col("doc_id"), col("quality"))
-  }
-
   def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))

@@ -46,6 +46,8 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   private val VersionCol = "_version"
   private val BucketCol = "_bucket"
   private val BucketCountFile = "_nbuckets" // _-prefixed → invisible to the FileIndex
+  private val TruncateMarker = "_truncated" // sidecar marking a drop()-written base
+  private val VacuumFloorFile = "VACUUM_FLOOR"
 
   private def listDir[A](dir: Path)(f: Iterator[Path] => A): A =
     graft.util.FsUtil.listDir(dir)(f)
@@ -100,12 +102,58 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
   }
 
-  /** Atomic pointer swap — commit point of every mutation. */
-  private def commit(v: Long): Unit = {
-    val tmp = root.resolve(s"CURRENT.tmp.$v")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, root.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+  /** Atomic pointer swap — commit point of every mutation. Only called with
+    * the root lock held and v > currentVersion (see [[claimAndCommit]]).
+    */
+  private def commit(v: Long): Unit = atomicWrite(root.resolve("CURRENT"), v.toString)
+
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = root.resolve(s".${target.getFileName}.tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Cross-instance critical section: a JVM-wide monitor for instances in
+    * this process (java.nio FileLocks are held per-process — a second
+    * in-process lock() would throw OverlappingFileLockException) nested
+    * inside an advisory file lock on `root/LOCK` for instances in other
+    * processes on this host. On a real cluster the equivalent primitive is
+    * the conditional-put / commit service of a lakehouse transaction log;
+    * the optimistic protocol AROUND the critical section (stake a version,
+    * re-stage on collision, monotone pointer advance) is unchanged.
+    */
+  private def withRootLock[A](f: => A): A =
+    MetadataStore.monitorFor(root).synchronized {
+      val ch = java.nio.channels.FileChannel.open(root.resolve("LOCK"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try f finally l.release() } finally ch.close()
+    }
+
+  /** A version is claimable when neither the committed pointer nor any
+    * published segment has reached it.
+    */
+  private def claimable(v: Long): Boolean =
+    v > currentVersion &&
+      !Files.exists(root.resolve(s"delta-$v")) && !Files.exists(root.resolve(s"base-$v"))
+
+  /** The publish+commit critical section of the optimistic protocol: claim
+    * the version by renaming the staged segment into its final name, then
+    * advance CURRENT — monotonically. If a racer has already committed PAST
+    * our claimed version, our exclusively-claimed segment is already inside
+    * the committed read window (resolve reads every segment ≤ CURRENT), so
+    * the mutation is visible with no pointer move: no commit is ever
+    * silently lost. Returns false (caller re-stages under a fresh version)
+    * when the version was taken first.
+    */
+  private def claimAndCommit(staging: Path, kind: String, v: Long,
+                             fresh: => Boolean = true): Boolean = withRootLock {
+    if (claimable(v) && fresh) {
+      publish(staging, s"$kind-$v")
+      if (currentVersion < v) commit(v)
+      true
+    } else false
   }
 
   /** Version for the next segment: strictly above BOTH the committed pointer
@@ -143,9 +191,38 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * lowered; segments above it are simply not read). Querying a version
     * above CURRENT reads CURRENT.
     */
-  def currentAt(version: Long): Dataset[MetadataEntry] =
+  def currentAt(version: Long): Dataset[MetadataEntry] = {
+    val floor = retentionFloor
+    if (version < floor)
+      throw new IllegalArgumentException(
+        s"version $version is below the vacuum retention floor $floor — its segments are gone")
     resolved(None, None, Some(math.min(version, currentVersion)))
       .select(entryCols.map(col): _*).as[MetadataEntry]
+  }
+
+  /** Oldest version still resolvable (0 until the first [[vacuum]]). */
+  def retentionFloor: Long = {
+    val p = root.resolve(VacuumFloorFile)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
+  /** The committed table-level event log, oldest first: every segment ≤
+    * CURRENT with its kind — `delta` (row changes), `base` (compaction: a
+    * logical no-op restatement), or `truncate` (a [[drop]]: the table was
+    * emptied at that version). CDC consumers check this to detect windows an
+    * incremental [[changesBetween]] cannot replay.
+    */
+  def versionHistory(): Seq[MetadataStore.VersionEvent] = {
+    val cur = currentVersion
+    val bases = listVersions("base-").filter(_ <= cur).map { b =>
+      val kind =
+        if (Files.exists(root.resolve(s"base-$b").resolve(TruncateMarker))) "truncate" else "base"
+      MetadataStore.VersionEvent(b, kind)
+    }
+    val deltas = listVersions("delta-").filter(_ <= cur)
+      .map(MetadataStore.VersionEvent(_, "delta"))
+    (bases ++ deltas).sortBy(_.version)
+  }
 
   /** Resolved current table with no row-identity applied yet (includes
     * neither _op nor _version).
@@ -225,6 +302,20 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     !existed
   }
 
+  /** Batch upsert: validate + normalize every entry, then write ONE delta
+    * segment and ONE pointer swap — the batch shape of S3. An N-entry load
+    * is a single Spark job instead of N sequential commit round-trips.
+    * Duplicate ids within the batch keep the LAST occurrence (the same
+    * outcome as folding [[upsert]] left-to-right; within one segment the
+    * rows share a version, so the tie must be broken before the write).
+    * Any invalid entry fails the whole batch before anything is written —
+    * per-row error isolation is [[bulkLoad]]'s contract, not this one's.
+    */
+  def upsertAll(entries: Seq[MetadataEntry]): Unit = {
+    val normalized = entries.map(Validation.normalize(_, clock))
+    writeDelta(normalized.reverse.distinctBy(_.id).reverse, "upsert")
+  }
+
   /** S4 partial update: replace a subset of fields on one entry; update keys
     * must be ⊆ schema (reference: metadata_entry.py:216-274, subset check
     * :239-241). Returns false when the id does not exist (404).
@@ -276,14 +367,22 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   }
 
   /** S7 drop: empty the table (reference deletes the whole index,
-    * ignore-missing, elastic_admin.py:41-52).
+    * ignore-missing, elastic_admin.py:41-52). The base carries a truncation
+    * sidecar — a table-level event [[versionHistory]] surfaces and
+    * [[changesBetween]] refuses to silently span (a drop produces no delta
+    * rows, so an incremental CDC replay across it would diverge).
     */
   def drop(): Unit = this.synchronized {
-    val v = nextVersion
-    val staging = root.resolve(s".staging-base-$v")
-    current.limit(0).toDF().write.mode("overwrite").parquet(staging.toString)
-    publish(staging, s"base-$v")
-    commit(v)
+    var committed = false
+    while (!committed) {
+      val v = nextVersion
+      val staging = root.resolve(
+        s".staging-base-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+      current.limit(0).toDF().write.mode("overwrite").parquet(staging.toString)
+      Files.writeString(staging.resolve(TruncateMarker), "truncated")
+      committed = claimAndCommit(staging, "base", v)
+      if (!committed) graft.util.FsUtil.deleteRecursively(staging)
+    }
   }
 
   /** Change feed: the NET row-level change per id in the version window
@@ -301,6 +400,19 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     */
   def changesBetween(fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
     val to = math.min(toVersion, currentVersion)
+    // Feed-soundness guards: the window must neither span a truncation (a
+    // drop() emits no delta rows — replaying across it silently diverges the
+    // replica) nor reach below the vacuum floor (those deltas are deleted).
+    if (fromVersion < retentionFloor - 1)
+      throw new IllegalStateException(
+        s"changesBetween($fromVersion, $toVersion): deltas at or below " +
+          s"${retentionFloor - 1} were vacuumed — re-snapshot the replica")
+    versionHistory()
+      .find(e => e.kind == "truncate" && e.version > fromVersion && e.version <= to)
+      .foreach(e => throw new IllegalStateException(
+        s"changesBetween($fromVersion, $toVersion) spans a truncation at version " +
+          s"${e.version}: a drop() has no row-level representation — " +
+          "re-snapshot the replica instead of applying this window"))
     val deltaVs = listVersions("delta-").filter(d => d > fromVersion && d <= to)
     val log = deltaVs.map(d => spark.read.schema(deltaSchema)
         .parquet(root.resolve(s"delta-$d").toString))
@@ -319,6 +431,37 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     */
   def export(path: String): Unit =
     current.write.mode("overwrite").parquet(path)
+
+  /** Segment retention: delete every segment strictly below the newest base
+    * still needed to resolve the oldest retained version (CURRENT −
+    * keepVersions + 1). Resolution of every retained version is unchanged —
+    * a resolve at w ≥ that base reads the newest base ≤ w plus the deltas
+    * above it, none of which are touched — while time travel and change
+    * feeds below the resulting [[retentionFloor]] throw (their history is
+    * gone; that is the point: without retention a long-lived store's disk
+    * grows without bound). No-op until a base at/below the floor exists —
+    * run [[compact]] first. Returns the deleted segment versions.
+    */
+  def vacuum(keepVersions: Long = 1): Seq[Long] = this.synchronized {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    withRootLock {
+      val oldestKept = math.max(currentVersion - keepVersions + 1, 0L)
+      listVersions("base-").filter(_ <= oldestKept).lastOption match {
+        case None => Nil // every delta below the floor is still live
+        case Some(anchor) =>
+          val doomed =
+            (listVersions("base-").map(b => s"base-$b" -> b) ++
+              listVersions("delta-").map(d => s"delta-$d" -> d))
+              .filter(_._2 < anchor)
+          doomed.foreach { case (name, _) =>
+            graft.util.FsUtil.deleteRecursively(root.resolve(name))
+          }
+          if (anchor > retentionFloor)
+            atomicWrite(root.resolve(VacuumFloorFile), anchor.toString)
+          doomed.map(_._2).sorted
+      }
+    }
+  }
 
   /** Compaction policy: fold the log once it exceeds `threshold` delta
     * segments since the last base. Call after mutations (or from a
@@ -343,38 +486,80 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * just requires one recompaction).
     */
   def compact(): Unit = this.synchronized {
-    val v = nextVersion
-    val snap = resolved
-    val staging = root.resolve(s".staging-base-$v")
-    if (numBuckets > 0) {
-      snap.withColumn(BucketCol, pmod(xxhash64(col("id")), lit(numBuckets.toLong)).cast("int"))
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(staging.toString)
-      // self-describing layout: the modulus travels INSIDE the staged dir, so
-      // the atomic publish below makes data + sidecar visible together —
-      // reads prune with the WRITTEN bucket count, whatever this store is
-      // constructed with later
-      Files.writeString(staging.resolve(BucketCountFile), numBuckets.toString)
-      ()
-    } else snap.write.mode("overwrite").parquet(staging.toString)
-    publish(staging, s"base-$v")
-    commit(v)
+    var committed = false
+    while (!committed) {
+      // A base SHADOWS every older segment, so — unlike a delta — it may
+      // only commit if NOTHING landed after its snapshot: true compare-and-
+      // swap. The snapshot folds in every published segment (committed or
+      // not: a published-but-unpointed orphan from a crashed writer is
+      // complete data — publication is the durability point, the pointer the
+      // visibility point — and our commit would adopt it into the read
+      // window, so shadowing it without folding it would lose the write).
+      val snapV = math.max(currentVersion,
+        (listVersions("base-") ++ listVersions("delta-")).maxOption.getOrElse(0L))
+      val v = snapV + 1
+      val snap = resolved(None, None, Some(snapV))
+      val staging = root.resolve(
+        s".staging-base-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+      if (numBuckets > 0) {
+        snap.withColumn(BucketCol, pmod(xxhash64(col("id")), lit(numBuckets.toLong)).cast("int"))
+          .write.partitionBy(BucketCol).mode("overwrite").parquet(staging.toString)
+        // self-describing layout: the modulus travels INSIDE the staged dir, so
+        // the atomic publish below makes data + sidecar visible together —
+        // reads prune with the WRITTEN bucket count, whatever this store is
+        // constructed with later
+        Files.writeString(staging.resolve(BucketCountFile), numBuckets.toString)
+        ()
+      } else snap.write.mode("overwrite").parquet(staging.toString)
+      committed = claimAndCommit(staging, "base", v,
+        fresh = currentVersion <= snapV &&
+          (listVersions("base-") ++ listVersions("delta-")).maxOption.getOrElse(0L) <= snapV)
+      if (!committed) graft.util.FsUtil.deleteRecursively(staging)
+    }
   }
 
   private def writeDelta(entries: Seq[MetadataEntry], op: String): Unit =
     writeDeltaDF(entries.toDS().toDF(), op)
 
-  /** Executor-side delta write — bulk loads never pass through the driver. */
+  /** Executor-side delta write — bulk loads never pass through the driver.
+    *
+    * Optimistic cross-instance concurrency: the delta stages under a unique
+    * name OUTSIDE the lock (the expensive part), then publish + pointer
+    * advance run as one short critical section ([[claimAndCommit]]). If
+    * another store instance on the same root claimed the version first, the
+    * stage is discarded and re-written under a fresh version — concurrent
+    * writers all succeed (the reference tolerates concurrent index
+    * creation, app.py:101-109) and no mutation is ever silently lost.
+    */
   private def writeDeltaDF(df: DataFrame, op: String): Unit = this.synchronized {
-    val v = nextVersion
-    val staging = root.resolve(s".staging-delta-$v")
-    df.withColumn(VersionCol, lit(v)).withColumn(OpCol, lit(op))
-      .write.mode("overwrite").parquet(staging.toString)
-    publish(staging, s"delta-$v")
-    commit(v)
+    var committed = false
+    while (!committed) {
+      val v = nextVersion
+      val staging = root.resolve(
+        s".staging-delta-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+      df.withColumn(VersionCol, lit(v)).withColumn(OpCol, lit(op))
+        .write.mode("overwrite").parquet(staging.toString)
+      committed = claimAndCommit(staging, "delta", v)
+      if (!committed) graft.util.FsUtil.deleteRecursively(staging)
+    }
   }
 }
 
 object MetadataStore {
+
+  /** One committed table-level event (see [[MetadataStore.versionHistory]]):
+    * kind ∈ delta | base | truncate.
+    */
+  final case class VersionEvent(version: Long, kind: String)
+
+  // One JVM monitor per canonical root path: nio FileLocks are held
+  // per-process, so in-process instances must serialize on a shared monitor
+  // before touching the advisory cross-process lock (a second in-process
+  // lock() would throw OverlappingFileLockException).
+  private val rootMonitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[store] def monitorFor(root: Path): Object =
+    rootMonitors.computeIfAbsent(root.toAbsolutePath.normalize.toString, _ => new Object)
+
   /** Consumer half of the CDC contract: advance a replica snapshot with a
     * [[MetadataStore.changesBetween]] batch — drop every changed id, then
     * add back the upserts (deletes simply stay dropped). The changed-id set

@@ -226,7 +226,7 @@ object EventStream {
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"))
   }
@@ -254,11 +254,13 @@ object EventStream {
       .outputMode(mode).trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // Snapshot the sink eagerly (localCheckpoint materializes the rows into
-    // block storage and cuts lineage back to the memory sink), then release
-    // the query and drop its temp view — without this every backfill leaks a
-    // driver-held result table for the life of the session.
-    val out = spark.table(name).localCheckpoint()
+    // Snapshot the sink eagerly (the lineage cut materializes the rows and
+    // severs the plan from the memory sink), then release the query and drop
+    // its temp view — without this every backfill leaks a driver-held result
+    // table for the life of the session. LineageCut.cut picks a reliable
+    // checkpoint when the context has a checkpoint dir (cluster-safe: the
+    // snapshot must outlive any executor), localCheckpoint otherwise.
+    val out = graft.util.LineageCut.cut(spark.table(name))
     q.stop()
     spark.catalog.dropTempView(name)
     out

@@ -13,4 +13,12 @@ object FsUtil {
     val s = Files.list(dir)
     try f(s.iterator.asScala) finally s.close()
   }
+
+  /** Depth-first recursive delete; missing paths are a no-op. */
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      listDir(p)(_.toSeq).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+    ()
+  }
 }

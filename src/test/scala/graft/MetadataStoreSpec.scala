@@ -199,6 +199,92 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.current.count() shouldBe 1
   }
 
+  test("upsertAll: one delta commit for the whole batch; last duplicate wins") {
+    val st = freshStore()
+    val batch = Fixtures.corpus.take(3) :+ Fixtures.corpus(2).copy(title = "batch-wins")
+    st.upsertAll(batch)
+    // the 4-entry batch is ONE committed segment, not four
+    st.versionHistory() shouldBe Seq(MetadataStore.VersionEvent(1L, "delta"))
+    st.current.count() shouldBe 3
+    st.get(Fixtures.corpus(2).id).get.title shouldBe "batch-wins"
+  }
+
+  test("optimistic concurrency: two instances on one root, racing commits — none lost") {
+    val dir = Files.createTempDirectory("graft-store-cc").toString
+    val a = new MetadataStore(spark, dir, fixedClock)
+    val b = new MetadataStore(spark, dir, fixedClock)
+    // sequential interleave first: each instance commits against whatever
+    // the other left on disk (no shared in-memory state)
+    a.upsert(Fixtures.corpus(0))
+    b.upsert(Fixtures.corpus(1))
+    a.upsert(Fixtures.corpus(2))
+    // then true races: both instances committing concurrently
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(Fixtures.corpus.slice(3, 6).foreach(a.upsert))
+    val fb = Future(Fixtures.corpus.slice(6, 9).foreach(b.upsert))
+    Await.result(fa.zip(fb), 180.seconds)
+    // every mutation from both writers is visible to a fresh reader, and the
+    // committed history is a clean strictly-increasing chain of 9 deltas —
+    // no commit was clobbered, skipped, or silently dropped
+    new MetadataStore(spark, dir, fixedClock).current.collect().toSet shouldBe
+      Fixtures.corpus.take(9).toSet
+    val vs = a.versionHistory().map(_.version)
+    vs shouldBe vs.sorted
+    vs.distinct.size shouldBe vs.size
+    vs.size shouldBe 9
+  }
+
+  test("vacuum: disk shrinks, retained window resolves unchanged, below-floor reads throw") {
+    val dir = Files.createTempDirectory("graft-store-vacuum")
+    val st = new MetadataStore(spark, dir.toString, fixedClock)
+    Fixtures.corpus.take(3).foreach(st.upsert) // deltas 1..3
+    st.compact() // base-4
+    st.partialUpdate(e0.id, Map("title" -> "v5")) // delta-5
+    st.compact() // base-6
+    st.delete(Fixtures.corpus(1).id) // delta-7
+    def segs: Set[String] = graft.util.FsUtil.listDir(dir)(
+      _.map(_.getFileName.toString)
+        .filter(n => n.startsWith("base-") || n.startsWith("delta-")).toSet)
+    val before = segs
+    // keep 4 versions: oldest kept = 7-4+1 = 4 → anchor base-4 → 1..3 deleted
+    st.vacuum(keepVersions = 4) shouldBe Seq(1L, 2L, 3L)
+    st.retentionFloor shouldBe 4L
+    (before -- segs) shouldBe Set("delta-1", "delta-2", "delta-3")
+    // CURRENT resolve is unchanged
+    st.current.count() shouldBe 2
+    st.get(e0.id).get.title shouldBe "v5"
+    // compaction bases are plain "base" events; the history survives vacuum
+    st.versionHistory().filter(_.kind == "base").map(_.version) shouldBe Seq(4L, 6L)
+    // time travel INSIDE the retention window still works
+    st.currentAt(4L).collect().toSet shouldBe Fixtures.corpus.take(3).toSet
+    st.currentAt(5L).count() shouldBe 3
+    // below the floor: history is gone, reads fail loudly
+    an[IllegalArgumentException] should be thrownBy st.currentAt(3L)
+    an[IllegalStateException] should be thrownBy st.changesBetween(1L)
+    // a feed window wholly at/above the floor is sound (needs deltas > 3 only)
+    st.changesBetween(3L).count() shouldBe 2 // the v5 update + the delete
+    // idempotent: nothing else to delete at the same retention
+    st.vacuum(keepVersions = 4) shouldBe Seq.empty
+  }
+
+  test("version history records drops; changesBetween refuses to span a truncation") {
+    val st = freshStore()
+    st.upsert(e0) // delta-1
+    st.upsert(Fixtures.corpus(1)) // delta-2
+    st.drop() // base-3, truncation
+    st.upsert(Fixtures.corpus(2)) // delta-4
+    st.versionHistory().map(e => e.version -> e.kind) shouldBe
+      Seq(1L -> "delta", 2L -> "delta", 3L -> "truncate", 4L -> "delta")
+    // an incremental replay across the drop would silently diverge a replica
+    // (the truncation has no row-level representation) — it must throw
+    an[IllegalStateException] should be thrownBy st.changesBetween(1L)
+    // from the truncation forward the incremental feed is sound again
+    st.changesBetween(3L).select("id").as[String].collect().toSeq shouldBe
+      Seq(Fixtures.corpus(2).id)
+  }
+
   test("point lookup pushes the id filter into every parquet scan (no full-log window)") {
     val st = freshStore()
     Fixtures.corpus.foreach(st.upsert)

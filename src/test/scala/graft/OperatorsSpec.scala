@@ -93,6 +93,24 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     Seq(4L, 5L, 6L, 9L).map(out) shouldBe Seq(4L, 5L, 6L, 9L) // untouched docs self-represent
   }
 
+  test("dup clusters with the reliable (cluster-safe) lineage-cut strategy") {
+    // On a real cluster localCheckpoint blocks die with their executor;
+    // LineageCut.reliable materializes each round to the context's
+    // checkpoint dir instead. (Setting the dir is session-global — later
+    // LineageCut.cut calls in this JVM may also go reliable; harmless.)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(docs, pairs, cut = graft.util.LineageCut.reliable)
+      .select("doc_id", "cluster_rep").as[(Long, Long)].collect().toMap
+    Seq(0L, 1L, 2L, 3L).map(out) shouldBe Seq(0L, 0L, 0L, 0L)
+    out(7L) shouldBe 7L
+    out(8L) shouldBe 7L
+    // the cuts really went to the reliable dir
+    graft.util.FsUtil.listDir(ckpt)(_.nonEmpty) shouldBe true
+  }
+
   test("dup clusters: a long chain converges via pointer jumping; canonical flags are exact") {
     val n = 33L // diameter 32 — one-round min-propagation would need 32 rounds
     val docs = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
