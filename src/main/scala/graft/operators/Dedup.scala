@@ -140,20 +140,27 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
       .repartition(col("doc_id"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // Banded rows carry (doc_id, band, key) ONLY: a doc colliding in many
+    // bands would otherwise ship its k-element signature once per candidate
+    // row through the pair-dedup shuffle. Pairs dedup as two longs, then the
+    // signatures re-join from `sigs` (whose repartition shuffle ReuseExchange
+    // serves to all three reads) — the jaccardPairs two-phase pattern.
+    val banded = sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
           .as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     val est = size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
       b => b)).cast("double") / k
-    pairs.select(col("a_id"), col("b_id"), round(est, 6).as("est_jaccard"))
+    pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
+      .select(col("a_id"), col("b_id"), round(est, 6).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 

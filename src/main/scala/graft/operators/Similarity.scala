@@ -79,32 +79,45 @@ object Similarity {
     * candidates. bits=16, bands=4 → 4-bit band keys; recall rises with
     * bands, cost with bucket size — both independent of |corpus|·|queries|.
     */
-  /** The shared SRP blocking stage of [[lshTopK]] and [[cosineNearDupPairs]]:
-    * materialize signature + norm behind a shuffle barrier (see
-    * Dedup.minhashPairs for why), then explode per-band (band, key) rows.
+  /** The shared SRP preparation stage of [[lshTopK]] and
+    * [[cosineNearDupPairs]]: (id, embedding, norm, signature) materialized
+    * behind a shuffle barrier (see Dedup.minhashPairs for why). One shuffle
+    * serves every downstream read via ReuseExchange: the band explode AND
+    * the post-dedup vector re-joins.
     */
-  private def bandedSig(df: DataFrame, idCol: String, embCol: String, nrmCol: String,
-                        bits: Int, bands: Int): DataFrame = {
-    val r = bits / bands
+  private def withSigNorm(df: DataFrame, idCol: String, embCol: String,
+                          nrmCol: String, bits: Int): DataFrame =
     df.select(col("vec_id").as(idCol), col("embedding").as(embCol),
         norm(col("embedding")).as(nrmCol),
         srpSignature(col("embedding"), bits).as("sig"))
       .repartition(col(idCol))
-      .select(col(idCol), col(embCol), col(nrmCol),
+
+  /** Exploded (id, band, key) rows — ids ONLY. Candidate generation and
+    * pair dedup ship two longs per row; embeddings re-join after the dedup
+    * (a vector would otherwise ride the shuffle once per band collision).
+    */
+  private def bandedKeys(prepared: DataFrame, idCol: String,
+                         bits: Int, bands: Int): DataFrame = {
+    val r = bits / bands
+    prepared.select(col(idCol),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
           .as("bk"))
-      .select(col(idCol), col(embCol), col(nrmCol), col("bk.band"), col("bk.key"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 16, bands: Int = 4): DataFrame = {
-    val qb = broadcast(bandedSig(queries, "q_id", "q_emb", "q_nrm", bits, bands))
-    val cands = bandedSig(corpus, "vec_id", "embedding", "nrm", bits, bands)
-      .join(qb, Seq("band", "key"))
+    val prep = withSigNorm(corpus, "vec_id", "embedding", "nrm", bits)
+    val qprep = withSigNorm(queries, "q_id", "q_emb", "q_nrm", bits)
+    val candIds = bandedKeys(prep, "vec_id", bits, bands)
+      .join(broadcast(bandedKeys(qprep, "q_id", bits, bands)), Seq("band", "key"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))
+      .select(col("q_id"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id")
+    val cands = candIds
+      .join(prep.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(qprep.select(col("q_id"), col("q_emb"), col("q_nrm"))), "q_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     cands.select(col("q_id"), col("vec_id"),
         cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
@@ -172,14 +185,17 @@ object Similarity {
     // 6-bit band keys: 64 buckets/band cuts candidate pairs ~6× vs 4-bit
     // keys while band-collision probability for cos ≥ 0.95 pairs stays
     // ≈ 0.53/band → ≥ 95% recall over 4 bands (SRP S-curve).
-    val banded = bandedSig(emb, "vec_id", "embedding", "nrm", bits, bands)
+    val prep = withSigNorm(emb, "vec_id", "embedding", "nrm", bits)
+    val banded = bandedKeys(prep, "vec_id", bits, bands)
+    // ids-only pair dedup, then the embeddings re-join from `prep` — the
+    // candidate shuffle carries 16 bytes/row, not two 64-float vectors
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .join(prep.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na")), "a_id")
+      .join(prep.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
         cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
       .where(col("cos") >= threshold)

@@ -108,6 +108,27 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     "REPARTITION_BY_COL".r.findAllIn(plan).size should be >= 2
   }
 
+  test("banded pair dedup shuffles ids only — vectors re-join after the dedup") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // the dropDuplicates of each banded self-join compiles to a pure
+    // Aggregate over the pair keys; its INPUT schema must carry the ids
+    // alone — a signature/embedding column here would ride the pair-dedup
+    // shuffle once per band collision (the round-6 finding)
+    def dedupInput(df: org.apache.spark.sql.DataFrame, keys: Set[String]): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate if a.output.map(_.name).toSet == keys &&
+            a.aggregateExpressions.forall(_.isInstanceOf[Attribute]) =>
+          a.child.output.map(_.name).toSet
+      }.head
+    dedupInput(Dedup.minhashPairs(docsDf), Set("a_id", "b_id")) shouldBe
+      Set("a_id", "b_id")
+    dedupInput(Similarity.cosineNearDupPairs(embDf), Set("a_id", "b_id")) shouldBe
+      Set("a_id", "b_id")
+    dedupInput(Similarity.lshTopK(embDf, embDf.where($"vec_id" === 1), 3),
+      Set("q_id", "vec_id")) shouldBe Set("q_id", "vec_id")
+  }
+
   test("dup-clusters output plan: equi-joins only, no cartesian product") {
     // the CC loop is label-keyed equi-joins + min aggregates; a regression to
     // a theta/cartesian join would be the 100 TB killer here
