@@ -60,6 +60,14 @@ object SearchExecutor {
       .limit(cq.size)
 
   /** Full search → SearchResult (reference response shape, search.py:121-135).
+    *
+    * Three jobs, not four: `total` rides the hits job as an `observe()`
+    * metric — a CollectMetrics node between the post filter and the
+    * TakeOrdered sees every post-filtered row exactly once (the top-k runs
+    * above it), so the count is exact and costs no extra pass. The
+    * `size == 0` degenerate case falls back to a count: a `limit(0)` plan
+    * folds to an empty relation, the metrics node never executes, and the
+    * observation would block forever.
     */
   def search(spark: SparkSession, ds: Dataset[MetadataEntry], cq: CompiledQuery): SearchResult = {
     import spark.implicits._
@@ -67,9 +75,18 @@ object SearchExecutor {
     base.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val postFiltered = base.where(cq.postFilter)
-      val total = postFiltered.count()
-      val hits = hitsBranch(base, cq)
-        .drop(ScoreCol).as[MetadataEntry].collect().toSeq
+      val (hits, total) =
+        if (cq.size == 0) (Seq.empty[MetadataEntry], postFiltered.count())
+        else {
+          val obs = org.apache.spark.sql.Observation()
+          val collected = postFiltered
+            .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("total"))
+            .orderBy(col(ScoreCol).desc, col("id").asc)
+            .offset(cq.from)
+            .limit(cq.size)
+            .drop(ScoreCol).as[MetadataEntry].collect().toSeq
+          (collected, obs.get("total").asInstanceOf[Long])
+        }
       val categories = facetBranch(base, "category", CategoryFacetSize)
         .select("category").as[String].collect().toSeq
       val formats = facetBranch(base, "format", FormatFacetSize)
