@@ -157,26 +157,7 @@ final class HttpCatalog(service: CatalogService,
 
   // ----------------------------------------------------------- marshalling
 
-  private val TsFmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME
-
-  private def entryJson(e: MetadataEntry): ObjectNode = {
-    val n = mapper.createObjectNode()
-    n.put("id", e.id)
-    n.put("category", e.category)
-    if (e.creationTime != null)
-      n.put("creationTime", e.creationTime.toLocalDateTime.format(TsFmt))
-    n.put("dataSample", e.dataSample)
-    n.put("format", e.format)
-    n.put("isPublic", e.isPublic)
-    n.put("orgUUID", e.orgUUID)
-    n.put("recordCount", e.recordCount)
-    n.put("size", e.size)
-    n.put("sourceUri", e.sourceUri)
-    n.put("targetUri", e.targetUri)
-    n.put("title", e.title)
-    e.storeType.foreach(n.put("storeType", _))
-    n
-  }
+  private def entryJson(e: MetadataEntry): ObjectNode = EntryJsonCodec.entryJson(e)
 
   private def searchJson(r: SearchResult): ObjectNode = {
     val n = mapper.createObjectNode()
