@@ -487,6 +487,29 @@ object SparkEntry {
     "p4_quality_sample" -> ((s, d) =>
       graft.operators.Pipeline.qualitySample(docs(s, d)).orderBy("doc_id")),
 
+    // Pipeline: shard-local sequence packing (concatenate-and-chunk pack
+    // assignment, the pretraining batch discipline; per-shard window only)
+    "p5_pack_sequences" -> ((s, d) =>
+      graft.operators.Pipeline.packSequences(docs(s, d)).orderBy("doc_id")),
+
+    // Pipeline: per-language quota curation (data mixing) — top 50 docs per
+    // detected language by quality, ties by doc_id
+    "p6_stratified_sample" -> ((s, d) =>
+      graft.operators.Pipeline.stratifiedSample(docs(s, d)).orderBy("doc_id")),
+
+    // X3 JSONL round-trip: the documents corpus written as newline-delimited
+    // JSON (distributed sink) and read back with an explicit schema — full
+    // column fidelity proven against the original parquet (text by md5)
+    "x3_jsonl_roundtrip" -> ((s, d) => {
+      val src = docs(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+      graft.sources.Jsonl.write(src, out)
+      graft.sources.Jsonl.read(s, out, src.schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup: exact (content-hash, min doc_id representative)
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -873,6 +896,28 @@ object SparkEntry {
           "SELECT doc_id, quality FROM qual " +
           "QUALIFY row_number() OVER (ORDER BY quality DESC, doc_id) <= (SELECT ceil(count(*) * 0.25) FROM qual) " +
           "ORDER BY doc_id"),
+      "p5_pack_sequences" ->
+        (T + ", c AS (SELECT doc_id, doc_id % 32 AS shard, len(t)::BIGINT AS n_tokens FROM toks) " +
+          ", o AS (SELECT doc_id, shard, n_tokens, " +
+          "(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset FROM c) " +
+          "SELECT doc_id, shard, n_tokens, start_offset, " +
+          "(shard * 1000000 + start_offset // 512)::BIGINT AS pack_id FROM o ORDER BY doc_id"),
+      "p6_stratified_sample" ->
+        (T + s", sc AS (SELECT doc_id, $langScores FROM toks) " +
+          ", lang AS (SELECT doc_id, CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en' " +
+          "WHEN es >= de AND es >= fr AND es > 0 THEN 'es' WHEN de >= fr AND de > 0 THEN 'de' " +
+          "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS lang FROM sc) " +
+          s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, " +
+          "len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
+          ", qual AS (SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
+          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st) " +
+          ", ranked AS (SELECT l.doc_id, lang, quality, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY quality DESC, l.doc_id)::BIGINT AS rank " +
+          "FROM lang l JOIN qual USING (doc_id)) " +
+          "SELECT doc_id, lang, quality, rank FROM ranked WHERE rank <= 50 ORDER BY doc_id"),
+      "x3_jsonl_roundtrip" ->
+        ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
+          "FROM documents ORDER BY doc_id"),
       "t4_fingerprint" ->
         (T + "SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks ORDER BY doc_id"),
       "t5_top_bigrams" ->

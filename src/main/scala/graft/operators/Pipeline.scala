@@ -86,6 +86,49 @@ object Pipeline {
     * the per-position n-gram lambda reads them (the CollapseProject /
     * HOF-re-evaluation hazard — see Dedup.withShingles).
     */
+  /** Sequence packing for pre-training: assign every document a fixed
+    * token-budget pack id. Packing is SHARD-LOCAL (shard = pmod(doc_id,
+    * shards)): each shard packs its documents independently in doc_id order,
+    * a pack boundary falling every `budget` tokens of the shard's running
+    * token stream (concatenate-and-chunk, the standard pretraining batch
+    * discipline — a doc whose start offset crosses a boundary begins the
+    * next pack). Shard-locality is what makes it scale: the only shuffle is
+    * the hash partition on the shard key and the running sum is a per-shard
+    * window — a single global cumulative sum would serialize the corpus
+    * through one partition. Deterministic: doc_id order, integer arithmetic.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 512, shards: Int = 32): DataFrame = {
+    val counted = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counted
+      .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("pack_id", col("shard") * 1000000L + expr(s"start_offset div $budget"))
+      .select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
+  }
+
+  /** Per-stratum quota curation ("data mixing"): the top `quota` documents
+    * of every detected language by quality score, ties by doc_id. One
+    * shuffle on the language key; Spark's WindowGroupLimit pushes the
+    * rank ≤ quota cut below the shuffle as a per-partition partial top-k,
+    * so no stratum ever materializes fully — the shape that lets a mixing
+    * recipe run over a 100 TB corpus with a handful of strata.
+    */
+  def stratifiedSample(docs: DataFrame, quota: Int = 50): DataFrame = {
+    val t: Column = TextAnalysis.tokens(col("text"))
+    val (predicted, _) = TextAnalysis.langCols(t)
+    val scored = docs.select(col("doc_id"), predicted.as("lang"),
+      TextAnalysis.qualityCol(t).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= quota)
+      .select("doc_id", "lang", "quality", "rank")
+  }
+
   def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))

@@ -45,18 +45,28 @@ final class HttpCatalog(service: CatalogService,
 
   private val mapper = new ObjectMapper()
   private var server: Option[HttpServer] = None
+  private var pool: Option[java.util.concurrent.ExecutorService] = None
 
   /** Bind on an ephemeral (or given) loopback port; returns the bound port. */
   def start(port: Int = 0): Int = synchronized {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/", (ex: HttpExchange) => handle(ex))
-    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    val p = java.util.concurrent.Executors.newFixedThreadPool(4)
+    s.setExecutor(p)
     s.start()
     server = Some(s)
+    pool = Some(p)
     s.getAddress.getPort
   }
 
-  def stop(): Unit = synchronized { server.foreach(_.stop(0)); server = None }
+  def stop(): Unit = synchronized {
+    server.foreach(_.stop(0))
+    // the handler pool's threads are non-daemon — without this a long-lived
+    // JVM that stopped its catalog server would never exit
+    pool.foreach(_.shutdown())
+    server = None
+    pool = None
+  }
 
   // ------------------------------------------------------------- dispatch
 

@@ -1,0 +1,26 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSONL (one JSON object per line) corpus source/sink — the interchange
+  * format of LLM training-data pipelines (and the reference's export
+  * tooling writes JSON dumps, tools/elastic_migrate_tool.py:44-63).
+  *
+  * Backed by Spark's `json` datasource: the write is one file per
+  * partition of newline-delimited objects (distributed, no driver
+  * funnel); the read REQUIRES an explicit schema — schema inference is a
+  * full extra pass over the corpus, which at 100 TB doubles the scan
+  * before any work starts, and silently widens types on dirty data.
+  * `columnNameOfCorruptRecord` rows surface under `_corrupt_record` when
+  * the schema includes it (PERMISSIVE default), so a dirty corpus can be
+  * partitioned into clean/quarantine without failing the job.
+  */
+object Jsonl {
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -91,6 +91,36 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out(7L) shouldBe 7L
     out(8L) shouldBe 7L
     Seq(4L, 5L, 6L, 9L).map(out) shouldBe Seq(4L, 5L, 6L, 9L) // untouched docs self-represent
+  }
+
+  test("sequence packing: shard-local running offsets, pack break at the budget") {
+    // four docs in shard 0 (ids ≡ 0 mod 32) with known token counts
+    val docs = Seq(
+      (0L, "a b c"), // 3 tokens: start 0 → pack 0
+      (32L, Seq.fill(300)("d").mkString(" ")), // start 3 → pack 0 (overflows the 256 boundary)
+      (64L, "e f"), // start 303 → pack 1
+      (96L, "g") // start 305 → pack 1
+    ).toDF("doc_id", "text")
+    val out = Pipeline.packSequences(docs, budget = 256)
+      .select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    out.map(_._2).toSet shouldBe Set(0L) // all in shard 0
+    out.map(r => (r._1, r._4, r._5)).toSeq shouldBe Seq(
+      (0L, 0L, 0L), (32L, 3L, 0L), (64L, 303L, 1L), (96L, 305L, 1L))
+  }
+
+  test("stratified sample: per-language quota with deterministic quality ranking") {
+    val docs = Seq(
+      (0L, "the of and to in it is was"), // en
+      (1L, "the and of it is"), // en, shorter → lower quality
+      (2L, "el la de los y en un"), // es
+      (3L, "der die und das ist") // de
+    ).toDF("doc_id", "text")
+    val out = Pipeline.stratifiedSample(docs, quota = 1)
+      .select("doc_id", "lang", "rank").as[(Long, String, Long)].collect()
+    out.map(_._3).toSet shouldBe Set(1L) // exactly the per-stratum winner
+    out.map(_._2).sorted.toSeq shouldBe Seq("de", "en", "es") // one per language
+    out.find(_._2 == "en").get._1 shouldBe 0L // the higher-quality en doc wins
   }
 
   test("dup clusters with the reliable (cluster-safe) lineage-cut strategy") {
