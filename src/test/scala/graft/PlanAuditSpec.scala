@@ -154,6 +154,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("stratified sample pushes a partial top-k per stratum below its shuffle") {
+    val docs = Corpus.metadata(spark, "/root/testdata/sf0.001")
+      .select($"id".cast("long").as("doc_id"), $"dataSample".as("text"))
+    val plan = graft.operators.Pipeline.stratifiedSample(docs)
+      .queryExecution.executedPlan.toString
+    // two WindowGroupLimits: map-side partial before the exchange, final after
+    "WindowGroupLimit".r.findAllIn(plan).size should be >= 2
+    plan should include("Exchange")
+  }
+
+  test("sequence packing shuffles once, on the shard key only") {
+    val docs = Corpus.metadata(spark, "/root/testdata/sf0.001")
+      .select($"id".cast("long").as("doc_id"), $"dataSample".as("text"))
+    val plan = graft.operators.Pipeline.packSequences(docs)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(shard".r.findAllIn(plan).size shouldBe 1
+    plan should not include "SinglePartition" // a global cumsum would serialize here
+  }
+
   test("cdc apply broadcasts the changed-id set against the replica") {
     val snapshot = Seq(("a", "t1"), ("b", "t2")).toDF("id", "title")
     val changes = Seq(("a", 2L, "upsert", "t1b")).toDF("id", "change_version", "change_op", "title")
