@@ -634,6 +634,27 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // Streaming over a JSONL event feed: the e1 aggregation ingesting
+    // line-delimited JSON (the live-tail file-source shape) — must produce
+    // bit-identical windows to the parquet path (same oracle as e1)
+    "e6_stream_jsonl_counts" -> ((s, d) =>
+      EventStream.backfillWindowedCountsJsonl(s, s"$d/events.parquet")
+        .select(col("window_start"), col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    // X4 CSV round-trip: documents written as quoted CSV and read back with
+    // an explicit schema — escaping fidelity proven against the original
+    "x4_csv_roundtrip" -> ((s, d) => {
+      val src = docs(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/docs"
+      graft.sources.Csv.write(src, out)
+      graft.sources.Csv.read(s, out, src.schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming custom state: gap sessionization via flatMapGroupsWithState,
     // watermark-gated emission (trailing open sessions stay in state)
     "e2_sessionize" -> ((s, d) =>
@@ -1049,6 +1070,13 @@ object SparkEntry {
       "e1_stream_window_counts" ->
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
           "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      // e6 must reproduce e1 exactly from the JSONL staging of the same events
+      "e6_stream_jsonl_counts" ->
+        ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
+          "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      "x4_csv_roundtrip" ->
+        ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
+          "FROM documents ORDER BY doc_id"),
       "e2_sessionize" ->
         // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
         // engine's timestamp_micros(ts/1000) normalization

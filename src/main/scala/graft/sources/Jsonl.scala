@@ -23,4 +23,28 @@ object Jsonl {
 
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Streaming JSONL source — the realistic shape of a live event feed
+    * (appenders drop line-delimited JSON files into a directory; the
+    * FileStreamSource picks up new files per micro-batch). Explicit schema
+    * for the same reason as [[read]].
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+}
+
+/** CSV corpus source/sink, same discipline as [[Jsonl]]: explicit schema on
+  * the read (no inference pass), header on the write, Spark's default
+  * quote/escape rules — which round-trip arbitrary text containing commas,
+  * quotes, and newlines (`multiLine` on the read side handles quoted
+  * embedded newlines).
+  */
+object Csv {
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true").csv(path)
 }

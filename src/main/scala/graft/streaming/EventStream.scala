@@ -294,4 +294,21 @@ object EventStream {
   def backfillWindowedCounts(spark: SparkSession, path: String): DataFrame =
     runToMemoryTable(spark,
       windowedCounts(withEventTime(fileStream(spark, stageDir(path)))), "complete")
+
+  /** The same windowed aggregation ingesting a JSONL event feed — the shape
+    * a live deployment actually tails (appenders drop line-delimited JSON
+    * into a directory, FileStreamSource picks new files up per micro-batch).
+    * The parquet events are staged out as JSONL first (epoch-ns `ts` longs
+    * survive JSON exactly; [[withEventTime]] normalizes them), then streamed
+    * with an explicit schema. Results must equal the parquet path's
+    * bit-for-bit — same oracle as `e1`.
+    */
+  def backfillWindowedCountsJsonl(spark: SparkSession, path: String): DataFrame = {
+    val batch = spark.read.parquet(path)
+    val staged = java.nio.file.Files.createTempDirectory("graft-jsonl-events").toString + "/events"
+    graft.sources.Jsonl.write(batch, staged)
+    runToMemoryTable(spark,
+      windowedCounts(withEventTime(
+        graft.sources.Jsonl.readStream(spark, staged, batch.schema))), "complete")
+  }
 }
