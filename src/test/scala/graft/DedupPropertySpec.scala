@@ -39,6 +39,26 @@ class DedupPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("property: planted near-dup signatures stay near; unrelated docs stay far") {
+    // the nonzero-Hamming regime the registered d4 entry deliberately
+    // excludes (its oracle-checkable corpus pins Hamming 0), asserted at the
+    // signature level: one appended token only flips vote bits whose margin
+    // it crosses — on short 12-31-token docs (margins O(√n)) that can exceed
+    // the default ball of 3 but stays far below the ~32 of an unrelated
+    // pair. (The banded operator itself only GUARANTEES recall ≤ 3 by
+    // pigeonhole, which is why this property is checked on raw signatures.)
+    for (seed <- 1 to 3) {
+      val d = corpus(seed)
+      val sigs = d.select($"doc_id", Dedup.simhash($"text").as("sig"))
+        .as[(Long, Long)].collect().toMap
+      for (i <- 4L until 8L)
+        java.lang.Long.bitCount(sigs(i) ^ sigs(200L + i)) should be <= 12
+      // separation: even a same-vocabulary unrelated pair sits beyond the
+      // near-dup bound (a tight margin — these docs share a 16-word lexicon)
+      java.lang.Long.bitCount(sigs(8L) ^ sigs(9L)) should be > 12
+    }
+  }
+
   test("property: pairs are strictly ordered (a_id < b_id) and unique in every tier") {
     val d = corpus(7)
     Seq(Dedup.jaccardPairs(d), Dedup.minhashPairs(d), Dedup.simhashPairs(d),
