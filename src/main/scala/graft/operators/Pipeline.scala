@@ -98,6 +98,8 @@ object Pipeline {
     * through one partition. Deterministic: doc_id order, integer arithmetic.
     */
   def packSequences(docs: DataFrame, budget: Long = 512, shards: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
     val counted = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
       pmod(col("doc_id"), lit(shards.toLong)).as("shard"))

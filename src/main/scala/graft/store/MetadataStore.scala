@@ -311,7 +311,7 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * Any invalid entry fails the whole batch before anything is written —
     * per-row error isolation is [[bulkLoad]]'s contract, not this one's.
     */
-  def upsertAll(entries: Seq[MetadataEntry]): Unit = {
+  def upsertAll(entries: Seq[MetadataEntry]): Unit = if (entries.nonEmpty) {
     val normalized = entries.map(Validation.normalize(_, clock))
     writeDelta(normalized.reverse.distinctBy(_.id).reverse, "upsert")
   }

@@ -236,6 +236,26 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     vs.size shouldBe 9
   }
 
+  test("compact CAS: a racing compaction never shadows concurrent mutations") {
+    // compact() snapshots, writes a base, then commits — a mutation landing
+    // between snapshot and commit would be SHADOWED by the base unless the
+    // freshness CAS rejects the stale base and re-snapshots (the lost-update
+    // mode the optimistic protocol exists to prevent)
+    val dir = Files.createTempDirectory("graft-store-compactrace").toString
+    val a = new MetadataStore(spark, dir, fixedClock)
+    val b = new MetadataStore(spark, dir, fixedClock)
+    a.upsert(Fixtures.corpus(0))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val mutations = Future(Fixtures.corpus.slice(1, 7).foreach(a.upsert))
+    val compactions = Future((1 to 3).foreach(_ => b.compact()))
+    Await.result(mutations.zip(compactions), 300.seconds)
+    b.compact() // fold whatever remains — every upsert must still resolve
+    new MetadataStore(spark, dir, fixedClock).current.collect().toSet shouldBe
+      Fixtures.corpus.take(7).toSet
+  }
+
   test("vacuum: disk shrinks, retained window resolves unchanged, below-floor reads throw") {
     val dir = Files.createTempDirectory("graft-store-vacuum")
     val st = new MetadataStore(spark, dir.toString, fixedClock)
