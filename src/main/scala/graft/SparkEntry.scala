@@ -581,6 +581,18 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity: IVF at PARTIAL probe (nprobe 8 of 32 — the production
+    // config) over the planted neighborhood corpus: each query's true
+    // top-10 sits ≈ on the query vector itself, so its plants share the
+    // query's nearest cell and a partial probe must still return the exact
+    // answer — the approximate path held to the exact-cosine oracle
+    "v6_ivf_partial" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(plantedTopKEmb(s, d), e.where(col("vec_id") < 5), 10,
+          nlist = 32, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
+
     // Similarity: embedding-cosine near-dup pairs over the planted corpus —
     // exact answer = the 20 planted pairs, so the SRP-LSH blocking is held
     // to an all-pairs DuckDB oracle (recall must be 100% at cos ≈ 0.995)
@@ -776,6 +788,19 @@ object SparkEntry {
       "FROM embeddings WHERE vec_id < 20), " +
       s"p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.embedding", "b.embedding")} AS cos " +
       "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) "
+
+  /** Exact top-10 over the plantedTopKEmb corpus — the oracle both
+    * approximate searches (v2 SRP-LSH, v6 partial-probe IVF) are held to.
+    */
+  private lazy val plantedTopkSql: String =
+    "WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
+      "UNION ALL SELECT vec_id*100 + j + 200000 AS vec_id, " +
+      "list_prepend((embedding[1] + (j/256.0)::FLOAT)::FLOAT, embedding[2:64]) AS embedding " +
+      "FROM embeddings, range(1,11) t(j) WHERE vec_id < 5) " +
+      ", q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
+      s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM corpus e, q WHERE e.vec_id <> q_id) " +
+      ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
+      "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
 
   def oracleSql: Map[String, String] = {
     val aclOr = "(orgUUID = 'org1' OR isPublic)"
@@ -1029,18 +1054,12 @@ object SparkEntry {
           "FROM documents d LEFT JOIN lbl l USING (doc_id) ORDER BY d.doc_id"),
       // v4 at full probe must equal exact brute force — same oracle as v1
       "v4_ivf_topk" -> exactTopkSql,
-      // v2: exact cosine top-10 over the planted neighborhood corpus — each
-      // query's true top-10 is its 10 plants (organic cos ≤ 0.40), so the
-      // SRP-bucketed operator must recall and exact-rerank all of them
-      "v2_lsh_topk" ->
-        ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
-          "UNION ALL SELECT vec_id*100 + j + 200000 AS vec_id, " +
-          "list_prepend((embedding[1] + (j/256.0)::FLOAT)::FLOAT, embedding[2:64]) AS embedding " +
-          "FROM embeddings, range(1,11) t(j) WHERE vec_id < 5) " +
-          ", q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
-          s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM corpus e, q WHERE e.vec_id <> q_id) " +
-          ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
-          "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+      // v2/v6: exact cosine top-10 over the planted neighborhood corpus —
+      // each query's true top-10 is its 10 plants (organic cos ≤ 0.40), so
+      // the SRP-bucketed search AND the partial-probe IVF search must both
+      // recall and exact-rerank all of them
+      "v2_lsh_topk" -> plantedTopkSql,
+      "v6_ivf_partial" -> plantedTopkSql,
       "v3_embedding_neardup" ->
         (PlantedPairCte + "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
       // v5: CC collapse over the exact planted pair graph (star shapes, but
