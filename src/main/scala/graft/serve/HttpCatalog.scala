@@ -90,6 +90,7 @@ final class HttpCatalog(service: CatalogService,
           case ("GET", p) if p == basePath => search(ex, params, acl)
           case ("GET", p) if p == s"$basePath/count" =>
             respondText(ex, 200, service.count(acl).toString)
+          case (m, p) if p == s"$basePath/admin/elastic" => adminRoute(ex, m, body, acl)
           case (m, EntryPath(id)) => entryRoute(ex, m, id, body, acl)
           case _ => respondError(ex, 404, "no such route")
         }
@@ -109,6 +110,39 @@ final class HttpCatalog(service: CatalogService,
         Option(id).filter(s => s.nonEmpty && !s.contains("/"))
       } else None
   }
+
+  /** Admin surface (reference: elastic_admin.py:41-83): both verbs require
+    * the admin scope (403 otherwise, :46-48/:60-62). PUT takes a JSON ARRAY
+    * of entries and loads them with per-row error isolation — corrupted
+    * entries (bad fields OR a missing id, which the reference would 500 on)
+    * are omitted, good rows land (:64-75); a non-array body is the
+    * reference's malformed-data 400. DELETE drops the whole table,
+    * ignore-missing.
+    */
+  private def adminRoute(ex: HttpExchange, method: String,
+                         body: Option[JsonNode], acl: AclContext): Unit =
+    if (!acl.isAdmin) respondError(ex, 403, "admin scope required")
+    else method match {
+      case "DELETE" =>
+        service.adminDrop()
+        respondJson(ex, 200, mapper.createObjectNode())
+      case "PUT" =>
+        body.filter(_.isArray) match {
+          case None => respondError(ex, 400, "Malformed data")
+          case Some(arr) =>
+            val entries = arr.elements.asScala.flatMap { n =>
+              scala.util.Try(entryFromJson(
+                Option(n.get("id")).filterNot(_.isNull).map(_.asText).getOrElse(
+                  throw new IllegalArgumentException("missing id")), n)).toOption
+            }.toSeq
+            val rejected = service.adminBulkLoad(entries)
+            val out = mapper.createObjectNode()
+            val r = out.putArray("rejected")
+            rejected.foreach(r.add)
+            respondJson(ex, 200, out)
+        }
+      case m => respondError(ex, 405, s"method $m not allowed")
+    }
 
   private def search(ex: HttpExchange, params: Map[String, String], acl: AclContext): Unit = {
     // absent `query` arg = match-all (reference: search.py:70 passes None)

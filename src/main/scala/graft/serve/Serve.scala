@@ -168,4 +168,21 @@ final class CatalogService(spark: SparkSession, store: MetadataStore,
   /** GET /rest/datasets/count (reference: dataset_count.py:39-48). */
   def count(acl: AclContext): Long =
     SearchExecutor.count(spark, store.current, acl)
+
+  /** PUT /rest/datasets/admin/elastic — bulk (re)load with per-row error
+    * isolation, corrupted rows omitted (reference: elastic_admin.py:54-83).
+    * Admin gating is the transport's job (the reference checks
+    * flask.g.is_admin in the resource). Returns the rejected ids.
+    */
+  def adminBulkLoad(entries: Seq[MetadataEntry]): Seq[String] = {
+    import spark.implicits._
+    val rejected = store.bulkLoad(spark.createDataset(entries)).collect().map(_.id).toSeq
+    afterMutation()
+    rejected
+  }
+
+  /** DELETE /rest/datasets/admin/elastic — drop the whole table,
+    * ignore-missing (reference: elastic_admin.py:41-52).
+    */
+  def adminDrop(): Unit = store.drop()
 }

@@ -155,6 +155,50 @@ class HttpCatalogSpec extends AnyFunSuite with Matchers with SparkSupport
       body = Some("""{"title":"x"}""")).statusCode() shouldBe 403
   }
 
+  test("admin route: 403 for non-admins; PUT bulk-reloads omitting corrupted rows; DELETE drops") {
+    // isolated server+store: the DELETE here wipes the whole table
+    val store2 = new MetadataStore(spark,
+      Files.createTempDirectory("graft-http-admin").toString,
+      () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val http2 = new HttpCatalog(new CatalogService(spark, store2), verifier,
+      p => memberships(p.userId))
+    val port2 = http2.start()
+    try {
+      def req2(method: String, token: String, body: Option[String] = None) = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$port2/rest/datasets/admin/elastic"))
+          .header("Authorization", s"bearer $token")
+        client.send(
+          b.method(method, body.fold(HttpRequest.BodyPublishers.noBody())(
+            HttpRequest.BodyPublishers.ofString(_))).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      // admin scope required on both verbs (elastic_admin.py:46-48, 60-62)
+      req2("PUT", "tok-org01", Some("[]")).statusCode() shouldBe 403
+      req2("DELETE", "tok-org01").statusCode() shouldBe 403
+      // bulk reload: one good entry, one invalid targetUri, one missing id —
+      // corrupted rows omitted, good row lands
+      val good =
+        """{"id":"a1","category":"health","dataSample":"A,B","format":"csv",
+          |"isPublic":true,"orgUUID":"org01","recordCount":1,"size":2,
+          |"sourceUri":"http://x.example.com/s",
+          |"targetUri":"hdfs://nameservice1/org/db1/x","title":"good"}""".stripMargin
+      val badUri = good.replace("\"a1\"", "\"a2\"")
+        .replace("hdfs://nameservice1/org/db1/x", "some_path")
+      val noId = good.replaceFirst(""""id":"a1",""", "")
+      val r = req2("PUT", "tok-admin", Some(s"[$good,$badUri,$noId]"))
+      r.statusCode() shouldBe 200
+      json(r).get("rejected").size shouldBe 1 // the bad-targetUri row
+      // non-array body is the reference's malformed-data 400
+      req2("PUT", "tok-admin", Some("{}")).statusCode() shouldBe 400
+      store2.current.collect().map(_.id).toSeq shouldBe Seq("a1")
+      // drop empties the table, ignore-missing semantics on repeat
+      req2("DELETE", "tok-admin").statusCode() shouldBe 200
+      req2("DELETE", "tok-admin").statusCode() shouldBe 200
+      store2.current.count() shouldBe 0L
+    } finally http2.stop()
+  }
+
   test("DELETE: 200 with cascade status, then 404; foreign org 403") {
     req("DELETE", "/rest/datasets/5", token = Some("tok-org01")).statusCode() shouldBe 403
     val r = req("DELETE", "/rest/datasets/h1", token = Some("tok-org01"))
