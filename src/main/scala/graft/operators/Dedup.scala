@@ -255,7 +255,7 @@ object Dedup {
     var labels = cut(e.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl")))
     def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("lbl")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      Option(df.agg(sum("lbl")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
     var prev = labelSum(labels)
     var converged = prev == 0L // empty pair graph: nothing to iterate
     var iter = 0

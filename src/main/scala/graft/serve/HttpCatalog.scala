@@ -249,7 +249,7 @@ final class HttpCatalog(service: CatalogService,
     * reference CERBERUS_SCHEMA subset check, metadata_entry.py:239-241).
     */
   private def fieldsFromJson(n: JsonNode): Map[String, Any] =
-    n.fields.asScala.map { e =>
+    n.properties().asScala.map { e =>
       val v = e.getValue
       val value: Any =
         if (v.isBoolean) v.asBoolean
