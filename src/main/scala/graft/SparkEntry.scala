@@ -87,11 +87,13 @@ object SparkEntry {
     * doc_id % 20 == 7 doc reappears at doc_id+300000 keeping its first
     * ⌈98%⌉ tokens, so the copy's exact shingle Jaccard vs its source is
     * closed-form computable in DuckDB (measured ∈ [0.97, 1.0] at sf0.01).
-    * The organic corpus separates hard around the 0.8 threshold — every
-    * true near-dup pair has exact J ≥ 0.89 and every other candidate pair
-    * J ≤ 0.07 — so the MinHash estimate (k=64: σ ≤ 0.04) cannot cross the
-    * keep/drop boundary on any pair, and the banded-LSH operator's full
-    * pair set is held to the exact-Jaccard oracle.
+    * The registered decision threshold is 0.6, the center of the corpus's
+    * measured Jaccard GAP: at every SF, candidate pairs score either
+    * ≤ 0.14 (organic background) or ≥ 0.80 (near-dups — sf0.1 has one pair
+    * at exactly 0.800, which a 0.8 threshold would coin-flip on), so the
+    * MinHash estimate (k=64: σ ≤ 0.04) sits ≥ 3.5σ from the boundary on
+    * every pair and the banded-LSH operator's full pair set is held to the
+    * exact-Jaccard oracle at any scale factor.
     */
   private def plantedTruncDocs(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"))
@@ -102,25 +104,22 @@ object SparkEntry {
           array_join(slice(t, lit(1), ceil(size(t) * 0.98).cast("int")), " ").as("text")))
   }
 
-  /** Fuzzy-dedup survivors plus token-REVERSED copies — the d4 planted
-    * corpus. SimHash is a function of the token multiset (order-free ±1
-    * votes), so a reversed copy's signature is bit-identical to its
-    * source's: Hamming 0, deterministically, for any hash function. The
-    * base is the FUZZY-DEDUPED corpus (the d5 survivor set — closed-form
-    * in DuckDB), not raw documents: organic near-dup pairs (J ≈ 0.99,
-    * differing by a couple of tokens) can collide at Hamming 0 when no bit's
-    * vote margin crosses zero, which no SQL oracle can predict. Among
-    * survivors the max pairwise Jaccard is 0.07 — docs differing in ~95% of
-    * tokens cannot tie all 64 vote margins — so Hamming 0 ⟺ identical
-    * multiset holds exactly and the multiset-equality oracle enumerates the
-    * full answer with no hash knowledge. (Fingerprint-after-fuzzy-dedup is
-    * also the natural pipeline order.)
+  /** documents plus token-REVERSED copies — the d4 planted corpus. SimHash
+    * is a function of the token multiset (order-free ±1 votes), so a
+    * reversed copy's signature is bit-identical to its source's: Hamming 0,
+    * deterministically, for any hash function — the planted (x, x+300000)
+    * pairs are in the answer at every scale factor. The registered entry
+    * restricts its REPORT to that planted window (b_id = a_id + 300000 —
+    * organic ids are < 300000, so no other pair can land in it) because the
+    * unrestricted Hamming-0 set is not SQL-predictable: organic docs with
+    * near-proportional token-frequency profiles (the corpus's repetitive
+    * docs — e.g. a 93-token and a 60-token doc over a shared vocabulary at
+    * sf0.1) can tie all 64 vote margins by hash luck, which no oracle can
+    * enumerate. General nonzero-Hamming behavior is spec territory
+    * (DedupPropertySpec / OperatorsSpec).
     */
   private def plantedPermDocs(s: SparkSession, d: String): DataFrame = {
-    val dd = docs(s, d)
-    val base = dd.join(Dedup.fuzzyDedupSurvivors(dd, Dedup.jaccardPairs(dd)),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text"))
+    val base = docs(s, d).select(col("doc_id"), col("text"))
     val t = graft.analyzers.Analyzers.standardTokens(col("text"))
     base.unionByName(
       base.where(col("doc_id") % 20 === 7)
@@ -521,20 +520,22 @@ object SparkEntry {
     // Dedup: MinHash+LSH banded pairs over the planted-truncation corpus.
     // The registered projection is the pair SET (est_jaccard is a function
     // of xxhash64, which no SQL engine reproduces); the oracle recomputes
-    // exact shingle Jaccard per pair — margin-separated corpus (docstring
-    // of plantedTruncDocs) makes the estimate's decision deterministic, so
-    // banding recall, signature math, and thresholding are all hash-checked
+    // exact shingle Jaccard per pair — the threshold sits in the corpus's
+    // measured Jaccard gap (docstring of plantedTruncDocs), making the
+    // estimate's keep/drop decision deterministic at every SF, so banding
+    // recall, signature math, and thresholding are all hash-checked
     "d3_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(plantedTruncDocs(s, d)).select("a_id", "b_id")
-        .orderBy("a_id", "b_id")),
+      Dedup.minhashPairs(plantedTruncDocs(s, d), threshold = 0.6)
+        .select("a_id", "b_id").orderBy("a_id", "b_id")),
 
     // Dedup: SimHash pairs at maxHamming = 0 over the planted-permutation
-    // corpus — Hamming 0 ⟺ identical token multiset on this corpus (all
-    // organic multisets pairwise-distinct), so the full banded pipeline is
-    // held to a DuckDB multiset-equality oracle; the Hamming 1-3 regime
-    // stays covered by DedupPropertySpec's perturbation assertions
+    // corpus, reported in the planted window (b = a + 300000) where the
+    // exact answer is closed-form at every SF — order-invariance, banding
+    // recall, and the Hamming verify are all hash-checked; see
+    // plantedPermDocs for why the unrestricted set is not SQL-predictable
     "d4_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(plantedPermDocs(s, d), maxHamming = 0)
+        .where(col("b_id") === col("a_id") + 300000L)
         .orderBy("a_id", "b_id")),
 
     // Dedup: fuzzy survivors after collapsing Jaccard near-dup groups
@@ -1015,25 +1016,18 @@ object SparkEntry {
       "d2_jaccard_pairs" ->
         (JaccardCte + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY a_id, b_id"),
       // d3: exact-Jaccard ground truth over the planted-truncation corpus —
-      // the MinHash+LSH pair set must reproduce it exactly (margins make the
-      // k=64 estimate's keep/drop decision deterministic; see plantedTruncDocs)
+      // the MinHash+LSH pair set must reproduce it exactly (the gap-centered
+      // threshold makes the k=64 estimate's keep/drop decision deterministic
+      // at every SF; see plantedTruncDocs)
       "d3_minhash_pairs" ->
         (TruncDocsCte + JaccardChain +
-          "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.8 ORDER BY a_id, b_id"),
-      // d4: SimHash is order-free, so on the fuzzy-deduped base (max
-      // pairwise J = 0.07 — no organic Hamming-0 collisions possible)
-      // Hamming 0 ⟺ identical token multiset — enumerable with no hash
-      // knowledge via a sorted-token-key self-join over survivors + plants
+          "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.6 ORDER BY a_id, b_id"),
+      // d4: SimHash is order-free, so every planted token-reversed copy
+      // pairs with its source at Hamming 0, deterministically — the planted
+      // window is the closed-form answer at any SF (see plantedPermDocs)
       "d4_simhash_pairs" ->
-        (JaccardCte +
-          ", surv AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN " +
-          "(SELECT b_id FROM jac WHERE jaccard >= 0.8)) " +
-          ", docs2 AS (SELECT doc_id, text FROM surv " +
-          "UNION ALL SELECT doc_id + 300000 AS doc_id, array_to_string(list_reverse(t), ' ') AS text " +
-          s"FROM (SELECT doc_id, ${stdToks("text")} AS t FROM surv) WHERE doc_id % 20 = 7) " +
-          s", k AS (SELECT doc_id, md5(array_to_string(list_sort(${stdToks("text")}), ' ')) AS mk FROM docs2) " +
-          "SELECT a.doc_id AS a_id, b.doc_id AS b_id, 0::BIGINT AS hamming " +
-          "FROM k a JOIN k b ON a.mk = b.mk AND a.doc_id < b.doc_id ORDER BY a_id, b_id"),
+        ("SELECT doc_id AS a_id, doc_id + 300000 AS b_id, 0::BIGINT AS hamming " +
+          "FROM documents WHERE doc_id % 20 = 7 ORDER BY a_id"),
       "d5_fuzzy_survivors" ->
         (JaccardCte + "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
           "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id"),
