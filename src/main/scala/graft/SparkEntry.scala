@@ -3,7 +3,7 @@ package graft
 import graft.compile.QueryCompiler
 import graft.exec.SearchExecutor
 import graft.model.{AclContext, DataSetFiltering, InvalidQueryException, MetadataEntry}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import graft.store.MetadataStore
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
@@ -700,6 +700,51 @@ object SparkEntry {
         .select(col("click_id"), col("purchase_id"), col("user_id"))
         .orderBy("click_id", "purchase_id")),
 
+    // As-of join: every purchase event attributed to the same user's most
+    // recent click at-or-before it (LEFT: unattributed purchases keep null
+    // click columns). Union-tag merge — one shuffle per side on user_id —
+    // held to DuckDB's native ASOF LEFT JOIN. Clicks pre-collapse to max
+    // event_id per (user, ts) so tie resolution is closed-form on both sides.
+    "j1_asof_join" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      Joins.asOf(purchases, clicks, Seq("user_id"),
+          "purchase_ts", "click_ts", "click_id")
+        .orderBy("purchase_id")
+    }),
+
+    // Range join, pair form: unordered event pairs within 2 s of each other
+    // (micro-burst detection). Epsilon-binned candidate generation — never
+    // all-pairs — held to DuckDB's unrestricted inequality self-join.
+    "j2_range_pairs" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      Joins.timeProximityPairs(ev, "event_id", "ts", 2000000L)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Range join, point-in-interval form: global shipping activity inside
+    // each flagship order's 7-day window (no equi key — the pure-range
+    // case). Bin-exploded equi-join vs DuckDB's raw inequality join.
+    // sum(l_quantity) is exact: quantities are integer-valued doubles.
+    "j3_interval_activity" -> ((s, d) => {
+      val flagship = s.read.parquet(s"$d/orders.parquet")
+        .where(col("o_totalprice") > 495000)
+        .select(col("o_orderkey"), col("o_orderdate").as("win_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("win_end"))
+      val shipments = s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_shipdate")
+      Joins.intervalJoin(shipments, "l_shipdate",
+          flagship, "win_start", "win_end", 7L * 24 * 3600 * 1000000L)
+        .groupBy("o_orderkey", "win_start")
+        .agg(count(lit(1)).as("n_ship"), sum("l_quantity").as("qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // S-ops × search: the serving flow end-to-end — bulk load into the
     // versioned store, then compile + execute a catalog search over the
     // store's resolved current table (not a pre-staged corpus)
@@ -1120,6 +1165,32 @@ object SparkEntry {
           "AND a.event_type = 'click' AND b.event_type = 'purchase' " +
           "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR " +
           "ORDER BY click_id, purchase_id"),
+      // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
+      // engine's timestamp_micros(ts div 1000) normalization. Clicks
+      // collapse to max event_id per (user, ts) so the ASOF tie is
+      // deterministic in both engines.
+      "j1_asof_join" ->
+        ("WITH clicks AS (SELECT user_id, ts::TIMESTAMP AS click_ts, " +
+          "max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+          "purchases AS (SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS purchase_ts " +
+          "FROM events WHERE event_type = 'purchase') " +
+          "SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_ts, c.click_id " +
+          "FROM purchases p ASOF LEFT JOIN clicks c " +
+          "ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts " +
+          "ORDER BY purchase_id"),
+      "j2_range_pairs" ->
+        ("SELECT a.event_id AS a_id, b.event_id AS b_id, " +
+          "abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) AS gap_us " +
+          "FROM events a JOIN events b ON a.event_id < b.event_id " +
+          "AND abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) <= 2000000 " +
+          "ORDER BY a_id, b_id"),
+      "j3_interval_activity" ->
+        ("WITH flagship AS (SELECT o_orderkey, o_orderdate AS win_start, " +
+          "o_orderdate + INTERVAL 7 DAY AS win_end FROM orders WHERE o_totalprice > 495000) " +
+          "SELECT f.o_orderkey, f.win_start, count(*) AS n_ship, sum(l.l_quantity) AS qty " +
+          "FROM flagship f JOIN lineitem l " +
+          "ON l.l_shipdate >= f.win_start AND l.l_shipdate < f.win_end " +
+          "GROUP BY 1, 2 ORDER BY 1"),
       "s8_store_search" ->
         (M + "SELECT id, category, orgUUID AS org_uuid, isPublic AS is_public FROM meta " +
           "WHERE id BETWEEN '000001' AND '000200' AND category = 'cat5' " +

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's built-in join strategies don't express
+  * directly — as-of joins, time-proximity pair joins, and point-in-interval
+  * joins. Each is composed from equi-join + window primitives so Catalyst
+  * still owns the physical planning, and each is designed shuffle-first:
+  *
+  *  - `asOf`: ONE hash shuffle of each side on the join keys, then an
+  *    in-partition sort — the distributed merge-as-of shape. No range
+  *    explosion, no per-row lookup, state bounded by partition size.
+  *  - `timeProximityPairs`: candidate pairs only between adjacent
+  *    epsilon-width time bins (each row replicated exactly 2×), never
+  *    all-pairs; the verify filter runs inside the joined stage.
+  *  - `intervalJoin`: intervals exploded to the fixed-width bins they
+  *    overlap, points keyed by their single bin — an equi-join Catalyst can
+  *    hash-partition, instead of the cartesian a raw range predicate plans.
+  *
+  * Reference context: the catalog itself has no temporal joins (its engine
+  * is a search index), but the event-pipeline extensions (SURVEY.md §2.8)
+  * need attribution (as-of), micro-burst detection (proximity pairs), and
+  * promo-window activity (interval join) over the `events`/`orders` tables.
+  */
+object Joins {
+
+  /** Epoch microseconds of a timestamp column. The cast tolerates
+    * TIMESTAMP_NTZ inputs (how Spark reads ms-precision parquet without
+    * timezone metadata); the session timezone is pinned to UTC by every
+    * entry point, so the NTZ→LTZ reinterpretation is stable.
+    */
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** As-of join: for each left row, attach the LAST right row with the same
+    * `keys` whose `rightTs` <= the left row's `leftTs` (backward-looking,
+    * inclusive). Right-side columns come back null when no prior row exists
+    * (LEFT semantics).
+    *
+    * Implementation is the union-tag merge: both sides shuffle ONCE on
+    * `keys`, the union is sorted in-partition by (ts, side, tie), and a
+    * running `last(right_payload, ignoreNulls)` window carries the most
+    * recent right row forward into each left row. That is exactly the
+    * distributed merge-join an as-of join compiles to on purpose-built
+    * engines — no range-bucket replication, no per-left-row probe, and the
+    * window frame is streaming-friendly (rowsBetween unbounded→current is
+    * evaluated incrementally, O(1) memory per row beyond the sort).
+    *
+    * At 100 TB: cost = one co-partitioned sort per side. Skewed keys (one
+    * user with millions of events) sort within a single partition — the
+    * same bound every event-log window query has; AQE's skew handling does
+    * not apply to windows, so extreme key skew calls for pre-splitting the
+    * key upstream.
+    *
+    * Determinism under ties: right rows at equal (keys, ts) resolve to the
+    * LARGEST `rightTie` value; a right row at exactly the left row's ts is
+    * visible to it (right sorts before left at equal ts).
+    *
+    * @param right pre-projected: `keys` + ts + payload columns, names
+    *              already distinct from `left`'s (caller renames).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightTie: String): DataFrame = {
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val rStruct = struct(rightPayload.map(col): _*)
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
+    val lStruct = struct(left.columns.toSeq.map(col): _*)
+    val lType = left.select(lStruct.as("__l")).schema("__l").dataType
+
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        col(rightTie).cast("long").as("__tie"),
+        rStruct.as("__r"), lit(null).cast(lType).as("__l")): _*)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(Long.MaxValue).as("__tie"),
+        lit(null).cast(rType).as("__r"), lStruct.as("__l")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.unionByName(l)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__l.*") +: rightPayload.map(f => col(s"__last_r.$f").as(f)): _*)
+  }
+
+  /** Unordered pairs of rows whose event times lie within `epsilonMicros`
+    * of each other: `(a_id, b_id, gap_us)` with `a_id < b_id`, gap
+    * inclusive. The micro-burst / coincidence-detection primitive.
+    *
+    * Never all-pairs: rows hash into epsilon-width time bins; a qualifying
+    * pair is at most one bin apart, so the left side replicates each row to
+    * (own bin, next bin) — exactly 2× — and equi-joins on the bin. Same-bin
+    * pairs surface twice with opposite orientation, so pairs canonicalize
+    * to (min, max) and dedupe on the slim id-pair only (the jaccardPairs
+    * pattern: no payload rides the dedup shuffle).
+    *
+    * At 100 TB: candidate volume is sum over bins of |bin|·|bin±1| — bounded
+    * by the time density of events, independent of corpus size. A hot bin
+    * (event storm inside one epsilon window) is inherently quadratic in
+    * THAT bin only; AQE's skew-join split handles the shuffle side.
+    */
+  def timeProximityPairs(points: DataFrame, idCol: String, tsCol: String,
+                         epsilonMicros: Long): DataFrame = {
+    require(epsilonMicros > 0, s"epsilonMicros must be positive: $epsilonMicros")
+    val p = points.select(col(idCol).cast("long").as("id"),
+        micros(col(tsCol)).as("us"))
+      .withColumn("bin", floor(col("us") / epsilonMicros))
+    val lhs = p.select(col("id").as("a_id"), col("us").as("a_us"),
+      explode(array(col("bin"), col("bin") + 1)).as("bin"))
+    val rhs = p.select(col("id").as("b_id"), col("us").as("b_us"), col("bin"))
+    lhs.join(rhs, Seq("bin"))
+      .where(col("a_id") =!= col("b_id") &&
+        abs(col("a_us") - col("b_us")) <= epsilonMicros)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        abs(col("a_us") - col("b_us")).as("gap_us"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Point-in-interval join: every (interval, point) pair with
+    * `startCol <= pointTs < endCol` (half-open). Output = interval columns
+    * + point columns; zero-match intervals drop (inner semantics).
+    *
+    * A raw `p.join(i, ts >= s && ts < e)` plans a BroadcastNestedLoop or
+    * cartesian — quadratic. Instead intervals explode to every fixed-width
+    * time bin they overlap and points key by their single bin, turning the
+    * range predicate into a hash equi-join plus an in-stage residual
+    * filter. Each true match surfaces exactly once (the point's bin is
+    * unique), so no dedup pass is needed.
+    *
+    * At 100 TB: interval replication = ceil(len/binWidth)+1 copies; choose
+    * `binWidthMicros` ≈ the typical interval length so replication stays
+    * ~2×. Candidate volume per bin = |points in bin| · |intervals touching
+    * bin| — time-local, corpus-size-independent, AQE-splittable.
+    */
+  def intervalJoin(points: DataFrame, pointTs: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   binWidthMicros: Long): DataFrame = {
+    require(binWidthMicros > 0, s"binWidthMicros must be positive: $binWidthMicros")
+    val w = binWidthMicros
+    val p = points.withColumn("__pbin", floor(micros(col(pointTs)) / w))
+    val i = intervals
+      .withColumn("__s", micros(col(startCol)))
+      .withColumn("__e", micros(col(endCol)))
+      .where(col("__e") > col("__s")) // empty/inverted intervals match nothing
+      .withColumn("__bin",
+        explode(sequence(floor(col("__s") / w), floor((col("__e") - 1) / w))))
+      .drop("__s", "__e")
+    i.join(p, col("__bin") === col("__pbin") &&
+        col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
+      .drop("__bin", "__pbin")
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Temporal-join operator semantics: each binned/merged implementation is
+  * held to a brute-force reference computed on the same rows, plus the tie
+  * and boundary cases the oracle data can't be relied on to contain.
+  */
+class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------------ asOf
+
+  private def clicksDf = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L),
+    (1L, ts("2024-01-01 12:00:00"), 101L),
+    (2L, ts("2024-01-01 11:00:00"), 102L),
+    // two clicks at the SAME (user, ts): tie must resolve to max id (104)
+    (3L, ts("2024-01-01 09:00:00"), 103L),
+    (3L, ts("2024-01-01 09:00:00"), 104L)
+  ).toDF("user_id", "click_ts", "click_id")
+
+  private def purchasesDf = Seq(
+    (200L, 1L, ts("2024-01-01 11:30:00")), // between user 1's clicks → 100
+    (201L, 1L, ts("2024-01-01 12:00:00")), // exactly AT a click ts → inclusive, 101
+    (202L, 2L, ts("2024-01-01 10:59:59")), // before user 2's only click → null
+    (203L, 3L, ts("2024-01-01 09:30:00")), // after the tied pair → 104
+    (204L, 4L, ts("2024-01-01 10:00:00"))  // user with no clicks at all → null
+  ).toDF("purchase_id", "user_id", "purchase_ts")
+
+  test("asOf: backward inclusive match, ties to max tie-break, left semantics") {
+    val out = Joins.asOf(purchasesDf, clicksDf, Seq("user_id"),
+        "purchase_ts", "click_ts", "click_id")
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    out shouldBe Map(200L -> 100L, 201L -> 101L, 202L -> -1L, 203L -> 104L, 204L -> -1L)
+  }
+
+  test("asOf: output carries every left column and the right payload columns") {
+    val out = Joins.asOf(purchasesDf, clicksDf, Seq("user_id"),
+      "purchase_ts", "click_ts", "click_id")
+    out.columns.toSeq shouldBe Seq("purchase_id", "user_id", "purchase_ts",
+      "click_ts", "click_id")
+  }
+
+  test("asOf matches a brute-force per-row maximum over real event data") {
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+    val got = Joins.asOf(purchases, clicks, Seq("user_id"),
+        "purchase_ts", "click_ts", "click_id")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    val clickRows = clicks.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val want = purchases.collect().map { r =>
+      val (pid, uid, pts) = (r.getLong(0), r.getLong(1), r.getTimestamp(2))
+      val best = clickRows.filter(c => c._1 == uid && !c._2.after(pts))
+        .sortBy(c => (c._2.getTime, c._3)).lastOption
+      pid -> best.map(_._3)
+    }.toMap
+    got shouldBe want
+    got.values.count(_.isDefined) should be > 0
+  }
+
+  // --------------------------------------------------- timeProximityPairs
+
+  test("timeProximityPairs equals the brute-force all-pairs answer") {
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val eps = 30L * 1000000 // 30 s: enough matches on the sparse sf0.001 stream
+    val got = Joins.timeProximityPairs(ev, "event_id", "ts", eps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val rows = ev.select($"event_id", unix_micros($"ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && math.abs(a._2 - b._2) <= eps
+    } yield (a._1, b._1, math.abs(a._2 - b._2))).toSet
+    got shouldBe want
+    got.size should be > 0
+  }
+
+  test("timeProximityPairs: exact-boundary gap is included, bin-crossing pairs found") {
+    // 0→1 same bin, 1→2 adjacent bins, 2→3 gap exactly epsilon, 3→4 just over
+    val pts = Seq((0L, 0L), (1L, 900000L), (2L, 1100000L), (3L, 2100000L),
+        (4L, 3100001L))
+      .toDF("id", "us").select($"id", timestamp_micros($"us").as("ts"))
+    val got = Joins.timeProximityPairs(pts, "id", "ts", 1000000L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((0L, 1L), (1L, 2L), (2L, 3L))
+  }
+
+  // ----------------------------------------------------------- intervalJoin
+
+  test("intervalJoin equals the brute-force range-predicate answer") {
+    val points = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_shipdate")
+    val intervals = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .where($"o_totalprice" > 495000)
+      .select($"o_orderkey", $"o_orderdate".as("s"),
+        ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as("e"))
+    val day7 = 7L * 24 * 3600 * 1000000L
+    val got = Joins.intervalJoin(points, "l_shipdate", intervals, "s", "e", day7)
+      .select("o_orderkey", "l_orderkey", "l_shipdate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+
+    val want = intervals.join(points,
+        $"l_shipdate" >= $"s" && $"l_shipdate" < $"e")
+      .select("o_orderkey", "l_orderkey", "l_shipdate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    got shouldBe want
+    got.size should be > 0
+  }
+
+  test("intervalJoin: half-open bounds, multi-bin intervals, empty intervals drop") {
+    val mk = (us: Long) => timestamp_micros(lit(us))
+    val points = Seq((1L, 0L), (2L, 500000L), (3L, 1000000L), (4L, 2499999L))
+      .toDF("pid", "us").select($"pid", timestamp_micros($"us").as("pts"))
+    val intervals = Seq(
+      (10L, 0L, 1000000L),       // [0, 1s): pids 1,2 — 3 excluded (end-exclusive)
+      (11L, 500000L, 2500000L),  // spans 3 bins at width 1s: pids 2,3,4
+      (12L, 700000L, 700000L)    // empty interval: matches nothing
+    ).toDF("iid", "s_us", "e_us")
+      .select($"iid", timestamp_micros($"s_us").as("s"), timestamp_micros($"e_us").as("e"))
+    val got = Joins.intervalJoin(points, "pts", intervals, "s", "e", 1000000L)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (11L, 4L))
+  }
+
+  // ------------------------------------------------------------ plan shape
+
+  test("temporal joins plan as hash equi-joins: no cartesian, no nested loop") {
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val pairsPlan = Joins.timeProximityPairs(ev, "event_id", "ts", 2000000L)
+      .queryExecution.executedPlan.toString
+    pairsPlan should not include "CartesianProduct"
+    pairsPlan should not include "BroadcastNestedLoopJoin"
+
+    val points = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_shipdate")
+    val intervals = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_orderdate".as("s"),
+        ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as("e"))
+    val ivPlan = Joins.intervalJoin(points, "l_shipdate", intervals, "s", "e",
+        7L * 24 * 3600 * 1000000L)
+      .queryExecution.executedPlan.toString
+    ivPlan should not include "CartesianProduct"
+    ivPlan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("asOf plans ONE width shuffle per side and no join operator at all") {
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+    val plan = Joins.asOf(purchases, clicks, Seq("user_id"),
+        "purchase_ts", "click_ts", "click_id")
+      .queryExecution.executedPlan.toString
+    // union-tag merge: a Window over one hashpartitioning exchange; the
+    // as-of never materializes as a join (no probe explosion to skew)
+    plan should include("Window")
+    plan should not include "Join"
+    plan.sliding("hashpartitioning".length).count(_ == "hashpartitioning") should be >= 1
+  }
+}
