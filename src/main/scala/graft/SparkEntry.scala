@@ -668,6 +668,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 bucketed storage layout: orders + lineitem written bucketBy(16)
+    // on the order key, then joined exchange-free (the buckets ARE the
+    // shuffle output — the one-time layout decision that deletes the
+    // dominant repeated-join cost at 100 TB; plan pinned in JoinsSpec).
+    // Correctness gate = the join itself against a plain SQL oracle.
+    "x5_bucketed_join" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      graft.sources.Bucketed.writeTable(s.read.parquet(s"$d/orders.parquet"),
+        "x5_orders", "o_orderkey", 16, s"$wh/orders")
+      graft.sources.Bucketed.writeTable(s.read.parquet(s"$d/lineitem.parquet"),
+        "x5_lineitem", "l_orderkey", 16, s"$wh/lineitem")
+      graft.sources.Bucketed.join(s, "x5_orders", "x5_lineitem",
+          "o_orderkey", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Streaming custom state: gap sessionization via flatMapGroupsWithState,
     // watermark-gated emission (trailing open sessions stay in state)
     "e2_sessionize" -> ((s, d) =>
@@ -1135,6 +1153,10 @@ object SparkEntry {
       "x4_csv_roundtrip" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),
+      "x5_bucketed_join" ->
+        ("SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS qty " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY 1 ORDER BY 1"),
       "e2_sessionize" ->
         // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
         // engine's timestamp_micros(ts/1000) normalization

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed parquet tables — the storage-layout half of shuffle
+  * elimination. A fact table written `bucketBy(N, key)` is pre-hash-
+  * partitioned on disk: every subsequent equi-join or aggregation on that
+  * key reads the buckets AS the shuffle output, so the exchange disappears
+  * from the plan entirely. At 100 TB this converts the dominant cost of a
+  * repeated join (re-shuffling the big side every run) into a one-time
+  * write-side layout decision — the same contract as Hive bucketing and
+  * the store's directory-bucketed bases (store/MetadataStore.scala), but
+  * expressed through Spark's session catalog so Catalyst plans against it.
+  *
+  * Rules the helpers enforce/document:
+  *  - both join sides bucketed on the JOIN key with the SAME bucket count
+  *    (mismatched counts re-shuffle the smaller-bucketed side);
+  *  - `sortBy` within buckets so sort-merge join can also skip its sorts
+  *    (Spark only trusts one file per bucket for ordering — coalesce
+  *    before write if sort elimination matters);
+  *  - bucket count sized so one bucket ≈ one task's comfortable input
+  *    (128–512 MB post-compression at cluster scale).
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed (and in-bucket sorted) parquet table
+    * registered in the session catalog. `path` keeps the data out of the
+    * default warehouse (the catalog entry still owns the bucketing spec —
+    * a plain `spark.read.parquet(path)` would NOT see it).
+    */
+  def writeTable(df: DataFrame, table: String, key: String, buckets: Int,
+                 path: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Equi-join two same-bucketed tables on `leftKey = rightKey`. With both
+    * sides bucketed on their key at equal counts this plans exchange-free
+    * (JoinsSpec pins the plan shape).
+    */
+  def join(spark: SparkSession, leftTable: String, rightTable: String,
+           leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
+}

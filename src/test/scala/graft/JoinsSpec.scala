@@ -161,6 +161,31 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
     ivPlan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("bucketed tables join exchange-free; unbucketed baseline shuffles") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketspec").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    graft.sources.Bucketed.writeTable(orders, "spec_orders", "o_orderkey", 8, s"$wh/o")
+    graft.sources.Bucketed.writeTable(lineitem, "spec_lineitem", "l_orderkey", 8, s"$wh/l")
+    // force SMJ so the audit measures the exchange, not a broadcast rewrite
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = graft.sources.Bucketed.join(spark, "spec_orders",
+        "spec_lineitem", "o_orderkey", "l_orderkey")
+      val plan = bucketed.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange"
+      // the layout is load-bearing: the same join over plain parquet shuffles
+      val baseline = orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      baseline should include("Exchange")
+      // and the layout change is invisible to results
+      val unbucketed = orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      bucketed.count() shouldBe unbucketed.count()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("asOf plans ONE width shuffle per side and no join operator at all") {
     val ev = graft.streaming.EventStream.withEventTime(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
