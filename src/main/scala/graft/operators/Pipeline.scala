@@ -75,17 +75,6 @@ object Pipeline {
       .select(col("doc_id"), col("quality"))
   }
 
-  /** Eval-set decontamination: for every training document, count the
-    * distinct word-n-grams it shares with ANY eval document (the standard
-    * benchmark-contamination check run before pre-training).
-    *
-    * Plan shape at 100 TB: the eval side is tiny relative to the corpus, so
-    * its distinct n-gram set is BROADCAST — the training side is one narrow
-    * tokenize→n-gram pass plus a map-side-combining count, and the 100 TB
-    * scan never shuffles. Tokens materialize behind a shuffle barrier before
-    * the per-position n-gram lambda reads them (the CollapseProject /
-    * HOF-re-evaluation hazard — see Dedup.withShingles).
-    */
   /** Sequence packing for pre-training: assign every document a fixed
     * token-budget pack id. Packing is SHARD-LOCAL (shard = pmod(doc_id,
     * shards)): each shard packs its documents independently in doc_id order,
@@ -131,6 +120,17 @@ object Pipeline {
       .select("doc_id", "lang", "quality", "rank")
   }
 
+  /** Eval-set decontamination: for every training document, count the
+    * distinct word-n-grams it shares with ANY eval document (the standard
+    * benchmark-contamination check run before pre-training).
+    *
+    * Plan shape at 100 TB: the eval side is tiny relative to the corpus, so
+    * its distinct n-gram set is BROADCAST — the training side is one narrow
+    * tokenize→n-gram pass plus a map-side-combining count, and the 100 TB
+    * scan never shuffles. Tokens materialize behind a shuffle barrier before
+    * the per-position n-gram lambda reads them (the CollapseProject /
+    * HOF-re-evaluation hazard — see Dedup.withShingles).
+    */
   def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
