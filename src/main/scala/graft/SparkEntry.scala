@@ -675,9 +675,13 @@ object SparkEntry {
     // Correctness gate = the join itself against a plain SQL oracle.
     "x5_bucketed_join" -> ((s, d) => {
       val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
-      graft.sources.Bucketed.writeTable(s.read.parquet(s"$d/orders.parquet"),
+      // prune to the join/agg columns BEFORE the layout write — the bucketed
+      // copy is a purpose-built join artifact, not a second full table
+      graft.sources.Bucketed.writeTable(
+        s.read.parquet(s"$d/orders.parquet").select("o_orderkey", "o_orderpriority"),
         "x5_orders", "o_orderkey", 16, s"$wh/orders")
-      graft.sources.Bucketed.writeTable(s.read.parquet(s"$d/lineitem.parquet"),
+      graft.sources.Bucketed.writeTable(
+        s.read.parquet(s"$d/lineitem.parquet").select("l_orderkey", "l_quantity"),
         "x5_lineitem", "l_orderkey", 16, s"$wh/lineitem")
       graft.sources.Bucketed.join(s, "x5_orders", "x5_lineitem",
           "o_orderkey", "l_orderkey")

@@ -49,6 +49,32 @@ object SearchExecutor {
       .orderBy(col("count").desc, col(dim).asc)
       .limit(topN)
 
+  /** Both facet dimensions in ONE aggregation job: GROUPING SETS
+    * ((category), (format)) expands each base row into one record per
+    * grouping set before a single partial+final hash aggregate, and a
+    * window over the (already tiny) aggregated frame applies the per-set
+    * top-N cut. Versus two [[facetBranch]] jobs this halves the facet
+    * passes over `base` — at 100 TB, one fewer full scan/cache read per
+    * search request. Returns (gid, key, cnt) rows already rank-filtered;
+    * gid 1 = category set, gid 2 = format set (grouping_id bit per
+    * MISSING column, category first).
+    */
+  def facetsBranch(base: DataFrame): DataFrame = {
+    val agg = base.groupingSets(
+        Seq(Seq(col("category")), Seq(col("format"))),
+        col("category"), col("format"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
+        grouping_id().cast("int").as("gid"))
+      .withColumn("key", coalesce(col("category"), col("format")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gid"))
+      .orderBy(col("cnt").desc, col("key").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .where((col("gid") === 1 && col("rank") <= CategoryFacetSize) ||
+             (col("gid") === 2 && col("rank") <= FormatFacetSize))
+      .select("gid", "key", "cnt", "rank")
+  }
+
   /** Hits branch: post filter, relevance order, offset/limit pagination
     * (Q2/Q3). Catalyst plans orderBy+limit as TakeOrderedAndProject — no
     * full sort.
@@ -87,11 +113,13 @@ object SearchExecutor {
             .drop(ScoreCol).as[MetadataEntry].collect().toSeq
           (collected, obs.get("total").asInstanceOf[Long])
         }
-      val categories = facetBranch(base, "category", CategoryFacetSize)
-        .select("category").as[String].collect().toSeq
-      val formats = facetBranch(base, "format", FormatFacetSize)
-        .select("format").as[String].collect().toSeq
-      SearchResult(hits, total, categories, formats)
+      // one job for BOTH facet dimensions (grouping-sets expand)
+      val facetRows = facetsBranch(base)
+        .select("gid", "key", "rank").collect()
+      def keysOf(gid: Int): Seq[String] = facetRows.iterator
+        .filter(_.getInt(0) == gid)
+        .toSeq.sortBy(_.getInt(2)).map(_.getString(1))
+      SearchResult(hits, total, keysOf(1), keysOf(2))
     } finally base.unpersist()
   }
 

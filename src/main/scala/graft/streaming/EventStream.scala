@@ -244,15 +244,34 @@ object EventStream {
   private def fileStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
 
+  /** State-store partition count for bounded backfills. A streaming query
+    * instantiates (and checkpoints) one state store per shuffle partition
+    * per stateful operator — a per-query decision Spark pins at first run,
+    * NOT a data-scaling knob inherited from the session's core count. A
+    * live 100 TB/day stream sizes this to its keyspace (hundreds+); a
+    * bounded backfill over ≤10⁷ events is dominated by store
+    * instantiation, so the harness plans fewer, wider stores. Results are
+    * partition-count-independent (decimal sums, exact state semantics) —
+    * the verify oracles gate that.
+    */
+  val BackfillStatePartitions = 8
+
   /** Run a streaming frame to completion (Trigger.AvailableNow) into a
     * uniquely-named memory sink and return the sink table — the shared
-    * deterministic-backfill harness of every operator here.
+    * deterministic-backfill harness of every operator here. The session's
+    * shuffle-partition conf is lowered to [[BackfillStatePartitions]] for
+    * the duration of the (synchronous) run and restored after; the stream
+    * captures the value at planning time.
     */
   private def runToMemoryTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_bf_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow())
-      .start()
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+      df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     q.awaitTermination()
     // Snapshot the sink eagerly (the lineage cut materializes the rows and
     // severs the plan from the memory sink), then release the query and drop

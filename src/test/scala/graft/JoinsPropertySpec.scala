@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Structural invariants of the temporal joins over seeded random event
+  * streams — held against brute-force references for EVERY generated
+  * input, including the degenerate shapes (duplicate timestamps, empty
+  * sides, bin-boundary values) a fixed oracle corpus may not contain.
+  */
+class JoinsPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  /** Seeded random (id, user, ts-µs) stream with deliberate ts collisions
+    * (small value domain) and clustered bursts.
+    */
+  private def stream(seed: Int, n: Int): Seq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val burst = rnd.nextInt(10) * 10000000L // 10 s apart
+      (i.toLong, rnd.nextInt(4).toLong, burst + rnd.nextInt(20) * 500000L)
+    }
+  }
+
+  private def df(rows: Seq[(Long, Long, Long)]): DataFrame =
+    rows.toDF("id", "user", "us")
+      .select($"id", $"user", timestamp_micros($"us").as("ts"))
+
+  test("property: asOf equals per-row argmax over any seeded stream") {
+    for (seed <- 1 to 4) {
+      val rows = stream(seed, 120)
+      val (rRows, lRows) = rows.partition(_._1 % 2 == 0)
+      val right = df(rRows).select($"user", $"ts".as("r_ts"), $"id".as("r_id"))
+      val left = df(lRows).select($"id".as("l_id"), $"user", $"ts".as("l_ts"))
+      val got = Joins.asOf(left, right, Seq("user"), "l_ts", "r_ts", "r_id")
+        .select("l_id", "r_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+      val want = lRows.map { case (lid, u, lus) =>
+        val cands = rRows.filter(r => r._2 == u && r._3 <= lus)
+        // max by (ts, id): the documented tie rule
+        lid -> cands.sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+      }.toMap
+      got shouldBe want
+    }
+  }
+
+  test("property: proximity pairs equal brute force; canonical orientation; gap bound holds") {
+    for (seed <- 5 to 8) {
+      val rows = stream(seed, 80)
+      val eps = 1500000L
+      val got = Joins.timeProximityPairs(df(rows), "id", "ts", eps)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // canonical orientation and bounded gap on every row
+      got.foreach { case (a, b, g) =>
+        a should be < b
+        g should be <= eps
+      }
+      // no duplicate pairs
+      val pairs = got.map(t => (t._1, t._2))
+      pairs.distinct.length shouldBe pairs.length
+      // exact match with all-pairs reference
+      val want = (for {
+        a <- rows; b <- rows
+        if a._1 < b._1 && math.abs(a._3 - b._3) <= eps
+      } yield (a._1, b._1, math.abs(a._3 - b._3))).toSet
+      got.toSet shouldBe want
+    }
+  }
+
+  test("property: intervalJoin equals brute force for random half-open intervals") {
+    for (seed <- 9 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val pts = stream(seed, 60)
+      val ivs = (0 until 25).map { i =>
+        val s = rnd.nextInt(10) * 10000000L + rnd.nextInt(20) * 500000L
+        // include zero-length (matches nothing) and multi-bin intervals
+        (1000L + i, s, s + rnd.nextInt(5) * 3000000L)
+      }
+      val points = df(pts).select($"id".as("pid"), $"ts".as("pts"))
+      val intervals = ivs.toDF("iid", "s_us", "e_us")
+        .select($"iid", timestamp_micros($"s_us").as("s"), timestamp_micros($"e_us").as("e"))
+      val got = Joins.intervalJoin(points, "pts", intervals, "s", "e", 2000000L)
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (iid, s, e) <- ivs; (pid, _, us) <- pts
+        if us >= s && us < e
+      } yield (iid, pid)).toSet
+      got shouldBe want
+    }
+  }
+}

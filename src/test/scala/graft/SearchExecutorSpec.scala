@@ -36,6 +36,24 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     r.formats shouldBe Seq("csv", "json")
   }
 
+  test("single-job facets (grouping sets) equal the per-dimension facet branches") {
+    val cq = QueryCompiler.compile(QueryCompiler.parse("{}"), admin)
+    val base = SearchExecutor.baseBranch(ds.toDF(), cq)
+    val combined = SearchExecutor.facetsBranch(base)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    def keys(gid: Int) = combined.filter(_._1 == gid).sortBy(_._4).map(_._2).toSeq
+    val cats = SearchExecutor.facetBranch(base, "category", SearchExecutor.CategoryFacetSize)
+      .select("category").as[String].collect().toSeq
+    val fmts = SearchExecutor.facetBranch(base, "format", SearchExecutor.FormatFacetSize)
+      .select("format").as[String].collect().toSeq
+    keys(1) shouldBe cats
+    keys(2) shouldBe fmts
+    // counts survive the expand: spot-check a known bucket
+    combined.filter(r => r._1 == 2 && r._2 == "csv").head._3 shouldBe 8L
+    // single aggregation job: the plan carries the grouping-set Expand
+    SearchExecutor.facetsBranch(base).queryExecution.executedPlan.toString should include("Expand")
+  }
+
   test("A4 count endpoint = post-filtered total of an empty search") {
     SearchExecutor.count(spark, ds, admin) shouldBe 10
     SearchExecutor.count(spark, ds, AclContext(Seq("org01"), isAdmin = false)) shouldBe 7
