@@ -690,6 +690,20 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // X6 date-partitioned layout: events re-written partitionBy(day), then
+    // a one-day aggregate whose day predicate is a PARTITION filter (prunes
+    // directories at planning time — the time-series scan discipline at
+    // 100 TB; plan pinned in JoinsSpec). Oracle = same aggregate over the
+    // raw table.
+    "x6_partitioned_scan" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-bydate").toString + "/events"
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      graft.sources.DatePartitioned.writeByDay(ev, "ts", out)
+      graft.sources.DatePartitioned.readDay(s, out, "2024-01-15")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
     // Streaming custom state: gap sessionization via flatMapGroupsWithState,
     // watermark-gated emission (trailing open sessions stay in state)
     "e2_sessionize" -> ((s, d) =>
@@ -740,6 +754,24 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // As-of with bounded lookback: same attribution, but a click older
+    // than 30 min before the purchase no longer matches (nulls instead).
+    // Tolerance is a post-window filter — the nearest prior click is the
+    // ONLY candidate, so if it is too old every other one is too; the
+    // oracle applies the same CASE to DuckDB's unbounded ASOF result.
+    "j4_asof_tolerance" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      Joins.asOf(purchases, clicks, Seq("user_id"),
+          "purchase_ts", "click_ts", "click_id", toleranceMicros = 30L * 60 * 1000000L)
+        .orderBy("purchase_id")
+    }),
+
     // Range join, pair form: unordered event pairs within 2 s of each other
     // (micro-burst detection). Epsilon-binned candidate generation — never
     // all-pairs — held to DuckDB's unrestricted inequality self-join.
@@ -766,6 +798,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_ship"), sum("l_quantity").as("qty"))
         .orderBy("o_orderkey")
     }),
+
+    // Streaming stream-stream LEFT OUTER interval join: matched pairs as
+    // e5, plus null-joined rows for clicks the watermark has proven
+    // unmatchable. The oracle mirrors the emission rule: an unmatched
+    // click emits iff click_ts + horizon < final watermark (max ts − 1 h).
+    "e7_attribution_outer" -> ((s, d) =>
+      EventStream.backfillAttributionOuter(s, s"$d/events.parquet")
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+        .orderBy("click_id", "purchase_id")),
 
     // S-ops × search: the serving flow end-to-end — bulk load into the
     // versioned store, then compile + execute a catalog search over the
@@ -1161,6 +1202,11 @@ object SparkEntry {
         ("SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS qty " +
           "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
           "GROUP BY 1 ORDER BY 1"),
+      "x6_partitioned_scan" ->
+        ("SELECT event_type, count(*) AS cnt FROM events " +
+          "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-15 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-16 00:00:00' " +
+          "GROUP BY 1 ORDER BY 1"),
       "e2_sessionize" ->
         // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
         // engine's timestamp_micros(ts/1000) normalization
@@ -1191,6 +1237,20 @@ object SparkEntry {
           "AND a.event_type = 'click' AND b.event_type = 'purchase' " +
           "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR " +
           "ORDER BY click_id, purchase_id"),
+      "e7_attribution_outer" ->
+        ("WITH ev AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events), " +
+          "c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM ev WHERE event_type = 'click'), " +
+          "p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM ev WHERE event_type = 'purchase'), " +
+          "j AS (SELECT c.click_id, p.purchase_id, c.user_id FROM c JOIN p ON c.user_id = p.user_id " +
+          "AND p.purchase_ts >= c.click_ts AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR), " +
+          // the global watermark is the MIN over the two sides' per-column
+          // watermarks (each defined after its event_type filter)
+          "wm AS (SELECT least((SELECT max(click_ts) FROM c), (SELECT max(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS wm) " +
+          "SELECT * FROM j UNION ALL " +
+          "SELECT c.click_id, NULL::BIGINT AS purchase_id, c.user_id FROM c, wm " +
+          "WHERE c.click_ts + INTERVAL 1 HOUR < wm.wm " +
+          "AND NOT EXISTS (SELECT 1 FROM j WHERE j.click_id = c.click_id) " +
+          "ORDER BY click_id, purchase_id"),
       // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
       // engine's timestamp_micros(ts div 1000) normalization. Clicks
       // collapse to max event_id per (user, ts) so the ASOF tie is
@@ -1201,6 +1261,17 @@ object SparkEntry {
           "purchases AS (SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS purchase_ts " +
           "FROM events WHERE event_type = 'purchase') " +
           "SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_ts, c.click_id " +
+          "FROM purchases p ASOF LEFT JOIN clicks c " +
+          "ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts " +
+          "ORDER BY purchase_id"),
+      "j4_asof_tolerance" ->
+        ("WITH clicks AS (SELECT user_id, ts::TIMESTAMP AS click_ts, " +
+          "max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+          "purchases AS (SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS purchase_ts " +
+          "FROM events WHERE event_type = 'purchase') " +
+          "SELECT p.purchase_id, p.user_id, p.purchase_ts, " +
+          "CASE WHEN c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE THEN c.click_ts END AS click_ts, " +
+          "CASE WHEN c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE THEN c.click_id END AS click_id " +
           "FROM purchases p ASOF LEFT JOIN clicks c " +
           "ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts " +
           "ORDER BY purchase_id"),

@@ -59,9 +59,17 @@ object Joins {
     *
     * @param right pre-projected: `keys` + ts + payload columns, names
     *              already distinct from `left`'s (caller renames).
+    * @param toleranceMicros maximum lookback: a right row older than
+    *              `leftTs - tolerance` does not match (its payload comes
+    *              back null). Because the as-of candidate is the single
+    *              NEAREST prior row, tolerance is a post-window filter —
+    *              if the nearest is too old, every other candidate is too,
+    *              so the plan shape is unchanged (no extra shuffle).
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTs: String, rightTs: String, rightTie: String): DataFrame = {
+           leftTs: String, rightTs: String, rightTie: String,
+           toleranceMicros: Long = Long.MaxValue): DataFrame = {
+    require(toleranceMicros > 0, s"toleranceMicros must be positive: $toleranceMicros")
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val rStruct = struct(rightPayload.map(col): _*)
     val rType = right.select(rStruct.as("__r")).schema("__r").dataType
@@ -83,9 +91,15 @@ object Joins {
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    r.unionByName(l)
+    val matched = r.unionByName(l)
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+    val inTolerance =
+      if (toleranceMicros == Long.MaxValue) matched
+      else matched.withColumn("__last_r",
+        when(micros(col("__ts")) - micros(col(s"__last_r.$rightTs")) <= toleranceMicros,
+          col("__last_r")))
+    inTolerance
       .select(col("__l.*") +: rightPayload.map(f => col(s"__last_r.$f").as(f)): _*)
   }
 

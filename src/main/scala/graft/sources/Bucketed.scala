@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed parquet tables — the storage-layout half of shuffle
   * elimination. A fact table written `bucketBy(N, key)` is pre-hash-
@@ -45,4 +46,28 @@ object Bucketed {
     val r = spark.table(rightTable)
     l.join(r, l(leftKey) === r(rightKey))
   }
+}
+
+/** Date-partitioned parquet layout — the directory-pruning half of the
+  * storage story (bucketing handles join keys; partitioning handles time).
+  * An event log written `partitionBy(event_date)` turns every time-ranged
+  * query into a directory listing: a one-day filter over a year of 100 TB
+  * data opens 1/365th of the files before a single row is read
+  * (PartitionFilters in the scan node — spec-pinned). Partition by a
+  * LOW-cardinality derived column (day, not timestamp): each distinct
+  * value is a directory, and 10⁶ tiny directories is its own pathology.
+  */
+object DatePartitioned {
+
+  /** Write `df` partitioned by the calendar day of `tsCol` (UTC session). */
+  def writeByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("event_date").parquet(path)
+
+  /** Read back one day; the `event_date` equality is a partition filter —
+    * it prunes directories at planning time, never touching other days'
+    * files.
+    */
+  def readDay(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).where(col("event_date") === lit(day))
 }

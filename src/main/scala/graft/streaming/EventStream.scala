@@ -214,7 +214,8 @@ object EventStream {
     * only — the natural key — and the match work is per-user-bucket, never
     * a cross of the streams.
     */
-  def attributionJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+  def attributionJoin(events: DataFrame, horizon: String = "1 hour",
+                      joinType: String = "inner"): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -224,9 +225,10 @@ object EventStream {
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", horizon)
     clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"))
   }
@@ -235,6 +237,21 @@ object EventStream {
   def backfillAttribution(spark: SparkSession, path: String): DataFrame =
     runToMemoryTable(spark,
       attributionJoin(withEventTime(fileStream(spark, stageDir(path)))), "append")
+
+  /** LEFT OUTER attribution: matched pairs stream out as in the inner
+    * join; an UNMATCHED click emits (click, null) only once the global
+    * watermark proves no in-horizon purchase can still arrive — i.e. when
+    * `click_ts + horizon` falls behind the watermark (= max event time −
+    * horizon). Clicks younger than that stay in state and are clipped
+    * from a bounded backfill, exactly as a live outer join would hold
+    * them; the e7 oracle encodes the same cutoff. State is bounded by the
+    * horizon on both sides — the null-side emission adds eviction timing,
+    * not extra state.
+    */
+  def backfillAttributionOuter(spark: SparkSession, path: String): DataFrame =
+    runToMemoryTable(spark,
+      attributionJoin(withEventTime(fileStream(spark, stageDir(path))),
+        joinType = "left_outer"), "append")
 
   /** File stream with the schema inferred from a batch read of the same
     * files (the driver's parquet encodes ts as nanosecond INT64, read as

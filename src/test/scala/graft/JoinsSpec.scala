@@ -43,6 +43,17 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe Map(200L -> 100L, 201L -> 101L, 202L -> -1L, 203L -> 104L, 204L -> -1L)
   }
 
+  test("asOf tolerance: too-old nearest match nulls out; in-window match survives") {
+    // user 1 @11:30: nearest click 10:00 is 90 min back — outside a 30-min
+    // tolerance → null; user 1 @12:00: click at 12:00 is 0 back → match
+    val out = Joins.asOf(purchasesDf, clicksDf, Seq("user_id"),
+        "purchase_ts", "click_ts", "click_id", toleranceMicros = 30L * 60 * 1000000L)
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    out shouldBe Map(200L -> -1L, 201L -> 101L, 202L -> -1L, 203L -> 104L, 204L -> -1L)
+  }
+
   test("asOf: output carries every left column and the right payload columns") {
     val out = Joins.asOf(purchasesDf, clicksDf, Seq("user_id"),
       "purchase_ts", "click_ts", "click_id")
@@ -184,6 +195,20 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
       val unbucketed = orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
       bucketed.count() shouldBe unbucketed.count()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("date-partitioned layout: a day filter is a partition filter and round-trips rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bydate-spec").toString + "/ev"
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    graft.sources.DatePartitioned.writeByDay(ev, "ts", out)
+    val day = ev.select(to_date($"ts").cast("string")).as[String].first()
+    val got = graft.sources.DatePartitioned.readDay(spark, out, day)
+    val plan = got.queryExecution.executedPlan.toString
+    // the day predicate prunes at the directory level, not as a data filter
+    plan should include("PartitionFilters")
+    plan should include("event_date")
+    got.count() shouldBe ev.where(to_date($"ts") === lit(day)).count()
   }
 
   test("asOf plans ONE width shuffle per side and no join operator at all") {
