@@ -76,11 +76,18 @@ object Joins {
     val lStruct = struct(left.columns.toSeq.map(col): _*)
     val lType = left.select(lStruct.as("__l")).schema("__l").dataType
 
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__side"),
-        col(rightTie).cast("long").as("__tie"),
-        rStruct.as("__r"), lit(null).cast(lType).as("__l")): _*)
+    // SQL join semantics: a NULL key matches nothing. Dropping null-keyed
+    // RIGHT rows is sufficient — a null-keyed LEFT row then shares its
+    // window partition with no right row and emits with null payload
+    // (LEFT semantics preserved), instead of matching null-to-null the way
+    // a raw Window.partitionBy would.
+    val r = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("__ts"), lit(0).as("__side"),
+          col(rightTie).cast("long").as("__tie"),
+          rStruct.as("__r"), lit(null).cast(lType).as("__l")): _*)
     val l = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__side"),
@@ -111,8 +118,9 @@ object Joins {
     * pair is at most one bin apart, so the left side replicates each row to
     * (own bin, next bin) — exactly 2× — and equi-joins on the bin. Same-bin
     * pairs surface twice with opposite orientation, so pairs canonicalize
-    * to (min, max) and dedupe on the slim id-pair only (the jaccardPairs
-    * pattern: no payload rides the dedup shuffle).
+    * to (min, max) and dedupe keyed on the id pair. The dedup rows carry
+    * only (ids, gap) — 24 bytes — so unlike the vector-payload operators
+    * (Dedup.minhashPairs' slim-then-rejoin) no second phase is warranted.
     *
     * At 100 TB: candidate volume is sum over bins of |bin|·|bin±1| — bounded
     * by the time density of events, independent of corpus size. A hot bin

@@ -283,13 +283,17 @@ object EventStream {
   private def runToMemoryTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_bf_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    // hold the lowered conf until the (synchronous) run completes: the
+    // stream thread clones the session AFTER start() returns, so an early
+    // restore would race it and sometimes plan with the session's count
+    spark.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
     val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
-      df.writeStream.format("memory").queryName(name)
+      val started = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow())
         .start()
+      started.awaitTermination()
+      started
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
-    q.awaitTermination()
     // Snapshot the sink eagerly (the lineage cut materializes the rows and
     // severs the plan from the memory sink), then release the query and drop
     // its temp view — without this every backfill leaks a driver-held result

@@ -221,10 +221,29 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
     val plan = Joins.asOf(purchases, clicks, Seq("user_id"),
         "purchase_ts", "click_ts", "click_id")
       .queryExecution.executedPlan.toString
-    // union-tag merge: a Window over one hashpartitioning exchange; the
-    // as-of never materializes as a join (no probe explosion to skew)
+    // union-tag merge: a Window over EXACTLY one hashpartitioning exchange
+    // (the union shuffles once; each input row moves once); the as-of
+    // never materializes as a join (no probe explosion to skew)
     plan should include("Window")
     plan should not include "Join"
-    plan.sliding("hashpartitioning".length).count(_ == "hashpartitioning") should be >= 1
+    plan.sliding("hashpartitioning".length).count(_ == "hashpartitioning") shouldBe 1
+  }
+
+  test("asOf: null join keys never match (SQL semantics), left rows survive") {
+    val clicks = Seq((Some(7L), ts("2024-01-01 10:00:00"), 300L),
+        (None: Option[Long], ts("2024-01-01 10:00:00"), 301L))
+      .toDF("user_id", "click_ts", "click_id")
+    val purchases = Seq((400L, None: Option[Long], ts("2024-01-01 11:00:00")),
+        (401L, Some(7L), ts("2024-01-01 11:00:00")))
+      .toDF("purchase_id", "user_id", "purchase_ts")
+    val out = Joins.asOf(purchases, clicks, Seq("user_id"),
+        "purchase_ts", "click_ts", "click_id")
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // null-keyed purchase keeps LEFT semantics (emitted, no match) and the
+    // null-keyed click matches nothing — unlike raw Window.partitionBy,
+    // which groups nulls together
+    out shouldBe Map(400L -> -1L, 401L -> 300L)
   }
 }
