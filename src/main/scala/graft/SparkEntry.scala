@@ -122,6 +122,22 @@ object SparkEntry {
           array_join(slice(t, lit(1), ceil(size(t) * 0.98).cast("int")), " ").as("text")))
   }
 
+  /** documents plus 25%-PREFIX excerpts of every doc_id % 20 == 13 doc
+    * (offset +400000) — the d7 planted corpus. An excerpt's shingles are a
+    * subset of its source's, so its containment is exactly 1.0 while its
+    * Jaccard is ≈0.25 — the asymmetric-duplication case (quotes, leads,
+    * truncated mirrors) that containment dedup exists to catch and Jaccard
+    * provably misses at any threshold ≥ 0.5.
+    */
+  private def plantedPrefixDocs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val t = graft.analyzers.Analyzers.standardTokens(col("text"))
+    base.unionByName(
+      base.where(col("doc_id") % 20 === 13)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(slice(t, lit(1), ceil(size(t) * 0.25).cast("int")), " ").as("text")))
+  }
+
   /** documents plus token-REVERSED copies — the d4 planted corpus. SimHash
     * is a function of the token multiset (order-free ±1 votes), so a
     * reversed copy's signature is bit-identical to its source's: Hamming 0,
@@ -535,6 +551,13 @@ object SparkEntry {
     "d2_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d)).orderBy("a_id", "b_id")),
 
+    // Dedup: shingle CONTAINMENT pairs over the planted-prefix corpus —
+    // the asymmetric case (excerpt ⊂ source: containment 1.0, Jaccard
+    // ≈0.25). Exact formula both sides; the oracle reruns the identical
+    // blocked pipeline in SQL, so organic pairs (if any) match too.
+    "d7_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(plantedPrefixDocs(s, d)).orderBy("a_id", "b_id")),
+
     // Dedup: MinHash+LSH banded pairs over the planted-truncation corpus.
     // The registered projection is the pair SET (est_jaccard is a function
     // of xxhash64, which no SQL engine reproduces); the oracle recomputes
@@ -874,6 +897,26 @@ object SparkEntry {
       s"FROM (SELECT doc_id, ${stdToks("text")} AS t FROM documents) WHERE doc_id % 20 = 7) " +
       s", toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM docs2) "
 
+  /** The d7 planted corpus (plantedPrefixDocs) in DuckDB: documents plus
+    * first-⌈25%⌉-token prefixes of every doc_id % 20 == 13 doc.
+    */
+  private val PrefixDocsCte =
+    "WITH docs2 AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 400000 AS doc_id, " +
+      "array_to_string(t[1:ceil(len(t)*0.25)::BIGINT], ' ') AS text " +
+      s"FROM (SELECT doc_id, ${stdToks("text")} AS t FROM documents) WHERE doc_id % 20 = 13) " +
+      s", toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM docs2) "
+
+  /** Containment verify over the shared blocked-candidate chain: the
+    * [[JaccardChain]] CTEs up to `pairs`, then
+    * containment = |sh(a) ∩ sh(b)| / min(|sh(a)|, |sh(b)|).
+    */
+  private val ContainChain =
+    JaccardChain.substring(0, JaccardChain.indexOf(", jac AS")) +
+      ", cont AS (SELECT a_id, b_id, round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / " +
+      "least(len(sa.shingles), len(sb.shingles))::DOUBLE, 6) AS containment " +
+      "FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id) "
+
   /** DuckDB cosine of two float-list columns, matching Similarity.cosine
     * (double cast per element, left-to-right sums, round 6).
     */
@@ -1127,6 +1170,11 @@ object SparkEntry {
         "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY doc_id",
       "d2_jaccard_pairs" ->
         (JaccardCte + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY a_id, b_id"),
+      // d7: exact containment over the planted-prefix corpus, via the same
+      // blocked candidate chain the engine runs (see plantedPrefixDocs)
+      "d7_containment_pairs" ->
+        (PrefixDocsCte + ContainChain +
+          "SELECT a_id, b_id, containment FROM cont WHERE containment >= 0.9 ORDER BY a_id, b_id"),
       // d3: exact-Jaccard ground truth over the planted-truncation corpus —
       // the MinHash+LSH pair set must reproduce it exactly (the gap-centered
       // threshold makes the k=64 estimate's keep/drop decision deterministic

@@ -104,6 +104,45 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate pairs by n-gram-shingle CONTAINMENT — the asymmetric
+    * relation Jaccard misses: a short document quoted or prefix-truncated
+    * from a long one shares nearly all of ITS shingles while the union
+    * stays large (a 25% excerpt has containment 1.0 but Jaccard 0.25).
+    * containment(a, b) = |sh(a) ∩ sh(b)| / min(|sh(a)|, |sh(b)|).
+    *
+    * Same sub-quadratic pipeline as [[jaccardPairs]]: inverted-index
+    * candidate generation with the df∈[2, maxDf] cut, ≥ minShared blocked
+    * shingles (an excerpt shares ALL its shingles with its source, so the
+    * cut costs no containment recall), slim id-pairs through the dedup
+    * shuffle, shingle sets re-joined only for the verify. The verify's
+    * `array_intersect`/`least(size)` are codegen'd built-ins.
+    *
+    * At 100 TB the candidate bound is identical to jaccardPairs (the
+    * blocking is shared); only the verify formula differs.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+                       maxDf: Int = 20, minShared: Int = 3): DataFrame = {
+    val sh = withShingles(docs, n)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf))
+    val cands = inv.join(keep, "s").select(col("s"), col("doc_id"))
+    val pairs = cands.as("a").join(cands.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("_shared"))
+      .where(col("_shared") >= minShared)
+      .select(col("a_id"), col("b_id"))
+    val c = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      least(size(col("sa")), size(col("sb"))).cast("double")
+    pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .where(size(col("sa")) > 0 && size(col("sb")) > 0)
+      .select(col("a_id"), col("b_id"), round(c, 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   // ----------------------------------------------------------- MinHash LSH
 
   /** MinHash signature: element i = min over shingles of xxhash64(i, shingle).

@@ -39,6 +39,28 @@ class DedupPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("property: containment catches excerpt⊂source pairs that Jaccard misses") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      def doc() = Seq.fill(40 + rnd.nextInt(20))(words(rnd.nextInt(words.length))).mkString(" ")
+      val originals = (0L until 10L).map(i => i -> doc())
+      // 25% prefixes: containment 1.0, Jaccard ≈ 0.25
+      val excerpts = originals.take(3).map { case (i, t) =>
+        (500L + i) -> t.split(" ").take(12).mkString(" ")
+      }
+      val d = (originals ++ excerpts).toDF("doc_id", "text")
+      val cont = Dedup.containmentPairs(d).select("a_id", "b_id")
+        .as[(Long, Long)].collect().toSet
+      val jac = Dedup.jaccardPairs(d).select("a_id", "b_id")
+        .as[(Long, Long)].collect().toSet
+      val planted = (0L until 3L).map(i => (i, 500L + i)).toSet
+      planted.foreach { p =>
+        cont should contain(p)
+        jac should not contain p
+      }
+    }
+  }
+
   test("property: planted near-dup signatures stay near; unrelated docs stay far") {
     // the nonzero-Hamming regime the registered d4 entry deliberately
     // excludes (its oracle-checkable corpus pins Hamming 0), asserted at the
