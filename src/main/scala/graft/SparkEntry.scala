@@ -596,6 +596,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Pipeline × dedup composition: collapse each near-dup cluster to its
+    // HIGHEST-QUALITY member (ties doc_id) — the realistic canonical rule
+    // for corpus builds. Same cluster closure as d6 (jaccard + planted
+    // chains); argmax is a WindowGroupLimit row_number ≤ 1
+    "p7_quality_survivors" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.Pipeline.bestQualitySurvivors(dd,
+          Dedup.jaccardPairs(dd).select("a_id", "b_id").unionByName(chainPairs(dd)))
+        .orderBy("cluster_rep")
+    }),
+
     // Similarity: brute-force cosine top-10 for query vectors vec_id < 5
     "v1_cosine_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -960,6 +971,21 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val aclOr = "(orgUUID = 'org1' OR isPublic)"
+    // Connected components as a recursive reachability closure (the graph
+    // is small after near-dup blocking, so the closure is cheap for the
+    // oracle; the engine iterates pointer-jumping min-propagation). `mem`
+    // is every document with its cluster rep (singletons rep themselves) —
+    // shared by the d6 and p7 oracles.
+    val clusterCte =
+      JaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", chain AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM documents a " +
+        "JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 50 < 3) " +
+        ", jp AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.8 UNION SELECT a_id, b_id FROM chain) " +
+        ", e AS (SELECT a_id AS u, b_id AS v FROM jp UNION SELECT b_id, a_id FROM jp) " +
+        ", reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u) " +
+        ", lbl AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u) " +
+        ", mem AS (SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS cluster_rep " +
+        "FROM documents d LEFT JOIN lbl l USING (doc_id)) "
     // exact cosine top-10 for query vectors vec_id < 5 — the answer v1
     // computes directly and v4 (IVF at full probe) must degrade to
     val exactTopkSql =
@@ -1196,16 +1222,20 @@ object SparkEntry {
       // near-dup blocking, so the closure is cheap for the oracle; the
       // engine side iterates pointer-jumping min-propagation instead)
       "d6_dup_clusters" ->
-        (JaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-          ", chain AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM documents a " +
-          "JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 50 < 3) " +
-          ", jp AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.8 UNION SELECT a_id, b_id FROM chain) " +
-          ", e AS (SELECT a_id AS u, b_id AS v FROM jp UNION SELECT b_id, a_id FROM jp) " +
-          ", reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u) " +
-          ", lbl AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u) " +
-          "SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS cluster_rep, " +
-          "coalesce(l.rep, d.doc_id) = d.doc_id AS is_canonical " +
-          "FROM documents d LEFT JOIN lbl l USING (doc_id) ORDER BY d.doc_id"),
+        (clusterCte + "SELECT doc_id, cluster_rep, cluster_rep = doc_id AS is_canonical " +
+          "FROM mem ORDER BY doc_id"),
+      // p7: per-cluster argmax by quality (ties doc_id) over the same
+      // cluster closure; quality formula identical to t3's
+      "p7_quality_survivors" ->
+        (clusterCte +
+          s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, " +
+          "len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
+          ", q AS (SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
+          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st) " +
+          ", best AS (SELECT mem.doc_id, cluster_rep, quality, " +
+          "row_number() OVER (PARTITION BY cluster_rep ORDER BY quality DESC, mem.doc_id) AS rn " +
+          "FROM mem JOIN q ON q.doc_id = mem.doc_id) " +
+          "SELECT doc_id, cluster_rep, quality FROM best WHERE rn = 1 ORDER BY cluster_rep"),
       // v4 at full probe must equal exact brute force — same oracle as v1
       "v4_ivf_topk" -> exactTopkSql,
       // v2/v6: exact cosine top-10 over the planted neighborhood corpus —

@@ -101,6 +101,31 @@ object Pipeline {
       .select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
   }
 
+  /** Canonical selection by QUALITY: collapse near-dup clusters keeping
+    * the highest-quality member of each (ties by doc_id) — the realistic
+    * survivor rule for a pre-training corpus, where a duplicate cluster
+    * should contribute its cleanest copy, not its lowest-id one. One row
+    * per cluster (singletons included: every unpaired doc survives as its
+    * own canonical).
+    *
+    * Plan shape at 100 TB: cluster labels come from the pointer-jumping CC
+    * ([[Dedup.dupClusters]], O(log diameter) rounds); quality is one
+    * narrow codegen'd pass; the argmax is a WindowGroupLimit-eligible
+    * row_number ≤ 1 over the cluster key — per-partition partial top-1
+    * below the shuffle, so no cluster ever materializes fully.
+    */
+  def bestQualitySurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = Dedup.dupClusters(docs.select(col("doc_id")), pairs)
+      .select(col("doc_id"), col("cluster_rep"))
+    val scored = TextAnalysis.qualityScore(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_rep").orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(scored, "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select(col("doc_id"), col("cluster_rep"), col("quality"))
+  }
+
   /** Per-stratum quota curation ("data mixing"): the top `quota` documents
     * of every detected language by quality score, ties by doc_id. One
     * shuffle on the language key; Spark's WindowGroupLimit pushes the
