@@ -164,6 +164,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("Exchange")
   }
 
+  test("quality-survivor argmax runs as a partial WindowGroupLimit top-1") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val plan = graft.operators.Pipeline.bestQualitySurvivors(docs, pairs)
+      .queryExecution.executedPlan.toString
+    // rank==1 must push below the cluster_rep exchange as a per-partition
+    // partial top-1 (map-side) + final — no cluster materializes fully
+    "WindowGroupLimit".r.findAllIn(plan).size should be >= 2
+  }
+
   test("sequence packing shuffles once, on the shard key only") {
     val docs = Corpus.metadata(spark, "/root/testdata/sf0.001")
       .select($"id".cast("long").as("doc_id"), $"dataSample".as("text"))
