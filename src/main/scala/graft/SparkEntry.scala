@@ -113,14 +113,8 @@ object SparkEntry {
     * every pair and the banded-LSH operator's full pair set is held to the
     * exact-Jaccard oracle at any scale factor.
     */
-  private def plantedTruncDocs(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), col("text"))
-    val t = graft.analyzers.Analyzers.standardTokens(col("text"))
-    base.unionByName(
-      base.where(col("doc_id") % 20 === 7)
-        .select((col("doc_id") + 300000L).as("doc_id"),
-          array_join(slice(t, lit(1), ceil(size(t) * 0.98).cast("int")), " ").as("text")))
-  }
+  private def plantedTruncDocs(s: SparkSession, d: String): DataFrame =
+    plantedSliceDocs(s, d, residue = 7, offset = 300000L, frac = 0.98)
 
   /** documents plus 25%-PREFIX excerpts of every doc_id % 20 == 13 doc
     * (offset +400000) — the d7 planted corpus. An excerpt's shingles are a
@@ -129,13 +123,22 @@ object SparkEntry {
     * truncated mirrors) that containment dedup exists to catch and Jaccard
     * provably misses at any threshold ≥ 0.5.
     */
-  private def plantedPrefixDocs(s: SparkSession, d: String): DataFrame = {
+  private def plantedPrefixDocs(s: SparkSession, d: String): DataFrame =
+    plantedSliceDocs(s, d, residue = 13, offset = 400000L, frac = 0.25)
+
+  /** Shared plant-a-sliced-copy builder: documents plus the first
+    * ⌈frac·tokens⌉ tokens of every doc_id % 20 == residue doc, re-joined
+    * as text under doc_id + offset. [[slicedDocsCte]] is its DuckDB twin —
+    * keep the two in lockstep.
+    */
+  private def plantedSliceDocs(s: SparkSession, d: String, residue: Int,
+                               offset: Long, frac: Double): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"))
     val t = graft.analyzers.Analyzers.standardTokens(col("text"))
     base.unionByName(
-      base.where(col("doc_id") % 20 === 13)
-        .select((col("doc_id") + 400000L).as("doc_id"),
-          array_join(slice(t, lit(1), ceil(size(t) * 0.25).cast("int")), " ").as("text")))
+      base.where(col("doc_id") % 20 === residue)
+        .select((col("doc_id") + offset).as("doc_id"),
+          array_join(slice(t, lit(1), ceil(size(t) * frac).cast("int")), " ").as("text")))
   }
 
   /** documents plus token-REVERSED copies — the d4 planted corpus. SimHash
@@ -887,46 +890,48 @@ object SparkEntry {
     * [[JaccardChain]] is the `toks`-downstream half so planted-corpus
     * oracles (d3) can swap in their own document set.
     */
-  private val JaccardChain =
+  /** The blocked-candidate half (Dedup.blockedIdPairs in SQL): shingles →
+    * inverted index → df∈[2,20] cut → pairs sharing ≥3 blocked shingles.
+    * Both verify chains compose on top of it.
+    */
+  private val PairsChain =
     """, sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks)
       |, inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
       |, keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND 20)
       |, cands AS (SELECT i.s, i.doc_id FROM inv i JOIN keep k ON i.s = k.s)
-      |, pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM cands a JOIN cands b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 3)
-      |, jac AS (SELECT a_id, b_id, round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+      |, pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM cands a JOIN cands b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 3) """.stripMargin.replaceAll("\n", " ")
+
+  private val JaccardChain = PairsChain +
+    """, jac AS (SELECT a_id, b_id, round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
       |          FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id) """.stripMargin.replaceAll("\n", " ")
 
   private val JaccardCte = T + JaccardChain
 
+  /** DuckDB twin of [[plantedSliceDocs]] (same residue/offset/frac). */
+  private def slicedDocsCte(residue: Int, offset: Long, frac: String): String =
+    "WITH docs2 AS (SELECT doc_id, text FROM documents " +
+      s"UNION ALL SELECT doc_id + $offset AS doc_id, " +
+      s"array_to_string(t[1:ceil(len(t)*$frac)::BIGINT], ' ') AS text " +
+      s"FROM (SELECT doc_id, ${stdToks("text")} AS t FROM documents) WHERE doc_id % 20 = $residue) " +
+      s", toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM docs2) "
+
   /** The d3 planted corpus (plantedTruncDocs) in DuckDB: documents plus
     * first-⌈98%⌉-token truncations of every doc_id % 20 == 7 doc.
     */
-  private val TruncDocsCte =
-    "WITH docs2 AS (SELECT doc_id, text FROM documents " +
-      "UNION ALL SELECT doc_id + 300000 AS doc_id, " +
-      "array_to_string(t[1:ceil(len(t)*0.98)::BIGINT], ' ') AS text " +
-      s"FROM (SELECT doc_id, ${stdToks("text")} AS t FROM documents) WHERE doc_id % 20 = 7) " +
-      s", toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM docs2) "
+  private val TruncDocsCte = slicedDocsCte(residue = 7, offset = 300000L, frac = "0.98")
 
   /** The d7 planted corpus (plantedPrefixDocs) in DuckDB: documents plus
     * first-⌈25%⌉-token prefixes of every doc_id % 20 == 13 doc.
     */
-  private val PrefixDocsCte =
-    "WITH docs2 AS (SELECT doc_id, text FROM documents " +
-      "UNION ALL SELECT doc_id + 400000 AS doc_id, " +
-      "array_to_string(t[1:ceil(len(t)*0.25)::BIGINT], ' ') AS text " +
-      s"FROM (SELECT doc_id, ${stdToks("text")} AS t FROM documents) WHERE doc_id % 20 = 13) " +
-      s", toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM docs2) "
+  private val PrefixDocsCte = slicedDocsCte(residue = 13, offset = 400000L, frac = "0.25")
 
-  /** Containment verify over the shared blocked-candidate chain: the
-    * [[JaccardChain]] CTEs up to `pairs`, then
+  /** Containment verify over the shared [[PairsChain]]:
     * containment = |sh(a) ∩ sh(b)| / min(|sh(a)|, |sh(b)|).
     */
-  private val ContainChain =
-    JaccardChain.substring(0, JaccardChain.indexOf(", jac AS")) +
-      ", cont AS (SELECT a_id, b_id, round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / " +
-      "least(len(sa.shingles), len(sb.shingles))::DOUBLE, 6) AS containment " +
-      "FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id) "
+  private val ContainChain = PairsChain +
+    ", cont AS (SELECT a_id, b_id, round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / " +
+    "least(len(sa.shingles), len(sb.shingles))::DOUBLE, 6) AS containment " +
+    "FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id) "
 
   /** DuckDB cosine of two float-list columns, matching Similarity.cosine
     * (double cast per element, left-to-right sums, round 6).

@@ -74,26 +74,36 @@ object Dedup {
     * per-key fanout (worst case maxDf² candidate rows per shingle), and AQE
     * splits any residual skew. No all-pairs stage exists anywhere.
     */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                   maxDf: Int = 20, minShared: Int = 3): DataFrame = {
-    // Barriered tokenize→shingle pipeline; ReuseExchange then feeds the
-    // inverted index and both verify branches from one shuffle.
-    val sh = withShingles(docs, n)
+  /** Shared candidate blocking for the shingle-set verifiers
+    * ([[jaccardPairs]], [[containmentPairs]]): inverted index over the
+    * shingles, document-frequency cut to df∈[2, maxDf] (df=1 can't pair;
+    * df>maxDf would quadratically explode on stop-shingles), then id pairs
+    * sharing ≥ minShared blocked shingles. Near-identical docs share
+    * dozens, while incidental pairs share 1-2 — at sf0.1 the minShared cut
+    * prunes candidates 100× (1.12M → 10k) with zero Jaccard recall loss
+    * (measured: every j≥0.8 pair shares ≥8). The count is a map-side-
+    * combining aggregate on the same shuffle the distinct needed anyway.
+    * Mirrored 1:1 by the oracle's PairsChain CTEs (SparkEntry).
+    */
+  private def blockedIdPairs(sh: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf))
     val cands = inv.join(keep, "s").select(col("s"), col("doc_id"))
-    // Pairs must share ≥ minShared blocked shingles: near-identical docs
-    // share dozens, while incidental pairs share 1-2 — at sf0.1 this prunes
-    // candidates 100× (1.12M → 10k) with zero recall loss (measured: every
-    // j≥0.8 pair shares ≥8). The count is a map-side-combining aggregate on
-    // the same shuffle the distinct needed anyway.
-    val pairs = cands.as("a").join(cands.as("b"),
+    cands.as("a").join(cands.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("_shared"))
       .where(col("_shared") >= minShared)
       .select(col("a_id"), col("b_id"))
+  }
+
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   maxDf: Int = 20, minShared: Int = 3): DataFrame = {
+    // Barriered tokenize→shingle pipeline; ReuseExchange then feeds the
+    // inverted index and both verify branches from one shuffle.
+    val sh = withShingles(docs, n)
+    val pairs = blockedIdPairs(sh, maxDf, minShared)
     // native hash-set kernel; bit-identical to
     // size(array_intersect)/size(array_distinct(concat)) on distinct inputs
     val j = graft.functions.VectorHash.jaccardCol(col("sa"), col("sb"))
@@ -110,35 +120,31 @@ object Dedup {
     * stays large (a 25% excerpt has containment 1.0 but Jaccard 0.25).
     * containment(a, b) = |sh(a) ∩ sh(b)| / min(|sh(a)|, |sh(b)|).
     *
-    * Same sub-quadratic pipeline as [[jaccardPairs]]: inverted-index
-    * candidate generation with the df∈[2, maxDf] cut, ≥ minShared blocked
-    * shingles (an excerpt shares ALL its shingles with its source, so the
-    * cut costs no containment recall), slim id-pairs through the dedup
-    * shuffle, shingle sets re-joined only for the verify. The verify's
+    * Same sub-quadratic pipeline as [[jaccardPairs]] (the
+    * [[blockedIdPairs]] chain is literally shared): slim id-pairs through
+    * the dedup shuffle, shingle sets re-joined only for the verify, whose
     * `array_intersect`/`least(size)` are codegen'd built-ins.
     *
-    * At 100 TB the candidate bound is identical to jaccardPairs (the
-    * blocking is shared); only the verify formula differs.
+    * Recall caveat the blocking inherits: the df > maxDf cut drops
+    * postings for shingles appearing in more than maxDf documents. For
+    * Jaccard that costs nothing (near-identical docs share many RARE
+    * shingles), but a short excerpt of heavily-mirrored boilerplate —
+    * every shingle popular — can lose all its postings and never become a
+    * candidate. When hunting duplicated boilerplate specifically, raise
+    * maxDf (candidate volume grows as maxDf² per shingle) or pre-group
+    * exact duplicates first so the mirror count collapses.
     */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
                        maxDf: Int = 20, minShared: Int = 3): DataFrame = {
     val sh = withShingles(docs, n)
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, maxDf))
-    val cands = inv.join(keep, "s").select(col("s"), col("doc_id"))
-    val pairs = cands.as("a").join(cands.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("_shared"))
-      .where(col("_shared") >= minShared)
-      .select(col("a_id"), col("b_id"))
+    val pairs = blockedIdPairs(sh, maxDf, minShared)
+    // candidates share ≥ minShared shingles, so both sets are non-empty by
+    // construction — no zero-size guard is needed (matches the oracle SQL)
     val c = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       least(size(col("sa")), size(col("sb"))).cast("double")
     pairs
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
-      .where(size(col("sa")) > 0 && size(col("sb")) > 0)
       .select(col("a_id"), col("b_id"), round(c, 6).as("containment"))
       .where(col("containment") >= threshold)
   }
