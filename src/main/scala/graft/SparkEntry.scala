@@ -748,6 +748,25 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // X7 dirty-corpus quarantine: documents round-tripped through JSONL
+    // with 3 injected malformed lines; the PERMISSIVE read surfaces them
+    // as quarantined rows instead of failing the job. cache() first —
+    // Spark disallows queries referencing only the corrupt-record column
+    // of a live JSON scan.
+    "x7_jsonl_quarantine" -> ((s, d) => {
+      val src = docs(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-x7-jsonl"
+      graft.sources.Jsonl.write(src, dir) // overwrite clears prior bad file
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-badlines.json"),
+        java.util.Arrays.asList("{\"doc_id\": oops", "not json at all", "[1, 2"))
+      val q = graft.sources.Jsonl.readWithQuarantine(s, dir, src.schema).cache()
+      q.select(when(col("_corrupt_record").isNull, "clean")
+          .otherwise("quarantined").as("kind"))
+        .groupBy("kind").agg(count(lit(1)).as("cnt"))
+        .orderBy("kind")
+    }),
+
     // X6 date-partitioned layout: events re-written partitionBy(day), then
     // a one-day aggregate whose day predicate is a PARTITION filter (prunes
     // directories at planning time — the time-series scan discipline at
@@ -1289,6 +1308,9 @@ object SparkEntry {
         ("SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS qty " +
           "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
           "GROUP BY 1 ORDER BY 1"),
+      "x7_jsonl_quarantine" ->
+        ("SELECT 'clean' AS kind, count(*) AS cnt FROM documents " +
+          "UNION ALL SELECT 'quarantined' AS kind, 3 AS cnt ORDER BY kind"),
       "x6_partitioned_scan" ->
         ("SELECT event_type, count(*) AS cnt FROM events " +
           "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-15 00:00:00' " +

@@ -31,6 +31,23 @@ object Jsonl {
     */
   def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)
+
+  /** Dirty-corpus read: PERMISSIVE mode with the corrupt-record column
+    * surfaced, so malformed lines land as rows with `corruptCol` set and
+    * every data column null — the corpus splits into clean/quarantine
+    * WITHOUT failing the job (at 100 TB there is always a bad shard).
+    *
+    * Caller note: Spark refuses queries that reference ONLY the internal
+    * corrupt-record column of a JSON scan (the parser would need a second
+    * pass); materialize first — `df.cache()` before filtering on
+    * `corruptCol`, as the x7 entry does — or include a data column.
+    */
+  def readWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                         corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .json(path)
 }
 
 /** CSV corpus source/sink, same discipline as [[Jsonl]]: explicit schema on

@@ -350,4 +350,23 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       .select("rolling_fp").as[Long].collect()
     out shouldBe Array(refFp(base), refFp("x"))
   }
+
+  test("JSONL quarantine: clean rows round-trip intact, bad lines captured verbatim") {
+    val src = Seq((1L, "hello world"), (2L, "with \"quotes\" and, commas"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
+    graft.sources.Jsonl.write(src, dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-bad.json"),
+      java.util.Arrays.asList("{\"doc_id\": 3, \"text\":", "garbage"))
+    val q = graft.sources.Jsonl.readWithQuarantine(spark, dir, src.schema).cache()
+    try {
+      val clean = q.where($"_corrupt_record".isNull)
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      clean shouldBe Set(1L -> "hello world", 2L -> "with \"quotes\" and, commas")
+      val bad = q.where($"_corrupt_record".isNotNull)
+        .select("_corrupt_record").as[String].collect().toSet
+      bad shouldBe Set("{\"doc_id\": 3, \"text\":", "garbage")
+    } finally q.unpersist()
+  }
 }
