@@ -164,6 +164,21 @@ object SparkEntry {
           array_join(reverse(t), " ").as("text")))
   }
 
+  /** documents re-shaped into LINE-structured pages — the d8 planted
+    * corpus. Every doc keeps its body as line 1 and gains boilerplate
+    * footers: a newsletter plug on doc_id % 3 == 0 (~1/3 of the corpus)
+    * and a copyright line on doc_id % 2 == 0 (~1/2) — both far above any
+    * document-frequency threshold, while organic body lines are unique to
+    * their document at every SF (no exact text dups in the corpus, per d1).
+    * The boilerplate/body separation is therefore closed-form in SQL.
+    */
+  private def plantedLineDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat_ws("\n", col("text"),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter for updates")),
+        when(col("doc_id") % 2 === 0, lit("copyright example corp all rights reserved")))
+        .as("text"))
+
   /** Embeddings plus a planted 10-deep neighborhood per query vector — the
     * v2 oracle geometry. Each query q (vec_id < 5) gets copies at
     * q*100+j+200000 (j = 1..10) with dim 0 shifted by j/256 (exact in
@@ -493,6 +508,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Text analysis: corpus-unigram cross-entropy (perplexity-proxy quality
+    // signal) — vocabulary and doc scores from one exploded-token aggregate
+    "t11_unigram_lm" -> ((s, d) =>
+      TextAnalysis.unigramLm(docs(s, d)).orderBy("doc_id")),
+
     // Composed pre-training pipeline: language gate + quality gate +
     // fuzzy-dedup survivors, one narrow gate stage + the blocked dedup leg
     "p1_pretrain_corpus" -> ((s, d) =>
@@ -533,6 +553,18 @@ object SparkEntry {
     "p6_stratified_sample" -> ((s, d) =>
       graft.operators.Pipeline.stratifiedSample(docs(s, d)).orderBy("doc_id")),
 
+    // Pipeline: domain-mixture curation — sources reweighted to a linear
+    // share recipe (src k gets share (k+1)/210) against half the corpus's
+    // token budget, selection by the engine-portable Knuth hash
+    "p8_domain_mix" -> ((s, d) => {
+      val dd = docs(s, d)
+      val shares = dd.select(col("source")).distinct()
+        .select(col("source"),
+          ((substring(col("source"), 4, 10).cast("int") + 1) / lit(210.0)).as("share"))
+      graft.operators.Pipeline.domainMix(dd, shares, budgetFrac = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // X3 JSONL round-trip: the documents corpus written as newline-delimited
     // JSON (distributed sink) and read back with an explicit schema — full
     // column fidelity proven against the original parquet (text by md5)
@@ -560,6 +592,13 @@ object SparkEntry {
     // blocked pipeline in SQL, so organic pairs (if any) match too.
     "d7_containment_pairs" -> ((s, d) =>
       Dedup.containmentPairs(plantedPrefixDocs(s, d)).orderBy("a_id", "b_id")),
+
+    // Dedup: boilerplate LINE removal (C4-style) over the planted-line
+    // corpus — footers recur in 1/2 and 1/3 of docs (far above the 5%
+    // document-frequency threshold), body lines are unique; the cleaned
+    // text and removal counts are closed-form in SQL
+    "d8_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(plantedLineDocs(s, d)).orderBy("doc_id")),
 
     // Dedup: MinHash+LSH banded pairs over the planted-truncation corpus.
     // The registered projection is the pair SET (est_jaccard is a function
@@ -857,6 +896,22 @@ object SparkEntry {
         .groupBy("o_orderkey", "win_start")
         .agg(count(lit(1)).as("n_ship"), sum("l_quantity").as("qty"))
         .orderBy("o_orderkey")
+    }),
+
+    // J5 skew-salted equi-join: lineitem ⋈ part on partkey with the probe
+    // side salted 8 ways (deterministic salt from the line identity) —
+    // result held to the PLAIN-join oracle, proving salting is semantics-
+    // preserving; the per-brand rollup keeps the gate result small
+    "j5_salted_join" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val pt = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Joins.saltedEquiJoin(li, pt, "l_partkey", 8,
+          col("l_orderkey") * 10 + col("l_linenumber"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("p_brand")
     }),
 
     // Streaming stream-stream LEFT OUTER interval join: matched pairs as
@@ -1167,6 +1222,27 @@ object SparkEntry {
           "row_number() OVER (PARTITION BY lang ORDER BY quality DESC, l.doc_id)::BIGINT AS rank " +
           "FROM lang l JOIN qual USING (doc_id)) " +
           "SELECT doc_id, lang, quality, rank FROM ranked WHERE rank <= 50 ORDER BY doc_id"),
+      // p8: same Knuth-hash selection as p2, fractions from the per-source
+      // token totals and the linear share recipe (src k → (k+1)/210)
+      "p8_domain_mix" ->
+        (T + ", dt AS (SELECT t.doc_id, d.source, len(t.t)::BIGINT AS n_tok " +
+          "FROM toks t JOIN documents d ON t.doc_id = d.doc_id), " +
+          "bysrc AS (SELECT source, sum(n_tok) AS src_tok FROM dt GROUP BY 1), " +
+          "tot AS (SELECT sum(n_tok)::DOUBLE AS corpus_tok FROM dt), " +
+          "frac AS (SELECT source, least(1.0, 0.5 * corpus_tok * " +
+          "((substr(source, 4)::INT + 1) / 210.0) / src_tok) AS kf FROM bysrc, tot) " +
+          "SELECT doc_id, source, n_tok FROM dt JOIN frac USING (source) " +
+          "WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 < kf * 1000000 " +
+          "ORDER BY doc_id"),
+      // t11: corpus-unigram cross-entropy — vocabulary, grand total, and
+      // per-doc token counts all from the same exploded-token aggregate
+      "t11_unigram_lm" ->
+        (T + ", tc AS (SELECT doc_id, tok, count(*) AS c " +
+          "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2), " +
+          "vocab AS (SELECT tok, sum(c) AS vc FROM tc GROUP BY 1), " +
+          "tot AS (SELECT sum(vc)::DOUBLE AS n FROM vocab) " +
+          "SELECT doc_id, round(sum(c * -ln(vc::DOUBLE / n)) / sum(c), 6) AS xent " +
+          "FROM tc JOIN vocab USING (tok), tot GROUP BY doc_id ORDER BY doc_id"),
       "x3_jsonl_roundtrip" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),
@@ -1225,6 +1301,24 @@ object SparkEntry {
       "d7_containment_pairs" ->
         (PrefixDocsCte + ContainChain +
           "SELECT a_id, b_id, containment FROM cont WHERE containment >= 0.9 ORDER BY a_id, b_id"),
+      // d8: the planted-line corpus re-built in SQL (concat_ws skips the
+      // NULL footer branches in both engines), then the same frequency
+      // threshold → anti-join → ordered reassembly pipeline
+      "d8_line_dedup" ->
+        ("WITH lined AS (SELECT doc_id, concat_ws(chr(10), text, " +
+          "CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter for updates' END, " +
+          "CASE WHEN doc_id % 2 = 0 THEN 'copyright example corp all rights reserved' END) AS text " +
+          "FROM documents), " +
+          "ls AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+          "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos FROM lined), " +
+          "lf AS (SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM ls WHERE trim(line) <> ''), " +
+          "boiler AS (SELECT norm FROM (SELECT norm, count(DISTINCT doc_id) AS nd FROM lf GROUP BY 1) " +
+          "WHERE nd > 0.05 * (SELECT count(*) FROM lined)), " +
+          "re AS (SELECT doc_id, count(*) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text " +
+          "FROM lf WHERE norm NOT IN (SELECT norm FROM boiler) GROUP BY 1) " +
+          "SELECT l.doc_id, (len(list_filter(string_split(l.text, chr(10)), x -> trim(x) <> '')) " +
+          "- coalesce(n_kept, 0))::BIGINT AS n_removed, md5(coalesce(clean_text, '')) AS clean_hash " +
+          "FROM lined l LEFT JOIN re USING (doc_id) ORDER BY doc_id"),
       // d3: exact-Jaccard ground truth over the planted-truncation corpus —
       // the MinHash+LSH pair set must reproduce it exactly (the gap-centered
       // threshold makes the k=64 estimate's keep/drop decision deterministic
@@ -1397,6 +1491,12 @@ object SparkEntry {
           "FROM flagship f JOIN lineitem l " +
           "ON l.l_shipdate >= f.win_start AND l.l_shipdate < f.win_end " +
           "GROUP BY 1, 2 ORDER BY 1"),
+      // j5: the salted join must equal the PLAIN join — the oracle knows
+      // nothing about salt
+      "j5_salted_join" ->
+        ("SELECT p_brand, count(*) AS cnt, round(sum(l_quantity), 2) AS qty " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "GROUP BY 1 ORDER BY 1"),
       "s8_store_search" ->
         (M + "SELECT id, category, orgUUID AS org_uuid, isPublic AS is_public FROM meta " +
           "WHERE id BETWEEN '000001' AND '000200' AND category = 'cat5' " +

@@ -322,4 +322,50 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
       .withColumn("is_canonical", col("cluster_rep") === col("doc_id"))
   }
+
+  // ------------------------------------------------------- line-level dedup
+
+  /** Boilerplate LINE removal (the C4/RefinedWeb cleaning rule): a non-blank
+    * line whose normalized form (lowercased, trimmed) appears in more than
+    * `maxDocFrac` of the corpus's documents is page chrome — nav menus,
+    * cookie banners, copyright footers — and is dropped from EVERY document;
+    * body lines survive in their original order. Output per input document:
+    * `(doc_id, n_removed, clean_hash)` where `clean_hash` is the md5 of the
+    * re-assembled text (a document whose every line is boilerplate keeps its
+    * row with the empty-string hash — corpus row count is preserved).
+    *
+    * Shuffle plan, sized for 100 TB: the line-frequency pass is ONE
+    * map-side-combining hash aggregate keyed on the normalized line; the
+    * boilerplate set it yields is tiny by construction (each member must
+    * recur across ≥ `maxDocFrac`·N documents, so there can be at most
+    * ~1/maxDocFrac·⟨lines per doc⟩ of them) and is broadcast into a
+    * LEFT ANTI join against the exploded corpus — the corpus itself never
+    * shuffles for the filtering step. The corpus size that anchors the
+    * threshold rides along as a broadcast 1-row aggregate (no driver
+    * action). Only the per-document re-assembly shuffles doc-keyed rows,
+    * and those carry surviving lines only.
+    */
+  def lineDedup(docs: DataFrame, maxDocFrac: Double = 0.05): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .where(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("pos"), col("line"), lower(trim(col("line"))).as("norm"))
+    val corpusSize = docs.agg(count(lit(1)).as("n_corpus"))
+    val boiler = lines.groupBy("norm")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .crossJoin(broadcast(corpusSize))
+      .where(col("n_docs") > col("n_corpus") * maxDocFrac)
+      .select("norm")
+    val rebuilt = lines.join(broadcast(boiler), Seq("norm"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+    docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\n"), x => trim(x) =!= "")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+  }
 }

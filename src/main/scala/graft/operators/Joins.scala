@@ -178,4 +178,29 @@ object Joins {
         col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bin", "__pbin")
   }
+
+  /** Skew-salted inner equi-join on `key`: the probe (big, skewed) side
+    * tags each row with a deterministic salt in [0, salt); the build side
+    * replicates each row `salt` ways; the join runs on (key, salt). A hot
+    * key's rows — which a plain hash shuffle would pile onto ONE reducer —
+    * spread across `salt` reducers, at the price of a `salt`× blow-up of
+    * the (smaller) build side. Result is row-for-row the plain inner join:
+    * every probe row meets exactly the one build replica carrying its salt.
+    *
+    * The salt derives from `probeSaltOn` (any expression that varies within
+    * a hot key — a row id, a timestamp), NOT from rand(): deterministic
+    * across retries and re-runs, which task-retry correctness on a real
+    * cluster requires (a recomputed task must re-produce the same rows).
+    *
+    * This is the manual fallback for engines/paths where AQE skew-join
+    * can't kick in (e.g. a skewed build side below AQE's per-partition
+    * stats radar, or a sort-merge join feeding a required distribution).
+    */
+  def saltedEquiJoin(probe: DataFrame, build: DataFrame, key: String,
+                     salt: Int, probeSaltOn: Column): DataFrame = {
+    require(salt > 0, s"salt must be positive: $salt")
+    val p = probe.withColumn("__salt", pmod(xxhash64(probeSaltOn), lit(salt)).cast("int"))
+    val b = build.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    p.join(b, Seq(key, "__salt")).drop("__salt")
+  }
 }

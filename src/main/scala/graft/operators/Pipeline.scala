@@ -169,4 +169,39 @@ object Pipeline {
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)
   }
+
+  /** Domain-mixture curation: downsample each source/domain so its share of
+    * the output token budget approaches the target weight in `shares` (a
+    * `(source, share)` config table — a mixing recipe à la The Pile /
+    * DoReMi). The output budget is `budgetFrac` of the corpus's total
+    * tokens; a source's keep-fraction is min(1, budget·share / sourceTokens)
+    * — over-represented domains are thinned, under-represented ones kept
+    * whole (this operator never upsamples). Selection is the same Knuth
+    * multiplicative doc_id hash as [[hashSplit]], bucketed to 1e6: fully
+    * deterministic, engine-portable, and stable under re-processing — a
+    * document's fate never depends on partitioning or row order. Sources
+    * missing from `shares` are dropped (inner join): the recipe IS the
+    * allowlist. Output: the surviving `(doc_id, source, n_tok)`.
+    *
+    * Plan shape at 100 TB: one narrow tokenize-count projection; per-source
+    * totals are a map-side-combining aggregate yielding a handful of rows,
+    * joined to `shares` and BROADCAST back against the corpus along with
+    * the 1-row grand total — the corpus never shuffles, and the keep/drop
+    * decision is a codegen'd per-row predicate.
+    */
+  def domainMix(docs: DataFrame, shares: DataFrame,
+                budgetFrac: Double = 0.5): DataFrame = {
+    val docTok = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    val bySrc = docTok.groupBy("source").agg(sum("n_tok").as("src_tok"))
+    val total = docTok.agg(sum("n_tok").cast("double").as("corpus_tok"))
+    val keepFrac = bySrc.join(shares, "source").crossJoin(total)
+      .select(col("source"),
+        least(lit(1.0), lit(budgetFrac) * col("corpus_tok") * col("share") / col("src_tok"))
+          .as("keep_frac"))
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(1000000L))
+    docTok.join(broadcast(keepFrac), "source")
+      .where(bucket < col("keep_frac") * 1e6)
+      .select("doc_id", "source", "n_tok")
+  }
 }

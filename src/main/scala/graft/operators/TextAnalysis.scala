@@ -147,6 +147,33 @@ object TextAnalysis {
         min(col("n")).cast("long").as("min_tokens"),
         max(col("n")).cast("long").as("max_tokens"))
 
+  /** Corpus-unigram cross-entropy per document — the perplexity-proxy
+    * quality signal (a doc whose tokens are improbable under the corpus's
+    * own unigram distribution is noise: mojibake, code dumps, lists of
+    * ids), used for perplexity filtering when no external LM is available.
+    * Output `(doc_id, xent)` with xent = Σ c(t)·−ln p(t) / Σ c(t) over the
+    * doc's tokens, p(t) the corpus-wide unigram frequency, rounded to 6 dp
+    * for cross-engine comparability.
+    *
+    * Shuffle plan, sized for 100 TB: per-doc token counts compress the
+    * exploded stream with a map-side-combining aggregate BEFORE anything
+    * joins — the join to the vocabulary table is then (docs×distinct-tokens)
+    * rows against a vocab-sized side, co-shuffled on the token (stopword
+    * skew is AQE's bread and butter); the grand total rides along as a
+    * broadcast 1-row aggregate. Nothing driver-side, no second scan of the
+    * raw text (`tc` is reused by reference for the vocabulary).
+    */
+  def unigramLm(docs: DataFrame): DataFrame = {
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val vocab = tc.groupBy("tok").agg(sum("c").as("vc"))
+    val total = vocab.agg(sum("vc").cast("double").as("n"))
+    tc.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * -log(col("vc") / col("n"))) / sum(col("c")), 6).as("xent"))
+  }
+
   // ----------------------------------------------------------- fingerprints
 
   /** Canonical content fingerprint: md5 over the normalized token stream.

@@ -351,6 +351,67 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe Array(refFp(base), refFp("x"))
   }
 
+  test("line dedup: recurring boilerplate lines drop, body order survives, all-boiler doc keeps empty hash") {
+    val footer = "All Rights Reserved."
+    val docs = Seq(
+      (1L, s"alpha body one\n$footer\nbeta body two"),
+      (2L, s"gamma body\n$footer"),
+      (3L, s"delta body\n$footer"),
+      (4L, s"  all rights reserved.  "), // normalizes to the footer → fully boilerplate
+      (5L, "unique only")
+    ).toDF("doc_id", "text")
+    // footer appears in 4/5 docs > 50% threshold; nothing else recurs
+    val out = graft.operators.Dedup.lineDedup(docs, maxDocFrac = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out shouldBe Array(
+      (1L, 1L, h("alpha body one\nbeta body two")),
+      (2L, 1L, h("gamma body")),
+      (3L, 1L, h("delta body")),
+      (4L, 1L, h("")),
+      (5L, 0L, h("unique only")))
+  }
+
+  test("unigram LM: cross-entropy matches the closed-form corpus distribution") {
+    // corpus: a:2 b:2 c:1, n=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.unigramLm(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ln25 = -math.log(2.0 / 5.0)
+    val ln15 = -math.log(1.0 / 5.0)
+    out(0) shouldBe (1L, BigDecimal(ln25).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    out(1) shouldBe (2L, BigDecimal((ln25 + ln15) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("salted equi-join equals the plain inner join, including duplicate keys both sides") {
+    val probe = Seq((1L, "k1", 10), (2L, "k1", 20), (3L, "k2", 30), (4L, "kx", 40))
+      .toDF("id", "k", "v")
+    val build = Seq(("k1", "A"), ("k1", "B"), ("k2", "C"), ("ky", "D"))
+      .toDF("k", "tag")
+    val salted = graft.operators.Joins.saltedEquiJoin(probe, build, "k", 4, $"id")
+      .select("id", "k", "v", "tag").as[(Long, String, Int, String)].collect().sorted
+    val plain = probe.join(build, "k")
+      .select("id", "k", "v", "tag").as[(Long, String, Int, String)].collect().sorted
+    salted shouldBe plain
+    plain.length shouldBe 5 // k1 rows fan out 2×2, k2 1×1, kx/ky drop
+  }
+
+  test("domain mix: over-budget sources thin by the Knuth hash, under-budget keep everything") {
+    // two sources, 4 docs each, 4 tokens per doc → 16 tokens per source
+    val docs = (0 until 8).map(i =>
+      (i.toLong, "w x y z", if (i < 4) "big" else "small")).toDF("doc_id", "text", "source")
+    // budget = 0.5 * 32 = 16 tokens; big gets share .25 → 4 tokens → frac .25;
+    // small gets share 1.0 → 16 tokens ≥ its 16 → frac capped at 1 (no upsample)
+    val shares = Seq(("big", 0.25), ("small", 1.0)).toDF("source", "share")
+    val out = graft.operators.Pipeline.domainMix(docs, shares, budgetFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    def bucket(id: Long) = ((id * 2654435761L) % 4294967296L) % 1000000L
+    val expectBig = (0L until 4L).filter(bucket(_) < 0.25 * 1e6).toSet
+    out shouldBe (expectBig ++ (4L until 8L))
+  }
+
   test("JSONL quarantine: clean rows round-trip intact, bad lines captured verbatim") {
     val src = Seq((1L, "hello world"), (2L, "with \"quotes\" and, commas"))
       .toDF("doc_id", "text")

@@ -204,4 +204,30 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("line dedup broadcasts the boilerplate set into an anti-join — the corpus never shuffles to filter") {
+    val plan = graft.operators.Dedup.lineDedup(docsDf)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+    plan should not include "CartesianProduct"
+  }
+
+  test("domain mix broadcasts the per-source fractions; the keep/drop filter is a per-row predicate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shares = Seq(("src0", 0.5)).toDF("source", "share")
+    val plan = graft.operators.Pipeline.domainMix(docs, shares)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("salted join keys on (key, salt): the salt column reaches the join condition") {
+    val probe = Seq((1L, "k", 1)).toDF("id", "k", "v")
+    val build = Seq(("k", "t")).toDF("k", "tag")
+    val plan = graft.operators.Joins.saltedEquiJoin(probe, build, "k", 8, $"id")
+      .queryExecution.executedPlan.toString
+    plan should include("__salt")
+    plan should not include "CartesianProduct"
+  }
 }
