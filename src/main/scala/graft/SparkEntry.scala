@@ -923,6 +923,40 @@ object SparkEntry {
         .select(col("click_id"), col("purchase_id"), col("user_id"))
         .orderBy("click_id", "purchase_id")),
 
+    // E8 streaming catalog ingest: events stream into the versioned store
+    // via foreachBatch — each micro-batch collapses distributedly to its
+    // net change set (latest event per user, ties by event_id) and commits
+    // ONE delta; the registered result is the store's resolved final state,
+    // held to a latest-per-key SQL oracle over the same events
+    "e8_stream_store_ingest" -> ((s, d) => {
+      val store = freshStore(s)
+      EventStream.streamIngestToStore(s, s"$d/events.parquet", store) { batch =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        batch.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .select(
+            format_string("%06d", col("user_id")).as("id"),
+            col("event_type").as("category"),
+            lit(null).cast("timestamp").as("creationTime"), // store clock fills
+            when(length(col("props")) > 0, col("props")).otherwise("none").as("dataSample"),
+            lit("json").as("format"),
+            (col("user_id") % 2 === 0).as("isPublic"),
+            concat(lit("org"), (col("user_id") % 5).cast("string")).as("orgUUID"),
+            col("event_id").as("recordCount"),
+            col("user_id").as("size"),
+            lit("http://src.example.com/events").as("sourceUri"),
+            concat(lit("http://data.example.com/u/"), col("user_id").cast("string")).as("targetUri"),
+            concat(lit("evt-"), col("event_id").cast("string")).as("title"),
+            lit(null).cast("string").as("storeType"))
+          .as(Encoders.product[MetadataEntry])
+      }
+      store.current
+        .select(col("id"), col("category"), col("recordCount").as("record_count"),
+          col("size"), col("isPublic").as("is_public"),
+          col("orgUUID").as("org_uuid"), col("title"))
+        .orderBy("id")
+    }),
+
     // S-ops × search: the serving flow end-to-end — bulk load into the
     // versioned store, then compile + execute a catalog search over the
     // store's resolved current table (not a pre-staged corpus)
@@ -1073,6 +1107,17 @@ object SparkEntry {
         ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
         "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
     val stop = sqlList(graft.analyzers.Analyzers.EnglishStopwords)
+    // The quality blend in EXACT integer arithmetic — the float-free twin of
+    // TextAnalysis.qualityCol (see its scaladoc: HALF_UP round-6 of a single
+    // rational via (10⁶·num + den/2) // den; float rounding diverges
+    // cross-engine on .5e-6 boundaries)
+    def qualCte(name: String): String =
+      s", st AS (SELECT doc_id, len(t)::BIGINT AS nt, " +
+        s"len(list_filter(t, x -> x IN $stop))::BIGINT AS ns, " +
+        "len(list_distinct(t))::BIGINT AS nd FROM toks) " +
+        s", $name AS (SELECT doc_id, CASE WHEN nt > 0 THEN " +
+        "((1000000 * (2 * least(nt, 100) * nt + 150 * (ns + nd)) + 250 * nt) // (500 * nt)) / 1000000.0 " +
+        "ELSE 0.0 END AS quality FROM st) "
     val langScores = TextAnalysis.LangProfiles.map { case (lang, ws) =>
       s"len(list_filter(t, x -> x IN ${sqlList(ws)})) AS $lang"
     }.mkString(", ")
@@ -1191,15 +1236,10 @@ object SparkEntry {
           "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS predicted_lang, " +
           "greatest(en, es, de, fr)::BIGINT AS lang_score FROM sc ORDER BY doc_id"),
       "t3_quality" ->
-        (T + s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, " +
-          s"len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
-          "SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
-          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st ORDER BY doc_id"),
+        (T + qualCte("qual") +
+          "SELECT doc_id, quality FROM qual ORDER BY doc_id"),
       "p4_quality_sample" ->
-        (T + s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, " +
-          s"len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
-          ", qual AS (SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
-          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st) " +
+        (T + qualCte("qual") +
           "SELECT doc_id, quality FROM qual " +
           "QUALIFY row_number() OVER (ORDER BY quality DESC, doc_id) <= (SELECT ceil(count(*) * 0.25) FROM qual) " +
           "ORDER BY doc_id"),
@@ -1214,10 +1254,7 @@ object SparkEntry {
           ", lang AS (SELECT doc_id, CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en' " +
           "WHEN es >= de AND es >= fr AND es > 0 THEN 'es' WHEN de >= fr AND de > 0 THEN 'de' " +
           "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS lang FROM sc) " +
-          s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, " +
-          "len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
-          ", qual AS (SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
-          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st) " +
+          qualCte("qual") +
           ", ranked AS (SELECT l.doc_id, lang, quality, " +
           "row_number() OVER (PARTITION BY lang ORDER BY quality DESC, l.doc_id)::BIGINT AS rank " +
           "FROM lang l JOIN qual USING (doc_id)) " +
@@ -1264,8 +1301,10 @@ object SparkEntry {
         (T + ", bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks) " +
           ", g AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) " +
           ", a AS (SELECT doc_id, sum(c) AS n, max(c) AS top, count(*) AS nd FROM g GROUP BY 1) " +
-          "SELECT d.doc_id, coalesce(round(top::DOUBLE / n, 6), 0.0) AS top_bigram_frac, " +
-          "coalesce(round(1.0 - nd::DOUBLE / n, 6), 0.0) AS dup_bigram_frac " +
+          // exact integer round-6, the roundDiv6 twin (float round diverges
+          // cross-engine on .5e-6 boundaries)
+          "SELECT d.doc_id, coalesce(((1000000 * top + n // 2) // n) / 1000000.0, 0.0) AS top_bigram_frac, " +
+          "coalesce(((1000000 * (n - nd) + n // 2) // n) / 1000000.0, 0.0) AS dup_bigram_frac " +
           "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id"),
       "t10_pii_redact" -> {
         val em = TextAnalysis.EmailRe
@@ -1283,10 +1322,7 @@ object SparkEntry {
           ", lang AS (SELECT doc_id, CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en' " +
           "WHEN es >= de AND es >= fr AND es > 0 THEN 'es' WHEN de >= fr AND de > 0 THEN 'de' " +
           "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS predicted_lang FROM sc) " +
-          s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, " +
-          "len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
-          ", qual AS (SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
-          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st) " +
+          qualCte("qual") +
           ", surv AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b_id FROM jac WHERE jaccard >= 0.8)) " +
           "SELECT d.doc_id, predicted_lang, quality FROM documents d JOIN lang USING(doc_id) " +
           "JOIN qual USING(doc_id) JOIN surv USING(doc_id) " +
@@ -1346,10 +1382,7 @@ object SparkEntry {
       // cluster closure; quality formula identical to t3's
       "p7_quality_survivors" ->
         (clusterCte +
-          s", st AS (SELECT doc_id, len(t)::DOUBLE AS nt, len(list_filter(t, x -> x IN $stop))::DOUBLE AS ns, " +
-          "len(list_distinct(t))::DOUBLE AS nd FROM toks) " +
-          ", q AS (SELECT doc_id, CASE WHEN nt > 0 THEN round(0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE) " +
-          "+ 0.3::DOUBLE * (ns / nt) + 0.3::DOUBLE * (nd / nt), 6) ELSE 0.0 END AS quality FROM st) " +
+          qualCte("q") +
           ", best AS (SELECT mem.doc_id, cluster_rep, quality, " +
           "row_number() OVER (PARTITION BY cluster_rep ORDER BY quality DESC, mem.doc_id) AS rn " +
           "FROM mem JOIN q ON q.doc_id = mem.doc_id) " +
@@ -1454,6 +1487,15 @@ object SparkEntry {
           "WHERE c.click_ts + INTERVAL 1 HOUR < wm.wm " +
           "AND NOT EXISTS (SELECT 1 FROM j WHERE j.click_id = c.click_id) " +
           "ORDER BY click_id, purchase_id"),
+      // e8: the store's final state = the latest event per user (ties by
+      // event_id), projected through the same entry mapping
+      "e8_stream_store_ingest" ->
+        ("WITH latest AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+          "SELECT lpad(user_id::VARCHAR, 6, '0') AS id, event_type AS category, " +
+          "event_id AS record_count, user_id AS size, user_id % 2 = 0 AS is_public, " +
+          "'org' || (user_id % 5)::VARCHAR AS org_uuid, 'evt-' || event_id::VARCHAR AS title " +
+          "FROM latest WHERE rn = 1 ORDER BY id"),
       // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
       // engine's timestamp_micros(ts div 1000) normalization. Clicks
       // collapse to max event_id per (user, ts) so the ASOF tie is

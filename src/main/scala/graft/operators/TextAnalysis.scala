@@ -91,14 +91,35 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), qualityCol(tokens(col("text"))).as("quality"))
 
-  /** The quality blend over a token-array expression (see [[qualityScore]]). */
+  /** The quality blend over a token-array expression (see [[qualityScore]]).
+    *
+    * Computed in EXACT integer arithmetic, not floats: the blend reduces to
+    * one rational, (2·min(nt,100)·nt + 150·(ns+nd)) / (500·nt), and its
+    * HALF_UP 6-decimal rounding is `(10⁶·num + den/2) div den` — pure
+    * integer ops every engine reproduces bit-for-bit. A float formulation
+    * diverges cross-engine when a score lands on a .5e-6 boundary: Spark's
+    * round() is exact HALF_UP on the binary value while engines that
+    * multiply by 10⁶ first (DuckDB) can tip the other way — observed on 1
+    * of 5000 docs at sf0.1. Exact for docs up to ~1.8×10⁷ tokens (the
+    * subtract-mod division needs 10⁶·num ≤ 2⁵³); longer docs would need
+    * the same formula in decimal.
+    */
   private[operators] def qualityCol(t: Column): Column = {
-    val nTok = size(t).cast("double")
-    val nStop = size(filter(t, w => w.isInCollection(Analyzers.EnglishStopwords))).cast("double")
-    val nDist = size(array_distinct(t)).cast("double")
-    when(nTok > 0.0,
-      round(lit(0.4) * least(lit(1.0), nTok / 100.0) + lit(0.3) * (nStop / nTok)
-        + lit(0.3) * (nDist / nTok), 6)).otherwise(0.0)
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, w => w.isInCollection(Analyzers.EnglishStopwords))).cast("long")
+    val nDist = size(array_distinct(t)).cast("long")
+    val num = lit(2L) * least(nTok, lit(100L)) * nTok + lit(150L) * (nStop + nDist)
+    when(nTok > 0L, roundDiv6(num, lit(500L) * nTok)).otherwise(lit(0.0))
+  }
+
+  /** HALF_UP 6-decimal rounding of num/den (non-negative longs, den > 0) in
+    * EXACT integer arithmetic: (10⁶·num + ⌊den/2⌋) div den, then /10⁶.
+    * Engine-portable where float `round(num/den, 6)` is not (see
+    * [[qualityCol]]'s scaladoc); exact while 10⁶·num ≤ 2⁵³.
+    */
+  private[operators] def roundDiv6(num: Column, den: Column): Column = {
+    val scaled = lit(1000000L) * num + shiftright(den, 1)
+    (scaled - pmod(scaled, den)).cast("double") / den.cast("double") / 1e6
   }
 
   // ---------------------------------------------- BPE-ish pre-tokenization
@@ -276,9 +297,11 @@ object TextAnalysis {
       .agg(sum("c").as("n"), max("c").as("top"), count(lit(1)).as("nd"))
     docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(round(col("top").cast("double") / col("n"), 6), lit(0.0))
+        // exact integer round-6 (1 − nd/n ≡ (n−nd)/n as a rational);
+        // float round(x, 6) diverges cross-engine on .5e-6 boundaries
+        coalesce(roundDiv6(col("top"), col("n")), lit(0.0))
           .as("top_bigram_frac"),
-        coalesce(round(lit(1.0) - col("nd").cast("double") / col("n"), 6), lit(0.0))
+        coalesce(roundDiv6(col("n") - col("nd"), col("n")), lit(0.0))
           .as("dup_bigram_frac"))
   }
 }

@@ -351,4 +351,37 @@ object EventStream {
       windowedCounts(withEventTime(
         graft.sources.Jsonl.readStream(spark, staged, batch.schema))), "complete")
   }
+
+  /** Streaming catalog ingest — the reference's message-driven metadata
+    * flow (NATS "platform.ingestion-pipeline" events feeding catalog PUTs,
+    * reference: notifier.py:45-63, app.py:101-109) re-expressed as
+    * Structured Streaming into the versioned [[graft.store.MetadataStore]].
+    *
+    * `netEntries` is the caller's per-micro-batch reduction: it MUST
+    * collapse the batch DISTRIBUTEDLY to its net change set (the latest
+    * event per entry id — a window rank or max-by per key), so that only
+    * catalog-metadata-scale rows ever cross the driver into the store's
+    * single-delta [[graft.store.MetadataStore.upsertAll]] commit. Commit
+    * count then scales with micro-batches, not events, and duplicate
+    * delivery converges because upserts are idempotent by content — a
+    * replayed batch re-commits the same net rows.
+    *
+    * File-stream batches arrive in file order; out-of-order delivery
+    * ACROSS batches (a late file carrying older events) would need a
+    * compare-on-version upsert guard, which the store's optimistic commit
+    * protocol leaves to the caller — same contract as the reference, whose
+    * ingestion pipeline delivers per-dataset updates in order.
+    */
+  def streamIngestToStore(spark: SparkSession, path: String,
+                          store: graft.store.MetadataStore)(
+      netEntries: DataFrame => Dataset[graft.model.MetadataEntry]): Unit = {
+    val events = withEventTime(fileStream(spark, stageDir(path)))
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.upsertAll(netEntries(batch).collect().toSeq)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
 }

@@ -193,6 +193,44 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed shouldBe emitted
   }
 
+  test("stream ingest to store: net latest-per-key lands as one delta commit, duplicates converge") {
+    // stage a small event file: user 1 updated twice, user 2 once
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    Seq(
+      (1L, Timestamp.valueOf("2020-01-01 10:00:00"), 1L, "click", 1.0, "p1"),
+      (2L, Timestamp.valueOf("2020-01-01 11:00:00"), 1L, "view", 2.0, "p2"),
+      (3L, Timestamp.valueOf("2020-01-01 10:30:00"), 2L, "click", 3.0, "p3")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events")
+    val store = new graft.store.MetadataStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ingest-store").toString,
+      () => Timestamp.valueOf("2020-01-01 00:00:00"))
+    EventStream.streamIngestToStore(spark, s"$dir/events", store) { batch =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy($"ts".desc, $"event_id".desc)
+      batch.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select(
+          format_string("%06d", $"user_id").as("id"),
+          $"event_type".as("category"),
+          lit(null).cast("timestamp").as("creationTime"),
+          $"props".as("dataSample"), lit("json").as("format"),
+          ($"user_id" % 2 === 0).as("isPublic"),
+          concat(lit("org"), ($"user_id" % 5).cast("string")).as("orgUUID"),
+          $"event_id".as("recordCount"), $"user_id".as("size"),
+          lit("http://s.example.com/e").as("sourceUri"),
+          concat(lit("http://d.example.com/u/"), $"user_id".cast("string")).as("targetUri"),
+          concat(lit("evt-"), $"event_id".cast("string")).as("title"),
+          lit(null).cast("string").as("storeType"))
+        .as(org.apache.spark.sql.Encoders.product[graft.model.MetadataEntry])
+    }
+    val state = store.current.select("id", "category", "recordCount")
+      .as[(String, String, Long)].collect().toSet
+    state shouldBe Set(("000001", "view", 2L), ("000002", "click", 3L))
+    // single micro-batch → exactly one committed version
+    store.versionHistory().map(_.version) shouldBe Seq(1L)
+    spark.streams.active shouldBe empty
+  }
+
   // ------------------------------------------------------------ multimodal
 
   private val docsDf = Seq(
