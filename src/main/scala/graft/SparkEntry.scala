@@ -621,6 +621,20 @@ object SparkEntry {
         .where(col("b_id") === col("a_id") + 300000L)
         .orderBy("a_id", "b_id")),
 
+    // Dedup: INCREMENTAL MinHash dedup — the planted truncated copies play
+    // a newly-arrived batch deduped against the base corpus's PERSISTED
+    // signature index (written to parquet and read back: corpus text is
+    // never rescanned). Same margin argument as d3, so the pair set is
+    // closed-form; answer = exactly the planted (src, src+300000) pairs
+    "d9_incremental_dedup" -> ((s, d) => {
+      val all = plantedTruncDocs(s, d)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-sigidx").toString + "/idx"
+      Dedup.signatureIndex(all.where(col("doc_id") < 300000L)).write.parquet(idxDir)
+      Dedup.incrementalMinhashPairs(s.read.parquet(idxDir),
+          all.where(col("doc_id") >= 300000L), threshold = 0.6)
+        .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
+
     // Dedup: fuzzy survivors after collapsing Jaccard near-dup groups
     "d5_fuzzy_survivors" -> ((s, d) =>
       Dedup.fuzzyDedupSurvivors(docs(s, d), Dedup.jaccardPairs(docs(s, d)))
@@ -1362,6 +1376,12 @@ object SparkEntry {
       "d3_minhash_pairs" ->
         (TruncDocsCte + JaccardChain +
           "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.6 ORDER BY a_id, b_id"),
+      // d9: the corpus×batch restriction of d3's exact-Jaccard ground truth
+      // (batch ids start at 300000; the margin argument is d3's)
+      "d9_incremental_dedup" ->
+        (TruncDocsCte + JaccardChain +
+          "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.6 " +
+          "AND a_id < 300000 AND b_id >= 300000 ORDER BY a_id, b_id"),
       // d4: SimHash is order-free, so every planted token-reversed copy
       // pairs with its source at Hamming 0, deterministically — the planted
       // window is the closed-form answer at any SF (see plantedPermDocs)

@@ -209,6 +209,59 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------ incremental dedup
+
+  /** The persisted half of incremental dedup: (doc_id, sig) MinHash
+    * signatures of a corpus, computed ONCE at ingest (a narrow map — no
+    * shuffle beyond the barrier) and written as the corpus's signature
+    * index. Constant-size per doc (k longs) regardless of document length.
+    */
+  def signatureIndex(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame =
+    withShingles(docs, shingleN)
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+
+  /** Incremental MinHash dedup: near-duplicate pairs (a_id = corpus doc,
+    * b_id = batch doc) between an already-indexed corpus and a NEW batch —
+    * the shape of continuous 100 TB ingest, where re-running pair dedup
+    * over (corpus + batch) would rescan everything ever ingested per
+    * arrival. Here the corpus contributes only its PERSISTED signature
+    * index ([[signatureIndex]]): corpus text is never re-read, the batch
+    * side is one narrow signature pass over the new documents, and the
+    * banded join's output volume is batch-driven (a corpus band bucket
+    * yields candidates only where a batch doc lands in it). Corpus and
+    * batch id spaces must be disjoint (append-only ingest ids).
+    *
+    * Same banding/verify math as [[minhashPairs]] — a batch that collides
+    * and estimates ≥ threshold against a corpus doc is exactly what the
+    * monolithic operator would have paired.
+    */
+  def incrementalMinhashPairs(corpusIndex: DataFrame, batch: DataFrame,
+                              k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+                              shingleN: Int = 3): DataFrame = {
+    val r = k / bands
+    def band(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
+            .as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val corpusSigs = corpusIndex.repartition(col("doc_id"))
+    val batchSigs = signatureIndex(batch, k, shingleN).repartition(col("doc_id"))
+    // ids-only through the pair dedup (the minhashPairs two-phase pattern)
+    val pairs = band(corpusSigs).as("a").join(band(batchSigs).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val est = size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+      b => b)).cast("double") / k
+    pairs
+      .join(corpusSigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+      .join(batchSigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
+      .select(col("a_id"), col("b_id"), round(est, 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token stream, one narrow map per row: for each bit

@@ -49,6 +49,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     pairs.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L } shouldBe false
   }
 
+  test("incremental minhash dedup equals the monolithic operator's corpus-vs-batch restriction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // batch = near-copies of docs 0-9 under shifted ids (drop the last token)
+    val batch = docs.where($"doc_id" < 10)
+      .select(($"doc_id" + 1000L).as("doc_id"),
+        graft.analyzers.Analyzers.standardTokens($"text").as("tk"))
+      .select($"doc_id",
+        expr("array_join(slice(tk, 1, greatest(size(tk) - 1, 1)), ' ')").as("text"))
+    val idx = Dedup.signatureIndex(docs)
+    val incr = Dedup.incrementalMinhashPairs(idx, batch, threshold = 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val mono = Dedup.minhashPairs(docs.unionByName(batch), threshold = 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 < 1000L && p._2 >= 1000L)
+    incr shouldBe mono
+    incr.map(_._2) shouldBe (1000L until 1010L).toSet // every near-copy caught
+  }
+
   test("minhash signature is deterministic and k-sized") {
     val sig = docsDf.where($"doc_id" === 0)
       .select(Dedup.minhashSignature(Dedup.shingles($"text"), 64))
