@@ -513,6 +513,11 @@ object SparkEntry {
     "t11_unigram_lm" -> ((s, d) =>
       TextAnalysis.unigramLm(docs(s, d)).orderBy("doc_id")),
 
+    // Text analysis: per-source profile with EXACT distinct vocabulary (the
+    // two-level aggregate); the HLL sketch twin is spec-pinned against it
+    "t12_distinct_profile" -> ((s, d) =>
+      TextAnalysis.distinctProfile(docs(s, d)).orderBy("source")),
+
     // Composed pre-training pipeline: language gate + quality gate +
     // fuzzy-dedup survivors, one narrow gate stage + the blocked dedup leg
     "p1_pretrain_corpus" -> ((s, d) =>
@@ -1285,6 +1290,13 @@ object SparkEntry {
           "SELECT doc_id, source, n_tok FROM dt JOIN frac USING (source) " +
           "WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 < kf * 1000000 " +
           "ORDER BY doc_id"),
+      "t12_distinct_profile" ->
+        (T + ", tc AS (SELECT d.source, tok, count(*) AS c FROM " +
+          "(SELECT doc_id, unnest(t) AS tok FROM toks) u JOIN documents d USING (doc_id) " +
+          "GROUP BY 1, 2) " +
+          ", ds AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) " +
+          "SELECT source, n_docs, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct " +
+          "FROM tc JOIN ds USING (source) GROUP BY source, n_docs ORDER BY source"),
       // t11: corpus-unigram cross-entropy — vocabulary, grand total, and
       // per-doc token counts all from the same exploded-token aggregate
       "t11_unigram_lm" ->

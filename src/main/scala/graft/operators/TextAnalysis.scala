@@ -195,6 +195,35 @@ object TextAnalysis {
       .agg(round(sum(col("c") * -log(col("vc") / col("n"))) / sum(col("c")), 6).as("xent"))
   }
 
+  /** Per-source corpus profile: documents, token volume, and EXACT distinct
+    * vocabulary per source — the per-domain report a mixing recipe is tuned
+    * against. Two-level aggregation: (source, token) partial-counts map-side
+    * first, so the second, tiny aggregate sees one row per distinct pair —
+    * the standard exact-distinct shape. At 100 TB the exact count is a real
+    * shuffle of distinct pairs; [[approxDistinctProfile]] is the sketch
+    * path (HyperLogLog++, one pass, mergeable, no second shuffle) — same
+    * schema, spec-pinned within its error bound of this exact profile.
+    */
+  def distinctProfile(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val docsBySrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    docsBySrc.join(
+        tok.groupBy("source").agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct")), "source")
+      .select("source", "n_docs", "n_tokens", "n_distinct")
+  }
+
+  /** Sketch twin of [[distinctProfile]]: HyperLogLog++ distinct estimate,
+    * single pass, mergeable across shards — the 100 TB default when a ~2%
+    * relative error is acceptable. Not oracle-gated (no engine reproduces
+    * another's sketch); spec-pinned within rsd bounds of the exact profile.
+    */
+  def approxDistinctProfile(docs: DataFrame, rsd: Double = 0.02): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source").agg(count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("tok"), rsd).as("n_distinct_approx"))
+
   // ----------------------------------------------------------- fingerprints
 
   /** Canonical content fingerprint: md5 over the normalized token stream.

@@ -431,6 +431,22 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe (expectBig ++ (4L until 8L))
   }
 
+  test("distinct profile: exact per-source counts; HLL sketch lands within its error bound") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.operators.TextAnalysis.distinctProfile(docs)
+      .select("source", "n_tokens", "n_distinct")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = graft.operators.TextAnalysis.approxDistinctProfile(docs)
+      .select("source", "n_tokens", "n_distinct_approx")
+      .as[(String, Long, Long)].collect()
+    approx.length shouldBe exact.size
+    approx.foreach { case (src, nTok, nApprox) =>
+      val (exTok, exDist) = exact(src)
+      nTok shouldBe exTok // token volume is exact in both paths
+      math.abs(nApprox - exDist).toDouble / exDist should be < 0.1 // 5σ at rsd=0.02
+    }
+  }
+
   test("JSONL quarantine: clean rows round-trip intact, bad lines captured verbatim") {
     val src = Seq((1L, "hello world"), (2L, "with \"quotes\" and, commas"))
       .toDF("doc_id", "text")
