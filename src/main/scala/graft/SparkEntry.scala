@@ -633,8 +633,9 @@ object SparkEntry {
     // closed-form; answer = exactly the planted (src, src+300000) pairs
     "d9_incremental_dedup" -> ((s, d) => {
       val all = plantedTruncDocs(s, d)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-sigidx").toString + "/idx"
-      Dedup.signatureIndex(all.where(col("doc_id") < 300000L)).write.parquet(idxDir)
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-d9-sigidx" // fixed dir: no per-run leak
+      Dedup.signatureIndex(all.where(col("doc_id") < 300000L))
+        .write.mode("overwrite").parquet(idxDir)
       Dedup.incrementalMinhashPairs(s.read.parquet(idxDir),
           all.where(col("doc_id") >= 300000L), threshold = 0.6)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
@@ -808,9 +809,10 @@ object SparkEntry {
 
     // X7 dirty-corpus quarantine: documents round-tripped through JSONL
     // with 3 injected malformed lines; the PERMISSIVE read surfaces them
-    // as quarantined rows instead of failing the job. cache() first —
-    // Spark disallows queries referencing only the corrupt-record column
-    // of a live JSON scan.
+    // as quarantined rows instead of failing the job. The no-op doc_id
+    // filter keeps a data column referenced — Spark disallows queries
+    // referencing ONLY the corrupt-record column of a live JSON scan, and
+    // a cache() workaround would pin the whole corpus in storage memory
     "x7_jsonl_quarantine" -> ((s, d) => {
       val src = docs(s, d)
       val dir = s"${sys.props("java.io.tmpdir")}/graft-x7-jsonl"
@@ -818,8 +820,9 @@ object SparkEntry {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, "part-badlines.json"),
         java.util.Arrays.asList("{\"doc_id\": oops", "not json at all", "[1, 2"))
-      val q = graft.sources.Jsonl.readWithQuarantine(s, dir, src.schema).cache()
-      q.select(when(col("_corrupt_record").isNull, "clean")
+      graft.sources.Jsonl.readWithQuarantine(s, dir, src.schema)
+        .where(col("doc_id").isNotNull || col("_corrupt_record").isNotNull)
+        .select(when(col("_corrupt_record").isNull, "clean")
           .otherwise("quarantined").as("kind"))
         .groupBy("kind").agg(count(lit(1)).as("cnt"))
         .orderBy("kind")
@@ -1304,7 +1307,7 @@ object SparkEntry {
           "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2), " +
           "vocab AS (SELECT tok, sum(c) AS vc FROM tc GROUP BY 1), " +
           "tot AS (SELECT sum(vc)::DOUBLE AS n FROM vocab) " +
-          "SELECT doc_id, round(sum(c * -ln(vc::DOUBLE / n)) / sum(c), 6) AS xent " +
+          "SELECT doc_id, round(sum(c * -ln(vc::DOUBLE / n)) / sum(c), 4) AS xent " +
           "FROM tc JOIN vocab USING (tok), tot GROUP BY doc_id ORDER BY doc_id"),
       "x3_jsonl_roundtrip" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
@@ -1521,10 +1524,12 @@ object SparkEntry {
           "ORDER BY click_id, purchase_id"),
       // e8: the store's final state = the latest event per user (ties by
       // event_id), projected through the same entry mapping
+      // ts::TIMESTAMP floors ns→µs like the engine's withEventTime (same
+      // rule as j1 below); printf never truncates wide ids (lpad would)
       "e8_stream_store_ingest" ->
         ("WITH latest AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
-          "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
-          "SELECT lpad(user_id::VARCHAR, 6, '0') AS id, event_type AS category, " +
+          "ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn FROM events) " +
+          "SELECT printf('%06d', user_id) AS id, event_type AS category, " +
           "event_id AS record_count, user_id AS size, user_id % 2 = 0 AS is_public, " +
           "'org' || (user_id % 5)::VARCHAR AS org_uuid, 'evt-' || event_id::VARCHAR AS title " +
           "FROM latest WHERE rn = 1 ORDER BY id"),

@@ -190,21 +190,38 @@ object Dedup {
     // row through the pair-dedup shuffle. Pairs dedup as two longs, then the
     // signatures re-join from `sigs` (whose repartition shuffle ReuseExchange
     // serves to all three reads) — the jaccardPairs two-phase pattern.
-    val banded = sigs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
-          .as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val banded = bandKeys(sigs, bands, r)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    estJaccardVerify(pairs, sigs, sigs, k, threshold)
+  }
+
+  /** (doc_id, band, key) LSH band rows of a (doc_id, sig) frame — the
+    * banding expression shared by [[minhashPairs]] and
+    * [[incrementalMinhashPairs]] (identical banding is what makes their
+    * results comparable).
+    */
+  private def bandKeys(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
+  /** Estimate-verify tail shared by the MinHash pair operators: re-join the
+    * signatures onto the id-only candidate pairs, estimate Jaccard as the
+    * agreeing-position fraction, keep pairs ≥ threshold.
+    */
+  private def estJaccardVerify(pairs: DataFrame, aSigs: DataFrame,
+                               bSigs: DataFrame, k: Int, threshold: Double): DataFrame = {
     val est = size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
       b => b)).cast("double") / k
     pairs
-      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
+      .join(aSigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+      .join(bSigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
       .select(col("a_id"), col("b_id"), round(est, 6).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
@@ -239,27 +256,17 @@ object Dedup {
   def incrementalMinhashPairs(corpusIndex: DataFrame, batch: DataFrame,
                               k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
                               shingleN: Int = 3): DataFrame = {
-    val r = k / bands
-    def band(sigs: DataFrame): DataFrame =
-      sigs.select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("key"))))
-            .as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val corpusSigs = corpusIndex.repartition(col("doc_id"))
     val batchSigs = signatureIndex(batch, k, shingleN).repartition(col("doc_id"))
-    // ids-only through the pair dedup (the minhashPairs two-phase pattern)
-    val pairs = band(corpusSigs).as("a").join(band(batchSigs).as("b"),
+    // ids-only through the pair dedup (the minhashPairs two-phase pattern);
+    // banding and verify are shared with minhashPairs — identical math is
+    // the operator's contract
+    val pairs = bandKeys(corpusSigs, bands, k / bands).as("a")
+      .join(bandKeys(batchSigs, bands, k / bands).as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val est = size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
-      b => b)).cast("double") / k
-    pairs
-      .join(corpusSigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
-      .join(batchSigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
-      .select(col("a_id"), col("b_id"), round(est, 6).as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
+    estJaccardVerify(pairs, corpusSigs, batchSigs, k, threshold)
   }
 
   // --------------------------------------------------------------- SimHash

@@ -183,6 +183,13 @@ object TextAnalysis {
     * skew is AQE's bread and butter); the grand total rides along as a
     * broadcast 1-row aggregate. Nothing driver-side, no second scan of the
     * raw text (`tc` is reused by reference for the vocabulary).
+    *
+    * Rounded at 4 decimals, not 6: unlike the pure-rational scores
+    * ([[qualityCol]]'s exact-integer trick), a many-term sum of natural
+    * logs carries float noise — summation order varies with shuffle
+    * arrival, and JVM vs libm `ln` may differ in the last ulp — so the
+    * rounding grid sits two orders of magnitude above that noise floor
+    * instead of adjacent to it.
     */
   def unigramLm(docs: DataFrame): DataFrame = {
     val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -192,7 +199,7 @@ object TextAnalysis {
     tc.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(round(sum(col("c") * -log(col("vc") / col("n"))) / sum(col("c")), 6).as("xent"))
+      .agg(round(sum(col("c") * -log(col("vc") / col("n"))) / sum(col("c")), 4).as("xent"))
   }
 
   /** Per-source corpus profile: documents, token volume, and EXACT distinct

@@ -39,8 +39,10 @@ object Jsonl {
     *
     * Caller note: Spark refuses queries that reference ONLY the internal
     * corrupt-record column of a JSON scan (the parser would need a second
-    * pass); materialize first — `df.cache()` before filtering on
-    * `corruptCol`, as the x7 entry does — or include a data column.
+    * pass). Reference any data column alongside it — e.g. a no-op
+    * `where(col("doc_id").isNotNull || col(corruptCol).isNotNull)`, as the
+    * x7 entry does; a `cache()` also works but pins the corpus in storage
+    * memory.
     */
   def readWithQuarantine(spark: SparkSession, path: String, schema: StructType,
                          corruptCol: String = "_corrupt_record"): DataFrame =

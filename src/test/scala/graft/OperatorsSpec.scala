@@ -400,8 +400,8 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val ln25 = -math.log(2.0 / 5.0)
     val ln15 = -math.log(1.0 / 5.0)
-    out(0) shouldBe (1L, BigDecimal(ln25).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    out(1) shouldBe (2L, BigDecimal((ln25 + ln15) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    out(0) shouldBe (1L, BigDecimal(ln25).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    out(1) shouldBe (2L, BigDecimal((ln25 + ln15) / 2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("salted equi-join equals the plain inner join, including duplicate keys both sides") {
