@@ -157,17 +157,55 @@ object Pipeline {
     * HOF-re-evaluation hazard — see Dedup.withShingles).
     */
   def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(array_distinct(TextAnalysis.ngrams(col("toks"), n))).as("ng"))
-    val evalNgrams = grams(evalDocs).select("ng").distinct()
-    val shared = grams(train).join(broadcast(evalNgrams), "ng")
+    val evalNgrams = grams(evalDocs, n).select("ng").distinct()
+    val shared = grams(train, n).join(broadcast(evalNgrams), "ng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     train.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  /** Distinct word-n-grams per doc, tokens materialized behind a shuffle
+    * barrier (shared by [[contamination]] and [[contaminationBloom]]).
+    */
+  private def grams(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.ngrams(col("toks"), n))).as("ng"))
+
+  /** Sketch twin of [[contamination]]: when the eval n-gram set is too big
+    * to broadcast exactly (a full benchmark-suite union against a 100 TB
+    * corpus), fold it into a Bloom filter — Spark's own runtime-filter
+    * sketch — and probe the training side with a codegen'd membership test.
+    * NO false negatives (a truly shared n-gram always hits), so every
+    * exactly-contaminated doc is flagged; `n_candidate ≥ n_shared` with a
+    * bounded false-positive surplus set by `bitsPerItem` (16 ≈ 4e-4 FPR).
+    * Deterministic: Bloom insertion is a bit-OR, order-independent.
+    *
+    * Plan shape at 100 TB: the eval side folds DISTRIBUTEDLY into one
+    * filter (TypedImperativeAggregate with partial merge); only the
+    * serialized filter — kilobytes to megabytes by construction — crosses
+    * the driver, ships as a plan literal, and the corpus side stays one
+    * narrow n-gram pass + probe + map-side-combining count, exactly like
+    * the exact path but with O(bits) instead of O(eval-set) memory.
+    */
+  def contaminationBloom(train: DataFrame, evalDocs: DataFrame, n: Int = 5,
+                         expectedItems: Long = 1L << 20,
+                         bitsPerItem: Int = 16): DataFrame = {
+    val bf = grams(evalDocs, n).select("ng").distinct()
+      .agg(graft.functions.Sketches.bloomFilterAgg(
+        xxhash64(col("ng")), expectedItems, bitsPerItem.toLong * expectedItems).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val candidates =
+      if (bf == null) // empty eval set → nothing can be contaminated
+        train.select(col("doc_id"), lit(0L).as("n_candidate")).limit(0)
+      else grams(train, n)
+        .where(graft.functions.Sketches.mightContain(bf, xxhash64(col("ng"))))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidate"))
+    train.select(col("doc_id")).join(candidates, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_candidate"), lit(0L)).as("n_candidate"))
+      .withColumn("contaminated", col("n_candidate") > 0)
   }
 
   /** Domain-mixture curation: downsample each source/domain so its share of

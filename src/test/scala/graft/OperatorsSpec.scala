@@ -447,6 +447,21 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("bloom decontamination: superset of exact with zero false negatives; equal at generous bits") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.where($"doc_id" % 7 =!= 0)
+    val evalD = docs.where($"doc_id" % 7 === 0)
+    val exact = graft.operators.Pipeline.contamination(train, evalD)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    val bloom = graft.operators.Pipeline.contaminationBloom(train, evalD)
+      .select("doc_id", "n_candidate").as[(Long, Long)].collect().toMap
+    bloom.keySet shouldBe exact.keySet // row-for-row with train
+    // no false negatives: every exact hit is a bloom candidate, count-wise
+    exact.foreach { case (id, nShared) => bloom(id) should be >= nShared }
+    // at 16 bits/item over this corpus the FP surplus is zero in practice
+    bloom shouldBe exact
+  }
+
   test("JSONL quarantine: clean rows round-trip intact, bad lines captured verbatim") {
     val src = Seq((1L, "hello world"), (2L, "with \"quotes\" and, commas"))
       .toDF("doc_id", "text")
