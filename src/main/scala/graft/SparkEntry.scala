@@ -701,6 +701,22 @@ object SparkEntry {
     // top-10 sits ≈ on the query vector itself, so its plants share the
     // query's nearest cell and a partial probe must still return the exact
     // answer — the approximate path held to the exact-cosine oracle
+    // Similarity: IVF against the PERSISTED cell-partitioned index — the
+    // "index once at ingest, query many" path (v6's probe math over an
+    // index read back from parquet; assignments and norms never
+    // recomputed, probed cells prune partition directories). Same planted
+    // geometry ⇒ same exact-cosine oracle as v6
+    "v7_ivf_indexed" -> ((s, d) => {
+      val corpus = plantedTopKEmb(s, d)
+      val cents = Similarity.ivfCentroids(corpus, 32)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-v7-ivfidx" // fixed dir: no per-run leak
+      Similarity.ivfIndex(corpus, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+      Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
+          emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
+
     "v6_ivf_partial" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTopK(plantedTopKEmb(s, d), e.where(col("vec_id") < 5), 10,
@@ -1430,6 +1446,7 @@ object SparkEntry {
       // recall and exact-rerank all of them
       "v2_lsh_topk" -> plantedTopkSql,
       "v6_ivf_partial" -> plantedTopkSql,
+      "v7_ivf_indexed" -> plantedTopkSql,
       "v3_embedding_neardup" ->
         (PlantedPairCte + "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
       // v5: CC collapse over the exact planted pair graph (star shapes, but

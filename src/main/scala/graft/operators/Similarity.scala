@@ -155,16 +155,37 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 32, nprobe: Int = 8): DataFrame = {
     val cents = ivfCentroids(corpus, nlist)
-    val probe1 = (e: Column) =>
-      element_at(graft.functions.VectorHash.ivfProbeCol(e, cents, 1), 1)
-    val c = corpus.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), probe1(col("embedding")).as("cell"))
+    ivfTopKIndexed(ivfIndex(corpus, cents), cents, queries, k, nprobe)
+  }
+
+  /** The persisted half of IVF search: (vec_id, embedding, nrm, cell) with
+    * each vector assigned to its nearest codebook centroid — computed ONCE
+    * at ingest (one narrow native-expression map) and written
+    * `partitionBy("cell")`, so query probes prune to their cells' partition
+    * directories instead of scanning the corpus.
+    */
+  def ivfIndex(corpus: DataFrame, cents: Seq[Seq[Float]]): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
+        .as("cell"))
+
+  /** Query an ALREADY-indexed corpus ([[ivfIndex]], typically read back
+    * from its cell-partitioned parquet): cell assignments and norms are
+    * never recomputed — the index contributes persisted columns only, and
+    * the broadcast query probe's cell equi-join lets dynamic partition
+    * pruning skip every unprobed cell directory. Same probe/re-rank math
+    * as [[ivfTopK]] (which delegates here), so full-probe degradation to
+    * exact brute force carries over.
+    */
+  def ivfTopKIndexed(index: DataFrame, cents: Seq[Seq[Float]],
+                     queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"),
         explode(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, nprobe)).as("cell")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    c.join(q, Seq("cell"))
+    index.join(q, Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))

@@ -284,6 +284,21 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     ivf.foreach(r => r.getDouble(3) shouldBe bf(r.getLong(2)))
   }
 
+  test("indexed ivf (parquet round-trip) equals the inline ivf at every probe width") {
+    val cents = Similarity.ivfCentroids(embDf, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString + "/idx"
+    Similarity.ivfIndex(embDf, cents).write.partitionBy("cell").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val q = embDf.where($"vec_id" < 3)
+    for (nprobe <- Seq(2, 8)) {
+      val indexed = Similarity.ivfTopKIndexed(idx, cents, q, 5, nprobe)
+        .orderBy("q_id", "rank").collect().toSeq
+      val inline = Similarity.ivfTopK(embDf, q, 5, nlist = 8, nprobe = nprobe)
+        .orderBy("q_id", "rank").collect().toSeq
+      indexed shouldBe inline
+    }
+  }
+
   test("embedding near-dup pairs: parallel pair found, orthogonal not") {
     val pairs = Similarity.cosineNearDupPairs(embDf)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

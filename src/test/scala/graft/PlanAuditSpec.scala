@@ -222,6 +222,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "CartesianProduct"
   }
 
+  test("indexed IVF probe prunes the cell-partitioned index scan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = graft.operators.Similarity.ivfCentroids(corpus, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx-audit").toString + "/idx"
+    graft.operators.Similarity.ivfIndex(corpus, cents)
+      .write.partitionBy("cell").parquet(dir)
+    val out = graft.operators.Similarity.ivfTopKIndexed(spark.read.parquet(dir), cents,
+      corpus.where($"vec_id" < 2), 5, nprobe = 2)
+    // plan string, not node collect: AQE's AdaptiveSparkPlanExec hides the
+    // subtree from collect(); the cell partition filter must be dynamic
+    // pruning fed by the broadcast probe's cell set
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("Broadcast")
+    plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
+  }
+
   test("salted join keys on (key, salt): the salt column reaches the join condition") {
     val probe = Seq((1L, "k", 1)).toDF("id", "k", "v")
     val build = Seq(("k", "t")).toDF("k", "tag")
