@@ -52,6 +52,25 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
+  /** Per-process scratch root for REUSABLE harness artifacts (d9 signature
+    * index, v7 IVF index, x5/x6 layouts, x7 quarantine dir). Fixed WITHIN a
+    * process — the harness invokes each entry several times (bench warm-up +
+    * passes, verify) and a fresh full-copy per call would leak disk, so
+    * entries overwrite-and-reuse — but suffixed with the PID so two
+    * concurrent harness processes cannot overwrite each other's artifacts
+    * mid-read. A shutdown hook removes the whole root, so nothing outlives
+    * the process either.
+    */
+  private lazy val scratchRoot: String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-run-${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(root)
+    sys.addShutdownHook(graft.util.FsUtil.deleteRecursively(root))
+    root.toString
+  }
+
+  private def scratch(name: String): String = s"$scratchRoot/$name"
+
   /** Store-op harness: fixed clock (determinism) + fresh temp-dir store. */
   private val storeClock: () => java.sql.Timestamp =
     () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
@@ -633,7 +652,7 @@ object SparkEntry {
     // closed-form; answer = exactly the planted (src, src+300000) pairs
     "d9_incremental_dedup" -> ((s, d) => {
       val all = plantedTruncDocs(s, d)
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-d9-sigidx" // fixed dir: no per-run leak
+      val idxDir = scratch("d9-sigidx") // per-process fixed dir: no per-run leak
       Dedup.signatureIndex(all.where(col("doc_id") < 300000L))
         .write.mode("overwrite").parquet(idxDir)
       Dedup.incrementalMinhashPairs(s.read.parquet(idxDir),
@@ -709,7 +728,7 @@ object SparkEntry {
     "v7_ivf_indexed" -> ((s, d) => {
       val corpus = plantedTopKEmb(s, d)
       val cents = Similarity.ivfCentroids(corpus, 32)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-v7-ivfidx" // fixed dir: no per-run leak
+      val dir = scratch("v7-ivfidx") // per-process fixed dir: no per-run leak
       Similarity.ivfIndex(corpus, cents).write.mode("overwrite")
         .partitionBy("cell").parquet(dir)
       Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
@@ -807,7 +826,7 @@ object SparkEntry {
       // fixed per-entry dir, NOT createTempDirectory: the harness invokes
       // each entry several times (bench warm-up + passes, verify) and a
       // fresh full-table copy per call would leak disk; overwrite reuses it
-      val wh = s"${sys.props("java.io.tmpdir")}/graft-x5-bucketed"
+      val wh = scratch("x5-bucketed")
       // prune to the join/agg columns BEFORE the layout write — the bucketed
       // copy is a purpose-built join artifact, not a second full table
       graft.sources.Bucketed.writeTable(
@@ -831,7 +850,7 @@ object SparkEntry {
     // a cache() workaround would pin the whole corpus in storage memory
     "x7_jsonl_quarantine" -> ((s, d) => {
       val src = docs(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-x7-jsonl"
+      val dir = scratch("x7-jsonl")
       graft.sources.Jsonl.write(src, dir) // overwrite clears prior bad file
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, "part-badlines.json"),
@@ -851,7 +870,7 @@ object SparkEntry {
     // raw table.
     "x6_partitioned_scan" -> ((s, d) => {
       // fixed per-entry dir (see x5): repeated invocations overwrite
-      val out = s"${sys.props("java.io.tmpdir")}/graft-x6-bydate/events"
+      val out = scratch("x6-bydate") + "/events"
       val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
       graft.sources.DatePartitioned.writeByDay(ev, "ts", out)
       graft.sources.DatePartitioned.readDay(s, out, "2024-01-15")

@@ -80,9 +80,12 @@ object Joins {
     // RIGHT rows is sufficient — a null-keyed LEFT row then shares its
     // window partition with no right row and emits with null payload
     // (LEFT semantics preserved), instead of matching null-to-null the way
-    // a raw Window.partitionBy would.
+    // a raw Window.partitionBy would. A null rightTs is likewise excluded:
+    // it has no position on the time axis, and under nulls-first ascending
+    // ordering it would otherwise sort ahead of every real row and be
+    // carried by the running last() as a bogus match.
     val r = right
-      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .where((keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
       .select(
         keys.map(col) ++ Seq(
           col(rightTs).as("__ts"), lit(0).as("__side"),
@@ -130,6 +133,13 @@ object Joins {
   def timeProximityPairs(points: DataFrame, idCol: String, tsCol: String,
                          epsilonMicros: Long): DataFrame = {
     require(epsilonMicros > 0, s"epsilonMicros must be positive: $epsilonMicros")
+    // Contract: ids must be integral. A silent cast of a string/decimal id
+    // would null out and collapse distinct rows under the pair dedup below;
+    // callers with non-numeric ids should hash them (xxhash64) upstream.
+    val idType = points.schema(idCol).dataType
+    require(Set("byte", "short", "integer", "long").contains(idType.typeName),
+      s"timeProximityPairs requires an integral id column; '$idCol' is " +
+        s"${idType.typeName} — hash non-numeric ids (e.g. xxhash64) upstream")
     val p = points.select(col(idCol).cast("long").as("id"),
         micros(col(tsCol)).as("us"))
       .withColumn("bin", floor(col("us") / epsilonMicros))

@@ -173,8 +173,8 @@ object TextAnalysis {
     * own unigram distribution is noise: mojibake, code dumps, lists of
     * ids), used for perplexity filtering when no external LM is available.
     * Output `(doc_id, xent)` with xent = Σ c(t)·−ln p(t) / Σ c(t) over the
-    * doc's tokens, p(t) the corpus-wide unigram frequency, rounded to 6 dp
-    * for cross-engine comparability.
+    * doc's tokens, p(t) the corpus-wide unigram frequency, rounded to 4 dp
+    * for cross-engine comparability (see the rounding rationale below).
     *
     * Shuffle plan, sized for 100 TB: per-doc token counts compress the
     * exploded stream with a map-side-combining aggregate BEFORE anything

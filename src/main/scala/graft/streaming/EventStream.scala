@@ -99,9 +99,9 @@ object EventStream {
     * AvailableNow → memory sink, complete mode emits every window).
     */
   def backfillEnrichedCounts(spark: SparkSession, path: String): DataFrame =
-    runToMemoryTable(spark,
-      enrichedWindowedCounts(withEventTime(fileStream(spark, stageDir(path))),
-        userTiers(spark, path)), "complete")
+    runToMemoryTable(spark, "complete")(bf =>
+      enrichedWindowedCounts(withEventTime(fileStream(bf, stageDir(path))),
+        userTiers(bf, path)))
 
   // ------------------------------------------------ custom state: sessions
 
@@ -185,8 +185,8 @@ object EventStream {
     */
   def backfillSessions(spark: SparkSession, path: String,
                        gapMs: Long = 6L * 3600 * 1000): DataFrame =
-    runToMemoryTable(spark,
-      sessionize(spark, fileStream(spark, stageDir(path)), gapMs).toDF(), "append")
+    runToMemoryTable(spark, "append")(bf =>
+      sessionize(bf, fileStream(bf, stageDir(path)), gapMs).toDF())
 
   /** Streaming exact dedup: drop duplicate event_ids within the watermark
     * horizon (`dropDuplicatesWithinWatermark` — state holds only ids inside
@@ -199,11 +199,10 @@ object EventStream {
     * against a plain batch read.
     */
   def backfillStreamDedup(spark: SparkSession, path: String): DataFrame =
-    runToMemoryTable(spark,
-      withEventTime(fileStream(spark, stageDir(path, copies = 2)))
+    runToMemoryTable(spark, "append")(bf =>
+      withEventTime(fileStream(bf, stageDir(path, copies = 2)))
         .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id"),
-      "append")
+        .dropDuplicatesWithinWatermark("event_id"))
 
   /** Stream-stream interval join: click→purchase attribution — each purchase
     * joins to the same user's clicks in the preceding hour. Both sides carry
@@ -235,8 +234,8 @@ object EventStream {
 
   /** Deterministic attribution backfill (file stream → AvailableNow). */
   def backfillAttribution(spark: SparkSession, path: String): DataFrame =
-    runToMemoryTable(spark,
-      attributionJoin(withEventTime(fileStream(spark, stageDir(path)))), "append")
+    runToMemoryTable(spark, "append")(bf =>
+      attributionJoin(withEventTime(fileStream(bf, stageDir(path)))))
 
   /** LEFT OUTER attribution: matched pairs stream out as in the inner
     * join; an UNMATCHED click emits (click, null) only once the global
@@ -249,9 +248,9 @@ object EventStream {
     * not extra state.
     */
   def backfillAttributionOuter(spark: SparkSession, path: String): DataFrame =
-    runToMemoryTable(spark,
-      attributionJoin(withEventTime(fileStream(spark, stageDir(path))),
-        joinType = "left_outer"), "append")
+    runToMemoryTable(spark, "append")(bf =>
+      attributionJoin(withEventTime(fileStream(bf, stageDir(path))),
+        joinType = "left_outer"))
 
   /** File stream with the schema inferred from a batch read of the same
     * files (the driver's parquet encodes ts as nanosecond INT64, read as
@@ -275,34 +274,40 @@ object EventStream {
 
   /** Run a streaming frame to completion (Trigger.AvailableNow) into a
     * uniquely-named memory sink and return the sink table — the shared
-    * deterministic-backfill harness of every operator here. The session's
-    * shuffle-partition conf is lowered to [[BackfillStatePartitions]] for
-    * the duration of the (synchronous) run and restored after; the stream
-    * captures the value at planning time.
+    * deterministic-backfill harness of every operator here. The stream is
+    * BUILT AND RUN on an isolated clone of the caller's session
+    * (`newSession()`: same SparkContext, private SQL conf + catalog) with
+    * `spark.sql.shuffle.partitions` lowered to [[BackfillStatePartitions]]
+    * there — the caller's session is never mutated, so concurrent queries
+    * on it keep planning with their own conf and concurrent backfills
+    * cannot interleave restores (the earlier save/restore-on-the-shared-
+    * session design had both hazards). The clone inherits every settable
+    * session conf first, so the backfill plans under the caller's semantics
+    * (timezone, legacy parquet nanos, AQE flags) apart from the one
+    * deliberate override.
     */
-  private def runToMemoryTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  private def runToMemoryTable(spark: SparkSession, mode: String)(
+      mk: SparkSession => DataFrame): DataFrame = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
     val name = "graft_bf_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    // hold the lowered conf until the (synchronous) run completes: the
-    // stream thread clones the session AFTER start() returns, so an early
-    // restore would race it and sometimes plan with the session's count
-    spark.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
-    val q = try {
-      val started = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow())
-        .start()
-      started.awaitTermination()
-      started
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    val q = mk(bf).writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // Snapshot the sink eagerly (the lineage cut materializes the rows and
     // severs the plan from the memory sink), then release the query and drop
     // its temp view — without this every backfill leaks a driver-held result
     // table for the life of the session. LineageCut.cut picks a reliable
     // checkpoint when the context has a checkpoint dir (cluster-safe: the
     // snapshot must outlive any executor), localCheckpoint otherwise.
-    val out = graft.util.LineageCut.cut(spark.table(name))
+    val out = graft.util.LineageCut.cut(bf.table(name))
     q.stop()
-    spark.catalog.dropTempView(name)
+    bf.catalog.dropTempView(name)
     out
   }
 
@@ -332,8 +337,8 @@ object EventStream {
     * watermark, which is what an append-mode backfill would clip).
     */
   def backfillWindowedCounts(spark: SparkSession, path: String): DataFrame =
-    runToMemoryTable(spark,
-      windowedCounts(withEventTime(fileStream(spark, stageDir(path)))), "complete")
+    runToMemoryTable(spark, "complete")(bf =>
+      windowedCounts(withEventTime(fileStream(bf, stageDir(path)))))
 
   /** The same windowed aggregation ingesting a JSONL event feed — the shape
     * a live deployment actually tails (appenders drop line-delimited JSON
@@ -347,9 +352,9 @@ object EventStream {
     val batch = spark.read.parquet(path)
     val staged = java.nio.file.Files.createTempDirectory("graft-jsonl-events").toString + "/events"
     graft.sources.Jsonl.write(batch, staged)
-    runToMemoryTable(spark,
+    runToMemoryTable(spark, "complete")(bf =>
       windowedCounts(withEventTime(
-        graft.sources.Jsonl.readStream(spark, staged, batch.schema))), "complete")
+        graft.sources.Jsonl.readStream(bf, staged, batch.schema))))
   }
 
   /** Streaming catalog ingest — the reference's message-driven metadata
@@ -357,12 +362,17 @@ object EventStream {
     * reference: notifier.py:45-63, app.py:101-109) re-expressed as
     * Structured Streaming into the versioned [[graft.store.MetadataStore]].
     *
-    * `netEntries` is the caller's per-micro-batch reduction: it MUST
-    * collapse the batch DISTRIBUTEDLY to its net change set (the latest
-    * event per entry id — a window rank or max-by per key), so that only
-    * catalog-metadata-scale rows ever cross the driver into the store's
-    * single-delta [[graft.store.MetadataStore.upsertAll]] commit. Commit
-    * count then scales with micro-batches, not events, and duplicate
+    * `netEntries` is the caller's per-micro-batch reduction: it SHOULD
+    * collapse the batch distributedly to its net change set (the latest
+    * event per entry id — a window rank or max-by per key) so each
+    * micro-batch commits catalog-metadata-scale net rows. The reduced batch
+    * lands through the store's DISTRIBUTED
+    * [[graft.store.MetadataStore.upsertAll(batch:org\.apache\.spark\.sql\.Dataset[graft\.model\.MetadataEntry])*]]
+    * — one executor-side delta write + one pointer swap per micro-batch,
+    * with NO driver materialization anywhere on the path (event-scale rows
+    * never cross the driver even if a caller skips the reduction; the
+    * store's latest-per-id dedupe then resolves the batch executor-side).
+    * Commit count scales with micro-batches, not events, and duplicate
     * delivery converges because upserts are idempotent by content — a
     * replayed batch re-commits the same net rows.
     *
@@ -378,7 +388,7 @@ object EventStream {
     val events = withEventTime(fileStream(spark, stageDir(path)))
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.upsertAll(netEntries(batch).collect().toSeq)
+        store.upsertAll(netEntries(batch))
         ()
       }
       .trigger(Trigger.AvailableNow()).start()

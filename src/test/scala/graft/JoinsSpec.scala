@@ -246,4 +246,35 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
     // which groups nulls together
     out shouldBe Map(400L -> -1L, 401L -> 300L)
   }
+
+  test("asOf: a null-timestamp right row is excluded, not carried as a match") {
+    // under nulls-first ascending ordering a null-ts click would sort ahead
+    // of every real row and be picked up by the running last() — SQL
+    // temporal semantics say it has no position on the time axis at all
+    val clicks = Seq((7L, None: Option[java.sql.Timestamp], 500L),
+        (7L, Some(ts("2024-01-01 10:00:00")), 501L))
+      .toDF("user_id", "click_ts", "click_id")
+    val purchases = Seq(
+        (600L, 7L, ts("2024-01-01 09:00:00")),  // only the null-ts click 'precedes' → no match
+        (601L, 7L, ts("2024-01-01 11:00:00")))  // real click precedes → 501
+      .toDF("purchase_id", "user_id", "purchase_ts")
+    val out = Joins.asOf(purchases, clicks, Seq("user_id"),
+        "purchase_ts", "click_ts", "click_id")
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    out shouldBe Map(600L -> -1L, 601L -> 501L)
+  }
+
+  test("timeProximityPairs rejects non-integral id columns instead of null-casting") {
+    val pts = Seq(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:00:01")))
+      .toDF("id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Joins.timeProximityPairs(pts, "id", "ts", 60000000L)
+    }
+    e.getMessage should include("integral id column")
+    // the documented escape hatch: hash the ids upstream
+    val hashed = pts.withColumn("hid", xxhash64(col("id")))
+    Joins.timeProximityPairs(hashed, "hid", "ts", 60000000L).count() shouldBe 1L
+  }
 }
