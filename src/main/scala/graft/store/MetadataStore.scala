@@ -316,6 +316,73 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     writeDelta(normalized.reverse.distinctBy(_.id).reverse, "upsert")
   }
 
+  /** Distributed batch upsert — the Dataset counterpart of
+    * [[upsertAll(entries:Seq[graft\.model\.MetadataEntry])*]]: default
+    * creationTime, dedupe to one row per id, validate, and land the whole
+    * batch as ONE delta segment + ONE pointer swap, entirely executor-side.
+    * Rows never pass through the driver — the requirement of the streaming
+    * ingest path ([[graft.streaming.EventStream.streamIngestToStore]]),
+    * where a micro-batch may be event-scale while only its net change set
+    * should cost anything.
+    *
+    * Validation rides the write job as an `observe()` audit checked AFTER
+    * the stage write but BEFORE the staged segment can publish: any invalid
+    * row aborts the commit (the staging directory is discarded — readers
+    * can never observe it) and throws, preserving the Seq overload's
+    * all-or-nothing contract without a second scan of the batch. Per-row
+    * error isolation is [[bulkLoad]]'s contract, not this one's.
+    *
+    * Duplicate ids within the batch resolve deterministically — newest
+    * creationTime wins, ties broken by content hash. A caller holding a true
+    * arrival order should pre-reduce to its own latest-per-id (as the
+    * streaming ingest's `netEntries` contract requires); the store-side
+    * dedupe is the deterministic safety net that keeps one version per id
+    * per segment (within a segment rows share `_version`, so resolve could
+    * not break the tie later).
+    */
+  def upsertAll(batch: Dataset[MetadataEntry]): Unit = this.synchronized {
+    val now = clock()
+    val latestFirst = Window.partitionBy(col("id")).orderBy(
+      col("creationTime").desc,
+      xxhash64(struct(entryCols.map(col): _*)).desc)
+    val audit = org.apache.spark.sql.Observation(
+      s"graft-upsert-audit-${java.util.UUID.randomUUID.toString.take(8)}")
+    val deduped = batch.toDF()
+      .withColumn("creationTime", coalesce(col("creationTime"), lit(now)))
+      .withColumn("_rn", row_number().over(latestFirst))
+      .where(col("_rn") === 1).drop("_rn")
+      .observe(audit,
+        sum(when(!Validation.validColumn, 1L).otherwise(0L)).as("invalid"),
+        count(lit(1)).as("rows"))
+    var committed = false
+    while (!committed) {
+      val v = nextVersion
+      val staging = root.resolve(
+        s".staging-delta-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+      deduped.withColumn(VersionCol, lit(v)).withColumn(OpCol, lit("upsert"))
+        .write.mode("overwrite").parquet(staging.toString)
+      // Observation latches the FIRST action's metrics — validity and count
+      // are content-based, so a CAS-retry re-write needs no re-audit. `get`
+      // blocks until the (already-finished) write's metrics are delivered.
+      val metrics = audit.get
+      def metricLong(name: String): Long = metrics.get(name) match {
+        case Some(n: Number) => n.longValue // sum over an empty batch is null
+        case _ => 0L
+      }
+      val invalid = metricLong("invalid")
+      val rows = metricLong("rows")
+      if (invalid > 0) {
+        graft.util.FsUtil.deleteRecursively(staging)
+        throw new IllegalArgumentException(
+          s"upsertAll batch rejected: $invalid invalid entr${if (invalid == 1) "y" else "ies"} " +
+            "(required fields empty, negative counts, or malformed targetUri) — nothing committed")
+      }
+      if (rows == 0L) { graft.util.FsUtil.deleteRecursively(staging); return }
+      committed = claimAndCommit(staging, "delta", v)
+      if (!committed) graft.util.FsUtil.deleteRecursively(staging)
+    }
+  }
+
   /** S4 partial update: replace a subset of fields on one entry; update keys
     * must be ⊆ schema (reference: metadata_entry.py:216-274, subset check
     * :239-241). Returns false when the id does not exist (404).

@@ -209,6 +209,74 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.get(Fixtures.corpus(2).id).get.title shouldBe "batch-wins"
   }
 
+  test("dataset upsertAll: one executor-side delta; newest creationTime wins duplicates; clock default applies") {
+    val st = freshStore()
+    val older = Fixtures.corpus(2).copy(title = "older",
+      creationTime = Timestamp.valueOf("2019-01-01 00:00:00"))
+    val newer = Fixtures.corpus(2).copy(title = "newer",
+      creationTime = Timestamp.valueOf("2019-06-01 00:00:00"))
+    val noClock = Fixtures.corpus(3).copy(creationTime = null)
+    // dataset order carries no meaning — newest creationTime must win in
+    // either arrangement
+    st.upsertAll(spark.createDataset(Seq(newer, Fixtures.corpus(0), older, noClock)))
+    st.versionHistory() shouldBe Seq(MetadataStore.VersionEvent(1L, "delta"))
+    st.current.count() shouldBe 3
+    st.get(Fixtures.corpus(2).id).get.title shouldBe "newer"
+    st.get(Fixtures.corpus(3).id).get.creationTime shouldBe fixedClock()
+  }
+
+  test("dataset upsertAll: an invalid row aborts the whole batch before anything commits") {
+    val dir = Files.createTempDirectory("graft-store-dsinv")
+    val st = new MetadataStore(spark, dir.toString, fixedClock)
+    val bad = Fixtures.corpus(1).copy(targetUri = "some_path") // reference-invalid shape
+    val e = intercept[IllegalArgumentException] {
+      st.upsertAll(spark.createDataset(Seq(Fixtures.corpus(0), bad)))
+    }
+    e.getMessage should include("nothing committed")
+    st.current.count() shouldBe 0
+    st.versionHistory() shouldBe empty
+    // the staged segment was discarded — no segment or staging debris remains
+    // (the abort happens before the commit lock, so at most LOCK may exist)
+    graft.util.FsUtil.listDir(dir)(_.map(_.getFileName.toString).toSet -- Set("LOCK")) shouldBe empty
+  }
+
+  test("dataset upsertAll: empty batch is a no-op (no version burned, no segment)") {
+    val st = freshStore()
+    st.upsertAll(spark.emptyDataset[graft.model.MetadataEntry])
+    st.versionHistory() shouldBe empty
+    st.upsert(e0) shouldBe true
+    st.versionHistory() shouldBe Seq(MetadataStore.VersionEvent(1L, "delta"))
+  }
+
+  test("dataset upsertAll never materializes the batch on the driver: the only action is the write") {
+    val st = freshStore()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        seen.add(funcName); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      st.upsertAll(spark.createDataset(Fixtures.corpus))
+      // the listener bus is async — wait for the write's event to land
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val funcs = seen.asScala.toSeq
+    funcs should not be empty
+    // a driver-side path would surface as a row-returning action
+    // ("collect"/"collectAsList"/"take"/"head"); the distributed path is a
+    // single write command
+    funcs.foreach(f => Seq("collect", "collectAsList", "take", "head", "toLocalIterator")
+      should not contain f)
+    st.current.count() shouldBe Fixtures.corpus.size.toLong
+  }
+
   test("optimistic concurrency: two instances on one root, racing commits — none lost") {
     val dir = Files.createTempDirectory("graft-store-cc").toString
     val a = new MetadataStore(spark, dir, fixedClock)
