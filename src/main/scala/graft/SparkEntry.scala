@@ -307,6 +307,23 @@ object SparkEntry {
         .orderBy(col("score").desc, col("id"))
     }),
 
+    // Q5 TF·IDF: q4's IDF weighting with SUBLINEAR term frequency
+    // (ln(1+tf)·idf — ES 2.1 default-similarity ordering on repeated
+    // terms). TPC-H p_name draws 5 DISTINCT colors, so tf would be 0/1
+    // everywhere; docs with id % 5 == 0 get their dataSample doubled (both
+    // engines derive the same corpus) and must order ABOVE single-match
+    // docs — the ordering TF exists to produce, pinned by the oracle
+    "q5_tf_score" -> ((s, d) => {
+      val meta = Corpus.metadata(s, d).withColumn("dataSample",
+        when(col("id").cast("int") % 5 === 0,
+          concat(col("dataSample"), lit(" "), col("dataSample")))
+          .otherwise(col("dataSample")))
+      val (n, dfs) = QueryCompiler.idfWeights(meta, Seq("red", "widget"))
+      meta.withColumn("score", round(QueryCompiler.scoreColumnTfIdf("red widget", n, dfs), 6))
+        .where(col("score") > 0).select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+
     // X1 DSL parser: malformed JSON → InvalidQuery
     "x1_dsl_error" -> ((s, d) => {
       import s.implicits._
@@ -1225,6 +1242,20 @@ object SparkEntry {
           s"/ (${idf("red")} + ${idf("widget")}) * 2.0 + " +
           s"(list_contains(${uriToks("sourceUri")}, 'red')::INT + list_contains(${uriToks("sourceUri")}, 'widget')::INT) / 2.0 * 1.0" +
           ", 6) AS score FROM meta, nd) WHERE score > 0 ORDER BY score DESC, id"
+      },
+      "q5_tf_score" -> {
+        def m(t: String) = s"list_contains(${stdToks("dataSample")}, '$t')"
+        def tf(t: String) = s"ln(1 + len(list_filter(${stdToks("dataSample")}, x -> x = '$t')))"
+        def idf(t: String) = s"ln(1 + n / (1 + df_$t))"
+        M + ", meta5 AS (SELECT id, CASE WHEN cast(id AS INT) % 5 = 0 THEN dataSample || ' ' || dataSample ELSE dataSample END AS dataSample, title, sourceUri FROM meta)" +
+          ", nd AS (SELECT count(*)::DOUBLE AS n, " +
+          s"sum(CASE WHEN ${m("red")} THEN 1 ELSE 0 END)::DOUBLE AS df_red, " +
+          s"sum(CASE WHEN ${m("widget")} THEN 1 ELSE 0 END)::DOUBLE AS df_widget FROM meta5) " +
+          "SELECT id, score FROM (SELECT id, round(" +
+          "CASE WHEN contains(lower(title), 'red widget') THEN 3.0 ELSE 0.0 END + " +
+          s"(${tf("red")} * ${idf("red")} + ${tf("widget")} * ${idf("widget")}) / (${idf("red")} + ${idf("widget")}) * 2.0 + " +
+          s"(list_contains(${uriToks("sourceUri")}, 'red')::INT + list_contains(${uriToks("sourceUri")}, 'widget')::INT) / 2.0 * 1.0" +
+          ", 6) AS score FROM meta5, nd) WHERE score > 0 ORDER BY score DESC, id"
       },
       "x1_dsl_error" -> "SELECT 'InvalidQuery' AS error",
       "q1_text_score" ->

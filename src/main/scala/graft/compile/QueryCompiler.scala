@@ -300,4 +300,45 @@ object QueryCompiler {
         .cast("double") / qUri.size * UriBoost
     titleHit + sample + uri
   }
+
+  // --------------------------------------------------- M6b: TF·IDF score
+
+  /** Q5: full TF·IDF dataSample scoring — [[scoreColumnIdf]]'s IDF weighting
+    * with SUBLINEAR term frequency: a document matching a query term k times
+    * contributes ln(1+k)·idf(t) instead of the boolean idf(t), so
+    * repeated-term documents order first — the last piece of ES 2.1
+    * default-similarity ordering fidelity (ES scores `match` clauses with
+    * TF·IDF, reference: query_translation.py:141-148; Lucene's
+    * ClassicSimilarity uses sqrt(tf) — ln(1+k) keeps the same sublinear
+    * monotone ordering on a grid both engines compute bit-stably).
+    *
+    * sampleScore = Σ_t ln(1+tf_t)·idf(t) / Σ_t idf(t) · SampleBoost, with
+    * tf_t the count of t in the analyzed dataSample tokens (a codegen'd
+    * `filter` HOF over the same token array — no second tokenize, no UDF).
+    * Title/uri clauses keep their Q1 shape; the IDF snapshot rides in as
+    * literals exactly as in [[scoreColumnIdf]], so the plan stays a narrow
+    * projection over the scan.
+    */
+  def scoreColumnTfIdf(rawQuery: String, nDocs: Long, dfs: Map[String, Long]): Column = {
+    val qLower = rawQuery.toLowerCase
+    val qStd = Analyzers.standardTokensScala(rawQuery).distinct
+    val qUri = Analyzers.uriTokensScala(rawQuery).distinct
+    val titleHit = when(lower(col("title")).contains(qLower), TitleBoost).otherwise(0.0)
+    val sample =
+      if (qStd.isEmpty) lit(0.0)
+      else {
+        val idf = qStd.map(t =>
+          t -> math.log(1.0 + nDocs.toDouble / (1.0 + dfs.getOrElse(t, 0L).toDouble)))
+        val sumIdf = idf.map(_._2).sum
+        val toks = Analyzers.standardTokens(col("dataSample"))
+        idf.map { case (t, w) =>
+          log(lit(1.0) + size(filter(toks, _ === t)).cast("double")) * w
+        }.reduce(_ + _) / sumIdf * SampleBoost
+      }
+    val uri =
+      if (qUri.isEmpty) lit(0.0)
+      else size(array_intersect(Analyzers.uriTokens(col("sourceUri")), lit(qUri.toArray)))
+        .cast("double") / qUri.size * UriBoost
+    titleHit + sample + uri
+  }
 }

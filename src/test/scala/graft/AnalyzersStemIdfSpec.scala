@@ -62,4 +62,29 @@ class AnalyzersStemIdfSpec extends AnyFunSuite with Matchers with SparkSupport {
       .select("id", "score").orderBy("id").as[(String, Double)].collect().toSeq
     one shouldBe many
   }
+
+  test("TF·IDF scoring: repeated-term docs outrank single-match docs; IDF ordering preserved") {
+    // 'rare' df=2, 'common' df=8; doc 001 matches rare ONCE, doc 002 matches
+    // rare THREE times — q4's boolean IDF scores them equal, TF must not
+    val docs = (1 to 10).map { i =>
+      val sample =
+        if (i == 1) "rare words here"
+        else if (i == 2) "rare rare rare words"
+        else if (i <= 9) "common words here" else "nothing at all"
+      (f"$i%03d", sample)
+    }.toDF("id", "dataSample")
+      .withColumn("title", lit("t")).withColumn("sourceUri", lit("http://x.org/y"))
+    val (n, dfs) = QueryCompiler.idfWeights(docs, Seq("rare", "common"))
+    val tfidf = docs.withColumn("score", QueryCompiler.scoreColumnTfIdf("rare common", n, dfs))
+      .select($"id", $"score").as[(String, Double)].collect().toMap
+    val boolIdf = docs.withColumn("score", QueryCompiler.scoreColumnIdf("rare common", n, dfs))
+      .select($"id", $"score").as[(String, Double)].collect().toMap
+    boolIdf("002") shouldBe boolIdf("001") // the gap q5 exists to close
+    tfidf("002") should be > tfidf("001")  // ln(1+3)·idf > ln(1+1)·idf
+    tfidf("001") should be > tfidf("003")  // rare still beats common (IDF kept)
+    tfidf("010") shouldBe 0.0
+    // at tf == 1 everywhere the two scores agree up to the ln(2) tf factor's
+    // effect — sanity: single-match doc score is ln(2)·idf-scaled, positive
+    tfidf("003") should be > 0.0
+  }
 }
