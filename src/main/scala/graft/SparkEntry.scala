@@ -198,6 +198,21 @@ object SparkEntry {
         when(col("doc_id") % 2 === 0, lit("copyright example corp all rights reserved")))
         .as("text"))
 
+  /** documents with a shared 12-token boilerplate tail appended to every
+    * 7th doc — the d10 planted corpus. The tail's five interior 8-token
+    * windows repeat across ~n/7 documents (occurrence count far above the
+    * ≥2 cut) while windows straddling the splice point carry doc-specific
+    * prefix tokens, so each planted doc reports a maximal span covering at
+    * least the tail; any ORGANIC ≥8-token corpus repeats are legitimate
+    * output too — the oracle runs the identical pipeline, so the full
+    * span set is closed-form at every SF.
+    */
+  private def plantedSpanDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" the quick brown fox jumps over the lazy dog again and again")))
+        .otherwise(col("text")).as("text"))
+
   /** Embeddings plus a planted 10-deep neighborhood per query vector — the
     * v2 oracle geometry. Each query q (vec_id < 5) gets copies at
     * q*100+j+200000 (j = 1..10) with dim 0 shifted by j/256 (exact in
@@ -676,6 +691,15 @@ object SparkEntry {
           all.where(col("doc_id") >= 300000L), threshold = 0.6)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
+
+    // Dedup: exact-substring repeated spans (the Lee-et-al suffix-array
+    // tier re-expressed as positioned 8-shingle postings + island merge).
+    // Every 7th doc carries the planted 12-token boilerplate tail whose
+    // interior windows repeat corpus-wide; the oracle runs the identical
+    // pipeline so organic repeats match too
+    "d10_repeated_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(plantedSpanDocs(s, d), k = 8)
+        .orderBy("doc_id", "start_tok")),
 
     // Dedup: fuzzy survivors after collapsing Jaccard near-dup groups
     "d5_fuzzy_survivors" -> ((s, d) =>
@@ -1463,6 +1487,22 @@ object SparkEntry {
         (TruncDocsCte + JaccardChain +
           "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.6 " +
           "AND a_id < 300000 AND b_id >= 300000 ORDER BY a_id, b_id"),
+      // d10: the planted-tail corpus rebuilt in SQL, then the identical
+      // positioned-8-shingle → occurrence≥2 → gaps-and-islands pipeline
+      // (parallel unnests zip positions with window strings; range(1, x)
+      // is empty for docs shorter than 8 tokens in both engines)
+      "d10_repeated_spans" ->
+        ("WITH spand AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || " +
+          "' the quick brown fox jumps over the lazy dog again and again' ELSE text END AS text FROM documents), " +
+          s"toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM spand), " +
+          "pos AS (SELECT doc_id, unnest(range(1, len(t) - 6)) - 1 AS p, " +
+          "unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS s FROM toks), " +
+          "rep AS (SELECT s FROM pos GROUP BY s HAVING count(*) >= 2), " +
+          "hit AS (SELECT p.doc_id, p.p FROM pos p JOIN rep r USING (s)), " +
+          "isl AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g FROM hit) " +
+          "SELECT doc_id, min(p) AS start_tok, max(p) + 7 AS end_tok, " +
+          "(max(p) - min(p) + 8)::BIGINT AS n_tokens FROM isl GROUP BY doc_id, g " +
+          "ORDER BY doc_id, start_tok"),
       // d4: SimHash is order-free, so every planted token-reversed copy
       // pairs with its source at Hamming 0, deterministically — the planted
       // window is the closed-form answer at any SF (see plantedPermDocs)

@@ -428,4 +428,49 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         md5(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
   }
+
+  // ----------------------------------------------- exact-substring (spans)
+
+  /** Exact-substring dedup — the remaining standard tier (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): maximal spans of ≥ k consecutive tokens whose every
+    * k-token window occurs MORE THAN ONCE in the corpus, counting
+    * multiplicity (a within-document repeat counts — the paper's criterion
+    * is "the substring appears again anywhere"). The paper builds a
+    * corpus-wide suffix array; this is the shuffle-first re-expression:
+    * POSITIONED k-shingle postings key one hash shuffle on the shingle
+    * (df ≥ 2 postings are exactly the positions inside some repeated
+    * ≥k-token substring), and surviving positions merge per document into
+    * maximal spans with a gaps-and-islands window — no suffix structure,
+    * same span set. Output `(doc_id, start_tok, end_tok, n_tokens)`,
+    * 0-based inclusive token positions; every span has n_tokens ≥ k.
+    *
+    * What a caller does with the spans (remove all-but-one occurrence, flag
+    * documents, count duplicated tokens) is policy; this operator is the
+    * detection pass the policies share.
+    *
+    * At 100 TB: the occurrence count is a map-side-combining aggregate
+    * keyed on the shingle (only counts cross the shuffle — stop-shingle
+    * skew compresses map-side); the position-mark join re-shuffles postings
+    * once on the same key with AQE splitting residual skew; the island
+    * merge shuffles only SURVIVING positions keyed by doc_id — O(repeated
+    * positions), not O(corpus). Nothing is all-pairs and nothing driver-side.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"span window k must be >= 2, got $k")
+    val pos = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .repartition(col("doc_id")) // materialize tokens before the per-position lambda
+      .select(col("doc_id"), posexplode(TextAnalysis.ngrams(col("t"), k)).as(Seq("p", "s")))
+    val repeated = pos.groupBy("s").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("s")
+    val hits = pos.join(repeated, "s").select(col("doc_id"), col("p"))
+    val island = col("p") - row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("p")))
+    hits.withColumn("g", island)
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("start_tok"),
+        (max(col("p")) + lit(k - 1)).as("end_tok"),
+        (max(col("p")) - min(col("p")) + lit(k)).cast("long").as("n_tokens"))
+      .drop("g")
+  }
 }

@@ -123,6 +123,41 @@ class DedupPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
     strict.subsetOf(loose) shouldBe true
   }
 
+  test("repeatedSpans: hand-computed spans — cross-doc, within-doc, island merge, short-doc exclusion") {
+    // k=3 windows. Docs 1 and 2 share tokens "c d e f g": doc-1 windows at
+    // positions 2,3,4 repeat in doc 2 (positions 0,1,2) → one merged island
+    // per doc, a 5-token span each. Doc 3 repeats "x y z" WITHIN itself:
+    // only the "x y z" window repeats (positions 0 and 3; "y z x"/"z x y"
+    // occur once each), so the hit positions are non-adjacent → two
+    // separate 3-token spans. Doc 4 is shorter than k → no windows, absent.
+    val docs = Seq(
+      (1L, "a b c d e f g"),        // tokens 0..6
+      (2L, "c d e f g h i"),        // shares c d e f g
+      (3L, "x y z x y z"),          // within-doc repeat of "x y z"
+      (4L, "p q")                   // too short
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, k = 3)
+      .orderBy("doc_id", "start_tok")
+      .select("doc_id", "start_tok", "end_tok", "n_tokens")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    spans shouldBe Seq(
+      (1L, 2, 6, 5L),  // "c d e f g"
+      (2L, 0, 4, 5L),  // same substring at its own positions
+      (3L, 0, 2, 3L),  // first "x y z"
+      (3L, 3, 5, 3L)   // second "x y z" — positions 0 and 3 aren't adjacent, so two islands
+    )
+  }
+
+  test("repeatedSpans: adjacent repeated windows merge into one maximal span") {
+    // both docs identical, 6 tokens, k=3 → windows at 0..3 all repeat →
+    // ONE island covering the whole doc, not four 3-token spans
+    val docs = Seq((1L, "m n o p q r"), (2L, "m n o p q r")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, k = 3)
+      .select("doc_id", "start_tok", "end_tok", "n_tokens")
+      .orderBy("doc_id").as[(Long, Int, Int, Long)].collect().toSeq
+    spans shouldBe Seq((1L, 0, 5, 6L), (2L, 0, 5, 6L))
+  }
+
   test("property: exact dedup output ids are minimal per hash and cover all distinct texts") {
     val d = corpus(31)
     val out = Dedup.exact(d).select("doc_id", "content_hash")
