@@ -777,6 +777,25 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity: INCREMENTAL IVF maintenance — index the organic corpus,
+    // freeze the codebook, then append the planted batch against it (the
+    // live-ingest path: assignment is a pure per-row function, so append ≡
+    // rebuild, spec-pinned). The exact top-10 per query is entirely in the
+    // appended batch, so the oracle holds recall THROUGH the append
+    "v8_ivf_append" -> ((s, d) => {
+      val all = plantedTopKEmb(s, d)
+      val base = all.where(col("vec_id") < 200000L)
+      val batch = all.where(col("vec_id") >= 200000L)
+      val cents = Similarity.ivfCentroids(base, 32)
+      val dir = scratch("v8-ivfidx")
+      Similarity.ivfIndex(base, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+      Similarity.ivfAppend(batch, cents, dir)
+      Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
+          emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
+
     "v6_ivf_partial" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTopK(plantedTopKEmb(s, d), e.where(col("vec_id") < 5), 10,
@@ -1537,6 +1556,10 @@ object SparkEntry {
       "v2_lsh_topk" -> plantedTopkSql,
       "v6_ivf_partial" -> plantedTopkSql,
       "v7_ivf_indexed" -> plantedTopkSql,
+      // v8: append ≡ rebuild (pure per-row assignment), so the incremental
+      // index must recall the same exact top-10 — every true neighbor
+      // arrived via the APPEND, making recall-through-append the gate
+      "v8_ivf_append" -> plantedTopkSql,
       "v3_embedding_neardup" ->
         (PlantedPairCte + "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
       // v5: CC collapse over the exact planted pair graph (star shapes, but

@@ -170,6 +170,30 @@ object Similarity {
       element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
         .as("cell"))
 
+  /** Incremental IVF index maintenance: assign a NEW batch of vectors
+    * against the index's FROZEN codebook and append the rows to the
+    * existing cell-partitioned layout — the ingest path of a live ANN
+    * index (re-clustering on every arrival would invalidate persisted cell
+    * directories; production IVF systems freeze the coarse quantizer and
+    * re-train offline when drift warrants a rebuild).
+    *
+    * Equivalence guarantee: the appended index is ROW-IDENTICAL to a full
+    * [[ivfIndex]] rebuild over base ∪ batch with the same codebook,
+    * because cell assignment is a pure per-row function of
+    * (embedding, codebook) — no state, no cross-row dependence. Probe
+    * results over the appended index therefore equal the rebuilt index's
+    * exactly (spec-pinned, and the v8 oracle holds the composed search to
+    * the exact-cosine answer). Appended files land INSIDE the existing
+    * `cell=` directories, so partition-directory pruning keeps working
+    * unchanged.
+    *
+    * At 100 TB: the append touches only the new batch (one narrow
+    * assignment map + one partitioned write) — the existing index is never
+    * read, rewritten, or shuffled.
+    */
+  def ivfAppend(batch: DataFrame, cents: Seq[Seq[Float]], indexDir: String): Unit =
+    ivfIndex(batch, cents).write.mode("append").partitionBy("cell").parquet(indexDir)
+
   /** Query an ALREADY-indexed corpus ([[ivfIndex]], typically read back
     * from its cell-partitioned parquet): cell assignments and norms are
     * never recomputed — the index contributes persisted columns only, and

@@ -299,6 +299,29 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("ivf append against the frozen codebook equals a full rebuild — index rows and probe results") {
+    val base = embDf.where($"vec_id" < 20)
+    val batch = embDf.where($"vec_id" >= 20)
+    val cents = Similarity.ivfCentroids(base, 8) // codebook frozen at index build
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString + "/idx"
+    Similarity.ivfIndex(base, cents).write.partitionBy("cell").parquet(dir)
+    Similarity.ivfAppend(batch, cents, dir)
+    val appended = spark.read.parquet(dir)
+    // row-identical to rebuilding over the union with the same codebook
+    val rebuilt = Similarity.ivfIndex(embDf, cents)
+    appended.select("vec_id", "cell").orderBy("vec_id").collect().toSeq shouldBe
+      rebuilt.select("vec_id", "cell").orderBy("vec_id").collect().toSeq
+    // probe results equal the rebuilt index's at partial and full probe
+    val q = embDf.where($"vec_id" < 3)
+    for (nprobe <- Seq(2, 8)) {
+      val viaAppend = Similarity.ivfTopKIndexed(appended, cents, q, 5, nprobe)
+        .orderBy("q_id", "rank").collect().toSeq
+      val viaRebuild = Similarity.ivfTopKIndexed(rebuilt, cents, q, 5, nprobe)
+        .orderBy("q_id", "rank").collect().toSeq
+      viaAppend shouldBe viaRebuild
+    }
+  }
+
   test("embedding near-dup pairs: parallel pair found, orthogonal not") {
     val pairs = Similarity.cosineNearDupPairs(embDf)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
