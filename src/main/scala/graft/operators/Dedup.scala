@@ -349,8 +349,13 @@ object Dedup {
     * large-star/small-star MapReduce CC algorithm; near-dup graphs are
     * shallow (dups of a doc are dups of each other), so the loop terminates
     * in a handful of rounds. Convergence detection is one cheap scalar
-    * aggregate: labels only ever decrease, so an unchanged sum means a
-    * fixpoint, no join-and-diff needed.
+    * aggregate per round: the PREVIOUS label rides through the round's
+    * aggregate (each node has exactly one original row in the merge union,
+    * so `max(_old)` recovers it for free), and the round counts nodes whose
+    * label changed — `changed == 0` is a true fixpoint. A label-SUM
+    * comparison would be the same cost but could alias two states through
+    * Long-overflow wraparound at extreme id scales; the changed-count is
+    * bounded by the node count and cannot.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20,
                   cut: DataFrame => DataFrame = graft.util.LineageCut.cut): DataFrame = {
@@ -359,22 +364,22 @@ object Dedup {
       .repartition(col("u")))
     var labels = cut(e.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl")))
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("lbl")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
-    var prev = labelSum(labels)
-    var converged = prev == 0L // empty pair graph: nothing to iterate
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbr = e.join(labels.select(col("u").as("_v"), col("lbl")), col("v") === col("_v"))
-        .select(col("u"), col("lbl"))
-      val merged = labels.unionByName(nbr).groupBy("u").agg(min("lbl").as("lbl"))
+        .select(col("u"), col("lbl"), lit(null).cast("long").as("_old"))
+      val tagged = labels.select(col("u"), col("lbl"), col("lbl").as("_old"))
+      val merged = tagged.unionByName(nbr).groupBy("u")
+        .agg(min("lbl").as("lbl"), max("_old").as("_old"))
       val jump = merged.select(col("u").as("_ju"), col("lbl").as("_jl"))
       val next = cut(merged.join(jump, col("lbl") === col("_ju"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("_jl"), col("lbl"))).as("lbl")))
-      val cur = labelSum(next)
-      converged = cur == prev
-      prev = cur
-      labels = next
+        .select(col("u"), least(col("lbl"), coalesce(col("_jl"), col("lbl"))).as("lbl"),
+          col("_old")))
+      val changed = Option(next.agg(sum(when(col("lbl") =!= col("_old"), 1L))).head().get(0))
+        .fold(0L)(_.asInstanceOf[Long]) // null = empty graph: already converged
+      converged = changed == 0L
+      labels = next.drop("_old")
       iter += 1
     }
     docs.select(col("doc_id"))

@@ -171,6 +171,22 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out.filter(_._3).map(_._1).toSeq shouldBe Seq(0L)
   }
 
+  test("dup clusters: extreme id magnitudes converge correctly (overflow-proof changed-count fixpoint)") {
+    // ids adjacent to Long.MaxValue: any label-SUM bookkeeping is deep in
+    // wraparound territory here; the changed-count fixpoint must not care
+    val top = Long.MaxValue
+    val ids = Seq(top - 1, top - 2, top - 3, top - 4, 5L)
+    val docs = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((top - 1, top - 2), (top - 2, top - 3)).toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(docs, pairs)
+      .select("doc_id", "cluster_rep").as[(Long, Long)].collect().toMap
+    out(top - 1) shouldBe top - 3
+    out(top - 2) shouldBe top - 3
+    out(top - 3) shouldBe top - 3
+    out(top - 4) shouldBe top - 4 // isolated
+    out(5L) shouldBe 5L
+  }
+
   test("repetition score: repeated bigrams dominate, distinct text scores low, short docs zero") {
     val df = Seq(
       (0L, "spam spam spam spam spam"), // 4 bigrams, all "spam spam" → top 1.0, dup 0.75
