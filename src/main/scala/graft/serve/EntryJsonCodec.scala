@@ -32,4 +32,15 @@ private[serve] object EntryJsonCodec {
     e.storeType.foreach(n.put("storeType", _))
     n
   }
+
+  /** The ES `_source` shape: the indexed document body alone — the entry's
+    * fields WITHOUT the id, which in the reference lives outside the source
+    * as the ES `_id` (metadata_entry.py:169-176 indexes the body under the
+    * path id; the Cerberus schema has no id field).
+    */
+  def sourceJson(e: MetadataEntry): ObjectNode = {
+    val n = entryJson(e)
+    n.remove("id")
+    n
+  }
 }

@@ -34,8 +34,9 @@ import scala.jdk.CollectionConverters._
   * stored orgUUID after the 404 existence check (:191-198, :234-235).
   * Status taxonomy: 201 created / 200 updated (:178-181), 400 invalid entry
   * or DSL or unknown update field, 404 absent id, 405 unknown verb.
-  * Deviation noted: entry GET returns the entry object itself rather than
-  * the reference's raw ES envelope (`_source` + `_id`), and error bodies are
+  * Entry GET defaults to the flat entry object; `?envelope=es` returns the
+  * reference's raw ES get-envelope (`_source` + `_id`,
+  * metadata_entry.py:138-141). Remaining deviation: error bodies are
   * `{"message": …}`.
   */
 final class HttpCatalog(service: CatalogService,
@@ -158,7 +159,15 @@ final class HttpCatalog(service: CatalogService,
         case Some(e) =>
           if (!acl.isAdmin && !acl.orgUuidList.contains(e.orgUUID) && !e.isPublic)
             respondError(ex, 403, "Forbidden access to the resource")
-          else respondJson(ex, 200, entryJson(e))
+          else {
+            // ?envelope=es: the reference returns the raw ES get() response
+            // verbatim (metadata_entry.py:138-141) — `_source` is the
+            // indexed body, the id travels outside it as `_id`. Default
+            // stays the flat entry object (the shape every other route and
+            // the cascade clients speak).
+            val es = queryParams(ex).get("envelope").contains("es")
+            respondJson(ex, 200, if (es) esGetEnvelope(e) else entryJson(e))
+          }
       }
     case "PUT" =>
       val n = body.getOrElse(throw new IllegalArgumentException("entry body required"))
@@ -202,6 +211,21 @@ final class HttpCatalog(service: CatalogService,
   // ----------------------------------------------------------- marshalling
 
   private def entryJson(e: MetadataEntry): ObjectNode = EntryJsonCodec.entryJson(e)
+
+  /** Raw ES get-envelope (reference: metadata_entry.py:138-141 returns the
+    * client's response verbatim; index/type names configuration.py:88-90).
+    * `_version` is omitted: the versioned store tracks table versions, not
+    * per-document ones, and inventing a number would be worse than absence.
+    */
+  private def esGetEnvelope(e: MetadataEntry): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("_index", "trustedanalytics-meta")
+    n.put("_type", "dataset")
+    n.put("_id", e.id)
+    n.put("found", true)
+    n.set("_source", EntryJsonCodec.sourceJson(e))
+    n
+  }
 
   private def searchJson(r: SearchResult): ObjectNode = {
     val n = mapper.createObjectNode()
@@ -272,13 +296,91 @@ final class HttpCatalog(service: CatalogService,
     else if (params.get("onlyPublic").exists(_.equalsIgnoreCase("true"))) DataSetFiltering.OnlyPublic
     else DataSetFiltering.Both
 
+  /** Swagger 2.0 contract document (reference: api_doc.json at the repo
+    * root, served by the route exempted at app.py:147). Same top-level
+    * keys, path set, verb set, and definition names as the reference's
+    * contract — generated from this server's actual routes rather than
+    * shipped as a static file, so it cannot drift from the code.
+    */
   private def apiDocs(): ObjectNode = {
     val n = mapper.createObjectNode()
-    n.put("basePath", basePath)
-    val paths = n.putArray("paths")
-    Seq(s"GET $basePath", s"GET $basePath/count", s"GET $basePath/{id}",
-      s"PUT $basePath/{id}", s"POST $basePath/{id}", s"DELETE $basePath/{id}")
-      .foreach(paths.add)
+    n.put("swagger", "2.0")
+    n.putArray("produces").add("application/json")
+    n.putArray("consumes").add("application/json")
+    val info = n.putObject("info")
+    info.put("version", "0.5.8")
+    info.put("title", "Data Catalog API")
+    info.put("description", "Search, retrieval and storage of data-set metadata.")
+    n.put("basePath", "/")
+    n.putArray("tags").add(mapper.createObjectNode().put("name", "rest/datasets"))
+    n.putObject("responses")
+
+    def op(parent: ObjectNode, verb: String, desc: String,
+           codes: Seq[(Int, String)], params: Seq[(String, String, String)]): Unit = {
+      val o = parent.putObject(verb)
+      o.put("description", desc)
+      val rs = o.putObject("responses")
+      codes.foreach { case (c, d) => rs.putObject(c.toString).put("description", d) }
+      if (params.nonEmpty) {
+        val ps = o.putArray("parameters")
+        params.foreach { case (name, in, typ) =>
+          val p = mapper.createObjectNode()
+          p.put("name", name); p.put("in", in); p.put("type", typ)
+          p.put("required", in == "path")
+          ps.add(p)
+        }
+      }
+    }
+
+    val paths = n.putObject("paths")
+    val search = paths.putObject(basePath)
+    op(search, "get", "Search data sets.",
+      Seq(200 -> "Result queries returned.", 400 -> "Invalid or malformed query.",
+        500 -> "Internal error."),
+      Seq(("query", "query", "string"), ("orgs", "query", "string"),
+        ("onlyPublic", "query", "boolean"), ("onlyPrivate", "query", "boolean")))
+    val count = paths.putObject(s"$basePath/count")
+    op(count, "get", "Count data sets visible to the caller.",
+      Seq(200 -> "Count returned.", 500 -> "Internal error."),
+      Seq(("orgs", "query", "string"), ("onlyPublic", "query", "boolean"),
+        ("onlyPrivate", "query", "boolean")))
+    val entry = paths.putObject(s"$basePath/{entry_id}")
+    op(entry, "get", "Get a metadata entry by id.",
+      Seq(200 -> "Entry returned.", 403 -> "Forbidden access to the resource.",
+        404 -> "Entry not found."),
+      Seq(("entry_id", "path", "string"), ("envelope", "query", "string")))
+    op(entry, "put", "Insert or replace a metadata entry.",
+      Seq(201 -> "Entry created.", 200 -> "Entry updated.", 400 -> "Invalid entry."),
+      Seq(("entry_id", "path", "string")))
+    op(entry, "post", "Partially update a metadata entry.",
+      Seq(200 -> "Entry updated.", 400 -> "Unknown update field.", 404 -> "Entry not found."),
+      Seq(("entry_id", "path", "string")))
+    op(entry, "delete", "Delete a metadata entry (cascading).",
+      Seq(200 -> "Entry deleted.", 404 -> "Entry not found."),
+      Seq(("entry_id", "path", "string")))
+
+    val defs = n.putObject("definitions")
+    def definition(name: String, fields: Seq[(String, String)]): Unit = {
+      val d = defs.putObject(name)
+      d.put("type", "object")
+      val props = d.putObject("properties")
+      fields.foreach { case (f, t) => props.putObject(f).put("type", t) }
+    }
+    val entryFields = Seq("category" -> "string", "creationTime" -> "string",
+      "dataSample" -> "string", "format" -> "string", "isPublic" -> "boolean",
+      "orgUUID" -> "string", "recordCount" -> "integer", "size" -> "integer",
+      "sourceUri" -> "string", "targetUri" -> "string", "title" -> "string")
+    definition("InputMetadataEntry", entryFields)
+    definition("InputMetadataEntryWithID", entryFields :+ ("id" -> "string"))
+    definition("QueryHit", entryFields :+ ("id" -> "string"))
+    val sh = defs.putObject("SearchHits")
+    sh.put("type", "object")
+    val shp = sh.putObject("properties")
+    shp.putObject("total").put("type", "integer")
+    Seq("hits", "categories", "formats").foreach(f =>
+      shp.putObject(f).put("type", "array"))
+    definition("DeleteResponse", Seq("deletedFromDownloader" -> "boolean",
+      "deletedFromPublisher" -> "boolean"))
     n
   }
 

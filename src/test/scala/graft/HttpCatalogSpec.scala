@@ -91,6 +91,42 @@ class HttpCatalogSpec extends AnyFunSuite with Matchers with SparkSupport
     req("GET", "/rest/datasets/2", token = Some("tok-org01")).statusCode() shouldBe 200
   }
 
+  test("GET entry ?envelope=es returns the reference's raw ES get-envelope") {
+    // reference fixture shape: _source carries the body, _id echoes the id
+    // outside it (metadata_entry.py:138-141, tests/test_search.py:36-65)
+    val r = req("GET", "/rest/datasets/0?envelope=es")
+    r.statusCode() shouldBe 200
+    val n = json(r)
+    n.get("_index").asText shouldBe "trustedanalytics-meta"
+    n.get("_type").asText shouldBe "dataset"
+    n.get("_id").asText shouldBe "0"
+    n.get("found").asBoolean shouldBe true
+    val src = n.get("_source")
+    src.get("title").asText shouldBe "Heart disease rates"
+    src.has("id") shouldBe false // the id lives in _id, not the source body
+    // the flat default is unchanged
+    json(req("GET", "/rest/datasets/0")).has("_source") shouldBe false
+  }
+
+  test("api-docs serves the reference's swagger 2.0 contract shape") {
+    val n = json(req("GET", "/api-docs", token = None))
+    // reference api_doc.json top-level keys (repo root)
+    Seq("swagger", "produces", "info", "paths", "responses", "tags",
+      "basePath", "definitions", "consumes").foreach(k => n.has(k) shouldBe true)
+    n.get("swagger").asText shouldBe "2.0"
+    n.get("info").get("title").asText shouldBe "Data Catalog API"
+    // same path set and verb set as the reference contract
+    val paths = n.get("paths")
+    paths.has("/rest/datasets") shouldBe true
+    paths.has("/rest/datasets/count") shouldBe true
+    paths.has("/rest/datasets/{entry_id}") shouldBe true
+    Seq("get", "put", "post", "delete")
+      .foreach(v => paths.get("/rest/datasets/{entry_id}").has(v) shouldBe true)
+    // same definition names
+    Seq("SearchHits", "QueryHit", "InputMetadataEntryWithID", "DeleteResponse",
+      "InputMetadataEntry").foreach(d => n.get("definitions").has(d) shouldBe true)
+  }
+
   test("search: DSL in the query arg; response carries hits/total/categories/formats") {
     val r = req("GET", s"/rest/datasets?query=${enc("""{"filters":[{"format":["json"]}]}""")}")
     r.statusCode() shouldBe 200
