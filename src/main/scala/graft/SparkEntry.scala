@@ -701,6 +701,12 @@ object SparkEntry {
       Dedup.repeatedSpans(plantedSpanDocs(s, d), k = 8)
         .orderBy("doc_id", "start_tok")),
 
+    // Dedup: per-document duplicated-token fraction over the same planted
+    // corpus — the Lee-et-al corpus-health metric removal policies
+    // threshold on; spans are disjoint so the token sum is exact
+    "d11_dup_token_load" -> ((s, d) =>
+      Dedup.dupTokenLoad(plantedSpanDocs(s, d), k = 8).orderBy("doc_id")),
+
     // Dedup: fuzzy survivors after collapsing Jaccard near-dup groups
     "d5_fuzzy_survivors" -> ((s, d) =>
       Dedup.fuzzyDedupSurvivors(docs(s, d), Dedup.jaccardPairs(docs(s, d)))
@@ -1132,6 +1138,20 @@ object SparkEntry {
 
   private val JaccardCte = T + JaccardChain
 
+  /** The d10/d11 span pipeline in SQL: planted-tail corpus → positioned
+    * 8-token windows → occurrence≥2 cut → gaps-and-islands (mirrors
+    * Dedup.repeatedSpans over plantedSpanDocs exactly).
+    */
+  private val SpanChain =
+    "WITH spand AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || " +
+      "' the quick brown fox jumps over the lazy dog again and again' ELSE text END AS text FROM documents), " +
+      s"toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM spand), " +
+      "pos AS (SELECT doc_id, unnest(range(1, len(t) - 6)) - 1 AS p, " +
+      "unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS s FROM toks), " +
+      "rep AS (SELECT s FROM pos GROUP BY s HAVING count(*) >= 2), " +
+      "hit AS (SELECT p.doc_id, p.p FROM pos p JOIN rep r USING (s)), " +
+      "isl AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g FROM hit) "
+
   /** DuckDB twin of [[plantedSliceDocs]] (same residue/offset/frac). */
   private def slicedDocsCte(residue: Int, offset: Long, frac: String): String =
     "WITH docs2 AS (SELECT doc_id, text FROM documents " +
@@ -1511,17 +1531,20 @@ object SparkEntry {
       // (parallel unnests zip positions with window strings; range(1, x)
       // is empty for docs shorter than 8 tokens in both engines)
       "d10_repeated_spans" ->
-        ("WITH spand AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || " +
-          "' the quick brown fox jumps over the lazy dog again and again' ELSE text END AS text FROM documents), " +
-          s"toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM spand), " +
-          "pos AS (SELECT doc_id, unnest(range(1, len(t) - 6)) - 1 AS p, " +
-          "unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS s FROM toks), " +
-          "rep AS (SELECT s FROM pos GROUP BY s HAVING count(*) >= 2), " +
-          "hit AS (SELECT p.doc_id, p.p FROM pos p JOIN rep r USING (s)), " +
-          "isl AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g FROM hit) " +
+        (SpanChain +
           "SELECT doc_id, min(p) AS start_tok, max(p) + 7 AS end_tok, " +
           "(max(p) - min(p) + 8)::BIGINT AS n_tokens FROM isl GROUP BY doc_id, g " +
           "ORDER BY doc_id, start_tok"),
+      // d11: per-doc duplicated-token fraction — maximal islands are
+      // disjoint, so the span-token sum is exact; every doc reports
+      "d11_dup_token_load" ->
+        (SpanChain +
+          ", sp AS (SELECT doc_id, g, max(p) - min(p) + 8 AS nt FROM isl GROUP BY doc_id, g) " +
+          ", agg AS (SELECT doc_id, sum(nt) AS dup_tokens FROM sp GROUP BY doc_id) " +
+          "SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens, " +
+          "coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens, " +
+          "round(coalesce(a.dup_tokens, 0) / greatest(len(t.t), 1), 6) AS dup_frac " +
+          "FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"),
       // d4: SimHash is order-free, so every planted token-reversed copy
       // pairs with its source at Hamming 0, deterministically — the planted
       // window is the closed-form answer at any SF (see plantedPermDocs)

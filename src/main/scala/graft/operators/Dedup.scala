@@ -41,7 +41,7 @@ object Dedup {
     * barriers: tokens materialize once per row (and the single-file scan
     * spreads across cores) before the per-position n-gram lambda reads them.
     */
-  private def withShingles(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def withShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("toks"))
       .repartition(col("doc_id"))
       .select(col("doc_id"),
@@ -85,7 +85,7 @@ object Dedup {
     * combining aggregate on the same shuffle the distinct needed anyway.
     * Mirrored 1:1 by the oracle's PairsChain CTEs (SparkEntry).
     */
-  private def blockedIdPairs(sh: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
+  private[graft] def blockedIdPairs(sh: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf))
@@ -477,5 +477,30 @@ object Dedup {
         (max(col("p")) + lit(k - 1)).as("end_tok"),
         (max(col("p")) - min(col("p")) + lit(k)).cast("long").as("n_tokens"))
       .drop("g")
+  }
+
+  /** Per-document duplicated-token load: the fraction of each document's
+    * tokens lying inside some repeated ≥k-token span ([[repeatedSpans]]) —
+    * the corpus-health number the Lee et al. pipeline reports and that
+    * removal/flagging policies threshold on ("drop documents more than X%
+    * duplicated"). Spans are maximal islands and therefore disjoint, so the
+    * per-doc token sum is exact, never double-counted. Output
+    * `(doc_id, n_tokens, dup_tokens, dup_frac)` for EVERY document
+    * (span-free docs report 0); dup_frac rounded 6dp.
+    *
+    * Plan: [[repeatedSpans]]' output is already tiny (one row per maximal
+    * span), so the load is one map-side-combining sum keyed on doc_id plus
+    * a doc-keyed join against a narrow (doc_id, token-count) projection —
+    * both shuffles carry metadata-scale rows, not text.
+    */
+  def dupTokenLoad(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spanSum = repeatedSpans(docs, k)
+      .groupBy("doc_id").agg(sum("n_tokens").as("dup_tokens"))
+    docs.select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .join(spanSum, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
   }
 }

@@ -158,6 +158,22 @@ class DedupPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
     spans shouldBe Seq((1L, 0, 5, 6L), (2L, 0, 5, 6L))
   }
 
+  test("dupTokenLoad: full duplicates load 1.0, partial overlap exact fraction, clean docs 0") {
+    val docs = Seq(
+      (1L, "m n o p q r"),          // identical twin → 6/6 duplicated
+      (2L, "m n o p q r"),
+      (3L, "a b c d e f g h i j"),  // shares no 3-window with anyone → 0
+      (4L, "z z m n o p q r")       // windows at pos 2..5 repeat → tokens 2..7 duplicated
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupTokenLoad(docs, k = 3)
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 6L, 6L, 1.0))
+    out(2L) shouldBe ((2L, 6L, 6L, 1.0))
+    out(3L) shouldBe ((3L, 10L, 0L, 0.0))
+    out(4L) shouldBe ((4L, 8L, 6L, 0.75)) // tokens 2-7 inside the repeated span
+  }
+
   test("property: exact dedup output ids are minimal per hash and cover all distinct texts") {
     val d = corpus(31)
     val out = Dedup.exact(d).select("doc_id", "content_hash")
