@@ -44,6 +44,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("partial_count")
   }
 
+  test("repeated-spans plan: no cartesian, partial count before the shingle shuffle, doc-keyed island window") {
+    val plan = Dedup.repeatedSpans(docsDf, k = 3).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // occurrence counting partial-aggregates map-side before its shuffle
+    plan should include("partial_count")
+    // the island merge windows per document
+    plan should include("Window")
+  }
+
   test("raw-column query filters push into the parquet scan of a materialized entry table") {
     // the Corpus derivation computes columns from p_partkey (nothing to push);
     // a real deployment stores entries materialized — model that here
