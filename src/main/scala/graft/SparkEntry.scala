@@ -952,6 +952,19 @@ object SparkEntry {
           col("n_events"), col("sum_value").cast("double").as("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // Streaming built-in state: the SAME sessionization via the native
+    // session_window operator — inclusive gap merge at µs grain (an event
+    // exactly `gap` later still merges, spec-pinned) and watermark-passes-
+    // window-end emission, both encoded µs-exact in its own oracle (the
+    // custom e2 operator compares at FLOORED-ms grain; with sub-ms event
+    // times the twins differ inside the sub-ms boundary band, so each
+    // stays independently oracle-checked)
+    "e9_native_sessions" -> ((s, d) =>
+      EventStream.backfillNativeSessions(s, s"$d/events.parquet")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // Streaming exact dedup: every event delivered twice; the operator must
     // reconstruct exactly the original table (bounded state via
     // dropDuplicatesWithinWatermark)
@@ -1645,6 +1658,24 @@ object SparkEntry {
           "wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm FROM ev) " +
           "SELECT user_id, session_start, session_end, n_events, sum_value::DOUBLE AS sum_value " +
           "FROM agg, wm WHERE epoch_ms(session_end) + 21600000 <= wm " +
+          "ORDER BY user_id, session_start"),
+      // e9: native session_window semantics — µs-exact INCLUSIVE gap merge
+      // (sessions merge while the break is <= gap; spec-pinned at the exact
+      // boundary) and µs-exact emission against the ms-quantized watermark
+      // (sub-ms event times are the norm in this corpus, so e2's ms-floored
+      // comparisons would be wrong here and vice versa)
+      "e9_native_sessions" ->
+        ("WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, round(value, 6)::DECIMAL(18,6) AS v FROM events), " +
+          "b AS (SELECT user_id, ts, v, CASE WHEN lag(ts) OVER w IS NULL OR " +
+          "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS brk " +
+          "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+          "s AS (SELECT user_id, ts, v, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+          "ROWS UNBOUNDED PRECEDING) AS sid FROM b), " +
+          "agg AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end, " +
+          "count(*) AS n_events, sum(v) AS sum_value FROM s GROUP BY 1, 2), " +
+          "wm AS (SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM ev) " +
+          "SELECT user_id, session_start, session_end, n_events, sum_value::DOUBLE AS sum_value " +
+          "FROM agg, wm WHERE epoch_us(session_end) + 21600000000 <= wm_us " +
           "ORDER BY user_id, session_start"),
       "e3_stream_dedup" ->
         ("SELECT event_id, event_type, (value::DECIMAL(18,6))::DOUBLE AS value " +

@@ -188,6 +188,42 @@ object EventStream {
     runToMemoryTable(spark, "append")(bf =>
       sessionize(bf, fileStream(bf, stageDir(path)), gapMs).toDF())
 
+  /** Gap sessionization via Spark's NATIVE `session_window` — the
+    * preference-order twin of [[sessionize]]: where the custom
+    * flatMapGroupsWithState operator exists to own its exact emission and
+    * merge semantics, this one lets the engine's built-in session-window
+    * state store do the merging (dynamic gap windows, watermark-driven
+    * eviction, no user state code). Boundary semantics, measured and
+    * spec-pinned: sessions merge INCLUSIVELY at microsecond grain — an
+    * event exactly `gap` after the previous one still merges (Spark merges
+    * windows whose ranges touch), one microsecond more splits — and a
+    * finalized window emits once the watermark passes its end (last event
+    * + gap). [[sessionize]] makes the same comparisons at FLOORED-ms grain
+    * (matching its ms watermark bookkeeping), so with sub-ms event times
+    * the two differ inside the sub-ms band around the boundary; the e9
+    * oracle encodes the native µs-exact semantics so each formulation is
+    * independently checked rather than bent to the other's boundaries.
+    *
+    * Output matches [[sessionize]]'s shape: `session_end` is the LAST
+    * EVENT time (window end minus the gap), sums in exact DECIMAL.
+    */
+  def nativeSessionCounts(events: DataFrame, gap: String = "6 hours",
+                          delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr(s"INTERVAL $gap")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Deterministic native-session backfill (file stream → AvailableNow). */
+  def backfillNativeSessions(spark: SparkSession, path: String): DataFrame =
+    runToMemoryTable(spark, "append")(bf =>
+      nativeSessionCounts(withEventTime(fileStream(bf, stageDir(path)))))
+
   /** Streaming exact dedup: drop duplicate event_ids within the watermark
     * horizon (`dropDuplicatesWithinWatermark` — state holds only ids inside
     * the horizon, so it is bounded at 100 TB/day ingest; a plain streaming

@@ -96,6 +96,46 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     } finally q.stop()
   }
 
+  test("native session_window twin: same sessions as custom state, strict at the exact-gap boundary") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventStream.nativeSessionCounts(
+      mem.toDF.toDF("user_id", "ts", "value")
+        .withColumn("value", col("value")), gap = "1 hour", delay = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("nativesess")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // user 7: 20-min gap merges (both semantics agree)
+        (7L, Timestamp.valueOf("2020-01-01 10:00:00"), 1.5),
+        (7L, Timestamp.valueOf("2020-01-01 10:20:00"), 2.25),
+        // user 8: EXACTLY the 1-hour gap — native windows touching at the
+        // boundary MERGE (inclusive), measured behavior pinned here
+        (8L, Timestamp.valueOf("2020-01-01 10:00:00"), 1.0),
+        (8L, Timestamp.valueOf("2020-01-01 11:00:00"), 2.0),
+        // user 9: one MICROSECOND past the gap — splits
+        (9L, Timestamp.valueOf("2020-01-01 10:00:00"), 1.0),
+        (9L, Timestamp.valueOf("2020-01-01 11:00:00.000001"), 2.0))
+      q.processAllAvailable()
+      mem.addData((99L, Timestamp.valueOf("2020-01-01 18:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("nativesess")
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"sum_value".cast("double"))
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+        .sortBy(r => (r._1, r._2.getTime))
+      rows shouldBe Seq(
+        (7L, Timestamp.valueOf("2020-01-01 10:00:00"),
+          Timestamp.valueOf("2020-01-01 10:20:00"), 2L, 3.75),
+        (8L, Timestamp.valueOf("2020-01-01 10:00:00"),
+          Timestamp.valueOf("2020-01-01 11:00:00"), 2L, 3.0),
+        (9L, Timestamp.valueOf("2020-01-01 10:00:00"),
+          Timestamp.valueOf("2020-01-01 10:00:00"), 1L, 1.0),
+        (9L, Timestamp.valueOf("2020-01-01 11:00:00.000001"),
+          Timestamp.valueOf("2020-01-01 11:00:00.000001"), 1L, 2.0))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches within the hour, same user only") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
