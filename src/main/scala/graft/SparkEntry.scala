@@ -802,6 +802,15 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity: PRODUCT-QUANTIZED two-phase search — ADC shortlist over
+    // the m-byte-per-vector compressed index, exact re-rank of shortlist
+    // rows only (the memory-compression ANN tier). The planted top-10 must
+    // survive BOTH the lossy quantization and the shortlist cut, so the
+    // exact-cosine oracle gates compression fidelity end-to-end
+    "v9_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(plantedTopKEmb(s, d), emb(s, d).where(col("vec_id") < 5), 10)
+        .orderBy("q_id", "rank")),
+
     "v6_ivf_partial" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTopK(plantedTopKEmb(s, d), e.where(col("vec_id") < 5), 10,
@@ -1596,6 +1605,9 @@ object SparkEntry {
       // index must recall the same exact top-10 — every true neighbor
       // arrived via the APPEND, making recall-through-append the gate
       "v8_ivf_append" -> plantedTopkSql,
+      // v9: the PQ shortlist must recall the planted top-10 through the
+      // lossy codes; the exact re-rank then reproduces the exact answer
+      "v9_pq_topk" -> plantedTopkSql,
       "v3_embedding_neardup" ->
         (PlantedPairCte + "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
       // v5: CC collapse over the exact planted pair graph (star shapes, but

@@ -218,6 +218,92 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
   }
 
+  // -------------------------------------------------- product quantization
+
+  /** Deterministic per-subspace PQ codebooks: `codesPerSub` corpus vectors
+    * hash-sampled exactly like [[ivfCentroids]] (lowest xxhash64(vec_id) —
+    * reproducible on any cluster, no k-means float-order dependence), each
+    * sliced into `m` equal subspaces. Returned as m × codesPerSub × dsub —
+    * the broadcast-able statistic (m·codesPerSub·dsub floats ≈ the size of
+    * `codesPerSub` vectors, regardless of corpus size).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, codesPerSub: Int): Seq[Seq[Seq[Float]]] = {
+    val rows = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(codesPerSub)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val dim = rows.head.size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map(j => rows.map(_.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** The compressed PQ index: `(vec_id, codes)` where codes(j) is the
+    * nearest subspace-j codebook entry for the vector's j-th slice (the
+    * same native nearest-centroid kernel IVF probing uses, run per slice).
+    * At rest this is m small ints per vector — the memory-compression tier
+    * a 100 TB embedding corpus needs: the full-precision vectors stay in
+    * cold storage and are fetched only for re-ranking shortlists.
+    */
+  def pqEncode(corpus: DataFrame, books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val dsub = books.head.head.size
+    val codes = array(books.indices.map(j =>
+      element_at(graft.functions.VectorHash.ivfProbeCol(
+        slice(col("embedding"), j * dsub + 1, dsub), books(j), 1), 1)): _*)
+    corpus.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Reconstructed (decompressed) vector from a codes column: concatenation
+    * of the referenced codebook entries. The codebooks ride in as a nested
+    * array literal — on a cluster, broadcast once per query batch.
+    */
+  private def pqRecon(codes: Column, books: Seq[Seq[Seq[Float]]]): Column =
+    flatten(array(books.indices.map(j =>
+      element_at(typedLit(books(j)), element_at(codes, j + 1).cast("int") + 1)): _*))
+
+  /** Two-phase PQ search over a compressed index: (1) asymmetric-distance
+    * shortlist — each query scores every index row against its
+    * RECONSTRUCTION (query side broadcast, scan side never shuffles; the
+    * shortlist window ships (q_id, vec_id, adc) only — 24 bytes/row), then
+    * (2) exact cosine re-rank fetches full-precision vectors for shortlist
+    * rows alone. Correct top-k whenever the shortlist recalls the true
+    * top-k; `shortlistSize` is the recall knob (the v9 oracle holds the
+    * composed search to the EXACT answer on the planted geometry).
+    */
+  def pqTopKIndexed(index: DataFrame, books: Seq[Seq[Seq[Float]]],
+                    corpus: DataFrame, queries: DataFrame, k: Int,
+                    shortlistSize: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm")))
+    val approx = index
+      .withColumn("r_emb", pqRecon(col("codes"), books))
+      .withColumn("r_nrm", norm(col("r_emb")))
+      .join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("r_emb"), col("q_nrm"), col("r_nrm")).as("adc"))
+    val ws = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = approx.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlistSize)
+      .select(col("q_id"), col("vec_id"))
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")), "vec_id")
+      .join(q.select(col("q_id"), col("q_emb"), col("q_nrm")), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** One-call PQ search: build codebooks, encode, search. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, codesPerSub: Int = 32, shortlistSize: Int = 50): DataFrame = {
+    val books = pqCodebooks(corpus, m, codesPerSub)
+    pqTopKIndexed(pqEncode(corpus, books), books, corpus, queries, k, shortlistSize)
+  }
+
   // ------------------------------------------------- embedding near-dup pairs
 
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine

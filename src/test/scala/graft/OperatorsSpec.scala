@@ -338,6 +338,37 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("pq top-k: full shortlist degrades exactly to brute force; codes are m small ints") {
+    val q = embDf.where($"vec_id" < 3)
+    // shortlist = every non-self row → the exact re-rank IS brute force,
+    // whatever the quantization error
+    val pq = Similarity.pqTopK(embDf, q, 5, m = 4, codesPerSub = 8, shortlistSize = 39)
+      .orderBy("q_id", "rank").collect().toSeq
+    val bf = Similarity.bruteForceTopK(embDf, q, 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    pq shouldBe bf
+    // the compressed index carries exactly m codes per vector, in range
+    val books = Similarity.pqCodebooks(embDf, 4, 8)
+    val codes = Similarity.pqEncode(embDf, books)
+      .select($"codes").as[Seq[Int]].collect()
+    codes.foreach { c => c.size shouldBe 4; c.foreach(x => x should (be >= 0 and be < 8)) }
+  }
+
+  test("pq top-k: a parallel vector shares codes with the query and survives a tight shortlist") {
+    // vectors 0 and 1 are parallel → identical subspace assignments →
+    // maximal ADC → must appear in even a k-deep shortlist, then re-rank
+    // to cos 1.0 at rank 1
+    val pq = Similarity.pqTopK(embDf, embDf.where($"vec_id" === 0), 5,
+        m = 4, codesPerSub = 8, shortlistSize = 5)
+      .orderBy("rank").collect()
+    pq.head.getLong(2) shouldBe 1L
+    pq.head.getDouble(3) shouldBe 1.0
+    // every reported cosine is the exact one (re-rank reads raw vectors)
+    val bf = Similarity.bruteForceTopK(embDf, embDf.where($"vec_id" === 0), 39)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toMap
+    pq.foreach(r => r.getDouble(3) shouldBe bf(r.getLong(2)))
+  }
+
   test("embedding near-dup pairs: parallel pair found, orthogonal not") {
     val pairs = Similarity.cosineNearDupPairs(embDf)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
