@@ -569,6 +569,12 @@ object SparkEntry {
     "t12_distinct_profile" -> ((s, d) =>
       TextAnalysis.distinctProfile(docs(s, d)).orderBy("source")),
 
+    // Text analysis: per-document TF·IDF keyword extraction — top-3 most
+    // characteristic terms per doc (score desc, term asc ties), the
+    // tagging/summarization primitive
+    "t13_keywords" -> ((s, d) =>
+      TextAnalysis.keywords(docs(s, d), k = 3).orderBy("doc_id", "rank")),
+
     // Composed pre-training pipeline: language gate + quality gate +
     // fuzzy-dedup survivors, one narrow gate stage + the blocked dedup leg
     "p1_pretrain_corpus" -> ((s, d) =>
@@ -1451,6 +1457,18 @@ object SparkEntry {
           ", ds AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) " +
           "SELECT source, n_docs, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct " +
           "FROM tc JOIN ds USING (source) GROUP BY source, n_docs ORDER BY source"),
+      // t13: per-doc TF·IDF keywords — same (doc, term)-count base as t11,
+      // df = distinct docs per term, deterministic (score desc, term) top-3
+      "t13_keywords" ->
+        (T + ", tc AS (SELECT doc_id, unnest(t) AS tok FROM toks), " +
+          "c AS (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2), " +
+          "df AS (SELECT tok, count(*) AS df FROM c GROUP BY tok), " +
+          "n AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+          "scored AS (SELECT doc_id, tok, round(c * ln(n / df), 6) AS tfidf, " +
+          "row_number() OVER (PARTITION BY doc_id ORDER BY round(c * ln(n / df), 6) DESC, tok) AS rank " +
+          "FROM c JOIN df USING (tok), n) " +
+          "SELECT doc_id, rank::BIGINT AS rank, tok AS term, tfidf FROM scored " +
+          "WHERE rank <= 3 ORDER BY doc_id, rank"),
       // t11: corpus-unigram cross-entropy — vocabulary, grand total, and
       // per-doc token counts all from the same exploded-token aggregate
       "t11_unigram_lm" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.analyzers.Analyzers
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines, over the
@@ -230,6 +231,37 @@ object TextAnalysis {
     docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy("source").agg(count(lit(1)).as("n_tokens"),
         approx_count_distinct(col("tok"), rsd).as("n_distinct_approx"))
+
+  /** Per-document TF·IDF keyword extraction: the `k` most characteristic
+    * terms of each document — tfidf(t, d) = c(t, d) · ln(N / df(t)), df the
+    * DOCUMENT frequency (distinct docs containing t), ties broken
+    * (score desc, term asc) for determinism. The corpus-summarization /
+    * tagging primitive (and the features a sparse-vector search feeds on).
+    *
+    * Shuffle plan at 100 TB: per-doc term counts compress the exploded
+    * stream with a map-side-combining aggregate FIRST; the df table is a
+    * second aggregate over the same (doc, term)-level rows (one row per
+    * distinct pair — already compressed); the score join co-shuffles on
+    * the term with AQE covering stopword skew; the corpus size rides as a
+    * broadcast 1-row aggregate; per-doc top-k is a WindowGroupLimit
+    * partial. No driver action, one scan of the text.
+    */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val df = tc.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tc.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("c") * log(col("n") / col("df")), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tok").as("term"), col("tfidf"))
+  }
 
   // ----------------------------------------------------------- fingerprints
 

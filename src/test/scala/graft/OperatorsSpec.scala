@@ -516,6 +516,26 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe (expectBig ++ (4L until 8L))
   }
 
+  test("TF·IDF keywords: closed-form scores, deterministic ties, short docs rank what they have") {
+    // N=3; df: x=1, y=2, z=2, common=3 → idf ln3, ln1.5, ln1.5, 0
+    val docs = Seq(
+      (1L, "x x y common"),
+      (2L, "y z common"),
+      (3L, "z common common")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.keywords(docs, k = 3)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    def s(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln3 = math.log(3.0); val ln15 = math.log(1.5)
+    out shouldBe Array(
+      (1L, 1L, "x", s(2 * ln3)), (1L, 2L, "y", s(ln15)), (1L, 3L, "common", 0.0),
+      // d2: y and z tie at ln1.5 → term-asc order breaks it
+      (2L, 1L, "y", s(ln15)), (2L, 2L, "z", s(ln15)), (2L, 3L, "common", 0.0),
+      // d3 has only two distinct terms → two rows, no padding
+      (3L, 1L, "z", s(ln15)), (3L, 2L, "common", 0.0))
+  }
+
   test("distinct profile: exact per-source counts; HLL sketch lands within its error bound") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = graft.operators.TextAnalysis.distinctProfile(docs)
