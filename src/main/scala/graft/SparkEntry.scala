@@ -898,6 +898,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X8 ORC round-trip: documents written as ORC (distributed columnar
+    // sink) and read back with the explicit schema as a projection
+    // contract — column fidelity proven against the original parquet
+    "x8_orc_roundtrip" -> ((s, d) => {
+      val src = docs(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
+      graft.sources.Orc.write(src, out)
+      graft.sources.Orc.read(s, out, src.schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // X5 bucketed storage layout: orders + lineitem written bucketBy(16)
     // on the order key, then joined exchange-free (the buckets ARE the
     // shuffle output — the one-time layout decision that deletes the
@@ -1660,6 +1673,9 @@ object SparkEntry {
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
           "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
       "x4_csv_roundtrip" ->
+        ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
+          "FROM documents ORDER BY doc_id"),
+      "x8_orc_roundtrip" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),
       "x5_bucketed_join" ->

@@ -67,3 +67,20 @@ object Csv {
     spark.read.schema(schema)
       .option("header", "true").option("multiLine", "true").csv(path)
 }
+
+/** ORC corpus source/sink — the second columnar interchange format a
+  * catalog meets in the wild (Hive-era warehouses emit it). Same read/
+  * write discipline as parquet: self-describing footers, so the explicit
+  * schema is a projection contract (columns pruned at the stripe level,
+  * predicates pushed to stripe/row-group statistics) rather than an
+  * inference crutch. At 100 TB an ORC scan prunes exactly like the
+  * parquet path — `PushedFilters` land in the ORC reader the same way.
+  */
+object Orc {
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+}
