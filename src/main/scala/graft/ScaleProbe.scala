@@ -32,13 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** 10 disjoint sf0.1-equivalent shards (token-suffix isolation). */
+  /** 10 disjoint sf0.1-equivalent shards (token-suffix isolation). The id
+    * stride is derived from the INPUT's max doc_id (not a hard-coded
+    * constant), so the "ten disjoint shards" invariant holds for any SF
+    * directory the probe is pointed at — a fixed stride would silently
+    * collide shards once source ids exceed it.
+    */
   def synthesizeDecade(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
+    val stride = 1L + base.agg(max(col("doc_id"))).head.getLong(0)
     val shards = base
       .select(col("doc_id"), split(col("text"), " ").as("t"),
         explode(sequence(lit(1L), lit(9L))).as("c"))
-      .select((col("doc_id") + col("c") * lit(10000000L)).as("doc_id"),
+      .select((col("doc_id") + col("c") * lit(stride)).as("doc_id"),
         array_join(
           transform(col("t"), tok => concat(tok, col("c").cast("string"))),
           " ").as("text"))

@@ -632,7 +632,7 @@ object SparkEntry {
     // column fidelity proven against the original parquet (text by md5)
     "x3_jsonl_roundtrip" -> ((s, d) => {
       val src = docs(s, d)
-      val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+      val out = scratch("x3-jsonl") + "/docs" // overwrite-reuse: no per-call leak
       graft.sources.Jsonl.write(src, out)
       graft.sources.Jsonl.read(s, out, src.schema)
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
@@ -890,7 +890,7 @@ object SparkEntry {
     // an explicit schema — escaping fidelity proven against the original
     "x4_csv_roundtrip" -> ((s, d) => {
       val src = docs(s, d)
-      val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/docs"
+      val out = scratch("x4-csv") + "/docs" // overwrite-reuse: no per-call leak
       graft.sources.Csv.write(src, out)
       graft.sources.Csv.read(s, out, src.schema)
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
@@ -903,7 +903,7 @@ object SparkEntry {
     // contract — column fidelity proven against the original parquet
     "x8_orc_roundtrip" -> ((s, d) => {
       val src = docs(s, d)
-      val out = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
+      val out = scratch("x8-orc") + "/docs" // overwrite-reuse: no per-call leak
       graft.sources.Orc.write(src, out)
       graft.sources.Orc.read(s, out, src.schema)
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
@@ -1049,10 +1049,13 @@ object SparkEntry {
     // case). Bin-exploded equi-join vs DuckDB's raw inequality join.
     // sum(l_quantity) is exact: quantities are integer-valued doubles.
     "j3_interval_activity" -> ((s, d) => {
+      // cast: o_orderdate reads as TIMESTAMP_NTZ from the driver's
+      // timezone-less parquet; UTC session cast preserves the wall-clock
+      // and keeps win_start's output type TIMESTAMP (stable vs oracle)
       val flagship = s.read.parquet(s"$d/orders.parquet")
         .where(col("o_totalprice") > 495000)
-        .select(col("o_orderkey"), col("o_orderdate").as("win_start"),
-          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("win_end"))
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("win_start"),
+          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 7 DAYS")).as("win_end"))
       val shipments = s.read.parquet(s"$d/lineitem.parquet")
         .select("l_orderkey", "l_quantity", "l_shipdate")
       Joins.intervalJoin(shipments, "l_shipdate",

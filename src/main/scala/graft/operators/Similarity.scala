@@ -132,9 +132,9 @@ object Similarity {
     * the lowest xxhash64(vec_id) — a uniform hash-sample, reproducible on any
     * cluster. Collected to the driver as a plan-time stats snapshot (nlist ×
     * dim floats — the IDF-weights pattern; on a cluster this is what a
-    * broadcast variable carries). A Lloyd refinement would tighten cells but
-    * adds float-summation order-dependence; the hash-sample codebook keeps
-    * the operator bit-deterministic.
+    * broadcast variable carries). On clustered (non-uniform) corpora pass
+    * the sample through [[lloydRefine]] — its decimal-sum accumulation
+    * keeps the refined codebook just as bit-deterministic.
     */
   def ivfCentroids(corpus: DataFrame, nlist: Int): Seq[Seq[Float]] =
     corpus.select(col("vec_id"), col("embedding"))
@@ -142,6 +142,60 @@ object Similarity {
       .limit(nlist)
       .select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** Fixed-iteration Lloyd (k-means) refinement of a coarse-quantizer
+    * codebook, deterministic the way the hash-sample seed is: per-cell
+    * means accumulate in DECIMAL(38,16), whose addition is EXACT and
+    * therefore order-independent — no float-summation order dependence,
+    * so every iteration yields bit-identical centroids on any cluster
+    * layout or partition count. Assignment uses the same native
+    * cosine-nearest kernel probing uses ([[graft.functions.IvfProbeExpr]]);
+    * since probe similarity is cosine (scale-invariant), the un-normalized
+    * decimal mean is a valid spherical-k-means centroid. The refined
+    * codebook is FROZEN thereafter — [[ivfAppend]]'s append ≡ rebuild
+    * contract carries over unchanged.
+    *
+    * Why refine at all: a hash-sampled codebook is only balanced when the
+    * corpus is uniform; real embedding corpora are clustered, so seeded
+    * cells go hot (occupancy skew) and partial probes lose recall exactly
+    * where the data is densest. Lloyd iterations move centroids toward
+    * occupancy balance ([[cellOccupancy]] measures it; the spec pins the
+    * improvement on the organic embeddings table).
+    *
+    * Plan per iteration (iters is small and fixed — the offline re-train
+    * path, not a per-query cost): one narrow assignment map, a posexplode
+    * to (cell, dim, x), and ONE map-side-combining aggregate keyed
+    * (cell, dim) — shuffle volume is nlist × dim × partitions rows,
+    * independent of corpus size; the nlist × dim result lands on the
+    * driver as the usual broadcast-able codebook snapshot. Empty cells
+    * keep their previous centroid (standard Lloyd fallback).
+    */
+  def lloydRefine(corpus: DataFrame, seed: Seq[Seq[Float]], iters: Int = 4): Seq[Seq[Float]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cents = seed
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(
+        element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
+          .as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      val means = assigned.groupBy("cell", "dim")
+        .agg((sum(col("x").cast("decimal(38,16)")) / count(lit(1))).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          transform(col("dm"), e => e.getField("m").cast("float")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Per-cell occupancy of an IVF index — the balance statistic that bounds
+    * partial-probe cost at scale (a hot cell is scanned by every query that
+    * probes it). One map-side-combining count per cell.
+    */
+  def cellOccupancy(index: DataFrame): DataFrame =
+    index.groupBy("cell").agg(count(lit(1)).as("n"))
 
   /** IVF (inverted-file) approximate top-k — the centroid-bucketed scale
     * path, same plan shape as [[lshTopK]] with learned cells instead of hash

@@ -359,27 +359,34 @@ class MetadataStore(spark: SparkSession, rootDir: String,
       val v = nextVersion
       val staging = root.resolve(
         s".staging-delta-$v-${java.util.UUID.randomUUID.toString.take(8)}")
-      deduped.withColumn(VersionCol, lit(v)).withColumn(OpCol, lit("upsert"))
-        .write.mode("overwrite").parquet(staging.toString)
-      // Observation latches the FIRST action's metrics — validity and count
-      // are content-based, so a CAS-retry re-write needs no re-audit. `get`
-      // blocks until the (already-finished) write's metrics are delivered.
-      val metrics = audit.get
-      def metricLong(name: String): Long = metrics.get(name) match {
-        case Some(n: Number) => n.longValue // sum over an empty batch is null
-        case _ => 0L
+      // Staging lifetime is bounded by the finally: ANY exit that did not
+      // commit — invalid batch, empty batch, lost CAS, or an executor/
+      // serialization failure thrown by the write or audit.get — removes the
+      // .staging-delta-* directory before the exception (or return)
+      // propagates. deleteRecursively no-ops on a missing path, so the
+      // empty-batch return path is safe to route through it too.
+      try {
+        deduped.withColumn(VersionCol, lit(v)).withColumn(OpCol, lit("upsert"))
+          .write.mode("overwrite").parquet(staging.toString)
+        // Observation latches the FIRST action's metrics — validity and count
+        // are content-based, so a CAS-retry re-write needs no re-audit. `get`
+        // blocks until the (already-finished) write's metrics are delivered.
+        val metrics = audit.get
+        def metricLong(name: String): Long = metrics.get(name) match {
+          case Some(n: Number) => n.longValue // sum over an empty batch is null
+          case _ => 0L
+        }
+        val invalid = metricLong("invalid")
+        val rows = metricLong("rows")
+        if (invalid > 0)
+          throw new IllegalArgumentException(
+            s"upsertAll batch rejected: $invalid invalid entr${if (invalid == 1) "y" else "ies"} " +
+              "(required fields empty, negative counts, or malformed targetUri) — nothing committed")
+        if (rows == 0L) return
+        committed = claimAndCommit(staging, "delta", v)
+      } finally {
+        if (!committed) graft.util.FsUtil.deleteRecursively(staging)
       }
-      val invalid = metricLong("invalid")
-      val rows = metricLong("rows")
-      if (invalid > 0) {
-        graft.util.FsUtil.deleteRecursively(staging)
-        throw new IllegalArgumentException(
-          s"upsertAll batch rejected: $invalid invalid entr${if (invalid == 1) "y" else "ies"} " +
-            "(required fields empty, negative counts, or malformed targetUri) — nothing committed")
-      }
-      if (rows == 0L) { graft.util.FsUtil.deleteRecursively(staging); return }
-      committed = claimAndCommit(staging, "delta", v)
-      if (!committed) graft.util.FsUtil.deleteRecursively(staging)
     }
   }
 

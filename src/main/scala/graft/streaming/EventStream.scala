@@ -44,15 +44,24 @@ object EventStream {
 
   /** Normalize the event-time column: long nanosecond epochs (how the
     * driver's parquet reads under nanosAsLong) become microsecond
-    * timestamps; real timestamps pass through.
+    * timestamps; TIMESTAMP_NTZ (how a timezone-less `timestamp[us]`
+    * parquet column reads under Spark 4's NTZ inference) casts to
+    * session-local TIMESTAMP — every session here pins
+    * spark.sql.session.timeZone=UTC, so the wall-clock is preserved and
+    * the column becomes watermark/window-eligible (event-time operators
+    * require TIMESTAMP, not NTZ); real timestamps pass through.
     */
   def withEventTime(events: DataFrame): DataFrame =
-    if (events.schema("ts").dataType == LongType)
-      // integer `div`, NOT `/`: Divide goes through DOUBLE, and epoch-ns
-      // longs (~1.7e18) exceed a double's 53-bit mantissa — the µs value
-      // comes back off by one
-      events.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else events
+    events.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: Divide goes through DOUBLE, and epoch-ns
+        // longs (~1.7e18) exceed a double's 53-bit mantissa — the µs value
+        // comes back off by one
+        events.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        events.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => events
+    }
 
   /** Windowed per-type aggregation of a raw event stream: 1-hour tumbling
     * event-time windows, 1-hour watermark. `sum_value` is summed in
