@@ -250,6 +250,28 @@ object SparkEntry {
     e.unionByName(planted)
   }
 
+  /** The stub media corpus plus perceptual near-duplicates — the m4
+    * planted corpus: every media_id % 20 == 7 row reappears at +300000
+    * with its LAST payload byte's low bit flipped. The 29-bit gradient
+    * pHash only compares byte 15 in two positions (bit 14: b14>b15,
+    * bit 28: b13>b15), so a plant sits at Hamming ≤ 2 from its source —
+    * inside the operator's default ball, with recall guaranteed by the
+    * pigeonhole banding. Organic Hamming ≤ 2 coincidences are legitimate
+    * output; the oracle recomputes the identical hash in SQL, so the
+    * full pair graph is closed-form at every SF.
+    */
+  private def plantedMedia(s: SparkSession, d: String): DataFrame = {
+    val m = Multimodal.mediaFromDocuments(docs(s, d))
+    val hx = lower(hex(col("payload")))
+    val flippedLast = lpad(lower(hex(
+      conv(substring(hx, 31, 2), 16, 10).cast("int").bitwiseXOR(lit(1)))), 2, "0")
+    m.unionByName(
+      m.where(col("media_id") % 20 === 7)
+        .select((col("media_id") + 300000L).as("media_id"), col("kind"),
+          to_binary(concat(substring(hx, 1, 30), flippedLast), lit("hex")).as("payload"),
+          col("width"), col("height"), col("format")))
+  }
+
   // ------------------------------------------------------------------------
   // queries + oracleSql: keys must match; output column names must match the
   // oracle's aliases exactly (driver sorts columns by name before hashing).
@@ -713,6 +735,16 @@ object SparkEntry {
     "d11_dup_token_load" -> ((s, d) =>
       Dedup.dupTokenLoad(plantedSpanDocs(s, d), k = 8).orderBy("doc_id")),
 
+    // Dedup: exact-substring REMOVAL — the policy pass whose output is the
+    // Lee-et-al pipeline's actual product, the rewritten corpus: each
+    // repeated maximal span keeps its first occurrence (lowest (doc_id,
+    // start_tok); identity = span token content) and later occurrences are
+    // cut, order preserved. Same planted corpus; the oracle runs the
+    // identical detection + election + rewrite pipeline, comparing the
+    // rewritten text by md5 (the d8 reporting shape)
+    "d12_span_removal" -> ((s, d) =>
+      Dedup.removeRepeatedSpans(plantedSpanDocs(s, d), k = 8).orderBy("doc_id")),
+
     // Dedup: fuzzy survivors after collapsing Jaccard near-dup groups
     "d5_fuzzy_survivors" -> ((s, d) =>
       Dedup.fuzzyDedupSurvivors(docs(s, d), Dedup.jaccardPairs(docs(s, d)))
@@ -824,6 +856,55 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity: IVF with a LLOYD-REFINED codebook — deterministic decimal
+    // k-means (fixed iterations, order-independent exact sums) over the
+    // hash-sampled seed, frozen after refinement, then the same persisted-
+    // index partial-probe search as v7. Same planted geometry ⇒ same
+    // exact-cosine oracle: refinement must not lose plant recall
+    // (OperatorsSpec additionally pins that it improves cell-occupancy
+    // balance on the organic corpus — the reason the operator exists)
+    "v10_ivf_lloyd" -> ((s, d) => {
+      val corpus = plantedTopKEmb(s, d)
+      val cents = Similarity.lloydRefine(corpus, Similarity.ivfCentroids(corpus, 32))
+      val dir = scratch("v10-ivfidx")
+      Similarity.ivfIndex(corpus, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+      Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
+          emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Similarity: MEASURED recall@10 of every approximate ANN path against
+    // the exact scan, on ORGANIC geometry (no plants — the real
+    // neighborhood structure the planted oracles deliberately sidestep,
+    // where approximate paths legitimately drop neighbors). hits/total are
+    // exact integers and every path is hash-deterministic, so the
+    // measurement reproduces bit-for-bit; the oracle pins the sf0.01
+    // values — the recall knobs (bands, nprobe, shortlist) carry measured
+    // numbers instead of scaladoc claims
+    "v11_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 50)
+      // cached: four legs semi-join against the same exact top-10
+      val exact = Similarity.bruteForceTopK(e, q, 10).select("q_id", "vec_id").cache()
+      val total = exact.agg(count(lit(1)).as("total"))
+      def leg(name: String, approx: DataFrame): DataFrame =
+        exact.join(approx.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(total))
+          .select(lit(name).as("method"), col("hits"), col("total"),
+            round(col("hits") / col("total"), 4).as("recall"))
+      leg("lsh_16x4", Similarity.lshTopK(e, q, 10))
+        .unionByName(leg("ivf_nprobe8",
+          Similarity.ivfTopK(e, q, 10, nlist = 32, nprobe = 8)))
+        .unionByName(leg("ivf_lloyd_nprobe8", {
+          val cents = Similarity.lloydRefine(e, Similarity.ivfCentroids(e, 32))
+          Similarity.ivfTopKIndexed(Similarity.ivfIndex(e, cents), cents, q, 10, nprobe = 8)
+        }))
+        .unionByName(leg("pq_m8x32_sl50", Similarity.pqTopK(e, q, 10)))
+        .orderBy("method")
+    }),
+
     // Similarity: embedding-cosine near-dup pairs over the planted corpus —
     // exact answer = the 20 planted pairs, so the SRP-LSH blocking is held
     // to an all-pairs DuckDB oracle (recall must be 100% at cos ≈ 0.995)
@@ -865,6 +946,19 @@ object SparkEntry {
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(s, Multimodal.mediaFromDocuments(docs(s, d)), 3)
         .orderBy("media_id")),
+
+    // Multimodal × dedup composition: perceptual-hash near-dup pairs over
+    // the planted media corpus (Hamming ≤ 2 on the 29-bit gradient pHash,
+    // pigeonhole-banded — never all-pairs) collapsed to canonical clusters
+    // — v5's embedding-dedup shape with pHash in place of embeddings, i.e.
+    // the media dedup pipeline when no embedding model is in the loop
+    "m4_media_neardup" -> ((s, d) => {
+      val m = plantedMedia(s, d)
+      Dedup.dupClusters(m.select(col("media_id").as("doc_id")),
+          Multimodal.mediaNearDupPairs(m).select(col("a_id"), col("b_id")))
+        .select(col("doc_id").as("media_id"), col("cluster_rep"), col("is_canonical"))
+        .orderBy("media_id")
+    }),
 
     // Streaming: event-time windowed aggregation through the streaming
     // engine (AvailableNow backfill). Sums are exact decimals internally;
@@ -1229,6 +1323,25 @@ object SparkEntry {
     s"""round(list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
        | (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |  sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB byte extraction from a lowercase hex-string column: byte i of
+    * the payload as an integer (twin of Multimodal.perceptualHash's
+    * conv(substring(hex)) — strpos-based because DuckDB lacks conv).
+    */
+  private def hexByteSql(hx: String, i: Int): String =
+    s"((strpos('0123456789abcdef', substr($hx, ${2 * i + 1}, 1)) - 1) * 16 + " +
+      s"strpos('0123456789abcdef', substr($hx, ${2 * i + 2}, 1)) - 1)"
+
+  /** DuckDB twin of Multimodal.perceptualHash: the 29-bit gradient hash as
+    * a flat sum of CASE terms (15 adjacent + 14 stride-2 byte gradients).
+    */
+  private def phashSql(hx: String): String = {
+    def b(i: Int) = hexByteSql(hx, i)
+    val terms =
+      (0 until 15).map(i => s"CASE WHEN ${b(i)} > ${b(i + 1)} THEN ${1L << i} ELSE 0 END") ++
+        (0 until 14).map(i => s"CASE WHEN ${b(i)} > ${b(i + 2)} THEN ${1L << (15 + i)} ELSE 0 END")
+    terms.mkString("(", " + ", ")::BIGINT")
+  }
 
   /** DuckDB twin of Analyzers.stemCol (two CASE stages). */
   private def stemSql(w: String): String = {
@@ -1601,6 +1714,34 @@ object SparkEntry {
           "coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens, " +
           "round(coalesce(a.dup_tokens, 0) / greatest(len(t.t), 1), 6) AS dup_frac " +
           "FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"),
+      // d12: the identical detection + first-occurrence election + rewrite
+      // pipeline — spans keyed by their token content (md5 of the list
+      // slice), row_number elects the first (doc_id, start_tok), later
+      // occurrences become per-doc cut ranges, and the rewrite keeps
+      // positions outside every cut (parallel unnests zip position/token;
+      // cuts within a doc are disjoint, so the left-join-filter never
+      // duplicates a kept token)
+      "d12_span_removal" ->
+        (SpanChain +
+          ", sp AS (SELECT doc_id, min(p) AS start_tok, max(p) + 7 AS end_tok, " +
+          "max(p) - min(p) + 8 AS nt FROM isl GROUP BY doc_id, g) " +
+          ", keyed AS (SELECT doc_id, start_tok, end_tok, nt, " +
+          "md5(array_to_string(t[start_tok + 1 : end_tok + 1], ' ')) AS span_key " +
+          "FROM sp JOIN toks USING (doc_id)) " +
+          ", cuts AS (SELECT doc_id, start_tok, end_tok, nt FROM " +
+          "(SELECT keyed.*, row_number() OVER (PARTITION BY span_key ORDER BY doc_id, start_tok) AS rn FROM keyed) " +
+          "WHERE rn > 1) " +
+          ", agg AS (SELECT doc_id, sum(nt) AS removed_tokens FROM cuts GROUP BY doc_id) " +
+          ", posd AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok FROM toks) " +
+          ", kept AS (SELECT pd.doc_id, pd.i, pd.tok FROM posd pd LEFT JOIN cuts c " +
+          "ON pd.doc_id = c.doc_id AND pd.i - 1 BETWEEN c.start_tok AND c.end_tok " +
+          "WHERE c.doc_id IS NULL) " +
+          ", rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id) " +
+          "SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens, " +
+          "coalesce(a.removed_tokens, 0)::BIGINT AS removed_tokens, " +
+          "md5(coalesce(r.clean_text, '')) AS clean_hash " +
+          "FROM toks t LEFT JOIN agg a USING (doc_id) LEFT JOIN rebuilt r USING (doc_id) " +
+          "ORDER BY t.doc_id"),
       // d4: SimHash is order-free, so every planted token-reversed copy
       // pairs with its source at Hamming 0, deterministically — the planted
       // window is the closed-form answer at any SF (see plantedPermDocs)
@@ -1642,6 +1783,21 @@ object SparkEntry {
       // v9: the PQ shortlist must recall the planted top-10 through the
       // lossy codes; the exact re-rank then reproduces the exact answer
       "v9_pq_topk" -> plantedTopkSql,
+      // v10: Lloyd refinement moves centroids but the plants still sit on
+      // the query vectors, so the refined partial probe must return the
+      // same exact answer
+      "v10_ivf_lloyd" -> plantedTopkSql,
+      // v11: measured recall@10 pinned at sf0.01 — every path is
+      // hash-deterministic, so these integers reproduce bit-for-bit
+      // (values measured by running the registered entry; see the entry
+      // comment for why organic geometry is the point)
+      "v11_ann_recall" ->
+        ("SELECT * FROM (VALUES " +
+          "('ivf_lloyd_nprobe8', 329::BIGINT, 500::BIGINT, 0.658::DOUBLE), " +
+          "('ivf_nprobe8', 275::BIGINT, 500::BIGINT, 0.55::DOUBLE), " +
+          "('lsh_16x4', 192::BIGINT, 500::BIGINT, 0.384::DOUBLE), " +
+          "('pq_m8x32_sl50', 320::BIGINT, 500::BIGINT, 0.64::DOUBLE)" +
+          ") AS t(method, hits, total, recall) ORDER BY method"),
       "v3_embedding_neardup" ->
         (PlantedPairCte + "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
       // v5: CC collapse over the exact planted pair graph (star shapes, but
@@ -1668,6 +1824,24 @@ object SparkEntry {
       "m3_frame_sample" ->
         // md5 payloads are 16 bytes; stride 3 keeps offsets 0,3,6,9,12,15
         "SELECT doc_id AS media_id, 6 AS n_sampled FROM documents ORDER BY media_id",
+      // m4: the identical pHash recomputed in SQL over the planted media
+      // corpus, all-pairs Hamming ≤ 2 (fine at oracle scale — the ENGINE
+      // side is the banded one), then the v5 recursive CC closure
+      "m4_media_neardup" ->
+        ("WITH RECURSIVE md AS (SELECT doc_id, md5(text) AS hx FROM documents), " +
+          "corp AS (SELECT doc_id AS media_id, hx FROM md " +
+          "UNION ALL SELECT doc_id + 300000 AS media_id, " +
+          s"substr(hx, 1, 30) || printf('%02x', xor(${hexByteSql("hx", 15)}, 1)) AS hx " +
+          "FROM md WHERE doc_id % 20 = 7), " +
+          s"ph AS (SELECT media_id, ${phashSql("hx")} AS ph FROM corp), " +
+          "e0 AS (SELECT a.media_id AS u, b.media_id AS v FROM ph a JOIN ph b " +
+          "ON a.media_id < b.media_id AND bit_count(xor(a.ph, b.ph)) <= 2), " +
+          "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), " +
+          "reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), " +
+          "lbl AS (SELECT u AS media_id, least(u, min(v)) AS rep FROM reach GROUP BY u) " +
+          "SELECT c.media_id, coalesce(l.rep, c.media_id) AS cluster_rep, " +
+          "coalesce(l.rep, c.media_id) = c.media_id AS is_canonical " +
+          "FROM corp c LEFT JOIN lbl l USING (media_id) ORDER BY c.media_id"),
       "e1_stream_window_counts" ->
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
           "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

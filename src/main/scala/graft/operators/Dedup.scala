@@ -42,9 +42,19 @@ object Dedup {
     * spreads across cores) before the per-position n-gram lambda reads them.
     */
   private[graft] def withShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), toks(col("text")).as("toks"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
+    withShinglesFromTokens(
+      docs.select(col("doc_id"), toks(col("text")).as("toks"))
+        .repartition(col("doc_id")), n)
+
+  /** The shingle half of [[withShingles]] over an ALREADY-tokenized
+    * (doc_id, toks) frame — the entry point for pipelines that materialize
+    * one token pass and feed several consumers (see Pipeline.pretrainCorpus).
+    * The input must be behind a shuffle barrier (repartition) so the
+    * per-position n-gram lambda reads a materialized array, not the
+    * re-inlined tokenizer expression.
+    */
+  private[graft] def withShinglesFromTokens(tok: DataFrame, n: Int): DataFrame =
+    tok.select(col("doc_id"),
         array_distinct(TextAnalysis.ngrams(col("toks"), n)).as("sh"))
       .repartition(col("doc_id"))
 
@@ -99,10 +109,21 @@ object Dedup {
   }
 
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                   maxDf: Int = 20, minShared: Int = 3): DataFrame = {
+                   maxDf: Int = 20, minShared: Int = 3): DataFrame =
     // Barriered tokenize→shingle pipeline; ReuseExchange then feeds the
     // inverted index and both verify branches from one shuffle.
-    val sh = withShingles(docs, n)
+    jaccardVerified(withShingles(docs, n), threshold, maxDf, minShared)
+
+  /** [[jaccardPairs]] over an already-tokenized (doc_id, toks) frame —
+    * composes with [[withShinglesFromTokens]] so a caller's single
+    * materialized token pass serves the dedup leg too.
+    */
+  def jaccardPairsFromTokens(tok: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                             maxDf: Int = 20, minShared: Int = 3): DataFrame =
+    jaccardVerified(withShinglesFromTokens(tok, n), threshold, maxDf, minShared)
+
+  private def jaccardVerified(sh: DataFrame, threshold: Double,
+                              maxDf: Int, minShared: Int): DataFrame = {
     val pairs = blockedIdPairs(sh, maxDf, minShared)
     // native hash-set kernel; bit-identical to
     // size(array_intersect)/size(array_distinct(concat)) on distinct inputs
@@ -502,5 +523,61 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)) /
           greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
+  }
+
+  /** Exact-substring REMOVAL — the policy tier whose output is the Lee et
+    * al. pipeline's actual product, the REWRITTEN corpus: each repeated
+    * maximal span ([[repeatedSpans]]) keeps its FIRST occurrence and every
+    * later occurrence is cut from its document, order preserved. Span
+    * identity is the span's token content (md5 of the joined tokens);
+    * "first" is the lowest (doc_id, start_tok) — deterministic, no RNG.
+    *
+    * Policy caveat (documented, deliberate): keying on the MAXIMAL island's
+    * content means two occurrences of the same repeated substring whose
+    * islands differ by boundary tokens (a shared adjacent word extends one
+    * island but not the other) form distinct keys and both survive — an
+    * under-removal relative to true suffix-array substring dedup, bounded
+    * by island boundary tokens. The detection tier ([[repeatedSpans]] /
+    * [[dupTokenLoad]]) is unaffected; policies needing exact-substring
+    * granularity compose their own election over the span windows.
+    * Output one row per document, [[lineDedup]]'s reporting shape:
+    * `(doc_id, n_tokens, removed_tokens, clean_hash)` where clean_hash is
+    * md5 of the space-rejoined surviving tokens (text-scale results stay
+    * distributed; only hashes reach the comparison gate).
+    *
+    * At 100 TB: detection is [[repeatedSpans]]' blocked chain; the
+    * first-occurrence election is ONE row_number over the span-content key
+    * — a metadata-scale shuffle (one row per detected span, not per
+    * token); the rewrite is a narrow per-row array filter of each doc's
+    * tokens against its own (tiny, disjoint) cut list, joined doc-keyed.
+    * Documents with no cuts never materialize a rewrite — they flow
+    * through the left join untouched.
+    */
+  def removeRepeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val tok = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .repartition(col("doc_id"))
+    // span content key: re-join the span's tokens from the doc's own
+    // materialized token array (slice is 1-based; spans are inclusive)
+    val keyed = repeatedSpans(docs, k).join(tok, "doc_id")
+      .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_tokens"),
+        md5(array_join(slice(col("t"), (col("start_tok") + 1).cast("int"),
+          col("n_tokens").cast("int")), " ")).as("span_key"))
+    val firstW = Window.partitionBy("span_key")
+      .orderBy(col("doc_id"), col("start_tok"))
+    val cuts = keyed.withColumn("rn", row_number().over(firstW))
+      .where(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("cut"),
+        sum("n_tokens").as("removed_tokens"))
+    tok.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        md5(when(col("cut").isNull, array_join(col("t"), " "))
+          .otherwise(array_join(
+            filter(col("t"), (_, i) =>
+              !exists(col("cut"), c =>
+                i >= c.getField("start_tok") && i <= c.getField("end_tok"))),
+            " ")))
+          .as("clean_hash"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
@@ -106,6 +106,68 @@ object Multimodal {
         }
       }
       .toDF("media_id", "resized", "n_bytes", "orig_width", "orig_height")
+  }
+
+  /** 29-bit gradient perceptual hash of a payload's leading 16-byte grid —
+    * the aHash/dHash family re-expressed over the stub byte grid: bit i
+    * (i < 15) is the adjacent-byte gradient b(i) > b(i+1) (classic dHash),
+    * bits 15..28 are the stride-2 gradients b(i) > b(i+2) (a second,
+    * longer-range gradient ring in place of aHash's global-mean compare,
+    * whose bits all flip together when one byte moves the mean — local
+    * comparisons keep a single-byte perturbation's Hamming damage ≤ 2).
+    * A real image pHash replaces the byte grid with a decoded/resized
+    * luminance grid; the bit construction and everything downstream
+    * (banding, Hamming verify, CC collapse) are unchanged.
+    *
+    * Pure column arithmetic over hex(payload) — codegen'd built-ins,
+    * reproducible bit-for-bit on any engine (the m4 oracle recomputes it
+    * in SQL).
+    */
+  def perceptualHash(payload: Column): Column = {
+    val hx = lower(hex(payload))
+    def b(i: Int): Column = conv(substring(hx, 2 * i + 1, 2), 16, 10).cast("int")
+    val bits =
+      (0 until 15).map(i => (b(i) > b(i + 1), i)) ++
+        (0 until 14).map(i => (b(i) > b(i + 2), 15 + i))
+    bits.map { case (c, idx) => when(c, lit(1L << idx)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+  }
+
+  /** Media near-duplicate pairs by perceptual hash: all (a, b) with
+    * Hamming(pHash(a), pHash(b)) ≤ maxHamming, blocked by the SimHash
+    * pigeonhole — the hash splits into maxHamming+1 bands, and two hashes
+    * within the Hamming ball must agree EXACTLY on at least one band, so
+    * the banded equi-join has perfect recall and is never all-pairs.
+    * Pairs dedup as two longs; the hash column re-joins for the
+    * bit_count verify (the d4 shape over media ids).
+    *
+    * Compose with Dedup.dupClusters for the canonical-per-cluster media
+    * dedup pipeline (the v5 composition with pHash in place of
+    * embeddings) — registered as m4.
+    */
+  def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"maxHamming must be in [0, 6] (29-bit hash), got $maxHamming")
+    val bands = maxHamming + 1
+    val width = 29 / bands + 1
+    val ph = media.select(col("media_id"), perceptualHash(col("payload")).as("ph"))
+      .repartition(col("media_id"))
+    val banded = ph.select(col("media_id"),
+        explode(array((0 until bands).map(bd =>
+          struct(lit(bd).as("band"),
+            shiftright(col("ph"), bd * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("bk.band"), col("bk.key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .join(ph.select(col("media_id").as("a_id"), col("ph").as("pa")), "a_id")
+      .join(ph.select(col("media_id").as("b_id"), col("ph").as("pb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Frame/sample subsampling stub: deterministic stride over the payload —

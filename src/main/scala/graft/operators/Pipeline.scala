@@ -22,15 +22,24 @@ object Pipeline {
 
   /** (doc_id, predicted_lang, quality) for documents passing all three
     * gates, deterministic doc_id order.
+    *
+    * ONE materialized token pass (the repartition is its shuffle barrier)
+    * feeds every consumer: the gate projection's lang/quality expressions
+    * and the dedup leg's shingle pipeline all read the same `toks` column,
+    * and ReuseExchange serves the barrier's shuffle to both legs — the
+    * corpus text is tokenized exactly once (previously each leg re-ran the
+    * tokenizer over the full corpus, the largest cost of the composition).
     */
   def pretrainCorpus(docs: DataFrame, language: String = "en",
                      minQuality: Double = 0.4): DataFrame = {
-    val t: Column = TextAnalysis.tokens(col("text"))
-    val (predicted, _) = TextAnalysis.langCols(t)
-    val gated = docs.select(col("doc_id"), predicted.as("predicted_lang"),
-        TextAnalysis.qualityCol(t).as("quality"))
+    val tok = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+    val (predicted, _) = TextAnalysis.langCols(col("toks"))
+    val gated = tok.select(col("doc_id"), predicted.as("predicted_lang"),
+        TextAnalysis.qualityCol(col("toks")).as("quality"))
       .where(col("predicted_lang") === language && col("quality") >= minQuality)
-    val survivors = Dedup.fuzzyDedupSurvivors(docs, Dedup.jaccardPairs(docs))
+    val survivors = Dedup.fuzzyDedupSurvivors(tok.select("doc_id"),
+      Dedup.jaccardPairsFromTokens(tok))
     gated.join(survivors, "doc_id")
       .select(col("doc_id"), col("predicted_lang"), col("quality"))
   }

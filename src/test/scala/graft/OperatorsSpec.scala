@@ -338,6 +338,36 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("lloyd refinement: deterministic re-run, exact at full probe, balances organic occupancy") {
+    // bit-determinism: decimal sums are order-independent, so two runs over
+    // differently-partitioned input agree float-for-float
+    val seed8 = Similarity.ivfCentroids(embDf, 8)
+    val r1 = Similarity.lloydRefine(embDf, seed8, iters = 2)
+    val r2 = Similarity.lloydRefine(embDf.repartition(7), seed8, iters = 2)
+    r1 shouldBe r2
+    // full probe over the refined codebook still degrades to brute force
+    val q = embDf.where($"vec_id" < 3)
+    val refined = Similarity.ivfTopKIndexed(Similarity.ivfIndex(embDf, r1), r1, q, 5, nprobe = 8)
+      .orderBy("q_id", "rank").collect().toSeq
+    val bf = Similarity.bruteForceTopK(embDf, q, 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    refined shouldBe bf
+    // the reason the operator exists: on the ORGANIC embeddings corpus the
+    // refined codebook spreads cell occupancy (relative stddev over all 32
+    // cells, empties included) strictly better than the hash-sampled seed
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def relSpread(cents: Seq[Seq[Float]]): Double = {
+      val occ = Similarity.cellOccupancy(Similarity.ivfIndex(e, cents))
+        .select($"n").as[Long].collect().toSeq
+      val full = occ ++ Seq.fill(cents.size - occ.size)(0L)
+      val mean = full.sum.toDouble / cents.size
+      math.sqrt(full.map(n => (n - mean) * (n - mean)).sum / cents.size) / mean
+    }
+    val seed = Similarity.ivfCentroids(e, 32)
+    relSpread(Similarity.lloydRefine(e, seed)) should be < relSpread(seed)
+  }
+
   test("pq top-k: full shortlist degrades exactly to brute force; codes are m small ints") {
     val q = embDf.where($"vec_id" < 3)
     // shortlist = every non-self row → the exact re-rank IS brute force,
