@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, Pipeline}
+import graft.operators.{Dedup, Pipeline, Similarity}
+import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +58,80 @@ object ScaleProbe {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** 10 disjoint embedding shards: shard c offsets vec_id by c·stride and
+    * sign-flips dimension (c mod 64), so every shard keeps the organic
+    * norm/cosine distribution while no shard is a trivial copy of another
+    * (identical copies would plant artificial cross-shard near-dup mass).
+    */
+  def synthesizeDecadeEmb(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val stride = 1L + base.agg(max(col("vec_id"))).head.getLong(0)
+    val shards = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(1L), lit(9L))).as("c"))
+      .select((col("vec_id") + col("c") * lit(stride)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("c"), lit(64L)).cast("int"), -x).otherwise(x))
+          .as("embedding"))
+    base.unionByName(shards)
+  }
+
+  /** 10 disjoint event shards: event_id and user_id offset by per-shard
+    * strides, timestamps unchanged — 10× the event volume AND 10× the
+    * concurrent session state (user keys), the dimension that stresses a
+    * stateful streaming operator.
+    */
+  def synthesizeDecadeEvents(ev: DataFrame): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = ev.select(cols.map(col): _*)
+    val strideE = 1L + base.agg(max(col("event_id"))).head.getLong(0)
+    val strideU = 1L + base.agg(max(col("user_id"))).head.getLong(0)
+    val shards = base
+      .select(col("*"), explode(sequence(lit(1L), lit(9L))).as("c"))
+      .select((col("event_id") + col("c") * lit(strideE)).as("event_id"),
+        col("ts"), (col("user_id") + col("c") * lit(strideU)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    base.unionByName(shards)
+  }
+
+  /** IVF index + partial-probe profile: index build wall, probe wall for 50
+    * queries at nprobe 8/32, and the measured fraction of index rows inside
+    * probed cell directories — the partition-pruning evidence (a probe that
+    * scans ~nprobe/nlist of the corpus at 10× is the sub-linear scale path;
+    * one that scans everything is a broken index).
+    */
+  private def profileAnn(spark: SparkSession, label: String, emb: DataFrame): String = {
+    val nVecs = emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString + "/idx"
+    val cents = Similarity.ivfCentroids(emb, 32)
+    val (_, tIndex) = timed {
+      Similarity.ivfIndex(emb, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+    }
+    val idx = spark.read.parquet(dir)
+    val q = emb.where(col("vec_id") < 50)
+    val (nRes, tProbe) = timed(
+      Similarity.ivfTopKIndexed(idx, cents, q, 10, nprobe = 8).count())
+    val probed = q.select(
+        explode(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 8)).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val rowsProbed = idx.where(col("cell").isin(probed.map(Integer.valueOf): _*)).count()
+    f"""{"corpus":"$label","n_vecs":$nVecs,"index_sec":$tIndex%.2f,""" +
+      f""""probe50_sec":$tProbe%.2f,"topk_rows":$nRes,"probed_cells":${probed.length},""" +
+      f""""scan_frac":${rowsProbed.toDouble / nVecs}%.3f}"""
+  }
+
+  /** Streaming backfill profile: the windowed aggregate (state ∝ windows ×
+    * types — constant in corpus size) and gap sessionization (state ∝ live
+    * users — the dimension the decade multiplies by 10).
+    */
+  private def profileStream(spark: SparkSession, label: String, path: String): String = {
+    val (nWin, tWin) = timed(EventStream.backfillWindowedCounts(spark, path).count())
+    val (nSess, tSess) = timed(EventStream.backfillSessions(spark, path).count())
+    f"""{"corpus":"$label","windows":$nWin,"win_sec":$tWin%.2f,""" +
+      f""""sessions":$nSess,"sess_sec":$tSess%.2f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -97,6 +172,21 @@ object ScaleProbe {
     Dedup.jaccardPairs(organic).count()
     println(profile("sf0.1", organic))
     println(profile("sf0.1x10", decade))
+
+    // ANN index path at 1× and 10× (probe pruning must hold at scale)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val embDir = java.nio.file.Files.createTempDirectory("graft-decade-emb").toString + "/embeddings"
+    synthesizeDecadeEmb(emb).write.mode("overwrite").parquet(embDir)
+    println(profileAnn(spark, "emb-1x", emb))
+    println(profileAnn(spark, "emb-10x", spark.read.parquet(embDir)))
+
+    // streaming backfills at 1× and 10× users/events
+    val evDir = java.nio.file.Files.createTempDirectory("graft-decade-ev").toString + "/events"
+    synthesizeDecadeEvents(spark.read.parquet(s"$sfDir/events.parquet"))
+      .write.mode("overwrite").parquet(evDir)
+    println(profileStream(spark, "events-1x", s"$sfDir/events.parquet"))
+    println(profileStream(spark, "events-10x", evDir))
     spark.stop()
   }
 }

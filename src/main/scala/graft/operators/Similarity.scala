@@ -172,20 +172,22 @@ object Similarity {
     */
   def lloydRefine(corpus: DataFrame, seed: Seq[Seq[Float]], iters: Int = 4): Seq[Seq[Float]] = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dim = seed.headOption.map(_.size).getOrElse(0)
     var cents = seed
     for (_ <- 0 until iters) {
       val assigned = corpus.select(
         element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
           .as("cell"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
+      // ONE map-side-combining aggregate per iteration; the nlist × dim
+      // (cell, dim, mean) rows ARE the codebook snapshot, so they collect
+      // directly — no second shuffle to re-assemble vectors distributedly
       val means = assigned.groupBy("cell", "dim")
-        .agg((sum(col("x").cast("decimal(38,16)")) / count(lit(1))).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"),
-          transform(col("dm"), e => e.getField("m").cast("float")).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+        .agg((sum(col("x").cast("decimal(38,16)")) / count(lit(1)))
+          .cast("float").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(2)).toMap
+      cents = cents.indices.map(i =>
+        (0 until dim).map(j => means.getOrElse((i, j), cents(i)(j))))
     }
     cents
   }
