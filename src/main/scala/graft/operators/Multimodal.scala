@@ -133,6 +133,28 @@ object Multimodal {
       .reduce(_ + _)
   }
 
+  /** (offset, width) of each pigeonhole band: the `totalBits` hash bits
+    * partitioned EXACTLY across `bands` bands (widths differ by at most 1,
+    * e.g. 29 bits / 7 bands → 5,4,4,4,4,4,4). A uniform rounded-up width
+    * would push the last band past the top bit, giving it an all-zero key
+    * every row shares — the banded self-join would silently degenerate to a
+    * full cross product. Exact partitioning keeps the pigeonhole guarantee
+    * (≤ bands−1 flips leave some band untouched) AND every band
+    * discriminating. Spec-pinned for all legal band counts.
+    */
+  private[graft] def bandLayout(totalBits: Int, bands: Int): Seq[(Int, Int)] = {
+    require(bands >= 1 && bands <= totalBits, s"bands must be in [1, $totalBits]")
+    val widths = {
+      var remaining = totalBits
+      (0 until bands).map { i =>
+        val w = (remaining + (bands - i) - 1) / (bands - i)
+        remaining -= w
+        w
+      }
+    }
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
   /** Media near-duplicate pairs by perceptual hash: all (a, b) with
     * Hamming(pHash(a), pHash(b)) ≤ maxHamming, blocked by the SimHash
     * pigeonhole — the hash splits into maxHamming+1 bands, and two hashes
@@ -149,14 +171,15 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 6,
       s"maxHamming must be in [0, 6] (29-bit hash), got $maxHamming")
     val bands = maxHamming + 1
-    val width = 29 / bands + 1
+    val layout = bandLayout(29, bands)
     val ph = media.select(col("media_id"), perceptualHash(col("payload")).as("ph"))
       .repartition(col("media_id"))
     val banded = ph.select(col("media_id"),
-        explode(array((0 until bands).map(bd =>
+        explode(array(layout.zipWithIndex.map { case ((off, w), bd) =>
           struct(lit(bd).as("band"),
-            shiftright(col("ph"), bd * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+            shiftright(col("ph"), off)
+              .bitwiseAND(lit((1L << w) - 1)).as("key"))
+        }: _*)).as("bk"))
       .select(col("media_id"), col("bk.band"), col("bk.key"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -76,8 +76,14 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing at
     * least one signature band with the query; exact cosine re-ranks the
-    * candidates. bits=16, bands=4 → 4-bit band keys; recall rises with
-    * bands, cost with bucket size — both independent of |corpus|·|queries|.
+    * candidates. Recall rises with bands (more independent chances to
+    * collide), candidate volume with 2^-r per band (r = bits/bands) — both
+    * independent of |corpus|·|queries|. Defaults are the r10-tuned knobs:
+    * 24 bits / 8 bands (3-bit keys) measures recall@10 = 0.85 on organic
+    * sf0.01 geometry vs 0.384 for the old 16/4 (v11_ann_recall pins both —
+    * organic top-10 neighbors sit at moderate cosine, so short bands with
+    * many tables is the right end of the S-curve; high-threshold near-dup
+    * blocking wants the opposite, see [[cosineNearDupPairs]]).
     */
   /** The shared SRP preparation stage of [[lshTopK]] and
     * [[cosineNearDupPairs]]: (id, embedding, norm, signature) materialized
@@ -107,7 +113,7 @@ object Similarity {
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bits: Int = 16, bands: Int = 4): DataFrame = {
+              bits: Int = 24, bands: Int = 8): DataFrame = {
     val prep = withSigNorm(corpus, "vec_id", "embedding", "nrm", bits)
     val qprep = withSigNorm(queries, "q_id", "q_emb", "q_nrm", bits)
     val candIds = bandedKeys(prep, "vec_id", bits, bands)
@@ -206,10 +212,15 @@ object Similarity {
     * once at ingest and the table is bucketed by cell); each query probes its
     * `nprobe` nearest cells; candidates re-rank by exact cosine. Probing all
     * cells (nprobe = nlist) degrades gracefully to exact brute force —
-    * spec-asserted.
+    * spec-asserted. Default nprobe=16 is the r10-tuned knob: measured
+    * recall@10 on organic sf0.01 geometry is 0.772 (hash codebook) / 0.84
+    * (Lloyd-refined) vs 0.55 / 0.658 at nprobe=8 (v11_ann_recall pins all
+    * four) — organic neighbors straddle cell boundaries, so probe breadth
+    * buys recall linearly in scanned-cell cost until the Lloyd balance
+    * caps the per-cell bill.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 32, nprobe: Int = 8): DataFrame = {
+              nlist: Int = 32, nprobe: Int = 16): DataFrame = {
     val cents = ivfCentroids(corpus, nlist)
     ivfTopKIndexed(ivfIndex(corpus, cents), cents, queries, k, nprobe)
   }
@@ -353,9 +364,16 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
   }
 
-  /** One-call PQ search: build codebooks, encode, search. */
+  /** One-call PQ search: build codebooks, encode, search. Defaults are the
+    * r10-tuned knobs: 64 codes/subspace halves per-slice quantization error
+    * vs 32 and shortlist 150 gives the exact re-rank three times the slack —
+    * measured recall@10 = 0.948 on organic sf0.01 geometry vs 0.64 for
+    * m8x32/sl50 (v11_ann_recall pins both). Cost: codes stay m bytes/row,
+    * ADC reconstruction doubles its codebook lookups, re-rank fetches 150
+    * full vectors per query — still shortlist-bounded, never corpus-bounded.
+    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 8, codesPerSub: Int = 32, shortlistSize: Int = 50): DataFrame = {
+             m: Int = 8, codesPerSub: Int = 64, shortlistSize: Int = 150): DataFrame = {
     val books = pqCodebooks(corpus, m, codesPerSub)
     pqTopKIndexed(pqEncode(corpus, books), books, corpus, queries, k, shortlistSize)
   }

@@ -615,4 +615,34 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       bad shouldBe Set("{\"doc_id\": 3, \"text\":", "garbage")
     } finally q.unpersist()
   }
+
+  test("pHash band layout partitions all 29 bits with no empty band at any legal maxHamming") {
+    for (bands <- 1 to 7) {
+      val layout = graft.operators.Multimodal.bandLayout(29, bands)
+      layout.map(_._2).sum shouldBe 29 // exact partition: pigeonhole holds
+      all(layout.map(_._2)) should be >= 1 // no degenerate (constant-key) band
+      // bands tile [0, 29) contiguously — none reaches past the top bit
+      layout.foldLeft(0) { case (expectOff, (off, w)) =>
+        off shouldBe expectOff; off + w
+      } shouldBe 29
+    }
+  }
+
+  test("media near-dup pairs equal brute-force Hamming filter at the max band count") {
+    val media = graft.operators.Multimodal.mediaFromDocuments(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60))
+    val ph = media.select($"media_id",
+      graft.operators.Multimodal.perceptualHash($"payload").as("ph"))
+    val brute = ph.as("a").join(ph.as("b"), $"a.media_id" < $"b.media_id")
+      .select($"a.media_id".as("a_id"), $"b.media_id".as("b_id"),
+        bit_count($"a.ph".bitwiseXOR($"b.ph")).cast("long").as("hamming"))
+      .where($"hamming" <= 6)
+      .as[(Long, Long, Long)].collect().toSet
+    // maxHamming=6 is the layout's stress case: a uniform rounded-up width
+    // would give band 6 an all-zero key (the r9 cross-product bug)
+    val banded = graft.operators.Multimodal.mediaNearDupPairs(media, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    banded shouldBe brute
+    brute should not be empty
+  }
 }
