@@ -112,13 +112,19 @@ object ScaleProbe {
     val q = emb.where(col("vec_id") < 50)
     val (nRes, tProbe) = timed(
       Similarity.ivfTopKIndexed(idx, cents, q, 10, nprobe = 8).count())
-    val probed = q.select(
+    // Pruning evidence is PER QUERY: each query reads only its nprobe cells'
+    // rows, so the statistic that bounds probe cost is the mean fraction of
+    // index rows inside one query's probed cells (≈ nprobe/nlist under
+    // balanced occupancy). The union across 50 queries covers every cell at
+    // this nlist and would misread as "no pruning".
+    val occ = Similarity.cellOccupancy(idx)
+    val scanFracQ = q.select(col("vec_id").as("q_id"),
         explode(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 8)).as("cell"))
-      .distinct().collect().map(_.getInt(0))
-    val rowsProbed = idx.where(col("cell").isin(probed.map(Integer.valueOf): _*)).count()
+      .join(occ, "cell").groupBy("q_id").agg(sum(col("n")).as("rows_probed"))
+      .agg(avg(col("rows_probed"))).head.getDouble(0) / nVecs
     f"""{"corpus":"$label","n_vecs":$nVecs,"index_sec":$tIndex%.2f,""" +
-      f""""probe50_sec":$tProbe%.2f,"topk_rows":$nRes,"probed_cells":${probed.length},""" +
-      f""""scan_frac":${rowsProbed.toDouble / nVecs}%.3f}"""
+      f""""probe50_sec":$tProbe%.2f,"topk_rows":$nRes,""" +
+      f""""scan_frac_per_query":$scanFracQ%.3f}"""
   }
 
   /** Streaming backfill profile: the windowed aggregate (state ∝ windows ×
