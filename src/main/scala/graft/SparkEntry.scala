@@ -874,6 +874,24 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity: composed IVF-PQ — the billion-vector production
+    // architecture (coarse cells prune WHERE to look via partition-pruned
+    // directories, PQ codes compress WHAT is stored to m bytes/row; raw
+    // vectors fetched for the shortlist only). The planted top-10 must
+    // survive the cell cut AND the lossy quantization AND the shortlist
+    // cut, so the same exact-cosine oracle gates the whole composition
+    "v12_ivfpq_topk" -> ((s, d) => {
+      val corpus = plantedTopKEmb(s, d)
+      val cents = Similarity.ivfCentroids(corpus, 32)
+      val books = Similarity.pqCodebooks(corpus, 8, 64)
+      val dir = scratch("v12-ivfpqidx") // per-process fixed dir: no per-run leak
+      Similarity.ivfPqIndex(corpus, cents, books).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+      Similarity.ivfPqTopKIndexed(s.read.parquet(dir), cents, books, corpus,
+          emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8, shortlistSize = 150)
+        .orderBy("q_id", "rank")
+    }),
+
     // Similarity: MEASURED recall@10 of every approximate ANN path against
     // the exact scan, on ORGANIC geometry (no plants — the real
     // neighborhood structure the planted oracles deliberately sidestep,
@@ -922,6 +940,7 @@ object SparkEntry {
         .unionByName(leg("pq_m8x32_sl50",
           Similarity.pqTopK(e, q, 10, m = 8, codesPerSub = 32, shortlistSize = 50)))
         .unionByName(leg("pq_m8x64_sl150", Similarity.pqTopK(e, q, 10)))
+        .unionByName(leg("ivfpq_np16_m8x64_sl150", Similarity.ivfPqTopK(e, q, 10)))
         .orderBy("method")
     }),
 
@@ -1807,6 +1826,10 @@ object SparkEntry {
       // the query vectors, so the refined partial probe must return the
       // same exact answer
       "v10_ivf_lloyd" -> plantedTopkSql,
+      // v12: the IVF-PQ composition must recall the planted top-10 through
+      // the partial probe AND the lossy codes AND the shortlist — then the
+      // exact re-rank reproduces the exact answer
+      "v12_ivfpq_topk" -> plantedTopkSql,
       // v11: measured recall@10 pinned at sf0.01 — every path is
       // hash-deterministic, so these integers reproduce bit-for-bit
       // (values measured by running the registered entry; see the entry
@@ -1824,6 +1847,7 @@ object SparkEntry {
           "('ivf_lloyd_nprobe8', 329::BIGINT, 500::BIGINT, 0.658::DOUBLE), " +
           "('ivf_nprobe16', 386::BIGINT, 500::BIGINT, 0.772::DOUBLE), " +
           "('ivf_nprobe8', 275::BIGINT, 500::BIGINT, 0.55::DOUBLE), " +
+          "('ivfpq_np16_m8x64_sl150', 382::BIGINT, 500::BIGINT, 0.764::DOUBLE), " +
           "('lsh_16x4', 192::BIGINT, 500::BIGINT, 0.384::DOUBLE), " +
           "('lsh_24x8', 425::BIGINT, 500::BIGINT, 0.85::DOUBLE), " +
           "('pq_m8x32_sl50', 320::BIGINT, 500::BIGINT, 0.64::DOUBLE), " +

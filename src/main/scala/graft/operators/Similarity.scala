@@ -352,10 +352,20 @@ object Similarity {
     val shortlist = approx.withColumn("srank", row_number().over(ws))
       .where(col("srank") <= shortlistSize)
       .select(col("q_id"), col("vec_id"))
+    exactRerank(shortlist, corpus, q, k)
+  }
+
+  /** Exact-cosine re-rank of an (q_id, vec_id) shortlist: fetch the raw
+    * vectors for shortlist rows alone, score against the broadcast query
+    * side, keep top-k. Shared by every two-phase search (PQ, IVF-PQ) —
+    * the cost is shortlist-bounded, never corpus-bounded.
+    */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+                          q: DataFrame, k: Int): DataFrame = {
     val exact = shortlist
       .join(corpus.select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm")), "vec_id")
-      .join(q.select(col("q_id"), col("q_emb"), col("q_nrm")), "q_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_nrm")).distinct()), "q_id")
       .select(col("q_id"), col("vec_id"),
         cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
@@ -376,6 +386,72 @@ object Similarity {
              m: Int = 8, codesPerSub: Int = 64, shortlistSize: Int = 150): DataFrame = {
     val books = pqCodebooks(corpus, m, codesPerSub)
     pqTopKIndexed(pqEncode(corpus, books), books, corpus, queries, k, shortlistSize)
+  }
+
+  // ----------------------------------------------------------------- IVF-PQ
+
+  /** The composed IVF-PQ index — the production architecture for
+    * billion-vector ANN (coarse quantizer prunes WHERE to look, product
+    * quantizer compresses WHAT is stored): `(vec_id, codes, cell)` with
+    * cell from the coarse codebook and codes from the subspace codebooks,
+    * written `partitionBy("cell")`. The hot index is m bytes of codes + an
+    * id per row — raw embeddings appear nowhere in it (spec-pinned); they
+    * stay in the cold corpus table and are fetched only for shortlist
+    * re-ranking. At 100 TB of vectors the index is ~100s of GB — cache-able
+    * on a modest cluster while the corpus stays on disk.
+    */
+  def ivfPqIndex(corpus: DataFrame, cents: Seq[Seq[Float]],
+                 books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val dsub = books.head.head.size
+    val codes = array(books.indices.map(j =>
+      element_at(graft.functions.VectorHash.ivfProbeCol(
+        slice(col("embedding"), j * dsub + 1, dsub), books(j), 1), 1)): _*)
+    corpus.select(col("vec_id"), codes.as("codes"),
+      element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
+        .as("cell"))
+  }
+
+  /** Three-phase IVF-PQ search over the composed index: (1) the broadcast
+    * query side explodes to its nprobe nearest cells and the cell equi-join
+    * prunes the index scan to probed cell directories (dynamic partition
+    * pruning, plan-pinned); (2) ADC — each surviving code row scores
+    * against its reconstruction, per-query shortlist kept; (3) exact
+    * cosine re-rank fetches raw vectors for shortlist rows alone. Cost at
+    * scale: (nprobe/nlist) of the COMPRESSED index scanned per query, then
+    * shortlist-bounded raw fetches — both knobs (nprobe, shortlistSize)
+    * carry measured recall in v11_ann_recall; nprobe = nlist AND
+    * shortlistSize = |corpus| degrades exactly to brute force
+    * (spec-pinned).
+    */
+  def ivfPqTopKIndexed(index: DataFrame, cents: Seq[Seq[Float]],
+                       books: Seq[Seq[Seq[Float]]], corpus: DataFrame,
+                       queries: DataFrame, k: Int, nprobe: Int,
+                       shortlistSize: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
+        explode(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, nprobe)).as("cell")))
+    val approx = index.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("r_emb", pqRecon(col("codes"), books))
+      .withColumn("r_nrm", norm(col("r_emb")))
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("r_emb"), col("q_nrm"), col("r_nrm")).as("adc"))
+    val ws = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = approx.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlistSize)
+      .select(col("q_id"), col("vec_id"))
+    exactRerank(shortlist, corpus, q, k)
+  }
+
+  /** One-call IVF-PQ search: build both codebooks, index, search. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 32, nprobe: Int = 16, m: Int = 8,
+                codesPerSub: Int = 64, shortlistSize: Int = 150): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist)
+    val books = pqCodebooks(corpus, m, codesPerSub)
+    ivfPqTopKIndexed(ivfPqIndex(corpus, cents, books), cents, books,
+      corpus, queries, k, nprobe, shortlistSize)
   }
 
   // ------------------------------------------------- embedding near-dup pairs

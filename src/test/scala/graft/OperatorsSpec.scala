@@ -384,6 +384,32 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     codes.foreach { c => c.size shouldBe 4; c.foreach(x => x should (be >= 0 and be < 8)) }
   }
 
+  test("ivf-pq: full probe + full shortlist degrades exactly to brute force; index carries no raw vectors") {
+    val q = embDf.where($"vec_id" < 3)
+    val cents = Similarity.ivfCentroids(embDf, 8)
+    val books = Similarity.pqCodebooks(embDf, 4, 8)
+    val idx = Similarity.ivfPqIndex(embDf, cents, books)
+    // the compression contract: the hot index is (id, m codes, cell) ONLY
+    idx.columns.toSet shouldBe Set("vec_id", "codes", "cell")
+    val out = Similarity.ivfPqTopKIndexed(idx, cents, books, embDf, q, 5,
+        nprobe = 8, shortlistSize = 39)
+      .orderBy("q_id", "rank").collect().toSeq
+    val bf = Similarity.bruteForceTopK(embDf, q, 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    out shouldBe bf
+  }
+
+  test("ivf-pq: partial probe finds a parallel vector through its shared cell and codes") {
+    // vector 1 is parallel to query 0 → same nearest cell (probed first),
+    // identical subspace codes (maximal ADC), survives a tight shortlist,
+    // re-ranks to exact cos 1.0 at rank 1
+    val out = Similarity.ivfPqTopK(embDf, embDf.where($"vec_id" === 0), 5,
+        nlist = 8, nprobe = 2, m = 4, codesPerSub = 8, shortlistSize = 10)
+      .orderBy("rank").collect()
+    out.head.getLong(2) shouldBe 1L
+    out.head.getDouble(3) shouldBe 1.0
+  }
+
   test("pq top-k: a parallel vector shares codes with the query and survives a tight shortlist") {
     // vectors 0 and 1 are parallel → identical subspace assignments →
     // maximal ADC → must appear in even a k-deep shortlist, then re-rank

@@ -249,6 +249,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
   }
 
+  test("ivf-pq probe prunes the cell-partitioned compressed index scan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = graft.operators.Similarity.ivfCentroids(corpus, 8)
+    val books = graft.operators.Similarity.pqCodebooks(corpus, 8, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-audit").toString + "/idx"
+    graft.operators.Similarity.ivfPqIndex(corpus, cents, books)
+      .write.partitionBy("cell").parquet(dir)
+    val out = graft.operators.Similarity.ivfPqTopKIndexed(
+      spark.read.parquet(dir), cents, books, corpus,
+      corpus.where($"vec_id" < 2), 5, nprobe = 2, shortlistSize = 20)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("Broadcast")
+    plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
+  }
+
   test("salted join keys on (key, salt): the salt column reaches the join condition") {
     val probe = Seq((1L, "k", 1)).toDF("id", "k", "v")
     val build = Seq(("k", "t")).toDF("k", "tag")
