@@ -1044,6 +1044,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X9 schema evolution: the documents table written as two GENERATIONS
+    // — gen-0 predates the n_chars column, gen-1 carries it — read back as
+    // one table via footer-merged schema (mergeSchema), gen-0 rows
+    // null-filled: the add-a-column migration without rewriting history
+    "x9_schema_evolution" -> ((s, d) => {
+      val src = docs(s, d)
+      val root = scratch("x9-evolve") // overwrite-reuse: no per-call leak
+      src.where(col("doc_id") % 2 === 0).select("doc_id", "lang", "source")
+        .write.mode("overwrite").parquet(s"$root/gen0")
+      src.where(col("doc_id") % 2 === 1).select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      graft.sources.SchemaEvolution.readMerged(s, s"$root/gen0", s"$root/gen1")
+        .orderBy("doc_id")
+    }),
+
+    // X10 small-file compaction: the corpus deliberately shattered into 64
+    // files, then rewritten to ~target-sized files (count measured from
+    // input bytes). Row fidelity is the oracle gate; the file-count
+    // contract (64 → ceil(bytes/target)) is spec-pinned
+    "x10_compaction" -> ((s, d) => {
+      val root = scratch("x10-compact") // overwrite-reuse: no per-call leak
+      docs(s, d).repartition(64).write.mode("overwrite").parquet(s"$root/small")
+      graft.sources.Compaction.compact(s, s"$root/small", s"$root/compacted", 1L << 20)
+      s.read.parquet(s"$root/compacted")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // X5 bucketed storage layout: orders + lineitem written bucketBy(16)
     // on the order key, then joined exchange-free (the buckets ARE the
     // shuffle output — the one-time layout decision that deletes the
@@ -1911,6 +1940,15 @@ object SparkEntry {
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),
       "x8_orc_roundtrip" ->
+        ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
+          "FROM documents ORDER BY doc_id"),
+      // x9: gen-0 rows (even ids) predate n_chars → null after the merge
+      "x9_schema_evolution" ->
+        ("SELECT doc_id, lang, source, " +
+          "CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars " +
+          "FROM documents ORDER BY doc_id"),
+      // x10: compaction changes physical layout only — rows are identical
+      "x10_compaction" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),
       "x5_bucketed_join" ->

@@ -642,6 +642,40 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     } finally q.unpersist()
   }
 
+  test("schema-evolution merge: old-generation rows null-fill the added column, new keep it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-evolve-spec").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/gen0")
+    Seq((2L, "b", 9L)).toDF("id", "v", "extra").write.parquet(s"$root/gen1")
+    val merged = graft.sources.SchemaEvolution.readMerged(spark, s"$root/gen0", s"$root/gen1")
+    merged.columns.toSet shouldBe Set("id", "v", "extra")
+    merged.orderBy("id").select("id", "v", "extra")
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq shouldBe Seq((1L, "a", -1L), (2L, "b", 9L))
+  }
+
+  test("compaction: 64 shattered files rewrite to the byte-sized count with identical rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src.repartition(64).write.parquet(s"$root/small")
+    def parquetFiles(dir: String): Int = {
+      def walk(p: java.nio.file.Path): Int =
+        if (java.nio.file.Files.isDirectory(p)) graft.util.FsUtil.listDir(p)(_.map(walk).sum)
+        else if (p.getFileName.toString.endsWith(".parquet")) 1 else 0
+      walk(java.nio.file.Paths.get(dir))
+    }
+    parquetFiles(s"$root/small") shouldBe 64
+    val target = 1L << 20
+    val n = graft.sources.Compaction.compact(spark, s"$root/small", s"$root/compacted", target)
+    n shouldBe math.max(1L,
+      (graft.sources.Compaction.dataBytes(s"$root/small") + target - 1) / target).toInt
+    parquetFiles(s"$root/compacted") shouldBe n
+    n should be < 64
+    // physical layout only — the rows are untouched
+    spark.read.parquet(s"$root/compacted").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe
+      src.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+  }
+
   test("pHash band layout partitions all 29 bits with no empty band at any legal maxHamming") {
     for (bands <- 1 to 7) {
       val layout = graft.operators.Multimodal.bandLayout(29, bands)
