@@ -127,6 +127,33 @@ object ScaleProbe {
       f""""scan_frac_per_query":$scanFracQ%.3f}"""
   }
 
+  /** IVF-PQ profile: the compression-tier evidence — on-disk bytes of the
+    * coded index vs the raw corpus parquet (the hot/cold split ratio), plus
+    * the composed search wall. At 100 TB the ratio is what decides whether
+    * the hot index fits a cluster's cache.
+    */
+  private def profileIvfPq(spark: SparkSession, label: String,
+                           emb: DataFrame, rawDir: String): String = {
+    val nVecs = emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-ivfpq").toString + "/idx"
+    val cents = Similarity.ivfCentroids(emb, 32)
+    val books = Similarity.pqCodebooks(emb, 8, 64)
+    val (_, tIndex) = timed {
+      Similarity.ivfPqIndex(emb, cents, books).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+    }
+    val idxBytes = graft.sources.Compaction.dataBytes(dir)
+    val rawBytes = graft.sources.Compaction.dataBytes(rawDir)
+    val q = emb.where(col("vec_id") < 50)
+    val (nRes, tProbe) = timed(
+      Similarity.ivfPqTopKIndexed(spark.read.parquet(dir), cents, books, emb,
+        q, 10, nprobe = 16, shortlistSize = 150).count())
+    f"""{"corpus":"$label","n_vecs":$nVecs,"index_sec":$tIndex%.2f,""" +
+      f""""index_bytes":$idxBytes,"raw_bytes":$rawBytes,""" +
+      f""""compression":${rawBytes.toDouble / idxBytes}%.1f,""" +
+      f""""probe50_sec":$tProbe%.2f,"topk_rows":$nRes}"""
+  }
+
   /** Streaming backfill profile: the windowed aggregate (state ∝ windows ×
     * types — constant in corpus size) and gap sessionization (state ∝ live
     * users — the dimension the decade multiplies by 10).
@@ -186,6 +213,8 @@ object ScaleProbe {
     synthesizeDecadeEmb(emb).write.mode("overwrite").parquet(embDir)
     println(profileAnn(spark, "emb-1x", emb))
     println(profileAnn(spark, "emb-10x", spark.read.parquet(embDir)))
+    println(profileIvfPq(spark, "ivfpq-1x", emb, s"$sfDir/embeddings.parquet"))
+    println(profileIvfPq(spark, "ivfpq-10x", spark.read.parquet(embDir), embDir))
 
     // streaming backfills at 1× and 10× users/events
     val evDir = java.nio.file.Files.createTempDirectory("graft-decade-ev").toString + "/events"
