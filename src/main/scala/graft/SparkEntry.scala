@@ -1059,6 +1059,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X11 range-sorted layout: events range-partitioned + sorted on ts so
+    // every file/row group carries tight min/max footer stats; the
+    // hour-range read prunes via PushedFilters (plan-pinned in
+    // PlanAuditSpec) — the sub-directory pruning tier. Oracle = the same
+    // range aggregate straight off the original table
+    "x11_sorted_scan" -> ((s, d) => {
+      val out = scratch("x11-sorted") + "/events" // overwrite-reuse: no per-call leak
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      graft.sources.SortedLayout.write(ev, "ts", out, files = 16)
+      graft.sources.SortedLayout.readRange(s, out, "ts",
+          lit("2024-01-15 00:00:00").cast("timestamp"),
+          lit("2024-01-15 06:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // X10 small-file compaction: the corpus deliberately shattered into 64
     // files, then rewritten to ~target-sized files (count measured from
     // input bytes). Row fidelity is the oracle gate; the file-count
@@ -1951,6 +1969,13 @@ object SparkEntry {
       "x10_compaction" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),
+      // x11: the layout rewrite must not change the range aggregate
+      "x11_sorted_scan" ->
+        ("SELECT event_type, count(*) AS cnt, " +
+          "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events " +
+          "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-15 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 06:00:00' " +
+          "GROUP BY 1 ORDER BY 1"),
       "x5_bucketed_join" ->
         ("SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS qty " +
           "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +

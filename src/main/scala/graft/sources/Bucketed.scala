@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bucketed parquet tables — the storage-layout half of shuffle
@@ -70,4 +70,36 @@ object DatePartitioned {
     */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).where(col("event_date") === lit(day))
+}
+
+/** Range-sorted parquet layout — the third pruning tier, below directory
+  * partitioning: rows range-partitioned AND sorted on a scan predicate
+  * column, so every file (and every row group inside it) covers a narrow
+  * disjoint value range and carries tight min/max footer statistics. A
+  * range filter then skips whole files/row groups at read time via the
+  * pushed-down predicate — finer-grained than directories (no directory
+  * explosion) and orthogonal to them (partition by day, range-sort by
+  * timestamp WITHIN the day, and an hour-range query opens 1/24th of one
+  * day's bytes). This is the parquet-native form of what table formats
+  * call clustering/Z-ordering on one dimension.
+  */
+object SortedLayout {
+
+  /** Write `df` range-partitioned and sorted on `sortCol` into `files`
+    * files. `repartitionByRange` (NOT round-robin `repartition`): round
+    * robin would spread every value range across every file, making the
+    * min/max stats span everything and prune nothing.
+    */
+  def write(df: DataFrame, sortCol: String, path: String, files: Int): Unit =
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Range-read: both bounds reach the parquet scan as PushedFilters
+    * (plan-pinned), where the footer min/max statistics skip non-
+    * overlapping files and row groups.
+    */
+  def readRange(spark: SparkSession, path: String, sortCol: String,
+                lo: Column, hi: Column): DataFrame =
+    spark.read.parquet(path).where(col(sortCol) >= lo && col(sortCol) < hi)
 }

@@ -265,6 +265,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
   }
 
+  test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted-audit").toString + "/ev"
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    graft.sources.SortedLayout.write(ev, "ts", dir, files = 4)
+    val out = graft.sources.SortedLayout.readRange(spark, dir, "ts",
+      org.apache.spark.sql.functions.lit("2024-01-10 00:00:00").cast("timestamp"),
+      org.apache.spark.sql.functions.lit("2024-01-11 00:00:00").cast("timestamp"))
+    val plan = out.queryExecution.executedPlan.toString
+    // the footer-stat skip only happens for predicates the scan received
+    plan should include regex """PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts"""
+    plan should include regex """PushedFilters: \[[^\]]*LessThan\(ts"""
+  }
+
   test("salted join keys on (key, salt): the salt column reaches the join condition") {
     val probe = Seq((1L, "k", 1)).toDF("id", "k", "v")
     val build = Seq(("k", "t")).toDF("k", "tag")
