@@ -213,7 +213,12 @@ object ScaleProbe {
     synthesizeDecadeEmb(emb).write.mode("overwrite").parquet(embDir)
     println(profileAnn(spark, "emb-1x", emb))
     println(profileAnn(spark, "emb-10x", spark.read.parquet(embDir)))
-    println(profileIvfPq(spark, "ivfpq-1x", emb, s"$sfDir/embeddings.parquet"))
+    // like-for-like compression baselines: the 1x raw copy carries exactly
+    // the columns the index is built from (the source table's extra label
+    // column would inflate the denominator)
+    val rawDir1x = java.nio.file.Files.createTempDirectory("graft-raw-emb").toString + "/embeddings"
+    emb.write.mode("overwrite").parquet(rawDir1x)
+    println(profileIvfPq(spark, "ivfpq-1x", emb, rawDir1x))
     println(profileIvfPq(spark, "ivfpq-10x", spark.read.parquet(embDir), embDir))
 
     // streaming backfills at 1× and 10× users/events

@@ -1888,7 +1888,11 @@ object SparkEntry {
       // values, making "the pin is SF-keyed" the visible diff rather than
       // a silent false engine failure
       "v11_ann_recall" ->
-        ("WITH fp AS (SELECT count(*)*100000 + sum(label) AS v FROM embeddings) " +
+        // ::BIGINT on the fingerprint: sum() is HUGEINT in DuckDB, and the
+        // stale branch would otherwise coerce the whole total column to
+        // HUGEINT — a schema mismatch against Spark's LongType even when
+        // every value matches
+        ("WITH fp AS (SELECT (count(*)*100000 + sum(label))::BIGINT AS v FROM embeddings) " +
           "SELECT * FROM (VALUES " +
           "('ivf_lloyd_nprobe16', 420::BIGINT, 500::BIGINT, 0.84::DOUBLE), " +
           "('ivf_lloyd_nprobe8', 329::BIGINT, 500::BIGINT, 0.658::DOUBLE), " +

@@ -51,13 +51,18 @@ object Compaction {
     walk(root)
   }
 
-  /** Rewrite `inDir` into `outDir` with ceil(bytes/targetBytes) output
-    * files: one round-robin shuffle sized from the measured input, then a
-    * plain parquet write. Row-identical to the input (oracle-gated); the
-    * only change is physical layout. `repartition(n)` (not `coalesce`):
+  /** Rewrite `inDir` into `outDir` targeting ceil(bytes/targetBytes)
+    * output files: one round-robin shuffle sized from the measured input,
+    * then a plain parquet write. Row-identical to the input (oracle-gated);
+    * the only change is physical layout. `repartition(n)` (not `coalesce`):
     * coalesce merges whole input partitions without a shuffle, so one
     * oversized input file would pass through un-split and files stay
     * skewed — the point of compaction is uniform target-sized output.
+    *
+    * Returns the number of files actually written — this can be BELOW the
+    * byte-derived target when the input has fewer rows than target files
+    * (empty shuffle partitions write no file) or when footer overhead of a
+    * badly shattered input inflates its byte count.
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long): Int = {
@@ -65,6 +70,10 @@ object Compaction {
     val nFiles = math.max(1L, (dataBytes(inDir) + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).repartition(nFiles)
       .write.mode("overwrite").parquet(outDir)
-    nFiles
+    def countFiles(p: java.nio.file.Path): Int =
+      if (java.nio.file.Files.isDirectory(p))
+        graft.util.FsUtil.listDir(p)(_.map(countFiles).sum)
+      else if (p.getFileName.toString.endsWith(".parquet")) 1 else 0
+    countFiles(java.nio.file.Paths.get(outDir))
   }
 }

@@ -666,9 +666,11 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     parquetFiles(s"$root/small") shouldBe 64
     val target = 1L << 20
     val n = graft.sources.Compaction.compact(spark, s"$root/small", s"$root/compacted", target)
-    n shouldBe math.max(1L,
-      (graft.sources.Compaction.dataBytes(s"$root/small") + target - 1) / target).toInt
+    // returns the files actually written: equal to the on-disk count, at
+    // most the byte-derived target (empty partitions write no file)
     parquetFiles(s"$root/compacted") shouldBe n
+    n should be <= math.max(1L,
+      (graft.sources.Compaction.dataBytes(s"$root/small") + target - 1) / target).toInt
     n should be < 64
     // physical layout only — the rows are untouched
     spark.read.parquet(s"$root/compacted").select("doc_id", "text")
