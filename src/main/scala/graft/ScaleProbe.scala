@@ -39,12 +39,13 @@ object ScaleProbe {
     * directory the probe is pointed at — a fixed stride would silently
     * collide shards once source ids exceed it.
     */
-  def synthesizeDecade(docs: DataFrame): DataFrame = {
+  def synthesizeDecade(docs: DataFrame, nShards: Int = 10): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
     val base = docs.select(col("doc_id"), col("text"))
     val stride = 1L + base.agg(max(col("doc_id"))).head.getLong(0)
     val shards = base
       .select(col("doc_id"), split(col("text"), " ").as("t"),
-        explode(sequence(lit(1L), lit(9L))).as("c"))
+        explode(sequence(lit(1L), lit(nShards - 1L))).as("c"))
       .select((col("doc_id") + col("c") * lit(stride)).as("doc_id"),
         array_join(
           transform(col("t"), tok => concat(tok, col("c").cast("string"))),
@@ -194,17 +195,21 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SCALE_SHARDS widens the document synthesis (default 10 =
+    // one decade; 100 = two decades) — the ANN/streaming probes below stay
+    // at the decade, where their state dimensions are already the story
+    val nShards = sys.env.getOrElse("SPARK_GRAFT_SCALE_SHARDS", "10").toInt
     val organic = spark.read.parquet(s"$sfDir/documents.parquet")
-    // materialize the decade corpus to parquet so every op reads it the way
+    // materialize the scaled corpus to parquet so every op reads it the way
     // it reads the driver corpus (scan-rooted plans, no recompute of synth)
     val dir = java.nio.file.Files.createTempDirectory("graft-decade").toString + "/documents"
-    synthesizeDecade(organic).write.mode("overwrite").parquet(dir)
+    synthesizeDecade(organic, nShards).write.mode("overwrite").parquet(dir)
     val decade = spark.read.parquet(dir)
 
     // warm-up: JIT/codegen on the small corpus
     Dedup.jaccardPairs(organic).count()
     println(profile("sf0.1", organic))
-    println(profile("sf0.1x10", decade))
+    println(profile(s"sf0.1x$nShards", decade))
 
     // ANN index path at 1× and 10× (probe pruning must hold at scale)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
