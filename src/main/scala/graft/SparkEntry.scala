@@ -745,6 +745,15 @@ object SparkEntry {
     "d12_span_removal" -> ((s, d) =>
       Dedup.removeRepeatedSpans(plantedSpanDocs(s, d), k = 8).orderBy("doc_id")),
 
+    // Dedup: exact-substring removal at TRUE window granularity — the
+    // suffix-array-faithful policy (d12's documented under-removal caveat
+    // closed): the first-occurrence election runs per repeated k-token
+    // WINDOW, so boundary-token-extended islands no longer escape the cut.
+    // Same planted corpus and reporting shape; the oracle runs the
+    // identical window election + interval merge + rewrite pipeline
+    "d13_window_removal" -> ((s, d) =>
+      Dedup.removeRepeatedWindows(plantedSpanDocs(s, d), k = 8).orderBy("doc_id")),
+
     // Dedup: fuzzy survivors after collapsing Jaccard near-dup groups
     "d5_fuzzy_survivors" -> ((s, d) =>
       Dedup.fuzzyDedupSurvivors(docs(s, d), Dedup.jaccardPairs(docs(s, d)))
@@ -1817,6 +1826,33 @@ object SparkEntry {
           ", cuts AS (SELECT doc_id, start_tok, end_tok, nt FROM " +
           "(SELECT keyed.*, row_number() OVER (PARTITION BY span_key ORDER BY doc_id, start_tok) AS rn FROM keyed) " +
           "WHERE rn > 1) " +
+          ", agg AS (SELECT doc_id, sum(nt) AS removed_tokens FROM cuts GROUP BY doc_id) " +
+          ", posd AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok FROM toks) " +
+          ", kept AS (SELECT pd.doc_id, pd.i, pd.tok FROM posd pd LEFT JOIN cuts c " +
+          "ON pd.doc_id = c.doc_id AND pd.i - 1 BETWEEN c.start_tok AND c.end_tok " +
+          "WHERE c.doc_id IS NULL) " +
+          ", rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id) " +
+          "SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens, " +
+          "coalesce(a.removed_tokens, 0)::BIGINT AS removed_tokens, " +
+          "md5(coalesce(r.clean_text, '')) AS clean_hash " +
+          "FROM toks t LEFT JOIN agg a USING (doc_id) LEFT JOIN rebuilt r USING (doc_id) " +
+          "ORDER BY t.doc_id"),
+      // d13: the window-granularity election in SQL — row_number per
+      // repeated WINDOW string elects the first (doc_id, p); later
+      // occurrences become k-token cuts, merged per doc into disjoint
+      // intervals by a lag-based island sum (adjacency merges too — the
+      // token union is identical), then the same rewrite tail as d12
+      "d13_window_removal" ->
+        (SpanChain +
+          ", hitw AS (SELECT p.doc_id, p.p, p.s FROM pos p JOIN rep r USING (s)) " +
+          ", cutw AS (SELECT doc_id, p FROM " +
+          "(SELECT hitw.*, row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn FROM hitw) " +
+          "WHERE rn > 1) " +
+          ", isl2 AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER " +
+          "(PARTITION BY doc_id ORDER BY p) <= 8 THEN 0 ELSE 1 END AS ni FROM cutw) " +
+          ", grp AS (SELECT doc_id, p, sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl2) " +
+          ", cuts AS (SELECT doc_id, min(p) AS start_tok, max(p) + 7 AS end_tok, " +
+          "max(p) + 7 - min(p) + 1 AS nt FROM grp GROUP BY doc_id, g) " +
           ", agg AS (SELECT doc_id, sum(nt) AS removed_tokens FROM cuts GROUP BY doc_id) " +
           ", posd AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok FROM toks) " +
           ", kept AS (SELECT pd.doc_id, pd.i, pd.tok FROM posd pd LEFT JOIN cuts c " +

@@ -539,7 +539,8 @@ object Dedup {
     * under-removal relative to true suffix-array substring dedup, bounded
     * by island boundary tokens. The detection tier ([[repeatedSpans]] /
     * [[dupTokenLoad]]) is unaffected; policies needing exact-substring
-    * granularity compose their own election over the span windows.
+    * granularity use [[removeRepeatedWindows]], whose election runs over
+    * the constituent k-token windows and closes exactly this caveat.
     * Output one row per document, [[lineDedup]]'s reporting shape:
     * `(doc_id, n_tokens, removed_tokens, clean_hash)` where clean_hash is
     * md5 of the space-rejoined surviving tokens (text-scale results stay
@@ -553,6 +554,71 @@ object Dedup {
     * Documents with no cuts never materialize a rewrite — they flow
     * through the left join untouched.
     */
+  /** Exact-substring removal at TRUE window granularity — the suffix-array-
+    * faithful twin of [[removeRepeatedSpans]] that closes its documented
+    * under-removal caveat. The election runs over the constituent k-token
+    * WINDOWS (the posting tier itself), not over maximal-island content:
+    * each repeated window keeps its FIRST occurrence (lowest (doc_id, p)
+    * per window CONTENT) and every later occurrence becomes a cut over its
+    * k tokens. Two occurrences of the same repeated substring whose maximal
+    * islands differ by a boundary token therefore share their interior
+    * window keys and the later one IS cut — the case [[removeRepeatedSpans]]
+    * deliberately lets survive. The flip side is inherent to window
+    * granularity (as with suffix-interval removal): a cut window adjacent
+    * to a kept one removes up to k−1 tokens of the kept occurrence's edge.
+    *
+    * Per-document cut windows are merged into disjoint intervals (overlap
+    * OR adjacency — token-set union either way) before the rewrite, so
+    * removed_tokens is exact, never double-counted. Output is
+    * [[removeRepeatedSpans]]'s reporting shape:
+    * `(doc_id, n_tokens, removed_tokens, clean_hash)`.
+    *
+    * At 100 TB: detection is [[repeatedSpans]]' posting chain; the election
+    * is ONE row_number keyed on the window string — the same shuffle the
+    * occurrence count already paid, volume O(repeated positions); the
+    * interval merge shuffles only CUT positions keyed by doc_id; the
+    * rewrite is the narrow per-doc array filter (cut-free docs flow through
+    * the left join untouched).
+    */
+  def removeRepeatedWindows(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"span window k must be >= 2, got $k")
+    val tok = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .repartition(col("doc_id"))
+    val pos = tok.select(col("doc_id"),
+      posexplode(TextAnalysis.ngrams(col("t"), k)).as(Seq("p", "s")))
+    val repeated = pos.groupBy("s").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("s")
+    // first-occurrence election PER WINDOW CONTENT — rn = 1 survives,
+    // every later occurrence of the same window string is a cut
+    val firstW = Window.partitionBy("s").orderBy(col("doc_id"), col("p"))
+    val cutPos = pos.join(repeated, "s")
+      .withColumn("rn", row_number().over(firstW))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), col("p"))
+    // merge per-doc cut windows [p, p+k-1] into disjoint intervals:
+    // a window starting within k of its predecessor overlaps or abuts it
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("p"))
+    val cuts = cutPos
+      .withColumn("new_isl",
+        when(col("p") - lag(col("p"), 1).over(byDoc) <= k, 0).otherwise(1))
+      .withColumn("g", sum(col("new_isl")).over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("start_tok"), (max(col("p")) + lit(k - 1)).as("end_tok"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("cut"),
+        sum(col("end_tok") - col("start_tok") + 1).as("removed_tokens"))
+    tok.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        md5(when(col("cut").isNull, array_join(col("t"), " "))
+          .otherwise(array_join(
+            filter(col("t"), (_, i) =>
+              !exists(col("cut"), c =>
+                i >= c.getField("start_tok") && i <= c.getField("end_tok"))),
+            " ")))
+          .as("clean_hash"))
+  }
+
   def removeRepeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     val tok = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .repartition(col("doc_id"))

@@ -174,6 +174,63 @@ class DedupPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
     out(4L) shouldBe ((4L, 8L, 6L, 0.75)) // tokens 2-7 inside the repeated span
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("removeRepeatedWindows: first occurrence kept, later twin cut entirely, within-doc repeat trimmed") {
+    val docs = Seq(
+      (1L, "m n o p q r"),   // identical twin — first occurrence, survives intact
+      (2L, "m n o p q r"),   // every window already seen in doc 1 → fully cut
+      (3L, "x y z x y z")    // within-doc repeat: "x y z" at p0 kept, p3 cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedWindows(docs, k = 3)
+      .select("doc_id", "n_tokens", "removed_tokens", "clean_hash")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 6L, 0L, md5hex("m n o p q r")))
+    out(2L) shouldBe ((2L, 6L, 6L, md5hex("")))
+    out(3L) shouldBe ((3L, 6L, 3L, md5hex("x y z")))
+  }
+
+  test("removeRepeatedWindows closes d12's boundary-extension caveat: shared-content islands with different boundaries ARE cut") {
+    // Doc 1's island over "c d e f g" extends to "c d e f g h" because
+    // "f g h" also repeats (doc 3); doc 2's island is bare "c d e f g".
+    // d12 keys on maximal-island CONTENT → three distinct keys, nothing
+    // removed (the documented under-removal). d13 keys on the windows
+    // themselves → doc 2 loses "c d e f g", doc 3 loses "f g h".
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z c d e f g q r"),
+      (3L, "f g h u v w")
+    ).toDF("doc_id", "text")
+    val d12 = Dedup.removeRepeatedSpans(docs, k = 3)
+      .select("doc_id", "removed_tokens").as[(Long, Long)].collect().toMap
+    d12 shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 0L) // the caveat, pinned
+    val d13 = Dedup.removeRepeatedWindows(docs, k = 3)
+      .select("doc_id", "n_tokens", "removed_tokens", "clean_hash")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    d13(1L) shouldBe ((1L, 8L, 0L, md5hex("a b c d e f g h")))
+    d13(2L) shouldBe ((2L, 8L, 5L, md5hex("z q r")))
+    d13(3L) shouldBe ((3L, 6L, 3L, md5hex("u v w")))
+  }
+
+  test("removeRepeatedWindows: overlapping cut windows merge — removed_tokens never double-counts") {
+    // doc 2 repeats doc 1's full text twice with a unique separator: cut
+    // windows overlap densely; removed_tokens must equal the true token
+    // union, and the rebuilt text must keep only the separator
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e sep a b c d e")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedWindows(docs, k = 3)
+      .select("doc_id", "n_tokens", "removed_tokens", "clean_hash")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 5L, 0L, md5hex("a b c d e")))
+    // doc 2: every window except those containing "sep" repeats; windows
+    // "c d e"(2), "a b c"(6).. all cut; tokens 0..4 and 6..10 removed
+    out(2L) shouldBe ((2L, 11L, 10L, md5hex("sep")))
+  }
+
   test("property: exact dedup output ids are minimal per hash and cover all distinct texts") {
     val d = corpus(31)
     val out = Dedup.exact(d).select("doc_id", "content_hash")

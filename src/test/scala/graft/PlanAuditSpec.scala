@@ -54,6 +54,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("Window")
   }
 
+  test("window removal plan: no cartesian, election windows on the shingle key, rewrite is doc-keyed") {
+    val plan = Dedup.removeRepeatedWindows(docsDf, k = 3).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // occurrence counting partial-aggregates map-side before its shuffle
+    plan should include("partial_count")
+    // two window tiers: the per-shingle first-occurrence election and the
+    // per-doc interval merge
+    plan should include("Window")
+  }
+
   test("raw-column query filters push into the parquet scan of a materialized entry table") {
     // the Corpus derivation computes columns from p_partkey (nothing to push);
     // a real deployment stores entries materialized — model that here
