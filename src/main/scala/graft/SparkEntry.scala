@@ -233,6 +233,27 @@ object SparkEntry {
             slice(col("embedding"), 2, 63)).as("embedding")))
   }
 
+  /** [[plantedTopKEmb]] carrying metadata labels — the v13 filtered-search
+    * geometry. Organic rows keep the table's real `label`; plant j carries
+    * label j % 2, so each query has exactly five label-0 plants
+    * (j = 2, 4, 6, 8, 10, cosine decreasing in j). The label-0 exact top-5
+    * is therefore precisely those plants (organic cosines never exceed
+    * 0.40), all inside the query's probed cells — the pre-filtered partial
+    * probe is held to the exact filtered answer.
+    */
+  private def plantedLabeledEmb(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(
+        e.where(col("vec_id") < 5)
+          .select(col("vec_id"), explode(sequence(lit(1), lit(10))).as("j"), col("embedding"))
+          .select((col("vec_id") * 100L + col("j") + 200000L).as("vec_id"),
+            concat(
+              array((element_at(col("embedding"), 1) + (col("j") / lit(256.0)).cast("float")).cast("float")),
+              slice(col("embedding"), 2, 63)).as("embedding"),
+            (col("j") % 2).cast("int").as("label")))
+  }
+
   /** Embeddings plus deterministic planted near-duplicates: the first 20
     * vectors re-inserted under vec_id+100000 with dim 0 shifted by +0.1f
     * (cos ≈ 0.995 on unit vectors). The organic corpus's max pairwise cosine
@@ -901,6 +922,27 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity: PRE-FILTERED ANN — top-k under a metadata predicate
+    // (label = 0), the filtered-retrieval shape every production vector
+    // store serves. The predicate is applied to the cell-partitioned index
+    // SCAN (pre-filter: candidates are matching rows only, so recall is
+    // independent of filter selectivity — the post-filter alternative
+    // under-fills at selective predicates, spec-demonstrated), composing
+    // with dynamic cell pruning as a pushed-down parquet filter
+    // (plan-pinned). Each query's label-0 exact top-5 is its five even-j
+    // plants, so the filtered partial probe is held to the exact filtered
+    // DuckDB oracle
+    "v13_filtered_ann" -> ((s, d) => {
+      val corpus = plantedLabeledEmb(s, d)
+      val cents = Similarity.ivfCentroids(corpus, 32)
+      val dir = scratch("v13-ivfidx") // per-process fixed dir: no per-run leak
+      Similarity.ivfIndex(corpus, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+      Similarity.ivfFilteredTopKIndexed(s.read.parquet(dir), cents,
+          emb(s, d).where(col("vec_id") < 5), 5, nprobe = 8, col("label") === 0)
+        .orderBy("q_id", "rank")
+    }),
+
     // Similarity: MEASURED recall@10 of every approximate ANN path against
     // the exact scan, on ORGANIC geometry (no plants — the real
     // neighborhood structure the planted oracles deliberately sidestep,
@@ -1471,6 +1513,23 @@ object SparkEntry {
       ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
       "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
 
+  /** Exact FILTERED top-5 over the labeled planted corpus — the v13
+    * pre-filtered search is held to the exact answer under the same
+    * label = 0 predicate (plants j % 2 = 0; organic rows keep their real
+    * label).
+    */
+  private lazy val filteredTopkSql: String =
+    "WITH corpus AS (SELECT vec_id, embedding, label FROM embeddings " +
+      "UNION ALL SELECT vec_id*100 + j + 200000 AS vec_id, " +
+      "list_prepend((embedding[1] + (j/256.0)::FLOAT)::FLOAT, embedding[2:64]) AS embedding, " +
+      "(j % 2)::INT AS label " +
+      "FROM embeddings, range(1,11) t(j) WHERE vec_id < 5) " +
+      ", q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
+      s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos " +
+      "FROM corpus e, q WHERE e.vec_id <> q_id AND e.label = 0) " +
+      ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
+      "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank"
+
   def oracleSql: Map[String, String] = {
     val aclOr = "(orgUUID = 'org1' OR isPublic)"
     // Connected components as a recursive reachability closure (the graph
@@ -1913,6 +1972,7 @@ object SparkEntry {
       // the partial probe AND the lossy codes AND the shortlist — then the
       // exact re-rank reproduces the exact answer
       "v12_ivfpq_topk" -> plantedTopkSql,
+      "v13_filtered_ann" -> filteredTopkSql,
       // v11: measured recall@10 pinned at sf0.01 — every path is
       // hash-deterministic, so these integers reproduce bit-for-bit
       // (values measured by running the registered entry; see the entry

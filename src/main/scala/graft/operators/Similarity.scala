@@ -230,12 +230,20 @@ object Similarity {
     * at ingest (one narrow native-expression map) and written
     * `partitionBy("cell")`, so query probes prune to their cells' partition
     * directories instead of scanning the corpus.
+    *
+    * Any OTHER columns on `corpus` (labels, source tags, timestamps — the
+    * attribute payload of a real vector store) ride into the index
+    * unchanged, which is what makes pre-filtered search
+    * ([[ivfFilteredTopKIndexed]]) a plain pushed-down predicate instead of
+    * a corpus re-join.
     */
-  def ivfIndex(corpus: DataFrame, cents: Seq[Seq[Float]]): DataFrame =
-    corpus.select(col("vec_id"), col("embedding"),
+  def ivfIndex(corpus: DataFrame, cents: Seq[Seq[Float]]): DataFrame = {
+    val meta = corpus.columns.filterNot(Set("vec_id", "embedding")).map(col).toSeq
+    corpus.select(Seq(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
-        .as("cell"))
+        .as("cell")) ++ meta: _*)
+  }
 
   /** Incremental IVF index maintenance: assign a NEW batch of vectors
     * against the index's FROZEN codebook and append the rows to the
@@ -284,6 +292,36 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
   }
+
+  /** PRE-FILTERED ANN over the persisted IVF index — vector search under a
+    * metadata predicate (label equality, source whitelist, time range …),
+    * the shape every production retrieval system needs ("nearest neighbors
+    * among documents the caller may read / in this language / after this
+    * date").
+    *
+    * Two textbook strategies exist:
+    *  - POST-filter: search top-k, then drop non-matching hits. Breaks at
+    *    selective predicates — if the filter keeps fraction f of the
+    *    corpus, an unfiltered top-k retains ≈ f·k matching rows, so the
+    *    caller either under-fills or re-searches with k/f (unbounded as
+    *    f → 0). The spec demonstrates the under-fill concretely.
+    *  - PRE-filter (this operator): the predicate is applied to the INDEX
+    *    SCAN itself, before ranking. Candidates are matching rows only, so
+    *    k results come back whenever the probed cells hold ≥ k matches —
+    *    recall is independent of filter selectivity.
+    *
+    * On the cell-partitioned parquet index the predicate composes with
+    * both existing pruning tiers for free: dynamic partition pruning skips
+    * unprobed cell directories, THEN the pushed-down predicate (plan-pinned
+    * in PlanAuditSpec) skips row groups via footer stats/dictionaries
+    * within the surviving cells — the filter costs a column read, never a
+    * join. At 100 TB this is the difference between "ANN plus a corpus
+    * re-join per query" and "ANN whose scan simply reads fewer rows".
+    */
+  def ivfFilteredTopKIndexed(index: DataFrame, cents: Seq[Seq[Float]],
+                             queries: DataFrame, k: Int, nprobe: Int,
+                             pred: Column): DataFrame =
+    ivfTopKIndexed(index.where(pred), cents, queries, k, nprobe)
 
   // -------------------------------------------------- product quantization
 

@@ -315,6 +315,34 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("pre-filtered ivf: exact under the predicate at full probe; post-filter demonstrably under-fills") {
+    val labeled = embDf.withColumn("label", ($"vec_id" % 2).cast("int"))
+    val cents = Similarity.ivfCentroids(labeled, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivffilt").toString + "/idx"
+    Similarity.ivfIndex(labeled, cents).write.partitionBy("cell").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    // the index carries the metadata column — filtering is a pushed scan
+    // predicate, never a corpus re-join
+    idx.columns should contain("label")
+    val q = embDf.where($"vec_id" === 0)
+    // full probe + predicate ≡ brute force over the filtered corpus
+    val filtered = Similarity.ivfFilteredTopKIndexed(idx, cents, q, 5,
+      nprobe = 8, $"label" === 0).orderBy("rank").collect().toSeq
+    val bfFiltered = Similarity.bruteForceTopK(
+      embDf.where($"vec_id" % 2 === 0), q, 5).orderBy("rank").collect().toSeq
+    filtered shouldBe bfFiltered
+    // the post-filter strategy under-fills: the unfiltered top-1 is the
+    // parallel vector 1 (cos 1.0, label 1), so filtering AFTER a k=1 search
+    // returns zero label-0 rows — while the pre-filtered search returns the
+    // best matching row
+    val post = Similarity.ivfTopKIndexed(idx, cents, q, 1, nprobe = 8)
+      .where($"vec_id" % 2 === 0).collect()
+    post shouldBe empty
+    val pre = Similarity.ivfFilteredTopKIndexed(idx, cents, q, 1,
+      nprobe = 8, $"label" === 0).collect()
+    pre should have length 1
+  }
+
   test("ivf append against the frozen codebook equals a full rebuild — index rows and probe results") {
     val base = embDf.where($"vec_id" < 20)
     val batch = embDf.where($"vec_id" >= 20)

@@ -260,6 +260,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
   }
 
+  test("pre-filtered ivf probe: the metadata predicate pushes into the cell-pruned index scan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+    val cents = graft.operators.Similarity.ivfCentroids(corpus, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivffilt-audit").toString + "/idx"
+    graft.operators.Similarity.ivfIndex(corpus, cents)
+      .write.partitionBy("cell").parquet(dir)
+    val out = graft.operators.Similarity.ivfFilteredTopKIndexed(
+      spark.read.parquet(dir), cents,
+      corpus.where($"vec_id" < 2).drop("label"), 5, nprobe = 2, $"label" === 0)
+    val plan = out.queryExecution.executedPlan.toString
+    // both pruning tiers compose on ONE scan: dynamic partition pruning from
+    // the broadcast probe's cell set AND the label predicate pushed to the
+    // parquet reader's row-group filter
+    plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
+    plan should include regex """PushedFilters: \[[^\]]*EqualTo\(label,0\)"""
+  }
+
   test("ivf-pq probe prunes the cell-partitioned compressed index scan") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
