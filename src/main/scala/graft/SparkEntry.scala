@@ -1128,6 +1128,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // X12 bloom-filtered layout: documents hash-distributed on doc_id with
+    // a parquet bloom filter per row group — the point-lookup pruning tier
+    // for keys the data is NOT sorted or partitioned by (min/max stats
+    // span the whole domain by construction; the blooms reject the
+    // non-matching row groups — spec-demonstrated from the footers, and
+    // the pushed IN predicate is plan-pinned). Oracle = the same point
+    // lookup straight off the original table
+    "x12_bloom_lookup" -> ((s, d) => {
+      val out = scratch("x12-bloom") + "/docs" // overwrite-reuse: no per-call leak
+      graft.sources.BloomLayout.write(docs(s, d), "doc_id", out,
+        files = 16, expectedNdv = 1000L)
+      graft.sources.BloomLayout.lookup(s, out, "doc_id", Seq(7L, 123L, 321L))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // X10 small-file compaction: the corpus deliberately shattered into 64
     // files, then rewritten to ~target-sized files (count measured from
     // input bytes). Row fidelity is the oracle gate; the file-count
@@ -2069,6 +2086,11 @@ object SparkEntry {
       "x10_compaction" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),
+      // x12: the bloom layout changes physical pruning only — the point
+      // lookup returns exactly the original table's matching rows
+      "x12_bloom_lookup" ->
+        ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
+          "FROM documents WHERE doc_id IN (7, 123, 321) ORDER BY doc_id"),
       // x11: the layout rewrite must not change the range aggregate
       "x11_sorted_scan" ->
         ("SELECT event_type, count(*) AS cnt, " +

@@ -706,6 +706,48 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       src.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
   }
 
+  test("bloom layout: footer stats cannot prune the point key; the blooms reject the other row groups") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-spec").toString + "/docs"
+    graft.sources.BloomLayout.write(docs, "doc_id", dir, files = 16, expectedNdv = 1000L)
+    val key = 321L
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    files.length shouldBe 16
+    var total, statsOverlap, bloomPass = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        total += 1
+        val cd = b.getColumns.asScala.find(_.getPath.toDotString == "doc_id").get
+        val st = cd.getStatistics
+        val (mn, mx) = (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+          st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        if (mn <= key && key <= mx) statsOverlap += 1
+        val bloom = reader.getBloomFilterDataReader(b).readBloomFilter(cd)
+        bloom should not be null // every row group carries the filter
+        if (bloom.findHash(bloom.hash(key))) bloomPass += 1
+      } finally reader.close()
+    }
+    // hash distribution spreads the key domain across every file, so the
+    // min/max stats straddle the key almost everywhere — the stats tier is
+    // structurally useless for this lookup...
+    statsOverlap should be >= total / 2
+    // ...while the blooms cut candidates to the key's own row group plus at
+    // most false positives (filter sized for the real ndv)
+    bloomPass should be >= 1
+    bloomPass should be <= 2
+    bloomPass should be < statsOverlap
+    // and the lookup itself returns exactly the original rows
+    graft.sources.BloomLayout.lookup(spark, dir, "doc_id", Seq(key))
+      .select("doc_id").as[Long].collect().toSeq shouldBe Seq(key)
+  }
+
   test("pHash band layout partitions all 29 bits with no empty band at any legal maxHamming") {
     for (bands <- 1 to 7) {
       val layout = graft.operators.Multimodal.bandLayout(29, bands)

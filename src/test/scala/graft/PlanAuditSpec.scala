@@ -308,6 +308,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """PushedFilters: \[[^\]]*LessThan\(ts"""
   }
 
+  test("bloom layout lookup: the IN predicate reaches the parquet scan as a pushed filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-audit").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.sources.BloomLayout.write(docs, "doc_id", dir, files = 4, expectedNdv = 100L)
+    val plan = graft.sources.BloomLayout.lookup(spark, dir, "doc_id", Seq(7L, 21L))
+      .queryExecution.executedPlan.toString
+    // row-group bloom testing only happens for predicates the reader received
+    plan should include regex """PushedFilters: \[[^\]]*In\(doc_id"""
+  }
+
   test("salted join keys on (key, salt): the salt column reaches the join condition") {
     val probe = Seq((1L, "k", 1)).toDF("id", "k", "v")
     val build = Seq(("k", "t")).toDF("k", "tag")
