@@ -1145,6 +1145,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X13 Z-order clustered layout: events Morton-clustered on
+    // (ts, user_id) so BOTH dimensions carry tight row-group stats — the
+    // multi-dimension pruning tier above x11's single sort column (a
+    // user_id predicate prunes nothing on a ts-sorted layout,
+    // spec-demonstrated from the footers). The 2-D box read pushes all
+    // four bounds (plan-pinned). Oracle = the same box aggregate straight
+    // off the original table
+    "x13_zorder_scan" -> ((s, d) => {
+      val out = scratch("x13-zorder") + "/events" // overwrite-reuse: no per-call leak
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      graft.sources.ZOrderLayout.write(ev, "ts", "user_id", out, files = 16)
+      graft.sources.ZOrderLayout.readBox(s, out,
+          "ts", lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-16 00:00:00").cast("timestamp"),
+          "user_id", lit(0L), lit(30L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // X10 small-file compaction: the corpus deliberately shattered into 64
     // files, then rewritten to ~target-sized files (count measured from
     // input bytes). Row fidelity is the oracle gate; the file-count
@@ -2091,6 +2112,14 @@ object SparkEntry {
       "x12_bloom_lookup" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents WHERE doc_id IN (7, 123, 321) ORDER BY doc_id"),
+      // x13: the z-order rewrite must not change the 2-D box aggregate
+      "x13_zorder_scan" ->
+        ("SELECT event_type, count(*) AS cnt, " +
+          "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events " +
+          "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-10 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-16 00:00:00' " +
+          "AND user_id >= 0 AND user_id < 30 " +
+          "GROUP BY 1 ORDER BY 1"),
       // x11: the layout rewrite must not change the range aggregate
       "x11_sorted_scan" ->
         ("SELECT event_type, count(*) AS cnt, " +

@@ -748,6 +748,51 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       .select("doc_id").as[Long].collect().toSeq shouldBe Seq(key)
   }
 
+  test("z-order layout: the second dimension's stats prune where the 1-D sort's cannot") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.01/events.parquet"))
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder-spec").toString
+    graft.sources.SortedLayout.write(ev, "ts", s"$root/tssorted", files = 32)
+    graft.sources.ZOrderLayout.write(ev, "ts", "user_id", s"$root/zorder", files = 32)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // row groups whose user_id [min, max] overlaps the predicate user_id < 15
+    // (max >= 0 trivially, so overlap reduces to min < 15)
+    def overlap(dir: String): (Int, Int) = {
+      var total, hit = 0
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+        try reader.getFooter.getBlocks.asScala.foreach { b =>
+          total += 1
+          val cd = b.getColumns.asScala.find(_.getPath.toDotString == "user_id").get
+          if (cd.getStatistics.genericGetMin.asInstanceOf[java.lang.Long] < 15L) hit += 1
+        } finally reader.close()
+      }
+      (hit, total)
+    }
+    val (sortedHit, sortedTotal) = overlap(s"$root/tssorted")
+    val (zHit, zTotal) = overlap(s"$root/zorder")
+    info(s"user_id<15 overlap — ts-sorted: $sortedHit/$sortedTotal, z-order: $zHit/$zTotal")
+    // on the ts-sorted layout every row group spans the whole user domain:
+    // a user predicate prunes NOTHING
+    sortedHit shouldBe sortedTotal
+    // z-ordering bounds user_id per row group: most groups reject the range
+    zHit should be <= zTotal / 2
+    // the rewrite is physical only — the 2-D box read returns exactly the
+    // straight filter's rows
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-16 00:00:00").cast("timestamp")
+    graft.sources.ZOrderLayout.readBox(spark, s"$root/zorder",
+        "ts", lo, hi, "user_id", lit(0L), lit(30L))
+      .select("event_id").as[Long].collect().sorted.toSeq shouldBe
+      ev.where($"ts" >= lo && $"ts" < hi && $"user_id" >= 0L && $"user_id" < 30L)
+        .select("event_id").as[Long].collect().sorted.toSeq
+  }
+
   test("pHash band layout partitions all 29 bits with no empty band at any legal maxHamming") {
     for (bands <- 1 to 7) {
       val layout = graft.operators.Multimodal.bandLayout(29, bands)

@@ -318,6 +318,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """PushedFilters: \[[^\]]*In\(doc_id"""
   }
 
+  test("z-order box read: all four bounds reach the parquet scan as pushed filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-audit").toString + "/ev"
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    graft.sources.ZOrderLayout.write(ev, "ts", "user_id", dir, files = 4)
+    val plan = graft.sources.ZOrderLayout.readBox(spark, dir,
+        "ts", org.apache.spark.sql.functions.lit("2024-01-10 00:00:00").cast("timestamp"),
+        org.apache.spark.sql.functions.lit("2024-01-16 00:00:00").cast("timestamp"),
+        "user_id", org.apache.spark.sql.functions.lit(0L),
+        org.apache.spark.sql.functions.lit(5L))
+      .queryExecution.executedPlan
+    // read the scan's own metadata — the plan's toString truncates the
+    // four-predicate filter list
+    val pushed = plan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("PushedFilters")
+    }.get
+    // row-group skipping on either dimension needs its bounds at the reader
+    pushed should include("GreaterThanOrEqual(ts")
+    pushed should include("LessThan(ts")
+    pushed should include("GreaterThanOrEqual(user_id,0)")
+    pushed should include("LessThan(user_id,5)")
+  }
+
   test("salted join keys on (key, salt): the salt column reaches the join condition") {
     val probe = Seq((1L, "k", 1)).toDF("id", "k", "v")
     val build = Seq(("k", "t")).toDF("k", "tag")
