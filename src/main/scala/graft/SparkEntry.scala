@@ -1070,6 +1070,31 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // E10 incremental ingest across invocations: the landing-directory
+    // pattern — half the events land, a checkpointed AvailableNow run
+    // commits them; the other half arrive, a SECOND run with the same
+    // checkpoint processes only the new files (per-run input counts
+    // spec-pinned; the oracle gates the union). Exactly-once sink via the
+    // parquet _spark_metadata log
+    "e10_incremental_ingest" -> ((s, d) => {
+      val root = scratch("e10-incr")
+      // fresh landing/checkpoint/sink per call: the checkpoint IS the
+      // cross-run state under test, so each harness invocation must
+      // replay both arrivals from scratch to be deterministic
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(root))
+      val ev = s.read.parquet(s"$d/events.parquet")
+      ev.where(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$root/landing")
+      EventStream.incrementalIngest(s, s"$root/landing", s"$root/sink", s"$root/ckpt")
+      ev.where(col("event_id") % 2 === 1)
+        .write.mode("append").parquet(s"$root/landing")
+      EventStream.incrementalIngest(s, s"$root/landing", s"$root/sink", s"$root/ckpt")
+      s.read.parquet(s"$root/sink")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // X4 CSV round-trip: documents written as quoted CSV and read back with
     // an explicit schema — escaping fidelity proven against the original
     "x4_csv_roundtrip" -> ((s, d) => {
@@ -2107,6 +2132,11 @@ object SparkEntry {
       "x10_compaction" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),
+      // e10: two checkpointed arrivals reconstruct exactly the full table
+      // (ts::TIMESTAMP floors ns to µs, matching the ingest normalization)
+      "e10_incremental_ingest" ->
+        ("SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value " +
+          "FROM events ORDER BY event_id"),
       // x12: the bloom layout changes physical pruning only — the point
       // lookup returns exactly the original table's matching rows
       "x12_bloom_lookup" ->

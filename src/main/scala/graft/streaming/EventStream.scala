@@ -439,6 +439,50 @@ object EventStream {
         graft.sources.Jsonl.readStream(bf, staged, batch.schema))))
   }
 
+  /** Incremental ingest ACROSS invocations — the landing-directory pattern
+    * every large-scale pipeline runs on a schedule: files accrete in
+    * `srcDir`; each call runs the checkpointed file stream with
+    * Trigger.AvailableNow and exits. The checkpoint's source log records
+    * which input files prior runs committed, so a new invocation lists,
+    * processes, and writes ONLY the files that arrived since — re-running
+    * against an unchanged directory is a no-op (spec-pinned: per-run input
+    * rows are |new files' rows|, then 0). The parquet sink's own
+    * transaction log (`_spark_metadata`) gives exactly-once output: a
+    * batch read of `sinkDir` sees each committed file once, and a crashed
+    * run's orphan files are invisible.
+    *
+    * At 100 TB this is the bronze-layer ingest shape: cost per run is
+    * proportional to NEW data only (the history is never re-listed beyond
+    * the file-log compaction, never re-read), state is just the file log,
+    * and the sink stays append-only. The same checkpoint contract carries
+    * any streaming transform (windowed aggregates resume their state store
+    * the same way); the ingest here applies the event-time normalization
+    * and nothing else, deliberately — transform-specific entries already
+    * cover the stateful shapes.
+    *
+    * Runs on an isolated session clone (same rationale as
+    * [[runToMemoryTableWithPeak]]). Returns the engine-reported input-row
+    * count of THIS run.
+    */
+  def incrementalIngest(spark: SparkSession, srcDir: String, sinkDir: String,
+                        checkpointDir: String): Long = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val q = withEventTime(fileStream(bf, srcDir))
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.toSeq.map(_.numInputRows).sum
+  }
+
   /** Streaming catalog ingest — the reference's message-driven metadata
     * flow (NATS "platform.ingestion-pipeline" events feeding catalog PUTs,
     * reference: notifier.py:45-63, app.py:101-109) re-expressed as

@@ -233,6 +233,30 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed shouldBe emitted
   }
 
+  test("incremental ingest: a rerun with the same checkpoint reads only new files; unchanged dir is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-incr-spec").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val (nA, nB) = (ev.where($"event_id" % 2 === 0).count(),
+      ev.where($"event_id" % 2 === 1).count())
+    ev.where($"event_id" % 2 === 0).write.parquet(s"$root/landing")
+    // first run commits the first arrival's files
+    graft.streaming.EventStream.incrementalIngest(
+      spark, s"$root/landing", s"$root/sink", s"$root/ckpt") shouldBe nA
+    spark.read.parquet(s"$root/sink").count() shouldBe nA
+    // second arrival: only the NEW files are read (the file log remembers
+    // the rest), and the sink ends complete with no duplicates
+    ev.where($"event_id" % 2 === 1).write.mode("append").parquet(s"$root/landing")
+    graft.streaming.EventStream.incrementalIngest(
+      spark, s"$root/landing", s"$root/sink", s"$root/ckpt") shouldBe nB
+    val sunk = spark.read.parquet(s"$root/sink")
+    sunk.count() shouldBe (nA + nB)
+    sunk.select("event_id").distinct().count() shouldBe (nA + nB)
+    // an unchanged directory re-run reads nothing and writes nothing
+    graft.streaming.EventStream.incrementalIngest(
+      spark, s"$root/landing", s"$root/sink", s"$root/ckpt") shouldBe 0L
+    spark.read.parquet(s"$root/sink").count() shouldBe (nA + nB)
+  }
+
   test("stream ingest to store: net latest-per-key lands as one delta commit, duplicates converge") {
     // stage a small event file: user 1 updated twice, user 2 once
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
