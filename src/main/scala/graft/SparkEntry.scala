@@ -1230,6 +1230,24 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // X14 runtime bloom-filtered join: the selective-dim ⋈ giant-fact
+    // shuffle join with Catalyst's runtime row-level filter — a
+    // bloom_filter_agg over the filtered orders keys injects a
+    // might_contain predicate onto the lineitem scan, dropping
+    // never-joining fact rows BEFORE the shuffle (plan-pinned). Session
+    // clone pins the 100 TB plan shape (no broadcast at test scale);
+    // oracle = the plain SQL join
+    "x14_runtime_filter_join" -> ((s, d) =>
+      graft.operators.Joins.withRuntimeBloomJoin(s) { bf =>
+        graft.operators.Joins.runtimeFilteredFactJoin(bf,
+            s"$d/lineitem.parquet", s"$d/orders.parquet",
+            "l_orderkey", "o_orderkey",
+            col("o_orderpriority") === "1-URGENT")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("qty"))
+          .orderBy("o_orderpriority")
+      }),
+
     // X7 dirty-corpus quarantine: documents round-tripped through JSONL
     // with 3 injected malformed lines; the PERMISSIVE read surfaces them
     // as quarantined rows instead of failing the job. The no-op doc_id
@@ -2161,6 +2179,12 @@ object SparkEntry {
         ("SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS qty " +
           "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
           "GROUP BY 1 ORDER BY 1"),
+      // x14: the runtime filter is a pure optimization — results equal the
+      // plain selective join
+      "x14_runtime_filter_join" ->
+        ("SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS qty " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
       "x7_jsonl_quarantine" ->
         ("SELECT 'clean' AS kind, count(*) AS cnt FROM documents " +
           "UNION ALL SELECT 'quarantined' AS kind, 3 AS cnt ORDER BY kind"),

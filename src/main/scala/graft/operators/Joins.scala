@@ -213,4 +213,47 @@ object Joins {
     val b = build.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     p.join(b, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Run `f` on a session clone tuned for RUNTIME BLOOM-FILTERED joins —
+    * the shuffle-join shape a selective-dimension ⋈ giant-fact query takes
+    * at 100 TB, where neither side broadcasts: Catalyst injects a
+    * `bloom_filter_agg` over the (filtered) build side's join keys and a
+    * `might_contain` predicate onto the FACT SIDE'S SCAN, so fact rows
+    * that cannot possibly join are dropped before the shuffle instead of
+    * being shipped and discarded at the join. With a 1%-selective dim
+    * filter, ~99% of the fact side's shuffle bytes disappear — the
+    * row-level runtime analogue of x6's partition pruning (plan-pinned:
+    * might_contain + bloom_filter_agg in PlanAuditSpec).
+    *
+    * The clone raises the filter-injection thresholds and disables
+    * broadcast joins: at test scale every table fits under the broadcast
+    * threshold, which would plan the (correct but bloom-less) broadcast
+    * join a 100 TB fact side cannot take — the clone pins the plan shape
+    * being modeled. The caller's session is never mutated.
+    */
+  def withRuntimeBloomJoin[T](spark: org.apache.spark.sql.SparkSession)(
+      f: org.apache.spark.sql.SparkSession => T): T = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    bf.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    bf.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    bf.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    f(bf)
+  }
+
+  /** The selective-dim ⋈ fact shape [[withRuntimeBloomJoin]] exists for:
+    * fact rows join a dimension subset, aggregate by a dim attribute.
+    * Built on the tuned session so the runtime filter plans in.
+    */
+  def runtimeFilteredFactJoin(bf: org.apache.spark.sql.SparkSession,
+                              factPath: String, dimPath: String,
+                              factKey: String, dimKey: String,
+                              dimPred: Column): DataFrame =
+    bf.read.parquet(factPath)
+      .join(bf.read.parquet(dimPath).where(dimPred),
+        col(factKey) === col(dimKey))
 }

@@ -341,6 +341,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     pushed should include("LessThan(user_id,5)")
   }
 
+  test("runtime bloom join: the build side's filter reaches the fact scan as a might_contain predicate") {
+    val out = graft.operators.Joins.withRuntimeBloomJoin(spark) { bf =>
+      graft.operators.Joins.runtimeFilteredFactJoin(bf,
+        "/root/testdata/sf0.001/lineitem.parquet",
+        "/root/testdata/sf0.001/orders.parquet",
+        "l_orderkey", "o_orderkey", $"o_orderpriority" === "1-URGENT")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    // the injected runtime filter: a bloom built from the FILTERED dim keys,
+    // probed on the fact side before its shuffle
+    plan should include("bloom_filter_agg")
+    plan should include("might_contain")
+    plan should not include "CartesianProduct"
+  }
+
   test("salted join keys on (key, salt): the salt column reaches the join condition") {
     val probe = Seq((1L, "k", 1)).toDF("id", "k", "v")
     val build = Seq(("k", "t")).toDF("k", "tag")
