@@ -543,6 +543,24 @@ object SparkEntry {
         .select(col("id"), col("title")).orderBy("id")
     }),
 
+    // S12 incremental aggregate maintenance: the materialized per-category
+    // summary advanced by the change feed alone — a category MOVE
+    // (retract old group, add new), a delete, and an insert, with
+    // unchanged groups carried from the old aggregate and pre-images
+    // fetched by pushed id-set point lookup (never a base re-aggregation).
+    // Oracle = a fresh aggregate over the mutated final state
+    "s12_incremental_agg" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // commits version 1
+      val snapshot = st.currentAt(1L).toDF()
+      val aggOld = MetadataStore.categoryStats(snapshot)
+      st.partialUpdate("000010", Map("category" -> "catx")) // group move
+      st.delete("000020")
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert)
+      MetadataStore.maintainCategoryStats(aggOld, snapshot, st.changesBetween(1L))
+        .orderBy("category")
+    }),
+
     // X2 full export scan: snapshot → parquet → read back
     "x2_export" -> ((s, d) => {
       val st = freshStore(s)
@@ -1769,6 +1787,14 @@ object SparkEntry {
         (M + "SELECT id, CASE WHEN id = '000010' THEN 'cdc-title' ELSE title END AS title " +
           "FROM meta WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' " +
           "UNION ALL SELECT id, title FROM meta WHERE id = '000200' ORDER BY id"),
+      // s12: the maintained aggregate equals a fresh aggregate over the
+      // mutated final state (::BIGINT — DuckDB sum() yields HUGEINT)
+      "s12_incremental_agg" ->
+        (M + ", cur AS (SELECT CASE WHEN id = '000010' THEN 'catx' ELSE category END AS category, " +
+          "recordCount FROM meta WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' " +
+          "UNION ALL SELECT category, recordCount FROM meta WHERE id = '000200') " +
+          "SELECT category, count(*) AS n_docs, sum(recordCount)::BIGINT AS sum_records " +
+          "FROM cur GROUP BY 1 ORDER BY 1"),
       "t1_token_stats" ->
         (T + s"SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +
           s"len(list_filter(t, x -> x IN $stop)) AS n_stopwords FROM toks ORDER BY doc_id"),

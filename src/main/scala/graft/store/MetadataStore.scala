@@ -647,6 +647,56 @@ object MetadataStore {
     snapshot.join(broadcast(changes.select(col("id"))), Seq("id"), "left_anti")
       .unionByName(upserts)
   }
+
+  /** The materialized per-category summary (row count + recordCount sum) —
+    * the base aggregate [[maintainCategoryStats]] keeps current. Computed
+    * ONCE from a snapshot; thereafter maintenance is feed-driven.
+    */
+  def categoryStats(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy("category")
+      .agg(count(lit(1)).as("n_docs"), sum("recordCount").as("sum_records"))
+
+  /** Incremental maintenance of the materialized category aggregate from a
+    * [[MetadataStore.changesBetween]] batch — the warehouse
+    * materialized-view pattern: a summary table stays current WITHOUT
+    * re-aggregating the base. Additive aggregates update from two
+    * deltas:
+    *
+    *  - ADDITIONS: the feed's upsert rows (new and post-update images),
+    *    aggregated directly — CDC-batch scale.
+    *  - RETRACTIONS: the PRE-IMAGE rows of every changed id, fetched from
+    *    the previous snapshot through a pushed id-set filter. The changed
+    *    ids are the feed's net keys — CDC-batch scale by definition — so
+    *    collecting them is the broadcast-stats pattern, and on the store's
+    *    bucketed base layout the isin predicate prunes the fetch to the
+    *    ids' bucket directories and row groups (the S2 point-lookup
+    *    machinery), never a table scan.
+    *
+    * The old aggregate rows enter the final fold as-is, so UNCHANGED
+    * groups are carried, not recomputed: maintenance cost scales with
+    * |changes|, not |table|. A group whose maintained count reaches zero
+    * drops out (the DELETE-last-row case); a category first seen in the
+    * feed appears with no old row to fold against. Spec-pinned: a
+    * category move, a delete, an insert, and a category-emptying second
+    * cycle all land the maintained aggregate exactly on a fresh
+    * recomputation.
+    */
+  def maintainCategoryStats(aggOld: DataFrame, snapshotOld: DataFrame,
+                            changes: DataFrame): DataFrame = {
+    val changedIds = changes.select(col("id")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val retract = snapshotOld.where(col("id").isin(changedIds: _*))
+      .groupBy("category")
+      .agg((-count(lit(1))).as("dn"), (-sum("recordCount")).as("dr"))
+    val add = changes.where(col("change_op") === "upsert")
+      .groupBy("category")
+      .agg(count(lit(1)).as("dn"), sum("recordCount").as("dr"))
+    aggOld.select(col("category"), col("n_docs").as("dn"), col("sum_records").as("dr"))
+      .unionByName(retract).unionByName(add)
+      .groupBy("category")
+      .agg(sum("dn").as("n_docs"), sum("dr").as("sum_records"))
+      .where(col("n_docs") > 0)
+  }
 }
 
 /** Ingest-time validation + normalization

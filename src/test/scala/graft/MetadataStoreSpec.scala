@@ -63,6 +63,30 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     twice.orderBy("id").collect().toSeq shouldBe once.orderBy("id").collect().toSeq
   }
 
+  test("incremental aggregate maintenance equals recomputation across two feed cycles") {
+    val st = freshStore()
+    Fixtures.corpus.take(5).foreach(st.upsert) // versions 1-5
+    val snap5 = st.currentAt(5L).toDF()
+    val agg5 = MetadataStore.categoryStats(snap5)
+    val e = Fixtures.corpus
+    // cycle 1: a category move, a delete, an insert
+    st.partialUpdate(e(0).id, Map("category" -> "catmoved"))
+    st.delete(e(1).id)
+    st.upsert(e(7))
+    val maintained1 = MetadataStore.maintainCategoryStats(agg5, snap5, st.changesBetween(5L))
+    maintained1.orderBy("category").collect().toSeq shouldBe
+      MetadataStore.categoryStats(st.current.toDF()).orderBy("category").collect().toSeq
+    // cycle 2 composes on cycle 1's output — including emptying a category:
+    // the moved row leaves again, so 'catmoved' must drop from the aggregate
+    val v1 = st.versionHistory().map(_.version).max
+    val snapV1 = st.currentAt(v1).toDF()
+    st.delete(e(0).id)
+    val maintained2 = MetadataStore.maintainCategoryStats(maintained1, snapV1, st.changesBetween(v1))
+    maintained2.orderBy("category").collect().toSeq shouldBe
+      MetadataStore.categoryStats(st.current.toDF()).orderBy("category").collect().toSeq
+    maintained2.where($"category" === "catmoved").count() shouldBe 0L
+  }
+
   test("S3 upsert: created vs updated distinguished (201 vs 200)") {
     val st = freshStore()
     st.upsert(e0) shouldBe true // created
