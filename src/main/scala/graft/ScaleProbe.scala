@@ -191,6 +191,55 @@ object ScaleProbe {
       f""""sess_state_rows":${sessPeak.rows},"sess_state_bytes":${sessPeak.bytes}}"""
   }
 
+  /** Storage-layout pruning profile: row-group overlap fractions of (a) a
+    * 10%-of-users range predicate on the z-ordered layout and (b) a point
+    * key's bloom test on the bloom layout, measured from the parquet
+    * footers — the same statistics the reader's row-group filter consults.
+    * File count scales with the corpus (fixed rows/file), so a CONSTANT
+    * fraction at 10× is the scaling evidence: bytes read grow only with
+    * the selected slice, not the corpus.
+    */
+  private def profileLayout(spark: SparkSession, label: String, ev: DataFrame): String = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val n = ev.count()
+    val files = math.max(16, (n / 6250L).toInt) // ~6250 rows/file at every scale
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rowGroups(dir: String)(
+        f: (org.apache.parquet.hadoop.metadata.BlockMetaData, ParquetFileReader) => Boolean): (Int, Int) = {
+      var total, hit = 0
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).foreach { file =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+        try r.getFooter.getBlocks.asScala.foreach { b => total += 1; if (f(b, r)) hit += 1 }
+        finally r.close()
+      }
+      (hit, total)
+    }
+    val zDir = scratch("layout-z-" + label + "/ev")
+    val (_, tZ) = timed(
+      graft.sources.ZOrderLayout.write(ev, "ts", "user_id", zDir, files))
+    val userHi = ev.agg(max(col("user_id"))).head.getLong(0) / 10
+    val (zHit, zTotal) = rowGroups(zDir) { (b, _) =>
+      val cd = b.getColumns.asScala.find(_.getPath.toDotString == "user_id").get
+      cd.getStatistics.genericGetMin.asInstanceOf[java.lang.Long] <= userHi
+    }
+    val bDir = scratch("layout-bloom-" + label + "/ev")
+    val (_, tB) = timed(graft.sources.BloomLayout.write(
+      ev, "event_id", bDir, files, expectedNdv = math.max(1000L, n / files)))
+    val key = ev.agg(max(col("event_id"))).head.getLong(0) // a key that exists
+    val (bHit, bTotal) = rowGroups(bDir) { (b, r) =>
+      val cd = b.getColumns.asScala.find(_.getPath.toDotString == "event_id").get
+      val bloom = r.getBloomFilterDataReader(b).readBloomFilter(cd)
+      bloom == null || bloom.findHash(bloom.hash(key))
+    }
+    f"""{"corpus":"$label","n_rows":$n,"files":$files,""" +
+      f""""z_write_sec":$tZ%.2f,"z_overlap_frac":${zHit.toDouble / zTotal}%.3f,""" +
+      f""""bloom_write_sec":$tB%.2f,"bloom_pass_frac":${bHit.toDouble / bTotal}%.3f,""" +
+      f""""row_groups":$zTotal}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -257,6 +306,10 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(evDir)
     println(profileStream(spark, "events-1x", s"$sfDir/events.parquet"))
     println(profileStream(spark, "events-10x", evDir))
+
+    // storage-layout pruning at 1× and 10× (overlap fractions must hold)
+    println(profileLayout(spark, "layout-1x", spark.read.parquet(s"$sfDir/events.parquet")))
+    println(profileLayout(spark, "layout-10x", spark.read.parquet(evDir)))
     spark.stop()
   }
 }

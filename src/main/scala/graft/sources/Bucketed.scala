@@ -145,18 +145,30 @@ object ZOrderLayout {
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
 
+  /** Long view of a column for bucketing. Timestamps bucket at second
+    * granularity; TIMESTAMP_NTZ (how timezone-less µs parquet reads)
+    * refuses a direct long cast, so it re-types through TIMESTAMP first —
+    * the persisted column itself is never touched.
+    */
+  private def asLong(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(name).cast("timestamp").cast("long")
+      case _ => col(name).cast("long")
+    }
+
   /** Write `df` Z-order-clustered on (`colA`, `colB`) into `files` files.
-    * Both columns must cast to long (timestamps bucket at second
-    * granularity). The Morton key is computed, range-sorted on, and
-    * dropped — the persisted schema is unchanged.
+    * Both columns must cast to long (see [[asLong]]). The Morton key is
+    * computed, range-sorted on, and dropped — the persisted schema is
+    * unchanged.
     */
   def write(df: DataFrame, colA: String, colB: String, path: String,
             files: Int): Unit = {
-    val r = df.agg(min(col(colA).cast("long")), max(col(colA).cast("long")),
-      min(col(colB).cast("long")), max(col(colB).cast("long"))).head
+    val (la, lb) = (asLong(df, colA), asLong(df, colB))
+    val r = df.agg(min(la), max(la), min(lb), max(lb)).head
     val z = interleave(
-      bucket(col(colA).cast("long"), r.getLong(0), r.getLong(1)),
-      bucket(col(colB).cast("long"), r.getLong(2), r.getLong(3)))
+      bucket(la, r.getLong(0), r.getLong(1)),
+      bucket(lb, r.getLong(2), r.getLong(3)))
     df.withColumn("_zorder", z)
       .repartitionByRange(files, col("_zorder"))
       .sortWithinPartitions("_zorder")
