@@ -636,6 +636,13 @@ object SparkEntry {
     "t13_keywords" -> ((s, d) =>
       TextAnalysis.keywords(docs(s, d), k = 3).orderBy("doc_id", "rank")),
 
+    // Text analysis: per-source token-length DISTRIBUTION profile — exact
+    // interpolated percentiles (the rank = q·(n−1) rule every SQL engine's
+    // percentile_cont implements, so the oracle holds the values); the
+    // bounded-memory approx_percentile twin is spec-pinned against it
+    "t14_length_profile" -> ((s, d) =>
+      TextAnalysis.lengthProfile(docs(s, d)).orderBy("source")),
+
     // Composed pre-training pipeline: language gate + quality gate +
     // fuzzy-dedup survivors, one narrow gate stage + the blocked dedup leg
     "p1_pretrain_corpus" -> ((s, d) =>
@@ -685,6 +692,22 @@ object SparkEntry {
         .select(col("source"),
           ((substring(col("source"), 4, 10).cast("int") + 1) / lit(210.0)).as("share"))
       graft.operators.Pipeline.domainMix(dd, shares, budgetFrac = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Pipeline: deterministic sharded EXPORT — the delivery step. The
+    // corpus is written as 8 one-file shard directories (Knuth-hash
+    // assignment, doc_id order inside each file, _manifest side-table) and
+    // read BACK for the oracle compare: every document present exactly
+    // once, in its recomputable shard, text fidelity by md5 — the full
+    // roundtrip gate over the export (shape/balance/determinism are
+    // spec-pinned)
+    "p9_shard_export" -> ((s, d) => {
+      val out = scratch("p9-export") + "/corpus" // overwrite-reuse: no per-call leak
+      graft.operators.Pipeline.shardExport(docs(s, d), out, shards = 8)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
 
@@ -937,6 +960,27 @@ object SparkEntry {
         .partitionBy("cell").parquet(dir)
       Similarity.ivfPqTopKIndexed(s.read.parquet(dir), cents, books, corpus,
           emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8, shortlistSize = 150)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Similarity: INDEX DELETION — tombstone the odd-j plants, then
+    // PHYSICALLY compact (touched-cell dynamic-partition rewrite) and
+    // search the compacted index. Each query's remaining exact top-5 is
+    // its five even-j plants, so the oracle holds the whole delete →
+    // compact → search lifecycle to the exact-cosine answer over the
+    // remaining corpus (masked-read ≡ compacted ≡ rebuild is spec-pinned)
+    "v14_index_delete" -> ((s, d) => {
+      val corpus = plantedTopKEmb(s, d)
+      val cents = Similarity.ivfCentroids(corpus, 32)
+      val dir = scratch("v14-ivfidx") // per-process fixed dir: no per-run leak
+      Similarity.ivfIndex(corpus, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir) // static overwrite also clears stale tombstones
+      Similarity.ivfDelete(
+        corpus.where(col("vec_id") >= 200000L &&
+          pmod(col("vec_id") - 200000L, lit(2L)) === 1L).select("vec_id"), dir)
+      Similarity.ivfCompact(s, dir)
+      Similarity.ivfTopKIndexed(Similarity.ivfReadIndex(s, dir), cents,
+          emb(s, d).where(col("vec_id") < 5), 5, nprobe = 8)
         .orderBy("q_id", "rank")
     }),
 
@@ -1302,6 +1346,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // X15 in-place day refresh: the date-partitioned events table has ONE
+    // day re-materialized (2024-01-15's values doubled — a backfill
+    // correction) via dynamic partition overwrite; only that day's
+    // directory is replaced (untouched-days-byte-identical is spec-pinned).
+    // The oracle recomputes the whole corrected table from the raw events,
+    // so the read-back gates both the correction and every other day's
+    // survival
+    "x15_day_refresh" -> ((s, d) => {
+      val out = scratch("x15-bydate") + "/events"
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      graft.sources.DatePartitioned.writeByDay(ev, "ts", out)
+      val corrected = ev.where(to_date(col("ts")) === lit("2024-01-15"))
+        .withColumn("value", col("value") * 2)
+      graft.sources.DatePartitioned.refreshDays(corrected, "ts", out)
+      s.read.parquet(out)
+        .groupBy(col("event_date").cast("string").as("event_date"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_date")
+    }),
+
     // Streaming custom state: gap sessionization via flatMapGroupsWithState,
     // watermark-gated emission (trailing open sessions stay in state)
     "e2_sessionize" -> ((s, d) =>
@@ -1629,6 +1693,21 @@ object SparkEntry {
       ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
       "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank"
 
+  /** Exact top-5 over the planted corpus WITHOUT the odd-j plants — v14's
+    * delete → compact → search lifecycle must return exactly the answer a
+    * from-scratch rebuild over the remaining corpus would (the surviving
+    * even-j plants are each query's true top-5).
+    */
+  private lazy val deletedTopkSql: String =
+    "WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
+      "UNION ALL SELECT vec_id*100 + j + 200000 AS vec_id, " +
+      "list_prepend((embedding[1] + (j/256.0)::FLOAT)::FLOAT, embedding[2:64]) AS embedding " +
+      "FROM embeddings, range(1,11) t(j) WHERE vec_id < 5 AND j % 2 = 0) " +
+      ", q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
+      s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM corpus e, q WHERE e.vec_id <> q_id) " +
+      ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
+      "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank"
+
   def oracleSql: Map[String, String] = {
     val aclOr = "(orgUUID = 'org1' OR isPublic)"
     // Connected components as a recursive reachability closure (the graph
@@ -1840,6 +1919,11 @@ object SparkEntry {
           "SELECT doc_id, source, n_tok FROM dt JOIN frac USING (source) " +
           "WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 < kf * 1000000 " +
           "ORDER BY doc_id"),
+      // p9: the export roundtrip — every document exactly once, shard
+      // recomputed by the same portable Knuth-hash formula, text by md5
+      "p9_shard_export" ->
+        ("SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 8 AS shard, " +
+          "md5(text) AS text_md5 FROM documents ORDER BY doc_id"),
       "t12_distinct_profile" ->
         (T + ", tc AS (SELECT d.source, tok, count(*) AS c FROM " +
           "(SELECT doc_id, unnest(t) AS tok FROM toks) u JOIN documents d USING (doc_id) " +
@@ -1847,6 +1931,17 @@ object SparkEntry {
           ", ds AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) " +
           "SELECT source, n_docs, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct " +
           "FROM tc JOIN ds USING (source) GROUP BY source, n_docs ORDER BY source"),
+      // t14: interpolated percentiles share the rank = q·(n−1) rule between
+      // Spark's percentile and DuckDB's quantile_cont — values match exactly
+      "t14_length_profile" ->
+        (T + ", dt AS (SELECT t.doc_id, d.source, len(t.t)::BIGINT AS n_tok " +
+          "FROM toks t JOIN documents d ON t.doc_id = d.doc_id) " +
+          "SELECT source, count(*)::BIGINT AS n_docs, " +
+          "round(quantile_cont(n_tok, 0.25), 6) AS p25, " +
+          "round(quantile_cont(n_tok, 0.5), 6) AS p50, " +
+          "round(quantile_cont(n_tok, 0.75), 6) AS p75, " +
+          "round(quantile_cont(n_tok, 0.9), 6) AS p90, " +
+          "max(n_tok) AS max_tok FROM dt GROUP BY source ORDER BY source"),
       // t13: per-doc TF·IDF keywords — same (doc, term)-count base as t11,
       // df = distinct docs per term, deterministic (score desc, term) top-3
       "t13_keywords" ->
@@ -2080,6 +2175,9 @@ object SparkEntry {
       // exact re-rank reproduces the exact answer
       "v12_ivfpq_topk" -> plantedTopkSql,
       "v13_filtered_ann" -> filteredTopkSql,
+      // v14: deletion lifecycle — tombstone, physically compact, search;
+      // the result must equal a rebuild over the remaining corpus
+      "v14_index_delete" -> deletedTopkSql,
       // v11: measured recall@10 pinned at sf0.01 — every path is
       // hash-deterministic, so these integers reproduce bit-for-bit
       // (values measured by running the registered entry; see the entry
@@ -2219,6 +2317,13 @@ object SparkEntry {
           "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-15 00:00:00' " +
           "AND ts::TIMESTAMP < TIMESTAMP '2024-01-16 00:00:00' " +
           "GROUP BY 1 ORDER BY 1"),
+      // x15: the whole corrected table recomputed from raw events — the
+      // refreshed day carries doubled values, every other day original
+      "x15_day_refresh" ->
+        ("SELECT (ts::TIMESTAMP::DATE)::VARCHAR AS event_date, count(*) AS cnt, " +
+          "round(sum(CASE WHEN ts::TIMESTAMP::DATE = DATE '2024-01-15' " +
+          "THEN value * 2 ELSE value END), 4) AS sum_value " +
+          "FROM events GROUP BY 1 ORDER BY 1"),
       "e2_sessionize" ->
         // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
         // engine's timestamp_micros(ts/1000) normalization

@@ -251,4 +251,49 @@ object Pipeline {
       .where(bucket < col("keep_frac") * 1e6)
       .select("doc_id", "source", "n_tok")
   }
+
+  /** Deterministic sharded corpus export — the DELIVERY step of the
+    * pipeline: the curated corpus written as `shards` shard directories
+    * whose assignment and content order are pure functions of doc_id, so
+    * (a) two exports of the same corpus are content-identical shard for
+    * shard (reproducible training runs — spec-pinned byte-for-byte on the
+    * data files), and (b) any engine can recompute which shard holds a
+    * document without reading the export.
+    *
+    * shard = Knuth-multiplicative-hash(doc_id) mod `shards` — the
+    * [[hashSplit]] discipline (engine-portable integer arithmetic, no
+    * dependence on Spark's partitioner), so the export composes with the
+    * split/mix operators upstream. One hash `repartition` on the shard key
+    * makes shard ↔ task exact: every `shard=k/` directory holds exactly ONE
+    * data file (spec-pinned), rows sorted by doc_id inside it — the
+    * trainer's data-parallel workers each stream one balanced file.
+    * A `_manifest/` side-table (underscore: invisible to a plain read of
+    * the export, the `_spark_metadata` convention) records per-shard
+    * docs/chars/id-range for fleet-side sanity checks before a run.
+    *
+    * At 100 TB: ONE shuffle of the corpus (the hash repartition; the
+    * within-shard sort is task-local and spills), and the caller sizes
+    * `shards` to the trainer's degree. Hash balance keeps shard skew within
+    * a few percent on organic ids (spec-measured).
+    */
+  def shardExport(docs: DataFrame, outDir: String, shards: Int): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val assigned = docs.withColumn("shard",
+      pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(shards.toLong)))
+    assigned
+      .repartition(shards, col("shard"))
+      // (shard, doc_id), not doc_id alone: the file writer's required
+      // ordering is the partition column, and its re-sort is not stable —
+      // a sort the writer can SEE is already satisfied is the only
+      // deterministic order. With it, rows land in doc_id order and two
+      // exports are byte-identical (spec-pinned).
+      .sortWithinPartitions("shard", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    assigned.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_manifest")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -322,6 +322,95 @@ object Similarity {
                              queries: DataFrame, k: Int, nprobe: Int,
                              pred: Column): DataFrame =
     ivfTopKIndexed(index.where(pred), cents, queries, k, nprobe)
+
+  // ------------------------------------------------------- index deletion
+
+  /** DELETE from the persisted IVF index — the lifecycle operation a live
+    * vector store cannot avoid (unlearned documents, GDPR erasure, source
+    * retractions). In-place removal from a cell-partitioned parquet layout
+    * would rewrite whole cell directories per request, so deletion is
+    * SPLIT the way every log-structured index splits it:
+    *
+    *  - [[ivfDelete]]: O(|ids|) — append the ids to a tombstone side-table
+    *    under `_tombstones/` INSIDE the index directory. Underscore-prefixed
+    *    paths are invisible to Spark's file listing (the `_spark_metadata`
+    *    convention), so a plain `read.parquet(indexDir)` still sees only
+    *    index rows and every existing reader stays correct-by-masking via
+    *    [[ivfReadIndex]].
+    *  - [[ivfReadIndex]]: the masked read — tombstones are metadata-scale
+    *    (ids only), so they broadcast and the mask is a left-anti hash join
+    *    on the scan, never a shuffle of the index.
+    *  - [[ivfCompact]]: physical reclamation, rewriting ONLY the cell
+    *    directories that actually hold tombstoned rows (dynamic partition
+    *    overwrite); untouched cells — at 100 TB, almost all of them — are
+    *    never read, rewritten, or shuffled. Search results are IDENTICAL
+    *    before and after compaction (masked ≡ compacted ≡ a full rebuild
+    *    without the deleted rows, because the mask and the rewrite drop
+    *    exactly the same rows — spec-pinned; the v14 oracle holds the
+    *    post-compaction search to the exact-cosine answer over the
+    *    remaining corpus).
+    *
+    * Single-writer maintenance op, like [[graft.sources.Compaction]] — run
+    * it from the index's maintenance schedule, not concurrently with
+    * appends.
+    */
+  def ivfDelete(ids: DataFrame, indexDir: String): Unit =
+    ids.select(col("vec_id").cast("long"))
+      .write.mode("append").parquet(s"$indexDir/_tombstones")
+
+  /** The tombstone-masked index read: index rows minus tombstoned ids.
+    * Falls back to a plain read when no tombstones exist, so the masked
+    * path costs nothing until a delete has happened.
+    */
+  def ivfReadIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    val tomb = java.nio.file.Paths.get(indexDir, "_tombstones")
+    if (!java.nio.file.Files.isDirectory(tomb)) idx
+    else idx.join(broadcast(spark.read.parquet(tomb.toString).select("vec_id")),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Physically remove tombstoned rows, touched cells only. Returns the
+    * number of cell directories rewritten (0 when nothing is tombstoned).
+    *
+    * Mechanics: survivors of the touched cells are staged to a scratch
+    * directory (Spark refuses to overwrite a path it is reading — the
+    * staging write is also the crash barrier: the index dir mutates only
+    * after survivors are durable), then written back with per-write
+    * `partitionOverwriteMode=dynamic`, which replaces exactly the
+    * partitions present in the staged data. A touched cell whose every row
+    * died appears in no output partition, so its directory is dropped
+    * explicitly. The tombstone table is cleared last — a crash anywhere
+    * earlier leaves tombstones in place and the masked read still correct.
+    */
+  def ivfCompact(spark: SparkSession, indexDir: String): Int = {
+    val tombPath = java.nio.file.Paths.get(indexDir, "_tombstones")
+    if (!java.nio.file.Files.isDirectory(tombPath)) return 0
+    val tomb = broadcast(spark.read.parquet(tombPath.toString).select("vec_id").distinct())
+    val idx = spark.read.parquet(indexDir)
+    val touched = idx.join(tomb, "vec_id")
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) { // stale tombstones (ids already compacted away)
+      graft.util.FsUtil.deleteRecursively(tombPath)
+      return 0
+    }
+    val staging = s"$indexDir-compact-stage"
+    try {
+      idx.where(col("cell").isin(touched.map(Integer.valueOf): _*))
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+      val staged = spark.read.parquet(staging)
+      staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(indexDir)
+      val survivorCells = staged.select("cell").distinct().collect().map(_.getInt(0)).toSet
+      touched.filterNot(survivorCells).foreach { c =>
+        graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(indexDir, s"cell=$c"))
+      }
+      graft.util.FsUtil.deleteRecursively(tombPath)
+    } finally graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
+    touched.length
+  }
 
   // -------------------------------------------------- product quantization
 

@@ -232,6 +232,46 @@ object TextAnalysis {
       .groupBy("source").agg(count(lit(1)).as("n_tokens"),
         approx_count_distinct(col("tok"), rsd).as("n_distinct_approx"))
 
+  /** Per-source document-LENGTH distribution profile: exact interpolated
+    * percentiles of the per-document token count — the distributional
+    * report that drives truncation limits, packing budgets, and outlier
+    * screens (a corpus whose p99 is 50× its median needs different
+    * handling than a tight one). Interpolation is the standard
+    * rank = q·(n−1) linear rule, matching every SQL engine's
+    * percentile_cont / quantile_cont — the oracle holds the values exactly.
+    *
+    * At 100 TB the EXACT percentile buffers each group's values — a real
+    * per-source memory bill once sources hold billions of documents;
+    * [[lengthProfileApprox]] is the sketch path (Spark's bounded-memory
+    * approx_percentile aggregate, one pass, mergeable partials) — same
+    * schema, spec-pinned within its rank-error bound of this exact profile
+    * (the t12 exact/HLL discipline, applied to quantiles).
+    */
+  def lengthProfile(docs: DataFrame): DataFrame =
+    docs.select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tok, 0.25)"), 6).as("p25"),
+        round(expr("percentile(n_tok, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_tok, 0.75)"), 6).as("p75"),
+        round(expr("percentile(n_tok, 0.9)"), 6).as("p90"),
+        max("n_tok").as("max_tok"))
+
+  /** Sketch twin of [[lengthProfile]]: `approx_percentile` (Greenwald-
+    * Khanna style summary, memory bounded by `accuracy`, mergeable across
+    * shards). Returns the same quantile columns as exact values from the
+    * summary — guaranteed within 1/accuracy rank error; not oracle-gated
+    * (no engine reproduces another's summary), spec-pinned against the
+    * exact profile.
+    */
+  def lengthProfileApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame =
+    docs.select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(n_tok, array(0.25, 0.5, 0.75, 0.9), $accuracy)")
+          .as("quantiles"),
+        max("n_tok").as("max_tok"))
+
   /** Per-document TF·IDF keyword extraction: the `k` most characteristic
     * terms of each document — tfidf(t, d) = c(t, d) · ln(N / df(t)), df the
     * DOCUMENT frequency (distinct docs containing t), ties broken

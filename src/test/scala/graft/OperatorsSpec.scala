@@ -366,6 +366,57 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("ivf delete: masked read ≡ compacted ≡ rebuild; compaction touches only affected cells") {
+    val cents = Similarity.ivfCentroids(embDf, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString + "/idx"
+    Similarity.ivfIndex(embDf, cents).write.partitionBy("cell").parquet(dir)
+    val q = embDf.where($"vec_id" === 0)
+    // delete the parallel vector (the unfiltered top-1) plus some noise
+    val dead = Set(1L, 5L, 6L)
+    val deadCells = spark.read.parquet(dir)
+      .where($"vec_id".isin(dead.toSeq: _*))
+      .select("cell").distinct().as[Int].collect().toSet
+    def cellFiles(): Map[String, Set[(String, Long)]] =
+      graft.util.FsUtil.listDir(java.nio.file.Paths.get(dir))(_.filter(p =>
+          p.getFileName.toString.startsWith("cell=")).map { p =>
+        p.getFileName.toString -> graft.util.FsUtil.listDir(p)(_.map(f =>
+          (f.getFileName.toString, java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet)
+      }.toMap)
+    val before = cellFiles()
+    Similarity.ivfDelete(embDf.where($"vec_id".isin(dead.toSeq: _*)).select("vec_id"), dir)
+    // a plain read never sees the underscore-prefixed tombstone table
+    spark.read.parquet(dir).count() shouldBe 40
+    // masked read drops exactly the tombstoned rows, pre-compaction
+    val masked = Similarity.ivfTopKIndexed(Similarity.ivfReadIndex(spark, dir),
+      cents, q, 5, nprobe = 8).orderBy("rank").collect().toSeq
+    val rebuilt = Similarity.ivfTopKIndexed(
+      Similarity.ivfIndex(embDf.where(!$"vec_id".isin(dead.toSeq: _*)), cents),
+      cents, q, 5, nprobe = 8).orderBy("rank").collect().toSeq
+    masked shouldBe rebuilt
+    masked.map(_.getLong(2)) should not contain 1L
+    // physical compaction: only the tombstoned rows' cells are rewritten
+    Similarity.ivfCompact(spark, dir) shouldBe deadCells.size
+    val after = cellFiles()
+    before.keySet.filterNot(k => deadCells.contains(k.stripPrefix("cell=").toInt))
+      .foreach(k => after(k) shouldBe before(k)) // untouched dirs byte-for-byte alone
+    spark.read.parquet(dir).where($"vec_id".isin(dead.toSeq: _*)).count() shouldBe 0
+    val compacted = Similarity.ivfTopKIndexed(Similarity.ivfReadIndex(spark, dir),
+      cents, q, 5, nprobe = 8).orderBy("rank").collect().toSeq
+    compacted shouldBe rebuilt
+    // tombstones cleared: a second compaction is a no-op
+    Similarity.ivfCompact(spark, dir) shouldBe 0
+    // emptying a whole cell drops its directory
+    val victimCell = spark.read.parquet(dir).groupBy("cell").count()
+      .orderBy("count", "cell").select("cell").as[Int].head()
+    val victims = spark.read.parquet(dir).where($"cell" === victimCell)
+      .select("vec_id").as[Long].collect().toSeq
+    Similarity.ivfDelete(embDf.where($"vec_id".isin(victims: _*)).select("vec_id"), dir)
+    Similarity.ivfCompact(spark, dir) shouldBe 1
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"cell=$victimCell")) shouldBe false
+    spark.read.parquet(dir).count() shouldBe (40 - dead.size - victims.size)
+  }
+
   test("lloyd refinement: deterministic re-run, exact at full probe, balances organic occupancy") {
     // bit-determinism: decimal sums are order-independent, so two runs over
     // differently-partitioned input agree float-for-float
@@ -600,6 +651,48 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe (expectBig ++ (4L until 8L))
   }
 
+  test("shard export: one file per shard, balanced, deterministic bytes, manifest matches") {
+    val docs = (0L until 1000L).map(i => (i, s"document body $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val root = java.nio.file.Files.createTempDirectory("graft-shardexp")
+    val out = s"$root/corpus"
+    graft.operators.Pipeline.shardExport(docs, out, shards = 8)
+    def bucket(id: Long) = ((id * 2654435761L) % 4294967296L) % 8L
+    // full-fidelity roundtrip with the recomputable assignment
+    val back = spark.read.parquet(out)
+      .select($"doc_id", $"shard".cast("long").as("shard"), $"text")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    back shouldBe (0L until 1000L).map(i => (i, bucket(i), s"document body $i"))
+    // exactly one data file per shard directory
+    val shardDirs = graft.util.FsUtil.listDir(java.nio.file.Paths.get(out))(
+      _.filter(_.getFileName.toString.startsWith("shard=")).toSeq).sortBy(_.toString)
+    shardDirs should have size 8
+    def dataFiles(p: java.nio.file.Path) = graft.util.FsUtil.listDir(p)(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    shardDirs.foreach(d => dataFiles(d) should have size 1)
+    // hash balance: sequential ids spread within a modest skew band
+    val counts = back.groupBy(_._2).map(_._2.size)
+    counts.max.toDouble / counts.min should be < 1.35
+    // the manifest rides beside the data, invisible to the plain read,
+    // and matches the per-shard truth
+    val manifest = spark.read.parquet(s"$out/_manifest")
+      .select($"shard".cast("long"), $"n_docs", $"n_chars", $"min_doc_id", $"max_doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = (0L until 1000L).groupBy(bucket).toSeq.sortBy(_._1).map {
+      case (sh, ids) => (sh, ids.size.toLong,
+        ids.map(i => s"document body $i".length.toLong).sum, ids.min, ids.max)
+    }
+    manifest shouldBe expected
+    // determinism: a second export is content-identical shard for shard
+    val firstBytes = shardDirs.map(d =>
+      java.nio.file.Files.readAllBytes(dataFiles(d).head).toSeq)
+    graft.operators.Pipeline.shardExport(docs.repartition(13), out, shards = 8)
+    val secondBytes = graft.util.FsUtil.listDir(java.nio.file.Paths.get(out))(
+      _.filter(_.getFileName.toString.startsWith("shard=")).toSeq).sortBy(_.toString)
+      .map(d => java.nio.file.Files.readAllBytes(dataFiles(d).head).toSeq)
+    secondBytes shouldBe firstBytes
+  }
+
   test("TF·IDF keywords: closed-form scores, deterministic ties, short docs rank what they have") {
     // N=3; df: x=1, y=2, z=2, common=3 → idf ln3, ln1.5, ln1.5, 0
     val docs = Seq(
@@ -704,6 +797,60 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     spark.read.parquet(s"$root/compacted").select("doc_id", "text")
       .as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe
       src.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+  }
+
+  test("day refresh: dynamic overwrite replaces exactly the day present; other days byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dayrefresh").toString
+    val out = s"$root/events"
+    val ts = (day: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:30:00")
+    val ev = Seq(
+      (1L, ts(10, 1), 10.0), (2L, ts(10, 2), 20.0),
+      (3L, ts(11, 1), 30.0), (4L, ts(11, 2), 40.0),
+      (5L, ts(12, 1), 50.0)).toDF("event_id", "ts", "value")
+    graft.sources.DatePartitioned.writeByDay(ev, "ts", out)
+    def dayFiles(day: String): Set[(String, Long)] =
+      graft.util.FsUtil.listDir(java.nio.file.Paths.get(out, s"event_date=$day"))(
+        _.filter(_.getFileName.toString.endsWith(".parquet")).map(f =>
+          (f.getFileName.toString, java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet)
+    val before10 = dayFiles("2024-01-10")
+    val before12 = dayFiles("2024-01-12")
+    // recompute day 11 only: values doubled
+    val corrected = ev.where($"ts" >= ts(11, 0) && $"ts" < ts(12, 0))
+      .withColumn("value", $"value" * 2)
+    graft.sources.DatePartitioned.refreshDays(corrected, "ts", out)
+    // untouched days: same files, same mtimes — never rewritten
+    dayFiles("2024-01-10") shouldBe before10
+    dayFiles("2024-01-12") shouldBe before12
+    // the table now carries the correction, everything else original
+    spark.read.parquet(out).select($"event_id", $"value")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, 10.0), (2L, 20.0), (3L, 60.0), (4L, 80.0), (5L, 50.0))
+  }
+
+  test("length profile: closed-form interpolated percentiles; approx twin brackets the exact rank") {
+    // source A: lengths 1..100 (doc i has i+1 single-char tokens); one doc in B
+    val docs = ((0 until 100).map(i => (i.toLong, Seq.fill(i + 1)("w").mkString(" "), "A"))
+      :+ (100L, "w w w", "B")).toDF("doc_id", "text", "source")
+    val exact = TextAnalysis.lengthProfile(docs).orderBy("source").collect()
+    exact.length shouldBe 2
+    val a = exact(0)
+    a.getString(0) shouldBe "A"
+    a.getLong(1) shouldBe 100L
+    // rank = q·(n−1) over 1..100: p25 = 25.75, p50 = 50.5, p75 = 75.25, p90 = 90.1
+    a.getDouble(2) shouldBe 25.75
+    a.getDouble(3) shouldBe 50.5
+    a.getDouble(4) shouldBe 75.25
+    a.getDouble(5) shouldBe 90.1
+    a.getLong(6) shouldBe 100L
+    exact(1).getDouble(3) shouldBe 3.0 // B: single doc, every quantile = its length
+    // the sketch twin returns dataset values bracketing each exact rank
+    val approx = TextAnalysis.lengthProfileApprox(docs).where($"source" === "A").head()
+    val qs = approx.getSeq[Long](2)
+    qs should have size 4
+    Seq(25.75, 50.5, 75.25, 90.1).zip(qs).foreach { case (ex, ap) =>
+      ap.toDouble should (be >= math.floor(ex) and be <= math.ceil(ex))
+    }
   }
 
   test("bloom layout: footer stats cannot prune the point key; the blooms reject the other row groups") {
