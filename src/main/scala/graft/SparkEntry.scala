@@ -1073,6 +1073,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dedup × similarity: SemDeDup-style semantic near-dup pairs blocked
+    // by the IVF CELL structure (multi-probe assignment closes single-
+    // boundary straddles) instead of SRP bands — the blocking that rides
+    // the already-persisted search index at scale. Same planted geometry
+    // and exact-pair oracle as v3: the cell-blocked operator must find
+    // every planted pair and nothing else
+    "d14_semantic_dedup" -> ((s, d) => {
+      val e = plantedEmb(s, d)
+      Similarity.semanticNearDupPairs(e, Similarity.ivfCentroids(e, 32))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Multimodal: binary payload → batched feature extraction (stub decode,
     // real plumbing: schema, mapPartitions batch shape, payload pruning).
     // The feature vector is emitted as a CSV string: the driver's hasher
@@ -1155,6 +1167,28 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .orderBy("event_id")
+    }),
+
+    // Streaming × similarity: the planted batch STREAMS into the persisted
+    // IVF index (one frozen-codebook ivfAppend per micro-batch;
+    // maxFilesPerTrigger=1 over a 4-file landing dir forces 4 real
+    // batches). Assignment is a pure per-row function, so batching cannot
+    // change the index — the post-stream partial-probe search is held to
+    // the same exact-cosine oracle as v8's monolithic append
+    "e11_stream_index_ingest" -> ((s, d) => {
+      val all = plantedTopKEmb(s, d)
+      val base = all.where(col("vec_id") < 200000L)
+      val batch = all.where(col("vec_id") >= 200000L)
+      val cents = Similarity.ivfCentroids(base, 32)
+      val dir = scratch("e11-ivfidx")
+      val landing = scratch("e11-landing")
+      Similarity.ivfIndex(base, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir) // static overwrite resets the scratch index
+      batch.repartition(4).write.mode("overwrite").parquet(landing)
+      EventStream.streamIngestToIndex(s, landing, cents, dir)
+      Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
+          emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8)
+        .orderBy("q_id", "rank")
     }),
 
     // X4 CSV round-trip: documents written as quoted CSV and read back with
@@ -2163,6 +2197,10 @@ object SparkEntry {
       // index must recall the same exact top-10 — every true neighbor
       // arrived via the APPEND, making recall-through-append the gate
       "v8_ivf_append" -> plantedTopkSql,
+      // e11: the STREAMED append (per-micro-batch ivfAppend) must recall
+      // the same exact top-10 — batching cannot change pure per-row
+      // assignment
+      "e11_stream_index_ingest" -> plantedTopkSql,
       // v9: the PQ shortlist must recall the planted top-10 through the
       // lossy codes; the exact re-rank then reproduces the exact answer
       "v9_pq_topk" -> plantedTopkSql,
@@ -2209,6 +2247,10 @@ object SparkEntry {
           "(SELECT v FROM fp), -1.0::DOUBLE WHERE (SELECT v FROM fp) <> 50002270 " +
           "ORDER BY method"),
       "v3_embedding_neardup" ->
+        (PlantedPairCte + "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
+      // d14: cell-blocked (SemDeDup) pairs held to the SAME exact planted
+      // pair set as the band-blocked v3 — blocking must lose nothing here
+      "d14_semantic_dedup" ->
         (PlantedPairCte + "SELECT a_id, b_id, cos FROM p WHERE cos >= 0.95 ORDER BY a_id, b_id"),
       // v5: CC collapse over the exact planted pair graph (star shapes, but
       // the oracle closure is the same recursive reachability as d6)

@@ -588,6 +588,43 @@ object Similarity {
     * angle agree on most sign bits, so near-dups collide on ≥1 band with
     * high probability). Never an all-pairs cross join.
     */
+  /** SemDeDup-style semantic near-duplicate pairs blocked by the IVF cell
+    * structure (Abbas et al.: cluster the embedding space, dedup within
+    * clusters): every vector lands in its `probes` nearest coarse cells
+    * (multi-probe assignment — an ε-close pair can straddle one cell
+    * boundary, so probing 2 cells makes a miss require disagreement on
+    * BOTH; spec-pinned on a constructed straddling pair), candidates are
+    * vectors sharing a cell, exact cosine verifies. Output contract is
+    * identical to [[cosineNearDupPairs]] — what changes is the blocking
+    * structure, and that is the 100 TB point: the cells come from the SAME
+    * frozen codebook the search index uses, so dedup rides the persisted
+    * cell-partitioned index instead of running a second banding pass over
+    * the corpus — candidate generation is cell-local (each cell's pair
+    * join reads one partition directory), and the cell assignment column
+    * ALREADY EXISTS on the index rows at rest. Like the paper's method,
+    * recall is bounded by cluster-boundary agreement, not guaranteed by an
+    * S-curve — the trade for reusing the index structure.
+    */
+  def semanticNearDupPairs(emb: DataFrame, cents: Seq[Seq[Float]],
+                           threshold: Double = 0.95, probes: Int = 2): DataFrame = {
+    val prep = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val celled = prep.select(col("vec_id"),
+      explode(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, probes))
+        .as("cell"))
+    // ids-only candidate shuffle, then the vectors re-join — same discipline
+    // as the banded path below
+    celled.as("a").join(celled.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .join(prep.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na")), "a_id")
+      .join(prep.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
                          bits: Int = 24, bands: Int = 4): DataFrame = {
     // 6-bit band keys: 64 buckets/band cuts candidate pairs ~6× vs 4-bit

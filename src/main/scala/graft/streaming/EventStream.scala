@@ -520,4 +520,40 @@ object EventStream {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
+
+  /** Streaming ANN-index ingest — the live half of the vector-index
+    * lifecycle as a STREAM: embedding rows arriving in a landing directory
+    * are appended to the persisted cell-partitioned IVF index against its
+    * FROZEN codebook, one `ivfAppend` per micro-batch (foreachBatch).
+    * Because cell assignment is a pure per-row function of
+    * (embedding, codebook), batch boundaries and arrival order CANNOT
+    * change the result — the index after the stream is row-identical to a
+    * monolithic rebuild (the v8 append ≡ rebuild contract, applied per
+    * micro-batch; the e11 oracle holds a post-stream partial-probe search
+    * to the exact-cosine answer). `maxFilesPerTrigger=1` forces one
+    * micro-batch per landed file, so the multi-batch path is what actually
+    * runs, not one AvailableNow gulp.
+    *
+    * At 100 TB: each batch touches only its own rows (one narrow
+    * assignment map + a partitioned append into existing `cell=`
+    * directories) — the standing index is never read or shuffled, and
+    * searches running concurrently see a consistent, monotonically
+    * growing index (parquet appends are whole-file-atomic per task
+    * commit).
+    */
+  def streamIngestToIndex(spark: SparkSession, landingDir: String,
+                          cents: Seq[Seq[Float]], indexDir: String): Unit = {
+    val vecs = spark.readStream
+      .schema(spark.read.parquet(landingDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.ivfAppend(
+          batch.select("vec_id", "embedding"), cents, indexDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
 }

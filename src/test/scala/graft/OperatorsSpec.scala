@@ -504,6 +504,33 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     pq.foreach(r => r.getDouble(3) shouldBe bf(r.getLong(2)))
   }
 
+  test("semantic (cell-blocked) near-dup pairs: equals the band-blocked pairs; multi-probe closes a straddle") {
+    // same corpus as the banded operator: identical output
+    val cents = Similarity.ivfCentroids(embDf, 8)
+    val cellBlocked = Similarity.semanticNearDupPairs(embDf, cents)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val bandBlocked = Similarity.cosineNearDupPairs(embDf)
+      .orderBy("a_id", "b_id").collect().toSeq
+    cellBlocked shouldBe bandBlocked
+    cellBlocked.map(r => (r.getLong(0), r.getLong(1))) should contain(0L -> 1L)
+    // constructed straddle: centroids at 0° and 24°, vectors at 11° and 13°
+    // sit on opposite sides of the bisector — nearest cells DIFFER, so
+    // single-probe blocking misses the pair (cos 0.999); probing 2 cells
+    // recovers it. This is the SemDeDup recall trade, and its fix.
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array.tabulate(16)(i =>
+        if (i == 0) math.cos(r).toFloat else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val straddleCents = Seq(v(0).toSeq, v(24).toSeq)
+    val pair = Seq(10L -> v(11), 20L -> v(13)).toDF("vec_id", "embedding")
+    Similarity.semanticNearDupPairs(pair, straddleCents, probes = 1)
+      .collect() shouldBe empty
+    val found = Similarity.semanticNearDupPairs(pair, straddleCents, probes = 2).collect()
+    found.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq(10L -> 20L)
+    found.head.getDouble(2) should be > 0.999
+  }
+
   test("embedding near-dup pairs: parallel pair found, orthogonal not") {
     val pairs = Similarity.cosineNearDupPairs(embDf)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

@@ -257,6 +257,36 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     spark.read.parquet(s"$root/sink").count() shouldBe (nA + nB)
   }
 
+  test("stream ingest to index: per-micro-batch appends equal a monolithic rebuild") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val all = (0L until 40L).map(i => i -> Array.fill(16)(rnd.nextFloat() - 0.5f))
+      .toDF("vec_id", "embedding")
+    val base = all.where($"vec_id" < 25)
+    val batch = all.where($"vec_id" >= 25)
+    val cents = graft.operators.Similarity.ivfCentroids(base, 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-streamidx").toString
+    graft.operators.Similarity.ivfIndex(base, cents).write
+      .partitionBy("cell").parquet(s"$root/idx")
+    // 3 landed files → maxFilesPerTrigger=1 forces 3 real micro-batches
+    batch.repartition(3).write.parquet(s"$root/landing")
+    graft.streaming.EventStream.streamIngestToIndex(
+      spark, s"$root/landing", cents, s"$root/idx")
+    val streamed = spark.read.parquet(s"$root/idx")
+    val rebuilt = graft.operators.Similarity.ivfIndex(all, cents)
+    streamed.select("vec_id", "cell").orderBy("vec_id").collect().toSeq shouldBe
+      rebuilt.select("vec_id", "cell").orderBy("vec_id").collect().toSeq
+    // and the search over the streamed index equals the rebuilt one
+    val q = all.where($"vec_id" < 2)
+    graft.operators.Similarity.ivfTopKIndexed(streamed, cents, q, 5, nprobe = 8)
+      .orderBy("q_id", "rank").collect().toSeq shouldBe
+      graft.operators.Similarity.ivfTopKIndexed(rebuilt, cents, q, 5, nprobe = 8)
+        .orderBy("q_id", "rank").collect().toSeq
+    // the landing dir really was consumed file-by-file: 3 data files
+    graft.util.FsUtil.listDir(java.nio.file.Paths.get(s"$root/landing"))(
+      _.count(_.getFileName.toString.endsWith(".parquet"))) shouldBe 3
+  }
+
   test("stream ingest to store: net latest-per-key lands as one delta commit, duplicates converge") {
     // stage a small event file: user 1 updated twice, user 2 once
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
