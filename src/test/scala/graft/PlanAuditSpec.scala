@@ -294,6 +294,60 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
   }
 
+  test("masked index read: tombstones anti-join as a broadcast — the index scan never shuffles") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = graft.operators.Similarity.ivfCentroids(corpus, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel-audit").toString + "/idx"
+    graft.operators.Similarity.ivfIndex(corpus, cents)
+      .write.partitionBy("cell").parquet(dir)
+    graft.operators.Similarity.ivfDelete(corpus.where($"vec_id" < 3).select("vec_id"), dir)
+    val plan = graft.operators.Similarity.ivfReadIndex(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+    // the mask is the ONLY operation on the scan: no exchange of index rows
+    plan should not include "Exchange hashpartitioning"
+  }
+
+  test("semantic near-dup pairs: cell-blocked candidates dedup on ids only, no cartesian") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val cents = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val df = graft.operators.Similarity.semanticNearDupPairs(embDf, cents)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // same ids-only pair-shuffle discipline as the banded path: the
+    // dropDuplicates aggregate's input schema carries no vectors
+    df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.output.map(_.name).toSet == Set("a_id", "b_id") &&
+          a.aggregateExpressions.forall(_.isInstanceOf[Attribute]) =>
+        a.child.output.map(_.name).toSet
+    }.head shouldBe Set("a_id", "b_id")
+  }
+
+  test("length profile aggregates in one shuffle with map-side partials") {
+    val docs = Seq((1L, "a b c", "s0"), (2L, "d e", "s1")).toDF("doc_id", "text", "source")
+    val plan = graft.operators.TextAnalysis.lengthProfile(docs)
+      .queryExecution.executedPlan.toString
+    // partial percentile buffers fold map-side; ONE exchange on the group key
+    plan should include("partial_percentile")
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("shard export: one hash exchange on the shard key; the writer-visible sort is the final order") {
+    val docs = Seq((1L, "a", "s"), (2L, "b", "s")).toDF("doc_id", "text", "source")
+    val assigned = docs.withColumn("shard",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.pmod($"doc_id" * 2654435761L, org.apache.spark.sql.functions.lit(4294967296L)),
+        org.apache.spark.sql.functions.lit(4L)))
+      .repartition(4, $"shard").sortWithinPartitions("shard", "doc_id")
+    val plan = assigned.queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+    plan should include("Sort")
+  }
+
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sorted-audit").toString + "/ev"
     val ev = graft.streaming.EventStream.withEventTime(
