@@ -504,6 +504,24 @@ object SparkEntry {
       st.current.toDF().select(col("id"), col("title")).orderBy("id")
     }),
 
+    // S13 retention vacuum: mutate → compact → mutate, then vacuum history
+    // below the retained window. The entry REQUIRES the pre-compaction
+    // segments (v1, v2) to be physically deleted — failing that errors the
+    // entry — and the oracle gates that the resolved current table is
+    // unaffected by the deletion (spec additionally pins the disk shrink
+    // and the below-floor throw)
+    "s13_retention_vacuum" -> ((s, d) => {
+      val st = freshStore(s)
+      st.upsertAll(corpusEntries(s, d, "000001", "000050").collect().toSeq) // v1
+      st.partialUpdate("000010", Map("title" -> "patched"))                 // v2
+      st.compact()                                                          // v3: base
+      st.delete("000020")                                                   // v4
+      val removed = st.vacuum(keepVersions = 2) // anchor base-3; v1+v2 history drops
+      require(removed == Seq(1L, 2L),
+        s"vacuum should delete segments 1 and 2, deleted: $removed")
+      st.current.toDF().select(col("id"), col("title")).orderBy("id")
+    }),
+
     // S9 time travel: read the table as of an older committed version —
     // mutations after the snapshot version are invisible
     "s9_time_travel" -> ((s, d) => {
@@ -1869,6 +1887,11 @@ object SparkEntry {
         (M + "SELECT id, title FROM meta WHERE id = '000001'"),
       "s9_time_travel" ->
         (M + "SELECT id, title FROM meta WHERE id BETWEEN '000001' AND '000050' ORDER BY id"),
+      // s13: vacuum is physical-only — the resolved table must equal the
+      // logical state (patch applied, delete applied) with history gone
+      "s13_retention_vacuum" ->
+        (M + "SELECT id, CASE WHEN id = '000010' THEN 'patched' ELSE title END AS title " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' ORDER BY id"),
       "t8_corpus_stats" ->
         // ::BIGINT: DuckDB sum() yields HUGEINT, which lands in pandas as
         // float64 and hash-diverges from Spark's int64
