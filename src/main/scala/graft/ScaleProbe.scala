@@ -240,6 +240,59 @@ object ScaleProbe {
       f""""row_groups":$zTotal}"""
   }
 
+  /** Index-deletion profile: tombstone the same small id set at 1× and
+    * 10×, compact, and measure what the rewrite touched. The claim under
+    * test: compaction reads and rewrites ONLY the touched cells — the
+    * rewritten-bytes fraction stays ≈ (touched cells' occupancy share) at
+    * both scales, and with k ≤ nprobe-scale tombstones that share is far
+    * below 1 (at production nlist — thousands of cells for billions of
+    * rows — it is k/nlist-small; the 32-cell probe bounds it at k/32).
+    * The masked read costs one broadcast of |ids| rows, measured too.
+    */
+  private def profileDelete(spark: SparkSession, label: String, emb: DataFrame): String = {
+    val dir = scratch("scale-ivfdel-" + label + "/idx")
+    val cents = Similarity.ivfCentroids(emb, 32)
+    Similarity.ivfIndex(emb, cents).write.mode("overwrite")
+      .partitionBy("cell").parquet(dir)
+    val totalBytes = graft.sources.Compaction.dataBytes(dir)
+    // a handful of ids from ONE narrow band of the id space: the realistic
+    // "this source retracted a few documents" shape
+    val dead = emb.where(col("vec_id") < 10).select("vec_id")
+    val (_, tDelete) = timed(Similarity.ivfDelete(dead, dir))
+    val (_, tMasked) = timed(Similarity.ivfReadIndex(spark, dir).count())
+    val before = spark.read.parquet(dir).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (touched, tCompact) = timed(Similarity.ivfCompact(spark, dir))
+    val afterBytes = graft.sources.Compaction.dataBytes(dir)
+    val after = spark.read.parquet(dir).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nRows = before.values.sum
+    // rows living in the rewritten cells = the compaction's read+write bill
+    val touchedRows = before
+      .filter { case (c, n) => !after.get(c).contains(n) }.values.sum
+    f"""{"corpus":"$label","n_vecs":$nRows,"cells":32,""" +
+      f""""delete_sec":$tDelete%.2f,"masked_read_sec":$tMasked%.2f,""" +
+      f""""compact_sec":$tCompact%.2f,"cells_rewritten":$touched,""" +
+      f""""index_bytes":$totalBytes,"bytes_after":$afterBytes,""" +
+      f""""touched_row_frac":${touchedRows.toDouble / nRows}%.3f}"""
+  }
+
+  /** Shard-export profile: the delivery step at 1× and 10× — one hash
+    * shuffle, per-shard balance (max/min docs), wall. Linear wall and flat
+    * skew at 10× is the evidence the trainer-facing export scales.
+    */
+  private def profileExport(spark: SparkSession, label: String, docs: DataFrame): String = {
+    val dir = scratch("scale-export-" + label + "/corpus")
+    val (_, tExport) = timed(Pipeline.shardExport(docs, dir, shards = 32))
+    val m = spark.read.parquet(s"$dir/_manifest")
+      .agg(min(col("n_docs")), max(col("n_docs")), sum(col("n_docs")))
+      .head()
+    f"""{"corpus":"$label","n_docs":${m.getLong(2)},"shards":32,""" +
+      f""""export_sec":$tExport%.2f,"min_shard":${m.getLong(0)},""" +
+      f""""max_shard":${m.getLong(1)},""" +
+      f""""skew":${m.getLong(1).toDouble / m.getLong(0)}%.3f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -285,6 +338,10 @@ object ScaleProbe {
     println(profile("sf0.1", organic))
     println(profile(s"sf0.1x$nShards", decade))
 
+    // trainer-facing shard export at 1× and 10×
+    println(profileExport(spark, "export-1x", organic))
+    println(profileExport(spark, "export-10x", decade))
+
     // ANN index path at 1× and 10× (probe pruning must hold at scale)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
@@ -292,6 +349,9 @@ object ScaleProbe {
     synthesizeDecadeEmb(emb).write.mode("overwrite").parquet(embDir)
     println(profileAnn(spark, "emb-1x", emb))
     println(profileAnn(spark, "emb-10x", spark.read.parquet(embDir)))
+    // deletion lifecycle: tombstone + masked read + touched-cell compaction
+    println(profileDelete(spark, "del-1x", emb))
+    println(profileDelete(spark, "del-10x", spark.read.parquet(embDir)))
     // like-for-like compression baselines: the 1x raw copy carries exactly
     // the columns the index is built from (the source table's extra label
     // column would inflate the denominator)
