@@ -654,6 +654,13 @@ object SparkEntry {
     "t13_keywords" -> ((s, d) =>
       TextAnalysis.keywords(docs(s, d), k = 3).orderBy("doc_id", "rank")),
 
+    // Text analysis: "more like this" — the seed document's top-5 TF·IDF
+    // terms (t13's selection rule) query the corpus; every other document
+    // scores Σ c·idf over those terms, top-10 by (score desc, doc_id).
+    // The related-documents primitive of the reference's ES search lineage
+    "t15_more_like_this" -> ((s, d) =>
+      TextAnalysis.moreLikeThis(docs(s, d), seedDocId = 42L)),
+
     // Text analysis: per-source token-length DISTRIBUTION profile — exact
     // interpolated percentiles (the rank = q·(n−1) rule every SQL engine's
     // percentile_cont implements, so the oracle holds the values); the
@@ -1988,6 +1995,18 @@ object SparkEntry {
           ", ds AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) " +
           "SELECT source, n_docs, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct " +
           "FROM tc JOIN ds USING (source) GROUP BY source, n_docs ORDER BY source"),
+      // t15: seed keyword selection follows t13's rounding/tie rule; the
+      // per-document score sums ≤ kTerms products, rounded to 6
+      "t15_more_like_this" ->
+        (T + ", tc AS (SELECT doc_id, unnest(t) AS tok FROM toks), " +
+          "c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM tc GROUP BY 1, 2), " +
+          "df AS (SELECT tok, count(*)::BIGINT AS df FROM c GROUP BY tok), " +
+          "n AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+          "seed AS (SELECT tok, ln(n / df) AS idf FROM c JOIN df USING (tok), n " +
+          "WHERE doc_id = 42 ORDER BY round(c * ln(n / df), 6) DESC, tok LIMIT 5), " +
+          "sc AS (SELECT doc_id, round(sum(c * idf), 6) AS score FROM c JOIN seed USING (tok) " +
+          "WHERE doc_id <> 42 GROUP BY 1) " +
+          "SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10"),
       // t14: interpolated percentiles share the rank = q·(n−1) rule between
       // Spark's percentile and DuckDB's quantile_cont — values match exactly
       "t14_length_profile" ->

@@ -303,6 +303,40 @@ object TextAnalysis {
         col("tok").as("term"), col("tfidf"))
   }
 
+  /** "More like this" — the similar-document query of the reference's
+    * search lineage (Elasticsearch's more_like_this, deterministically
+    * simplified): the seed document's `kTerms` highest-TF·IDF terms
+    * ([[keywords]]' selection rule, same rounding and tie-break) become
+    * the query, every other document scores Σ c(term, doc) · idf(term)
+    * over those terms, top-k returned by (score desc, doc_id). The
+    * "find related datasets / near-topic documents" primitive that
+    * complements embedding search with a sparse, explainable signal.
+    *
+    * Plan shape at 100 TB: term counts and dfs are the t13 aggregates;
+    * the seed's term set is kTerms rows — a broadcast — so scoring is one
+    * co-shuffled aggregate over the MATCHING (doc, term) rows only
+    * (documents sharing no seed term never enter the aggregate), and the
+    * top-k is a per-partition TakeOrdered merge, not a global sort.
+    */
+  def moreLikeThis(docs: DataFrame, seedDocId: Long,
+                   kTerms: Int = 5, k: Int = 10): DataFrame = {
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val dfr = tc.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val seedTerms = tc.where(col("doc_id") === seedDocId)
+      .join(dfr, "tok").crossJoin(broadcast(n))
+      .select(col("tok"), round(col("c") * log(col("n") / col("df")), 6).as("w"),
+        log(col("n") / col("df")).as("idf"))
+      .orderBy(col("w").desc, col("tok").asc).limit(kTerms)
+      .select("tok", "idf")
+    tc.where(col("doc_id") =!= seedDocId)
+      .join(broadcast(seedTerms), "tok")
+      .groupBy("doc_id").agg(round(sum(col("c") * col("idf")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
   // ----------------------------------------------------------- fingerprints
 
   /** Canonical content fingerprint: md5 over the normalized token stream.

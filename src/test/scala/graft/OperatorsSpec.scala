@@ -740,6 +740,18 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       (3L, 1L, "z", s(ln15)), (3L, 2L, "common", 0.0))
   }
 
+  test("more-like-this: seed keywords query the corpus, closed-form scores, no-overlap docs absent") {
+    val docs = Seq(
+      (1L, "x x y common"), // seed: top-2 terms x (2·ln2), y (ln2); common (ln 4/3) misses the cut
+      (2L, "x common common"),
+      (3L, "y z common"),
+      (4L, "w w w")).toDF("doc_id", "text")
+    val out = TextAnalysis.moreLikeThis(docs, seedDocId = 1L, kTerms = 2, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val ln2 = BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out shouldBe Seq(2L -> ln2, 3L -> ln2) // d4 shares no seed term → absent, not zero
+  }
+
   test("distinct profile: exact per-source counts; HLL sketch lands within its error bound") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = graft.operators.TextAnalysis.distinctProfile(docs)
