@@ -988,6 +988,24 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity: CROSS-CORPUS linkage — top-1 nearest B-vector for every
+    // one of 50 A-vectors where NEITHER side broadcasts (the corpus×corpus
+    // alignment regime): both sides co-partition on the shared codebook's
+    // cell key, candidates score cell-locally. A-rows are ε-perturbed
+    // copies of B-rows, so each one's exact argmax is its source — the
+    // oracle holds the cell-join recall AND the exact cosine to the full
+    // exact answer
+    "v15_cross_corpus" -> ((s, d) => {
+      val b = emb(s, d).select(col("vec_id"), col("embedding"))
+      val a = b.where(col("vec_id") < 50)
+        .select((col("vec_id") + 500000L).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.1f)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      Similarity.crossCorpusTopK(a, b, Similarity.ivfCentroids(b, 32), k = 1)
+        .orderBy("a_id")
+    }),
+
     // Similarity: INDEX DELETION — tombstone the odd-j plants, then
     // PHYSICALLY compact (touched-cell dynamic-partition rewrite) and
     // search the compacted index. Each query's remaining exact top-5 is
@@ -2258,6 +2276,16 @@ object SparkEntry {
       // v14: deletion lifecycle — tombstone, physically compact, search;
       // the result must equal a rebuild over the remaining corpus
       "v14_index_delete" -> deletedTopkSql,
+      // v15: the cell-join linkage must return each perturbed A-row's
+      // exact argmax over the FULL corpus (its source row)
+      "v15_cross_corpus" ->
+        ("WITH aa AS (SELECT vec_id + 500000 AS a_id, " +
+          "list_prepend((embedding[1] + 0.1::FLOAT)::FLOAT, embedding[2:64]) AS a_emb " +
+          "FROM embeddings WHERE vec_id < 50) " +
+          s", s AS (SELECT a_id, b.vec_id AS b_id, ${cosSql("a_emb", "b.embedding")} AS cos " +
+          "FROM aa, embeddings b) " +
+          ", r AS (SELECT a_id, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank, b_id, cos FROM s) " +
+          "SELECT a_id, rank::BIGINT AS rank, b_id, cos FROM r WHERE rank <= 1 ORDER BY a_id"),
       // v11: measured recall@10 pinned at sf0.01 — every path is
       // hash-deterministic, so these integers reproduce bit-for-bit
       // (values measured by running the registered entry; see the entry

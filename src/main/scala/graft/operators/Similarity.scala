@@ -323,6 +323,48 @@ object Similarity {
                              pred: Column): DataFrame =
     ivfTopKIndexed(index.where(pred), cents, queries, k, nprobe)
 
+  /** Cross-corpus ANN linkage — top-k nearest B-vectors for EVERY A-vector
+    * when NEITHER side fits a broadcast (aligning two embedding corpora:
+    * entity linkage, cross-source dedup, retrieval-index migration). The
+    * broadcast-probe searches above all assume a driver-sized query set;
+    * this is the other regime, and it is a JOIN problem: both sides assign
+    * to the SAME frozen codebook (A explodes to `probes` cells to absorb
+    * boundary straddles, B lands in its one home cell), the cell equi-join
+    * co-partitions both corpora on the cell key, candidates are scored
+    * cell-locally, and a per-A top-k window finishes.
+    *
+    * Plan shape at 100 TB × 100 TB: one shuffle of each corpus on the cell
+    * key (B rows travel once, A rows `probes`×), no broadcast, no
+    * cartesian — candidate volume is Σ_cell |A_cell|·|B_cell|, bounded by
+    * cell balance (the Lloyd-refined codebook's occupancy statistic is
+    * exactly what caps the hottest cell's bill; salt a pathological hot
+    * cell like j5 if occupancy says so). The scored pair stream dedups on
+    * (a_id, b_id) ids+score only — 24 B rows — before the ranking window.
+    * Recall: an A-row's true neighbor is found when they share a probed
+    * cell — the d14/SemDeDup agreement model (multi-probe closes single
+    * straddles; the v15 oracle holds the planted geometry to the exact
+    * argmax).
+    */
+  def crossCorpusTopK(a: DataFrame, b: DataFrame, cents: Seq[Seq[Float]],
+                      k: Int, probes: Int = 2): DataFrame = {
+    val aCelled = a.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      norm(col("embedding")).as("a_nrm"),
+      explode(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, probes))
+        .as("cell"))
+    val bCelled = b.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      norm(col("embedding")).as("b_nrm"),
+      element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
+        .as("cell"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+    aCelled.join(bCelled, Seq("cell"))
+      .select(col("a_id"), col("b_id"),
+        cosineWithNorms(col("a_emb"), col("b_emb"), col("a_nrm"), col("b_nrm")).as("cos"))
+      .dropDuplicates("a_id", "b_id") // multi-probe duplicates a pair per shared cell
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("a_id"), col("rank").cast("long").as("rank"), col("b_id"), col("cos"))
+  }
+
   // ------------------------------------------------------- index deletion
 
   /** DELETE from the persisted IVF index — the lifecycle operation a live

@@ -531,6 +531,32 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     found.head.getDouble(2) should be > 0.999
   }
 
+  test("cross-corpus linkage: full probe equals brute force; no broadcast in the join-shape plan") {
+    val cents = Similarity.ivfCentroids(embDf, 8)
+    val a = embDf.where($"vec_id" < 5)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    // probes = nlist: every A-row reaches every cell, so the cell join
+    // degrades exactly to the exact answer — brute force per A-row
+    val full = Similarity.crossCorpusTopK(a, embDf, cents, k = 3, probes = 8)
+      .orderBy("a_id", "rank").collect().toSeq
+    val bf = Similarity.bruteForceTopK(embDf, a, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    full.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))) shouldBe
+      bf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the 100 TB plan shape: with broadcast disabled (neither corpus is
+    // driver-sized there), the cell equi-join runs as a shuffle join on the
+    // cell key — never a broadcast, never a cartesian
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Similarity.crossCorpusTopK(a, embDf, cents, k = 3)
+        .queryExecution.executedPlan.toString
+      plan should not include "BroadcastHashJoin"
+      plan should not include "CartesianProduct"
+      plan should include regex "(SortMergeJoin|ShuffledHashJoin)"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("embedding near-dup pairs: parallel pair found, orthogonal not") {
     val pairs = Similarity.cosineNearDupPairs(embDf)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
