@@ -1498,6 +1498,24 @@ object SparkEntry {
     "j1_asof_join" -> ((s, d) =>
       clickPurchaseAsOf(s, d, toleranceMicros = Long.MaxValue)),
 
+    // NEAREST-neighbor temporal align: each purchase to its user's CLOSEST
+    // click in either direction within ±30 min (ties → backward, the as-of
+    // convention; equal-ts tie rules mirrored in the oracle's CASE sign
+    // trick). Same single co-partitioned sort as j1 — the forward
+    // candidate is a second window over the same ordering
+    "j6_nearest_align" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      Joins.nearestAsOf(purchases, clicks, Seq("user_id"),
+          "purchase_ts", "click_ts", "click_id", toleranceMicros = 1800000000L)
+        .orderBy("purchase_id")
+    }),
+
     // As-of with bounded lookback: same attribution, but a click older
     // than 30 min before the purchase no longer matches (nulls instead).
     // Tolerance is a post-window filter — the nearest prior click is the
@@ -2533,6 +2551,25 @@ object SparkEntry {
           "FROM purchases p ASOF LEFT JOIN clicks c " +
           "ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts " +
           "ORDER BY purchase_id"),
+      // j6: nearest click either direction within ±30 min — candidates
+      // ranked (|Δ| asc, backward-first on ties, then max click_id among
+      // equal-ts backward / min among equal-ts forward: the CASE sign trick
+      // mirrors the operator's (ts, side, tie) window order exactly)
+      "j6_nearest_align" ->
+        ("WITH clicks AS (SELECT user_id, ts::TIMESTAMP AS click_ts, " +
+          "event_id AS click_id FROM events WHERE event_type = 'click'), " +
+          "purch AS (SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS purchase_ts " +
+          "FROM events WHERE event_type = 'purchase'), " +
+          "cand AS (SELECT p.purchase_id, c.click_ts, c.click_id, " +
+          "abs(epoch_us(c.click_ts) - epoch_us(p.purchase_ts)) AS d, " +
+          "(c.click_ts > p.purchase_ts) AS fwd " +
+          "FROM purch p JOIN clicks c USING (user_id) " +
+          "WHERE abs(epoch_us(c.click_ts) - epoch_us(p.purchase_ts)) <= 1800000000), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id " +
+          "ORDER BY d, fwd, CASE WHEN fwd THEN click_id ELSE -click_id END) AS rn FROM cand) " +
+          "SELECT p.purchase_id, p.user_id, p.purchase_ts, r.click_ts, r.click_id " +
+          "FROM purch p LEFT JOIN r ON r.purchase_id = p.purchase_id AND r.rn = 1 " +
+          "ORDER BY p.purchase_id"),
       "j2_range_pairs" ->
         ("SELECT a.event_id AS a_id, b.event_id AS b_id, " +
           "abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) AS gap_us " +

@@ -113,6 +113,68 @@ object Joins {
       .select(col("__l.*") +: rightPayload.map(f => col(s"__last_r.$f").as(f)): _*)
   }
 
+  /** NEAREST-neighbor temporal align: for each left row, the single right
+    * row with the same `keys` whose time is CLOSEST in either direction,
+    * within `toleranceMicros` — the sensor-fusion / log-alignment
+    * primitive ([[asOf]] is its backward-only half; many alignments want
+    * "the reading nearest this event", not "the last reading before it").
+    * Ties (equidistant before/after) resolve to the BACKWARD candidate —
+    * the as-of convention — and right-side columns come back null when no
+    * row lands inside the tolerance (LEFT semantics).
+    *
+    * Same union-tag merge as [[asOf]], same single co-partitioned sort —
+    * the forward candidate is a second window over the SAME sorted
+    * partition (first following right row; frame currentRow →
+    * unboundedFollowing evaluates incrementally backward), so the plan
+    * adds no shuffle and no extra sort: both windows share one
+    * (keys)-partitioned (ts, side, tie) ordering. Because each side's
+    * candidate is its single nearest row, the tolerance stays a post-window
+    * filter here too. A right row at exactly the left row's ts sorts
+    * before it and is the backward candidate at distance zero.
+    */
+  def nearestAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String, rightTie: String,
+                  toleranceMicros: Long = Long.MaxValue): DataFrame = {
+    require(toleranceMicros > 0, s"toleranceMicros must be positive: $toleranceMicros")
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val rStruct = struct(rightPayload.map(col): _*)
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
+    val lStruct = struct(left.columns.toSeq.map(col): _*)
+    val lType = left.select(lStruct.as("__l")).schema("__l").dataType
+    val r = right
+      .where((keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("__ts"), lit(0).as("__side"),
+          col(rightTie).cast("long").as("__tie"),
+          rStruct.as("__r"), lit(null).cast(lType).as("__l")): _*)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(Long.MaxValue).as("__tie"),
+        lit(null).cast(rType).as("__r"), lStruct.as("__l")): _*)
+    val ord = Seq(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    val wBack = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val lUs = micros(col("__ts"))
+    val backD = lUs - micros(col(s"__back.$rightTs"))
+    val fwdD = micros(col(s"__fwd.$rightTs")) - lUs
+    val nearest = r.unionByName(l)
+      .withColumn("__back", last(col("__r"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", first(col("__r"), ignoreNulls = true).over(wFwd))
+      .where(col("__side") === 1)
+      .withColumn("__back", when(backD <= toleranceMicros, col("__back")))
+      .withColumn("__fwd", when(fwdD <= toleranceMicros, col("__fwd")))
+      .withColumn("__near",
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(fwdD < backD, col("__fwd"))
+          .otherwise(col("__back"))) // tie → backward, the as-of convention
+    nearest.select(col("__l.*") +: rightPayload.map(f => col(s"__near.$f").as(f)): _*)
+  }
+
   /** Unordered pairs of rows whose event times lie within `epsilonMicros`
     * of each other: `(a_id, b_id, gap_us)` with `a_id < b_id`, gap
     * inclusive. The micro-burst / coincidence-detection primitive.

@@ -86,6 +86,55 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
 
   // --------------------------------------------------- timeProximityPairs
 
+  test("nearestAsOf: closest either direction, tie to backward, tolerance nulls, brute-force parity") {
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 300L),
+      (1L, ts("2024-01-01 10:40:00"), 301L),
+      // equidistant pair around purchase 402 (±10 min): backward must win
+      (2L, ts("2024-01-01 10:00:00"), 302L),
+      (2L, ts("2024-01-01 10:20:00"), 303L),
+      (3L, ts("2024-01-01 08:00:00"), 304L)
+    ).toDF("user_id", "click_ts", "click_id")
+    val purchases = Seq(
+      (400L, 1L, ts("2024-01-01 10:15:00")), // back 15m < fwd 25m → 300
+      (401L, 1L, ts("2024-01-01 10:30:00")), // fwd 10m < back 30m → 301 (forward wins!)
+      (402L, 2L, ts("2024-01-01 10:10:00")), // tie 10m/10m → backward 302
+      (403L, 3L, ts("2024-01-01 12:00:00")), // nearest 4h away > 30m tol → null
+      (404L, 1L, ts("2024-01-01 10:40:00")), // exactly at a click → itself, distance 0
+      (405L, 9L, ts("2024-01-01 10:00:00"))  // no clicks → null
+    ).toDF("purchase_id", "user_id", "purchase_ts")
+    val out = Joins.nearestAsOf(purchases, clicks, Seq("user_id"),
+        "purchase_ts", "click_ts", "click_id", toleranceMicros = 1800000000L)
+      .select("purchase_id", "click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    out shouldBe Map(400L -> Some(300L), 401L -> Some(301L), 402L -> Some(302L),
+      403L -> None, 404L -> Some(301L), 405L -> None)
+    // parity on real event data: brute-force nearest within tolerance
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val c = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val p = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+    val tol = 1800000000L
+    val got = Joins.nearestAsOf(p, c, Seq("user_id"),
+        "purchase_ts", "click_ts", "click_id", tol)
+      .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toMap
+    val brute = p.join(c, Seq("user_id"))
+      .withColumn("d", abs(unix_micros($"click_ts") - unix_micros($"purchase_ts")))
+      .where($"d" <= tol)
+      .withColumn("fwd", $"click_ts" > $"purchase_ts")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("purchase_id")
+          .orderBy($"d", $"fwd",
+            when($"fwd", $"click_id").otherwise(-$"click_id"))))
+      .where($"rn" === 1)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toMap
+    p.select("purchase_id").as[Long].collect().foreach { id =>
+      got(id) shouldBe brute.get(id)
+    }
+  }
+
   test("timeProximityPairs equals the brute-force all-pairs answer") {
     val ev = graft.streaming.EventStream.withEventTime(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
