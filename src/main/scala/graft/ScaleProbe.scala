@@ -277,6 +277,35 @@ object ScaleProbe {
       f""""touched_row_frac":${touchedRows.toDouble / nRows}%.3f}"""
   }
 
+  /** Cross-corpus linkage profile: A (500 perturbed rows) aligned against
+    * B at 1× and 10× — the no-broadcast cell join. The statistic that
+    * bounds cost is candidates PER A-ROW (Σ over its probed cells of
+    * |B_cell| ≈ probes/nlist of the corpus under balance): it should grow
+    * with |B| only as the per-cell occupancy does, and the top-1 recall of
+    * the planted source must hold at both scales.
+    */
+  private def profileCross(spark: SparkSession, label: String, emb: DataFrame): String = {
+    val b = emb.select(col("vec_id"), col("embedding"))
+    val nB = b.count()
+    val a = b.where(col("vec_id") < 500)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        concat(array((element_at(col("embedding"), 1) + lit(0.1f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val cents = Similarity.ivfCentroids(b, 32)
+    val (top, tJoin) = timed(
+      Similarity.crossCorpusTopK(a, b, cents, k = 1).collect())
+    val recalled = top.count(r => r.getLong(0) - 10000000L == r.getLong(2))
+    // candidate volume per A-row: occupancy of its 2 probed cells
+    val occ = Similarity.cellOccupancy(
+      Similarity.ivfIndex(b, cents)).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val candPerA = a.select(
+        explode(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 2)).as("cell"))
+      .collect().map(r => occ.getOrElse(r.getInt(0), 0L)).sum.toDouble / 500
+    f"""{"corpus":"$label","n_b":$nB,"n_a":500,"join_sec":$tJoin%.2f,""" +
+      f""""top1_recall":${recalled / 500.0}%.3f,""" +
+      f""""cand_per_a":$candPerA%.0f,"cand_frac":${candPerA / nB}%.3f}"""
+  }
+
   /** Shard-export profile: the delivery step at 1× and 10× — one hash
     * shuffle, per-shard balance (max/min docs), wall. Linear wall and flat
     * skew at 10× is the evidence the trainer-facing export scales.
@@ -352,6 +381,9 @@ object ScaleProbe {
     // deletion lifecycle: tombstone + masked read + touched-cell compaction
     println(profileDelete(spark, "del-1x", emb))
     println(profileDelete(spark, "del-10x", spark.read.parquet(embDir)))
+    // cross-corpus cell join: candidates per A-row bounded by occupancy
+    println(profileCross(spark, "cross-1x", emb))
+    println(profileCross(spark, "cross-10x", spark.read.parquet(embDir)))
     // like-for-like compression baselines: the 1x raw copy carries exactly
     // the columns the index is built from (the source table's extra label
     // column would inflate the denominator)
