@@ -1212,6 +1212,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Streaming: EXACT distinct users per hour window (the DAU primitive)
+    // as two chained stateful stages under one watermark — streaming dedup
+    // on (window, user) then the windowed count (exact distinct aggregation
+    // is unsupported in a streaming agg; this is the standard exact
+    // decomposition). Append emission: the oracle keeps windows whose end
+    // precedes the final watermark (max event time − 1 h), the e7/e9
+    // cutoff-encoding discipline
+    "e12_window_unique_users" -> ((s, d) =>
+      EventStream.backfillWindowedUniqueUsers(s, s"$d/events.parquet")
+        .orderBy("window_start")),
+
     // Streaming × similarity: the planted batch STREAMS into the persisted
     // IVF index (one frozen-codebook ivfAppend per micro-batch;
     // maxFilesPerTrigger=1 over a 4-file landing dir forces 4 real
@@ -2385,6 +2396,15 @@ object SparkEntry {
       "e1_stream_window_counts" ->
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
           "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      // e12: append-mode emission keeps windows whose END the final
+      // watermark (max event time − the 1 h delay) has passed
+      "e12_window_unique_users" ->
+        ("WITH mx AS (SELECT max(ts) AS m FROM events), " +
+          "agg AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, " +
+          "count(DISTINCT user_id) AS unique_users FROM events GROUP BY 1) " +
+          "SELECT window_start, unique_users FROM agg, mx " +
+          "WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR " +
+          "ORDER BY window_start"),
       // e6 must reproduce e1 exactly from the JSONL staging of the same events
       "e6_stream_jsonl_counts" ->
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +

@@ -257,6 +257,25 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     spark.read.parquet(s"$root/sink").count() shouldBe (nA + nB)
   }
 
+  test("windowed unique users: chained dedup+count equals batch distinct; unfinalized tail withheld") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val out = graft.streaming.EventStream.backfillWindowedUniqueUsers(spark, path)
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val ev = graft.streaming.EventStream.withEventTime(spark.read.parquet(path))
+    val batch = ev.groupBy(date_trunc("hour", $"ts").as("ws"))
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    // every emitted window carries the exact batch distinct count
+    out.foreach { case (ws, n) => batch(ws) shouldBe n }
+    // withheld windows are exactly those the final watermark hasn't passed
+    val wmMs = ev.agg(max($"ts")).head().getTimestamp(0).getTime - 3600 * 1000L
+    val (finalized, pending) = batch.keySet.partition(_.getTime + 3600 * 1000L <= wmMs)
+    out.keySet shouldBe finalized
+    pending.foreach(ws => out.get(ws) shouldBe None)
+    pending.nonEmpty shouldBe true // the cutoff is actually exercised
+  }
+
   test("stream ingest to index: per-micro-batch appends equal a monolithic rebuild") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(11)
