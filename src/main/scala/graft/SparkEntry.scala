@@ -3,7 +3,7 @@ package graft
 import graft.compile.QueryCompiler
 import graft.exec.SearchExecutor
 import graft.model.{AclContext, DataSetFiltering, InvalidQueryException, MetadataEntry}
-import graft.operators.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import graft.store.MetadataStore
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
@@ -1360,6 +1360,29 @@ object SparkEntry {
     // shuffle output — the one-time layout decision that deletes the
     // dominant repeated-join cost at 100 TB; plan pinned in JoinsSpec).
     // Correctness gate = the join itself against a plain SQL oracle.
+    // Relational OLAP o1: TPC-H Q1-shape pricing summary — the canonical
+    // scan-heavy aggregate over the LARGEST fact table: pushed shipdate
+    // predicate, map-side partials into a 4-group exchange, exact decimal
+    // money sums (double division only for the averages)
+    "o1_pricing_summary" -> ((s, d) =>
+      Relational.pricingSummary(s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // Relational OLAP o2: Q3-shape top-10 open-order revenue in a market
+    // segment — the selective customer dim broadcasts, revenue ranks on
+    // the exact decimal sum (deterministic top-k boundary), TakeOrdered
+    "o2_top_orders" -> ((s, d) =>
+      Relational.topOrderRevenue(s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // Relational OLAP o3: Q5-shape revenue by customer nation × order year
+    // — two broadcast dims + ONE co-keyed fact-fact shuffle on orderkey
+    "o3_nation_revenue" -> ((s, d) =>
+      Relational.nationRevenue(s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/nation.parquet"))),
+
     "x5_bucketed_join" -> ((s, d) => {
       // fixed per-entry dir, NOT createTempDirectory: the harness invokes
       // each entry several times (bench warm-up + passes, verify) and a
@@ -2412,6 +2435,41 @@ object SparkEntry {
       "x4_csv_roundtrip" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),
+      // o1-o3: money sums accumulate as DECIMAL (exact, order-free) with
+      // the per-row double products written in the SAME left-to-right
+      // order Spark evaluates; averages divide as double on both sides
+      "o1_pricing_summary" ->
+        ("SELECT l_returnflag, l_linestatus, " +
+          "sum(l_quantity::DECIMAL(28,10))::DOUBLE AS sum_qty, " +
+          "sum(l_extendedprice::DECIMAL(28,10))::DOUBLE AS sum_base_price, " +
+          "sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10))::DOUBLE AS sum_disc_price, " +
+          "sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,10))::DOUBLE AS sum_charge, " +
+          "sum(l_quantity::DECIMAL(28,10))::DOUBLE / count(*) AS avg_qty, " +
+          "sum(l_discount::DECIMAL(28,10))::DOUBLE / count(*) AS avg_disc, " +
+          "count(*) AS count_order " +
+          "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00' " +
+          "GROUP BY 1, 2 ORDER BY 1, 2"),
+      "o2_top_orders" ->
+        ("WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'), " +
+          "l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp " +
+          "FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00'), " +
+          "o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority " +
+          "FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'), " +
+          "g AS (SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+          "sum(dp::DECIMAL(28,10)) AS rev FROM l " +
+          "JOIN o ON l_orderkey = o_orderkey JOIN c ON o_custkey = c_custkey " +
+          "GROUP BY 1, 2, 3) " +
+          "SELECT l_orderkey, rev::DOUBLE AS revenue, o_orderdate, o_orderpriority " +
+          "FROM g ORDER BY rev DESC, l_orderkey LIMIT 10"),
+      "o3_nation_revenue" ->
+        ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
+          "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
+          "SELECT n_name, order_year, sum(dp::DECIMAL(28,10))::DOUBLE AS revenue, " +
+          "count(*) AS n_items FROM l " +
+          "JOIN o ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY 1, 2 ORDER BY 1, 2"),
       "x8_orc_roundtrip" ->
         ("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars " +
           "FROM documents ORDER BY doc_id"),

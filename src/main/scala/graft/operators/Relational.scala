@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classic relational OLAP over the star-schema fact tables — the
+  * scan/join/aggregate bread-and-butter every warehouse engine is judged
+  * on, exercised here at the corpus's LARGEST tables (lineitem/orders).
+  * The catalog reference never runs these (its engine is a search index),
+  * but an analytics engine claiming its workloads plus 100 TB scale must
+  * prove the basics: pushed scan predicates, map-side partial aggregation,
+  * broadcast dimension joins, co-keyed fact-fact shuffles, TakeOrdered
+  * top-k — all Catalyst-planned from plain DataFrame declarations, no
+  * hand-scheduling (plan-pinned in PlanAuditSpec).
+  *
+  * Cross-engine determinism rule (the e1 discipline): every money sum
+  * accumulates in DECIMAL — exact, order-independent, so any partitioning
+  * and any engine agree bit-for-bit — while per-row products stay in
+  * IEEE double (deterministic given identical inputs, and the SAME
+  * left-to-right expression is mirrored in each oracle).
+  */
+object Relational {
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(28,10)")
+
+  /** TPC-H Q1-shape pricing summary: one filtered scan of the largest
+    * fact table into a handful of groups. The plan is the canonical
+    * scan-heavy aggregate — shipdate predicate pushed to parquet footers,
+    * partial (map-side) aggregation before the 4-group exchange; at
+    * 100 TB the shuffle carries partitions × groups rows, nothing else.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "2001-09-01"): DataFrame = {
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    lineitem.where(col("l_shipdate") <= lit(cutoff))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(discPrice)).cast("double").as("sum_disc_price"),
+        sum(money(charge)).cast("double").as("sum_charge"),
+        // averages divide as DOUBLE: a decimal quotient's scale/rounding is
+        // an engine-specific rule, but double ÷ long of identical inputs is
+        // IEEE-identical everywhere
+        (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(money(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-shape: top-k revenue among a market segment's open orders.
+    * The selective customer dimension BROADCASTS (plan-pinned) — the fact
+    * side never shuffles for it; revenue ranks on the EXACT decimal sum
+    * (ties broken by orderkey) so the top-k boundary is deterministic on
+    * any engine, and the k-row result is a TakeOrdered merge.
+    */
+  def topOrderRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      segment: String = "BUILDING", cutoff: String = "1998-06-01",
+                      k: Int = 10): DataFrame = {
+    val c = customer.where(col("c_mktsegment") === segment).select("c_custkey")
+    val o = orders.where(col("o_orderdate") < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = lineitem.where(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(money(col("disc_price"))).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey")).limit(k)
+      .select(col("l_orderkey"), col("rev").cast("double").as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5-shape: revenue by customer nation × order year. Two
+    * broadcast dimensions (nation always; customer is id+nation — the
+    * projection makes it broadcastable far beyond its full width) and ONE
+    * co-keyed fact-fact shuffle join on the orderkey; the final aggregate
+    * is nations × years rows.
+    */
+  def nationRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    nation: DataFrame): DataFrame = {
+    val l = lineitem.select(col("l_orderkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).cast("long").as("order_year"))
+    val c = customer.select("c_custkey", "c_nationkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "order_year")
+      .agg(sum(money(col("disc_price"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name", "order_year")
+  }
+}

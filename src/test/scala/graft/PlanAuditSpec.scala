@@ -348,6 +348,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("Sort")
   }
 
+  test("relational OLAP plans: pushed scan predicate, partial aggregation, broadcast dims, top-k merge") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val p1 = graft.operators.Relational.pricingSummary(li)
+      .queryExecution.executedPlan.toString
+    // the shipdate cut reaches the parquet reader; sums partial-aggregate
+    // map-side before the tiny group exchange
+    p1 should include regex """PushedFilters: \[[^\]]*l_shipdate"""
+    p1 should include("partial_sum")
+    val p2 = graft.operators.Relational.topOrderRevenue(cust, ord, li)
+      .queryExecution.executedPlan.toString
+    p2 should include("BroadcastHashJoin")
+    p2 should include("TakeOrderedAndProject")
+    p2 should not include "CartesianProduct"
+    val p3 = graft.operators.Relational.nationRevenue(cust, ord, li, nat)
+      .queryExecution.executedPlan.toString
+    "BroadcastHashJoin".r.findAllIn(p3).size should be >= 2
+    p3 should not include "CartesianProduct"
+  }
+
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sorted-audit").toString + "/ev"
     val ev = graft.streaming.EventStream.withEventTime(
