@@ -1383,6 +1383,20 @@ object SparkEntry {
         s.read.parquet(s"$d/lineitem.parquet"),
         s.read.parquet(s"$d/nation.parquet"))),
 
+    // Relational OLAP o4: Q17-shape correlated aggregate — revenue of
+    // line items below half their part's average quantity, declared as
+    // the decorrelated per-part-aggregate + equi-join Catalyst rewrites
+    // the subquery form into
+    "o4_small_qty_revenue" -> ((s, d) =>
+      Relational.smallQuantityRevenue(s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // Relational OLAP o5: ranked-window analytics — each customer's top-2
+    // orders by total price; the rank predicate plans as a partial
+    // WindowGroupLimit below the shuffle (plan-pinned)
+    "o5_top_orders_per_cust" -> ((s, d) =>
+      Relational.topOrdersPerCustomer(s.read.parquet(s"$d/orders.parquet"))
+        .orderBy("o_custkey", "rank")),
+
     "x5_bucketed_join" -> ((s, d) => {
       // fixed per-entry dir, NOT createTempDirectory: the harness invokes
       // each entry several times (bench warm-up + passes, verify) and a
@@ -2461,6 +2475,19 @@ object SparkEntry {
           "GROUP BY 1, 2, 3) " +
           "SELECT l_orderkey, rev::DOUBLE AS revenue, o_orderdate, o_orderpriority " +
           "FROM g ORDER BY rev DESC, l_orderkey LIMIT 10"),
+      "o4_small_qty_revenue" ->
+        ("WITH pp AS (SELECT l_partkey, " +
+          "sum(l_quantity::DECIMAL(28,10))::DOUBLE / count(*) AS avg_qty " +
+          "FROM lineitem GROUP BY 1) " +
+          "SELECT sum(l_extendedprice::DECIMAL(28,10))::DOUBLE AS small_qty_revenue, " +
+          "count(*) AS n_items FROM lineitem JOIN pp USING (l_partkey) " +
+          "WHERE l_quantity < 0.5 * avg_qty"),
+      "o5_top_orders_per_cust" ->
+        ("WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+          "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank " +
+          "FROM orders) " +
+          "SELECT o_custkey, rank::BIGINT AS rank, o_orderkey, o_totalprice " +
+          "FROM r WHERE rank <= 2 ORDER BY o_custkey, rank"),
       "o3_nation_revenue" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
           "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +

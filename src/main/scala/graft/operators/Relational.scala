@@ -72,6 +72,42 @@ object Relational {
         col("o_orderdate"), col("o_orderpriority"))
   }
 
+  /** TPC-H Q17-shape: revenue of small-quantity line items — rows whose
+    * quantity is below a fraction of THEIR part's average quantity. The
+    * correlated-aggregate shape: declared as a plain per-part aggregate
+    * joined back to the fact (exactly what Catalyst's subquery
+    * decorrelation rewrites the SQL form into); the per-part averages are
+    * a map-side-combining aggregate over the same scan, the join is a
+    * part-keyed equi-join, and the result is one global decimal sum. The
+    * average compares as DOUBLE (exact decimal sum ÷ long — the [pricing
+    * summary] rule), so the below-threshold predicate is engine-identical.
+    */
+  def smallQuantityRevenue(lineitem: DataFrame, frac: Double = 0.5): DataFrame = {
+    val perPart = lineitem.groupBy("l_partkey")
+      .agg((sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    lineitem.join(perPart, "l_partkey")
+      .where(col("l_quantity") < lit(frac) * col("avg_qty"))
+      .agg(sum(money(col("l_extendedprice"))).cast("double").as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Per-customer top-k orders by total price — the ranked-window
+    * analytics shape. Declared as a rank-filtered window; Spark plans the
+    * rank ≤ k predicate as a WindowGroupLimit (partial per-partition top-k
+    * BEFORE the shuffle — plan-pinned), so the exchange carries at most
+    * k rows per customer per input partition, never the full order
+    * history. Ties break by orderkey for engine-identical selection.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("o_custkey"), col("rank").cast("long").as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+  }
+
   /** TPC-H Q5-shape: revenue by customer nation × order year. Two
     * broadcast dimensions (nation always; customer is id+nation — the
     * projection makes it broadcastable far beyond its full width) and ONE

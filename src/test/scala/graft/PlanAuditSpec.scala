@@ -368,6 +368,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
       .queryExecution.executedPlan.toString
     "BroadcastHashJoin".r.findAllIn(p3).size should be >= 2
     p3 should not include "CartesianProduct"
+    // o4: the correlated-aggregate shape stays a keyed equi-join with
+    // map-side partials — no cartesian, no per-row re-aggregation
+    val p4 = graft.operators.Relational.smallQuantityRevenue(li)
+      .queryExecution.executedPlan.toString
+    p4 should include("partial_sum")
+    p4 should not include "CartesianProduct"
+    // o5: the rank ≤ k predicate pushes a partial per-partition top-k
+    // below the window's shuffle
+    val p5 = graft.operators.Relational.topOrdersPerCustomer(ord)
+      .queryExecution.executedPlan.toString
+    p5 should include("WindowGroupLimit")
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
