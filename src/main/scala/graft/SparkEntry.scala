@@ -661,6 +661,13 @@ object SparkEntry {
     "t15_more_like_this" -> ((s, d) =>
       TextAnalysis.moreLikeThis(docs(s, d), seedDocId = 42L)),
 
+    // Text analysis: per-doc BIGRAM cross-entropy under the corpus
+    // conditional distribution — t11's sharper sibling (sequence fluency,
+    // not just vocabulary); MLE is exact by construction so the score is
+    // closed-form for the oracle. Sub-2-token docs carry no bigrams and drop
+    "t16_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLm(docs(s, d)).orderBy("doc_id")),
+
     // Text analysis: per-source token-length DISTRIBUTION profile — exact
     // interpolated percentiles (the rank = q·(n−1) rule every SQL engine's
     // percentile_cont implements, so the oracle holds the values); the
@@ -1379,6 +1386,15 @@ object SparkEntry {
     // — two broadcast dims + ONE co-keyed fact-fact shuffle on orderkey
     "o3_nation_revenue" -> ((s, d) =>
       Relational.nationRevenue(s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/nation.parquet"))),
+
+    // Relational OLAP o6: the nation×year report with ROLLUP subtotals —
+    // all three levels (nation-year, nation, grand total) from ONE Expand
+    // + aggregate pass; null ordering pinned NULLS FIRST on both engines
+    "o6_rollup_report" -> ((s, d) =>
+      Relational.nationRevenueRollup(s.read.parquet(s"$d/customer.parquet"),
         s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"),
         s.read.parquet(s"$d/nation.parquet"))),
@@ -2475,6 +2491,24 @@ object SparkEntry {
           "GROUP BY 1, 2, 3) " +
           "SELECT l_orderkey, rev::DOUBLE AS revenue, o_orderdate, o_orderpriority " +
           "FROM g ORDER BY rev DESC, l_orderkey LIMIT 10"),
+      "o6_rollup_report" ->
+        ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
+          "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
+          "SELECT n_name, order_year, sum(dp::DECIMAL(28,10))::DOUBLE AS revenue, " +
+          "count(*) AS n_items FROM l " +
+          "JOIN o ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY ROLLUP (n_name, order_year) " +
+          "ORDER BY n_name ASC NULLS FIRST, order_year ASC NULLS FIRST"),
+      "t16_bigram_lm" ->
+        (T + ", bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks), " +
+          "bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2), " +
+          "corpus AS (SELECT bg, sum(c) AS bcnt, string_split(bg, ' ')[1] AS w1 FROM bc GROUP BY bg), " +
+          "pfx AS (SELECT w1, sum(bcnt) AS pc FROM corpus GROUP BY 1) " +
+          "SELECT doc_id, round(sum(c * -ln(bcnt::DOUBLE / pc)) / sum(c), 4) AS xent2 " +
+          "FROM bc JOIN corpus USING (bg) JOIN pfx USING (w1) " +
+          "GROUP BY doc_id ORDER BY doc_id"),
       "o4_small_qty_revenue" ->
         ("WITH pp AS (SELECT l_partkey, " +
           "sum(l_quantity::DECIMAL(28,10))::DOUBLE / count(*) AS avg_qty " +

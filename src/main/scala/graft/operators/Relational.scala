@@ -108,6 +108,35 @@ object Relational {
         col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** The [[nationRevenue]] report with ROLLUP subtotals — per nation-year,
+    * per nation, and grand total in ONE pass: Spark plans the rollup as an
+    * Expand (each row replicated once per grouping set, nulls marking the
+    * rolled-up levels) feeding a single map-side-combining aggregate — one
+    * shuffle for all three report levels, vs three jobs for three queries
+    * (plan-pinned). Null ordering is made explicit (NULLS FIRST both
+    * engines) so the subtotal rows land deterministically.
+    */
+  def nationRevenueRollup(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, nation: DataFrame): DataFrame = {
+    val l = lineitem.select(col("l_orderkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).cast("long").as("order_year"))
+    val c = customer.select("c_custkey", "c_nationkey")
+    val agg = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      // Column-typed rollup keys, NOT names: the string overload resolves
+      // through the dataset-id tracker, and Expand's re-created grouping
+      // attributes then trip the ambiguous-self-join check on any
+      // downstream reference
+      .rollup(col("n_name"), col("order_year"))
+      .agg(sum(money(col("disc_price"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+    agg.sort(asc_nulls_first("n_name"), asc_nulls_first("order_year"))
+  }
+
   /** TPC-H Q5-shape: revenue by customer nation × order year. Two
     * broadcast dimensions (nation always; customer is id+nation — the
     * projection makes it broadcastable far beyond its full width) and ONE

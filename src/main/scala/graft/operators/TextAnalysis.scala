@@ -203,6 +203,34 @@ object TextAnalysis {
       .agg(round(sum(col("c") * -log(col("vc") / col("n"))) / sum(col("c")), 4).as("xent"))
   }
 
+  /** Per-document BIGRAM cross-entropy under the corpus conditional-bigram
+    * distribution — [[unigramLm]]'s sharper sibling (fluency, not just
+    * vocabulary: p(w₂|w₁) = C(w₁w₂)/C(w₁·) punishes improbable SEQUENCES
+    * that unigram frequency cannot see; the pair the two scores make is
+    * the classic cheap perplexity-proxy quality filter). MLE is exact
+    * here — every document's bigrams are in the corpus tables by
+    * construction, so no smoothing is needed and the score is closed-form
+    * for the oracle. Documents with fewer than two tokens have no bigrams
+    * and drop (they carry no sequence signal; [[unigramLm]] covers them).
+    *
+    * Plan shape at 100 TB: bigram counts and prefix totals are two
+    * map-side-combining aggregates over the same narrow n-gram pass; the
+    * scoring join co-shuffles on the bigram key — the t11 discipline one
+    * n-gram order up.
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val bc = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(ngrams(col("t"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val corpus = bc.groupBy("bg").agg(sum("c").as("bcnt"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val prefix = corpus.groupBy("w1").agg(sum("bcnt").as("pc"))
+    bc.join(corpus, "bg").join(prefix, "w1")
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * -log(col("bcnt").cast("double") / col("pc"))) / sum(col("c")), 4)
+        .as("xent2"))
+  }
+
   /** Per-source corpus profile: documents, token volume, and EXACT distinct
     * vocabulary per source — the per-domain report a mixing recipe is tuned
     * against. Two-level aggregation: (source, token) partial-counts map-side

@@ -766,6 +766,35 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       (3L, 1L, "z", s(ln15)), (3L, 2L, "common", 0.0))
   }
 
+  test("bigram LM: closed-form conditional cross-entropy; sub-2-token docs drop") {
+    // corpus bigrams: "a b"×3, "b a"×1, "b c"×1 → p(b|a)=1, p(a|b)=p(c|b)=1/2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out shouldBe Seq(
+      1L -> r4(math.log(2) / 3), // (2·0 + 1·ln2)/3
+      2L -> r4(math.log(2) / 2)) // (1·0 + 1·ln2)/2; doc 3 has no bigrams
+  }
+
+  test("rollup report: one pass yields exact per-nation subtotals and the grand total") {
+    val li = Seq((1L, 100.0, 0.0), (2L, 200.0, 0.5)).toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Seq((1L, 10L, java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),
+      (2L, 20L, java.sql.Timestamp.valueOf("1996-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((10L, 1), (20L, 2)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((1, "NATION_A"), (2, "NATION_B")).toDF("n_nationkey", "n_name")
+    val out = graft.operators.Relational.nationRevenueRollup(cust, ord, li, nat)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getDouble(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (None, None, 200.0, 2L),                        // grand total
+      (Some("NATION_A"), None, 100.0, 1L),            // nation subtotal
+      (Some("NATION_A"), Some(1995L), 100.0, 1L),
+      (Some("NATION_B"), None, 100.0, 1L),
+      (Some("NATION_B"), Some(1996L), 100.0, 1L))
+  }
+
   test("more-like-this: seed keywords query the corpus, closed-form scores, no-overlap docs absent") {
     val docs = Seq(
       (1L, "x x y common"), // seed: top-2 terms x (2·ln2), y (ln2); common (ln 4/3) misses the cut

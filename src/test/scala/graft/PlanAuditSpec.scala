@@ -379,6 +379,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     val p5 = graft.operators.Relational.topOrdersPerCustomer(ord)
       .queryExecution.executedPlan.toString
     p5 should include("WindowGroupLimit")
+    // o6: all three report levels from ONE Expand + aggregate pass
+    val p6 = graft.operators.Relational.nationRevenueRollup(cust, ord, li, nat)
+      .queryExecution.executedPlan.toString
+    p6 should include("Expand")
+    p6 should include("partial_sum")
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
