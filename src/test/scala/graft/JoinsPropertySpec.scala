@@ -48,6 +48,51 @@ class JoinsPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("property: nearestAsOf equals per-row nearest argmin over any seeded stream") {
+    val tol = 7000000L // 7 s — cuts some candidates, keeps others
+    for (seed <- 11 to 14) {
+      val rows = stream(seed, 120)
+      val (rRows, lRows) = rows.partition(_._1 % 2 == 0)
+      val right = df(rRows).select($"user", $"ts".as("r_ts"), $"id".as("r_id"))
+      val left = df(lRows).select($"id".as("l_id"), $"user", $"ts".as("l_ts"))
+      val got = Joins.nearestAsOf(left, right, Seq("user"), "l_ts", "r_ts", "r_id", tol)
+        .select("l_id", "r_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val want = lRows.map { case (lid, u, lus) =>
+        // backward candidate: max (ts, id) among ts <= l; forward: min (ts, id)
+        // among ts > l; nearer wins, tie → backward (the documented rules)
+        val back = rRows.filter(r => r._2 == u && r._3 <= lus && lus - r._3 <= tol)
+          .sortBy(r => (r._3, r._1)).lastOption
+        val fwd = rRows.filter(r => r._2 == u && r._3 > lus && r._3 - lus <= tol)
+          .sortBy(r => (r._3, r._1)).headOption
+        lid -> ((back, fwd) match {
+          case (None, f) => f.map(_._1)
+          case (b, None) => b.map(_._1)
+          case (Some(b), Some(f)) =>
+            Some(if (f._3 - lus < lus - b._3) f._1 else b._1)
+        })
+      }.toMap
+      got shouldBe want
+    }
+  }
+
+  test("property: shard export re-unions to its input exactly for any seeded corpus and shard count") {
+    for ((seed, shards) <- Seq((21, 1), (22, 5), (23, 16))) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 200).map(i =>
+        (rnd.nextLong().abs % 1000000L * 1000 + i, s"body $i ${rnd.nextInt(99)}"))
+        .toDF("doc_id", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-shardprop").toString + "/c"
+      graft.operators.Pipeline.shardExport(docs, out, shards)
+      val back = spark.read.parquet(out)
+      back.select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq shouldBe
+        docs.as[(Long, String)].collect().sorted.toSeq
+      // every row sits in its recomputable shard
+      back.where(pmod(pmod($"doc_id" * 2654435761L, lit(4294967296L)), lit(shards.toLong))
+          =!= $"shard".cast("long")).count() shouldBe 0
+    }
+  }
+
   test("property: proximity pairs equal brute force; canonical orientation; gap bound holds") {
     for (seed <- 5 to 8) {
       val rows = stream(seed, 80)
