@@ -277,6 +277,36 @@ object ScaleProbe {
       f""""touched_row_frac":${touchedRows.toDouble / nRows}%.3f}"""
   }
 
+  /** 10 disjoint fact shards for the relational OLAP profile: both
+    * orderkey columns offset by the same stride, so the lineitem ⋈ orders
+    * co-key survives sharding and every shard keeps the organic join
+    * fan-out; dimension keys (custkey) are untouched — dimensions stay
+    * 1×, exactly how a warehouse grows.
+    */
+  def synthesizeDecadeFacts(li: DataFrame, ord: DataFrame): (DataFrame, DataFrame) = {
+    val stride = 1L + ord.agg(max(col("o_orderkey"))).head.getLong(0)
+    def shard(df: DataFrame, key: String) = df
+      .select(col("*"), explode(sequence(lit(1L), lit(9L))).as("c"))
+      .withColumn(key, col(key) + col("c") * lit(stride)).drop("c")
+    (li.unionByName(shard(li, "l_orderkey")), ord.unionByName(shard(ord, "o_orderkey")))
+  }
+
+  /** Relational OLAP profile: the Q1-shape scan aggregate and the Q5-shape
+    * fact-fact join + broadcast dims at 1× and 10× fact rows. Linear (or
+    * better) wall growth is the evidence the declared plans scale with the
+    * data — the scan aggregate is partial-agg bound, the join is one
+    * co-keyed shuffle whose dims stay broadcast at any fact scale.
+    */
+  private def profileOlap(spark: SparkSession, label: String, li: DataFrame,
+                          ord: DataFrame, cust: DataFrame, nat: DataFrame): String = {
+    val n = li.count()
+    val (r1, t1) = timed(graft.operators.Relational.pricingSummary(li).collect())
+    val (r5, t5) = timed(
+      graft.operators.Relational.nationRevenue(cust, ord, li, nat).collect())
+    f"""{"corpus":"$label","n_lineitem":$n,"q1_sec":$t1%.2f,"q1_groups":${r1.length},""" +
+      f""""q5_sec":$t5%.2f,"q5_rows":${r5.length}}"""
+  }
+
   /** Cross-corpus linkage profile: A (500 perturbed rows) aligned against
     * B at 1× and 10× — the no-broadcast cell join. The statistic that
     * bounds cost is candidates PER A-ROW (Σ over its probed cells of
@@ -391,6 +421,19 @@ object ScaleProbe {
     emb.write.mode("overwrite").parquet(rawDir1x)
     println(profileIvfPq(spark, "ivfpq-1x", emb, rawDir1x))
     println(profileIvfPq(spark, "ivfpq-10x", spark.read.parquet(embDir), embDir))
+
+    // relational OLAP at 1× and 10× fact rows (dims stay 1×)
+    val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord1 = spark.read.parquet(s"$sfDir/orders.parquet")
+    val cust1 = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nat1 = spark.read.parquet(s"$sfDir/nation.parquet")
+    val (li10raw, ord10raw) = synthesizeDecadeFacts(li1, ord1)
+    val liDir = scratch("decade-li/lineitem"); val ordDir = scratch("decade-ord/orders")
+    li10raw.write.mode("overwrite").parquet(liDir)
+    ord10raw.write.mode("overwrite").parquet(ordDir)
+    println(profileOlap(spark, "olap-1x", li1, ord1, cust1, nat1))
+    println(profileOlap(spark, "olap-10x",
+      spark.read.parquet(liDir), spark.read.parquet(ordDir), cust1, nat1))
 
     // streaming backfills at 1× and 10× users/events
     val evDir = scratch("decade-ev/events")
