@@ -453,6 +453,17 @@ object SparkEntry {
       Seq(base.where(cq.postFilter).count()).toDF("total")
     }),
 
+    // A5 date-histogram facet (ES date_histogram): entry counts per
+    // creationTime month — the time-axis companion of the term facets
+    "a5_date_histogram" -> ((s, d) =>
+      SearchExecutor.dateHistogram(Corpus.metadata(s, d))
+        .select(col("bucket"), col("cnt"))),
+
+    // Q6 prefix autocomplete (ES completion-suggester shape): top-5 title
+    // terms starting with "b", ranked by corpus frequency, term ties
+    "q6_autocomplete" -> ((s, d) =>
+      SearchExecutor.autocomplete(Corpus.metadata(s, d), prefix = "b")),
+
     // ------------------------- store ops (S1-S7, X2) -----------------------
 
     // S1 index scan: resolved current table off the versioned store
@@ -2740,6 +2751,15 @@ object SparkEntry {
         (M + s"SELECT category, count(*) AS cnt FROM meta WHERE $aclOr GROUP BY category ORDER BY cnt DESC, category LIMIT 100"),
       "a4_total_count" ->
         (M + s"SELECT count(*) AS total FROM meta WHERE $aclOr AND format = 'csv'"),
+      "a5_date_histogram" ->
+        // ::TIMESTAMP: DuckDB's month-truncation yields DATE, Spark's a
+        // timestamp — align the bucket type
+        (M + "SELECT date_trunc('month', creationTime)::TIMESTAMP AS bucket, count(*) AS cnt " +
+          "FROM meta GROUP BY 1 ORDER BY 1"),
+      "q6_autocomplete" ->
+        (M + s", terms AS (SELECT unnest(${stdToks("title")}) AS term FROM meta) " +
+          "SELECT term, count(*) AS cnt FROM terms WHERE term LIKE 'b%' " +
+          "GROUP BY term ORDER BY cnt DESC, term LIMIT 5"),
       "r1_result_shape" ->
         (M + s"""SELECT id, category, creation_date, data_sample, format, is_public, org_uuid,
                 | record_count, "size", source_uri, target_uri, title FROM (

@@ -136,4 +136,33 @@ object SearchExecutor {
     val cq = QueryCompiler.compile(CatalogQuery(), acl)
     baseBranch(ds.toDF(), cq).where(cq.postFilter).count()
   }
+
+  /** Date-histogram facet — Elasticsearch's `date_histogram` aggregation
+    * (the time-axis companion of the category/format term facets the
+    * reference compiles, query_translation.py:83-95): entry counts per
+    * calendar bucket of a date field. One map-side-combining aggregate
+    * into buckets-many rows; at 100 TB the same plan reads a
+    * day-partitioned layout with the field's bounds as partition filters.
+    */
+  def dateHistogram(entries: DataFrame, field: String = "creationTime",
+                    unit: String = "month"): DataFrame =
+    entries.groupBy(date_trunc(unit, col(field)).as("bucket"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt")) // functions.count: the object's own count() endpoint shadows the import
+      .orderBy("bucket")
+
+  /** Prefix autocomplete — the completion-suggester shape of the search
+    * lineage: top-k title terms (standard analyzer, the same tokens the
+    * text match scores on) beginning with `prefix`, ranked by corpus
+    * frequency with term tie-break. The prefix filter lands on the
+    * exploded term stream BEFORE the aggregate, so the shuffle carries
+    * matching terms only; the top-k is a TakeOrdered merge. At catalog
+    * scale this is interactive; at 100 TB the term-frequency table is the
+    * thing to materialize once and serve.
+    */
+  def autocomplete(entries: DataFrame, prefix: String, k: Int = 5): DataFrame =
+    entries
+      .select(explode(graft.analyzers.Analyzers.standardTokens(col("title"))).as("term"))
+      .where(col("term").startsWith(prefix))
+      .groupBy("term").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
 }

@@ -88,4 +88,21 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     r.hits.map(_.id) shouldBe Seq("1")
     r.total shouldBe 1
   }
+
+  test("A5 date histogram: per-month entry counts, bucket-ordered") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("2015-01-05", "2015-01-20", "2015-03-01", "2016-01-01")
+      .map(d => java.sql.Timestamp.valueOf(s"$d 10:00:00")).toDF("creationTime")
+    SearchExecutor.dateHistogram(df).collect()
+      .map(r => r.getTimestamp(0).toString.take(7) -> r.getLong(1)).toSeq shouldBe
+      Seq("2015-01" -> 2L, "2015-03" -> 1L, "2016-01" -> 1L)
+  }
+
+  test("Q6 autocomplete: analyzed title terms, prefix-filtered, frequency-ranked with term ties") {
+    val df = Seq("Stock market prices", "Stock-MARKET summary", "Weather stats", "stale stock")
+      .toDF("title")
+    SearchExecutor.autocomplete(df, "st", k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq shouldBe
+      Seq("stock" -> 3L, "stale" -> 1L, "stats" -> 1L) // lowercased analyzer; cnt desc then term
+  }
 }
