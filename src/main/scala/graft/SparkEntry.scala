@@ -1066,6 +1066,29 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity: PRE-FILTERED search over the composed IVF-PQ index —
+    // v13's predicate pushdown riding v12's compressed architecture, the
+    // production shape for filtered semantic retrieval at 100 TB. The
+    // label column is CARRIED on the index rows (a byte next to the m code
+    // bytes), so the predicate pre-filters the ADC scan itself: dynamic
+    // cell pruning + pushed parquet filter compose on one scan
+    // (plan-pinned), candidates are label-0 rows only, and the exact
+    // re-rank fetches raw vectors for the filtered shortlist alone. Same
+    // labeled planted geometry ⇒ the filtered partial probe over lossy
+    // codes is held to the exact filtered DuckDB answer
+    "v16_filtered_ivfpq" -> ((s, d) => {
+      val corpus = plantedLabeledEmb(s, d)
+      val cents = Similarity.ivfCentroids(corpus, 32)
+      val books = Similarity.pqCodebooks(corpus, 8, 64)
+      val dir = scratch("v16-ivfpqidx") // per-process fixed dir: no per-run leak
+      Similarity.ivfPqIndex(corpus, cents, books, carry = Seq("label"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      Similarity.ivfPqFilteredTopKIndexed(s.read.parquet(dir), cents, books,
+          corpus, emb(s, d).where(col("vec_id") < 5), 5, nprobe = 8,
+          shortlistSize = 150, col("label") === 0)
+        .orderBy("q_id", "rank")
+    }),
+
     // Similarity: MEASURED recall@10 of every approximate ANN path against
     // the exact scan, on ORGANIC geometry (no plants — the real
     // neighborhood structure the planted oracles deliberately sidestep,
@@ -1424,6 +1447,23 @@ object SparkEntry {
       Relational.topOrdersPerCustomer(s.read.parquet(s"$d/orders.parquet"))
         .orderBy("o_custkey", "rank")),
 
+    // Relational OLAP o7: EXISTS / NOT-EXISTS — 1996's orders bucketed by
+    // whether any line item was returned; declared as the left_semi /
+    // left_anti joins Catalyst decorrelates the subqueries into, probe
+    // side ids-only (plan-pinned: no cartesian, no post-join distinct)
+    "o7_returned_breakdown" -> ((s, d) =>
+      Relational.returnedOrderBreakdown(s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
+    // grouping sets (nation×year, nation, year, grand total) from ONE
+    // Expand + aggregate pass; NULLS FIRST pinned on both engines
+    "o8_cube_report" -> ((s, d) =>
+      Relational.nationRevenueCube(s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/nation.parquet"))),
+
     "x5_bucketed_join" -> ((s, d) => {
       // fixed per-entry dir, NOT createTempDirectory: the harness invokes
       // each entry several times (bench warm-up + passes, verify) and a
@@ -1514,7 +1554,10 @@ object SparkEntry {
       graft.sources.DatePartitioned.refreshDays(corrected, "ts", out)
       s.read.parquet(out)
         .groupBy(col("event_date").cast("string").as("event_date"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+        // the e1 rule: sum doubles via DECIMAL (order-independent, so any
+        // partitioning and any engine agree), cast back for the report
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
         .orderBy("event_date")
     }),
 
@@ -2366,6 +2409,9 @@ object SparkEntry {
       // exact re-rank reproduces the exact answer
       "v12_ivfpq_topk" -> plantedTopkSql,
       "v13_filtered_ann" -> filteredTopkSql,
+      // v16 must recover the SAME exact filtered answer through the lossy
+      // IVF-PQ path (plants survive cell cut + quantization + shortlist)
+      "v16_filtered_ivfpq" -> filteredTopkSql,
       // v14: deletion lifecycle — tombstone, physically compact, search;
       // the result must equal a rebuild over the remaining corpus
       "v14_index_delete" -> deletedTopkSql,
@@ -2533,6 +2579,31 @@ object SparkEntry {
           "FROM orders) " +
           "SELECT o_custkey, rank::BIGINT AS rank, o_orderkey, o_totalprice " +
           "FROM r WHERE rank <= 2 ORDER BY o_custkey, rank"),
+      // o7: the EXISTS / NOT EXISTS pair in its native SQL form — DuckDB
+      // plans the subqueries itself; the engine side declares the
+      // decorrelated semi/anti joins directly
+      "o7_returned_breakdown" ->
+        ("WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders " +
+          "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+          "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00') " +
+          "SELECT 'returned' AS bucket, o_orderpriority, count(*) AS n_orders FROM o " +
+          "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+          "AND l_returnflag = 'R') GROUP BY 2 " +
+          "UNION ALL " +
+          "SELECT 'clean' AS bucket, o_orderpriority, count(*) AS n_orders FROM o " +
+          "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+          "AND l_returnflag = 'R') GROUP BY 2 " +
+          "ORDER BY bucket, o_orderpriority"),
+      "o8_cube_report" ->
+        ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
+          "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
+          "SELECT n_name, order_year, sum(dp::DECIMAL(28,10))::DOUBLE AS revenue, " +
+          "count(*) AS n_items FROM l " +
+          "JOIN o ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY CUBE (n_name, order_year) " +
+          "ORDER BY n_name ASC NULLS FIRST, order_year ASC NULLS FIRST"),
       "o3_nation_revenue" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
           "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
@@ -2599,10 +2670,12 @@ object SparkEntry {
           "GROUP BY 1 ORDER BY 1"),
       // x15: the whole corrected table recomputed from raw events — the
       // refreshed day carries doubled values, every other day original
+      // the e1 rule: the per-row double (doubled or not) casts to DECIMAL
+      // before the sum, so accumulation is order-independent on both engines
       "x15_day_refresh" ->
         ("SELECT (ts::TIMESTAMP::DATE)::VARCHAR AS event_date, count(*) AS cnt, " +
-          "round(sum(CASE WHEN ts::TIMESTAMP::DATE = DATE '2024-01-15' " +
-          "THEN value * 2 ELSE value END), 4) AS sum_value " +
+          "round(sum((CASE WHEN ts::TIMESTAMP::DATE = DATE '2024-01-15' " +
+          "THEN value * 2 ELSE value END)::DECIMAL(18,6))::DOUBLE, 4) AS sum_value " +
           "FROM events GROUP BY 1 ORDER BY 1"),
       "e2_sessionize" ->
         // ts::TIMESTAMP floors the parquet ns timestamps to µs, matching the
@@ -2754,8 +2827,10 @@ object SparkEntry {
       "a5_date_histogram" ->
         // ::TIMESTAMP: DuckDB's month-truncation yields DATE, Spark's a
         // timestamp — align the bucket type
+        // NULLS FIRST pinned (the o6 discipline): Spark's orderBy default —
+        // a null creationTime bucket must land identically on both engines
         (M + "SELECT date_trunc('month', creationTime)::TIMESTAMP AS bucket, count(*) AS cnt " +
-          "FROM meta GROUP BY 1 ORDER BY 1"),
+          "FROM meta GROUP BY 1 ORDER BY 1 NULLS FIRST"),
       "q6_autocomplete" ->
         (M + s", terms AS (SELECT unnest(${stdToks("title")}) AS term FROM meta) " +
           "SELECT term, count(*) AS cnt FROM terms WHERE term LIKE 'b%' " +

@@ -547,9 +547,12 @@ object Dedup {
     * distributed; only hashes reach the comparison gate).
     *
     * At 100 TB: detection is [[repeatedSpans]]' blocked chain; the
-    * first-occurrence election is ONE row_number over the span-content key
-    * — a metadata-scale shuffle (one row per detected span, not per
-    * token); the rewrite is a narrow per-row array filter of each doc's
+    * first-occurrence election is a map-side-combining
+    * `min(struct(doc_id, start_tok))` per span-content key plus a join —
+    * a metadata-scale shuffle (one row per detected span, not per token)
+    * with no sort over the content key, so a viral boilerplate span
+    * combines down instead of straggling one reducer; the rewrite is a
+    * narrow per-row array filter of each doc's
     * tokens against its own (tiny, disjoint) cut list, joined doc-keyed.
     * Documents with no cuts never materialize a rewrite — they flow
     * through the left join untouched.
@@ -573,12 +576,17 @@ object Dedup {
     * [[removeRepeatedSpans]]'s reporting shape:
     * `(doc_id, n_tokens, removed_tokens, clean_hash)`.
     *
-    * At 100 TB: detection is [[repeatedSpans]]' posting chain; the election
-    * is ONE row_number keyed on the window string — the same shuffle the
-    * occurrence count already paid, volume O(repeated positions); the
+    * At 100 TB: detection and election are ONE map-side-combining
+    * aggregate on the window string — `min(struct(doc_id, p))` elects the
+    * first occurrence inside the same partial-aggregated shuffle the
+    * occurrence count pays, so a viral boilerplate window with 10⁷
+    * occurrences combines down to one row per partition instead of
+    * funnelling every occurrence into a single task's sort (the
+    * row_number-over-content-key alternative is that straggler); the
     * interval merge shuffles only CUT positions keyed by doc_id; the
     * rewrite is the narrow per-doc array filter (cut-free docs flow through
-    * the left join untouched).
+    * the left join untouched). DedupPropertySpec pins the plan shape: no
+    * Window node partitions on the content key.
     */
   def removeRepeatedWindows(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"span window k must be >= 2, got $k")
@@ -586,14 +594,16 @@ object Dedup {
       .repartition(col("doc_id"))
     val pos = tok.select(col("doc_id"),
       posexplode(TextAnalysis.ngrams(col("t"), k)).as(Seq("p", "s")))
-    val repeated = pos.groupBy("s").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= 2).select("s")
-    // first-occurrence election PER WINDOW CONTENT — rn = 1 survives,
-    // every later occurrence of the same window string is a cut
-    val firstW = Window.partitionBy("s").orderBy(col("doc_id"), col("p"))
+    // detection + first-occurrence election in ONE combine-safe aggregate:
+    // min(struct(doc_id, p)) is the lexicographically-first occurrence of
+    // each repeated window content — it survives, every other occurrence
+    // is a cut. No sort over the content key anywhere, so a hot window
+    // string partial-aggregates map-side instead of straggling one reducer.
+    val repeated = pos.groupBy("s")
+      .agg(count(lit(1)).as("occ"), min(struct(col("doc_id"), col("p"))).as("keep"))
+      .where(col("occ") >= 2).select("s", "keep")
     val cutPos = pos.join(repeated, "s")
-      .withColumn("rn", row_number().over(firstW))
-      .where(col("rn") > 1)
+      .where(col("doc_id") =!= col("keep.doc_id") || col("p") =!= col("keep.p"))
       .select(col("doc_id"), col("p"))
     // merge per-doc cut windows [p, p+k-1] into disjoint intervals:
     // a window starting within k of its predecessor overlaps or abuts it
@@ -628,10 +638,15 @@ object Dedup {
       .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_tokens"),
         md5(array_join(slice(col("t"), (col("start_tok") + 1).cast("int"),
           col("n_tokens").cast("int")), " ")).as("span_key"))
-    val firstW = Window.partitionBy("span_key")
-      .orderBy(col("doc_id"), col("start_tok"))
-    val cuts = keyed.withColumn("rn", row_number().over(firstW))
-      .where(col("rn") > 1)
+    // first-occurrence election per span content as a map-side-combining
+    // min(struct) aggregate + join — same semantics as a
+    // row_number-over-span_key window (lexicographic (doc_id, start_tok)
+    // order), but a viral span never funnels into one task's sort
+    val firstBySpan = keyed.groupBy("span_key")
+      .agg(min(struct(col("doc_id"), col("start_tok"))).as("keep"))
+    val cuts = keyed.join(firstBySpan, "span_key")
+      .where(col("doc_id") =!= col("keep.doc_id") ||
+        col("start_tok") =!= col("keep.start_tok"))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("cut"),
         sum("n_tokens").as("removed_tokens"))

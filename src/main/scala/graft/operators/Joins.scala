@@ -123,11 +123,14 @@ object Joins {
     * row lands inside the tolerance (LEFT semantics).
     *
     * Same union-tag merge as [[asOf]], same single co-partitioned sort —
-    * the forward candidate is a second window over the SAME sorted
-    * partition (first following right row; frame currentRow →
-    * unboundedFollowing evaluates incrementally backward), so the plan
-    * adds no shuffle and no extra sort: both windows share one
-    * (keys)-partitioned (ts, side, tie) ordering. Because each side's
+    * the forward candidate is `lead(ignoreNulls)` over the SAME sorted
+    * partition (the first following non-null right row), an offset
+    * window function Spark evaluates in one O(n) forward pass per
+    * partition; a currentRow → unboundedFollowing `first(...)` frame
+    * would instead re-aggregate the remaining frame for EVERY row —
+    * O(n²) on a long per-key history. The plan adds no shuffle and no
+    * extra sort: both windows share one (keys)-partitioned
+    * (ts, side, tie) ordering. Because each side's
     * candidate is its single nearest row, the tolerance stays a post-window
     * filter here too. A right row at exactly the left row's ts sorts
     * before it and is the backward candidate at distance zero.
@@ -157,13 +160,15 @@ object Joins {
     val wBack = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val lUs = micros(col("__ts"))
     val backD = lUs - micros(col(s"__back.$rightTs"))
     val fwdD = micros(col(s"__fwd.$rightTs")) - lUs
     val nearest = r.unionByName(l)
       .withColumn("__back", last(col("__r"), ignoreNulls = true).over(wBack))
-      .withColumn("__fwd", first(col("__r"), ignoreNulls = true).over(wFwd))
+      // left rows carry a null __r at currentRow, so the first non-null
+      // strictly after == the first non-null at-or-after: lead ≡ the
+      // forward-frame first() here, at O(n) instead of O(n²)
+      .withColumn("__fwd", lead(col("__r"), 1, null, ignoreNulls = true).over(wFwd))
       .where(col("__side") === 1)
       .withColumn("__back", when(backD <= toleranceMicros, col("__back")))
       .withColumn("__fwd", when(fwdD <= toleranceMicros, col("__fwd")))

@@ -108,43 +108,43 @@ object Relational {
         col("o_orderkey"), col("o_totalprice"))
   }
 
-  /** The [[nationRevenue]] report with ROLLUP subtotals — per nation-year,
-    * per nation, and grand total in ONE pass: Spark plans the rollup as an
-    * Expand (each row replicated once per grouping set, nulls marking the
-    * rolled-up levels) feeding a single map-side-combining aggregate — one
-    * shuffle for all three report levels, vs three jobs for three queries
-    * (plan-pinned). Null ordering is made explicit (NULLS FIRST both
-    * engines) so the subtotal rows land deterministically.
+  /** TPC-H Q4-shape EXISTS / NOT-EXISTS breakdown: orders in a date range
+    * bucketed by whether ANY of their line items was returned — the
+    * semi/anti-join pair every decision-support engine must plan without
+    * materializing the subquery. Declared as `left_semi` / `left_anti`
+    * joins (exactly what Catalyst's subquery decorrelation rewrites
+    * EXISTS / NOT EXISTS into): the probe side ships only the orderkey
+    * column of returned line items — ids, never payloads — and the join
+    * emits each order AT MOST once with no post-join dedup, which is the
+    * whole point of semi-join semantics (an inner join + distinct would
+    * re-shuffle the full match multiplicity first). Both buckets share
+    * the same pushed-down orders date predicate; at 100 TB the plan is
+    * two shuffled hash semi-joins co-keyed on orderkey (AQE may elect a
+    * broadcast when the returned-keys side is small enough — either shape
+    * is correct; neither is a cartesian), each followed by a
+    * map-side-combining per-priority count.
     */
-  def nationRevenueRollup(customer: DataFrame, orders: DataFrame,
-                          lineitem: DataFrame, nation: DataFrame): DataFrame = {
-    val l = lineitem.select(col("l_orderkey"),
-      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))
-    val o = orders.select(col("o_orderkey"), col("o_custkey"),
-      year(col("o_orderdate")).cast("long").as("order_year"))
-    val c = customer.select("c_custkey", "c_nationkey")
-    val agg = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation.select("n_nationkey", "n_name")),
-        col("c_nationkey") === col("n_nationkey"))
-      // Column-typed rollup keys, NOT names: the string overload resolves
-      // through the dataset-id tracker, and Expand's re-created grouping
-      // attributes then trip the ambiguous-self-join check on any
-      // downstream reference
-      .rollup(col("n_name"), col("order_year"))
-      .agg(sum(money(col("disc_price"))).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
-    agg.sort(asc_nulls_first("n_name"), asc_nulls_first("order_year"))
+  def returnedOrderBreakdown(orders: DataFrame, lineitem: DataFrame,
+                             from: String = "1996-01-01",
+                             to: String = "1997-01-01"): DataFrame = {
+    val ret = lineitem.where(col("l_returnflag") === "R").select("l_orderkey")
+    val o = orders.where(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(to))
+      .select("o_orderkey", "o_orderpriority")
+    def bucket(name: String, joinType: String) =
+      o.join(ret, col("o_orderkey") === col("l_orderkey"), joinType)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .select(lit(name).as("bucket"), col("o_orderpriority"), col("n_orders"))
+    bucket("returned", "left_semi").unionByName(bucket("clean", "left_anti"))
+      .orderBy("bucket", "o_orderpriority")
   }
 
-  /** TPC-H Q5-shape: revenue by customer nation × order year. Two
-    * broadcast dimensions (nation always; customer is id+nation — the
-    * projection makes it broadcastable far beyond its full width) and ONE
-    * co-keyed fact-fact shuffle join on the orderkey; the final aggregate
-    * is nations × years rows.
+  /** The joined (n_name, order_year, disc_price) star base shared by the
+    * nation-revenue report family: one co-keyed fact-fact shuffle join on
+    * orderkey, two broadcast dimensions (customer projected to id+nation
+    * so it broadcasts far beyond its full width).
     */
-  def nationRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
-                    nation: DataFrame): DataFrame = {
+  private def nationRevenueBase(customer: DataFrame, orders: DataFrame,
+                                lineitem: DataFrame, nation: DataFrame): DataFrame = {
     val l = lineitem.select(col("l_orderkey"),
       (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))
     val o = orders.select(col("o_orderkey"), col("o_custkey"),
@@ -154,9 +154,60 @@ object Relational {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
+  }
+
+  /** The [[nationRevenue]] report with CUBE totals — all FOUR grouping
+    * sets (nation×year, per nation, per year, grand total) in ONE pass:
+    * like [[nationRevenueRollup]]'s Expand but with the year-only
+    * marginal, the cross-tab report shape. One Expand (4× replication)
+    * feeding a single map-side-combining aggregate — one shuffle for the
+    * whole cross-tab vs four jobs for four queries; nulls mark the
+    * cubed-away levels and ordering is pinned NULLS FIRST on both
+    * engines so marginal rows land deterministically.
+    */
+  def nationRevenueCube(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, nation: DataFrame): DataFrame =
+    nationRevenueBase(customer, orders, lineitem, nation)
+      // Column-typed cube keys, NOT names (the rollup lesson): the string
+      // overload resolves through the dataset-id tracker and Expand's
+      // re-created grouping attributes then trip the ambiguous-self-join
+      // check downstream
+      .cube(col("n_name"), col("order_year"))
+      .agg(sum(money(col("disc_price"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .sort(asc_nulls_first("n_name"), asc_nulls_first("order_year"))
+
+  /** The [[nationRevenue]] report with ROLLUP subtotals — per nation-year,
+    * per nation, and grand total in ONE pass: Spark plans the rollup as an
+    * Expand (each row replicated once per grouping set, nulls marking the
+    * rolled-up levels) feeding a single map-side-combining aggregate — one
+    * shuffle for all three report levels, vs three jobs for three queries
+    * (plan-pinned). Null ordering is made explicit (NULLS FIRST both
+    * engines) so the subtotal rows land deterministically.
+    */
+  def nationRevenueRollup(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, nation: DataFrame): DataFrame =
+    nationRevenueBase(customer, orders, lineitem, nation)
+      // Column-typed rollup keys, NOT names: the string overload resolves
+      // through the dataset-id tracker, and Expand's re-created grouping
+      // attributes then trip the ambiguous-self-join check on any
+      // downstream reference
+      .rollup(col("n_name"), col("order_year"))
+      .agg(sum(money(col("disc_price"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .sort(asc_nulls_first("n_name"), asc_nulls_first("order_year"))
+
+  /** TPC-H Q5-shape: revenue by customer nation × order year. Two
+    * broadcast dimensions (nation always; customer is id+nation — the
+    * projection makes it broadcastable far beyond its full width) and ONE
+    * co-keyed fact-fact shuffle join on the orderkey; the final aggregate
+    * is nations × years rows.
+    */
+  def nationRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    nation: DataFrame): DataFrame =
+    nationRevenueBase(customer, orders, lineitem, nation)
       .groupBy("n_name", "order_year")
       .agg(sum(money(col("disc_price"))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name", "order_year")
-  }
 }

@@ -570,14 +570,18 @@ object Similarity {
     * on a modest cluster while the corpus stays on disk.
     */
   def ivfPqIndex(corpus: DataFrame, cents: Seq[Seq[Float]],
-                 books: Seq[Seq[Seq[Float]]]): DataFrame = {
+                 books: Seq[Seq[Seq[Float]]], carry: Seq[String] = Nil): DataFrame = {
     val dsub = books.head.head.size
     val codes = array(books.indices.map(j =>
       element_at(graft.functions.VectorHash.ivfProbeCol(
         slice(col("embedding"), j * dsub + 1, dsub), books(j), 1), 1)): _*)
-    corpus.select(col("vec_id"), codes.as("codes"),
+    // `carry` columns ride the index rows so metadata predicates can
+    // pre-filter the compressed scan itself ([[ivfPqFilteredTopKIndexed]])
+    // — a few bytes per row next to the m code bytes, vs a corpus re-join
+    // per query
+    corpus.select(col("vec_id") +: carry.map(col) :+ codes.as("codes") :+
       element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
-        .as("cell"))
+        .as("cell"): _*)
   }
 
   /** Three-phase IVF-PQ search over the composed index: (1) the broadcast
@@ -612,6 +616,26 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
     exactRerank(shortlist, corpus, q, k)
   }
+
+  /** PRE-FILTERED search over the composed IVF-PQ index — the production
+    * query shape for filtered semantic retrieval at 100 TB ("nearest
+    * neighbors among rows this caller may read"). The metadata predicate
+    * applies to the COMPRESSED index scan itself (the index must have been
+    * built with the predicate's columns in `carry`), composing with both
+    * existing pruning tiers exactly as [[ivfFilteredTopKIndexed]]: dynamic
+    * partition pruning skips unprobed cell directories, the pushed-down
+    * predicate skips row groups within surviving cells (both plan-pinned).
+    * ADC candidates are matching rows only, so recall is independent of
+    * filter selectivity (the pre- vs post-filter argument on
+    * [[ivfFilteredTopKIndexed]] applies verbatim), and the exact re-rank
+    * fetches raw vectors for the already-filtered shortlist alone.
+    */
+  def ivfPqFilteredTopKIndexed(index: DataFrame, cents: Seq[Seq[Float]],
+                               books: Seq[Seq[Seq[Float]]], corpus: DataFrame,
+                               queries: DataFrame, k: Int, nprobe: Int,
+                               shortlistSize: Int, pred: Column): DataFrame =
+    ivfPqTopKIndexed(index.where(pred), cents, books, corpus, queries, k,
+      nprobe, shortlistSize)
 
   /** One-call IVF-PQ search: build both codebooks, index, search. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -54,15 +54,33 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("Window")
   }
 
-  test("window removal plan: no cartesian, election windows on the shingle key, rewrite is doc-keyed") {
-    val plan = Dedup.removeRepeatedWindows(docsDf, k = 3).queryExecution.executedPlan.toString
+  test("window removal plan: no cartesian, NO window over the content key — election is a combine-safe aggregate") {
+    val qe = Dedup.removeRepeatedWindows(docsDf, k = 3).queryExecution
+    val plan = qe.executedPlan.toString
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
-    // occurrence counting partial-aggregates map-side before its shuffle
+    // occurrence counting + first-occurrence election partial-aggregate
+    // map-side before their one shuffle
     plan should include("partial_count")
-    // two window tiers: the per-shingle first-occurrence election and the
-    // per-doc interval merge
-    plan should include("Window")
+    // every Window in the plan is the per-doc interval merge — a viral
+    // window string must NEVER funnel through a content-key sort (the
+    // straggler the min(struct) election exists to avoid)
+    val wins = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    wins should not be empty
+    wins.foreach { w =>
+      w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet shouldBe Set("doc_id")
+    }
+  }
+
+  test("span removal plan: every window partitions by doc_id, never the span-content key") {
+    val wins = Dedup.removeRepeatedSpans(docsDf, k = 3).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    wins.foreach { w =>
+      w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet shouldBe Set("doc_id")
+    }
   }
 
   test("raw-column query filters push into the parquet scan of a materialized entry table") {
@@ -294,6 +312,26 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
   }
 
+  test("pre-filtered ivf-pq probe: predicate pushes into the cell-pruned COMPRESSED scan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+    val cents = graft.operators.Similarity.ivfCentroids(corpus, 8)
+    val books = graft.operators.Similarity.pqCodebooks(corpus, 8, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqfilt-audit").toString + "/idx"
+    graft.operators.Similarity.ivfPqIndex(corpus, cents, books, carry = Seq("label"))
+      .write.partitionBy("cell").parquet(dir)
+    val out = graft.operators.Similarity.ivfPqFilteredTopKIndexed(
+      spark.read.parquet(dir), cents, books, corpus.drop("label"),
+      corpus.where($"vec_id" < 2).drop("label"), 5, nprobe = 2,
+      shortlistSize = 20, $"label" === 0)
+    val plan = out.queryExecution.executedPlan.toString
+    // both pruning tiers compose on the ONE compressed index scan: dynamic
+    // partition pruning from the broadcast probe's cell set AND the carried
+    // label predicate pushed to the parquet reader's row-group filter
+    plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
+    plan should include regex """PushedFilters: \[[^\]]*EqualTo\(label,0\)"""
+  }
+
   test("masked index read: tombstones anti-join as a broadcast — the index scan never shuffles") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
@@ -384,6 +422,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
       .queryExecution.executedPlan.toString
     p6 should include("Expand")
     p6 should include("partial_sum")
+    // o7: EXISTS/NOT-EXISTS plan as true semi/anti joins — each order
+    // emitted at most once by the join itself (no post-join distinct), the
+    // returned-flag predicate pushed to the probe side's scan, no cartesian
+    val p7 = graft.operators.Relational.returnedOrderBreakdown(ord, li)
+      .queryExecution.executedPlan.toString
+    p7 should include("LeftSemi")
+    p7 should include("LeftAnti")
+    p7 should not include "CartesianProduct"
+    p7 should not include "HashAggregate(keys=[l_orderkey"
+    p7 should include regex """PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)"""
+    // o8: all FOUR cube grouping sets from ONE Expand + aggregate pass
+    val p8qe = graft.operators.Relational.nationRevenueCube(cust, ord, li, nat)
+      .queryExecution
+    val p8 = p8qe.executedPlan.toString
+    p8 should include("Expand")
+    p8 should include("partial_sum")
+    p8qe.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.map(_.projections.size) shouldBe Seq(4)
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {

@@ -28,7 +28,11 @@ def main(paths):
             if v >= 0 and (k not in best or v < best[k]):
                 best[k] = v
     ratios = [best[k] / floors[k] for k in floors if k in best and floors[k] > 0.3]
-    inflation = max(1.0, statistics.median(ratios))
+    # no already-enveloped entry to estimate inflation from (e.g. a capture
+    # of only new entries): assume an idle host rather than crashing
+    inflation = max(1.0, statistics.median(ratios)) if ratios else 1.0
+    if not ratios:
+        print("WARN: no inflation estimate available; assuming 1.0")
     added = {}
     for k, v in sorted(best.items()):
         if k not in floors:
