@@ -303,8 +303,13 @@ object ScaleProbe {
     val (r1, t1) = timed(graft.operators.Relational.pricingSummary(li).collect())
     val (r5, t5) = timed(
       graft.operators.Relational.nationRevenue(cust, ord, li, nat).collect())
+    // the Expand-bearing plan: rollup = the q5 pipeline + one 3× Expand
+    // before the aggregate — its wall must track q5's, never blow past it
+    val (r6, t6) = timed(
+      graft.operators.Relational.nationRevenueRollup(cust, ord, li, nat).collect())
     f"""{"corpus":"$label","n_lineitem":$n,"q1_sec":$t1%.2f,"q1_groups":${r1.length},""" +
-      f""""q5_sec":$t5%.2f,"q5_rows":${r5.length}}"""
+      f""""q5_sec":$t5%.2f,"q5_rows":${r5.length},""" +
+      f""""rollup_sec":$t6%.2f,"rollup_rows":${r6.length}}"""
   }
 
   /** Cross-corpus linkage profile: A (500 perturbed rows) aligned against

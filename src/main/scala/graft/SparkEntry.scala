@@ -1137,7 +1137,17 @@ object SparkEntry {
         .unionByName(leg("pq_m8x32_sl50",
           Similarity.pqTopK(e, q, 10, m = 8, codesPerSub = 32, shortlistSize = 50)))
         .unionByName(leg("pq_m8x64_sl150", Similarity.pqTopK(e, q, 10)))
-        .unionByName(leg("ivfpq_np16_m8x64_sl150", Similarity.ivfPqTopK(e, q, 10)))
+        .unionByName({
+          // one codebook + index build (the offline cost) feeds both
+          // probe knobs — the r8-era default (16) and the r11-tuned 20
+          val cents = Similarity.ivfCentroids(e, 32)
+          val books = Similarity.pqCodebooks(e, 8, 64)
+          val idx = Similarity.ivfPqIndex(e, cents, books)
+          leg("ivfpq_np16_m8x64_sl150",
+              Similarity.ivfPqTopKIndexed(idx, cents, books, e, q, 10, 16, 150))
+            .unionByName(leg("ivfpq_np20_m8x64_sl150",
+              Similarity.ivfPqTopKIndexed(idx, cents, books, e, q, 10, 20, 150)))
+        })
         .orderBy("method")
     }),
 
@@ -2447,6 +2457,7 @@ object SparkEntry {
           "('ivf_nprobe16', 386::BIGINT, 500::BIGINT, 0.772::DOUBLE), " +
           "('ivf_nprobe8', 275::BIGINT, 500::BIGINT, 0.55::DOUBLE), " +
           "('ivfpq_np16_m8x64_sl150', 382::BIGINT, 500::BIGINT, 0.764::DOUBLE), " +
+          "('ivfpq_np20_m8x64_sl150', 427::BIGINT, 500::BIGINT, 0.854::DOUBLE), " +
           "('lsh_16x4', 192::BIGINT, 500::BIGINT, 0.384::DOUBLE), " +
           "('lsh_24x8', 425::BIGINT, 500::BIGINT, 0.85::DOUBLE), " +
           "('pq_m8x32_sl50', 320::BIGINT, 500::BIGINT, 0.64::DOUBLE), " +

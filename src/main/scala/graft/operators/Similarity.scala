@@ -637,9 +637,19 @@ object Similarity {
     ivfPqTopKIndexed(index.where(pred), cents, books, corpus, queries, k,
       nprobe, shortlistSize)
 
-  /** One-call IVF-PQ search: build both codebooks, index, search. */
+  /** One-call IVF-PQ search: build both codebooks, index, search.
+    * Default knobs are the r11-tuned point: the composed recall is
+    * COARSE-quantizer-bounded (shortlist 150→300 buys ≤2pp at any nprobe
+    * — the PQ side already recalls 0.948 standalone), so the knob that
+    * moves it is nprobe: measured recall@10 on organic sf0.01 geometry is
+    * 0.764 at nprobe=16, 0.854 at 20, 0.900 at 24 (v11_ann_recall pins
+    * 16 and 20). nprobe=20 is the default — past the 0.85 bar at 20/32
+    * of the compressed cells scanned; at production nlist (thousands of
+    * cells) the same nprobe/nlist fraction prices proportionally fewer
+    * rows.
+    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                nlist: Int = 32, nprobe: Int = 16, m: Int = 8,
+                nlist: Int = 32, nprobe: Int = 20, m: Int = 8,
                 codesPerSub: Int = 64, shortlistSize: Int = 150): DataFrame = {
     val cents = ivfCentroids(corpus, nlist)
     val books = pqCodebooks(corpus, m, codesPerSub)
