@@ -1465,6 +1465,33 @@ object SparkEntry {
       Relational.returnedOrderBreakdown(s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"))),
 
+    // Relational OLAP o9: buyer-cohort SET OPERATIONS — native
+    // intersect/except (distinct-aggregate + semi/anti join, the
+    // bag-to-set semantics o7's EXISTS deliberately does not apply);
+    // customers in both 1995 and 1996 vs churned after 1995
+    "o9_buyer_cohorts" -> ((s, d) =>
+      Relational.buyerCohorts(s.read.parquet(s"$d/orders.parquet"))),
+
+    // X16 mergeable-sketch rollup: the corpus folds ONCE into per-day HLL
+    // sketch rows (KB each), then ANY date range answers by union-merging
+    // the selected days' sketches — never rescanning events. The entry
+    // gates the sketch estimate against the EXACT distinct cross-engine
+    // (within 5%; deterministic, so the gate is stable), alongside the
+    // exact count both engines compute from raw rows
+    "x16_sketch_range_distinct" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val dir = scratch("x16-sketches") // per-process fixed dir: no per-run leak
+      graft.operators.SketchRollup.dailyDistinctSketches(ev, "ts", "user_id")
+        .write.mode("overwrite").parquet(dir)
+      val est = graft.operators.SketchRollup
+        .rangeDistinctEstimate(s.read.parquet(dir), "2024-01-05", "2024-01-15")
+      val exact = ev.where(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-15"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.crossJoin(est)
+        .select(col("exact_users"),
+          (abs(col("est_distinct") / col("exact_users") - 1.0) <= 0.05).as("est_ok"))
+    }),
+
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
     // Expand + aggregate pass; NULLS FIRST pinned on both engines
@@ -2605,6 +2632,21 @@ object SparkEntry {
           "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
           "AND l_returnflag = 'R') GROUP BY 2 " +
           "ORDER BY bucket, o_orderpriority"),
+      "o9_buyer_cohorts" ->
+        ("WITH b1 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995), " +
+          "b2 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) " +
+          "SELECT 'both' AS cohort, o_custkey FROM " +
+          "(SELECT o_custkey FROM b1 INTERSECT SELECT o_custkey FROM b2) " +
+          "UNION ALL SELECT 'churned' AS cohort, o_custkey FROM " +
+          "(SELECT o_custkey FROM b1 EXCEPT SELECT o_custkey FROM b2) " +
+          "ORDER BY cohort, o_custkey"),
+      // x16: the oracle computes the EXACT distinct from raw rows and
+      // asserts the engine's sketch estimate landed within the tolerance
+      // (the engine side emits est_ok; a drifting sketch breaks the hash)
+      "x16_sketch_range_distinct" ->
+        ("SELECT count(DISTINCT user_id) AS exact_users, true AS est_ok " +
+          "FROM events WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00'"),
       "o8_cube_report" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
           "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +

@@ -138,6 +138,28 @@ object Relational {
       .orderBy("bucket", "o_orderpriority")
   }
 
+  /** Buyer-cohort SET OPERATIONS: customers who bought in BOTH of two
+    * years (INTERSECT) and customers who bought in the first but not the
+    * second (EXCEPT — the churn report). Declared as Spark's native
+    * `intersect` / `except`, which plan as distinct-aggregates feeding a
+    * semi/anti join — bag-to-set semantics the engine must supply
+    * (DISTINCT before the join, so a customer with 40 orders in each year
+    * appears once), unlike o7's EXISTS which preserves the probe side
+    * as-is. At 100 TB both year slices are orderkey-free projections of
+    * the same orders scan: two pushed date predicates, per-year distinct
+    * partial-aggregates map-side, then one co-keyed custkey shuffle
+    * serves both the semi and anti branches.
+    */
+  def buyerCohorts(orders: DataFrame, y1: Int = 1995, y2: Int = 1996): DataFrame = {
+    def buyers(y: Int) = orders
+      .where(year(col("o_orderdate")) === y).select("o_custkey")
+    val both = buyers(y1).intersect(buyers(y2))
+      .select(lit("both").as("cohort"), col("o_custkey"))
+    val churned = buyers(y1).except(buyers(y2))
+      .select(lit("churned").as("cohort"), col("o_custkey"))
+    both.unionByName(churned).orderBy("cohort", "o_custkey")
+  }
+
   /** The joined (n_name, order_year, disc_price) star base shared by the
     * nation-revenue report family: one co-keyed fact-fact shuffle join on
     * orderkey, two broadcast dimensions (customer projected to id+nation

@@ -1063,4 +1063,27 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     banded shouldBe brute
     brute should not be empty
   }
+
+  test("sketch rollup: per-day union-merge estimates EXACTLY equal the one-shot range sketch") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val daily = graft.operators.SketchRollup.dailyDistinctSketches(ev, "ts", "user_id")
+    // mergeability is the operator's whole claim: folding per day then
+    // union-merging must reproduce the single-pass sketch of the range
+    val merged = graft.operators.SketchRollup
+      .rangeDistinctEstimate(daily, "2024-01-05", "2024-01-15")
+      .collect()(0).getLong(0)
+    val oneShot = ev
+      .where(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-15"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .collect()(0).getLong(0)
+    merged shouldBe oneShot
+    // and the estimate is sane against the exact distinct (tiny cardinality
+    // here, so HLL's sparse mode should be spot-on)
+    val exact = ev
+      .where(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-15"))
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    math.abs(merged - exact).toDouble / exact should be <= 0.05
+  }
 }

@@ -441,6 +441,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     p8qe.optimizedPlan.collect {
       case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
     }.map(_.projections.size) shouldBe Seq(4)
+    // o9: native set ops plan as distinct-aggregates + semi/anti joins —
+    // the DISTINCT lands BEFORE the join (bag-to-set), never after
+    val p9 = graft.operators.Relational.buyerCohorts(ord)
+      .queryExecution.executedPlan.toString
+    p9 should include("LeftSemi")
+    p9 should include("LeftAnti")
+    p9 should not include "CartesianProduct"
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
