@@ -464,6 +464,14 @@ object SparkEntry {
     "q6_autocomplete" -> ((s, d) =>
       SearchExecutor.autocomplete(Corpus.metadata(s, d), prefix = "b")),
 
+    // Q7 spelling suggestion ("did you mean") — SymSpell deletion-blocked
+    // edit-distance-1 candidates over the title dictionary, exact
+    // levenshtein verifying only the key collisions; 'hod' resolves to
+    // {hot, rod} ranked by corpus frequency. Oracle = the full-scan
+    // levenshtein DuckDB computes, so blocking recall is value-gated
+    "q7_spell_suggest" -> ((s, d) =>
+      SearchExecutor.spellSuggest(Corpus.metadata(s, d), term = "hod")),
+
     // ------------------------- store ops (S1-S7, X2) -----------------------
 
     // S1 index scan: resolved current table off the versioned store
@@ -1464,6 +1472,14 @@ object SparkEntry {
     "o7_returned_breakdown" -> ((s, d) =>
       Relational.returnedOrderBreakdown(s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // Relational OLAP o10: FRAME-aggregate window analytics — running
+    // revenue total + 3-order moving average per customer (the ranking
+    // class is o5; frames are the other half). Both frames evaluate
+    // incrementally (O(n) per key); sums accumulate in DECIMAL so every
+    // frame-fold order agrees across engines
+    "o10_running_revenue" -> ((s, d) =>
+      Relational.customerRunningRevenue(s.read.parquet(s"$d/orders.parquet"))),
 
     // Relational OLAP o9: buyer-cohort SET OPERATIONS — native
     // intersect/except (distinct-aggregate + semi/anti join, the
@@ -2632,6 +2648,20 @@ object SparkEntry {
           "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
           "AND l_returnflag = 'R') GROUP BY 2 " +
           "ORDER BY bucket, o_orderpriority"),
+      // o10: frame sums in DECIMAL on both engines — running double sums
+      // are frame-fold-order-dependent (incremental add vs segment tree),
+      // exact decimal is not; the moving average divides exact sum by the
+      // frame count as DOUBLE
+      "o10_running_revenue" ->
+        ("SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+          "(sum(o_totalprice::DECIMAL(18,6)) OVER w_run)::DOUBLE AS run_total, " +
+          "(sum(o_totalprice::DECIMAL(18,6)) OVER w_mov)::DOUBLE / count(*) OVER w_mov AS mov_avg3 " +
+          "FROM orders " +
+          "WINDOW w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+          "ROWS UNBOUNDED PRECEDING), " +
+          "w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+          "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+          "ORDER BY o_custkey, o_orderdate, o_orderkey"),
       "o9_buyer_cohorts" ->
         ("WITH b1 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995), " +
           "b2 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) " +
@@ -2887,6 +2917,13 @@ object SparkEntry {
       "q6_autocomplete" ->
         (M + s", terms AS (SELECT unnest(${stdToks("title")}) AS term FROM meta) " +
           "SELECT term, count(*) AS cnt FROM terms WHERE term LIKE 'b%' " +
+          "GROUP BY term ORDER BY cnt DESC, term LIMIT 5"),
+      // q7: the oracle scans the whole dictionary with exact levenshtein —
+      // the engine's deletion-key blocking must recall every d<=1 term
+      "q7_spell_suggest" ->
+        (M + s", terms AS (SELECT unnest(${stdToks("title")}) AS term FROM meta) " +
+          "SELECT term, count(*) AS cnt FROM terms " +
+          "WHERE levenshtein(term, 'hod') <= 1 " +
           "GROUP BY term ORDER BY cnt DESC, term LIMIT 5"),
       "r1_result_shape" ->
         (M + s"""SELECT id, category, creation_date, data_sample, format, is_public, org_uuid,

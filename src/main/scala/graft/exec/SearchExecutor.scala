@@ -165,4 +165,35 @@ object SearchExecutor {
       .where(col("term").startsWith(prefix))
       .groupBy("term").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(k)
+
+  /** Spelling suggestion — the term-suggester of the search lineage (the
+    * "did you mean" companion of [[autocomplete]]): top-k title terms
+    * within edit distance 1 of the query term, ranked by corpus frequency
+    * with term tie-break. SymSpell-style deletion blocking makes this
+    * INDEXABLE: two strings are within distance 1 only if they share a
+    * key in {s} ∪ deletes₁(s) (delete-delete covers substitution and
+    * transposed neighbors at d=1; the identity key covers pure
+    * insert/delete), so the dictionary explodes once into (key, term)
+    * rows and a query probes just its |term|+1 keys — exact levenshtein
+    * then verifies only the key-collisions, never the dictionary. The
+    * probe is a pushed IN filter on the key column; at 100 TB the
+    * (key, term, cnt) deletion index is the artifact to materialize once
+    * (the persisted-index discipline), making each suggestion a
+    * key-pruned lookup instead of a corpus-wide edit-distance scan.
+    */
+  def spellSuggest(entries: DataFrame, term: String, k: Int = 5): DataFrame = {
+    val dict = entries
+      .select(explode(graft.analyzers.Analyzers.standardTokens(col("title"))).as("term"))
+      .groupBy("term").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    val deletionKeys = array_union(array(col("term")),
+      transform(sequence(lit(1), length(col("term"))), i =>
+        concat(col("term").substr(lit(1), i - 1),
+          col("term").substr(i + 1, length(col("term"))))))
+    val qKeys = (term +: term.indices.map(i => term.take(i) + term.drop(i + 1))).distinct
+    dict.select(col("term"), col("cnt"), explode(deletionKeys).as("key"))
+      .where(col("key").isin(qKeys: _*))
+      .select("term", "cnt").distinct()
+      .where(levenshtein(col("term"), lit(term)) <= 1)
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic relational OLAP over the star-schema fact tables — the
@@ -136,6 +137,38 @@ object Relational {
         .select(lit(name).as("bucket"), col("o_orderpriority"), col("n_orders"))
     bucket("returned", "left_semi").unionByName(bucket("clean", "left_anti"))
       .orderBy("bucket", "o_orderpriority")
+  }
+
+  /** Running-frame analytics — each customer's order history with a
+    * cumulative revenue total and a 3-order moving average, the
+    * frame-aggregate window class ([[topOrdersPerCustomer]] covers the
+    * RANKING class; frames are the other half of window analytics).
+    * Frame choice is a complexity decision, not just semantics: a growing
+    * frame (unboundedPreceding → currentRow) and a bounded sliding frame
+    * both evaluate incrementally in Spark — O(n) per key partition,
+    * one add (and one evict) per row — where an unboundedFollowing
+    * `first()` frame re-aggregates per row (the O(n²) trap documented on
+    * Joins.nearestAsOf). One shuffle on the customer key, one
+    * in-partition sort serves both frames.
+    *
+    * Both frame sums accumulate in DECIMAL (the e1 rule): a running
+    * double sum is evaluation-ORDER-dependent, and engines differ in how
+    * they fold frames (incremental add vs segment tree) — exact decimal
+    * makes every fold order agree; the moving average divides the exact
+    * sum by the frame count as DOUBLE.
+    */
+  def customerRunningRevenue(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = w.rowsBetween(-2, Window.currentRow)
+    val price = col("o_totalprice").cast("decimal(18,6)")
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("run_total", sum(price).over(wRun).cast("double"))
+      .withColumn("mov_avg3",
+        sum(price).over(wMov).cast("double") / count(lit(1)).over(wMov))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
   /** Buyer-cohort SET OPERATIONS: customers who bought in BOTH of two

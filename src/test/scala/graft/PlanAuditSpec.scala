@@ -448,6 +448,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     p9 should include("LeftSemi")
     p9 should include("LeftAnti")
     p9 should not include "CartesianProduct"
+    // o10: BOTH window frames (running + moving) ride ONE customer-key
+    // exchange — the only hash partitioning in the plan (the trailing
+    // exchange is the output sort's range partitioning)
+    val p10 = graft.operators.Relational.customerRunningRevenue(ord)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(p10).size shouldBe 1
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
