@@ -293,6 +293,64 @@ object SparkEntry {
           col("width"), col("height"), col("format")))
   }
 
+  /** The v11 measurement body: recall@10 of every approximate path vs the
+    * exact scan on sf0.01's organic geometry (see the registration comment;
+    * only runs when the SF fingerprint matches the pinned corpus).
+    */
+  private def measuredRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+      val q = e.where(col("vec_id") < 50)
+      // The exact top-10 ground truth is |q|·10 (q_id, vec_id) pairs — a
+      // driver-side statistic the size of a codebook snapshot, so it
+      // collects once and re-enters each leg as a broadcast local relation
+      // (no session-lifetime cache pinned per invocation)
+      val exactPairs = Similarity.bruteForceTopK(e, q, 10)
+        .select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val exact = broadcast(exactPairs.toDF("q_id", "vec_id"))
+      val total = exactPairs.size.toLong
+      def leg(name: String, approx: DataFrame): DataFrame =
+        approx.select("q_id", "vec_id")
+          .join(exact, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("method"), col("hits"), lit(total).as("total"),
+            round(col("hits") / lit(total.toDouble), 4).as("recall"))
+      // Each method carries its r8 baseline knob AND the r10-tuned knob —
+      // the measured knob→recall curve on organic geometry (see scaladoc
+      // on lshTopK/ivfTopKIndexed/pqTopK for why each knob moves recall)
+      leg("lsh_16x4", Similarity.lshTopK(e, q, 10, bits = 16, bands = 4))
+        .unionByName(leg("lsh_24x8", Similarity.lshTopK(e, q, 10)))
+        .unionByName(leg("ivf_nprobe8",
+          Similarity.ivfTopK(e, q, 10, nlist = 32, nprobe = 8)))
+        .unionByName(leg("ivf_nprobe16",
+          Similarity.ivfTopK(e, q, 10, nlist = 32, nprobe = 16)))
+        .unionByName({
+          // one Lloyd refinement (the offline re-train cost) feeds both probes
+          val cents = Similarity.lloydRefine(e, Similarity.ivfCentroids(e, 32))
+          val idx = Similarity.ivfIndex(e, cents)
+          leg("ivf_lloyd_nprobe8",
+              Similarity.ivfTopKIndexed(idx, cents, q, 10, nprobe = 8))
+            .unionByName(leg("ivf_lloyd_nprobe16",
+              Similarity.ivfTopKIndexed(idx, cents, q, 10, nprobe = 16)))
+        })
+        .unionByName(leg("pq_m8x32_sl50",
+          Similarity.pqTopK(e, q, 10, m = 8, codesPerSub = 32, shortlistSize = 50)))
+        .unionByName(leg("pq_m8x64_sl150", Similarity.pqTopK(e, q, 10)))
+        .unionByName({
+          // one codebook + index build (the offline cost) feeds both
+          // probe knobs — the r8-era default (16) and the r11-tuned 20
+          val cents = Similarity.ivfCentroids(e, 32)
+          val books = Similarity.pqCodebooks(e, 8, 64)
+          val idx = Similarity.ivfPqIndex(e, cents, books)
+          leg("ivfpq_np16_m8x64_sl150",
+              Similarity.ivfPqTopKIndexed(idx, cents, books, e, q, 10, 16, 150))
+            .unionByName(leg("ivfpq_np20_m8x64_sl150",
+              Similarity.ivfPqTopKIndexed(idx, cents, books, e, q, 10, 20, 150)))
+        })
+        .orderBy("method")
+  }
+
   // ------------------------------------------------------------------------
   // queries + oracleSql: keys must match; output column names must match the
   // oracle's aliases exactly (driver sorts columns by name before hashing).
@@ -1028,7 +1086,13 @@ object SparkEntry {
           concat(
             array((element_at(col("embedding"), 1) + lit(0.1f)).cast("float")),
             slice(col("embedding"), 2, 63)).as("embedding"))
-      Similarity.crossCorpusTopK(a, b, Similarity.ivfCentroids(b, 32), k = 1)
+      // codebook sized to the corpus (the production nlist ~ √n rule, here
+      // n/50 clamped to [4, 32]): 32 cells over sf0.001's 200 vectors
+      // would leave ~6 rows/cell — too sparse for the probes=2 straddle
+      // model to absorb an ε-perturbation; at sf0.01+ this is the same 32
+      // as always (the pinned geometry is unchanged where pins exist)
+      val nlist = math.max(4L, math.min(32L, b.count() / 50)).toInt
+      Similarity.crossCorpusTopK(a, b, Similarity.ivfCentroids(b, nlist), k = 1)
         .orderBy("a_id")
     }),
 
@@ -1107,57 +1171,19 @@ object SparkEntry {
     // numbers instead of scaladoc claims
     "v11_ann_recall" -> ((s, d) => {
       import s.implicits._
-      val e = emb(s, d)
-      val q = e.where(col("vec_id") < 50)
-      // The exact top-10 ground truth is |q|·10 (q_id, vec_id) pairs — a
-      // driver-side statistic the size of a codebook snapshot, so it
-      // collects once and re-enters each leg as a broadcast local relation
-      // (no session-lifetime cache pinned per invocation)
-      val exactPairs = Similarity.bruteForceTopK(e, q, 10)
-        .select(col("q_id"), col("vec_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val exact = broadcast(exactPairs.toDF("q_id", "vec_id"))
-      val total = exactPairs.size.toLong
-      def leg(name: String, approx: DataFrame): DataFrame =
-        approx.select("q_id", "vec_id")
-          .join(exact, Seq("q_id", "vec_id"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-          .select(lit(name).as("method"), col("hits"), lit(total).as("total"),
-            round(col("hits") / lit(total.toDouble), 4).as("recall"))
-      // Each method carries its r8 baseline knob AND the r10-tuned knob —
-      // the measured knob→recall curve on organic geometry (see scaladoc
-      // on lshTopK/ivfTopKIndexed/pqTopK for why each knob moves recall)
-      leg("lsh_16x4", Similarity.lshTopK(e, q, 10, bits = 16, bands = 4))
-        .unionByName(leg("lsh_24x8", Similarity.lshTopK(e, q, 10)))
-        .unionByName(leg("ivf_nprobe8",
-          Similarity.ivfTopK(e, q, 10, nlist = 32, nprobe = 8)))
-        .unionByName(leg("ivf_nprobe16",
-          Similarity.ivfTopK(e, q, 10, nlist = 32, nprobe = 16)))
-        .unionByName({
-          // one Lloyd refinement (the offline re-train cost) feeds both probes
-          val cents = Similarity.lloydRefine(e, Similarity.ivfCentroids(e, 32))
-          val idx = Similarity.ivfIndex(e, cents)
-          leg("ivf_lloyd_nprobe8",
-              Similarity.ivfTopKIndexed(idx, cents, q, 10, nprobe = 8))
-            .unionByName(leg("ivf_lloyd_nprobe16",
-              Similarity.ivfTopKIndexed(idx, cents, q, 10, nprobe = 16)))
-        })
-        .unionByName(leg("pq_m8x32_sl50",
-          Similarity.pqTopK(e, q, 10, m = 8, codesPerSub = 32, shortlistSize = 50)))
-        .unionByName(leg("pq_m8x64_sl150", Similarity.pqTopK(e, q, 10)))
-        .unionByName({
-          // one codebook + index build (the offline cost) feeds both
-          // probe knobs — the r8-era default (16) and the r11-tuned 20
-          val cents = Similarity.ivfCentroids(e, 32)
-          val books = Similarity.pqCodebooks(e, 8, 64)
-          val idx = Similarity.ivfPqIndex(e, cents, books)
-          leg("ivfpq_np16_m8x64_sl150",
-              Similarity.ivfPqTopKIndexed(idx, cents, books, e, q, 10, 16, 150))
-            .unionByName(leg("ivfpq_np20_m8x64_sl150",
-              Similarity.ivfPqTopKIndexed(idx, cents, books, e, q, 10, 20, 150)))
-        })
-        .orderBy("method")
+      // SF fingerprint guard on BOTH sides: the pinned recalls describe
+      // sf0.01's organic geometry only — at any other SF the oracle emits
+      // a PIN_STALE marker, and the engine mirrors it (same row, fp in the
+      // total column) instead of measuring against stale pins
+      val fp = s.read.parquet(s"$d/embeddings.parquet")
+        .agg((count(lit(1)) * 100000 + sum(col("label"))).cast("long"))
+        .collect()(0).getLong(0)
+      if (fp != 50002270L)
+        Seq(("PIN_STALE_expected_sf0.01", -1L, fp, -1.0))
+          .toDF("method", "hits", "total", "recall")
+      else measuredRecall(s, d)
     }),
+
 
     // Similarity: embedding-cosine near-dup pairs over the planted corpus —
     // exact answer = the 20 planted pairs, so the SRP-LSH blocking is held
