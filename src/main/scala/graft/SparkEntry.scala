@@ -2607,10 +2607,10 @@ object SparkEntry {
       // order Spark evaluates; averages divide as double on both sides
       "o1_pricing_summary" ->
         ("SELECT l_returnflag, l_linestatus, " +
-          "sum(l_quantity::DECIMAL(28,10))::DOUBLE AS sum_qty, " +
-          "sum(l_extendedprice::DECIMAL(28,10))::DOUBLE AS sum_base_price, " +
-          "sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10))::DOUBLE AS sum_disc_price, " +
-          "sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,10))::DOUBLE AS sum_charge, " +
+          "round(sum(l_quantity::DECIMAL(28,10)), 2)::DOUBLE AS sum_qty, " +
+          "round(sum(l_extendedprice::DECIMAL(28,10)), 2)::DOUBLE AS sum_base_price, " +
+          "round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 2)::DOUBLE AS sum_disc_price, " +
+          "round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,10)), 2)::DOUBLE AS sum_charge, " +
           "sum(l_quantity::DECIMAL(28,10))::DOUBLE / count(*) AS avg_qty, " +
           "sum(l_discount::DECIMAL(28,10))::DOUBLE / count(*) AS avg_disc, " +
           "count(*) AS count_order " +
@@ -2626,12 +2626,12 @@ object SparkEntry {
           "sum(dp::DECIMAL(28,10)) AS rev FROM l " +
           "JOIN o ON l_orderkey = o_orderkey JOIN c ON o_custkey = c_custkey " +
           "GROUP BY 1, 2, 3) " +
-          "SELECT l_orderkey, rev::DOUBLE AS revenue, o_orderdate, o_orderpriority " +
+          "SELECT l_orderkey, round(rev, 2)::DOUBLE AS revenue, o_orderdate, o_orderpriority " +
           "FROM g ORDER BY rev DESC, l_orderkey LIMIT 10"),
       "o6_rollup_report" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
           "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
-          "SELECT n_name, order_year, sum(dp::DECIMAL(28,10))::DOUBLE AS revenue, " +
+          "SELECT n_name, order_year, round(sum(dp::DECIMAL(28,10)), 2)::DOUBLE AS revenue, " +
           "count(*) AS n_items FROM l " +
           "JOIN o ON l_orderkey = o_orderkey " +
           "JOIN customer ON o_custkey = c_custkey " +
@@ -2650,7 +2650,7 @@ object SparkEntry {
         ("WITH pp AS (SELECT l_partkey, " +
           "sum(l_quantity::DECIMAL(28,10))::DOUBLE / count(*) AS avg_qty " +
           "FROM lineitem GROUP BY 1) " +
-          "SELECT sum(l_extendedprice::DECIMAL(28,10))::DOUBLE AS small_qty_revenue, " +
+          "SELECT round(sum(l_extendedprice::DECIMAL(28,10)), 2)::DOUBLE AS small_qty_revenue, " +
           "count(*) AS n_items FROM lineitem JOIN pp USING (l_partkey) " +
           "WHERE l_quantity < 0.5 * avg_qty"),
       "o5_top_orders_per_cust" ->
@@ -2706,7 +2706,7 @@ object SparkEntry {
       "o8_cube_report" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
           "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
-          "SELECT n_name, order_year, sum(dp::DECIMAL(28,10))::DOUBLE AS revenue, " +
+          "SELECT n_name, order_year, round(sum(dp::DECIMAL(28,10)), 2)::DOUBLE AS revenue, " +
           "count(*) AS n_items FROM l " +
           "JOIN o ON l_orderkey = o_orderkey " +
           "JOIN customer ON o_custkey = c_custkey " +
@@ -2716,7 +2716,7 @@ object SparkEntry {
       "o3_nation_revenue" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
           "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
-          "SELECT n_name, order_year, sum(dp::DECIMAL(28,10))::DOUBLE AS revenue, " +
+          "SELECT n_name, order_year, round(sum(dp::DECIMAL(28,10)), 2)::DOUBLE AS revenue, " +
           "count(*) AS n_items FROM l " +
           "JOIN o ON l_orderkey = o_orderkey " +
           "JOIN customer ON o_custkey = c_custkey " +

@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * accumulates in DECIMAL — exact, order-independent, so any partitioning
   * and any engine agree bit-for-bit — while per-row products stay in
   * IEEE double (deterministic given identical inputs, and the SAME
-  * left-to-right expression is mirrored in each oracle).
+  * left-to-right expression is mirrored in each oracle). Money REPORTS
+  * round the exact sum to cents BEFORE the double cast: round(dec, 2) is
+  * half-away-from-zero on both engines and a 2-dp decimal's unscaled
+  * value fits in 2^53, so the double conversion is exact on both — while
+  * a scale-10 decimal's int128/10^10 conversion is NOT correctly rounded
+  * in every engine (observed: 1-ulp drift at sf0.1 magnitudes; DuckDB
+  * decimal→decimal CASTS truncate, so the rounding must be round()).
   */
 object Relational {
 
@@ -36,10 +42,10 @@ object Relational {
     lineitem.where(col("l_shipdate") <= lit(cutoff))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(money(discPrice)).cast("double").as("sum_disc_price"),
-        sum(money(charge)).cast("double").as("sum_charge"),
+        round(sum(money(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+        round(sum(money(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
+        round(sum(money(discPrice)), 2).cast("double").as("sum_disc_price"),
+        round(sum(money(charge)), 2).cast("double").as("sum_charge"),
         // averages divide as DOUBLE: a decimal quotient's scale/rounding is
         // an engine-specific rule, but double ÷ long of identical inputs is
         // IEEE-identical everywhere
@@ -69,7 +75,7 @@ object Relational {
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(money(col("disc_price"))).as("rev"))
       .orderBy(col("rev").desc, col("l_orderkey")).limit(k)
-      .select(col("l_orderkey"), col("rev").cast("double").as("revenue"),
+      .select(col("l_orderkey"), round(col("rev"), 2).cast("double").as("revenue"),
         col("o_orderdate"), col("o_orderpriority"))
   }
 
@@ -88,7 +94,7 @@ object Relational {
       .agg((sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
     lineitem.join(perPart, "l_partkey")
       .where(col("l_quantity") < lit(frac) * col("avg_qty"))
-      .agg(sum(money(col("l_extendedprice"))).cast("double").as("small_qty_revenue"),
+      .agg(round(sum(money(col("l_extendedprice"))), 2).cast("double").as("small_qty_revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -228,7 +234,7 @@ object Relational {
       // re-created grouping attributes then trip the ambiguous-self-join
       // check downstream
       .cube(col("n_name"), col("order_year"))
-      .agg(sum(money(col("disc_price"))).cast("double").as("revenue"),
+      .agg(round(sum(money(col("disc_price"))), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .sort(asc_nulls_first("n_name"), asc_nulls_first("order_year"))
 
@@ -248,7 +254,7 @@ object Relational {
       // attributes then trip the ambiguous-self-join check on any
       // downstream reference
       .rollup(col("n_name"), col("order_year"))
-      .agg(sum(money(col("disc_price"))).cast("double").as("revenue"),
+      .agg(round(sum(money(col("disc_price"))), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .sort(asc_nulls_first("n_name"), asc_nulls_first("order_year"))
 
@@ -262,7 +268,7 @@ object Relational {
                     nation: DataFrame): DataFrame =
     nationRevenueBase(customer, orders, lineitem, nation)
       .groupBy("n_name", "order_year")
-      .agg(sum(money(col("disc_price"))).cast("double").as("revenue"),
+      .agg(round(sum(money(col("disc_price"))), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name", "order_year")
 }

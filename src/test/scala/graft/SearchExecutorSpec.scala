@@ -105,4 +105,30 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
       .map(r => r.getString(0) -> r.getLong(1)).toSeq shouldBe
       Seq("stock" -> 3L, "stale" -> 1L, "stats" -> 1L) // lowercased analyzer; cnt desc then term
   }
+
+  test("spell suggest: deletion blocking equals brute-force levenshtein on seeded random dictionaries") {
+    // the SymSpell d=1 claim is completeness: for ANY dictionary and ANY
+    // query, key-collision blocking + exact verify == a full levenshtein
+    // scan. Seeded randoms keep it deterministic across runs.
+    import org.apache.spark.sql.functions.{col, levenshtein, lit, lower}
+    val rnd = new scala.util.Random(42)
+    def word() = (1 to (3 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    for (_ <- 1 to 5) {
+      val dict = Seq.fill(120)(word()).distinct
+      val entries = dict.toDF("title") // one term per title
+      val base = word()
+      // random single edit: delete, insert, or substitute
+      val q = rnd.nextInt(3) match {
+        case 0 if base.length > 1 => { val i = rnd.nextInt(base.length); base.take(i) + base.drop(i + 1) }
+        case 1 => { val i = rnd.nextInt(base.length + 1); base.take(i) + ('a' + rnd.nextInt(6)).toChar + base.drop(i) }
+        case _ => { val i = rnd.nextInt(base.length); base.take(i) + ('a' + rnd.nextInt(6)).toChar + base.drop(i + 1) }
+      }
+      val got = SearchExecutor.spellSuggest(entries, q, k = 1000)
+        .collect().map(_.getString(0)).toSet
+      val brute = entries.select(lower(col("title")).as("term"))
+        .where(levenshtein(col("term"), lit(q)) <= 1)
+        .collect().map(_.getString(0)).toSet
+      got shouldBe brute
+    }
+  }
 }
