@@ -341,6 +341,57 @@ object ScaleProbe {
       f""""cand_per_a":$candPerA%.0f,"cand_frac":${candPerA / nB}%.3f}"""
   }
 
+  /** Data-quality + sketch-rollup profile at 1× and 10× events/docs: the
+    * one-pass constraint audit and skew profile over events, the snapshot
+    * diff over documents, and the three sketch folds (HLL/KLL/theta) with
+    * one range query each. The audit/fold walls must grow ~linearly (one
+    * scan each); the range-query walls must NOT (they read |days| sketch
+    * rows, corpus-independent by construction — the mergeable-rollup
+    * story measured rather than asserted).
+    */
+  private def profileQuality(spark: SparkSession, label: String,
+                             ev: DataFrame, docs: DataFrame): String = {
+    import graft.operators.{Quality, SketchRollup}
+    val n = ev.count()
+    val (_, tAudit) = timed(Quality.constraintChecks(ev,
+      rowChecks = Seq(
+        "value_nonneg" -> (col("value") < 0),
+        "type_domain" -> col("event_type").isNull),
+      uniqueKeys = Seq("event_id_unique" -> Seq("event_id"))).collect())
+    val (skew, tSkew) = timed(Quality.keySkewProfile(ev, "user_id").collect())
+    val dir = scratch("scale-quality-" + label)
+    val (_, tHllFold) = timed(
+      SketchRollup.dailyDistinctSketches(ev, "ts", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/hll"))
+    val (_, tKllFold) = timed(
+      SketchRollup.dailyQuantileSketches(ev, "ts", "value")
+        .write.mode("overwrite").parquet(s"$dir/kll"))
+    val (_, tThetaFold) = timed(
+      SketchRollup.dailyThetaSketches(ev, "ts", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/theta"))
+    val (_, tHllQ) = timed(SketchRollup.rangeDistinctEstimate(
+      spark.read.parquet(s"$dir/hll"), "2024-01-05", "2024-01-15").collect())
+    val (_, tKllQ) = timed(SketchRollup.rangeQuantileEstimate(
+      spark.read.parquet(s"$dir/kll"), "2024-01-05", "2024-01-15",
+      Seq(0.5, 0.95)).collect())
+    val (_, tThetaQ) = timed(SketchRollup.rangeRetentionEstimate(
+      spark.read.parquet(s"$dir/theta"),
+      "2024-01-01", "2024-01-11", "2024-01-15", "2024-01-25").collect())
+    // snapshot diff: v2 = docs minus %17, %13 revised (the p10 rules)
+    val v2 = docs.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" r2")))
+          .otherwise(col("text")).as("text"))
+    val (diff, tDiff) = timed(Pipeline.snapshotDiff(
+      docs.select("doc_id", "text"), v2, "doc_id", Seq("text")).collect())
+    f"""{"corpus":"$label","n_events":$n,"audit_sec":$tAudit%.2f,""" +
+      f""""skew_sec":$tSkew%.2f,"skew_ratio":${skew.head.getDouble(5)}%.2f,""" +
+      f""""hll_fold_sec":$tHllFold%.2f,"kll_fold_sec":$tKllFold%.2f,""" +
+      f""""theta_fold_sec":$tThetaFold%.2f,"hll_query_sec":$tHllQ%.2f,""" +
+      f""""kll_query_sec":$tKllQ%.2f,"theta_query_sec":$tThetaQ%.2f,""" +
+      f""""diff_sec":$tDiff%.2f,"diff_classes":${diff.length}}"""
+  }
+
   /** Shard-export profile: the delivery step at 1× and 10× — one hash
     * shuffle, per-shard balance (max/min docs), wall. Linear wall and flat
     * skew at 10× is the evidence the trainer-facing export scales.
@@ -450,6 +501,13 @@ object ScaleProbe {
     // storage-layout pruning at 1× and 10× (overlap fractions must hold)
     println(profileLayout(spark, "layout-1x", spark.read.parquet(s"$sfDir/events.parquet")))
     println(profileLayout(spark, "layout-10x", spark.read.parquet(evDir)))
+
+    // quality audits, sketch rollups and snapshot diff at 1× and 10×:
+    // folds/audits grow linearly, range queries must stay flat
+    println(profileQuality(spark, "quality-1x",
+      EventStream.withEventTime(spark.read.parquet(s"$sfDir/events.parquet")), organic))
+    println(profileQuality(spark, "quality-10x",
+      EventStream.withEventTime(spark.read.parquet(evDir)), decade))
     spark.stop()
   }
 }

@@ -1534,6 +1534,169 @@ object SparkEntry {
           (abs(col("est_distinct") / col("exact_users") - 1.0) <= 0.05).as("est_ok"))
     }),
 
+    // X17 mergeable QUANTILE rollup — x16's discipline applied to KLL
+    // doubles sketches: per-day sketch rows, any range answers by merging
+    // the selected days. KLL's guarantee is on RANK and its compaction is
+    // randomized, so the gate computes the EXACT rank of each estimated
+    // quantile against the raw rows and asserts it within 3pp of target
+    // (k=400 bound ≈0.9%); the exact interpolated percentiles (the t14
+    // rank rule, value-identical cross-engine) ride alongside. The merged
+    // sketch's n IS deterministic and must equal the exact row count
+    "x17_sketch_quantile_rollup" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val dir = scratch("x17-kll")
+      graft.operators.SketchRollup.dailyQuantileSketches(ev, "ts", "value")
+        .write.mode("overwrite").parquet(dir)
+      val est = graft.operators.SketchRollup.rangeQuantileEstimate(
+        s.read.parquet(dir), "2024-01-05", "2024-01-15", Seq(0.5, 0.95))
+      val in = ev.where(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-15"))
+        .select("value")
+      val exact = in.agg(count(lit(1)).as("n_rows"),
+        round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("exact_p95"))
+      val ranks = in.crossJoin(est).agg(
+        avg(when(col("value") <= col("est_q50"), 1.0).otherwise(0.0)).as("r50"),
+        avg(when(col("value") <= col("est_q95"), 1.0).otherwise(0.0)).as("r95"))
+      exact.crossJoin(est).crossJoin(ranks)
+        .select(col("n_rows"), col("exact_p50"), col("exact_p95"),
+          (col("n") === col("n_rows")).as("n_ok"),
+          (abs(col("r50") - 0.5) <= 0.03).as("p50_ok"),
+          (abs(col("r95") - 0.95) <= 0.03).as("p95_ok"))
+    }),
+
+    // X18 theta-sketch retention — the set-operation tier HLL cannot do:
+    // per-day theta sketches union-merge into two range sketches, then
+    // intersection (retained users) and difference (churned) come from the
+    // sketch rows alone. Gated against the EXACT intersection/difference
+    // cross-engine (5%; at this corpus's per-range distincts the sketches
+    // are below the 4096-entry estimation threshold, i.e. exact mode)
+    "x18_theta_retention" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val dir = scratch("x18-theta")
+      graft.operators.SketchRollup.dailyThetaSketches(ev, "ts", "user_id")
+        .write.mode("overwrite").parquet(dir)
+      val est = graft.operators.SketchRollup.rangeRetentionEstimate(
+        s.read.parquet(dir), "2024-01-01", "2024-01-11", "2024-01-15", "2024-01-25")
+      def users(from: String, to: String) =
+        ev.where(col("ts") >= lit(from) && col("ts") < lit(to))
+          .select("user_id").distinct()
+      val a = users("2024-01-01", "2024-01-11")
+      val b = users("2024-01-15", "2024-01-25")
+      val exact = a.agg(count(lit(1)).as("exact_a")).crossJoin(
+          b.agg(count(lit(1)).as("exact_b")))
+        .crossJoin(a.join(b, Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("exact_retained")))
+        .crossJoin(a.join(b, Seq("user_id"), "left_anti")
+          .agg(count(lit(1)).as("exact_churned")))
+      exact.crossJoin(est).select(
+        col("exact_a"), col("exact_b"), col("exact_retained"), col("exact_churned"),
+        (abs(col("est_retained") - col("exact_retained")) <=
+          greatest(col("exact_retained") * 0.05, lit(1.0))).as("ret_ok"),
+        (abs(col("est_churned") - col("exact_churned")) <=
+          greatest(col("exact_churned") * 0.05, lit(1.0))).as("churn_ok"))
+    }),
+
+    // C1 data-quality column profile: completeness / cardinality / bounds
+    // for four columns of the documents table in ONE aggregate pass (exact
+    // distincts — the Expand form; the Expand-free HLL twin is spec-pinned
+    // within its rsd in QualitySpec, the t12 exact/sketch discipline)
+    "c1_column_profile" -> ((s, d) =>
+      graft.operators.Quality.columnProfile(docs(s, d),
+        Seq("text", "lang", "source", "n_chars")).orderBy("column")),
+
+    // C2 constraint suite: named assertions as violation counts, one scan.
+    // quantity_le_30 and the (orderkey, linenumber) uniqueness check FAIL
+    // on this corpus by construction — the gate proves violations are
+    // counted, not just that green suites stay green
+    "c2_constraint_checks" -> ((s, d) =>
+      graft.operators.Quality.constraintChecks(
+        s.read.parquet(s"$d/lineitem.parquet"),
+        rowChecks = Seq(
+          "quantity_in_range" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+          "quantity_le_30" -> (col("l_quantity") > 30),
+          "discount_in_range" -> (col("l_discount") < 0 || col("l_discount") > 0.1),
+          "shipdate_not_null" -> col("l_shipdate").isNull,
+          "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R")),
+        uniqueKeys = Seq(
+          "orderkey_linenumber_unique" -> Seq("l_orderkey", "l_linenumber")))
+        .orderBy("check")),
+
+    // C3 referential integrity: FK orphan detection, ids-only anti-joins.
+    // The lineitem→orders side is PLANTED with three orphan keys (both
+    // engines fabricate the same -1/-2/-3 rows) so the detector's nonzero
+    // path is exercised; orders→customer is organic and clean
+    "c3_referential_integrity" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet").select("l_orderkey")
+        .unionByName(s.range(1, 4).select((-col("id")).as("l_orderkey")))
+      graft.operators.Quality.refIntegrity(li, "l_orderkey",
+          s.read.parquet(s"$d/orders.parquet"), "o_orderkey", "lineitem_orders")
+        .unionByName(graft.operators.Quality.refIntegrity(
+          s.read.parquet(s"$d/orders.parquet"), "o_custkey",
+          s.read.parquet(s"$d/customer.parquet"), "c_custkey", "orders_customer"))
+        .orderBy("fk")
+    }),
+
+    // C4 join-key skew profile: the top-5 heaviest events.user_id keys with
+    // n_keys / avg / exact-p99 / skew ratio — the pre-join diagnosis that
+    // decides whether j5's salting is needed. Two-level aggregate; the
+    // per-key table is metadata-scale at any corpus size
+    "c4_key_skew_profile" -> ((s, d) =>
+      graft.operators.Quality.keySkewProfile(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")),
+        "user_id", topK = 5)),
+
+    // O11 TPC-H Q13-shape: the join-fan-out histogram — customers bucketed
+    // by how many qualifying orders they placed, INCLUDING the zero bucket
+    // only an outer join can produce; fact side pre-aggregated to one row
+    // per buyer BELOW the join (plan-pinned)
+    "o11_order_count_dist" -> ((s, d) =>
+      Relational.orderCountDistribution(
+        s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"))),
+
+    // J7 interval-overlap join: per-user-day activity spans × per-type-day
+    // spans — every overlapping pair found via the binned join (bin = 6 h,
+    // each pair emitted exactly once by its overlap's first bin, no
+    // distinct stage), then rolled up per type-day. Closed intervals;
+    // overlap seconds from the exact micros sum
+    "j7_interval_overlap" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val w = ev.select(col("user_id"), col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        unix_micros(col("ts")).as("us"))
+      val a = w.groupBy("user_id", "day")
+        .agg(min("us").as("a_start"), max("us").as("a_end"))
+        .select(concat_ws(":", col("user_id"), col("day")).as("a_id"),
+          col("a_start"), col("a_end"))
+      val b = w.groupBy("event_type", "day")
+        .agg(min("us").as("b_start"), max("us").as("b_end"))
+        .select(concat_ws(":", col("event_type"), col("day")).as("b_id"),
+          col("b_start"), col("b_end"))
+      Joins.intervalOverlapPairs(a, b, binMicros = 21600000000L)
+        .groupBy("b_id").agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("ov_micros")) / 1e6, 3).as("overlap_sec"))
+        .orderBy("b_id")
+    }),
+
+    // P10 corpus snapshot diff: v2 derived from the documents table by
+    // shared deterministic rules (drop %17, revise %13, add %19 under new
+    // ids), then the diff classifies every id via scan-side md5 — the join
+    // carries (id, hash, length) rows, never text. Output: four class
+    // rows with doc/char totals
+    "p10_snapshot_diff" -> ((s, d) => {
+      val base = docs(s, d)
+      val v2 = base.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id")).as("text")))
+      graft.operators.Pipeline.snapshotDiff(
+          base.select("doc_id", "text"), v2, "doc_id", Seq("text"))
+        .orderBy("change")
+    }),
+
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
     // Expand + aggregate pass; NULLS FIRST pinned on both engines
@@ -2703,6 +2866,120 @@ object SparkEntry {
         ("SELECT count(DISTINCT user_id) AS exact_users, true AS est_ok " +
           "FROM events WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05 00:00:00' " +
           "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00'"),
+      // x17: exact interpolated percentiles (the t14 rank rule — value-
+      // identical cross-engine) + literal-true gates; the engine side's
+      // booleans hold the randomized KLL estimate to its rank bound
+      "x17_sketch_quantile_rollup" ->
+        ("SELECT count(*) AS n_rows, " +
+          "round(quantile_cont(value, 0.5), 6) AS exact_p50, " +
+          "round(quantile_cont(value, 0.95), 6) AS exact_p95, " +
+          "true AS n_ok, true AS p50_ok, true AS p95_ok " +
+          "FROM events WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00'"),
+      // x18: exact per-range distincts and their intersection/difference
+      // from raw rows; the engine's theta estimates must land within 5%
+      "x18_theta_retention" ->
+        ("WITH a AS (SELECT DISTINCT user_id FROM events " +
+          "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-01 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-11 00:00:00'), " +
+          "b AS (SELECT DISTINCT user_id FROM events " +
+          "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-15 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-25 00:00:00') " +
+          "SELECT (SELECT count(*) FROM a) AS exact_a, " +
+          "(SELECT count(*) FROM b) AS exact_b, " +
+          "(SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS exact_retained, " +
+          "(SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS exact_churned, " +
+          "true AS ret_ok, true AS churn_ok"),
+      // c1: per-column profile recomputed column by column (the engine does
+      // all four in ONE pass; the oracle's union is free to be naive)
+      "c1_column_profile" ->
+        Seq("text", "lang", "source", "n_chars").map(c =>
+          s"SELECT '$c' AS \"column\", count(*) AS n_rows, " +
+          s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, " +
+          s"round(1.0 - sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS completeness, " +
+          s"count(DISTINCT $c)::BIGINT AS n_distinct, " +
+          s"min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value " +
+          "FROM documents").mkString("", " UNION ALL ", " ORDER BY \"column\""),
+      // c2: each named assertion recomputed as a conditional count; the
+      // uniqueness check is the distinct-excess on the composite key
+      "c2_constraint_checks" ->
+        (Seq(
+          "quantity_in_range" -> "l_quantity < 1 OR l_quantity > 50",
+          "quantity_le_30" -> "l_quantity > 30",
+          "discount_in_range" -> "l_discount < 0 OR l_discount > 0.1",
+          "shipdate_not_null" -> "l_shipdate IS NULL",
+          "returnflag_domain" -> "l_returnflag NOT IN ('A','N','R')").map {
+            case (n, p) =>
+              s"SELECT '$n' AS \"check\", count(*) AS n_rows, " +
+              s"sum(CASE WHEN $p THEN 1 ELSE 0 END)::BIGINT AS n_violations, " +
+              s"sum(CASE WHEN $p THEN 1 ELSE 0 END) = 0 AS pass FROM lineitem"
+          } :+ ("SELECT 'orderkey_linenumber_unique' AS \"check\", count(*) AS n_rows, " +
+            "(count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT AS n_violations, " +
+            "count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS pass FROM lineitem"))
+          .mkString("", " UNION ALL ", " ORDER BY \"check\""),
+      // c3: anti-join orphan counts; the -1/-2/-3 planted keys match the
+      // engine's fabricated rows (DuckDB's ANTI JOIN keeps null-key rows,
+      // the same never-joins-counts-as-orphan rule the engine applies)
+      "c3_referential_integrity" ->
+        ("WITH li AS (SELECT l_orderkey FROM lineitem " +
+          "UNION ALL SELECT -range FROM range(1, 4)) " +
+          "SELECT 'lineitem_orders' AS fk, (SELECT count(*) FROM li) AS n_child, " +
+          "(SELECT count(*) FROM li ANTI JOIN orders ON l_orderkey = o_orderkey) AS n_orphans, " +
+          "(SELECT count(*) FROM li ANTI JOIN orders ON l_orderkey = o_orderkey) = 0 AS pass " +
+          "UNION ALL " +
+          "SELECT 'orders_customer' AS fk, (SELECT count(*) FROM orders) AS n_child, " +
+          "(SELECT count(*) FROM orders ANTI JOIN customer ON o_custkey = c_custkey) AS n_orphans, " +
+          "(SELECT count(*) FROM orders ANTI JOIN customer ON o_custkey = c_custkey) = 0 AS pass " +
+          "ORDER BY fk"),
+      // c4: per-key counts + distribution stats; quantile_cont equals the
+      // engine's exact percentile on integer counts (the t14 rule)
+      "c4_key_skew_profile" ->
+        ("WITH k AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1), " +
+          "stats AS (SELECT count(*) AS n_keys, round(avg(cnt), 6) AS avg_cnt, " +
+          "round(quantile_cont(cnt, 0.99), 6) AS p99_cnt, max(cnt) AS maxc FROM k) " +
+          "SELECT key, cnt, n_keys, avg_cnt, p99_cnt, " +
+          "round(maxc / avg_cnt, 6) AS skew_ratio " +
+          "FROM k, stats ORDER BY cnt DESC, key LIMIT 5"),
+      // o11: the decorrelated Q13 form — qualifying-order counts per
+      // buyer, LEFT-joined to customer so zero-order customers survive,
+      // then the distribution over the counts
+      "o11_order_count_dist" ->
+        ("WITH q AS (SELECT o_custkey, count(*) AS c_count FROM orders " +
+          "WHERE o_orderpriority <> '1-URGENT' AND year(o_orderdate) = 1995 " +
+          "GROUP BY 1) " +
+          "SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist " +
+          "FROM customer LEFT JOIN q ON c_custkey = o_custkey " +
+          "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"),
+      // j7: the naive inequality join over the same derived interval
+      // tables — the engine's binned join must reproduce it exactly
+      "j7_interval_overlap" ->
+        ("WITH w AS (SELECT user_id, event_type, " +
+          "(ts::TIMESTAMP::DATE)::VARCHAR AS day, epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "a AS (SELECT user_id::VARCHAR || ':' || day AS a_id, " +
+          "min(us) AS a_start, max(us) AS a_end FROM w GROUP BY user_id, day), " +
+          "b AS (SELECT event_type || ':' || day AS b_id, " +
+          "min(us) AS b_start, max(us) AS b_end FROM w GROUP BY event_type, day), " +
+          "p AS (SELECT b_id, least(a_end, b_end) - greatest(a_start, b_start) AS ov " +
+          "FROM a JOIN b ON a_start <= b_end AND b_start <= a_end) " +
+          "SELECT b_id, count(*) AS n_pairs, round(sum(ov) / 1e6, 3) AS overlap_sec " +
+          "FROM p GROUP BY 1 ORDER BY 1"),
+      // p10: v2 rebuilt under the same deterministic rules, then a naive
+      // full-outer md5 diff — class counts must match the engine's
+      // hash-join diff exactly
+      "p10_snapshot_diff" ->
+        ("WITH v2 AS (" +
+          "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text " +
+          "FROM documents WHERE doc_id % 17 <> 0 " +
+          "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'new doc ' || doc_id AS text " +
+          "FROM documents WHERE doc_id % 19 = 0), " +
+          "o AS (SELECT doc_id, md5(text) AS h, len(text) AS l FROM documents), " +
+          "n AS (SELECT doc_id, md5(text) AS h, len(text) AS l FROM v2), " +
+          "j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added' " +
+          "WHEN n.doc_id IS NULL THEN 'removed' " +
+          "WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS change, " +
+          "coalesce(n.l, o.l) AS chars FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+          "SELECT change, count(*) AS n_docs, sum(chars)::BIGINT AS n_chars " +
+          "FROM j GROUP BY 1 ORDER BY 1"),
       "o8_cube_report" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
           "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +

@@ -281,6 +281,41 @@ object Joins {
     p.join(b, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** INTERVAL-OVERLAP join: all pairs of intervals (one from each side)
+    * that overlap — the interval×interval sibling of [[intervalJoin]]'s
+    * point×interval shape (session-vs-campaign attribution, downtime-vs-
+    * activity audits). Inputs carry `(a_id, a_start, a_end)` /
+    * `(b_id, b_start, b_end)` with epoch-micros longs, closed intervals
+    * (touching endpoints overlap with zero duration). Output one row per
+    * overlapping pair: `(a_id, b_id, ov_start, ov_end, ov_micros)`.
+    *
+    * Never all-pairs: each interval explodes to the fixed-width bins it
+    * spans and pairs meet on the bin key — candidates per interval are
+    * bounded by (span/bin + 1) × per-bin occupancy, the [[timeProximityPairs]]
+    * argument. A pair spanning several shared bins would emit once per
+    * bin; instead of a distinct (a second full shuffle of the pair set),
+    * each pair is emitted ONLY by the bin containing max(a_start, b_start)
+    * — the overlap's first bin, a per-row predicate, so the bin join's
+    * output is exact with no dedup stage at all. Choose `binMicros` near
+    * the typical interval span: much smaller multiplies the explode
+    * factor, much larger multiplies per-bin occupancy (both linear, so
+    * the knob is forgiving; skewed hot bins fall to AQE skew-split).
+    */
+  def intervalOverlapPairs(a: DataFrame, b: DataFrame, binMicros: Long): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive: $binMicros")
+    def binned(df: DataFrame, start: String, end: String) = df
+      .withColumn("__bin", explode(sequence(
+        floor(col(start) / binMicros), floor(col(end) / binMicros))))
+    binned(a, "a_start", "a_end").join(binned(b, "b_start", "b_end"), Seq("__bin"))
+      .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end") &&
+        col("__bin") === floor(greatest(col("a_start"), col("b_start")) / binMicros))
+      .select(col("a_id"), col("b_id"),
+        greatest(col("a_start"), col("b_start")).as("ov_start"),
+        least(col("a_end"), col("b_end")).as("ov_end"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("ov_micros"))
+  }
+
   /** Run `f` on a session clone tuned for RUNTIME BLOOM-FILTERED joins —
     * the shuffle-join shape a selective-dimension ⋈ giant-fact query takes
     * at 100 TB, where neither side broadcasts: Catalyst injects a

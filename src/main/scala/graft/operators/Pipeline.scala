@@ -276,6 +276,42 @@ object Pipeline {
     * `shards` to the trainer's degree. Hash balance keeps shard skew within
     * a few percent on organic ids (spec-measured).
     */
+  /** Corpus snapshot DIFF — the version-to-version audit every managed
+    * corpus needs before a retrain: classify each document id across two
+    * snapshots as `added` (id only in the new snapshot), `removed` (only
+    * in the old), `changed` (both, content differs) or `unchanged`, and
+    * report per-class document and character totals. Content identity is
+    * md5 over the concatenated `contentCols` (null-tagged so a null/empty
+    * swap can't alias), computed scan-side — the diff join carries
+    * (id, 16-byte hash, length) rows, NEVER the document text, so at
+    * 100 TB the full-outer join shuffles metadata-scale rows co-partitioned
+    * on the id and the output is four rows. Per-class totals are exact;
+    * `n_chars` counts the NEW side for added/changed/unchanged and the OLD
+    * side for removed (the bytes a consumer of the diff would fetch).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs at least one content column")
+    def keyed(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      md5(concat_ws("",
+        contentCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
+        .as("h"),
+      contentCols.map(c => coalesce(length(col(c).cast("string")), lit(0)))
+        .reduce(_ + _).cast("long").as("len"))
+    val o = keyed(oldSnap).withColumnsRenamed(Map("h" -> "h_old", "len" -> "len_old"))
+    val n = keyed(newSnap).withColumnsRenamed(Map("h" -> "h_new", "len" -> "len_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("len_new"), col("len_old")).as("chars"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("n_chars"))
+  }
+
   def shardExport(docs: DataFrame, outDir: String, shards: Int): Unit = {
     require(shards > 0, s"shards must be positive, got $shards")
     val assigned = docs.withColumn("shard",

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation over corpus and fact tables — the
+  * pre-ingest gate a training-data pipeline runs before a corpus version
+  * is allowed to feed a run (the Deequ/Great-Expectations capability,
+  * re-expressed as declarative single-pass Spark aggregates).
+  *
+  * Four tiers, each its own registered entry:
+  *
+  *   - [[columnProfile]]: per-column completeness / cardinality / bounds —
+  *     the "what does this table look like" report.
+  *   - [[constraintChecks]]: named assertions (row predicates + key
+  *     uniqueness) evaluated as violation COUNTS in one aggregate pass —
+  *     the pass/fail gate.
+  *   - [[refIntegrity]]: foreign-key orphan detection between two tables.
+  *   - [[keySkewProfile]]: join/groupBy-key distribution — the heavy-key
+  *     diagnosis that decides whether a downstream join needs salting
+  *     ([[Joins.saltedJoin]]) before it is launched at scale.
+  *
+  * At 100 TB: every tier is aggregation-shaped. The profile and the
+  * constraint suite are ONE scan each — every per-column/per-check
+  * statistic is a combine-safe aggregate riding the same pass (the only
+  * exception is exact distinct counts, whose multi-column form Spark
+  * plans as one Expand ×(P+1) pass — documented on [[columnProfile]],
+  * with the Expand-free approx twin as the at-scale default). Referential
+  * integrity projects ids ONLY before the anti-join (16 B rows, never the
+  * payload). The skew profile is a two-level aggregate: per-key counts
+  * combine map-side, then stats over the (tiny) per-key table.
+  */
+object Quality {
+
+  /** Per-column profile in long form: one row per profiled column,
+    * `(column, n_rows, n_nulls, completeness, n_distinct, min_value,
+    * max_value)` — min/max cast to string so mixed-type columns share one
+    * report schema. Column order of `cols` is preserved in the output.
+    *
+    * ONE aggregate pass computes every statistic. The exact
+    * `n_distinct`s make Spark plan an Expand ×(P+1) over the scan (the
+    * standard multi-distinct rewrite): correct and still map-side-combining,
+    * but the scan's rows are replicated P+1 ways before the partial
+    * aggregate. At 100 TB profile with [[columnProfileApprox]] (HLL++
+    * distincts, no Expand, one unreplicated pass) — the exact form is the
+    * gate, the sketch form is the default; QualitySpec pins the twin
+    * within its error bound (the t12 exact/sketch discipline).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** The Expand-free at-scale twin: HLL++ `approx_count_distinct`
+    * (rsd 1%) for `n_distinct`, everything else identical and exact. */
+  def columnProfileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), 0.01))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctOf: String => Column): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"__nulls_$c"),
+      distinctOf(c).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    row.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        round(lit(1.0) - col(s"__nulls_$c") / col("__n"), 6).as("completeness"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Named constraint suite in one aggregate pass: each row-level check is
+    * `(name, violationPredicate)` — the predicate marks BAD rows — and each
+    * uniqueness check is a column set whose duplicate-row excess
+    * (`count(*) − count(distinct key)`) is the violation count. Output one
+    * row per check, `(check, n_rows, n_violations, pass)`, in declaration
+    * order (row checks then uniqueness checks).
+    *
+    * All row checks are combine-safe conditional sums on ONE scan; the
+    * uniqueness counts join the same `agg` as distinct aggregates (Expand,
+    * as [[columnProfile]] — at 100 TB prefer one uniqueness key per suite,
+    * or gate uniqueness on a two-level `groupBy(key).count.where(cnt > 1)`
+    * pass whose per-key partials combine map-side).
+    */
+  def constraintChecks(df: DataFrame, rowChecks: Seq[(String, Column)],
+                       uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueKeys.nonEmpty, "empty constraint suite")
+    val rowAggs = rowChecks.map { case (name, bad) =>
+      sum(when(bad, 1).otherwise(0)).cast("long").as(s"__v_$name") }
+    val uniqAggs = uniqueKeys.map { case (name, keyCols) =>
+      (count(lit(1)) - countDistinct(struct(keyCols.map(col): _*)))
+        .cast("long").as(s"__v_$name") }
+    val row = df.agg(count(lit(1)).as("__n"), rowAggs ++ uniqAggs: _*)
+    val names = rowChecks.map(_._1) ++ uniqueKeys.map(_._1)
+    row.select(explode(array(names.map(n => struct(
+        lit(n).as("check"),
+        col("__n").as("n_rows"),
+        col(s"__v_$n").as("n_violations"),
+        (col(s"__v_$n") === 0L).as("pass"))): _*)).as("c"))
+      .select("c.*")
+  }
+
+  /** Foreign-key orphan check: child rows whose `childKey` has no match in
+    * `parent(parentKey)`. One row, `(fk, n_child, n_orphans, pass)`.
+    *
+    * Both sides project their key column ONLY before the anti-join, so the
+    * shuffle carries 8–16 B rows whatever the table width; null child keys
+    * count as orphans (a null FK never joins — surfacing them is the
+    * check's job, not silently passing them). At 100 TB the anti-join is
+    * either a broadcast (dim-sized parent) or a co-partitioned shuffle on
+    * the key — and a `bloom_filter_agg` runtime filter
+    * ([[Joins.withRuntimeBloomJoin]]) prunes definite-matches before the
+    * shuffle when the orphan rate is low (the common case: most rows pass,
+    * few shuffle).
+    */
+  def refIntegrity(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String,
+                   fkName: String): DataFrame = {
+    val c = child.select(col(childKey).as("__k"))
+    val p = parent.select(col(parentKey).as("__k")).where(col("__k").isNotNull)
+    val orphans = c.where(col("__k").isNull).agg(count(lit(1)).as("__null_orphans"))
+      .crossJoin(c.where(col("__k").isNotNull).join(p, Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("__key_orphans")))
+    c.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
+      .select(lit(fkName).as("fk"), col("n_child"),
+        (col("__null_orphans") + col("__key_orphans")).as("n_orphans"),
+        (col("__null_orphans") + col("__key_orphans") === 0L).as("pass"))
+  }
+
+  /** Join-key distribution profile: the `topK` heaviest keys with the
+    * distributional context that decides a salting strategy —
+    * `(key, cnt, n_keys, avg_cnt, p99_cnt, skew_ratio)` where
+    * `skew_ratio = max/avg` and `p99_cnt` is the exact interpolated 99th
+    * percentile of per-key counts (the t14 `percentile` rank rule, so the
+    * oracle holds it exactly). Deterministic order: cnt desc, key asc.
+    *
+    * Two-level aggregate: per-key counts combine map-side (one shuffle of
+    * (key, partial-count) rows), then every statistic — including the
+    * top-k, a TakeOrdered merge, never a global sort — runs over the
+    * per-key table, which is |keys| rows, metadata-scale even at 100 TB
+    * (and the reason this profile is CHEAP insurance before a multi-hour
+    * join: reading its input again is the join's first stage anyway).
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val perKey = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      round(avg(col("cnt")), 6).as("avg_cnt"),
+      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"),
+      max(col("cnt")).as("__max_cnt"))
+    perKey.crossJoin(stats)
+      .select(col("key"), col("cnt"), col("n_keys"), col("avg_cnt"), col("p99_cnt"),
+        round(col("__max_cnt") / col("avg_cnt"), 6).as("skew_ratio"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
+}

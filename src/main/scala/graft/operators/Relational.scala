@@ -177,6 +177,38 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** TPC-H Q13-shape order-count distribution: the join-FAN-OUT histogram
+    * — how many customers placed 0, 1, 2, … qualifying orders. The shape
+    * no inner join can produce: zero-order customers only exist through
+    * the OUTER join, and the answer is an aggregate OF an aggregate
+    * (per-customer counts, then a distribution over them).
+    *
+    * Declared pre-aggregated (the decorrelated Q13 form): the fact side
+    * collapses to one (custkey, count) row per buyer BEFORE the outer
+    * join — map-side partials on the orders scan, so the join's right
+    * side is |buyers| rows, never |orders| — then customer LEFT-joins it
+    * on the shared custkey and the zero bucket falls out of the null
+    * side. At 100 TB both sides of the join are custkey-keyed (one
+    * co-partitioned shuffle each; no broadcast needed, no skew — custkey
+    * fan-out is already collapsed); the final distribution aggregate runs
+    * over one row per customer. Ordering is Q13's (custdist desc,
+    * c_count desc) — count ties are real, so both keys are required for
+    * determinism.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame,
+                             excludePriority: String = "1-URGENT",
+                             yearFilter: Int = 1995): DataFrame = {
+    val qualifying = orders
+      .where(col("o_orderpriority") =!= excludePriority &&
+        year(col("o_orderdate")) === yearFilter)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    customer.select(col("c_custkey"))
+      .join(qualifying, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Buyer-cohort SET OPERATIONS: customers who bought in BOTH of two
     * years (INTERSECT) and customers who bought in the first but not the
     * second (EXCEPT — the churn report). Declared as Spark's native

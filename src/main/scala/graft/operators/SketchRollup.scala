@@ -46,4 +46,75 @@ object SketchRollup {
     sketches.where(col("day") >= lit(from) && col("day") < lit(to))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("est_distinct"))
+
+  /** The QUANTILE twin of [[dailyDistinctSketches]]: one Datasketches KLL
+    * doubles sketch of `valCol` per day — "what is the p95 of `value` over
+    * ANY date range?" without rescanning the corpus. KLL is mergeable the
+    * same way HLL is, and its guarantee is on RANK, not value: at k = 400
+    * the normalized rank error is ≈ 0.9% (99% conf.), so the registered
+    * entry gates the merged estimate by the exact rank of the returned
+    * value, not by value distance (value error is distribution-dependent;
+    * rank error is not). KLL compaction is randomized — estimates vary
+    * bit-level across runs within the rank bound — so entries must never
+    * hash-gate the raw estimate, only exact values plus rank-tolerance
+    * booleans ([[SketchRollup]]'s x16 gating discipline). `n` per sketch
+    * IS deterministic and pins merge ≡ one-shot in the spec.
+    */
+  def dailyQuantileSketches(events: DataFrame, tsCol: String, valCol: String,
+                            k: Int = 400): DataFrame =
+    events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(kll_sketch_agg_double(col(valCol), k).as("sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Quantile estimates for `[from, to)` from a persisted daily KLL
+    * rollup: merge the selected days' sketches once, then read each
+    * requested quantile from the merged sketch. Output one row:
+    * `(n, est_q<percent> ...)`. Reads |days| sketch rows.
+    */
+  def rangeQuantileEstimate(sketches: DataFrame, from: String, to: String,
+                            qs: Seq[Double], k: Int = 400): DataFrame = {
+    val merged = sketches.where(col("day") >= lit(from) && col("day") < lit(to))
+      .agg(kll_merge_agg_double(col("sketch"), k).as("m"))
+    merged.select(
+      kll_sketch_get_n_double(col("m")).as("n") +:
+      qs.map(q => kll_sketch_get_quantile_double(col("m"), lit(q))
+        .as(s"est_q${(q * 100).round}")): _*)
+  }
+
+  /** The SET-OPERATION tier HLL cannot provide: Datasketches THETA
+    * sketches support intersection and difference, so a per-day theta
+    * rollup answers RETENTION ("how many users active in range A were
+    * still active in range B?") and CHURN (A \ B) from sketch rows alone.
+    * Same mergeable-fold shape as [[dailyDistinctSketches]]; theta hashing
+    * is seed-fixed and deterministic, and below the nominal-entries
+    * threshold (4096 at the default lgK = 12) the sketch holds every hash
+    * — exact mode — so intersection estimates carry no sampling error
+    * until daily distincts exceed that. The registered entry still gates
+    * against the EXACT intersection/difference cross-engine, the x16 rule.
+    */
+  def dailyThetaSketches(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(theta_sketch_agg(col(keyCol)).as("sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Retention + churn estimates between ranges `[aFrom, aTo)` and
+    * `[bFrom, bTo)` from a persisted daily theta rollup: union each
+    * range's day sketches, then one row
+    * `(est_a, est_b, est_retained, est_churned)` via theta intersection /
+    * difference on the two merged sketches. Reads |days| sketch rows —
+    * the raw corpus is never consulted.
+    */
+  def rangeRetentionEstimate(sketches: DataFrame,
+                             aFrom: String, aTo: String,
+                             bFrom: String, bTo: String): DataFrame = {
+    def rangeUnion(from: String, to: String, as: String) =
+      sketches.where(col("day") >= lit(from) && col("day") < lit(to))
+        .agg(theta_union_agg(col("sketch")).as(as))
+    rangeUnion(aFrom, aTo, "a").crossJoin(rangeUnion(bFrom, bTo, "b"))
+      .select(
+        theta_sketch_estimate(col("a")).as("est_a"),
+        theta_sketch_estimate(col("b")).as("est_b"),
+        theta_sketch_estimate(theta_intersection(col("a"), col("b"))).as("est_retained"),
+        theta_sketch_estimate(theta_difference(col("a"), col("b"))).as("est_churned"))
+  }
 }

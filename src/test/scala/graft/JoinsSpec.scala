@@ -199,6 +199,53 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
     got shouldBe Set((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (11L, 4L))
   }
 
+  test("intervalOverlapPairs equals the brute-force inequality join, emit-once") {
+    // constructed micros intervals crossing bin boundaries at width 10
+    val a = Seq(
+      ("a1", 0L, 25L),   // spans bins 0-2
+      ("a2", 12L, 14L),  // inside bin 1
+      ("a3", 40L, 60L),  // spans bins 4-6
+      ("a4", 5L, 5L)     // degenerate point interval
+    ).toDF("a_id", "a_start", "a_end")
+    val b = Seq(
+      ("b1", 8L, 22L),   // overlaps a1 (8-22), a2 (12-14), a4? 5<8 no
+      ("b2", 25L, 40L),  // touches a1 at 25 (zero-length) and a3 at 40
+      ("b3", 100L, 110L) // overlaps nothing
+    ).toDF("b_id", "b_start", "b_end")
+    val got = Joins.intervalOverlapPairs(a, b, binMicros = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // emit-once: no pair may appear twice even when it shares several bins
+    got.map(t => (t._1, t._2)).distinct.length shouldBe got.length
+    val want = a.join(b, $"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+      .select($"a_id", $"b_id",
+        greatest($"a_start", $"b_start"), least($"a_end", $"b_end"),
+        least($"a_end", $"b_end") - greatest($"a_start", $"b_start"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    got.toSet shouldBe want
+    // the zero-duration touches are present (closed-interval semantics)
+    got.toSet should contain(("a1", "b2", 25L, 25L, 0L))
+    got.toSet should contain(("a3", "b2", 40L, 40L, 0L))
+  }
+
+  test("intervalOverlapPairs matches brute force on real per-day event spans") {
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val w = ev.select($"user_id", $"event_type",
+      to_date($"ts").cast("string").as("day"), unix_micros($"ts").as("us"))
+    val a = w.groupBy("user_id", "day").agg(min("us").as("a_start"), max("us").as("a_end"))
+      .select(concat_ws(":", $"user_id", $"day").as("a_id"), $"a_start", $"a_end")
+    val b = w.groupBy("event_type", "day").agg(min("us").as("b_start"), max("us").as("b_end"))
+      .select(concat_ws(":", $"event_type", $"day").as("b_id"), $"b_start", $"b_end")
+    val got = Joins.intervalOverlapPairs(a, b, binMicros = 21600000000L)
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = a.join(b, $"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe want
+    got.size should be > 0
+  }
+
   // ------------------------------------------------------------ plan shape
 
   test("temporal joins plan as hash equi-joins: no cartesian, no nested loop") {

@@ -454,6 +454,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     val p10 = graft.operators.Relational.customerRunningRevenue(ord)
       .queryExecution.executedPlan.toString
     "Exchange hashpartitioning".r.findAllIn(p10).size shouldBe 1
+    // o11: the decorrelated Q13 form — the fact side collapses to one row
+    // per buyer BELOW the outer join (a partial_count aggregate under the
+    // join, never |orders| rows through it), and the priority exclusion
+    // reaches the orders scan
+    val p11qe = graft.operators.Relational.orderCountDistribution(cust, ord)
+      .queryExecution
+    val p11 = p11qe.executedPlan.toString
+    p11 should include("partial_count")
+    p11 should not include "CartesianProduct"
+    p11 should include regex """PushedFilters: \[[^\]]*o_orderpriority"""
+    // the aggregate sits BELOW the outer join in the logical plan
+    val joinNode = p11qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.head
+    joinNode.right.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    } should not be empty
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {

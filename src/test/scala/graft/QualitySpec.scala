@@ -1,0 +1,184 @@
+package graft
+
+import graft.operators.{Pipeline, Quality, SketchRollup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Specs for the data-quality family (profile / constraints / referential
+  * integrity / skew), the snapshot diff, and the KLL/theta sketch rollups.
+  * Everything here is additionally value-gated by the driver's DuckDB
+  * oracle on the sf tables; these specs pin the constructed edge cases the
+  * organic corpus doesn't exercise (nulls, planted orphans, all four diff
+  * classes, sketch-vs-exact twins).
+  */
+class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private def profiled: DataFrame = Seq(
+    (1L, Some("a"), Some(10)),
+    (2L, None, Some(20)),
+    (3L, Some("b"), None),
+    (4L, Some("a"), Some(10))
+  ).toDF("id", "s", "v")
+
+  test("columnProfile: completeness, cardinality and bounds per column") {
+    val out = Quality.columnProfile(profiled, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getString(5), r.getString(6))).toMap
+    out("id") shouldBe ((4L, 0L, 1.0, 4L, "1", "4"))
+    out("s") shouldBe ((4L, 1L, 0.75, 2L, "a", "b"))
+    out("v") shouldBe ((4L, 1L, 0.75, 2L, "10", "20"))
+  }
+
+  test("columnProfile approx twin matches exact within the 1% rsd headroom") {
+    val df = spark.range(0, 5000).select(col("id"),
+      (col("id") % 977).as("m"), (col("id") % 5).cast("string").as("c"))
+    val exact = Quality.columnProfile(df, Seq("id", "m", "c"))
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = Quality.columnProfileApprox(df, Seq("id", "m", "c"))
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    exact.foreach { case (c, nd) =>
+      math.abs(approx(c) - nd).toDouble / nd should be <= 0.05
+    }
+    // and the shapes agree column for column
+    approx.keySet shouldBe exact.keySet
+  }
+
+  test("columnProfile plans: exact form Expands for multi-distinct, approx form does not") {
+    val df = spark.range(0, 100).select(col("id"), (col("id") % 7).as("m"))
+    val exactPlan = Quality.columnProfile(df, Seq("id", "m"))
+      .queryExecution.executedPlan.toString
+    val approxPlan = Quality.columnProfileApprox(df, Seq("id", "m"))
+      .queryExecution.executedPlan.toString
+    exactPlan should include("Expand")
+    approxPlan should not include "Expand"
+  }
+
+  test("constraintChecks: row predicates and uniqueness count violations") {
+    val df = Seq(
+      (1L, 1, 5.0), (1L, 1, -2.0), (2L, 1, 7.0), (3L, 2, 60.0)
+    ).toDF("k", "sub", "q")
+    val out = Quality.constraintChecks(df,
+      rowChecks = Seq(
+        "q_nonneg" -> (col("q") < 0),
+        "q_below_50" -> (col("q") > 50)),
+      uniqueKeys = Seq("k_sub_unique" -> Seq("k", "sub")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    out("q_nonneg") shouldBe ((1L, false))
+    out("q_below_50") shouldBe ((1L, false))
+    out("k_sub_unique") shouldBe ((1L, false)) // (1,1) twice -> excess 1
+  }
+
+  test("refIntegrity: orphan keys and null keys both count, clean FK passes") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val bad = Quality.refIntegrity(child, "fk", parent, "pk", "t").collect().head
+    bad.getLong(1) shouldBe 4L
+    bad.getLong(2) shouldBe 2L // 99 + null
+    bad.getBoolean(3) shouldBe false
+    val ok = Quality.refIntegrity(parent, "pk", parent, "pk", "self").collect().head
+    ok.getLong(2) shouldBe 0L
+    ok.getBoolean(3) shouldBe true
+  }
+
+  test("keySkewProfile: heavy key surfaces with exact distribution stats") {
+    // key 7 appears 10x, keys 0..4 once each -> max 10, avg 2.5, 6 keys
+    val df = (Seq.fill(10)(7L) ++ (0L to 4L)).toDF("k")
+    val out = Quality.keySkewProfile(df, "k", topK = 2).collect()
+    out.length shouldBe 2
+    out.head.getLong(0) shouldBe 7L
+    out.head.getLong(1) shouldBe 10L
+    out.head.getLong(2) shouldBe 6L // n_keys
+    out.head.getDouble(3) shouldBe 2.5 // avg
+    out.head.getDouble(5) shouldBe 4.0 // skew = 10/2.5
+    out(1).getLong(0) shouldBe 0L // tie on cnt=1 broken by key asc
+  }
+
+  test("keySkewProfile plans its top-k as a TakeOrdered merge, not a global sort") {
+    val df = (Seq.fill(10)(7L) ++ (0L to 4L)).toDF("k")
+    val plan = Quality.keySkewProfile(df, "k", topK = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("snapshotDiff shuffles hashes, not text: the join inputs project md5 before the exchange") {
+    // range-derived inputs: a LocalRelation would be constant-folded through
+    // the md5 projections at optimize time and prove nothing
+    val old = spark.range(0, 10).select(col("id").as("doc_id"),
+      concat(lit("doc"), col("id")).as("text"))
+    val neu = spark.range(5, 15).select(col("id").as("doc_id"),
+      concat(lit("doc"), col("id")).as("text"))
+    val plan = Pipeline.snapshotDiff(old, neu, "doc_id", Seq("text"))
+      .queryExecution.optimizedPlan.toString
+    // the full-outer join's children carry (id, hash, len) only — the text
+    // column is consumed by md5/length projections BELOW the join, one per
+    // side, so the exchange moves 16-byte hashes at any corpus width
+    val lines = plan.linesIterator.toSeq
+    val jIdx = lines.indexWhere(_.contains("Join FullOuter"))
+    jIdx should be >= 0
+    lines.drop(jIdx + 1).count(_.contains("md5(")) shouldBe 2
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged with exact totals") {
+    val old = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
+    val neu = Seq((2L, "bb"), (3L, "cc2"), (4L, "dddd")).toDF("doc_id", "text")
+    val out = Pipeline.snapshotDiff(old, neu, "doc_id", Seq("text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out("removed") shouldBe ((1L, 2L)) // doc 1, old chars
+    out("unchanged") shouldBe ((1L, 2L)) // doc 2
+    out("changed") shouldBe ((1L, 3L)) // doc 3, NEW chars
+    out("added") shouldBe ((1L, 4L)) // doc 4
+  }
+
+  test("snapshotDiff: a null column value neither crashes nor aliases empty") {
+    val old = Seq((1L, Option.empty[String]), (2L, Some(""))).toDF("doc_id", "text")
+    val neu = Seq((1L, Some("")), (2L, Some(""))).toDF("doc_id", "text")
+    val out = Pipeline.snapshotDiff(old, neu, "doc_id", Seq("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out("changed") shouldBe 1L // null -> "" is a change, not an alias
+    out("unchanged") shouldBe 1L
+  }
+
+  // ------------------------------------------------- sketch rollups
+
+  private def eventsDf: DataFrame = {
+    // 20 days x 200 events, value = deterministic pseudo-random-ish double
+    val rows = for (day <- 1 to 20; i <- 0 until 200) yield {
+      val ts = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")
+      (ts, ((day * 193 + i * 7919) % 1000).toLong, ((day * 31 + i * 17) % 500) / 10.0)
+    }
+    rows.toDF("ts", "user_id", "value")
+  }
+
+  test("KLL rollup: merged-day n is exact and range quantiles hold their rank bound") {
+    val sk = SketchRollup.dailyQuantileSketches(eventsDf, "ts", "value")
+    sk.count() shouldBe 20L
+    val est = SketchRollup.rangeQuantileEstimate(sk, "2024-03-03", "2024-03-13",
+      Seq(0.5, 0.95)).collect().head
+    val in = eventsDf.where(col("ts") >= lit("2024-03-03") && col("ts") < lit("2024-03-13"))
+    est.getLong(0) shouldBe in.count() // n through the merge is deterministic
+    val vals = in.select("value").as[Double].collect().sorted
+    def rankOf(v: Double): Double = vals.count(_ <= v).toDouble / vals.length
+    math.abs(rankOf(est.getDouble(1)) - 0.5) should be <= 0.03
+    math.abs(rankOf(est.getDouble(2)) - 0.95) should be <= 0.03
+  }
+
+  test("theta rollup: retention and churn estimates match exact set ops in exact mode") {
+    val sk = SketchRollup.dailyThetaSketches(eventsDf, "ts", "user_id")
+    val est = SketchRollup.rangeRetentionEstimate(sk,
+      "2024-03-01", "2024-03-06", "2024-03-10", "2024-03-15").collect().head
+    def users(from: String, to: String): Set[Long] =
+      eventsDf.where(col("ts") >= lit(from) && col("ts") < lit(to))
+        .select("user_id").as[Long].collect().toSet
+    val (a, b) = (users("2024-03-01", "2024-03-06"), users("2024-03-10", "2024-03-15"))
+    // < 4096 distincts per range -> theta sketches hold every hash: exact
+    // (theta_sketch_estimate returns a rounded LongType)
+    est.getLong(0) shouldBe a.size.toLong
+    est.getLong(1) shouldBe b.size.toLong
+    est.getLong(2) shouldBe (a intersect b).size.toLong
+    est.getLong(3) shouldBe (a diff b).size.toLong
+  }
+}
