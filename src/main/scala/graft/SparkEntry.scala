@@ -1678,6 +1678,49 @@ object SparkEntry {
         .orderBy("b_id")
     }),
 
+    // O12 TPC-H Q22-shape: scalar-subquery threshold + NOT EXISTS —
+    // customers above the positive-balance average with no orders since
+    // the cutoff, per nation. The average gate is the EXACT rearranged
+    // form balance × n > Σ (decimal), never a divided average
+    "o12_inactive_rich" -> ((s, d) =>
+      Relational.inactiveRichCustomers(
+        s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"))),
+
+    // C5 ingest-volume drift: per-day counts vs the trailing 7-day mean —
+    // the feed-collapse/double-delivery monitor. Deviation is one exact
+    // integer product divided once (no stddev, no divided average), so
+    // both engines agree bit-for-bit
+    "c5_volume_drift" -> ((s, d) =>
+      graft.operators.Quality.volumeDrift(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")), "ts")),
+
+    // E13 streaming VALIDATED ingest: the c2 constraint gate applied
+    // in-flight — each micro-batch splits on the violation predicate,
+    // good rows to the sink, violators to quarantine (never silently
+    // dropped). Violations are PLANTED (every 97th event's value
+    // corrupted negative, both engines derive the same set); replay-safe
+    // via per-batch-directory overwrite; maxFilesPerTrigger=1 forces the
+    // real multi-batch path. Gated on counts + the good-side value sum
+    "e13_validated_ingest" -> ((s, d) => {
+      val src = scratch("e13-src")
+      val out = scratch("e13-out")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        s.read.parquet(s"$d/events.parquet")
+          .withColumn("value",
+            when(col("event_id") % 97 === 0, -col("value") - 1)
+              .otherwise(col("value")))
+          .write.parquet(src)
+      }
+      val (nGood, nQuar) = EventStream.validatedIngest(s, src, out,
+        bad = col("value") < 0)
+      val goodSum = s.read.parquet(s"$out/good")
+        .agg(round(sum(col("value").cast("decimal(18,6)")), 4)
+          .cast("double").as("sum_good_value"))
+      goodSum.select(lit(nGood).as("n_good"), lit(nQuar).as("n_quarantined"),
+        col("sum_good_value"))
+    }),
+
     // P10 corpus snapshot diff: v2 derived from the documents table by
     // shared deterministic rules (drop %17, revise %13, add %19 under new
     // ids), then the diff classifies every id via scan-side md5 — the join
@@ -2963,6 +3006,43 @@ object SparkEntry {
           "FROM a JOIN b ON a_start <= b_end AND b_start <= a_end) " +
           "SELECT b_id, count(*) AS n_pairs, round(sum(ov) / 1e6, 3) AS overlap_sec " +
           "FROM p GROUP BY 1 ORDER BY 1"),
+      // o12: scalar threshold + anti join; the average gate mirrors the
+      // engine's exact rearranged form (balance × n > Σ in DECIMAL)
+      "o12_inactive_rich" ->
+        ("WITH s AS (SELECT sum(c_acctbal::DECIMAL(28,10)) AS sum_bal, " +
+          "count(*) AS n_bal FROM customer WHERE c_acctbal > 0), " +
+          "rich AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer, s " +
+          "WHERE c_acctbal::DECIMAL(28,10) * n_bal > sum_bal), " +
+          "inact AS (SELECT c_nationkey, c_acctbal FROM rich " +
+          "ANTI JOIN (SELECT o_custkey FROM orders " +
+          "WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') a " +
+          "ON c_custkey = o_custkey) " +
+          "SELECT c_nationkey, count(*) AS numcust, " +
+          "round(sum(c_acctbal::DECIMAL(28,10)), 2)::DOUBLE AS totacctbal " +
+          "FROM inact GROUP BY 1 ORDER BY 1"),
+      // c5: the trailing-window deviation recomputed with the same exact
+      // integer-product form; first-history day has null dev, false flag
+      "c5_volume_drift" ->
+        ("WITH daily AS (SELECT (ts::TIMESTAMP::DATE)::VARCHAR AS day, " +
+          "count(*) AS cnt FROM events GROUP BY 1), " +
+          "w AS (SELECT day, cnt, sum(cnt) OVER win AS win_sum, " +
+          "count(*) OVER win AS win_n FROM daily " +
+          "WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+          "SELECT day, cnt, win_n AS win_days, " +
+          "CASE WHEN win_n > 0 THEN round(cnt * win_n / win_sum - 1.0, 6) END AS dev_frac, " +
+          "coalesce(CASE WHEN win_n > 0 THEN " +
+          "abs(round(cnt * win_n / win_sum - 1.0, 6)) > 0.5 END, false) AS flagged " +
+          "FROM w ORDER BY day"),
+      // e13: the same planted corruption derived in SQL; good/quarantine
+      // counts and the good-side decimal value sum must match the rows
+      // the stream actually landed
+      "e13_validated_ingest" ->
+        ("WITH c AS (SELECT CASE WHEN event_id % 97 = 0 THEN -value - 1 " +
+          "ELSE value END AS value FROM events) " +
+          "SELECT sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_good, " +
+          "sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_quarantined, " +
+          "round(sum(CASE WHEN value >= 0 THEN value::DECIMAL(18,6) END), 4)::DOUBLE " +
+          "AS sum_good_value FROM c"),
       // p10: v2 rebuilt under the same deterministic rules, then a naive
       // full-outer md5 diff — class counts must match the engine's
       // hash-join diff exactly

@@ -132,6 +132,43 @@ object Quality {
         (col("__null_orphans") + col("__key_orphans") === 0L).as("pass"))
   }
 
+  /** Ingest-volume DRIFT detection: per-day event counts compared against
+    * the trailing `lookback`-day average — the monitoring gate that
+    * catches a collapsed (or double-delivered) feed before a corpus
+    * version ships. Output one row per day:
+    * `(day, cnt, win_days, dev_frac, flagged)` where `dev_frac` is the
+    * day's fractional deviation from the trailing mean (null for days
+    * with no history) and `flagged` marks |dev| > `tolerance`.
+    *
+    * Determinism rule: no variance/stddev — engines disagree on the
+    * accumulation formula bit-level — and no divided average: the
+    * deviation is computed as `cnt × win_n / win_sum − 1` so the only
+    * floating-point step is one final division of exact integers,
+    * identical everywhere.
+    *
+    * At 100 TB: the raw corpus collapses to |days| rows in one
+    * map-side-combining aggregate BEFORE the trailing window, so the
+    * single-partition window sort everyone fears is over metadata (a
+    * century is 36 525 rows) — never over events.
+    */
+  def volumeDrift(events: DataFrame, tsCol: String, lookback: Int = 7,
+                  tolerance: Double = 0.5): DataFrame = {
+    require(lookback > 0, s"lookback must be positive: $lookback")
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-lookback, -1)
+    val dev = when(col("win_n") > 0,
+      round(col("cnt") * col("win_n") / col("win_sum") - 1.0, 6))
+    daily.select(col("day").cast("string").as("day"), col("cnt"),
+        sum("cnt").over(w).as("win_sum"),
+        count(lit(1)).over(w).as("win_n"))
+      .select(col("day"), col("cnt"), col("win_n").as("win_days"),
+        dev.as("dev_frac"),
+        coalesce(abs(dev) > tolerance, lit(false)).as("flagged"))
+      .orderBy("day")
+  }
+
   /** Join-key distribution profile: the `topK` heaviest keys with the
     * distributional context that decides a salting strategy —
     * `(key, cnt, n_keys, avg_cnt, p99_cnt, skew_ratio)` where

@@ -209,6 +209,38 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q22-shape "rich inactive customers": customers whose balance
+    * exceeds the positive-balance average AND who placed no orders since
+    * `sinceDate`, reported per nation. Two classic sub-shapes compose:
+    * a SCALAR subquery (the global average) and NOT EXISTS (the anti
+    * join). The average gate is evaluated EXACTLY: instead of comparing
+    * against a divided average — decimal quotient scale/rounding is an
+    * engine-specific rule, and a double average is accumulation-order-
+    * dependent — the predicate is rearranged to
+    * `balance × n > Σ balances` in DECIMAL, which every engine computes
+    * bit-identically under any row order.
+    *
+    * At 100 TB: the scalar aggregate is a one-row broadcast (the
+    * broadcast-stats pattern); the activity probe projects o_custkey ONLY
+    * with the date predicate pushed to its scan, anti-joining custkey-
+    * keyed; the report aggregate runs on the filtered dim.
+    */
+  def inactiveRichCustomers(customer: DataFrame, orders: DataFrame,
+                            sinceDate: String = "2000-01-01"): DataFrame = {
+    val bal = money(col("c_acctbal"))
+    val stats = customer.where(col("c_acctbal") > 0)
+      .agg(sum(bal).as("sum_bal"), count(lit(1)).as("n_bal"))
+    val active = orders.where(col("o_orderdate") >= lit(sinceDate))
+      .select("o_custkey")
+    customer.join(broadcast(stats))
+      .where(bal * col("n_bal") > col("sum_bal"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(bal), 2).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Buyer-cohort SET OPERATIONS: customers who bought in BOTH of two
     * years (INTERSECT) and customers who bought in the first but not the
     * second (EXCEPT — the churn report). Declared as Spark's native

@@ -575,6 +575,53 @@ object EventStream {
     * growing index (parquet appends are whole-file-atomic per task
     * commit).
     */
+  /** Streaming VALIDATED ingest — the [[graft.operators.Quality]]
+    * constraint gate applied at the pipeline's front door: each
+    * micro-batch splits on a caller-supplied violation predicate, good
+    * rows land under `outDir/good/`, violating rows under
+    * `outDir/quarantine/` (the x7 dirty-corpus discipline, applied
+    * in-flight instead of at read time — bad rows are never silently
+    * dropped, they are routed for audit). Returns (nGood, nQuarantined)
+    * read back from the sinks.
+    *
+    * Exactly-once despite foreachBatch's at-least-once contract: each
+    * batch writes to its OWN `batch=<id>/` directory with overwrite, so a
+    * replayed batch overwrites its previous attempt byte-for-byte instead
+    * of appending duplicates — the idempotent-per-batch-directory pattern.
+    * The batch is localCheckpoint-free: the predicate split recomputes the
+    * batch twice (two narrow file scans), cheaper at any scale than
+    * persisting event-width rows. `maxFilesPerTrigger=1` forces the real
+    * multi-batch path under the harness (the e11 discipline).
+    */
+  def validatedIngest(spark: SparkSession, srcDir: String, outDir: String,
+                      bad: org.apache.spark.sql.Column): (Long, Long) = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val src = bf.readStream
+      .schema(bf.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.where(!bad).write.mode("overwrite")
+          .parquet(s"$outDir/good/batch=$batchId")
+        batch.where(bad).write.mode("overwrite")
+          .parquet(s"$outDir/quarantine/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def countOf(sub: String): Long =
+      try bf.read.parquet(s"$outDir/$sub").count()
+      catch { case scala.util.control.NonFatal(_) => 0L } // no violating batch ever wrote
+    (countOf("good"), countOf("quarantine"))
+  }
+
   def streamIngestToIndex(spark: SparkSession, landingDir: String,
                           cents: Seq[Seq[Float]], indexDir: String): Unit = {
     val vecs = spark.readStream

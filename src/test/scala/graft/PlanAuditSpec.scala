@@ -471,6 +471,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     joinNode.right.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     } should not be empty
+    // o12: the scalar threshold is a one-row broadcast, the inactivity
+    // probe a LeftAnti with the date cutoff pushed to the orders scan
+    val p12 = graft.operators.Relational.inactiveRichCustomers(cust, ord)
+      .queryExecution.executedPlan.toString
+    p12 should include("LeftAnti")
+    p12 should include("BroadcastNestedLoopJoin")
+    p12 should include regex """PushedFilters: \[[^\]]*o_orderdate"""
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {

@@ -122,6 +122,25 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     lines.drop(jIdx + 1).count(_.contains("md5(")) shouldBe 2
   }
 
+  test("volumeDrift: trailing-mean deviation flags a collapsed and a doubled day") {
+    // 10 days at 100 events/day, except day 6 collapsed to 10 and day 9
+    // doubled to 200
+    val rows = for (d <- 1 to 10; i <- 0 until (d match {
+      case 6 => 10; case 9 => 200; case _ => 100 })) yield
+      (java.sql.Timestamp.valueOf(f"2024-05-$d%02d 12:00:00"), i.toLong)
+    val df = rows.toDF("ts", "i")
+    val out = Quality.volumeDrift(df, "ts", lookback = 3, tolerance = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))).toMap
+    out("2024-05-01") shouldBe ((100L, None, false)) // no history: null dev, unflagged
+    out("2024-05-02")._3 shouldBe false
+    out("2024-05-06") shouldBe ((10L, Some(-0.9), true)) // collapse caught
+    out("2024-05-09")._3 shouldBe true // doubled day caught
+    // the day after the collapse deviates upward vs the dragged-down mean
+    // ((100+100+10)/3 = 70 -> +0.428571) but stays under tolerance
+    out("2024-05-07") shouldBe ((100L, Some(0.428571), false))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged with exact totals") {
     val old = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
     val neu = Seq((2L, "bb"), (3L, "cc2"), (4L, "dddd")).toDF("doc_id", "text")

@@ -192,6 +192,31 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed shouldBe batch
   }
 
+  test("validated ingest: violators quarantined exactly, replay idempotent, nothing dropped") {
+    val root = java.nio.file.Files.createTempDirectory("graft-e13-spec").toString
+    val src = s"$root/src"
+    // 40 rows across two files (maxFilesPerTrigger=1 -> two micro-batches);
+    // ids 5,10,...,40 carry a planted negative value
+    spark.range(0, 20).select(col("id"), when(col("id") % 5 === 0 && col("id") > 0,
+        -col("id").cast("double")).otherwise(col("id").cast("double")).as("value"))
+      .write.parquet(src)
+    spark.range(20, 40).select(col("id"), when(col("id") % 5 === 0,
+        -col("id").cast("double")).otherwise(col("id").cast("double")).as("value"))
+      .write.mode("append").parquet(src)
+    val (g1, q1) = EventStream.validatedIngest(spark, src, s"$root/out",
+      bad = col("value") < 0)
+    g1 + q1 shouldBe 40L // nothing dropped
+    q1 shouldBe 7L // 5,10,15,20,25,30,35 (0 stays good: -0 is not < 0)
+    val quarantined = spark.read.parquet(s"$root/out/quarantine")
+      .select("id").as[Long].collect().toSet
+    quarantined shouldBe Set(5L, 10L, 15L, 20L, 25L, 30L, 35L)
+    // replay: a second invocation over the same checkpoint sees no new
+    // files and must not duplicate either sink
+    val (g2, q2) = EventStream.validatedIngest(spark, src, s"$root/out",
+      bad = col("value") < 0)
+    (g2, q2) shouldBe ((g1, q1))
+  }
+
   test("backfills do not leak memory-sink temp tables or leave queries running") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val before = spark.catalog.listTables().collect().map(_.name).toSet
