@@ -561,6 +561,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // S14 compare-and-set upsert: the lost-update guard. Script: load five
+    // entries; CAS with expect-absent on an existing id rejects; CAS with
+    // a wrong version rejects; CAS with the read version applies; CAS
+    // create on a new id applies; replaying the FIRST token after the
+    // successful CAS rejects (the lost update the guard exists for). The
+    // five outcomes ride as constant columns so any misbehavior breaks
+    // the hash; the resolved table proves exactly one patch landed
+    "s14_cas_upsert" -> ((s, d) => {
+      val st = freshStore(s)
+      val base = corpusEntries(s, d, "000001", "000005").collect().toSeq
+      st.upsertAll(base)
+      val e2 = base.find(_.id == "000002").get
+      val r1 = st.upsertIf(e2.copy(title = "stale-create"), None)
+      val r2 = st.upsertIf(e2.copy(title = "wrong-version"), Some(999L))
+      val tok = st.versionOf("000002")
+      val r3 = st.upsertIf(e2.copy(title = "cas-patched"), tok)
+      val r4 = st.upsertIf(base.head.copy(id = "zcas01"), None)
+      val r5 = st.upsertIf(e2.copy(title = "lost-update"), tok)
+      st.current.toDF().select(col("id"), col("title"))
+        .withColumn("cas_stale_create", lit(r1))
+        .withColumn("cas_wrong_version", lit(r2))
+        .withColumn("cas_applied", lit(r3))
+        .withColumn("cas_created", lit(r4))
+        .withColumn("cas_lost_update", lit(r5))
+        .orderBy("id")
+    }),
+
     // S6 bulk load with per-row error isolation
     "s6_bulk_isolation" -> ((s, d) => {
       import s.implicits._
@@ -1027,6 +1054,14 @@ object SparkEntry {
     // exact-cosine oracle gates compression fidelity end-to-end
     "v9_pq_topk" -> ((s, d) =>
       Similarity.pqTopK(plantedTopKEmb(s, d), emb(s, d).where(col("vec_id") < 5), 10)
+        .orderBy("q_id", "rank")),
+
+    // V17 scalar-quantized (SQ8) search: the 4×-compression / no-codebook
+    // quantization tier (PQ's sibling) — per-vector affine byte codes,
+    // ADC shortlist over reconstructions, shared exact re-rank; held to
+    // the same exact-top-k oracle as v9 through the lossy codes
+    "v17_sq_topk" -> ((s, d) =>
+      Similarity.sqTopK(plantedTopKEmb(s, d), emb(s, d).where(col("vec_id") < 5), 10)
         .orderBy("q_id", "rank")),
 
     "v6_ivf_partial" -> ((s, d) => {
@@ -2326,6 +2361,17 @@ object SparkEntry {
         (M + "SELECT id, category, CASE WHEN id = '000002' THEN 'patched' ELSE title END AS title, " +
           "recordCount AS record_count FROM meta " +
           "WHERE id BETWEEN '000001' AND '000010' AND id <> '000003' ORDER BY id"),
+      // s14: the final state carries exactly one CAS patch plus the created
+      // id (title copied from 000001); the outcome constants must match
+      "s14_cas_upsert" ->
+        (M + "SELECT id, CASE WHEN id = '000002' THEN 'cas-patched' ELSE title END AS title, " +
+          "false AS cas_stale_create, false AS cas_wrong_version, " +
+          "true AS cas_applied, true AS cas_created, false AS cas_lost_update " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000005' " +
+          "UNION ALL SELECT 'zcas01' AS id, " +
+          "(SELECT title FROM meta WHERE id = '000001') AS title, " +
+          "false, false, true, true, false " +
+          "ORDER BY id"),
       "s6_bulk_isolation" ->
         (M + "SELECT id, 'loaded' AS status FROM meta WHERE id BETWEEN '000001' AND '000100' " +
           "UNION ALL SELECT 'zbad1', 'rejected' UNION ALL SELECT 'zbad2', 'rejected' ORDER BY id"),
@@ -2685,6 +2731,7 @@ object SparkEntry {
       // v9: the PQ shortlist must recall the planted top-10 through the
       // lossy codes; the exact re-rank then reproduces the exact answer
       "v9_pq_topk" -> plantedTopkSql,
+      "v17_sq_topk" -> plantedTopkSql,
       // v10: Lloyd refinement moves centroids but the plants still sit on
       // the query vectors, so the refined partial probe must return the
       // same exact answer

@@ -557,6 +557,68 @@ object Similarity {
     pqTopKIndexed(pqEncode(corpus, books), books, corpus, queries, k, shortlistSize)
   }
 
+  // -------------------------------------------------------------------- SQ
+
+  /** SCALAR-quantized (SQ8) index — the lighter-compression/higher-
+    * fidelity sibling of PQ: each vector is affine-quantized to one byte
+    * per dimension against its OWN [min, max] range (`x̂ᵢ = lo + codeᵢ·
+    * scale`), so the index is d bytes + two floats per row — 4×
+    * smaller than float32 — with no codebook to train, no sampled
+    * statistic, and reconstruction error bounded by scale/2 per
+    * dimension. The FAISS SQ8 tier, where PQ's m-byte codes are the
+    * deeper-compression tier; both share the same two-phase search.
+    * Encoding is a pure per-row projection (whole-stage codegen, no
+    * shuffle, no driver statistic): `(vec_id, lo, scale, codes)` with
+    * codes stored as signed tinyint (value − 128).
+    */
+  def sqEncode(corpus: DataFrame): DataFrame = {
+    val lo = array_min(col("embedding"))
+    val hi = array_max(col("embedding"))
+    val scale = greatest(hi - lo, lit(1e-12)) / 255.0
+    corpus.select(col("vec_id"),
+      lo.cast("float").as("lo"), scale.cast("float").as("scale"),
+      transform(col("embedding"), x =>
+        (least(greatest(round((x - lo) / scale), lit(0.0)), lit(255.0)) - 128)
+          .cast("tinyint")).as("codes"))
+  }
+
+  /** Reconstructed vector from an SQ row — a per-row lambda over the byte
+    * codes, no codebook lookup at all (the reason SQ decode is cheaper
+    * than PQ's ADC reconstruction). */
+  private def sqRecon(codes: Column, lo: Column, scale: Column): Column =
+    transform(codes, c => (lo + (c.cast("int") + 128) * scale).cast("float"))
+
+  /** Two-phase SQ search over a compressed index: approximate-distance
+    * shortlist against the reconstructions (query side broadcast, scan
+    * side never shuffles), then the shared exact-cosine re-rank fetches
+    * full-precision vectors for shortlist rows alone ([[pqTopKIndexed]]'s
+    * contract — correct top-k whenever the shortlist recalls it, and SQ8's
+    * per-dimension error is small enough that a modest shortlist does).
+    */
+  def sqTopKIndexed(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+                    k: Int, shortlistSize: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm")))
+    val approx = index
+      .withColumn("r_emb", sqRecon(col("codes"), col("lo"), col("scale")))
+      .withColumn("r_nrm", norm(col("r_emb")))
+      .join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("r_emb"), col("q_nrm"), col("r_nrm")).as("adc"))
+    val ws = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = approx.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlistSize)
+      .select(col("q_id"), col("vec_id"))
+    exactRerank(shortlist, corpus, q, k)
+  }
+
+  /** One-call SQ8 search: encode, search. Shortlist 50 is ample slack for
+    * SQ8's sub-percent reconstruction error (the v17 oracle holds the
+    * composed search to the EXACT answer on the planted geometry). */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             shortlistSize: Int = 50): DataFrame =
+    sqTopKIndexed(sqEncode(corpus), corpus, queries, k, shortlistSize)
+
   // ----------------------------------------------------------------- IVF-PQ
 
   /** The composed IVF-PQ index — the production architecture for

@@ -239,9 +239,13 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     */
   private def resolved(prune: Option[org.apache.spark.sql.Column],
                        lookupId: Option[String] = None,
-                       asOf: Option[Long] = None): DataFrame = {
+                       asOf: Option[Long] = None,
+                       keepVersion: Boolean = false): DataFrame = {
     val v = asOf.getOrElse(currentVersion)
-    if (v == 0L) return emptyLog.select(entryCols.map(col): _*)
+    if (v == 0L) return {
+      val e = emptyLog.select((entryCols :+ VersionCol).map(col): _*)
+      if (keepVersion) e else e.drop(VersionCol)
+    }
     val baseV = listVersions("base-").filter(_ <= v).lastOption
     val deltaVs = listVersions("delta-").filter(d => d <= v && d > baseV.getOrElse(0L))
     val base = baseV.map { b =>
@@ -264,9 +268,10 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     val logAll = (base.toSeq ++ deltas).reduceOption(_ unionByName _).getOrElse(emptyLog)
     val log = prune.fold(logAll)(logAll.where)
     val latest = Window.partitionBy(col("id")).orderBy(col(VersionCol).desc)
-    log.withColumn("_rn", row_number().over(latest))
+    val cur = log.withColumn("_rn", row_number().over(latest))
       .where(col("_rn") === 1 && col(OpCol) =!= "delete")
-      .drop("_rn", OpCol, VersionCol)
+      .drop("_rn", OpCol)
+    if (keepVersion) cur else cur.drop(VersionCol)
   }
 
   private def emptyLog: DataFrame =
@@ -288,6 +293,16 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   def get(id: String): Option[MetadataEntry] =
     lookup(id).as[MetadataEntry].limit(1).collect().headOption
 
+  /** Committed version of an id's CURRENT row — the precondition token of
+    * [[upsertIf]]. None when the id is absent or deleted (for CAS purposes
+    * a tombstone is absence: re-creating a deleted id is an
+    * expected-absent write). Same id-pruned plan as [[lookup]], with the
+    * version column retained through the latest-wins window.
+    */
+  def versionOf(id: String): Option[Long] =
+    resolved(Some(col("id") === id), Some(id), keepVersion = true)
+      .select(col(VersionCol)).limit(1).collect().headOption.map(_.getLong(0))
+
   // -------------------------------------------------------------- mutations
 
   /** S3 upsert: validate + write under the given id; returns true when the id
@@ -301,6 +316,55 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     writeDelta(Seq(normalized), "upsert")
     !existed
   }
+
+  /** CONDITIONAL upsert — compare-and-set on the id's committed version:
+    * the write applies only if the entry's current version still equals
+    * `expectedVersion` (None = "expect absent": create-if-not-exists;
+    * [[versionOf]] supplies the token a reader captured). Returns true
+    * when applied, false when the precondition failed — the HTTP 412 /
+    * lost-update guard the plain last-writer-wins [[upsert]] deliberately
+    * does not provide, and the compare-on-version ordering guard the
+    * streaming ingest contract (see
+    * [[graft.streaming.EventStream.streamIngestToStore]]) names as
+    * caller-supplied.
+    *
+    * The precondition is re-validated INSIDE the commit critical section
+    * ([[claimAndCommit]]'s guard runs under the cross-process root lock),
+    * so a racer that slips between the optimistic pre-check and the
+    * commit is caught: the staged segment is discarded and the CAS
+    * reports false rather than silently overwriting the racer's write.
+    * A version-claim collision with an UNRELATED writer simply re-stages
+    * (the normal optimistic loop) — only a change to THIS id rejects.
+    * The in-lock re-check is one id-pruned point read — the same
+    * bucket-and-row-group-pruned plan as [[get]], metadata-scale at any
+    * store size.
+    */
+  def upsertIf(entry: MetadataEntry, expectedVersion: Option[Long]): Boolean =
+    this.synchronized {
+      val normalized = Validation.normalize(entry, clock)
+      var outcome: Option[Boolean] = None
+      while (outcome.isEmpty) {
+        if (versionOf(entry.id) != expectedVersion) outcome = Some(false)
+        else {
+          val v = nextVersion
+          val staging = root.resolve(
+            s".staging-delta-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+          Seq(normalized).toDS().toDF()
+            .withColumn(VersionCol, lit(v)).withColumn(OpCol, lit("upsert"))
+            .write.mode("overwrite").parquet(staging.toString)
+          if (claimAndCommit(staging, "delta", v,
+              fresh = versionOf(entry.id) == expectedVersion))
+            outcome = Some(true)
+          else {
+            graft.util.FsUtil.deleteRecursively(staging)
+            // either the version was claimed by an unrelated writer
+            // (loop: re-stage fresh) or this id changed underneath us
+            // (the next pre-check returns false)
+          }
+        }
+      }
+      outcome.get
+    }
 
   /** Batch upsert: validate + normalize every entry, then write ONE delta
     * segment and ONE pointer swap — the batch shape of S3. An N-entry load

@@ -301,6 +301,51 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.current.count() shouldBe Fixtures.corpus.size.toLong
   }
 
+  test("CAS upsert: version tokens gate every write; delete resets to expect-absent") {
+    val st = freshStore()
+    val e = Fixtures.corpus
+    // create-if-absent on an empty store applies; a second expect-absent
+    // write on the same id is the duplicate-create conflict
+    st.upsertIf(e(0), None) shouldBe true
+    st.upsertIf(e(0).copy(title = "dup-create"), None) shouldBe false
+    // read-modify-write with the read token applies; replaying the SAME
+    // token is the lost update and must reject
+    val tok = st.versionOf(e(0).id)
+    tok should not be empty
+    st.upsertIf(e(0).copy(title = "patched"), tok) shouldBe true
+    st.upsertIf(e(0).copy(title = "lost-update"), tok) shouldBe false
+    st.get(e(0).id).get.title shouldBe "patched"
+    // a plain (unconditional) writer bumps the version: an older token
+    // captured before it must reject
+    val tok2 = st.versionOf(e(0).id)
+    st.upsert(e(0).copy(title = "unconditional"))
+    st.upsertIf(e(0).copy(title = "stale-after-plain"), tok2) shouldBe false
+    // delete makes the id expect-absent again: re-create via None applies
+    st.delete(e(0).id)
+    st.versionOf(e(0).id) shouldBe None
+    st.upsertIf(e(0).copy(title = "recreated"), None) shouldBe true
+    st.get(e(0).id).get.title shouldBe "recreated"
+    // wrong-version on an absent id rejects (nothing to compare against)
+    st.upsertIf(e(1), Some(1L)) shouldBe false
+    st.get(e(1).id) shouldBe None
+  }
+
+  test("CAS upsert races a plain writer on a second instance: the guard catches the interleave") {
+    val root = Files.createTempDirectory("graft-store-cas").toString
+    val a = new MetadataStore(spark, root, fixedClock)
+    val b = new MetadataStore(spark, root, fixedClock)
+    val e = Fixtures.corpus.head
+    a.upsert(e)
+    val tok = a.versionOf(e.id)
+    // b commits between a's token read and a's CAS: the CAS must reject
+    b.upsert(e.copy(title = "raced-in"))
+    a.upsertIf(e.copy(title = "would-lose-the-race"), tok) shouldBe false
+    a.get(e.id).get.title shouldBe "raced-in"
+    // with a fresh token the CAS goes through on either instance
+    b.upsertIf(e.copy(title = "cas-after-race"), b.versionOf(e.id)) shouldBe true
+    a.get(e.id).get.title shouldBe "cas-after-race"
+  }
+
   test("optimistic concurrency: two instances on one root, racing commits — none lost") {
     val dir = Files.createTempDirectory("graft-store-cc").toString
     val a = new MetadataStore(spark, dir, fixedClock)

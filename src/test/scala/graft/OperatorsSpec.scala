@@ -463,6 +463,28 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     codes.foreach { c => c.size shouldBe 4; c.foreach(x => x should (be >= 0 and be < 8)) }
   }
 
+  test("sq top-k: full shortlist degrades exactly to brute force; codes are bytes, recon within scale/2") {
+    val q = embDf.where($"vec_id" < 3)
+    val sq = Similarity.sqTopK(embDf, q, 5, shortlistSize = 39)
+      .orderBy("q_id", "rank").collect().toSeq
+    val bf = Similarity.bruteForceTopK(embDf, q, 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    sq shouldBe bf
+    // the index is one signed byte per dimension + (lo, scale); every
+    // reconstructed component sits within half a quantization step
+    val idx = Similarity.sqEncode(embDf)
+    val joined = idx.join(embDf, "vec_id")
+      .select($"embedding", $"codes", $"lo", $"scale").collect()
+    joined.foreach { r =>
+      val emb = r.getSeq[Float](0); val codes = r.getSeq[Byte](1)
+      val lo = r.getFloat(2); val scale = r.getFloat(3)
+      codes.size shouldBe emb.size
+      emb.zip(codes).foreach { case (x, c) =>
+        math.abs(lo + (c.toInt + 128) * scale.toDouble - x) should be <= scale / 2.0 + 1e-6
+      }
+    }
+  }
+
   test("ivf-pq: full probe + full shortlist degrades exactly to brute force; index carries no raw vectors") {
     val q = embDf.where($"vec_id" < 3)
     val cents = Similarity.ivfCentroids(embDf, 8)
