@@ -1756,6 +1756,24 @@ object SparkEntry {
         col("sum_good_value"))
     }),
 
+    // J8 interpolated as-of align: each purchase gets the user's view
+    // VALUE linearly interpolated at the purchase timestamp between the
+    // bracketing views (constant extrapolation at the ends, null when the
+    // user has no views) — the continuous-signal feature-generation
+    // primitive, one union-tag sort, no join operator
+    "j8_interpolated_align" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val left = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Joins.interpolateAsOf(left, right, Seq("user_id"), "ts", "ts",
+          rightTie = "event_id", valueCol = "value")
+        .select(col("event_id"), col("user_id"),
+          round(col("value_interp"), 6).as("value_interp"))
+        .orderBy("event_id")
+    }),
+
     // P10 corpus snapshot diff: v2 derived from the documents table by
     // shared deterministic rules (drop %17, revise %13, add %19 under new
     // ids), then the diff classifies every id via scan-side md5 — the join
@@ -3090,6 +3108,27 @@ object SparkEntry {
           "sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_quarantined, " +
           "round(sum(CASE WHEN value >= 0 THEN value::DECIMAL(18,6) END), 4)::DOUBLE " +
           "AS sum_good_value FROM c"),
+      // j8: the union-tag merge mirrored with DuckDB's IGNORE NULLS
+      // windows; the interpolation CASE repeats the engine's exact double
+      // formula so both engines agree bit-for-bit
+      "j8_interpolated_align" ->
+        ("WITH ev AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events), " +
+          "r AS (SELECT user_id, ts, 0 AS side, event_id AS tie, epoch_us(ts) AS rus, " +
+          "value::DOUBLE AS rv, NULL::BIGINT AS event_id FROM ev WHERE event_type = 'view'), " +
+          "l AS (SELECT user_id, ts, 1 AS side, 9223372036854775807 AS tie, NULL::BIGINT AS rus, " +
+          "NULL::DOUBLE AS rv, event_id FROM ev WHERE event_type = 'purchase'), " +
+          "u AS (SELECT * FROM r UNION ALL SELECT * FROM l), " +
+          "m AS (SELECT user_id, ts, side, event_id, " +
+          "last_value(rus IGNORE NULLS) OVER w AS tb, last_value(rv IGNORE NULLS) OVER w AS vb, " +
+          "lead(rus, 1 IGNORE NULLS) OVER w2 AS tf, lead(rv, 1 IGNORE NULLS) OVER w2 AS vf " +
+          "FROM u WINDOW " +
+          "w AS (PARTITION BY user_id ORDER BY ts, side, tie ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+          "w2 AS (PARTITION BY user_id ORDER BY ts, side, tie)) " +
+          "SELECT event_id, user_id, round(CASE " +
+          "WHEN tb IS NULL AND tf IS NULL THEN NULL " +
+          "WHEN tb IS NULL THEN vf WHEN tf IS NULL THEN vb " +
+          "ELSE vb + (vf - vb) * (epoch_us(ts) - tb) / (tf - tb) END, 6) AS value_interp " +
+          "FROM m WHERE side = 1 ORDER BY event_id"),
       // p10: v2 rebuilt under the same deterministic rules, then a naive
       // full-outer md5 diff — class counts must match the engine's
       // hash-join diff exactly

@@ -180,6 +180,64 @@ object Joins {
     nearest.select(col("__l.*") +: rightPayload.map(f => col(s"__near.$f").as(f)): _*)
   }
 
+  /** INTERPOLATED as-of align — the feature-generation primitive for
+    * continuous signals: for each left row, the right signal's value at
+    * the left timestamp under per-key LINEAR interpolation between the
+    * bracketing right rows (`vb + (vf − vb)·(t − tb)/(tf − tb)`). Outside
+    * the observed range the nearest endpoint holds (constant
+    * extrapolation, the standard time-series fill); no right rows at all
+    * → null (LEFT semantics). A right row exactly at the left timestamp
+    * is the backward bracket at distance zero, so its value passes
+    * through untouched; equal-timestamp right rows resolve to the
+    * largest `rightTie` (the [[asOf]] convention).
+    *
+    * Same union-tag merge as [[nearestAsOf]], same single co-partitioned
+    * sort: the backward bracket is the running `last(ignoreNulls)`, the
+    * forward bracket the O(n) `lead(ignoreNulls)` over the SAME ordering
+    * — no extra shuffle, no extra sort, and the interpolation itself is
+    * one codegen'd per-row expression whose exact double formula the
+    * oracle mirrors. At 100 TB the cost is [[asOf]]'s: one keyed sort per
+    * side.
+    */
+  def interpolateAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String, rightTie: String,
+                      valueCol: String): DataFrame = {
+    val rStruct = struct(micros(col(rightTs)).as("__rus"),
+      col(valueCol).cast("double").as("__rv"))
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
+    val lStruct = struct(left.columns.toSeq.map(col): _*)
+    val lType = left.select(lStruct.as("__l")).schema("__l").dataType
+    val r = right
+      .where((keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("__ts"), lit(0).as("__side"),
+          col(rightTie).cast("long").as("__tie"),
+          rStruct.as("__r"), lit(null).cast(lType).as("__l")): _*)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(Long.MaxValue).as("__tie"),
+        lit(null).cast(rType).as("__r"), lStruct.as("__l")): _*)
+    val ord = Seq(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    val wBack = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val t = micros(col("__ts"))
+    val (tb, vb) = (col("__back.__rus"), col("__back.__rv"))
+    val (tf, vf) = (col("__fwd.__rus"), col("__fwd.__rv"))
+    r.unionByName(l)
+      .withColumn("__back", last(col("__r"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", lead(col("__r"), 1, null, ignoreNulls = true).over(wFwd))
+      .where(col("__side") === 1)
+      .withColumn("__interp",
+        when(col("__back").isNull && col("__fwd").isNull, lit(null).cast("double"))
+          .when(col("__back").isNull, vf) // before first observation
+          .when(col("__fwd").isNull, vb) // after last observation
+          .otherwise(vb + (vf - vb) * (t - tb) / (tf - tb)))
+      .select(col("__l.*"), col("__interp").as(s"${valueCol}_interp"))
+  }
+
   /** Unordered pairs of rows whose event times lie within `epsilonMicros`
     * of each other: `(a_id, b_id, gap_us)` with `a_id < b_id`, gap
     * inclusive. The micro-burst / coincidence-detection primitive.

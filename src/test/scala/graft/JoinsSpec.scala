@@ -199,6 +199,68 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
     got shouldBe Set((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (11L, 4L))
   }
 
+  test("interpolateAsOf: bracketing interpolation, endpoint holds, exact hit passes through") {
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 101L, 30.0),
+      (2L, ts("2024-01-01 11:00:00"), 102L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val left = Seq(
+      (200L, 1L, ts("2024-01-01 11:00:00")), // midpoint of 10..30 -> 20
+      (201L, 1L, ts("2024-01-01 10:30:00")), // quarter -> 15
+      (202L, 1L, ts("2024-01-01 09:00:00")), // before first -> endpoint 10
+      (203L, 1L, ts("2024-01-01 13:00:00")), // after last -> endpoint 30
+      (204L, 1L, ts("2024-01-01 10:00:00")), // exact hit -> 10
+      (205L, 2L, ts("2024-01-01 12:00:00")), // single observation -> 5
+      (206L, 3L, ts("2024-01-01 12:00:00")) // no observations -> null
+    ).toDF("event_id", "user_id", "ts")
+    val out = Joins.interpolateAsOf(left, right, Seq("user_id"), "ts", "ts",
+        "event_id", "value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    out(200L) shouldBe Some(20.0)
+    out(201L) shouldBe Some(15.0)
+    out(202L) shouldBe Some(10.0)
+    out(203L) shouldBe Some(30.0)
+    out(204L) shouldBe Some(10.0)
+    out(205L) shouldBe Some(5.0)
+    out(206L) shouldBe None
+  }
+
+  test("interpolateAsOf matches a brute-force per-row computation on real events") {
+    val ev = graft.streaming.EventStream.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val left = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val right = ev.where($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val got = Joins.interpolateAsOf(left, right, Seq("user_id"), "ts", "ts",
+        "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(v => math.round(v.asInstanceOf[Double] * 1e6))).toMap
+    // brute force: per purchase, scan the user's views for the brackets
+    // (epoch micros incl. the sub-millisecond part getTime drops)
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val views = right.collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val want = left.collect().map { r =>
+      val (id, uid, t) = (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)))
+      val vs = views.getOrElse(uid, Array.empty)
+      val back = vs.filter(_._2 <= t).sortBy(v => (v._2, v._3)).lastOption
+      val fwd = vs.filter(_._2 > t).sortBy(v => (v._2, v._3)).headOption
+      val interp = (back, fwd) match {
+        case (None, None) => None
+        case (None, Some(f)) => Some(f._4)
+        case (Some(b), None) => Some(b._4)
+        case (Some(b), Some(f)) =>
+          Some(b._4 + (f._4 - b._4) * (t - b._2) / (f._2 - b._2))
+      }
+      id -> interp.map(v => math.round(v * 1e6))
+    }.toMap
+    got shouldBe want
+    got.size should be > 0
+  }
+
   test("intervalOverlapPairs equals the brute-force inequality join, emit-once") {
     // constructed micros intervals crossing bin boundaries at width 10
     val a = Seq(
