@@ -1756,6 +1756,20 @@ object SparkEntry {
         col("sum_good_value"))
     }),
 
+    // O13 TPC-H Q7-shape trade flows: cross-border revenue by supplier
+    // region/nation × customer nation — nation joins TWICE under
+    // different roles (both broadcast), region is the snowflake hop,
+    // shipdate window pushed to the fact scan; exercises the supplier
+    // and region tables
+    "o13_trade_flows" -> ((s, d) =>
+      Relational.tradeFlows(
+        s.read.parquet(s"$d/supplier.parquet"),
+        s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/nation.parquet"),
+        s.read.parquet(s"$d/region.parquet"))),
+
     // J8 interpolated as-of align: each purchase gets the user's view
     // VALUE linearly interpolated at the purchase timestamp between the
     // bracketing views (constant extrapolation at the ends, null when the
@@ -3108,6 +3122,26 @@ object SparkEntry {
           "sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_quarantined, " +
           "round(sum(CASE WHEN value >= 0 THEN value::DECIMAL(18,6) END), 4)::DOUBLE " +
           "AS sum_good_value FROM c"),
+      // o13: the snowflake double-role join recomputed naively; the
+      // money sum follows the cents rule (exact decimal, round 2, cast)
+      "o13_trade_flows" ->
+        ("WITH li AS (SELECT l_orderkey, l_suppkey, " +
+          "l_extendedprice * (1 - l_discount) AS dp FROM lineitem " +
+          "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+          "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') " +
+          "SELECT r_name AS supp_region, sn.n_name AS supp_nation, " +
+          "cn.n_name AS cust_nation, " +
+          "round(sum(dp::DECIMAL(28,10)), 2)::DOUBLE AS revenue, " +
+          "count(*) AS n_items " +
+          "FROM li " +
+          "JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+          "JOIN region ON sn.n_regionkey = r_regionkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+          "WHERE sn.n_name <> cn.n_name " +
+          "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
       // j8: the union-tag merge mirrored with DuckDB's IGNORE NULLS
       // windows; the interpolation CASE repeats the engine's exact double
       // formula so both engines agree bit-for-bit

@@ -241,6 +241,49 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q7-shape TRADE FLOWS: cross-border revenue by (supplier
+    * region, supplier nation, customer nation) over a shipdate window —
+    * the snowflake shape where one dimension (nation) joins the fact
+    * TWICE under different roles (via supplier and via customer), plus a
+    * second hop to region. Only cross-border flows report (supplier
+    * nation ≠ customer nation, the Q7 semantic).
+    *
+    * At 100 TB: the ONLY shuffle is the fact-fact join on orderkey (the
+    * shipdate window pushed to the lineitem scan first); supplier,
+    * customer, and both nation/region roles broadcast — a dimension
+    * playing two roles is two broadcasts of a projected id→name map, not
+    * two shuffles. Money sums in exact DECIMAL (the e1 rule), report
+    * rounded to cents before the double cast.
+    */
+  def tradeFlows(supplier: DataFrame, customer: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame, nation: DataFrame, region: DataFrame,
+                 from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val li = lineitem
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("dp"))
+    val suppNation = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(region.select(col("r_regionkey"), col("r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"),
+        col("r_name").as("supp_region"))
+    val custNation = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(nation.select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    li.join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_region", "supp_nation", "cust_nation")
+      .agg(round(sum(money(col("dp"))), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_region", "supp_nation", "cust_nation")
+  }
+
   /** Buyer-cohort SET OPERATIONS: customers who bought in BOTH of two
     * years (INTERSECT) and customers who bought in the first but not the
     * second (EXCEPT — the churn report). Declared as Spark's native

@@ -478,6 +478,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     p12 should include("LeftAnti")
     p12 should include("BroadcastNestedLoopJoin")
     p12 should include regex """PushedFilters: \[[^\]]*o_orderdate"""
+    // o13: the double-role snowflake — every dimension leg broadcasts
+    // (nation twice under different roles), the shipdate window reaches
+    // the fact scan, nothing degenerates to a cartesian
+    val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    val reg = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val p13 = graft.operators.Relational.tradeFlows(sup, cust, ord, li, nat, reg)
+      .queryExecution.executedPlan.toString
+    "BroadcastHashJoin".r.findAllIn(p13).size should be >= 2
+    p13 should not include "CartesianProduct"
+    p13 should include regex """PushedFilters: \[[^\]]*l_shipdate"""
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
