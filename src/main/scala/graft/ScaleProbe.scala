@@ -298,7 +298,8 @@ object ScaleProbe {
     * co-keyed shuffle whose dims stay broadcast at any fact scale.
     */
   private def profileOlap(spark: SparkSession, label: String, li: DataFrame,
-                          ord: DataFrame, cust: DataFrame, nat: DataFrame): String = {
+                          ord: DataFrame, cust: DataFrame, nat: DataFrame,
+                          sup: DataFrame, reg: DataFrame): String = {
     val n = li.count()
     val (r1, t1) = timed(graft.operators.Relational.pricingSummary(li).collect())
     val (r5, t5) = timed(
@@ -307,9 +308,19 @@ object ScaleProbe {
     // before the aggregate — its wall must track q5's, never blow past it
     val (r6, t6) = timed(
       graft.operators.Relational.nationRevenueRollup(cust, ord, li, nat).collect())
+    // the outer-join fan-out histogram: its fact side collapses BELOW the
+    // join, so the wall must track the orders pre-aggregate, not |orders|
+    val (r11, t11) = timed(
+      graft.operators.Relational.orderCountDistribution(cust, ord).collect())
+    // the double-role snowflake: one fact-fact shuffle + broadcast dims,
+    // so its wall must track q5's shape
+    val (r13, t13) = timed(
+      graft.operators.Relational.tradeFlows(sup, cust, ord, li, nat, reg).collect())
     f"""{"corpus":"$label","n_lineitem":$n,"q1_sec":$t1%.2f,"q1_groups":${r1.length},""" +
       f""""q5_sec":$t5%.2f,"q5_rows":${r5.length},""" +
-      f""""rollup_sec":$t6%.2f,"rollup_rows":${r6.length}}"""
+      f""""rollup_sec":$t6%.2f,"rollup_rows":${r6.length},""" +
+      f""""q13_sec":$t11%.2f,"q13_rows":${r11.length},""" +
+      f""""q7_sec":$t13%.2f,"q7_rows":${r13.length}}"""
   }
 
   /** Cross-corpus linkage profile: A (500 perturbed rows) aligned against
@@ -487,9 +498,11 @@ object ScaleProbe {
     val liDir = scratch("decade-li/lineitem"); val ordDir = scratch("decade-ord/orders")
     li10raw.write.mode("overwrite").parquet(liDir)
     ord10raw.write.mode("overwrite").parquet(ordDir)
-    println(profileOlap(spark, "olap-1x", li1, ord1, cust1, nat1))
+    val sup1 = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val reg1 = spark.read.parquet(s"$sfDir/region.parquet")
+    println(profileOlap(spark, "olap-1x", li1, ord1, cust1, nat1, sup1, reg1))
     println(profileOlap(spark, "olap-10x",
-      spark.read.parquet(liDir), spark.read.parquet(ordDir), cust1, nat1))
+      spark.read.parquet(liDir), spark.read.parquet(ordDir), cust1, nat1, sup1, reg1))
 
     // streaming backfills at 1× and 10× users/events
     val evDir = scratch("decade-ev/events")

@@ -337,6 +337,7 @@ object SparkEntry {
         .unionByName(leg("pq_m8x32_sl50",
           Similarity.pqTopK(e, q, 10, m = 8, codesPerSub = 32, shortlistSize = 50)))
         .unionByName(leg("pq_m8x64_sl150", Similarity.pqTopK(e, q, 10)))
+        .unionByName(leg("sq_sl50", Similarity.sqTopK(e, q, 10)))
         .unionByName({
           // one codebook + index build (the offline cost) feeds both
           // probe knobs — the r8-era default (16) and the r11-tuned 20
@@ -2815,7 +2816,8 @@ object SparkEntry {
           "('lsh_16x4', 192::BIGINT, 500::BIGINT, 0.384::DOUBLE), " +
           "('lsh_24x8', 425::BIGINT, 500::BIGINT, 0.85::DOUBLE), " +
           "('pq_m8x32_sl50', 320::BIGINT, 500::BIGINT, 0.64::DOUBLE), " +
-          "('pq_m8x64_sl150', 474::BIGINT, 500::BIGINT, 0.948::DOUBLE)" +
+          "('pq_m8x64_sl150', 474::BIGINT, 500::BIGINT, 0.948::DOUBLE), " +
+          "('sq_sl50', 500::BIGINT, 500::BIGINT, 1.0::DOUBLE)" +
           ") AS t(method, hits, total, recall) WHERE (SELECT v FROM fp) = 50002270 " +
           "UNION ALL SELECT 'PIN_STALE_expected_sf0.01', -1::BIGINT, " +
           "(SELECT v FROM fp), -1.0::DOUBLE WHERE (SELECT v FROM fp) <> 50002270 " +
