@@ -1789,6 +1789,38 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // P11 document chunking: 64-token windows, 16-token overlap — the
+    // RAG/long-context window primitive; one codegen'd pass, no shuffle,
+    // chunk identity by md5 so the gate stays metadata-width
+    "p11_chunk_docs" -> ((s, d) =>
+      graft.operators.Pipeline.chunkDocs(docs(s, d), chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")),
+
+    // E14 streaming sketch-rollup maintenance: the x16 fold kept current
+    // by the stream — each micro-batch lands per-day HLL partials in its
+    // own batch directory (idempotent replay), the rollup is a log that
+    // range queries union-merge on read. The staged source is the corpus
+    // DOUBLED across four files (multi-batch path + duplicate delivery:
+    // HLL union must not care), gated against the EXACT distinct of the
+    // original events
+    "e14_stream_sketch_fold" -> ((s, d) => {
+      val src = scratch("e14-src")
+      val rollup = scratch("e14-rollup")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        val ev0 = s.read.parquet(s"$d/events.parquet")
+        ev0.unionByName(ev0).repartition(4).write.parquet(src)
+      }
+      EventStream.streamSketchFold(s, src, rollup)
+      val est = graft.operators.SketchRollup.rangeDistinctEstimate(
+        s.read.parquet(s"$rollup/days"), "2024-01-05", "2024-01-15")
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val exact = ev.where(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-15"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.crossJoin(est)
+        .select(col("exact_users"),
+          (abs(col("est_distinct") / col("exact_users") - 1.0) <= 0.05).as("est_ok"))
+    }),
+
     // P10 corpus snapshot diff: v2 derived from the documents table by
     // shared deterministic rules (drop %17, revise %13, add %19 under new
     // ids), then the diff classifies every id via scan-side md5 — the join
@@ -3165,6 +3197,22 @@ object SparkEntry {
           "WHEN tb IS NULL THEN vf WHEN tf IS NULL THEN vb " +
           "ELSE vb + (vf - vb) * (epoch_us(ts) - tb) / (tf - tb) END, 6) AS value_interp " +
           "FROM m WHERE side = 1 ORDER BY event_id"),
+      // p11: chunk boundaries recomputed with the same integer
+      // arithmetic; chunk content gated by md5 of the sliced window
+      "p11_chunk_docs" ->
+        (T + ", ch AS (SELECT doc_id, t, " +
+          "unnest(range(0, 1 + CAST(floor(greatest(len(t) - 16 - 1, 0) / 48.0) AS BIGINT))) AS i " +
+          "FROM toks WHERE len(t) > 0) " +
+          "SELECT doc_id, i AS chunk_id, " +
+          "least(64, len(t) - i * 48)::BIGINT AS n_tokens, " +
+          "md5(array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_hash " +
+          "FROM ch ORDER BY doc_id, chunk_id"),
+      // e14: the x16 gate over the streaming-maintained rollup — exact
+      // distinct from raw rows, sketch estimate within tolerance
+      "e14_stream_sketch_fold" ->
+        ("SELECT count(DISTINCT user_id) AS exact_users, true AS est_ok " +
+          "FROM events WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00'"),
       // p10: v2 rebuilt under the same deterministic rules, then a naive
       // full-outer md5 diff — class counts must match the engine's
       // hash-join diff exactly

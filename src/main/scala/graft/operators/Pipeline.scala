@@ -276,6 +276,43 @@ object Pipeline {
     * `shards` to the trainer's degree. Hash balance keeps shard skew within
     * a few percent on organic ids (spec-measured).
     */
+  /** Document CHUNKING — the context-window primitive every RAG /
+    * long-document training pipeline needs: each document's token stream
+    * splits into `chunkSize`-token windows advancing by
+    * `chunkSize − overlap`, so consecutive chunks share `overlap` tokens
+    * of context. Chunk starts are 0, stride, 2·stride, … while the start
+    * still exposes at least one token beyond the previous chunk's overlap
+    * (`start < n − overlap`; a short document yields exactly one chunk,
+    * an empty one yields none). Output one row per chunk:
+    * `(doc_id, chunk_id, n_tokens, chunk_hash)` — the hash (md5 of the
+    * space-joined window) stands in for the text so gates and manifests
+    * stay metadata-width; callers wanting the text slice it from their
+    * own token column with the same arithmetic.
+    *
+    * At 100 TB: tokenize → explode → slice is one narrow codegen'd pass
+    * with NO shuffle at all — chunking parallelizes per input split, and
+    * the explode factor is ⌈n/stride⌉, the same blow-up any trainer's
+    * loader pays. Deterministic: chunk boundaries are pure integer
+    * arithmetic on the token index.
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap")
+    val stride = chunkSize - overlap
+    val n = size(col("t"))
+    val maxI = floor((greatest(n - overlap - 1, lit(0))).cast("double") / stride)
+      .cast("long")
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), maxI)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(chunkSize), n - col("chunk_id") * stride).cast("long").as("n_tokens"),
+        md5(array_join(slice(col("t"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " ")).as("chunk_hash"))
+  }
+
   /** Corpus snapshot DIFF — the version-to-version audit every managed
     * corpus needs before a retrain: classify each document id across two
     * snapshots as `added` (id only in the new snapshot), `removed` (only

@@ -622,6 +622,40 @@ object EventStream {
     (countOf("good"), countOf("quarantine"))
   }
 
+  /** Streaming SKETCH-ROLLUP maintenance — the x16 mergeable-fold pattern
+    * kept current by the stream itself: each micro-batch folds into
+    * per-day HLL sketch rows landed under its OWN `batch=<id>/`
+    * directory (idempotent overwrite, the [[validatedIngest]] replay
+    * rule), and the persisted rollup is a LOG of batch partials that any
+    * range query union-merges on read — mergeability makes compaction
+    * optional, not required (HLL union is idempotent/associative, so a
+    * day split across ten batches estimates identically to one fold; a
+    * duplicate-delivered batch changes nothing). The daily-fold shuffle
+    * is per-batch-sized; the rollup stays KB/day/batch.
+    */
+  def streamSketchFold(spark: SparkSession, srcDir: String, rollupDir: String): Unit = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val src = bf.readStream
+      .schema(bf.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$rollupDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchRollup
+          .dailyDistinctSketches(withEventTime(batch), "ts", "user_id")
+          .write.mode("overwrite").parquet(s"$rollupDir/days/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   def streamIngestToIndex(spark: SparkSession, landingDir: String,
                           cents: Seq[Seq[Float]], indexDir: String): Unit = {
     val vecs = spark.readStream

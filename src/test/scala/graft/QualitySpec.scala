@@ -161,6 +161,38 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     out("unchanged") shouldBe 1L
   }
 
+  test("chunkDocs: stride/overlap boundaries, full coverage, no redundant tail") {
+    // 10 tokens, size 4, overlap 1 (stride 3): chunks at 0/3/6, all full
+    val doc = (0 until 10).map(i => s"t$i").mkString(" ")
+    val out = Pipeline.chunkDocs(Seq((1L, doc)).toDF("doc_id", "text"), 4, 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((0L, 4L), (1L, 4L), (2L, 4L))
+    // 2 tokens: one short chunk
+    val short = Pipeline.chunkDocs(Seq((1L, "a b")).toDF("doc_id", "text"), 4, 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    short.toSeq shouldBe Seq((0L, 2L))
+    // 4 tokens at size 4: a start at stride 3 would expose nothing beyond
+    // the overlap -> exactly one chunk, no redundant tail
+    val exact4 = Pipeline.chunkDocs(Seq((1L, "a b c d")).toDF("doc_id", "text"), 4, 1)
+      .collect()
+    exact4.length shouldBe 1
+    // chunk hashes equal md5 of the sliced windows
+    val h = Pipeline.chunkDocs(Seq((1L, doc)).toDF("doc_id", "text"), 4, 1)
+      .select("chunk_hash").as[String].collect()
+    val toks = doc.split(" ")
+    h.toSeq shouldBe Seq(0, 3, 6).map(p =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.slice(p, p + 4).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+  }
+
+  test("chunkDocs plans shuffle-free: tokenize-explode-slice in one stage") {
+    val df = spark.range(0, 50).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id"), lit(" x y z a b c")).as("text"))
+    val plan = Pipeline.chunkDocs(df, 4, 1).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
   // ------------------------------------------------- sketch rollups
 
   private def eventsDf: DataFrame = {

@@ -217,6 +217,29 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     (g2, q2) shouldBe ((g1, q1))
   }
 
+  test("streaming sketch fold: batch partials union-merge to the batch fold's answer; replay is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-e14-spec").toString
+    // 3 files -> 3 micro-batches; user space small enough for exact HLL
+    val ev = spark.range(0, 300).select(
+      (col("id") % 40).as("user_id"),
+      (to_timestamp(lit("2024-04-01 00:00:00")) +
+        make_dt_interval(col("id") % 10, lit(0), lit(0), lit(0))).as("ts"))
+    ev.repartition(3).write.parquet(s"$root/src")
+    EventStream.streamSketchFold(spark, s"$root/src", s"$root/rollup")
+    val est = graft.operators.SketchRollup.rangeDistinctEstimate(
+      spark.read.parquet(s"$root/rollup/days"), "2024-04-02", "2024-04-06")
+      .collect().head.getLong(0)
+    val exact = ev.where(to_date(col("ts")) >= lit("2024-04-02") &&
+        to_date(col("ts")) < lit("2024-04-06"))
+      .select("user_id").distinct().count()
+    est shouldBe exact // sub-threshold HLL is exact
+    // replay: same checkpoint, no new files -> rollup unchanged
+    EventStream.streamSketchFold(spark, s"$root/src", s"$root/rollup")
+    graft.operators.SketchRollup.rangeDistinctEstimate(
+      spark.read.parquet(s"$root/rollup/days"), "2024-04-02", "2024-04-06")
+      .collect().head.getLong(0) shouldBe est
+  }
+
   test("backfills do not leak memory-sink temp tables or leave queries running") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val before = spark.catalog.listTables().collect().map(_.name).toSet
