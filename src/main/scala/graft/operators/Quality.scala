@@ -176,23 +176,26 @@ object Quality {
     * percentile of per-key counts (the t14 `percentile` rank rule, so the
     * oracle holds it exactly). Deterministic order: cnt desc, key asc.
     *
-    * Two-level aggregate: per-key counts combine map-side (one shuffle of
-    * (key, partial-count) rows), then every statistic — including the
-    * top-k, a TakeOrdered merge, never a global sort — runs over the
-    * per-key table, which is |keys| rows, metadata-scale even at 100 TB
-    * (and the reason this profile is CHEAP insurance before a multi-hour
-    * join: reading its input again is the join's first stage anyway).
+    * Two-level aggregate on ONE scan of the input: per-key counts combine
+    * map-side (one shuffle of (key, partial-count) rows), then every
+    * statistic rides a single-partition WINDOW over the per-key table —
+    * |keys| rows, metadata-scale even at 100 TB, so the one-reducer
+    * window is over metadata, never data. (The aggregate-then-crossJoin
+    * alternative reads the INPUT twice — Catalyst does not reuse the
+    * grouping exchange across the two branches — which doubles the only
+    * corpus-scale cost in the plan; single-scan shape spec-pinned.) The
+    * top-k is a TakeOrdered merge, never a global sort.
     */
   def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
     val perKey = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
-    val stats = perKey.agg(
-      count(lit(1)).as("n_keys"),
-      round(avg(col("cnt")), 6).as("avg_cnt"),
-      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"),
-      max(col("cnt")).as("__max_cnt"))
-    perKey.crossJoin(stats)
-      .select(col("key"), col("cnt"), col("n_keys"), col("avg_cnt"), col("p99_cnt"),
-        round(col("__max_cnt") / col("avg_cnt"), 6).as("skew_ratio"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val avgCnt = round(avg(col("cnt")).over(w), 6)
+    perKey
+      .select(col("key"), col("cnt"),
+        count(lit(1)).over(w).as("n_keys"),
+        avgCnt.as("avg_cnt"),
+        round(expr("percentile(cnt, 0.99)").over(w), 6).as("p99_cnt"),
+        round(max(col("cnt")).over(w) / avgCnt, 6).as("skew_ratio"))
       .orderBy(col("cnt").desc, col("key"))
       .limit(topK)
   }

@@ -97,11 +97,15 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     out(1).getLong(0) shouldBe 0L // tie on cnt=1 broken by key asc
   }
 
-  test("keySkewProfile plans its top-k as a TakeOrdered merge, not a global sort") {
-    val df = (Seq.fill(10)(7L) ++ (0L to 4L)).toDF("k")
+  test("keySkewProfile plans ONE input scan and a TakeOrdered merge, not a global sort") {
+    val df = spark.range(0, 1000).select((col("id") % 97).as("k"))
     val plan = Quality.keySkewProfile(df, "k", topK = 2)
       .queryExecution.executedPlan.toString
     plan should include("TakeOrderedAndProject")
+    // the input is scanned ONCE: the stats ride a metadata-scale window
+    // over the per-key aggregate instead of a second aggregate branch
+    // (which Catalyst would plan as a second full scan)
+    "Range \\(0, 1000".r.findAllIn(plan).size shouldBe 1
   }
 
   test("snapshotDiff shuffles hashes, not text: the join inputs project md5 before the exchange") {
