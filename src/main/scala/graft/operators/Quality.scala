@@ -108,28 +108,31 @@ object Quality {
   /** Foreign-key orphan check: child rows whose `childKey` has no match in
     * `parent(parentKey)`. One row, `(fk, n_child, n_orphans, pass)`.
     *
-    * Both sides project their key column ONLY before the anti-join, so the
-    * shuffle carries 8–16 B rows whatever the table width; null child keys
-    * count as orphans (a null FK never joins — surfacing them is the
-    * check's job, not silently passing them). At 100 TB the anti-join is
-    * either a broadcast (dim-sized parent) or a co-partitioned shuffle on
-    * the key — and a `bloom_filter_agg` runtime filter
+    * ONE scan of the child: its key column left-joins the parent's
+    * DEDUPLICATED key set (the distinct keeps join multiplicity at one,
+    * so row counts survive the join), and total/orphan counts fall out of
+    * a single aggregate over the joined rows — a null child key and a
+    * no-match key both surface as an unmatched row, so null FKs count as
+    * orphans (a null never joins; surfacing it is the check's job, not
+    * silently passing it). Both sides project their key ONLY, so the
+    * shuffle carries 8–16 B rows whatever the table width. At 100 TB the
+    * join is either a broadcast (dim-sized parent) or a co-partitioned
+    * shuffle on the key — and a `bloom_filter_agg` runtime filter
     * ([[Joins.withRuntimeBloomJoin]]) prunes definite-matches before the
-    * shuffle when the orphan rate is low (the common case: most rows pass,
-    * few shuffle).
+    * shuffle when the orphan rate is low (the common case: most rows
+    * pass, few shuffle).
     */
   def refIntegrity(child: DataFrame, childKey: String,
                    parent: DataFrame, parentKey: String,
                    fkName: String): DataFrame = {
     val c = child.select(col(childKey).as("__k"))
     val p = parent.select(col(parentKey).as("__k")).where(col("__k").isNotNull)
-    val orphans = c.where(col("__k").isNull).agg(count(lit(1)).as("__null_orphans"))
-      .crossJoin(c.where(col("__k").isNotNull).join(p, Seq("__k"), "left_anti")
-        .agg(count(lit(1)).as("__key_orphans")))
-    c.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
-      .select(lit(fkName).as("fk"), col("n_child"),
-        (col("__null_orphans") + col("__key_orphans")).as("n_orphans"),
-        (col("__null_orphans") + col("__key_orphans") === 0L).as("pass"))
+      .distinct().withColumn("__hit", lit(1))
+    c.join(p, Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__hit").isNull, 1).otherwise(0)).cast("long").as("n_orphans"))
+      .select(lit(fkName).as("fk"), col("n_child"), col("n_orphans"),
+        (col("n_orphans") === 0L).as("pass"))
   }
 
   /** Ingest-volume DRIFT detection: per-day event counts compared against
