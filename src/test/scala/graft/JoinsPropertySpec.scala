@@ -116,6 +116,101 @@ class JoinsPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("property: intervalOverlapPairs equals brute force for random closed intervals, every bin width") {
+    for (seed <- 1 to 3; bin <- Seq(3L, 7L, 50L)) {
+      val rnd = new scala.util.Random(seed)
+      def intervals(tag: String, n: Int) = (0 until n).map { i =>
+        val s = rnd.nextInt(200).toLong
+        (s"$tag$i", s, s + rnd.nextInt(30).toLong) // spans 0-29, many boundary hits
+      }
+      val a = intervals("a", 40).toDF("a_id", "a_start", "a_end")
+      val b = intervals("b", 25).toDF("b_id", "b_start", "b_end")
+      val got = Joins.intervalOverlapPairs(a, b, bin)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // emit-once even when a pair shares many bins
+      got.distinct.length shouldBe got.length
+      val want = a.join(b, $"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      got.toSet shouldBe want
+    }
+  }
+
+  test("property: interpolateAsOf brackets every answer and hits observations exactly") {
+    for (seed <- 5 to 7) {
+      val rnd = new scala.util.Random(seed)
+      val right = (0 until 60).map(i =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(50) * 1000000L, i.toLong, rnd.nextInt(100) / 10.0))
+        .toDF("user", "us", "rid", "v")
+        .select($"user", timestamp_micros($"us").as("r_ts"), $"rid", $"v")
+      val left = (0 until 40).map(i =>
+        (100L + i, rnd.nextInt(3).toLong, rnd.nextInt(60) * 500000L))
+        .toDF("lid", "user", "us")
+        .select($"lid", $"user", timestamp_micros($"us").as("l_ts"))
+      val rByUser = right.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000, r.getDouble(3)))
+        .groupBy(_._1)
+      val out = left.join(
+        Joins.interpolateAsOf(left, right, Seq("user"), "l_ts", "r_ts", "rid", "v")
+          .select($"lid", $"v_interp"), Seq("lid"))
+        .select($"lid", $"user", $"l_ts", $"v_interp").collect()
+      out.foreach { r =>
+        val (uid, t) = (r.getLong(1), r.getTimestamp(2).getTime * 1000)
+        val vs = rByUser.getOrElse(uid, Array.empty)
+        if (vs.isEmpty) r.isNullAt(3) shouldBe true
+        else {
+          val v = r.getDouble(3)
+          // interpolation stays inside the envelope of the signal's values
+          v should be >= vs.map(_._3).min - 1e-9
+          v should be <= vs.map(_._3).max + 1e-9
+          // an exact-timestamp observation passes through untouched
+          // (largest tie-break id at that timestamp wins)
+          val atT = vs.filter(_._2 == t)
+          if (atT.nonEmpty) {
+            val ids = right.collect().filter(rr =>
+              rr.getLong(0) == uid && rr.getTimestamp(1).getTime * 1000 == t)
+            v shouldBe ids.maxBy(_.getLong(2)).getDouble(3)
+          }
+        }
+      }
+    }
+  }
+
+  test("property: chunkDocs covers every token exactly, overlaps are exact, no redundant chunks") {
+    import graft.operators.Pipeline
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 25).map(i =>
+        (i.toLong, (0 until rnd.nextInt(40)).map(j => s"w${rnd.nextInt(100)}").mkString(" ")))
+        .toDF("doc_id", "text")
+      val size = 2 + rnd.nextInt(8)
+      val overlap = rnd.nextInt(size)
+      val stride = size - overlap
+      val out = Pipeline.chunkDocs(docs, size, overlap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val nTokens = docs.collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ").count(_.nonEmpty)).toMap
+      nTokens.foreach { case (id, n) =>
+        val chunks = out.getOrElse(id, Array.empty).sortBy(_._2)
+        if (n == 0) chunks shouldBe empty
+        else {
+          // contiguous chunk ids from 0; every token covered; last chunk
+          // reaches exactly the end; no chunk is subsumed by its precursor
+          chunks.map(_._2).toSeq shouldBe chunks.indices.map(_.toLong)
+          val covered = chunks.flatMap { case (_, i, len) =>
+            (i * stride) until (i * stride + len) }.toSet
+          covered shouldBe (0 until n).toSet
+          chunks.foreach { case (_, i, len) =>
+            len shouldBe math.min(size, n - i * stride) }
+          if (chunks.length > 1)
+            chunks.last match { case (_, i, len) => (i * stride + len) shouldBe n }
+        }
+      }
+    }
+  }
+
   test("property: intervalJoin equals brute force for random half-open intervals") {
     for (seed <- 9 to 12) {
       val rnd = new scala.util.Random(seed)
