@@ -1674,12 +1674,15 @@ object SparkEntry {
 
     // C4 join-key skew profile: the top-5 heaviest events.user_id keys with
     // n_keys / avg / exact-p99 / skew ratio — the pre-join diagnosis that
-    // decides whether j5's salting is needed. Two-level aggregate; the
-    // per-key table is metadata-scale at any corpus size
+    // decides whether j5's salting is needed. Combine-safe stats aggregate
+    // over the persisted per-key table, broadcast back as one row — no
+    // single-partition window (the per-key table is corpus-cardinality-
+    // sized for exactly the keys worth diagnosing). Exact percentile is
+    // the gate contract; the at-scale default is the sketch twin
     "c4_key_skew_profile" -> ((s, d) =>
       graft.operators.Quality.keySkewProfile(
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")),
-        "user_id", topK = 5)),
+        "user_id", topK = 5, exactP99 = true)),
 
     // O11 TPC-H Q13-shape: the join-fan-out histogram — customers bucketed
     // by how many qualifying orders they placed, INCLUDING the zero bucket
@@ -1726,25 +1729,32 @@ object SparkEntry {
     // C5 ingest-volume drift: per-day counts vs the trailing 7-day mean —
     // the feed-collapse/double-delivery monitor. Deviation is one exact
     // integer product divided once (no stddev, no divided average), so
-    // both engines agree bit-for-bit
+    // both engines agree bit-for-bit. One mid-range day is PLANTED empty
+    // (both engines drop the same calendar day) so the densified day axis
+    // is exercised: the dead day must surface as cnt 0, dev −1, flagged
     "c5_volume_drift" -> ((s, d) =>
       graft.operators.Quality.volumeDrift(
-        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")), "ts")),
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+          .where(to_date(col("ts")) =!= "2024-01-10"), "ts")),
 
     // E13 streaming VALIDATED ingest: the c2 constraint gate applied
     // in-flight — each micro-batch splits on the violation predicate,
     // good rows to the sink, violators to quarantine (never silently
     // dropped). Violations are PLANTED (every 97th event's value
-    // corrupted negative, both engines derive the same set); replay-safe
-    // via per-batch-directory overwrite; maxFilesPerTrigger=1 forces the
-    // real multi-batch path. Gated on counts + the good-side value sum
+    // corrupted negative, every 101st NULLED — the predicate evaluates
+    // to null on those rows and the null-safe split must quarantine
+    // them, not lose them; both engines derive the same set); replay-
+    // safe via per-batch-directory overwrite; maxFilesPerTrigger=1
+    // forces the real multi-batch path. Gated on counts + the good-side
+    // value sum
     "e13_validated_ingest" -> ((s, d) => {
       val src = scratch("e13-src")
       val out = scratch("e13-out")
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
         s.read.parquet(s"$d/events.parquet")
           .withColumn("value",
-            when(col("event_id") % 97 === 0, -col("value") - 1)
+            when(col("event_id") % 101 === 0, lit(null))
+              .when(col("event_id") % 97 === 0, -col("value") - 1)
               .otherwise(col("value")))
           .write.parquet(src)
       }
@@ -3134,26 +3144,35 @@ object SparkEntry {
           "round(sum(c_acctbal::DECIMAL(28,10)), 2)::DOUBLE AS totacctbal " +
           "FROM inact GROUP BY 1 ORDER BY 1"),
       // c5: the trailing-window deviation recomputed with the same exact
-      // integer-product form; first-history day has null dev, false flag
+      // integer-product form over the same DENSIFIED calendar spine (the
+      // planted-empty day appears as cnt 0, dev -1, flagged); first-history
+      // day has null dev, false flag
       "c5_volume_drift" ->
-        ("WITH daily AS (SELECT (ts::TIMESTAMP::DATE)::VARCHAR AS day, " +
-          "count(*) AS cnt FROM events GROUP BY 1), " +
-          "w AS (SELECT day, cnt, sum(cnt) OVER win AS win_sum, " +
-          "count(*) OVER win AS win_n FROM daily " +
+        ("WITH daily AS (SELECT ts::TIMESTAMP::DATE AS day, count(*) AS cnt " +
+          "FROM events WHERE ts::TIMESTAMP::DATE <> DATE '2024-01-10' GROUP BY 1), " +
+          "spine AS (SELECT unnest(generate_series((SELECT min(day) FROM daily), " +
+          "(SELECT max(day) FROM daily), INTERVAL 1 DAY))::DATE AS day), " +
+          "dense AS (SELECT s.day, coalesce(d.cnt, 0) AS cnt " +
+          "FROM spine s LEFT JOIN daily d USING (day)), " +
+          "w AS (SELECT day::VARCHAR AS day, cnt, sum(cnt) OVER win AS win_sum, " +
+          "count(*) OVER win AS win_n FROM dense " +
           "WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
           "SELECT day, cnt, win_n AS win_days, " +
-          "CASE WHEN win_n > 0 THEN round(cnt * win_n / win_sum - 1.0, 6) END AS dev_frac, " +
-          "coalesce(CASE WHEN win_n > 0 THEN " +
+          "CASE WHEN win_n > 0 AND win_sum > 0 THEN round(cnt * win_n / win_sum - 1.0, 6) END AS dev_frac, " +
+          "coalesce(CASE WHEN win_n > 0 AND win_sum > 0 THEN " +
           "abs(round(cnt * win_n / win_sum - 1.0, 6)) > 0.5 END, false) AS flagged " +
           "FROM w ORDER BY day"),
-      // e13: the same planted corruption derived in SQL; good/quarantine
-      // counts and the good-side decimal value sum must match the rows
-      // the stream actually landed
+      // e13: the same planted corruption derived in SQL (nulls first —
+      // a 97·101 multiple is nulled, not negated); a null value is NOT
+      // `>= 0`, so it counts quarantined, mirroring the engine's
+      // null-safe split; good/quarantine counts and the good-side
+      // decimal value sum must match the rows the stream actually landed
       "e13_validated_ingest" ->
-        ("WITH c AS (SELECT CASE WHEN event_id % 97 = 0 THEN -value - 1 " +
+        ("WITH c AS (SELECT CASE WHEN event_id % 101 = 0 THEN NULL " +
+          "WHEN event_id % 97 = 0 THEN -value - 1 " +
           "ELSE value END AS value FROM events) " +
           "SELECT sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_good, " +
-          "sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_quarantined, " +
+          "sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END)::BIGINT AS n_quarantined, " +
           "round(sum(CASE WHEN value >= 0 THEN value::DECIMAL(18,6) END), 4)::DOUBLE " +
           "AS sum_good_value FROM c"),
       // o13: the snowflake double-role join recomputed naively; the
@@ -3222,8 +3241,8 @@ object SparkEntry {
           "FROM documents WHERE doc_id % 17 <> 0 " +
           "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'new doc ' || doc_id AS text " +
           "FROM documents WHERE doc_id % 19 = 0), " +
-          "o AS (SELECT doc_id, md5(text) AS h, len(text) AS l FROM documents), " +
-          "n AS (SELECT doc_id, md5(text) AS h, len(text) AS l FROM v2), " +
+          "o AS (SELECT doc_id, md5(len(text)::VARCHAR || ':' || text) AS h, len(text) AS l FROM documents), " +
+          "n AS (SELECT doc_id, md5(len(text)::VARCHAR || ':' || text) AS h, len(text) AS l FROM v2), " +
           "j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added' " +
           "WHEN n.doc_id IS NULL THEN 'removed' " +
           "WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS change, " +

@@ -186,7 +186,9 @@ object Joins {
     * bracketing right rows (`vb + (vf − vb)·(t − tb)/(tf − tb)`). Outside
     * the observed range the nearest endpoint holds (constant
     * extrapolation, the standard time-series fill); no right rows at all
-    * → null (LEFT semantics). A right row exactly at the left timestamp
+    * → null (LEFT semantics), and a left row whose OWN timestamp is null
+    * → null (there is no instant to interpolate at — the right side's
+    * null timestamps are already filtered). A right row exactly at the left timestamp
     * is the backward bracket at distance zero, so its value passes
     * through untouched; equal-timestamp right rows resolve to the
     * largest `rightTie` (the [[asOf]] convention).
@@ -231,7 +233,11 @@ object Joins {
       .withColumn("__fwd", lead(col("__r"), 1, null, ignoreNulls = true).over(wFwd))
       .where(col("__side") === 1)
       .withColumn("__interp",
-        when(col("__back").isNull && col("__fwd").isNull, lit(null).cast("double"))
+        // a null left timestamp has no instant to interpolate AT — it must
+        // yield null, not the key's first observed value (nulls sort first,
+        // so it would otherwise take the before-first-observation branch)
+        when(col("__ts").isNull, lit(null).cast("double"))
+          .when(col("__back").isNull && col("__fwd").isNull, lit(null).cast("double"))
           .when(col("__back").isNull, vf) // before first observation
           .when(col("__fwd").isNull, vb) // after last observation
           .otherwise(vb + (vf - vb) * (t - tb) / (tf - tb)))

@@ -252,30 +252,6 @@ object Pipeline {
       .select("doc_id", "source", "n_tok")
   }
 
-  /** Deterministic sharded corpus export — the DELIVERY step of the
-    * pipeline: the curated corpus written as `shards` shard directories
-    * whose assignment and content order are pure functions of doc_id, so
-    * (a) two exports of the same corpus are content-identical shard for
-    * shard (reproducible training runs — spec-pinned byte-for-byte on the
-    * data files), and (b) any engine can recompute which shard holds a
-    * document without reading the export.
-    *
-    * shard = Knuth-multiplicative-hash(doc_id) mod `shards` — the
-    * [[hashSplit]] discipline (engine-portable integer arithmetic, no
-    * dependence on Spark's partitioner), so the export composes with the
-    * split/mix operators upstream. One hash `repartition` on the shard key
-    * makes shard ↔ task exact: every `shard=k/` directory holds exactly ONE
-    * data file (spec-pinned), rows sorted by doc_id inside it — the
-    * trainer's data-parallel workers each stream one balanced file.
-    * A `_manifest/` side-table (underscore: invisible to a plain read of
-    * the export, the `_spark_metadata` convention) records per-shard
-    * docs/chars/id-range for fleet-side sanity checks before a run.
-    *
-    * At 100 TB: ONE shuffle of the corpus (the hash repartition; the
-    * within-shard sort is task-local and spills), and the caller sizes
-    * `shards` to the trainer's degree. Hash balance keeps shard skew within
-    * a few percent on organic ids (spec-measured).
-    */
   /** Document CHUNKING — the context-window primitive every RAG /
     * long-document training pipeline needs: each document's token stream
     * splits into `chunkSize`-token windows advancing by
@@ -318,8 +294,10 @@ object Pipeline {
     * snapshots as `added` (id only in the new snapshot), `removed` (only
     * in the old), `changed` (both, content differs) or `unchanged`, and
     * report per-class document and character totals. Content identity is
-    * md5 over the concatenated `contentCols` (null-tagged so a null/empty
-    * swap can't alias), computed scan-side — the diff join carries
+    * md5 over a LENGTH-PREFIXED encoding of `contentCols` — each column
+    * contributes `len ':' value` with null as `-1:`, so neither column
+    * boundaries (("ab","c") vs ("a","bc")) nor a null/empty/sentinel swap
+    * can alias — computed scan-side: the diff join carries
     * (id, 16-byte hash, length) rows, NEVER the document text, so at
     * 100 TB the full-outer join shuffles metadata-scale rows co-partitioned
     * on the id and the output is four rows. Per-class totals are exact;
@@ -331,9 +309,11 @@ object Pipeline {
     require(contentCols.nonEmpty, "snapshotDiff needs at least one content column")
     def keyed(df: DataFrame) = df.select(
       col(idCol).as("id"),
-      md5(concat_ws("",
-        contentCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
-        .as("h"),
+      md5(concat(contentCols.map { c =>
+        val s = col(c).cast("string")
+        concat(coalesce(length(s), lit(-1)).cast("string"), lit(":"),
+          coalesce(s, lit("")))
+      }: _*)).as("h"),
       contentCols.map(c => coalesce(length(col(c).cast("string")), lit(0)))
         .reduce(_ + _).cast("long").as("len"))
     val o = keyed(oldSnap).withColumnsRenamed(Map("h" -> "h_old", "len" -> "len_old"))
@@ -349,6 +329,30 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum("chars").as("n_chars"))
   }
 
+  /** Deterministic sharded corpus export — the DELIVERY step of the
+    * pipeline: the curated corpus written as `shards` shard directories
+    * whose assignment and content order are pure functions of doc_id, so
+    * (a) two exports of the same corpus are content-identical shard for
+    * shard (reproducible training runs — spec-pinned byte-for-byte on the
+    * data files), and (b) any engine can recompute which shard holds a
+    * document without reading the export.
+    *
+    * shard = Knuth-multiplicative-hash(doc_id) mod `shards` — the
+    * [[hashSplit]] discipline (engine-portable integer arithmetic, no
+    * dependence on Spark's partitioner), so the export composes with the
+    * split/mix operators upstream. One hash `repartition` on the shard key
+    * makes shard ↔ task exact: every `shard=k/` directory holds exactly ONE
+    * data file (spec-pinned), rows sorted by doc_id inside it — the
+    * trainer's data-parallel workers each stream one balanced file.
+    * A `_manifest/` side-table (underscore: invisible to a plain read of
+    * the export, the `_spark_metadata` convention) records per-shard
+    * docs/chars/id-range for fleet-side sanity checks before a run.
+    *
+    * At 100 TB: ONE shuffle of the corpus (the hash repartition; the
+    * within-shard sort is task-local and spills), and the caller sizes
+    * `shards` to the trainer's degree. Hash balance keeps shard skew within
+    * a few percent on organic ids (spec-measured).
+    */
   def shardExport(docs: DataFrame, outDir: String, shards: Int): Unit = {
     require(shards > 0, s"shards must be positive, got $shards")
     val assigned = docs.withColumn("shard",

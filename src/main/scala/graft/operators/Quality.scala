@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * with the Expand-free approx twin as the at-scale default). Referential
   * integrity projects ids ONLY before the anti-join (16 B rows, never the
   * payload). The skew profile is a two-level aggregate: per-key counts
-  * combine map-side, then stats over the (tiny) per-key table.
+  * combine map-side, then combine-safe scalar stats over the persisted
+  * per-key table, broadcast back as one row — never a single-partition
+  * window over it (the per-key table is corpus-cardinality-sized for
+  * exactly the keys worth diagnosing).
   */
 object Quality {
 
@@ -138,10 +141,20 @@ object Quality {
   /** Ingest-volume DRIFT detection: per-day event counts compared against
     * the trailing `lookback`-day average — the monitoring gate that
     * catches a collapsed (or double-delivered) feed before a corpus
-    * version ships. Output one row per day:
-    * `(day, cnt, win_days, dev_frac, flagged)` where `dev_frac` is the
-    * day's fractional deviation from the trailing mean (null for days
-    * with no history) and `flagged` marks |dev| > `tolerance`.
+    * version ships. Output one row per CALENDAR day between the first and
+    * last observed day: `(day, cnt, win_days, dev_frac, flagged)` where
+    * `dev_frac` is the day's fractional deviation from the trailing mean
+    * (null for days with no history) and `flagged` marks |dev| >
+    * `tolerance`.
+    *
+    * The day axis is DENSIFIED before the window: a day with zero events —
+    * the fully-collapsed feed this gate exists to catch — produces no
+    * aggregate row at all, so windowing only the present days would both
+    * miss it entirely and silently stretch "trailing `lookback` days" to
+    * the previous `lookback` PRESENT days. The calendar spine
+    * (`sequence(min, max)` exploded, left-joined, gaps as cnt 0) makes a
+    * dead day surface as `dev_frac = −1, flagged`, and the window span
+    * true calendar days.
     *
     * Determinism rule: no variance/stddev — engines disagree on the
     * accumulation formula bit-level — and no divided average: the
@@ -150,20 +163,29 @@ object Quality {
     * identical everywhere.
     *
     * At 100 TB: the raw corpus collapses to |days| rows in one
-    * map-side-combining aggregate BEFORE the trailing window, so the
-    * single-partition window sort everyone fears is over metadata (a
-    * century is 36 525 rows) — never over events.
+    * map-side-combining aggregate BEFORE the spine join and the trailing
+    * window, so the single-partition window sort everyone fears is over
+    * metadata (a century is 36 525 rows) — never over events.
     */
   def volumeDrift(events: DataFrame, tsCol: String, lookback: Int = 7,
                   tolerance: Double = 0.5): DataFrame = {
     require(lookback > 0, s"lookback must be positive: $lookback")
+    // persisted: the spine's min/max and the left join both read the daily
+    // aggregate — without the persist each branch would re-scan the EVENTS
+    // (Catalyst does not reuse the grouping exchange across branches), and
+    // that double read is the only corpus-scale cost in the plan
     val daily = events.groupBy(to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val dense = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("day").rowsBetween(-lookback, -1)
-    val dev = when(col("win_n") > 0,
+    val dev = when(col("win_n") > 0 && col("win_sum") > 0,
       round(col("cnt") * col("win_n") / col("win_sum") - 1.0, 6))
-    daily.select(col("day").cast("string").as("day"), col("cnt"),
+    dense.select(col("day").cast("string").as("day"), col("cnt"),
         sum("cnt").over(w).as("win_sum"),
         count(lit(1)).over(w).as("win_n"))
       .select(col("day"), col("cnt"), col("win_n").as("win_days"),
@@ -175,31 +197,47 @@ object Quality {
   /** Join-key distribution profile: the `topK` heaviest keys with the
     * distributional context that decides a salting strategy —
     * `(key, cnt, n_keys, avg_cnt, p99_cnt, skew_ratio)` where
-    * `skew_ratio = max/avg` and `p99_cnt` is the exact interpolated 99th
-    * percentile of per-key counts (the t14 `percentile` rank rule, so the
-    * oracle holds it exactly). Deterministic order: cnt desc, key asc.
+    * `skew_ratio = max/avg` and `p99_cnt` is the 99th percentile of
+    * per-key counts. Deterministic order: cnt desc, key asc.
     *
-    * Two-level aggregate on ONE scan of the input: per-key counts combine
-    * map-side (one shuffle of (key, partial-count) rows), then every
-    * statistic rides a single-partition WINDOW over the per-key table —
-    * |keys| rows, metadata-scale even at 100 TB, so the one-reducer
-    * window is over metadata, never data. (The aggregate-then-crossJoin
-    * alternative reads the INPUT twice — Catalyst does not reuse the
-    * grouping exchange across the two branches — which doubles the only
-    * corpus-scale cost in the plan; single-scan shape spec-pinned.) The
-    * top-k is a TakeOrdered merge, never a global sort.
+    * Plan shape: per-key counts combine map-side (one shuffle of
+    * (key, partial-count) rows, the only corpus-scale cost), the per-key
+    * table is PERSISTED, and the scalar stats are ONE combine-safe
+    * aggregate over it broadcast back as a single row (`crossJoin`).
+    * No single-partition window anywhere: the per-key table is NOT
+    * metadata-scale for exactly the keys this operator exists to diagnose
+    * (a consumer-scale user-id or URL key has 10⁸–10⁹ distinct values,
+    * and a `Window.partitionBy(lit(1))` over it would funnel every one
+    * into a single task's sort — the d12/d13 straggler shape). The top-k
+    * is a TakeOrdered merge, never a global sort; the persist means the
+    * stats branch and the top-k branch both read the per-key AGGREGATE,
+    * never the input twice.
+    *
+    * `exactP99 = true` computes the exact interpolated percentile (the
+    * t14 `percentile` rank rule, value-checkable against any engine) —
+    * still a combine-safe aggregate, but its state buffers the distinct
+    * count-values, so it is the GATE-scale contract. The default is the
+    * bounded-memory KLL-style `approx_percentile` sketch — the at-scale
+    * twin (the t12/c1 exact/sketch discipline).
     */
-  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 5,
+                     exactP99: Boolean = false): DataFrame = {
     val perKey = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val avgCnt = round(avg(col("cnt")).over(w), 6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p99 =
+      if (exactP99) expr("percentile(cnt, 0.99)")
+      else expr("approx_percentile(cnt, 0.99, 10000)").cast("double")
+    val avgCnt = round(avg(col("cnt")), 6)
+    val stats = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      avgCnt.as("avg_cnt"),
+      round(p99, 6).as("p99_cnt"),
+      round(max(col("cnt")) / avgCnt, 6).as("skew_ratio"))
     perKey
-      .select(col("key"), col("cnt"),
-        count(lit(1)).over(w).as("n_keys"),
-        avgCnt.as("avg_cnt"),
-        round(expr("percentile(cnt, 0.99)").over(w), 6).as("p99_cnt"),
-        round(max(col("cnt")).over(w) / avgCnt, 6).as("skew_ratio"))
       .orderBy(col("cnt").desc, col("key"))
       .limit(topK)
+      .crossJoin(broadcast(stats))
+      .select("key", "cnt", "n_keys", "avg_cnt", "p99_cnt", "skew_ratio")
+      .orderBy(col("cnt").desc, col("key")) // re-assert order above the join (topK rows)
   }
 }

@@ -581,8 +581,11 @@ object EventStream {
     * rows land under `outDir/good/`, violating rows under
     * `outDir/quarantine/` (the x7 dirty-corpus discipline, applied
     * in-flight instead of at read time — bad rows are never silently
-    * dropped, they are routed for audit). Returns (nGood, nQuarantined)
-    * read back from the sinks.
+    * dropped, they are routed for audit). The split is NULL-SAFE: a row
+    * where the predicate evaluates to null — a null value under a
+    * comparison, the classic dirty-data shape — counts as violating and
+    * is quarantined, so every input row lands in exactly one sink.
+    * Returns (nGood, nQuarantined) read back from the sinks.
     *
     * Exactly-once despite foreachBatch's at-least-once contract: each
     * batch writes to its OWN `batch=<id>/` directory with overwrite, so a
@@ -608,9 +611,15 @@ object EventStream {
     val q = src.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.where(!bad).write.mode("overwrite")
+        // null-safe split: a row where the violation predicate evaluates to
+        // NULL (a null value under `value < 0` — the classic dirty-data
+        // case this gate exists for) must be QUARANTINED, not lost — a
+        // plain where(!bad)/where(bad) pair excludes null-evaluating rows
+        // from BOTH sinks
+        val isBad = coalesce(bad, lit(true))
+        batch.where(!isBad).write.mode("overwrite")
           .parquet(s"$outDir/good/batch=$batchId")
-        batch.where(bad).write.mode("overwrite")
+        batch.where(isBad).write.mode("overwrite")
           .parquet(s"$outDir/quarantine/batch=$batchId")
         ()
       }

@@ -226,6 +226,20 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out(206L) shouldBe None
   }
 
+  test("interpolateAsOf: a null LEFT timestamp yields null, not the first observed value") {
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 100L, 10.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val left = Seq(
+      (300L, 1L, Some(ts("2024-01-01 11:00:00"))), // after last -> endpoint 10
+      (301L, 1L, Option.empty[java.sql.Timestamp]) // no instant to interpolate at
+    ).toDF("event_id", "user_id", "ts")
+    val out = Joins.interpolateAsOf(left, right, Seq("user_id"), "ts", "ts",
+        "event_id", "value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    out(300L) shouldBe Some(10.0)
+    out(301L) shouldBe None // nulls-first sort would otherwise hand it value 10
+  }
+
   test("interpolateAsOf matches a brute-force per-row computation on real events") {
     val ev = graft.streaming.EventStream.withEventTime(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))

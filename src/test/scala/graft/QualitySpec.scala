@@ -97,15 +97,25 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     out(1).getLong(0) shouldBe 0L // tie on cnt=1 broken by key asc
   }
 
-  test("keySkewProfile plans ONE input scan and a TakeOrdered merge, not a global sort") {
+  test("keySkewProfile plans NO single-partition window; stats broadcast back over the persisted per-key table") {
     val df = spark.range(0, 1000).select((col("id") % 97).as("k"))
-    val plan = Quality.keySkewProfile(df, "k", topK = 2)
-      .queryExecution.executedPlan.toString
+    val out = Quality.keySkewProfile(df, "k", topK = 2)
+    val plan = out.queryExecution.executedPlan.toString
     plan should include("TakeOrderedAndProject")
-    // the input is scanned ONCE: the stats ride a metadata-scale window
-    // over the per-key aggregate instead of a second aggregate branch
-    // (which Catalyst would plan as a second full scan)
-    "Range \\(0, 1000".r.findAllIn(plan).size shouldBe 1
+    // the per-key table can be corpus-cardinality-sized (that is the point
+    // of diagnosing the key) — no Window may ever partition it to one task
+    plan should not include "Window"
+    // the scalar stats ride back as a 1-row broadcast, and both branches
+    // read the PERSISTED per-key aggregate, never the input twice
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("InMemoryTableScan")
+  }
+
+  test("keySkewProfile exact twin: interpolated p99 over the per-key counts") {
+    val df = (Seq.fill(10)(7L) ++ (0L to 4L)).toDF("k")
+    val out = Quality.keySkewProfile(df, "k", topK = 1, exactP99 = true).collect()
+    // counts sorted [1,1,1,1,1,10]: rank 0.99·5 = 4.95 → 1 + 0.95·9 = 9.55
+    out.head.getDouble(4) shouldBe 9.55
   }
 
   test("snapshotDiff shuffles hashes, not text: the join inputs project md5 before the exchange") {
@@ -145,6 +155,22 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     out("2024-05-07") shouldBe ((100L, Some(0.428571), false))
   }
 
+  test("volumeDrift densifies the day axis: a ZERO-event day surfaces as dev -1, flagged") {
+    // days 1,2,3,5 present — day 4 has no rows at all (the collapsed-feed
+    // headline case) and must still appear, flagged, with the window
+    // spanning true calendar days (day 5's window sees the zero)
+    val rows = for (d <- Seq(1, 2, 3, 5); i <- 0 until 100) yield
+      (java.sql.Timestamp.valueOf(f"2024-05-0$d 12:00:00"), i.toLong)
+    val out = Quality.volumeDrift(rows.toDF("ts", "i"), "ts", lookback = 3, tolerance = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))).toMap
+    out.size shouldBe 5 // calendar-dense: the absent day is a row
+    out("2024-05-04") shouldBe ((0L, Some(-1.0), true)) // dead day caught
+    // day 5's trailing mean includes the zero: (100+100+0)/3 → +0.5, at
+    // (not over) tolerance — present days window over CALENDAR days
+    out("2024-05-05") shouldBe ((100L, Some(0.5), false))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged with exact totals") {
     val old = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
     val neu = Seq((2L, "bb"), (3L, "cc2"), (4L, "dddd")).toDF("doc_id", "text")
@@ -154,6 +180,16 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     out("unchanged") shouldBe ((1L, 2L)) // doc 2
     out("changed") shouldBe ((1L, 3L)) // doc 3, NEW chars
     out("added") shouldBe ((1L, 4L)) // doc 4
+  }
+
+  test("snapshotDiff: multi-column boundary shifts cannot alias (length-prefixed encoding)") {
+    // ("ab","c") vs ("a","bc") concatenate identically — the length
+    // prefix (2:ab1:c vs 1:a2:bc) must classify the row as changed
+    val old = Seq((1L, "ab", "c")).toDF("doc_id", "t1", "t2")
+    val neu = Seq((1L, "a", "bc")).toDF("doc_id", "t1", "t2")
+    val out = Pipeline.snapshotDiff(old, neu, "doc_id", Seq("t1", "t2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.get("changed") shouldBe Some(1L)
   }
 
   test("snapshotDiff: a null column value neither crashes nor aliases empty") {
