@@ -684,6 +684,26 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    // Q8 incremental IDF maintenance: the text-scoring statistic (q4/q5's
+    // per-term doc frequencies) advanced by the s10 change feed alone —
+    // cost ∝ |changes|, never a corpus re-scan, the way ES re-computes
+    // IDF continuously as documents index. Scripted cycle: an update that
+    // ADDS a 'red' membership, a delete that retracts its memberships, an
+    // insert; the maintained (term, df, n_docs) table must hash-match a
+    // fresh recompute over the mutated corpus (the oracle recomputes)
+    "q8_idf_maintenance" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // commits version 1
+      val snapshot = st.currentAt(1L).toDF()
+      val stats1 = QueryCompiler.idfStatsTable(snapshot, Seq("red", "widget"))
+      st.partialUpdate("000010", Map("dataSample" -> "maintained red red stream"))
+      st.delete("000020")
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert)
+      QueryCompiler.maintainIdfStats(stats1, snapshot, st.changesBetween(1L),
+          Seq("red", "widget"))
+        .orderBy("term")
+    }),
+
     // X2 full export scan: snapshot → parquet → read back
     "x2_export" -> ((s, d) => {
       val st = freshStore(s)
@@ -1850,6 +1870,26 @@ object SparkEntry {
         .orderBy("change")
     }),
 
+    // O14 TPC-H Q21-shape: the self-join decorrelation — EXISTS and
+    // NOT EXISTS against the SAME lineitem fact, collapsed to one
+    // per-order (n_supp, n_fail) aggregate whose qualifying ids
+    // semi-join the failed candidates; the fact is never row-level
+    // self-joined, no distinct stage
+    "o14_waiting_suppliers" -> ((s, d) =>
+      Relational.waitingSuppliers(
+        s.read.parquet(s"$d/supplier.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // O15 TPC-H Q18-shape: the HAVING-aggregate semi-join — per-order
+    // quantity totals gated at 250 BELOW every join, then broadcast
+    // through orders and customer; the fact shuffles once
+    "o15_large_qty_orders" -> ((s, d) =>
+      Relational.largeQuantityOrders(
+        s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
     // Expand + aggregate pass; NULLS FIRST pinned on both engines
@@ -2498,6 +2538,19 @@ object SparkEntry {
           "UNION ALL SELECT category, recordCount FROM meta WHERE id = '000200') " +
           "SELECT category, count(*) AS n_docs, sum(recordCount)::BIGINT AS sum_records " +
           "FROM cur GROUP BY 1 ORDER BY 1"),
+      // q8: a fresh doc-frequency recompute over the mutated final corpus —
+      // the engine's feed-maintained table must land on it exactly
+      "q8_idf_maintenance" ->
+        (M + ", cur AS (SELECT CASE WHEN id = '000010' THEN 'maintained red red stream' " +
+          "ELSE dataSample END AS dataSample FROM meta " +
+          "WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' " +
+          "UNION ALL SELECT dataSample FROM meta WHERE id = '000200'), " +
+          s"st AS (SELECT count(*) AS n, " +
+          s"sum(CASE WHEN list_contains(${stdToks("dataSample")}, 'red') THEN 1 ELSE 0 END) AS dfr, " +
+          s"sum(CASE WHEN list_contains(${stdToks("dataSample")}, 'widget') THEN 1 ELSE 0 END) AS dfw FROM cur), " +
+          "x AS (SELECT 'red' AS term, dfr::BIGINT AS df, n::BIGINT AS n_docs FROM st " +
+          "UNION ALL SELECT 'widget', dfw::BIGINT, n::BIGINT FROM st) " +
+          "SELECT term, df, n_docs FROM x ORDER BY term"),
       "t1_token_stats" ->
         (T + s"SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +
           s"len(list_filter(t, x -> x IN $stop)) AS n_stopwords FROM toks ORDER BY doc_id"),
@@ -3175,6 +3228,31 @@ object SparkEntry {
           "sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END)::BIGINT AS n_quarantined, " +
           "round(sum(CASE WHEN value >= 0 THEN value::DECIMAL(18,6) END), 4)::DOUBLE " +
           "AS sum_good_value FROM c"),
+      // o14: the honest correlated form — EXISTS and NOT EXISTS as
+      // subqueries against the same fact; the engine's single-aggregate
+      // decorrelation must reproduce it exactly
+      "o14_waiting_suppliers" ->
+        ("SELECT s_name, count(*) AS numwait FROM lineitem l1 " +
+          "JOIN orders ON l1.l_orderkey = o_orderkey " +
+          "JOIN supplier ON l1.l_suppkey = s_suppkey " +
+          "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' " +
+          "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+          "AND l2.l_suppkey <> l1.l_suppkey) " +
+          "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+          "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
+          "GROUP BY s_name ORDER BY numwait DESC, s_name"),
+      // o15: the honest IN-aggregate form; quantity sums through DECIMAL
+      // like the engine, dates as calendar strings
+      "o15_large_qty_orders" ->
+        ("WITH big AS (SELECT l_orderkey, " +
+          "sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty FROM lineitem " +
+          "GROUP BY 1 HAVING sum(l_quantity::DECIMAL(18,6)) > 250) " +
+          "SELECT c_custkey, o_orderkey, " +
+          "(o_orderdate::TIMESTAMP::DATE)::VARCHAR AS o_orderdate, " +
+          "o_totalprice, sum_qty " +
+          "FROM big JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey"),
       // o13: the snowflake double-role join recomputed naively; the
       // money sum follows the cents rule (exact decimal, round 2, cast)
       "o13_trade_flows" ->

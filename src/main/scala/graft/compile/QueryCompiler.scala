@@ -272,6 +272,68 @@ object QueryCompiler {
     (row.getLong(0), terms.zipWithIndex.map { case (t, i) => t -> row.getLong(i + 1) }.toMap)
   }
 
+  /** [[idfWeights]] in MAINTAINABLE long form: one row per requested term,
+    * `(term, df, n_docs)` — including df-0 terms, so the table's key set is
+    * stable under maintenance. Same one-aggregate pass over the corpus;
+    * the long shape exists so the store's change feed can advance it
+    * ([[maintainIdfStats]]) instead of re-scanning the corpus.
+    */
+  def idfStatsTable(corpus: DataFrame, terms: Seq[String],
+                    field: String = "dataSample"): DataFrame = {
+    val toks = Analyzers.standardTokens(col(field))
+    val aggs = count(lit(1)).as("n_docs") +: terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"__df_$i") }
+    val one = corpus.agg(aggs.head, aggs.tail: _*)
+    terms.zipWithIndex.map { case (t, i) =>
+      one.select(lit(t).as("term"), col(s"__df_$i").as("df"), col("n_docs"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Incremental IDF maintenance — the one derived statistic the store's
+    * CDC discipline ([[graft.store.MetadataStore.maintainCategoryStats]],
+    * the s12 shape) now also covers: advance a `(term, df, n_docs)` table
+    * by the change feed alone, cost ∝ |changes|, never a corpus re-scan —
+    * the way ES re-computes IDF continuously as documents index
+    * (reference: configuration_const.py:26-38, the analyzed-fields list
+    * whose stats ES keeps per segment).
+    *
+    * Fold rule per term: every changed id RETRACTS its pre-image's
+    * membership (update or delete alike — latest-wins netting means each
+    * id appears once in the window) and every upsert ADDS its new row's
+    * membership; `n_docs` moves by (upserts − pre-images). Pre-images are
+    * fetched from the old snapshot by pushed id-set point lookup — the
+    * changed-id set is bounded by the feed window, and the resulting scan
+    * prunes to those row groups. The maintained table hash-matches a
+    * fresh [[idfStatsTable]] over the post-change corpus (spec-pinned and
+    * oracle-gated); at 100 TB the recompute reads everything, this reads
+    * |changes| rows.
+    */
+  def maintainIdfStats(statsOld: DataFrame, snapshotOld: DataFrame,
+                       changes: DataFrame, terms: Seq[String],
+                       field: String = "dataSample"): DataFrame = {
+    val changedIds = changes.select(col("id")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val termLits = lit(terms.toArray)
+    def membership(df: DataFrame, sign: Int) = df
+      .select(explode(array_intersect(
+        Analyzers.standardTokens(col(field)), termLits)).as("term"))
+      .groupBy("term").agg((count(lit(1)) * sign).as("d_df"))
+    def rows(df: DataFrame, sign: Int) =
+      df.agg((count(lit(1)) * sign).as("d_n"))
+    val preImages = snapshotOld.where(col("id").isin(changedIds: _*))
+    val upserts = changes.where(col("change_op") === "upsert")
+    val dDf = membership(preImages, -1).unionByName(membership(upserts, 1))
+      .groupBy("term").agg(sum("d_df").as("d_df"))
+    val dN = rows(preImages, -1).unionByName(rows(upserts, 1))
+      .agg(sum("d_n").as("d_n"))
+    statsOld
+      .join(broadcast(dDf), Seq("term"), "left")
+      .crossJoin(broadcast(dN))
+      .select(col("term"),
+        (col("df") + coalesce(col("d_df"), lit(0L))).as("df"),
+        (col("n_docs") + col("d_n")).as("n_docs"))
+  }
+
   /** Q1 scoring with IDF-weighted dataSample matching (M6): rare query terms
     * count more. sampleScore = Σ match(t)·idf(t) / Σ idf(t) · boost with
     * idf(t) = ln(1 + N/(1+df(t))) — the add-one-smoothed IDF. Title/uri

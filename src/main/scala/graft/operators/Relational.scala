@@ -378,4 +378,80 @@ object Relational {
       .agg(round(sum(money(col("disc_price"))), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name", "order_year")
+
+  /** TPC-H Q21-shape "suppliers who kept others waiting" — the SELF-JOIN
+    * decorrelation, the hardest member of the subquery family
+    * ([[returnedOrderBreakdown]] covers single-fact EXISTS/NOT EXISTS,
+    * [[inactiveRichCustomers]] scalar + NOT EXISTS): per supplier, count
+    * the failed lineitems (`l_returnflag = 'R'`, standing in for Q21's
+    * receipt-after-commit — this schema carries no receipt/commit dates)
+    * in finalized (`o_orderstatus = 'F'`) multi-supplier orders where NO
+    * OTHER supplier also failed — i.e. EXISTS and NOT EXISTS correlated
+    * against the SAME fact table the candidate row comes from.
+    *
+    * Decorrelated to ONE aggregate instead of two correlated probes: per
+    * order, `n_supp` = distinct suppliers and `n_fail` = distinct FAILED
+    * suppliers, computed in a single pass over lineitem. For a failed
+    * candidate row, "another supplier exists" ⟺ n_supp > 1 and "no other
+    * supplier failed" ⟺ n_fail = 1 (the candidate itself is failed, so
+    * the failed set is exactly its own supplier) — both EXISTS probes
+    * collapse into one ids-only qualifying-order list. The fact table is
+    * never row-level self-joined.
+    *
+    * At 100 TB: candidates, the qualifying probe, and the finalized-order
+    * ids all key on orderkey — two semi joins on ONE co-partitioned key,
+    * both ids-only on the build side, both BELOW the per-supplier count;
+    * supplier is a broadcast dim; no distinct stage anywhere (semi-join
+    * semantics emit each candidate at most once).
+    */
+  def waitingSuppliers(supplier: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame): DataFrame = {
+    val fail = col("l_returnflag") === "R"
+    val qualifying = lineitem
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(fail, col("l_suppkey"))).as("n_fail"))
+      .where(col("n_supp") > 1 && col("n_fail") === 1)
+      .select("l_orderkey")
+    val finalized = orders.where(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    lineitem.where(fail).select("l_orderkey", "l_suppkey")
+      .join(qualifying, Seq("l_orderkey"), "left_semi")
+      .join(finalized, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q18-shape "large-quantity orders" — the HAVING-aggregate
+    * semi-join: orders whose total lineitem quantity exceeds `minQty`,
+    * reported with buyer and order header. The subquery family's
+    * remaining member: the probe is not a filter but an AGGREGATE with a
+    * HAVING gate, and the outer query re-joins the gated totals back to
+    * the dimensions.
+    *
+    * At 100 TB: the quantity totals collapse lineitem to one row per
+    * order BELOW every join (map-side partials on the scan); the HAVING
+    * gate then shrinks that to the handful of outlier orders, and the
+    * gated (orderkey, sum) rows BROADCAST into orders, whose result —
+    * now outlier-sized — broadcasts into customer. The fact table
+    * shuffles once (the groupBy), the dimensions never shuffle at all.
+    * Quantity sums in exact DECIMAL (the e1 rule) and report as double.
+    */
+  def largeQuantityOrders(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, minQty: Double = 250.0): DataFrame = {
+    val big = lineitem.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty_dec"))
+      .where(col("sum_qty_dec") > minQty)
+      .select(col("l_orderkey"), col("sum_qty_dec").cast("double").as("sum_qty"))
+    val o = orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty")
+    customer.select("c_custkey")
+      .join(broadcast(o), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
 }

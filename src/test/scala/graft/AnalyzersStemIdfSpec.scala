@@ -87,4 +87,42 @@ class AnalyzersStemIdfSpec extends AnyFunSuite with Matchers with SparkSupport {
     // effect — sanity: single-match doc score is ln(2)·idf-scaled, positive
     tfidf("003") should be > 0.0
   }
+
+  test("maintainIdfStats: a full update/delete/insert cycle lands on a fresh recompute") {
+    def corpus(rows: Seq[(String, String)]) =
+      rows.toDF("id", "dataSample")
+    val v1 = corpus(Seq(
+      "001" -> "red fox",        // keeps membership
+      "002" -> "plain text",     // updated INTO membership below
+      "003" -> "red widget",     // deleted: retracts BOTH terms
+      "004" -> "widget works"))  // untouched
+    val stats1 = QueryCompiler.idfStatsTable(v1, Seq("red", "widget"))
+    // the change feed's net window: 002 re-upserted with new text, 003
+    // deleted (pre-image payload rides along, as changesBetween emits),
+    // 005 inserted fresh
+    val changes = Seq(
+      ("002", "upsert", "now red here"),
+      ("003", "delete", "red widget"),
+      ("005", "upsert", "widget widget twice")
+    ).toDF("id", "change_op", "dataSample")
+    val maintained = QueryCompiler.maintainIdfStats(stats1, v1, changes, Seq("red", "widget"))
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    val v2 = corpus(Seq(
+      "001" -> "red fox", "002" -> "now red here",
+      "004" -> "widget works", "005" -> "widget widget twice"))
+    val fresh = QueryCompiler.idfStatsTable(v2, Seq("red", "widget"))
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    maintained shouldBe fresh
+    maintained shouldBe Seq(("red", 2L, 4L), ("widget", 2L, 4L))
+  }
+
+  test("maintainIdfStats: an empty feed window is the identity, df-0 terms keep their rows") {
+    val v1 = Seq("001" -> "red fox").toDF("id", "dataSample")
+    val stats1 = QueryCompiler.idfStatsTable(v1, Seq("red", "absent"))
+    val changes = Seq.empty[(String, String, String)]
+      .toDF("id", "change_op", "dataSample")
+    val out = QueryCompiler.maintainIdfStats(stats1, v1, changes, Seq("red", "absent"))
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    out shouldBe Seq(("absent", 0L, 1L), ("red", 1L, 1L))
+  }
 }

@@ -488,6 +488,34 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     "BroadcastHashJoin".r.findAllIn(p13).size should be >= 2
     p13 should not include "CartesianProduct"
     p13 should include regex """PushedFilters: \[[^\]]*l_shipdate"""
+    // o14: the Q21 self-join decorrelation — BOTH correlated probes
+    // collapse into one ids-only semi-join list; the fact is never
+    // row-level self-joined (no inner fact-fact join), no post-join
+    // distinct, both probes LeftSemi BELOW the per-supplier count
+    val p14qe = graft.operators.Relational.waitingSuppliers(sup, ord, li)
+      .queryExecution
+    val p14 = p14qe.executedPlan.toString
+    "LeftSemi".r.findAllIn(p14).size should be >= 2
+    p14 should not include "CartesianProduct"
+    p14 should include regex """PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)"""
+    // the semi joins sit BELOW the s_name aggregate, and no Distinct
+    // rides above any join
+    val o14Agg = p14qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.exists(_.references.exists(_.name == "s_name")) => a
+    }.head
+    o14Agg.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType.sql == "LEFT SEMI" => j
+    }.size should be >= 2
+    // o15: the HAVING-aggregate gate collapses the fact BELOW every join
+    // (partial sums on the scan), and the gated totals broadcast through
+    // orders and customer — the dimensions never exchange
+    val p15 = graft.operators.Relational.largeQuantityOrders(cust, ord, li)
+      .queryExecution.executedPlan.toString
+    p15 should include("partial_sum")
+    "BroadcastHashJoin".r.findAllIn(p15).size should be >= 2
+    p15 should not include "CartesianProduct"
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
