@@ -743,6 +743,33 @@ object SparkEntry {
     "t7_token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
 
+    // T17 real BPE: 20 merges LEARNED on the corpus word-frequency table
+    // (Sennrich pair-count iterations — 2 metadata-scale jobs per merge,
+    // the corpus read ONCE), broadcast into a codegen'd encode. Gated on
+    // the independently recomputed FIRST merge and the exact one-merge
+    // token count (DuckDB replays the same argmax + wrapped-replace
+    // arithmetic), plus roundtrip/compression invariants over the full
+    // 20-merge encode
+    "t17_bpe_tokenize" -> ((s, d) => {
+      val ds = docs(s, d)
+      val merges = graft.operators.Bpe.trainMerges(ds, 20)
+      val words = ds.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val encFull = graft.operators.Bpe.encode(col("w"), merges)
+      val enc1 = graft.operators.Bpe.encode(col("w"), merges.take(1))
+      words.agg(
+          count(lit(1)).as("total_words"),
+          sum(length(col("w"))).cast("long").as("total_chars"),
+          sum(size(enc1)).cast("long").as("tokens_after_first"),
+          sum(size(encFull)).cast("long").as("bpe_total"),
+          sum(when(concat_ws("", encFull) === col("w"), 0).otherwise(1)).as("rt_fail"))
+        .select(lit(merges.length.toLong).as("n_merges"),
+          lit(merges.headOption.map(m => m._1 + "+" + m._2).getOrElse("")).as("first_merge"),
+          col("total_words"), col("total_chars"), col("tokens_after_first"),
+          (col("bpe_total") < col("total_chars") &&
+            col("bpe_total") >= col("total_words")).as("compresses"),
+          (col("rt_fail") === 0).as("roundtrip_ok"))
+    }),
+
     // Text analysis: Gopher-style bigram repetition signals
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
@@ -1063,6 +1090,28 @@ object SparkEntry {
       Similarity.ivfIndex(base, cents).write.mode("overwrite")
         .partitionBy("cell").parquet(dir)
       Similarity.ivfAppend(batch, cents, dir)
+      Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
+          emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
+
+    // V18 index small-file compaction: the accretion half of index
+    // lifecycle (v14 covers deletes) — four append batches land files per
+    // touched cell, then ONLY over-threshold cells rewrite to one file
+    // each (cold cells byte-identical, spec-pinned); the compacted index
+    // must still recall the exact planted top-10 through the same probe
+    "v18_index_compaction" -> ((s, d) => {
+      val all = plantedTopKEmb(s, d)
+      val base = all.where(col("vec_id") < 200000L)
+      val batch = all.where(col("vec_id") >= 200000L)
+      val cents = Similarity.ivfCentroids(base, 32)
+      val dir = scratch("v18-ivfidx")
+      Similarity.ivfIndex(base, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+      (0 until 4).foreach { i =>
+        Similarity.ivfAppend(batch.where(pmod(col("vec_id"), lit(4)) === i), cents, dir)
+      }
+      Similarity.ivfCompactSmallFiles(s, dir, maxFilesPerCell = 2)
       Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
           emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8)
         .orderBy("q_id", "rank")
@@ -2669,6 +2718,25 @@ object SparkEntry {
         ("SELECT doc_id, len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS n_ws_tokens, " +
           "len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\r]+')) AS n_bpe_tokens " +
           "FROM documents ORDER BY doc_id"),
+      // t17: DuckDB independently re-derives the FIRST merge (same
+      // weighted pair argmax, same count-desc/lex tie-break) and replays
+      // it with the same wrapped-string replace arithmetic — the exact
+      // one-merge token count is a closed form (chars − occurrences,
+      // each replace shortening the wrapper by 2); the full-table
+      // invariants are pinned true
+      "t17_bpe_tokenize" ->
+        (T + ", words AS (SELECT unnest(t) AS w FROM toks), " +
+          "wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1), " +
+          "pr AS (SELECT w[i:i] AS a, w[i+1:i+1] AS b, cnt " +
+          "FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM wc)), " +
+          "top AS (SELECT a, b FROM pr GROUP BY a, b ORDER BY sum(cnt) DESC, a, b LIMIT 1), " +
+          "app AS (SELECT cnt, len(w) - (len(wr) - len(replace(wr, ' '||a||'  '||b||' ', ' '||a||b||' ')))//2 AS toks1 " +
+          "FROM (SELECT w, cnt, regexp_replace(w, '(.)', ' \\1 ', 'g') AS wr FROM wc), top) " +
+          "SELECT 20::BIGINT AS n_merges, (SELECT a||'+'||b FROM top) AS first_merge, " +
+          "(SELECT count(*) FROM words)::BIGINT AS total_words, " +
+          "(SELECT sum(len(w)) FROM words)::BIGINT AS total_chars, " +
+          "(SELECT sum(cnt*toks1) FROM app)::BIGINT AS tokens_after_first, " +
+          "true AS compresses, true AS roundtrip_ok"),
       "t9_repetition" ->
         (T + ", bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks) " +
           ", g AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) " +
@@ -2852,6 +2920,10 @@ object SparkEntry {
       // index must recall the same exact top-10 — every true neighbor
       // arrived via the APPEND, making recall-through-append the gate
       "v8_ivf_append" -> plantedTopkSql,
+      // v18: compaction is a row-identical physical rewrite, so the
+      // bin-packed index must recall the same exact top-10 as v8's
+      // accreted layout
+      "v18_index_compaction" -> plantedTopkSql,
       // e11: the STREAMED append (per-micro-batch ivfAppend) must recall
       // the same exact top-10 — batching cannot change pure per-row
       // assignment

@@ -454,6 +454,57 @@ object Similarity {
     touched.length
   }
 
+  /** Small-file compaction for the APPEND path — the other half of index
+    * maintenance beside [[ivfCompact]]'s tombstone reclamation: [[ivfAppend]]
+    * and the streaming ingest (e11) land one file per batch per touched
+    * cell, so a cell's file count grows with ingest history and the file
+    * COUNT (listing, footer reads, a task per file) starts to dominate
+    * probe cost long before the bytes do (the
+    * [[graft.sources.Compaction]] x10 rationale, applied to the index's
+    * `cell=` layout). Rewrites ONLY cells whose data-file count exceeds
+    * `maxFilesPerCell`, each into exactly ONE file (hash repartition on
+    * the cell key + dynamic partition overwrite); untouched cells — at
+    * 100 TB, the cold majority — are never read, rewritten, or shuffled,
+    * and their files stay byte-identical. Search results are IDENTICAL
+    * before and after (row-identical rewrite — spec-pinned, and the v18
+    * oracle holds the post-compaction search to the exact-cosine answer).
+    *
+    * Same crash discipline as [[ivfCompact]]: survivors stage to a
+    * scratch directory before the index mutates, so a crash leaves the
+    * accreted-but-correct layout in place. Single-writer maintenance op —
+    * run from the index's maintenance schedule, not concurrently with
+    * appends. Returns the number of cell directories rewritten.
+    */
+  def ivfCompactSmallFiles(spark: SparkSession, indexDir: String,
+                           maxFilesPerCell: Int = 4): Int = {
+    require(maxFilesPerCell >= 1, s"maxFilesPerCell must be >= 1: $maxFilesPerCell")
+    val root = java.nio.file.Paths.get(indexDir)
+    def dataFiles(p: java.nio.file.Path): Int =
+      graft.util.FsUtil.listDir(p)(_.count(_.getFileName.toString.endsWith(".parquet")))
+    val touched = graft.util.FsUtil.listDir(root)(_.filter { p =>
+        p.getFileName.toString.startsWith("cell=") &&
+          java.nio.file.Files.isDirectory(p)
+      }.toSeq)
+      .filter(dataFiles(_) > maxFilesPerCell)
+      .map(_.getFileName.toString.stripPrefix("cell=").toInt).sorted
+    if (touched.isEmpty) return 0
+    val staging = s"$indexDir-compact-stage"
+    try {
+      spark.read.parquet(indexDir)
+        .where(col("cell").isin(touched.map(Integer.valueOf): _*))
+        // one hash partition per cell value → exactly ONE output file per
+        // rewritten cell directory under partitionBy (all of a cell's rows
+        // land in one task; a task writes one file per cell it holds)
+        .repartition(col("cell"))
+        .write.mode("overwrite").parquet(staging)
+      spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(indexDir)
+    } finally graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
+    touched.length
+  }
+
   // -------------------------------------------------- product quantization
 
   /** Deterministic per-subspace PQ codebooks: `codesPerSub` corpus vectors

@@ -417,6 +417,42 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     spark.read.parquet(dir).count() shouldBe (40 - dead.size - victims.size)
   }
 
+  test("ivf small-file compaction: accreted appends collapse to one file per hot cell, search identical, cold cells untouched") {
+    val cents = Similarity.ivfCentroids(embDf, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsmall").toString + "/idx"
+    // base index from half the corpus, then FOUR append batches — the
+    // accretion path: each append lands new files in its touched cells
+    val base = embDf.where($"vec_id" < 20)
+    Similarity.ivfIndex(base, cents).write.partitionBy("cell").parquet(dir)
+    (0 until 4).foreach { i =>
+      Similarity.ivfAppend(embDf.where($"vec_id" >= 20 && $"vec_id" % 4 === i), cents, dir)
+    }
+    def cellFiles(): Map[String, Set[(String, Long)]] =
+      graft.util.FsUtil.listDir(java.nio.file.Paths.get(dir))(_.filter(p =>
+          p.getFileName.toString.startsWith("cell=")).map { p =>
+        p.getFileName.toString -> graft.util.FsUtil.listDir(p)(_.filter(
+          _.getFileName.toString.endsWith(".parquet")).map(f =>
+          (f.getFileName.toString, java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet)
+      }.toMap)
+    val before = cellFiles()
+    val hot = before.filter(_._2.size > 2).keySet
+    hot should not be empty // the appends really accreted files
+    val q = embDf.where($"vec_id" === 0)
+    val preSearch = Similarity.ivfTopKIndexed(spark.read.parquet(dir),
+      cents, q, 5, nprobe = 8).orderBy("rank").collect().toSeq
+    // rewrite only the hot cells, each to exactly ONE file
+    Similarity.ivfCompactSmallFiles(spark, dir, maxFilesPerCell = 2) shouldBe hot.size
+    val after = cellFiles()
+    hot.foreach(k => after(k).size shouldBe 1) // bin-packed contract
+    (before.keySet -- hot).foreach(k => after(k) shouldBe before(k)) // cold cells byte-for-byte alone
+    // row-identical rewrite: search is unchanged through the compaction
+    Similarity.ivfTopKIndexed(spark.read.parquet(dir), cents, q, 5, nprobe = 8)
+      .orderBy("rank").collect().toSeq shouldBe preSearch
+    spark.read.parquet(dir).count() shouldBe 40
+    // already-packed layout: a second pass is a no-op
+    Similarity.ivfCompactSmallFiles(spark, dir, maxFilesPerCell = 2) shouldBe 0
+  }
+
   test("lloyd refinement: deterministic re-run, exact at full probe, balances organic occupancy") {
     // bit-determinism: decimal sums are order-independent, so two runs over
     // differently-partitioned input agree float-for-float
