@@ -403,6 +403,51 @@ object ScaleProbe {
       f""""diff_sec":$tDiff%.2f,"diff_classes":${diff.length}}"""
   }
 
+  /** KEY-CARDINALITY synthesis — the axis the decade tables do NOT
+    * exercise: the row count is HELD while the distinct-key count grows
+    * `factor`× (each user splits into `factor` keys by the event's own id
+    * digit — deterministic, no RNG, and the per-key count distribution
+    * thins uniformly the way an organically wider key domain would).
+    */
+  def synthesizeKeyRich(ev: DataFrame, factor: Int = 10): DataFrame =
+    ev.withColumn("user_id",
+      col("user_id") * factor + pmod(col("event_id"), lit(factor.toLong)))
+
+  /** Key-cardinality stress profile: the operators whose state scales with
+    * DISTINCT KEYS, not rows — c4's skew profile (at-scale sketch
+    * percentile; before the broadcast-stats rewrite this axis funneled the
+    * whole per-key table through one window task), the x16 HLL daily fold
+    * with its TOTAL SKETCH BYTES (bounded sketches must stay ~flat while
+    * keys decuple), and d6's connected components over a chain graph on
+    * the key domain (label volume ∝ keys, rounds ∝ log diameter).
+    */
+  private def profileKeyCardinality(spark: SparkSession, label: String,
+                                    ev: DataFrame): String = {
+    import graft.operators.{Quality, SketchRollup}
+    val n = ev.count()
+    val nKeys = ev.agg(countDistinct(col("user_id"))).head.getLong(0)
+    val (skew, tSkew) = timed(Quality.keySkewProfile(ev, "user_id").collect())
+    val dir = scratch("scale-keys-" + label)
+    val (_, tFold) = timed(SketchRollup.dailyDistinctSketches(ev, "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/hll"))
+    val hll = spark.read.parquet(s"$dir/hll")
+      .agg(sum(length(col("sketch"))).cast("long"), count(lit(1))).head()
+    // CC over the key domain: chain consecutive PRESENT keys in quads —
+    // disjoint small components, the d6 shape with 10× the labels
+    val keys = ev.select(col("user_id")).distinct()
+    val edges = keys.select(col("user_id").as("a_id"), (col("user_id") + 1).as("b_id"))
+      .where(pmod(col("a_id"), lit(4)) =!= 3)
+      .join(keys.select(col("user_id").as("b_id")), Seq("b_id"), "left_semi")
+    val (nCanon, tCc) = timed(Dedup.dupClusters(
+        keys.select(col("user_id").as("doc_id")), edges)
+      .where(col("is_canonical")).count())
+    f"""{"corpus":"$label","n_events":$n,"n_keys":$nKeys,""" +
+      f""""c4_sec":$tSkew%.2f,"skew_ratio":${skew.head.getDouble(5)}%.2f,""" +
+      f""""hll_fold_sec":$tFold%.2f,"hll_days":${hll.getLong(1)},""" +
+      f""""hll_bytes":${hll.getLong(0)},"cc_labels":$nKeys,""" +
+      f""""cc_components":$nCanon,"cc_sec":$tCc%.2f}"""
+  }
+
   /** Shard-export profile: the delivery step at 1× and 10× — one hash
     * shuffle, per-shard balance (max/min docs), wall. Linear wall and flat
     * skew at 10× is the evidence the trainer-facing export scales.
@@ -447,6 +492,16 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // optional section arg: "keys" runs ONLY the key-cardinality stress
+    // (the cheap new-axis probe, re-runnable without the decade suite)
+    if (args.headOption.contains("keys")) {
+      val ev1 = EventStream.withEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
+      println(profileKeyCardinality(spark, "keys-1x", ev1))
+      println(profileKeyCardinality(spark, "keys-10x", synthesizeKeyRich(ev1)))
+      spark.stop()
+      return
+    }
 
     // SPARK_GRAFT_SCALE_SHARDS widens the document synthesis (default 10 =
     // one decade; 100 = two decades) — the ANN/streaming probes below stay
@@ -521,6 +576,12 @@ object ScaleProbe {
       EventStream.withEventTime(spark.read.parquet(s"$sfDir/events.parquet")), organic))
     println(profileQuality(spark, "quality-10x",
       EventStream.withEventTime(spark.read.parquet(evDir)), decade))
+
+    // key-cardinality stress: rows HELD, distinct keys ×10 — the axis the
+    // decade tables don't cover (the round-11 c4 straggler axis)
+    val ev1 = EventStream.withEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
+    println(profileKeyCardinality(spark, "keys-1x", ev1))
+    println(profileKeyCardinality(spark, "keys-10x", synthesizeKeyRich(ev1)))
     spark.stop()
   }
 }
