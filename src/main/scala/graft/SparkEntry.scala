@@ -684,6 +684,27 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    // E15 streaming IDF maintenance: the q8 statistic kept current by an
+    // APPEND-ONLY ingest stream — four staged corpus files become four
+    // micro-batches, each landing its own (term, d_df, d_n) delta rows in
+    // a batch directory (idempotent replay by overwrite); the read side
+    // folds base stats + delta log in any order and must hash-match a
+    // fresh recompute over the base ∪ appended corpus
+    "e15_stream_idf_fold" -> ((s, d) => {
+      val src = scratch("e15-src")
+      val deltas = scratch("e15-deltas")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        Corpus.metadata(s, d).where(col("id").between("000051", "000090"))
+          .select("id", "dataSample").repartition(4).write.parquet(src)
+      }
+      val base = Corpus.metadata(s, d).where(col("id") <= "000050")
+      val stats0 = QueryCompiler.idfStatsTable(base, Seq("red", "widget"))
+      EventStream.streamIdfDeltaFold(s, src, deltas, Seq("red", "widget"))
+      QueryCompiler.idfStatsWithDeltas(stats0,
+          s.read.parquet(s"$deltas/batches"))
+        .orderBy("term")
+    }),
+
     // Q8 incremental IDF maintenance: the text-scoring statistic (q4/q5's
     // per-term doc frequencies) advanced by the s10 change feed alone —
     // cost ∝ |changes|, never a corpus re-scan, the way ES re-computes
@@ -768,6 +789,22 @@ object SparkEntry {
           (col("bpe_total") < col("total_chars") &&
             col("bpe_total") >= col("total_words")).as("compresses"),
           (col("rt_fail") === 0).as("roundtrip_ok"))
+    }),
+
+    // T18 per-doc BPE token counts under the first LEARNED merge — t17's
+    // corpus-level gate taken to row granularity: every document's count
+    // is the closed form chars − occurrences, which DuckDB recomputes
+    // from its own independently derived argmax merge; the encode is one
+    // shuffle-free codegen'd transform+aggregate pass per doc
+    "t18_bpe_doc_counts" -> ((s, d) => {
+      val ds = docs(s, d)
+      val merges = graft.operators.Bpe.trainMerges(ds, 1)
+      ds.select(col("doc_id"),
+          aggregate(
+            transform(TextAnalysis.tokens(col("text")),
+              w => size(graft.operators.Bpe.encode(w, merges))),
+            lit(0L), (acc, x) => acc + x).as("n_tokens_1merge"))
+        .orderBy("doc_id")
     }),
 
     // Text analysis: Gopher-style bigram repetition signals
@@ -1939,6 +1976,16 @@ object SparkEntry {
         s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"))),
 
+    // O16 PIVOT report: nation × year revenue as a wide table with
+    // EXPLICIT pivot values — no hidden collect-distinct job, one
+    // group-by pass; empty combinations stay null
+    "o16_pivot_report" -> ((s, d) =>
+      Relational.nationYearPivot(
+        s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/nation.parquet"))),
+
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
     // Expand + aggregate pass; NULLS FIRST pinned on both engines
@@ -2587,6 +2634,16 @@ object SparkEntry {
           "UNION ALL SELECT category, recordCount FROM meta WHERE id = '000200') " +
           "SELECT category, count(*) AS n_docs, sum(recordCount)::BIGINT AS sum_records " +
           "FROM cur GROUP BY 1 ORDER BY 1"),
+      // e15: a fresh doc-frequency recompute over base ∪ appended ids —
+      // the stream's folded delta log must land on it exactly
+      "e15_stream_idf_fold" ->
+        (M + ", cur AS (SELECT dataSample FROM meta WHERE id <= '000090'), " +
+          s"st AS (SELECT count(*) AS n, " +
+          s"sum(CASE WHEN list_contains(${stdToks("dataSample")}, 'red') THEN 1 ELSE 0 END) AS dfr, " +
+          s"sum(CASE WHEN list_contains(${stdToks("dataSample")}, 'widget') THEN 1 ELSE 0 END) AS dfw FROM cur), " +
+          "x AS (SELECT 'red' AS term, dfr::BIGINT AS df, n::BIGINT AS n_docs FROM st " +
+          "UNION ALL SELECT 'widget', dfw::BIGINT, n::BIGINT FROM st) " +
+          "SELECT term, df, n_docs FROM x ORDER BY term"),
       // q8: a fresh doc-frequency recompute over the mutated final corpus —
       // the engine's feed-maintained table must land on it exactly
       "q8_idf_maintenance" ->
@@ -2737,6 +2794,19 @@ object SparkEntry {
           "(SELECT sum(len(w)) FROM words)::BIGINT AS total_chars, " +
           "(SELECT sum(cnt*toks1) FROM app)::BIGINT AS tokens_after_first, " +
           "true AS compresses, true AS roundtrip_ok"),
+      // t18: the same independently derived first merge applied per doc —
+      // count = chars − non-overlapping occurrences, word by word
+      "t18_bpe_doc_counts" ->
+        (T + ", words AS (SELECT unnest(t) AS w FROM toks), " +
+          "wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1), " +
+          "pr AS (SELECT w[i:i] AS a, w[i+1:i+1] AS b, cnt " +
+          "FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM wc)), " +
+          "top AS (SELECT a, b FROM pr GROUP BY a, b ORDER BY sum(cnt) DESC, a, b LIMIT 1), " +
+          "wd AS (SELECT doc_id, unnest(t) AS w FROM toks), " +
+          "app AS (SELECT doc_id, len(w) - (len(wr) - len(replace(wr, ' '||a||'  '||b||' ', ' '||a||b||' ')))//2 AS t1 " +
+          "FROM (SELECT doc_id, w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS wr FROM wd), top) " +
+          "SELECT doc_id, sum(t1)::BIGINT AS n_tokens_1merge FROM app " +
+          "GROUP BY 1 ORDER BY doc_id"),
       "t9_repetition" ->
         (T + ", bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks) " +
           ", g AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) " +
@@ -3313,6 +3383,20 @@ object SparkEntry {
           "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
           "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
           "GROUP BY s_name ORDER BY numwait DESC, s_name"),
+      // o16: the wide form as explicit CASE-sum columns — one column per
+      // year, quoted numeric aliases matching Spark's pivot names; empty
+      // combinations null on both engines
+      "o16_pivot_report" ->
+        ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
+          "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
+          "SELECT n_name, " +
+          (1995 to 2001).map(y =>
+            s"""round(sum(CASE WHEN order_year = $y THEN dp::DECIMAL(28,10) END), 2)::DOUBLE AS "$y"""")
+            .mkString(", ") +
+          " FROM l JOIN o ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY 1 ORDER BY 1"),
       // o15: the honest IN-aggregate form; quantity sums through DECIMAL
       // like the engine, dates as calendar strings
       "o15_large_qty_orders" ->

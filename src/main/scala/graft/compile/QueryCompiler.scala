@@ -308,6 +308,39 @@ object QueryCompiler {
     * oracle-gated); at 100 TB the recompute reads everything, this reads
     * |changes| rows.
     */
+  /** Per-batch IDF DELTA for APPEND-ONLY ingest: one row per requested
+    * term, `(term, d_df, d_n)` — the batch's term-membership counts and
+    * row count. Appends retract nothing, so a batch's delta is a pure
+    * function of the batch alone: deltas from different batches fold in
+    * ANY order ([[idfStatsWithDeltas]]), which is what lets a stream land
+    * them merge-on-read (the e14 log-of-partials algebra applied to an
+    * EXACT statistic — exact, so replay safety comes from per-batch-id
+    * overwrite, not from union idempotence). Updates and deletes need
+    * pre-image retraction and go through [[maintainIdfStats]].
+    */
+  def idfDeltas(batch: DataFrame, terms: Seq[String],
+                field: String = "dataSample"): DataFrame =
+    idfStatsTable(batch, terms, field)
+      .select(col("term"), col("df").as("d_df"), col("n_docs").as("d_n"))
+
+  /** Fold a delta log into a base stats table: per-term membership sums
+    * plus ONE row-count contribution per batch (`d_n` rides every term
+    * row of its batch, so the batch axis — the delta log's partition
+    * column — dedupes it). Both fold inputs are metadata-scale
+    * broadcasts.
+    */
+  def idfStatsWithDeltas(stats0: DataFrame, deltas: DataFrame,
+                         batchCol: String = "batch"): DataFrame = {
+    val dDf = deltas.groupBy("term").agg(sum("d_df").as("d_df"))
+    val dN = deltas.select(col(batchCol), col("d_n")).distinct()
+      .agg(sum("d_n").as("d_n"))
+    stats0.join(broadcast(dDf), Seq("term"), "left")
+      .crossJoin(broadcast(dN))
+      .select(col("term"),
+        (col("df") + coalesce(col("d_df"), lit(0L))).as("df"),
+        (col("n_docs") + coalesce(col("d_n"), lit(0L))).as("n_docs"))
+  }
+
   def maintainIdfStats(statsOld: DataFrame, snapshotOld: DataFrame,
                        changes: DataFrame, terms: Seq[String],
                        field: String = "dataSample"): DataFrame = {

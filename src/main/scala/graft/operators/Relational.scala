@@ -379,6 +379,26 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy("n_name", "order_year")
 
+  /** PIVOT report: nation × year revenue as a WIDE table — one row per
+    * nation, one revenue column per year, the report-delivery shape BI
+    * consumers ask for (the long form is [[nationRevenue]]). EXPLICIT
+    * pivot values: Spark's values-free `pivot` first runs a
+    * collect-distinct job over the pivot column — a hidden corpus pass
+    * and a driver-width risk at 100 TB — while naming the years keeps the
+    * whole report ONE group-by pass with pivot-case aggregates (same
+    * plan family as o6/o8's Expand, but width-wise). Money follows the
+    * cents rule: exact DECIMAL sums, round 2, double; year–nation pairs
+    * with no sales stay null (the wide form's honest hole, not a zero).
+    */
+  def nationYearPivot(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, nation: DataFrame,
+                      years: Seq[Int] = 1995 to 2001): DataFrame =
+    nationRevenueBase(customer, orders, lineitem, nation)
+      .groupBy("n_name")
+      .pivot("order_year", years)
+      .agg(round(sum(money(col("disc_price"))), 2).cast("double"))
+      .orderBy("n_name")
+
   /** TPC-H Q21-shape "suppliers who kept others waiting" — the SELF-JOIN
     * decorrelation, the hardest member of the subquery family
     * ([[returnedOrderBreakdown]] covers single-fact EXISTS/NOT EXISTS,

@@ -665,6 +665,44 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Streaming IDF-delta maintenance — the q8 scoring statistic kept
+    * current by an APPEND-ONLY ingest stream, the way ES's IDF tracks
+    * segment flushes: each micro-batch folds its own
+    * `(term, d_df, d_n)` delta rows ([[graft.compile.QueryCompiler.idfDeltas]])
+    * into its OWN `batch=<id>/` directory with overwrite — a replayed
+    * batch rewrites its previous attempt byte-identically (the e13/e14
+    * per-batch-directory rule), and because appends retract nothing, a
+    * batch's delta is a pure function of the batch alone, so the read
+    * side ([[graft.compile.QueryCompiler.idfStatsWithDeltas]]) folds the
+    * log in ANY order. The statistic is EXACT, not a sketch, so replay
+    * safety comes from the batch-id overwrite, not union idempotence —
+    * a duplicate-CONTENT delivery is two real appends here, unlike
+    * e14's HLL. Updates/deletes need pre-image retraction and stay on
+    * the batch CDC path (`maintainIdfStats`, the q8 entry).
+    */
+  def streamIdfDeltaFold(spark: SparkSession, srcDir: String, deltaDir: String,
+                         terms: Seq[String]): Unit = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val src = bf.readStream
+      .schema(bf.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.compile.QueryCompiler.idfDeltas(batch, terms)
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   def streamIngestToIndex(spark: SparkSession, landingDir: String,
                           cents: Seq[Seq[Float]], indexDir: String): Unit = {
     val vecs = spark.readStream

@@ -116,6 +116,26 @@ class AnalyzersStemIdfSpec extends AnyFunSuite with Matchers with SparkSupport {
     maintained shouldBe Seq(("red", 2L, 4L), ("widget", 2L, 4L))
   }
 
+  test("idfStatsWithDeltas: append-only batch deltas fold ORDER-FREE onto a fresh recompute") {
+    val base = Seq("001" -> "red fox").toDF("id", "dataSample")
+    val b1 = Seq("002" -> "red widget").toDF("id", "dataSample")
+    val b2 = Seq("003" -> "plain", "004" -> "widget").toDF("id", "dataSample")
+    val terms = Seq("red", "widget")
+    val stats0 = QueryCompiler.idfStatsTable(base, terms)
+    def delta(df: org.apache.spark.sql.DataFrame, id: Int) =
+      QueryCompiler.idfDeltas(df, terms).withColumn("batch", lit(id))
+    val fresh = QueryCompiler
+      .idfStatsTable(base.unionByName(b1).unionByName(b2), terms)
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    fresh shouldBe Seq(("red", 2L, 4L), ("widget", 2L, 4L))
+    // both log orders land on the fresh recompute — appends commute
+    Seq(delta(b1, 1).unionByName(delta(b2, 2)),
+        delta(b2, 2).unionByName(delta(b1, 1))).foreach { log =>
+      QueryCompiler.idfStatsWithDeltas(stats0, log)
+        .orderBy("term").as[(String, Long, Long)].collect().toSeq shouldBe fresh
+    }
+  }
+
   test("maintainIdfStats: an empty feed window is the identity, df-0 terms keep their rows") {
     val v1 = Seq("001" -> "red fox").toDF("id", "dataSample")
     val stats1 = QueryCompiler.idfStatsTable(v1, Seq("red", "absent"))

@@ -516,6 +516,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     p15 should include("partial_sum")
     "BroadcastHashJoin".r.findAllIn(p15).size should be >= 2
     p15 should not include "CartesianProduct"
+    // o16: EXPLICIT pivot values — the fact is scanned ONCE; Spark's
+    // pivot rewrite is the two-phase shape (a data-scale combine-safe
+    // aggregate to (nation, year) grain, then a metadata-scale
+    // pivot-first aggregate over it), never the values-free variant's
+    // hidden collect-distinct pre-job over the pivot column
+    val p16qe = graft.operators.Relational.nationYearPivot(cust, ord, li, nat)
+      .queryExecution
+    val p16 = p16qe.executedPlan.toString
+    p16 should include("partial_sum")
+    p16 should not include "CartesianProduct"
+    p16qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size shouldBe 2 // the pivot rewrite pair — no third pre-pass exists
+    "lineitem" .r.findAllIn(p16).size shouldBe 1 // one fact scan
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
