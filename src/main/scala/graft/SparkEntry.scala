@@ -684,6 +684,31 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    // S15 incremental JOIN-view maintenance: the materialized orders ⋈
+    // customer view advanced by its change window alone — a delete, an
+    // insert, an A-side JOIN-KEY MOVE (order 13 re-homed to customer 5)
+    // and a fanned-out B-side update (customer 3's nation, 12 dependent
+    // rows); affected-slice fold, literal-predicate pruning, no full
+    // recompute. Oracle = a fresh join over the mutated tables
+    "s15_incremental_join_view" -> ((s, d) => {
+      val ord0 = s.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust0 = s.read.parquet(s"$d/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+      val view0 = ord0.join(cust0, col("o_custkey") === col("c_custkey"))
+      val ordNew = ord0.where(col("o_orderkey") =!= 7)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") === 13, 5L).otherwise(col("o_custkey")))
+        .unionByName(s.range(1).select(lit(-1L).as("o_orderkey"),
+          lit(1L).as("o_custkey"), lit(0.0).as("o_totalprice")))
+      val custNew = cust0.withColumn("c_nationkey",
+        when(col("c_custkey") === 3, 99L).otherwise(col("c_nationkey")))
+      graft.operators.ViewMaintenance.maintainJoinView(view0, ordNew, custNew,
+          "o_orderkey", "o_custkey", "c_custkey",
+          changedAIds = Seq(7L, -1L, 13L), changedBKeys = Seq(3L))
+        .orderBy("o_orderkey")
+    }),
+
     // E15 streaming IDF maintenance: the q8 statistic kept current by an
     // APPEND-ONLY ingest stream — four staged corpus files become four
     // micro-batches, each landing its own (term, d_df, d_n) delta rows in
@@ -2634,6 +2659,18 @@ object SparkEntry {
           "UNION ALL SELECT category, recordCount FROM meta WHERE id = '000200') " +
           "SELECT category, count(*) AS n_docs, sum(recordCount)::BIGINT AS sum_records " +
           "FROM cur GROUP BY 1 ORDER BY 1"),
+      // s15: a fresh join over the mutated tables — the engine's
+      // affected-slice fold must land on it exactly
+      "s15_incremental_join_view" ->
+        ("WITH o0 AS (SELECT o_orderkey, " +
+          "CASE WHEN o_orderkey = 13 THEN 5 ELSE o_custkey END AS o_custkey, " +
+          "o_totalprice FROM orders WHERE o_orderkey <> 7 " +
+          "UNION ALL SELECT -1::BIGINT, 1::BIGINT, 0.0), " +
+          "c0 AS (SELECT c_custkey, " +
+          "CASE WHEN c_custkey = 3 THEN 99 ELSE c_nationkey END AS c_nationkey " +
+          "FROM customer) " +
+          "SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_nationkey " +
+          "FROM o0 JOIN c0 ON o_custkey = c_custkey ORDER BY o_orderkey"),
       // e15: a fresh doc-frequency recompute over base ∪ appended ids —
       // the stream's folded delta log must land on it exactly
       "e15_stream_idf_fold" ->
