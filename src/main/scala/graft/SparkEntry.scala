@@ -709,6 +709,34 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // S16 store-feed-driven JOIN-view maintenance: the s15 fold COMPOSED
+    // with the s10 change feed — the feed itself supplies the changed-id
+    // window (no caller bookkeeping), so one CDC read now maintains both
+    // the aggregate view (s12) and the join view; includes a join-key
+    // MOVE to a category absent from the dim (the row honestly leaves
+    // the inner-join view) and a fanned-out dim-side label change
+    "s16_store_view_feed" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // commits version 1
+      val snap = st.currentAt(1L).toDF().select("id", "category", "recordCount")
+      val dim0 = snap.select("category").distinct()
+        .select(col("category").as("d_category"),
+          concat(lit("lbl-"), col("category")).as("label"))
+      val view0 = snap.join(dim0, col("category") === col("d_category"))
+      st.partialUpdate("000010", Map("category" -> "catx")) // key MOVE, off-dim
+      st.delete("000020")
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert)
+      val changedIds = st.changesBetween(1L).select("id")
+        .collect().map(_.getString(0)).toSeq
+      val aNew = st.current.toDF().select("id", "category", "recordCount")
+      val dim1 = dim0.withColumn("label",
+        when(col("d_category") === "cat2", lit("lbl2-cat2")).otherwise(col("label")))
+      graft.operators.ViewMaintenance.maintainJoinView(view0, aNew, dim1,
+          "id", "category", "d_category", changedIds, Seq("cat2"))
+        .select(col("id"), col("category"), col("recordCount"), col("label"))
+        .orderBy("id")
+    }),
+
     // E15 streaming IDF maintenance: the q8 statistic kept current by an
     // APPEND-ONLY ingest stream — four staged corpus files become four
     // micro-batches, each landing its own (term, d_df, d_n) delta rows in
@@ -1930,6 +1958,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // J9 ordered funnel: view → click → purchase conversion with a 3-day
+    // window anchored at the user's first view — one user-keyed sort
+    // serves the whole qualified-step chain; exact per-step user counts
+    // + step-over-step fractions, value-based (never row-order)
+    // qualification so both engines agree on every boundary event
+    "j9_funnel" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnel(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        horizonMicros = 3L * 86400 * 1000000)),
+
     // P11 document chunking: 64-token windows, 16-token overlap — the
     // RAG/long-context window primitive; one codegen'd pass, no shuffle,
     // chunk identity by md5 so the gate stays metadata-width
@@ -2010,6 +2049,16 @@ object SparkEntry {
         s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"),
         s.read.parquet(s"$d/nation.parquet"))),
+
+    // O17 UNPIVOT roundtrip: the wide o16 report melted back to long rows
+    // — null holes fold away, and the result is gated against an
+    // INDEPENDENT long-form recompute (pivot and melt are true inverses)
+    "o17_unpivot_report" -> ((s, d) =>
+      Relational.meltNationYearPivot(Relational.nationYearPivot(
+        s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/nation.parquet")))),
 
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
@@ -2659,6 +2708,18 @@ object SparkEntry {
           "UNION ALL SELECT category, recordCount FROM meta WHERE id = '000200') " +
           "SELECT category, count(*) AS n_docs, sum(recordCount)::BIGINT AS sum_records " +
           "FROM cur GROUP BY 1 ORDER BY 1"),
+      // s16: fresh join of the mutated store state against the mutated
+      // dim — the feed-driven fold must land on it exactly (the moved
+      // row's category is off-dim, so it leaves the inner-join view)
+      "s16_store_view_feed" ->
+        (M + ", cur AS (SELECT id, CASE WHEN id = '000010' THEN 'catx' ELSE category END AS category, " +
+          "recordCount FROM meta WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' " +
+          "UNION ALL SELECT id, category, recordCount FROM meta WHERE id = '000200'), " +
+          "dim AS (SELECT DISTINCT category AS d_category, " +
+          "CASE WHEN category = 'cat2' THEN 'lbl2-cat2' ELSE 'lbl-' || category END AS label " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050') " +
+          "SELECT id, category, recordCount, label FROM cur " +
+          "JOIN dim ON category = d_category ORDER BY id"),
       // s15: a fresh join over the mutated tables — the engine's
       // affected-slice fold must land on it exactly
       "s15_incremental_join_view" ->
@@ -3434,6 +3495,16 @@ object SparkEntry {
           "JOIN customer ON o_custkey = c_custkey " +
           "JOIN nation ON c_nationkey = n_nationkey " +
           "GROUP BY 1 ORDER BY 1"),
+      // o17: the INDEPENDENT long-form recompute the pivot→melt roundtrip
+      // must land on exactly (empty combos never appear in either)
+      "o17_unpivot_report" ->
+        ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
+          "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
+          "SELECT n_name, order_year, round(sum(dp::DECIMAL(28,10)), 2)::DOUBLE AS revenue " +
+          "FROM l JOIN o ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY 1, 2 ORDER BY 1, 2"),
       // o15: the honest IN-aggregate form; quantity sums through DECIMAL
       // like the engine, dates as calendar strings
       "o15_large_qty_orders" ->
@@ -3487,6 +3558,28 @@ object SparkEntry {
           "WHEN tb IS NULL THEN vf WHEN tf IS NULL THEN vb " +
           "ELSE vb + (vf - vb) * (epoch_us(ts) - tb) / (tf - tb) END, 6) AS value_interp " +
           "FROM m WHERE side = 1 ORDER BY event_id"),
+      // j9: the same layered qualified-running-min windows (each layer a
+      // CTE — DuckDB windows can't nest), same value-based qualification
+      // and 3-day anchor horizon; count(col) counts non-null reaches
+      "j9_funnel" ->
+        ("WITH e AS (SELECT user_id AS u, epoch_us(ts::TIMESTAMP) AS us, " +
+          "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS tr, " +
+          "event_type AS t FROM events WHERE event_type IN ('view','click','purchase')), " +
+          "w0 AS (SELECT u, us, t, tr, min(CASE WHEN t = 'view' THEN us END) OVER win AS q0 " +
+          "FROM e WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
+          "w1 AS (SELECT u, us, t, tr, q0, min(CASE WHEN t = 'click' AND q0 IS NOT NULL " +
+          "AND us >= q0 AND us - q0 <= 259200000000 THEN us END) OVER win AS q1 " +
+          "FROM w0 WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
+          "w2 AS (SELECT u, q0, q1, min(CASE WHEN t = 'purchase' AND q1 IS NOT NULL " +
+          "AND us >= q1 AND us - q0 <= 259200000000 THEN us END) OVER win AS q2 " +
+          "FROM w1 WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
+          "pu AS (SELECT u, min(q0) AS q0, min(q1) AS q1, min(q2) AS q2 FROM w2 GROUP BY 1), " +
+          "c AS (SELECT count(q0) AS n0, count(q1) AS n1, count(q2) AS n2 FROM pu), " +
+          "x AS (SELECT 1::BIGINT AS step, 'view' AS event_type, n0 AS n_users FROM c " +
+          "UNION ALL SELECT 2, 'click', n1 FROM c UNION ALL SELECT 3, 'purchase', n2 FROM c) " +
+          "SELECT step, event_type, n_users, " +
+          "round(n_users / lag(n_users) OVER (ORDER BY step), 6) AS frac_of_prev " +
+          "FROM x ORDER BY step"),
       // p11: chunk boundaries recomputed with the same integer
       // arithmetic; chunk content gated by md5 of the sliced window
       "p11_chunk_docs" ->

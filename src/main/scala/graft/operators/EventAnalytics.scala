@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-SEQUENCE analytics over the events fact — the
+  * product-analytics family (funnels, conversion windows) whose streaming
+  * siblings live in [[graft.streaming.EventStream]].
+  */
+object EventAnalytics {
+
+  /** Ordered FUNNEL analysis: how many users progress through the step
+    * sequence `steps` (view → click → purchase …) in order, with every
+    * step landing within `horizonMicros` of the user's funnel ANCHOR (the
+    * earliest step-1 event). A step-k event qualifies iff some qualified
+    * step-(k−1) event precedes it at-or-before its timestamp — strictly
+    * value-based (timestamp comparisons, never row-order), so
+    * same-microsecond events resolve deterministically: within a
+    * timestamp tie earlier steps sort first, which only ever ADMITS the
+    * borderline event. Output one row per step:
+    * `(step, event_type, n_users, frac_of_prev)` — exact user counts and
+    * the step-over-step conversion fraction (null for step 1).
+    *
+    * Plan shape at 100 TB: the irrelevant event types are filtered at the
+    * scan (pushed predicate), then ONE shuffle on the user key and ONE
+    * in-partition sort serve the whole chain — each step's qualified
+    * running minimum is a cumulative window over the SAME (user; ts,
+    * step-rank) ordering (stacked Window operators reuse the sort, the
+    * j6/j8 discipline), the per-user collapse is a map-side-combining
+    * aggregate, and the final fraction window runs over |steps| rows.
+    * Nothing is quadratic; sequential-scan funnel engines do exactly this
+    * one ordered pass per user.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             horizonMicros: Long = Long.MaxValue): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(horizonMicros > 0, s"horizonMicros must be positive: $horizonMicros")
+    val typeRank = steps.zipWithIndex.foldLeft(lit(steps.size)) {
+      case (acc, (t, i)) => when(col("__t") === t, i).otherwise(acc)
+    }
+    val w = Window.partitionBy("__u").orderBy(col("__us"), col("__tr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events.where(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__us"),
+        col(typeCol).as("__t"))
+      .withColumn("__tr", typeRank)
+      .withColumn("__q0", min(when(col("__t") === steps.head, col("__us"))).over(w))
+    for (i <- 1 until steps.size) {
+      val prev = col(s"__q${i - 1}")
+      val qual = col("__t") === steps(i) && prev.isNotNull &&
+        col("__us") >= prev && col("__us") - col("__q0") <= horizonMicros
+      df = df.withColumn(s"__q$i", min(when(qual, col("__us"))).over(w))
+    }
+    val perUser = df.groupBy("__u")
+      .agg(min(col("__q0")).as("q0"),
+        (1 until steps.size).map(i => min(col(s"__q$i")).as(s"q$i")): _*)
+    val counts = perUser.agg(
+      sum(when(col("q0").isNotNull, 1L).otherwise(0L)).as("n0"),
+      (1 until steps.size).map(i =>
+        sum(when(col(s"q$i").isNotNull, 1L).otherwise(0L)).as(s"n$i")): _*)
+    // one struct per step exploded from the single counts row — a
+    // union-of-selects would re-execute the whole chain once per step
+    val stepStructs = array(steps.zipWithIndex.map { case (t, i) =>
+      struct(lit(i + 1L).as("step"), lit(t).as("event_type"),
+        col(s"n$i").as("n_users"))
+    }: _*)
+    val long = counts.select(explode(stepStructs).as("s"))
+      .select(col("s.step").as("step"), col("s.event_type").as("event_type"),
+        col("s.n_users").as("n_users"))
+    val wStep = Window.orderBy("step")
+    long
+      .withColumn("frac_of_prev",
+        round(col("n_users") / lag(col("n_users"), 1).over(wStep), 6))
+      .orderBy("step")
+  }
+}

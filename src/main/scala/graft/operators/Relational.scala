@@ -399,6 +399,24 @@ object Relational {
       .agg(round(sum(money(col("disc_price"))), 2).cast("double"))
       .orderBy("n_name")
 
+  /** UNPIVOT (melt) — the inverse reshape of [[nationYearPivot]]: the wide
+    * report folds back to long `(n_name, order_year, revenue)` rows via
+    * Spark's native `unpivot` (one narrow Expand-style projection, no
+    * shuffle — each wide row emits |years| long rows in place). The wide
+    * form's null holes (year–nation combos with no sales) are dropped, so
+    * a pivot → melt roundtrip lands exactly on the long-form report —
+    * the property the registered entry gates against an INDEPENDENT
+    * long-form recompute, proving the two reshapes are true inverses.
+    */
+  def meltNationYearPivot(wide: DataFrame,
+                          years: Seq[Int] = 1995 to 2001): DataFrame =
+    wide.unpivot(Array(col("n_name")), years.map(y => col(s"`$y`")).toArray,
+        "order_year", "revenue")
+      .where(col("revenue").isNotNull)
+      .select(col("n_name"), col("order_year").cast("long").as("order_year"),
+        col("revenue"))
+      .orderBy("n_name", "order_year")
+
   /** TPC-H Q21-shape "suppliers who kept others waiting" — the SELF-JOIN
     * decorrelation, the hardest member of the subquery family
     * ([[returnedOrderBreakdown]] covers single-fact EXISTS/NOT EXISTS,

@@ -42,12 +42,12 @@ object ViewMaintenance {
 
   def maintainJoinView(viewOld: DataFrame, aNew: DataFrame, bNew: DataFrame,
                        aIdCol: String, aKeyCol: String, bKeyCol: String,
-                       changedAIds: Seq[Long], changedBKeys: Seq[Long]): DataFrame = {
-    val dA = changedAIds.map(Long.box)
-    val dB = changedBKeys.map(Long.box)
-    def notIn(c: String, vs: Seq[java.lang.Long]) =
+                       changedAIds: Seq[Any], changedBKeys: Seq[Any]): DataFrame = {
+    val dA = changedAIds
+    val dB = changedBKeys
+    def notIn(c: String, vs: Seq[Any]) =
       if (vs.isEmpty) lit(true) else !col(c).isin(vs: _*)
-    def in(c: String, vs: Seq[java.lang.Long]) =
+    def in(c: String, vs: Seq[Any]) =
       if (vs.isEmpty) lit(false) else col(c).isin(vs: _*)
     val keep = viewOld.where(notIn(aIdCol, dA) && notIn(bKeyCol, dB))
     val addA = aNew.where(in(aIdCol, dA))

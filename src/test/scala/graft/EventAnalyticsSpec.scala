@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.EventAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Funnel specs: hand-computed step progressions — ordering enforcement
+  * (a click BEFORE any view never qualifies), the anchor horizon, the
+  * same-microsecond boundary rule, and the one-sort plan shape. The j9
+  * entry additionally value-gates the whole chain against DuckDB's
+  * layered-window recompute on the sf events.
+  */
+class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private val Steps = Seq("view", "click", "purchase")
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, ts) => (u, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("user_id", "event_type", "ts")
+
+  private def run(df: org.apache.spark.sql.DataFrame,
+                  horizon: Long = Long.MaxValue): Map[String, Long] =
+    EventAnalytics.funnel(df, "user_id", "ts", "event_type", Steps, horizon)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+  test("strict ordering: out-of-order steps never qualify") {
+    val df = ev(
+      // user 1 completes in order
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      // user 2: click precedes every view — reaches step 1 only
+      (2L, "click", "2024-01-01 09:00:00"), (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 11:00:00"),
+      // user 3: purchase precedes the (valid) view→click — stops at click
+      (3L, "view", "2024-01-01 08:00:00"), (3L, "purchase", "2024-01-01 08:30:00"),
+      (3L, "click", "2024-01-01 09:00:00"))
+    run(df) shouldBe Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L)
+  }
+
+  test("the horizon anchors at the FIRST view, not the qualifying step") {
+    val df = ev(
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 03:30:00")) // 3.5h after anchor
+    run(df, horizon = 4L * 3600 * 1000000) shouldBe
+      Map("view" -> 1L, "click" -> 1L, "purchase" -> 1L)
+    // 3h horizon: purchase is 3.5h after the anchor — click still in
+    run(df, horizon = 3L * 3600 * 1000000) shouldBe
+      Map("view" -> 1L, "click" -> 1L, "purchase" -> 0L)
+  }
+
+  test("same-microsecond boundary: an equal-timestamp next step qualifies") {
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00"), // same instant as the view
+      (1L, "purchase", "2024-01-01 10:00:00"))
+    run(df) shouldBe Map("view" -> 1L, "click" -> 1L, "purchase" -> 1L)
+  }
+
+  test("frac_of_prev: exact long division, null at step 1") {
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 11:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "click", "2024-01-01 11:00:00"),
+      (3L, "view", "2024-01-01 10:00:00"), (3L, "click", "2024-01-01 11:00:00"),
+      (4L, "view", "2024-01-01 10:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"))
+    val out = EventAnalytics.funnel(df, "user_id", "ts", "event_type", Steps)
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    out(0) shouldBe ((1L, None))
+    out(1) shouldBe ((2L, Some(0.75)))      // 3/4
+    out(2) shouldBe ((3L, Some(0.333333)))  // 1/3
+  }
+
+  test("plan: the whole qualified-step chain rides ONE user exchange and one sort") {
+    val df = ev((1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"), (1L, "purchase", "2024-01-01 12:00:00"))
+    val plan = EventAnalytics.funnel(df, "user_id", "ts", "event_type", Steps)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(__u".r.findAllIn(plan).size shouldBe 1
+    "Sort \\[__u".r.findAllIn(plan).size shouldBe 1 // stacked windows share it
+  }
+}
