@@ -1969,6 +1969,27 @@ object SparkEntry {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
         horizonMicros = 3L * 86400 * 1000000)),
 
+    // J11 time-weighted average: per-user TWAP of the view-value signal
+    // under step-function hold — exact decimal v·Δt products summed
+    // order-free, one double division at the end; single-observation
+    // users report null (no span)
+    "j11_twap" -> ((s, d) => {
+      val views = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+        .where(col("event_type") === "view")
+      Joins.timeWeightedAvg(views, Seq("user_id"), "ts", "value",
+          tieCol = "event_id")
+        .orderBy("user_id")
+    }),
+
+    // J10 exact retention-cohort matrix: first-seen-week cohorts × week
+    // offsets with exact distinct actives and cohort fractions — the
+    // exact audited grid beside x18's sketch retention; two user-keyed
+    // shuffles, everything else metadata-scale
+    "j10_retention_cohorts" -> ((s, d) =>
+      graft.operators.EventAnalytics.retentionCohorts(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")),
+        "user_id", "ts", maxOffsetWeeks = 4)),
+
     // P11 document chunking: 64-token windows, 16-token overlap — the
     // RAG/long-context window primitive; one codegen'd pass, no shuffle,
     // chunk identity by md5 so the gate stays metadata-width
@@ -3580,6 +3601,36 @@ object SparkEntry {
           "SELECT step, event_type, n_users, " +
           "round(n_users / lag(n_users) OVER (ORDER BY step), 6) AS frac_of_prev " +
           "FROM x ORDER BY step"),
+      // j11: the same lead-held integral — exact decimal v*dt sum, one
+      // double division; the event_id tie pins the hold order at equal
+      // timestamps on both engines
+      "j11_twap" ->
+        ("WITH v AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id, value " +
+          "FROM events WHERE event_type = 'view'), " +
+          "w AS (SELECT user_id, us, value, " +
+          "lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM v), " +
+          "g AS (SELECT user_id, count(*) AS n_obs, " +
+          "sum(CASE WHEN nxt IS NOT NULL THEN value::DECIMAL(18,6) * (nxt - us) END) AS num, " +
+          "max(us) - min(us) AS dur FROM w GROUP BY 1) " +
+          "SELECT user_id, n_obs, " +
+          "CASE WHEN dur > 0 THEN round(num::DOUBLE / dur, 6) END AS twap " +
+          "FROM g ORDER BY user_id"),
+      // j10: the same grid from DuckDB's week truncation (both engines
+      // start ISO weeks on Monday); integer week arithmetic, exact
+      // distincts, one division
+      "j10_retention_cohorts" ->
+        ("WITH a AS (SELECT DISTINCT user_id AS u, " +
+          "date_trunc('week', ts::TIMESTAMP)::DATE AS active_week FROM events), " +
+          "f AS (SELECT u, min(active_week) AS cohort_week FROM a GROUP BY 1), " +
+          "m AS (SELECT cohort_week, (active_week - cohort_week) // 7 AS offset_weeks, " +
+          "count(DISTINCT u) AS n_active FROM a JOIN f USING (u) " +
+          "WHERE (active_week - cohort_week) // 7 <= 4 GROUP BY 1, 2), " +
+          "s AS (SELECT cohort_week, offset_weeks, n_active, " +
+          "max(CASE WHEN offset_weeks = 0 THEN n_active END) " +
+          "OVER (PARTITION BY cohort_week) AS cohort_size FROM m) " +
+          "SELECT cohort_week::VARCHAR AS cohort_week, offset_weeks, n_active, " +
+          "round(n_active / cohort_size, 6) AS frac_of_cohort " +
+          "FROM s ORDER BY cohort_week, offset_weeks"),
       // p11: chunk boundaries recomputed with the same integer
       // arithmetic; chunk content gated by md5 of the sliced window
       "p11_chunk_docs" ->

@@ -76,4 +76,44 @@ object EventAnalytics {
         round(col("n_users") / lag(col("n_users"), 1).over(wStep), 6))
       .orderBy("step")
   }
+
+  /** EXACT retention-cohort matrix — the classic product-analytics grid:
+    * users cohorted by FIRST-SEEN ISO week, one row per
+    * `(cohort_week, offset_weeks)` with the exact distinct active users
+    * and their fraction of the cohort. The exact tier beside the
+    * theta-sketch retention rollup ([[SketchRollup]], x18): sketches
+    * answer ad-hoc ranges without rescanning, this produces the full
+    * audited grid — the t12/c1 exact/sketch twin discipline at the
+    * analytics level. `frac_of_cohort` divides two exact longs once
+    * (engine-identical); offsets are integer week arithmetic on
+    * week-truncated dates, so no timezone/rounding drift exists.
+    *
+    * At 100 TB: events collapse to DISTINCT (user, week) rows in one
+    * map-side-combining pass; first-seen is a second aggregate of THAT
+    * (user-keyed, co-partitioned with the join back); the matrix
+    * aggregate and the per-cohort window both run over
+    * |cohorts| × |offsets| metadata — the only corpus-scale costs are
+    * the two user-keyed shuffles.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       maxOffsetWeeks: Int = 4): DataFrame = {
+    require(maxOffsetWeeks >= 0, s"maxOffsetWeeks must be >= 0: $maxOffsetWeeks")
+    val active = events.select(col(userCol).as("__u"),
+        to_date(date_trunc("week", col(tsCol))).as("active_week"))
+      .distinct()
+    val firstSeen = active.groupBy("__u").agg(min("active_week").as("cohort_week"))
+    val w = Window.partitionBy("cohort_week")
+    active.join(firstSeen, "__u")
+      .withColumn("offset_weeks",
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("long"))
+      .where(col("offset_weeks") <= maxOffsetWeeks)
+      .groupBy("cohort_week", "offset_weeks")
+      .agg(countDistinct(col("__u")).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("offset_weeks") === 0, col("n_active"))).over(w))
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("offset_weeks"), col("n_active"),
+        round(col("n_active") / col("cohort_size"), 6).as("frac_of_cohort"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
 }

@@ -244,6 +244,52 @@ object Joins {
       .select(col("__l.*"), col("__interp").as(s"${valueCol}_interp"))
   }
 
+  /** TIME-WEIGHTED average — the integral sibling of [[interpolateAsOf]]
+    * and the last member of the temporal-align family (as-of → nearest →
+    * interpolate → integrate): per key, the mean of a sampled signal
+    * under step-function hold semantics — each observation's value holds
+    * until the next one, so `twap = Σ vᵢ·Δtᵢ / (t_last − t_first)` — the
+    * standard TWAP/feature-store aggregation for irregularly-sampled
+    * signals, where a plain AVG over-weights bursts of dense samples.
+    * A key with fewer than two observations has no span: twap is null.
+    *
+    * Determinism (the e1 rule): each vᵢ·Δtᵢ is an exact DECIMAL product
+    * (value at DECIMAL(18,6) × whole microseconds), the sum is exact
+    * decimal — immune to Spark's aggregation order — and the ONLY
+    * floating step is one final double division, identical on every
+    * engine. Equal-timestamp observations contribute Δt = 0, so
+    * tie-break order cannot change the result.
+    *
+    * At 100 TB: one shuffle on the key, one in-partition sort shared by
+    * the `lead` and the aggregate (the window and the groupBy key the
+    * same columns), map-side-combining partials for the decimal sum.
+    *
+    * `tieCol` fixes the hold order among EQUAL timestamps (the [[asOf]]
+    * convention): which of two same-instant values "holds" is
+    * semantically arbitrary, but it must be the SAME arbitrary choice on
+    * every engine, or the v·Δt sums diverge.
+    */
+  def timeWeightedAvg(points: DataFrame, keys: Seq[String],
+                      tsCol: String, valueCol: String,
+                      tieCol: String): DataFrame = {
+    require(keys.nonEmpty, "timeWeightedAvg needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__us"), col("__tie"))
+    points
+      .select(keys.map(col) ++ Seq(micros(col(tsCol)).as("__us"),
+        col(tieCol).cast("long").as("__tie"),
+        col(valueCol).cast("decimal(18,6)").as("__v")): _*)
+      .withColumn("__next", lead(col("__us"), 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("__next").isNotNull,
+          col("__v") * (col("__next") - col("__us")))).as("__num"),
+        (max(col("__us")) - min(col("__us"))).as("__dur"))
+      .select(keys.map(col) ++ Seq(col("n_obs"),
+        when(col("__dur") > 0,
+          round(col("__num").cast("double") / col("__dur"), 6)).as("twap")): _*)
+  }
+
   /** Unordered pairs of rows whose event times lie within `epsilonMicros`
     * of each other: `(a_id, b_id, gap_us)` with `a_id < b_id`, gap
     * inclusive. The micro-burst / coincidence-detection primitive.

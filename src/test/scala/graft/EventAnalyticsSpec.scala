@@ -73,6 +73,25 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out(2) shouldBe ((3L, Some(0.333333)))  // 1/3
   }
 
+  test("retentionCohorts: multi-cohort grid with exact counts and fractions") {
+    // ISO weeks: 2024-01-01 is a Monday. u1,u2 cohort W1; u3 cohort W2
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "view", "2024-01-08 10:00:00"),
+      (1L, "view", "2024-01-22 10:00:00"), // offsets 0,1,3
+      (2L, "view", "2024-01-03 10:00:00"), // offset 0 only
+      (3L, "view", "2024-01-10 10:00:00"), (3L, "view", "2024-01-15 10:00:00"))
+    val out = EventAnalytics.retentionCohorts(df, "user_id", "ts", maxOffsetWeeks = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    out(("2024-01-01", 0L)) shouldBe ((2L, 1.0))
+    out(("2024-01-01", 1L)) shouldBe ((1L, 0.5))
+    out(("2024-01-01", 3L)) shouldBe ((1L, 0.5))
+    out.get(("2024-01-01", 2L)) shouldBe None // no one active in week 3
+    out(("2024-01-08", 0L)) shouldBe ((1L, 1.0))
+    out(("2024-01-08", 1L)) shouldBe ((1L, 1.0))
+    out.size shouldBe 5
+  }
+
   test("plan: the whole qualified-step chain rides ONE user exchange and one sort") {
     val df = ev((1L, "view", "2024-01-01 10:00:00"),
       (1L, "click", "2024-01-01 11:00:00"), (1L, "purchase", "2024-01-01 12:00:00"))

@@ -226,6 +226,28 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out(206L) shouldBe None
   }
 
+  test("timeWeightedAvg: step-function hold, tie-pinned equal instants, null without a span") {
+    val pts = Seq(
+      // user 1: 10 held 10s, 30 held 20s -> (100+600)/30
+      (1L, ts("2024-01-01 00:00:00"), 100L, 10.0),
+      (1L, ts("2024-01-01 00:00:10"), 101L, 30.0),
+      (1L, ts("2024-01-01 00:00:30"), 102L, 99.0), // last value never holds
+      // user 2: equal-instant pair — id order pins which value holds
+      (2L, ts("2024-01-01 00:00:00"), 200L, 10.0),
+      (2L, ts("2024-01-01 00:00:10"), 201L, 20.0), // displaced at its own instant
+      (2L, ts("2024-01-01 00:00:10"), 202L, 40.0), // holds the next 10s
+      (2L, ts("2024-01-01 00:00:20"), 203L, 0.0),
+      // user 3: single observation — no span
+      (3L, ts("2024-01-01 00:00:00"), 300L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Joins.timeWeightedAvg(pts, Seq("user_id"), "ts", "value", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    out(1L) shouldBe ((3L, Some(23.333333)))
+    out(2L) shouldBe ((4L, Some(25.0))) // 10·10 + 20·0 + 40·10 over 20s
+    out(3L) shouldBe ((1L, None))
+  }
+
   test("interpolateAsOf: a null LEFT timestamp yields null, not the first observed value") {
     val right = Seq((1L, ts("2024-01-01 10:00:00"), 100L, 10.0))
       .toDF("user_id", "ts", "event_id", "value")
