@@ -2081,6 +2081,48 @@ object SparkEntry {
         s.read.parquet(s"$d/lineitem.parquet"),
         s.read.parquet(s"$d/nation.parquet")))),
 
+    // O18 TPC-H Q2-shape: the correlated scalar MIN subquery — per-part
+    // minimum price among a region's suppliers, decorrelated to one pair
+    // aggregate + a per-part min window (group size bounded by suppliers
+    // per part); the compare path is a MIN, exact on every engine
+    "o18_min_cost_suppliers" -> ((s, d) =>
+      Relational.minCostSuppliers(
+        s.read.parquet(s"$d/part.parquet"),
+        s.read.parquet(s"$d/supplier.parquet"),
+        s.read.parquet(s"$d/nation.parquet"),
+        s.read.parquet(s"$d/region.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // O19 TPC-H Q11-shape: group HAVING against a GLOBAL scalar — parts
+    // whose revenue beats 1.5x the average part's, compared by decimal
+    // integer-multiply (no division) against a 1-row broadcast stats join
+    "o19_part_concentration" -> ((s, d) =>
+      Relational.partValueConcentration(
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // O20 TPC-H Q15-shape: view + global max with ties — quarter revenue
+    // per supplier, winners where the exact DECIMAL sum equals the max
+    "o20_top_supplier" -> ((s, d) =>
+      Relational.topRevenueSupplier(
+        s.read.parquet(s"$d/supplier.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // O21 TPC-H Q16-shape: distinct-supplier counts per part attribute
+    // with an ids-only exclusion anti join below the count
+    "o21_supplier_diversity" -> ((s, d) =>
+      Relational.supplierDiversity(
+        s.read.parquet(s"$d/part.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // O22 TPC-H Q20-shape: the nested aggregate-threshold semi chain —
+    // suppliers moving >45 units of a name-prefixed part in 1997
+    "o22_volume_suppliers" -> ((s, d) =>
+      Relational.volumeSuppliers(
+        s.read.parquet(s"$d/part.parquet"),
+        s.read.parquet(s"$d/supplier.parquet"),
+        s.read.parquet(s"$d/nation.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
     // Expand + aggregate pass; NULLS FIRST pinned on both engines
@@ -3538,6 +3580,65 @@ object SparkEntry {
           "FROM big JOIN orders ON l_orderkey = o_orderkey " +
           "JOIN customer ON o_custkey = c_custkey " +
           "ORDER BY o_totalprice DESC, o_orderkey"),
+      // o18: the honest CORRELATED form — `= (SELECT min ...)` with the
+      // outer partkey referenced inside; DuckDB decorrelates it its own
+      // way, the engine's pair-aggregate + window must land identically.
+      // The compare path is min(extendedprice): exact on both engines
+      "o18_min_cost_suppliers" ->
+        ("WITH sr AS (SELECT s_suppkey, s_name, s_acctbal, n_name " +
+          "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), " +
+          "pair AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS pair_min " +
+          "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sr) " +
+          "GROUP BY 1, 2) " +
+          "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, " +
+          "pair_min AS min_price " +
+          "FROM pair JOIN part ON l_partkey = p_partkey " +
+          "JOIN sr ON l_suppkey = s_suppkey " +
+          "WHERE p_type = 'SMALL' AND pair_min = " +
+          "(SELECT min(p2.pair_min) FROM pair p2 WHERE p2.l_partkey = pair.l_partkey) " +
+          "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+      // o19: the honest scalar-subquery HAVING form; the 1.5x-average
+      // gate as integer-multiplied decimals, no division on either engine
+      "o19_part_concentration" ->
+        ("WITH pv AS (SELECT l_partkey, " +
+          "sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)) AS value_dec " +
+          "FROM lineitem GROUP BY 1) " +
+          "SELECT l_partkey, round(value_dec, 2)::DOUBLE AS value FROM pv " +
+          "WHERE value_dec * (SELECT count(*) * 2 FROM pv) > " +
+          "(SELECT sum(value_dec) * 3 FROM pv) " +
+          "ORDER BY value DESC, l_partkey"),
+      // o20: the honest view + scalar-max form; ties kept by the equality
+      // on the exact decimal sum
+      "o20_top_supplier" ->
+        ("WITH rev AS (SELECT l_suppkey, " +
+          "sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)) AS rev_dec " +
+          "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+          "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY 1) " +
+          "SELECT s_suppkey, s_name, round(rev_dec, 2)::DOUBLE AS total_rev " +
+          "FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+          "WHERE rev_dec = (SELECT max(rev_dec) FROM rev) ORDER BY s_suppkey"),
+      // o21: the honest NOT IN exclusion form over distinct pairs
+      "o21_supplier_diversity" ->
+        ("SELECT p_brand, p_type, p_size, " +
+          "count(DISTINCT l_suppkey) AS supplier_cnt " +
+          "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs " +
+          "JOIN part ON l_partkey = p_partkey " +
+          "WHERE l_suppkey NOT IN (SELECT l_suppkey FROM lineitem " +
+          "WHERE l_returnflag = 'R' GROUP BY 1 HAVING count(*) > 200) " +
+          "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3"),
+      // o22: the honest three-layer nested form — supplier IN (pairs
+      // HAVING sum > 45 AND part IN (prefix parts))
+      "o22_volume_suppliers" ->
+        ("SELECT s_suppkey, s_name, n_name FROM supplier " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem " +
+          "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+          "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_partkey IN " +
+          "(SELECT p_partkey FROM part WHERE p_name LIKE 'small%') " +
+          "GROUP BY l_partkey, l_suppkey " +
+          "HAVING sum(l_quantity::DECIMAL(18,6)) > 45) " +
+          "ORDER BY s_suppkey"),
       // o13: the snowflake double-role join recomputed naively; the
       // money sum follows the cents rule (exact decimal, round 2, cast)
       "o13_trade_flows" ->

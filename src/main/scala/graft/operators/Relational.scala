@@ -492,4 +492,168 @@ object Relational {
         col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
+
+  /** TPC-H Q2-shape minimum-cost supplier — the CORRELATED SCALAR MIN
+    * subquery: for each part of a type, the region's supplier(s) whose
+    * best (minimum) sale price equals the part's minimum across ALL the
+    * region's suppliers. The corpus has no partsupp table, so the
+    * supply-cost analogue is min(l_extendedprice) per (part, supplier)
+    * pair — a MIN, order-independent and exact, so every engine agrees
+    * bit-for-bit (no avg/division in the compare path).
+    *
+    * The decorrelation is explicit: the correlated `= (SELECT min ...)`
+    * becomes ONE pair-level aggregate plus a per-part min over that
+    * already-collapsed frame — the fact table shuffles once, the window
+    * partitions on partkey whose group size is bounded by |suppliers per
+    * part| (a dimension-scale bound, not a data-scale one). The region's
+    * supplier roster broadcasts as a semi join BELOW the aggregate, so
+    * out-of-region rows never enter the shuffle; part attributes gate a
+    * broadcast join ABOVE it. TakeOrderedAndProject caps the report.
+    */
+  def minCostSuppliers(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                       region: DataFrame, lineitem: DataFrame,
+                       regionName: String = "ASIA", partType: String = "SMALL",
+                       k: Int = 100): DataFrame = {
+    val suppRegion = supplier
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region.where(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pairMin = lineitem
+      .join(broadcast(suppRegion.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice")).as("pair_min"))
+    val partMin = min(col("pair_min"))
+      .over(Window.partitionBy(col("l_partkey")))
+    pairMin.withColumn("part_min", partMin)
+      .where(col("pair_min") === col("part_min"))
+      .join(broadcast(part.where(col("p_type") === partType)
+          .select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("pair_min").as("min_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q11-shape value concentration — a group HAVING gated on a
+    * GLOBAL scalar: parts whose revenue exceeds 1.5× the average part's
+    * (value × 2·n_parts > 3 × total, rearranged so the compare is a
+    * DECIMAL integer-multiply on both sides — no division, no engine-
+    * specific quotient scale). At 100 TB the per-part frame is one fact
+    * shuffle with map-side partials; the scalar (total, n) is a combine-
+    * safe aggregate OF THAT FRAME broadcast back as a 1-row cross join
+    * (the broadcast-stats pattern) — the corpus is scanned once.
+    */
+  def partValueConcentration(lineitem: DataFrame): DataFrame = {
+    val dp = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val perPart = lineitem.groupBy("l_partkey")
+      .agg(sum(money(dp)).as("value_dec"))
+    val stats = perPart.agg(sum(col("value_dec")).as("total_dec"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(stats))
+      .where(col("value_dec") * (col("n_parts") * 2) > col("total_dec") * 3)
+      .select(col("l_partkey"),
+        round(col("value_dec"), 2).cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q15-shape top supplier — the VIEW + GLOBAL MAX shape: revenue
+    * per supplier over a ship-date quarter, reporting the supplier(s)
+    * that achieve the maximum (ties kept, the Q15 semantic). The max is
+    * an aggregate of the ALREADY-COLLAPSED per-supplier frame broadcast
+    * back as one row; equality compares the exact DECIMAL sums, so ties
+    * are genuine, not double-rounding artifacts. One fact shuffle (the
+    * date window pushed to the scan), dimension broadcast above.
+    *
+    * The explicit isNotNull(l_suppkey) below is a PLAN device, not a
+    * semantic one (fact keys are never null): the supplier equi-join
+    * pushes that filter into ITS branch of `rev` anyway, and unless the
+    * max branch carries the identical filter the two subtrees stop being
+    * canonical-equal and AQE's ReusedExchange cannot kick in — the fact
+    * would scan and shuffle twice (plan-pinned: one scan at runtime).
+    */
+  def topRevenueSupplier(supplier: DataFrame, lineitem: DataFrame,
+                         from: String = "1996-01-01",
+                         until: String = "1996-04-01"): DataFrame = {
+    val dp = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val rev = lineitem
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until) &&
+        col("l_suppkey").isNotNull)
+      .groupBy("l_suppkey").agg(sum(money(dp)).as("rev_dec"))
+    val best = rev.agg(max(col("rev_dec")).as("max_rev"))
+    rev.join(broadcast(best)).where(col("rev_dec") === col("max_rev"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_dec"), 2).cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16-shape supplier diversity — DISTINCT-count per part
+    * attribute with an EXCLUSION subquery: how many distinct suppliers
+    * stock each (brand, type, size), not counting suppliers with heavy
+    * return traffic (> `maxReturns` R-flag lines — the "complaints"
+    * analogue). The exclusion list is an ids-only aggregate of the fact,
+    * dimension-cardinality by construction, so it broadcasts into an
+    * anti join BELOW the distinct count. No explicit pre-distinct: the
+    * count-distinct rewrite already collapses (attrs, suppkey) duplicates
+    * in its first (map-side partial) aggregate, so a separate pair-dedup
+    * stage would only add a shuffle. Part attributes broadcast-join onto
+    * the projected fact, never the full-width rows.
+    */
+  def supplierDiversity(part: DataFrame, lineitem: DataFrame,
+                        maxReturns: Long = 200L): DataFrame = {
+    val excluded = lineitem.where(col("l_returnflag") === "R")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_r"))
+      .where(col("n_r") > maxReturns)
+      .select(col("l_suppkey").as("x_suppkey"))
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded),
+        col("l_suppkey") === col("x_suppkey"), "left_anti")
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc,
+        col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20-shape volume suppliers — the NESTED semi-join chain with
+    * an AGGREGATE threshold inside: suppliers who moved more than
+    * `minQty` units of any name-prefixed part within one year, reported
+    * with their nation. Three nested layers in the honest SQL (supplier
+    * IN → pair HAVING → part IN) flatten to: part-id semi BELOW the
+    * fact aggregate (prefix predicate pushed into the broadcast build),
+    * (part, supplier) quantity totals in exact DECIMAL, the HAVING gate,
+    * then an ids-only distinct that semi-joins the supplier dimension.
+    * The fact shuffles once; every other edge is a broadcast. No layer
+    * materializes more than dimension-cardinality rows.
+    */
+  def volumeSuppliers(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                      lineitem: DataFrame, namePrefix: String = "small",
+                      from: String = "1997-01-01", until: String = "1998-01-01",
+                      minQty: Double = 45.0): DataFrame = {
+    val wantedParts = part.where(col("p_name").startsWith(namePrefix))
+      .select("p_partkey")
+    // the year window as explicit range bounds, NOT year(ts) = y: a
+    // function over the column defeats parquet predicate pushdown; the
+    // range form reaches the scan footers (plan-pinned)
+    val qualified = lineitem
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(broadcast(wantedParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qty"))
+      .where(col("qty") > minQty)
+      .select("l_suppkey").distinct()
+    supplier.join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
 }

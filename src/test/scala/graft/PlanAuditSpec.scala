@@ -530,6 +530,58 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.size shouldBe 2 // the pivot rewrite pair — no third pre-pass exists
     "lineitem" .r.findAllIn(p16).size shouldBe 1 // one fact scan
+    // o18: the Q2 decorrelation — region roster LeftSemi BELOW the pair
+    // aggregate (out-of-region rows never shuffle), the per-part min a
+    // partkey-partitioned window over the collapsed frame (group size
+    // bounded by suppliers-per-part, never a lit(1) partition), report
+    // capped by TakeOrderedAndProject, no cartesian
+    val prt = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val p18 = graft.operators.Relational
+      .minCostSuppliers(prt, sup, nat, reg, li)
+      .queryExecution.executedPlan.toString
+    p18 should include("LeftSemi")
+    p18 should include("partial_min")
+    p18 should include("TakeOrderedAndProject")
+    p18 should not include "CartesianProduct"
+    p18 should include("windowspecdefinition(l_partkey")
+    p18 should not include "windowspecdefinition(1"
+    // o19/o20: the global-scalar gates are 1-row broadcasts over the
+    // ALREADY-AGGREGATED frame, and at runtime the stats branch rides a
+    // ReusedExchange — the fact scans and shuffles ONCE (both subtrees
+    // canonical-equal; o20 aligns the isnotnull filter to guarantee it)
+    val df19 = graft.operators.Relational.partValueConcentration(li)
+    df19.collect()
+    val p19 = df19.queryExecution.executedPlan.toString
+    p19 should include("partial_sum")
+    p19 should include("BroadcastNestedLoopJoin")
+    val p19Final = p19.split("== Initial Plan ==").head
+    p19Final should include("ReusedExchange")
+    "FileScan parquet \\[l_".r.findAllIn(p19Final).size shouldBe 1
+    val df20 = graft.operators.Relational.topRevenueSupplier(sup, li)
+    df20.collect()
+    val p20 = df20.queryExecution.executedPlan.toString
+    p20 should include regex """PushedFilters: \[[^\]]*l_shipdate"""
+    val p20Final = p20.split("== Initial Plan ==").head
+    p20Final should include("ReusedExchange")
+    "FileScan parquet \\[l_".r.findAllIn(p20Final).size shouldBe 1
+    // o21: the exclusion list broadcasts into a LeftAnti BELOW the
+    // distinct count; no explicit pre-distinct stage doubles the shuffle
+    // (exactly one exchange keyed on the (attrs, suppkey) distinct grain)
+    val p21 = graft.operators.Relational.supplierDiversity(prt, li)
+      .queryExecution.executedPlan.toString
+    p21 should include regex """BroadcastHashJoin [^\n]*LeftAnti"""
+    p21 should not include "CartesianProduct"
+    "Exchange hashpartitioning\\(p_brand[^)]*l_suppkey".r
+      .findAllIn(p21).size shouldBe 1
+    // o22: both nesting layers flatten to LeftSemi joins, the HAVING
+    // aggregate partial-sums map-side, and the year window reaches the
+    // fact scan as RANGE bounds (year(ts)=y would defeat pushdown)
+    val p22 = graft.operators.Relational.volumeSuppliers(prt, sup, nat, li)
+      .queryExecution.executedPlan.toString
+    "LeftSemi".r.findAllIn(p22).size should be >= 2
+    p22 should include("partial_sum")
+    p22 should not include "CartesianProduct"
+    p22 should include regex """PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"""
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
