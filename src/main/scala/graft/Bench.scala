@@ -49,7 +49,14 @@ object Bench {
 
     final case class QResult(name: String, best: Double,
                              passes: Seq[Double], gc: Seq[Long])
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated entry names (exact match) —
+    // run just those for a quick floor-ratification or regression capture.
+    // Unset (the driver's invocation) runs everything, unchanged.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = selected.map { name =>
       val r = try {
         materialize(name) // warm-up: JIT, codegen, footers
         // min of two timed passes: the JVM occasionally hits multi-second
