@@ -726,15 +726,59 @@ object SparkEntry {
       st.partialUpdate("000010", Map("category" -> "catx")) // key MOVE, off-dim
       st.delete("000020")
       corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert)
+      // the feed's id projection IS the change window — a DataFrame fed
+      // straight into the fold's broadcast semi/anti probes, never
+      // collected into a literal list (the form that survives a window
+      // that grows with the corpus)
       val changedIds = st.changesBetween(1L).select("id")
-        .collect().map(_.getString(0)).toSeq
       val aNew = st.current.toDF().select("id", "category", "recordCount")
       val dim1 = dim0.withColumn("label",
         when(col("d_category") === "cat2", lit("lbl2-cat2")).otherwise(col("label")))
       graft.operators.ViewMaintenance.maintainJoinView(view0, aNew, dim1,
-          "id", "category", "d_category", changedIds, Seq("cat2"))
+          "id", "category", "d_category", changedIds,
+          dim1.where(col("d_category") === "cat2").select("d_category"))
         .select(col("id"), col("category"), col("recordCount"), col("label"))
         .orderBy("id")
+    }),
+
+    // S17 PERSISTED join-view maintenance — the WRITE path of s15: the
+    // orders ⋈ customer view lives ON DISK partitioned by a 16-way hash
+    // bucket of the join key, and one maintenance cycle (a delete, an
+    // insert, an A-side key MOVE, a fanned-out B-side update) advances it
+    // IN PLACE via dynamic partition overwrite — only the buckets the
+    // changes touch are rewritten; cold buckets' files stay byte-identical
+    // (spec-pinned in ViewMaintenanceSpec). Oracle = a fresh join over the
+    // mutated tables, read back from the on-disk view
+    "s17_persisted_join_view" -> ((s, d) => {
+      val out = scratch("s17-view") + "/view"
+      val ord0 = s.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust0 = s.read.parquet(s"$d/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+      graft.operators.ViewMaintenance.writeJoinView(
+        ord0.join(cust0, col("o_custkey") === col("c_custkey")), "o_custkey", 16, out)
+      // mutated columns cast back to the SOURCE schema: the on-disk view's
+      // cold files keep their original parquet types, so a literal-widened
+      // column (99L → long) in rewritten buckets would mix types per file
+      val ordNew = ord0.where(col("o_orderkey") =!= 7)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") === 13, 5L).otherwise(col("o_custkey"))
+            .cast(ord0.schema("o_custkey").dataType))
+        .unionByName(s.range(1).select(
+          lit(-1L).cast(ord0.schema("o_orderkey").dataType).as("o_orderkey"),
+          lit(1L).cast(ord0.schema("o_custkey").dataType).as("o_custkey"),
+          lit(0.0).cast(ord0.schema("o_totalprice").dataType).as("o_totalprice")))
+      val custNew = cust0.withColumn("c_nationkey",
+        when(col("c_custkey") === 3, 99L).otherwise(col("c_nationkey"))
+          .cast(cust0.schema("c_nationkey").dataType))
+      import s.implicits._
+      graft.operators.ViewMaintenance.refreshJoinViewPartitions(s, out,
+        ordNew, custNew, "o_orderkey", "o_custkey", "c_custkey",
+        Seq(7L, -1L, 13L).toDF("o_orderkey"), Seq(3L).toDF("c_custkey"),
+        nBuckets = 16)
+      s.read.parquet(out)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_custkey", "c_nationkey")
+        .orderBy("o_orderkey")
     }),
 
     // E15 streaming IDF maintenance: the q8 statistic kept current by an
@@ -2783,6 +2827,19 @@ object SparkEntry {
           "FROM meta WHERE id BETWEEN '000001' AND '000050') " +
           "SELECT id, category, recordCount, label FROM cur " +
           "JOIN dim ON category = d_category ORDER BY id"),
+      // s17: the same fresh-join oracle as s15 — but the engine's answer
+      // is read back from the ON-DISK view after an in-place partition
+      // refresh, so the oracle checks the write path end-to-end
+      "s17_persisted_join_view" ->
+        ("WITH o0 AS (SELECT o_orderkey, " +
+          "CASE WHEN o_orderkey = 13 THEN 5 ELSE o_custkey END AS o_custkey, " +
+          "o_totalprice FROM orders WHERE o_orderkey <> 7 " +
+          "UNION ALL SELECT -1::BIGINT, 1::BIGINT, 0.0), " +
+          "c0 AS (SELECT c_custkey, " +
+          "CASE WHEN c_custkey = 3 THEN 99 ELSE c_nationkey END AS c_nationkey " +
+          "FROM customer) " +
+          "SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_nationkey " +
+          "FROM o0 JOIN c0 ON o_custkey = c_custkey ORDER BY o_orderkey"),
       // s15: a fresh join over the mutated tables — the engine's
       // affected-slice fold must land on it exactly
       "s15_incremental_join_view" ->

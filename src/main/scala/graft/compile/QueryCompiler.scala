@@ -344,8 +344,13 @@ object QueryCompiler {
   def maintainIdfStats(statsOld: DataFrame, snapshotOld: DataFrame,
                        changes: DataFrame, terms: Seq[String],
                        field: String = "dataSample"): DataFrame = {
-    val changedIds = changes.select(col("id")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // The changed-id window stays a DATAFRAME consumed through a broadcast
+    // semi join (never collected into an isin literal): the feed batch is
+    // CDC-scale today, but a backfill or catch-up window grows with the
+    // corpus, and a 10⁵⁺-id literal list stops pushing to scans and bloats
+    // the plan — where the broadcast probe stays a map-side filter and
+    // supplies dynamic/runtime pruning of a partitioned snapshot layout.
+    val changedIds = broadcast(changes.select(col("id")).distinct())
     val termLits = lit(terms.toArray)
     def membership(df: DataFrame, sign: Int) = df
       .select(explode(array_intersect(
@@ -353,7 +358,7 @@ object QueryCompiler {
       .groupBy("term").agg((count(lit(1)) * sign).as("d_df"))
     def rows(df: DataFrame, sign: Int) =
       df.agg((count(lit(1)) * sign).as("d_n"))
-    val preImages = snapshotOld.where(col("id").isin(changedIds: _*))
+    val preImages = snapshotOld.join(changedIds, Seq("id"), "left_semi")
     val upserts = changes.where(col("change_op") === "upsert")
     val dDf = membership(preImages, -1).unionByName(membership(upserts, 1))
       .groupBy("term").agg(sum("d_df").as("d_df"))

@@ -101,9 +101,25 @@ object Bpe {
           .select(replace(col("syms"), lit(pat(a, b)), lit(rep(a, b))).as("syms"),
             col("cnt"))
           .localCheckpoint(true)
+        // the superseded checkpoint is never read again (next is fully
+        // materialized) — release its block-manager storage now instead of
+        // accumulating numMerges cached vocab copies for the session
+        unpersistCheckpoint(vocab)
         vocab = next
       }
     }
+    unpersistCheckpoint(vocab)
     out.toList
   }
+
+  /** Drop the block-manager storage behind an EAGER localCheckpoint. Only
+    * safe once the checkpointed data is dead — the truncated lineage makes
+    * it unrecomputable. (Dataset.unpersist only covers cacheManager
+    * entries, so the checkpoint RDD is unpersisted directly.)
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

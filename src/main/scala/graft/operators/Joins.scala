@@ -276,6 +276,11 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__us"), col("__tie"))
     points
+      // a null timestamp has no place on the hold timeline and a null
+      // value holds nothing — dropping them up front (the interpolateAsOf
+      // right-side rule) keeps n_obs consistent with the integral instead
+      // of counting rows the v·Δt sum and the duration span exclude
+      .where(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(keys.map(col) ++ Seq(micros(col(tsCol)).as("__us"),
         col(tieCol).cast("long").as("__tie"),
         col(valueCol).cast("decimal(18,6)").as("__v")): _*)

@@ -185,13 +185,19 @@ object Quality {
       .orderBy("day").rowsBetween(-lookback, -1)
     val dev = when(col("win_n") > 0 && col("win_sum") > 0,
       round(col("cnt") * col("win_n") / col("win_sum") - 1.0, 6))
-    dense.select(col("day").cast("string").as("day"), col("cnt"),
+    val out = dense.select(col("day").cast("string").as("day"), col("cnt"),
         sum("cnt").over(w).as("win_sum"),
         count(lit(1)).over(w).as("win_n"))
       .select(col("day"), col("cnt"), col("win_n").as("win_days"),
         dev.as("dev_frac"),
         coalesce(abs(dev) > tolerance, lit(false)).as("flagged"))
       .orderBy("day")
+      // materialize the |days|-row report eagerly so the corpus-scale
+      // intermediate cache can be released NOW — without this, repeated
+      // calls in a long session pin dailies until LRU eviction
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
   }
 
   /** Join-key distribution profile: the `topK` heaviest keys with the
@@ -219,9 +225,27 @@ object Quality {
     * count-values, so it is the GATE-scale contract. The default is the
     * bounded-memory KLL-style `approx_percentile` sketch — the at-scale
     * twin (the t12/c1 exact/sketch discipline).
+    *
+    * The public form materializes the topK-row profile EAGERLY and
+    * releases the per-key cache before returning (see
+    * [[keySkewProfilePlanned]]) — perKey is corpus-KEY-cardinality-sized,
+    * exactly the thing this operator diagnoses, so leaving it pinned
+    * until session end would rely on LRU eviction under pressure.
     */
   def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 5,
                      exactP99: Boolean = false): DataFrame = {
+    val (perKey, out) = keySkewProfilePlanned(df, keyCol, topK, exactP99)
+    val materialized = out.localCheckpoint(true)
+    perKey.unpersist()
+    materialized
+  }
+
+  /** The lazy plan behind [[keySkewProfile]], exposed (with its persisted
+    * per-key intermediate) so specs can pin the plan shape; callers of
+    * this form own the cache lifecycle.
+    */
+  private[graft] def keySkewProfilePlanned(df: DataFrame, keyCol: String, topK: Int,
+                                           exactP99: Boolean): (DataFrame, DataFrame) = {
     val perKey = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p99 =
@@ -233,11 +257,12 @@ object Quality {
       avgCnt.as("avg_cnt"),
       round(p99, 6).as("p99_cnt"),
       round(max(col("cnt")) / avgCnt, 6).as("skew_ratio"))
-    perKey
+    val out = perKey
       .orderBy(col("cnt").desc, col("key"))
       .limit(topK)
       .crossJoin(broadcast(stats))
       .select("key", "cnt", "n_keys", "avg_cnt", "p99_cnt", "skew_ratio")
       .orderBy(col("cnt").desc, col("key")) // re-assert order above the join (topK rows)
+    (perKey, out)
   }
 }

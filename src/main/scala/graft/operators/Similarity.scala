@@ -470,10 +470,14 @@ object Similarity {
     * oracle holds the post-compaction search to the exact-cosine answer).
     *
     * Same crash discipline as [[ivfCompact]]: survivors stage to a
-    * scratch directory before the index mutates, so a crash leaves the
-    * accreted-but-correct layout in place. Single-writer maintenance op —
-    * run from the index's maintenance schedule, not concurrently with
-    * appends. Returns the number of cell directories rewritten.
+    * scratch directory before the index mutates, so a crash BEFORE the
+    * final overwrite leaves the accreted-but-correct layout in place; a
+    * crash DURING the final overwrite can leave touched cells partially
+    * rewritten, and the staging directory (deleted only after success)
+    * remains as the recovery source — replay the overwrite from it.
+    * Single-writer maintenance op — run from the index's maintenance
+    * schedule, not concurrently with appends. Returns the number of cell
+    * directories rewritten.
     */
   def ivfCompactSmallFiles(spark: SparkSession, indexDir: String,
                            maxFilesPerCell: Int = 4): Int = {
@@ -489,19 +493,24 @@ object Similarity {
       .map(_.getFileName.toString.stripPrefix("cell=").toInt).sorted
     if (touched.isEmpty) return 0
     val staging = s"$indexDir-compact-stage"
-    try {
-      spark.read.parquet(indexDir)
-        .where(col("cell").isin(touched.map(Integer.valueOf): _*))
-        // one hash partition per cell value → exactly ONE output file per
-        // rewritten cell directory under partitionBy (all of a cell's rows
-        // land in one task; a task writes one file per cell it holds)
-        .repartition(col("cell"))
-        .write.mode("overwrite").parquet(staging)
-      spark.read.parquet(staging)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(indexDir)
-    } finally graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
+    spark.read.parquet(indexDir)
+      .where(col("cell").isin(touched.map(Integer.valueOf): _*))
+      // one hash partition per cell value → exactly ONE output file per
+      // rewritten cell directory under partitionBy (all of a cell's rows
+      // land in one task; a task writes one file per cell it holds)
+      .repartition(col("cell"))
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(indexDir)
+    // The staging copy is deleted only AFTER the index-mutating write
+    // committed: a crash BEFORE that write leaves the accreted-but-correct
+    // layout untouched, and a crash DURING it can leave a touched cell
+    // partially rewritten — in which case the staging directory IS the
+    // recovery path (re-run the final write from it), so it must survive
+    // the failure rather than vanish in a finally.
+    graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
     touched.length
   }
 

@@ -729,12 +729,14 @@ object MetadataStore {
     *  - ADDITIONS: the feed's upsert rows (new and post-update images),
     *    aggregated directly — CDC-batch scale.
     *  - RETRACTIONS: the PRE-IMAGE rows of every changed id, fetched from
-    *    the previous snapshot through a pushed id-set filter. The changed
-    *    ids are the feed's net keys — CDC-batch scale by definition — so
-    *    collecting them is the broadcast-stats pattern, and on the store's
-    *    bucketed base layout the isin predicate prunes the fetch to the
-    *    ids' bucket directories and row groups (the S2 point-lookup
-    *    machinery), never a table scan.
+    *    the previous snapshot through a BROADCAST SEMI JOIN on the feed's
+    *    net keys. The changed-id set is CDC-batch scale by definition, so
+    *    the probe is a map-side filter of the snapshot scan (no shuffle of
+    *    the big side), and it stays one whatever the window grows to — a
+    *    catch-up batch of 10⁶ ids is still one broadcast, where a
+    *    collected isin literal of that size would stop pushing to scans
+    *    and bloat the plan. On a partitioned snapshot layout the broadcast
+    *    side additionally supplies dynamic partition pruning.
     *
     * The old aggregate rows enter the final fold as-is, so UNCHANGED
     * groups are carried, not recomputed: maintenance cost scales with
@@ -747,9 +749,13 @@ object MetadataStore {
     */
   def maintainCategoryStats(aggOld: DataFrame, snapshotOld: DataFrame,
                             changes: DataFrame): DataFrame = {
-    val changedIds = changes.select(col("id")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val retract = snapshotOld.where(col("id").isin(changedIds: _*))
+    // Broadcast semi join, not a collected isin literal: the probe stays a
+    // map-side filter at any window size (a backfill window grows with the
+    // corpus; a 10⁵⁺-id literal list stops pushing and bloats the plan),
+    // and on a partitioned snapshot layout the broadcast side supplies the
+    // dynamic pruning the literal push supplied on row groups.
+    val changedIds = broadcast(changes.select(col("id")).distinct())
+    val retract = snapshotOld.join(changedIds, Seq("id"), "left_semi")
       .groupBy("category")
       .agg((-count(lit(1))).as("dn"), (-sum("recordCount")).as("dr"))
     val add = changes.where(col("change_op") === "upsert")

@@ -99,8 +99,12 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
 
   test("keySkewProfile plans NO single-partition window; stats broadcast back over the persisted per-key table") {
     val df = spark.range(0, 1000).select((col("id") % 97).as("k"))
-    val out = Quality.keySkewProfile(df, "k", topK = 2)
+    // the planned (lazy) form: the public API eagerly materializes the
+    // topK-row profile and releases the per-key cache, so the operator's
+    // plan is pinned here, below the checkpoint
+    val (perKey, out) = Quality.keySkewProfilePlanned(df, "k", topK = 2, exactP99 = false)
     val plan = out.queryExecution.executedPlan.toString
+    perKey.unpersist()
     plan should include("TakeOrderedAndProject")
     // the per-key table can be corpus-cardinality-sized (that is the point
     // of diagnosing the key) — no Window may ever partition it to one task
