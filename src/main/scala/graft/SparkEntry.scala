@@ -802,6 +802,31 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // E16 IDF delta-log COMPACTION: e15's per-micro-batch delta
+    // directories accrete forever; the compactor folds aged batches into
+    // ONE reserved `batch=-1` segment (exact long sums — the compacted
+    // fold must hash-match the uncompacted fold AND a fresh recompute,
+    // which is this oracle) and advances a horizon marker that keeps
+    // REPLAY idempotent: a re-delivered compacted batch recreates its
+    // directory and the horizon-aware reader ignores it (spec-pinned in
+    // StreamingMultimodalSpec, including a staged stale replay and a
+    // second no-op compaction pass)
+    "e16_idf_log_compaction" -> ((s, d) => {
+      val src = scratch("e16-src")
+      val deltas = scratch("e16-deltas")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        Corpus.metadata(s, d).where(col("id").between("000051", "000090"))
+          .select("id", "dataSample").repartition(4).write.parquet(src)
+      }
+      val base = Corpus.metadata(s, d).where(col("id") <= "000050")
+      val stats0 = QueryCompiler.idfStatsTable(base, Seq("red", "widget"))
+      EventStream.streamIdfDeltaFold(s, src, deltas, Seq("red", "widget"))
+      EventStream.compactIdfDeltaLog(s, deltas, upToBatch = 2L)
+      QueryCompiler.idfStatsWithDeltas(stats0,
+          EventStream.readIdfDeltaLog(s, deltas))
+        .orderBy("term")
+    }),
+
     // Q8 incremental IDF maintenance: the text-scoring statistic (q4/q5's
     // per-term doc frequencies) advanced by the s10 change feed alone —
     // cost ∝ |changes|, never a corpus re-scan, the way ES re-computes
@@ -902,6 +927,47 @@ object SparkEntry {
               w => size(graft.operators.Bpe.encode(w, merges))),
             lit(0L), (acc, x) => acc + x).as("n_tokens_1merge"))
         .orderBy("doc_id")
+    }),
+
+    // T19 BPE at production merge counts: ONE distributed pass to the
+    // word-frequency table, then the Sennrich loop runs DRIVER-LOCAL to
+    // vocabulary exhaustion (subword-nmt's own execution model — the
+    // distributed per-merge loop is pure scheduling overhead at 32k
+    // merges; here ~0.2 s for the whole sequence vs ~2 jobs/merge). The
+    // sf documents vocabulary saturates at 89 productive merges (every
+    // remaining pair is a singleton), so the entry trains to exhaustion;
+    // the hundreds-of-merges capability is spec-pinned on a merge-rich
+    // planted corpus in BpeSpec. Gated: the local merges must extend the
+    // distributed trainer's sequence merge-for-merge (dist_prefix_match),
+    // the first merge is re-derived independently by DuckDB, and the
+    // exhaustion-depth encode must roundtrip and compress monotonically
+    // vs the 20-merge prefix
+    "t19_bpe_local_train" -> ((s, d) => {
+      val ds = docs(s, d)
+      val local = graft.operators.Bpe.trainMergesLocal(ds, 5000)
+      val dist = graft.operators.Bpe.trainMerges(ds, 20)
+      val prefixOk = local.take(dist.length) == dist
+      val words = ds.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      // full-table encode rides the broadcast-vocab path (the 32k-merge
+      // production form); the 20-merge prefix rides the codegen'd
+      // nested-replace twin — both value-gated in one aggregate
+      val withFull = graft.operators.Bpe.encodeByVocab(words, "w", local)
+      val enc20 = graft.operators.Bpe.encode(col("w"), local.take(20))
+      withFull.agg(
+          count(lit(1)).as("total_words"),
+          sum(length(col("w"))).cast("long").as("total_chars"),
+          sum(size(enc20)).cast("long").as("tokens_20"),
+          sum(size(col("tokens"))).cast("long").as("tokens_full"),
+          sum(when(concat_ws("", col("tokens")) === col("w"), 0).otherwise(1)).as("rt_fail"))
+        .select(
+          lit(local.headOption.map(m => m._1 + "+" + m._2).getOrElse("")).as("first_merge"),
+          lit(prefixOk).as("dist_prefix_match"),
+          lit(local.length > 20 && local.length < 5000).as("exhausted_beyond_gate"),
+          col("total_words"), col("total_chars"),
+          (col("tokens_full") <= col("tokens_20") &&
+            col("tokens_20") < col("total_chars") &&
+            col("tokens_full") >= col("total_words")).as("monotone_compresses"),
+          (col("rt_fail") === 0).as("roundtrip_ok"))
     }),
 
     // Text analysis: Gopher-style bigram repetition signals
@@ -2862,6 +2928,16 @@ object SparkEntry {
           "x AS (SELECT 'red' AS term, dfr::BIGINT AS df, n::BIGINT AS n_docs FROM st " +
           "UNION ALL SELECT 'widget', dfw::BIGINT, n::BIGINT FROM st) " +
           "SELECT term, df, n_docs FROM x ORDER BY term"),
+      // e16: the SAME fresh recompute as e15 — compaction must be
+      // invisible to the folded statistic
+      "e16_idf_log_compaction" ->
+        (M + ", cur AS (SELECT dataSample FROM meta WHERE id <= '000090'), " +
+          s"st AS (SELECT count(*) AS n, " +
+          s"sum(CASE WHEN list_contains(${stdToks("dataSample")}, 'red') THEN 1 ELSE 0 END) AS dfr, " +
+          s"sum(CASE WHEN list_contains(${stdToks("dataSample")}, 'widget') THEN 1 ELSE 0 END) AS dfw FROM cur), " +
+          "x AS (SELECT 'red' AS term, dfr::BIGINT AS df, n::BIGINT AS n_docs FROM st " +
+          "UNION ALL SELECT 'widget', dfw::BIGINT, n::BIGINT FROM st) " +
+          "SELECT term, df, n_docs FROM x ORDER BY term"),
       // q8: a fresh doc-frequency recompute over the mutated final corpus —
       // the engine's feed-maintained table must land on it exactly
       "q8_idf_maintenance" ->
@@ -3012,6 +3088,22 @@ object SparkEntry {
           "(SELECT sum(len(w)) FROM words)::BIGINT AS total_chars, " +
           "(SELECT sum(cnt*toks1) FROM app)::BIGINT AS tokens_after_first, " +
           "true AS compresses, true AS roundtrip_ok"),
+      // t19: first merge re-derived independently (the t17 argmax CTE);
+      // the merge-sequence equality, full-train flag, monotone
+      // compression and roundtrip gates are engine-side invariants the
+      // oracle pins as expected constants (the t17 discipline), and
+      // total_words/total_chars are recomputed from scratch
+      "t19_bpe_local_train" ->
+        (T + ", words AS (SELECT unnest(t) AS w FROM toks), " +
+          "wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1), " +
+          "pr AS (SELECT w[i:i] AS a, w[i+1:i+1] AS b, cnt " +
+          "FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM wc)), " +
+          "top AS (SELECT a, b FROM pr GROUP BY a, b ORDER BY sum(cnt) DESC, a, b LIMIT 1) " +
+          "SELECT (SELECT a||'+'||b FROM top) AS first_merge, " +
+          "true AS dist_prefix_match, true AS exhausted_beyond_gate, " +
+          "(SELECT count(*) FROM words)::BIGINT AS total_words, " +
+          "(SELECT sum(len(w)) FROM words)::BIGINT AS total_chars, " +
+          "true AS monotone_compresses, true AS roundtrip_ok"),
       // t18: the same independently derived first merge applied per doc —
       // count = chars − non-overlapping occurrences, word by word
       "t18_bpe_doc_counts" ->

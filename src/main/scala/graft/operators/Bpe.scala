@@ -122,4 +122,129 @@ object Bpe {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  // ------------------------------------------- driver-local merge loop
+
+  /** UTF-8 byte order — what Spark's string `orderBy` compares (binary
+    * UTF8String order), reproduced locally so tie-breaks hash-match the
+    * distributed trainer beyond ASCII.
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val (a, b) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Train merges at PRODUCTION merge counts: ONE distributed pass
+    * collapses the corpus to the word-frequency table (metadata-scale by
+    * the header argument — BPE statistics are a pure function of it), and
+    * the Sennrich iteration then runs DRIVER-LOCAL over that table —
+    * exactly how ``subword-nmt``/HF trainers execute. [[trainMerges]]'s
+    * 2-scheduled-jobs-per-merge loop is the right gate for tens of merges
+    * but pure scheduling overhead at a real tokenizer's 32k: the local
+    * loop does the identical counting arithmetic (exact long pair counts,
+    * overlap-inclusive adjacency, ties count desc then UTF-8-binary
+    * left/right asc, stop below count 2 — spec-pinned to hash-match the
+    * distributed trainer merge-for-merge) with zero per-iteration jobs.
+    */
+  def trainMergesLocal(docs: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
+    val vocab = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainMergesOnVocab(vocab.toSeq, numMerges)
+  }
+
+  /** One word's symbols after a merge is applied left-to-right
+    * non-overlapping — the array form of the single-pass `replace`
+    * semantics (shared by the local trainer and [[encodeWordLocal]]).
+    */
+  private def applyMergeLocal(syms: Array[String], a: String, b: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        merged += a + b; i += 2
+      } else { merged += syms(i); i += 1 }
+    }
+    merged.toArray
+  }
+
+  /** Driver-side encode of ONE word — the same fold [[encode]] computes
+    * per row, as a plain loop (used to build the broadcast vocabulary
+    * table of [[encodeByVocab]] and for spot checks).
+    */
+  private[graft] def encodeWordLocal(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString).toArray) { case (syms, (a, b)) =>
+      applyMergeLocal(syms, a, b)
+    }.toSeq
+
+  /** Encode a word column under a LONG merge table: encoding is a pure
+    * function of the word, so the corpus' DISTINCT words — metadata-scale
+    * by the header argument — are encoded ONCE driver-side and the corpus
+    * receives its token arrays through a BROADCAST equi-join (appended as
+    * `tokens`). The nested-replace [[encode]] is the right form for short
+    * merge tables (pure codegen, no join, composes into lambdas), but its
+    * expression tree grows with |merges| and a few hundred nested
+    * replaces overflow the column converter's recursion — a production
+    * tokenizer's 32k-merge table is far past that, and THIS is its encode
+    * path: O(|vocab|) driver work, one broadcast, zero per-row merge
+    * loops. Words joined against must appear in `df`'s own vocabulary by
+    * construction; encoding NEW data reuses the table and falls back to
+    * per-char symbols for out-of-vocabulary words (left outer join).
+    */
+  def encodeByVocab(df: DataFrame, wordCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(col(wordCol)).distinct().as[String].collect()
+    val table = words.toSeq.map(w => (w, encodeWordLocal(w, merges)))
+      .toDF(wordCol, "tokens")
+    df.join(broadcast(table), Seq(wordCol), "left")
+      .withColumn("tokens", coalesce(col("tokens"),
+        split(trim(wrapped(col(wordCol))), "  ")))
+  }
+
+  /** The in-memory Sennrich loop over a (word, count) table. */
+  private[graft] def trainMergesOnVocab(vocab: Seq[(String, Long)],
+                                            numMerges: Int): Seq[(String, String)] = {
+    // words as symbol arrays; merging rewrites arrays in place
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (out.length < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, cnt) <- words if syms.length >= 2) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      val top = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (best, (k, c)) => best match {
+          case Some((bk, bc)) if bc > c || (bc == c && (utf8Lt(bk._1, k._1) ||
+            (bk._1 == k._1 && utf8Lt(bk._2, k._2)))) => best
+          case _ => Some((k, c))
+        }
+      }
+      top match {
+        case Some(((a, b), c)) if c >= 2 =>
+          out += ((a, b))
+          words = words.map { case (syms, cnt) => (applyMergeLocal(syms, a, b), cnt) }
+        case _ => exhausted = true
+      }
+    }
+    out.toList
+  }
 }

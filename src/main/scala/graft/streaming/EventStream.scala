@@ -703,6 +703,95 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Read the IDF delta log COMPACTION-AWARE: the compact segment (the
+    * reserved `batch=-1` directory) plus only batches ABOVE the recorded
+    * compaction horizon. A batch directory at or below the horizon is a
+    * STALE REPLAY — its contribution already lives in the compact
+    * segment, and counting it again would double the fold — so the
+    * horizon filter is what keeps replay idempotent after compaction:
+    * re-delivering a compacted batch recreates its directory, and the
+    * reader ignores it.
+    */
+  def readIdfDeltaLog(spark: SparkSession, deltaDir: String): DataFrame = {
+    val horizon = idfCompactionHorizon(deltaDir)
+    spark.read.parquet(s"$deltaDir/batches")
+      .where(col("batch") > horizon || col("batch") === -1L)
+  }
+
+  private def idfCompactionHorizon(deltaDir: String): Long = {
+    val marker = java.nio.file.Paths.get(deltaDir, "_compacted_up_to")
+    if (java.nio.file.Files.exists(marker))
+      java.nio.file.Files.readString(marker).trim.toLong
+    else -1L
+  }
+
+  /** Compact the IDF delta log — v18's small-file discipline applied to
+    * the stats log: [[streamIdfDeltaFold]] accretes one `batch=<id>/`
+    * directory per micro-batch forever, and though the fold is order-free
+    * (compaction is OPTIONAL by algebra, the e14 argument), the directory
+    * count eventually dominates read cost. Folds the existing compact
+    * segment plus every batch in `(horizon, upToBatch]` into ONE
+    * `batch=-1` segment — per-term `d_df` sums plus the summed row-count
+    * contribution, both exact longs, so the compacted fold hash-matches
+    * the uncompacted fold and a fresh recompute (oracle-gated in e16) —
+    * then advances the horizon marker and deletes the folded directories
+    * (stale sub-horizon replays are swept without re-folding).
+    *
+    * Crash discipline (the ivfCompactSmallFiles rule): the folded segment
+    * stages OUTSIDE `batches/` first; a crash before the deletes leaves
+    * the log untouched, and a crash after them leaves the staging copy as
+    * the recovery source (re-run the final move). Single-writer
+    * maintenance op. `upToBatch` must lie BELOW the stream's committed
+    * checkpoint offset — the replay protection is the horizon filter plus
+    * the checkpoint's guarantee that a replayed batch id re-receives its
+    * original content. Returns the number of batch directories folded or
+    * swept.
+    */
+  def compactIdfDeltaLog(spark: SparkSession, deltaDir: String,
+                         upToBatch: Long): Int = {
+    val horizon = idfCompactionHorizon(deltaDir)
+    val batchesDir = java.nio.file.Paths.get(deltaDir, "batches")
+    def batchId(p: java.nio.file.Path): Option[Long] = {
+      val n = p.getFileName.toString
+      if (n.startsWith("batch=")) scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+      else None
+    }
+    val dirs = graft.util.FsUtil.listDir(batchesDir)(
+      _.flatMap(p => batchId(p).map(p -> _)).toSeq)
+    val stale = dirs.filter { case (_, id) => id >= 0 && id <= horizon }
+    val fold = dirs.filter { case (_, id) => id > horizon && id <= upToBatch }
+    if (fold.isEmpty && stale.isEmpty) return 0
+    val staging = s"$deltaDir/compact-stage"
+    if (fold.nonEmpty) {
+      val slice = spark.read.parquet(s"$deltaDir/batches")
+        .where((col("batch") > horizon && col("batch") <= upToBatch) ||
+          col("batch") === -1L)
+      // per-term membership sums; ONE row-count contribution per source
+      // batch (d_n rides every term row of its batch — the batch axis
+      // dedupes it), re-attached to every folded term row
+      val dDf = slice.groupBy("term").agg(sum("d_df").as("d_df"))
+      val dN = slice.select(col("batch"), col("d_n")).distinct()
+        .agg(coalesce(sum("d_n"), lit(0L))).head.getLong(0)
+      dDf.withColumn("d_n", lit(dN)).coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+    }
+    (stale ++ fold).foreach { case (p, _) =>
+      graft.util.FsUtil.deleteRecursively(p)
+    }
+    if (fold.nonEmpty) {
+      graft.util.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(s"$deltaDir/batches/batch=-1"))
+      spark.read.parquet(staging).coalesce(1)
+        .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=-1")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(deltaDir, "_compacted_up_to"),
+        math.max(horizon, upToBatch).toString)
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
+    }
+    spark.catalog.refreshByPath(s"$deltaDir/batches")
+    stale.length + fold.length
+  }
+
   def streamIngestToIndex(spark: SparkSession, landingDir: String,
                           cents: Seq[Seq[Float]], indexDir: String): Unit = {
     val vecs = spark.readStream

@@ -68,4 +68,64 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSupport {
       .as[Boolean].collect()
     rt.forall(identity) shouldBe true
   }
+
+  test("driver-local trainer hash-matches the distributed trainer merge-for-merge") {
+    // a corpus rich enough for 12+ merges with tie-break exercise: the
+    // lowest/lower/lowest mix plus symbol runs and shared prefixes
+    val docs = corpus(
+      "lowest lowest lowest lower lower low low low newest newest newer",
+      "widest widest wider wide wide aaaa aaaa aabb aabb ccdd ccdd",
+      "stream streams streamer steam steam steel steel steep")
+    val dist = Bpe.trainMerges(docs, 12)
+    val local = Bpe.trainMergesLocal(docs, 12)
+    local shouldBe dist
+    // the local loop keeps going where the distributed gate stopped, and
+    // its extension stays a strict continuation of the learned sequence
+    val longer = Bpe.trainMergesLocal(docs, 25)
+    longer.take(12) shouldBe dist
+    longer.length should be > 12
+  }
+
+  test("local trainer reaches production merge counts (200+) on a merge-rich vocabulary") {
+    // 256 distinct 10-char words over a 16-letter alphabet, each repeated
+    // twice: every adjacent pair clears the count-2 floor, so the
+    // learnable merge space is in the hundreds
+    val alpha = "abcdefghijklmnop"
+    val words = (for (i <- 0 until 256) yield
+      (0 until 10).map { j =>
+        alpha((((i * 2654435761L + j * 40503L + i.toLong * i * j) >>> 4) % 16).toInt)
+      }.mkString).distinct
+    val docs = corpus(words.flatMap(w => Seq(w, w)).mkString(" "))
+    val t0 = System.nanoTime
+    val local = Bpe.trainMergesLocal(docs, 5000)
+    val secs = (System.nanoTime - t0) / 1e9
+    local.length should be >= 200
+    secs should be < 30.0 // seconds, not 2-jobs-per-merge minutes
+    // spot-gate: the distributed trainer agrees on the opening sequence
+    Bpe.trainMerges(docs, 8) shouldBe local.take(8)
+    // exhaustion-depth encode goes through the broadcast-vocab path (a
+    // 200+-deep nested replace overflows the column converter — that is
+    // the point of encodeByVocab) and still roundtrips; the OOV word
+    // falls back to per-char symbols
+    val enc = Bpe.encodeByVocab(Seq(words.head, "zzz").toDF("w"), "w", local)
+      .select(col("w"), col("tokens"))
+      .as[(String, Seq[String])].collect().toMap
+    enc(words.head).mkString("") shouldBe words.head
+    enc(words.head).length should be < words.head.length // actually merged
+    enc("zzz") shouldBe Seq("z", "z", "z")
+    // and it agrees with the nested-replace encode at gate depth
+    val viaReplace = Seq(words.head).toDF("w")
+      .select(Bpe.encode(col("w"), local.take(20)).as("t")).as[Seq[String]].head()
+    val viaVocab = Bpe.encodeByVocab(Seq(words.head).toDF("w"), "w", local.take(20))
+      .select(col("tokens")).as[Seq[String]].head()
+    viaVocab shouldBe viaReplace
+  }
+
+  test("local trainer: tie-breaks (count desc, left asc, right asc) and the count-2 floor") {
+    // (b,a) and (a,b) both occur twice; (a,b) wins the tie by left asc
+    Bpe.trainMergesOnVocab(Seq(("ab", 1L), ("ab", 1L), ("ba", 2L)), 1)
+      .headOption shouldBe Some(("a", "b"))
+    // nothing reaches count 2 → exhausted immediately
+    Bpe.trainMergesOnVocab(Seq(("xy", 1L), ("yz", 1L)), 5) shouldBe Nil
+  }
 }

@@ -305,6 +305,55 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     spark.read.parquet(s"$root/sink").count() shouldBe (nA + nB)
   }
 
+  test("IDF delta-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
+    import graft.streaming.EventStream
+    import graft.compile.QueryCompiler
+    val root = java.nio.file.Files.createTempDirectory("graft-idfc-spec").toString
+    val meta = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("string").as("id"), $"text".as("dataSample"))
+    val terms = Seq("the", "data")
+    meta.where($"id".cast("long") % 10 < 4).select("id", "dataSample")
+      .repartition(4).write.parquet(s"$root/src")
+    val stats0 = QueryCompiler.idfStatsTable(
+      meta.where($"id".cast("long") % 10 >= 4), terms)
+    def folded(): Seq[(String, Long, Long)] =
+      QueryCompiler.idfStatsWithDeltas(stats0,
+          EventStream.readIdfDeltaLog(spark, s"$root/deltas"))
+        .orderBy("term").as[(String, Long, Long)].collect().toSeq
+
+    EventStream.streamIdfDeltaFold(spark, s"$root/src", s"$root/deltas", terms)
+    val batches = s"$root/deltas/batches"
+    def dirs(): Set[String] = graft.util.FsUtil.listDir(
+      java.nio.file.Paths.get(batches))(
+      _.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet)
+    dirs() shouldBe Set("batch=0", "batch=1", "batch=2", "batch=3")
+    val before = folded()
+
+    // keep a replay copy of batch 1, then compact 0..2 into the segment
+    val replayCopy = java.nio.file.Files.createTempDirectory("graft-idfc-replay")
+    spark.read.parquet(s"$batches/batch=1").write
+      .parquet(replayCopy.toString + "/batch=1")
+    EventStream.compactIdfDeltaLog(spark, s"$root/deltas", 2L) shouldBe 3
+    dirs() shouldBe Set("batch=-1", "batch=3")
+    folded() shouldBe before // compaction is invisible to the statistic
+
+    // a stale replay re-creates a compacted batch's directory with its
+    // ORIGINAL content (the checkpoint contract) — the horizon-aware
+    // reader must ignore it, so the fold is unchanged
+    spark.read.parquet(replayCopy.toString + "/batch=1").write
+      .parquet(s"$batches/batch=1")
+    spark.catalog.refreshByPath(batches)
+    folded() shouldBe before
+
+    // re-compaction folds segment + post-horizon batches only and SWEEPS
+    // the stale replay without re-folding it; a further pass is a no-op
+    EventStream.compactIdfDeltaLog(spark, s"$root/deltas", 3L) shouldBe 2
+    dirs() shouldBe Set("batch=-1")
+    folded() shouldBe before
+    EventStream.compactIdfDeltaLog(spark, s"$root/deltas", 3L) shouldBe 0
+    folded() shouldBe before
+  }
+
   test("windowed unique users: chained dedup+count equals batch distinct; unfinalized tail withheld") {
     import org.apache.spark.sql.functions._
     val path = "/root/testdata/sf0.001/events.parquet"
