@@ -2079,6 +2079,16 @@ object SparkEntry {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
         horizonMicros = 3L * 86400 * 1000000)),
 
+    // J12 funnel conversion-latency percentiles: per step transition, the
+    // p50/p90 of converting users' time-to-convert — riding j9's single
+    // user sort; EXACT interpolated percentiles here (the value-checked
+    // gate form), approx_percentile the at-scale default
+    "j12_funnel_latency" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnelLatency(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        horizonMicros = 3L * 86400 * 1000000, exactPercentiles = true)),
+
     // J11 time-weighted average: per-user TWAP of the view-value signal
     // under step-function hold — exact decimal v·Δt products summed
     // order-free, one double division at the end; single-observation
@@ -2232,6 +2242,19 @@ object SparkEntry {
         s.read.parquet(s"$d/supplier.parquet"),
         s.read.parquet(s"$d/nation.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // Relational OLAP o23 (TPC-H Q19 shape): revenue under an OR of
+    // conjunct blocks spanning BOTH join sides — each side's pushable
+    // superset is factored out of the disjunction and reaches its parquet
+    // scan as an Or(And(...)) PushedFilters tree (plan-pinned), with the
+    // exact pairing re-applied as a post-join residual
+    "o23_promo_revenue" -> ((s, d) =>
+      Relational.promoRevenue(
+        s.read.parquet(s"$d/part.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        Seq(Relational.PromoBlock("Brand#12", 5, 1, 11),
+          Relational.PromoBlock("Brand#23", 10, 10, 20),
+          Relational.PromoBlock("Brand#3", 15, 20, 30)))),
 
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
@@ -3778,6 +3801,16 @@ object SparkEntry {
           "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3"),
       // o22: the honest three-layer nested form — supplier IN (pairs
       // HAVING sum > 45 AND part IN (prefix parts))
+      // o23: the naive form — the whole disjunction in one WHERE; the
+      // engine's factored pushdown must be value-invisible
+      "o23_promo_revenue" ->
+        ("SELECT p_brand, count(*) AS n_items, " +
+          "round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+          "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+          "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30) " +
+          "GROUP BY 1 ORDER BY 1"),
       "o22_volume_suppliers" ->
         ("SELECT s_suppkey, s_name, n_name FROM supplier " +
           "JOIN nation ON s_nationkey = n_nationkey " +
@@ -3851,6 +3884,30 @@ object SparkEntry {
           "SELECT step, event_type, n_users, " +
           "round(n_users / lag(n_users) OVER (ORDER BY step), 6) AS frac_of_prev " +
           "FROM x ORDER BY step"),
+      // j12: the j9 qualification chain extended with per-transition
+      // latency quantiles — quantile_cont is DuckDB's exact interpolated
+      // percentile, the same rank rule as Spark's `percentile` (the t14
+      // parity)
+      "j12_funnel_latency" ->
+        ("WITH e AS (SELECT user_id AS u, epoch_us(ts::TIMESTAMP) AS us, " +
+          "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS tr, " +
+          "event_type AS t FROM events WHERE event_type IN ('view','click','purchase')), " +
+          "w0 AS (SELECT u, us, t, tr, min(CASE WHEN t = 'view' THEN us END) OVER win AS q0 " +
+          "FROM e WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
+          "w1 AS (SELECT u, us, t, tr, q0, min(CASE WHEN t = 'click' AND q0 IS NOT NULL " +
+          "AND us >= q0 AND us - q0 <= 259200000000 THEN us END) OVER win AS q1 " +
+          "FROM w0 WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
+          "w2 AS (SELECT u, q0, q1, min(CASE WHEN t = 'purchase' AND q1 IS NOT NULL " +
+          "AND us >= q1 AND us - q0 <= 259200000000 THEN us END) OVER win AS q2 " +
+          "FROM w1 WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
+          "pu AS (SELECT u, min(q0) AS q0, min(q1) AS q1, min(q2) AS q2 FROM w2 GROUP BY 1), " +
+          "lat AS (SELECT 2::BIGINT AS step, 'click' AS event_type, q1 - q0 AS lat " +
+          "FROM pu WHERE q1 IS NOT NULL " +
+          "UNION ALL SELECT 3, 'purchase', q2 - q1 FROM pu WHERE q2 IS NOT NULL) " +
+          "SELECT step, event_type, count(*)::BIGINT AS n_converted, " +
+          "round(quantile_cont(lat, 0.5), 4) AS p50_us, " +
+          "round(quantile_cont(lat, 0.9), 4) AS p90_us " +
+          "FROM lat GROUP BY 1, 2 ORDER BY 1"),
       // j11: the same lead-held integral — exact decimal v*dt sum, one
       // double division; the event_id tie pins the hold order at equal
       // timestamps on both engines

@@ -32,9 +32,15 @@ object EventAnalytics {
     * Nothing is quadratic; sequential-scan funnel engines do exactly this
     * one ordered pass per user.
     */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String],
-             horizonMicros: Long = Long.MaxValue): DataFrame = {
+  /** The shared qualification chain behind [[funnel]] and
+    * [[funnelLatency]]: one row per user with `q0..q(n-1)` — the
+    * microsecond timestamp of the user's earliest QUALIFIED event per
+    * step (null where the user never reached the step). ONE shuffle on
+    * the user key and ONE in-partition sort serve the whole chain.
+    */
+  private def qualifiedPerUser(events: DataFrame, userCol: String, tsCol: String,
+                               typeCol: String, steps: Seq[String],
+                               horizonMicros: Long): DataFrame = {
     require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     require(horizonMicros > 0, s"horizonMicros must be positive: $horizonMicros")
@@ -54,9 +60,16 @@ object EventAnalytics {
         col("__us") >= prev && col("__us") - col("__q0") <= horizonMicros
       df = df.withColumn(s"__q$i", min(when(qual, col("__us"))).over(w))
     }
-    val perUser = df.groupBy("__u")
+    df.groupBy("__u")
       .agg(min(col("__q0")).as("q0"),
         (1 until steps.size).map(i => min(col(s"__q$i")).as(s"q$i")): _*)
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             horizonMicros: Long = Long.MaxValue): DataFrame = {
+    val perUser = qualifiedPerUser(events, userCol, tsCol, typeCol, steps,
+      horizonMicros)
     val counts = perUser.agg(
       sum(when(col("q0").isNotNull, 1L).otherwise(0L)).as("n0"),
       (1 until steps.size).map(i =>
@@ -74,6 +87,48 @@ object EventAnalytics {
     long
       .withColumn("frac_of_prev",
         round(col("n_users") / lag(col("n_users"), 1).over(wStep), 6))
+      .orderBy("step")
+  }
+
+  /** Funnel CONVERSION-LATENCY distributions — the second half of what
+    * product analytics asks the funnel for: per step transition
+    * (k−1 → k), how LONG converting users took, as
+    * `(step, event_type, n_converted, p50_us, p90_us)` over the
+    * microsecond gaps `q_k − q_(k−1)` of users who reached step k. Rides
+    * [[funnel]]'s single user shuffle + sort (the same
+    * [[qualifiedPerUser]] chain); per-user rows then explode to
+    * |converted users| × |transitions| slim (step, lat) rows feeding one
+    * map-side-combining aggregate over |steps| groups.
+    *
+    * Percentiles follow the t14/c4 exact/sketch twin discipline:
+    * `exactPercentiles = true` computes the exact interpolated
+    * percentile (Spark `percentile` = DuckDB `quantile_cont`, the
+    * value-checkable gate form — its state buffers the distinct latency
+    * values); the default is the bounded-memory `approx_percentile`
+    * KLL-style sketch, the at-scale form. Latency values are exact long
+    * microsecond differences either way; the only floating step is the
+    * percentile interpolation itself.
+    */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    horizonMicros: Long = Long.MaxValue,
+                    exactPercentiles: Boolean = false): DataFrame = {
+    val perUser = qualifiedPerUser(events, userCol, tsCol, typeCol, steps,
+      horizonMicros)
+    val transitions = array((1 until steps.size).map(i =>
+      struct(lit(i + 1L).as("step"), lit(steps(i)).as("event_type"),
+        (col(s"q$i") - col(s"q${i - 1}")).as("lat"))): _*)
+    val lat = perUser.select(explode(transitions).as("s"))
+      .select(col("s.step").as("step"), col("s.event_type").as("event_type"),
+        col("s.lat").as("lat"))
+      .where(col("lat").isNotNull)
+    def pct(q: Double) =
+      if (exactPercentiles) expr(s"percentile(lat, $q)")
+      else expr(s"approx_percentile(lat, $q, 10000)").cast("double")
+    lat.groupBy("step", "event_type")
+      .agg(count(lit(1)).as("n_converted"),
+        round(pct(0.5), 4).as("p50_us"),
+        round(pct(0.9), 4).as("p90_us"))
       .orderBy("step")
   }
 

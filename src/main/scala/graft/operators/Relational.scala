@@ -656,4 +656,59 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy("s_suppkey")
   }
+
+  /** One disjunct of the Q19-shape promo filter: a part-side conjunct
+    * block (brand + size ceiling) paired with a lineitem-side conjunct
+    * block (quantity window).
+    */
+  final case class PromoBlock(brand: String, sizeMax: Int,
+                              qtyMin: Double, qtyMax: Double)
+
+  /** TPC-H Q19 shape — revenue under an OR of per-disjunct conjunct
+    * blocks spanning BOTH sides of part ⋈ lineitem (reference query
+    * family: the catalog's dataSample/category disjunctions,
+    * query_translation.py:188-204, taken to the fact-join setting).
+    *
+    * The interesting plan problem: written naively, the whole disjunction
+    * sits in the join condition/post-join filter and NEITHER scan can
+    * prune — every disjunct references both tables, so no single conjunct
+    * is pushable. The standard rewrite factors each SIDE's pushable
+    * superset out of the disjunction:
+    *
+    *   OR_i (P_i ∧ L_i)  ⟹  (OR_i P_i) pushed to part,
+    *                         (OR_i L_i) pushed to lineitem,
+    *                         OR_i (P_i ∧ L_i) kept as the exact residual.
+    *
+    * Each pushed superset is single-table and literal-only, so it reaches
+    * the parquet scan as a PushedFilters `Or(And(...))` tree (plan-pinned
+    * in PlanAuditSpec) where footer min/max and dictionary stats skip
+    * non-qualifying row groups — at 100 TB the quantity windows and the
+    * brand/size blocks carve the fact scan down BEFORE the join, which a
+    * post-join residual alone never could. The residual re-applies the
+    * exact pairing above the (broadcast) join, so disjunct cross-talk
+    * (brand of block 1 with the quantity window of block 3) is filtered
+    * out. Money follows the o13 cents rule: per-row double product, exact
+    * DECIMAL sum, one final round-2.
+    */
+  def promoRevenue(part: DataFrame, lineitem: DataFrame,
+                   blocks: Seq[PromoBlock]): DataFrame = {
+    require(blocks.nonEmpty, "promoRevenue needs at least one disjunct block")
+    def partPred(b: PromoBlock) =
+      col("p_brand") === b.brand && col("p_size").between(1, b.sizeMax)
+    def linePred(b: PromoBlock) =
+      col("l_quantity") >= b.qtyMin && col("l_quantity") <= b.qtyMax
+    val pushPart = blocks.map(partPred).reduce(_ || _)
+    val pushLine = blocks.map(linePred).reduce(_ || _)
+    val residual = blocks.map(b => partPred(b) && linePred(b)).reduce(_ || _)
+    lineitem.where(pushLine)
+      .join(broadcast(part.where(pushPart)
+        .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .where(residual)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
 }

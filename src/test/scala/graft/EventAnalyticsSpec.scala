@@ -100,4 +100,47 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     "Exchange hashpartitioning\\(__u".r.findAllIn(plan).size shouldBe 1
     "Sort \\[__u".r.findAllIn(plan).size shouldBe 1 // stacked windows share it
   }
+
+  test("funnelLatency: hand-computed transition gaps; only converting users counted") {
+    val df = ev(
+      // user 1: view→click 1h, click→purchase 2h
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 13:00:00"),
+      // user 2: view→click 3h, never purchases
+      (2L, "view", "2024-01-01 08:00:00"), (2L, "click", "2024-01-01 11:00:00"),
+      // user 3: never clicks — contributes to no transition
+      (3L, "view", "2024-01-01 09:00:00"))
+    val out = EventAnalytics.funnelLatency(df, "user_id", "ts", "event_type",
+        Steps, exactPercentiles = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val h = 3600e6 // microseconds per hour
+    out shouldBe Seq(
+      (2L, "click", 2L, 2 * h, 2.8 * h), // p50 of {1h,3h} = 2h; p90 = 2.8h
+      (3L, "purchase", 1L, 2 * h, 2 * h))
+  }
+
+  test("funnelLatency: the approx twin agrees at gate scale and shares the plan shape") {
+    val df = ev((1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"), (1L, "purchase", "2024-01-01 13:00:00"),
+      (2L, "view", "2024-01-01 08:00:00"), (2L, "click", "2024-01-01 11:00:00"))
+    def run(exact: Boolean) =
+      EventAnalytics.funnelLatency(df, "user_id", "ts", "event_type", Steps,
+        exactPercentiles = exact)
+    // the sketch twin counts identically; its percentiles are OBSERVED
+    // latencies (approx_percentile returns a data value where the exact
+    // form interpolates), so equality is on counts and membership
+    val exact = run(true).collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val approx = run(false).collect()
+    approx.map(r => (r.getLong(0), r.getLong(2))).toSeq shouldBe exact
+    val observed = Set(3600e6, 3 * 3600e6, 2 * 3600e6) // 1h, 3h; purchase 2h
+    approx.foreach { r =>
+      observed should contain(r.getDouble(3))
+      observed should contain(r.getDouble(4))
+    }
+    // latency rides the SAME single user exchange + sort as the funnel
+    val plan = run(false).queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(__u".r.findAllIn(plan).size shouldBe 1
+    "Sort \\[__u".r.findAllIn(plan).size shouldBe 1
+  }
 }

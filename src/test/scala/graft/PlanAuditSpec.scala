@@ -582,6 +582,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     p22 should include("partial_sum")
     p22 should not include "CartesianProduct"
     p22 should include regex """PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"""
+    // o23 (Q19 shape): each side's pushable superset is factored out of
+    // the cross-table disjunction and reaches ITS parquet scan as an
+    // Or(...) pushed-filter tree — the fact is pruned by the quantity
+    // windows and the dim by the brand/size blocks BEFORE the join; the
+    // exact disjunction survives as a post-join residual, and the dim
+    // side broadcasts
+    val p23 = graft.operators.Relational.promoRevenue(prt, li, Seq(
+        graft.operators.Relational.PromoBlock("Brand#12", 5, 1, 11),
+        graft.operators.Relational.PromoBlock("Brand#23", 10, 10, 20)))
+      .queryExecution.executedPlan.toString
+    p23 should include regex """PushedFilters: \[[^\]]*Or\([^\]]*l_quantity"""
+    p23 should include regex """PushedFilters: \[[^\]]*Or\([^\]]*p_brand"""
+    p23 should include("BroadcastHashJoin")
+    p23 should not include "CartesianProduct"
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
