@@ -448,6 +448,64 @@ object ScaleProbe {
       f""""cc_components":$nCanon,"cc_sec":$tCc%.2f}"""
   }
 
+  /** Persisted-view refresh stress (round 13): the s17 write path at 1×
+    * and 10× VIEW rows with the SAME change window, bucket count scaled
+    * with the data (32 → 320) so per-bucket bytes stay constant — how a
+    * production view is actually provisioned. The claim under test:
+    * refresh cost ∝ touched slice + change window, NOT view size — the
+    * rewritten-bucket fraction shrinks 10× while the refresh wall stays
+    * ~flat, and the one component that legitimately grows with the view
+    * (the ids-only old-homes probe, a column-pruned slim scan) must not
+    * move the total. Reported: view rows, buckets, buckets rewritten,
+    * refresh wall, and the correctness anchor (rows landed = fresh join).
+    */
+  private def profileViewRefresh(spark: SparkSession, label: String,
+                                 ord: DataFrame, cust: DataFrame,
+                                 nBuckets: Int): String = {
+    import graft.operators.ViewMaintenance
+    import spark.implicits._
+    val a = ord.select("o_orderkey", "o_custkey", "o_totalprice")
+    val b = cust.select("c_custkey", "c_nationkey")
+    val dir = scratch(s"scale-view-$label") + "/view"
+    val (_, tInit) = timed(ViewMaintenance.writeJoinView(
+      a.join(b, col("o_custkey") === col("c_custkey")), "o_custkey", nBuckets, dir))
+    val nView = spark.read.parquet(dir).count()
+    // the constant change window: 8 A-side updates (one a key move), one
+    // fanned-out B-side change — CDC-batch scale whatever the view is
+    // (small enough that its bucket footprint stays well under the 1×
+    // bucket count, so the touched-byte volume is comparable across
+    // scales and the wall comparison is honest)
+    val changedA = (1L to 7L).map(_ * 7L) :+ 13L
+    val aNew = a.withColumn("o_totalprice",
+        when(col("o_orderkey").isin(changedA.map(Long.box): _*),
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") === 13L, 5L).otherwise(col("o_custkey"))
+          .cast(a.schema("o_custkey").dataType))
+    val bNew = b.withColumn("c_nationkey",
+      when(col("c_custkey") === 3L, 99L).otherwise(col("c_nationkey"))
+        .cast(b.schema("c_nationkey").dataType))
+    def bucketDirs(): Map[String, Long] = graft.util.FsUtil.listDir(
+      java.nio.file.Paths.get(dir))(_.filter(
+        _.getFileName.toString.startsWith("bucket=")).map { d =>
+        d.getFileName.toString ->
+          graft.util.FsUtil.listDir(d)(_.map(p =>
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).max)
+      }.toMap)
+    val before = bucketDirs()
+    val (_, tRefresh) = timed(ViewMaintenance.refreshJoinViewPartitions(
+      spark, dir, aNew, bNew, "o_orderkey", "o_custkey", "c_custkey",
+      changedA.toDF("o_orderkey"), Seq(3L).toDF("c_custkey"), nBuckets))
+    val after = bucketDirs()
+    val rewritten = after.count { case (k, t) => before.get(k).forall(_ != t) }
+    val landed = spark.read.parquet(dir).count()
+    val freshRows = aNew.join(bNew, col("o_custkey") === col("c_custkey")).count()
+    f"""{"corpus":"$label","view_rows":$nView,"buckets":${before.size},""" +
+      f""""init_sec":$tInit%.2f,"refresh_sec":$tRefresh%.2f,""" +
+      f""""buckets_rewritten":$rewritten,"rows_landed":$landed,""" +
+      f""""fresh_join_rows":$freshRows,"exact":${landed == freshRows}}"""
+  }
+
   /** Shard-export profile: the delivery step at 1× and 10× — one hash
     * shuffle, per-shard balance (max/min docs), wall. Linear wall and flat
     * skew at 10× is the evidence the trainer-facing export scales.
@@ -499,6 +557,20 @@ object ScaleProbe {
       val ev1 = EventStream.withEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
       println(profileKeyCardinality(spark, "keys-1x", ev1))
       println(profileKeyCardinality(spark, "keys-10x", synthesizeKeyRich(ev1)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "view" runs ONLY the persisted-view refresh
+    // stress — same change window, 10× view rows, bucket count scaled so
+    // per-bucket bytes hold constant
+    if (args.headOption.contains("view")) {
+      val ordV = spark.read.parquet(s"$sfDir/orders.parquet")
+      val custV = spark.read.parquet(s"$sfDir/customer.parquet")
+      val (_, ord10) = synthesizeDecadeFacts(
+        spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1), ordV)
+      println(profileViewRefresh(spark, "view-1x", ordV, custV, nBuckets = 32))
+      println(profileViewRefresh(spark, "view-10x", ord10, custV, nBuckets = 320))
       spark.stop()
       return
     }
