@@ -802,6 +802,32 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // E17 STREAMING funnel: j9's real-time sibling — per-user step events
+    // buffer in watermark-bounded state and finalize EXACTLY (the batch
+    // qualification chain replayed over the buffered window) once the
+    // watermark passes anchor + horizon; trailing users stay in state and
+    // the oracle encodes the cutoff ms-exact. Same report shape as j9
+    "e17_stream_funnel" -> ((s, d) => {
+      val steps = Seq("view", "click", "purchase")
+      val users = EventStream.backfillFunnelUsers(s, s"$d/events.parquet",
+        steps, horizonMicros = 3L * 86400 * 1000000)
+      val counts = users.agg(
+        sum(when(col("steps_reached") >= 1, 1L).otherwise(0L)).as("n0"),
+        steps.indices.drop(1).map(i =>
+          sum(when(col("steps_reached") >= i + 1, 1L).otherwise(0L)).as(s"n$i")): _*)
+      val stepStructs = array(steps.zipWithIndex.map { case (t, i) =>
+        struct(lit(i + 1L).as("step"), lit(t).as("event_type"),
+          col(s"n$i").as("n_users"))
+      }: _*)
+      val wStep = org.apache.spark.sql.expressions.Window.orderBy("step")
+      counts.select(explode(stepStructs).as("s"))
+        .select(col("s.step").as("step"), col("s.event_type").as("event_type"),
+          col("s.n_users").as("n_users"))
+        .withColumn("frac_of_prev",
+          round(col("n_users") / lag(col("n_users"), 1).over(wStep), 6))
+        .orderBy("step")
+    }),
+
     // E16 IDF delta-log COMPACTION: e15's per-micro-batch delta
     // directories accrete forever; the compactor folds aged batches into
     // ONE reserved `batch=-1` segment (exact long sums — the compacted
@@ -2255,6 +2281,22 @@ object SparkEntry {
         Seq(Relational.PromoBlock("Brand#12", 5, 1, 11),
           Relational.PromoBlock("Brand#23", 10, 10, 20),
           Relational.PromoBlock("Brand#3", 15, 20, 30)))),
+
+    // Relational OLAP o24 (TPC-H Q14 shape): promo revenue share — one
+    // conditional aggregate computes slice and total in a single scan;
+    // exact DECIMAL sums, the share is the one double division
+    "o24_promo_share" -> ((s, d) =>
+      Relational.promoRevenueShare(
+        s.read.parquet(s"$d/part.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // Relational OLAP o25 (TPC-H Q12 shape): per-returnflag line counts
+    // bucketed by order priority — conditional counts across the one
+    // co-keyed fact-fact shuffle; exact longs
+    "o25_priority_lines" -> ((s, d) =>
+      Relational.priorityLineBuckets(
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
 
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
@@ -3801,6 +3843,27 @@ object SparkEntry {
           "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3"),
       // o22: the honest three-layer nested form — supplier IN (pairs
       // HAVING sum > 45 AND part IN (prefix parts))
+      // o24: the same single-pass conditional-aggregate ratio — exact
+      // decimal sums, one double division, round-6/round-2
+      "o24_promo_share" ->
+        ("SELECT round(promo * 100 / total, 6)::DOUBLE AS promo_pct, " +
+          "round(promo, 2)::DOUBLE AS promo_revenue, " +
+          "round(total, 2)::DOUBLE AS total_revenue FROM (" +
+          "SELECT sum(CASE WHEN p_type = 'PROMO' THEN " +
+          "(l_extendedprice * (1 - l_discount))::DECIMAL(18,6) ELSE 0::DECIMAL(18,6) END) AS promo, " +
+          "sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS total " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+          "AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00')"),
+      // o25: the same bucketed counts recomputed naively
+      "o25_priority_lines" ->
+        ("SELECT l_returnflag, " +
+          "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count, " +
+          "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+          "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+          "GROUP BY 1 ORDER BY 1"),
       // o23: the naive form — the whole disjunction in one WHERE; the
       // engine's factored pushdown must be value-invisible
       "o23_promo_revenue" ->
@@ -3879,6 +3942,32 @@ object SparkEntry {
           "FROM w1 WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
           "pu AS (SELECT u, min(q0) AS q0, min(q1) AS q1, min(q2) AS q2 FROM w2 GROUP BY 1), " +
           "c AS (SELECT count(q0) AS n0, count(q1) AS n1, count(q2) AS n2 FROM pu), " +
+          "x AS (SELECT 1::BIGINT AS step, 'view' AS event_type, n0 AS n_users FROM c " +
+          "UNION ALL SELECT 2, 'click', n1 FROM c UNION ALL SELECT 3, 'purchase', n2 FROM c) " +
+          "SELECT step, event_type, n_users, " +
+          "round(n_users / lag(n_users) OVER (ORDER BY step), 6) AS frac_of_prev " +
+          "FROM x ORDER BY step"),
+      // e17: the j9 chain restricted to users whose funnel FINALIZED —
+      // anchor + horizon strictly below the final watermark (max step-
+      // event time, ms-floored, minus the 1h delay), the exact emission
+      // rule of the streaming operator
+      "e17_stream_funnel" ->
+        ("WITH e AS (SELECT user_id AS u, epoch_us(ts::TIMESTAMP) AS us, " +
+          "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS tr, " +
+          "event_type AS t FROM events WHERE event_type IN ('view','click','purchase')), " +
+          "w0 AS (SELECT u, us, t, tr, min(CASE WHEN t = 'view' THEN us END) OVER win AS q0 " +
+          "FROM e WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
+          "w1 AS (SELECT u, us, t, tr, q0, min(CASE WHEN t = 'click' AND q0 IS NOT NULL " +
+          "AND us >= q0 AND us - q0 <= 259200000000 THEN us END) OVER win AS q1 " +
+          "FROM w0 WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
+          "w2 AS (SELECT u, q0, q1, min(CASE WHEN t = 'purchase' AND q1 IS NOT NULL " +
+          "AND us >= q1 AND us - q0 <= 259200000000 THEN us END) OVER win AS q2 " +
+          "FROM w1 WINDOW win AS (PARTITION BY u ORDER BY us, tr ROWS UNBOUNDED PRECEDING)), " +
+          "pu AS (SELECT u, min(q0) AS q0, min(q1) AS q1, min(q2) AS q2 FROM w2 GROUP BY 1), " +
+          "wm AS (SELECT max(us // 1000) - 3600000 AS w FROM e), " +
+          "fin AS (SELECT pu.* FROM pu, wm " +
+          "WHERE q0 IS NOT NULL AND w > (q0 + 259200000000) // 1000), " +
+          "c AS (SELECT count(q0) AS n0, count(q1) AS n1, count(q2) AS n2 FROM fin), " +
           "x AS (SELECT 1::BIGINT AS step, 'view' AS event_type, n0 AS n_users FROM c " +
           "UNION ALL SELECT 2, 'click', n1 FROM c UNION ALL SELECT 3, 'purchase', n2 FROM c) " +
           "SELECT step, event_type, n_users, " +

@@ -711,4 +711,59 @@ object Relational {
           .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
       .orderBy("p_brand")
   }
+
+  /** TPC-H Q14 shape — promotion revenue SHARE for a time window: one
+    * CONDITIONAL aggregate computes both the promo-typed slice and the
+    * total in a single pass (`sum(CASE …)` beside `sum`), so the ratio
+    * costs exactly one scan — never two jobs diffed driver-side. Both
+    * sums are exact DECIMAL (aggregation-order-free); the share is the
+    * ONE double division, round-6 (the o19/c5 divided-average
+    * discipline). At 100 TB: the month window reaches the fact scan as
+    * range bounds, the part type rides a broadcast, and the aggregate is
+    * a 1-row map-side-combining collapse — no shuffle wider than the
+    * partial-aggregate merge.
+    */
+  def promoRevenueShare(part: DataFrame, lineitem: DataFrame,
+                        from: String = "1997-01-01",
+                        until: String = "1997-02-01"): DataFrame = {
+    val dp = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    lineitem
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", dp).otherwise(lit(0).cast("decimal(18,6)")))
+          .as("__promo"),
+        sum(dp).as("__total"))
+      .select(
+        round(col("__promo") * 100 / col("__total"), 6).cast("double").as("promo_pct"),
+        round(col("__promo"), 2).cast("double").as("promo_revenue"),
+        round(col("__total"), 2).cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q12 shape — per-flag line counts bucketed by order PRIORITY:
+    * the classic fact-fact join whose payload is two `sum(CASE …)`
+    * buckets (urgent/high vs the rest), proving the conditional-count
+    * pattern across a join rather than o24's single table. At 100 TB:
+    * the year window pushes to the lineitem scan as range bounds, both
+    * sides project ids + the two needed payload columns ONLY, and the
+    * orderkey equi-join is the one co-keyed shuffle in the plan (the
+    * o3/o13 fact-fact discipline) with the aggregate partial-combining
+    * above it. Counts are exact longs — nothing floating anywhere.
+    */
+  def priorityLineBuckets(orders: DataFrame, lineitem: DataFrame,
+                          from: String = "1997-01-01",
+                          until: String = "1998-01-01"): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .select("l_orderkey", "l_returnflag")
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
 }

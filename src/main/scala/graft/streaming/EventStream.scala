@@ -18,6 +18,17 @@ final case class Session(user_id: Long, session_start: java.sql.Timestamp,
 final case class OpenSession(startUs: Long, endUs: Long, n: Long, sumMicros: Long)
 final case class UserSessions(sessions: Seq[OpenSession])
 
+/** One user's FINALIZED funnel traversal (streaming funnel output). */
+final case class FunnelUser(user_id: Long, anchor_ts: java.sql.Timestamp,
+                            steps_reached: Int)
+/** Streaming-funnel state: the anchor candidate (min step-1 event time so
+  * far; MaxValue = none yet), the buffered non-anchor step events still
+  * able to qualify, and the finalized tombstone.
+  */
+final case class PendingStep(us: Long, rank: Int)
+final case class FunnelBuf(minViewUs: Long, events: Seq[PendingStep],
+                           done: Boolean)
+
 /** Structured-Streaming ingest over the driver's `events` table
   * (event_id, ts, user_id, event_type, value, props).
   *
@@ -220,6 +231,108 @@ object EventStream {
           emitAndPark(merge(open, evs), uid, state)
       }
   }
+
+  /** STREAMING funnel — the j9 batch funnel's real-time sibling, built on
+    * the e2 sessionization discipline: per user, step events BUFFER in
+    * `flatMapGroupsWithState` state until the watermark proves the
+    * funnel FINAL, then the buffered window replays the batch
+    * qualification chain exactly and emits one `FunnelUser` row. A
+    * user's funnel is final once the watermark passes
+    * `anchor + horizon`: every event that could still qualify lies at or
+    * before that instant and is now either buffered or late-dropped, and
+    * no earlier anchor can appear (a step-1 event below the current
+    * anchor would have to arrive with event time under the watermark).
+    *
+    * State is BOUNDED by the same argument, and pruned to it on every
+    * batch: anchored users keep only events inside
+    * `[anchor, anchor + horizon]` plus events still above the watermark
+    * (those could re-qualify under a future EARLIER anchor, which is
+    * only possible while such an anchor's event time would clear the
+    * watermark); un-anchored users keep only events above the watermark
+    * (qualification needs an anchor at-or-before the event, and that
+    * anchor can now only arrive above the watermark). Step-1 events
+    * never buffer at all — only their running MIN matters, one long.
+    * Finalized users leave a tombstone (empty buffer) so a straggling
+    * in-horizon duplicate cannot re-anchor a second funnel; duplicates
+    * of buffered events are harmless anyway (the replay is min-based).
+    *
+    * Exactness against the batch funnel (spec-pinned, including
+    * out-of-order delivery): processing the buffer in (ts, step-rank)
+    * order with the final anchor reproduces the batch chain's running
+    * minima — any event with a step-1 event at-or-before it sees the
+    * same anchor the batch's cumulative window saw, because later
+    * step-1 events only ever carry LARGER event times than the prefix's
+    * min. Trailing users (anchor + horizon at-or-beyond the final
+    * watermark) stay in state, exactly the live-stream semantics — the
+    * e17 oracle encodes the cutoff ms-exact.
+    */
+  def streamFunnel(spark: SparkSession, events: DataFrame, steps: Seq[String],
+                   horizonMicros: Long, delay: String = "1 hour"): Dataset[FunnelUser] = {
+    import spark.implicits._
+    require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(horizonMicros > 0, s"horizonMicros must be positive: $horizonMicros")
+    val rankOf = steps.zipWithIndex.toMap
+    val nSteps = steps.size
+
+    def replayChain(anchor: Long, evs: Seq[PendingStep]): Int = {
+      val q = Array.fill[Long](nSteps)(Long.MaxValue)
+      q(0) = anchor
+      evs.sortBy(e => (e.us, e.rank)).foreach { e =>
+        if (e.rank >= 1) {
+          val prev = q(e.rank - 1)
+          if (prev != Long.MaxValue && e.us >= prev &&
+              e.us - q(0) <= horizonMicros && e.us < q(e.rank))
+            q(e.rank) = e.us
+        }
+      }
+      q.takeWhile(_ != Long.MaxValue).length
+    }
+
+    withEventTime(events)
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelUser](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          val st0 = if (state.exists) state.get
+                    else FunnelBuf(Long.MaxValue, Nil, done = false)
+          if (st0.done) Iterator.empty // tombstone: funnel already reported
+          else {
+            val incoming = rows.map(r => PendingStep(tsMicros(r._2), rankOf(r._3))).toSeq
+            val anchor = (incoming.filter(_.rank == 0).map(_.us) :+ st0.minViewUs).min
+            val wmMs = state.getCurrentWatermarkMs()
+            val kept = (st0.events ++ incoming.filter(_.rank > 0)).distinct.filter { e =>
+              if (anchor != Long.MaxValue)
+                (e.us >= anchor && e.us - anchor <= horizonMicros) ||
+                  (e.us < anchor && e.us / 1000L >= wmMs)
+              else e.us / 1000L >= wmMs
+            }
+            if (anchor != Long.MaxValue && wmMs > (anchor + horizonMicros) / 1000L) {
+              state.update(FunnelBuf(anchor, Nil, done = true))
+              Iterator.single(
+                FunnelUser(uid, usToTimestamp(anchor), replayChain(anchor, kept)))
+            } else {
+              state.update(FunnelBuf(anchor, kept, done = false))
+              if (anchor != Long.MaxValue)
+                state.setTimeoutTimestamp(
+                  math.max((anchor + horizonMicros) / 1000L + 1L, wmMs + 1L))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Deterministic streaming-funnel backfill: file stream → AvailableNow. */
+  def backfillFunnelUsers(spark: SparkSession, path: String, steps: Seq[String],
+                          horizonMicros: Long,
+                          delay: String = "1 hour"): DataFrame =
+    runToMemoryTableWithPeak(spark, "append")(bf =>
+      streamFunnel(bf, fileStream(bf, stageDir(path)), steps, horizonMicros,
+        delay).toDF())._1
 
   /** Deterministic sessionization backfill: file stream → AvailableNow.
     * Trailing sessions (end + gap beyond the final watermark) stay in state —

@@ -136,6 +136,20 @@ class AnalyzersStemIdfSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("maintainIdfStats: the changed-id window probes as a broadcast semi join, never an IN literal") {
+    val v1 = Seq("001" -> "red fox", "002" -> "plain").toDF("id", "dataSample")
+    val stats1 = QueryCompiler.idfStatsTable(v1, Seq("red"))
+    val changes = Seq(("002", "upsert", "red now"))
+      .toDF("id", "change_op", "dataSample")
+    val plan = QueryCompiler.maintainIdfStats(stats1, v1, changes, Seq("red"))
+      .queryExecution.optimizedPlan.toString
+    // the form that survives a window growing with the corpus: a 10^5-id
+    // backfill stays one broadcast probe where a literal list would stop
+    // pushing and bloat the plan
+    plan should not include " IN ("
+    plan should include("LeftSemi")
+  }
+
   test("maintainIdfStats: an empty feed window is the identity, df-0 terms keep their rows") {
     val v1 = Seq("001" -> "red fox").toDF("id", "dataSample")
     val stats1 = QueryCompiler.idfStatsTable(v1, Seq("red", "absent"))

@@ -85,6 +85,11 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     maintained2.orderBy("category").collect().toSeq shouldBe
       MetadataStore.categoryStats(st.current.toDF()).orderBy("category").collect().toSeq
     maintained2.where($"category" === "catmoved").count() shouldBe 0L
+    // the retraction fetch is a broadcast semi probe, never an IN literal —
+    // the form that survives a catch-up window growing with the corpus
+    val plan = maintained2.queryExecution.optimizedPlan.toString
+    plan should not include " IN ("
+    plan should include("LeftSemi")
   }
 
   test("S3 upsert: created vs updated distinguished (201 vs 200)") {

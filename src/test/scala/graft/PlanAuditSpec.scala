@@ -596,6 +596,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     p23 should include regex """PushedFilters: \[[^\]]*Or\([^\]]*p_brand"""
     p23 should include("BroadcastHashJoin")
     p23 should not include "CartesianProduct"
+    // o24 (Q14 shape): slice and total in ONE conditional aggregate — one
+    // fact scan, month window pushed as range bounds, part broadcast
+    val p24 = graft.operators.Relational.promoRevenueShare(prt, li)
+      .queryExecution.executedPlan.toString
+    p24 should include regex """PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"""
+    p24 should include("BroadcastHashJoin")
+    p24 should include("partial_sum")
+    "FileScan parquet \\[l_".r.findAllIn(p24).size shouldBe 1
+    // o25 (Q12 shape): both sides project ids + needed payload only; the
+    // year window pushes; the aggregate partial-combines above the join
+    val p25 = graft.operators.Relational.priorityLineBuckets(ord, li)
+      .queryExecution.executedPlan.toString
+    p25 should include regex """PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"""
+    p25 should include("partial_sum")
+    p25 should not include "CartesianProduct"
+    p25 should include regex """FileScan parquet \[l_orderkey[^\]]*l_returnflag[^\]]*l_shipdate[^\]]*\]"""
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {

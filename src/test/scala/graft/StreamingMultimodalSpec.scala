@@ -305,6 +305,54 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     spark.read.parquet(s"$root/sink").count() shouldBe (nA + nB)
   }
 
+  test("streaming funnel: finalized users match the batch chain; trailing user withheld; " +
+    "out-of-order and duplicate delivery are absorbed") {
+    import graft.streaming.EventStream
+    val steps = Seq("view", "click", "purchase")
+    val hourUs = 3600L * 1000000
+    def ev(u: Long, t: String, hour: Long) = {
+      val ts = java.sql.Timestamp.from(java.sql.Timestamp
+        .valueOf("2024-01-01 00:00:00").toInstant.plusSeconds(hour * 3600))
+      (u * 1000 + hour, ts, u, t, 1.0, "{}")
+    }
+    // user 1: full traversal, early — finalizes
+    // user 2: view then click OUT OF ORDER in the file layout — finalizes at 2 steps
+    // user 3: click before any view (never qualifies past step 1) — finalizes
+    // user 4: anchored ten hours before the end — horizon (4h) not yet
+    //         past the final watermark (max ts - 1h) + ... anchor+4h+1h > max: withheld
+    // user 5: duplicate delivery of every event — same funnel as if single
+    val rows = Seq(
+      ev(1, "view", 0), ev(1, "click", 1), ev(1, "purchase", 2),
+      ev(2, "click", 2), ev(2, "view", 1), // arrival order ≠ event order
+      ev(3, "click", 0), ev(3, "view", 1), ev(3, "purchase", 0),
+      ev(4, "view", 96), ev(4, "click", 97),
+      ev(5, "view", 0), ev(5, "view", 0), ev(5, "click", 3), ev(5, "click", 3),
+      // a late tail event pushes the watermark far past the early anchors
+      ev(9, "view", 100))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfunnel").toString + "/ev"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3).write.parquet(dir)
+    val users = EventStream.backfillFunnelUsers(spark, dir, steps,
+        horizonMicros = 4 * hourUs)
+      .select($"user_id", $"steps_reached").as[(Long, Int)].collect().toMap
+    // finalized: anchors at hour 0/1 with horizon 4h, final wm = hour 99
+    users shouldBe Map(1L -> 3, 2L -> 2, 3L -> 1, 5L -> 2)
+    // users 4 (anchor 96h + 4h horizon = 100h ≥ wm 99h) and 9 (anchor
+    // 100h) are trailing — withheld exactly as a live stream would
+    users.contains(4L) shouldBe false
+    users.contains(9L) shouldBe false
+    // cross-check the finalized set against the BATCH funnel on the same
+    // events: per-step counts over finalized users must agree
+    val batch = graft.operators.EventAnalytics.funnel(
+        graft.streaming.EventStream.withEventTime(spark.read.parquet(dir))
+          .where($"user_id".isin(1L, 2L, 3L, 5L)),
+        "user_id", "ts", "event_type", steps, 4 * hourUs)
+      .select($"step", $"n_users").as[(Long, Long)].collect().toMap
+    val fromStream = (1 to 3).map(s =>
+      s.toLong -> users.values.count(_ >= s).toLong).toMap
+    fromStream shouldBe batch
+  }
+
   test("IDF delta-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.compile.QueryCompiler

@@ -86,6 +86,30 @@ class ViewMaintenanceSpec extends AnyFunSuite with Matchers with SparkSupport {
     sugar.as[(Long, Long, Double, Long, String)].collect().toSet shouldBe fresh(a1, b0)
   }
 
+  test("a WIDE change window (10k ids) folds exactly through the DataFrame path") {
+    // the scale motivation for DataFrame windows: a window this size as an
+    // isin literal would already strain the plan; as a broadcast semi probe
+    // it is one map-side filter regardless of width
+    val n = 10000L
+    val a0 = spark.range(0, n).select(col("id").as("aid"),
+      (col("id") % 64).as("akey"), (col("id") * 1.5).as("payload"))
+    val b0 = spark.range(0, 64).select(col("id").as("bkey"),
+      concat(lit("t"), col("id")).as("tag"))
+    val v0 = a0.join(b0, $"akey" === $"bkey")
+    // every third row updated (payload bump), every 1000th key-moved
+    val a1 = a0.withColumn("payload",
+        when($"aid" % 3 === 0, $"payload" + 1).otherwise($"payload"))
+      .withColumn("akey", when($"aid" % 1000 === 0, ($"akey" + 7) % 64)
+        .otherwise($"akey"))
+    val changedA = a1.where($"aid" % 3 === 0 || $"aid" % 1000 === 0).select("aid")
+    val out = ViewMaintenance.maintainJoinView(v0, a1, b0,
+      "aid", "akey", "bkey", changedA, b0.limit(0).select("bkey"))
+    out.count() shouldBe n
+    val freshSum = a1.join(b0, $"akey" === $"bkey").agg(sum("payload")).head.getDouble(0)
+    out.agg(sum("payload")).head.getDouble(0) shouldBe freshSum
+    out.queryExecution.optimizedPlan.toString should not include " IN ("
+  }
+
   test("a B key column colliding with an A column is rejected with the contract message") {
     val a0 = a((1L, 10L, 1.0))
     val bSame = Seq((10L, "x")).toDF("akey", "tag") // collides with A's join key
