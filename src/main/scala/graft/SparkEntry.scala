@@ -1088,6 +1088,12 @@ object SparkEntry {
     "p5_pack_sequences" -> ((s, d) =>
       graft.operators.Pipeline.packSequences(docs(s, d)).orderBy("doc_id")),
 
+    // Pipeline: quality-WEIGHTED downsampling (GPT-3 curation shape) —
+    // keep-probability = quality, decided by an exact integer coin-vs-
+    // micros compare; narrow per-row map, no shuffle, no sampling state
+    "p12_weighted_sample" -> ((s, d) =>
+      graft.operators.Pipeline.weightedSample(docs(s, d)).orderBy("doc_id")),
+
     // Pipeline: per-language quota curation (data mixing) — top 50 docs per
     // detected language by quality, ties by doc_id
     "p6_stratified_sample" -> ((s, d) =>
@@ -2298,6 +2304,33 @@ object SparkEntry {
         s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"))),
 
+    // Relational OLAP o26 (TPC-H Q8 shape): a supplier nation's market
+    // share per order year inside one region × part-type market — the
+    // widest join graph in the suite; every dimension broadcasts, so
+    // lineitem ⋈ orders on the co-keyed orderkey is the single wide
+    // shuffle, the share one conditional-aggregate double division
+    "o26_market_share" -> ((s, d) =>
+      Relational.marketShare(
+        s.read.parquet(s"$d/region.parquet"),
+        s.read.parquet(s"$d/nation.parquet"),
+        s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/supplier.parquet"),
+        s.read.parquet(s"$d/part.parquet"))),
+
+    // Relational OLAP o27 (TPC-H Q9 shape): profit by supplier nation ×
+    // order year over a substring part slice — the contains-predicate
+    // dimension fan across both biggest facts (supply cost proxied from
+    // p_retailprice: the synthetic schema has no partsupp; documented)
+    "o27_nation_profit" -> ((s, d) =>
+      Relational.nationProfit(
+        s.read.parquet(s"$d/nation.parquet"),
+        s.read.parquet(s"$d/supplier.parquet"),
+        s.read.parquet(s"$d/part.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
     // Expand + aggregate pass; NULLS FIRST pinned on both engines
@@ -2800,6 +2833,14 @@ object SparkEntry {
         s", $name AS (SELECT doc_id, CASE WHEN nt > 0 THEN " +
         "((1000000 * (2 * least(nt, 100) * nt + 150 * (ns + nd)) + 250 * nt) // (500 * nt)) / 1000000.0 " +
         "ELSE 0.0 END AS quality FROM st) "
+    // the same blend kept as the integer MICROS (p12's coin compare)
+    def microsCte(name: String): String =
+      s", st AS (SELECT doc_id, len(t)::BIGINT AS nt, " +
+        s"len(list_filter(t, x -> x IN $stop))::BIGINT AS ns, " +
+        "len(list_distinct(t))::BIGINT AS nd FROM toks) " +
+        s", $name AS (SELECT doc_id, CASE WHEN nt > 0 THEN " +
+        "((1000000 * (2 * least(nt, 100) * nt + 150 * (ns + nd)) + 250 * nt) // (500 * nt)) " +
+        "ELSE 0 END AS micros FROM st) "
     val langScores = TextAnalysis.LangProfiles.map { case (lang, ws) =>
       s"len(list_filter(t, x -> x IN ${sqlList(ws)})) AS $lang"
     }.mkString(", ")
@@ -3032,6 +3073,13 @@ object SparkEntry {
         (T + qualCte("qual") +
           "SELECT doc_id, quality FROM qual " +
           "QUALIFY row_number() OVER (ORDER BY quality DESC, doc_id) <= (SELECT ceil(count(*) * 0.25) FROM qual) " +
+          "ORDER BY doc_id"),
+      // p12: the same Knuth coin as p2/p8, but compared to the per-doc
+      // quality MICROS integer — exact integer vs integer on both engines
+      "p12_weighted_sample" ->
+        (T + microsCte("q") +
+          "SELECT doc_id, micros / 1000000.0 AS quality FROM q " +
+          "WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 < micros " +
           "ORDER BY doc_id"),
       "p5_pack_sequences" ->
         (T + ", c AS (SELECT doc_id, doc_id % 32 AS shard, len(t)::BIGINT AS n_tokens FROM toks) " +
@@ -3864,6 +3912,40 @@ object SparkEntry {
           "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
           "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
           "GROUP BY 1 ORDER BY 1"),
+      // o26: the full 8-table join written flat; share = the same
+      // conditional-aggregate ratio, exact decimal sums both sides
+      "o26_market_share" ->
+        ("WITH vol AS (SELECT year(o_orderdate) AS o_year, " +
+          "(l_extendedprice * (1 - l_discount))::DECIMAL(18,6) AS v, " +
+          "n2.n_name AS supp_nation " +
+          "FROM lineitem " +
+          "JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY' " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+          "JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+          "JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA' " +
+          "WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+          "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00') " +
+          "SELECT o_year, " +
+          "round(sum(CASE WHEN supp_nation = 'NATION_5' THEN v " +
+          "ELSE 0::DECIMAL(18,6) END) / sum(v), 6)::DOUBLE AS mkt_share, " +
+          "round(sum(v), 2)::DOUBLE AS total_volume " +
+          "FROM vol GROUP BY 1 ORDER BY 1"),
+      // o27: profit per nation×year, the same retail-price cost proxy,
+      // per-row decimal difference summed exactly
+      "o27_nation_profit" ->
+        ("SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
+          "round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6) " +
+          "- (0.5 * p_retailprice * l_quantity)::DECIMAL(18,6)), 2)::DOUBLE AS sum_profit " +
+          "FROM lineitem " +
+          "JOIN part ON l_partkey = p_partkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE p_name LIKE '%widget%' " +
+          "GROUP BY 1, 2 ORDER BY 1, 2 DESC"),
       // o23: the naive form — the whole disjunction in one WHERE; the
       // engine's factored pushdown must be value-invisible
       "o23_promo_revenue" ->

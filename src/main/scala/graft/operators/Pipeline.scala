@@ -84,6 +84,37 @@ object Pipeline {
       .select(col("doc_id"), col("quality"))
   }
 
+  /** QUALITY-WEIGHTED downsampling: keep each document with probability
+    * equal to its quality score — the GPT-3 CommonCrawl curation shape
+    * (classifier-score-weighted keep, here over the engine's t3 quality
+    * blend): high-quality documents nearly always survive, junk rarely,
+    * and the expected kept fraction is the corpus's MEAN quality. Unlike
+    * [[qualitySample]]'s hard top-frac cut this keeps a graded tail — the
+    * property the published curation recipes want (low-quality text still
+    * appears, proportionally).
+    *
+    * The coin is the [[hashSplit]] Knuth multiplicative hash of
+    * (doc_id + seed) bucketed to 1e6, compared to the quality's exact
+    * 6-decimal MICROS integer ([[TextAnalysis.qualityMicrosCol]]) —
+    * integer vs integer, so every engine and every re-run over any
+    * partitioning makes the identical keep/drop decision (p8's float
+    * `< kf·1e6` compare is safe only because kf is per-SOURCE; a per-doc
+    * float compare would diverge on exact-boundary scores). `seed`
+    * re-rolls the coins for a fresh epoch without re-scoring.
+    *
+    * At 100 TB: a narrow per-row map — tokenize, score, hash, compare —
+    * NO shuffle, no sampling state, no global pass; shard-by-shard ingest
+    * on 1000 executors keeps or drops each document identically.
+    */
+  def weightedSample(docs: DataFrame, seed: Long = 0L): DataFrame = {
+    val micros = TextAnalysis.qualityMicrosCol(TextAnalysis.tokens(col("text")))
+    val coin = pmod(pmod((col("doc_id") + lit(seed)) * lit(2654435761L),
+      lit(4294967296L)), lit(1000000L))
+    docs.select(col("doc_id"), micros.as("__micros"), coin.as("__coin"))
+      .where(col("__coin") < col("__micros"))
+      .select(col("doc_id"), (col("__micros").cast("double") / 1e6).as("quality"))
+  }
+
   /** Sequence packing for pre-training: assign every document a fixed
     * token-budget pack id. Packing is SHARD-LOCAL (shard = pmod(doc_id,
     * shards)): each shard packs its documents independently in doc_id order,

@@ -766,4 +766,105 @@ object Relational {
         sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
       .orderBy("l_returnflag")
   }
+
+  /** TPC-H Q8 shape — a supplier nation's MARKET SHARE by order year
+    * inside one region × part-type market: the widest join graph in the
+    * suite (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders ⋈ customer ⋈
+    * nation ⋈ region), with the share computed as a per-year conditional
+    * aggregate (`sum(CASE supp_nation…)/sum(volume)` — o24's one-pass
+    * ratio discipline, never two jobs diffed).
+    *
+    * At 100 TB the plan has exactly ONE wide shuffle: every dimension
+    * (part slice, supplier→nation map, customer→nation∈region slice,
+    * both nation legs, region) broadcasts — customer's projected
+    * (custkey, nationkey) pair is ids-only and two orders of magnitude
+    * under the facts — so lineitem ⋈ orders on the co-keyed orderkey is
+    * the only fact-fact exchange, with the date window pushed to the
+    * orders scan, the type slice pre-shrinking lineitem via the part
+    * broadcast BEFORE that shuffle, and the year×2 aggregate
+    * partial-combining above it. Share is exact-DECIMAL both sides, ONE
+    * double division, round-6 (the o19/o24 discipline).
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                  part: DataFrame, rName: String = "AMERICA",
+                  suppNation: String = "NATION_5", pType: String = "ECONOMY",
+                  from: String = "1995-01-01",
+                  until: String = "1997-01-01"): DataFrame = {
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val marketNations = nation
+      .join(broadcast(region.where(col("r_name") === rName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("mkt_nationkey"))
+    val suppNations = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    lineitem
+      .join(broadcast(part.where(col("p_type") === pType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNations), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        orders
+          .where(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(
+        customer.select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(marketNations),
+            col("c_nationkey") === col("mkt_nationkey"))
+          .select("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === suppNation, vol)
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("__nat"),
+        sum(vol).as("__all"))
+      .select(col("o_year"),
+        round(col("__nat") / col("__all"), 6).cast("double").as("mkt_share"),
+        round(col("__all"), 2).cast("double").as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape — profit by supplier nation × order year over a
+    * part-name slice. The synthetic schema has no partsupp, so supply
+    * cost is proxied as half the part's retail price per unit (documented
+    * deviation; the PLAN shape — a substring-sliced dimension fanned
+    * across the two biggest facts with a nation×year aggregate — is the
+    * point). Per-row profit = discounted revenue − cost, each product
+    * cast to DECIMAL(18,6) before the exact decimal sum; report rounds to
+    * cents then doubles (header discipline).
+    *
+    * At 100 TB: the p_name contains-slice broadcasts and shrinks lineitem
+    * FIRST (it cannot push to the fact scan — it's a dimension predicate
+    * — but the broadcast hash join applies it before any exchange), the
+    * supplier→nation map broadcasts, and lineitem ⋈ orders on orderkey is
+    * again the single wide shuffle, the ~|nations|×|years| aggregate
+    * combining map-side above it.
+    */
+  def nationProfit(nation: DataFrame, supplier: DataFrame, part: DataFrame,
+                   orders: DataFrame, lineitem: DataFrame,
+                   nameFragment: String = "widget"): DataFrame = {
+    val profit = ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+      - (lit(0.5) * col("p_retailprice") * col("l_quantity"))
+        .cast("decimal(18,6)"))
+    val suppNations = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    lineitem
+      .join(broadcast(part.where(col("p_name").contains(nameFragment))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNations), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
 }

@@ -123,6 +123,27 @@ object TextAnalysis {
     (scaled - pmod(scaled, den)).cast("double") / den.cast("double") / 1e6
   }
 
+  /** The quality blend's exact 6-decimal MICROS integer (quality ≡
+    * micros/10⁶, micros ∈ [0, 10⁶] since the blend is ≤ 1): the same
+    * subtract-mod division as [[roundDiv6]] kept as a LONG, for callers
+    * that need the score as an integer — e.g. [[Pipeline.weightedSample]]'s
+    * coin comparison, which must be exact integer-vs-integer so every
+    * engine makes the identical keep/drop decision. The intermediate
+    * double division is exact: the quotient is an integer ≤ 10⁶ and the
+    * dividend obeys roundDiv6's 2⁵³ guard.
+    */
+  private[operators] def qualityMicrosCol(t: Column): Column = {
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, w => w.isInCollection(Analyzers.EnglishStopwords))).cast("long")
+    val nDist = size(array_distinct(t)).cast("long")
+    val num = lit(2L) * least(nTok, lit(100L)) * nTok + lit(150L) * (nStop + nDist)
+    val den = lit(500L) * nTok
+    val scaled = lit(1000000L) * num + shiftright(den, 1)
+    when(nTok > 0L,
+      ((scaled - pmod(scaled, den)).cast("double") / den.cast("double")).cast("long"))
+      .otherwise(lit(0L))
+  }
+
   // ---------------------------------------------- BPE-ish pre-tokenization
 
   /** Whitespace as an explicit character class, NOT `\s`: java.util.regex

@@ -612,6 +612,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     p25 should include("partial_sum")
     p25 should not include "CartesianProduct"
     p25 should include regex """FileScan parquet \[l_orderkey[^\]]*l_returnflag[^\]]*l_shipdate[^\]]*\]"""
+    // o26 (Q8 shape): every dimension leg broadcasts (part slice, the
+    // supplier→nation map, the customer slice — itself built from two
+    // broadcasts), the date window reaches the orders scan as range
+    // bounds, the fact is scanned ONCE, and the year aggregate
+    // partial-combines; the only wide exchange is lineitem ⋈ orders
+    val p26 = graft.operators.Relational.marketShare(
+        reg, nat, cust, ord, li, sup, prt)
+      .queryExecution.executedPlan.toString
+    "BroadcastHashJoin".r.findAllIn(p26).size should be >= 4
+    p26 should include regex """PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate"""
+    p26 should include("partial_sum")
+    p26 should not include "CartesianProduct"
+    "FileScan parquet \\[l_".r.findAllIn(p26).size shouldBe 1
+    // o27 (Q9 shape): the contains-slice cannot push to a footer stat but
+    // the broadcast hash join applies it BEFORE any exchange; supplier→
+    // nation broadcasts; one lineitem scan; nation×year partial-combines
+    val p27 = graft.operators.Relational.nationProfit(nat, sup, prt, ord, li)
+      .queryExecution.executedPlan.toString
+    "BroadcastHashJoin".r.findAllIn(p27).size should be >= 3
+    p27 should include("partial_sum")
+    p27 should not include "CartesianProduct"
+    "FileScan parquet \\[l_".r.findAllIn(p27).size shouldBe 1
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
