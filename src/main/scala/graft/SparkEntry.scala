@@ -996,6 +996,24 @@ object SparkEntry {
           (col("rt_fail") === 0).as("roundtrip_ok"))
     }),
 
+    // Learned quality classifier (GPT-3 curation's scoring half): token
+    // weights = difference of Laplace-smoothed class frequencies over
+    // quality-labeled docs — linear-probability NB whose weights are
+    // EXACT integer micros (no ln to ulp-diverge on); top-256 by |weight|
+    "t20_classifier_weights" -> ((s, d) =>
+      TextAnalysis.trainQualityClassifier(docs(s, d))
+        .orderBy(abs(col("weight_micros")).desc, col("token"))),
+
+    // Classifier scoring: the trained weights collected (vocab-bounded,
+    // broadcast-stats pattern) into a literal map, each doc's tokens
+    // folded through element_at into one exact long sum — narrow codegen
+    // map, no shuffle, corpus read once
+    "t21_classifier_score" -> ((s, d) => {
+      val ds = docs(s, d)
+      TextAnalysis.scoreWithClassifier(ds,
+        TextAnalysis.trainQualityClassifier(ds)).orderBy("doc_id")
+    }),
+
     // Text analysis: Gopher-style bigram repetition signals
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
@@ -2841,6 +2859,21 @@ object SparkEntry {
         s", $name AS (SELECT doc_id, CASE WHEN nt > 0 THEN " +
         "((1000000 * (2 * least(nt, 100) * nt + 150 * (ns + nd)) + 250 * nt) // (500 * nt)) " +
         "ELSE 0 END AS micros FROM st) "
+    // t20/t21: per-token class counts → smoothed integer weights (reads
+    // the micros CTE `q` for labels; `wts` is the full un-cut weight table)
+    val classifierWtsCte =
+      ", lab AS (SELECT doc_id, micros >= 500000 AS pos FROM q) " +
+        ", tok AS (SELECT doc_id, unnest(t) AS token FROM toks) " +
+        ", cnt AS (SELECT token, " +
+        "sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS pc, " +
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS nc " +
+        "FROM tok JOIN lab USING (doc_id) GROUP BY 1) " +
+        ", tot AS (SELECT sum(pc)::BIGINT AS pt, sum(nc)::BIGINT AS nt2, " +
+        "count(*)::BIGINT AS v FROM cnt) " +
+        ", wts AS (SELECT token, " +
+        "(((1000000 * (pc + 1) + (pt + v) // 2) // (pt + v)) " +
+        "- ((1000000 * (nc + 1) + (nt2 + v) // 2) // (nt2 + v)))::BIGINT AS weight_micros " +
+        "FROM cnt, tot) "
     val langScores = TextAnalysis.LangProfiles.map { case (lang, ws) =>
       s"len(list_filter(t, x -> x IN ${sqlList(ws)})) AS $lang"
     }.mkString(", ")
@@ -3217,6 +3250,24 @@ object SparkEntry {
           "(SELECT count(*) FROM words)::BIGINT AS total_words, " +
           "(SELECT sum(len(w)) FROM words)::BIGINT AS total_chars, " +
           "true AS monotone_compresses, true AS roundtrip_ok"),
+      // t20/t21: the classifier recomputed from scratch — same labels
+      // (quality micros ≥ 5e5), same Laplace-smoothed integer weights
+      // ((10⁶·(c+1) + ⌊den/2⌋) // den with den = class_total + |vocab|),
+      // same top-256 |weight| cut; scoring re-derived by explode + join +
+      // integer sum (order-free, so no fold-order pin needed)
+      "t20_classifier_weights" ->
+        (T + microsCte("q") + classifierWtsCte +
+          "SELECT token, weight_micros FROM wts " +
+          "ORDER BY abs(weight_micros) DESC, token LIMIT 256"),
+      "t21_classifier_score" ->
+        (T + microsCte("q") + classifierWtsCte +
+          ", topw AS (SELECT token, weight_micros FROM wts " +
+          "ORDER BY abs(weight_micros) DESC, token LIMIT 256) " +
+          ", sc AS (SELECT t.doc_id, sum(coalesce(w.weight_micros, 0))::BIGINT AS s " +
+          "FROM tok t LEFT JOIN topw w USING (token) GROUP BY 1) " +
+          "SELECT d.doc_id, coalesce(s, 0)::BIGINT AS score_micros, " +
+          "coalesce(s, 0) > 0 AS predicted_hq " +
+          "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"),
       // t18: the same independently derived first merge applied per doc —
       // count = chars − non-overlapping occurrences, word by word
       "t18_bpe_doc_counts" ->

@@ -495,4 +495,80 @@ object TextAnalysis {
         coalesce(roundDiv6(col("n") - col("nd"), col("n")), lit(0.0))
           .as("dup_bigram_frac"))
   }
+
+  // ----------------------------------------- learned quality classifier
+
+  /** TRAIN a linear text-quality classifier — the GPT-3 curation recipe's
+    * missing half (p12 samples BY a score; this LEARNS the score from the
+    * corpus): label each document by the exact quality blend
+    * (positive ⟺ micros ≥ `posMicros`), count tokens per class, and weight
+    * each token by the difference of its Laplace-smoothed class
+    * frequencies. Returns the top-`vocabSize` (token, weight_micros) rows
+    * by |weight| (ties by token) — a naive-Bayes-shaped LINEAR-probability
+    * model (documented deviation from log-space NB: subtraction instead
+    * of log-ratio keeps every weight an exact integer, so training and
+    * scoring are bit-identical on any engine — no `ln` whose last ulp
+    * differs across math libraries).
+    *
+    * weight_micros(t) = ⌊(10⁶·(pc+1) + ⌊(PT+V)/2⌋) / (PT+V)⌋
+    *                  − ⌊(10⁶·(nc+1) + ⌊(NT+V)/2⌋) / (NT+V)⌋
+    * (pc/nc = class token counts, PT/NT = class totals, V = distinct
+    * vocabulary — all exact longs; the divisions are [[roundDiv6]]'s
+    * HALF_UP integer form with the scaled numerator in DECIMAL(38,0),
+    * so — unlike the per-doc 2⁵³ double guard — class totals are exact
+    * at any realistic corpus size.)
+    *
+    * At 100 TB: one tokenize/explode pass partial-combining into the
+    * (token, pc, nc) table — corpus-rows in, vocabulary-rows out; the
+    * 1-row class-totals aggregate broadcasts back over that metadata-scale
+    * table (never the corpus), and the top-K is a TakeOrdered merge. The
+    * corpus is read ONCE and never collected.
+    */
+  def trainQualityClassifier(docs: DataFrame, posMicros: Long = 500000L,
+                             vocabSize: Int = 256): DataFrame = {
+    val labeled = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        (qualityMicrosCol(col("t")) >= posMicros).as("pos"))
+    val counts = labeled
+      .select(explode(col("t")).as("token"), col("pos"))
+      .groupBy("token")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pc"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nc"))
+    val totals = counts.agg(sum("pc").as("pt"), sum("nc").as("nt"),
+      count(lit(1)).as("v"))
+    def smoothedMicros(cnt: Column, tot: Column): Column = {
+      val den = tot + col("v")
+      val scaled = lit(1000000L).cast("decimal(38,0)") * (cnt + lit(1L)) +
+        shiftright(den, 1)
+      ((scaled - pmod(scaled, den)) / den).cast("long")
+    }
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (smoothedMicros(col("pc"), col("pt"))
+          - smoothedMicros(col("nc"), col("nt"))).cast("long")
+          .as("weight_micros"))
+      .orderBy(abs(col("weight_micros")).desc, col("token"))
+      .limit(vocabSize)
+  }
+
+  /** SCORE documents with a trained classifier (the [[trainQualityClassifier]]
+    * output): collect the weight table — bounded by vocabSize, the
+    * broadcast-stats pattern — into a literal map, and fold each document's
+    * tokens through `element_at` lookups into one exact long sum.
+    * score_micros is order-free integer arithmetic (identical on any
+    * partitioning and any engine); the decision rule `score > 0` is
+    * "leans toward the positive class" in the linear-probability model.
+    *
+    * At 100 TB: a narrow per-row codegen'd map — tokenize, map-lookup
+    * fold, compare — NO shuffle, no join, the corpus read once.
+    */
+  def scoreWithClassifier(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val w: Map[String, Long] = weights.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wmap = typedLit(w)
+    val score = aggregate(tokens(col("text")), lit(0L),
+      (acc, tok) => acc + coalesce(element_at(wmap, tok), lit(0L)))
+    docs.select(col("doc_id"), score.as("score_micros"))
+      .withColumn("predicted_hq", col("score_micros") > 0L)
+  }
 }

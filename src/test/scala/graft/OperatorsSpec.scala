@@ -237,6 +237,70 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     kept shouldBe Set(2L, 0L)
   }
 
+  test("weighted sample: keep set is exactly coin < quality-micros; seeded re-roll is deterministic") {
+    val df = Seq(
+      (0L, base), (1L, nearDup), (2L, "a"), (3L, "b c"), (4L, ""),
+      (5L, "the a is of and to in it with for on"), // all stopwords — high blend
+      (6L, "zq xv wk jm pn bt cr dl fh gs")) // no stopwords, no repeats
+      .toDF("doc_id", "text")
+    // expected: replicate the integer coin and recover micros from the
+    // scored quality (quality ≡ micros/1e6 exactly, so the round-trip is exact)
+    val micros = TextAnalysis.qualityScore(df)
+      .as[(Long, Double)].collect()
+      .map { case (id, q) => id -> math.round(q * 1e6) }.toMap
+    def coin(id: Long, seed: Long): Long =
+      (((id + seed) * 2654435761L) % 4294967296L) % 1000000L
+    val expected = micros.keySet.filter(id => coin(id, 0L) < micros(id))
+    val got = graft.operators.Pipeline.weightedSample(df)
+      .select("doc_id").as[Long].collect().toSet
+    got shouldBe expected
+    // the empty doc (quality 0) can never be kept
+    got should not contain 4L
+    // same seed → identical; the re-roll obeys the same rule under its seed
+    graft.operators.Pipeline.weightedSample(df)
+      .select("doc_id").as[Long].collect().toSet shouldBe got
+    graft.operators.Pipeline.weightedSample(df, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet shouldBe
+      micros.keySet.filter(id => coin(id, 7L) < micros(id))
+    // narrow map: no exchange anywhere in the scoring plan
+    graft.operators.Pipeline.weightedSample(df)
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("quality classifier: class-exclusive tokens get signed weights; score is the exact weight sum; scoring plan has no shuffle") {
+    // "a"-style all-stopword docs blend ≥ 0.5 (positive class); the
+    // no-stopword no-repeat docs land well under it (negative class)
+    val df = Seq(
+      (0L, "the a is of and to in it with for on"),
+      (1L, "the a is of and to in it with for at"),
+      (2L, "zq xv wk jm pn bt cr dl fh gs"),
+      (3L, "zq xv wk jm pn bt cr dl fh gt"))
+      .toDF("doc_id", "text")
+    val wts = TextAnalysis.trainQualityClassifier(df)
+    val w = wts.as[(String, Long)].collect().toMap
+    // sanity: both classes non-empty under the 0.5 threshold
+    val q = TextAnalysis.qualityScore(df).as[(Long, Double)].collect().toMap
+    q(0L) should be >= 0.5
+    q(2L) should be < 0.5
+    // a token seen only in positive docs weighs positive; only-negative, negative
+    w("of") should be > 0L
+    w("zq") should be < 0L
+    // score = exact sum of the doc's token weights (shared tokens included)
+    val scored = TextAnalysis.scoreWithClassifier(df, wts)
+    val s = scored.as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val toks0 = "the a is of and to in it with for on".split(" ")
+    s(0L) shouldBe toks0.map(t => w.getOrElse(t, 0L)).sum
+    scored.as[(Long, Long, Boolean)].collect()
+      .foreach { case (_, sc, hq) => hq shouldBe sc > 0L }
+    // the positive-class doc scores above the negative-class doc
+    s(0L) should be > s(2L)
+    // scoring is a narrow codegen map: no exchange, no join in the plan
+    val plan = scored.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   test("dup clusters agree with fuzzy survivors on star-shaped near-dup groups") {
     val pairs = Dedup.jaccardPairs(docsDf, threshold = 0.7, maxDf = 10).select("a_id", "b_id")
     val canonical = Dedup.dupClusters(docsDf, pairs)
