@@ -2349,6 +2349,22 @@ object SparkEntry {
         s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"))),
 
+    // Relational OLAP o28 (TPC-H Q6 shape): the pure-pushdown aggregate —
+    // one scan, zero joins, all three predicates reaching the parquet
+    // footers; completes the 22/22 TPC-H plan-shape sweep with o29
+    "o28_discount_revenue" -> ((s, d) =>
+      Relational.discountRevenue(s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // Relational OLAP o29 (TPC-H Q10 shape): top-20 customers by returned
+    // revenue — top-k BEFORE the dimension join, so the k-row side
+    // broadcasts and the customer table never touches the fact pipeline
+    "o29_returned_customers" -> ((s, d) =>
+      Relational.returnedRevenueCustomers(
+        s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/nation.parquet"))),
+
     // Relational OLAP o8: the nation×year report as a CUBE — all FOUR
     // grouping sets (nation×year, nation, year, grand total) from ONE
     // Expand + aggregate pass; NULLS FIRST pinned on both engines
@@ -3963,6 +3979,27 @@ object SparkEntry {
           "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
           "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
           "GROUP BY 1 ORDER BY 1"),
+      // o28: the same three-predicate slice and exact decimal sum
+      "o28_discount_revenue" ->
+        ("SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,6)), 2)::DOUBLE AS revenue, " +
+          "count(*) AS n_items FROM lineitem " +
+          "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+          "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+          "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+      // o29: the naive flat form — group over the full join, then cut;
+      // the engine's topk-before-dimension-join must be value-invisible
+      "o29_returned_customers" ->
+        ("WITH rev AS (SELECT o_custkey, " +
+          "sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS r " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE l_returnflag = 'R' " +
+          "AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+          "AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' " +
+          "GROUP BY 1 ORDER BY r DESC, o_custkey LIMIT 20) " +
+          "SELECT c_custkey, c_name, n_name, round(r, 2)::DOUBLE AS revenue " +
+          "FROM rev JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "ORDER BY r DESC, c_custkey"),
       // o26: the full 8-table join written flat; share = the same
       // conditional-aggregate ratio, exact decimal sums both sides
       "o26_market_share" ->

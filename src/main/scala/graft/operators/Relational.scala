@@ -767,6 +767,64 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** TPC-H Q6 shape — the forecast-revenue-change aggregate: ONE scan,
+    * ZERO joins, ZERO shuffles beyond the final 1-row combine. Its whole
+    * point is pushdown: all three predicates (shipdate range, discount
+    * band, quantity cap) are scan-level conjuncts that reach the parquet
+    * footers (plan-pinned), so at 100 TB row groups outside the year or
+    * the discount band never leave the disk. revenue = Σ price·discount
+    * per-row double products accumulated in exact DECIMAL (the header
+    * discipline); the count rides the same pass.
+    */
+  def discountRevenue(lineitem: DataFrame, from: String = "1997-01-01",
+                      until: String = "1998-01-01", discLo: Double = 0.05,
+                      discHi: Double = 0.07, qtyCap: Double = 24): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until)
+        && col("l_discount") >= lit(discLo) && col("l_discount") <= lit(discHi)
+        && col("l_quantity") < lit(qtyCap))
+      .agg(
+        round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q10 shape — top-k customers by RETURNED revenue in a quarter.
+    * The scale move the naive SQL misses: the customer dimension joins
+    * AFTER the top-k. Revenue aggregates per custkey over the one
+    * co-keyed lineitem ⋈ orders shuffle (returnflag pushed to the fact
+    * scan, the quarter to the orders scan), the top-k is a TakeOrdered
+    * merge over those pre-aggregated rows, and only then do the k
+    * surviving customers join customer/nation — the k-row side
+    * broadcasts, so the full customer table never touches the fact
+    * pipeline. Ranks on the EXACT decimal sum, ties by custkey.
+    */
+  def returnedRevenueCustomers(customer: DataFrame, orders: DataFrame,
+                               lineitem: DataFrame, nation: DataFrame,
+                               from: String = "1997-01-01",
+                               until: String = "1997-04-01",
+                               k: Int = 20): DataFrame = {
+    val rev = lineitem
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("dp"))
+      .join(orders
+          .where(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("dp")).as("rev"))
+      .orderBy(col("rev").desc, col("o_custkey")).limit(k)
+    broadcast(rev)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("rev"), 2).cast("double").as("revenue"), col("rev"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .drop("rev")
+  }
+
   /** TPC-H Q8 shape — a supplier nation's MARKET SHARE by order year
     * inside one region × part-type market: the widest join graph in the
     * suite (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders ⋈ customer ⋈

@@ -634,6 +634,40 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     p27 should include("partial_sum")
     p27 should not include "CartesianProduct"
     "FileScan parquet \\[l_".r.findAllIn(p27).size shouldBe 1
+    // o28 (Q6 shape): ALL THREE predicates reach the parquet scan — the
+    // shipdate range, the discount band, and the quantity cap; no join
+    // anywhere; the aggregate partial-combines to one row. (The default
+    // 100-char metadata truncation would cut the 7-entry PushedFilters
+    // list mid-token — widen it for these assertions.)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p28 = graft.operators.Relational.discountRevenue(li)
+      .queryExecution.executedPlan.toString
+    p28 should include regex """PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"""
+    p28 should include regex """PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_discount"""
+    p28 should include regex """PushedFilters: \[[^\]]*LessThan\(l_quantity"""
+    p28 should not include "Join"
+    p28 should include("partial_sum")
+    // o29 (Q10 shape): returnflag reaches the fact scan, the quarter the
+    // orders scan; the top-k runs as TakeOrdered over the pre-aggregated
+    // per-custkey rows BEFORE any customer join, and the k-row side
+    // broadcasts — the customer table never enters the fact pipeline
+    val p29qe = graft.operators.Relational
+      .returnedRevenueCustomers(cust, ord, li, nat).queryExecution
+    val p29 = p29qe.executedPlan.toString
+    p29 should include regex """PushedFilters: \[[^\]]*EqualTo\(l_returnflag"""
+    p29 should include regex """PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate"""
+    p29 should include("TakeOrderedAndProject")
+    p29 should include("BroadcastHashJoin")
+    p29 should not include "CartesianProduct"
+    // the limit sits BELOW the customer join in the logical plan
+    val o29Join = p29qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    o29Join.exists(_.collectLeaves().size >= 2) shouldBe true
+    val o29Limit = p29qe.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+    }
+    o29Limit should not be empty
   }
 
   test("range-sorted layout: both ts bounds reach the parquet scan as pushed filters") {
