@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Pipeline, Similarity}
+import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -522,6 +522,30 @@ object ScaleProbe {
       f""""skew":${m.getLong(1).toDouble / m.getLong(0)}%.3f}"""
   }
 
+  /** Classifier + weighted-sample scaling: train wall must be one
+    * tokenize/explode pass (data-linear) with the weight table held at
+    * vocabulary scale regardless of corpus rows; scoring and sampling are
+    * narrow per-row maps (shuffle-free) so their walls track the scan.
+    * The decade synthesis suffixes tokens per shard, so the 10× corpus
+    * also carries ~10× the vocabulary — the weight table is pinned to the
+    * top-256 cut either way, which is exactly the claim under test.
+    */
+  private def profileClassifier(spark: SparkSession, label: String,
+                                docs: DataFrame): String = {
+    val nDocs = docs.count()
+    val wts = TextAnalysis.trainQualityClassifier(docs).cache()
+    val (nVocab, tTrain) = timed(wts.count())
+    val (nHq, tScore) = timed(
+      TextAnalysis.scoreWithClassifier(docs, wts)
+        .where(col("predicted_hq")).count())
+    val (nKept, tSample) = timed(Pipeline.weightedSample(docs).count())
+    wts.unpersist()
+    f"""{"corpus":"$label","n_docs":$nDocs,"vocab_rows":$nVocab,""" +
+      f""""train_sec":$tTrain%.2f,"score_sec":$tScore%.2f,""" +
+      f""""predicted_hq":$nHq,"sample_sec":$tSample%.2f,""" +
+      f""""kept":$nKept,"kept_frac":${nKept.toDouble / nDocs}%.4f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -557,6 +581,18 @@ object ScaleProbe {
       val ev1 = EventStream.withEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
       println(profileKeyCardinality(spark, "keys-1x", ev1))
       println(profileKeyCardinality(spark, "keys-10x", synthesizeKeyRich(ev1)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "classifier" runs ONLY the classifier /
+    // weighted-sample scaling probe (1× vs 10× documents)
+    if (args.headOption.contains("classifier")) {
+      val organicC = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dirC = scratch("decade-cls/documents")
+      synthesizeDecade(organicC).write.mode("overwrite").parquet(dirC)
+      println(profileClassifier(spark, "cls-1x", organicC))
+      println(profileClassifier(spark, "cls-10x", spark.read.parquet(dirC)))
       spark.stop()
       return
     }

@@ -1014,6 +1014,24 @@ object SparkEntry {
         TextAnalysis.trainQualityClassifier(ds)).orderBy("doc_id")
     }),
 
+    // Incremental classifier maintenance (the q8/s15 change-feed
+    // discipline on the training state): base counts on a corpus slice,
+    // then adds + removals + one update (remove old / add new) fold in —
+    // tokenize cost = the change window, never a corpus rescan; weights
+    // recomputed from the maintained vocabulary-scale table
+    "t22_classifier_maintenance" -> ((s, d) => {
+      val ds = docs(s, d)
+      val base = ds.where(col("doc_id") < 400)
+      val updated = ds.where(col("doc_id") === 10).withColumn("text",
+        concat(col("text"), lit(" maintained maintained quality")))
+      val added = ds.where(col("doc_id") >= 400).unionByName(updated)
+      val removed = ds.where(col("doc_id").isin(7L, 21L, 10L))
+      TextAnalysis.classifierWeights(
+          TextAnalysis.maintainClassifierCounts(
+            TextAnalysis.classifierCounts(base), added, removed))
+        .orderBy(abs(col("weight_micros")).desc, col("token"))
+    }),
+
     // Text analysis: Gopher-style bigram repetition signals
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
@@ -1105,6 +1123,13 @@ object SparkEntry {
     // assignment, the pretraining batch discipline; per-shard window only)
     "p5_pack_sequences" -> ((s, d) =>
       graft.operators.Pipeline.packSequences(docs(s, d)).orderBy("doc_id")),
+
+    // Pipeline: temperature-sampled domain mixing (XLM-R α=0.5 shape) —
+    // tempered shares from exact token counts via IEEE-exact sqrt +
+    // integer-quantized normalization; Knuth-coin selection, broadcast
+    // fractions, the corpus never shuffles
+    "p13_temperature_mix" -> ((s, d) =>
+      graft.operators.Pipeline.temperatureMix(docs(s, d)).orderBy("doc_id")),
 
     // Pipeline: quality-WEIGHTED downsampling (GPT-3 curation shape) —
     // keep-probability = quality, decided by an exact integer coin-vs-
@@ -3123,6 +3148,21 @@ object SparkEntry {
           "SELECT doc_id, quality FROM qual " +
           "QUALIFY row_number() OVER (ORDER BY quality DESC, doc_id) <= (SELECT ceil(count(*) * 0.25) FROM qual) " +
           "ORDER BY doc_id"),
+      // p13: the tempered-share selection recomputed naively — sqrt of the
+      // natural share, floor-quantized to e-12 units, normalized, same coin
+      "p13_temperature_mix" ->
+        (T + ", dt AS (SELECT t.doc_id, d.source, len(t.t)::BIGINT AS n_tok " +
+          "FROM toks t JOIN documents d ON t.doc_id = d.doc_id), " +
+          "bysrc AS (SELECT source, sum(n_tok) AS src_tok FROM dt GROUP BY 1), " +
+          "tot AS (SELECT sum(n_tok)::DOUBLE AS corpus_tok FROM dt), " +
+          "w AS (SELECT source, src_tok, corpus_tok, " +
+          "floor(sqrt(src_tok::DOUBLE / corpus_tok) * 1e12)::BIGINT AS q FROM bysrc, tot), " +
+          "qt AS (SELECT sum(q)::DOUBLE AS q_tot FROM w), " +
+          "frac AS (SELECT source, least(1.0, 0.5 * corpus_tok * " +
+          "(q::DOUBLE / q_tot) / src_tok) AS kf FROM w, qt) " +
+          "SELECT doc_id, source, n_tok FROM dt JOIN frac USING (source) " +
+          "WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 < kf * 1000000 " +
+          "ORDER BY doc_id"),
       // p12: the same Knuth coin as p2/p8, but compared to the per-doc
       // quality MICROS integer — exact integer vs integer on both engines
       "p12_weighted_sample" ->
@@ -3273,6 +3313,17 @@ object SparkEntry {
       // integer sum (order-free, so no fold-order pin needed)
       "t20_classifier_weights" ->
         (T + microsCte("q") + classifierWtsCte +
+          "SELECT token, weight_micros FROM wts " +
+          "ORDER BY abs(weight_micros) DESC, token LIMIT 256"),
+      // t22: the honest form — the classifier retrained FROM SCRATCH over
+      // the effective corpus (all docs minus the removals, doc 10's text
+      // replaced); the engine's delta fold must be value-invisible
+      "t22_classifier_maintenance" ->
+        ("WITH docs2 AS (SELECT doc_id, CASE WHEN doc_id = 10 " +
+          "THEN text || ' maintained maintained quality' ELSE text END AS text " +
+          "FROM documents WHERE doc_id NOT IN (7, 21)), " +
+          s"toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM docs2) " +
+          microsCte("q") + classifierWtsCte +
           "SELECT token, weight_micros FROM wts " +
           "ORDER BY abs(weight_micros) DESC, token LIMIT 256"),
       "t21_classifier_score" ->

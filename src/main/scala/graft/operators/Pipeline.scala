@@ -283,6 +283,51 @@ object Pipeline {
       .select("doc_id", "source", "n_tok")
   }
 
+  /** TEMPERATURE-sampled domain mixing — the multilingual-pretraining
+    * rebalance rule (XLM-R/mBERT shape): target share_s ∝ p_s^α with
+    * α = 0.5, so low-resource sources are up-weighted RELATIVE to their
+    * natural share and dominant ones damped, without the hand-written
+    * recipe table [[domainMix]] needs. This operator never upsamples
+    * (the keep fraction caps at 1); it thins over-represented sources
+    * toward the tempered profile under the token budget.
+    *
+    * α is fixed at 0.5 deliberately: sqrt is the one power IEEE 754
+    * guarantees correctly rounded, so every engine computes the SAME
+    * tempered weight from the same exact token counts — a general
+    * `pow(p, α)` differs in the last ulp across math libraries. The
+    * weights are then floor-quantized to integer e-12 units and summed
+    * exactly (order-free), so normalization is deterministic too; the
+    * only doubles that remain are single divisions/multiplies of
+    * identical operands. Selection is the [[hashSplit]] Knuth coin — a
+    * document's fate never depends on partitioning or row order.
+    *
+    * Plan shape at 100 TB: identical to [[domainMix]] — one narrow
+    * tokenize-count projection, a map-side-combining per-source
+    * aggregate (a handful of rows), the tempered fractions broadcast
+    * back, keep/drop a codegen'd per-row predicate; the corpus never
+    * shuffles.
+    */
+  def temperatureMix(docs: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+    val docTok = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    val bySrc = docTok.groupBy("source").agg(sum("n_tok").as("src_tok"))
+    val total = docTok.agg(sum("n_tok").cast("double").as("corpus_tok"))
+    val weighted = bySrc.crossJoin(broadcast(total))
+      .select(col("source"), col("src_tok"), col("corpus_tok"),
+        floor(sqrt(col("src_tok").cast("double") / col("corpus_tok")) * lit(1e12))
+          .cast("long").as("q"))
+    val qTot = weighted.agg(sum("q").cast("double").as("q_tot"))
+    val keepFrac = weighted.crossJoin(broadcast(qTot))
+      .select(col("source"),
+        least(lit(1.0), lit(budgetFrac) * col("corpus_tok") *
+          (col("q").cast("double") / col("q_tot")) / col("src_tok"))
+          .as("keep_frac"))
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(1000000L))
+    docTok.join(broadcast(keepFrac), "source")
+      .where(bucket < col("keep_frac") * 1e6)
+      .select("doc_id", "source", "n_tok")
+  }
+
   /** Document CHUNKING — the context-window primitive every RAG /
     * long-document training pipeline needs: each document's token stream
     * splits into `chunkSize`-token windows advancing by

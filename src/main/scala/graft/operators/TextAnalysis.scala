@@ -525,15 +525,28 @@ object TextAnalysis {
     * corpus is read ONCE and never collected.
     */
   def trainQualityClassifier(docs: DataFrame, posMicros: Long = 500000L,
-                             vocabSize: Int = 256): DataFrame = {
-    val labeled = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        (qualityMicrosCol(col("t")) >= posMicros).as("pos"))
-    val counts = labeled
+                             vocabSize: Int = 256): DataFrame =
+    classifierWeights(classifierCounts(docs, posMicros), vocabSize)
+
+  /** The classifier's TRAINING STATE: one `(token, pc, nc)` row per
+    * corpus token — per-class occurrence counts under the quality label.
+    * Additive per document (a doc contributes its token bag to exactly
+    * one class), which is what makes the state incrementally maintainable
+    * ([[maintainClassifierCounts]]): counts fold, they are never
+    * re-derived from history.
+    */
+  def classifierCounts(docs: DataFrame, posMicros: Long = 500000L): DataFrame =
+    docs.select(tokens(col("text")).as("t"))
+      .select(col("t"), (qualityMicrosCol(col("t")) >= posMicros).as("pos"))
       .select(explode(col("t")).as("token"), col("pos"))
       .groupBy("token")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pc"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("nc"))
+
+  /** The weight table from a count table (the training's second half —
+    * pure metadata-scale arithmetic over |vocab| rows).
+    */
+  def classifierWeights(counts: DataFrame, vocabSize: Int = 256): DataFrame = {
     val totals = counts.agg(sum("pc").as("pt"), sum("nc").as("nt"),
       count(lit(1)).as("v"))
     def smoothedMicros(cnt: Column, tot: Column): Column = {
@@ -549,6 +562,34 @@ object TextAnalysis {
           .as("weight_micros"))
       .orderBy(abs(col("weight_micros")).desc, col("token"))
       .limit(vocabSize)
+  }
+
+  /** INCREMENTAL classifier maintenance — the change-feed discipline
+    * (the q8/s15 family) applied to the training state: fold the counts
+    * of `added` documents in and `removed` documents out of an existing
+    * [[classifierCounts]] table. An UPDATE is remove(old) + add(new).
+    * Exact by algebra: per-class token counts are a sum over documents
+    * and each document's label depends only on its own text, so the
+    * maintained table equals a from-scratch recount of the effective
+    * corpus bit-for-bit (spec-pinned), including the vocabulary itself —
+    * a token whose last document leaves nets to (0, 0) and is dropped,
+    * so the smoothing denominator V tracks the true vocabulary.
+    *
+    * At 100 TB: the tokenize/explode cost is |added| + |removed| — the
+    * CHANGE WINDOW, never the corpus — and the fold shuffles
+    * vocabulary-scale rows only. The corpus is not rescanned; the base
+    * count table is the only full-vocabulary input, and it is
+    * metadata-scale by construction.
+    */
+  def maintainClassifierCounts(base: DataFrame, added: DataFrame,
+                               removed: DataFrame,
+                               posMicros: Long = 500000L): DataFrame = {
+    val minus = classifierCounts(removed, posMicros)
+      .select(col("token"), (-col("pc")).as("pc"), (-col("nc")).as("nc"))
+    base.unionByName(classifierCounts(added, posMicros)).unionByName(minus)
+      .groupBy("token")
+      .agg(sum("pc").as("pc"), sum("nc").as("nc"))
+      .where(col("pc") =!= 0L || col("nc") =!= 0L)
   }
 
   /** SCORE documents with a trained classifier (the [[trainQualityClassifier]]

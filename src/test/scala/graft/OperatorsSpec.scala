@@ -301,6 +301,59 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "Join"
   }
 
+  test("temperature mix: rare sources keep whole, dominant ones thin toward the sqrt profile") {
+    // 90% of tokens in 'big', 10% in 'small' (uniform doc length) →
+    // tempered shares 0.75/0.25 → kf_small = min(1, 0.5·0.25/0.1) = 1,
+    // kf_big = 0.5·0.75/0.9 ≈ 0.4167
+    val df = (0L until 100L).map(i =>
+      (i, if (i < 90) "big" else "small", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "source", "text")
+    val kept = graft.operators.Pipeline.temperatureMix(df)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    kept.count(_._2 == "small") shouldBe 10 // capped at 1: never upsampled, all kept
+    val bigKept = kept.count(_._2 == "big")
+    bigKept should be < 50 // thinned well under natural share
+    bigKept should be > 25 // but near the tempered 0.4167 target
+    // deterministic: identical keep set on re-run
+    graft.operators.Pipeline.temperatureMix(df)
+      .select("doc_id").as[Long].collect().sorted shouldBe
+      kept.map(_._1).sorted
+    // corpus side joins the broadcast fractions — never a sort-merge join
+    val plan = graft.operators.Pipeline.temperatureMix(df)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("classifier maintenance: delta fold equals from-scratch retrain, vocabulary drop included") {
+    val base = Seq(
+      (0L, "the a is of and to in it with for on"),
+      (1L, "zq xv wk jm pn bt cr dl fh gs"),
+      (2L, "unique snowflake token only here")) // 'snowflake' leaves with doc 2
+      .toDF("doc_id", "text")
+    // an update is remove(old) + add(new): doc 1 swaps gs → gt
+    val added = Seq(
+      (3L, "the a is of and to in it with for at"),
+      (1L, "zq xv wk jm pn bt cr dl fh gt")).toDF("doc_id", "text")
+    val removedDocs = Seq(
+      (2L, "unique snowflake token only here"),
+      (1L, "zq xv wk jm pn bt cr dl fh gs")).toDF("doc_id", "text")
+    val maintained = TextAnalysis.maintainClassifierCounts(
+      TextAnalysis.classifierCounts(base), added, removedDocs)
+    val effective = Seq(
+      (0L, "the a is of and to in it with for on"),
+      (3L, "the a is of and to in it with for at"),
+      (1L, "zq xv wk jm pn bt cr dl fh gt")).toDF("doc_id", "text")
+    val scratch = TextAnalysis.classifierCounts(effective)
+    maintained.as[(String, Long, Long)].collect().toSet shouldBe
+      scratch.as[(String, Long, Long)].collect().toSet
+    // the departed token's row is GONE, not zeroed — V tracks the true vocabulary
+    maintained.where($"token" === "snowflake").count() shouldBe 0
+    // weights off the maintained state equal the retrain's bit-for-bit
+    TextAnalysis.classifierWeights(maintained).collect().toSeq shouldBe
+      TextAnalysis.classifierWeights(scratch).collect().toSeq
+  }
+
   test("dup clusters agree with fuzzy survivors on star-shaped near-dup groups") {
     val pairs = Dedup.jaccardPairs(docsDf, threshold = 0.7, maxDf = 10).select("a_id", "b_id")
     val canonical = Dedup.dupClusters(docsDf, pairs)
