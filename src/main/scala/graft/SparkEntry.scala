@@ -802,6 +802,24 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // E18 STREAMING classifier scoring: train offline / score ONLINE —
+    // frozen weight map broadcast into a stateless per-batch transform
+    // (no state store, no watermark), exactly-once by batch-directory
+    // overwrite (the e15 discipline); the streamed output must equal the
+    // batch scorer row-for-row (t21's oracle)
+    "e18_stream_classifier" -> ((s, d) => {
+      val src = scratch("e18-src")
+      val out = scratch("e18-out")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        docs(s, d).repartition(4).write.parquet(src)
+      }
+      val w = TextAnalysis.trainQualityClassifier(docs(s, d)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      EventStream.streamClassifierScore(s, src, out, w)
+      s.read.parquet(s"$out/batches")
+        .select("doc_id", "score_micros", "predicted_hq").orderBy("doc_id")
+    }),
+
     // E17 STREAMING funnel: j9's real-time sibling — per-user step events
     // buffer in watermark-bounded state and finalize EXACTLY (the batch
     // qualification chain replayed over the buffered window) once the
@@ -1136,6 +1154,15 @@ object SparkEntry {
     // micros compare; narrow per-row map, no shuffle, no sampling state
     "p12_weighted_sample" -> ((s, d) =>
       graft.operators.Pipeline.weightedSample(docs(s, d)).orderBy("doc_id")),
+
+    // Pipeline: the LEARNED-model composition of p12 — keep-probability
+    // min-max linear in the t20/t21 classifier score (the actual GPT-3
+    // recipe shape), exact integer normalization, 2-long broadcast stat
+    "p14_classifier_sample" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.Pipeline.classifierWeightedSample(ds,
+        TextAnalysis.trainQualityClassifier(ds)).orderBy("doc_id")
+    }),
 
     // Pipeline: per-language quota curation (data mixing) — top 50 docs per
     // detected language by quality, ties by doc_id
@@ -3163,6 +3190,24 @@ object SparkEntry {
           "SELECT doc_id, source, n_tok FROM dt JOIN frac USING (source) " +
           "WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 < kf * 1000000 " +
           "ORDER BY doc_id"),
+      // p14: the classifier score recomputed from scratch (the t21 chain),
+      // min-max normalized to keep-micros by the same integer HALF_UP
+      // division, same coin
+      "p14_classifier_sample" ->
+        (T + microsCte("q") + classifierWtsCte +
+          ", topw AS (SELECT token, weight_micros FROM wts " +
+          "ORDER BY abs(weight_micros) DESC, token LIMIT 256) " +
+          ", sc AS (SELECT t.doc_id, sum(coalesce(w.weight_micros, 0))::BIGINT AS s " +
+          "FROM tok t LEFT JOIN topw w USING (token) GROUP BY 1) " +
+          ", sc2 AS (SELECT d.doc_id, coalesce(s, 0)::BIGINT AS score_micros " +
+          "FROM documents d LEFT JOIN sc USING (doc_id)) " +
+          ", b AS (SELECT min(score_micros) AS lo, max(score_micros) AS hi FROM sc2) " +
+          ", k AS (SELECT doc_id, score_micros, CASE WHEN hi = lo THEN 1000000 " +
+          "ELSE (1000000 * (score_micros - lo) + (hi - lo) // 2) // (hi - lo) " +
+          "END::BIGINT AS keep_micros FROM sc2, b) " +
+          "SELECT doc_id, score_micros, keep_micros FROM k " +
+          "WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 < keep_micros " +
+          "ORDER BY doc_id"),
       // p12: the same Knuth coin as p2/p8, but compared to the per-doc
       // quality MICROS integer — exact integer vs integer on both engines
       "p12_weighted_sample" ->
@@ -3327,6 +3372,17 @@ object SparkEntry {
           "SELECT token, weight_micros FROM wts " +
           "ORDER BY abs(weight_micros) DESC, token LIMIT 256"),
       "t21_classifier_score" ->
+        (T + microsCte("q") + classifierWtsCte +
+          ", topw AS (SELECT token, weight_micros FROM wts " +
+          "ORDER BY abs(weight_micros) DESC, token LIMIT 256) " +
+          ", sc AS (SELECT t.doc_id, sum(coalesce(w.weight_micros, 0))::BIGINT AS s " +
+          "FROM tok t LEFT JOIN topw w USING (token) GROUP BY 1) " +
+          "SELECT d.doc_id, coalesce(s, 0)::BIGINT AS score_micros, " +
+          "coalesce(s, 0) > 0 AS predicted_hq " +
+          "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"),
+      // e18: the streamed scoring must equal the batch scorer — t21's
+      // oracle verbatim
+      "e18_stream_classifier" ->
         (T + microsCte("q") + classifierWtsCte +
           ", topw AS (SELECT token, weight_micros FROM wts " +
           "ORDER BY abs(weight_micros) DESC, token LIMIT 256) " +

@@ -283,6 +283,41 @@ object Pipeline {
       .select("doc_id", "source", "n_tok")
   }
 
+  /** CLASSIFIER-score-weighted downsampling — [[weightedSample]]'s
+    * keep-probability driven by the LEARNED model instead of the
+    * heuristic blend (the actual GPT-3 CommonCrawl recipe shape: docs
+    * kept with probability increasing in the quality classifier's
+    * score). The score ([[TextAnalysis.scoreWithClassifier]]'s exact
+    * long) min-max normalizes to keep-micros ∈ [0, 10⁶] — the corpus
+    * minimum is never kept, the maximum always, everything else linear
+    * in between — via the same HALF_UP integer division as the quality
+    * micros (DECIMAL-scaled, exact at any score range); a degenerate
+    * corpus (all scores equal) keeps everything. The coin is the
+    * seeded Knuth hash, integer vs integer.
+    *
+    * At 100 TB: one narrow score pass + a 2-value (min, max) aggregate
+    * broadcast back + the per-row coin compare. No shuffle of the
+    * corpus; the normalization stat is the only global state and it is
+    * 2 longs.
+    */
+  def classifierWeightedSample(docs: DataFrame, weights: DataFrame,
+                               seed: Long = 0L): DataFrame = {
+    val scored = TextAnalysis.scoreWithClassifier(docs, weights)
+      .select("doc_id", "score_micros")
+    val bounds = scored.agg(min("score_micros").as("lo"),
+      max("score_micros").as("hi"))
+    val den = col("hi") - col("lo")
+    val scaled = lit(1000000L).cast("decimal(38,0)") *
+      (col("score_micros") - col("lo")) + shiftright(den, 1)
+    val keepMicros = when(den === 0L, lit(1000000L))
+      .otherwise(((scaled - pmod(scaled, den)) / den).cast("long"))
+    val coin = pmod(pmod((col("doc_id") + lit(seed)) * lit(2654435761L),
+      lit(4294967296L)), lit(1000000L))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("score_micros"), keepMicros.as("keep_micros"))
+      .where(coin < col("keep_micros"))
+  }
+
   /** TEMPERATURE-sampled domain mixing — the multilingual-pretraining
     * rebalance rule (XLM-R/mBERT shape): target share_s ∝ p_s^α with
     * α = 0.5, so low-resource sources are up-weighted RELATIVE to their

@@ -603,9 +603,16 @@ object TextAnalysis {
     * At 100 TB: a narrow per-row codegen'd map — tokenize, map-lookup
     * fold, compare — NO shuffle, no join, the corpus read once.
     */
-  def scoreWithClassifier(docs: DataFrame, weights: DataFrame): DataFrame = {
-    val w: Map[String, Long] = weights.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  def scoreWithClassifier(docs: DataFrame, weights: DataFrame): DataFrame =
+    scoreWithWeightMap(docs, weights.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** [[scoreWithClassifier]] over an already-collected weight map — the
+    * FROZEN-model form a serving/streaming path uses (train offline,
+    * broadcast the map, score every arriving batch with zero training
+    * dependency at score time).
+    */
+  def scoreWithWeightMap(docs: DataFrame, w: Map[String, Long]): DataFrame = {
     val wmap = typedLit(w)
     val score = aggregate(tokens(col("text")), lit(0L),
       (acc, tok) => acc + coalesce(element_at(wmap, tok), lit(0L)))

@@ -816,6 +816,40 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING classifier scoring — train offline, score ONLINE: every
+    * arriving document batch is scored with a FROZEN weight map
+    * (TextAnalysis.scoreWithWeightMap — the vocab-bounded literal-map
+    * fold, a stateless codegen'd per-row transform), so ingest-time
+    * quality gating needs no training dependency, no state store, and no
+    * watermark: each micro-batch is independent. Exactly-once by the e15
+    * discipline — each batch lands as its own `batch=<id>/` directory via
+    * idempotent overwrite, so a replayed batch rewrites the same rows
+    * instead of duplicating them. At 100 TB/day the per-batch cost is the
+    * batch scan; the weight map ships once per executor.
+    */
+  def streamClassifierScore(spark: SparkSession, srcDir: String,
+                            outDir: String, weights: Map[String, Long]): Unit = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val src = bf.readStream
+      .schema(bf.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextAnalysis.scoreWithWeightMap(batch, weights)
+          .write.mode("overwrite").parquet(s"$outDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Read the IDF delta log COMPACTION-AWARE: the compact segment (the
     * reserved `batch=-1` directory) plus only batches ABOVE the recorded
     * compaction horizon. A batch directory at or below the horizon is a
