@@ -2108,6 +2108,23 @@ object SparkEntry {
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
           .where(to_date(col("ts")) =!= "2024-01-10"), "ts")),
 
+    // C6 quality-DISTRIBUTION drift between two corpus snapshots: decile
+    // histograms of the quality micros side by side (densified bucket
+    // spine — the c5 rule), exact integer fractions and drift; v2 derived
+    // from documents under the p10 snapshot rules (deletes, [rev2] text
+    // edits that move quality mass, inserts)
+    "c6_quality_drift" -> ((s, d) => {
+      val base = docs(s, d)
+      val v2 = base.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id")).as("text")))
+      graft.operators.Quality.qualityDrift(base, v2)
+    }),
+
     // E13 streaming VALIDATED ingest: the c2 constraint gate applied
     // in-flight — each micro-batch splits on the violation predicate,
     // good rows to the sink, violators to quarantine (never silently
@@ -2927,6 +2944,16 @@ object SparkEntry {
         s", $name AS (SELECT doc_id, CASE WHEN nt > 0 THEN " +
         "((1000000 * (2 * least(nt, 100) * nt + 150 * (ns + nd)) + 250 * nt) // (500 * nt)) " +
         "ELSE 0 END AS micros FROM st) "
+    // the micros blend over an arbitrary source CTE/table (c6 needs it
+    // for BOTH snapshot sides)
+    def microsFor(src: String, name: String): String =
+      s", tk_$name AS (SELECT doc_id, ${stdToks("text")} AS t FROM $src) " +
+        s", st_$name AS (SELECT doc_id, len(t)::BIGINT AS nt, " +
+        s"len(list_filter(t, x -> x IN $stop))::BIGINT AS ns, " +
+        s"len(list_distinct(t))::BIGINT AS nd FROM tk_$name) " +
+        s", $name AS (SELECT doc_id, CASE WHEN nt > 0 THEN " +
+        "((1000000 * (2 * least(nt, 100) * nt + 150 * (ns + nd)) + 250 * nt) // (500 * nt)) " +
+        s"ELSE 0 END AS micros FROM st_$name) "
     // t20/t21: per-token class counts → smoothed integer weights (reads
     // the micros CTE `q` for labels; `wts` is the full un-cut weight table)
     val classifierWtsCte =
@@ -3935,6 +3962,30 @@ object SparkEntry {
           "SELECT c_nationkey, count(*) AS numcust, " +
           "round(sum(c_acctbal::DECIMAL(28,10)), 2)::DOUBLE AS totacctbal " +
           "FROM inact GROUP BY 1 ORDER BY 1"),
+      // c6: both sides' decile histograms recomputed naively over the
+      // same derived v2, densified over a 0..9 spine, same HALF_UP
+      // integer fractions
+      "c6_quality_drift" ->
+        ("WITH v2 AS (" +
+          "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text " +
+          "FROM documents WHERE doc_id % 17 <> 0 " +
+          "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'new doc ' || doc_id AS text " +
+          "FROM documents WHERE doc_id % 19 = 0) " +
+          microsFor("documents", "q1") + microsFor("v2", "q2") +
+          ", b1 AS (SELECT least(9, (micros * 10) // 1000000) AS bucket FROM q1) " +
+          ", b2 AS (SELECT least(9, (micros * 10) // 1000000) AS bucket FROM q2) " +
+          ", c1 AS (SELECT bucket, count(*)::BIGINT AS n_v1 FROM b1 GROUP BY 1) " +
+          ", c2 AS (SELECT bucket, count(*)::BIGINT AS n_v2 FROM b2 GROUP BY 1) " +
+          ", t AS (SELECT (SELECT count(*) FROM q1)::BIGINT AS t1, " +
+          "(SELECT count(*) FROM q2)::BIGINT AS t2) " +
+          ", sp AS (SELECT range::BIGINT AS bucket FROM range(10)) " +
+          ", m AS (SELECT sp.bucket, coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2 " +
+          "FROM sp LEFT JOIN c1 USING (bucket) LEFT JOIN c2 USING (bucket)) " +
+          "SELECT bucket, n_v1, n_v2, " +
+          "((1000000 * n_v1 + t1 // 2) // t1)::BIGINT AS f1_micros, " +
+          "((1000000 * n_v2 + t2 // 2) // t2)::BIGINT AS f2_micros, " +
+          "abs(((1000000 * n_v1 + t1 // 2) // t1) - ((1000000 * n_v2 + t2 // 2) // t2))::BIGINT AS drift_micros " +
+          "FROM m, t ORDER BY bucket"),
       // c5: the trailing-window deviation recomputed with the same exact
       // integer-product form over the same DENSIFIED calendar spine (the
       // planted-empty day appears as cnt 0, dev -1, flagged); first-history

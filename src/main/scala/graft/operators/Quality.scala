@@ -265,4 +265,60 @@ object Quality {
       .orderBy(col("cnt").desc, col("key")) // re-assert order above the join (topK rows)
     (perKey, out)
   }
+
+  /** QUALITY-DISTRIBUTION drift between two corpus snapshots — the
+    * population-stability report a training pipeline runs before letting
+    * a new corpus version feed a run: per-bucket document counts and
+    * fractions of the quality score, side by side, with the absolute
+    * per-bucket shift. A curation change that silently moves mass
+    * between quality deciles shows up here before it shows up in a
+    * trained model.
+    *
+    * Everything is exact integers: the bucket is the quality MICROS
+    * integer floor-divided into `buckets` equal slices (micros = 10⁶
+    * lands in the top bucket), fractions are the HALF_UP micros of
+    * count/total (the [[TextAnalysis.roundDiv6]] integer form), and the
+    * drift is a difference of those longs — so the report is
+    * bit-identical on any engine and any partitioning, and a zero-drift
+    * bucket is exactly zero, never 1e-16. Empty buckets are DENSIFIED
+    * over a bucket spine (the volumeDrift calendar-spine rule): a decile
+    * both snapshots vacate still appears, showing 0/0 rather than
+    * vanishing from the report.
+    *
+    * At 100 TB: each side is one narrow tokenize/score/bucket pass into
+    * a `buckets`-row map-side-combining aggregate (union-tagged, ONE
+    * shuffle for both sides); totals are part of the same aggregate
+    * output folded on the driver-free spine join — all downstream work
+    * is metadata-scale.
+    */
+  def qualityDrift(v1: DataFrame, v2: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val micros = TextAnalysis.qualityMicrosCol(TextAnalysis.tokens(col("text")))
+    val scaledB = micros * lit(buckets.toLong)
+    val bucket = least(lit(buckets - 1L),
+      ((scaledB - pmod(scaledB, lit(1000000L))) / lit(1000000L)).cast("long"))
+    def side(df: DataFrame, one: Long, two: Long): DataFrame =
+      df.select(bucket.as("bucket"), lit(one).as("one"), lit(two).as("two"))
+    val counts = side(v1, 1L, 0L).unionByName(side(v2, 0L, 1L))
+      .groupBy("bucket")
+      .agg(sum("one").as("n_v1"), sum("two").as("n_v2"))
+    val totals = counts.agg(sum("n_v1").as("t1"), sum("n_v2").as("t2"))
+    val spine = v1.sparkSession.range(buckets).select(col("id").as("bucket"))
+    // scaled numerator in DECIMAL so the fraction stays exact past the
+    // 2^53 double window (corpus counts can exceed it; bucket indices not)
+    def fracMicros(n: Column, t: Column): Column = {
+      val scaled = lit(1000000L).cast("decimal(38,0)") * n + shiftright(t, 1)
+      ((scaled - pmod(scaled, t)) / t).cast("long")
+    }
+    val f1 = fracMicros(col("n_v1"), col("t1"))
+    val f2 = fracMicros(col("n_v2"), col("t2"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_v1"), col("n_v2"),
+        f1.as("f1_micros"), f2.as("f2_micros"),
+        abs(f1 - f2).as("drift_micros"))
+      .orderBy("bucket")
+  }
 }
