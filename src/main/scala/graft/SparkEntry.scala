@@ -1397,6 +1397,21 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // V19 k-NN LABEL PROPAGATION: every unlabeled vector takes the
+    // majority label of its 5 nearest seeds by exact cosine (seed tier:
+    // vec_id < 30, label = id % 3) — the seed set enters the plan as
+    // broadcast literals, so the whole labeling is ONE narrow scan-bound
+    // projection: no join, no shuffle, no window; ties (cos, then votes)
+    // resolve by seed id / smallest label on both engines
+    "v19_knn_labels" -> ((s, d) => {
+      val embAll = emb(s, d)
+      val seeds = embAll.where(col("vec_id") < 30)
+        .select(col("vec_id"), pmod(col("vec_id"), lit(3L)).as("label"),
+          col("embedding"))
+      Similarity.knnLabelPropagation(embAll.where(col("vec_id") >= 30), seeds)
+        .orderBy("vec_id")
+    }),
+
     // V18 index small-file compaction: the accretion half of index
     // lifecycle (v14 covers deletes) — four append batches land files per
     // touched cell, then ONLY over-threshold cells rewrite to one file
@@ -3601,6 +3616,22 @@ object SparkEntry {
           "row_number() OVER (PARTITION BY cluster_rep ORDER BY quality DESC, mem.doc_id) AS rn " +
           "FROM mem JOIN q ON q.doc_id = mem.doc_id) " +
           "SELECT doc_id, cluster_rep, quality FROM best WHERE rn = 1 ORDER BY cluster_rep"),
+      // v19: the propagation recomputed naively — every (target, seed)
+      // cosine, rank (cos desc, seed id), top-5 votes, argmax with ties
+      // to the smallest label
+      "v19_knn_labels" ->
+        ("WITH seeds AS (SELECT vec_id AS sid, vec_id % 3 AS lab, " +
+          "embedding AS semb FROM embeddings WHERE vec_id < 30), " +
+          "tgt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 30), " +
+          s"p AS (SELECT vec_id, sid, lab, ${cosSql("semb", "embedding")} AS cos " +
+          "FROM tgt, seeds), " +
+          "r AS (SELECT vec_id, lab, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY cos DESC, sid) AS rk FROM p), " +
+          "v AS (SELECT vec_id, lab, count(*) AS c FROM r WHERE rk <= 5 GROUP BY 1, 2), " +
+          "best AS (SELECT vec_id, lab, c, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY c DESC, lab) AS rb FROM v) " +
+          "SELECT vec_id, lab::BIGINT AS label, c::BIGINT AS votes " +
+          "FROM best WHERE rb = 1 ORDER BY vec_id"),
       // v4 at full probe must equal exact brute force — same oracle as v1
       "v4_ivf_topk" -> exactTopkSql,
       // v2/v6: exact cosine top-10 over the planted neighborhood corpus —

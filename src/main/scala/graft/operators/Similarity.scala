@@ -843,4 +843,59 @@ object Similarity {
         cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  // ------------------------------------------------- k-NN label propagation
+
+  /** Semi-supervised LABEL PROPAGATION: assign every corpus vector the
+    * majority label of its k nearest labeled SEEDS by exact cosine —
+    * the classic few-labels → whole-corpus labeling step of a
+    * training-data pipeline (topic/domain/safety tags from a small
+    * curated set).
+    *
+    * The seed set is bounded by assumption (it is the hand-labeled set),
+    * so it collects driver-side (the broadcast-stats pattern) and enters
+    * the plan as LITERALS: per seed one cosine column (the same native
+    * dot/norm kernels as v1, so scores are bit-identical to the
+    * brute-force path), packed as (−cos, seed_id, label) structs whose
+    * ascending `sort_array` is exactly (cosine desc, seed_id asc) — the
+    * v1 tie rule — then sliced to k and majority-voted with ties to the
+    * SMALLEST label. Everything is one narrow per-row projection: NO
+    * join, NO shuffle, NO window — the corpus is labeled in a single
+    * scan-bound pass on any number of executors. For seed sets too large
+    * to broadcast as literals, label via the IVF index instead
+    * ([[ivfSearch]] per seed-class centroid); this operator is the exact
+    * small-seed tier.
+    *
+    * `seeds`: (vec_id, label, embedding) rows; k must not exceed the
+    * seed count. Output: (vec_id, label, votes).
+    */
+  def knnLabelPropagation(corpus: DataFrame, seeds: DataFrame,
+                          k: Int = 5): DataFrame = {
+    val sd = seeds.select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toIndexedSeq))
+    require(sd.nonEmpty, "knnLabelPropagation needs at least one seed")
+    require(k >= 1 && k <= sd.length,
+      s"k=$k must be in [1, ${sd.length}] (the seed count)")
+    val labels = sd.map(_._2).distinct.sorted
+    val nrm = norm(col("embedding"))
+    val entries = sd.map { case (sid, lab, vec) =>
+      val v = typedLit(vec)
+      struct(
+        (-cosineWithNorms(v, col("embedding"), norm(v), nrm)).as("neg"),
+        lit(sid).as("sid"), lit(lab).as("lab"))
+    }
+    val top = slice(sort_array(array(entries.toIndexedSeq: _*)), 1, k)
+    val voteOf: Map[Long, Column] = labels.map(l =>
+      l -> size(filter(top, x => x.getField("lab") === l)).cast("long")).toMap
+    // argmax with ties to the smallest label: strictly-greater replaces
+    val (predLab, predVotes) = labels.tail.foldLeft(
+      (lit(labels.head), voteOf(labels.head))) {
+      case ((bl, bc), l) =>
+        (when(voteOf(l) > bc, lit(l)).otherwise(bl),
+          when(voteOf(l) > bc, voteOf(l)).otherwise(bc))
+    }
+    corpus.select(col("vec_id"), predLab.as("label"), predVotes.as("votes"))
+  }
 }

@@ -325,6 +325,33 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "SortMergeJoin"
   }
 
+  test("knn label propagation: planted geometry labels correctly in a shuffle-free plan") {
+    // seeds: two axis-aligned clusters with distinct labels
+    val seeds = Seq(
+      (0L, 0L, Array(1f, 0f, 0f, 0f)),
+      (1L, 0L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, 1L, Array(0f, 0f, 1f, 0f)),
+      (3L, 1L, Array(0f, 0.1f, 0.9f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    // targets: one near each cluster, one equidistant (its top-2 is one
+    // seed from each cluster — a 1-1 vote tie → the smallest label wins)
+    val corpus = Seq(
+      (10L, Array(0.95f, 0.05f, 0f, 0f)), // cluster 0
+      (11L, Array(0f, 0.05f, 0.95f, 0f)), // cluster 1
+      (12L, Array(0.5f, 0f, 0.5f, 0f))) // equidistant
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .knnLabelPropagation(corpus, seeds, k = 2)
+    val got = out.as[(Long, Long, Long)].collect().sortBy(_._1)
+    got.map(r => (r._1, r._2, r._3)) shouldBe Array(
+      (10L, 0L, 2L), (11L, 1L, 2L), (12L, 0L, 1L))
+    // the whole labeling is one narrow projection — nothing moves
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
   test("classifier maintenance: delta fold equals from-scratch retrain, vocabulary drop included") {
     val base = Seq(
       (0L, "the a is of and to in it with for on"),
