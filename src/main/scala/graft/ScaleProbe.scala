@@ -586,13 +586,15 @@ object ScaleProbe {
     }
 
     // optional section arg: "classifier" runs ONLY the classifier /
-    // weighted-sample scaling probe (1× vs 10× documents)
+    // weighted-sample scaling probe (1× vs SPARK_GRAFT_SCALE_SHARDS×
+    // documents, default a decade)
     if (args.headOption.contains("classifier")) {
+      val shards = sys.env.getOrElse("SPARK_GRAFT_SCALE_SHARDS", "10").toInt
       val organicC = spark.read.parquet(s"$sfDir/documents.parquet")
       val dirC = scratch("decade-cls/documents")
-      synthesizeDecade(organicC).write.mode("overwrite").parquet(dirC)
+      synthesizeDecade(organicC, shards).write.mode("overwrite").parquet(dirC)
       println(profileClassifier(spark, "cls-1x", organicC))
-      println(profileClassifier(spark, "cls-10x", spark.read.parquet(dirC)))
+      println(profileClassifier(spark, s"cls-${shards}x", spark.read.parquet(dirC)))
       spark.stop()
       return
     }

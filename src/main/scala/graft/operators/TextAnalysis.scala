@@ -611,12 +611,18 @@ object TextAnalysis {
     * FROZEN-model form a serving/streaming path uses (train offline,
     * broadcast the map, score every arriving batch with zero training
     * dependency at score time).
+    *
+    * The fold is the native [[graft.functions.WeightSumExpr]] kernel —
+    * hash-table lookups in one codegen'd JVM loop. The declarative twin
+    * (`aggregate` + `element_at` on a map literal) is interpreted AND
+    * scans the literal linearly per lookup: the century probe measured it
+    * 133× wall at 100× rows, where the kernel tracks the scan (see
+    * BASELINE round-13 classifier table; semantics parity spec-pinned in
+    * TokenizeExprSpec).
     */
-  def scoreWithWeightMap(docs: DataFrame, w: Map[String, Long]): DataFrame = {
-    val wmap = typedLit(w)
-    val score = aggregate(tokens(col("text")), lit(0L),
-      (acc, tok) => acc + coalesce(element_at(wmap, tok), lit(0L)))
-    docs.select(col("doc_id"), score.as("score_micros"))
+  def scoreWithWeightMap(docs: DataFrame, w: Map[String, Long]): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Tokenize.weightSum(tokens(col("text")), w)
+        .as("score_micros"))
       .withColumn("predicted_hq", col("score_micros") > 0L)
-  }
 }

@@ -63,6 +63,36 @@ class TokenizeExprSpec extends AnyFunSuite with Matchers with SparkSupport {
       .as[Seq[String]].head() shouldBe Seq("example", "red")
   }
 
+  test("weight-sum kernel: equals the declarative map-literal fold, including misses and negatives") {
+    import org.apache.spark.sql.functions.{aggregate, coalesce, element_at, lit, typedLit}
+    val w = Map("red" -> 5L, "widget" -> -3L, "the" -> 1L)
+    val docs = Seq(
+      "the red red widget", // 1 + 5 + 5 - 3 = 8
+      "nothing matches here", // 0
+      "", // empty token array
+      "widget widget widget") // -9
+      .toDF("text")
+    val toks = Analyzers.standardTokens(col("text"))
+    val native = docs.select(
+      graft.functions.Tokenize.weightSum(toks, w).as("s")).as[Long].collect()
+    val wmap = typedLit(w)
+    val declared = docs.select(
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L))).as("s"))
+      .as[Long].collect()
+    native shouldBe declared
+    native shouldBe Array(8L, 0L, 0L, -9L)
+    // empty table: every score 0 (serving-path edge)
+    docs.select(graft.functions.Tokenize.weightSum(toks, Map.empty[String, Long]).as("s"))
+      .as[Long].collect() shouldBe Array(0L, 0L, 0L, 0L)
+    // the kernel participates in codegen off a parquet-backed scan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.Tokenize.weightSum(
+        Analyzers.standardTokens(col("text")), w))
+      .queryExecution.executedPlan.toString
+    plan should include regex """\*\(\d+\) Project \[graft_weight_sum"""
+  }
+
   test("codegen: tokenizer runs inside WholeStageCodegen (not interpreted fallback)") {
     // parquet-backed source — a LocalRelation constant-folds away the stage
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
