@@ -173,6 +173,61 @@ case class WeightSumExpr(child: Expression, weights: Map[String, Long])
     copy(child = newChild)
 }
 
+/** `graft_quality_micros(tokens)` — the quality blend's exact 6-decimal
+  * MICROS integer (TextAnalysis.qualityMicrosCol's contract) in ONE native
+  * pass: token count, stopword membership (hash set), distinct count (hash
+  * set) and the integer HALF_UP division together in a single JVM loop.
+  * The Column-pipeline twin pays an interpreted `filter` HOF whose
+  * `isInCollection` is a LINEAR scan of the stopword list per token, plus
+  * an `array_distinct` walk — the same cost class the weight-sum kernel
+  * replaced. Values are bit-identical to the Column form (same rational,
+  * same floor — parity spec-pinned); the all-long division here is exact
+  * to ~1.8×10¹⁰ tokens/doc vs the Column form's 1.8×10⁷ double guard.
+  */
+case class QualityMicrosExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_quality_micros"
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(8, stopwords.size * 2))
+    stopwords.foreach { w => s.add(UTF8String.fromString(w)); () }
+    s
+  }
+
+  def micros(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    if (n == 0) return 0L
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    var nStop = 0L
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (stopSet.contains(t)) nStop += 1
+      seen.add(t)
+      i += 1
+    }
+    val nTok = n.toLong
+    val num = 2L * math.min(nTok, 100L) * nTok + 150L * (nStop + seen.size.toLong)
+    val den = 500L * nTok
+    (1000000L * num + (den >> 1)) / den
+  }
+
+  override protected def nullSafeEval(a: Any): Any = micros(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityMicros", this, classOf[QualityMicrosExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.micros($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Tokenize {
   /** Column forms, usable anywhere a built-in is. */
   def standardTokens(c: Column): Column =
@@ -181,4 +236,6 @@ object Tokenize {
     GraftBridge.column(UriTokensExpr(GraftBridge.expression(c)))
   def weightSum(tokens: Column, weights: Map[String, Long]): Column =
     GraftBridge.column(WeightSumExpr(GraftBridge.expression(tokens), weights))
+  def qualityMicros(tokens: Column, stopwords: Seq[String]): Column =
+    GraftBridge.column(QualityMicrosExpr(GraftBridge.expression(tokens), stopwords))
 }

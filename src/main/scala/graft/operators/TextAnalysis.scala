@@ -101,17 +101,16 @@ object TextAnalysis {
     * diverges cross-engine when a score lands on a .5e-6 boundary: Spark's
     * round() is exact HALF_UP on the binary value while engines that
     * multiply by 10⁶ first (DuckDB) can tip the other way — observed on 1
-    * of 5000 docs at sf0.1. Exact for docs up to ~1.8×10⁷ tokens (the
-    * subtract-mod division needs 10⁶·num ≤ 2⁵³); longer docs would need
-    * the same formula in decimal.
+    * of 5000 docs at sf0.1. Evaluated by the native
+    * [[graft.functions.QualityMicrosExpr]] kernel (hash-set stopword and
+    * distinct counting in one codegen'd loop — the declarative filter/
+    * isInCollection twin is interpreted with a linear stopword scan per
+    * token; value parity spec-pinned in TokenizeExprSpec), then divided to
+    * a double: micros ≤ 10⁶ and the all-long kernel division is exact to
+    * ~1.8×10¹⁰ tokens/doc.
     */
-  private[operators] def qualityCol(t: Column): Column = {
-    val nTok = size(t).cast("long")
-    val nStop = size(filter(t, w => w.isInCollection(Analyzers.EnglishStopwords))).cast("long")
-    val nDist = size(array_distinct(t)).cast("long")
-    val num = lit(2L) * least(nTok, lit(100L)) * nTok + lit(150L) * (nStop + nDist)
-    when(nTok > 0L, roundDiv6(num, lit(500L) * nTok)).otherwise(lit(0.0))
-  }
+  private[operators] def qualityCol(t: Column): Column =
+    qualityMicrosCol(t).cast("double") / 1e6
 
   /** HALF_UP 6-decimal rounding of num/den (non-negative longs, den > 0) in
     * EXACT integer arithmetic: (10⁶·num + ⌊den/2⌋) div den, then /10⁶.
@@ -124,25 +123,14 @@ object TextAnalysis {
   }
 
   /** The quality blend's exact 6-decimal MICROS integer (quality ≡
-    * micros/10⁶, micros ∈ [0, 10⁶] since the blend is ≤ 1): the same
-    * subtract-mod division as [[roundDiv6]] kept as a LONG, for callers
-    * that need the score as an integer — e.g. [[Pipeline.weightedSample]]'s
-    * coin comparison, which must be exact integer-vs-integer so every
-    * engine makes the identical keep/drop decision. The intermediate
-    * double division is exact: the quotient is an integer ≤ 10⁶ and the
-    * dividend obeys roundDiv6's 2⁵³ guard.
+    * micros/10⁶, micros ∈ [0, 10⁶] since the blend is ≤ 1), as a LONG for
+    * callers that need the score as an integer — e.g.
+    * [[Pipeline.weightedSample]]'s coin comparison, which must be exact
+    * integer-vs-integer so every engine makes the identical keep/drop
+    * decision. Backed by the native kernel (see [[qualityCol]]).
     */
-  private[operators] def qualityMicrosCol(t: Column): Column = {
-    val nTok = size(t).cast("long")
-    val nStop = size(filter(t, w => w.isInCollection(Analyzers.EnglishStopwords))).cast("long")
-    val nDist = size(array_distinct(t)).cast("long")
-    val num = lit(2L) * least(nTok, lit(100L)) * nTok + lit(150L) * (nStop + nDist)
-    val den = lit(500L) * nTok
-    val scaled = lit(1000000L) * num + shiftright(den, 1)
-    when(nTok > 0L,
-      ((scaled - pmod(scaled, den)).cast("double") / den.cast("double")).cast("long"))
-      .otherwise(lit(0L))
-  }
+  private[operators] def qualityMicrosCol(t: Column): Column =
+    graft.functions.Tokenize.qualityMicros(t, Analyzers.EnglishStopwords)
 
   // ---------------------------------------------- BPE-ish pre-tokenization
 

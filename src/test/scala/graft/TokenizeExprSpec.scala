@@ -93,6 +93,39 @@ class TokenizeExprSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """\*\(\d+\) Project \[graft_weight_sum"""
   }
 
+  test("quality-micros kernel: equals the declarative integer blend on random and edge docs") {
+    import org.apache.spark.sql.functions.{array_distinct, filter, least, lit, pmod, shiftright, when}
+    val size = (c: org.apache.spark.sql.Column) => org.apache.spark.sql.functions.size(c)
+    val stop = graft.analyzers.Analyzers.EnglishStopwords
+    val rnd = new scala.util.Random(11)
+    val pool = stop.take(8) ++ Seq("alpha", "beta", "gamma", "zq", "xv")
+    val samples = Seq("", "the", "zq", "the the the") ++ Seq.fill(40)(
+      Seq.fill(1 + rnd.nextInt(120))(pool(rnd.nextInt(pool.size))).mkString(" "))
+    val docs = samples.toDF("text")
+    val toks = Analyzers.standardTokens(col("text"))
+    // the declarative integer blend the kernel replaced, rebuilt inline
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, w => w.isInCollection(stop))).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    val num = lit(2L) * least(nTok, lit(100L)) * nTok + lit(150L) * (nStop + nDist)
+    val den = lit(500L) * nTok
+    val scaled = lit(1000000L) * num + shiftright(den, 1)
+    val declared = when(nTok > 0L,
+      ((scaled - pmod(scaled, den)).cast("double") / den.cast("double")).cast("long"))
+      .otherwise(lit(0L))
+    val n = docs.select(graft.functions.Tokenize.qualityMicros(toks, stop).as("m"))
+      .as[Long].collect()
+    val d = docs.select(declared.as("m")).as[Long].collect()
+    n shouldBe d
+    n.head shouldBe 0L // empty doc
+    // kernel participates in codegen off a parquet-backed scan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.Tokenize.qualityMicros(
+        Analyzers.standardTokens(col("text")), stop))
+      .queryExecution.executedPlan.toString
+    plan should include regex """\*\(\d+\) Project \[graft_quality_micros"""
+  }
+
   test("codegen: tokenizer runs inside WholeStageCodegen (not interpreted fallback)") {
     // parquet-backed source — a LocalRelation constant-folds away the stage
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
