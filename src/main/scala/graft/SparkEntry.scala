@@ -1050,6 +1050,19 @@ object SparkEntry {
         .orderBy(abs(col("weight_micros")).desc, col("token"))
     }),
 
+    // Reference-corpus classifier (the exact GPT-3 setup): a curated
+    // positive slice (sources src0-src4) against the raw pool — same
+    // smoothed integer weights off referenceCounts, composing with the
+    // whole classifier family unchanged
+    "t23_reference_classifier" -> ((s, d) => {
+      val ds = docs(s, d)
+      val posSrc = Seq("src0", "src1", "src2", "src3", "src4")
+      TextAnalysis.classifierWeights(TextAnalysis.referenceCounts(
+          ds.where(col("source").isin(posSrc: _*)),
+          ds.where(!col("source").isin(posSrc: _*))))
+        .orderBy(abs(col("weight_micros")).desc, col("token"))
+    }),
+
     // Text analysis: Gopher-style bigram repetition signals
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
@@ -3422,6 +3435,24 @@ object SparkEntry {
           "SELECT d.doc_id, coalesce(s, 0)::BIGINT AS score_micros, " +
           "coalesce(s, 0) > 0 AS predicted_hq " +
           "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"),
+      // t23: the reference-label chain recomputed from scratch — pos =
+      // membership in the curated source slice, same smoothed weights
+      "t23_reference_classifier" ->
+        (T + ", lab AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS pos " +
+          "FROM documents) " +
+          ", tok AS (SELECT doc_id, unnest(t) AS token FROM toks) " +
+          ", cnt AS (SELECT token, " +
+          "sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS pc, " +
+          "sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS nc " +
+          "FROM tok JOIN lab USING (doc_id) GROUP BY 1) " +
+          ", tot AS (SELECT sum(pc)::BIGINT AS pt, sum(nc)::BIGINT AS nt2, " +
+          "count(*)::BIGINT AS v FROM cnt) " +
+          ", wts AS (SELECT token, " +
+          "(((1000000 * (pc + 1) + (pt + v) // 2) // (pt + v)) " +
+          "- ((1000000 * (nc + 1) + (nt2 + v) // 2) // (nt2 + v)))::BIGINT AS weight_micros " +
+          "FROM cnt, tot) " +
+          "SELECT token, weight_micros FROM wts " +
+          "ORDER BY abs(weight_micros) DESC, token LIMIT 256"),
       // e18: the streamed scoring must equal the batch scorer — t21's
       // oracle verbatim
       "e18_stream_classifier" ->

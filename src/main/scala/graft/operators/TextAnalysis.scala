@@ -552,6 +552,22 @@ object TextAnalysis {
       .limit(vocabSize)
   }
 
+  /** Classifier counts from REFERENCE corpora — the exact GPT-3 setup:
+    * a curated positive corpus (WebText, in the paper) against the raw
+    * negative pool, instead of [[classifierCounts]]'s per-document proxy
+    * label. Same count table shape, so [[classifierWeights]],
+    * [[maintainClassifierCounts]], scoring, and sampling all compose
+    * unchanged. One tokenize/explode pass over each corpus,
+    * union-tagged into the same single vocabulary-scale aggregate.
+    */
+  def referenceCounts(positives: DataFrame, negatives: DataFrame): DataFrame =
+    positives.select(explode(tokens(col("text"))).as("token"), lit(true).as("pos"))
+      .unionByName(
+        negatives.select(explode(tokens(col("text"))).as("token"), lit(false).as("pos")))
+      .groupBy("token")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pc"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nc"))
+
   /** INCREMENTAL classifier maintenance — the change-feed discipline
     * (the q8/s15 family) applied to the training state: fold the counts
     * of `added` documents in and `removed` documents out of an existing
