@@ -485,12 +485,14 @@ object ScaleProbe {
     val bNew = b.withColumn("c_nationkey",
       when(col("c_custkey") === 3L, 99L).otherwise(col("c_nationkey"))
         .cast(b.schema("c_nationkey").dataType))
-    def bucketDirs(): Map[String, Long] = graft.util.FsUtil.listDir(
+    // rewrite detection by sorted FILE-NAME listing, not mtime: part-file
+    // names carry the writing job's UUID, so a rewrite always changes the
+    // set, while mtimes can collide within a coarse filesystem tick
+    def bucketDirs(): Map[String, Seq[String]] = graft.util.FsUtil.listDir(
       java.nio.file.Paths.get(dir))(_.filter(
         _.getFileName.toString.startsWith("bucket=")).map { d =>
         d.getFileName.toString ->
-          graft.util.FsUtil.listDir(d)(_.map(p =>
-            java.nio.file.Files.getLastModifiedTime(p).toMillis).max)
+          graft.util.FsUtil.listDir(d)(_.map(_.getFileName.toString).toSeq.sorted)
       }.toMap)
     val before = bucketDirs()
     val (_, tRefresh) = timed(ViewMaintenance.refreshJoinViewPartitions(

@@ -272,7 +272,9 @@ object Pipeline {
     val docTok = docs.select(col("doc_id"), col("source"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
     val bySrc = docTok.groupBy("source").agg(sum("n_tok").as("src_tok"))
-    val total = docTok.agg(sum("n_tok").cast("double").as("corpus_tok"))
+    // corpus total off the |sources|-row aggregate, NOT a second corpus
+    // tokenize pass — identical exact sum (every doc has a source)
+    val total = bySrc.agg(sum("src_tok").cast("double").as("corpus_tok"))
     val keepFrac = bySrc.join(shares, "source").crossJoin(total)
       .select(col("source"),
         least(lit(1.0), lit(budgetFrac) * col("corpus_tok") * col("share") / col("src_tok"))
@@ -346,7 +348,9 @@ object Pipeline {
     val docTok = docs.select(col("doc_id"), col("source"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
     val bySrc = docTok.groupBy("source").agg(sum("n_tok").as("src_tok"))
-    val total = docTok.agg(sum("n_tok").cast("double").as("corpus_tok"))
+    // corpus total off the |sources|-row aggregate, NOT a second corpus
+    // tokenize pass — identical exact sum, metadata-scale input
+    val total = bySrc.agg(sum("src_tok").cast("double").as("corpus_tok"))
     val weighted = bySrc.crossJoin(broadcast(total))
       .select(col("source"), col("src_tok"), col("corpus_tok"),
         floor(sqrt(col("src_tok").cast("double") / col("corpus_tok")) * lit(1e12))

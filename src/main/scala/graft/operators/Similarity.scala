@@ -474,7 +474,11 @@ object Similarity {
     * final overwrite leaves the accreted-but-correct layout in place; a
     * crash DURING the final overwrite can leave touched cells partially
     * rewritten, and the staging directory (deleted only after success)
-    * remains as the recovery source — replay the overwrite from it.
+    * remains as the recovery source — replay the overwrite from it ONLY
+    * if staging carries its `_SUCCESS` marker (a marker-less staging is
+    * itself a partial write from a crash during the STAGING job; the
+    * index is still untouched then — delete the partial staging and
+    * rerun the compaction instead).
     * Single-writer maintenance op — run from the index's maintenance
     * schedule, not concurrently with appends. Returns the number of cell
     * directories rewritten.
@@ -507,9 +511,10 @@ object Similarity {
     // The staging copy is deleted only AFTER the index-mutating write
     // committed: a crash BEFORE that write leaves the accreted-but-correct
     // layout untouched, and a crash DURING it can leave a touched cell
-    // partially rewritten — in which case the staging directory IS the
-    // recovery path (re-run the final write from it), so it must survive
-    // the failure rather than vanish in a finally.
+    // partially rewritten — in which case the staging directory (if it
+    // carries _SUCCESS; see the scaladoc's recovery rule) IS the recovery
+    // path (re-run the final write from it), so it must survive the
+    // failure rather than vanish in a finally.
     graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
     touched.length
   }

@@ -127,10 +127,15 @@ object TextAnalysis {
     * callers that need the score as an integer — e.g.
     * [[Pipeline.weightedSample]]'s coin comparison, which must be exact
     * integer-vs-integer so every engine makes the identical keep/drop
-    * decision. Backed by the native kernel (see [[qualityCol]]).
+    * decision. Backed by the native kernel (see [[qualityCol]]); a NULL
+    * token array coalesces to 0 — the pre-kernel `when(nTok > 0)`
+    * behavior, which consumers like [[Quality.qualityDrift]]'s bucket
+    * spine rely on (a null-text row must land in bucket 0, not in a
+    * NULL bucket the spine join would silently drop).
     */
   private[operators] def qualityMicrosCol(t: Column): Column =
-    graft.functions.Tokenize.qualityMicros(t, Analyzers.EnglishStopwords)
+    coalesce(graft.functions.Tokenize.qualityMicros(t, Analyzers.EnglishStopwords),
+      lit(0L))
 
   // ---------------------------------------------- BPE-ish pre-tokenization
 

@@ -88,13 +88,27 @@ object ViewMaintenance {
     requireDisjoint(aIdCol, aKeyCol, bKeyCol)
     val spark = viewOld.sparkSession
     def asDf(vs: Seq[Any], name: String, like: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types._
       val t = like.schema(name).dataType
-      val rows = vs.map(v => org.apache.spark.sql.Row(v))
+      // coerce driver-side to the target column's external type — the old
+      // isin(...) form cast implicitly (Seq[Int] against a bigint column
+      // worked), and Row construction against an exact Catalyst type does
+      // not, so the sugar must close that gap itself
+      def coerce(v: Any): Any = (v, t) match {
+        case (null, _) => null
+        case (n: Number, LongType) => n.longValue()
+        case (n: Number, IntegerType) => n.intValue()
+        case (n: Number, ShortType) => n.shortValue()
+        case (n: Number, ByteType) => n.byteValue()
+        case (n: Number, DoubleType) => n.doubleValue()
+        case (n: Number, FloatType) => n.floatValue()
+        case (other, StringType) => other.toString
+        case (other, _) => other
+      }
+      val rows = vs.map(v => org.apache.spark.sql.Row(coerce(v)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__raw", t))))
-        .select(col("__raw").cast(t).as(name))
+        StructType(Seq(StructField(name, t))))
     }
     maintainJoinView(viewOld, aNew, bNew, aIdCol, aKeyCol, bKeyCol,
       asDf(changedAIds, aIdCol, aNew), asDf(changedBKeys, bKeyCol, bNew))

@@ -243,7 +243,7 @@ object EventStream {
     * no earlier anchor can appear (a step-1 event below the current
     * anchor would have to arrive with event time under the watermark).
     *
-    * State is BOUNDED by the same argument, and pruned to it on every
+    * State is BOUNDED per user by the same argument, and pruned on every
     * batch: anchored users keep only events inside
     * `[anchor, anchor + horizon]` plus events still above the watermark
     * (those could re-qualify under a future EARLIER anchor, which is
@@ -252,9 +252,23 @@ object EventStream {
     * (qualification needs an anchor at-or-before the event, and that
     * anchor can now only arrive above the watermark). Step-1 events
     * never buffer at all — only their running MIN matters, one long.
-    * Finalized users leave a tombstone (empty buffer) so a straggling
-    * in-horizon duplicate cannot re-anchor a second funnel; duplicates
-    * of buffered events are harmless anyway (the replay is min-based).
+    * State is also bounded ACROSS users: an un-anchored user whose
+    * buffer prunes empty is REMOVED outright (the default state
+    * reconstructs identically if they reappear — exact), with an
+    * event-time timeout at their newest buffered event guaranteeing the
+    * prune fires even if no new events arrive.
+    *
+    * Finalized users leave a tombstone (empty buffer) so a LATER
+    * step-1 event — which batch semantics must ignore, the funnel
+    * anchors at the FIRST view ever — cannot start a second funnel.
+    * (In-horizon duplicates are already below the watermark and
+    * late-dropped; the tombstone guards genuinely new future views.)
+    * Tombstones are the one per-user residue that is exact only if kept
+    * forever; `tombstoneTtlMicros` bounds them for live deployments:
+    * after the watermark passes finalization + ttl the tombstone is
+    * dropped, accepting the standard funnel-analytics deviation that a
+    * user re-appearing beyond the ttl starts a fresh funnel. The
+    * default (Long.MaxValue) keeps exact batch parity.
     *
     * Exactness against the batch funnel (spec-pinned, including
     * out-of-order delivery): processing the buffer in (ts, step-rank)
@@ -267,7 +281,8 @@ object EventStream {
     * e17 oracle encodes the cutoff ms-exact.
     */
   def streamFunnel(spark: SparkSession, events: DataFrame, steps: Seq[String],
-                   horizonMicros: Long, delay: String = "1 hour"): Dataset[FunnelUser] = {
+                   horizonMicros: Long, delay: String = "1 hour",
+                   tombstoneTtlMicros: Long = Long.MaxValue): Dataset[FunnelUser] = {
     import spark.implicits._
     require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
@@ -300,8 +315,13 @@ object EventStream {
         (uid, rows, state) =>
           val st0 = if (state.exists) state.get
                     else FunnelBuf(Long.MaxValue, Nil, done = false)
-          if (st0.done) Iterator.empty // tombstone: funnel already reported
-          else {
+          if (st0.done) {
+            // tombstone: funnel already reported. A ttl timeout firing
+            // here retires it (bounded state across users); any other
+            // visit (a late new view) keeps it parked.
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
+          } else {
             val incoming = rows.map(r => PendingStep(tsMicros(r._2), rankOf(r._3))).toSeq
             val anchor = (incoming.filter(_.rank == 0).map(_.us) :+ st0.minViewUs).min
             val wmMs = state.getCurrentWatermarkMs()
@@ -313,13 +333,26 @@ object EventStream {
             }
             if (anchor != Long.MaxValue && wmMs > (anchor + horizonMicros) / 1000L) {
               state.update(FunnelBuf(anchor, Nil, done = true))
+              if (tombstoneTtlMicros != Long.MaxValue)
+                state.setTimeoutTimestamp(wmMs + tombstoneTtlMicros / 1000L + 1L)
               Iterator.single(
                 FunnelUser(uid, usToTimestamp(anchor), replayChain(anchor, kept)))
+            } else if (anchor == Long.MaxValue && kept.isEmpty) {
+              // nothing buffered and no anchor: the default state
+              // reconstructs this user identically — drop them outright
+              if (state.exists) state.remove()
+              Iterator.empty
             } else {
               state.update(FunnelBuf(anchor, kept, done = false))
               if (anchor != Long.MaxValue)
                 state.setTimeoutTimestamp(
                   math.max((anchor + horizonMicros) / 1000L + 1L, wmMs + 1L))
+              else
+                // un-anchored: once the watermark passes the newest
+                // buffered event, everything prunes and the state
+                // removes — fire a visit then even if no events arrive
+                state.setTimeoutTimestamp(
+                  math.max(kept.map(_.us).max / 1000L + 1L, wmMs + 1L))
               Iterator.empty
             }
           }
@@ -328,11 +361,11 @@ object EventStream {
 
   /** Deterministic streaming-funnel backfill: file stream → AvailableNow. */
   def backfillFunnelUsers(spark: SparkSession, path: String, steps: Seq[String],
-                          horizonMicros: Long,
-                          delay: String = "1 hour"): DataFrame =
+                          horizonMicros: Long, delay: String = "1 hour",
+                          tombstoneTtlMicros: Long = Long.MaxValue): DataFrame =
     runToMemoryTableWithPeak(spark, "append")(bf =>
       streamFunnel(bf, fileStream(bf, stageDir(path)), steps, horizonMicros,
-        delay).toDF())._1
+        delay, tombstoneTtlMicros).toDF())._1
 
   /** Deterministic sessionization backfill: file stream → AvailableNow.
     * Trailing sessions (end + gap beyond the final watermark) stay in state —
