@@ -1155,6 +1155,12 @@ object SparkEntry {
     "p5_pack_sequences" -> ((s, d) =>
       graft.operators.Pipeline.packSequences(docs(s, d)).orderBy("doc_id")),
 
+    // Pipeline: CCNet perplexity bucketing — head/middle/tail at the
+    // 33rd/67th cross-entropy percentile THRESHOLDS (value semantics, no
+    // global sort); 1-row threshold broadcast, narrow bucketing map
+    "p15_perplexity_buckets" -> ((s, d) =>
+      graft.operators.Pipeline.perplexityBuckets(docs(s, d)).orderBy("doc_id")),
+
     // Pipeline: temperature-sampled domain mixing (XLM-R α=0.5 shape) —
     // tempered shares from exact token counts via IEEE-exact sqrt +
     // integer-quantized normalization; Knuth-coin selection, broadcast
@@ -3230,6 +3236,20 @@ object SparkEntry {
           "SELECT doc_id, quality FROM qual " +
           "QUALIFY row_number() OVER (ORDER BY quality DESC, doc_id) <= (SELECT ceil(count(*) * 0.25) FROM qual) " +
           "ORDER BY doc_id"),
+      // p15: t16's chain to scores, quantile_cont thresholds (the same
+      // rank = q·(n−1) interpolation), value-threshold CASE
+      "p15_perplexity_buckets" ->
+        (T + ", bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks), " +
+          "bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2), " +
+          "corpus AS (SELECT bg, sum(c) AS bcnt, string_split(bg, ' ')[1] AS w1 FROM bc GROUP BY bg), " +
+          "pfx AS (SELECT w1, sum(bcnt) AS pc FROM corpus GROUP BY 1), " +
+          "sc AS (SELECT doc_id, round(sum(c * -ln(bcnt::DOUBLE / pc)) / sum(c), 4) AS xent2 " +
+          "FROM bc JOIN corpus USING (bg) JOIN pfx USING (w1) GROUP BY doc_id), " +
+          "b AS (SELECT round(quantile_cont(xent2, 0.3333333333333333), 6) AS b_lo, " +
+          "round(quantile_cont(xent2, 0.6666666666666666), 6) AS b_hi FROM sc) " +
+          "SELECT doc_id, xent2, CASE WHEN xent2 <= b_lo THEN 'head' " +
+          "WHEN xent2 <= b_hi THEN 'middle' ELSE 'tail' END AS bucket " +
+          "FROM sc, b ORDER BY doc_id"),
       // p13: the tempered-share selection recomputed naively — sqrt of the
       // natural share, floor-quantized to e-12 units, normalized, same coin
       "p13_temperature_mix" ->

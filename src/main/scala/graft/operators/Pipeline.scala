@@ -320,6 +320,38 @@ object Pipeline {
       .where(coin < col("keep_micros"))
   }
 
+  /** PERPLEXITY bucketing — the CCNet curation recipe (the third of the
+    * published curation trio beside GPT-3's classifier sampling, p14, and
+    * XLM-R's temperature mixing, p13): score each document by the corpus
+    * bigram-LM cross-entropy ([[TextAnalysis.bigramLm]], the t16
+    * statistic) and split the corpus into head / middle / tail at the
+    * 33rd and 67th percentile THRESHOLDS — CCNet's own semantics (bucket
+    * by value against per-corpus thresholds, not by exact rank, so tied
+    * scores land together and the split needs NO global sort).
+    *
+    * Determinism: the scores are t16's oracle-proven round-4 values; the
+    * thresholds are exact interpolated percentiles (the t14
+    * rank = q·(n−1) rule both engines implement) rounded to 6; the
+    * bucket compare is then double-vs-double of identical values. The
+    * two thresholds are a 1-row broadcast — the bucketing pass is a
+    * narrow map. At 100 TB the exact percentile buffers each group's
+    * values (the t14 trade); the at-scale twin swaps in
+    * `approx_percentile` thresholds — same plan shape, sketch-mergeable,
+    * with bucket boundaries inside the sketch's rank-error of exact.
+    * Sub-2-token documents carry no bigram and are absent, as in t16.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.bigramLm(docs)
+    val bounds = scored.agg(
+      round(expr("percentile(xent2, 0.3333333333333333)"), 6).as("b_lo"),
+      round(expr("percentile(xent2, 0.6666666666666666)"), 6).as("b_hi"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("xent2"),
+        when(col("xent2") <= col("b_lo"), "head")
+          .when(col("xent2") <= col("b_hi"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** TEMPERATURE-sampled domain mixing — the multilingual-pretraining
     * rebalance rule (XLM-R/mBERT shape): target share_s ∝ p_s^α with
     * α = 0.5, so low-resource sources are up-weighted RELATIVE to their

@@ -301,6 +301,26 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "Join"
   }
 
+  test("perplexity buckets: value-ordered head/middle/tail partition on the t16 scores") {
+    // reuse the shared corpus plus distinct-fluency docs so scores spread
+    val df = docsDf.unionByName(Seq(
+      (10L, "the the the the the the the the"), // highly predictable
+      (11L, "assorted rare lexemes confound bigram predictors thoroughly"))
+      .toDF("doc_id", "text"))
+    val out = graft.operators.Pipeline.perplexityBuckets(df)
+      .as[(Long, Double, String)].collect()
+    out.map(_._3).toSet shouldBe Set("head", "middle", "tail")
+    // a partition: every scored doc in exactly one bucket
+    out.map(_._1).distinct.length shouldBe out.length
+    // value-ordered: max(head) <= min(middle), max(middle) <= min(tail)
+    def scores(b: String) = out.filter(_._3 == b).map(_._2)
+    scores("head").max should be <= scores("middle").min
+    scores("middle").max should be <= scores("tail").min
+    // thresholds broadcast: the bucketing pass carries no sort-merge join
+    graft.operators.Pipeline.perplexityBuckets(df)
+      .queryExecution.executedPlan.toString should not include "SortMergeJoin"
+  }
+
   test("temperature mix: rare sources keep whole, dominant ones thin toward the sqrt profile") {
     // 90% of tokens in 'big', 10% in 'small' (uniform doc length) →
     // tempered shares 0.75/0.25 → kf_small = min(1, 0.5·0.25/0.1) = 1,
