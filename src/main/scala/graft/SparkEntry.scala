@@ -1063,6 +1063,12 @@ object SparkEntry {
         .orderBy(abs(col("weight_micros")).desc, col("token"))
     }),
 
+    // Gopher rule battery (the published MassiveText hard thresholds):
+    // five exact cross-multiplied predicates + the conjunction, one
+    // narrow map over the scan
+    "t24_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
+
     // Text analysis: Gopher-style bigram repetition signals
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
@@ -1414,6 +1420,21 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
           emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8)
         .orderBy("q_id", "rank")
+    }),
+
+    // D15 SEMANTIC decontamination: p3's eval-leakage gate in embedding
+    // space — eval vectors (vec_id < 20) broadcast as literals, every
+    // training vector's best eval match in one narrow projection (the
+    // v19 plan shape); three exact eval copies planted into the train
+    // side so the threshold provably fires, organic background ≤ 0.50
+    "d15_semantic_contamination" -> ((s, d) => {
+      val embAll = emb(s, d).select("vec_id", "embedding")
+      val evalVecs = embAll.where(col("vec_id") < 20)
+      val planted = evalVecs.where(col("vec_id").isin(3L, 7L, 11L))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val train = embAll.where(col("vec_id") >= 20).unionByName(planted)
+      Similarity.semanticContamination(train, evalVecs)
+        .orderBy("vec_id")
     }),
 
     // V19 k-NN LABEL PROPAGATION: every unlabeled vector takes the
@@ -3484,6 +3505,26 @@ object SparkEntry {
           "SELECT d.doc_id, coalesce(s, 0)::BIGINT AS score_micros, " +
           "coalesce(s, 0) > 0 AS predicted_hq " +
           "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"),
+      // t24: the five rules recomputed naively — same cross-multiplied
+      // integer compares, same literal probes
+      "t24_gopher_rules" ->
+        (T + ", g AS (SELECT d.doc_id, t, len(t)::BIGINT AS n, " +
+          "len(array_to_string(t, ''))::BIGINT AS sl, " +
+          "((len(text) - len(replace(text, '#', ''))) " +
+          "+ (len(text) - len(replace(text, '...', ''))) // 3)::BIGINT AS sym, " +
+          "len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::BIGINT AS na, " +
+          "len(list_filter(['the','be','to','of','and','that','have','with'], " +
+          "s -> list_contains(t, s)))::BIGINT AS nr " +
+          "FROM toks JOIN documents d USING (doc_id)) " +
+          "SELECT doc_id, n AS n_tokens, " +
+          "(n >= 50 AND n <= 100000) AS word_count_ok, " +
+          "(sl >= 3 * n AND sl <= 10 * n) AS word_length_ok, " +
+          "(10 * sym <= n) AS symbol_ratio_ok, " +
+          "(5 * na >= 4 * n) AS alpha_ratio_ok, " +
+          "(nr >= 2) AS stopword_ok, " +
+          "((n >= 50 AND n <= 100000) AND (sl >= 3 * n AND sl <= 10 * n) " +
+          "AND (10 * sym <= n) AND (5 * na >= 4 * n) AND (nr >= 2)) AS pass " +
+          "FROM g ORDER BY doc_id"),
       // t18: the same independently derived first merge applied per doc —
       // count = chars − non-overlapping occurrences, word by word
       "t18_bpe_doc_counts" ->
@@ -3667,6 +3708,18 @@ object SparkEntry {
           "row_number() OVER (PARTITION BY cluster_rep ORDER BY quality DESC, mem.doc_id) AS rn " +
           "FROM mem JOIN q ON q.doc_id = mem.doc_id) " +
           "SELECT doc_id, cluster_rep, quality FROM best WHERE rn = 1 ORDER BY cluster_rep"),
+      // d15: the same planted train side, naive all-pairs best-match
+      // (cos desc, eval id asc), threshold filter
+      "d15_semantic_contamination" ->
+        ("WITH ev AS (SELECT vec_id AS eid, embedding AS e FROM embeddings WHERE vec_id < 20), " +
+          "tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20 " +
+          "UNION ALL SELECT vec_id + 100000, embedding FROM embeddings " +
+          "WHERE vec_id IN (3, 7, 11)), " +
+          s"p AS (SELECT vec_id, eid, ${cosSql("e", "embedding")} AS cos FROM tr, ev), " +
+          "best AS (SELECT vec_id, eid, cos, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY cos DESC, eid) AS rk FROM p) " +
+          "SELECT vec_id, eid AS eval_id, cos FROM best " +
+          "WHERE rk = 1 AND cos >= 0.95 ORDER BY vec_id"),
       // v19: the propagation recomputed naively — every (target, seed)
       // cosine, rank (cos desc, seed id), top-5 votes, argmax with ties
       // to the smallest label

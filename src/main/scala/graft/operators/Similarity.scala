@@ -849,6 +849,37 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** SEMANTIC decontamination — p3's n-gram eval-leakage gate lifted to
+    * embedding space (the SemDeDup-era recipe: paraphrased or templated
+    * eval items that share no 5-gram still sit next to their source in
+    * embedding space): every training vector whose cosine against ANY
+    * eval vector reaches `threshold` is flagged with its best-matching
+    * eval item. The eval set is bounded by contract (it is the held-out
+    * benchmark) and enters the plan as literals — per-eval cosine via the
+    * same native kernels as v1, top-1 by the v1 (cos desc, id asc) tie
+    * rule — so the whole sweep is ONE narrow scan-bound projection over
+    * the training corpus: no join, no shuffle (the v19 plan shape).
+    * Output: (vec_id, eval_id, cos) for flagged rows only.
+    */
+  def semanticContamination(train: DataFrame, evalVecs: DataFrame,
+                            threshold: Double = 0.95): DataFrame = {
+    val ev = evalVecs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+    require(ev.nonEmpty, "semanticContamination needs a non-empty eval set")
+    val nrm = norm(col("embedding"))
+    val entries = ev.map { case (eid, vec) =>
+      val v = typedLit(vec)
+      struct(
+        (-cosineWithNorms(v, col("embedding"), norm(v), nrm)).as("neg"),
+        lit(eid).as("eid"))
+    }
+    val best = sort_array(array(entries.toIndexedSeq: _*)).getItem(0)
+    train.select(col("vec_id"),
+        best.getField("eid").as("eval_id"),
+        (-best.getField("neg")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   // ------------------------------------------------- k-NN label propagation
 
   /** Semi-supervised LABEL PROPAGATION: assign every corpus vector the

@@ -557,6 +557,53 @@ object TextAnalysis {
       .limit(vocabSize)
   }
 
+  /** Gopher-style RULE battery (Rae et al. 2021, Appendix A1.1 — the
+    * published MassiveText pre-filter that runs BEFORE any model-based
+    * gate; t3/t9 cover the blended and repetition signals, this is the
+    * named hard-threshold set). Every rule is an exact integer/rational
+    * predicate — ratios compare CROSS-MULTIPLIED (3·n ≤ Σlen, never a
+    * divided float) so each verdict is bit-identical on any engine:
+    *
+    *   - `word_count_ok`: 50 ≤ n_tokens ≤ 100 000
+    *   - `word_length_ok`: 3 ≤ mean token length ≤ 10
+    *     (Σlen via `length(array_join(t, ""))` — codegen'd, no HOF fold)
+    *   - `symbol_ratio_ok`: '#' + '…'-as-'...' occurrences ≤ 0.1·n_tokens
+    *   - `alpha_ratio_ok`: ≥ 80 % of tokens contain a letter
+    *     (5·n_alpha ≥ 4·n_tokens; the per-token letter test is the one
+    *     interpreted HOF here — report-tier cost; a 100 TB deployment
+    *     gates with the kernel family first)
+    *   - `stopword_ok`: ≥ 2 of the paper's 8 required stopwords present
+    *     (membership of the 8-word literal probed against the doc — an
+    *     8-element filter, unambiguous duplicate semantics both engines)
+    *
+    * plus the conjunction `pass`. One narrow map over the scan.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val req = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val sumLen = length(array_join(t, "")).cast("long")
+    val hashes = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val ellipses = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symbols = (hashes + ellipses).cast("long")
+    val nAlpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+    val nReq = size(filter(typedLit(req), s => array_contains(t, s))).cast("long")
+    val wordCountOk = nTok >= 50L && nTok <= 100000L
+    val wordLenOk = sumLen >= lit(3L) * nTok && sumLen <= lit(10L) * nTok
+    val symbolOk = lit(10L) * symbols <= nTok
+    val alphaOk = lit(5L) * nAlpha >= lit(4L) * nTok
+    val stopOk = nReq >= 2L
+    docs.select(col("doc_id"), nTok.as("n_tokens"),
+        wordCountOk.as("word_count_ok"), wordLenOk.as("word_length_ok"),
+        symbolOk.as("symbol_ratio_ok"), alphaOk.as("alpha_ratio_ok"),
+        stopOk.as("stopword_ok"))
+      .withColumn("pass",
+        col("word_count_ok") && col("word_length_ok") &&
+          col("symbol_ratio_ok") && col("alpha_ratio_ok") && col("stopword_ok"))
+  }
+
   /** Classifier counts from REFERENCE corpora — the exact GPT-3 setup:
     * a curated positive corpus (WebText, in the paper) against the raw
     * negative pool, instead of [[classifierCounts]]'s per-document proxy

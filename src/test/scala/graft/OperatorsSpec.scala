@@ -345,6 +345,48 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "SortMergeJoin"
   }
 
+  test("gopher rules: each threshold fires on its boundary; pass is the conjunction") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ") + " the be" // 52 tokens, letters, stopwords
+    val df = Seq(
+      (0L, fifty), // all rules pass
+      (1L, (1 to 49).map(_ => "the be to of and").mkString(" ")), // 245 tokens but mean len 2.6 < 3
+      (2L, "too short to pass the word count rule"), // n < 50
+      (3L, fifty + " ##########"), // 53 tokens, 10 hashes > 0.1·53? 10·10=100 > 53 → symbol fail
+      (4L, (1 to 60).map(i => s"$i").mkString(" "))) // digits only: alpha + stopword fail
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.gopherRules(df)
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    out(0L)._8 shouldBe true // pass
+    out(1L)._4 shouldBe false // word_length_ok fails (mean 2.6)
+    out(2L)._3 shouldBe false // word_count_ok fails
+    out(3L)._5 shouldBe false // symbol_ratio_ok fails
+    out(4L)._6 shouldBe false // alpha_ratio_ok fails
+    out(4L)._7 shouldBe false // stopword_ok fails
+    // pass = conjunction, everywhere
+    out.values.foreach { r =>
+      r._8 shouldBe (r._3 && r._4 && r._5 && r._6 && r._7) }
+  }
+
+  test("semantic contamination: planted copies flag at cos 1.0; organic background silent; shuffle-free") {
+    val evalVecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)), // exact copy of eval 0
+      (11L, Array(0f, 0.2f, 0.98f, 0f)), // near eval 1? cos ≈ 0.2 — silent
+      (12L, Array(0f, 0.97f, 0.1f, 0.1f))) // cos vs eval 1 ≈ 0.985 — flags
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .semanticContamination(train, evalVecs, threshold = 0.95)
+    val got = out.as[(Long, Long, Double)].collect().sortBy(_._1)
+    got.map(r => (r._1, r._2)) shouldBe Array((10L, 0L), (12L, 1L))
+    got.head._3 shouldBe 1.0
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   test("knn label propagation: planted geometry labels correctly in a shuffle-free plan") {
     // seeds: two axis-aligned clusters with distinct labels
     val seeds = Seq(
