@@ -2163,6 +2163,13 @@ object SparkEntry {
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
           .where(to_date(col("ts")) =!= "2024-01-10"), "ts")),
 
+    // C7 per-source DATA CARD: volume, exact mean quality, Gopher pass
+    // rate (the t24 predicates — shared columns, cannot drift), exact-dup
+    // rate (the d1 canonical rule) — one narrow map, one md5 shuffle,
+    // a |sources|-row aggregate; every stat an exact integer
+    "c7_data_card" -> ((s, d) =>
+      graft.operators.Quality.dataCard(docs(s, d))),
+
     // C6 quality-DISTRIBUTION drift between two corpus snapshots: decile
     // histograms of the quality micros side by side (densified bucket
     // spine — the c5 rule), exact integer fractions and drift; v2 derived
@@ -4097,6 +4104,35 @@ object SparkEntry {
           "SELECT c_nationkey, count(*) AS numcust, " +
           "round(sum(c_acctbal::DECIMAL(28,10)), 2)::DOUBLE AS totacctbal " +
           "FROM inact GROUP BY 1 ORDER BY 1"),
+      // c7: the card recomputed naively — same rules, same md5 canonical
+      // dup test, same HALF_UP integer means/rates
+      "c7_data_card" ->
+        (T + microsCte("q") +
+          ", gr AS (SELECT d.doc_id, d.source, len(t)::BIGINT AS n, " +
+          "len(array_to_string(t, ''))::BIGINT AS sl, " +
+          "((len(text) - len(replace(text, '#', ''))) " +
+          "+ (len(text) - len(replace(text, '...', ''))) // 3)::BIGINT AS sym, " +
+          "len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::BIGINT AS na, " +
+          "len(list_filter(['the','be','to','of','and','that','have','with'], " +
+          "s -> list_contains(t, s)))::BIGINT AS nr, md5(text) AS h " +
+          "FROM toks JOIN documents d USING (doc_id)) " +
+          ", b AS (SELECT gr.doc_id, source, n AS n_tok, q.micros AS qm, " +
+          "((n >= 50 AND n <= 100000) AND (sl >= 3 * n AND sl <= 10 * n) " +
+          "AND (10 * sym <= n) AND (5 * na >= 4 * n) AND (nr >= 2)) AS gp, h " +
+          "FROM gr JOIN q ON q.doc_id = gr.doc_id) " +
+          ", canon AS (SELECT h, min(doc_id) AS hmin FROM b GROUP BY 1) " +
+          ", f AS (SELECT source, n_tok, qm, " +
+          "CASE WHEN gp THEN 1 ELSE 0 END AS gpi, " +
+          "CASE WHEN b.doc_id <> hmin THEN 1 ELSE 0 END AS dup " +
+          "FROM b JOIN canon USING (h)) " +
+          ", agg AS (SELECT source, count(*)::BIGINT AS n_docs, " +
+          "sum(n_tok)::BIGINT AS n_tokens, sum(qm)::BIGINT AS sq, " +
+          "sum(gpi)::BIGINT AS sgp, sum(dup)::BIGINT AS sdup FROM f GROUP BY 1) " +
+          "SELECT source, n_docs, n_tokens, " +
+          "((sq + n_docs // 2) // n_docs)::BIGINT AS mean_quality_micros, " +
+          "((1000000 * sgp + n_docs // 2) // n_docs)::BIGINT AS gopher_pass_micros, " +
+          "((1000000 * sdup + n_docs // 2) // n_docs)::BIGINT AS exact_dup_micros " +
+          "FROM agg ORDER BY source"),
       // c6: both sides' decile histograms recomputed naively over the
       // same derived v2, densified over a 0..9 spine, same HALF_UP
       // integer fractions

@@ -266,6 +266,53 @@ object Quality {
     (perKey, out)
   }
 
+  /** Per-source DATA CARD — the corpus-health artifact a training run
+    * publishes alongside its model card: for every source, document and
+    * token volume, mean quality, the Gopher-rule pass rate
+    * ([[TextAnalysis.gopherRuleCols]] — the same predicates as t24, so
+    * the rollup cannot drift from the per-doc report), and the exact-
+    * duplicate rate (docs whose text md5 already appeared under a
+    * smaller doc_id anywhere in the corpus — the d1 canonical rule).
+    * Every statistic is exact integer arithmetic: mean quality is the
+    * HALF_UP integer mean of the per-doc quality micros, the rates are
+    * HALF_UP count/total micros (DECIMAL-scaled numerators, exact past
+    * 2⁵³) — so the card is bit-identical on any engine and any
+    * partitioning.
+    *
+    * Plan at 100 TB: ONE narrow map (tokens, micros, rules, md5) → the
+    * md5 hash-group for duplicate detection (the plan's one data-scale
+    * shuffle, uniform by construction) → a co-keyed join back → the
+    * |sources|-row aggregate, map-side combining. Nothing corpus-scale
+    * ever sits on the driver.
+    */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    val pass = TextAnalysis.gopherRuleCols(col("text")).map(_._2).reduce(_ && _)
+    val base = docs.select(col("doc_id"), col("source"),
+      size(t).cast("long").as("n_tok"),
+      TextAnalysis.qualityMicrosCol(t).as("qm"),
+      when(pass, 1L).otherwise(0L).as("gp"),
+      md5(col("text")).as("h"))
+    val canon = base.groupBy("h").agg(min("doc_id").as("hmin"))
+    val flagged = base.join(canon, "h")
+      .select(col("source"), col("n_tok"), col("qm"), col("gp"),
+        when(col("doc_id") =!= col("hmin"), 1L).otherwise(0L).as("dup"))
+    // HALF_UP integer division of scale·num/den with the scaling done in
+    // DECIMAL (exact past the 2^53/2^63 windows at corpus-scale sums)
+    def divHalfUp(num: Column, den: Column, scale: Long): Column = {
+      val scaled = lit(scale).cast("decimal(38,0)") * num + shiftright(den, 1)
+      ((scaled - pmod(scaled, den)) / den).cast("long")
+    }
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("qm").as("__sq"), sum("gp").as("__sgp"), sum("dup").as("__sdup"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        divHalfUp(col("__sq"), col("n_docs"), 1L).as("mean_quality_micros"),
+        divHalfUp(col("__sgp"), col("n_docs"), 1000000L).as("gopher_pass_micros"),
+        divHalfUp(col("__sdup"), col("n_docs"), 1000000L).as("exact_dup_micros"))
+      .orderBy("source")
+  }
+
   /** QUALITY-DISTRIBUTION drift between two corpus snapshots — the
     * population-stability report a training pipeline runs before letting
     * a new corpus version feed a run: per-bucket document counts and

@@ -579,29 +579,34 @@ object TextAnalysis {
     * plus the conjunction `pass`. One narrow map over the scan.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
+    val rules = gopherRuleCols(col("text"))
+    docs.select(Seq(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")) ++
+        rules.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("pass", rules.map(r => col(r._1)).reduce(_ && _))
+  }
+
+  /** The five rule predicates over a text column (shared by
+    * [[gopherRules]] and [[Quality.dataCard]] so the thresholds cannot
+    * drift between the per-doc report and the per-source rollup).
+    */
+  private[operators] def gopherRuleCols(text: Column): Seq[(String, Column)] = {
     val req = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val t = tokens(col("text"))
+    val t = tokens(text)
     val nTok = size(t).cast("long")
     val sumLen = length(array_join(t, "")).cast("long")
-    val hashes = length(col("text")) -
-      length(regexp_replace(col("text"), "#", ""))
-    val ellipses = (length(col("text")) -
-      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
     val symbols = (hashes + ellipses).cast("long")
     val nAlpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
     val nReq = size(filter(typedLit(req), s => array_contains(t, s))).cast("long")
-    val wordCountOk = nTok >= 50L && nTok <= 100000L
-    val wordLenOk = sumLen >= lit(3L) * nTok && sumLen <= lit(10L) * nTok
-    val symbolOk = lit(10L) * symbols <= nTok
-    val alphaOk = lit(5L) * nAlpha >= lit(4L) * nTok
-    val stopOk = nReq >= 2L
-    docs.select(col("doc_id"), nTok.as("n_tokens"),
-        wordCountOk.as("word_count_ok"), wordLenOk.as("word_length_ok"),
-        symbolOk.as("symbol_ratio_ok"), alphaOk.as("alpha_ratio_ok"),
-        stopOk.as("stopword_ok"))
-      .withColumn("pass",
-        col("word_count_ok") && col("word_length_ok") &&
-          col("symbol_ratio_ok") && col("alpha_ratio_ok") && col("stopword_ok"))
+    Seq(
+      "word_count_ok" -> (nTok >= 50L && nTok <= 100000L),
+      "word_length_ok" -> (sumLen >= lit(3L) * nTok && sumLen <= lit(10L) * nTok),
+      "symbol_ratio_ok" -> (lit(10L) * symbols <= nTok),
+      "alpha_ratio_ok" -> (lit(5L) * nAlpha >= lit(4L) * nTok),
+      "stopword_ok" -> (nReq >= 2L))
   }
 
   /** Classifier counts from REFERENCE corpora — the exact GPT-3 setup:

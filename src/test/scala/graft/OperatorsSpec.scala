@@ -368,6 +368,27 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       r._8 shouldBe (r._3 && r._4 && r._5 && r._6 && r._7) }
   }
 
+  test("data card: planted duplicates and the HALF_UP rates roll up per source") {
+    val df = Seq(
+      (0L, "sa", base), (1L, "sa", base), // exact dup pair in sa
+      (2L, "sa", nearDup), (3L, "sa", "completely different words entirely"),
+      (4L, "sb", "the quick brown fox jumps"),
+      (5L, "sb", "the quick brown fox jumps")) // dup pair in sb
+      .toDF("doc_id", "source", "text")
+    val card = graft.operators.Quality.dataCard(df)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    card("sa")._2 shouldBe 4 // n_docs
+    // one of sa's four docs is a non-canonical duplicate → 1/4 = 250000
+    card("sa")._6 shouldBe 250000L
+    // one of sb's two docs is → 1/2 = 500000
+    card("sb")._6 shouldBe 500000L
+    // mean quality equals the HALF_UP integer mean of per-doc micros
+    val micros = graft.operators.TextAnalysis.qualityScore(df.where($"source" === "sb"))
+      .as[(Long, Double)].collect().map(r => math.round(r._2 * 1e6))
+    card("sb")._4 shouldBe (micros.sum + micros.length / 2) / micros.length
+  }
+
   test("semantic contamination: planted copies flag at cos 1.0; organic background silent; shuffle-free") {
     val evalVecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
