@@ -802,6 +802,26 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // E19 STREAMING classifier-count maintenance: e15's append-only
+    // delta fold on the training state — per-batch (token, pc, nc)
+    // deltas land idempotently, the read-side fold must equal a
+    // from-scratch retrain over base ∪ appended (t20's oracle over the
+    // whole corpus); no state store — the log IS the state
+    "e19_stream_classifier_fold" -> ((s, d) => {
+      val src = scratch("e19-src")
+      val deltas = scratch("e19-deltas")
+      val ds = docs(s, d)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        ds.where(col("doc_id") >= 300).repartition(4).write.parquet(src)
+      }
+      val base = TextAnalysis.classifierCounts(ds.where(col("doc_id") < 300))
+      EventStream.streamClassifierDeltaFold(s, src, deltas)
+      TextAnalysis.classifierWeights(
+          TextAnalysis.classifierCountsWithDeltas(base,
+            s.read.parquet(s"$deltas/batches")))
+        .orderBy(abs(col("weight_micros")).desc, col("token"))
+    }),
+
     // E18 STREAMING classifier scoring: train offline / score ONLINE —
     // frozen weight map broadcast into a stateless per-batch transform
     // (no state store, no watermark), exactly-once by batch-directory
@@ -3499,6 +3519,12 @@ object SparkEntry {
           "(((1000000 * (pc + 1) + (pt + v) // 2) // (pt + v)) " +
           "- ((1000000 * (nc + 1) + (nt2 + v) // 2) // (nt2 + v)))::BIGINT AS weight_micros " +
           "FROM cnt, tot) " +
+          "SELECT token, weight_micros FROM wts " +
+          "ORDER BY abs(weight_micros) DESC, token LIMIT 256"),
+      // e19: the streamed fold must equal the from-scratch retrain over
+      // the whole corpus — t20's oracle verbatim
+      "e19_stream_classifier_fold" ->
+        (T + microsCte("q") + classifierWtsCte +
           "SELECT token, weight_micros FROM wts " +
           "ORDER BY abs(weight_micros) DESC, token LIMIT 256"),
       // e18: the streamed scoring must equal the batch scorer — t21's

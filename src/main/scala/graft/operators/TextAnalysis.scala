@@ -625,6 +625,22 @@ object TextAnalysis {
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pc"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("nc"))
 
+  /** Fold a delta log of [[classifierCounts]] rows into a base count
+    * table — the APPEND-ONLY maintenance form (the stream's side of the
+    * house: [[graft.streaming.EventStream.streamClassifierDeltaFold]]
+    * lands one delta directory per micro-batch). Counts are additive and
+    * the sum is order-free, so deltas fold in ANY order and a replayed
+    * batch folds idempotently via its directory overwrite (the e15
+    * argument, verbatim — this is the same algebra over (pc, nc) instead
+    * of (df, n)). Updates/deletes stay on [[maintainClassifierCounts]],
+    * which needs pre-images.
+    */
+  def classifierCountsWithDeltas(base: DataFrame, deltaLog: DataFrame): DataFrame =
+    base.unionByName(deltaLog.select("token", "pc", "nc"))
+      .groupBy("token")
+      .agg(sum("pc").as("pc"), sum("nc").as("nc"))
+      .where(col("pc") =!= 0L || col("nc") =!= 0L)
+
   /** INCREMENTAL classifier maintenance — the change-feed discipline
     * (the q8/s15 family) applied to the training state: fold the counts
     * of `added` documents in and `removed` documents out of an existing

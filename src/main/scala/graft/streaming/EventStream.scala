@@ -883,6 +883,42 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING classifier-count maintenance — e15's append-only delta
+    * fold applied to the training state (the symmetry t22 : q8 :: this :
+    * e15): each arriving document batch lands its own (token, pc, nc)
+    * count-delta directory via idempotent overwrite; counts are additive
+    * and order-free, so the read side
+    * (TextAnalysis.classifierCountsWithDeltas) folds base ∪ deltas into
+    * exactly the from-scratch retrain over base ∪ appended. Per-batch
+    * cost is the batch tokenize into a vocabulary-scale aggregate; the
+    * corpus is never rescanned and no state store exists — the LOG is
+    * the state. Aged deltas compact by the e16 argument (the fold is a
+    * plain sum; folding a prefix into one segment is associativity).
+    */
+  def streamClassifierDeltaFold(spark: SparkSession, srcDir: String,
+                                deltaDir: String,
+                                posMicros: Long = 500000L): Unit = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val src = bf.readStream
+      .schema(bf.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextAnalysis.classifierCounts(batch, posMicros)
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Read the IDF delta log COMPACTION-AWARE: the compact segment (the
     * reserved `batch=-1` directory) plus only batches ABOVE the recorded
     * compaction horizon. A batch directory at or below the horizon is a
