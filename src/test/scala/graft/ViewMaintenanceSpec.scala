@@ -110,6 +110,19 @@ class ViewMaintenanceSpec extends AnyFunSuite with Matchers with SparkSupport {
     out.queryExecution.optimizedPlan.toString should not include " IN ("
   }
 
+  test("id-list sugar coerces element types: Int ids against bigint columns work like isin did") {
+    val a0 = a((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 20L, 3.0))
+    val b0 = b((10L, "x"), (20L, "y"))
+    val v0 = a0.join(b0, $"akey" === $"bkey")
+    val a1 = a((1L, 10L, 1.0), (2L, 10L, 9.0), (3L, 20L, 3.0))
+    // Ints (and a boxed Integer) against LongType aid — the old isin form
+    // cast implicitly; the DataFrame sugar must too
+    val got = ViewMaintenance.maintainJoinView(v0, a1, b0,
+        "aid", "akey", "bkey", Seq[Any](2, Integer.valueOf(2)), Seq[Any]())
+      .as[(Long, Long, Double, Long, String)].collect().toSet
+    got shouldBe fresh(a1, b0)
+  }
+
   test("a B key column colliding with an A column is rejected with the contract message") {
     val a0 = a((1L, 10L, 1.0))
     val bSame = Seq((10L, "x")).toDF("akey", "tag") // collides with A's join key
