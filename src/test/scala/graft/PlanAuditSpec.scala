@@ -684,6 +684,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """PushedFilters: \[[^\]]*LessThan\(ts"""
   }
 
+  test("data card: ONE corpus scan, the dup flag rides a hash-partitioned window (no groupBy+join re-scan)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.operators.Quality.dataCard(docs)
+      .queryExecution.executedPlan.toString
+    // the scoring map (tokens, micros, rules, md5) must run exactly once:
+    // a groupBy+join canonical-id form re-scans the corpus (measured 2
+    // scans, 0 reuse) and doubles the map at 100 TB
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+    p should include("partial_sum")
+  }
+
   test("bloom layout lookup: the IN predicate reaches the parquet scan as a pushed filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom-audit").toString + "/docs"
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
