@@ -911,6 +911,47 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // SCD2 history build: the type-2 dimension the delta log already paid
+    // for — one row per committed row IMAGE with its half-open
+    // [valid_from, valid_to) version interval, valid_to null while live.
+    // Scripted life cycle: two successive title revisions (three images
+    // for 000010), a delete that CLOSES 000020's interval without opening
+    // one, a re-create that opens a fresh interval for the same id, and a
+    // plain insert; the 47 untouched rows surface once, open-ended
+    "s18_scd2_history" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // delta v1
+      st.partialUpdate("000010", Map("title" -> "rev-b"))  // v2
+      st.delete("000020")                                  // v3
+      st.partialUpdate("000010", Map("title" -> "rev-c"))  // v4
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert) // v5
+      val reborn = corpusEntries(s, d, "000020", "000020").collect().head
+        .copy(title = "reborn")
+      st.upsert(reborn)                                    // v6
+      st.history()
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+        .orderBy("id", "valid_from")
+    }),
+
+    // Set-oriented time travel: batch (id, as_of_version) probes answered
+    // by ONE equi-join against the SCD2 history instead of |probes|
+    // snapshot resolves — inner semantics, so probes at versions where the
+    // id was deleted (000020 at v3/v4) emit nothing
+    "s19_asof_lookup" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // v1
+      st.partialUpdate("000010", Map("title" -> "rev-b"))  // v2
+      st.delete("000020")                                  // v3
+      st.partialUpdate("000010", Map("title" -> "rev-c"))  // v4
+      import s.implicits._
+      val probes = (for {
+        id <- Seq("000010", "000020", "000030"); v <- 1L to 4L
+      } yield (id, v)).toDF("id", "as_of_version")
+      st.lookupAsOf(probes)
+        .select(col("id"), col("as_of_version"), col("title"))
+        .orderBy("id", "as_of_version")
+    }),
+
     // X2 full export scan: snapshot → parquet → read back
     "x2_export" -> ((s, d) => {
       val st = freshStore(s)
@@ -2078,6 +2119,27 @@ object SparkEntry {
           greatest(col("exact_churned") * 0.05, lit(1.0))).as("churn_ok"))
     }),
 
+    // X19 mergeable HEAVY-HITTERS rollup — the fourth summary tier beside
+    // x16 distincts / x17 quantiles / x18 set-ops: per-day exact top-m
+    // candidate counts + a per-day residual ceiling (a deterministic
+    // SpaceSaving-style summary with an error certificate), any range's
+    // top-k answered from |days|·m candidate rows, corpus never rescanned.
+    // m = 2048 ≥ the per-day key cardinality at every SF, so bounds
+    // collapse to exact counts (every row `guaranteed`) and the oracle
+    // value-checks the counts; the pruned tier's bound/certificate
+    // semantics are spec-pinned in OperatorsSpec
+    "x19_topk_rollup" -> ((s, d) => {
+      val ev = EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
+      val dir = scratch("x19-topk")
+      graft.operators.SketchRollup.dailyTopKCandidates(ev, "ts", "user_id", m = 2048)
+        .write.mode("overwrite").parquet(dir)
+      graft.operators.SketchRollup
+        .rangeTopK(s.read.parquet(dir), "2024-01-05", "2024-01-15", k = 10)
+        .select(col("key").as("user_id"), col("cnt_lb").as("n_events"),
+          col("cnt_ub"), col("guaranteed"))
+        .orderBy(col("n_events").desc, col("user_id"))
+    }),
+
     // C1 data-quality column profile: completeness / cardinality / bounds
     // for four columns of the documents table in ONE aggregate pass (exact
     // distincts — the Expand form; the Expand-free HLL twin is spec-pinned
@@ -3153,6 +3215,32 @@ object SparkEntry {
         (M + "SELECT id, title FROM meta WHERE id = '000001'"),
       "s9_time_travel" ->
         (M + "SELECT id, title FROM meta WHERE id BETWEEN '000001' AND '000050' ORDER BY id"),
+      // s18: the scripted life cycle replayed as literals — base images at
+      // v1 (000010 closed at its first revision, 000020 at its delete),
+      // the two 000010 revisions chaining 2→4→open, 000020's re-created
+      // image opening at v6, the v5 insert open-ended
+      "s18_scd2_history" ->
+        (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
+          "CAST(CASE WHEN id = '000010' THEN 2 WHEN id = '000020' THEN 3 END AS BIGINT) AS valid_to " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
+          "UNION ALL SELECT '000010', 'rev-b', 2, 4 " +
+          "UNION ALL SELECT '000010', 'rev-c', 4, NULL " +
+          "UNION ALL SELECT '000020', 'reborn', 6, NULL " +
+          "UNION ALL SELECT id, title, 5, NULL FROM meta WHERE id = '000200' " +
+          "ORDER BY id, valid_from"),
+      // s19: probe grid replayed as literals — 000010's title steps at its
+      // revision versions, 000020 vanishes from v3 (deleted), 000030 holds
+      "s19_asof_lookup" ->
+        (M + ", probes AS (SELECT id, CAST(v AS BIGINT) AS as_of_version " +
+          "FROM (VALUES ('000010'), ('000020'), ('000030')) ids(id) " +
+          "CROSS JOIN (VALUES (1), (2), (3), (4)) vs(v)) " +
+          "SELECT p.id, p.as_of_version, " +
+          "CASE WHEN p.id = '000010' AND p.as_of_version >= 4 THEN 'rev-c' " +
+          "WHEN p.id = '000010' AND p.as_of_version >= 2 THEN 'rev-b' " +
+          "ELSE m.title END AS title " +
+          "FROM probes p JOIN meta m USING (id) " +
+          "WHERE NOT (p.id = '000020' AND p.as_of_version >= 3) " +
+          "ORDER BY p.id, p.as_of_version"),
       // s13: vacuum is physical-only — the resolved table must equal the
       // logical state (patch applied, delete applied) with history gone
       "s13_retention_vacuum" ->
@@ -4043,6 +4131,16 @@ object SparkEntry {
           "(SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS exact_retained, " +
           "(SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS exact_churned, " +
           "true AS ret_ok, true AS churn_ok"),
+      // x19: at gate m the rollup is exact, so the oracle is the exact
+      // range top-k with the same deterministic tie-break (count desc,
+      // key asc); bounds collapse onto the count and `guaranteed` is
+      // literal true
+      "x19_topk_rollup" ->
+        ("WITH c AS (SELECT user_id, count(*) AS n_events FROM events " +
+          "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1) " +
+          "SELECT user_id, n_events, n_events AS cnt_ub, true AS guaranteed " +
+          "FROM c ORDER BY n_events DESC, user_id LIMIT 10"),
       // c1: per-column profile recomputed column by column (the engine does
       // all four in ONE pass; the oracle's union is free to be naive)
       "c1_column_profile" ->

@@ -3,7 +3,7 @@ package graft.compile
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.analyzers.Analyzers
 import graft.model._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -274,19 +274,43 @@ object QueryCompiler {
 
   /** [[idfWeights]] in MAINTAINABLE long form: one row per requested term,
     * `(term, df, n_docs)` — including df-0 terms, so the table's key set is
-    * stable under maintenance. Same one-aggregate pass over the corpus;
-    * the long shape exists so the store's change feed can advance it
-    * ([[maintainIdfStats]]) instead of re-scanning the corpus.
+    * stable under maintenance. The long shape exists so the store's change
+    * feed can advance it ([[maintainIdfStats]]) instead of re-scanning the
+    * corpus.
+    *
+    * ONE explode/aggregate pass (the t11 shape), not one plan branch per
+    * term: each doc emits its distinct matched terms (`array_intersect`
+    * dedupes) plus a sentinel row that carries the doc count through the
+    * SAME aggregate, so `n_docs` costs no second scan. The grouped counts
+    * are |terms|+1 rows — collected as the broadcast-able statistic this
+    * table IS (the [[idfWeights]] contract), then re-emitted with df-0
+    * terms filled in. A 32k-term vocabulary is one corpus scan and a
+    * |terms|-bounded map-side-combined shuffle, where the per-term-branch
+    * form leaned on runtime exchange reuse to avoid |terms| corpus scans.
     */
   def idfStatsTable(corpus: DataFrame, terms: Seq[String],
                     field: String = "dataSample"): DataFrame = {
-    val toks = Analyzers.standardTokens(col(field))
-    val aggs = count(lit(1)).as("n_docs") +: terms.zipWithIndex.map { case (t, i) =>
-      sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"__df_$i") }
-    val one = corpus.agg(aggs.head, aggs.tail: _*)
-    terms.zipWithIndex.map { case (t, i) =>
-      one.select(lit(t).as("term"), col(s"__df_$i").as("df"), col("n_docs"))
-    }.reduce(_ unionByName _)
+    val spark = corpus.sparkSession
+    // standard tokens are lowercase alphanumerics, so a NUL-prefixed name
+    // can never collide with a real term
+    val sentinel = "\u0000n_docs"
+    val matched = array_intersect(
+      Analyzers.standardTokens(col(field)), lit(terms.distinct.toArray))
+    val counts = corpus
+      // a null/tokenless field still counts toward n_docs: the sentinel
+      // rides every row, the matched slice contributes nothing
+      .select(explode(concat(array(lit(sentinel)),
+        coalesce(matched, array().cast("array<string>")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.getOrElse(sentinel, 0L)
+    val rows = terms.map(t => Row(t, counts.getOrElse(t, 0L), n))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Incremental IDF maintenance — the one derived statistic the store's

@@ -117,4 +117,93 @@ object SketchRollup {
         theta_sketch_estimate(theta_intersection(col("a"), col("b"))).as("est_retained"),
         theta_sketch_estimate(theta_difference(col("a"), col("b"))).as("est_churned"))
   }
+
+  // ------------------------------------------------------------ heavy hitters
+
+  /** The HEAVY-HITTERS tier of the rollup family — the fourth mergeable
+    * summary beside distincts (x16/HLL), quantiles (x17/KLL), and set
+    * operations (x18/theta): "top-k keys by count over ANY date range"
+    * answered from per-day candidate rows, never a corpus rescan.
+    *
+    * Per-day summary = the day's EXACT per-key counts pruned to the top
+    * `m` (count desc, key asc — deterministic), each row carrying the
+    * day's `residual_max`: the largest PRUNED count (0 when nothing was
+    * pruned). That pair is exactly a deterministic SpaceSaving-style
+    * summary with a per-day error certificate: a key absent from a day's
+    * candidates had at most `residual_max` occurrences that day, so any
+    * range merge can bound what pruning may have hidden — unlike a raw
+    * "keep top m" truncation, which loses silently.
+    *
+    * Plan shape: one map-side-combining aggregate to (day, key) counts,
+    * one per-day window for the prune (keys hash-spread, per-day state is
+    * the day's key count), and the summary is ≤ m+ε rows × KB per day.
+    * At 100 TB the corpus folds ONCE; every subsequent range query reads
+    * |days|·m candidate rows.
+    */
+  def dailyTopKCandidates(events: DataFrame, tsCol: String, keyCol: String,
+                          m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
+    val byDay = events
+      .groupBy(to_date(col(tsCol)).as("day"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("cnt").desc, col("key"))
+    val ranked = byDay.withColumn("_rn", row_number().over(w))
+    val kept = ranked.where(col("_rn") <= m).drop("_rn")
+    val residual = ranked.where(col("_rn") > m)
+      .groupBy("day").agg(max(col("cnt")).as("residual_max"))
+    kept.join(residual, Seq("day"), "left")
+      .withColumn("residual_max", coalesce(col("residual_max"), lit(0L)))
+  }
+
+  /** Range top-k from a persisted daily candidate rollup, with the merged
+    * error certificate made explicit per returned row:
+    *
+    *  - `cnt_lb`: the key's summed candidate counts — a LOWER bound on
+    *    its true range count (pruned days contributed nothing).
+    *  - `cnt_ub`: `cnt_lb` + the residual ceilings of selected days where
+    *    the key was NOT a candidate — the matching upper bound.
+    *  - `guaranteed`: this row's `cnt_lb` ≥ every non-returned key's
+    *    `cnt_ub` (including the all-days-pruned phantom, whose bound is
+    *    the full residual sum) — when true, the row is PROVABLY in a
+    *    true top-k (ties at the boundary resolved either way), not an
+    *    artifact of pruning. With `m` at/above the
+    *    day's key cardinality every residual is 0, bounds collapse to the
+    *    exact count, and every row is guaranteed — the gate-scale
+    *    configuration the oracle value-checks; tight `m` trades summary
+    *    bytes for certificate slack, never for silent wrongness.
+    *
+    * Everything is integer arithmetic over ≤ |days|·m candidate rows —
+    * deterministic on any partitioning and any engine.
+    */
+  def rangeTopK(candidates: DataFrame, from: String, to: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val sel = candidates.where(col("day") >= lit(from) && col("day") < lit(to))
+    // total residual ceiling across the selected days (one row per day)
+    val totalRes = sel.select(col("day"), col("residual_max")).distinct()
+      .agg(coalesce(sum(col("residual_max")), lit(0L)).as("_total_res"))
+    val perKey = sel.groupBy(col("key"))
+      .agg(sum(col("cnt")).as("cnt_lb"),
+        sum(col("residual_max")).as("_present_res"))
+      .crossJoin(broadcast(totalRes))
+      .withColumn("cnt_ub",
+        col("cnt_lb") + (col("_total_res") - col("_present_res")))
+    val byCount = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt_lb").desc, col("key"))
+    val ranked = perKey.withColumn("_rn", row_number().over(byCount))
+    // the strongest competing upper bound among keys NOT returned — the
+    // ranked tail's max cnt_ub, or the phantom key every day pruned
+    // (cnt_ub = total residual sum) when the tail is empty
+    val rival = ranked.where(col("_rn") > k)
+      .agg(max(col("cnt_ub")).as("_rival_ub"))
+      .crossJoin(broadcast(totalRes))
+      .select(greatest(coalesce(col("_rival_ub"), lit(0L)),
+        col("_total_res")).as("_rival"))
+    ranked.where(col("_rn") <= k)
+      .crossJoin(broadcast(rival))
+      .select(col("key"), col("cnt_lb"), col("cnt_ub"),
+        (col("cnt_lb") >= col("_rival")).as("guaranteed"))
+      .orderBy(col("cnt_lb").desc, col("key"))
+  }
 }

@@ -248,22 +248,7 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     }
     val baseV = listVersions("base-").filter(_ <= v).lastOption
     val deltaVs = listVersions("delta-").filter(d => d <= v && d > baseV.getOrElse(0L))
-    val base = baseV.map { b =>
-      val dir = root.resolve(s"base-$b")
-      val df =
-        if (hasBucketDirs(dir)) {
-          // a partitioned dir must be read with the partition column in the
-          // schema; pruning happens only when the sidecar gives the modulus
-          val raw = spark.read
-            .schema(baseSchema.add(BucketCol, "int", nullable = false))
-            .parquet(dir.toString)
-          (baseBucketCount(dir), lookupId) match {
-            case (Some(n), Some(id)) => raw.where(col(BucketCol) === bucketOf(id, n)).drop(BucketCol)
-            case _ => raw.drop(BucketCol)
-          }
-        } else spark.read.schema(baseSchema).parquet(dir.toString)
-      df.withColumn(VersionCol, lit(b)).withColumn(OpCol, lit("upsert"))
-    }
+    val base = baseV.map(readBase(_, lookupId))
     val deltas = deltaVs.map(d => spark.read.schema(deltaSchema).parquet(root.resolve(s"delta-$d").toString))
     val logAll = (base.toSeq ++ deltas).reduceOption(_ unionByName _).getOrElse(emptyLog)
     val log = prune.fold(logAll)(logAll.where)
@@ -272,6 +257,27 @@ class MetadataStore(spark: SparkSession, rootDir: String,
       .where(col("_rn") === 1 && col(OpCol) =!= "delete")
       .drop("_rn", OpCol)
     if (keepVersion) cur else cur.drop(VersionCol)
+  }
+
+  /** One base segment as log rows (entry columns + _version/_op=upsert),
+    * with single-directory partition pruning when the base is bucketed and
+    * a lookup id is supplied.
+    */
+  private def readBase(b: Long, lookupId: Option[String]): DataFrame = {
+    val dir = root.resolve(s"base-$b")
+    val df =
+      if (hasBucketDirs(dir)) {
+        // a partitioned dir must be read with the partition column in the
+        // schema; pruning happens only when the sidecar gives the modulus
+        val raw = spark.read
+          .schema(baseSchema.add(BucketCol, "int", nullable = false))
+          .parquet(dir.toString)
+        (baseBucketCount(dir), lookupId) match {
+          case (Some(n), Some(id)) => raw.where(col(BucketCol) === bucketOf(id, n)).drop(BucketCol)
+          case _ => raw.drop(BucketCol)
+        }
+      } else spark.read.schema(baseSchema).parquet(dir.toString)
+    df.withColumn(VersionCol, lit(b)).withColumn(OpCol, lit("upsert"))
   }
 
   private def emptyLog: DataFrame =
@@ -560,6 +566,76 @@ class MetadataStore(spark: SparkSession, rootDir: String,
       .where(col("_rn") === 1).drop("_rn")
       .withColumnRenamed(VersionCol, "change_version")
       .withColumnRenamed(OpCol, "change_op")
+  }
+
+  /** SCD2 row-version history over the RETAINED log: one output row per
+    * committed row IMAGE, carrying the half-open version interval
+    * `[valid_from, valid_to)` during which that image was the id's current
+    * row — `valid_to` null while the image is still live. A delete closes
+    * its predecessor's interval without opening one; re-creating a deleted
+    * id opens a fresh interval. This is the type-2 dimension build the
+    * change log already paid for: [[currentAt]] answers "the whole table
+    * as of v", [[history]] answers "every version of every row" in ONE
+    * pass, and [[lookupAsOf]] rides it for set-oriented point probes.
+    *
+    * Segment selection mirrors [[changesBetween]]'s semantics with a
+    * vacuum-safe seed: all retained DELTA segments after the last
+    * truncation carry the changes; compaction bases between them are
+    * logical no-op restatements and are skipped — EXCEPT the newest base
+    * below the oldest retained delta (the vacuum anchor), which is the
+    * only surviving record of rows whose delta history was vacuumed and
+    * therefore seeds the build (those rows surface with `valid_from` = the
+    * anchor version: the store's documented history-resolution floor, the
+    * [[retentionFloor]] contract). History before the last `drop()` is a
+    * different table's life and is excluded, matching the feed's
+    * refuse-to-span-truncation rule.
+    *
+    * At 100 TB: one hash shuffle of the retained log on id and one
+    * in-partition sort shared by the `lead` — per-id history is
+    * CDC-depth, so no skewed tail; nothing collects.
+    */
+  def history(): DataFrame = {
+    val cur = currentVersion
+    val trunc = versionHistory()
+      .filter(_.kind == "truncate").map(_.version).maxOption.getOrElse(0L)
+    val deltaVs = listVersions("delta-").filter(d => d > trunc && d <= cur)
+    // seed: the newest base below every retained delta (vacuum anchor or a
+    // base-written initial load); later bases are restatements, skipped
+    val seedCut = deltaVs.minOption.map(_ - 1).getOrElse(cur)
+    val seedV = listVersions("base-").filter(b => b > trunc && b <= seedCut).lastOption
+      .filterNot(b => Files.exists(root.resolve(s"base-$b").resolve(TruncateMarker)))
+    val log = (seedV.map(readBase(_, None)).toSeq ++
+      deltaVs.map(d => spark.read.schema(deltaSchema)
+        .parquet(root.resolve(s"delta-$d").toString)))
+      .reduceOption(_ unionByName _).getOrElse(emptyLog)
+    val nextV = Window.partitionBy(col("id")).orderBy(col(VersionCol))
+    log
+      .withColumn("valid_to", lead(col(VersionCol), 1).over(nextV))
+      .where(col(OpCol) =!= "delete")
+      .withColumnRenamed(VersionCol, "valid_from")
+      .drop(OpCol)
+  }
+
+  /** Set-oriented time travel: for each probe row `(idCol, versionCol)`
+    * return the row image that was current at that version — the batch
+    * form of [[currentAt]]-then-filter, priced at one equi-join instead of
+    * |probes| snapshot resolves. Inner semantics: a probe whose id was
+    * absent (or deleted) at its version emits nothing.
+    *
+    * The join is a plain hash equi-join on id with the interval predicate
+    * as an in-stage residual — per-id history is CDC-depth, so the
+    * residual scans a handful of rows per probe; no nested-loop, no
+    * window. Probe columns must not collide with entry column names
+    * (besides the shared id).
+    */
+  def lookupAsOf(probes: DataFrame, idCol: String = "id",
+                 versionCol: String = "as_of_version"): DataFrame = {
+    val h = history()
+    probes.withColumnRenamed(idCol, "id")
+      .join(h, Seq("id"))
+      .where(col(versionCol) >= col("valid_from") &&
+        (col("valid_to").isNull || col(versionCol) < col("valid_to")))
+      .drop("valid_from", "valid_to")
   }
 
   /** X2 full export: write the resolved current table out as parquet

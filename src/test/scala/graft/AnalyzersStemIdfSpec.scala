@@ -159,4 +159,15 @@ class AnalyzersStemIdfSpec extends AnyFunSuite with Matchers with SparkSupport {
       .orderBy("term").as[(String, Long, Long)].collect().toSeq
     out shouldBe Seq(("absent", 0L, 1L), ("red", 1L, 1L))
   }
+
+  test("idfStatsTable: one pass — null-text docs count toward n_docs, df-0 and duplicate-token docs exact") {
+    val corpus = Seq(
+      Some("red red widget"), // duplicate token: df counts the DOC once
+      None,                   // null text: no memberships, still a doc
+      Some("plain words"))
+      .toDF("dataSample")
+    val out = QueryCompiler.idfStatsTable(corpus, Seq("red", "widget", "absent"))
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    out shouldBe Seq(("absent", 0L, 3L), ("red", 1L, 3L), ("widget", 1L, 3L))
+  }
 }

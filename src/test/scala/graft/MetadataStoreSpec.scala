@@ -464,4 +464,73 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.get("1").get.title shouldBe "compacted?"
     st.get("3") shouldBe None
   }
+
+  private def historyRows(st: MetadataStore): Seq[(String, String, Long, Option[Long])] =
+    st.history().select("id", "title", "valid_from", "valid_to")
+      .as[(String, String, Long, Option[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+
+  test("scd2 history: delete closes an interval, re-create opens a fresh one") {
+    val st = freshStore()
+    val e = Fixtures.corpus
+    st.upsert(e(0))                                   // v1
+    st.upsert(e(1))                                   // v2
+    st.partialUpdate(e(0).id, Map("title" -> "r2"))   // v3
+    st.delete(e(1).id)                                // v4
+    st.upsert(e(1).copy(title = "again"))             // v5
+    historyRows(st) shouldBe Seq(
+      (e(0).id, e(0).title, 1L, Some(3L)),
+      (e(0).id, "r2", 3L, None),
+      (e(1).id, e(1).title, 2L, Some(4L)),
+      (e(1).id, "again", 5L, None))
+  }
+
+  test("scd2 history: compaction bases are restatements, not changes; a vacuum anchor seeds the floor") {
+    val st = freshStore()
+    val e = Fixtures.corpus
+    st.upsert(e(0)); st.upsert(e(1)); st.upsert(e(2)) // deltas 1..3
+    st.compact()                                      // base-4 (restatement)
+    st.partialUpdate(e(0).id, Map("title" -> "r5"))   // delta-5
+    // pre-vacuum: full delta history resolves; base-4 contributes nothing
+    historyRows(st) shouldBe Seq(
+      (e(0).id, e(0).title, 1L, Some(5L)),
+      (e(0).id, "r5", 5L, None),
+      (e(1).id, e(1).title, 2L, None),
+      (e(2).id, e(2).title, 3L, None))
+    // vacuum to anchor base-4: deltas 1..3 gone — the anchor restatement
+    // now seeds every pre-anchor row at the documented resolution floor
+    st.vacuum(keepVersions = 2) should not be empty
+    historyRows(st) shouldBe Seq(
+      (e(0).id, e(0).title, 4L, Some(5L)),
+      (e(0).id, "r5", 5L, None),
+      (e(1).id, e(1).title, 4L, None),
+      (e(2).id, e(2).title, 4L, None))
+  }
+
+  test("scd2 history: a drop() resets the table's life; empty store is empty history") {
+    val st = freshStore()
+    historyRows(st) shouldBe Seq.empty
+    val e = Fixtures.corpus
+    st.upsert(e(0)) // v1
+    st.drop()       // base-2 truncation
+    st.upsert(e(1)) // v3
+    historyRows(st) shouldBe Seq((e(1).id, e(1).title, 3L, None))
+  }
+
+  test("lookupAsOf: batch probes resolve by equi-join (no nested loop), deleted ids drop") {
+    val st = freshStore()
+    val e = Fixtures.corpus
+    st.upsert(e(0))                                   // v1
+    st.partialUpdate(e(0).id, Map("title" -> "r2"))   // v2
+    st.delete(e(0).id)                                // v3
+    val probes = Seq((e(0).id, 1L), (e(0).id, 2L), (e(0).id, 3L), ("nope", 1L))
+      .toDF("id", "as_of_version")
+    val out = st.lookupAsOf(probes)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    out.select("id", "as_of_version", "title").as[(String, Long, String)]
+      .collect().toSeq.sortBy(_._2) shouldBe Seq(
+        (e(0).id, 1L, e(0).title), (e(0).id, 2L, "r2"))
+  }
 }

@@ -276,4 +276,48 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     est.getLong(2) shouldBe (a intersect b).size.toLong
     est.getLong(3) shouldBe (a diff b).size.toLong
   }
+
+  test("top-k rollup: exact when m covers the keys; pruned tier keeps sound bounds and an honest certificate") {
+    // two days, skewed keys: true range counts a=18, c=7, b=5, d=2
+    val rows =
+      Seq.fill(10)(("2024-03-01 10:00:00", "a")) ++ Seq.fill(5)(("2024-03-01 10:00:00", "b")) ++
+        Seq.fill(3)(("2024-03-01 10:00:00", "c")) ++
+        Seq.fill(8)(("2024-03-02 10:00:00", "a")) ++ Seq.fill(4)(("2024-03-02 10:00:00", "c")) ++
+          Seq.fill(2)(("2024-03-02 10:00:00", "d"))
+    val ev = rows.toDF("s", "key").select(col("s").cast("timestamp").as("ts"), col("key"))
+
+    // m ≥ key cardinality: residuals 0, bounds collapse, everything guaranteed
+    val exact = SketchRollup.rangeTopK(
+      SketchRollup.dailyTopKCandidates(ev, "ts", "key", m = 10),
+      "2024-03-01", "2024-03-03", k = 2)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    exact shouldBe Seq(("a", 18L, 18L, true), ("c", 7L, 7L, true))
+
+    // m = 2 prunes: day1 drops c(3) → residual 3, day2 drops d(2) → residual 2.
+    // candidates merge to a=18 (both days), b=5 (ub 5+2), c=4 (ub 4+3);
+    // top-2 by lower bound returns (a, b) — and the certificate says a is
+    // provably top-k while b is NOT (c's upper bound 7 beats b's 5)
+    val pruned = SketchRollup.rangeTopK(
+      SketchRollup.dailyTopKCandidates(ev, "ts", "key", m = 2),
+      "2024-03-01", "2024-03-03", k = 2)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    pruned shouldBe Seq(("a", 18L, 18L, true), ("b", 5L, 7L, false))
+
+    // k larger than the candidate set: the phantom-key bound (total
+    // residual sum) still gates the certificate — every returned count is
+    // a sound lower bound
+    val wide = SketchRollup.rangeTopK(
+      SketchRollup.dailyTopKCandidates(ev, "ts", "key", m = 2),
+      "2024-03-01", "2024-03-03", k = 5)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    wide.map(_._1) shouldBe Seq("a", "b", "c")
+    // rival is the phantom key's ub = 3 + 2 = 5: a (18) and b (5) clear
+    // it, c's lower bound 4 does not
+    wide.map(_._4) shouldBe Seq(true, true, false)
+    // lower/upper bounds bracket the true counts
+    val truth = Map("a" -> 18L, "b" -> 5L, "c" -> 7L)
+    wide.foreach { case (key, lb, ub, _) =>
+      lb should be <= truth(key); truth(key) should be <= ub
+    }
+  }
 }
