@@ -432,6 +432,13 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/hll"))
     val hll = spark.read.parquet(s"$dir/hll")
       .agg(sum(length(col("sketch"))).cast("long"), count(lit(1))).head()
+    // x19 heavy-hitters fold at FIXED m: candidate rows are capped at
+    // days×m however wide the key domain grows — the bounded-summary
+    // claim on the keys axis (the hll_bytes discipline for top-k)
+    val (_, tTopk) = timed(SketchRollup
+      .dailyTopKCandidates(ev, "ts", "user_id", m = 256)
+      .write.mode("overwrite").parquet(s"$dir/topk"))
+    val topkRows = spark.read.parquet(s"$dir/topk").count()
     // CC over the key domain: chain consecutive PRESENT keys in quads —
     // disjoint small components, the d6 shape with 10× the labels
     val keys = ev.select(col("user_id")).distinct()
@@ -444,7 +451,9 @@ object ScaleProbe {
     f"""{"corpus":"$label","n_events":$n,"n_keys":$nKeys,""" +
       f""""c4_sec":$tSkew%.2f,"skew_ratio":${skew.head.getDouble(5)}%.2f,""" +
       f""""hll_fold_sec":$tFold%.2f,"hll_days":${hll.getLong(1)},""" +
-      f""""hll_bytes":${hll.getLong(0)},"cc_labels":$nKeys,""" +
+      f""""hll_bytes":${hll.getLong(0)},""" +
+      f""""topk_fold_sec":$tTopk%.2f,"topk_rows":$topkRows,""" +
+      f""""cc_labels":$nKeys,""" +
       f""""cc_components":$nCanon,"cc_sec":$tCc%.2f}"""
   }
 
