@@ -2405,6 +2405,30 @@ object SparkEntry {
           (abs(col("est_distinct") / col("exact_users") - 1.0) <= 0.05).as("est_ok"))
     }),
 
+    // E20 STREAMING heavy-hitters maintenance — the x19 rollup kept
+    // current by the ingest stream (the e14/e15 symmetry for the fourth
+    // summary tier): per-batch exact (day, key) count deltas land in
+    // idempotent batch directories; the read side re-sums the log in any
+    // order — batches OVERLAP days here (repartitioned source), so the
+    // fold is genuinely exercised — and prunes once over complete
+    // counts; at gate m the range top-k equals the exact oracle (same
+    // query as x19)
+    "e20_stream_topk_fold" -> ((s, d) => {
+      val src = scratch("e20-src")
+      val log = scratch("e20-log")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        s.read.parquet(s"$d/events.parquet").repartition(4).write.parquet(src)
+      }
+      EventStream.streamTopKCountFold(s, src, log)
+      graft.operators.SketchRollup.rangeTopK(
+          graft.operators.SketchRollup.candidatesFromCountLog(
+            s.read.parquet(s"$log/batches"), m = 2048),
+          "2024-01-05", "2024-01-15", k = 10)
+        .select(col("key").as("user_id"), col("cnt_lb").as("n_events"),
+          col("cnt_ub"), col("guaranteed"))
+        .orderBy(col("n_events").desc, col("user_id"))
+    }),
+
     // P10 corpus snapshot diff: v2 derived from the documents table by
     // shared deterministic rules (drop %17, revise %13, add %19 under new
     // ids), then the diff classifies every id via scan-side md5 — the join
@@ -4136,6 +4160,14 @@ object SparkEntry {
       // key asc); bounds collapse onto the count and `guaranteed` is
       // literal true
       "x19_topk_rollup" ->
+        ("WITH c AS (SELECT user_id, count(*) AS n_events FROM events " +
+          "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1) " +
+          "SELECT user_id, n_events, n_events AS cnt_ub, true AS guaranteed " +
+          "FROM c ORDER BY n_events DESC, user_id LIMIT 10"),
+      // e20: the streamed count-delta log re-sums to the same exact
+      // counts, so the oracle is x19's query verbatim
+      "e20_stream_topk_fold" ->
         ("WITH c AS (SELECT user_id, count(*) AS n_events FROM events " +
           "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05 00:00:00' " +
           "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1) " +

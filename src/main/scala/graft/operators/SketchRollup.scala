@@ -140,21 +140,48 @@ object SketchRollup {
     * At 100 TB the corpus folds ONCE; every subsequent range query reads
     * |days|·m candidate rows.
     */
-  def dailyTopKCandidates(events: DataFrame, tsCol: String, keyCol: String,
-                          m: Int): DataFrame = {
-    require(m >= 1, s"m must be >= 1: $m")
-    val byDay = events
-      .groupBy(to_date(col(tsCol)).as("day"), col(keyCol).as("key"))
+  /** Exact per-(day, key) counts — the UNPRUNED statistic under the
+    * heavy-hitters rollup. Counts are sum-mergeable (order-free, exact),
+    * so count tables from disjoint slices of the corpus — per-ingest-batch
+    * deltas, per-partition folds — combine by plain re-aggregation
+    * ([[candidatesFromCountLog]]): the e14/e15 log-of-partials algebra on
+    * an exact statistic.
+    */
+  def dailyKeyCounts(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    events.groupBy(to_date(col(tsCol)).as("day"), col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Prune a (day, key, cnt) table to each day's top `m` (count desc, key
+    * asc — deterministic) with the day's residual ceiling attached. The
+    * prune must see a day's COMPLETE counts — prune a partial slice and
+    * the residual certificate lies — so it runs at summary-build (or
+    * log-compaction) time, never per ingest batch.
+    */
+  def pruneTopM(counts: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("day")).orderBy(col("cnt").desc, col("key"))
-    val ranked = byDay.withColumn("_rn", row_number().over(w))
+    val ranked = counts.withColumn("_rn", row_number().over(w))
     val kept = ranked.where(col("_rn") <= m).drop("_rn")
     val residual = ranked.where(col("_rn") > m)
       .groupBy("day").agg(max(col("cnt")).as("residual_max"))
     kept.join(residual, Seq("day"), "left")
       .withColumn("residual_max", coalesce(col("residual_max"), lit(0L)))
   }
+
+  def dailyTopKCandidates(events: DataFrame, tsCol: String, keyCol: String,
+                          m: Int): DataFrame =
+    pruneTopM(dailyKeyCounts(events, tsCol, keyCol), m)
+
+  /** Candidate summary from a COUNT-DELTA LOG (per-batch
+    * [[dailyKeyCounts]] tables, e.g. the streaming fold's `batch=<id>/`
+    * directories): re-sum to complete per-(day, key) counts — exact in
+    * ANY fold order — then prune once. Batches are day-disjoint or not;
+    * it does not matter, summation restores the full counts either way.
+    */
+  def candidatesFromCountLog(log: DataFrame, m: Int): DataFrame =
+    pruneTopM(log.groupBy(col("day"), col("key"))
+      .agg(sum(col("cnt")).as("cnt")), m)
 
   /** Range top-k from a persisted daily candidate rollup, with the merged
     * error certificate made explicit per returned row:

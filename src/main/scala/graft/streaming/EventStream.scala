@@ -811,6 +811,45 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Streaming heavy-hitters maintenance — the x19 rollup's statistic
+    * kept current by the ingest stream: each micro-batch folds its OWN
+    * per-(day, key) count table
+    * ([[graft.operators.SketchRollup.dailyKeyCounts]]) into its
+    * `batch=<id>/` directory with overwrite — a replayed batch rewrites
+    * its previous attempt byte-identically (the e13/e14/e15 rule).
+    * Counts are exact and sum-mergeable, so the read side
+    * ([[graft.operators.SketchRollup.candidatesFromCountLog]]) re-sums
+    * the log in ANY order and prunes ONCE over complete counts — the
+    * top-m cut never runs on a partial batch, so the residual
+    * certificate stays honest. Log growth is one |batch-days × batch
+    * keys| table per batch; aged batches fold into a compacted base by
+    * the same re-sum (the e16 discipline — optional by algebra, the
+    * statistic is order-free).
+    */
+  def streamTopKCountFold(spark: SparkSession, srcDir: String,
+                          logDir: String): Unit = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val src = bf.readStream
+      .schema(bf.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$logDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchRollup
+          .dailyKeyCounts(withEventTime(batch), "ts", "user_id")
+          .write.mode("overwrite").parquet(s"$logDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Streaming IDF-delta maintenance — the q8 scoring statistic kept
     * current by an APPEND-ONLY ingest stream, the way ES's IDF tracks
     * segment flushes: each micro-batch folds its own

@@ -320,4 +320,20 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
       lb should be <= truth(key); truth(key) should be <= ub
     }
   }
+
+  test("top-k count log: day-overlapping per-batch deltas re-sum to the direct summary, any order") {
+    val ev = eventsDf.withColumn("key", (col("user_id") % 7).cast("string"))
+    // two ingest batches SPLIT WITHIN DAYS (value threshold), so re-sum
+    // across batches is genuinely exercised on shared (day, key) cells
+    val b1 = ev.where(col("value") < 25.0)
+    val b2 = ev.where(col("value") >= 25.0)
+    def counts(df: DataFrame) = SketchRollup.dailyKeyCounts(df, "ts", "key")
+    val direct = SketchRollup.dailyTopKCandidates(ev, "ts", "key", m = 3)
+      .orderBy("day", "key").collect().toSeq
+    Seq(counts(b1).unionByName(counts(b2)),
+        counts(b2).unionByName(counts(b1))).foreach { log =>
+      SketchRollup.candidatesFromCountLog(log, m = 3)
+        .orderBy("day", "key").collect().toSeq shouldBe direct
+    }
+  }
 }
