@@ -1,0 +1,78 @@
+package graft
+
+import graft.model.MetadataEntry
+import graft.store.MetadataStore
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Property coverage for the SCD2 history build and the batch as-of
+  * lookup: over seeded RANDOM op sequences — upserts, updates, deletes,
+  * re-creates after delete, in any interleaving — `history()` must equal
+  * a driver-side SCD2 simulation of the same committed sequence, and
+  * `lookupAsOf` over the full (id × version) probe grid must agree with
+  * the simulation's point-in-time view (the `currentAt` contract, batch
+  * form). The fixed-script spec and the s18/s19 oracles pin named cases;
+  * this pins the op-interleaving space a script may miss.
+  */
+class StoreHistoryPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private val fixedClock: () => Timestamp = () => Timestamp.valueOf("2020-01-01 00:00:00")
+
+  private def entry(id: String, title: String): MetadataEntry =
+    MetadataEntry(id, "cat1", fixedClock(), "sample", "csv", isPublic = true,
+      "org1", 1L, 1L, "http://data.example.com/x",
+      s"hdfs://nameservice1/org1/$id", title)
+
+  test("property: random op sequences — history equals the simulated SCD2, as-of grid agrees") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val st = new MetadataStore(spark,
+        Files.createTempDirectory(s"graft-hist-prop-$seed").toString, fixedClock)
+      val ids = (0 until 5).map(i => s"id$i")
+      // simulation state: id -> current title; events: (id, title, from, to)
+      var live = Map.empty[String, (String, Long)] // title, valid_from
+      val closed = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+      var v = 0L
+      for (op <- 1 to 25) {
+        val id = ids(rnd.nextInt(ids.size))
+        if (live.contains(id) && rnd.nextInt(4) == 0) {
+          st.delete(id) shouldBe true
+          v += 1
+          val (t, f) = live(id)
+          closed += ((id, t, f, v))
+          live -= id
+        } else {
+          val title = s"t$op"
+          st.upsert(entry(id, title))
+          v += 1
+          live.get(id).foreach { case (t, f) => closed += ((id, t, f, v)) }
+          live += id -> (title, v)
+        }
+      }
+      val want = (closed.map { case (i, t, f, to) => (i, t, f, Option(to)) } ++
+        live.map { case (i, (t, f)) => (i, t, f, Option.empty[Long]) })
+        .sortBy(r => (r._1, r._3))
+      val got = st.history().select("id", "title", "valid_from", "valid_to")
+        .as[(String, String, Long, Option[Long])].collect().toSeq
+        .sortBy(r => (r._1, r._3))
+      withClue(s"seed $seed history: ") { got shouldBe want }
+
+      // as-of grid: every (id, version) — inner semantics, so expected
+      // rows exist only where the simulation has a covering interval
+      val probes = (for { id <- ids; pv <- 1L to v } yield (id, pv))
+        .toDF("id", "as_of_version")
+      val gotAsOf = st.lookupAsOf(probes)
+        .select("id", "as_of_version", "title")
+        .as[(String, Long, String)].collect().toSeq.sorted
+      val wantAsOf = (for {
+        id <- ids; pv <- 1L to v
+        hit <- want.find(r => r._1 == id && r._3 <= pv && r._4.forall(pv < _))
+      } yield (id, pv, hit._2)).sorted
+      withClue(s"seed $seed as-of: ") { gotAsOf shouldBe wantAsOf }
+    }
+  }
+}
