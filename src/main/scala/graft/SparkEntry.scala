@@ -1228,6 +1228,16 @@ object SparkEntry {
     "p15_perplexity_buckets" -> ((s, d) =>
       graft.operators.Pipeline.perplexityBuckets(docs(s, d)).orderBy("doc_id")),
 
+    // Pipeline: seeded deterministic epoch shuffle — every document's
+    // (shard, pos) for an epoch is a pure function of (doc_id, seed)
+    // through engine-portable integer hashing, so training order differs
+    // per epoch yet replays bit-identically; the oracle recomputes the
+    // full permutation independently
+    "p16_epoch_shuffle" -> ((s, d) =>
+      graft.operators.Pipeline.epochOrder(docs(s, d), shards = 8, seed = 3L)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
     // Pipeline: temperature-sampled domain mixing (XLM-R α=0.5 shape) —
     // tempered shares from exact token counts via IEEE-exact sqrt +
     // integer-quantized normalization; Knuth-coin selection, broadcast
@@ -3398,6 +3408,12 @@ object SparkEntry {
           "ORDER BY doc_id"),
       // p15: t16's chain to scores, quantile_cont thresholds (the same
       // rank = q·(n−1) interpolation), value-threshold CASE
+      "p16_epoch_shuffle" ->
+        ("WITH h AS (SELECT doc_id, " +
+          "((doc_id + 3 * 1000003) * 2654435761) % 4294967296 AS hv FROM documents) " +
+          "SELECT doc_id, hv % 8 AS shard, " +
+          "row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos " +
+          "FROM h ORDER BY shard, pos"),
       "p15_perplexity_buckets" ->
         (T + ", bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks), " +
           "bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2), " +

@@ -500,6 +500,55 @@ object Pipeline {
     * `shards` to the trainer's degree. Hash balance keeps shard skew within
     * a few percent on organic ids (spec-measured).
     */
+  /** Seeded DETERMINISTIC corpus shuffle — the epoch-ordering step between
+    * curation and delivery: trainers want a different document order every
+    * epoch AND bit-reproducible runs, so the "shuffle" must be a pure
+    * function of (doc_id, seed), never `rand()` or a partitioner accident.
+    * Returns `(doc_id, shard, pos)`: the document's shard for this epoch
+    * and its position within that shard's stream.
+    *
+    * The permutation is the [[hashSplit]]/[[shardExport]] hash discipline
+    * with the seed mixed in BEFORE the Knuth multiply —
+    * `h = ((doc_id + seed·1000003) · 2654435761) mod 2³²` — engine-
+    * portable integer arithmetic (the seed offset keeps the product far
+    * inside signed-64 range for epoch-scale seeds, so an oracle engine
+    * that overflows loudly can replay it), so any engine can recompute
+    * any document's epoch placement without reading the export. Shard =
+    * h mod `shards`; order within shard = (h, doc_id) — the id tiebreak
+    * makes equal-hash collisions deterministic too.
+    *
+    * At 100 TB: assignment is a narrow map; the within-shard position is
+    * a row_number over the shard partition — one hash shuffle on the
+    * shard key (the same exchange the delivery write needs anyway, so
+    * epoch ordering is FREE when composed with [[epochShuffledExport]]).
+    * Per-shard state is the shard's row stream, balanced by the hash.
+    */
+  def epochOrder(docs: DataFrame, shards: Int, seed: Long): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = pmod((col("doc_id") + lit(seed) * lit(1000003L)) * lit(2654435761L),
+      lit(4294967296L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    docs.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
+  /** [[shardExport]] with [[epochOrder]]'s seeded permutation as the
+    * delivery order: same one-shuffle write (the epoch columns ride the
+    * same exchange the partitioned write needs), shard directories and
+    * within-shard row order now a pure function of (doc_id, seed) — a
+    * re-export at the same seed is byte-identical (the shardExport
+    * reproducibility contract), a different seed is a different epoch.
+    */
+  def epochShuffledExport(docs: DataFrame, outDir: String, shards: Int,
+                          seed: Long): Unit =
+    epochOrder(docs, shards, seed)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   def shardExport(docs: DataFrame, outDir: String, shards: Int): Unit = {
     require(shards > 0, s"shards must be positive, got $shards")
     val assigned = docs.withColumn("shard",

@@ -1031,6 +1031,36 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     secondBytes shouldBe firstBytes
   }
 
+  test("epoch shuffle: bijective per seed, epochs decorrelate, same seed replays byte-identically") {
+    val docs = (0L until 400L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    def order(seed: Long) = graft.operators.Pipeline.epochOrder(docs, shards = 4, seed)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Int)].collect().toSeq
+    val e1 = order(1L); val e2 = order(2L)
+    // bijection: every doc placed once, positions dense 1..n per shard
+    e1.map(_._1).sorted shouldBe (0L until 400L)
+    e1.groupBy(_._2).values.foreach { sh =>
+      sh.map(_._3).sorted shouldBe (1 to sh.size) }
+    // a different seed is a genuinely different permutation (and not a
+    // mere shard rotation: within-shard ORDER changes too)
+    val m1 = e1.map(r => r._1 -> ((r._2, r._3))).toMap
+    val m2 = e2.map(r => r._1 -> ((r._2, r._3))).toMap
+    (0L until 400L).count(i => m1(i) == m2(i)).toDouble / 400 should be < 0.5
+    // replay: the same seed exports byte-identical shard files
+    val root = java.nio.file.Files.createTempDirectory("graft-epoch")
+    val out = s"$root/epoch1"
+    def dataFiles(p: java.nio.file.Path) = graft.util.FsUtil.listDir(p)(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    def shardBytes: Seq[Seq[Byte]] = graft.util.FsUtil.listDir(
+        java.nio.file.Paths.get(out))(
+        _.filter(_.getFileName.toString.startsWith("shard=")).toSeq)
+      .sortBy(_.toString)
+      .map(d => java.nio.file.Files.readAllBytes(dataFiles(d).head).toSeq)
+    graft.operators.Pipeline.epochShuffledExport(docs, out, shards = 4, seed = 1L)
+    val first = shardBytes
+    graft.operators.Pipeline.epochShuffledExport(docs.repartition(7), out, shards = 4, seed = 1L)
+    shardBytes shouldBe first
+  }
+
   test("TF·IDF keywords: closed-form scores, deterministic ties, short docs rank what they have") {
     // N=3; df: x=1, y=2, z=2, common=3 → idf ln3, ln1.5, ln1.5, 0
     val docs = Seq(
