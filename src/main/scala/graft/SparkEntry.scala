@@ -2432,7 +2432,30 @@ object SparkEntry {
       EventStream.streamTopKCountFold(s, src, log)
       graft.operators.SketchRollup.rangeTopK(
           graft.operators.SketchRollup.candidatesFromCountLog(
-            s.read.parquet(s"$log/batches"), m = 2048),
+            EventStream.readDeltaLog(s, log), m = 2048),
+          "2024-01-05", "2024-01-15", k = 10)
+        .select(col("key").as("user_id"), col("cnt_lb").as("n_events"),
+          col("cnt_ub"), col("guaranteed"))
+        .orderBy(col("n_events").desc, col("user_id"))
+    }),
+
+    // E21 count-log compaction — the e16 discipline on the e20 log: fold
+    // aged batch directories (+ the existing compact segment) into ONE
+    // batch=-1 segment by the plain re-sum, sweep them, advance the
+    // horizon so stale replays are ignored; the compacted fold must equal
+    // the same exact top-k the uncompacted log (e20) and the raw corpus
+    // (x19) produce
+    "e21_topk_log_compaction" -> ((s, d) => {
+      val src = scratch("e21-src")
+      val log = scratch("e21-log")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        s.read.parquet(s"$d/events.parquet").repartition(4).write.parquet(src)
+      }
+      EventStream.streamTopKCountFold(s, src, log)
+      EventStream.compactTopKCountLog(s, log, upToBatch = 2L)
+      graft.operators.SketchRollup.rangeTopK(
+          graft.operators.SketchRollup.candidatesFromCountLog(
+            EventStream.readDeltaLog(s, log), m = 2048),
           "2024-01-05", "2024-01-15", k = 10)
         .select(col("key").as("user_id"), col("cnt_lb").as("n_events"),
           col("cnt_ub"), col("guaranteed"))
@@ -4181,9 +4204,15 @@ object SparkEntry {
           "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1) " +
           "SELECT user_id, n_events, n_events AS cnt_ub, true AS guaranteed " +
           "FROM c ORDER BY n_events DESC, user_id LIMIT 10"),
-      // e20: the streamed count-delta log re-sums to the same exact
-      // counts, so the oracle is x19's query verbatim
+      // e20/e21: the streamed count-delta log (raw, and compacted) re-sums
+      // to the same exact counts, so the oracle is x19's query verbatim
       "e20_stream_topk_fold" ->
+        ("WITH c AS (SELECT user_id, count(*) AS n_events FROM events " +
+          "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05 00:00:00' " +
+          "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1) " +
+          "SELECT user_id, n_events, n_events AS cnt_ub, true AS guaranteed " +
+          "FROM c ORDER BY n_events DESC, user_id LIMIT 10"),
+      "e21_topk_log_compaction" ->
         ("WITH c AS (SELECT user_id, count(*) AS n_events FROM events " +
           "WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05 00:00:00' " +
           "AND ts::TIMESTAMP < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1) " +

@@ -850,6 +850,59 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Compact the heavy-hitters count log — [[compactIdfDeltaLog]]'s
+    * discipline on [[streamTopKCountFold]]'s accretion: fold the existing
+    * compact segment plus every batch in `(horizon, upToBatch]` into ONE
+    * `batch=-1` segment by the plain (day, key) re-sum — exact longs, so
+    * the compacted fold hash-matches the uncompacted fold and a fresh
+    * recompute (oracle-gated in e21) — then advance the horizon marker
+    * and sweep the folded directories (stale sub-horizon replays are
+    * swept without re-folding). Same crash rule: the folded segment
+    * stages OUTSIDE `batches/`; a crash before the deletes leaves the log
+    * untouched, after them the staging copy is the recovery source.
+    * Single-writer; `upToBatch` must lie below the stream's committed
+    * checkpoint offset. Returns directories folded or swept.
+    */
+  def compactTopKCountLog(spark: SparkSession, logDir: String,
+                          upToBatch: Long): Int = {
+    val horizon = idfCompactionHorizon(logDir)
+    val batchesDir = java.nio.file.Paths.get(logDir, "batches")
+    def batchId(p: java.nio.file.Path): Option[Long] = {
+      val n = p.getFileName.toString
+      if (n.startsWith("batch=")) scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+      else None
+    }
+    val dirs = graft.util.FsUtil.listDir(batchesDir)(
+      _.flatMap(p => batchId(p).map(p -> _)).toSeq)
+    val stale = dirs.filter { case (_, id) => id >= 0 && id <= horizon }
+    val fold = dirs.filter { case (_, id) => id > horizon && id <= upToBatch }
+    if (fold.isEmpty && stale.isEmpty) return 0
+    val staging = s"$logDir/compact-stage"
+    if (fold.nonEmpty) {
+      spark.read.parquet(s"$logDir/batches")
+        .where((col("batch") > horizon && col("batch") <= upToBatch) ||
+          col("batch") === -1L)
+        .groupBy("day", "key").agg(sum(col("cnt")).as("cnt"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+    }
+    (stale ++ fold).foreach { case (p, _) =>
+      graft.util.FsUtil.deleteRecursively(p)
+    }
+    if (fold.nonEmpty) {
+      graft.util.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(s"$logDir/batches/batch=-1"))
+      spark.read.parquet(staging).coalesce(1)
+        .write.mode("overwrite").parquet(s"$logDir/batches/batch=-1")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(logDir, "_compacted_up_to"),
+        math.max(horizon, upToBatch).toString)
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
+    }
+    spark.catalog.refreshByPath(s"$logDir/batches")
+    stale.length + fold.length
+  }
+
   /** Streaming IDF-delta maintenance — the q8 scoring statistic kept
     * current by an APPEND-ONLY ingest stream, the way ES's IDF tracks
     * segment flushes: each micro-batch folds its own
@@ -958,20 +1011,24 @@ object EventStream {
     q.awaitTermination()
   }
 
-  /** Read the IDF delta log COMPACTION-AWARE: the compact segment (the
-    * reserved `batch=-1` directory) plus only batches ABOVE the recorded
-    * compaction horizon. A batch directory at or below the horizon is a
-    * STALE REPLAY — its contribution already lives in the compact
-    * segment, and counting it again would double the fold — so the
-    * horizon filter is what keeps replay idempotent after compaction:
-    * re-delivering a compacted batch recreates its directory, and the
-    * reader ignores it.
+  /** Read a `batch=<id>`-partitioned delta log COMPACTION-AWARE — generic
+    * over the statistic (IDF deltas, heavy-hitter count deltas): the
+    * compact segment (the reserved `batch=-1` directory) plus only
+    * batches ABOVE the recorded compaction horizon. A batch directory at
+    * or below the horizon is a STALE REPLAY — its contribution already
+    * lives in the compact segment, and counting it again would double the
+    * fold — so the horizon filter is what keeps replay idempotent after
+    * compaction: re-delivering a compacted batch recreates its directory,
+    * and the reader ignores it.
     */
-  def readIdfDeltaLog(spark: SparkSession, deltaDir: String): DataFrame = {
-    val horizon = idfCompactionHorizon(deltaDir)
-    spark.read.parquet(s"$deltaDir/batches")
+  def readDeltaLog(spark: SparkSession, logDir: String): DataFrame = {
+    val horizon = idfCompactionHorizon(logDir)
+    spark.read.parquet(s"$logDir/batches")
       .where(col("batch") > horizon || col("batch") === -1L)
   }
+
+  def readIdfDeltaLog(spark: SparkSession, deltaDir: String): DataFrame =
+    readDeltaLog(spark, deltaDir)
 
   private def idfCompactionHorizon(deltaDir: String): Long = {
     val marker = java.nio.file.Paths.get(deltaDir, "_compacted_up_to")

@@ -353,6 +353,47 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     fromStream shouldBe batch
   }
 
+  test("top-k count-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
+    import graft.streaming.EventStream
+    import graft.operators.SketchRollup
+    val root = java.nio.file.Files.createTempDirectory("graft-topkc-spec").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(4).write.parquet(s"$root/src")
+    def folded(): Seq[(java.sql.Date, String, Long, Long)] =
+      SketchRollup.candidatesFromCountLog(
+          EventStream.readDeltaLog(spark, s"$root/log"), m = 64)
+        .select($"day", $"key".cast("string"), $"cnt", $"residual_max")
+        .as[(java.sql.Date, String, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1.toString, r._2))
+    EventStream.streamTopKCountFold(spark, s"$root/src", s"$root/log")
+    val batches = s"$root/log/batches"
+    def dirs(): Set[String] = graft.util.FsUtil.listDir(
+      java.nio.file.Paths.get(batches))(
+      _.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet)
+    dirs() shouldBe Set("batch=0", "batch=1", "batch=2", "batch=3")
+    val before = folded()
+    // keep a replay copy of batch 1, then compact 0..2 into the segment
+    val replayCopy = java.nio.file.Files.createTempDirectory("graft-topkc-replay")
+    spark.read.parquet(s"$batches/batch=1").write
+      .parquet(replayCopy.toString + "/batch=1")
+    EventStream.compactTopKCountLog(spark, s"$root/log", 2L) shouldBe 3
+    dirs() shouldBe Set("batch=-1", "batch=3")
+    folded() shouldBe before // compaction is invisible to the statistic
+    // a stale replay re-creates a compacted batch with its original
+    // content — the horizon-aware reader ignores it
+    spark.read.parquet(replayCopy.toString + "/batch=1").write
+      .parquet(s"$batches/batch=1")
+    spark.catalog.refreshByPath(batches)
+    folded() shouldBe before
+    // re-compaction folds segment + post-horizon batches, sweeps the
+    // stale replay without re-folding; a further pass is a no-op
+    EventStream.compactTopKCountLog(spark, s"$root/log", 3L) shouldBe 2
+    dirs() shouldBe Set("batch=-1")
+    folded() shouldBe before
+    EventStream.compactTopKCountLog(spark, s"$root/log", 3L) shouldBe 0
+    folded() shouldBe before
+  }
+
   test("IDF delta-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.compile.QueryCompiler
