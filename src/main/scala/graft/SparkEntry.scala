@@ -933,6 +933,47 @@ object SparkEntry {
         .orderBy("id", "valid_from")
     }),
 
+    // Incremental SCD2 maintenance — the s12/s15 change-feed discipline on
+    // the HISTORY table itself: a materialized history advanced
+    // version-by-version by the feed alone (close the changed id's open
+    // interval, open the upsert's new one; unchanged ids broadcast-probe
+    // through untouched) must be bit-identical to a fresh log rebuild —
+    // cost ∝ changes, the log never rescanned
+    "s20_history_maintenance" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // v1
+      var hist = st.history() // materialized base at v1
+      st.partialUpdate("000010", Map("title" -> "rev-b"))  // v2
+      st.delete("000020")                                  // v3
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert) // v4
+      for (v <- 2L to 4L)
+        hist = MetadataStore.maintainHistory(hist, st.changesBetween(v - 1, v))
+      hist.select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+        .orderBy("id", "valid_from")
+    }),
+
+    // Persisted SCD2 history advanced IN PLACE — s20's write path: the
+    // history lives on disk bucketed by id-hash, each change window
+    // rewrites ONLY the changed ids' buckets via dynamic partition
+    // overwrite (touched set computed from the FEED alone — id keys every
+    // interval, so no old-home probe), cold buckets byte-identical
+    // (spec-pinned), replay idempotent. The on-disk table after three
+    // advances must equal a fresh log rebuild.
+    "s21_persisted_history" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // v1
+      val path = scratch("s21-hist") + "/h"
+      MetadataStore.writeHistory(st.history(), 8, path)
+      st.partialUpdate("000010", Map("title" -> "rev-b"))  // v2
+      st.delete("000020")                                  // v3
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert) // v4
+      for (v <- 2L to 4L)
+        MetadataStore.refreshHistoryPartitions(s, path, st.changesBetween(v - 1, v), 8)
+      s.read.parquet(path)
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+        .orderBy("id", "valid_from")
+    }),
+
     // Set-oriented time travel: batch (id, as_of_version) probes answered
     // by ONE equi-join against the SCD2 history instead of |probes|
     // snapshot resolves — inner semantics, so probes at versions where the
@@ -3284,6 +3325,25 @@ object SparkEntry {
           "UNION ALL SELECT '000010', 'rev-c', 4, NULL " +
           "UNION ALL SELECT '000020', 'reborn', 6, NULL " +
           "UNION ALL SELECT id, title, 5, NULL FROM meta WHERE id = '000200' " +
+          "ORDER BY id, valid_from"),
+      // s20: the maintained history replayed as literals — the v2 revision
+      // closes 000010's base image, the v3 delete closes 000020's, the v4
+      // insert opens 000200's
+      "s20_history_maintenance" ->
+        (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
+          "CAST(CASE WHEN id = '000010' THEN 2 WHEN id = '000020' THEN 3 END AS BIGINT) AS valid_to " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
+          "UNION ALL SELECT '000010', 'rev-b', 2, NULL " +
+          "UNION ALL SELECT id, title, 4, NULL FROM meta WHERE id = '000200' " +
+          "ORDER BY id, valid_from"),
+      // s21: identical lifecycle to s20, read back from the persisted
+      // bucket-partitioned layout after three in-place advances
+      "s21_persisted_history" ->
+        (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
+          "CAST(CASE WHEN id = '000010' THEN 2 WHEN id = '000020' THEN 3 END AS BIGINT) AS valid_to " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
+          "UNION ALL SELECT '000010', 'rev-b', 2, NULL " +
+          "UNION ALL SELECT id, title, 4, NULL FROM meta WHERE id = '000200' " +
           "ORDER BY id, valid_from"),
       // s19: probe grid replayed as literals — 000010's title steps at its
       // revision versions, 000020 vanishes from v3 (deleted), 000030 holds

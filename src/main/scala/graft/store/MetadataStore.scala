@@ -788,6 +788,117 @@ object MetadataStore {
       .unionByName(upserts)
   }
 
+  /** Incremental SCD2 maintenance — the s12/s15 change-feed discipline on
+    * the HISTORY table itself (what dbt snapshots do nightly, priced at
+    * the change window): advance a materialized [[MetadataStore.history]]
+    * with a [[MetadataStore.changesBetween]] batch instead of rebuilding
+    * from the log. Per changed id: its OPEN interval (if any) closes at
+    * the change version — delete and update alike — and an upsert opens a
+    * fresh interval at that version. Unchanged ids' rows pass through
+    * untouched via a broadcast anti/semi probe pair, so the history side
+    * never shuffles: MERGE economics at a 100 TB history.
+    *
+    * Revision granularity contract: the feed window nets each id to ONE
+    * change (latest-wins, the changesBetween contract), so maintenance
+    * advanced per window records the WINDOW-NET image sequence. Advanced
+    * version-by-version it is bit-identical to a fresh [[history]] rebuild
+    * (spec-pinned and oracle-gated); a consumer folding coarser windows
+    * gets the net history those windows can express — the same semantics
+    * its replica ([[applyChanges]]) sees, never a silent divergence
+    * within a window it observed.
+    *
+    * Partitioning contract: the result is a three-branch union (keep ∪
+    * adjusted ∪ opened) and so carries ~2× the input history's
+    * partitions. One advance-then-write cycle absorbs that in the write;
+    * a consumer folding MANY windows in memory must re-layout between
+    * folds (coalesce/repartition + checkpoint, or the persisted-view
+    * discipline), or partition count doubles per fold.
+    */
+  def maintainHistory(histOld: DataFrame, changes: DataFrame): DataFrame = {
+    val net = changes.select(col("id"), col("change_version"), col("change_op"))
+    val changedIds = broadcast(net.select(col("id")).distinct())
+    val keep = histOld.join(changedIds, Seq("id"), "left_anti")
+    // changed ids: closed intervals pass through; the open one (valid_to
+    // null) closes at the id's change version. The strict
+    // `valid_from < change_version` guard makes REPLAY of a window
+    // idempotent: a row at the window's own version can only be the
+    // window's opened row from a previous (crashed/repeated) advance —
+    // dropped here and re-emitted identically by `opened`, instead of
+    // being closed into a degenerate [v, v) interval plus a duplicate.
+    val adjusted = histOld.join(changedIds, Seq("id"), "left_semi")
+      .join(broadcast(net.select(col("id"), col("change_version"))), Seq("id"))
+      .where(col("valid_from") < col("change_version"))
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), col("change_version")))
+      .drop("change_version")
+    val opened = changes.where(col("change_op") === "upsert")
+      .withColumnRenamed("change_version", "valid_from")
+      .withColumn("valid_to", lit(null).cast("long"))
+      .drop("change_op")
+      .select(adjusted.columns.map(col): _*)
+    keep.unionByName(adjusted).unionByName(opened)
+  }
+
+  /** Initial materialization of the PERSISTED SCD2 history layout:
+    * partitioned by `bucket = viewBucket(id, nBuckets)` so that
+    * [[refreshHistoryPartitions]] can advance it in place touching only
+    * the buckets a change window lands in. Bucketing on id keys BOTH the
+    * open and closed intervals of a row to one directory — unlike the
+    * join view there is no key to move, so a change never has an
+    * "old home" to probe for.
+    */
+  def writeHistory(hist: DataFrame, nBuckets: Int, path: String): Unit =
+    hist.withColumn("bucket",
+        graft.operators.ViewMaintenance.viewBucket(col("id"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Advance a PERSISTED SCD2 history ([[writeHistory]] layout) in place
+    * from a [[MetadataStore.changesBetween]] batch — [[maintainHistory]]'s
+    * write path, the x15/s17 dynamic-partition-overwrite discipline on the
+    * history table. Touched buckets are exactly the changed ids' buckets,
+    * computed from the CHANGE BATCH alone (no probe of the stored view —
+    * id is the bucket key for every interval of a row, so there is no
+    * key-move and no old-home scan). The fold is [[maintainHistory]]
+    * restricted to those buckets, with the keep-slice read through the
+    * STORED partition column: the broadcast semi join on `bucket` prunes
+    * the scan to the touched directories, so one advance costs
+    * ∝ |changes| + the touched slice, never the history's bulk, and
+    * untouched buckets — the cold majority at 100 TB — keep their files
+    * byte-identical (spec-pinned).
+    *
+    * No emptied-bucket sweep is needed (unlike the join view): history
+    * rows only ACCRETE or have `valid_to` stamped, so a touched bucket's
+    * fresh slice is never empty while its directory has rows. Replay of
+    * the same window is idempotent end-to-end: the fold's
+    * `valid_from < change_version` guard re-emits a half-applied bucket
+    * identically, and dynamic overwrite replaces it wholesale.
+    * Single-writer maintenance op (the ivfCompactSmallFiles discipline).
+    */
+  def refreshHistoryPartitions(spark: SparkSession, histPath: String,
+                               changes: DataFrame, nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val net = changes.select(col("id"), col("change_version"), col("change_op"))
+    // touched buckets: CDC-batch-scale distinct off the feed alone
+    val touched: Seq[Int] = net
+      .select(graft.operators.ViewMaintenance.viewBucket(col("id"), nBuckets)
+        .as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return // empty change window: nothing to rewrite
+    import spark.implicits._
+    val touchedB = broadcast(touched.toDF("bucket"))
+    val histOld = spark.read.parquet(histPath)
+      .join(touchedB, Seq("bucket"), "left_semi") // partition-pruned scan
+    val fresh = maintainHistory(histOld,
+      changes.withColumn("bucket",
+        graft.operators.ViewMaintenance.viewBucket(col("id"), nBuckets)))
+    fresh
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(histPath)
+    // the session's file-status cache still lists the replaced files of
+    // touched directories — drop it for subsequent reads
+    spark.catalog.refreshByPath(histPath)
+  }
+
   /** The materialized per-category summary (row count + recordCount sum) —
     * the base aggregate [[maintainCategoryStats]] keeps current. Computed
     * ONCE from a snapshot; thereafter maintenance is feed-driven.

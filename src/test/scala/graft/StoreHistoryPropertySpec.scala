@@ -73,6 +73,25 @@ class StoreHistoryPropertySpec extends AnyFunSuite with Matchers with SparkSuppo
         hit <- want.find(r => r._1 == id && r._3 <= pv && r._4.forall(pv < _))
       } yield (id, pv, hit._2)).sorted
       withClue(s"seed $seed as-of: ") { gotAsOf shouldBe wantAsOf }
+
+      // incremental maintenance advanced version-by-version from an empty
+      // base rebuilds the same history (the s20 contract), whatever the
+      // op interleaving — one seed keeps the 25-fold chain affordable
+      if (seed == 1) {
+        var hist = st.history().limit(0).localCheckpoint()
+        for (pv <- 1L to v)
+          // coalesce(1) + localCheckpoint between folds: maintainHistory's
+          // union carries ~2× the input's partitions (its documented
+          // contract), so an UNBOUNDED in-memory fold doubles partitions
+          // per step — a real consumer either persists between advances
+          // (the s17 discipline) or coalesces exactly like this
+          hist = MetadataStore.maintainHistory(hist, st.changesBetween(pv - 1, pv))
+            .coalesce(1).localCheckpoint()
+        val maintained = hist.select("id", "title", "valid_from", "valid_to")
+          .as[(String, String, Long, Option[Long])].collect().toSeq
+          .sortBy(r => (r._1, r._3))
+        withClue(s"seed $seed maintained: ") { maintained shouldBe want }
+      }
     }
   }
 }
