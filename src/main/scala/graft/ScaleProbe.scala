@@ -517,6 +517,58 @@ object ScaleProbe {
       f""""fresh_join_rows":$freshRows,"exact":${landed == freshRows}}"""
   }
 
+  /** Persisted-SCD2-history refresh stress: same CONSTANT change window
+    * (8 updates + 1 delete + 1 insert) against a 1× and a 10× history,
+    * bucket count scaled so per-bucket bytes hold constant. The claim
+    * under test: one advance's wall tracks the TOUCHED slice (bounded by
+    * |changed ids| buckets), not the history's bulk — flat-ish wall and
+    * buckets_rewritten ≤ |changed ids| at 10× is the evidence. Exactness
+    * is asserted in-probe: landed rows = old rows + upserts, and every
+    * changed id's pre-image interval is closed at the change version.
+    */
+  private def profileHistoryRefresh(spark: SparkSession, label: String,
+                                    ord: DataFrame, nBuckets: Int): String = {
+    import graft.store.MetadataStore
+    import spark.implicits._
+    val hist0 = ord.select(
+      col("o_orderkey").cast("string").as("id"),
+      col("o_totalprice").as("price"),
+      lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val dir = scratch(s"scale-hist-$label") + "/h"
+    graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+    val (_, tInit) = timed(MetadataStore.writeHistory(hist0, nBuckets, dir))
+    val nHist = spark.read.parquet(dir).count()
+    // constant window: 8 price revisions + 1 brand-new id (upserts), 1
+    // delete — changed ids drawn deterministically from the data so the
+    // pre-image count is exact at every scale (keys stay unique at 10×:
+    // the decade synthesis strides them)
+    val keys = ord.select(col("o_orderkey").cast("long"))
+      .orderBy("o_orderkey").limit(9).as[Long].collect()
+    val upserts = (keys.take(8).toSeq :+ -1L).map(k => (k.toString, 1.0, 2L, "upsert"))
+    val changes = (upserts :+ ((keys(8).toString, 0.0, 2L, "delete")))
+      .toDF("id", "price", "change_version", "change_op")
+    def bucketDirs(): Map[String, Seq[String]] = graft.util.FsUtil.listDir(
+      java.nio.file.Paths.get(dir))(_.filter(
+        _.getFileName.toString.startsWith("bucket=")).map { d =>
+        d.getFileName.toString ->
+          graft.util.FsUtil.listDir(d)(_.map(_.getFileName.toString).toSeq.sorted)
+      }.toMap)
+    val before = bucketDirs()
+    val (_, tRefresh) = timed(
+      MetadataStore.refreshHistoryPartitions(spark, dir, changes, nBuckets))
+    val after = bucketDirs()
+    val rewritten = after.count { case (k, t) => before.get(k).forall(_ != t) }
+    val landed = spark.read.parquet(dir).count()
+    val closed = spark.read.parquet(dir)
+      .where(col("id").isin(changes.select("id").as[String].collect()
+        .map(x => x: Any): _*) && col("valid_to") === 2L).count()
+    val exact = landed == nHist + upserts.size && closed == 9L // 8 revised + 1 deleted pre-image (the new id has none)
+    f"""{"corpus":"$label","hist_rows":$nHist,"buckets":${before.size},""" +
+      f""""init_sec":$tInit%.2f,"refresh_sec":$tRefresh%.2f,""" +
+      f""""buckets_rewritten":$rewritten,"rows_landed":$landed,""" +
+      f""""closed_preimages":$closed,"exact":$exact}"""
+  }
+
   /** Shard-export profile: the delivery step at 1× and 10× — one hash
     * shuffle, per-shard balance (max/min docs), wall. Linear wall and flat
     * skew at 10× is the evidence the trainer-facing export scales.
@@ -606,6 +658,19 @@ object ScaleProbe {
       synthesizeDecade(organicC, shards).write.mode("overwrite").parquet(dirC)
       println(profileClassifier(spark, "cls-1x", organicC))
       println(profileClassifier(spark, s"cls-${shards}x", spark.read.parquet(dirC)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "history" runs ONLY the persisted-SCD2
+    // refresh stress — same change window, 10× history rows, bucket
+    // count scaled so per-bucket bytes hold constant
+    if (args.headOption.contains("history")) {
+      val ordH = spark.read.parquet(s"$sfDir/orders.parquet")
+      val (_, ordH10) = synthesizeDecadeFacts(
+        spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1), ordH)
+      println(profileHistoryRefresh(spark, "hist-1x", ordH, nBuckets = 32))
+      println(profileHistoryRefresh(spark, "hist-10x", ordH10, nBuckets = 320))
       spark.stop()
       return
     }

@@ -802,6 +802,51 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // E22 STREAMING SCD2 history maintenance: the s21 persisted-history
+    // advance driven by an ingest stream — each micro-batch commits its
+    // net entries to the versioned store and rewrites ONLY the changed
+    // ids' buckets of the on-disk history (maxFilesPerTrigger=1 forces
+    // the real multi-batch path; staged slices carry increasing mtimes so
+    // batch order is pinned). Gated: the maintained on-disk table must
+    // row-equal a fresh history() rebuild of the log the stream produced.
+    "e22_stream_history_fold" -> ((s, d) => {
+      import s.implicits._
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000051", "000070")) // v1
+      val hist = scratch("e22-hist") + "/h"
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(hist))
+      MetadataStore.writeHistory(st.history(), 8, hist)
+      val src = scratch("e22-src")
+      val srcPath = java.nio.file.Paths.get(src)
+      if (!java.nio.file.Files.exists(srcPath)) {
+        java.nio.file.Files.createDirectories(srcPath)
+        def stage(i: Int, ds: Dataset[MetadataEntry]): Unit = {
+          val tmp = scratch(s"e22-stage-$i")
+          ds.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = graft.util.FsUtil.listDir(java.nio.file.Paths.get(tmp))(
+            _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head)
+          val dst = srcPath.resolve(f"slice-$i%03d.parquet")
+          java.nio.file.Files.copy(part, dst)
+          // pin batch order under BOTH file-source orderings (mtime, path)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+        }
+        stage(1, corpusEntries(s, d, "000061", "000080")
+          .map(e => e.copy(title = "u-" + e.title)))
+        stage(2, corpusEntries(s, d, "000051", "000055")
+          .map(e => e.copy(title = "w-" + e.title)))
+      }
+      EventStream.streamHistoryMaintenance(s, src, st, hist, 8)(
+        b => b.as(Encoders.product[MetadataEntry]))
+      val disk = s.read.parquet(hist)
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+      val rebuilt = st.history()
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+      val drift = disk.exceptAll(rebuilt).count() + rebuilt.exceptAll(disk).count()
+      require(drift == 0, s"maintained history diverged from rebuild: $drift rows")
+      disk.orderBy("id", "valid_from")
+    }),
+
     // E19 STREAMING classifier-count maintenance: e15's append-only
     // delta fold on the training state — per-batch (token, pc, nc)
     // deltas land idempotently, the read-side fold must equal a
@@ -3344,6 +3389,15 @@ object SparkEntry {
           "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
           "UNION ALL SELECT '000010', 'rev-b', 2, NULL " +
           "UNION ALL SELECT id, title, 4, NULL FROM meta WHERE id = '000200' " +
+          "ORDER BY id, valid_from"),
+      // e22: base slice 51-70 at v1 (bulk load); batch v2 updates 61-80
+      // (closing 61-70's base intervals), batch v3 updates 51-55
+      "e22_stream_history_fold" ->
+        (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
+          "CAST(CASE WHEN id <= '000055' THEN 3 WHEN id >= '000061' THEN 2 END AS BIGINT) AS valid_to " +
+          "FROM meta WHERE id BETWEEN '000051' AND '000070' " +
+          "UNION ALL SELECT id, 'u-' || title, 2, NULL FROM meta WHERE id BETWEEN '000061' AND '000080' " +
+          "UNION ALL SELECT id, 'w-' || title, 3, NULL FROM meta WHERE id BETWEEN '000051' AND '000055' " +
           "ORDER BY id, valid_from"),
       // s19: probe grid replayed as literals — 000010's title steps at its
       // revision versions, 000020 vanishes from v3 (deleted), 000030 holds

@@ -701,6 +701,54 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING SCD2 history maintenance — the s20/s21 maintenance loop
+    * driven by an ingest stream (the symmetry e19 : t22 :: this : s21):
+    * each micro-batch commits its net entries to the versioned store
+    * ([[streamIngestToStore]]'s contract) and then advances the PERSISTED
+    * bucket-partitioned history by exactly the change window that commit
+    * produced — `refreshHistoryPartitions` rewrites only the changed ids'
+    * buckets, so per-batch cost is ∝ the batch, never the history's bulk,
+    * and no state store exists: the store's LOG is the state.
+    *
+    * Replay-robust rather than replay-invisible: foreachBatch is
+    * at-least-once, and a replayed batch re-commits content-identical
+    * rows as a NEW store version, which the maintained history records as
+    * a close-and-reopen of identical images — exactly what a fresh
+    * `history()` rebuild of the same log shows. The maintained ≡ rebuilt
+    * invariant (the e22 gate) therefore holds under every
+    * replay/batch-boundary schedule; the version timeline simply tells
+    * the truth about duplicate delivery. The window for each advance is
+    * re-captured per attempt (`versionHistory` max before the commit), so
+    * a replayed advance folds the replayed commit's own window, and
+    * within one attempt the refresh itself is idempotent (the
+    * `valid_from < change_version` guard).
+    */
+  def streamHistoryMaintenance(spark: SparkSession, srcDir: String,
+                               store: graft.store.MetadataStore,
+                               histPath: String, nBuckets: Int)(
+      netEntries: DataFrame => Dataset[graft.model.MetadataEntry]): Unit = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val src = bf.readStream
+      .schema(bf.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$histPath/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val v0 = store.versionHistory().map(_.version).maxOption.getOrElse(0L)
+        store.upsertAll(netEntries(batch))
+        graft.store.MetadataStore.refreshHistoryPartitions(
+          spark, histPath, store.changesBetween(v0), nBuckets)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Streaming ANN-index ingest — the live half of the vector-index
     * lifecycle as a STREAM: embedding rows arriving in a landing directory
     * are appended to the persisted cell-partitioned IVF index against its
