@@ -1019,6 +1019,29 @@ object SparkEntry {
         .orderBy("id", "valid_from")
     }),
 
+    // Takedown on the persisted history — the right-to-be-forgotten op:
+    // physically ERASE every interval of the named ids (000010 carries
+    // TWO images after its revision; 000030 one), touching only their
+    // buckets; a delete (000020) stays CLOSED-but-readable, which is the
+    // semantic difference this entry pins. Gated: the purge reports
+    // exactly the erased row count and a re-run erases zero.
+    "s22_history_takedown" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // v1
+      st.partialUpdate("000010", Map("title" -> "rev-b"))  // v2
+      st.delete("000020")                                  // v3
+      val path = scratch("s22-hist") + "/h"
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(path))
+      MetadataStore.writeHistory(st.history(), 8, path)
+      val n = MetadataStore.purgeHistoryIds(s, path, Seq("000010", "000030"), 8)
+      require(n == 3L, s"expected 3 erased intervals (2 of 000010 + 1 of 000030), got $n")
+      val again = MetadataStore.purgeHistoryIds(s, path, Seq("000010", "000030"), 8)
+      require(again == 0L, s"re-purge must be a no-op, erased $again")
+      s.read.parquet(path)
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+        .orderBy("id", "valid_from")
+    }),
+
     // Set-oriented time travel: batch (id, as_of_version) probes answered
     // by ONE equi-join against the SCD2 history instead of |probes|
     // snapshot resolves — inner semantics, so probes at versions where the
@@ -3389,6 +3412,14 @@ object SparkEntry {
           "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
           "UNION ALL SELECT '000010', 'rev-b', 2, NULL " +
           "UNION ALL SELECT id, title, 4, NULL FROM meta WHERE id = '000200' " +
+          "ORDER BY id, valid_from"),
+      // s22: the persisted history after erasing 000010/000030 outright —
+      // 000020's delete-closed interval SURVIVES (closed ≠ forgotten)
+      "s22_history_takedown" ->
+        (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
+          "CAST(CASE WHEN id = '000020' THEN 3 END AS BIGINT) AS valid_to " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
+          "AND id NOT IN ('000010', '000030') " +
           "ORDER BY id, valid_from"),
       // e22: base slice 51-70 at v1 (bulk load); batch v2 updates 61-80
       // (closing 61-70's base intervals), batch v3 updates 51-55

@@ -899,6 +899,65 @@ object MetadataStore {
     spark.catalog.refreshByPath(histPath)
   }
 
+  /** Takedown on the persisted SCD2 history: physically ERASE every
+    * interval of the given ids — the right-to-be-forgotten op, distinct
+    * from [[delete]] (which logically CLOSES an interval and leaves the
+    * images readable forever) and from [[vacuum]] (which bounds log
+    * retention globally). Touched buckets are the purged ids' buckets
+    * (computable from the id set alone, the [[refreshHistoryPartitions]]
+    * argument); survivors in those buckets rewrite via dynamic partition
+    * overwrite, cold buckets keep their files byte-identical. Because a
+    * purge REMOVES rows, a touched bucket can empty out entirely — and
+    * dynamic overwrite only replaces partitions PRESENT in the written
+    * data — so emptied directories are detected by the s17 file-listing
+    * discipline and swept explicitly. Re-running the same purge is a
+    * no-op (the ids are already gone). Returns the number of erased rows.
+    *
+    * Scope contract: this erases the MATERIALIZED history table. The
+    * store's delta LOG is a separate surface with its own erasure path —
+    * a full takedown composes [[delete]] (stops the current table),
+    * [[vacuum]] past the retention window (physically reclaims the id's
+    * log segments), and this purge (erases the materialized images).
+    */
+  def purgeHistoryIds(spark: SparkSession, histPath: String,
+                      purgeIds: Seq[String], nBuckets: Int): Long = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    if (purgeIds.isEmpty) return 0L
+    import spark.implicits._
+    val ids = purgeIds.toDF("id")
+    val touched: Seq[Int] = ids
+      .select(graft.operators.ViewMaintenance.viewBucket(col("id"), nBuckets)
+        .as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val touchedB = broadcast(touched.toDF("bucket"))
+    val slice = spark.read.parquet(histPath)
+      .join(touchedB, Seq("bucket"), "left_semi") // partition-pruned scan
+    val doomed = slice.join(broadcast(ids), Seq("id"), "left_semi").count()
+    if (doomed == 0L) return 0L // already purged (or never present): no-op
+    val fresh = slice.join(broadcast(ids), Seq("id"), "left_anti")
+    // emptied-bucket detection by file listing (the s17 rule): a touched
+    // bucket whose survivors are empty keeps its old files under dynamic
+    // overwrite — an unchanged listing after the write means no rows
+    // landed there, and for a takedown that stale directory MUST go
+    def listing(bk: Int): Seq[String] = {
+      val p = java.nio.file.Paths.get(histPath, s"bucket=$bk")
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else graft.util.FsUtil.listDir(p)(_.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted)
+    }
+    val before = touched.map(bk => bk -> listing(bk)).toMap
+    fresh
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(histPath)
+    val swept = touched.filter(bk => before(bk).nonEmpty && listing(bk) == before(bk))
+    swept.foreach { bk =>
+      graft.util.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(histPath, s"bucket=$bk"))
+    }
+    spark.catalog.refreshByPath(histPath)
+    doomed
+  }
+
   /** The materialized per-category summary (row count + recordCount sum) —
     * the base aggregate [[maintainCategoryStats]] keeps current. Computed
     * ONCE from a snapshot; thereafter maintenance is feed-driven.

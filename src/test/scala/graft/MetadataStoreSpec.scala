@@ -587,4 +587,51 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     MetadataStore.refreshHistoryPartitions(spark, dir, window, nB)
     onDisk() shouldBe wantFresh
   }
+
+  test("history takedown: purge erases every interval of the ids, sweeps a bucket " +
+    "that empties out, leaves cold buckets byte-identical, and re-runs as a no-op") {
+    val st = freshStore()
+    val e = Fixtures.corpus
+    (0 until 6).foreach(i => st.upsert(e(i)))          // v1..v6
+    st.partialUpdate(e(0).id, Map("title" -> "r7"))    // v7: e0 now has 2 intervals
+    val dir = java.nio.file.Files.createTempDirectory("graft-purge").toString + "/h"
+    val nB = 8
+    MetadataStore.writeHistory(st.history(), nB, dir)
+
+    def bucketOf(id: String): Int =
+      Seq(id).toDF("id")
+        .select(graft.operators.ViewMaintenance.viewBucket(col("id"), nB))
+        .as[Int].head()
+    def files(): Map[String, Seq[String]] = {
+      val root = java.nio.file.Paths.get(dir)
+      graft.util.FsUtil.listDir(root)(_.filter(p =>
+          p.getFileName.toString.startsWith("bucket=")).toSeq).map { d =>
+        d.getFileName.toString -> graft.util.FsUtil.listDir(d)(
+          _.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
+      }.toMap
+    }
+    // pick a victim whose bucket holds no other fixture id — purging it
+    // must SWEEP the directory, not leave stale rows behind
+    val lone = (0 until 6).map(i => e(i).id)
+      .groupBy(bucketOf).collect { case (_, ids) if ids.size == 1 => ids.head }
+      .headOption.getOrElse(fail("fixture has no singleton bucket at nB=8"))
+    val before = files()
+
+    val purged = MetadataStore.purgeHistoryIds(spark, dir, Seq(e(0).id, lone), nB)
+    purged shouldBe (if (lone == e(0).id) 2L else 3L) // e0's two intervals (+ lone's one)
+
+    val left = spark.read.parquet(dir).select("id").distinct().as[String].collect()
+    left should contain noneOf (e(0).id, lone)
+    left.length shouldBe (0 until 6).map(i => e(i).id).count(id => id != e(0).id && id != lone)
+
+    // lone's bucket directory is GONE (swept), unless e0 shares it
+    if (bucketOf(lone) != bucketOf(e(0).id) || lone == e(0).id)
+      files() should not contain key(s"bucket=${bucketOf(lone)}")
+    // cold buckets untouched byte-for-byte (file sets unchanged)
+    val touched = Set(bucketOf(e(0).id), bucketOf(lone)).map(bk => s"bucket=$bk")
+    before.keySet.diff(touched).foreach { d => files()(d) shouldBe before(d) }
+
+    // idempotent: a second purge of the same ids erases nothing
+    MetadataStore.purgeHistoryIds(spark, dir, Seq(e(0).id, lone), nB) shouldBe 0L
+  }
 }
