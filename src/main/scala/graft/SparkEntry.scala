@@ -1042,6 +1042,29 @@ object SparkEntry {
         .orderBy("id", "valid_from")
     }),
 
+    // LOG redaction — the takedown's deepest leg: physically remove the
+    // ids' rows from every RETAINED LOG SEGMENT (deltas and compaction
+    // bases) while preserving versions/CURRENT/all other rows, so time
+    // travel, history, and feeds keep working and simply never surface
+    // the ids at ANY version. Gated: exact removed-row count (2 in the
+    // bulk delta + 1 in the revision delta + 2 in the base), time travel
+    // to v1 shows nothing, re-redaction is a no-op.
+    "s23_log_redaction" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // delta-1
+      st.partialUpdate("000010", Map("title" -> "rev-b"))  // delta-2
+      st.delete("000020")                                  // delta-3
+      st.compact()                                         // base-4
+      val n = st.redactIds(Seq("000010", "000030"))
+      require(n == 5L, s"expected 5 redacted rows (delta-1:2, delta-2:1, base-4:2), got $n")
+      require(st.currentAt(1).where(col("id").isin("000010", "000030")).count() == 0L,
+        "redacted ids must be invisible to time travel")
+      require(st.redactIds(Seq("000010", "000030")) == 0L, "re-redaction must be a no-op")
+      st.history()
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+        .orderBy("id", "valid_from")
+    }),
+
     // Set-oriented time travel: batch (id, as_of_version) probes answered
     // by ONE equi-join against the SCD2 history instead of |probes|
     // snapshot resolves — inner semantics, so probes at versions where the
@@ -3416,6 +3439,17 @@ object SparkEntry {
       // s22: the persisted history after erasing 000010/000030 outright —
       // 000020's delete-closed interval SURVIVES (closed ≠ forgotten)
       "s22_history_takedown" ->
+        (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
+          "CAST(CASE WHEN id = '000020' THEN 3 END AS BIGINT) AS valid_to " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
+          "AND id NOT IN ('000010', '000030') " +
+          "ORDER BY id, valid_from"),
+      // s23: the rebuilt history AFTER log redaction — same expected table
+      // as s22 (redaction of the log ≡ purge of the materialized history
+      // for the same ids, by construction), arrived at through segment
+      // rewrites instead of bucket rewrites; the delete-closed 000020
+      // interval again survives
+      "s23_log_redaction" ->
         (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
           "CAST(CASE WHEN id = '000020' THEN 3 END AS BIGINT) AS valid_to " +
           "FROM meta WHERE id BETWEEN '000001' AND '000050' " +

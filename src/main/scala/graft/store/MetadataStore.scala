@@ -677,6 +677,107 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     }
   }
 
+  /** Log redaction — the right-to-be-forgotten op on the RETAINED LOG,
+    * the leg [[vacuum]] (global retention) and [[delete]] (logical close)
+    * cannot express: physically remove every row of the given ids from
+    * every log segment while preserving the commit structure — version
+    * numbers, segment set, CURRENT, and all other rows are untouched, so
+    * time travel, [[history]], and change feeds keep working and simply
+    * no longer surface the ids at ANY version ("never existed"
+    * semantics). Returns the number of rows physically removed.
+    *
+    * Per segment: only segments actually CONTAINING a doomed row are
+    * rewritten; a bucketed base is touched per `_bucket=` subdirectory
+    * (only the ids' buckets — the cold directories keep their files).
+    * Each rewrite stages survivors to a hidden sibling and swaps with two
+    * atomic renames; a crash between them leaves a `.redact-old-*`
+    * remnant that the next [[redactIds]] call (or construction-time read,
+    * which never sees hidden names) HEALS by restoring the original —
+    * redaction re-run then completes the job. Single-writer maintenance
+    * op, serialized against commits by the root lock.
+    *
+    * Replica contract: feeds replayed AFTER redaction never mention the
+    * ids; a replica that already applied earlier windows holds its own
+    * copy and must run its own purge — redaction cannot reach into
+    * downstream state, same as every lakehouse. A takedown composes
+    * [[delete]] (current table) + this (the log) +
+    * [[MetadataStore.purgeHistoryIds]] (any materialized history).
+    */
+  def redactIds(ids: Seq[String]): Long = this.synchronized { withRootLock {
+    healRedactionLeftovers()
+    if (ids.isEmpty) 0L
+    else {
+      val in = col("id").isin(ids.map(x => x: Any): _*)
+      var removed = 0L
+      // swap `dirRel` (relative to root, "/" encoded as "__") with `tmp`
+      def swap(dirRel: String, tmp: Path): Unit = {
+        val dir = root.resolve(dirRel.replace("__", "/"))
+        val old = root.resolve(s".redact-old-$dirRel")
+        Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+        graft.util.FsUtil.deleteRecursively(old)
+      }
+      def rewrite(dirRel: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+        val dir = root.resolve(dirRel.replace("__", "/"))
+        val df = spark.read.schema(schema).parquet(dir.toString)
+        val doomed = df.where(in).count()
+        if (doomed > 0) {
+          removed += doomed
+          val tmp = root.resolve(s".redact-tmp-$dirRel")
+          graft.util.FsUtil.deleteRecursively(tmp)
+          df.where(!in).write.mode("overwrite").parquet(tmp.toString)
+          // carry sidecar marker FILES (never row data) across the swap
+          listDir(dir)(_.filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.startsWith("_") &&
+              p.getFileName.toString != "_SUCCESS").toSeq)
+            .foreach(m => Files.copy(m, tmp.resolve(m.getFileName.toString),
+              StandardCopyOption.REPLACE_EXISTING))
+          swap(dirRel, tmp)
+        }
+      }
+      // every segment ON DISK, committed or orphan: a published orphan can
+      // be adopted into the read window by a later commit, so it must be
+      // scrubbed too
+      listVersions("delta-").foreach(v => rewrite(s"delta-$v", deltaSchema))
+      listVersions("base-").foreach { b =>
+        val dir = root.resolve(s"base-$b")
+        if (hasBucketDirs(dir)) {
+          // surgical: only the ids' buckets under THIS base's modulus
+          baseBucketCount(dir) match {
+            case Some(n) =>
+              ids.map(bucketOf(_, n)).distinct.foreach { k =>
+                if (Files.isDirectory(dir.resolve(s"$BucketCol=$k")))
+                  rewrite(s"base-${b}__$BucketCol=$k", baseSchema)
+              }
+            case None => // sidecar lost: fall back to scrubbing every bucket
+              listDir(dir)(_.filter(p => Files.isDirectory(p) &&
+                  p.getFileName.toString.startsWith(s"$BucketCol=")).toSeq)
+                .foreach(sub => rewrite(s"base-${b}__${sub.getFileName}", baseSchema))
+          }
+        } else rewrite(s"base-$b", baseSchema)
+      }
+      if (removed > 0) spark.catalog.refreshByPath(root.toString)
+      removed
+    }
+  }}
+
+  /** Crash recovery for [[redactIds]]' two-rename swap: a `.redact-old-X`
+    * with X missing means the crash hit between the renames — restore the
+    * original (the rewrite re-runs); with X present the swap completed —
+    * drop the remnant. Orphan `.redact-tmp-*` staging is always deleted.
+    */
+  private def healRedactionLeftovers(): Unit = {
+    listDir(root)(_.map(_.getFileName.toString).toSeq).foreach { n =>
+      if (n.startsWith(".redact-tmp-"))
+        graft.util.FsUtil.deleteRecursively(root.resolve(n))
+      else if (n.startsWith(".redact-old-")) {
+        val target = root.resolve(n.stripPrefix(".redact-old-").replace("__", "/"))
+        if (Files.exists(target)) graft.util.FsUtil.deleteRecursively(root.resolve(n))
+        else Files.move(root.resolve(n), target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
+
   /** Compaction policy: fold the log once it exceeds `threshold` delta
     * segments since the last base. Call after mutations (or from a
     * maintenance job); keeps the merge window — and every read's segment

@@ -634,4 +634,56 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     // idempotent: a second purge of the same ids erases nothing
     MetadataStore.purgeHistoryIds(spark, dir, Seq(e(0).id, lone), nB) shouldBe 0L
   }
+
+  test("log redaction: the ids vanish from EVERY version — deltas and the bucketed " +
+    "base surgically rewritten, commit structure preserved, crash remnant heals") {
+    val dir = Files.createTempDirectory("graft-redact").toString
+    val st = new MetadataStore(spark, dir, fixedClock, numBuckets = 4)
+    val e = Fixtures.corpus
+    (0 until 6).foreach(i => st.upsert(e(i)))        // v1..v6
+    st.partialUpdate(e(0).id, Map("title" -> "r7"))  // delta-7
+    st.compact()                                     // base-8 (bucketed)
+    st.partialUpdate(e(1).id, Map("title" -> "r9"))  // delta-9
+    val doomedIds = Seq(e(0).id, e(2).id)
+
+    def bucketFiles(): Map[String, Seq[String]] = {
+      val b8 = java.nio.file.Paths.get(dir, "base-8")
+      graft.util.FsUtil.listDir(b8)(_.filter(p =>
+          p.getFileName.toString.startsWith("_bucket=")).toSeq).map { d =>
+        d.getFileName.toString -> graft.util.FsUtil.listDir(d)(
+          _.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
+      }.toMap
+    }
+    val before = bucketFiles()
+
+    // e0 sits in delta-1, delta-7 and base-8; e2 in delta-3 and base-8
+    st.redactIds(doomedIds) shouldBe 5L
+
+    val gone = col("id").isin(doomedIds: _*)
+    st.current.where(gone).count() shouldBe 0L
+    st.currentAt(6).where(gone).count() shouldBe 0L // time travel: never existed
+    st.history().where(gone).count() shouldBe 0L
+    st.changesBetween(0).where(gone).count() shouldBe 0L
+    // everything else intact: versions, other rows (incl. the post-base delta)
+    st.versionHistory().map(ev => ev.version -> ev.kind) shouldBe
+      ((1L to 7L).map(_ -> "delta") :+ (8L -> "base") :+ (9L -> "delta"))
+    st.current.count() shouldBe 4L
+    st.get(e(1).id).get.title shouldBe "r9"
+    // base-8: only the doomed ids' buckets rewritten; cold buckets byte-set-identical
+    val after = bucketFiles()
+    val changed = after.count { case (k, fs) => before.get(k).forall(_ != fs) }
+    changed should be <= 2
+    before.keySet.count(k => after.get(k).contains(before(k))) should be >= (before.size - 2)
+
+    // second redaction of the same ids: nothing left to remove
+    st.redactIds(doomedIds) shouldBe 0L
+
+    // crash remnant: simulate a failure between the two swap renames —
+    // segment missing, .redact-old- present — the next call heals it first
+    val d9 = java.nio.file.Paths.get(dir, "delta-9")
+    java.nio.file.Files.move(d9, java.nio.file.Paths.get(dir, ".redact-old-delta-9"))
+    st.redactIds(Seq("no-such-id")) shouldBe 0L
+    java.nio.file.Files.isDirectory(d9) shouldBe true
+    st.get(e(1).id).get.title shouldBe "r9"
+  }
 }
