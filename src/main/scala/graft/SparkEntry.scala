@@ -1425,6 +1425,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // P17 corpus takedown — compliance on the DELIVERED export: the three
+    // doomed doc_ids vanish from the sharded corpus with only their
+    // shards rewritten (touched set computed from the ids alone — shard
+    // assignment is a pure doc_id function) and the _manifest kept
+    // consistent. Gated: exact purge count, no-op re-purge, manifest
+    // row-count agreement with the purged data.
+    "p17_corpus_takedown" -> ((s, d) => {
+      import s.implicits._
+      val out = scratch("p17-export") + "/corpus"
+      // purge MUTATES the layout: rebuild from the source corpus each run
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(out))
+      graft.operators.Pipeline.shardExport(docs(s, d), out, shards = 8)
+      val doomed = docs(s, d).select("doc_id").orderBy("doc_id")
+        .limit(3).as[Long].collect().toSeq
+      val n = graft.operators.Pipeline.purgeShardExport(s, out, doomed, 8)
+      require(n == 3L, s"expected 3 purged docs, got $n")
+      require(graft.operators.Pipeline.purgeShardExport(s, out, doomed, 8) == 0L,
+        "re-purge must be a no-op")
+      val got = s.read.parquet(out)
+      val manDocs = s.read.parquet(s"$out/_manifest")
+        .agg(sum(col("n_docs"))).head.getLong(0)
+      require(manDocs == got.count(),
+        s"manifest n_docs $manDocs != purged corpus ${got.count()}")
+      got.select(col("doc_id"), col("shard").cast("long").as("shard"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // X3 JSONL round-trip: the documents corpus written as newline-delimited
     // JSON (distributed sink) and read back with an explicit schema — full
     // column fidelity proven against the original parquet (text by md5)
@@ -3701,6 +3729,12 @@ object SparkEntry {
       "p9_shard_export" ->
         ("SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 8 AS shard, " +
           "md5(text) AS text_md5 FROM documents ORDER BY doc_id"),
+      // p17: the delivered corpus minus the three lowest doc_ids
+      "p17_corpus_takedown" ->
+        ("SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 8 AS shard, " +
+          "md5(text) AS text_md5 FROM documents " +
+          "WHERE doc_id NOT IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3) " +
+          "ORDER BY doc_id"),
       "t12_distinct_profile" ->
         (T + ", tc AS (SELECT d.source, tok, count(*) AS c FROM " +
           "(SELECT doc_id, unnest(t) AS tok FROM toks) u JOIN documents d USING (doc_id) " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Composed training-data pipeline over the `documents` table — the
@@ -568,5 +568,80 @@ object Pipeline {
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_manifest")
+  }
+
+  /** Takedown on a DELIVERED training corpus ([[shardExport]] layout):
+    * physically remove the given doc_ids from the sharded export and keep
+    * the `_manifest` consistent — the compliance op a training-data
+    * pipeline owes its sources after delivery. Shard assignment is a pure
+    * function of doc_id, so the TOUCHED shard set is computed from the
+    * doomed ids alone (the s21/s23 discipline): survivors of those shards
+    * rewrite under the export's own determinism contract (same
+    * shard+doc_id sort → a rewritten shard is byte-identical to a fresh
+    * export of the filtered corpus, spec-pinned), cold shards keep their
+    * files untouched. A shard that empties out is swept (dynamic
+    * overwrite leaves absent-partition dirs behind) and drops out of the
+    * manifest; manifest rows of untouched shards are carried, not
+    * recomputed. Re-running the same purge is a no-op. Returns the number
+    * of removed documents.
+    *
+    * At 100 TB: |touched shards| ≤ |doomed ids|, so a takedown batch
+    * costs a bounded slice of the export, never a full rewrite — and the
+    * doomed-id set rides broadcast semi/anti joins, never a collected
+    * filter over the corpus.
+    */
+  def purgeShardExport(spark: SparkSession, outDir: String,
+                       docIds: Seq[Long], shards: Int): Long = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    if (docIds.isEmpty) return 0L
+    import spark.implicits._
+    val doomed = broadcast(docIds.toDF("doc_id"))
+    // touched shards via the SAME Spark expression the export used —
+    // driver-side reimplementation could drift on overflow semantics
+    val touched = doomed.select(
+        pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
+          lit(shards.toLong)).as("shard"))
+      .distinct().as[Long].collect().toSeq
+    val touchedB = broadcast(touched.toDF("shard"))
+    val slice = spark.read.parquet(outDir)
+      .join(touchedB, Seq("shard"), "left_semi") // partition-pruned scan
+    val removed = slice.join(doomed, Seq("doc_id"), "left_semi").count()
+    if (removed == 0L) return 0L // already purged: no-op
+    val survivors = slice.join(doomed, Seq("doc_id"), "left_anti")
+    def listing(sh: Long): Seq[String] = {
+      val p = java.nio.file.Paths.get(outDir, s"shard=$sh")
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else graft.util.FsUtil.listDir(p)(_.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted)
+    }
+    val before = touched.map(sh => sh -> listing(sh)).toMap
+    survivors
+      .repartition(math.max(touched.size, 1), col("shard"))
+      .sortWithinPartitions("shard", "doc_id") // the export's determinism contract
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(outDir)
+    // emptied shards: unchanged listing after the write = nothing landed
+    touched.filter(sh => before(sh).nonEmpty && listing(sh) == before(sh))
+      .foreach { sh =>
+        graft.util.FsUtil.deleteRecursively(
+          java.nio.file.Paths.get(outDir, s"shard=$sh"))
+      }
+    spark.catalog.refreshByPath(outDir)
+    // manifest: carry untouched rows, recompute touched from the rewritten
+    // data (an emptied shard simply yields no row). Materialized BEFORE the
+    // overwrite of _manifest — the keep branch reads the file being replaced.
+    val manifest = spark.read.parquet(s"$outDir/_manifest")
+      .join(touchedB, Seq("shard"), "left_anti")
+      .unionByName(spark.read.parquet(outDir)
+        .join(touchedB, Seq("shard"), "left_semi")
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+        .select(col("shard").cast("long"), col("n_docs"), col("n_chars"),
+          col("min_doc_id"), col("max_doc_id")))
+      .localCheckpoint()
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    removed
   }
 }

@@ -1031,6 +1031,60 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     secondBytes shouldBe firstBytes
   }
 
+  test("corpus takedown: purge touches only the doomed ids' shards (byte-identical to a " +
+    "fresh filtered export), sweeps an emptied shard, keeps the manifest consistent") {
+    val docs = (0L until 1000L).map(i => (i, s"document body $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val root = java.nio.file.Files.createTempDirectory("graft-takedown")
+    val out = s"$root/corpus"
+    graft.operators.Pipeline.shardExport(docs, out, shards = 8)
+    def bucket(id: Long) = ((id * 2654435761L) % 4294967296L) % 8L
+    // victims: ALL of shard 3 (exercises the sweep) + two ids of shard 0
+    val all = (0L until 1000L)
+    val doomed = all.filter(bucket(_) == 3L) ++ all.filter(bucket(_) == 0L).take(2)
+    def dataFiles(p: java.nio.file.Path) = graft.util.FsUtil.listDir(p)(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    def shardBytes(base: String, sh: Long) = dataFiles(
+      java.nio.file.Paths.get(base, s"shard=$sh")).map(f =>
+        java.nio.file.Files.readAllBytes(f).toSeq)
+    val coldBefore = (0L until 8L).filterNot(Seq(0L, 3L).contains)
+      .map(sh => sh -> shardBytes(out, sh)).toMap
+
+    graft.operators.Pipeline.purgeShardExport(spark, out, doomed, 8) shouldBe doomed.size.toLong
+
+    // content = docs minus doomed
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted shouldBe
+      all.filterNot(doomed.contains).toArray
+    // the emptied shard directory is GONE and absent from the manifest
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(out, "shard=3")) shouldBe false
+    // cold shards byte-identical; touched shard 0 row-and-order identical
+    // to a FRESH export of the filtered corpus (byte-identity to a fresh
+    // export is impossible on principle: parquet read-back erases the
+    // source's non-null doc_id flag, and the footer records it)
+    coldBefore.foreach { case (sh, b) => shardBytes(out, sh) shouldBe b }
+    val freshOut = s"$root/fresh"
+    graft.operators.Pipeline.shardExport(
+      docs.where(!$"doc_id".isin(doomed.map(Long.box): _*)), freshOut, shards = 8)
+    def shardRows(base: String) = spark.read.parquet(s"$base/shard=0")
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq // file order, no re-sort
+    shardRows(out) shouldBe shardRows(freshOut)
+    // the purge path itself is deterministic: purging an identical copy
+    // lands byte-identical touched shards
+    val out2 = s"$root/corpus2"
+    graft.operators.Pipeline.shardExport(docs, out2, shards = 8)
+    graft.operators.Pipeline.purgeShardExport(spark, out2, doomed, 8)
+    shardBytes(out2, 0L) shouldBe shardBytes(out, 0L)
+    // manifest equals the fresh export's manifest row for row
+    def manifest(base: String) = spark.read.parquet(s"$base/_manifest")
+      .select($"shard".cast("long"), $"n_docs", $"n_chars", $"min_doc_id", $"max_doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    manifest(out) shouldBe manifest(freshOut)
+    // re-purge: nothing left
+    graft.operators.Pipeline.purgeShardExport(spark, out, doomed, 8) shouldBe 0L
+  }
+
   test("epoch shuffle: bijective per seed, epochs decorrelate, same seed replays byte-identically") {
     val docs = (0L until 400L).map(i => (i, s"body $i")).toDF("doc_id", "text")
     def order(seed: Long) = graft.operators.Pipeline.epochOrder(docs, shards = 4, seed)
