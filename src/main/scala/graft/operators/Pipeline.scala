@@ -602,9 +602,8 @@ object Pipeline {
         pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
           lit(shards.toLong)).as("shard"))
       .distinct().as[Long].collect().toSeq
-    val touchedB = broadcast(touched.toDF("shard"))
     val slice = spark.read.parquet(outDir)
-      .join(touchedB, Seq("shard"), "left_semi") // partition-pruned scan
+      .where(col("shard").isin(touched.map(Long.box): _*)) // static partition pruning
     val removed = slice.join(doomed, Seq("doc_id"), "left_semi").count()
     if (removed == 0L) return 0L // already purged: no-op
     val survivors = slice.join(doomed, Seq("doc_id"), "left_anti")
@@ -631,9 +630,9 @@ object Pipeline {
     // data (an emptied shard simply yields no row). Materialized BEFORE the
     // overwrite of _manifest — the keep branch reads the file being replaced.
     val manifest = spark.read.parquet(s"$outDir/_manifest")
-      .join(touchedB, Seq("shard"), "left_anti")
+      .where(!col("shard").isin(touched.map(Long.box): _*))
       .unionByName(spark.read.parquet(outDir)
-        .join(touchedB, Seq("shard"), "left_semi")
+        .where(col("shard").isin(touched.map(Long.box): _*))
         .groupBy("shard").agg(
           count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("long").as("n_chars"),

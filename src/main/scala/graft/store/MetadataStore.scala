@@ -985,19 +985,31 @@ object MetadataStore {
         .as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return // empty change window: nothing to rewrite
-    import spark.implicits._
-    val touchedB = broadcast(touched.toDF("bucket"))
-    val histOld = spark.read.parquet(histPath)
-      .join(touchedB, Seq("bucket"), "left_semi") // partition-pruned scan
-    val fresh = maintainHistory(histOld,
-      changes.withColumn("bucket",
-        graft.operators.ViewMaintenance.viewBucket(col("id"), nBuckets)))
-    fresh
+    historyRefreshFold(spark, histPath, changes, nBuckets, touched)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(histPath)
     // the session's file-status cache still lists the replaced files of
     // touched directories — drop it for subsequent reads
     spark.catalog.refreshByPath(histPath)
+  }
+
+  /** The read-side fold of one [[refreshHistoryPartitions]] advance,
+    * exposed for plan audit: the keep-slice reads the stored history
+    * through a LITERAL `bucket IN (...)` partition filter — `touched` is
+    * already driver-resident (bounded by nBuckets, metadata-scale
+    * whatever the change window), so static partition pruning beats a
+    * dynamic-pruning semi join: the touched directories are the only ones
+    * even LISTED (`PartitionFilters`, plan-pinned), not merely the only
+    * ones rewritten.
+    */
+  private[graft] def historyRefreshFold(spark: SparkSession, histPath: String,
+                                        changes: DataFrame, nBuckets: Int,
+                                        touched: Seq[Int]): DataFrame = {
+    val histOld = spark.read.parquet(histPath)
+      .where(col("bucket").isin(touched.map(Int.box): _*))
+    maintainHistory(histOld,
+      changes.withColumn("bucket",
+        graft.operators.ViewMaintenance.viewBucket(col("id"), nBuckets)))
   }
 
   /** Takedown on the persisted SCD2 history: physically ERASE every
@@ -1030,9 +1042,8 @@ object MetadataStore {
       .select(graft.operators.ViewMaintenance.viewBucket(col("id"), nBuckets)
         .as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val touchedB = broadcast(touched.toDF("bucket"))
     val slice = spark.read.parquet(histPath)
-      .join(touchedB, Seq("bucket"), "left_semi") // partition-pruned scan
+      .where(col("bucket").isin(touched.map(Int.box): _*)) // static partition pruning
     val doomed = slice.join(broadcast(ids), Seq("id"), "left_semi").count()
     if (doomed == 0L) return 0L // already purged (or never present): no-op
     val fresh = slice.join(broadcast(ids), Seq("id"), "left_anti")

@@ -139,6 +139,32 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """PushedFilters: \[[^\]]*EqualTo\(id,000005\)"""
   }
 
+  test("persisted-history refresh: the keep-slice scan prunes STATICALLY to the " +
+    "touched buckets — a literal bucket IN partition filter, cold dirs never listed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planaudit-hist").toString
+    val st = new graft.store.MetadataStore(spark, dir,
+      () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val entries = Corpus.metadata(spark, "/root/testdata/sf0.001")
+      .where($"id".between("000001", "000040"))
+      .as(org.apache.spark.sql.Encoders.product[graft.model.MetadataEntry])
+    st.bulkLoad(entries) // v1
+    val hist = dir + "/hist"
+    graft.store.MetadataStore.writeHistory(st.history(), 8, hist)
+    st.partialUpdate("000003", Map("title" -> "rev")) // v2
+    val window = st.changesBetween(1, 2)
+    val touched = window.select(
+        graft.operators.ViewMaintenance.viewBucket($"id", 8).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val fold = graft.store.MetadataStore.historyRefreshFold(
+      spark, hist, window, 8, touched)
+    val plan = fold.queryExecution.executedPlan.toString
+    // static pruning, not dynamic: the touched set is driver-resident and
+    // bounded by nBuckets, so the filter is a LITERAL on the partition
+    // column — pruning happens at file LISTING, before any job runs
+    plan should include regex """PartitionFilters: \[[^\]]*bucket"""
+    plan should not include "dynamicpruning"
+  }
+
   test("minhash pairs keep the signature barrier (shuffle between sig projection and band join)") {
     // the barrier stops CollapseProject from inlining the interpreted
     // signature pipeline into band/join expressions (SCALE.md, Dedup scaladoc)
