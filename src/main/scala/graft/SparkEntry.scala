@@ -1453,6 +1453,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // P18 MASS revocation — p17 by PREDICATE instead of id list: every
+    // document of the (lexicographically first) source withdrawn from the
+    // delivered export. The doomed set is described, not enumerated — one
+    // column-pruned discovery pass finds the touched shards, the rewrite
+    // costs the touched slice; null-evaluating rows survive (erasure only
+    // on proof). Gated: exact purge count and a no-op re-run.
+    "p18_source_revocation" -> ((s, d) => {
+      import s.implicits._
+      val out = scratch("p18-export") + "/corpus"
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(out))
+      graft.operators.Pipeline.shardExport(docs(s, d), out, shards = 8)
+      val src0 = docs(s, d).agg(min(col("source"))).as[String].head()
+      val expect = docs(s, d).where(col("source") === src0).count()
+      val n = graft.operators.Pipeline.purgeShardExportWhere(
+        s, out, col("source") === src0, 8)
+      require(n == expect, s"expected $expect revoked docs of '$src0', got $n")
+      require(graft.operators.Pipeline.purgeShardExportWhere(
+          s, out, col("source") === src0, 8) == 0L,
+        "re-revocation must be a no-op")
+      s.read.parquet(out)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // X3 JSONL round-trip: the documents corpus written as newline-delimited
     // JSON (distributed sink) and read back with an explicit schema — full
     // column fidelity proven against the original parquet (text by md5)
@@ -3734,6 +3758,12 @@ object SparkEntry {
         ("SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 8 AS shard, " +
           "md5(text) AS text_md5 FROM documents " +
           "WHERE doc_id NOT IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3) " +
+          "ORDER BY doc_id"),
+      // p18: the corpus minus the first source — IS DISTINCT FROM keeps
+      // any null-source row, matching the null-survives erasure rule
+      "p18_source_revocation" ->
+        ("SELECT doc_id, source, md5(text) AS text_md5 FROM documents " +
+          "WHERE source IS DISTINCT FROM (SELECT min(source) FROM documents) " +
           "ORDER BY doc_id"),
       "t12_distinct_profile" ->
         (T + ", tc AS (SELECT d.source, tok, count(*) AS c FROM " +

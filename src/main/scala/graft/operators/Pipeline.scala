@@ -605,8 +605,53 @@ object Pipeline {
     val slice = spark.read.parquet(outDir)
       .where(col("shard").isin(touched.map(Long.box): _*)) // static partition pruning
     val removed = slice.join(doomed, Seq("doc_id"), "left_semi").count()
-    if (removed == 0L) return 0L // already purged: no-op
-    val survivors = slice.join(doomed, Seq("doc_id"), "left_anti")
+    if (removed == 0L) 0L // already purged: no-op
+    else {
+      rewriteTouchedShards(spark, outDir, touched,
+        slice.join(doomed, Seq("doc_id"), "left_anti"))
+      removed
+    }
+  }
+
+  /** Mass revocation on a DELIVERED export: purge every document matching
+    * a PREDICATE — the "this source withdrew consent" shape, where the
+    * doomed set is too large to enumerate driver-side. One column-pruned
+    * discovery pass over the export finds the touched shards (a
+    * predicate, unlike an id list, says nothing about placement — this
+    * scan is the honest price of revocation-by-description, and it reads
+    * only the predicate's columns plus `shard`); the rewrite then costs
+    * the touched slice exactly like [[purgeShardExport]]. NULL-SAFE the
+    * takedown way: a row where the predicate evaluates to null does NOT
+    * match and SURVIVES — erasure is only for rows that provably match
+    * (the e13 lesson with the opposite default, deliberately).
+    */
+  def purgeShardExportWhere(spark: SparkSession, outDir: String,
+                            condition: Column, shards: Int): Long = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    import spark.implicits._
+    val matches = coalesce(condition, lit(false))
+    val touched = spark.read.parquet(outDir).where(matches)
+      .select(col("shard").cast("long")).distinct().as[Long].collect().toSeq
+    if (touched.isEmpty) 0L // nothing matches anywhere: no-op
+    else {
+      val slice = spark.read.parquet(outDir)
+        .where(col("shard").isin(touched.map(Long.box): _*))
+      val removed = slice.where(matches).count()
+      rewriteTouchedShards(spark, outDir, touched, slice.where(!matches))
+      removed
+    }
+  }
+
+  /** Shared rewrite tail of the export takedowns: land the survivors of
+    * the touched shards via dynamic partition overwrite (the export's own
+    * shard+doc_id sort keeps the purge path byte-deterministic), sweep
+    * shards that emptied out (unchanged file listing after the write =
+    * nothing landed), and rebuild `_manifest` — untouched rows carried,
+    * touched rows recomputed from the rewritten data, an emptied shard
+    * yields no row.
+    */
+  private def rewriteTouchedShards(spark: SparkSession, outDir: String,
+                                   touched: Seq[Long], survivors: DataFrame): Unit = {
     def listing(sh: Long): Seq[String] = {
       val p = java.nio.file.Paths.get(outDir, s"shard=$sh")
       if (!java.nio.file.Files.isDirectory(p)) Seq.empty
@@ -641,6 +686,5 @@ object Pipeline {
           col("min_doc_id"), col("max_doc_id")))
       .localCheckpoint()
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
-    removed
   }
 }

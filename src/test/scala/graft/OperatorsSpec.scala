@@ -1085,6 +1085,33 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     graft.operators.Pipeline.purgeShardExport(spark, out, doomed, 8) shouldBe 0L
   }
 
+  test("mass revocation: predicate purge removes exactly the matching docs; a row " +
+    "where the predicate evaluates to NULL survives (erasure only on proof)") {
+    val docs = (0L until 300L).map(i =>
+        (i, s"document body $i", if (i % 50 == 0) null else s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val root = java.nio.file.Files.createTempDirectory("graft-revoke")
+    val out = s"$root/corpus"
+    graft.operators.Pipeline.shardExport(docs, out, shards = 8)
+    val doomedCount = (0L until 300L).count(i => i % 50 != 0 && i % 3 == 1).toLong
+
+    graft.operators.Pipeline.purgeShardExportWhere(
+      spark, out, $"source" === "src1", 8) shouldBe doomedCount
+
+    val back = spark.read.parquet(out)
+      .select($"doc_id", $"source").as[(Long, Option[String])].collect().toSeq
+    // src1 gone; NULL-source rows (predicate evaluates to null) all survive
+    back.count(_._2.contains("src1")) shouldBe 0
+    back.count(_._2.isEmpty) shouldBe (0L until 300L).count(_ % 50 == 0)
+    back.size.toLong shouldBe 300L - doomedCount
+    // manifest agrees with the purged corpus
+    spark.read.parquet(s"$out/_manifest").agg(sum($"n_docs")).as[Long].head() shouldBe
+      300L - doomedCount
+    // nothing left to revoke
+    graft.operators.Pipeline.purgeShardExportWhere(
+      spark, out, $"source" === "src1", 8) shouldBe 0L
+  }
+
   test("epoch shuffle: bijective per seed, epochs decorrelate, same seed replays byte-identically") {
     val docs = (0L until 400L).map(i => (i, s"body $i")).toDF("doc_id", "text")
     def order(seed: Long) = graft.operators.Pipeline.epochOrder(docs, shards = 4, seed)
