@@ -956,6 +956,40 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // Q9 HYBRID search — lexical ∪ vector retrieval fused by Reciprocal
+    // Rank Fusion (k=60, the Cormack/Elasticsearch constant): the text arm
+    // ranks by exact term frequency of 'data' over the standard tokens,
+    // the vector arm is v1's exact-cosine top-20 for query vec 0, and the
+    // fused score is 1/(60+r_text) + 1/(60+r_vec) with absent-arm terms
+    // contributing 0. Scale shape: each arm ends in a TakeOrdered top-k,
+    // so the rank windows see k rows, never the corpus, and the fusion
+    // join is k×k-bounded; at 100 TB the vector arm swaps to the indexed
+    // IVF probe (v7) with the fusion unchanged.
+    "q9_hybrid_rrf" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        graft.analyzers.Analyzers.standardTokens(col("text")).as("t"))
+      val tf = toks.select(col("doc_id"),
+          size(filter(col("t"), x => x === "data")).cast("long").as("tf"))
+        .where(col("tf") > 0)
+        .orderBy(col("tf").desc, col("doc_id")).limit(20) // TakeOrdered arm
+      val tRank = tf.withColumn("t_rank", // ≤20-row window, corpus never enters
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("tf").desc, col("doc_id"))))
+        .select("doc_id", "t_rank")
+      val e = emb(s, d)
+      val vRank = Similarity.bruteForceTopK(e, e.where(col("vec_id") === 0), 20)
+        .select(col("vec_id").as("doc_id"), col("rank").as("v_rank"))
+      tRank.join(vRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("t_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("v_rank")), lit(0.0))).as("rrf"))
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("rrf").desc, col("doc_id")))
+            .cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("rrf"))
+        .orderBy("rank")
+    }),
+
     // SCD2 history build: the type-2 dimension the delta log already paid
     // for — one row per committed row IMAGE with its half-open
     // [valid_from, valid_to) version interval, valid_to null while live.
@@ -3309,6 +3343,24 @@ object SparkEntry {
         s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM embeddings e, q WHERE e.vec_id <> q_id) " +
         ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
         "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
+    // q9: both retrieval arms re-derived independently (exact TF rank,
+    // exact cosine rank), fused by the same two-term RRF sum — 1.0 cast
+    // to DOUBLE so DuckDB doesn't take its DECIMAL division path
+    val hybridRrfSql =
+      s"WITH toks AS (SELECT doc_id, ${stdToks("text")} AS t FROM documents), " +
+        "tf AS (SELECT doc_id, len(list_filter(t, x -> x = 'data'))::BIGINT AS tf FROM toks), " +
+        "tr AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS t_rank " +
+        "FROM tf WHERE tf > 0 QUALIFY t_rank <= 20), " +
+        "q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), " +
+        s"vs AS (SELECT e.vec_id AS doc_id, ${cosSql("q_emb", "e.embedding")} AS cos " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0), " +
+        "vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS v_rank " +
+        "FROM vs QUALIFY v_rank <= 20), " +
+        "f AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, " +
+        "COALESCE(1.0::DOUBLE/(60+t_rank), 0) + COALESCE(1.0::DOUBLE/(60+v_rank), 0) AS rrf " +
+        "FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id) " +
+        "SELECT row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank, doc_id, rrf " +
+        "FROM f QUALIFY rank <= 10 ORDER BY rank"
     val stop = sqlList(graft.analyzers.Analyzers.EnglishStopwords)
     // The quality blend in EXACT integer arithmetic — the float-free twin of
     // TextAnalysis.qualityCol (see its scaladoc: HALF_UP round-6 of a single
@@ -4264,6 +4316,7 @@ object SparkEntry {
           "FROM (SELECT vec_id AS doc_id FROM corpus) d LEFT JOIN lbl l USING (doc_id) " +
           "ORDER BY d.doc_id"),
       "v1_cosine_topk" -> exactTopkSql,
+      "q9_hybrid_rrf" -> hybridRrfSql,
       "m1_media_features" ->
         ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
           "16 AS dim, array_to_string(list_transform(range(0, 16), i -> " +
