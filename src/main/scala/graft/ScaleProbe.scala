@@ -569,6 +569,39 @@ object ScaleProbe {
       f""""closed_preimages":$closed,"exact":$exact}"""
   }
 
+  /** Delivered-corpus takedown stress: export at 1× and 10× rows, then
+    * purge the SAME 3-id batch. The claim: purge wall tracks the TOUCHED
+    * shards (≤ 3 of them), not the corpus — the id-list path never scans
+    * cold shards (static partition pruning), so its wall should hold
+    * ~flat while the predicate path's DISCOVERY scan (the honest price of
+    * revocation-by-description) grows with the corpus but stays a
+    * column-pruned single pass. Exactness asserted in-probe via the
+    * manifest row-count identity.
+    */
+  private def profileTakedown(spark: SparkSession, label: String,
+                              docs: DataFrame, shards: Int): String = {
+    import spark.implicits._
+    val dir = scratch(s"scale-takedown-$label") + "/corpus"
+    graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+    val (_, tExport) = timed(Pipeline.shardExport(docs, dir, shards))
+    val n0 = spark.read.parquet(dir).count()
+    val doomed = docs.select(col("doc_id")).orderBy("doc_id")
+      .limit(3).as[Long].collect().toSeq
+    val (removed, tPurge) = timed(
+      Pipeline.purgeShardExport(spark, dir, doomed, shards))
+    val srcMin = docs.agg(min(col("source"))).as[String].head()
+    val (revoked, tWhere) = timed(
+      Pipeline.purgeShardExportWhere(spark, dir, col("source") === srcMin, shards))
+    val landed = spark.read.parquet(dir).count()
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    val exact = removed == 3L && landed == n0 - removed - revoked && manifest == landed
+    f"""{"corpus":"$label","n_docs":$n0,"shards":$shards,""" +
+      f""""export_sec":$tExport%.2f,"purge_ids_sec":$tPurge%.2f,""" +
+      f""""revoked":$revoked,"purge_where_sec":$tWhere%.2f,""" +
+      f""""rows_landed":$landed,"exact":$exact}"""
+  }
+
   /** Shard-export profile: the delivery step at 1× and 10× — one hash
     * shuffle, per-shard balance (max/min docs), wall. Linear wall and flat
     * skew at 10× is the evidence the trainer-facing export scales.
@@ -671,6 +704,28 @@ object ScaleProbe {
         spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1), ordH)
       println(profileHistoryRefresh(spark, "hist-1x", ordH, nBuckets = 32))
       println(profileHistoryRefresh(spark, "hist-10x", ordH10, nBuckets = 320))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "takedown" runs ONLY the delivered-corpus
+    // purge stress — same 3-id batch + same source revocation at 1× and
+    // 10× corpus rows, shard count scaled with the data
+    if (args.headOption.contains("takedown")) {
+      // the decade synthesis keeps (doc_id, text) only — attach the SAME
+      // deterministic source at both scales so the predicate arm revokes
+      // the same 1/3 SHARE and its wall comparison is share-for-share
+      def withSrc(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("text"))
+        .withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(3L)).cast("string")))
+      val organicT = withSrc(spark.read.parquet(s"$sfDir/documents.parquet"))
+      val dirT = scratch("decade-takedown/documents")
+      withSrc(synthesizeDecade(spark.read.parquet(s"$sfDir/documents.parquet"), 10))
+        .write.mode("overwrite").parquet(dirT)
+      println(profileTakedown(spark, "take-1x", organicT, shards = 32))
+      println(profileTakedown(spark, "take-10x",
+        spark.read.parquet(dirT), shards = 320))
       spark.stop()
       return
     }
