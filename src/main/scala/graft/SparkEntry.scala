@@ -2003,6 +2003,37 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M5 takedown by VISUAL similarity — the notice names ONE media item,
+    // the obligation covers every near-duplicate: the target's pHash
+    // cluster (m4's banded pairs + CC closure) becomes the doomed id set,
+    // purged from the delivered export through p17's touched-shards
+    // machinery. Composition is the point: identification by content
+    // similarity, erasure by the same bounded-rewrite discipline as ids.
+    "m5_media_takedown" -> ((s, d) => {
+      import s.implicits._
+      val m = plantedMedia(s, d)
+      val clusters = Dedup.dupClusters(m.select(col("media_id").as("doc_id")),
+        Multimodal.mediaNearDupPairs(m).select(col("a_id"), col("b_id")))
+      val target = m.where(col("media_id") % 20 === 7)
+        .agg(min(col("media_id"))).head.getLong(0)
+      val rep = clusters.where(col("doc_id") === target)
+        .select(col("cluster_rep")).as[Long].head()
+      val doomed = clusters.where(col("cluster_rep") === rep)
+        .select(col("doc_id")).as[Long].collect().toSeq
+      require(doomed.size >= 2,
+        s"target $target must drag at least its planted twin, got ${doomed.size}")
+      val out = scratch("m5-export") + "/corpus"
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(out))
+      graft.operators.Pipeline.shardExport(
+        m.select(col("media_id").as("doc_id"),
+          lower(hex(col("payload"))).as("text")), out, shards = 8)
+      val n = graft.operators.Pipeline.purgeShardExport(s, out, doomed, 8)
+      require(n == doomed.size.toLong, s"expected ${doomed.size} purged, got $n")
+      s.read.parquet(out)
+        .select(col("doc_id").as("media_id"), md5(col("text")).as("payload_md5"))
+        .orderBy("media_id")
+    }),
+
     // Streaming: event-time windowed aggregation through the streaming
     // engine (AvailableNow backfill). Sums are exact decimals internally;
     // the contract surface casts to DOUBLE so Spark's DECIMAL(28,6) and
@@ -4346,6 +4377,26 @@ object SparkEntry {
           "SELECT c.media_id, coalesce(l.rep, c.media_id) AS cluster_rep, " +
           "coalesce(l.rep, c.media_id) = c.media_id AS is_canonical " +
           "FROM corp c LEFT JOIN lbl l USING (media_id) ORDER BY c.media_id"),
+      // m5: the m4 closure re-derived, then the corpus minus the target's
+      // whole cluster (the target is the first planted original, so it is
+      // guaranteed an edge to its twin and therefore a row in lbl)
+      "m5_media_takedown" ->
+        ("WITH RECURSIVE md AS (SELECT doc_id, md5(text) AS hx FROM documents), " +
+          "corp AS (SELECT doc_id AS media_id, hx FROM md " +
+          "UNION ALL SELECT doc_id + 300000 AS media_id, " +
+          s"substr(hx, 1, 30) || printf('%02x', xor(${hexByteSql("hx", 15)}, 1)) AS hx " +
+          "FROM md WHERE doc_id % 20 = 7), " +
+          s"ph AS (SELECT media_id, ${phashSql("hx")} AS ph FROM corp), " +
+          "e0 AS (SELECT a.media_id AS u, b.media_id AS v FROM ph a JOIN ph b " +
+          "ON a.media_id < b.media_id AND bit_count(xor(a.ph, b.ph)) <= 2), " +
+          "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), " +
+          "reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), " +
+          "lbl AS (SELECT u AS media_id, least(u, min(v)) AS rep FROM reach GROUP BY u), " +
+          "tgt AS (SELECT min(doc_id) AS t FROM documents WHERE doc_id % 20 = 7), " +
+          "trep AS (SELECT rep AS r FROM lbl, tgt WHERE media_id = t), " +
+          "doomed AS (SELECT media_id FROM lbl, trep WHERE rep = r) " +
+          "SELECT media_id, md5(hx) AS payload_md5 FROM corp " +
+          "WHERE media_id NOT IN (SELECT media_id FROM doomed) ORDER BY media_id"),
       "e1_stream_window_counts" ->
         ("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS cnt, " +
           "sum(value::DECIMAL(18,6))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

@@ -79,7 +79,7 @@ class StoreHistoryPropertySpec extends AnyFunSuite with Matchers with SparkSuppo
       // op interleaving — one seed keeps the 25-fold chain affordable
       if (seed == 1) {
         var hist = st.history().limit(0).localCheckpoint()
-        for (pv <- 1L to v)
+        for (pv <- 1L to v) {
           // coalesce(1) + localCheckpoint between folds: maintainHistory's
           // union carries ~2× the input's partitions (its documented
           // contract), so an UNBOUNDED in-memory fold doubles partitions
@@ -87,6 +87,13 @@ class StoreHistoryPropertySpec extends AnyFunSuite with Matchers with SparkSuppo
           // (the s17 discipline) or coalesces exactly like this
           hist = MetadataStore.maintainHistory(hist, st.changesBetween(pv - 1, pv))
             .coalesce(1).localCheckpoint()
+          // REPLAY one mid-sequence window: the valid_from < change_version
+          // guard must make the duplicate advance a no-op, whatever op the
+          // random sequence put at this version
+          if (pv == v / 2)
+            hist = MetadataStore.maintainHistory(hist, st.changesBetween(pv - 1, pv))
+              .coalesce(1).localCheckpoint()
+        }
         val maintained = hist.select("id", "title", "valid_from", "valid_to")
           .as[(String, String, Long, Option[Long])].collect().toSeq
           .sortBy(r => (r._1, r._3))
