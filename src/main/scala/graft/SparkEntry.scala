@@ -847,6 +847,43 @@ object SparkEntry {
       disk.orderBy("id", "valid_from")
     }),
 
+    // E23 STREAMING takedown queue: compliance notices drained
+    // continuously against the delivered export — one purge per
+    // micro-batch, per-batch cost = that batch's touched shards.
+    // Exactly-once from the OPERATION's idempotence (re-purging purged
+    // ids removes zero), not from sink bookkeeping; notice batches are
+    // disjoint id sets so the final state is also ORDER-free — no mtime
+    // pinning needed, unlike e22. Gated on the exact total removed.
+    "e23_stream_takedown" -> ((s, d) => {
+      import s.implicits._
+      val out = scratch("e23-export") + "/corpus"
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(out))
+      graft.operators.Pipeline.shardExport(docs(s, d), out, shards = 8)
+      val ids = docs(s, d).select("doc_id").orderBy("doc_id")
+        .limit(5).as[Long].collect().toSeq
+      val ndir = scratch("e23-notices")
+      val nPath = java.nio.file.Paths.get(ndir)
+      if (!java.nio.file.Files.exists(nPath)) {
+        java.nio.file.Files.createDirectories(nPath)
+        def stage(i: Int, batch: Seq[Long]): Unit = {
+          val tmp = scratch(s"e23-stage-$i")
+          batch.toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = graft.util.FsUtil.listDir(java.nio.file.Paths.get(tmp))(
+            _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head)
+          java.nio.file.Files.copy(part, nPath.resolve(f"notice-$i%03d.parquet"))
+          ()
+        }
+        stage(1, ids.take(3))
+        stage(2, ids.drop(3))
+      }
+      val n = EventStream.streamTakedownQueue(s, ndir, out, 8)
+      require(n == 5L, s"expected 5 documents removed across the notice stream, got $n")
+      s.read.parquet(out)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // E19 STREAMING classifier-count maintenance: e15's append-only
     // delta fold on the training state — per-batch (token, pc, nc)
     // deltas land idempotently, the read-side fold must equal a
@@ -3841,6 +3878,13 @@ object SparkEntry {
         ("SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 8 AS shard, " +
           "md5(text) AS text_md5 FROM documents " +
           "WHERE doc_id NOT IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3) " +
+          "ORDER BY doc_id"),
+      // e23: the corpus minus the five lowest doc_ids, whatever the
+      // notice batch boundaries or replay schedule
+      "e23_stream_takedown" ->
+        ("SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 8 AS shard, " +
+          "md5(text) AS text_md5 FROM documents " +
+          "WHERE doc_id NOT IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5) " +
           "ORDER BY doc_id"),
       // p18: the corpus minus the first source — IS DISTINCT FROM keeps
       // any null-source row, matching the null-survives erasure rule

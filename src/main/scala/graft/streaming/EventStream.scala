@@ -749,6 +749,46 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING takedown queue — compliance notices drained continuously
+    * against a DELIVERED [[graft.operators.Pipeline.shardExport]] corpus:
+    * each micro-batch of notice rows (`doc_id`) is collected (a notice
+    * batch is request-scale by nature) and applied through
+    * [[graft.operators.Pipeline.purgeShardExport]], so per-batch cost is
+    * the batch's touched shards, never the corpus. Exactly-once comes
+    * free from the purge's own semantics: re-purging an already-purged
+    * id removes zero rows, so foreachBatch's at-least-once replay
+    * converges with no batch-directory bookkeeping — the idempotence
+    * lives in the OPERATION, not the sink layout (contrast e15's
+    * per-batch-directory rule, needed there because appends are not
+    * idempotent). Returns the total number of documents removed.
+    */
+  def streamTakedownQueue(spark: SparkSession, noticeDir: String,
+                          exportDir: String, shards: Int): Long = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val removed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val src = bf.readStream
+      .schema(bf.read.parquet(noticeDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(noticeDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$exportDir/_takedown_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select(col("doc_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        removed.addAndGet(
+          graft.operators.Pipeline.purgeShardExport(spark, exportDir, ids, shards))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    removed.get()
+  }
+
   /** Streaming ANN-index ingest — the live half of the vector-index
     * lifecycle as a STREAM: embedding rows arriving in a landing directory
     * are appended to the persisted cell-partitioned IVF index against its
