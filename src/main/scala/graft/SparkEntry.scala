@@ -352,6 +352,38 @@ object SparkEntry {
         .orderBy("method")
   }
 
+  /** The d16 measurement body: recall of every production dedup path vs the
+    * EXACT Jaccard pair set (Dedup.exactJaccardPairs — no df cap, no
+    * minShared cut, exact for any positive threshold) on sf0.01's organic
+    * corpus. The truth set is a gate-scale statistic (tens of pairs), so it
+    * collects once and re-enters each leg as a broadcast local relation —
+    * the v11 pattern applied to dedup. The simhash leg is measured against
+    * the SAME Jaccard truth it does not directly target (it thresholds
+    * Hamming distance of token-frequency sketches): its number documents
+    * the cross-method gap, not a defect.
+    */
+  private def measuredDedupRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = docs(s, d)
+    val truthPairs = graft.operators.Dedup.exactJaccardPairs(ds)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val truth = broadcast(truthPairs.toDF("a_id", "b_id"))
+    val total = truthPairs.size.toLong
+    def leg(name: String, approx: DataFrame): DataFrame =
+      approx.select("a_id", "b_id")
+        .join(truth, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"), lit(total).as("total"),
+          round(col("hits") / lit(total.toDouble), 4).as("recall"))
+    leg("blocked_exact_df20_ms3", graft.operators.Dedup.jaccardPairs(ds))
+      .unionByName(leg("minhash_16x4", graft.operators.Dedup.minhashPairs(ds)))
+      .unionByName(leg("minhash_8x8",
+        graft.operators.Dedup.minhashPairs(ds, bands = 8)))
+      .unionByName(leg("simhash_h3", graft.operators.Dedup.simhashPairs(ds)))
+      .orderBy("method")
+  }
+
   // ------------------------------------------------------------------------
   // queries + oracleSql: keys must match; output column names must match the
   // oracle's aliases exactly (driver sorts columns by name before hashing).
@@ -1441,6 +1473,18 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
 
+    // Pipeline: DSIR data selection (Xie et al. 2023) — the top-50 raw docs
+    // by importance log-weight toward the English slice as target, explicit
+    // 256-token target vocabulary, Laplace-smoothed unigram feature models
+    // on both sides; the oracle re-derives vocabulary, both models, and the
+    // per-doc log-ratio fold independently
+    "p19_dsir_sample" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.Pipeline
+        .dsirTopK(ds, ds.where(col("lang") === "en"), n = 50, vocabSize = 256)
+        .orderBy("rank")
+    }),
+
     // Pipeline: temperature-sampled domain mixing (XLM-R α=0.5 shape) —
     // tempered shares from exact token counts via IEEE-exact sqrt +
     // integer-quantized normalization; Knuth-coin selection, broadcast
@@ -1761,6 +1805,33 @@ object SparkEntry {
       val train = embAll.where(col("vec_id") >= 20).unionByName(planted)
       Similarity.semanticContamination(train, evalVecs)
         .orderBy("vec_id")
+    }),
+
+    // D16 MEASURED DEDUP RECALL: each production near-dup path held to the
+    // EXACT Jaccard pair set (no df cap, no minShared cut — exact by the
+    // J>0 ⇒ shares-a-shingle argument) on sf0.01's organic corpus. Same
+    // SF-fingerprint guard as v11: pinned recalls describe this corpus
+    // only, any other SF mirrors a PIN_STALE marker on both sides.
+    "d16_dedup_recall" -> ((s, d) => {
+      import s.implicits._
+      val fp = s.read.parquet(s"$d/documents.parquet")
+        .agg((count(lit(1)) * 100000 + sum(col("n_chars"))).cast("long"))
+        .collect()(0).getLong(0)
+      if (fp != 50149174L)
+        Seq(("PIN_STALE_expected_sf0.01", -1L, fp, -1.0))
+          .toDF("method", "hits", "total", "recall")
+      else measuredDedupRecall(s, d)
+    }),
+
+    // V20 MMR DIVERSIFIED RERANK: greedy maximal-marginal-relevance over
+    // each query's exact top-20 shortlist (λ=0.7, k=5) — the oracle
+    // re-runs the same greedy unrolled to 5 chained SQL steps over the
+    // same round-6 cosines, so selection, order, AND objective values are
+    // all value-checked (no pins)
+    "v20_mmr_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.mmrTopK(e, e.where(col("vec_id") < 5), k = 5, fetch = 20)
+        .orderBy("q_id", "rank")
     }),
 
     // V19 k-NN LABEL PROPAGATION: every unlabeled vector takes the
@@ -3411,6 +3482,40 @@ object SparkEntry {
         s", s AS (SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos FROM embeddings e, q WHERE e.vec_id <> q_id) " +
         ", r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank, vec_id, cos FROM s) " +
         "SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
+    // v20: the MMR greedy unrolled to k=5 chained steps — step i joins the
+    // unpicked shortlist against the max-similarity-to-selected penalty
+    // (selected = union of steps 1..i−1) and picks the argmax of
+    // 7·rel_u − 3·pen_u in EXACT INTEGER 1e-7 units (round-6 cosines →
+    // exact micros first), with vec_id ties — float rounding never
+    // decides a pick, matching Similarity.mmrTopK's integer objective
+    val mmrRerankSql: String = {
+      val fetch = 20
+      val k = 5
+      val sb = new StringBuilder
+      sb ++= "WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), "
+      sb ++= s"s AS (SELECT q_id, e.vec_id, e.embedding, round(${cosSql("q_emb", "e.embedding")} * 1000000)::BIGINT AS cu " +
+        "FROM embeddings e, q WHERE e.vec_id <> q_id " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cu DESC, e.vec_id) <= $fetch), "
+      sb ++= s"ps AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a.embedding", "b.embedding")} * 1000000)::BIGINT AS su " +
+        "FROM s a JOIN s b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), "
+      sb ++= "sel1 AS (SELECT q_id, 1 AS rank, vec_id, 7*cu AS mmr_e7 FROM s " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY 7*cu DESC, vec_id) = 1), "
+      sb ++= "selu1 AS (SELECT * FROM sel1), "
+      for (i <- 2 to k) {
+        val prev = s"selu${i - 1}"
+        sb ++= s"sel$i AS (SELECT q_id, $i AS rank, vec_id, mmr_e7 FROM (" +
+          "SELECT c.q_id, c.vec_id, 7*c.cu - 3*p.pen AS mmr_e7, " +
+          "row_number() OVER (PARTITION BY c.q_id ORDER BY 7*c.cu - 3*p.pen DESC, c.vec_id) AS rn " +
+          "FROM s c JOIN (SELECT ps.q_id, ps.a_id, max(ps.su) AS pen FROM ps " +
+          s"JOIN $prev t ON t.q_id = ps.q_id AND t.vec_id = ps.b_id GROUP BY 1, 2) p " +
+          "ON p.q_id = c.q_id AND p.a_id = c.vec_id " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM $prev t2 WHERE t2.q_id = c.q_id AND t2.vec_id = c.vec_id)" +
+          ") WHERE rn = 1), "
+        sb ++= s"selu$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel$i), "
+      }
+      sb.toString.stripSuffix(", ") +
+        s" SELECT q_id, rank::BIGINT AS rank, vec_id, mmr_e7::BIGINT AS mmr_e7 FROM selu$k ORDER BY q_id, rank"
+    }
     // q9: both retrieval arms re-derived independently (exact TF rank,
     // exact cosine rank), fused by the same two-term RRF sum — 1.0 cast
     // to DOUBLE so DuckDB doesn't take its DECIMAL division path
@@ -3782,6 +3887,29 @@ object SparkEntry {
           "ORDER BY doc_id"),
       // p15: t16's chain to scores, quantile_cont thresholds (the same
       // rank = q·(n−1) interpolation), value-threshold CASE
+      // p19: DSIR re-derived end-to-end — target vocab (count desc, token
+      // asc ties), add-1-smoothed feature models over the 256-token
+      // support, per-doc Σ c·(ln p_t − ln p_r), round-4, top-50 by
+      // (logw desc, doc_id). Zero-feature docs score 0 via the LEFT join.
+      "p19_dsir_sample" ->
+        (T + ", tc AS (SELECT doc_id, tok, count(*) AS c " +
+          "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2), " +
+          "tgt AS (SELECT tok, sum(c) AS tc FROM tc JOIN documents USING (doc_id) " +
+          "WHERE lang = 'en' GROUP BY 1), " +
+          "vocab AS (SELECT tok, tc FROM tgt ORDER BY tc DESC, tok LIMIT 256), " +
+          "rawc AS (SELECT tok, sum(c) AS rc FROM tc JOIN vocab USING (tok) GROUP BY 1), " +
+          "tt AS (SELECT sum(tc)::DOUBLE AS s FROM vocab), " +
+          "rt AS (SELECT sum(rc)::DOUBLE AS s FROM rawc), " +
+          "lr AS (SELECT tok, ln((tc + 1)::DOUBLE / (tt.s + 256)) - " +
+          "ln((rc + 1)::DOUBLE / (rt.s + 256)) AS lw " +
+          "FROM vocab JOIN rawc USING (tok), tt, rt), " +
+          "sc AS (SELECT d.doc_id, coalesce(sum(u.c), 0)::BIGINT AS n_feat, " +
+          "round(coalesce(sum(u.c * u.lw), 0), 4) AS logw " +
+          "FROM documents d LEFT JOIN " +
+          "(SELECT tc.doc_id, tc.c, lr.lw FROM tc JOIN lr USING (tok)) u " +
+          "ON d.doc_id = u.doc_id GROUP BY 1) " +
+          "SELECT row_number() OVER (ORDER BY logw DESC, doc_id) AS rank, " +
+          "doc_id, n_feat, logw FROM sc ORDER BY logw DESC, doc_id LIMIT 50"),
       "p16_epoch_shuffle" ->
         ("WITH h AS (SELECT doc_id, " +
           "((doc_id + 3 * 1000003) * 2654435761) % 4294967296 AS hv FROM documents) " +
@@ -4264,6 +4392,22 @@ object SparkEntry {
           "SELECT doc_id, cluster_rep, quality FROM best WHERE rn = 1 ORDER BY cluster_rep"),
       // d15: the same planted train side, naive all-pairs best-match
       // (cos desc, eval id asc), threshold filter
+      // d16: pinned measured dedup recalls (the v11 discipline) — 25 exact
+      // j≥0.8 pairs at sf0.01; the production blocking (df∈[2,20],
+      // minShared≥3) and both MinHash-LSH configurations recall all 25,
+      // the simhash Hamming≤3 gate recalls 18 (it targets a different
+      // similarity; the gap is the documented cross-method number)
+      "d16_dedup_recall" ->
+        ("WITH fp AS (SELECT (count(*)*100000 + sum(n_chars))::BIGINT AS v FROM documents) " +
+          "SELECT * FROM (VALUES " +
+          "('blocked_exact_df20_ms3', 25::BIGINT, 25::BIGINT, 1.0::DOUBLE), " +
+          "('minhash_16x4', 25::BIGINT, 25::BIGINT, 1.0::DOUBLE), " +
+          "('minhash_8x8', 25::BIGINT, 25::BIGINT, 1.0::DOUBLE), " +
+          "('simhash_h3', 18::BIGINT, 25::BIGINT, 0.72::DOUBLE)" +
+          ") AS t(method, hits, total, recall) WHERE (SELECT v FROM fp) = 50149174 " +
+          "UNION ALL SELECT 'PIN_STALE_expected_sf0.01', -1::BIGINT, " +
+          "(SELECT v FROM fp), -1.0::DOUBLE WHERE (SELECT v FROM fp) <> 50149174 " +
+          "ORDER BY method"),
       "d15_semantic_contamination" ->
         ("WITH ev AS (SELECT vec_id AS eid, embedding AS e FROM embeddings WHERE vec_id < 20), " +
           "tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20 " +
@@ -4391,6 +4535,7 @@ object SparkEntry {
           "FROM (SELECT vec_id AS doc_id FROM corpus) d LEFT JOIN lbl l USING (doc_id) " +
           "ORDER BY d.doc_id"),
       "v1_cosine_topk" -> exactTopkSql,
+      "v20_mmr_rerank" -> mmrRerankSql,
       "q9_hybrid_rrf" -> hybridRrfSql,
       "m1_media_features" ->
         ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +

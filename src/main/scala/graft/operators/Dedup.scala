@@ -135,6 +135,19 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT Jaccard ground truth — no df cap, no minShared cut. Every pair
+    * with J > 0 shares at least one shingle, so blocking on "share ≥ 1
+    * shingle" with an unbounded document-frequency window is EXACT for any
+    * positive threshold: this is the full j ≥ threshold pair set, not an
+    * approximation. The cost is the quadratic fan-out on hot shingles the
+    * production blocking exists to avoid — GATE/AUDIT SCALE ONLY, the
+    * measurement stick the d16 recall entry holds the production paths to
+    * (the v11 discipline applied to dedup).
+    */
+  def exactJaccardPairs(docs: DataFrame, n: Int = 3,
+                        threshold: Double = 0.8): DataFrame =
+    jaccardVerified(withShingles(docs, n), threshold, Int.MaxValue, 1)
+
   /** Near-duplicate pairs by n-gram-shingle CONTAINMENT — the asymmetric
     * relation Jaccard misses: a short document quoted or prefix-truncated
     * from a long one shares nearly all of ITS shingles while the union

@@ -687,4 +687,128 @@ object Pipeline {
       .localCheckpoint()
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
   }
+
+  // ------------------------------------------------- DSIR data selection
+
+  /** Shared DSIR scoring core: per-doc importance log-weight from
+    * per-doc feature counts (`rawFeat`: doc_id, feat, c) against a
+    * bounded feature space (`space`: feat, tc = target count; every
+    * feature of the space occurs in the target, hence also in raw).
+    * Laplace-smoothed unigram feature models on BOTH sides over the
+    * same `spaceSize`-feature support:
+    *
+    *   logw(doc) = Σ_f c_df · ( ln p_t(f) − ln p_r(f) )
+    *   p(f) = (count(f) + 1) / (total + spaceSize)
+    *
+    * Features outside the space contribute nothing (likelihood ratio 1
+    * under both models — the paper's hashed form has no outside, the
+    * explicit-vocabulary form treats OOV as neutral).
+    *
+    * Plan: the space and its log-ratio table are metadata-scale by
+    * construction (≤ spaceSize rows) and ride a broadcast join; the
+    * per-doc fold is one partial-aggregable groupBy on doc_id over the
+    * joined counts; the two totals are 1-row aggregates broadcast via
+    * crossJoin (the classifierWeightedSample stats pattern). Nothing
+    * shuffles the corpus beyond its (doc_id, feat) count pass.
+    */
+  private def dsirScoreByFeature(allDocs: DataFrame, rawFeat: DataFrame,
+                                 space: DataFrame, spaceSize: Int): DataFrame = {
+    val rawCnt = rawFeat
+      .join(broadcast(space.select("feat")), Seq("feat"), "left_semi")
+      .groupBy("feat").agg(sum("c").as("rc"))
+    val lrTot = space.join(rawCnt, Seq("feat"))
+      .crossJoin(broadcast(space.agg(sum("tc").cast("double").as("tt"))))
+      .crossJoin(broadcast(rawCnt.agg(sum("rc").cast("double").as("rt"))))
+      .select(col("feat"),
+        (log((col("tc") + 1) / (col("tt") + spaceSize)) -
+          log((col("rc") + 1) / (col("rt") + spaceSize))).as("lw"))
+    val scores = rawFeat.join(broadcast(lrTot), Seq("feat"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feat"), sum(col("c") * col("lw")).as("w"))
+    allDocs.select("doc_id").join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        round(coalesce(col("w"), lit(0.0)), 4).as("logw"))
+  }
+
+  /** DSIR importance weights — Data Selection via Importance Resampling
+    * (Xie et al. 2023, public): score every raw document by how much
+    * more likely its token features are under the TARGET corpus's
+    * unigram feature model than under the RAW corpus's, so a top-weight
+    * (or Gumbel-resampled) slice of raw shifts the mixture toward the
+    * target domain without a trained classifier.
+    *
+    * This is the explicit-vocabulary form: the feature space is the
+    * target's `vocabSize` most frequent tokens (count desc, token asc
+    * ties — deterministic), which keeps the space bounded AND the score
+    * oracle-checkable/interpretable. [[dsirWeightsHashed]] is the
+    * paper's hashed form for when no vocabulary pass is wanted. Returns
+    * (doc_id, n_feat, logw round-4) for EVERY raw doc — zero-feature
+    * docs score 0 (neutral), they are not dropped.
+    *
+    * At 100 TB: one tokenize pass over raw feeding a (doc_id, tok)
+    * count aggregate; the target is typically a metadata-scale slice or
+    * reference corpus; everything downstream of the two count tables is
+    * broadcast-sized (see [[dsirScoreByFeature]]).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  vocabSize: Int = 256): DataFrame = {
+    def docTok(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("feat"))
+    val rawTc = docTok(raw).groupBy("doc_id", "feat").agg(count(lit(1)).as("c"))
+    val vocab = docTok(target).groupBy("feat").agg(count(lit(1)).as("tc"))
+      .orderBy(col("tc").desc, col("feat").asc).limit(vocabSize)
+    dsirScoreByFeature(raw, rawTc, vocab, vocabSize)
+  }
+
+  /** The paper's HASHED feature space: tokens bucket by
+    * `pmod(xxhash64(tok), buckets)` instead of by vocabulary membership,
+    * so no vocabulary-learning pass exists and the space is bounded by
+    * construction (collisions are the accepted trade, as published).
+    * Same scoring core; the space is every bucket the target populates.
+    * Not DuckDB-expressible (xxhash64), so it is spec-pinned against
+    * planted corpora rather than oracle-checked; [[dsirWeights]] is the
+    * oracle-carried twin.
+    */
+  def dsirWeightsHashed(raw: DataFrame, target: DataFrame,
+                        buckets: Int = 4096): DataFrame = {
+    def docBucket(df: DataFrame) = df
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), pmod(xxhash64(col("tok")), lit(buckets.toLong)).as("feat"))
+    val rawTc = docBucket(raw).groupBy("doc_id", "feat").agg(count(lit(1)).as("c"))
+    val space = docBucket(target).groupBy("feat").agg(count(lit(1)).as("tc"))
+    dsirScoreByFeature(raw, rawTc, space, buckets)
+  }
+
+  /** Deterministic top-`n` DSIR selection: rank by (round-4 logw desc,
+    * doc_id asc). The global cut is TakeOrderedAndProject (no full
+    * sort); the rank column is a window over the already-cut n rows —
+    * metadata-scale by definition of a selection budget.
+    */
+  def dsirTopK(raw: DataFrame, target: DataFrame, n: Int,
+               vocabSize: Int = 256): DataFrame = {
+    val top = dsirWeights(raw, target, vocabSize)
+      .orderBy(col("logw").desc, col("doc_id").asc).limit(n)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("logw").desc, col("doc_id").asc)).cast("long"))
+      .select("rank", "doc_id", "n_feat", "logw")
+  }
+
+  /** DSIR's actual sampling rule: n draws WITHOUT replacement with
+    * probability ∝ exp(logw), via the Gumbel-top-k equivalence — key =
+    * logw + G_i with G_i = −ln(−ln(u_i)) and u_i a seeded per-doc hash
+    * uniform (task-retry-reproducible, no RNG state; the epoch-shuffle
+    * coin discipline). Still one TakeOrderedAndProject cut.
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, n: Int, seed: Long,
+                   vocabSize: Int = 256): DataFrame = {
+    val u = (pmod(xxhash64(col("doc_id"), lit(seed)), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    val key = col("logw") - log(-log(u))
+    dsirWeights(raw, target, vocabSize)
+      .withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col("doc_id").asc).limit(n)
+      .select("doc_id", "n_feat", "logw", "gumbel_key")
+  }
 }

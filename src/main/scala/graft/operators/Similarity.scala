@@ -934,4 +934,88 @@ object Similarity {
     }
     corpus.select(col("vec_id"), predLab.as("label"), predVotes.as("votes"))
   }
+
+  // ------------------------------------------------ MMR diversified top-k
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    * 1998, public) — the retrieval tail that trades raw relevance for
+    * coverage: greedily pick k results from a fetch-size relevance
+    * shortlist, each pick maximizing
+    *
+    *   λ · cos(q, c) − (1 − λ) · max_{s ∈ selected} cos(c, s)
+    *
+    * (first pick = pure relevance: the penalty term is empty). The dedup
+    * instinct applied at SERVE time: near-duplicate hits waste shortlist
+    * slots, and MMR suppresses them without dropping them from the index.
+    *
+    * Execution shape: the shortlist is [[bruteForceTopK]] (swap in the
+    * IVF tier at scale — the rerank is shortlist-only either way); the
+    * candidate–candidate cosines are computed DISTRIBUTED by the same
+    * round-6 kernel as the relevance leg (a fetch²-per-query self-join,
+    * bounded by construction); the greedy selection then folds each
+    * query's ≤ fetch² pair rows in one `flatMapGroups` — per-group state
+    * is O(fetch²) REGARDLESS of corpus size, the one genuinely
+    * sequential piece (each pick depends on the previous), and it
+    * parallelizes across queries. Nothing touches the driver.
+    *
+    * Determinism: relevance and pair similarities are the round-6
+    * cosines, i.e. exact multiples of 10⁻⁶ — so the objective is carried
+    * in EXACT INTEGER 10⁻⁷ units (λ·rel − (1−λ)·pen with λ a multiple of
+    * 0.1 is a multiple of 10⁻⁷; the decimal-micros discipline applied to
+    * the rerank objective): a float rounding never decides a pick, and
+    * λ·(6-decimal) values landing exactly on 7th-decimal half-boundaries
+    * — which they do constantly — cannot diverge across engines. Ties
+    * break on vec_id asc. Output (q_id, rank, vec_id, mmr_e7 long),
+    * rank 1..k.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              fetch: Int = 20, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= fetch, s"k=$k must be in [1, fetch=$fetch]")
+    val lam10 = math.round(lambda * 10)
+    require(lam10 >= 0 && lam10 <= 10 && math.abs(lambda * 10 - lam10) < 1e-9,
+      s"lambda=$lambda must be a multiple of 0.1 (exact-integer objective)")
+    val sl = bruteForceTopK(corpus, queries, fetch)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val withEmb = sl
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .repartition(col("q_id")) // barrier: materialize norms once per row
+    val pairs = withEmb.as("a").join(withEmb.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.q_id").as("q_id"), col("a.vec_id").as("a_id"),
+        col("a.cos").as("rel"), col("b.vec_id").as("b_id"),
+        cosineWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("sim"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    pairs.select("q_id", "a_id", "rel", "b_id", "sim")
+      .as[(Long, Long, Double, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val rows = it.toVector
+        // round-6 doubles → exact integer micros (|err| ≪ 0.5 before round)
+        val rel: Map[Long, Long] =
+          rows.groupBy(_._2).map { case (id, rs) =>
+            id -> math.round(rs.head._3 * 1e6) }
+        val sim: Map[(Long, Long), Long] =
+          rows.map(r => (r._2, r._4) -> math.round(r._5 * 1e6)).toMap
+        var selected = Vector.empty[(Long, Long)]
+        var remaining = rel.keySet
+        while (selected.size < k && remaining.nonEmpty) {
+          val best = remaining.iterator.map { c =>
+            val pen =
+              if (selected.isEmpty) 0L
+              else selected.iterator.map(s => sim((c, s._1))).max
+            (c, lam10 * rel(c) - (10 - lam10) * pen) // exact 1e-7 units
+          }.minBy { case (id, obj) => (-obj, id) }
+          selected :+= best
+          remaining -= best._1
+        }
+        selected.zipWithIndex.map { case ((id, obj), i) =>
+          (q, (i + 1).toLong, id, obj)
+        }
+      }
+      .toDF("q_id", "rank", "vec_id", "mmr_e7")
+  }
 }

@@ -1482,4 +1482,113 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
     math.abs(merged - exact).toDouble / exact should be <= 0.05
   }
+
+  // ------------------------------------------------------ DSIR selection
+
+  private def dsirCorpus: DataFrame = {
+    // target-flavored docs talk about wiki topics; noise docs share ONLY
+    // the common function words (so the raw model inflates those and the
+    // discriminative target tokens stay rare-in-raw — the separation DSIR
+    // exists to detect); doc 9 shares NO vocabulary token (zero-feature)
+    val wiki = (0L to 3L).map(i => (i, "en",
+      "history of science and the encyclopedia of knowledge with articles about physics chemistry and biology " + i))
+    val noise = (4L to 8L).map(i => (i, "xx",
+      "the casino of the bonus and the spam with prize about winner and the lottery offer " + i))
+    (wiki ++ noise :+ ((9L, "xx", "zzz qqq www")))
+      .toDF("doc_id", "lang", "text")
+  }
+
+  test("DSIR: target-like docs outweigh off-target docs; zero-feature docs score 0") {
+    val ds = dsirCorpus
+    val w = Pipeline.dsirWeights(ds, ds.where($"lang" === "en"), vocabSize = 64)
+      .orderBy("doc_id").collect()
+    val byId = w.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every target doc strictly outscores every noise doc
+    (0L to 3L).map(byId).min should be > (4L to 8L).map(byId).max
+    byId(9L) shouldBe 0.0 // no vocabulary overlap → neutral
+    w.map(_.getLong(0)).toSeq shouldBe (0L to 9L) // nothing dropped
+  }
+
+  test("DSIR: hashed feature space agrees with the explicit vocabulary on ranking direction") {
+    val ds = dsirCorpus
+    val h = Pipeline.dsirWeightsHashed(ds, ds.where($"lang" === "en"), buckets = 1024)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    (0L to 3L).map(h).min should be > (4L to 8L).map(h).max
+    // deterministic: a second run is identical
+    val h2 = Pipeline.dsirWeightsHashed(ds, ds.where($"lang" === "en"), buckets = 1024)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    h2 shouldBe h
+  }
+
+  test("DSIR: Gumbel resample is deterministic per seed, size-n, and weight-sensitive") {
+    val ds = dsirCorpus
+    val a = Pipeline.dsirResample(ds, ds.where($"lang" === "en"), n = 4, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Pipeline.dsirResample(ds, ds.where($"lang" === "en"), n = 4, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    a shouldBe b
+    a.size shouldBe 4
+    // high-weight docs dominate the draw: at least half the sample is target
+    a.count(_ <= 3L) should be >= 2
+  }
+
+  // -------------------------------------------------- dedup recall truth
+
+  test("exactJaccardPairs is a superset of the blocked production pairs and catches hot-shingle pairs the df cap drops") {
+    // two identical docs built ONLY of shingles that appear in > maxDf docs:
+    // the production blocking loses every posting, the truth stick must not
+    val hot = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = ((0L to 9L).map(i => (i, hot)) :+ (10L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    val truth = Dedup.exactJaccardPairs(corpus)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.jaccardPairs(corpus, maxDf = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    truth should contain(0L -> 1L) // all 45 identical pairs present
+    truth.size shouldBe 45
+    blocked shouldBe empty // df cap dropped every posting — the documented gap
+    blocked.subsetOf(truth) shouldBe true
+  }
+
+  // --------------------------------------------------------- MMR rerank
+
+  test("MMR demotes a near-duplicate of the top hit that pure relevance ranks second") {
+    // query q; a and a' nearly identical and most relevant; b distinct and
+    // slightly less relevant: relevance order is (a, a', b, filler) but at
+    // λ=0.5 MMR's diversity penalty must push the near-dup a' out of the
+    // top-3 entirely (b then the orthogonal filler both beat it)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, v(1.0, 0.0, 0.0)), // the query itself
+      (1L, v(0.98, 0.20, 0.0)), // a: closest
+      (2L, v(0.97, 0.24, 0.0)), // a': near-dup of a, second closest
+      (3L, v(0.80, -0.60, 0.0)), // b: distinct direction, third
+      (4L, v(0.0, 0.0, 1.0)) // orthogonal filler
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(rows, rows.where($"vec_id" === 0L),
+        k = 3, fetch = 4, lambda = 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    out.head shouldBe 1L // rank 1 = pure relevance
+    out(1) shouldBe 3L // rank 2 = the diverse hit, not the near-dup
+    out should not contain 2L // the near-dup never makes the diversified page
+    // pure relevance WOULD have ranked the near-dup second — the contrast
+    // MMR exists to produce
+    Similarity.bruteForceTopK(rows, rows.where($"vec_id" === 0L), 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq shouldBe Seq(1L, 2L)
+  }
+
+  test("MMR with lambda=1 degenerates to relevance order and validates lambda granularity") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, v(1.0, 0.0)), (1L, v(0.9, 0.1)), (2L, v(0.8, 0.3)), (3L, v(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    val q = rows.where($"vec_id" === 0L)
+    val mmr = Similarity.mmrTopK(rows, q, k = 3, fetch = 3, lambda = 1.0)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val rel = Similarity.bruteForceTopK(rows, q, 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    mmr shouldBe rel
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.mmrTopK(rows, q, k = 2, fetch = 3, lambda = 0.75)
+  }
 }

@@ -778,4 +778,37 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("__salt")
     plan should not include "CartesianProduct"
   }
+
+  test("DSIR weights: log-ratio table broadcasts, per-doc fold partial-aggregates, no cartesian beyond 1-row totals") {
+    val ds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.operators.Pipeline
+      .dsirWeights(ds, ds.where($"lang" === "en"), vocabSize = 64)
+      .queryExecution.executedPlan.toString
+    // the corpus-side score join probes a BROADCAST of the ≤V-row
+    // log-ratio table — the corpus never shuffles for it
+    plan should include("BroadcastHashJoin")
+    // the per-doc Σ c·lw fold partial-aggregates before its doc_id shuffle
+    plan should include("partial_sum")
+    // the only nested-loop joins are the two 1-row total broadcasts (the
+    // classifierWeightedSample stats pattern) — never a row-level cartesian
+    plan should not include "CartesianProduct"
+  }
+
+  test("MMR rerank: shortlist pair-join keys on q_id (never cross-query), greedy folds per query group") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.operators.Similarity
+      .mmrTopK(e, e.where($"vec_id" < 2), k = 3, fetch = 5)
+    df.collect() // AQE finalizes stage reuse at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    // candidate×candidate similarity join is equi-keyed on q_id — fetch²
+    // per query by construction, not corpus²
+    plan should not include "CartesianProduct"
+    plan should include("SortMergeJoin [q_id")
+    // the relevance leg (corpus × broadcast-query nested-loop scan, the
+    // bruteForceTopK shape) runs ONCE: the self-join's second side reads
+    // the shortlist shuffle back as a ReusedExchange
+    plan should include("ReusedExchange")
+    // the sequential greedy is the per-query typed fold, nothing else
+    plan should include("MapGroups")
+  }
 }
