@@ -819,6 +819,32 @@ object SparkEntry {
     // a batch directory (idempotent replay by overwrite); the read side
     // folds base stats + delta log in any order and must hash-match a
     // fresh recompute over the base ∪ appended corpus
+    // E24 STREAMING DSIR raw-model fold: the p19 statistic kept current by
+    // ingest — per-batch (feat, d_rc) counts over the FROZEN target
+    // vocabulary land in idempotent batch directories (maxFilesPerTrigger=1
+    // forces the real multi-batch path), the order-free integer re-sum
+    // rebuilds the raw model, and the selection through the folded model
+    // must EQUAL the batch-free p19 answer — same oracle, verbatim
+    "e24_stream_dsir_fold" -> ((s, d) => {
+      val ds = docs(s, d)
+      val src = scratch("e24-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        ds.repartition(4).write.parquet(src)
+      val deltas = scratch("e24-deltas")
+      val vocab = graft.operators.Pipeline
+        .dsirVocab(ds.where(col("lang") === "en"), 256)
+      // the frozen feature list: ≤256 strings, a codebook-scale snapshot
+      val feats = vocab.select("feat").collect().map(_.getString(0)).toSeq
+      EventStream.streamDsirRawFold(s, src, deltas, feats)
+      val rawCnt = s.read.parquet(s"$deltas/batches")
+        .groupBy("feat").agg(sum("d_rc").as("rc"))
+      val lr = graft.operators.Pipeline.dsirLogRatio(vocab, rawCnt, 256)
+      graft.operators.Pipeline.dsirTopKFromWeights(
+        graft.operators.Pipeline.dsirScoreWith(
+          ds, graft.operators.Pipeline.docTokenCounts(ds), lr), 50)
+        .orderBy("rank")
+    }),
+
     "e15_stream_idf_fold" -> ((s, d) => {
       val src = scratch("e15-src")
       val deltas = scratch("e15-deltas")
@@ -1267,6 +1293,16 @@ object SparkEntry {
               w => size(graft.operators.Bpe.encode(w, merges))),
             lit(0L), (acc, x) => acc + x).as("n_tokens_1merge"))
         .orderBy("doc_id")
+    }),
+
+    // T25 TOKENIZER FERTILITY by language: tokens-per-word under the
+    // learned 1-merge BPE, the tokenizer-audit table (a tokenizer trained
+    // on one distribution over-fragments the others); exact longs, the
+    // roundDiv6 integer division, one barriered tokenize pass
+    "t25_bpe_fertility" -> ((s, d) => {
+      val ds = docs(s, d)
+      val merges = graft.operators.Bpe.trainMerges(ds, 1)
+      graft.operators.Bpe.fertilityByLang(ds, merges).orderBy("lang")
     }),
 
     // T19 BPE at production merge counts: ONE distributed pass to the
@@ -3416,6 +3452,32 @@ object SparkEntry {
   /** Exact top-10 over the plantedTopKEmb corpus — the oracle both
     * approximate searches (v2 SRP-LSH, v6 partial-probe IVF) are held to.
     */
+  /** p19/e24: DSIR re-derived end-to-end — target vocab (count desc, token
+    * asc ties), add-1-smoothed feature models over the 256-token support,
+    * per-doc Σ c·(ln p_t − ln p_r), round-4, top-50 by (logw desc,
+    * doc_id). Zero-feature docs score 0 via the LEFT join. e24 shares it
+    * verbatim: the stream-folded raw model is an exact integer re-sum.
+    */
+  private lazy val dsirSampleSql: String =
+    T + ", tc AS (SELECT doc_id, tok, count(*) AS c " +
+      "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2), " +
+      "tgt AS (SELECT tok, sum(c) AS tc FROM tc JOIN documents USING (doc_id) " +
+      "WHERE lang = 'en' GROUP BY 1), " +
+      "vocab AS (SELECT tok, tc FROM tgt ORDER BY tc DESC, tok LIMIT 256), " +
+      "rawc AS (SELECT tok, sum(c) AS rc FROM tc JOIN vocab USING (tok) GROUP BY 1), " +
+      "tt AS (SELECT sum(tc)::DOUBLE AS s FROM vocab), " +
+      "rt AS (SELECT sum(rc)::DOUBLE AS s FROM rawc), " +
+      "lr AS (SELECT tok, ln((tc + 1)::DOUBLE / (tt.s + 256)) - " +
+      "ln((rc + 1)::DOUBLE / (rt.s + 256)) AS lw " +
+      "FROM vocab JOIN rawc USING (tok), tt, rt), " +
+      "sc AS (SELECT d.doc_id, coalesce(sum(u.c), 0)::BIGINT AS n_feat, " +
+      "round(coalesce(sum(u.c * u.lw), 0), 4) AS logw " +
+      "FROM documents d LEFT JOIN " +
+      "(SELECT tc.doc_id, tc.c, lr.lw FROM tc JOIN lr USING (tok)) u " +
+      "ON d.doc_id = u.doc_id GROUP BY 1) " +
+      "SELECT row_number() OVER (ORDER BY logw DESC, doc_id) AS rank, " +
+      "doc_id, n_feat, logw FROM sc ORDER BY logw DESC, doc_id LIMIT 50"
+
   private lazy val plantedTopkSql: String =
     "WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
       "UNION ALL SELECT vec_id*100 + j + 200000 AS vec_id, " +
@@ -3887,29 +3949,11 @@ object SparkEntry {
           "ORDER BY doc_id"),
       // p15: t16's chain to scores, quantile_cont thresholds (the same
       // rank = q·(n−1) interpolation), value-threshold CASE
-      // p19: DSIR re-derived end-to-end — target vocab (count desc, token
-      // asc ties), add-1-smoothed feature models over the 256-token
-      // support, per-doc Σ c·(ln p_t − ln p_r), round-4, top-50 by
-      // (logw desc, doc_id). Zero-feature docs score 0 via the LEFT join.
-      "p19_dsir_sample" ->
-        (T + ", tc AS (SELECT doc_id, tok, count(*) AS c " +
-          "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2), " +
-          "tgt AS (SELECT tok, sum(c) AS tc FROM tc JOIN documents USING (doc_id) " +
-          "WHERE lang = 'en' GROUP BY 1), " +
-          "vocab AS (SELECT tok, tc FROM tgt ORDER BY tc DESC, tok LIMIT 256), " +
-          "rawc AS (SELECT tok, sum(c) AS rc FROM tc JOIN vocab USING (tok) GROUP BY 1), " +
-          "tt AS (SELECT sum(tc)::DOUBLE AS s FROM vocab), " +
-          "rt AS (SELECT sum(rc)::DOUBLE AS s FROM rawc), " +
-          "lr AS (SELECT tok, ln((tc + 1)::DOUBLE / (tt.s + 256)) - " +
-          "ln((rc + 1)::DOUBLE / (rt.s + 256)) AS lw " +
-          "FROM vocab JOIN rawc USING (tok), tt, rt), " +
-          "sc AS (SELECT d.doc_id, coalesce(sum(u.c), 0)::BIGINT AS n_feat, " +
-          "round(coalesce(sum(u.c * u.lw), 0), 4) AS logw " +
-          "FROM documents d LEFT JOIN " +
-          "(SELECT tc.doc_id, tc.c, lr.lw FROM tc JOIN lr USING (tok)) u " +
-          "ON d.doc_id = u.doc_id GROUP BY 1) " +
-          "SELECT row_number() OVER (ORDER BY logw DESC, doc_id) AS rank, " +
-          "doc_id, n_feat, logw FROM sc ORDER BY logw DESC, doc_id LIMIT 50"),
+      "p19_dsir_sample" -> dsirSampleSql,
+      // e24: the stream-folded raw model is an EXACT integer re-sum of the
+      // batch count deltas, so the selection through it must equal the
+      // batch-free p19 answer — the same oracle, verbatim
+      "e24_stream_dsir_fold" -> dsirSampleSql,
       "p16_epoch_shuffle" ->
         ("WITH h AS (SELECT doc_id, " +
           "((doc_id + 3 * 1000003) * 2654435761) % 4294967296 AS hv FROM documents) " +
@@ -4220,6 +4264,28 @@ object SparkEntry {
           "FROM (SELECT doc_id, w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS wr FROM wd), top) " +
           "SELECT doc_id, sum(t1)::BIGINT AS n_tokens_1merge FROM app " +
           "GROUP BY 1 ORDER BY doc_id"),
+      // t25: t18's 1-merge per-doc token counts re-derived, then folded per
+      // language with word counts; fertility is the t9 integer round-6
+      // division; zero-token docs contribute (0 words, 0 tokens) via the
+      // LEFT join so n_docs stays the full per-lang census
+      "t25_bpe_fertility" ->
+        (T + ", words AS (SELECT unnest(t) AS w FROM toks), " +
+          "wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1), " +
+          "pr AS (SELECT w[i:i] AS a, w[i+1:i+1] AS b, cnt " +
+          "FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM wc)), " +
+          "top AS (SELECT a, b FROM pr GROUP BY a, b ORDER BY sum(cnt) DESC, a, b LIMIT 1), " +
+          "wd AS (SELECT doc_id, unnest(t) AS w FROM toks), " +
+          "app AS (SELECT doc_id, len(w) - (len(wr) - len(replace(wr, ' '||a||'  '||b||' ', ' '||a||b||' ')))//2 AS t1 " +
+          "FROM (SELECT doc_id, w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS wr FROM wd), top), " +
+          "perdoc AS (SELECT doc_id, count(*) AS words, sum(t1) AS toks FROM app GROUP BY 1) " +
+          "SELECT d.lang, count(*)::BIGINT AS n_docs, " +
+          "coalesce(sum(p.words), 0)::BIGINT AS n_words, " +
+          "coalesce(sum(p.toks), 0)::BIGINT AS n_tokens, " +
+          "CASE WHEN coalesce(sum(p.words), 0) > 0 THEN " +
+          "((1000000 * coalesce(sum(p.toks), 0) + coalesce(sum(p.words), 0) // 2) " +
+          "// coalesce(sum(p.words), 0)) / 1000000.0 ELSE 0.0 END AS fertility " +
+          "FROM documents d LEFT JOIN perdoc p USING (doc_id) " +
+          "GROUP BY d.lang ORDER BY d.lang"),
       "t9_repetition" ->
         (T + ", bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks) " +
           ", g AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) " +

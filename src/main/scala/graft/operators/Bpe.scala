@@ -213,6 +213,39 @@ object Bpe {
         split(trim(wrapped(col(wordCol))), "  ")))
   }
 
+  /** Per-language tokenizer FERTILITY — the production tokenizer-eval
+    * statistic (tokens per word by language): a tokenizer trained on one
+    * distribution over-fragments the others, and fertility is the number
+    * that shows it (HF/XLM-R tokenizer audits report exactly this table).
+    * Output per lang: n_docs, n_words (corpus-standard tokens), n_tokens
+    * (BPE symbols under `merges`), fertility = n_tokens/n_words as the
+    * exact HALF_UP 6-decimal integer division ([[TextAnalysis.roundDiv6]]
+    * — both engines derive the identical double from identical longs).
+    *
+    * Plan: ONE tokenize pass behind a shuffle barrier (the t17/minhash
+    * CollapseProject rule — `words` and the per-word encode both read the
+    * materialized array), per-doc counts fold map-side into the ≤|langs|
+    * group rows. The encode is the codegen'd nested-replace (gate-scale
+    * merge tables); at production merge counts swap in [[encodeByVocab]]
+    * — the aggregate is unchanged.
+    */
+  def fertilityByLang(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+    tok.select(col("lang"),
+        size(col("toks")).cast("long").as("w"),
+        aggregate(transform(col("toks"), w => size(encode(w, merges))),
+          lit(0L), (acc, x) => acc + x).as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("t").as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        when(col("n_words") > 0,
+          TextAnalysis.roundDiv6(col("n_tokens"), col("n_words")))
+          .otherwise(lit(0.0)).as("fertility"))
+  }
+
   /** The in-memory Sennrich loop over a (word, count) table. */
   private[graft] def trainMergesOnVocab(vocab: Seq[(String, Long)],
                                             numMerges: Int): Seq[(String, String)] = {

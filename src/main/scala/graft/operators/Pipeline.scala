@@ -712,17 +712,34 @@ object Pipeline {
     * shuffles the corpus beyond its (doc_id, feat) count pass.
     */
   private def dsirScoreByFeature(allDocs: DataFrame, rawFeat: DataFrame,
-                                 space: DataFrame, spaceSize: Int): DataFrame = {
-    val rawCnt = rawFeat
+                                 space: DataFrame, spaceSize: Int): DataFrame =
+    dsirScoreWith(allDocs, rawFeat,
+      dsirLogRatio(space, dsirRawCounts(rawFeat, space), spaceSize))
+
+  /** Raw-model counts over the feature space: (feat, rc). Sum-mergeable —
+    * per-batch counts fold to the corpus counts in any order, which is
+    * what the streaming maintenance rides
+    * ([[graft.streaming.EventStream.streamDsirRawFold]]).
+    */
+  private[graft] def dsirRawCounts(rawFeat: DataFrame, space: DataFrame): DataFrame =
+    rawFeat
       .join(broadcast(space.select("feat")), Seq("feat"), "left_semi")
       .groupBy("feat").agg(sum("c").as("rc"))
-    val lrTot = space.join(rawCnt, Seq("feat"))
+
+  /** The broadcast-sized per-feature log-ratio table from the two models. */
+  private[graft] def dsirLogRatio(space: DataFrame, rawCnt: DataFrame,
+                                  spaceSize: Int): DataFrame =
+    space.join(rawCnt, Seq("feat"))
       .crossJoin(broadcast(space.agg(sum("tc").cast("double").as("tt"))))
       .crossJoin(broadcast(rawCnt.agg(sum("rc").cast("double").as("rt"))))
       .select(col("feat"),
         (log((col("tc") + 1) / (col("tt") + spaceSize)) -
           log((col("rc") + 1) / (col("rt") + spaceSize))).as("lw"))
-    val scores = rawFeat.join(broadcast(lrTot), Seq("feat"))
+
+  /** Per-doc fold of feature counts against a log-ratio table. */
+  private[graft] def dsirScoreWith(allDocs: DataFrame, rawFeat: DataFrame,
+                                   lr: DataFrame): DataFrame = {
+    val scores = rawFeat.join(broadcast(lr), Seq("feat"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_feat"), sum(col("c") * col("lw")).as("w"))
     allDocs.select("doc_id").join(scores, Seq("doc_id"), "left")
@@ -751,15 +768,23 @@ object Pipeline {
     * reference corpus; everything downstream of the two count tables is
     * broadcast-sized (see [[dsirScoreByFeature]]).
     */
-  def dsirWeights(raw: DataFrame, target: DataFrame,
-                  vocabSize: Int = 256): DataFrame = {
-    def docTok(df: DataFrame) = df.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("feat"))
-    val rawTc = docTok(raw).groupBy("doc_id", "feat").agg(count(lit(1)).as("c"))
-    val vocab = docTok(target).groupBy("feat").agg(count(lit(1)).as("tc"))
+  /** Per-doc (feat, c) token counts — the corpus's one tokenize pass. */
+  private[graft] def docTokenCounts(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("feat"))
+      .groupBy("doc_id", "feat").agg(count(lit(1)).as("c"))
+
+  /** The target's `vocabSize`-token feature space with its counts:
+    * (feat, tc), count desc / token asc ties — deterministic.
+    */
+  def dsirVocab(target: DataFrame, vocabSize: Int): DataFrame =
+    target.select(explode(TextAnalysis.tokens(col("text"))).as("feat"))
+      .groupBy("feat").agg(count(lit(1)).as("tc"))
       .orderBy(col("tc").desc, col("feat").asc).limit(vocabSize)
-    dsirScoreByFeature(raw, rawTc, vocab, vocabSize)
-  }
+
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  vocabSize: Int = 256): DataFrame =
+    dsirScoreByFeature(raw, docTokenCounts(raw),
+      dsirVocab(target, vocabSize), vocabSize)
 
   /** The paper's HASHED feature space: tokens bucket by
     * `pmod(xxhash64(tok), buckets)` instead of by vocabulary membership,
@@ -786,9 +811,14 @@ object Pipeline {
     * metadata-scale by definition of a selection budget.
     */
   def dsirTopK(raw: DataFrame, target: DataFrame, n: Int,
-               vocabSize: Int = 256): DataFrame = {
-    val top = dsirWeights(raw, target, vocabSize)
-      .orderBy(col("logw").desc, col("doc_id").asc).limit(n)
+               vocabSize: Int = 256): DataFrame =
+    dsirTopKFromWeights(dsirWeights(raw, target, vocabSize), n)
+
+  /** The selection cut over an already-scored weight table — shared by
+    * the batch path and the stream-maintained-model path (e24).
+    */
+  def dsirTopKFromWeights(weights: DataFrame, n: Int): DataFrame = {
+    val top = weights.orderBy(col("logw").desc, col("doc_id").asc).limit(n)
     top.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("logw").desc, col("doc_id").asc)).cast("long"))

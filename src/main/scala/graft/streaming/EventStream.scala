@@ -1029,6 +1029,51 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING DSIR raw-model maintenance — the e15 discipline applied to
+    * the importance-resampling statistic: the TARGET model is frozen (its
+    * corpus is a curated reference), but the RAW model tracks ingest, and
+    * recomputing it is a corpus scan. Each micro-batch lands its own
+    * (feat, d_rc) count table over the frozen vocabulary in an idempotent
+    * `batch=<id>/` directory; counts are sum-mergeable, so the read side
+    * re-sums the log in ANY order and the folded raw model equals the
+    * batch-free recompute EXACTLY (integer counts — no float fold). A
+    * replayed batch overwrites its own directory, never duplicates.
+    * Per-batch cost is the batch tokenize + a ≤|vocab|-row aggregate;
+    * the corpus is never rescanned.
+    */
+  def streamDsirRawFold(spark: SparkSession, srcDir: String, deltaDir: String,
+                        vocabFeats: Seq[String]): Unit = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val src = bf.readStream
+      .schema(bf.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val space = broadcast(batch.sparkSession
+          .createDataFrame(batch.sparkSession.sparkContext
+              .parallelize(vocabFeats.map(org.apache.spark.sql.Row(_)), 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("feat",
+                org.apache.spark.sql.types.StringType)))))
+        graft.operators.Pipeline.docTokenCounts(batch)
+          .join(space, Seq("feat"), "left_semi")
+          .groupBy("feat")
+          .agg(org.apache.spark.sql.functions.sum("c").as("d_rc"))
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING classifier scoring — train offline, score ONLINE: every
     * arriving document batch is scored with a FROZEN weight map
     * (TextAnalysis.scoreWithWeightMap — the vocab-bounded literal-map

@@ -128,4 +128,28 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSupport {
     // nothing reaches count 2 → exhausted immediately
     Bpe.trainMergesOnVocab(Seq(("xy", 1L), ("yz", 1L)), 5) shouldBe Nil
   }
+
+  test("fertility by language: longer-word languages fragment more; empty docs stay in the census") {
+    // 'aa bb' words encode to 2 symbols under zero merges → fertility 2.0;
+    // the long-word language's 6-char words encode to 6 → fertility 6.0;
+    // the zero-token doc contributes (1 doc, 0 words, 0 tokens)
+    val ds = Seq(
+      (0L, "sh", "aa bb aa bb"),
+      (1L, "sh", "bb aa"),
+      (2L, "lo", "aaaaaa bbbbbb"),
+      (3L, "mt", "!!!")
+    ).toDF("doc_id", "lang", "text")
+    val out = Bpe.fertilityByLang(ds, Nil).orderBy("lang")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    out shouldBe Seq(
+      ("lo", 1L, 2L, 12L, 6.0),
+      ("mt", 1L, 0L, 0L, 0.0),
+      ("sh", 2L, 6L, 12L, 2.0))
+    // a learned merge reduces fertility where it applies: merging (a,a)
+    // turns 'aa' into one symbol, halving the short language's tokens
+    val merged = Bpe.fertilityByLang(ds, Seq(("a", "a"))).orderBy("lang")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    merged.find(_._1 == "sh").get._4 shouldBe 9L // 3×'aa'→1 sym, 3×'bb'→2
+    merged.find(_._1 == "lo").get._4 shouldBe 9L // aaaaaa→aa,aa,aa=3; bbbbbb=6
+  }
 }

@@ -573,6 +573,35 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     val sampled = Multimodal.sampleFrames(spark, media, 4).orderBy("media_id").collect()
     sampled.foreach(_.getInt(1) shouldBe 4) // 16 bytes, stride 4
   }
+
+  test("DSIR raw-model stream fold: batch deltas re-sum to the direct raw counts; replay overwrites, never duplicates") {
+    import graft.streaming.EventStream
+    import graft.operators.Pipeline
+    val root = java.nio.file.Files.createTempDirectory("graft-dsir-spec").toString
+    val ds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ds.repartition(4).write.parquet(s"$root/src")
+    val vocab = Pipeline.dsirVocab(ds.where($"lang" === "en"), 64)
+    val feats = vocab.select("feat").as[String].collect().toSeq
+    EventStream.streamDsirRawFold(spark, s"$root/src", s"$root/deltas", feats)
+    val batches = s"$root/deltas/batches"
+    graft.util.FsUtil.listDir(java.nio.file.Paths.get(batches))(
+      _.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet) shouldBe
+      Set("batch=0", "batch=1", "batch=2", "batch=3")
+    def folded(): Map[String, Long] = spark.read.parquet(batches)
+      .groupBy("feat").agg(sum("d_rc").as("rc"))
+      .as[(String, Long)].collect().toMap
+    // order-free integer re-sum equals the batch-free direct counts
+    val direct = Pipeline.dsirRawCounts(Pipeline.docTokenCounts(ds), vocab)
+      .as[(String, Long)].collect().toMap
+    folded() shouldBe direct
+    // a replayed batch rewrites its own directory: fold unchanged
+    val b2 = spark.read.parquet(s"$batches/batch=2").collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(b2.toSeq, 1),
+        spark.read.parquet(s"$batches/batch=2").schema)
+      .write.mode("overwrite").parquet(s"$batches/batch=2")
+    spark.catalog.refreshByPath(batches)
+    folded() shouldBe direct
+  }
 }
 
 /** Batch twin of the streaming aggregation, used to prove stream/batch
