@@ -1870,6 +1870,18 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // V21 MMR OVER THE IVF TIER: the v20 rerank fed by the partial-probe
+    // IVF shortlist instead of brute force — the at-scale composition made
+    // real. On the planted geometry the nprobe=8 shortlist is provably the
+    // exact top-10 (the v6 gate), so the oracle stays fully value-checked
+    // through the approximate tier.
+    "v21_mmr_ivf" -> ((s, d) => {
+      val corpus = plantedTopKEmb(s, d)
+      val sl = Similarity.ivfTopK(corpus, emb(s, d).where(col("vec_id") < 5),
+        10, nlist = 32, nprobe = 8)
+      Similarity.mmrRerank(corpus, sl, k = 5).orderBy("q_id", "rank")
+    }),
+
     // V19 k-NN LABEL PROPAGATION: every unlabeled vector takes the
     // majority label of its 5 nearest seeds by exact cosine (seed tier:
     // vec_id < 30, label = id % 3) — the seed set enters the plan as
@@ -3550,13 +3562,17 @@ object SparkEntry {
     // 7·rel_u − 3·pen_u in EXACT INTEGER 1e-7 units (round-6 cosines →
     // exact micros first), with vec_id ties — float rounding never
     // decides a pick, matching Similarity.mmrTopK's integer objective
-    val mmrRerankSql: String = {
-      val fetch = 20
+    // parameterized over the corpus expression and shortlist size so the
+    // brute-force form (v20) and the planted-geometry IVF composition
+    // (v21, where partial-probe IVF provably returns the exact top-10)
+    // share one generator
+    def mmrGreedySql(corpusSql: String, fetch: Int): String = {
       val k = 5
       val sb = new StringBuilder
-      sb ++= "WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), "
+      sb ++= s"WITH corpus AS ($corpusSql), "
+      sb ++= "q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), "
       sb ++= s"s AS (SELECT q_id, e.vec_id, e.embedding, round(${cosSql("q_emb", "e.embedding")} * 1000000)::BIGINT AS cu " +
-        "FROM embeddings e, q WHERE e.vec_id <> q_id " +
+        "FROM corpus e, q WHERE e.vec_id <> q_id " +
         s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cu DESC, e.vec_id) <= $fetch), "
       sb ++= s"ps AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a.embedding", "b.embedding")} * 1000000)::BIGINT AS su " +
         "FROM s a JOIN s b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), "
@@ -3578,6 +3594,12 @@ object SparkEntry {
       sb.toString.stripSuffix(", ") +
         s" SELECT q_id, rank::BIGINT AS rank, vec_id, mmr_e7::BIGINT AS mmr_e7 FROM selu$k ORDER BY q_id, rank"
     }
+    val mmrRerankSql = mmrGreedySql("SELECT vec_id, embedding FROM embeddings", 20)
+    val mmrIvfSql = mmrGreedySql(
+      "SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id*100 + j + 200000 AS vec_id, " +
+        "list_prepend((embedding[1] + (j/256.0)::FLOAT)::FLOAT, embedding[2:64]) AS embedding " +
+        "FROM embeddings, range(1,11) t(j) WHERE vec_id < 5", 10)
     // q9: both retrieval arms re-derived independently (exact TF rank,
     // exact cosine rank), fused by the same two-term RRF sum — 1.0 cast
     // to DOUBLE so DuckDB doesn't take its DECIMAL division path
@@ -4602,6 +4624,7 @@ object SparkEntry {
           "ORDER BY d.doc_id"),
       "v1_cosine_topk" -> exactTopkSql,
       "v20_mmr_rerank" -> mmrRerankSql,
+      "v21_mmr_ivf" -> mmrIvfSql,
       "q9_hybrid_rrf" -> hybridRrfSql,
       "m1_media_features" ->
         ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +

@@ -971,11 +971,23 @@ object Similarity {
   def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
               fetch: Int = 20, lambda: Double = 0.7): DataFrame = {
     require(k >= 1 && k <= fetch, s"k=$k must be in [1, fetch=$fetch]")
+    mmrRerank(corpus, bruteForceTopK(corpus, queries, fetch), k, lambda)
+  }
+
+  /** The rerank half over ANY (q_id, vec_id, cos) shortlist — this is what
+    * "swap in the IVF tier at scale" means concretely: feed
+    * [[ivfTopK]]/[[ivfTopKIndexed]] output here and the greedy, the pair
+    * join, and the integer objective are unchanged (the v21 entry proves
+    * the composition on the planted geometry, where the partial-probe IVF
+    * shortlist is exactly the true top-k and the oracle stays exact).
+    */
+  def mmrRerank(corpus: DataFrame, shortlist: DataFrame, k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
     val lam10 = math.round(lambda * 10)
     require(lam10 >= 0 && lam10 <= 10 && math.abs(lambda * 10 - lam10) < 1e-9,
       s"lambda=$lambda must be a multiple of 0.1 (exact-integer objective)")
-    val sl = bruteForceTopK(corpus, queries, fetch)
-      .select(col("q_id"), col("vec_id"), col("cos"))
+    val sl = shortlist.select(col("q_id"), col("vec_id"), col("cos"))
     val withEmb = sl
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("q_id"), col("vec_id"), col("cos"), col("embedding"),
