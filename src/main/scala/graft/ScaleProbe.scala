@@ -642,6 +642,29 @@ object ScaleProbe {
       f""""kept":$nKept,"kept_frac":${nKept.toDouble / nDocs}%.4f}"""
   }
 
+  /** DSIR selection scaling: the decade synthesis suffixes tokens per
+    * shard, so the 10× corpus carries ~10× the raw vocabulary — the axis
+    * the top-256 target-vocab cut must absorb (the t20 weight-cut story
+    * applied to p19). Measures the vocab pass, the full weight scan, the
+    * top-50 cut, and the hashed-space twin.
+    */
+  private def profileDsir(spark: SparkSession, label: String, docs: DataFrame): String = {
+    val nDocs = docs.count()
+    val target = docs.where(col("lang") === "en")
+    // force the SCORES, not just cardinality: a bare count() lets the
+    // optimizer eliminate the unique-key left join and the whole scoring
+    // DAG (rows are known from allDocs alone) and measures a doc count
+    def force(w: DataFrame): Long = w
+      .agg(sum(abs(col("logw"))) + sum(col("n_feat"))).collect()(0).getDouble(0).toLong
+    val (nVocab, tVocab) = timed(Pipeline.dsirVocab(target, 256).count())
+    val (_, tW) = timed(force(Pipeline.dsirWeights(docs, target, 256)))
+    val (_, tTop) = timed(Pipeline.dsirTopK(docs, target, 50, 256).count())
+    val (_, tH) = timed(force(Pipeline.dsirWeightsHashed(docs, target, 4096)))
+    f"""{"corpus":"$label","n_docs":$nDocs,"vocab_rows":$nVocab,""" +
+      f""""vocab_sec":$tVocab%.2f,"weights_sec":$tW%.2f,""" +
+      f""""top50_sec":$tTop%.2f,"hashed_sec":$tH%.2f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -691,6 +714,29 @@ object ScaleProbe {
       synthesizeDecade(organicC, shards).write.mode("overwrite").parquet(dirC)
       println(profileClassifier(spark, "cls-1x", organicC))
       println(profileClassifier(spark, s"cls-${shards}x", spark.read.parquet(dirC)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "dsir" runs ONLY the DSIR selection probe —
+    // 1× vs 10× documents, the synthetic vocabulary growing with the
+    // corpus (decade tokens are shard-suffixed), lang re-attached
+    // deterministically at both scales so the target slice is the same
+    // SHARE of each corpus
+    if (args.headOption.contains("dsir")) {
+      def withLang(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("text"))
+        .withColumn("lang",
+          element_at(typedLit(Seq("en", "de", "es", "fr", "zh")),
+            pmod(col("doc_id"), lit(5L)).cast("int") + 1))
+      val organicD = withLang(spark.read.parquet(s"$sfDir/documents.parquet"))
+      val dirD = scratch("decade-dsir/documents")
+      withLang(synthesizeDecade(spark.read.parquet(s"$sfDir/documents.parquet"), 10))
+        .write.mode("overwrite").parquet(dirD)
+      // warm-up: JIT/codegen for the whole chain before timing
+      Pipeline.dsirTopK(organicD, organicD.where(col("lang") === "en"), 50).count()
+      println(profileDsir(spark, "dsir-1x", organicD))
+      println(profileDsir(spark, "dsir-10x", spark.read.parquet(dirD)))
       spark.stop()
       return
     }
