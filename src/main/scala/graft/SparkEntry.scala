@@ -1483,6 +1483,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D17 PER-EVAL-ITEM contamination report — p3's reverse direction (the
+    // GPT-3 appendix percent-clean stat): for each eval doc, the fraction
+    // of ITS 5-grams found anywhere in train; the train scan returns only
+    // the matched subset of the broadcast eval n-gram set, never
+    // corpus-scale rows
+    "d17_eval_overlap" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.Pipeline.evalContaminationReport(
+        dd.where(col("doc_id") % 97 =!= 0), dd.where(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    }),
+
     // Pipeline: token-budget curation — top 25% of docs by quality score,
     // ties by doc_id (rank-based: no interpolated quantile threshold)
     "p4_quality_sample" -> ((s, d) =>
@@ -3864,6 +3876,24 @@ object SparkEntry {
           "coalesce(s.n_shared, 0) > 0 AS contaminated " +
           "FROM documents d LEFT JOIN shared s USING (doc_id) " +
           "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"),
+      // d17: the reverse direction — per-eval-doc overlap against the
+      // train side's n-gram universe; fraction by the t9 integer round-6
+      "d17_eval_overlap" ->
+        (T + ", ng AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+          "range(1, len(t)-3), i -> array_to_string(t[i:i+4], ' ')))) AS ng FROM toks) " +
+          ", hit AS (SELECT DISTINCT e.ng FROM (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0) e " +
+          "JOIN (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 <> 0) t USING (ng)) " +
+          ", per AS (SELECT g.doc_id, count(*) AS n_grams, " +
+          "sum(CASE WHEN h.ng IS NOT NULL THEN 1 ELSE 0 END) AS n_hit " +
+          "FROM ng g LEFT JOIN hit h USING (ng) WHERE g.doc_id % 97 = 0 GROUP BY 1) " +
+          "SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams, " +
+          "coalesce(p.n_hit, 0)::BIGINT AS n_hit, " +
+          "CASE WHEN coalesce(p.n_grams, 0) > 0 THEN " +
+          "((1000000 * coalesce(p.n_hit, 0) + coalesce(p.n_grams, 0) // 2) " +
+          "// coalesce(p.n_grams, 0)) / 1000000.0 ELSE 0.0 END AS dirty_frac, " +
+          "coalesce(p.n_hit, 0) = 0 AS clean " +
+          "FROM documents d LEFT JOIN per p USING (doc_id) " +
+          "WHERE d.doc_id % 97 = 0 ORDER BY d.doc_id"),
       "x2_export" ->
         (M + "SELECT id, category, title FROM meta WHERE id BETWEEN '000001' AND '000100' ORDER BY id"),
       "s10_changefeed" ->

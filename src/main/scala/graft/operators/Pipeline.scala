@@ -205,6 +205,44 @@ object Pipeline {
       .withColumn("contaminated", col("n_shared") > 0)
   }
 
+  /** The REVERSE contamination report — per-EVAL-item dirtiness, the
+    * GPT-3 appendix methodology (Brown et al. 2020, "Measuring and
+    * Preventing Memorization"-style percent-clean tables): for each eval
+    * document, the fraction of ITS n-grams that appear anywhere in the
+    * training corpus, plus the `clean` flag (zero overlap). [[contamination]]
+    * answers "which TRAIN docs to drop"; this answers "how dirty is each
+    * BENCHMARK item" — the number a paper publishes per eval suite.
+    *
+    * Direction is what makes it scale-sound: the eval n-gram set is
+    * metadata-scale and broadcasts INTO the one train scan; the matched
+    * set coming back is bounded by the eval set (≤ |eval n-grams| rows,
+    * never corpus-sized), and the per-item fraction folds eval-side. The
+    * fraction is the exact HALF_UP 6-decimal integer division. Sub-n-token
+    * eval items carry no n-gram and report (0, 0, 0.0, clean).
+    */
+  def evalContaminationReport(train: DataFrame, evalDocs: DataFrame,
+                              n: Int = 5): DataFrame = {
+    val evalG = grams(evalDocs, n)
+    val evalSet = evalG.select("ng").distinct()
+    val hit = grams(train, n)
+      .join(broadcast(evalSet), Seq("ng"), "left_semi")
+      .select("ng").distinct()
+    val per = evalG
+      .join(broadcast(hit.withColumn("__h", lit(1L))), Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__h"), lit(0L))).as("n_hit"))
+    evalDocs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          TextAnalysis.roundDiv6(coalesce(col("n_hit"), lit(0L)),
+            coalesce(col("n_grams"), lit(0L))))
+          .otherwise(lit(0.0)).as("dirty_frac"),
+        (coalesce(col("n_hit"), lit(0L)) === 0L).as("clean"))
+  }
+
   /** Distinct word-n-grams per doc, tokens materialized behind a shuffle
     * barrier (shared by [[contamination]] and [[contaminationBloom]]).
     */

@@ -1550,6 +1550,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     blocked.subsetOf(truth) shouldBe true
   }
 
+  test("eval contamination report: full copy 1.0, partial overlap fractional, clean and sub-n items flagged clean") {
+    val trainTxt = "one two three four five six seven eight nine ten"
+    val train = Seq((100L, trainTxt), (101L, "other corpus content entirely")).toDF("doc_id", "text")
+    val evals = Seq(
+      (0L, trainTxt), // verbatim leak: every 5-gram in train
+      (1L, "one two three four five unrelated trailing words here now"), // 1 of 6 5-grams hits
+      (2L, "completely novel benchmark item nothing shared at all today"), // clean
+      (3L, "too short") // no 5-gram
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.evalContaminationReport(train, evals)
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    out(0) shouldBe ((0L, 6L, 6L, 1.0, false))
+    out(1)._3 shouldBe 1L // exactly the copied prefix 5-gram
+    out(1)._4 shouldBe (1.0 / 6 +- 1e-6)
+    out(1)._5 shouldBe false
+    out(2) shouldBe ((2L, 5L, 0L, 0.0, true))
+    out(3) shouldBe ((3L, 0L, 0L, 0.0, true))
+  }
+
   // --------------------------------------------------------- MMR rerank
 
   test("MMR demotes a near-duplicate of the top hit that pure relevance ranks second") {
