@@ -555,6 +555,12 @@ object SparkEntry {
     "q6_autocomplete" -> ((s, d) =>
       SearchExecutor.autocomplete(Corpus.metadata(s, d), prefix = "b")),
 
+    // Q10 PHRASE query (match_phrase, slop 0): adjacent in-order terms,
+    // ranked by exact phrase occurrences; analyzer symmetry exercised by
+    // querying with punctuation/case the tokenizer must strip
+    "q10_phrase_search" -> ((s, d) =>
+      SearchExecutor.phraseSearch(Corpus.metadata(s, d), "Red, PLATE!")),
+
     // Q7 spelling suggestion ("did you mean") — SymSpell deletion-blocked
     // edit-distance-1 candidates over the title dictionary, exact
     // levenshtein verifying only the key collisions; 'hod' resolves to
@@ -5656,6 +5662,16 @@ object SparkEntry {
         (M + s", terms AS (SELECT unnest(${stdToks("title")}) AS term FROM meta) " +
           "SELECT term, count(*) AS cnt FROM terms WHERE term LIKE 'b%' " +
           "GROUP BY term ORDER BY cnt DESC, term LIMIT 5"),
+      // q10: the same positional-conjunction occurrence count over the
+      // analyzed field — both engines count starts i with t[i]='red' and
+      // t[i+1]='plate'
+      "q10_phrase_search" ->
+        (M + s", tk AS (SELECT id, ${stdToks("dataSample")} AS t FROM meta) " +
+          ", occ AS (SELECT id, CASE WHEN len(t) >= 2 THEN " +
+          "len(list_filter(range(1, len(t)), i -> t[i] = 'red' AND t[i+1] = 'plate')) " +
+          "ELSE 0 END::BIGINT AS phrase_tf FROM tk) " +
+          "SELECT id, phrase_tf FROM occ WHERE phrase_tf > 0 " +
+          "ORDER BY phrase_tf DESC, id LIMIT 10"),
       // q7: the oracle scans the whole dictionary with exact levenshtein —
       // the engine's deletion-key blocking must recall every d<=1 term
       "q7_spell_suggest" ->

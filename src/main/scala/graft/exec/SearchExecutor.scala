@@ -166,6 +166,46 @@ object SearchExecutor {
       .groupBy("term").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(k)
 
+  /** PHRASE query — the match_phrase of the search lineage: entries whose
+    * analyzed field contains the query terms ADJACENT and IN ORDER
+    * (slop 0), ranked by exact phrase-occurrence count desc, id asc.
+    * The phrase analyzes with the corpus-standard tokenizer, so "Red,
+    * PLATE!" and "red plate" are the same query — the analyzer-symmetry
+    * rule every ES phrase query obeys.
+    *
+    * Occurrence counting is one pass over the token array per row: for
+    * each start position, a conjunction of L positional equalities —
+    * a narrow per-row projection with NO join, shuffle only for the
+    * final TakeOrdered top-k. Sub-L-token rows short-circuit to 0 (also
+    * guarding Spark's descending-sequence surprise: sequence(1, 0) is
+    * [1, 0], not empty). At 100 TB this is scan-bound like every text
+    * gate; the inverted-index acceleration (probe the rarest term's
+    * postings first) composes upstream as a pushed term filter —
+    * phrase_tf > 0 implies every term present, so a term-level
+    * pre-filter loses nothing.
+    */
+  def phraseSearch(entries: DataFrame, phrase: String,
+                   field: String = "dataSample", k: Int = 10): DataFrame = {
+    val terms = graft.analyzers.Analyzers.standardTokensScala(phrase)
+    require(terms.nonEmpty, s"phrase '$phrase' analyzes to no terms")
+    val L = terms.length
+    val t = graft.analyzers.Analyzers.standardTokens(col(field))
+    val matchAt: org.apache.spark.sql.Column => org.apache.spark.sql.Column = i =>
+      terms.zipWithIndex.map { case (w, j) =>
+        element_at(col("__t"), (i + lit(j)).cast("int")) === lit(w)
+      }.reduce(_ && _)
+    entries
+      .select(col("id"), t.as("__t"))
+      .select(col("id"),
+        when(size(col("__t")) >= L,
+          size(filter(sequence(lit(1), size(col("__t")) - lit(L - 1)),
+            matchAt)))
+          .otherwise(lit(0)).cast("long").as("phrase_tf"))
+      .where(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Spelling suggestion — the term-suggester of the search lineage (the
     * "did you mean" companion of [[autocomplete]]): top-k title terms
     * within edit distance 1 of the query term, ranked by corpus frequency

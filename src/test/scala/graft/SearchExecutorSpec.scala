@@ -131,4 +131,20 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
       got shouldBe brute
     }
   }
+
+  test("phrase search: adjacency and order required, analyzer symmetry, tf ranking with id ties") {
+    import spark.implicits._
+    val entries = Seq(
+      ("001", "red plate red plate here"), // 2 occurrences
+      ("002", "a red plate on the shelf"), // 1
+      ("003", "plate red order reversed"), // order matters → no match
+      ("004", "red shiny plate not adjacent"), // adjacency matters → no match
+      ("005", "the Red, PLATE! punctuated"), // analyzer strips case/punct → 1
+      ("006", "red"), // shorter than the phrase → guarded, no match
+      ("007", "nothing relevant")
+    ).toDF("id", "dataSample")
+    val out = SearchExecutor.phraseSearch(entries, "Red, PLATE!", k = 10)
+      .as[(String, Long)].collect().toSeq
+    out shouldBe Seq(("001", 2L), ("002", 1L), ("005", 1L))
+  }
 }
