@@ -555,6 +555,12 @@ object SparkEntry {
     "q6_autocomplete" -> ((s, d) =>
       SearchExecutor.autocomplete(Corpus.metadata(s, d), prefix = "b")),
 
+    // Q11 BM25 (Okapi) scoring — the modern lineage default (ES 5+): the
+    // forward twin of q4/q5's ES 2.x parity scoring, same maintainable
+    // df/N statistic plus one avgdl aggregate, one narrow scoring pass
+    "q11_bm25" -> ((s, d) =>
+      SearchExecutor.bm25Search(Corpus.metadata(s, d), Seq("red", "widget"))),
+
     // Q10 PHRASE query (match_phrase, slop 0): adjacent in-order terms,
     // ranked by exact phrase occurrences; analyzer symmetry exercised by
     // querying with punctuation/case the tokenizer must strip
@@ -5662,6 +5668,32 @@ object SparkEntry {
         (M + s", terms AS (SELECT unnest(${stdToks("title")}) AS term FROM meta) " +
           "SELECT term, count(*) AS cnt FROM terms WHERE term LIKE 'b%' " +
           "GROUP BY term ORDER BY cnt DESC, term LIMIT 5"),
+      // q11: full BM25 re-derivation — df/N/avgdl from the corpus, the
+      // identical per-term arithmetic in the identical order; k1/b
+      // constants interpolated from the SAME Scala doubles the engine
+      // uses (round-trip rendering → identical parsed values), ln's libm
+      // ulp absorbed by round-4 (the t11 rule)
+      "q11_bm25" -> {
+        val k1 = 1.2
+        val b = 0.75
+        val terms = Seq("red", "widget")
+        val termSql = terms.map { t =>
+          s"(ln(1.0 + ((st.n - st.df_$t)::DOUBLE + 0.5) / (st.df_$t::DOUBLE + 0.5)) * " +
+            s"(tf_$t * ${k1 + 1}) / (tf_$t + $k1 * (${1 - b} + $b * dl / st.avgdl)))"
+        }.mkString(" + ")
+        M + s", tk AS (SELECT id, ${stdToks("dataSample")} AS t FROM meta) " +
+          ", st AS (SELECT count(*) AS n, " +
+          terms.map(t =>
+            s"sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS df_$t")
+            .mkString(", ") +
+          ", (sum(len(t))::DOUBLE / count(*)) AS avgdl FROM tk) " +
+          ", sc AS (SELECT id, round(" + termSql + ", 4) AS bm25 " +
+          "FROM (SELECT id, len(t)::DOUBLE AS dl, " +
+          terms.map(t => s"len(list_filter(t, x -> x = '$t'))::DOUBLE AS tf_$t")
+            .mkString(", ") +
+          " FROM tk), st) " +
+          "SELECT id, bm25 FROM sc WHERE bm25 > 0 ORDER BY bm25 DESC, id LIMIT 10"
+      },
       // q10: the same positional-conjunction occurrence count over the
       // analyzed field — both engines count starts i with t[i]='red' and
       // t[i+1]='plate'

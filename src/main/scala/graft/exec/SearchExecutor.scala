@@ -166,6 +166,59 @@ object SearchExecutor {
       .groupBy("term").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(k)
 
+  /** BM25 scoring — the modern default the search lineage MOVED TO (ES 5+
+    * replaced the reference's ES 2.x TF-IDF with Okapi BM25; Robertson &
+    * Zaragoza 2009): per term,
+    *
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf = ln(1 + (N − df + 0.5)/(df + 0.5))      (the Lucene form)
+    *
+    * summed over query terms in a FIXED order (determinism: the per-term
+    * addition order is part of the contract). Beside q4/q5's ES 2.x
+    * ordering-parity scoring, this is the forward-compatibility twin.
+    *
+    * Stats discipline: df/N come from [[QueryCompiler.idfStatsTable]] (the
+    * q8/e15-maintainable statistic — BM25 inherits the same incremental
+    * maintenance story), avgdl is one 1-row aggregate; all three are
+    * driver-collected broadcast-scale constants, so scoring is ONE narrow
+    * codegen'd pass over the corpus with no join and a TakeOrdered top-k.
+    * Cross-engine: every constant is an exact integer or a round-trip-
+    * rendered double; only `ln` differs by libm ulp, absorbed by the
+    * round-4 output (the t11 precedent). Zero-df terms contribute nothing
+    * (their idf would be ln of the N+0.5/0.5 ratio on no matches — tf=0
+    * zeroes the term anyway).
+    */
+  def bm25Search(entries: DataFrame, terms: Seq[String],
+                 field: String = "dataSample", k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    val stats = graft.compile.QueryCompiler.idfStatsTable(entries, terms, field)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = stats.values.headOption.map(_._2).getOrElse(0L)
+    val agg = entries.agg(
+      sum(coalesce(size(graft.analyzers.Analyzers.standardTokens(col(field))),
+        lit(0))).cast("long"),
+      org.apache.spark.sql.functions.count(lit(1))).collect()(0)
+    val avgdl = if (agg.getLong(1) == 0) 1.0
+      else agg.getLong(0).toDouble / agg.getLong(1)
+    val toks = graft.analyzers.Analyzers.standardTokens(col(field))
+    val withT = entries.select(col("id"), coalesce(toks,
+      array().cast("array<string>")).as("__t"))
+    val dl = size(col("__t")).cast("double")
+    val score = terms.distinct.map { t =>
+      val df = stats(t)._1
+      val idf = log(lit(1.0) + (lit((n - df).toDouble) + lit(0.5)) /
+        (lit(df.toDouble) + lit(0.5)))
+      val tf = size(filter(col("__t"), x => x === lit(t))).cast("double")
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    withT.select(col("id"), round(score, 4).as("bm25"))
+      .where(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** PHRASE query — the match_phrase of the search lineage: entries whose
     * analyzed field contains the query terms ADJACENT and IN ORDER
     * (slop 0), ranked by exact phrase-occurrence count desc, id asc.

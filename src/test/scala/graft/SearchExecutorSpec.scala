@@ -132,6 +132,28 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("BM25: tf saturation, length normalization, b=0 disables it, zero-match docs absent") {
+    import spark.implicits._
+    val entries = Seq(
+      ("001", "red apple basket"), // tf=1, dl=3
+      ("002", "red red apple"), // tf=2, dl=3
+      ("003", "red apple basket extra words padding length much longer here"), // tf=1, dl=10
+      ("004", "nothing relevant at all")
+    ).toDF("id", "dataSample")
+    val s = SearchExecutor.bm25Search(entries, Seq("red"), k = 10)
+      .as[(String, Double)].collect().toMap
+    s.keySet shouldBe Set("001", "002", "003") // no zero-score rows
+    // saturation: more tf scores higher, but sub-linearly
+    s("002") should be > s("001")
+    s("002") should be < (2 * s("001"))
+    // length normalization: same tf, longer doc scores lower
+    s("003") should be < s("001")
+    // b = 0 switches length normalization off: 001 and 003 tie exactly
+    val s0 = SearchExecutor.bm25Search(entries, Seq("red"), k = 10, b = 0.0)
+      .as[(String, Double)].collect().toMap
+    s0("003") shouldBe s0("001")
+  }
+
   test("phrase search: adjacency and order required, analyzer symmetry, tf ranking with id ties") {
     import spark.implicits._
     val entries = Seq(
