@@ -2276,6 +2276,29 @@ object SparkEntry {
     // batches). Assignment is a pure per-row function, so batching cannot
     // change the index — the post-stream partial-probe search is held to
     // the same exact-cosine oracle as v8's monolithic append
+    // E25 STREAMING DEDUP-INDEX ingest: the d9 signature index kept
+    // current by the stream — per-batch signatures land as idempotent
+    // batch directories (base at batch=-1), and the incremental pair
+    // check then runs from SIGNATURES ALONE on both sides (no text
+    // re-read anywhere); same expected pairs as d9, same honest
+    // text-recomputing oracle
+    "e25_stream_dedup_ingest" -> ((s, d) => {
+      val all = plantedTruncDocs(s, d)
+      val dir = scratch("e25-sigidx")
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+      graft.operators.Dedup.signatureIndex(all.where(col("doc_id") < 300000L))
+        .write.mode("overwrite").parquet(s"$dir/batch=-1")
+      val landing = scratch("e25-landing")
+      all.where(col("doc_id") >= 300000L).repartition(4)
+        .write.mode("overwrite").parquet(landing)
+      EventStream.streamSignatureIngest(s, landing, dir)
+      val idx = s.read.parquet(dir).select("doc_id", "sig")
+      graft.operators.Dedup.incrementalPairsFromIndex(
+          idx.where(col("doc_id") < 300000L),
+          idx.where(col("doc_id") >= 300000L), threshold = 0.6)
+        .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
+
     "e11_stream_index_ingest" -> ((s, d) => {
       val all = plantedTopKEmb(s, d)
       val base = all.where(col("vec_id") < 200000L)
@@ -4418,6 +4441,13 @@ object SparkEntry {
       // d9: the corpus×batch restriction of d3's exact-Jaccard ground truth
       // (batch ids start at 300000; the margin argument is d3's)
       "d9_incremental_dedup" ->
+        (TruncDocsCte + JaccardChain +
+          "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.6 " +
+          "AND a_id < 300000 AND b_id >= 300000 ORDER BY a_id, b_id"),
+      // e25: the stream-maintained signature index must answer the SAME
+      // incremental dedup as d9 — identical expected pairs, identical
+      // honest text-recomputing oracle
+      "e25_stream_dedup_ingest" ->
         (TruncDocsCte + JaccardChain +
           "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.6 " +
           "AND a_id < 300000 AND b_id >= 300000 ORDER BY a_id, b_id"),

@@ -289,9 +289,20 @@ object Dedup {
     */
   def incrementalMinhashPairs(corpusIndex: DataFrame, batch: DataFrame,
                               k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
-                              shingleN: Int = 3): DataFrame = {
+                              shingleN: Int = 3): DataFrame =
+    incrementalPairsFromIndex(corpusIndex, signatureIndex(batch, k, shingleN),
+      k, bands, threshold)
+
+  /** [[incrementalMinhashPairs]] when the batch signatures ALREADY live in
+    * an index — the read side of streaming signature ingest (e25): both
+    * sides are (doc_id, sig) rows, no text is touched anywhere. Same
+    * banding/verify math; id spaces must be disjoint.
+    */
+  def incrementalPairsFromIndex(corpusIndex: DataFrame, batchIndex: DataFrame,
+                                k: Int = 64, bands: Int = 16,
+                                threshold: Double = 0.8): DataFrame = {
     val corpusSigs = corpusIndex.repartition(col("doc_id"))
-    val batchSigs = signatureIndex(batch, k, shingleN).repartition(col("doc_id"))
+    val batchSigs = batchIndex.repartition(col("doc_id"))
     // ids-only through the pair dedup (the minhashPairs two-phase pattern);
     // banding and verify are shared with minhashPairs — identical math is
     // the operator's contract

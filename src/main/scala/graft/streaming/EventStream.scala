@@ -1237,6 +1237,33 @@ object EventStream {
     stale.length + fold.length
   }
 
+  /** STREAMING dedup-signature ingest — e11's discipline pointed at the
+    * d9 signature index: each arriving document micro-batch lands its
+    * MinHash signatures as an idempotent `batch=<id>/` directory under
+    * the index root (replay overwrites its own directory, never
+    * duplicates — the e15 rule), so the persisted index the incremental
+    * dedup probes is kept current BY THE STREAM and corpus text is never
+    * re-read. Per-batch cost is one narrow signature pass over the batch;
+    * the index accretes one directory per batch (compact with the
+    * v18/e16 threshold discipline when file count binds).
+    */
+  def streamSignatureIngest(spark: SparkSession, landingDir: String,
+                            indexDir: String): Unit = {
+    val docs = spark.readStream
+      .schema(spark.read.parquet(landingDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$indexDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.signatureIndex(batch)
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   def streamIngestToIndex(spark: SparkSession, landingDir: String,
                           cents: Seq[Seq[Float]], indexDir: String): Unit = {
     val vecs = spark.readStream

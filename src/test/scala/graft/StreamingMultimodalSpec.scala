@@ -574,6 +574,38 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     sampled.foreach(_.getInt(1) shouldBe 4) // 16 bytes, stride 4
   }
 
+  test("streaming signature ingest: index-only pairs equal the text-path incremental dedup; replay overwrites") {
+    import graft.streaming.EventStream
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-sig-spec").toString
+    val ds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = ds.where($"doc_id" % 3 =!= 0L)
+    val batch = ds.where($"doc_id" % 3 === 0L)
+    Dedup.signatureIndex(base).write.parquet(s"$root/idx/batch=-1")
+    batch.repartition(3).write.parquet(s"$root/landing")
+    EventStream.streamSignatureIngest(spark, s"$root/landing", s"$root/idx")
+    def pairs(): Set[(Long, Long)] = {
+      val idx = spark.read.parquet(s"$root/idx").select("doc_id", "sig")
+      Dedup.incrementalPairsFromIndex(
+          idx.where($"doc_id" % 3 =!= 0L), idx.where($"doc_id" % 3 === 0L),
+          threshold = 0.6)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    }
+    val viaIndex = pairs()
+    // the text path (d9's operator) must agree exactly — the index lost nothing
+    val viaText = Dedup.incrementalMinhashPairs(
+        Dedup.signatureIndex(base), batch, threshold = 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    viaIndex shouldBe viaText
+    // replayed batch directory rewrites in place: same signatures, same pairs
+    val b0 = spark.read.parquet(s"$root/idx/batch=0")
+    val rows = b0.collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), b0.schema)
+      .write.mode("overwrite").parquet(s"$root/idx/batch=0")
+    spark.catalog.refreshByPath(s"$root/idx")
+    pairs() shouldBe viaIndex
+  }
+
   test("DSIR raw-model stream fold: batch deltas re-sum to the direct raw counts; replay overwrites, never duplicates") {
     import graft.streaming.EventStream
     import graft.operators.Pipeline
