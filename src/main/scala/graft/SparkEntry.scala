@@ -2292,7 +2292,30 @@ object SparkEntry {
       all.where(col("doc_id") >= 300000L).repartition(4)
         .write.mode("overwrite").parquet(landing)
       EventStream.streamSignatureIngest(s, landing, dir)
-      val idx = s.read.parquet(dir).select("doc_id", "sig")
+      val idx = EventStream.readSignatureIndex(s, dir)
+      graft.operators.Dedup.incrementalPairsFromIndex(
+          idx.where(col("doc_id") < 300000L),
+          idx.where(col("doc_id") >= 300000L), threshold = 0.6)
+        .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
+
+    // E26 SIGNATURE-LOG compaction: the e16/e21 lifecycle discipline on
+    // the third log type — aged batch directories fold into the batch=-1
+    // segment by PLAIN UNION (row concatenation, trivially order-free),
+    // horizon marker advanced; the compacted index must answer the SAME
+    // incremental dedup (row-identical by construction), same oracle
+    "e26_sig_log_compaction" -> ((s, d) => {
+      val all = plantedTruncDocs(s, d)
+      val dir = scratch("e26-sigidx")
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+      graft.operators.Dedup.signatureIndex(all.where(col("doc_id") < 300000L))
+        .write.mode("overwrite").parquet(s"$dir/batch=-1")
+      val landing = scratch("e26-landing")
+      all.where(col("doc_id") >= 300000L).repartition(4)
+        .write.mode("overwrite").parquet(landing)
+      EventStream.streamSignatureIngest(s, landing, dir)
+      EventStream.compactSignatureIndexLog(s, dir, upToBatch = 2L)
+      val idx = EventStream.readSignatureIndex(s, dir)
       graft.operators.Dedup.incrementalPairsFromIndex(
           idx.where(col("doc_id") < 300000L),
           idx.where(col("doc_id") >= 300000L), threshold = 0.6)
@@ -4448,6 +4471,12 @@ object SparkEntry {
       // incremental dedup as d9 — identical expected pairs, identical
       // honest text-recomputing oracle
       "e25_stream_dedup_ingest" ->
+        (TruncDocsCte + JaccardChain +
+          "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.6 " +
+          "AND a_id < 300000 AND b_id >= 300000 ORDER BY a_id, b_id"),
+      // e26: compaction is a physical row-identical rewrite — the folded
+      // index answers the same pairs
+      "e26_sig_log_compaction" ->
         (TruncDocsCte + JaccardChain +
           "SELECT a_id, b_id FROM jac WHERE jaccard >= 0.6 " +
           "AND a_id < 300000 AND b_id >= 300000 ORDER BY a_id, b_id"),

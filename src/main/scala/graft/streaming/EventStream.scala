@@ -1237,6 +1237,70 @@ object EventStream {
     stale.length + fold.length
   }
 
+  /** Horizon-aware read of a streamed signature index ([[streamSignatureIngest]]'s
+    * layout: `batch=<id>/` dirs directly under the index root, base and
+    * compact segment at `batch=-1`): live batches above the compaction
+    * horizon plus the segment — a stale sub-horizon replay directory is
+    * ignored, the e16 reader rule.
+    */
+  def readSignatureIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val horizon = idfCompactionHorizon(indexDir)
+    spark.read.parquet(indexDir)
+      .where(col("batch") > horizon || col("batch") === -1L)
+      .select("doc_id", "sig")
+  }
+
+  /** Compact the signature-index batch log — the e16/e21 lifecycle
+    * discipline on the THIRD log type: [[streamSignatureIngest]] accretes
+    * one directory per micro-batch forever, and signatures fold by PLAIN
+    * UNION (rows, not sums — concatenation is trivially order-free, so
+    * compaction is optional by algebra and purely physical). Rewrites the
+    * base segment plus every batch in `(horizon, upToBatch]` into ONE
+    * `batch=-1` segment (row-identical by construction), advances the
+    * horizon marker, sweeps folded and stale directories. Same staging
+    * crash rule and single-writer contract as [[compactIdfDeltaLog]];
+    * `upToBatch` must lie below the stream's committed checkpoint offset.
+    * Returns the number of directories folded or swept.
+    */
+  def compactSignatureIndexLog(spark: SparkSession, indexDir: String,
+                               upToBatch: Long): Int = {
+    val horizon = idfCompactionHorizon(indexDir)
+    val root = java.nio.file.Paths.get(indexDir)
+    def batchId(p: java.nio.file.Path): Option[Long] = {
+      val n = p.getFileName.toString
+      if (n.startsWith("batch=")) scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+      else None
+    }
+    val dirs = graft.util.FsUtil.listDir(root)(
+      _.flatMap(p => batchId(p).map(p -> _)).toSeq)
+    val stale = dirs.filter { case (_, id) => id >= 0 && id <= horizon }
+    val fold = dirs.filter { case (_, id) => id > horizon && id <= upToBatch }
+    if (fold.isEmpty && stale.isEmpty) return 0
+    val staging = s"$indexDir-compact-stage"
+    if (fold.nonEmpty) {
+      spark.read.parquet(indexDir)
+        .where((col("batch") > horizon && col("batch") <= upToBatch) ||
+          col("batch") === -1L)
+        .select("doc_id", "sig")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+    (stale ++ fold).foreach { case (p, _) =>
+      graft.util.FsUtil.deleteRecursively(p)
+    }
+    if (fold.nonEmpty) {
+      graft.util.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(s"$indexDir/batch=-1"))
+      spark.read.parquet(staging).coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/batch=-1")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(indexDir, "_compacted_up_to"),
+        math.max(horizon, upToBatch).toString)
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
+    }
+    spark.catalog.refreshByPath(indexDir)
+    stale.length + fold.length
+  }
+
   /** STREAMING dedup-signature ingest — e11's discipline pointed at the
     * d9 signature index: each arriving document micro-batch lands its
     * MinHash signatures as an idempotent `batch=<id>/` directory under
@@ -1244,8 +1308,10 @@ object EventStream {
     * duplicates — the e15 rule), so the persisted index the incremental
     * dedup probes is kept current BY THE STREAM and corpus text is never
     * re-read. Per-batch cost is one narrow signature pass over the batch;
-    * the index accretes one directory per batch (compact with the
-    * v18/e16 threshold discipline when file count binds).
+    * the index accretes one directory per batch —
+    * [[compactSignatureIndexLog]] folds aged directories into the
+    * `batch=-1` segment when the directory count binds, and
+    * [[readSignatureIndex]] is the horizon-aware reader.
     */
   def streamSignatureIngest(spark: SparkSession, landingDir: String,
                             indexDir: String): Unit = {

@@ -604,6 +604,39 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
       .write.mode("overwrite").parquet(s"$root/idx/batch=0")
     spark.catalog.refreshByPath(s"$root/idx")
     pairs() shouldBe viaIndex
+
+    // compaction: batches 0..1 fold into the batch=-1 segment — pure
+    // physical rewrite, same signature rows, same pairs (read through the
+    // horizon-aware reader, the e26 path)
+    def pairs2(): Set[(Long, Long)] = {
+      val i2 = EventStream.readSignatureIndex(spark, s"$root/idx")
+      Dedup.incrementalPairsFromIndex(
+          i2.where($"doc_id" % 3 =!= 0L), i2.where($"doc_id" % 3 === 0L),
+          threshold = 0.6)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    }
+    def dirs(): Set[String] = graft.util.FsUtil.listDir(
+      java.nio.file.Paths.get(s"$root/idx"))(
+      _.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet)
+    val preRows = EventStream.readSignatureIndex(spark, s"$root/idx")
+      .as[(Long, Seq[Long])].collect().toSet
+    EventStream.compactSignatureIndexLog(spark, s"$root/idx", 1L) shouldBe 2
+    dirs() shouldBe Set("batch=-1", "batch=2")
+    EventStream.readSignatureIndex(spark, s"$root/idx")
+      .as[(Long, Seq[Long])].collect().toSet shouldBe preRows
+    pairs2() shouldBe viaIndex
+    // a stale replay re-creates a compacted batch dir: the horizon-aware
+    // reader ignores it, and the next compaction sweeps it as stale
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), b0.schema)
+      .write.parquet(s"$root/idx/batch=0")
+    spark.catalog.refreshByPath(s"$root/idx")
+    EventStream.readSignatureIndex(spark, s"$root/idx")
+      .as[(Long, Seq[Long])].collect().toSet shouldBe preRows
+    EventStream.compactSignatureIndexLog(spark, s"$root/idx", 2L) shouldBe 2
+    dirs() shouldBe Set("batch=-1")
+    // a further pass is a no-op
+    EventStream.compactSignatureIndexLog(spark, s"$root/idx", 2L) shouldBe 0
+    pairs2() shouldBe viaIndex
   }
 
   test("DSIR raw-model stream fold: batch deltas re-sum to the direct raw counts; replay overwrites, never duplicates") {
