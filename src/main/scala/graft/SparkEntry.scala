@@ -970,7 +970,29 @@ object SparkEntry {
       EventStream.streamClassifierDeltaFold(s, src, deltas)
       TextAnalysis.classifierWeights(
           TextAnalysis.classifierCountsWithDeltas(base,
-            s.read.parquet(s"$deltas/batches")))
+            EventStream.readDeltaLog(s, deltas)))
+        .orderBy(abs(col("weight_micros")).desc, col("token"))
+    }),
+
+    // E27 CLASSIFIER-LOG compaction: the generic per-key sum-log fold
+    // (compactSumLog) pointed at the (token, pc, nc) count log — aged
+    // batches collapse into batch=-1, horizon advanced, and the retrained
+    // weights must be IDENTICAL (exact long sums, fold hash-invariant);
+    // e19's from-scratch oracle verbatim
+    "e27_classifier_log_compaction" -> ((s, d) => {
+      val src = scratch("e27-src")
+      val deltas = scratch("e27-deltas")
+      val ds = docs(s, d)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        ds.where(col("doc_id") >= 300).repartition(4).write.parquet(src)
+      }
+      val base = TextAnalysis.classifierCounts(ds.where(col("doc_id") < 300))
+      EventStream.streamClassifierDeltaFold(s, src, deltas)
+      EventStream.compactSumLog(s, deltas, upToBatch = 2L,
+        Seq("token"), Seq("pc", "nc"))
+      TextAnalysis.classifierWeights(
+          TextAnalysis.classifierCountsWithDeltas(base,
+            EventStream.readDeltaLog(s, deltas)))
         .orderBy(abs(col("weight_micros")).desc, col("token"))
     }),
 
@@ -4327,6 +4349,12 @@ object SparkEntry {
       // e19: the streamed fold must equal the from-scratch retrain over
       // the whole corpus — t20's oracle verbatim
       "e19_stream_classifier_fold" ->
+        (T + microsCte("q") + classifierWtsCte +
+          "SELECT token, weight_micros FROM wts " +
+          "ORDER BY abs(weight_micros) DESC, token LIMIT 256"),
+      // e27: compaction is invisible to the statistic — same from-scratch
+      // retrain oracle as e19
+      "e27_classifier_log_compaction" ->
         (T + microsCte("q") + classifierWtsCte +
           "SELECT token, weight_micros FROM wts " +
           "ORDER BY abs(weight_micros) DESC, token LIMIT 256"),

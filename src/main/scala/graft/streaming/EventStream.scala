@@ -1237,6 +1237,59 @@ object EventStream {
     stale.length + fold.length
   }
 
+  /** Compact a GENERIC per-key sum log — the e16 lifecycle for any delta
+    * log whose rows are (keys..., sums...) with no per-batch scalar (the
+    * classifier count log's (token, pc, nc) shape): fold the compact
+    * segment plus every batch in `(horizon, upToBatch]` into ONE
+    * `batch=-1` segment by groupBy(keys).sum(sums) — exact longs, so the
+    * compacted fold hash-matches the uncompacted fold — then advance the
+    * horizon marker and sweep folded and stale directories. Same staging
+    * crash rule, single-writer contract, and below-checkpoint `upToBatch`
+    * requirement as [[compactIdfDeltaLog]] (which stays bespoke for its
+    * per-batch `d_n` scalar, as does [[compactTopKCountLog]] for its
+    * pruning semantics). Returns directories folded or swept.
+    */
+  def compactSumLog(spark: SparkSession, deltaDir: String, upToBatch: Long,
+                    keyCols: Seq[String], sumCols: Seq[String]): Int = {
+    val horizon = idfCompactionHorizon(deltaDir)
+    val batchesDir = java.nio.file.Paths.get(deltaDir, "batches")
+    def batchId(p: java.nio.file.Path): Option[Long] = {
+      val n = p.getFileName.toString
+      if (n.startsWith("batch=")) scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+      else None
+    }
+    val dirs = graft.util.FsUtil.listDir(batchesDir)(
+      _.flatMap(p => batchId(p).map(p -> _)).toSeq)
+    val stale = dirs.filter { case (_, id) => id >= 0 && id <= horizon }
+    val fold = dirs.filter { case (_, id) => id > horizon && id <= upToBatch }
+    if (fold.isEmpty && stale.isEmpty) return 0
+    val staging = s"$deltaDir/compact-stage"
+    if (fold.nonEmpty) {
+      spark.read.parquet(s"$deltaDir/batches")
+        .where((col("batch") > horizon && col("batch") <= upToBatch) ||
+          col("batch") === -1L)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(sumCols.head).as(sumCols.head),
+          sumCols.tail.map(c => sum(c).as(c)): _*)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+    (stale ++ fold).foreach { case (p, _) =>
+      graft.util.FsUtil.deleteRecursively(p)
+    }
+    if (fold.nonEmpty) {
+      graft.util.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(s"$deltaDir/batches/batch=-1"))
+      spark.read.parquet(staging).coalesce(1)
+        .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=-1")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(deltaDir, "_compacted_up_to"),
+        math.max(horizon, upToBatch).toString)
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
+    }
+    spark.catalog.refreshByPath(s"$deltaDir/batches")
+    stale.length + fold.length
+  }
+
   /** Horizon-aware read of a streamed signature index ([[streamSignatureIngest]]'s
     * layout: `batch=<id>/` dirs directly under the index root, base and
     * compact segment at `batch=-1`): live batches above the compaction

@@ -639,6 +639,44 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     pairs2() shouldBe viaIndex
   }
 
+  test("generic sum-log compaction: classifier counts fold-invariant, stale replay ignored, second pass a no-op") {
+    import graft.streaming.EventStream
+    import graft.operators.TextAnalysis
+    val root = java.nio.file.Files.createTempDirectory("graft-clslog-spec").toString
+    val ds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ds.where($"doc_id" % 2 === 0L).repartition(3).write.parquet(s"$root/src")
+    val base = TextAnalysis.classifierCounts(ds.where($"doc_id" % 2 =!= 0L))
+    EventStream.streamClassifierDeltaFold(spark, s"$root/src", s"$root/deltas")
+    def folded(): Map[String, (Long, Long)] =
+      TextAnalysis.classifierCountsWithDeltas(base,
+          EventStream.readDeltaLog(spark, s"$root/deltas"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def dirs(): Set[String] = graft.util.FsUtil.listDir(
+      java.nio.file.Paths.get(s"$root/deltas/batches"))(
+      _.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet)
+    dirs() shouldBe Set("batch=0", "batch=1", "batch=2")
+    val before = folded()
+    val replay = spark.read.parquet(s"$root/deltas/batches/batch=1").drop("batch").collect()
+    val replaySchema = spark.read.parquet(s"$root/deltas/batches/batch=1").drop("batch").schema
+    EventStream.compactSumLog(spark, s"$root/deltas", 1L,
+      Seq("token"), Seq("pc", "nc")) shouldBe 2
+    dirs() shouldBe Set("batch=-1", "batch=2")
+    folded() shouldBe before // compaction invisible to the statistic
+    // a stale replay re-creates a compacted batch with its original
+    // content — the horizon-aware reader must ignore it
+    spark.createDataFrame(spark.sparkContext.parallelize(replay.toSeq, 1), replaySchema)
+      .write.parquet(s"$root/deltas/batches/batch=1")
+    spark.catalog.refreshByPath(s"$root/deltas/batches")
+    folded() shouldBe before
+    // re-compaction sweeps the stale replay without re-folding it
+    EventStream.compactSumLog(spark, s"$root/deltas", 2L,
+      Seq("token"), Seq("pc", "nc")) shouldBe 2
+    dirs() shouldBe Set("batch=-1")
+    folded() shouldBe before
+    EventStream.compactSumLog(spark, s"$root/deltas", 2L,
+      Seq("token"), Seq("pc", "nc")) shouldBe 0
+  }
+
   test("DSIR raw-model stream fold: batch deltas re-sum to the direct raw counts; replay overwrites, never duplicates") {
     import graft.streaming.EventStream
     import graft.operators.Pipeline
