@@ -848,7 +848,7 @@ object SparkEntry {
       // the frozen feature list: ≤256 strings, a codebook-scale snapshot
       val feats = vocab.select("feat").collect().map(_.getString(0)).toSeq
       EventStream.streamDsirRawFold(s, src, deltas, feats)
-      val rawCnt = s.read.parquet(s"$deltas/batches")
+      val rawCnt = EventStream.readDeltaLog(s, deltas)
         .groupBy("feat").agg(sum("d_rc").as("rc"))
       val lr = graft.operators.Pipeline.dsirLogRatio(vocab, rawCnt, 256)
       graft.operators.Pipeline.dsirTopKFromWeights(

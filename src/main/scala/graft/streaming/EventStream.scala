@@ -1039,7 +1039,10 @@ object EventStream {
     * batch-free recompute EXACTLY (integer counts — no float fold). A
     * replayed batch overwrites its own directory, never duplicates.
     * Per-batch cost is the batch tokenize + a ≤|vocab|-row aggregate;
-    * the corpus is never rescanned.
+    * the corpus is never rescanned. The log is a pure per-key sum log —
+    * (feat, d_rc) with no per-batch scalar — so [[compactSumLog]] (the
+    * e27 machinery, `keyCols = Seq("feat")`, `sumCols = Seq("d_rc")`)
+    * folds aged batches when the directory count binds.
     */
   def streamDsirRawFold(spark: SparkSession, srcDir: String, deltaDir: String,
                         vocabFeats: Seq[String]): Unit = {
