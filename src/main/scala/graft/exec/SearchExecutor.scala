@@ -209,7 +209,8 @@ object SearchExecutor {
       val df = stats(t)._1
       val idf = log(lit(1.0) + (lit((n - df).toDouble) + lit(0.5)) /
         (lit(df.toDouble) + lit(0.5)))
-      val tf = size(filter(col("__t"), x => x === lit(t))).cast("double")
+      // L=1 phrase count ≡ term frequency — the same native kernel
+      val tf = graft.functions.Tokenize.phraseCount(col("__t"), Seq(t)).cast("double")
       idf * (tf * lit(k1 + 1)) /
         (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avgdl)))
     }.reduce(_ + _)
@@ -241,19 +242,13 @@ object SearchExecutor {
                    field: String = "dataSample", k: Int = 10): DataFrame = {
     val terms = graft.analyzers.Analyzers.standardTokensScala(phrase)
     require(terms.nonEmpty, s"phrase '$phrase' analyzes to no terms")
-    val L = terms.length
     val t = graft.analyzers.Analyzers.standardTokens(col(field))
-    val matchAt: org.apache.spark.sql.Column => org.apache.spark.sql.Column = i =>
-      terms.zipWithIndex.map { case (w, j) =>
-        element_at(col("__t"), (i + lit(j)).cast("int")) === lit(w)
-      }.reduce(_ && _)
+    // native one-loop occurrence kernel (codegen'd; the interpreted HOF
+    // twin is parity-spec-pinned in TokenizeExprSpec)
     entries
       .select(col("id"), t.as("__t"))
       .select(col("id"),
-        when(size(col("__t")) >= L,
-          size(filter(sequence(lit(1), size(col("__t")) - lit(L - 1)),
-            matchAt)))
-          .otherwise(lit(0)).cast("long").as("phrase_tf"))
+        graft.functions.Tokenize.phraseCount(col("__t"), terms).as("phrase_tf"))
       .where(col("phrase_tf") > 0)
       .orderBy(col("phrase_tf").desc, col("id").asc)
       .limit(k)

@@ -228,6 +228,56 @@ case class QualityMicrosExpr(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
+/** `graft_phrase_count(tokens)` — exact slop-0 phrase occurrence count in
+  * ONE native loop: the number of start offsets where the token array
+  * carries `terms` adjacent and in order. L = 1 degenerates to a plain
+  * term-frequency count, which is what the BM25 scorer needs per query
+  * term. The Column-pipeline twin (`size(filter(sequence(...), i ->
+  * conjunction))`) is an interpreted HOF allocating an index array per
+  * row — the cost class the weight-sum/quality kernels replaced on the
+  * century probe; values are identical (parity spec-pinned). Query terms
+  * are bounded by the query, so the reference array is executor-resident
+  * once, like the weight table.
+  */
+case class PhraseCountExpr(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "graft_phrase_count needs at least one term")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_phrase_count"
+
+  @transient private lazy val t: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  def count(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val l = t.length
+    if (n < l) return 0L
+    var acc = 0L
+    var i = 0
+    while (i <= n - l) {
+      var j = 0
+      while (j < l && t(j).equals(tokens.getUTF8String(i + j))) j += 1
+      if (j == l) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(a: Any): Any = count(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseCount", this, classOf[PhraseCountExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Tokenize {
   /** Column forms, usable anywhere a built-in is. */
   def standardTokens(c: Column): Column =
@@ -238,4 +288,6 @@ object Tokenize {
     GraftBridge.column(WeightSumExpr(GraftBridge.expression(tokens), weights))
   def qualityMicros(tokens: Column, stopwords: Seq[String]): Column =
     GraftBridge.column(QualityMicrosExpr(GraftBridge.expression(tokens), stopwords))
+  def phraseCount(tokens: Column, terms: Seq[String]): Column =
+    GraftBridge.column(PhraseCountExpr(GraftBridge.expression(tokens), terms))
 }

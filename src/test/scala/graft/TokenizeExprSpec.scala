@@ -126,6 +126,41 @@ class TokenizeExprSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """\*\(\d+\) Project \[graft_quality_micros"""
   }
 
+  test("phrase-count kernel: equals the declarative positional conjunction on random arrays, L=1 is term frequency") {
+    import org.apache.spark.sql.functions.{element_at, filter, lit, sequence, when}
+    val asize = org.apache.spark.sql.functions.size _
+    val rnd = new scala.util.Random(11)
+    val alphabet = Seq("red", "plate", "widget", "hot", "rod")
+    val docs = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = Analyzers.standardTokens(col("text"))
+    for (terms <- Seq(Seq("red"), Seq("red", "plate"), Seq("hot", "rod", "red"))) {
+      val l = terms.length
+      val declared = when(asize(toks) >= l,
+        asize(filter(sequence(lit(1), asize(toks) - lit(l - 1)),
+          i => terms.zipWithIndex.map { case (w, j) =>
+            element_at(toks, (i + lit(j)).cast("int")) === lit(w)
+          }.reduce(_ && _)))).otherwise(lit(0)).cast("long")
+      val native = docs.orderBy("doc_id")
+        .select(graft.functions.Tokenize.phraseCount(toks, terms)).as[Long].collect()
+      val decl = docs.orderBy("doc_id").select(declared).as[Long].collect()
+      native.toSeq shouldBe decl.toSeq
+    }
+    // L=1 ≡ plain term frequency
+    val tf1 = docs.orderBy("doc_id")
+      .select(graft.functions.Tokenize.phraseCount(toks, Seq("red"))).as[Long].collect()
+    val tfD = docs.orderBy("doc_id")
+      .select(asize(filter(toks, x => x === lit("red"))).cast("long")).as[Long].collect()
+    tf1.toSeq shouldBe tfD.toSeq
+    // kernel participates in codegen off a parquet-backed scan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.Tokenize.phraseCount(
+        Analyzers.standardTokens(col("text")), Seq("the", "data")))
+      .queryExecution.executedPlan.toString
+    plan should include regex """\*\(\d+\) Project \[graft_phrase_count"""
+  }
+
   test("codegen: tokenizer runs inside WholeStageCodegen (not interpreted fallback)") {
     // parquet-backed source — a LocalRelation constant-folds away the stage
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
