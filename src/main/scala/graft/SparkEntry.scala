@@ -2776,6 +2776,22 @@ object SparkEntry {
       graft.operators.Quality.qualityDrift(base, v2)
     }),
 
+    // C8 POPULATION STABILITY INDEX — c6's bucket table folded to the
+    // industry single-number drift alarm (0.1/0.25 published thresholds),
+    // Laplace-smoothed so vacated buckets penalize finitely; same
+    // snapshots as c6, level derived from the rounded value
+    "c8_psi_drift" -> ((s, d) => {
+      val base = docs(s, d)
+      val v2 = base.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id")).as("text")))
+      graft.operators.Quality.psiDrift(base, v2)
+    }),
+
     // E13 streaming VALIDATED ingest: the c2 constraint gate applied
     // in-flight — each micro-batch splits on the violation predicate,
     // good rows to the sink, violators to quarantine (never silently
@@ -5112,6 +5128,30 @@ object SparkEntry {
           "((1000000 * n_v2 + t2 // 2) // t2)::BIGINT AS f2_micros, " +
           "abs(((1000000 * n_v1 + t1 // 2) // t1) - ((1000000 * n_v2 + t2 // 2) // t2))::BIGINT AS drift_micros " +
           "FROM m, t ORDER BY bucket"),
+      // c8: the same bucket fractions folded to the smoothed PSI; level
+      // from the ROUNDED value (never an ulp-straddling compare)
+      "c8_psi_drift" ->
+        ("WITH v2 AS (" +
+          "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text " +
+          "FROM documents WHERE doc_id % 17 <> 0 " +
+          "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'new doc ' || doc_id AS text " +
+          "FROM documents WHERE doc_id % 19 = 0) " +
+          microsFor("documents", "q1") + microsFor("v2", "q2") +
+          ", b1 AS (SELECT least(9, (micros * 10) // 1000000) AS bucket FROM q1) " +
+          ", b2 AS (SELECT least(9, (micros * 10) // 1000000) AS bucket FROM q2) " +
+          ", c1 AS (SELECT bucket, count(*)::BIGINT AS n_v1 FROM b1 GROUP BY 1) " +
+          ", c2 AS (SELECT bucket, count(*)::BIGINT AS n_v2 FROM b2 GROUP BY 1) " +
+          ", t AS (SELECT (SELECT count(*) FROM q1)::BIGINT AS t1, " +
+          "(SELECT count(*) FROM q2)::BIGINT AS t2) " +
+          ", sp AS (SELECT range::BIGINT AS bucket FROM range(10)) " +
+          ", m AS (SELECT sp.bucket, coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2 " +
+          "FROM sp LEFT JOIN c1 USING (bucket) LEFT JOIN c2 USING (bucket)) " +
+          ", fr AS (SELECT ((1000000 * n_v1 + t1 // 2) // t1) AS f1m, " +
+          "((1000000 * n_v2 + t2 // 2) // t2) AS f2m FROM m, t) " +
+          ", p AS (SELECT round(sum(((f1m + 100) / 1000000.0 - (f2m + 100) / 1000000.0) * " +
+          "ln(((f1m + 100) / 1000000.0) / ((f2m + 100) / 1000000.0))), 4) AS psi FROM fr) " +
+          "SELECT psi, CASE WHEN psi > 0.25 THEN 'major' WHEN psi > 0.1 THEN 'moderate' " +
+          "ELSE 'stable' END AS level FROM p"),
       // c5: the trailing-window deviation recomputed with the same exact
       // integer-product form over the same DENSIFIED calendar spine (the
       // planted-empty day appears as cnt 0, dev -1, flagged); first-history

@@ -372,4 +372,32 @@ object Quality {
         abs(f1 - f2).as("drift_micros"))
       .orderBy("bucket")
   }
+
+  /** POPULATION STABILITY INDEX over the [[qualityDrift]] bucket table —
+    * the industry single-number drift alarm (model-monitoring convention:
+    * PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift —
+    * the thresholds every scorecard-monitoring text publishes):
+    *
+    *   PSI = Σ_buckets (f1 − f2) · ln(f1 / f2)
+    *
+    * with both fractions Laplace-shifted by `epsMicros` (default 10⁻⁴) so
+    * a vacated bucket contributes a finite penalty instead of ±∞ — the
+    * standard smoothing. Inputs are c6's EXACT micros fractions, so the
+    * only float steps are the final per-bucket products and `ln` (libm
+    * ulp + a ≤`buckets`-term sum reorder, both far inside the round-4
+    * output — the t11 rule). The alert level derives from the ROUNDED
+    * value in both engines, so the compare never straddles an ulp.
+    * Cost: c6's one union-tagged pass + a `buckets`-row fold.
+    */
+  def psiDrift(v1: DataFrame, v2: DataFrame, buckets: Int = 10,
+               epsMicros: Long = 100L): DataFrame = {
+    val d = qualityDrift(v1, v2, buckets)
+    val f1 = (col("f1_micros") + epsMicros).cast("double") / 1000000.0
+    val f2 = (col("f2_micros") + epsMicros).cast("double") / 1000000.0
+    d.agg(round(sum((f1 - f2) * log(f1 / f2)), 4).as("psi"))
+      .select(col("psi"),
+        when(col("psi") > 0.25, "major")
+          .when(col("psi") > 0.1, "moderate")
+          .otherwise("stable").as("level"))
+  }
 }

@@ -336,4 +336,25 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
         .orderBy("day", "key").collect().toSeq shouldBe direct
     }
   }
+
+  test("PSI drift: identical snapshots read 0.0 stable; a wholesale quality-mass move alarms major") {
+    import graft.operators.Quality
+    // high-quality docs: long, diverse, stopword-bearing; junk: one token
+    val good = (0L to 39L).map(i => (i,
+      s"the quick brown fox jumps over a lazy dog while many other words appear here number$i"))
+    val junk = (100L to 139L).map(i => (i, s"spam$i"))
+    val goodDf = good.toDF("doc_id", "text")
+    val junkDf = junk.toDF("doc_id", "text")
+    val same = Quality.psiDrift(goodDf, goodDf)
+      .as[(Double, String)].collect().head
+    same shouldBe ((0.0, "stable"))
+    val moved = Quality.psiDrift(goodDf, junkDf)
+      .as[(Double, String)].collect().head
+    moved._1 should be > 0.25
+    moved._2 shouldBe "major"
+    // symmetry of the planted move: PSI(a,b) == PSI(b,a) for a full swap
+    val back = Quality.psiDrift(junkDf, goodDf)
+      .as[(Double, String)].collect().head
+    back._1 shouldBe moved._1 +- 1e-9
+  }
 }
