@@ -665,6 +665,35 @@ object ScaleProbe {
       f""""top50_sec":$tTop%.2f,"hashed_sec":$tH%.2f}"""
   }
 
+  /** Search-scoring scaling: phrase (native kernel vs the interpreted HOF
+    * twin — the q10 cost-class claim measured) and BM25 at 1× vs 10×
+    * corpus rows. Everything here should track the scan; the
+    * kernel-vs-HOF ratio is the number that justifies PhraseCountExpr.
+    */
+  private def profileSearch(spark: SparkSession, label: String,
+                            entries: DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val nDocs = entries.count()
+    val terms = Seq("table", "hash")
+    val (nPhrase, tKernel) = timed(
+      graft.exec.SearchExecutor.phraseSearch(entries, "table hash", k = 10).count())
+    // the interpreted positional-HOF twin over the same field
+    val toks = graft.analyzers.Analyzers.standardTokens(col("dataSample"))
+    val l = terms.length
+    val hofTf = when(size(toks) >= l,
+      size(filter(sequence(lit(1), size(toks) - lit(l - 1)),
+        i => terms.zipWithIndex.map { case (w, j) =>
+          element_at(toks, (i + lit(j)).cast("int")) === lit(w)
+        }.reduce(_ && _)))).otherwise(lit(0)).cast("long")
+    val (hofSum, tHof) = timed(
+      entries.agg(sum(hofTf)).collect()(0).getLong(0))
+    val (_, tBm25) = timed(
+      graft.exec.SearchExecutor.bm25Search(entries, terms, k = 10).count())
+    f"""{"corpus":"$label","n_docs":$nDocs,"phrase_hits":$nPhrase,""" +
+      f""""kernel_sec":$tKernel%.2f,"hof_sec":$tHof%.2f,"hof_tf_sum":$hofSum,""" +
+      f""""bm25_sec":$tBm25%.2f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -737,6 +766,24 @@ object ScaleProbe {
       Pipeline.dsirTopK(organicD, organicD.where(col("lang") === "en"), 50).count()
       println(profileDsir(spark, "dsir-1x", organicD))
       println(profileDsir(spark, "dsir-10x", spark.read.parquet(dirD)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "search" runs ONLY the phrase/BM25 scoring
+    // probe — 1× vs 10× documents mapped to (id, dataSample), including
+    // the kernel-vs-interpreted-HOF wall comparison
+    if (args.headOption.contains("search")) {
+      def asEntries(df: DataFrame): DataFrame = df
+        .select(col("doc_id").cast("string").as("id"), col("text").as("dataSample"))
+      val organicS = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dirS = scratch("decade-search/documents")
+      synthesizeDecade(organicS, 10).write.mode("overwrite").parquet(dirS)
+      // warm-up: JIT/codegen for both paths
+      graft.exec.SearchExecutor.phraseSearch(asEntries(organicS), "table hash").count()
+      println(profileSearch(spark, "search-1x", asEntries(organicS)))
+      println(profileSearch(spark, "search-10x",
+        asEntries(spark.read.parquet(dirS))))
       spark.stop()
       return
     }
