@@ -1532,6 +1532,41 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     a.count(_ <= 3L) should be >= 2
   }
 
+  test("property: DSIR weights equal a driver-side reference model on seeded random corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocabPool = (0 until 40).map(i => s"w$i")
+    val docsSeq = (0L to 59L).map { i =>
+      val lang = if (rnd.nextBoolean()) "en" else "xx"
+      (i, lang, Seq.fill(3 + rnd.nextInt(20))(
+        vocabPool(rnd.nextInt(vocabPool.size))).mkString(" "))
+    }
+    val df = docsSeq.toDF("doc_id", "lang", "text")
+    val v = 16
+    val got = Pipeline.dsirWeights(df, df.where($"lang" === "en"), vocabSize = v)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // reference: plain-Scala counts, same smoothing, round-4 HALF_UP
+    val tokensOf: Long => Seq[String] =
+      docsSeq.map(d => d._1 -> d._3.split(" ").toSeq).toMap
+    val tgtCnt = docsSeq.filter(_._2 == "en").flatMap(d => tokensOf(d._1))
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val vocab = tgtCnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(v).toMap
+    val rawCnt = docsSeq.flatMap(d => tokensOf(d._1)).filter(vocab.contains)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val tt = vocab.values.sum.toDouble
+    val rt = rawCnt.values.sum.toDouble
+    val lw: Map[String, Double] = vocab.map { case (t, tc) =>
+      t -> (math.log((tc + 1) / (tt + v)) - math.log((rawCnt(t) + 1) / (rt + v)))
+    }
+    val expect = docsSeq.map { d =>
+      val inVocab = tokensOf(d._1).filter(lw.contains)
+      val w = inVocab.map(lw).sum
+      (d._1, inVocab.size.toLong,
+        BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    got.map(r => (r._1, r._2)) shouldBe expect.map(r => (r._1, r._2))
+    got.zip(expect).foreach { case (g, e) => g._3 shouldBe e._3 +- 1e-4 }
+  }
+
   // -------------------------------------------------- dedup recall truth
 
   test("exactJaccardPairs is a superset of the blocked production pairs and catches hot-shingle pairs the df cap drops") {
@@ -1594,6 +1629,54 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     // MMR exists to produce
     Similarity.bruteForceTopK(rows, rows.where($"vec_id" === 0L), 2)
       .orderBy("rank").select("vec_id").as[Long].collect().toSeq shouldBe Seq(1L, 2L)
+  }
+
+  test("property: MMR equals a driver-side reference greedy on seeded random geometries") {
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Float] = Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+    val rows = (0L to 30L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 3L)
+    val k = 4
+    val fetch = 8
+    val got = Similarity.mmrTopK(df, q, k = k, fetch = fetch, lambda = 0.7)
+      .orderBy("q_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // reference: exact doubles → round-6 micros → the same integer greedy
+    def cosU(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val c = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round(c * 1e6)
+    }
+    val byId = rows.toMap
+    val expect = (0L to 2L).flatMap { qid =>
+      val cands = rows.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosU(byId(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(fetch)
+      var selected = Vector.empty[Long]
+      var out = Vector.empty[(Long, Long, Long, Long)]
+      var remaining = cands.toVector
+      while (selected.size < k && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rel) =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(s => cosU(byId(id), byId(s))).max
+          (id, 7L * rel - 3L * pen)
+        }
+        val best = scored.minBy { case (id, obj) => (-obj, id) }
+        out :+= ((qid, (selected.size + 1).toLong, best._1, best._2))
+        selected :+= best._1
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      out
+    }
+    got shouldBe expect
   }
 
   test("MMR with lambda=1 degenerates to relevance order and validates lambda granularity") {
