@@ -2875,6 +2875,17 @@ object SparkEntry {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
         horizonMicros = 3L * 86400 * 1000000, exactPercentiles = true)),
 
+    // J13 U-shaped multi-touch attribution: every purchase splits credit
+    // across its 1-hour window's clicks — first/last 40%, middle 20%
+    // spread — in EXACT integer micros summing to exactly 1e6 per
+    // conversion (interior floor division, remainder on the LAST touch:
+    // a documented audit rule, never a float split)
+    "j13_multitouch" -> ((s, d) =>
+      graft.operators.EventAnalytics.multiTouchAttribution(
+          s.read.parquet(s"$d/events.parquet"),
+          lookbackMicros = 3600000000L)
+        .orderBy("purchase_id", "pos")),
+
     // J11 time-weighted average: per-user TWAP of the view-value signal
     // under step-function hold — exact decimal v·Δt products summed
     // order-free, one double division at the end; single-observation
@@ -5467,6 +5478,24 @@ object SparkEntry {
           "SELECT step, event_type, n_users, " +
           "round(n_users / lag(n_users) OVER (ORDER BY step), 6) AS frac_of_prev " +
           "FROM x ORDER BY step"),
+      // j13: same window join + position/count windows + the identical
+      // integer credit cases — remainder on the last touch in both
+      "j13_multitouch" ->
+        ("WITH t AS (SELECT event_id AS click_id, user_id, epoch_us(ts::TIMESTAMP) AS t_us " +
+          "FROM events WHERE event_type = 'click'), " +
+          "p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts::TIMESTAMP) AS p_us " +
+          "FROM events WHERE event_type = 'purchase'), " +
+          "j AS (SELECT purchase_id, click_id, t_us FROM p JOIN t USING (user_id) " +
+          "WHERE t_us <= p_us AND t_us > p_us - 3600000000), " +
+          "b AS (SELECT purchase_id, click_id, " +
+          "row_number() OVER (PARTITION BY purchase_id ORDER BY t_us, click_id) AS pos, " +
+          "count(*) OVER (PARTITION BY purchase_id) AS n_touch FROM j) " +
+          "SELECT purchase_id, click_id, pos::BIGINT AS pos, n_touch::BIGINT AS n_touch, " +
+          "(CASE WHEN n_touch = 1 THEN 1000000 WHEN n_touch = 2 THEN 500000 " +
+          "WHEN pos = 1 THEN 400000 " +
+          "WHEN pos = n_touch THEN 400000 + 200000 % (n_touch - 2) " +
+          "ELSE (200000 - 200000 % (n_touch - 2)) // (n_touch - 2) END)::BIGINT AS credit_micros " +
+          "FROM b ORDER BY purchase_id, pos"),
       // j12: the j9 qualification chain extended with per-transition
       // latency quantiles — quantile_cont is DuckDB's exact interpolated
       // percentile, the same rank rule as Spark's `percentile` (the t14

@@ -171,4 +171,56 @@ object EventAnalytics {
         round(col("n_active") / col("cohort_size"), 6).as("frac_of_cohort"))
       .orderBy("cohort_week", "offset_weeks")
   }
+
+  /** U-SHAPED (position-based) MULTI-TOUCH attribution — the credit model
+    * beside e7's last-touch: every conversion splits its credit across
+    * ALL touchpoints in its lookback window, first and last touch 40%
+    * each, the middle 20% spread over interior touches (1 touch → 100%,
+    * 2 touches → 50/50 — the published position-based rule every
+    * attribution vendor documents).
+    *
+    * Credits are EXACT INTEGER MICROS summing to exactly 1,000,000 per
+    * conversion: interior touches get floor(200000/(n−2)) each and the
+    * integer-division remainder lands on the LAST touch (a documented,
+    * deterministic audit rule — never a float split that sums to
+    * 0.999999…). Touch order is (ts, touch id) so same-microsecond
+    * touches resolve identically on every engine.
+    *
+    * Plan: one user-keyed join of conversions to their window's touches
+    * (the e7 shuffle), then position/count windows PER CONVERSION over
+    * the joined rows — partition sizes are per-conversion touch counts,
+    * bounded by the lookback window. Output one row per
+    * (conversion, touch): (purchase_id, click_id, pos, n_touch,
+    * credit_micros).
+    */
+  def multiTouchAttribution(events: DataFrame, lookbackMicros: Long,
+                            touchType: String = "click",
+                            convType: String = "purchase"): DataFrame = {
+    // NTZ-tolerant micros (the Joins.micros rule: parquet reads land NTZ)
+    val us = unix_micros(col("ts").cast("timestamp")).as("us")
+    val touches = events.where(col("event_type") === touchType)
+      .select(col("event_id").as("click_id"), col("user_id"), us)
+      .withColumnRenamed("us", "t_us")
+    val convs = events.where(col("event_type") === convType)
+      .select(col("event_id").as("purchase_id"), col("user_id"), us)
+      .withColumnRenamed("us", "p_us")
+    val joined = convs.join(touches, Seq("user_id"))
+      .where(col("t_us") <= col("p_us") &&
+        col("t_us") > col("p_us") - lookbackMicros)
+    val w = Window.partitionBy("purchase_id").orderBy(col("t_us"), col("click_id"))
+    val n = count(lit(1)).over(Window.partitionBy("purchase_id"))
+    val pos = row_number().over(w).cast("long")
+    val base = joined.select(col("purchase_id"), col("click_id"),
+      pos.as("pos"), n.as("n_touch"))
+    val mid = lit(200000L)
+    val midEach = (mid - pmod(mid, col("n_touch") - 2)) / (col("n_touch") - 2)
+    val midRem = pmod(mid, col("n_touch") - 2)
+    val credit = when(col("n_touch") === 1, lit(1000000L))
+      .when(col("n_touch") === 2, lit(500000L))
+      .when(col("pos") === 1, lit(400000L))
+      .when(col("pos") === col("n_touch"), lit(400000L) + midRem)
+      .otherwise(midEach)
+    base.select(col("purchase_id"), col("click_id"), col("pos"),
+      col("n_touch"), credit.cast("long").as("credit_micros"))
+  }
 }

@@ -143,4 +143,40 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     "Exchange hashpartitioning\\(__u".r.findAllIn(plan).size shouldBe 1
     "Sort \\[__u".r.findAllIn(plan).size shouldBe 1
   }
+
+  test("multi-touch attribution: U-shape credits, exact 1e6 per conversion, remainder on last touch, window excludes") {
+    def mev(rows: (Long, Long, String, String)*) =
+      rows.map { case (id, u, t, ts) =>
+        (id, u, t, java.sql.Timestamp.valueOf(ts)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+    val df = mev(
+      // user 1: one click → 100%
+      (10L, 1L, "click", "2024-01-01 10:00:00"),
+      (11L, 1L, "purchase", "2024-01-01 10:30:00"),
+      // user 2: two clicks → 50/50
+      (20L, 2L, "click", "2024-01-01 10:00:00"),
+      (21L, 2L, "click", "2024-01-01 10:10:00"),
+      (22L, 2L, "purchase", "2024-01-01 10:30:00"),
+      // user 3: five clicks → 400k, 66666, 66666, 66666, 400k + 2
+      (30L, 3L, "click", "2024-01-01 10:00:00"),
+      (31L, 3L, "click", "2024-01-01 10:05:00"),
+      (32L, 3L, "click", "2024-01-01 10:10:00"),
+      (33L, 3L, "click", "2024-01-01 10:15:00"),
+      (34L, 3L, "click", "2024-01-01 10:20:00"),
+      (35L, 3L, "purchase", "2024-01-01 10:30:00"),
+      // user 4: click OUTSIDE the 1h lookback → conversion has no touches
+      (40L, 4L, "click", "2024-01-01 08:00:00"),
+      (41L, 4L, "purchase", "2024-01-01 10:30:00"))
+    val out = EventAnalytics.multiTouchAttribution(df, lookbackMicros = 3600000000L)
+      .orderBy("purchase_id", "pos")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    out.filter(_._1 == 11L).map(_._5) shouldBe Seq(1000000L)
+    out.filter(_._1 == 22L).map(_._5) shouldBe Seq(500000L, 500000L)
+    out.filter(_._1 == 35L).map(_._5) shouldBe
+      Seq(400000L, 66666L, 66666L, 66666L, 400002L)
+    // exact million per conversion — the audit invariant
+    out.groupBy(_._1).values.foreach(_.map(_._5).sum shouldBe 1000000L)
+    // the out-of-window conversion credits nothing
+    out.exists(_._1 == 41L) shouldBe false
+  }
 }
