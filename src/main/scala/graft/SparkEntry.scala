@@ -2886,6 +2886,16 @@ object SparkEntry {
           lookbackMicros = 3600000000L)
         .orderBy("purchase_id", "pos")),
 
+    // J14 item-item co-occurrence neighbors ("people also viewed") —
+    // item-based CF over the view events' implicit feedback: binary-
+    // incidence cosine from exact set counts, user-keyed self-join with
+    // the bot-tail cap, top-3 per item with neighbor ties
+    "j14_item_neighbors" -> ((s, d) =>
+      graft.operators.EventAnalytics.itemNeighbors(
+          s.read.parquet(s"$d/events.parquet"),
+          regexp_extract(col("props"), "(\\d+)", 1))
+        .orderBy("item", "rank")),
+
     // J11 time-weighted average: per-user TWAP of the view-value signal
     // under step-function hold — exact decimal v·Δt products summed
     // order-free, one double division at the end; single-observation
@@ -5478,6 +5488,24 @@ object SparkEntry {
           "SELECT step, event_type, n_users, " +
           "round(n_users / lag(n_users) OVER (ORDER BY step), 6) AS frac_of_prev " +
           "FROM x ORDER BY step"),
+      // j14: the same capped set-semantics co-occurrence chain — distinct
+      // (user, item), bot cap, pair counts, binary-incidence cosine,
+      // per-item top-3 with neighbor ties
+      "j14_item_neighbors" ->
+        ("WITH ui AS (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
+          "FROM events WHERE event_type = 'view' AND regexp_extract(props, '(\\d+)', 1) <> ''), " +
+          "ok AS (SELECT user_id FROM ui GROUP BY 1 HAVING count(*) <= 50), " +
+          "c AS (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id)), " +
+          "deg AS (SELECT item, count(*)::BIGINT AS n FROM c GROUP BY 1), " +
+          "pr AS (SELECT a.item AS item, b.item AS neighbor, count(*)::BIGINT AS n_ab " +
+          "FROM c a JOIN c b ON a.user_id = b.user_id AND a.item <> b.item GROUP BY 1, 2), " +
+          "sc AS (SELECT pr.item, pr.neighbor, pr.n_ab, " +
+          "round(pr.n_ab / sqrt(da.n * db.n), 6) AS cos " +
+          "FROM pr JOIN deg da ON da.item = pr.item JOIN deg db ON db.item = pr.neighbor), " +
+          "r AS (SELECT item, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rank, " +
+          "neighbor, n_ab, cos FROM sc) " +
+          "SELECT item, rank::BIGINT AS rank, neighbor, n_ab, cos FROM r " +
+          "WHERE rank <= 3 ORDER BY item, rank"),
       // j13: same window join + position/count windows + the identical
       // integer credit cases — remainder on the last touch in both
       "j13_multitouch" ->

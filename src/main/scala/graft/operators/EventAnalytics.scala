@@ -223,4 +223,51 @@ object EventAnalytics {
     base.select(col("purchase_id"), col("click_id"), col("pos"),
       col("n_touch"), credit.cast("long").as("credit_micros"))
   }
+
+  /** ITEM-ITEM co-occurrence neighbors from implicit feedback — the
+    * "people also viewed" primitive (item-based collaborative filtering,
+    * Sarwar et al. 2001 / the Amazon item-to-item recipe): for each item,
+    * the top-k items most co-viewed with it, scored by the cosine of the
+    * binary user-item incidence —
+    *
+    *   cos(a, b) = |users(a) ∩ users(b)| / √(|users(a)| · |users(b)|)
+    *
+    * SET semantics per (user, item) (repeat views collapse), so every
+    * count is an exact integer and the score is one exact division.
+    *
+    * Scale shape — the blockedIdPairs discipline applied to users: the
+    * self-join keys on user_id, so per-key fanout is a user's DISTINCT
+    * item count, and `maxUserItems` drops the bot/crawler tail whose
+    * fanout would be quadratic (the df-cap argument: a user who viewed
+    * everything says nothing about any pair — standard co-occurrence
+    * practice, documented recall trade). Degrees are counted AFTER the
+    * cap so the score's numerator and denominator describe the same
+    * population. Top-k per item is a WindowGroupLimit-eligible rank.
+    */
+  def itemNeighbors(events: DataFrame, itemExpr: org.apache.spark.sql.Column,
+                    k: Int = 3, eventType: String = "view",
+                    maxUserItems: Int = 50): DataFrame = {
+    val ui = events.where(col("event_type") === eventType)
+      .select(col("user_id"), itemExpr.cast("int").as("item"))
+      .where(col("item").isNotNull)
+      .distinct()
+    val capped = ui.join(
+      ui.groupBy("user_id").agg(count(lit(1)).as("nu"))
+        .where(col("nu") <= maxUserItems),
+      Seq("user_id"), "left_semi")
+    val deg = capped.groupBy("item").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("item"), col("b.item").as("neighbor"))
+      .agg(count(lit(1)).as("n_ab"))
+    val scored = pairs
+      .join(deg.select(col("item"), col("n").as("n_a")), "item")
+      .join(deg.select(col("item").as("neighbor"), col("n").as("n_b")), "neighbor")
+      .select(col("item"), col("neighbor"), col("n_ab"),
+        round(col("n_ab") / sqrt(col("n_a") * col("n_b")), 6).as("cos"))
+    val w = Window.partitionBy("item").orderBy(col("cos").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("item", "rank", "neighbor", "n_ab", "cos")
+  }
 }

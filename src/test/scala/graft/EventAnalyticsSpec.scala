@@ -179,4 +179,30 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     // the out-of-window conversion credits nothing
     out.exists(_._1 == 41L) shouldBe false
   }
+
+  test("item neighbors: perfect co-view pair is mutual top-1 at cos 1.0; bots capped out; repeat views collapse") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // users 1..4 each view items 1 AND 2 (user 1 views item 1 twice —
+    // set semantics); user 5 views items 2 and 3; user 99 is a bot
+    // viewing everything and must not inflate any count
+    val rows =
+      (1L to 4L).flatMap(u => Seq((u, 1), (u, 1), (u, 2))) ++
+        Seq((5L, 2), (5L, 3)) ++
+        (1 to 10).map(i => (99L, i))
+    val df = rows.zipWithIndex.map { case ((u, item), i) =>
+      (i.toLong, u, "view", s"""{"k": $item}""", ts)
+    }.toDF("event_id", "user_id", "event_type", "props", "ts")
+    val out = EventAnalytics.itemNeighbors(df,
+        regexp_extract(col("props"), "(\\d+)", 1), k = 2, maxUserItems = 5)
+      .orderBy("item", "rank")
+      .as[(Int, Long, Int, Long, Double)].collect().toSeq
+    // |u(1)|=4, |u(2)|=5, |u(3)|=1 (bot excluded everywhere)
+    val top1 = out.filter(r => r._1 == 1 && r._2 == 1L).head
+    top1._3 shouldBe 2 // item 1's best neighbor is item 2
+    top1._4 shouldBe 4L // shared users exclude the bot AND dedupe repeats
+    top1._5 shouldBe (4.0 / math.sqrt(4.0 * 5.0) +- 1e-6)
+    val item3 = out.filter(r => r._1 == 3 && r._2 == 1L).head
+    item3._3 shouldBe 2 // item 3 co-viewed only with 2 (via user 5)
+    item3._5 shouldBe (1.0 / math.sqrt(1.0 * 5.0) +- 1e-6)
+  }
 }
