@@ -205,4 +205,37 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     item3._3 shouldBe 2 // item 3 co-viewed only with 2 (via user 5)
     item3._5 shouldBe (1.0 / math.sqrt(1.0 * 5.0) +- 1e-6)
   }
+
+  test("property: item neighbors equal a driver-side reference on seeded random feedback") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, (rnd.nextInt(25) + 1).toLong, "view",
+        s"""{"k": ${rnd.nextInt(12)}}""",
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "props", "ts")
+    val k = 3
+    val cap = 6
+    val got = EventAnalytics.itemNeighbors(df,
+        regexp_extract(col("props"), "(\\d+)", 1), k = k, maxUserItems = cap)
+      .orderBy("item", "rank")
+      .as[(Int, Long, Int, Long, Double)].collect().toSeq
+    // reference: plain Scala sets
+    val ui = rows.map(r => (r._2, r._4.replaceAll("\\D", "").toInt)).distinct
+    val keep = ui.groupBy(_._1).filter(_._2.size <= cap).keySet
+    val byItem = ui.filter(r => keep(r._1)).groupBy(_._2)
+      .map { case (it, xs) => it -> xs.map(_._1).toSet }
+    val expect = byItem.keys.toSeq.sorted.flatMap { a =>
+      val scored = byItem.keys.toSeq.filter(_ != a).flatMap { b =>
+        val shared = (byItem(a) & byItem(b)).size
+        if (shared == 0) None
+        else Some((b, shared.toLong,
+          BigDecimal(shared / math.sqrt(byItem(a).size.toDouble * byItem(b).size))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      scored.sortBy { case (b, _, c) => (-c, b) }.take(k).zipWithIndex
+        .map { case ((b, n, c), i) => (a, (i + 1).toLong, b, n, c) }
+    }
+    got shouldBe expect
+  }
 }
