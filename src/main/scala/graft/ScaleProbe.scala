@@ -694,6 +694,29 @@ object ScaleProbe {
       f""""bm25_sec":$tBm25%.2f}"""
   }
 
+  /** Co-occurrence scaling: the j14 claim is that candidate volume is
+    * LINEAR in users (per-user fanout bounded by the bot cap, items
+    * fixed), so 10× users ⇒ ~10× candidate pair rows and a wall that
+    * tracks them — never an item×item or user×user blow-up.
+    */
+  private def profileCooc(spark: SparkSession, label: String, ev: DataFrame): String = {
+    val item = regexp_extract(col("props"), "(\\d+)", 1)
+    val ui = ev.where(col("event_type") === "view")
+      .select(col("user_id"), item.cast("int").as("item"))
+      .where(col("item").isNotNull).distinct()
+    val nUsers = ui.select("user_id").distinct().count()
+    val capped = ui.join(
+      ui.groupBy("user_id").agg(count(lit(1)).as("nu")).where(col("nu") <= 50),
+      Seq("user_id"), "left_semi")
+    val (nCand, tCand) = timed(capped.as("a").join(capped.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") =!= col("b.item"))
+      .count())
+    val (nOut, tTop) = timed(
+      graft.operators.EventAnalytics.itemNeighbors(ev, item).count())
+    f"""{"corpus":"$label","n_users":$nUsers,"cand_pairs":$nCand,""" +
+      f""""cand_sec":$tCand%.2f,"neighbors_rows":$nOut,"top_sec":$tTop%.2f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -766,6 +789,21 @@ object ScaleProbe {
       Pipeline.dsirTopK(organicD, organicD.where(col("lang") === "en"), 50).count()
       println(profileDsir(spark, "dsir-1x", organicD))
       println(profileDsir(spark, "dsir-10x", spark.read.parquet(dirD)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "cooc" runs ONLY the co-occurrence probe —
+    // 1× vs 10× USERS (the decade event synthesis strides user ids with
+    // items fixed), the axis the per-user cap must keep linear
+    if (args.headOption.contains("cooc")) {
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      val dirC2 = scratch("decade-cooc/events")
+      synthesizeDecadeEvents(ev1).write.mode("overwrite").parquet(dirC2)
+      graft.operators.EventAnalytics.itemNeighbors(ev1,
+        regexp_extract(col("props"), "(\\d+)", 1)).count() // warm-up
+      println(profileCooc(spark, "cooc-1x", ev1))
+      println(profileCooc(spark, "cooc-10x", spark.read.parquet(dirC2)))
       spark.stop()
       return
     }
