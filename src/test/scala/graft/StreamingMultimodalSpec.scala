@@ -704,6 +704,19 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
       .write.mode("overwrite").parquet(s"$batches/batch=2")
     spark.catalog.refreshByPath(batches)
     folded() shouldBe direct
+    // the DSIR log is a pure per-key sum log, so the GENERIC compactor
+    // applies verbatim (the scaladoc claim, exercised): fold invariant
+    // through the horizon-aware reader, aged directories swept
+    def foldedAware(): Map[String, Long] =
+      graft.streaming.EventStream.readDeltaLog(spark, s"$root/deltas")
+        .groupBy("feat").agg(sum("d_rc").as("rc"))
+        .as[(String, Long)].collect().toMap
+    graft.streaming.EventStream.compactSumLog(spark, s"$root/deltas", 2L,
+      Seq("feat"), Seq("d_rc")) shouldBe 3
+    foldedAware() shouldBe direct
+    graft.util.FsUtil.listDir(java.nio.file.Paths.get(batches))(
+      _.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet) shouldBe
+      Set("batch=-1", "batch=3")
   }
 }
 
