@@ -180,6 +180,43 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out.exists(_._1 == 41L) shouldBe false
   }
 
+  test("property: multi-touch attribution equals a driver-side reference on seeded random timelines") {
+    val rnd = new scala.util.Random(41)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 300).map { i =>
+      val t = if (rnd.nextInt(4) == 0) "purchase" else "click"
+      (i.toLong, (rnd.nextInt(12) + 1).toLong, t,
+        new java.sql.Timestamp(base + rnd.nextInt(4 * 3600) * 1000L))
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val look = 1800L * 1000000 // 30 min
+    val got = EventAnalytics.multiTouchAttribution(df, lookbackMicros = look)
+      .orderBy("purchase_id", "pos")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val clicks = rows.filter(_._3 == "click")
+    val expect = rows.filter(_._3 == "purchase").sortBy(_._1).flatMap { p =>
+      val pUs = p._4.getTime * 1000
+      val touches = clicks
+        .filter(c => c._2 == p._2 && c._4.getTime * 1000 <= pUs &&
+          c._4.getTime * 1000 > pUs - look)
+        .sortBy(c => (c._4.getTime, c._1))
+      val n = touches.size.toLong
+      touches.zipWithIndex.map { case (c, i) =>
+        val pos = i + 1L
+        val credit =
+          if (n == 1) 1000000L
+          else if (n == 2) 500000L
+          else if (pos == 1) 400000L
+          else if (pos == n) 400000L + 200000L % (n - 2)
+          else (200000L - 200000L % (n - 2)) / (n - 2)
+        (p._1, c._1, pos, n, credit)
+      }
+    }
+    got shouldBe expect
+    // the audit invariant holds on every random conversion
+    got.groupBy(_._1).values.foreach(_.map(_._5).sum shouldBe 1000000L)
+  }
+
   test("item neighbors: perfect co-view pair is mutual top-1 at cos 1.0; bots capped out; repeat views collapse") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     // users 1..4 each view items 1 AND 2 (user 1 views item 1 twice —
