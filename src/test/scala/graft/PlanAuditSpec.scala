@@ -779,6 +779,44 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "CartesianProduct"
   }
 
+  test("phrase/BM25: codegen'd scoring projections feeding TakeOrderedAndProject, no join in the phrase path") {
+    val entries = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("string").as("id"), $"text".as("dataSample"))
+    val pPlan = graft.exec.SearchExecutor.phraseSearch(entries, "the data")
+      .queryExecution.executedPlan.toString
+    pPlan should include("TakeOrderedAndProject")
+    pPlan should include("graft_phrase_count") // the native kernel, not a HOF
+    pPlan should not include "Join"
+    val bPlan = graft.exec.SearchExecutor.bm25Search(entries, Seq("the", "data"))
+      .queryExecution.executedPlan.toString
+    bPlan should include("TakeOrderedAndProject")
+    bPlan should include("graft_phrase_count") // tf rides the same kernel
+    bPlan should not include "Join" // stats are collected constants
+  }
+
+  test("eval contamination report: train scan probed by a broadcast of the eval n-gram set, no cartesian") {
+    val ds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.operators.Pipeline.evalContaminationReport(
+        ds.where($"doc_id" % 7 =!= 0), ds.where($"doc_id" % 7 === 0))
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the train side is filtered by a broadcast semi join on the eval set
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftSemi")
+  }
+
+  test("item neighbors: user-keyed pair join with map-side partial counts, top-k rank per item, no cartesian") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = graft.operators.EventAnalytics.itemNeighbors(ev,
+        org.apache.spark.sql.functions.regexp_extract($"props", "(\\d+)", 1))
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("partial_count") // pair counts combine map-side
+    plan should include("Window") // the per-item top-k rank
+  }
+
   test("DSIR weights: log-ratio table broadcasts, per-doc fold partial-aggregates, no cartesian beyond 1-row totals") {
     val ds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.operators.Pipeline
