@@ -831,6 +831,25 @@ object SparkEntry {
     // a batch directory (idempotent replay by overwrite); the read side
     // folds base stats + delta log in any order and must hash-match a
     // fresh recompute over the base ∪ appended corpus
+    // E28 STREAMING PSI: the c8 drift alarm kept current by ingest —
+    // per-batch quality-bucket counts land as an idempotent sum log, the
+    // order-free re-sum rebuilds the streamed corpus's deciles, and PSI
+    // folds against the FROZEN reference corpus; must equal the batch
+    // psiDrift over reference vs the full streamed corpus
+    "e28_stream_psi" -> ((s, d) => {
+      val ds = docs(s, d)
+      val ref = ds.where(col("doc_id") % 2 === 0)
+      val src = scratch("e28-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        ds.where(col("doc_id") % 2 =!= 0).repartition(4).write.parquet(src)
+      val deltas = scratch("e28-deltas")
+      EventStream.streamQualityBucketFold(s, src, deltas)
+      val counts2 = EventStream.readDeltaLog(s, deltas)
+        .groupBy("bucket").agg(sum("d_n").as("n"))
+      graft.operators.Quality.psiFromCounts(
+        graft.operators.Quality.qualityBucketCounts(ref), counts2)
+    }),
+
     // E24 STREAMING DSIR raw-model fold: the p19 statistic kept current by
     // ingest — per-batch (feat, d_rc) counts over the FROZEN target
     // vocabulary land in idempotent batch directories (maxFilesPerTrigger=1
@@ -5149,6 +5168,28 @@ object SparkEntry {
           "((1000000 * n_v2 + t2 // 2) // t2)::BIGINT AS f2_micros, " +
           "abs(((1000000 * n_v1 + t1 // 2) // t1) - ((1000000 * n_v2 + t2 // 2) // t2))::BIGINT AS drift_micros " +
           "FROM m, t ORDER BY bucket"),
+      // e28: the stream-folded bucket counts are an exact integer re-sum,
+      // so PSI against the frozen reference equals the batch recompute —
+      // the c8 fold with q1 = even docs (reference), q2 = odd (streamed)
+      "e28_stream_psi" ->
+        ("WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0), " +
+          "str AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0) " +
+          microsFor("ref", "q1") + microsFor("str", "q2") +
+          ", b1 AS (SELECT least(9, (micros * 10) // 1000000) AS bucket FROM q1) " +
+          ", b2 AS (SELECT least(9, (micros * 10) // 1000000) AS bucket FROM q2) " +
+          ", c1 AS (SELECT bucket, count(*)::BIGINT AS n_v1 FROM b1 GROUP BY 1) " +
+          ", c2 AS (SELECT bucket, count(*)::BIGINT AS n_v2 FROM b2 GROUP BY 1) " +
+          ", t AS (SELECT (SELECT count(*) FROM q1)::BIGINT AS t1, " +
+          "(SELECT count(*) FROM q2)::BIGINT AS t2) " +
+          ", sp AS (SELECT range::BIGINT AS bucket FROM range(10)) " +
+          ", m AS (SELECT sp.bucket, coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2 " +
+          "FROM sp LEFT JOIN c1 USING (bucket) LEFT JOIN c2 USING (bucket)) " +
+          ", fr AS (SELECT ((1000000 * n_v1 + t1 // 2) // t1) AS f1m, " +
+          "((1000000 * n_v2 + t2 // 2) // t2) AS f2m FROM m, t) " +
+          ", p AS (SELECT round(sum(((f1m + 100) / 1000000.0 - (f2m + 100) / 1000000.0) * " +
+          "ln(((f1m + 100) / 1000000.0) / ((f2m + 100) / 1000000.0))), 4) AS psi FROM fr) " +
+          "SELECT psi, CASE WHEN psi > 0.25 THEN 'major' WHEN psi > 0.1 THEN 'moderate' " +
+          "ELSE 'stable' END AS level FROM p"),
       // c8: the same bucket fractions folded to the smoothed PSI; level
       // from the ROUNDED value (never an ulp-straddling compare)
       "c8_psi_drift" ->

@@ -390,11 +390,50 @@ object Quality {
     * Cost: c6's one union-tagged pass + a `buckets`-row fold.
     */
   def psiDrift(v1: DataFrame, v2: DataFrame, buckets: Int = 10,
-               epsMicros: Long = 100L): DataFrame = {
-    val d = qualityDrift(v1, v2, buckets)
-    val f1 = (col("f1_micros") + epsMicros).cast("double") / 1000000.0
-    val f2 = (col("f2_micros") + epsMicros).cast("double") / 1000000.0
-    d.agg(round(sum((f1 - f2) * log(f1 / f2)), 4).as("psi"))
+               epsMicros: Long = 100L): DataFrame =
+    psiFromCounts(qualityBucketCounts(v1, buckets),
+      qualityBucketCounts(v2, buckets), buckets, epsMicros)
+
+  /** Per-decile quality-bucket counts: (bucket, n) — the SUM-MERGEABLE
+    * statistic behind the PSI family: per-batch bucket counts fold by
+    * plain addition, which is what lets a STREAM keep the drift alarm
+    * current (e28 rides the e15/e27 sum-log discipline on exactly this
+    * table). One narrow tokenize/score/bucket pass, `buckets`-row output.
+    */
+  def qualityBucketCounts(df: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val micros = TextAnalysis.qualityMicrosCol(TextAnalysis.tokens(col("text")))
+    val scaledB = micros * lit(buckets.toLong)
+    val bucket = least(lit(buckets - 1L),
+      ((scaledB - pmod(scaledB, lit(1000000L))) / lit(1000000L)).cast("long"))
+    df.select(bucket.as("bucket")).groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI from two (bucket, n) count tables — [[psiDrift]]'s fold half,
+    * callable on a STREAM-FOLDED count table (e28): densify both sides
+    * over the bucket spine, exact HALF_UP micros fractions (DECIMAL-
+    * scaled numerators, the qualityDrift rule), then the smoothed PSI
+    * with the alert level derived from the ROUNDED value.
+    */
+  def psiFromCounts(counts1: DataFrame, counts2: DataFrame,
+                    buckets: Int = 10, epsMicros: Long = 100L): DataFrame = {
+    val spine = counts1.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val m = spine
+      .join(counts1.select(col("bucket"), col("n").as("n_v1")), Seq("bucket"), "left")
+      .join(counts2.select(col("bucket"), col("n").as("n_v2")), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+    val totals = m.agg(sum("n_v1").as("t1"), sum("n_v2").as("t2"))
+    def fracMicros(n: Column, t: Column): Column = {
+      val scaled = lit(1000000L).cast("decimal(38,0)") * n + shiftright(t, 1)
+      ((scaled - pmod(scaled, t)) / t).cast("long")
+    }
+    val withF = m.crossJoin(broadcast(totals))
+      .select(fracMicros(col("n_v1"), col("t1")).as("f1m"),
+        fracMicros(col("n_v2"), col("t2")).as("f2m"))
+    val f1 = (col("f1m") + epsMicros).cast("double") / 1000000.0
+    val f2 = (col("f2m") + epsMicros).cast("double") / 1000000.0
+    withF.agg(round(sum((f1 - f2) * log(f1 / f2)), 4).as("psi"))
       .select(col("psi"),
         when(col("psi") > 0.25, "major")
           .when(col("psi") > 0.1, "moderate")

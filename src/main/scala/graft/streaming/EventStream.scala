@@ -1357,6 +1357,42 @@ object EventStream {
     stale.length + fold.length
   }
 
+  /** STREAMING drift-alarm maintenance — the PSI statistic (c8) kept
+    * current BY INGEST: each arriving document micro-batch lands its own
+    * per-decile quality-bucket counts (the sum-mergeable table behind the
+    * PSI family) in an idempotent `batch=<id>/` directory; the read side
+    * re-sums the log in ANY order into the corpus's bucket counts and
+    * folds PSI against a FROZEN reference corpus's counts — so the drift
+    * alarm on a growing corpus costs each batch one narrow score pass
+    * plus a ≤`buckets`-row write, never a corpus rescan. Pure per-key sum
+    * log ⇒ [[compactSumLog]] (keyCols=bucket, sumCols=d_n) applies
+    * verbatim when the directory count binds; [[readDeltaLog]] is the
+    * horizon-aware reader.
+    */
+  def streamQualityBucketFold(spark: SparkSession, srcDir: String,
+                              deltaDir: String, buckets: Int = 10): Unit = {
+    val bf = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try bf.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs refuse; already shared
+    }
+    bf.conf.set("spark.sql.shuffle.partitions", BackfillStatePartitions)
+    val src = bf.readStream
+      .schema(bf.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quality.qualityBucketCounts(batch, buckets)
+          .withColumnRenamed("n", "d_n")
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING dedup-signature ingest — e11's discipline pointed at the
     * d9 signature index: each arriving document micro-batch lands its
     * MinHash signatures as an idempotent `batch=<id>/` directory under

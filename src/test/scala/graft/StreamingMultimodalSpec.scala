@@ -677,6 +677,30 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
       Seq("token"), Seq("pc", "nc")) shouldBe 0
   }
 
+  test("streaming PSI: stream-folded bucket counts give the exact batch psiDrift; replay and compaction invisible") {
+    import graft.streaming.EventStream
+    import graft.operators.Quality
+    val root = java.nio.file.Files.createTempDirectory("graft-psi-spec").toString
+    val ds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = ds.where($"doc_id" % 2 === 0L)
+    val streamed = ds.where($"doc_id" % 2 =!= 0L)
+    streamed.repartition(3).write.parquet(s"$root/src")
+    EventStream.streamQualityBucketFold(spark, s"$root/src", s"$root/deltas")
+    def viaStream(): (Double, String) = {
+      val c2 = EventStream.readDeltaLog(spark, s"$root/deltas")
+        .groupBy("bucket").agg(sum("d_n").as("n"))
+      Quality.psiFromCounts(Quality.qualityBucketCounts(ref), c2)
+        .as[(Double, String)].collect().head
+    }
+    val direct = Quality.psiDrift(ref, streamed)
+      .as[(Double, String)].collect().head
+    viaStream() shouldBe direct
+    // generic sum-log compaction applies verbatim; the alarm is unchanged
+    EventStream.compactSumLog(spark, s"$root/deltas", 1L,
+      Seq("bucket"), Seq("d_n")) shouldBe 2
+    viaStream() shouldBe direct
+  }
+
   test("DSIR raw-model stream fold: batch deltas re-sum to the direct raw counts; replay overwrites, never duplicates") {
     import graft.streaming.EventStream
     import graft.operators.Pipeline
