@@ -3609,9 +3609,6 @@ object SparkEntry {
       s"p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.embedding", "b.embedding")} AS cos " +
       "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) "
 
-  /** Exact top-10 over the plantedTopKEmb corpus — the oracle both
-    * approximate searches (v2 SRP-LSH, v6 partial-probe IVF) are held to.
-    */
   /** p19/e24: DSIR re-derived end-to-end — target vocab (count desc, token
     * asc ties), add-1-smoothed feature models over the 256-token support,
     * per-doc Σ c·(ln p_t − ln p_r), round-4, top-50 by (logw desc,
@@ -3638,6 +3635,9 @@ object SparkEntry {
       "SELECT row_number() OVER (ORDER BY logw DESC, doc_id) AS rank, " +
       "doc_id, n_feat, logw FROM sc ORDER BY logw DESC, doc_id LIMIT 50"
 
+  /** Exact top-10 over the plantedTopKEmb corpus — the oracle both
+    * approximate searches (v2 SRP-LSH, v6 partial-probe IVF) are held to.
+    */
   private lazy val plantedTopkSql: String =
     "WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
       "UNION ALL SELECT vec_id*100 + j + 200000 AS vec_id, " +

@@ -205,7 +205,9 @@ object SearchExecutor {
     val withT = entries.select(col("id"), coalesce(toks,
       array().cast("array<string>")).as("__t"))
     val dl = size(col("__t")).cast("double")
-    val score = terms.distinct.map { t =>
+    // terms sum AS GIVEN (no dedup): a repeated query term contributes
+    // twice, matching ES bool-should semantics and the q11 oracle builder
+    val score = terms.map { t =>
       val df = stats(t)._1
       val idf = log(lit(1.0) + (lit((n - df).toDouble) + lit(0.5)) /
         (lit(df.toDouble) + lit(0.5)))

@@ -993,8 +993,13 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("embedding"),
         norm(col("embedding")).as("nrm"))
       .repartition(col("q_id")) // barrier: materialize norms once per row
+    // LEFT join: a query whose shortlist has a single candidate produces
+    // no candidate-candidate pair, but its shortlist row must still reach
+    // the fold (else the lone candidate vanishes instead of ranking 1 —
+    // the k>=1 contract). The null b-side is just a relevance carrier.
     val pairs = withEmb.as("a").join(withEmb.as("b"),
-        col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"))
+        col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"),
+        "left")
       .select(col("a.q_id").as("q_id"), col("a.vec_id").as("a_id"),
         col("a.cos").as("rel"), col("b.vec_id").as("b_id"),
         cosineWithNorms(col("a.embedding"), col("b.embedding"),
@@ -1002,7 +1007,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     pairs.select("q_id", "a_id", "rel", "b_id", "sim")
-      .as[(Long, Long, Double, Long, Double)]
+      .as[(Long, Long, Double, Option[Long], Option[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (q, it) =>
         val rows = it.toVector
@@ -1011,7 +1016,8 @@ object Similarity {
           rows.groupBy(_._2).map { case (id, rs) =>
             id -> math.round(rs.head._3 * 1e6) }
         val sim: Map[(Long, Long), Long] =
-          rows.map(r => (r._2, r._4) -> math.round(r._5 * 1e6)).toMap
+          rows.collect { case (_, a, _, Some(b), Some(s)) =>
+            (a, b) -> math.round(s * 1e6) }.toMap
         var selected = Vector.empty[(Long, Long)]
         var remaining = rel.keySet
         while (selected.size < k && remaining.nonEmpty) {

@@ -1693,4 +1693,27 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     an[IllegalArgumentException] should be thrownBy
       Similarity.mmrTopK(rows, q, k = 2, fetch = 3, lambda = 0.75)
   }
+
+  test("MMR returns a 1-candidate shortlist at rank 1 instead of dropping it") {
+    // a shortlist with a single candidate produces zero candidate-candidate
+    // pairs; the k>=1 contract still requires the lone candidate at rank 1
+    // with objective lam10*rel (no pair row may be a precondition)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, v(1.0, 0.0)), (2L, v(0.9, 0.1)), (3L, v(0.8, 0.3)), (4L, v(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    // q 10: one candidate; q 20: three candidates (the mixed case proves
+    // the lone group isn't saved by accident of running alone)
+    val shortlist = Seq(
+      (10L, 1L, 0.8),
+      (20L, 2L, 0.9), (20L, 3L, 0.7), (20L, 4L, 0.2)
+    ).toDF("q_id", "vec_id", "cos")
+    val out = Similarity.mmrRerank(corpus, shortlist, k = 2, lambda = 0.7)
+      .orderBy("q_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    out.count(_._1 == 10L) shouldBe 1
+    out.filter(_._1 == 10L).head shouldBe ((10L, 1L, 1L, 7L * 800000L))
+    out.filter(_._1 == 20L).map(_._3).head shouldBe 2L // rank 1 = relevance
+    out.count(_._1 == 20L) shouldBe 2
+  }
 }

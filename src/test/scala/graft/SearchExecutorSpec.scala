@@ -152,6 +152,16 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     val s0 = SearchExecutor.bm25Search(entries, Seq("red"), k = 10, b = 0.0)
       .as[(String, Double)].collect().toMap
     s0("003") shouldBe s0("001")
+    // a repeated query term sums twice (ES bool-should semantics; matches
+    // the q11 oracle builder which sums terms as given) — round-4 of the
+    // doubled per-term score, so compare against 2× the single-term score
+    // recomputed unrounded via b=0's stable 001 row: with one term the
+    // score is round(x,4); doubled it is round(2x,4) = 2*round(x,4) up to
+    // the rounding grid, so assert within 1e-4
+    val dup = SearchExecutor.bm25Search(entries, Seq("red", "red"), k = 10)
+      .as[(String, Double)].collect().toMap
+    dup.keySet shouldBe Set("001", "002", "003")
+    dup("001") shouldBe (2 * s("001") +- 1e-4)
   }
 
   test("phrase search: adjacency and order required, analyzer symmetry, tf ranking with id ties") {
