@@ -2811,6 +2811,19 @@ object SparkEntry {
       graft.operators.Quality.psiDrift(base, v2)
     }),
 
+    // C9 two-sample KOLMOGOROV–SMIRNOV — the binning-free CDF-gap drift
+    // stat beside c8's PSI: view-event values, first half-month vs the
+    // rest; the max gap runs on EXACT integer cross-count numerators
+    // (distributed bucketed prefix sum, no global sort), one floor
+    // division to micros at the end
+    "c9_ks_drift" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .where(col("event_type") === "view")
+      val split = lit("2024-01-15").cast("timestamp")
+      graft.operators.Quality.ksDrift(
+        ev.where(col("ts") < split), ev.where(col("ts") >= split))
+    }),
+
     // E13 streaming VALIDATED ingest: the c2 constraint gate applied
     // in-flight — each micro-batch splits on the violation predicate,
     // good rows to the sink, violators to quarantine (never silently
@@ -2914,6 +2927,14 @@ object SparkEntry {
           s.read.parquet(s"$d/events.parquet"),
           regexp_extract(col("props"), "(\\d+)", 1))
         .orderBy("item", "rank")),
+
+    // J15 first-order Markov transition matrix: adjacent event-type pairs
+    // per user timeline (ts, event_id order), exact integer-micros row
+    // probabilities via floor division — one user shuffle + sort, then a
+    // |types|²-row aggregate with a broadcast totals join
+    "j15_markov_transitions" -> ((s, d) =>
+      graft.operators.EventAnalytics.transitionMatrix(
+        s.read.parquet(s"$d/events.parquet"))),
 
     // J11 time-weighted average: per-user TWAP of the view-value signal
     // under step-function hold — exact decimal v·Δt products summed
@@ -5214,6 +5235,22 @@ object SparkEntry {
           "ln(((f1m + 100) / 1000000.0) / ((f2m + 100) / 1000000.0))), 4) AS psi FROM fr) " +
           "SELECT psi, CASE WHEN psi > 0.25 THEN 'major' WHEN psi > 0.1 THEN 'moderate' " +
           "ELSE 'stable' END AS level FROM p"),
+      // c9: the same ECDF gap via the naive global window — the engine's
+      // bucketed prefix sum must be value-invisible; // on positives ≡
+      // Spark's decimal floor division
+      "c9_ks_drift" ->
+        ("WITH u AS (SELECT value AS v, 1 AS ca, 0 AS cb FROM events " +
+          "WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-15 00:00:00' " +
+          "UNION ALL SELECT value, 0, 1 FROM events " +
+          "WHERE event_type = 'view' AND ts >= TIMESTAMP '2024-01-15 00:00:00'), " +
+          "g AS (SELECT v, sum(ca)::BIGINT AS ca, sum(cb)::BIGINT AS cb " +
+          "FROM u WHERE v IS NOT NULL GROUP BY 1), " +
+          "t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM g), " +
+          "c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a, " +
+          "sum(cb) OVER (ORDER BY v) AS cum_b FROM g) " +
+          "SELECT n_a, n_b, max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num, " +
+          "(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000) // (n_a * n_b) AS ks_micros " +
+          "FROM c, t GROUP BY n_a, n_b"),
       // c5: the trailing-window deviation recomputed with the same exact
       // integer-product form over the same DENSIFIED calendar spine (the
       // planted-empty day appears as cnt 0, dev -1, flagged); first-history
@@ -5547,6 +5584,17 @@ object SparkEntry {
           "neighbor, n_ab, cos FROM sc) " +
           "SELECT item, rank::BIGINT AS rank, neighbor, n_ab, cos FROM r " +
           "WHERE rank <= 3 ORDER BY item, rank"),
+      // j15: the same lead() pairing over (user; ts, event_id) and the
+      // same integer floor division — DuckDB // on positives ≡ Spark DIV
+      "j15_markov_transitions" ->
+        ("WITH e AS (SELECT user_id, event_id, event_type, " +
+          "epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "p AS (SELECT event_type AS src, " +
+          "lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst FROM e), " +
+          "c AS (SELECT src, dst, count(*)::BIGINT AS n FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+          "t AS (SELECT src, sum(n)::BIGINT AS n_src FROM c GROUP BY 1) " +
+          "SELECT c.src, c.dst, c.n, (c.n * 1000000) // t.n_src AS p_micros " +
+          "FROM c JOIN t USING (src) ORDER BY src, dst"),
       // j13: same window join + position/count windows + the identical
       // integer credit cases — remainder on the last touch in both
       "j13_multitouch" ->

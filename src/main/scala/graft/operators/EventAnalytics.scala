@@ -270,4 +270,41 @@ object EventAnalytics {
       .where(col("rank") <= k)
       .select("item", "rank", "neighbor", "n_ab", "cos")
   }
+
+  /** First-order MARKOV transition model over per-user event sequences —
+    * the "what happens next" primitive behind next-action prediction and
+    * user-journey Sankey diagrams: for every ordered pair of event types
+    * (src → dst adjacent in some user's timeline), the transition count
+    * and the row-normalized probability.
+    *
+    * Ordering is value-based: per user by (ts, event_id) — the event_id
+    * tiebreak makes same-microsecond neighbors deterministic cross-engine
+    * (the funnel discipline). Probabilities are EXACT integer micros via
+    * floor division (`n_sd·10⁶ div n_s`) — no float ever divides, so the
+    * engine and the oracle agree bit-for-bit; Σ p over a row is ≤ 10⁶
+    * with the deficit being pure floor loss (documented, not remainder-
+    * redistributed: a transition MATRIX is read per-cell, unlike j13's
+    * credit split which must conserve).
+    *
+    * Plan shape at 100 TB: ONE shuffle on the user key and ONE
+    * in-partition sort serve the lead() pairing (the j6/j9 discipline);
+    * the (src, dst) aggregate partial-combines map-side down to
+    * |types|² rows, and the per-src totals join is a broadcast over that
+    * metadata-scale matrix. Nothing after the lead touches fact volume.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("event_type"), us.as("us"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .select(col("event_type").as("src"), col("dst"))
+    val counts = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("src").agg(sum("n").as("n_src"))
+    counts.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"), col("n"),
+        expr("n * 1000000 DIV n_src").as("p_micros"))
+      .orderBy("src", "dst")
+  }
 }

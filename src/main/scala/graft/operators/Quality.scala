@@ -439,4 +439,78 @@ object Quality {
           .when(col("psi") > 0.1, "moderate")
           .otherwise("stable").as("level"))
   }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic over a numeric column — the
+    * binning-free companion of [[psiDrift]] (PSI answers "did the decile
+    * masses move", KS answers "what is the largest CDF gap anywhere"):
+    *
+    *   D = max_x |F_a(x) − F_b(x)|
+    *
+    * carried EXACTLY in integers: with cumulative counts C_a, C_b and
+    * totals n_a, n_b, the gap at x is |C_a·n_b − C_b·n_a| / (n_a·n_b),
+    * so the max runs on the integer numerator and the single reported
+    * fraction is one floor division to micros — no float ever compares,
+    * and the oracle's naive global window reproduces the value
+    * bit-for-bit.
+    *
+    * Scale shape — the distributed prefix sum (the textbook two-pass):
+    * values collapse to distinct-value counts in ONE union-tagged
+    * map-side-combining aggregate; each value lands in one of
+    * `rangeBuckets` ORDER-PRESERVING range buckets (boundaries from a
+    * 1-row min/max aggregate, broadcast); the running sums are
+    * per-bucket windows (distributed — each bucket sorts only its own
+    * slice) plus a bucket-offset table of `rangeBuckets` rows whose own
+    * prefix window is metadata-scale (the j9 |steps|-window precedent).
+    * No global single-partition sort ever happens — the c4 lesson
+    * applied to the ECDF.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String = "value",
+              rangeBuckets: Int = 1024): DataFrame = {
+    require(rangeBuckets > 0, s"rangeBuckets must be positive, got $rangeBuckets")
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, ca: Long, cb: Long): DataFrame =
+      df.select(col(valueCol).cast("double").as("v"),
+        lit(ca).as("one_a"), lit(cb).as("one_b"))
+    val g = side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
+      .where(col("v").isNotNull)
+      .groupBy("v").agg(sum("one_a").as("ca"), sum("one_b").as("cb"))
+    val bounds = g.agg(min("v").as("lo"), max("v").as("hi"))
+    // order-preserving range bucket; engine-internal only (the result is
+    // bucket-assignment-independent), so float boundary math is safe
+    val span = col("hi") - col("lo")
+    val bucket = when(span === 0.0, lit(0L)).otherwise(
+      least(lit(rangeBuckets - 1L),
+        floor((col("v") - col("lo")) / span * rangeBuckets).cast("long")))
+    val gb = g.crossJoin(broadcast(bounds)).select(col("v"), col("ca"),
+      col("cb"), bucket.as("bkt"))
+    val inW = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = gb.groupBy("bkt")
+      .agg(sum("ca").as("ba"), sum("cb").as("bb"))
+      .select(col("bkt"),
+        coalesce(sum("ba").over(offW), lit(0L)).as("off_a"),
+        coalesce(sum("bb").over(offW), lit(0L)).as("off_b"))
+    val cum = gb
+      .select(col("bkt"), col("v"), sum("ca").over(inW).as("ia"),
+        sum("cb").over(inW).as("ib"))
+      .join(broadcast(offsets), "bkt")
+      .select((col("ia") + col("off_a")).as("cum_a"),
+        (col("ib") + col("off_b")).as("cum_b"))
+    val totals = g.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    // cross-count products in DECIMAL: n_a·n_b overflows a long first,
+    // two decades before anything else here does (the fracMicros rule)
+    val dec = "decimal(38,0)"
+    cum.crossJoin(broadcast(totals))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cum_a").cast(dec) * col("n_b") -
+          col("cum_b").cast(dec) * col("n_a"))).as("d_dec"))
+      .select(col("n_a"), col("n_b"), col("d_dec"),
+        (lit(1000000L).cast(dec) * col("d_dec")).as("scaled"),
+        (col("n_a").cast(dec) * col("n_b")).as("den"))
+      .select(col("n_a"), col("n_b"), col("d_dec").cast("long").as("d_num"),
+        ((col("scaled") - pmod(col("scaled"), col("den"))) / col("den"))
+          .cast("long").as("ks_micros"))
+  }
 }

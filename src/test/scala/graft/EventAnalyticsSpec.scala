@@ -275,4 +275,30 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
     got shouldBe expect
   }
+
+  test("transition matrix: adjacency per user, event_id tiebreak, floor micros") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: view→click→view (2 transitions); user 2: view→view twice;
+    // user 3: a same-microsecond tie — event_id order decides (5 before 6,
+    // so click→view, NOT view→click); single-event user 4 contributes none
+    val rows = Seq(
+      (1L, 1L, "view", t("2024-01-01 10:00:00")),
+      (2L, 1L, "click", t("2024-01-01 10:00:01")),
+      (3L, 1L, "view", t("2024-01-01 10:00:02")),
+      (4L, 2L, "view", t("2024-01-01 10:00:00")),
+      (7L, 2L, "view", t("2024-01-01 10:00:05")),
+      (9L, 2L, "view", t("2024-01-01 10:00:06")),
+      (5L, 3L, "click", t("2024-01-01 10:00:00")),
+      (6L, 3L, "view", t("2024-01-01 10:00:00")),
+      (8L, 4L, "purchase", t("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.transitionMatrix(rows)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // src=view rows: view→click 1, view→view 2 → n_src 3; floor division
+    got shouldBe Seq(
+      ("click", "view", 2L, 1000000L),
+      ("view", "click", 1L, 333333L),
+      ("view", "view", 2L, 666666L))
+  }
 }

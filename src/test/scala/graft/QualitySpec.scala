@@ -357,4 +357,29 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
       .as[(Double, String)].collect().head
     back._1 shouldBe moved._1 +- 1e-9
   }
+
+  test("KS drift: exact integer gap, bucket-count invariance, degenerate cases") {
+    import graft.operators.Quality
+    def df(xs: Seq[Double]) = xs.map(Tuple1(_)).toDF("value")
+    // hand case: a = {1,2,3,4}, b = {3,4,5,6}; largest ECDF gap is at
+    // x=2: |2/4 - 0/4| = 0.5 → d_num = 2·4 - 0·4 = 8, ks = 500000
+    val a = df(Seq(1, 2, 3, 4)); val b = df(Seq(3, 4, 5, 6))
+    val got = Quality.ksDrift(a, b).as[(Long, Long, Long, Long)].collect().head
+    got shouldBe ((4L, 4L, 8L, 500000L))
+    // identical samples → zero everywhere
+    Quality.ksDrift(a, a).as[(Long, Long, Long, Long)].collect()
+      .head shouldBe ((4L, 4L, 0L, 0L))
+    // fully disjoint ranges → D = 1 exactly
+    Quality.ksDrift(df(Seq(1, 2)), df(Seq(10, 11)))
+      .as[(Long, Long, Long, Long)].collect().head._4 shouldBe 1000000L
+    // bucket assignment is value-invisible: 1 bucket (global window
+    // degenerate) ≡ many buckets (every value its own bucket)
+    val r1 = Quality.ksDrift(a, b, rangeBuckets = 1).collect().head
+    val r64 = Quality.ksDrift(a, b, rangeBuckets = 64).collect().head
+    r1 shouldBe r64
+    // all-equal values (span 0) → single bucket, gap 0 for equal sides,
+    // and asymmetric counts still exact: a = {5,5,5}, b = {5}
+    Quality.ksDrift(df(Seq(5, 5, 5)), df(Seq(5.0)))
+      .as[(Long, Long, Long, Long)].collect().head shouldBe ((3L, 1L, 0L, 0L))
+  }
 }
