@@ -2928,6 +2928,17 @@ object SparkEntry {
           regexp_extract(col("props"), "(\\d+)", 1))
         .orderBy("item", "rank")),
 
+    // G1 PageRank over the co-view item graph — the Pregel shape in
+    // DataFrames: edges partitioned once and persisted, each superstep a
+    // co-partitioned join + aggregate; ranks in EXACT integer e6 units
+    // (floor-division damping/teleport), so the iterative fixpoint is
+    // deterministic and the oracle's chained-CTE replay matches exactly
+    "g1_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pageRank(
+        graft.operators.Graph.coviewEdges(
+          s.read.parquet(s"$d/events.parquet"),
+          regexp_extract(col("props"), "(\\d+)", 1)))),
+
     // J15 first-order Markov transition matrix: adjacent event-type pairs
     // per user timeline (ts, event_id order), exact integer-micros row
     // probabilities via floor division — one user shuffle + sort, then a
@@ -3582,6 +3593,31 @@ object SparkEntry {
     ", cont AS (SELECT a_id, b_id, round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / " +
     "least(len(sa.shingles), len(sb.shingles))::DOUBLE, 6) AS containment " +
     "FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id) "
+
+  /** g1: the j14 capped co-view chain to a symmetric edge table, then the
+    * identical integer PageRank recurrence unrolled as 5 chained CTEs —
+    * DuckDB `//` on positives ≡ Spark `DIV`, every rank a long, so the
+    * iterative fixpoint hash-matches with no float anywhere.
+    */
+  private lazy val pagerankSql: String = {
+    val base = "WITH ui AS (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
+      "FROM events WHERE event_type = 'view' AND regexp_extract(props, '(\\d+)', 1) <> ''), " +
+      "ok AS (SELECT user_id FROM ui GROUP BY 1 HAVING count(*) <= 50), " +
+      "c AS (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id)), " +
+      "e AS (SELECT DISTINCT a.item AS src, b.item AS dst FROM c a JOIN c b " +
+      "ON a.user_id = b.user_id AND a.item <> b.item), " +
+      "deg AS (SELECT src AS item, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+      "nn AS (SELECT count(*)::BIGINT AS n FROM deg), " +
+      "r0 AS (SELECT item, (1000000 // n)::BIGINT AS r FROM deg, nn)"
+    val steps = (1 to 5).map { i =>
+      s"r$i AS (SELECT e.dst AS item, (150000 // nn.n + " +
+        "sum((p.r * 85) // (100 * d.deg)))::BIGINT AS r " +
+        s"FROM e JOIN r${i - 1} p ON e.src = p.item " +
+        "JOIN deg d ON e.src = d.item CROSS JOIN nn GROUP BY e.dst, nn.n)"
+    }.mkString(", ", ", ", " ")
+    base + steps + "SELECT r5.item, deg.deg, r5.r AS rank_e6 " +
+      "FROM r5 JOIN deg USING (item) ORDER BY rank_e6 DESC, item"
+  }
 
   /** DuckDB cosine of two float-list columns, matching Similarity.cosine
     * (double cast per element, left-to-right sums, round 6).
@@ -5584,6 +5620,8 @@ object SparkEntry {
           "neighbor, n_ab, cos FROM sc) " +
           "SELECT item, rank::BIGINT AS rank, neighbor, n_ab, cos FROM r " +
           "WHERE rank <= 3 ORDER BY item, rank"),
+      // g1: the integer PageRank recurrence replayed as chained CTEs
+      "g1_pagerank" -> pagerankSql,
       // j15: the same lead() pairing over (user; ts, event_id) and the
       // same integer floor division — DuckDB // on positives ≡ Spark DIV
       "j15_markov_transitions" ->

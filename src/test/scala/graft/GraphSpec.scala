@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
+  import spark.implicits._
+
+  private def rankOf(edges: Seq[(Int, Int)], iters: Int = 5) =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Int, Long, Long)].collect().toSeq
+
+  test("pageRank: star hub out-ranks leaves; regular cycle is uniform") {
+    // undirected star 0—{1,2,3,4}: hub receives 4 full-rank contributions,
+    // each leaf only the hub's quarter — centrality must order hub first
+    val star = (1 to 4).flatMap(i => Seq((0, i), (i, 0)))
+    val r = rankOf(star)
+    r.head._1 shouldBe 0
+    r.head._3 should be > r(1)._3
+    r.tail.map(_._3).distinct.size shouldBe 1 // leaves symmetric → equal
+    // 4-cycle (symmetric): every node degree 2, perfectly regular — all
+    // ranks identical and the value is the closed form of the recurrence
+    val cyc = (0 to 3).flatMap(i => Seq((i, (i + 1) % 4), ((i + 1) % 4, i)))
+    val rc = rankOf(cyc)
+    rc.map(_._3).distinct.size shouldBe 1
+    // closed form in exact integers: r0 = 250000; step: 37500 + 2*(r*85)//200
+    val expect = (1 to 5).foldLeft(250000L)((r, _) => 37500L + 2 * ((r * 85) / 200))
+    rc.head._3 shouldBe expect
+  }
+
+  test("property: pageRank equals a driver-side integer reference on seeded random graphs") {
+    val rnd = new scala.util.Random(23)
+    // random directed graph made symmetric, the coviewEdges shape
+    val raw = (0 until 120).map(_ => (rnd.nextInt(15), rnd.nextInt(15)))
+      .filter { case (a, b) => a != b }
+    val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val got = rankOf(edges)
+    // reference: plain Scala maps, the same floor recurrence
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val n = out.size
+    var r: Map[Int, Long] = out.keys.map(_ -> 1000000L / n).toMap
+    (1 to 5).foreach { _ =>
+      val in = out.toSeq.flatMap { case (u, vs) =>
+        val c = (r(u) * 85) / (100 * vs.size)
+        vs.map(_ -> c)
+      }.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      r = r.keys.map(v => v -> (150000L / n + in.getOrElse(v, 0L))).toMap
+    }
+    val expect = r.toSeq.map { case (v, rk) => (v, out(v).size.toLong, rk) }
+      .sortBy { case (v, _, rk) => (-rk, v) }
+    got shouldBe expect
+  }
+
+  test("coviewEdges: symmetric, distinct, bot-capped, repeat views collapse") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // user 1 views items 1,2 (2 twice: set semantics); user 2 is a bot
+    // over the cap viewing 1..4 — its pairs must not appear
+    val rows =
+      Seq((1L, 1L, "view", """{"k": 1}""", t0),
+        (2L, 1L, "view", """{"k": 2}""", t0),
+        (3L, 1L, "view", """{"k": 2}""", t0)) ++
+        (4 to 7).map(i => (i.toLong, 2L, "view", s"""{"k": $i}""", t0))
+    val df = rows.toDF("event_id", "user_id", "event_type", "props", "ts")
+    val e = Graph.coviewEdges(df, regexp_extract(col("props"), "(\\d+)", 1),
+        maxUserItems = 3)
+      .as[(Int, Int)].collect().toSet
+    e shouldBe Set((1, 2), (2, 1))
+  }
+}
