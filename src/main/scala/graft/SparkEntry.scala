@@ -1947,6 +1947,22 @@ object SparkEntry {
       Similarity.mmrRerank(corpus, sl, k = 5).orderBy("q_id", "rank")
     }),
 
+    // V22 EMBEDDING DIMENSION CORRELATION: the representation-collapse
+    // diagnostic — top-20 most linearly dependent dimension pairs by
+    // |Pearson corr|, every moment an exact integer-micros DECIMAL sum,
+    // one exchange reused by both self-join sides, one final float ratio
+    // of exact integers round-6 (the j14 cosine discipline)
+    "v22_dim_correlation" -> ((s, d) =>
+      Similarity.dimensionCorrelation(emb(s, d))),
+
+    // V23 PCA TOP-COMPONENT PROJECTION: exact integer-micros moments →
+    // collected d²-row statistic → 12 driver-side power-iteration steps
+    // (the Lloyd's-codebook shape) → distributed centered projection as
+    // a narrow literal-vector HOF; oracle replays the same recurrence as
+    // chained CTEs over the same exact moments, round-4 output
+    "v23_pca_project" -> ((s, d) =>
+      Similarity.pcaProject(emb(s, d))),
+
     // V19 k-NN LABEL PROPAGATION: every unlabeled vector takes the
     // majority label of its 5 nearest seeds by exact cosine (seed tier:
     // vec_id < 30, label = id % 3) — the seed set enters the plan as
@@ -3619,6 +3635,39 @@ object SparkEntry {
       "FROM r5 JOIN deg USING (item) ORDER BY rank_e6 DESC, item"
   }
 
+  /** v23: the identical PCA chain in SQL — exact HUGEINT moments, the
+    * same fixed-shape C/μ doubles, the same 12-step power recurrence
+    * (chained CTEs), the same centered projection; engines differ only
+    * in float summation order, absorbed by round-4.
+    */
+  private lazy val pcaProjectSql: String = {
+    val covExpr = "(n * sab - sa * sb)::DOUBLE / ((n * n)::DOUBLE * 1000000000000.0)"
+    // MATERIALIZED throughout: v_k reads w_k twice (directly and through
+    // the norm), so default CTE inlining would copy the whole upstream
+    // chain 2^12 times — materialization makes each step run once
+    val base = "WITH q AS MATERIALIZED (SELECT vec_id, unnest(range(1, len(embedding) + 1))::INT AS j, " +
+      "round(unnest(embedding)::DOUBLE * 1000000, 0)::BIGINT AS i, " +
+      "unnest(embedding)::DOUBLE AS x FROM embeddings), " +
+      "m AS MATERIALIZED (SELECT a.j AS ja, b.j AS jb, count(*)::HUGEINT AS n, " +
+      "sum(a.i)::HUGEINT AS sa, sum(b.i)::HUGEINT AS sb, " +
+      "sum(a.i * b.i)::HUGEINT AS sab " +
+      "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.j <= b.j GROUP BY 1, 2), " +
+      s"cf AS MATERIALIZED (SELECT ja AS r, jb AS c, $covExpr AS v FROM m " +
+      s"UNION ALL SELECT jb, ja, $covExpr FROM m WHERE ja <> jb), " +
+      "mu AS MATERIALIZED (SELECT ja AS j, sa::DOUBLE / (n::DOUBLE * 1000000.0) AS mu FROM m WHERE ja = jb), " +
+      "v0 AS (SELECT j, CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS val FROM mu)"
+    val steps = (1 to 12).map { k =>
+      s"w$k AS MATERIALIZED (SELECT cf.r AS j, sum(cf.v * p.val) AS w FROM cf " +
+        s"JOIN v${k - 1} p ON cf.c = p.j GROUP BY 1), " +
+        s"n$k AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$k), " +
+        s"v$k AS MATERIALIZED (SELECT j, w / nrm AS val FROM w$k, n$k)"
+    }.mkString(", ", ", ", " ")
+    base + steps +
+      ", pr AS (SELECT q.vec_id, sum((q.x - mu.mu) * v12.val) AS p " +
+      "FROM q JOIN mu ON q.j = mu.j JOIN v12 ON q.j = v12.j GROUP BY 1) " +
+      "SELECT vec_id, round(p, 4) AS proj FROM pr ORDER BY proj DESC, vec_id LIMIT 50"
+  }
+
   /** DuckDB cosine of two float-list columns, matching Similarity.cosine
     * (double cast per element, left-to-right sums, round 6).
     */
@@ -4867,6 +4916,22 @@ object SparkEntry {
       "v1_cosine_topk" -> exactTopkSql,
       "v20_mmr_rerank" -> mmrRerankSql,
       "v21_mmr_ivf" -> mmrIvfSql,
+      // v22: the same integer-micros moments (parallel unnest zips the
+      // position range with the values), HUGEINT sums ≡ decimal(38,0),
+      // the identical exact-integer variance filter and round-6 ratio
+      "v22_dim_correlation" ->
+        ("WITH q AS (SELECT vec_id, unnest(range(1, len(embedding) + 1))::BIGINT AS j, " +
+          "round(unnest(embedding)::DOUBLE * 1000000, 0)::BIGINT AS i FROM embeddings), " +
+          "m AS (SELECT a.j AS dim_a, b.j AS dim_b, count(*)::HUGEINT AS n, " +
+          "sum(a.i)::HUGEINT AS sa, sum(b.i)::HUGEINT AS sb, " +
+          "sum(a.i * a.i)::HUGEINT AS saa, sum(b.i * b.i)::HUGEINT AS sbb, " +
+          "sum(a.i * b.i)::HUGEINT AS sab " +
+          "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.j < b.j GROUP BY 1, 2) " +
+          "SELECT dim_a, dim_b, " +
+          "round((n * sab - sa * sb)::DOUBLE / " +
+          "sqrt((n * saa - sa * sa)::DOUBLE * (n * sbb - sb * sb)::DOUBLE), 6) AS corr " +
+          "FROM m WHERE (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0 " +
+          "ORDER BY abs(corr) DESC, dim_a, dim_b LIMIT 20"),
       "q9_hybrid_rrf" -> hybridRrfSql,
       "m1_media_features" ->
         ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
@@ -5622,6 +5687,9 @@ object SparkEntry {
           "WHERE rank <= 3 ORDER BY item, rank"),
       // g1: the integer PageRank recurrence replayed as chained CTEs
       "g1_pagerank" -> pagerankSql,
+      // v23: the identical exact-moments → power-iteration → projection
+      // chain unrolled in SQL
+      "v23_pca_project" -> pcaProjectSql,
       // j15: the same lead() pairing over (user; ts, event_id) and the
       // same integer floor division — DuckDB // on positives ≡ Spark DIV
       "j15_markov_transitions" ->

@@ -1036,4 +1036,134 @@ object Similarity {
       }
       .toDF("q_id", "rank", "vec_id", "mmr_e7")
   }
+
+  /** EMBEDDING-SPACE DIAGNOSTICS: the top-k most linearly dependent
+    * dimension pairs by |Pearson correlation| — the collapse detector a
+    * training pipeline runs on an embedding column before trusting it
+    * (highly correlated dimensions mean the effective dimensionality is
+    * lower than the nominal one; the classic representation-collapse
+    * smell, and the statistic PCA/whitening decisions read).
+    *
+    * Determinism — the integer-moments discipline: each float quantizes
+    * to round-half-up integer micros FIRST (float·10⁶ is computed
+    * identically by both engines; `round` is half-away-from-zero in
+    * both), then every moment (Σi, Σi², Σiᵢ·iⱼ, n) is an EXACT
+    * integer sum in DECIMAL(38,0) (order-free, overflow-proof past the
+    * long window — the fracMicros rule), and the one float step is the
+    * final textbook ratio
+    *
+    *   corr = (n·s_ab − s_a·s_b) / √((n·s_aa − s_a²)·(n·s_bb − s_b²))
+    *
+    * of exact integers — identical doubles from identical integers, then
+    * round-6 (the j14 cosine precedent). Zero-variance dimensions are
+    * filtered on the EXACT integer variance numerator, never on a float.
+    *
+    * Scale shape: ONE exchange of the exploded (vec_id, dim, micros)
+    * rows, REUSED by both sides of the self-join (identical subplans →
+    * ReusedExchange); the per-row d²/2 pair expansion happens after the
+    * shuffle and immediately partial-aggregates to the d²/2-row moments
+    * table map-side — nothing wider than d² rows ever crosses the wire
+    * after that, and the top-k is a TakeOrdered over metadata.
+    */
+  def dimensionCorrelation(embeddings: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val dec = "decimal(38,0)"
+    val q = embeddings.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+        round(col("col").cast("double") * 1e6, 0).cast("long").as("i"))
+    val moments = q.as("a").join(q.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.j") < col("b.j"))
+      .groupBy(col("a.j").as("dim_a"), col("b.j").as("dim_b"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("a.i").cast(dec)).as("sa"),
+        sum(col("b.i").cast(dec)).as("sb"),
+        sum((col("a.i") * col("a.i")).cast(dec)).as("saa"),
+        sum((col("b.i") * col("b.i")).cast(dec)).as("sbb"),
+        sum((col("a.i") * col("b.i")).cast(dec)).as("sab"))
+    val num = col("n") * col("sab") - col("sa") * col("sb")
+    val da = col("n") * col("saa") - col("sa") * col("sa")
+    val db = col("n") * col("sbb") - col("sb") * col("sb")
+    moments
+      .where(da > 0 && db > 0)
+      .select(col("dim_a"), col("dim_b"),
+        round(num.cast("double") /
+          sqrt(da.cast("double") * db.cast("double")), 6).as("corr"))
+      .orderBy(abs(col("corr")).desc, col("dim_a"), col("dim_b"))
+      .limit(topK)
+  }
+
+  /** PCA TOP-COMPONENT PROJECTION — distributed principal-direction
+    * scoring, the Lloyd's-codebook execution shape applied to PCA: the
+    * covariance is reduced to EXACT integer-micros moments in one
+    * pair-expanded aggregate (the [[dimensionCorrelation]] machinery,
+    * diagonal included), the d(d+1)/2-row moment table is COLLECTED
+    * (broadcast-stats: d² is metadata no matter how many rows built it),
+    * the dominant eigenvector comes from `iters` fixed power-iteration
+    * steps driver-side (v⁰ = e₁, normalize each step — subword-nmt-style
+    * driver-local iteration over a collected statistic, the t19
+    * precedent), and the per-row centered projection (x − μ)·v runs
+    * distributed as a narrow scan-bound HOF with the vectors as literals
+    * — no join, no shuffle, TakeOrdered top-k.
+    *
+    * Cross-engine: moments are exact integers; C and μ derive from them
+    * by fixed-shape double arithmetic; the oracle replays the SAME
+    * power recurrence as chained CTEs over the SAME exact moments. The
+    * engines' only divergence is float summation ORDER inside matvec /
+    * norm / projection — relative 1e-15-per-step noise on a normalized
+    * vector, absorbed by the round-4 output (the t11 rule, stressed by
+    * 12 extra steps and measured stable in the spec's recomputation).
+    */
+  def pcaProject(embeddings: DataFrame, iters: Int = 12,
+                 topK: Int = 50): DataFrame = {
+    require(iters >= 1 && topK >= 1, s"iters=$iters, topK=$topK must be positive")
+    val dec = "decimal(38,0)"
+    val q = embeddings.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("j"),
+        round(col("col").cast("double") * 1e6, 0).cast("long").as("i"))
+    val mom = q.as("a").join(q.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.j") <= col("b.j"))
+      .groupBy(col("a.j").as("ja"), col("b.j").as("jb"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("a.i").cast(dec)).as("sa"),
+        sum(col("b.i").cast(dec)).as("sb"),
+        sum((col("a.i") * col("b.i")).cast(dec)).as("sab"))
+      .select(col("ja"), col("jb"),
+        col("n").cast("double").as("nd"),
+        col("sa").cast("double").as("sad"),
+        (col("n") * col("sab") - col("sa") * col("sb"))
+          .cast("double").as("num"))
+      .collect()
+    val d = mom.map(_.getInt(0)).max
+    val n = mom.head.getDouble(2)
+    val c = Array.ofDim[Double](d, d)
+    val mu = new Array[Double](d)
+    mom.foreach { r =>
+      val (ja, jb) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      val cov = r.getDouble(4) / (n * n * 1.0e12)
+      c(ja)(jb) = cov
+      c(jb)(ja) = cov
+      if (ja == jb) mu(ja) = r.getDouble(3) / (n * 1000000.0)
+    }
+    var v = Array.tabulate(d)(j => if (j == 0) 1.0 else 0.0)
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(d)(r => {
+        var s = 0.0; var k = 0
+        while (k < d) { s += c(r)(k) * v(k); k += 1 }; s
+      })
+      var nn = 0.0; var k = 0
+      while (k < d) { nn += w(k) * w(k); k += 1 }
+      val nrm = math.sqrt(nn)
+      v = w.map(_ / nrm)
+    }
+    val muLit = typedLit(mu.toSeq)
+    val vLit = typedLit(v.toSeq)
+    val centered = zip_with(col("embedding").cast("array<double>"), muLit,
+      (x, m) => x - m)
+    val terms = zip_with(centered, vLit, (y, w) => y * w)
+    val proj = aggregate(terms, lit(0.0), (acc, y) => acc + y)
+    embeddings
+      .select(col("vec_id"), round(proj, 4).as("proj"))
+      .orderBy(col("proj").desc, col("vec_id"))
+      .limit(topK)
+  }
 }

@@ -1716,4 +1716,70 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out.filter(_._1 == 20L).map(_._3).head shouldBe 2L // rank 1 = relevance
     out.count(_._1 == 20L) shouldBe 2
   }
+
+  // ------------------------------------------ embedding diagnostics / PCA
+
+  test("dimension correlation: planted linear dependence, sign, zero-variance filter") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // dim2 = 2·dim1 (corr +1), dim3 = −dim1 (corr −1), dim4 constant
+    // (zero variance → filtered), dim5 noise
+    val rnd = new scala.util.Random(7)
+    val rows = (0L to 19L).map { i =>
+      val t = rnd.nextDouble()
+      (i, v(t, 2 * t, -t, 0.5, rnd.nextDouble()))
+    }
+    val got = Similarity.dimensionCorrelation(rows.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // top pairs are the three exact dependences among dims 1,2,3
+    got.take(3).map(t => (t._1, t._2)).toSet shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+    got.take(3).foreach(t => math.abs(t._3) shouldBe 1.0 +- 1e-4)
+    got.find(t => (t._1, t._2) == ((1L, 3L))).get._3 should be < 0.0
+    // dim4 never appears (integer-variance filter)
+    got.foreach { t => t._1 should not be 4L; t._2 should not be 4L }
+  }
+
+  test("PCA projection: recovers the planted dominant direction; matches a driver reference at round-4") {
+    val rnd = new scala.util.Random(11)
+    // points spread along (0.6, 0.8) with small orthogonal noise — the
+    // top component must be ±(0.6, 0.8) and projections must order by t
+    val rows = (0L to 49L).map { i =>
+      val t = (i.toDouble - 25) / 10
+      val eps = (rnd.nextDouble() - 0.5) * 0.01
+      (i, Array((0.6 * t - 0.8 * eps).toFloat, (0.8 * t + 0.6 * eps).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.pcaProject(df, topK = 50)
+      .as[(Long, Double)].collect().toSeq
+    got.size shouldBe 50
+    // ordering by projection ≡ ordering by ±t: ids are either ascending
+    // 49..0 or 0..49 depending on the (legal) eigenvector sign
+    val ids = got.map(_._1)
+    assert(ids == (0L to 49L).sortBy(i => -i) || ids == (0L to 49L).toSeq)
+    // the spacing between consecutive projections is ~|t step| = 0.1
+    val gaps = got.map(_._2).sliding(2).map(p => p.head - p(1)).toSeq
+    all(gaps) should be(0.1 +- 0.02)
+    // driver reference: exact integer micros moments → same recurrence
+    val n = rows.size.toDouble
+    val q = rows.map { case (_, e) => e.map(x => math.round(x.toDouble * 1e6)) }
+    val d = 2
+    val c = Array.ofDim[Double](d, d); val mu = new Array[Double](d)
+    for (j <- 0 until d; k <- j until d) {
+      val sa = q.map(_(j)).sum.toDouble; val sb = q.map(_(k)).sum.toDouble
+      val sab = q.map(r => r(j) * r(k)).sum.toDouble
+      val cov = (n * sab - sa * sb) / (n * n * 1.0e12)
+      c(j)(k) = cov; c(k)(j) = cov
+      if (j == k) mu(j) = sa / (n * 1000000.0)
+    }
+    var vv = Array(1.0, 0.0)
+    (1 to 12).foreach { _ =>
+      val w = Array.tabulate(d)(r => (0 until d).map(k => c(r)(k) * vv(k)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      vv = w.map(_ / nrm)
+    }
+    val expect = rows.map { case (id, e) =>
+      val p = (0 until d).map(j => (e(j).toDouble - mu(j)) * vv(j)).sum
+      (id, BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, p) => (-p, id) }.take(50)
+    got shouldBe expect
+  }
 }
