@@ -850,6 +850,23 @@ object SparkEntry {
         graft.operators.Quality.qualityBucketCounts(ref), counts2)
     }),
 
+    // E29 STREAMING Markov-transition fold: j15's matrix maintained by
+    // ingest — per-batch within-batch pair counts + per-user (first,
+    // last) boundary summaries land as idempotent batch directories over
+    // a TIME-RANGE-split landing dir; the fold recovers the batch-
+    // boundary transitions via one lead() over each user's bounds rows
+    // and must EQUAL the batch-free j15 recompute (same oracle verbatim)
+    "e29_stream_transitions" -> ((s, d) => {
+      val src = scratch("e29-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        s.read.parquet(s"$d/events.parquet")
+          .repartitionByRange(4, col("ts"), col("event_id"))
+          .write.parquet(src)
+      val deltas = scratch("e29-deltas")
+      EventStream.streamTransitionFold(s, src, deltas)
+      EventStream.foldTransitionLog(s, deltas)
+    }),
+
     // E24 STREAMING DSIR raw-model fold: the p19 statistic kept current by
     // ingest — per-batch (feat, d_rc) counts over the FROZEN target
     // vocabulary land in idempotent batch directories (maxFilesPerTrigger=1
@@ -5693,6 +5710,16 @@ object SparkEntry {
       // j15: the same lead() pairing over (user; ts, event_id) and the
       // same integer floor division — DuckDB // on positives ≡ Spark DIV
       "j15_markov_transitions" ->
+        ("WITH e AS (SELECT user_id, event_id, event_type, " +
+          "epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "p AS (SELECT event_type AS src, " +
+          "lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst FROM e), " +
+          "c AS (SELECT src, dst, count(*)::BIGINT AS n FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+          "t AS (SELECT src, sum(n)::BIGINT AS n_src FROM c GROUP BY 1) " +
+          "SELECT c.src, c.dst, c.n, (c.n * 1000000) // t.n_src AS p_micros " +
+          "FROM c JOIN t USING (src) ORDER BY src, dst"),
+      // e29: the stream-folded matrix must equal the batch-free recompute
+      "e29_stream_transitions" ->
         ("WITH e AS (SELECT user_id, event_id, event_type, " +
           "epoch_us(ts::TIMESTAMP) AS us FROM events), " +
           "p AS (SELECT event_type AS src, " +

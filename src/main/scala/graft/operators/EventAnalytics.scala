@@ -300,7 +300,16 @@ object EventAnalytics {
       .withColumn("dst", lead(col("event_type"), 1).over(w))
       .where(col("dst").isNotNull)
       .select(col("event_type").as("src"), col("dst"))
-    val counts = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    transitionsFromCounts(
+      pairs.groupBy("src", "dst").agg(count(lit(1)).as("n")))
+  }
+
+  /** [[transitionMatrix]]'s probability tail over ANY (src, dst, n) count
+    * table — the SUM-MERGEABLE half: per-batch transition counts fold by
+    * plain addition, which is what lets a stream keep the matrix current
+    * (e29 rides the e15/e28 delta-log discipline on exactly this table).
+    */
+  def transitionsFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy("src").agg(sum("n").as("n_src"))
     counts.join(broadcast(totals), "src")
       .select(col("src"), col("dst"), col("n"),

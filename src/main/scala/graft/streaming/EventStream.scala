@@ -1393,6 +1393,89 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING Markov-transition maintenance — the j15 matrix kept
+    * current by ingest. Each micro-batch lands TWO idempotent
+    * `batch=<id>/` directories (the e15 rule: replay overwrites its own
+    * directory, never duplicates):
+    *
+    *   - `counts/`: the batch's WITHIN-batch adjacent-pair counts
+    *     (sum-mergeable — the e27 classifier-log argument applies
+    *     verbatim), and
+    *   - `bounds/`: one row per (user, batch) with the user's FIRST and
+    *     LAST event type in the batch — the boundary summary that lets
+    *     the fold recover the transitions a batch split hides (user's
+    *     last event in batch k → first event in the user's NEXT batch),
+    *     which per-batch lead() cannot see.
+    *
+    * Requires the landing files be TIME-RANGE split (each user's events
+    * in batch k all precede their events in batch k+1) — the registered
+    * entry writes the landing dir with `repartitionByRange(ts,
+    * event_id)`, and [[foldTransitionLog]] gates nothing on file count:
+    * a user absent from intermediate batches pairs across the gap via
+    * lead() over their own bounds rows. The folded matrix must EQUAL
+    * the batch-free j15 recompute — the registered oracle is j15's,
+    * verbatim.
+    */
+  def streamTransitionFold(spark: SparkSession, srcDir: String,
+                           deltaDir: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val e = batch.select(col("user_id"), col("event_id"),
+          col("event_type"), us.as("us"))
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val wd = Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        val ranked = e
+          .withColumn("dst", lead(col("event_type"), 1).over(w))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rx", row_number().over(wd))
+        ranked.where(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("d_n"))
+          .write.mode("overwrite").parquet(s"$deltaDir/counts/batch=$batchId")
+        ranked.groupBy("user_id")
+          .agg(max(when(col("rn") === 1, col("event_type"))).as("first_type"),
+            max(when(col("rn") === 1, col("us"))).as("first_us"),
+            max(when(col("rn") === 1, col("event_id"))).as("first_eid"),
+            max(when(col("rx") === 1, col("event_type"))).as("last_type"))
+          .write.mode("overwrite").parquet(s"$deltaDir/bounds/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** The fold half of [[streamTransitionFold]]: within-batch counts
+    * re-sum order-free; boundary transitions come from ONE lead() over
+    * each user's bounds rows ordered by the rows' OWN first-event time
+    * (never by batch id — the file source dispatches files in
+    * modification-time order, which is task-finish order, not time
+    * order; the value-based sort makes the fold immune to it); the
+    * probability tail is j15's.
+    */
+  def foldTransitionLog(spark: SparkSession, deltaDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val within = spark.read.parquet(s"$deltaDir/counts")
+      .groupBy("src", "dst").agg(sum("d_n").as("n"))
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("first_us"), col("first_eid"))
+    val boundary = spark.read.parquet(s"$deltaDir/bounds")
+      .withColumn("next_first", lead(col("first_type"), 1).over(wb))
+      .where(col("next_first").isNotNull)
+      .groupBy(col("last_type").as("src"), col("next_first").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.EventAnalytics.transitionsFromCounts(
+      within.unionByName(boundary)
+        .groupBy("src", "dst").agg(sum("n").as("n")))
+  }
+
   /** STREAMING dedup-signature ingest — e11's discipline pointed at the
     * d9 signature index: each arriving document micro-batch lands its
     * MinHash signatures as an idempotent `batch=<id>/` directory under

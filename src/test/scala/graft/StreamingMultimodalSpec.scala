@@ -742,6 +742,58 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
       _.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet) shouldBe
       Set("batch=-1", "batch=3")
   }
+
+  test("transition fold: boundary transitions recovered; immune to batch-id order") {
+    import java.sql.Timestamp
+    import graft.streaming.EventStream
+    import graft.operators.EventAnalytics
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1's timeline spans three time slices: [view], [click], [view];
+    // user 2 skips the middle slice: [view], —, [purchase]; the three
+    // slices are REGISTERED with permuted batch ids (2, 0, 1) — exactly
+    // the file-source dispatch-order hazard the fold must be immune to
+    val slices = Seq(
+      Seq((1L, 1L, "view", t(0)), (2L, 2L, "view", t(1))),
+      Seq((3L, 1L, "click", t(10))),
+      Seq((4L, 1L, "view", t(20)), (5L, 2L, "purchase", t(21))))
+    val batchIds = Seq(2, 0, 1)
+    val root = java.nio.file.Files.createTempDirectory("graft-e29-spec").toString
+    slices.zip(batchIds).foreach { case (rows, b) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = rows.toDF("event_id", "user_id", "event_type", "ts")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wd = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val ranked = e
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rx", row_number().over(wd))
+      ranked.where(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("d_n"))
+        .write.mode("overwrite").parquet(s"$root/counts/batch=$b")
+      ranked.groupBy("user_id")
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("first_type"),
+          max(when(col("rn") === 1, col("us"))).as("first_us"),
+          max(when(col("rn") === 1, col("event_id"))).as("first_eid"),
+          max(when(col("rx") === 1, col("event_type"))).as("last_type"))
+        .write.mode("overwrite").parquet(s"$root/bounds/batch=$b")
+    }
+    val folded = EventStream.foldTransitionLog(spark, root)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val direct = EventAnalytics.transitionMatrix(
+        slices.flatten.toDF("event_id", "user_id", "event_type", "ts"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    folded shouldBe direct
+    // the boundary transitions ARE in there: user 1 view→click across
+    // slices 0→1 and click→view across 1→2; user 2 view→purchase across
+    // the GAP (absent from the middle slice)
+    direct.map(r => (r._1, r._2, r._3)).toSet shouldBe
+      Set(("view", "click", 1L), ("click", "view", 1L),
+        ("view", "purchase", 1L))
+  }
 }
 
 /** Batch twin of the streaming aggregation, used to prove stream/batch
