@@ -717,6 +717,19 @@ object ScaleProbe {
       f""""cand_sec":$tCand%.2f,"neighbors_rows":$nOut,"top_sec":$tTop%.2f}"""
   }
 
+  private def profileGraph(spark: SparkSession, label: String,
+                           ev: DataFrame): String = {
+    val item = regexp_extract(col("props"), "(\\d+)", 1)
+    val (edges, tEdges) = timed {
+      val e = graft.operators.Graph.coviewEdges(ev, item)
+      (e, e.count())
+    }
+    val (_, t5) = timed(graft.operators.Graph.pageRank(edges._1, iters = 5).count())
+    val (_, t10) = timed(graft.operators.Graph.pageRank(edges._1, iters = 10).count())
+    f"""{"corpus":"$label","n_edges":${edges._2},"edges_sec":$tEdges%.2f,""" +
+      f""""pr5_sec":$t5%.2f,"pr10_sec":$t10%.2f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -804,6 +817,25 @@ object ScaleProbe {
         regexp_extract(col("props"), "(\\d+)", 1)).count() // warm-up
       println(profileCooc(spark, "cooc-1x", ev1))
       println(profileCooc(spark, "cooc-10x", spark.read.parquet(dirC2)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "graph" runs ONLY the PageRank probe — the
+    // two claims that make the operator 100 TB-shaped: the edge table is
+    // BOUNDED by distinct-items² however many users feed it (10× users,
+    // items fixed → edges saturate, never grow 10×), and doubling the
+    // supersteps costs ~2× wall (edges persisted once; each superstep
+    // one co-partitioned join + aggregate, no per-iteration rebuild)
+    if (args.headOption.contains("graph")) {
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      val dirG = scratch("decade-graph/events")
+      synthesizeDecadeEvents(ev1).write.mode("overwrite").parquet(dirG)
+      graft.operators.Graph.pageRank(
+        graft.operators.Graph.coviewEdges(ev1,
+          regexp_extract(col("props"), "(\\d+)", 1)), iters = 2).count() // warm-up
+      println(profileGraph(spark, "graph-1x", ev1))
+      println(profileGraph(spark, "graph-10x", spark.read.parquet(dirG)))
       spark.stop()
       return
     }

@@ -849,4 +849,69 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     // the sequential greedy is the per-query typed fold, nothing else
     plan should include("MapGroups")
   }
+
+  test("dimension correlation: the exploded table's exchange is REUSED by the self-join's second side") {
+    // pin the AT-SCALE shuffle-join shape: at fleet scale neither side
+    // broadcasts, so force the threshold off for the assertion
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val df = graft.operators.Similarity.dimensionCorrelation(e, topK = 5)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      plan should not include "CartesianProduct"
+      // identical subplans on both join sides → one exchange, read twice
+      plan should include("ReusedExchange")
+      // the d²/2 moment aggregate partial-combines before the wire
+      plan should include("partial_")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("PCA projection: literal-vector HOF — no join, no exchange, TakeOrdered top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the moment collection runs at build time; the RETURNED plan is the
+    // projection only — the broadcast-stats discipline (Lloyd precedent)
+    val plan = graft.operators.Similarity.pcaProject(e, topK = 10)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Join"
+    plan should not include "Exchange"
+  }
+
+  test("pageRank: supersteps re-read the persisted edge layout, never rebuild the co-view chain") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val edges = graft.operators.Graph.coviewEdges(ev,
+      org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.col("props"), "(\\d+)", 1))
+    val df = graft.operators.Graph.pageRank(edges, iters = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // every superstep scans the in-memory edge table — the user-keyed
+    // co-view self-join ran exactly once, at persist time
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+    edges.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("KS drift: the running ECDF is a bucket-partitioned window, not a single global sort") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .where($"event_type" === "view")
+    val df = graft.operators.Quality.ksDrift(
+      ev.where($"event_id" % 2 === 0), ev.where($"event_id" % 2 === 1))
+    val plan = df.queryExecution.executedPlan.toString
+    // in-bucket cumulative sums partition on the range bucket (the fact-
+    // volume window); only the rangeBuckets-row offset table may sort flat
+    plan should include("windowspecdefinition(bkt")
+    plan should not include "CartesianProduct"
+  }
+
+  test("markov transitions: the lead() pairing rides ONE user-partitioned window; totals broadcast") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val df = graft.operators.EventAnalytics.transitionMatrix(ev)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("windowspecdefinition(user_id")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
 }
