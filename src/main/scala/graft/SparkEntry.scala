@@ -1471,6 +1471,13 @@ object SparkEntry {
     "t24_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
 
+    // T26 vocabulary-growth curve (Heaps' law audit): cumulative tokens
+    // vs cumulative distinct types at each ingest decile — per-doc rank
+    // via the c9 distributed bucketed prefix sum (no global sort),
+    // first-occurrence decile = min-rank decile, all exact integers
+    "t26_vocab_growth" -> ((s, d) =>
+      TextAnalysis.vocabGrowth(docs(s, d))),
+
     // Text analysis: Gopher-style bigram repetition signals
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
@@ -2263,6 +2270,18 @@ object SparkEntry {
     // purged from the delivered export through p17's touched-shards
     // machinery. Composition is the point: identification by content
     // similarity, erasure by the same bounded-rewrite discipline as ids.
+    // M6 payload-entropy quality gate: nibble-distribution Shannon
+    // entropy per media row — exact integer symbol counts off the hex
+    // rendering, ln absorbed by round-4, flag from the ROUNDED value;
+    // every 97th payload planted degenerate (repeated byte → entropy 0)
+    "m6_media_entropy" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(docs(s, d))
+        .withColumn("payload",
+          when(col("media_id") % 97 === 0,
+            to_binary(lit("aa" * 16), lit("hex"))).otherwise(col("payload")))
+      Multimodal.mediaEntropy(media)
+    }),
+
     "m5_media_takedown" -> ((s, d) => {
       import s.implicits._
       val m = plantedMedia(s, d)
@@ -2971,6 +2990,14 @@ object SparkEntry {
         graft.operators.Graph.coviewEdges(
           s.read.parquet(s"$d/events.parquet"),
           regexp_extract(col("props"), "(\\d+)", 1)))),
+
+    // J16 top converting paths: gap-sessionized ordered event-type
+    // sequences (30-min boundary, 12-step prefix cap), top-20 by session
+    // count with path ties — one user shuffle + sort serves the session
+    // split AND the ordered collect; the journey report one-hop j15 can't
+    "j16_top_paths" -> ((s, d) =>
+      graft.operators.EventAnalytics.topPaths(
+        s.read.parquet(s"$d/events.parquet"))),
 
     // J15 first-order Markov transition matrix: adjacent event-type pairs
     // per user timeline (ts, event_id order), exact integer-micros row
@@ -4568,6 +4595,24 @@ object SparkEntry {
           "((n >= 50 AND n <= 100000) AND (sl >= 3 * n AND sl <= 10 * n) " +
           "AND (10 * sym <= n) AND (5 * na >= 4 * n) AND (nr >= 2)) AS pass " +
           "FROM g ORDER BY doc_id"),
+      // t26: ranks from the naive global row_number (the engine's bucketed
+      // prefix sum must be value-invisible), min-rank-decile first
+      // occurrences, cumulative sums over the decile spine
+      "t26_vocab_growth" ->
+        (T + ", r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk, " +
+          "count(*) OVER () AS n FROM documents), " +
+          "dd AS (SELECT doc_id, ((rnk - 1) * 10) // n + 1 AS dec FROM r), " +
+          "pd AS (SELECT dec, count(*)::BIGINT AS docs, " +
+          "sum(coalesce(len(t), 0))::BIGINT AS toks FROM dd JOIN toks USING (doc_id) GROUP BY 1), " +
+          "fo AS (SELECT tok, min(dec) AS dec FROM " +
+          "(SELECT doc_id, unnest(t) AS tok FROM toks) u JOIN dd USING (doc_id) GROUP BY 1), " +
+          "nv AS (SELECT dec, count(*)::BIGINT AS vnew FROM fo GROUP BY 1), " +
+          "sp AS (SELECT range + 1 AS dec FROM range(10)), " +
+          "m AS (SELECT sp.dec, coalesce(docs, 0) AS docs, coalesce(toks, 0) AS toks, " +
+          "coalesce(vnew, 0) AS vnew FROM sp LEFT JOIN pd USING (dec) LEFT JOIN nv USING (dec)) " +
+          "SELECT dec::BIGINT AS decile, sum(docs) OVER (ORDER BY dec)::BIGINT AS docs_cum, " +
+          "sum(toks) OVER (ORDER BY dec)::BIGINT AS tokens_cum, " +
+          "sum(vnew) OVER (ORDER BY dec)::BIGINT AS vocab_cum FROM m ORDER BY decile"),
       // t18: the same independently derived first merge applied per doc —
       // count = chars − non-overlapping occurrences, word by word
       "t18_bpe_doc_counts" ->
@@ -4982,6 +5027,21 @@ object SparkEntry {
       // m5: the m4 closure re-derived, then the corpus minus the target's
       // whole cluster (the target is the first planted original, so it is
       // guaranteed an edge to its twin and therefore a row in lbl)
+      // m6: the same length-difference symbol counts over the same hex
+      // rendering (DuckDB md5 IS the payload hex), identical planting
+      "m6_media_entropy" -> {
+        val cnt = (c: Char) => s"(length(hx) - length(replace(hx, '$c', '')))"
+        val terms = "0123456789abcdef".map { c =>
+          s"CASE WHEN ${cnt(c)} > 0 THEN -(${cnt(c)}::DOUBLE / length(hx)) * " +
+            s"ln(${cnt(c)}::DOUBLE / length(hx)) ELSE 0.0 END"
+        }.mkString(" + ")
+        "WITH m AS (SELECT doc_id AS media_id, " +
+          "CASE WHEN doc_id % 97 = 0 THEN repeat('aa', 16) ELSE md5(text) END AS hx " +
+          "FROM documents), " +
+          s"e AS (SELECT media_id, round($terms, 4) AS entropy FROM m) " +
+          "SELECT media_id, entropy, entropy < 2.0 AS low_entropy " +
+          "FROM e ORDER BY media_id"
+      },
       "m5_media_takedown" ->
         ("WITH RECURSIVE md AS (SELECT doc_id, md5(text) AS hx FROM documents), " +
           "corp AS (SELECT doc_id AS media_id, hx FROM md " +
@@ -5707,6 +5767,22 @@ object SparkEntry {
       // v23: the identical exact-moments → power-iteration → projection
       // chain unrolled in SQL
       "v23_pca_project" -> pcaProjectSql,
+      // j16: the same gap split (strict >), running-sum session ids, and
+      // ordered string_agg — boundary/order semantics identical
+      "j16_top_paths" ->
+        ("WITH e AS (SELECT user_id, event_id, event_type, " +
+          "epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "s AS (SELECT *, CASE WHEN us - lag(us) OVER " +
+          "(PARTITION BY user_id ORDER BY us, event_id) > 1800000000 " +
+          "THEN 1 ELSE 0 END AS new_s FROM e), " +
+          "s2 AS (SELECT *, sum(new_s) OVER " +
+          "(PARTITION BY user_id ORDER BY us, event_id) AS sess FROM s), " +
+          "s3 AS (SELECT *, row_number() OVER " +
+          "(PARTITION BY user_id, sess ORDER BY us, event_id) AS pos FROM s2), " +
+          "p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY pos) AS path " +
+          "FROM s3 WHERE pos <= 12 GROUP BY 1, 2) " +
+          "SELECT path, count(*)::BIGINT AS n_sessions FROM p " +
+          "GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"),
       // j15: the same lead() pairing over (user; ts, event_id) and the
       // same integer floor division — DuckDB // on positives ≡ Spark DIV
       "j15_markov_transitions" ->

@@ -304,6 +304,52 @@ object EventAnalytics {
       pairs.groupBy("src", "dst").agg(count(lit(1)).as("n")))
   }
 
+  /** TOP CONVERTING PATHS — the user-journey mining primitive behind
+    * "what do people actually do here": gap-sessionize each user's
+    * timeline, render each session's ordered event-type sequence as a
+    * path string (`view>click>purchase`), and report the top-k paths by
+    * session count. The Sankey/journey report j15's per-edge matrix
+    * cannot express (paths carry ORDER BEYOND one hop).
+    *
+    * Semantics, all value-based: sessions split where the gap from the
+    * previous event exceeds `gapMicros` (strictly greater — the e2/e9
+    * boundary rule); within a session events order by (ts, event_id);
+    * sessions longer than `maxLen` events contribute their PREFIX (the
+    * bot-tail cap: an unbounded path alphabet is the quadratic-blowup
+    * smell, and a 12-step prefix identifies a journey as well as a
+    * 400-step one). Ties in count break on path asc.
+    *
+    * Plan shape at 100 TB: ONE shuffle on the user key and ONE
+    * in-partition sort serve both the lag() session split and the
+    * session-ordered collect (stacked windows share the sort — the
+    * j6/j9 discipline); each session collapses map-side to one slim
+    * (path) row, the path aggregate partial-combines, and the top-k is
+    * a TakeOrdered merge.
+    */
+  def topPaths(events: DataFrame, gapMicros: Long = 1800000000L,
+               k: Int = 20, maxLen: Int = 12): DataFrame = {
+    require(k >= 1 && maxLen >= 1, s"k=$k, maxLen=$maxLen must be positive")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sessioned = events
+      .select(col("user_id"), col("event_id"), col("event_type"), us.as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > gapMicros, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sess", sum(col("new_s")).over(w))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("user_id", "sess").orderBy(col("us"), col("event_id"))))
+      .where(col("pos") <= maxLen)
+    val paths = sessioned
+      .groupBy("user_id", "sess")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("event_type")))),
+        e => e.getField("event_type")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** [[transitionMatrix]]'s probability tail over ANY (src, dst, n) count
     * table — the SUM-MERGEABLE half: per-batch transition counts fold by
     * plain addition, which is what lets a stream keep the matrix current

@@ -196,6 +196,34 @@ object Multimodal {
   /** Frame/sample subsampling stub: deterministic stride over the payload —
     * the plumbing for "take every Nth frame" without a codec.
     */
+  /** PAYLOAD-ENTROPY QUALITY GATE — the corrupt/blank-media detector: the
+    * Shannon entropy of each payload's nibble distribution, flagging
+    * degenerate payloads (a blank frame, a zero-filled ingest truncation,
+    * a stuck encoder all collapse to a few symbols; real compressed media
+    * bytes are near-uniform). The byte-level twin of t3's text-quality
+    * heuristics, and the multimodal family's first per-row statistical
+    * gate.
+    *
+    * Cross-engine: symbol counts are EXACT integers read off the hex
+    * rendering (length-difference per symbol — a flat 16-term codegen'd
+    * expression, no UDF, no explode); the only floats are the final
+    * −(c/n)·ln(c/n) terms whose libm ulp is absorbed by the round-4
+    * output, and the flag derives from the ROUNDED value (the c8 rule).
+    * One narrow scan-bound projection: no join, no shuffle.
+    */
+  def mediaEntropy(media: DataFrame, lowThreshold: Double = 2.0): DataFrame = {
+    val hx = lower(hex(col("payload")))
+    val n = length(hx).cast("double")
+    val entropy = "0123456789abcdef".map { ch =>
+      val c = (length(hx) - length(replace(hx, lit(ch.toString), lit(""))))
+        .cast("double")
+      when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    media.select(col("media_id"), round(entropy, 4).as("entropy"))
+      .withColumn("low_entropy", col("entropy") < lowThreshold)
+      .orderBy("media_id")
+  }
+
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]

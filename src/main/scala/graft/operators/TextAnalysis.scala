@@ -702,4 +702,64 @@ object TextAnalysis {
       graft.functions.Tokenize.weightSum(tokens(col("text")), w)
         .as("score_micros"))
       .withColumn("predicted_hq", col("score_micros") > 0L)
+
+  /** VOCABULARY-GROWTH CURVE (Heaps' law audit) — cumulative corpus size
+    * vs cumulative distinct-token count at each ingest decile: the
+    * scaling diagnostic that tells a data buyer whether the next decile
+    * of corpus still buys new vocabulary (sub-linear growth flattening
+    * early = the corpus is saturating/duplicated; the curve every
+    * tokenizer-budget and dedup-policy decision reads).
+    *
+    * Everything exact integers. "Ingest order" is doc_id order, and the
+    * per-doc rank comes from the DISTRIBUTED bucketed prefix sum (the
+    * c9 ECDF machinery: order-preserving range buckets over a broadcast
+    * min/max, per-bucket row_number + a metadata-scale offset window) —
+    * never a global single-partition sort. A token's first-occurrence
+    * decile is the decile of its MIN rank (decile is monotone in rank),
+    * one map-side-combining min per token; the cumulative sums run over
+    * the `buckets`-row spine.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10,
+                  rangeBuckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && rangeBuckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"),
+      coalesce(tokens(col("text")), array().cast("array<string>")).as("t"))
+    val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val span = (col("hi") - col("lo")).cast("double")
+    val bkt = when(span === 0.0, lit(0L)).otherwise(
+      least(lit(rangeBuckets - 1L),
+        floor((col("doc_id") - col("lo")).cast("double") / span * rangeBuckets)
+          .cast("long")))
+    val gb = base.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("t"), bkt.as("bkt"))
+    val offW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = gb.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .select(col("bkt"), coalesce(sum("bn").over(offW), lit(0L)).as("off"))
+    val n = base.count()
+    val ranked = gb
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bkt").orderBy("doc_id")).cast("long"))
+      .join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("t"),
+        (expr(s"(rn + off - 1) * $buckets DIV $n") + 1L).as("dec"))
+    val perDec = ranked.groupBy("dec")
+      .agg(count(lit(1)).as("docs"), sum(size(col("t"))).cast("long").as("toks"))
+    val newTypes = ranked
+      .select(col("dec"), explode(col("t")).as("tok"))
+      .groupBy("tok").agg(min("dec").as("dec"))
+      .groupBy("dec").agg(count(lit(1)).as("vnew"))
+    val spine = docs.sparkSession.range(1, buckets + 1)
+      .select(col("id").as("dec"))
+    val cumW = Window.orderBy("dec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(perDec, Seq("dec"), "left")
+      .join(newTypes, Seq("dec"), "left")
+      .select(col("dec").as("decile"),
+        sum(coalesce(col("docs"), lit(0L))).over(cumW).as("docs_cum"),
+        sum(coalesce(col("toks"), lit(0L))).over(cumW).as("tokens_cum"),
+        sum(coalesce(col("vnew"), lit(0L))).over(cumW).as("vocab_cum"))
+      .orderBy("decile")
+  }
 }

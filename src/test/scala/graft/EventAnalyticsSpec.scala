@@ -301,4 +301,33 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("view", "click", 1L, 333333L),
       ("view", "view", 2L, 666666L))
   }
+
+  test("top paths: strict gap boundary, prefix cap, count ranking with path ties") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val gap = 1800000000L // 30 min
+    // user 1: two events EXACTLY 30 min apart — same session (strict >);
+    // then one 30min+1us later — new session. user 2: a 15-event session
+    // that must truncate to the 12-step prefix. users 3,4: identical
+    // "view>click" sessions → count 2 ranks above singletons
+    val rows =
+      Seq((1L, 1L, "view", t("2024-01-01 10:00:00")),
+        (2L, 1L, "click", t("2024-01-01 10:30:00")),
+        (3L, 1L, "error", Timestamp.from(
+          t("2024-01-01 11:00:00").toInstant.plusNanos(1000)))) ++
+        (0 until 15).map(i =>
+          (10L + i, 2L, "view", t(f"2024-01-01 10:${i}%02d:00"))) ++
+        Seq((40L, 3L, "view", t("2024-01-01 10:00:00")),
+          (41L, 3L, "click", t("2024-01-01 10:01:00")),
+          (42L, 4L, "view", t("2024-01-01 10:00:00")),
+          (43L, 4L, "click", t("2024-01-01 10:01:00")))
+    val got = EventAnalytics.topPaths(
+        rows.toDF("event_id", "user_id", "event_type", "ts"),
+        gapMicros = gap, k = 10, maxLen = 12)
+      .as[(String, Long)].collect().toSeq
+    got.head shouldBe (("view>click", 3L)) // user 1's first session + users 3,4
+    got should contain(("error", 1L)) // user 1's second session
+    got should contain((Seq.fill(12)("view").mkString(">"), 1L)) // capped at 12
+    got.map(_._1).foreach(p => p.split(">").length should be <= 12)
+  }
 }

@@ -1782,4 +1782,37 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     }.sortBy { case (id, p) => (-p, id) }.take(50)
     got shouldBe expect
   }
+
+  test("vocab growth: first occurrences land in their decile; bucket-count invariance") {
+    // 10 docs, ids 0..9 → one per decile; doc k introduces token "t<k>"
+    // and repeats "base" — vocab_cum grows by exactly 1 per decile after
+    // decile 1 (which also introduces "base")
+    val docs = (0L to 9L).map(i => (i, s"base t$i")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got.map(_._1) shouldBe (1L to 10L)
+    got.map(_._2) shouldBe (1L to 10L) // docs_cum
+    got.map(_._3) shouldBe (1L to 10L).map(_ * 2) // 2 tokens per doc
+    got.map(_._4) shouldBe (2L to 11L) // base + t0 in decile 1, then +1
+    // the distributed rank is bucket-assignment-invisible
+    val r1 = TextAnalysis.vocabGrowth(docs, rangeBuckets = 1).collect().toSeq
+    val r7 = TextAnalysis.vocabGrowth(docs, rangeBuckets = 7).collect().toSeq
+    r1 shouldBe r7
+  }
+
+  test("media entropy: degenerate payload flags, uniform payload hits ln 16, halves hit ln 2") {
+    import graft.operators.Multimodal
+    def bin(hex: String) = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val media = Seq(
+      (1L, bin("aa" * 16)), // one symbol → entropy 0, flagged
+      (2L, bin("0123456789abcdef" * 2)), // all 16 symbols equally → ln 16
+      (3L, bin("00ff" * 8)) // two symbols equally → ln 2
+    ).toDF("media_id", "payload")
+    val got = Multimodal.mediaEntropy(media)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 0.0, true),
+      (2L, BigDecimal(math.log(16)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, false),
+      (3L, BigDecimal(math.log(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, true))
+  }
 }
