@@ -2991,6 +2991,14 @@ object SparkEntry {
           s.read.parquet(s"$d/events.parquet"),
           regexp_extract(col("props"), "(\\d+)", 1)))),
 
+    // J17 A/B experiment readout: Knuth-hash variant split, exact per-
+    // variant user/converter counts, exact-micros rates, pooled two-
+    // proportion z round-4 with the significance flag off the ROUNDED
+    // value — one user aggregate + a 2-row tally, no joins
+    "j17_ab_readout" -> ((s, d) =>
+      graft.operators.EventAnalytics.abReadout(
+        s.read.parquet(s"$d/events.parquet"))),
+
     // J16 top converting paths: gap-sessionized ordered event-type
     // sequences (30-min boundary, 12-step prefix cap), top-20 by session
     // count with path ties — one user shuffle + sort serves the session
@@ -5767,6 +5775,27 @@ object SparkEntry {
       // v23: the identical exact-moments → power-iteration → projection
       // chain unrolled in SQL
       "v23_pca_project" -> pcaProjectSql,
+      // j17: the same Knuth split, exact tallies, and the identical
+      // fixed-shape z expression over exact integers
+      "j17_ab_readout" ->
+        ("WITH u AS (SELECT user_id, " +
+          "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np " +
+          "FROM events GROUP BY 1), " +
+          "w AS (SELECT ((user_id * 2654435761) % 4294967296) % 2 AS v, " +
+          "CASE WHEN np >= 14 THEN 1 ELSE 0 END AS conv FROM u), " +
+          "t AS (SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a, " +
+          "sum(CASE WHEN v = 0 THEN conv ELSE 0 END)::BIGINT AS k_a, " +
+          "sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b, " +
+          "sum(CASE WHEN v = 1 THEN conv ELSE 0 END)::BIGINT AS k_b FROM w), " +
+          "sv AS (SELECT *, (k_a + k_b)::DOUBLE / (n_a + n_b) * " +
+          "(1.0 - (k_a + k_b)::DOUBLE / (n_a + n_b)) * " +
+          "(1.0 / n_a + 1.0 / n_b) AS sq FROM t), " +
+          "zc AS (SELECT *, CASE WHEN sq > 0 THEN " +
+          "round((k_a::DOUBLE / n_a - k_b::DOUBLE / n_b) / sqrt(sq), 4) END AS z FROM sv) " +
+          "SELECT n_a, k_a, n_b, k_b, (k_a * 1000000) // n_a AS rate_a_micros, " +
+          "(k_b * 1000000) // n_b AS rate_b_micros, z, " +
+          "CASE WHEN z IS NOT NULL THEN abs(z) > 1.96 END AS significant " +
+          "FROM zc"),
       // j16: the same gap split (strict >), running-sum session ids, and
       // ordered string_agg — boundary/order semantics identical
       "j16_top_paths" ->

@@ -350,6 +350,60 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** A/B EXPERIMENT READOUT — the statistical-inference primitive product
+    * analytics runs on every experiment: users deterministically hash-
+    * split into two variants (the p2 Knuth multiplicative rule — stable
+    * across reruns, engines, and data orders), per-variant user and
+    * converter counts tallied EXACTLY, and the two-proportion pooled
+    * z-statistic computed as one fixed-shape float expression over those
+    * exact integers:
+    *
+    *   z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled
+    *
+    * Conversion rates are reported in exact integer micros (floor
+    * division); z is round-4 with the significance flag derived from the
+    * ROUNDED value (the c8 rule — the decision never straddles an ulp).
+    *
+    * Plan shape: one user-keyed aggregate (map-side combining) collapses
+    * the fact volume to one row per user; the variant tally is a second
+    * 2-row aggregate; everything after is a 1-row projection. No joins.
+    */
+  def abReadout(events: DataFrame, convType: String = "purchase",
+                minConv: Int = 14, zCrit: Double = 1.96): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(sum(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("np"))
+      // "converted" = at least minConv conversion events: with the
+      // synthetic corpus's uniform event mix EVERY user purchases at
+      // least once, so a has-any rule saturates both rates at 1 and the
+      // pooled variance at 0 — the count threshold keeps the readout a
+      // real two-proportion problem at every SF (same per-user rate)
+      .select(when(col("np") >= minConv, 1L).otherwise(0L).as("conv"),
+        pmod(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)),
+          lit(2)).as("v"))
+    val t = perUser.agg(
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("k_a"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("k_b"))
+    val d = "double"
+    val pa = col("k_a").cast(d) / col("n_a")
+    val pb = col("k_b").cast(d) / col("n_b")
+    val pp = (col("k_a") + col("k_b")).cast(d) / (col("n_a") + col("n_b"))
+    // the variance CAN be exactly 0 (all or none convert): guard the
+    // division on the exact double compare so ANSI mode never raises and
+    // the degenerate readout reports z = null instead of ±inf
+    val sq = pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+    val z = when(sq > 0, round((pa - pb) / sqrt(sq), 4))
+    t.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        expr("k_a * 1000000 DIV n_a").as("rate_a_micros"),
+        expr("k_b * 1000000 DIV n_b").as("rate_b_micros"),
+        z.as("z"))
+      .withColumn("significant",
+        when(col("z").isNotNull, abs(col("z")) > zCrit))
+  }
+
   /** [[transitionMatrix]]'s probability tail over ANY (src, dst, n) count
     * table — the SUM-MERGEABLE half: per-batch transition counts fold by
     * plain addition, which is what lets a stream keep the matrix current

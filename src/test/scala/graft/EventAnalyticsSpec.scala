@@ -330,4 +330,40 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     got should contain((Seq.fill(12)("view").mkString(">"), 1L)) // capped at 12
     got.map(_._1).foreach(p => p.split(">").length should be <= 12)
   }
+
+  test("A/B readout: exact tallies, hand-computed z, degenerate variance reports null") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // Knuth split of user_id by an odd multiplier mod 2 = user parity:
+    // even ids → variant 0, odd ids → variant 1. Users 0..9; converters
+    // (>= 2 purchases): evens {0, 2, 4} (3/5), odds {1} (1/5)
+    val converters = Set(0L, 2L, 4L, 1L)
+    val rows = (0L to 9L).flatMap { u =>
+      val n = if (converters(u)) 2 else 1
+      (1 to n).map(i => (u * 10 + i, u, "purchase", t0)) :+
+        ((u * 10 + 9, u, "view", t0))
+    }
+    val got = EventAnalytics.abReadout(
+        rows.toDF("event_id", "user_id", "event_type", "ts"), minConv = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().head
+    got._1 shouldBe 5L; got._2 shouldBe 3L // n_a, k_a
+    got._3 shouldBe 5L; got._4 shouldBe 1L // n_b, k_b
+    got._5 shouldBe 600000L; got._6 shouldBe 200000L
+    val pp = 4.0 / 10
+    val zRef = (3.0 / 5 - 1.0 / 5) / math.sqrt(pp * (1 - pp) * (1.0 / 5 + 1.0 / 5))
+    got._7.get shouldBe BigDecimal(zRef)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got._8.get shouldBe (math.abs(got._7.get) > 1.96)
+    // degenerate: every user converts → pooled variance exactly 0 →
+    // z and the flag are null, never an ANSI divide-by-zero
+    val all = (0L to 9L).flatMap(u =>
+      Seq((u * 10 + 1, u, "purchase", t0), (u * 10 + 2, u, "purchase", t0)))
+    val deg = EventAnalytics.abReadout(
+        all.toDF("event_id", "user_id", "event_type", "ts"), minConv = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().head
+    deg._7 shouldBe None
+    deg._8 shouldBe None
+  }
 }
