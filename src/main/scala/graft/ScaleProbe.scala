@@ -730,6 +730,51 @@ object ScaleProbe {
       f""""pr5_sec":$t5%.2f,"pr10_sec":$t10%.2f}"""
   }
 
+  /** Ten DISJOINT copies of the co-view graph: user ids AND item ids both
+    * shard-shifted (props rewritten to the shifted digits), so n_edges and
+    * true triangle counts scale exactly 10× while the degree distribution
+    * is preserved — the honest axis for the triangle/link-prediction
+    * family, where [[synthesizeDecadeEvents]] (users only) just densifies
+    * the same 100-item graph.
+    */
+  def synthesizeDecadeGraphEvents(ev: DataFrame): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = ev.select(cols.map(col): _*)
+    val strideE = 1L + base.agg(max(col("event_id"))).head.getLong(0)
+    val strideU = 1L + base.agg(max(col("user_id"))).head.getLong(0)
+    val item = regexp_extract(col("props"), "(\\d+)", 1)
+    val strideI = 1L + base.select(item.cast("long").as("i"))
+      .agg(max(col("i"))).head.getLong(0)
+    val shards = base
+      .select(col("*"), explode(sequence(lit(1L), lit(9L))).as("c"))
+      .select((col("event_id") + col("c") * lit(strideE)).as("event_id"),
+        col("ts"), (col("user_id") + col("c") * lit(strideU)).as("user_id"),
+        col("event_type"), col("value"),
+        when(item =!= "",
+          concat(lit("{\"k\": "),
+            (item.cast("long") + col("c") * lit(strideI)).cast("string"),
+            lit("}"))).otherwise(col("props")).as("props"))
+    base.unionByName(shards)
+  }
+
+  private def profileTri(spark: SparkSession, label: String,
+                         ev: DataFrame): String = {
+    val item = regexp_extract(col("props"), "(\\d+)", 1)
+    val (edges, tEdges) = timed {
+      val e = graft.operators.Graph.coviewEdges(ev, item)
+      (e, e.count())
+    }
+    val (triSum, tTri) = timed {
+      graft.operators.Graph.triangleStats(edges._1)
+        .agg(sum("tri")).head.getLong(0) / 3 // corners → triangles
+    }
+    val (nPred, tLp) = timed(
+      graft.operators.Graph.linkPrediction(edges._1, k = 20).count())
+    f"""{"corpus":"$label","n_edges":${edges._2},"edges_sec":$tEdges%.2f,""" +
+      f""""triangles":$triSum,"tri_sec":$tTri%.2f,""" +
+      f""""lp_rows":$nPred,"lp_sec":$tLp%.2f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -836,6 +881,19 @@ object ScaleProbe {
           regexp_extract(col("props"), "(\\d+)", 1)), iters = 2).count() // warm-up
       println(profileGraph(spark, "graph-1x", ev1))
       println(profileGraph(spark, "graph-10x", spark.read.parquet(dirG)))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("tri")) {
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      val dirT = scratch("decade-tri/events")
+      synthesizeDecadeGraphEvents(ev1).write.mode("overwrite").parquet(dirT)
+      graft.operators.Graph.triangleStats(
+        graft.operators.Graph.coviewEdges(ev1,
+          regexp_extract(col("props"), "(\\d+)", 1))).count() // warm-up
+      println(profileTri(spark, "tri-1x", ev1))
+      println(profileTri(spark, "tri-10x", spark.read.parquet(dirT)))
       spark.stop()
       return
     }

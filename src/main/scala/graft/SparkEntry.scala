@@ -867,6 +867,24 @@ object SparkEntry {
       EventStream.foldTransitionLog(s, deltas)
     }),
 
+    // E30 STREAMING seasonal-volume fold: c10's daily-count statistic
+    // kept current by ingest — per-batch per-day counts land as an
+    // idempotent sum log (maxFilesPerTrigger=1 forces the real
+    // multi-batch path), the order-free integer re-sum rebuilds the
+    // daily table, and the report runs through the SAME
+    // seasonalVolumeFromDaily code as the batch entry — stream ≡ batch
+    // by construction, c10's oracle verbatim
+    "e30_stream_seasonal" -> ((s, d) => {
+      val src = scratch("e30-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        s.read.parquet(s"$d/events.parquet").repartition(4).write.parquet(src)
+      val deltas = scratch("e30-deltas")
+      EventStream.streamDailyCountFold(s, src, deltas)
+      graft.operators.Quality.seasonalVolumeFromDaily(
+        EventStream.readDeltaLog(s, deltas)
+          .groupBy("day").agg(sum("d_n").as("cnt")))
+    }),
+
     // E24 STREAMING DSIR raw-model fold: the p19 statistic kept current by
     // ingest — per-batch (feat, d_rc) counts over the FROZEN target
     // vocabulary land in idempotent batch directories (maxFilesPerTrigger=1
@@ -1475,6 +1493,13 @@ object SparkEntry {
     // vs cumulative distinct types at each ingest decile — per-doc rank
     // via the c9 distributed bucketed prefix sum (no global sort),
     // first-occurrence decile = min-rank decile, all exact integers
+    // T27 Zipf audit: top-20 token rank×frequency vs the rank-1 constant
+    // in floor-divided micros — the frequency-distribution health gate
+    // beside t26's Heaps curve; one exploded-token aggregate, TakeOrdered
+    // top-k, 1-row max broadcast back
+    "t27_zipf_check" -> ((s, d) =>
+      graft.operators.TextAnalysis.zipfCheck(docs(s, d))),
+
     "t26_vocab_growth" -> ((s, d) =>
       TextAnalysis.vocabGrowth(docs(s, d))),
 
@@ -1603,6 +1628,12 @@ object SparkEntry {
     // 256-token target vocabulary, Laplace-smoothed unigram feature models
     // on both sides; the oracle re-derives vocabulary, both models, and the
     // per-doc log-ratio fold independently
+    // P20 padding-efficiency audit of power-of-two length-bucketed
+    // batching — tokens-on-the-floor per bucket cap, exact integers, one
+    // codegen'd narrow pass + a |caps|-row aggregate
+    "p20_padding_efficiency" -> ((s, d) =>
+      graft.operators.Pipeline.paddingEfficiency(docs(s, d))),
+
     "p19_dsir_sample" -> ((s, d) => {
       val ds = docs(s, d)
       graft.operators.Pipeline
@@ -1839,6 +1870,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D18 dedup ROI: cluster-size histogram + keep-one-per-cluster byte
+    // savings over the SAME d6 closure — the audit run before a 100 TB
+    // dedup pass is budgeted; ids+lengths only, two metadata aggregates
+    "d18_dedup_roi" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.dedupRoi(dd,
+        Dedup.dupClusters(dd, Dedup.jaccardPairs(dd).select("a_id", "b_id")
+          .unionByName(chainPairs(dd))))
+    }),
+
     // Pipeline × dedup composition: collapse each near-dup cluster to its
     // HIGHEST-QUALITY member (ties doc_id) — the realistic canonical rule
     // for corpus builds. Same cluster closure as d6 (jaccard + planted
@@ -1887,6 +1928,23 @@ object SparkEntry {
     // index read back from parquet; assignments and norms never
     // recomputed, probed cells prune partition directories). Same planted
     // geometry ⇒ same exact-cosine oracle as v6
+    // V24 RANGE (radius) search over the persisted IVF index: every
+    // corpus vector with round-6 cosine >= 0.25 of each query — result
+    // sizes legitimately vary per query (6..14 here), the shape top-k
+    // truncates or pads. Registered at FULL probe (nprobe = nlist) so
+    // the indexed plan is held to the exact brute-force range oracle
+    // (the v4 discipline); partial-probe boundary recall is spec territory
+    "v24_range_search" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.ivfCentroids(e, 32)
+      val dir = scratch("v24-ivfidx")
+      Similarity.ivfIndex(e, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+      Similarity.rangeSearchIndexed(s.read.parquet(dir), cents,
+          e.where(col("vec_id") < 5), minCos = 0.25, nprobe = 32)
+        .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
+    }),
+
     "v7_ivf_indexed" -> ((s, d) => {
       val corpus = plantedTopKEmb(s, d)
       val cents = Similarity.ivfCentroids(corpus, 32)
@@ -2823,6 +2881,25 @@ object SparkEntry {
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet"))
           .where(to_date(col("ts")) =!= "2024-01-10"), "ts")),
 
+    // C10 SEASONAL volume baseline: per-day counts vs the trailing
+    // same-WEEKDAY 4-week mean — the weekly-cycle-aware twin of c5 (a
+    // flat trailing window flags every weekend of a cyclic feed). Same
+    // exact-integer deviation discipline, window over 7 weekday
+    // partitions of the densified metadata-scale spine; early days carry
+    // partial windows (win_weeks 0..4) — "no prior" reports null, not 0
+    "c10_seasonal_volume" -> ((s, d) =>
+      graft.operators.Quality.seasonalVolume(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")), "ts")),
+
+    // C11 robust outlier gate: per-priority lower-median and MAD of the
+    // order value in exact integer cents, outliers past 1.5·MAD by
+    // cross-multiplied integer compare — the z-score replacement a single
+    // corrupt row can't drag. Exact order-statistic audit beside the
+    // KLL sketch twin (c1/x17)
+    "c11_mad_outliers" -> ((s, d) =>
+      graft.operators.Quality.madOutliers(
+        s.read.parquet(s"$d/orders.parquet"), "o_orderpriority", "o_totalprice")),
+
     // C7 per-source DATA CARD: volume, exact mean quality, Gopher pass
     // rate (the t24 predicates — shared columns, cannot drift), exact-dup
     // rate (the d1 canonical rule) — one narrow map, one md5 shuffle,
@@ -2987,6 +3064,25 @@ object SparkEntry {
     // deterministic and the oracle's chained-CTE replay matches exactly
     "g1_pagerank" -> ((s, d) =>
       graft.operators.Graph.pageRank(
+        graft.operators.Graph.coviewEdges(
+          s.read.parquet(s"$d/events.parquet"),
+          regexp_extract(col("props"), "(\\d+)", 1)))),
+
+    // G2 triangle counts + clustering coefficient over the co-view graph —
+    // degree-ordered orientation (each triangle found once at its lowest-
+    // ordered apex), co-partitioned wedge join + LEFT SEMI close; cc in
+    // exact floor-divided micros
+    "g2_triangle_stats" -> ((s, d) =>
+      graft.operators.Graph.triangleStats(
+        graft.operators.Graph.coviewEdges(
+          s.read.parquet(s"$d/events.parquet"),
+          regexp_extract(col("props"), "(\\d+)", 1)))),
+
+    // G3 link prediction: common-neighbor counts for NON-adjacent item
+    // pairs (triadic closure candidates) — capped-apex wedge counting,
+    // anti-join against the edge table, top-20 TakeOrdered
+    "g3_link_prediction" -> ((s, d) =>
+      graft.operators.Graph.linkPrediction(
         graft.operators.Graph.coviewEdges(
           s.read.parquet(s"$d/events.parquet"),
           regexp_extract(col("props"), "(\\d+)", 1)))),
@@ -3271,6 +3367,16 @@ object SparkEntry {
         s.read.parquet(s"$d/part.parquet"),
         s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // O30 year-over-year revenue growth per nation — LAG over the
+    // |nations|×|years| metadata grid after one map-side-combining
+    // cents aggregate over broadcast-joined dims; growth in exact
+    // truncated-division micros, first year null (not 0)
+    "o30_yoy_growth" -> ((s, d) =>
+      Relational.yoyGrowth(
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/nation.parquet"))),
 
     // Relational OLAP o28 (TPC-H Q6 shape): the pure-pushdown aggregate —
     // one scan, zero joins, all three predicates reaching the parquet
@@ -3667,14 +3773,21 @@ object SparkEntry {
     * DuckDB `//` on positives ≡ Spark `DIV`, every rank a long, so the
     * iterative fixpoint hash-matches with no float anywhere.
     */
-  private lazy val pagerankSql: String = {
-    val base = "WITH ui AS (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
+  /** The co-view edge CTE shared by every g-family oracle — identical
+    * derivation to Graph.coviewEdges: distinct (user, item) views, the
+    * 50-item bot cap, symmetric distinct pairs, per-node degree.
+    */
+  private val coviewCte: String =
+    "WITH ui AS (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
       "FROM events WHERE event_type = 'view' AND regexp_extract(props, '(\\d+)', 1) <> ''), " +
       "ok AS (SELECT user_id FROM ui GROUP BY 1 HAVING count(*) <= 50), " +
       "c AS (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id)), " +
       "e AS (SELECT DISTINCT a.item AS src, b.item AS dst FROM c a JOIN c b " +
-      "ON a.user_id = b.user_id AND a.item <> b.item), " +
-      "deg AS (SELECT src AS item, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+      "ON a.user_id = b.user_id AND a.item <> b.item)"
+
+  private lazy val pagerankSql: String = {
+    val base = coviewCte +
+      ", deg AS (SELECT src AS item, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
       "nn AS (SELECT count(*)::BIGINT AS n FROM deg), " +
       "r0 AS (SELECT item, (1000000 // n)::BIGINT AS r FROM deg, nn)"
     val steps = (1 to 5).map { i =>
@@ -3686,6 +3799,64 @@ object SparkEntry {
     base + steps + "SELECT r5.item, deg.deg, r5.r AS rank_e6 " +
       "FROM r5 JOIN deg USING (item) ORDER BY rank_e6 DESC, item"
   }
+
+  /** c10/e30: the densified spine windowed PER WEEKDAY — isodow ≡ Spark's
+    * weekday+1 (both pin Monday=1; the engines' default dayofweek disagree
+    * on Sunday), same exact-integer deviation; e30's streamed fold must
+    * rebuild the identical daily table, so it shares this SQL verbatim.
+    */
+  private lazy val seasonalVolumeSql: String =
+    "WITH daily AS (SELECT ts::TIMESTAMP::DATE AS day, count(*)::BIGINT AS cnt " +
+      "FROM events GROUP BY 1), " +
+      "spine AS (SELECT unnest(generate_series((SELECT min(day) FROM daily), " +
+      "(SELECT max(day) FROM daily), INTERVAL 1 DAY))::DATE AS day), " +
+      "dense AS (SELECT s.day, coalesce(d.cnt, 0)::BIGINT AS cnt " +
+      "FROM spine s LEFT JOIN daily d USING (day)), " +
+      "w AS (SELECT day::VARCHAR AS day, isodow(day)::INT AS dow, cnt, " +
+      "sum(cnt) OVER win AS win_sum, count(*) OVER win AS win_n FROM dense " +
+      "WINDOW win AS (PARTITION BY isodow(day) ORDER BY day " +
+      "ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)) " +
+      "SELECT day, dow, cnt, win_n::BIGINT AS win_weeks, " +
+      "CASE WHEN win_n > 0 AND win_sum > 0 THEN round(cnt * win_n / win_sum - 1.0, 6) END AS dev_frac, " +
+      "coalesce(CASE WHEN win_n > 0 AND win_sum > 0 THEN " +
+      "abs(round(cnt * win_n / win_sum - 1.0, 6)) > 0.5 END, false) AS flagged " +
+      "FROM w ORDER BY day"
+
+  /** g2: the same degree-ordered orientation and once-per-triangle wedge
+    * close replayed relationally — the (deg, id) row comparisons are the
+    * identical total order, so corner counts agree exactly; cc_e6 is the
+    * same floor-divided micros.
+    */
+  private lazy val triangleSql: String = coviewCte +
+    ", deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+    "o AS (SELECT e.src, e.dst, dd.deg AS ddeg FROM e " +
+    "JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src " +
+    "WHERE (ds.deg, e.src) < (dd.deg, e.dst)), " +
+    "tr AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM o e1 JOIN o e2 " +
+    "ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst) " +
+    "JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst), " +
+    "pn AS (SELECT item, count(*)::BIGINT AS tri FROM " +
+    "(SELECT a AS item FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr) " +
+    "GROUP BY 1) " +
+    "SELECT deg.src AS item, deg.deg, coalesce(pn.tri, 0)::BIGINT AS tri, " +
+    "CASE WHEN deg.deg >= 2 THEN (coalesce(pn.tri, 0) * 2000000) // (deg.deg * (deg.deg - 1)) " +
+    "ELSE 0 END::BIGINT AS cc_e6 " +
+    "FROM deg LEFT JOIN pn ON deg.src = pn.item ORDER BY tri DESC, item"
+
+  /** g3: capped-apex wedge counting over the same edges, anti-join to
+    * non-adjacent pairs, the identical (common desc, a, b) top-20.
+    */
+  private lazy val linkPredictionSql: String = coviewCte +
+    ", deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+    "apex AS (SELECT src FROM deg WHERE deg <= 100), " +
+    "adj AS (SELECT e.src, e.dst FROM e JOIN apex USING (src)), " +
+    "w AS (SELECT e1.dst AS item_a, e2.dst AS item_b FROM adj e1 JOIN adj e2 " +
+    "ON e1.src = e2.src AND e1.dst < e2.dst), " +
+    "cnt AS (SELECT item_a, item_b, count(*)::BIGINT AS common FROM w GROUP BY 1, 2), " +
+    "na AS (SELECT cnt.* FROM cnt LEFT JOIN e ON e.src = cnt.item_a AND e.dst = cnt.item_b " +
+    "WHERE e.src IS NULL) " +
+    "SELECT row_number() OVER (ORDER BY common DESC, item_a, item_b)::BIGINT AS rank, " +
+    "item_a, item_b, common FROM na ORDER BY common DESC, item_a, item_b LIMIT 20"
 
   /** v23: the identical PCA chain in SQL — exact HUGEINT moments, the
     * same fixed-shape C/μ doubles, the same 12-step power recurrence
@@ -4606,6 +4777,30 @@ object SparkEntry {
       // t26: ranks from the naive global row_number (the engine's bucketed
       // prefix sum must be value-invisible), min-rank-decile first
       // occurrences, cumulative sums over the decile spine
+      // t27: same token counts, same (freq desc, tok) top-20, same
+      // floor-divided rank·freq/f1 micros
+      "t27_zipf_check" ->
+        (T + ", wds AS (SELECT unnest(t) AS tok FROM toks), " +
+          "v AS (SELECT tok, count(*)::BIGINT AS freq FROM wds GROUP BY 1), " +
+          "top AS (SELECT row_number() OVER (ORDER BY freq DESC, tok)::BIGINT AS rank, " +
+          "tok, freq FROM v ORDER BY freq DESC, tok LIMIT 20), " +
+          "f1 AS (SELECT max(freq) AS f1 FROM top) " +
+          "SELECT rank, tok, freq, (rank * freq)::BIGINT AS rank_freq, " +
+          "((rank * freq * 1000000) // f1)::BIGINT AS zipf_e6 " +
+          "FROM top, f1 ORDER BY rank"),
+      // p20: same whitespace token count, same CASE-chain cap assignment,
+      // same clipped sums and floor-divided efficiency micros
+      "p20_padding_efficiency" ->
+        ("WITH t AS (SELECT len(regexp_extract_all(text, '[^ \\t\\n\\r]+'))::BIGINT AS toks " +
+          "FROM documents), " +
+          "b AS (SELECT CASE WHEN toks <= 16 THEN 16 WHEN toks <= 32 THEN 32 " +
+          "WHEN toks <= 64 THEN 64 ELSE 128 END::BIGINT AS cap, " +
+          "least(toks, 128) AS tk FROM t) " +
+          "SELECT cap, count(*)::BIGINT AS n_docs, sum(tk)::BIGINT AS sum_tokens, " +
+          "(count(*) * cap)::BIGINT AS padded, " +
+          "(count(*) * cap - sum(tk))::BIGINT AS waste, " +
+          "((sum(tk) * 1000000) // (count(*) * cap))::BIGINT AS eff_e6 " +
+          "FROM b GROUP BY cap ORDER BY cap"),
       "t26_vocab_growth" ->
         (T + ", r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk, " +
           "count(*) OVER () AS n FROM documents), " +
@@ -4830,6 +5025,15 @@ object SparkEntry {
       "d6_dup_clusters" ->
         (clusterCte + "SELECT doc_id, cluster_rep, cluster_rep = doc_id AS is_canonical " +
           "FROM mem ORDER BY doc_id"),
+      // d18: the same closure joined to stored lengths — per-cluster
+      // size/extra, then the size histogram; exact integers throughout
+      "d18_dedup_roi" ->
+        (clusterCte +
+          ", per AS (SELECT cluster_rep, count(*)::BIGINT AS size, " +
+          "sum(CASE WHEN mem.doc_id <> cluster_rep THEN d.n_chars ELSE 0 END)::BIGINT AS extra " +
+          "FROM mem JOIN documents d ON d.doc_id = mem.doc_id GROUP BY 1) " +
+          "SELECT size, count(*)::BIGINT AS n_clusters, sum(extra)::BIGINT AS chars_saved " +
+          "FROM per GROUP BY size ORDER BY size"),
       // p7: per-cluster argmax by quality (ties doc_id) over the same
       // cluster closure; quality formula identical to t3's
       "p7_quality_survivors" ->
@@ -4891,6 +5095,14 @@ object SparkEntry {
       // recall and exact-rerank all of them
       "v2_lsh_topk" -> plantedTopkSql,
       "v6_ivf_partial" -> plantedTopkSql,
+      // v24: full probe degrades the indexed range search to the exact
+      // brute-force radius scan — same round-6 cosine, same >= 0.25 gate
+      "v24_range_search" ->
+        ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) " +
+          s"SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos " +
+          "FROM embeddings e, q WHERE e.vec_id <> q_id " +
+          s"AND ${cosSql("q_emb", "e.embedding")} >= 0.25 " +
+          "ORDER BY q_id, cos DESC, e.vec_id"),
       "v7_ivf_indexed" -> plantedTopkSql,
       // v8: append ≡ rebuild (pure per-row assignment), so the incremental
       // index must recall the same exact top-10 — every true neighbor
@@ -5456,6 +5668,35 @@ object SparkEntry {
           "coalesce(CASE WHEN win_n > 0 AND win_sum > 0 THEN " +
           "abs(round(cnt * win_n / win_sum - 1.0, 6)) > 0.5 END, false) AS flagged " +
           "FROM w ORDER BY day"),
+      // c10: the same densified spine windowed PER WEEKDAY — isodow ≡
+      // Spark's weekday+1 (both pin Monday=1; the engines' default
+      // dayofweek disagree on Sunday), same exact-integer deviation
+      "c10_seasonal_volume" -> seasonalVolumeSql,
+      // e30: the streamed fold must rebuild c10's daily table exactly —
+      // same oracle verbatim (order-free integer sums; replay idempotent
+      // by batch-directory overwrite)
+      "e30_stream_seasonal" -> seasonalVolumeSql,
+      // c11: the same lower medians as (n+1)//2 order statistics in exact
+      // cents, the same cross-multiplied dev·10 > MAD·15 outlier test —
+      // row_number ties among equal cents don't matter because only the
+      // rank-k VALUE is read
+      "c11_mad_outliers" ->
+        ("WITH x AS (SELECT o_orderpriority AS grp, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+          "r AS (SELECT grp, cents, row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn, " +
+          "count(*) OVER (PARTITION BY grp) AS n FROM x), " +
+          "m AS (SELECT grp, max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents, " +
+          "max(n) AS n FROM r GROUP BY grp), " +
+          "d AS (SELECT r.grp, abs(r.cents - m.med_cents) AS dev, m.med_cents, m.n " +
+          "FROM r JOIN m USING (grp)), " +
+          "r2 AS (SELECT grp, dev, med_cents, n, " +
+          "row_number() OVER (PARTITION BY grp ORDER BY dev) AS rn2 FROM d), " +
+          "mad AS (SELECT grp, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) AS mad_cents " +
+          "FROM r2 GROUP BY grp) " +
+          "SELECT d.grp, max(d.n)::BIGINT AS n, max(d.med_cents)::BIGINT AS med_cents, " +
+          "max(mad.mad_cents)::BIGINT AS mad_cents, " +
+          "sum(CASE WHEN d.dev * 10 > mad.mad_cents * 15 THEN 1 ELSE 0 END)::BIGINT AS n_outliers " +
+          "FROM d JOIN mad USING (grp) GROUP BY d.grp ORDER BY d.grp"),
       // e13: the same planted corruption derived in SQL (nulls first —
       // a 97·101 multiple is nulled, not negated); a null value is NOT
       // `>= 0`, so it counts quarantined, mirroring the engine's
@@ -5632,6 +5873,18 @@ object SparkEntry {
           "FROM vol GROUP BY 1 ORDER BY 1"),
       // o27: profit per nation×year, the same retail-price cost proxy,
       // per-row decimal difference summed exactly
+      // o30: same cents aggregate, same LAG grid, same truncated-toward-
+      // zero integral division (Spark DIV ≡ DuckDB // on negatives)
+      "o30_yoy_growth" ->
+        ("WITH rev AS (SELECT n_name, year(o_orderdate)::INT AS yr, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+          "g AS (SELECT n_name, yr, rev_cents, " +
+          "lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev_cents FROM rev) " +
+          "SELECT n_name, yr, rev_cents, prev_cents, " +
+          "CASE WHEN prev_cents > 0 THEN ((rev_cents - prev_cents) * 1000000) // prev_cents " +
+          "END::BIGINT AS growth_e6 FROM g ORDER BY n_name, yr"),
       "o27_nation_profit" ->
         ("SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
           "round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6) " +
@@ -5772,6 +6025,12 @@ object SparkEntry {
           "WHERE rank <= 3 ORDER BY item, rank"),
       // g1: the integer PageRank recurrence replayed as chained CTEs
       "g1_pagerank" -> pagerankSql,
+      // g2: same orientation total order, same once-per-triangle wedge
+      // close, same floor-divided cc micros
+      "g2_triangle_stats" -> triangleSql,
+      // g3: same capped wedge counting, same non-adjacency anti-join,
+      // same deterministic top-20
+      "g3_link_prediction" -> linkPredictionSql,
       // v23: the identical exact-moments → power-iteration → projection
       // chain unrolled in SQL
       "v23_pca_project" -> pcaProjectSql,

@@ -685,4 +685,28 @@ object Dedup {
             " ")))
           .as("clean_hash"))
   }
+
+  /** Dedup ROI report — the audit that justifies (or kills) a dedup pass
+    * before anyone runs it at 100 TB: the cluster-SIZE histogram of the
+    * connected-component closure, with the bytes a keep-one-per-cluster
+    * policy would reclaim. `chars_saved` charges every NON-canonical
+    * member's stored length (the d6 canonical rule: the representative
+    * stays), so Σ chars_saved over the report is exactly the corpus
+    * shrinkage the p7 survivor pass delivers.
+    *
+    * Plan: the |members|-row closure joins the corpus projection (doc_id,
+    * n_chars — 16 B rows, never text), then two metadata-scale aggregates
+    * (per-cluster, then per-size). Everything exact integers. Output:
+    * `(size, n_clusters, chars_saved)` ordered by size.
+    */
+  def dedupRoi(docs: DataFrame, clusters: DataFrame): DataFrame =
+    clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("size"),
+        sum(when(col("doc_id") =!= col("cluster_rep"), col("n_chars"))
+          .otherwise(0L)).as("extra"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"), sum("extra").as("chars_saved"))
+      .orderBy("size")
 }

@@ -200,6 +200,123 @@ object Quality {
     out
   }
 
+  /** SEASONAL volume baseline: per-day counts vs the trailing same-WEEKDAY
+    * mean — the monitor [[volumeDrift]] (c5) cannot be: a flat trailing
+    * window flags every weekend of a weekly-cyclic feed as a collapse and
+    * every Monday as a spike, while this one compares Sundays to the four
+    * Sundays before them. Deviation stays the c5 discipline — one exact
+    * integer product `cnt × win_n` against `win_sum`, divided ONCE at the
+    * end — so engine and oracle agree bit-for-bit; the flag reads the
+    * ROUNDED value (the c4/j17 rounded-gate rule).
+    *
+    * Mechanics: the daily aggregate is densified over a calendar spine
+    * (the c5 dead-day rule: a silent day must surface as cnt 0, dev −1,
+    * flagged — not vanish), then windowed PARTITION BY weekday ORDER BY
+    * day, ROWS −`weeks`..−1. On the dense spine the `weeks` preceding
+    * rows of a weekday partition are exactly the prior `weeks` same-
+    * weekday calendar days. `dow` is ISO (1 = Monday … 7 = Sunday):
+    * Spark's `weekday` + 1 ≡ DuckDB's `isodow`, pinned here because the
+    * engines' default `dayofweek` disagree on where Sunday lands.
+    *
+    * At 100 TB: the corpus collapses to |days| rows in one map-side-
+    * combining aggregate BEFORE the spine join; the window then runs over
+    * SEVEN partitions of |days|/7 metadata rows — strictly better-spread
+    * than c5's one (a century is ~5 200 rows per weekday).
+    */
+  def seasonalVolume(events: DataFrame, tsCol: String, weeks: Int = 4,
+                     tolerance: Double = 0.5): DataFrame =
+    seasonalVolumeFromDaily(
+      events.groupBy(to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      weeks, tolerance)
+
+  /** [[seasonalVolume]] from an ALREADY-aggregated `(day, cnt)` table —
+    * the entry point the streaming twin folds its per-batch daily-count
+    * log into (e30): the report logic is shared verbatim, so stream ≡
+    * batch by construction.
+    */
+  def seasonalVolumeFromDaily(dailyIn: DataFrame, weeks: Int = 4,
+                              tolerance: Double = 0.5): DataFrame = {
+    require(weeks > 0, s"weeks must be positive: $weeks")
+    val daily = dailyIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val dense = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        (weekday(col("day")) + 1).as("dow"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dow").orderBy("day").rowsBetween(-weeks, -1)
+    val dev = when(col("win_n") > 0 && col("win_sum") > 0,
+      round(col("cnt") * col("win_n") / col("win_sum") - 1.0, 6))
+    val out = dense.select(col("day").cast("string").as("day"),
+        col("dow").cast("int").as("dow"), col("cnt"),
+        sum("cnt").over(w).as("win_sum"),
+        count(lit(1)).over(w).as("win_n"))
+      .select(col("day"), col("dow"), col("cnt"),
+        col("win_n").as("win_weeks"),
+        dev.as("dev_frac"),
+        coalesce(abs(dev) > tolerance, lit(false)).as("flagged"))
+      .orderBy("day")
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
+  /** Robust per-group OUTLIER gate: lower-median and MAD (median absolute
+    * deviation) of a value column in exact integer cents, and the count of
+    * rows beyond `k10/10 · MAD` of the median — the outlier detector that
+    * survives what mean/stddev z-scores don't (a single corrupt 10¹²-cent
+    * row drags a mean-based gate's own threshold past every real outlier;
+    * the median doesn't move).
+    *
+    * Medians are LOWER medians — the value at rank `(n+1) div 2` of the
+    * sorted group — picked over interpolation deliberately: an order
+    * statistic is an exact integer BOTH engines agree on bit-for-bit,
+    * where interpolated halves are floats (and the k-th order statistic is
+    * deterministic under duplicate values even though row_number ties
+    * aren't). The outlier test is the cross-multiplied integer compare
+    * `dev·10 > MAD·k10` — no division anywhere.
+    *
+    * Plan shape: two window passes over the SAME hash-partitioning (group
+    * key), each a sort within its group, then one aggregate. Exact
+    * per-group medians fundamentally need the per-group sort — this is
+    * the GATE-scale exact audit; the at-scale default for corpus-wide
+    * monitoring is the mergeable KLL quantile sketch (c1/x17), which this
+    * entry exists to hold honest (the t12/c1 exact/sketch discipline).
+    *
+    * Output: `(grp, n, med_cents, mad_cents, n_outliers)` ordered by grp.
+    */
+  def madOutliers(df: DataFrame, grpCol: String, valueCol: String,
+                  k10: Long = 15L): DataFrame = {
+    require(k10 > 0, s"k10 must be positive: $k10")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("cents")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val ranked = df.select(col(grpCol).as("grp"),
+        expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    // (n + 1) DIV 2, not `/`: Spark's `/` on longs is DOUBLE division, and
+    // an even group's 3.5 would equal no integer rank — med silently null
+    val withMed = ranked.withColumn("med_cents",
+      max(when(col("rn") === expr("(n + 1) DIV 2"), col("cents"))).over(wAll))
+    val wDev = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("dev")
+    val withMad = withMed
+      .select(col("grp"), col("n"), col("med_cents"),
+        abs(col("cents") - col("med_cents")).as("dev"))
+      .withColumn("rn2", row_number().over(wDev))
+      .withColumn("mad_cents",
+        max(when(col("rn2") === expr("(n + 1) DIV 2"), col("dev"))).over(wAll))
+    withMad.groupBy("grp")
+      .agg(max("n").as("n"), max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        sum(when(col("dev") * 10 > col("mad_cents") * k10, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("grp")
+  }
+
   /** Join-key distribution profile: the `topK` heaviest keys with the
     * distributional context that decides a salting strategy —
     * `(key, cnt, n_keys, avg_cnt, p99_cnt, skew_ratio)` where

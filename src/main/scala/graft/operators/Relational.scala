@@ -925,4 +925,39 @@ object Relational {
       .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
+
+  /** Year-over-year revenue GROWTH per nation — the trend report every
+    * BI deployment runs on every fact table: yearly revenue (exact cents),
+    * the prior year's via LAG, and growth in exact integer micros
+    * `((rev − prev)·10⁶) div prev` (both engines truncate integral
+    * division toward zero, so negative growth agrees bit-for-bit; a
+    * nation's first year reports null growth, not 0 — "no prior" and
+    * "flat" must not alias).
+    *
+    * Plan shape: the fact collapses to |nations|×|years| rows in one
+    * map-side-combining aggregate over the broadcast-joined dims; the LAG
+    * window then runs per-nation over that metadata-scale grid (25×7
+    * rows at any SF). Revenue is summed in cents (one exact long per
+    * order), never as floats.
+    */
+  def yoyGrowth(orders: DataFrame, customer: DataFrame,
+                nation: DataFrame): DataFrame = {
+    val rev = orders
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("int").as("yr"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("yr"))
+      .agg(sum("cents").as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy("yr")
+    rev.withColumn("prev_cents", lag("rev_cents", 1).over(w))
+      .withColumn("growth_e6",
+        when(col("prev_cents") > 0,
+          expr("((rev_cents - prev_cents) * 1000000) DIV prev_cents")))
+      .select("n_name", "yr", "rev_cents", "prev_cents", "growth_e6")
+      .orderBy("n_name", "yr")
+  }
 }

@@ -293,6 +293,44 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
   }
 
+  /** RANGE (radius) similarity search over the persisted IVF index — ALL
+    * corpus vectors within a cosine threshold of each query, not a fixed
+    * top-k: the retrieval shape behind "every chunk relevant enough to
+    * cite" (RAG score floors), near-duplicate audits of a specific doc,
+    * and recall-oriented candidate generation where k is unknowable a
+    * priori (a query may legitimately have 0 or 10 000 in-radius
+    * neighbors — a top-k API either truncates or pads them).
+    *
+    * Same probe plumbing as [[ivfTopKIndexed]]: the broadcast query probe
+    * explodes to `nprobe` cells, the cell equi-join lets dynamic partition
+    * pruning skip every unprobed cell directory, and each (query, corpus)
+    * pair is scored at most once because an indexed row lives in exactly
+    * ONE cell. The threshold test reads the ROUND-6 cosine (the c4
+    * rounded-gate rule), so engines can't disagree at the boundary. No
+    * window, no sort in the operator — in-radius result sets are unordered
+    * by contract (callers order or count as they see fit), so the plan is
+    * scan → broadcast-join → filter, nothing else.
+    *
+    * Registered at FULL probe (nprobe = nlist), where this degrades to the
+    * exact brute-force range scan and is held to the exact-cosine oracle
+    * (the v4 discipline); partial-probe recall — which for RANGE search
+    * means boundary-straddling neighbors of ill-centered queries — is spec
+    * territory.
+    */
+  def rangeSearchIndexed(index: DataFrame, cents: Seq[Seq[Float]],
+                         queries: DataFrame, minCos: Double,
+                         nprobe: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
+        explode(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, nprobe)).as("cell")))
+    index.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   /** PRE-FILTERED ANN over the persisted IVF index — vector search under a
     * metadata predicate (label equality, source whitelist, time range …),
     * the shape every production retrieval system needs ("nearest neighbors

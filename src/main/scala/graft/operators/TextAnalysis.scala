@@ -762,4 +762,33 @@ object TextAnalysis {
         sum(coalesce(col("vnew"), lit(0L))).over(cumW).as("vocab_cum"))
       .orderBy("decile")
   }
+
+  /** ZIPF audit of the corpus frequency distribution — the companion to
+    * [[vocabGrowth]]'s Heaps'-law curve: for the top-k tokens, rank ×
+    * frequency (Zipf's law predicts it constant at the rank-1 frequency)
+    * and its ratio to that constant in floor-divided micros. A corpus
+    * whose `zipf_e6` collapses far below 10⁶ at small ranks is
+    * boilerplate-dominated (a few tokens hogging mass); one far above is
+    * synthetic/uniform — both gates a pretraining mix monitors.
+    *
+    * Everything exact integers: counts from ONE map-side-combining
+    * aggregate over the exploded standard tokens (the only corpus-scale
+    * job), the top-k a TakeOrdered merge, rank and ratio computed on the
+    * k-row result with the 1-row max broadcast back (no global sort, no
+    * single-partition window over anything bigger than k rows).
+    */
+  def zipfCheck(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vocab = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val top = vocab.orderBy(col("freq").desc, col("tok")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(top.agg(max("freq").as("f1"))))
+      .select(col("rank"), col("tok"), col("freq"),
+        (col("rank") * col("freq")).as("rank_freq"),
+        expr("(rank * freq * 1000000) DIV f1").as("zipf_e6"))
+      .orderBy("rank")
+  }
 }

@@ -1393,6 +1393,37 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING daily-count maintenance — the c10/c5 volume statistic kept
+    * current by ingest: each micro-batch lands its per-day event counts as
+    * an idempotent `batch=<id>/` directory (the e15 rule — replay
+    * overwrites its own directory, never duplicates), and the order-free
+    * integer re-sum rebuilds the daily table the seasonal/drift monitors
+    * read. Per-batch cost: one narrow date projection + a ≤|batch-days|-row
+    * write — the corpus is never rescanned to refresh a volume monitor.
+    * Pure per-key sum log ⇒ [[compactSumLog]] (keyCols=day, sumCols=d_n)
+    * applies verbatim; [[readDeltaLog]] is the horizon-aware reader. The
+    * folded table feeds [[graft.operators.Quality.seasonalVolumeFromDaily]]
+    * — the report logic is shared verbatim, so stream ≡ batch exactly.
+    */
+  def streamDailyCountFold(spark: SparkSession, srcDir: String,
+                           deltaDir: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withEventTime(batch)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("d_n"))
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING Markov-transition maintenance — the j15 matrix kept
     * current by ingest. Each micro-batch lands TWO idempotent
     * `batch=<id>/` directories (the e15 rule: replay overwrites its own

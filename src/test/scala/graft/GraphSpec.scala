@@ -54,6 +54,56 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
     got shouldBe expect
   }
 
+  test("triangleStats: triangle-plus-pendant graph — exact counts, cc micros, zero rows kept") {
+    // triangle 1-2-3 with pendant 4 hanging off 3 (symmetric edges)
+    val und = Seq((1, 2), (1, 3), (2, 3), (3, 4))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val out = Graph.triangleStats(edges.toDF("src", "dst"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // (item, deg, tri, cc_e6) ordered tri desc, item
+    out shouldBe Seq(
+      (1, 2L, 1L, 1000000L), // 2·1·10⁶ / (2·1)
+      (2, 2L, 1L, 1000000L),
+      (3, 3L, 1L, 333333L), // 2·1·10⁶ / (3·2), floored
+      (4, 1L, 0L, 0L)) // deg-1 pendant: no triangle, cc 0, row KEPT
+  }
+
+  test("property: triangleStats equals a driver-side brute-force enumeration on seeded random graphs") {
+    val rnd = new scala.util.Random(31)
+    val raw = (0 until 200).map(_ => (rnd.nextInt(18), rnd.nextInt(18)))
+      .filter { case (a, b) => a != b }
+    val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val got = Graph.triangleStats(edges.toDF("src", "dst"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // reference: adjacency sets, count triangles at each node directly
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val expect = adj.toSeq.map { case (v, nb) =>
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a)(b) }
+      val deg = nb.size.toLong
+      val cc = if (deg >= 2) tri.toLong * 2000000L / (deg * (deg - 1)) else 0L
+      (v, deg, tri.toLong, cc)
+    }.sortBy { case (v, _, t, _) => (-t, v) }
+    got shouldBe expect
+  }
+
+  test("linkPrediction: path closes the end pair; triangle yields none; apex cap silences hubs") {
+    // path 1-2-3: only non-adjacent pair is (1,3), one shared neighbor
+    val path = Seq((1, 2), (2, 3)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    Graph.linkPrediction(path.toDF("src", "dst"))
+      .as[(Long, Int, Int, Long)].collect().toSeq shouldBe Seq((1L, 1, 3, 1L))
+    // triangle: every pair already adjacent — nothing to predict
+    val tri = Seq((1, 2), (1, 3), (2, 3)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    Graph.linkPrediction(tri.toDF("src", "dst")).count() shouldBe 0L
+    // star hub 0-{1..5}: all closure evidence flows through the deg-5 hub;
+    // capping apexes at 4 must silence it (the bot-cap trade, documented)
+    val star = (1 to 5).flatMap(i => Seq((0, i), (i, 0)))
+    Graph.linkPrediction(star.toDF("src", "dst"), maxApexDeg = 5)
+      .count() shouldBe 10L // C(5,2) leaf pairs, all via the hub
+    Graph.linkPrediction(star.toDF("src", "dst"), maxApexDeg = 4)
+      .count() shouldBe 0L
+  }
+
   test("coviewEdges: symmetric, distinct, bot-capped, repeat views collapse") {
     import java.sql.Timestamp
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")

@@ -542,6 +542,103 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("range search: full probe equals a driver-side brute-force radius scan; partial probe is a subset") {
+    val cents = Similarity.ivfCentroids(embDf, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rangeidx").toString + "/idx"
+    Similarity.ivfIndex(embDf, cents).write.partitionBy("cell").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val q = embDf.where($"vec_id" < 3)
+    val tau = 0.3
+    val full = Similarity.rangeSearchIndexed(idx, cents, q, tau, nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    // driver-side reference: every pair's round-6 cosine, filtered at tau
+    val vecs = embDf.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (for {
+      qid <- 0L until 3L; cid <- vecs.keys if cid != qid
+      c = cos(vecs(qid), vecs(cid)) if c >= tau
+    } yield (qid, cid, c)).toSet
+    full shouldBe expect
+    expect.nonEmpty shouldBe true
+    // result sizes legitimately differ per query — the anti-top-k point:
+    // at tau 0.99 the parallel pair (0,1) is mutually in-radius and the
+    // orthogonal query 2 finds NOTHING (absent, not padded)
+    Similarity.rangeSearchIndexed(idx, cents, q, 0.99, nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet shouldBe
+      Set((0L, 1L, 1.0), (1L, 0L, 1.0))
+    // partial probe can only MISS in-radius neighbors, never invent them
+    val partial = Similarity.rangeSearchIndexed(idx, cents, q, tau, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    partial.subsetOf(full) shouldBe true
+  }
+
+  test("dedup ROI: size histogram and keep-one savings charge only non-canonical members") {
+    val docs = Seq((1L, 100L), (2L, 10L), (3L, 20L), (4L, 7L), (5L, 5L), (6L, 999L))
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_rep") // doc 6 is a singleton: absent
+    graft.operators.Dedup.dedupRoi(docs, clusters)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe Seq(
+      (2L, 1L, 5L), // {4,5}: member 5's 5 chars reclaim; rep 4 stays
+      (3L, 1L, 30L)) // {1,2,3}: members 2+3 = 10+20; the 100-char rep stays
+  }
+
+  test("padding efficiency: cap boundaries land exactly; over-cap docs truncate into the top bucket") {
+    val docs = Seq(
+      (0L, Seq.fill(16)("w").mkString(" ")), // exactly at the 16 cap
+      (1L, Seq.fill(17)("w").mkString(" ")), // one over → 32 bucket
+      (2L, Seq.fill(10)("w").mkString(" ")),
+      (3L, Seq.fill(200)("w").mkString(" ")) // over top cap → clipped to 128
+    ).toDF("doc_id", "text")
+    val out = Pipeline.paddingEfficiency(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      // (cap, n_docs, sum_tokens, padded, waste, eff_e6)
+      (16L, 2L, 26L, 32L, 6L, 812500L),
+      (32L, 1L, 17L, 32L, 15L, 531250L),
+      (128L, 1L, 128L, 128L, 0L, 1000000L)) // truncated: full cap, zero waste
+    // ascending-distinct caps contract
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.paddingEfficiency(docs, Seq(32, 16))
+  }
+
+  test("zipf check: perfect 1/rank corpus scores 10^6 at every rank; deficit floors down") {
+    // freqs a:4 b:2 c:1 — ranks 1,2,3; rank·freq = 4,4,3 vs f1 = 4
+    val docs = Seq((0L, "a a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfCheck(docs, k = 3)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, "a", 4L, 4L, 1000000L),
+      (2L, "b", 2L, 4L, 1000000L),
+      (3L, "c", 1L, 3L, 750000L))
+  }
+
+  test("yoy growth: exact cents, first-year null, negative growth truncates toward zero") {
+    val nation = Seq((1, "ALPHA"), (2, "BETA")).toDF("n_nationkey", "n_name")
+    val customer = Seq((10L, 1), (20L, 2)).toDF("c_custkey", "c_nationkey")
+    val ts = (y: Int) => java.sql.Timestamp.valueOf(s"$y-03-01 00:00:00")
+    val orders = Seq(
+      (10L, 3.00, ts(1995)), (10L, 4.50, ts(1996)), // ALPHA: 300 → 450 cents
+      (20L, 3.00, ts(1995)), (20L, 2.00, ts(1996)) // BETA: 300 → 200 cents
+    ).toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val out = graft.operators.Relational.yoyGrowth(orders, customer, nation)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSeq
+    out shouldBe Seq(
+      ("ALPHA", 1995, 300L, None, None), // first year: null, not 0
+      ("ALPHA", 1996, 450L, Some(300L), Some(500000L)),
+      ("BETA", 1995, 300L, None, None),
+      // −100·10⁶/300 = −333333.3 → −333333 (truncated toward zero, the
+      // DuckDB // parity this entry exists to pin)
+      ("BETA", 1996, 200L, Some(300L), Some(-333333L)))
+  }
+
   test("pre-filtered ivf: exact under the predicate at full probe; post-filter demonstrably under-fills") {
     val labeled = embDf.withColumn("label", ($"vec_id" % 2).cast("int"))
     val cents = Similarity.ivfCentroids(labeled, 8)

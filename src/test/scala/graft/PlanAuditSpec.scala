@@ -894,6 +894,52 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     edges.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("triangleStats: wedge join and close re-read the persisted oriented layout; no cartesian") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val edges = graft.operators.Graph.coviewEdges(ev,
+      org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.col("props"), "(\\d+)", 1))
+    val df = graft.operators.Graph.triangleStats(edges)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // both wedge legs AND the closing semi probe scan the cached oriented
+    // table — the orientation chain (degree joins + filter) ran once
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+    edges.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("range search: DPP prunes the unprobed cells and no top-k machinery rides the plan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = graft.operators.Similarity.ivfCentroids(corpus, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-range-audit").toString + "/idx"
+    graft.operators.Similarity.ivfIndex(corpus, cents)
+      .write.partitionBy("cell").parquet(dir)
+    val out = graft.operators.Similarity.rangeSearchIndexed(
+      spark.read.parquet(dir), cents, corpus.where($"vec_id" < 2), 0.3, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("Broadcast")
+    plan should include regex """PartitionFilters: \[[^\]]*dynamicpruning"""
+    // in-radius sets are unordered by contract: scan → join → filter, no
+    // window/sort stage anywhere (the structural difference from top-k)
+    plan should not include "Window"
+    plan should not include "Sort"
+  }
+
+  test("yoy growth: dims broadcast, LAG runs over the pre-aggregated nation grid") {
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val plan = graft.operators.Relational.yoyGrowth(ord, cust, nat)
+      .queryExecution.executedPlan.toString
+    "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+    // the window partitions on the nation key of the aggregated grid —
+    // and sits ABOVE the aggregate (grid rows, never fact rows)
+    plan should include("windowspecdefinition(n_name")
+    plan should include("partial_sum")
+  }
+
   test("KS drift: the running ECDF is a bucket-partitioned window, not a single global sort") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .where($"event_type" === "view")

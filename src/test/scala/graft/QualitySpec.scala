@@ -175,6 +175,70 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     out("2024-05-05") shouldBe ((100L, Some(0.5), false))
   }
 
+  test("seasonalVolume: weekly-cyclic feed passes the weekday baseline where the flat window false-alarms") {
+    // 4 weeks starting Monday 2024-05-06: weekdays 100 events, weekends 20
+    // — a healthy cyclic feed — except the LAST Sunday collapsed to 2
+    val day0 = java.time.LocalDate.parse("2024-05-06")
+    val rows = for {
+      d <- 0 until 28
+      date = day0.plusDays(d)
+      n = if (d == 27) 2 else if (date.getDayOfWeek.getValue >= 6) 20 else 100
+      i <- 0 until n
+    } yield (java.sql.Timestamp.valueOf(date.atTime(12, 0)), i.toLong)
+    val df = rows.toDF("ts", "i")
+    val out = Quality.seasonalVolume(df, "ts").collect().map(r =>
+      r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))).toMap
+    out("2024-05-06") shouldBe ((1, 100L, 0L, None, false)) // first Monday: no prior
+    // healthy 4th-week Saturday: dev 0 vs the 3 prior Saturdays
+    out("2024-06-01") shouldBe ((6, 20L, 3L, Some(0.0), false))
+    // collapsed Sunday: 2 vs prior-Sunday mean 20 → −0.9, flagged
+    out("2024-06-02") shouldBe ((7, 2L, 3L, Some(-0.9), true))
+    // the differentiator: the FLAT trailing window (c5) false-alarms this
+    // same healthy Saturday (20 vs a weekday-dominated mean)
+    val flat = Quality.volumeDrift(df, "ts").collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    flat("2024-06-01") shouldBe true
+  }
+
+  test("seasonalVolume densifies: silent days surface as rows; zero baselines report null dev") {
+    // two Mondays of data with the Wednesday between them missing entirely
+    val rows = for (d <- Seq("2024-05-06", "2024-05-07", "2024-05-09",
+        "2024-05-10", "2024-05-13"); i <- 0 until 50) yield
+      (java.sql.Timestamp.valueOf(s"$d 08:00:00"), i.toLong)
+    val out = Quality.seasonalVolume(rows.toDF("ts", "i"), "ts", weeks = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))).toMap
+    out.size shouldBe 8 // calendar-dense Mon..Mon
+    out("2024-05-08") shouldBe ((0L, None, false)) // first Wednesday: no prior week
+    out("2024-05-11") shouldBe ((0L, None, false)) // silent Saturday is a ROW
+    out("2024-05-13") shouldBe ((50L, Some(0.0), false)) // Monday vs prior Monday
+    // the NEXT same-weekday obs after a dead day compares against 0 →
+    // win_sum 0 → null dev (no baseline), never a divide-by-zero
+    val out2 = Quality.seasonalVolume((rows ++ Seq(
+        (java.sql.Timestamp.valueOf("2024-05-15 08:00:00"), 0L))).toDF("ts", "i"),
+      "ts", weeks = 1).collect().map(r => r.getString(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    out2("2024-05-15") shouldBe None
+  }
+
+  test("madOutliers: lower medians in exact cents; a planted extreme can't drag the gate") {
+    val rows = Seq(
+      // group a (7 rows): med = 4th of sorted cents = 12, MAD = 4th of
+      // sorted devs = 2; the 10⁴-dollar corruption is the ONLY row past
+      // 1.5·MAD — a mean/stddev z-gate's own threshold would have chased it
+      ("a", 0.10), ("a", 0.10), ("a", 0.10), ("a", 0.12), ("a", 0.12),
+      ("a", 0.14), ("a", 10000.00),
+      // group b (4 rows, EVEN): lower median = 2nd of sorted = 20 cents;
+      // devs sorted 0,10,10,20 → MAD = 10; only dev 20 > 15
+      ("b", 0.10), ("b", 0.20), ("b", 0.30), ("b", 0.40))
+    val out = Quality.madOutliers(rows.toDF("grp", "v"), "grp", "v")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      ("a", 7L, 12L, 2L, 1L),
+      ("b", 4L, 20L, 10L, 1L))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged with exact totals") {
     val old = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
     val neu = Seq((2L, "bb"), (3L, "cc2"), (4L, "dddd")).toDF("doc_id", "text")
