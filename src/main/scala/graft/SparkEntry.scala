@@ -682,6 +682,21 @@ object SparkEntry {
       st.currentAt(1L).toDF().select(col("id"), col("title")).orderBy("id") // pre-mutation snapshot
     }),
 
+    // S24 VERSION DIFF: row-level "what changed between catalog
+    // snapshots" via time travel — added/removed/changed classified by
+    // length-prefixed full-row hash, reading THROUGH a compaction (a
+    // base restatement is a logical no-op and must not surface); ids +
+    // hashes + titles only cross the full-outer join, never payloads
+    "s24_version_diff" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // version 1
+      st.partialUpdate("000010", Map("title" -> "changed-title"))
+      st.delete("000020")
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert)
+      st.compact() // the diff must NOT see the restatement as changes
+      st.versionDiff(1L)
+    }),
+
     // S10 change feed: CDC read of the delta log after the initial bulk
     // load (version 1) — an update, a delete, and an insert surface as net
     // row-level changes; the untouched 49 rows do NOT appear
@@ -1628,6 +1643,15 @@ object SparkEntry {
     // 256-token target vocabulary, Laplace-smoothed unigram feature models
     // on both sides; the oracle re-derives vocabulary, both models, and the
     // per-doc log-ratio fold independently
+    // P21 mixture epoch plan: tokens-per-source and EPOCHS required to
+    // hit a 50/30/20 mix at a 10k-token budget — the data-constrained-
+    // scaling check; floor-div micros, unlisted sources visible at
+    // weight 0, over-4-epoch sources flagged
+    "p21_epoch_plan" -> ((s, d) =>
+      graft.operators.Pipeline.mixtureEpochPlan(docs(s, d),
+        Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L),
+        budgetTokens = 10000L)),
+
     // P20 padding-efficiency audit of power-of-two length-bucketed
     // batching — tokens-on-the-floor per bucket cap, exact integers, one
     // codegen'd narrow pass + a |caps|-row aggregate
@@ -3078,6 +3102,15 @@ object SparkEntry {
           s.read.parquet(s"$d/events.parquet"),
           regexp_extract(col("props"), "(\\d+)", 1)))),
 
+    // G4 degree assortativity: Newman's r over the co-view graph — the
+    // one-number hub-wiring diagnostic; exact DECIMAL(38,0) moments, one
+    // round-6 float ratio, explicit null on zero variance
+    "g4_assortativity" -> ((s, d) =>
+      graft.operators.Graph.degreeAssortativity(
+        graft.operators.Graph.coviewEdges(
+          s.read.parquet(s"$d/events.parquet"),
+          regexp_extract(col("props"), "(\\d+)", 1)))),
+
     // G3 link prediction: common-neighbor counts for NON-adjacent item
     // pairs (triadic closure candidates) — capped-apex wedge counting,
     // anti-join against the edge table, top-20 TakeOrdered
@@ -3102,6 +3135,13 @@ object SparkEntry {
     "j16_top_paths" -> ((s, d) =>
       graft.operators.EventAnalytics.topPaths(
         s.read.parquet(s"$d/events.parquet"))),
+
+    // J18 dwell-time profile: per-event-type time-to-next-action within
+    // the 30-min session boundary — exact lower median/p90/max micros by
+    // the c11 order-statistic rank rule; session-final events drop
+    "j18_dwell_times" -> ((s, d) =>
+      graft.operators.EventAnalytics.dwellTimes(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
 
     // J15 first-order Markov transition matrix: adjacent event-type pairs
     // per user timeline (ts, event_id order), exact integer-micros row
@@ -4361,6 +4401,14 @@ object SparkEntry {
           "WHERE d.doc_id % 97 = 0 ORDER BY d.doc_id"),
       "x2_export" ->
         (M + "SELECT id, category, title FROM meta WHERE id BETWEEN '000001' AND '000100' ORDER BY id"),
+      // s24: the scripted lifecycle's net row diff as literals — the
+      // update surfaces with its NEW title, the delete with its OLD, the
+      // insert as added; the other 48 rows (and the compaction
+      // restatement) must NOT appear
+      "s24_version_diff" ->
+        (M + "SELECT id, 'changed' AS op, 'changed-title' AS title FROM meta WHERE id = '000010' " +
+          "UNION ALL SELECT id, 'removed' AS op, title FROM meta WHERE id = '000020' " +
+          "UNION ALL SELECT id, 'added' AS op, title FROM meta WHERE id = '000200' ORDER BY id"),
       "s10_changefeed" ->
         (M + "SELECT id, 'upsert' AS op, 'changed-title' AS title FROM meta WHERE id = '000010' " +
           "UNION ALL SELECT id, 'delete' AS op, title FROM meta WHERE id = '000020' " +
@@ -5672,6 +5720,37 @@ object SparkEntry {
       // Spark's weekday+1 (both pin Monday=1; the engines' default
       // dayofweek disagree on Sunday), same exact-integer deviation
       "c10_seasonal_volume" -> seasonalVolumeSql,
+      // j18: same user-timeline lead, same strict session boundary, same
+      // (n+1)-rule order-statistic ranks over exact dwell micros
+      "j18_dwell_times" ->
+        ("WITH e AS (SELECT user_id, event_id, event_type, " +
+          "epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "dw AS (SELECT event_type, lead(us) OVER " +
+          "(PARTITION BY user_id ORDER BY us, event_id) - us AS dwell_us FROM e), " +
+          "f AS (SELECT event_type, dwell_us FROM dw " +
+          "WHERE dwell_us IS NOT NULL AND dwell_us <= 1800000000), " +
+          "r AS (SELECT event_type, dwell_us, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY dwell_us) AS rn, " +
+          "count(*) OVER (PARTITION BY event_type) AS n FROM f) " +
+          "SELECT event_type, max(n)::BIGINT AS n, " +
+          "max(CASE WHEN rn = (n + 1) // 2 THEN dwell_us END)::BIGINT AS med_dwell_us, " +
+          "max(CASE WHEN rn = (9 * n + 9) // 10 THEN dwell_us END)::BIGINT AS p90_dwell_us, " +
+          "max(dwell_us)::BIGINT AS max_dwell_us " +
+          "FROM r GROUP BY event_type ORDER BY event_type"),
+      // p21: the same availability aggregate, CASE-literal weights, and
+      // floor-div plan arithmetic
+      "p21_epoch_plan" ->
+        ("WITH a AS (SELECT source, " +
+          "sum(len(regexp_extract_all(text, '[^ \\t\\n\\r]+')))::BIGINT AS avail_tokens " +
+          "FROM documents GROUP BY 1), " +
+          "w AS (SELECT source, avail_tokens, CASE source WHEN 'src0' THEN 500000 " +
+          "WHEN 'src1' THEN 300000 WHEN 'src2' THEN 200000 ELSE 0 END::BIGINT AS weight_e6 " +
+          "FROM a), " +
+          "p AS (SELECT *, (weight_e6 * 10000) // 1000000 AS planned_tokens FROM w) " +
+          "SELECT source, avail_tokens, weight_e6, planned_tokens::BIGINT AS planned_tokens, " +
+          "(CASE WHEN avail_tokens > 0 THEN (planned_tokens * 1000000) // avail_tokens END)::BIGINT AS epochs_e6, " +
+          "coalesce(CASE WHEN avail_tokens > 0 THEN (planned_tokens * 1000000) // avail_tokens END > 4000000, false) AS over_cap " +
+          "FROM p ORDER BY source"),
       // e30: the streamed fold must rebuild c10's daily table exactly —
       // same oracle verbatim (order-free integer sums; replay idempotent
       // by batch-directory overwrite)
@@ -6031,6 +6110,18 @@ object SparkEntry {
       // g3: same capped wedge counting, same non-adjacency anti-join,
       // same deterministic top-20
       "g3_link_prediction" -> linkPredictionSql,
+      // g4: the same exact HUGEINT moments and the same fixed-shape
+      // round-6 Pearson ratio with the zero-variance null guard
+      "g4_assortativity" -> (coviewCte +
+        ", deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+        "a AS (SELECT ds.deg::HUGEINT AS dx, dd.deg::HUGEINT AS dy FROM e " +
+        "JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src), " +
+        "s AS (SELECT count(*)::HUGEINT AS m, sum(dx) AS sx, sum(dy) AS sy, " +
+        "sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy FROM a) " +
+        "SELECT m::BIGINT AS n_edges, " +
+        "CASE WHEN m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0 THEN " +
+        "round((m*sxy - sx*sy)::DOUBLE / (sqrt((m*sxx - sx*sx)::DOUBLE) * " +
+        "sqrt((m*syy - sy*sy)::DOUBLE)), 6) END AS r FROM s"),
       // v23: the identical exact-moments → power-iteration → projection
       // chain unrolled in SQL
       "v23_pca_project" -> pcaProjectSql,

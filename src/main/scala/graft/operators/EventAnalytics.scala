@@ -416,4 +416,45 @@ object EventAnalytics {
         expr("n * 1000000 DIV n_src").as("p_micros"))
       .orderBy("src", "dst")
   }
+
+  /** Per-event-type DWELL-TIME profile: how long users sit on each action
+    * before their next one — the engagement statistic behind "is this
+    * step where people stall". An event's dwell is the gap to the SAME
+    * user's next event (ts, event_id order — the funnel tie discipline),
+    * kept only when the gap is within `sessionGapMicros` (a gap past the
+    * session boundary is an absence, not a dwell — the e2/j16 boundary
+    * rule, strict >). Session-final events have no dwell and drop out.
+    *
+    * The summary is the c11 exact-order-statistic discipline: lower
+    * median and lower p90 of the dwell micros per type (rank
+    * `(n+1) DIV 2` / `(9n+9) DIV 10` order statistics — exact longs both
+    * engines agree on bit-for-bit), plus exact n and max. Two shuffles:
+    * the user timeline sort (shared shape with every j-family operator),
+    * then the per-type rank window; both keys are the natural partition
+    * axes and nothing global sorts.
+    */
+  def dwellTimes(events: DataFrame,
+                 sessionGapMicros: Long = 1800L * 1000000L): DataFrame = {
+    require(sessionGapMicros > 0, s"sessionGapMicros must be positive")
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val dwell = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("dwell_us", lead(col("us"), 1).over(w) - col("us"))
+      .where(col("dwell_us").isNotNull &&
+        col("dwell_us") <= sessionGapMicros)
+    val wOrd = Window.partitionBy("event_type").orderBy("dwell_us")
+    val wAll = Window.partitionBy("event_type")
+    dwell
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("dwell_us")))
+          .as("med_dwell_us"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("dwell_us")))
+          .as("p90_dwell_us"),
+        max("dwell_us").as("max_dwell_us"))
+      .orderBy("event_type")
+  }
 }

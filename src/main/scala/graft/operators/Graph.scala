@@ -172,6 +172,50 @@ object Graph {
       .orderBy("rank")
   }
 
+  /** Degree ASSORTATIVITY — the one-number graph-health diagnostic beside
+    * [[triangleStats]]' local view: the Pearson correlation of endpoint
+    * degrees over all edges (Newman's r). Positive = hubs link to hubs
+    * (social/citation shape), negative = hubs link to leaves (the
+    * spam-ring / scraped-catalog signature), ~0 = neutral wiring — the
+    * cheap screen run before anyone pays for community detection.
+    *
+    * The v22 moment discipline: every sum an exact order-free
+    * DECIMAL(38,0) aggregate over the degree-annotated edges (degrees are
+    * already exact longs — no quantization step needed), ONE final float
+    * expression (the fixed-shape Pearson ratio) rounded to 6, so engines
+    * can only differ where round-6 absorbs it. A REGULAR graph (all
+    * degrees equal) has zero variance and reports null r — "undefined"
+    * and "neutral" must not alias.
+    *
+    * Plan: degree table joined to both endpoints (co-partitioned with the
+    * edge layout), one combine-safe scalar aggregate, a 1-row result. At
+    * 100 TB this is two broadcast-or-shuffle joins of 16 B rows and one
+    * reduction — no window, no sort.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val d38 = "decimal(38,0)"
+    val e = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+    e.agg(count(lit(1)).cast(d38).as("m"),
+        sum(col("dx").cast(d38)).as("sx"),
+        sum(col("dy").cast(d38)).as("sy"),
+        sum(col("dx").cast(d38) * col("dy").cast(d38)).as("sxy"),
+        sum(col("dx").cast(d38) * col("dx").cast(d38)).as("sxx"),
+        sum(col("dy").cast(d38) * col("dy").cast(d38)).as("syy"))
+      .select(col("m").cast("long").as("n_edges"),
+        // explicit zero-variance guard: 0/0 would be NaN, and "undefined
+        // on a regular graph" must read as null, not a number
+        when(col("m") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("m") * col("syy") - col("sy") * col("sy") > 0,
+          round(
+            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6)).as("r"))
+  }
+
   /** The symmetric co-view edge table behind [[pageRank]] — j14's
     * capped set-semantics chain (distinct (user, item), bot-tail cap,
     * user-keyed self-join) emitting each co-viewed pair once per

@@ -899,6 +899,45 @@ object Pipeline {
     * per-bucket partials. Output: `(cap, n_docs, sum_tokens, padded,
     * waste, eff_e6)` ordered by cap.
     */
+  /** Mixture EPOCH plan — the data-constrained-scaling arithmetic run
+    * before any training mix ships: given target mixture weights (micros,
+    * must sum to 10⁶) and a total token budget, how many tokens each
+    * source must contribute and how many EPOCHS of its available text
+    * that means. Sources whose plan exceeds `capE6` epochs (default 4 —
+    * past which repeated data's value decays sharply, the published
+    * data-constrained-scaling rule of thumb) are flagged: the mix as
+    * specified cannot be met without over-repeating that source.
+    *
+    * All exact integers: available tokens from ONE map-side-combining
+    * aggregate (the only corpus-scale job), planned tokens and epochs by
+    * floor division, the flag a long compare. Weights enter as literals
+    * (a mixture spec is configuration, not data). Sources in the corpus
+    * but not in the spec report weight 0 / planned 0 — visible, not
+    * silently dropped. Output: `(source, avail_tokens, weight_e6,
+    * planned_tokens, epochs_e6, over_cap)` ordered by source.
+    */
+  def mixtureEpochPlan(docs: DataFrame, weights: Map[String, Long],
+                       budgetTokens: Long, capE6: Long = 4000000L): DataFrame = {
+    require(weights.nonEmpty && weights.values.sum == 1000000L,
+      s"weights must sum to exactly 1e6 micros, got ${weights.values.sum}")
+    require(budgetTokens > 0 && capE6 > 0, "budget and cap must be positive")
+    val toks = size(regexp_extract_all(col("text"),
+      lit(s"[^${TextAnalysis.WsClass}]+"), lit(0))).cast("long")
+    val wCol = weights.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    docs.select(col("source"), toks.as("t"))
+      .groupBy("source").agg(sum("t").as("avail_tokens"))
+      .withColumn("weight_e6", wCol)
+      .withColumn("planned_tokens",
+        expr(s"(weight_e6 * ${budgetTokens}L) DIV 1000000"))
+      .withColumn("epochs_e6",
+        when(col("avail_tokens") > 0,
+          expr("(planned_tokens * 1000000) DIV avail_tokens")))
+      .withColumn("over_cap", coalesce(col("epochs_e6") > capE6, lit(false)))
+      .orderBy("source")
+  }
+
   def paddingEfficiency(docs: DataFrame,
                         caps: Seq[Int] = Seq(16, 32, 64, 128)): DataFrame = {
     require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,

@@ -366,4 +366,30 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     deg._7 shouldBe None
     deg._8 shouldBe None
   }
+
+  test("dwell times: session boundary strict, final events drop, order statistics exact") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: views dwell 10s, 20s, 30s, 40s, then a 2h gap (NOT a
+      // dwell), then a click dwelling exactly 1800s (kept: <= boundary),
+      // then a session-final purchase (no dwell)
+      (1L, 10L, "view", t("2024-01-01 10:00:00")),
+      (1L, 11L, "view", t("2024-01-01 10:00:10")),
+      (1L, 12L, "view", t("2024-01-01 10:00:30")),
+      (1L, 13L, "view", t("2024-01-01 10:01:00")),
+      (1L, 14L, "view", t("2024-01-01 10:01:40")),
+      (1L, 15L, "click", t("2024-01-01 12:30:00")),
+      (1L, 16L, "purchase", t("2024-01-01 13:00:00")),
+      // user 2: a lone event — nothing follows, contributes nothing
+      (2L, 20L, "view", t("2024-01-01 09:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventAnalytics.dwellTimes(rows)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // view dwells (µs): 10,20,30,40 s + the 2h gap DROPPED → n=4,
+    // lower med = rank (5)DIV 2 = 2nd = 20s, p90 = rank (45)DIV 10 = 4th
+    // = 40s; click dwell exactly 1800s kept
+    out shouldBe Seq(
+      ("click", 1L, 1800000000L, 1800000000L, 1800000000L),
+      ("view", 4L, 20000000L, 40000000L, 40000000L))
+  }
 }

@@ -104,6 +104,36 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
       .count() shouldBe 0L
   }
 
+  test("assortativity: star is exactly -1, regular cycle is null, random graph matches a driver reference") {
+    // star 0—{1..4}: every edge pairs deg 4 with deg 1 — the perfectly
+    // DISassortative wiring, closed form r = −1 exactly
+    val star = (1 to 4).flatMap(i => Seq((0, i), (i, 0)))
+    val rs = Graph.degreeAssortativity(star.toDF("src", "dst")).collect().head
+    rs.getLong(0) shouldBe 8L
+    rs.getDouble(1) shouldBe -1.0
+    // 4-cycle: every degree 2 — zero variance must be NULL, not NaN/0
+    val cyc = (0 to 3).flatMap(i => Seq((i, (i + 1) % 4), ((i + 1) % 4, i)))
+    Graph.degreeAssortativity(cyc.toDF("src", "dst")).collect()
+      .head.isNullAt(1) shouldBe true
+    // seeded random symmetric graph vs a driver-side Pearson over degrees
+    val rnd = new scala.util.Random(47)
+    val edges = (0 until 150).map(_ => (rnd.nextInt(14), rnd.nextInt(14)))
+      .filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val got = Graph.degreeAssortativity(edges.toDF("src", "dst")).collect().head
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val xs = edges.map { case (a, b) => (deg(a), deg(b)) }
+    val m = xs.size.toLong
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map { case (x, y) => x * y }.sum
+    val (sxx, syy) = (xs.map(p => p._1 * p._1).sum, xs.map(p => p._2 * p._2).sum)
+    val expect = BigDecimal((m * sxy - sx * sy).toDouble /
+        (math.sqrt((m * sxx - sx * sx).toDouble) * math.sqrt((m * syy - sy * sy).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.getLong(0) shouldBe m
+    got.getDouble(1) shouldBe expect
+  }
+
   test("coviewEdges: symmetric, distinct, bot-capped, repeat views collapse") {
     import java.sql.Timestamp
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")

@@ -18,6 +18,28 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
 
   private val e0 = Fixtures.corpus.head
 
+  test("version diff: added/removed/changed only; revert and compaction surface nothing") {
+    val st = freshStore()
+    val e = Fixtures.corpus
+    e.take(3).foreach(st.upsert) // versions 1-3
+    st.partialUpdate(e(0).id, Map("title" -> "mutated")) // v4
+    st.delete(e(1).id) // v5
+    st.upsert(e(3)) // v6
+    // a change that is fully REVERTED nets to unchanged — absent from the diff
+    st.partialUpdate(e(2).id, Map("title" -> "temp")) // v7
+    st.partialUpdate(e(2).id, Map("title" -> e(2).title)) // v8: back
+    st.compact() // base restatement: a logical no-op the diff must not see
+    val out = st.versionDiff(3L)
+      .as[(String, String, String)].collect()
+      .map { case (i, o, t) => i -> ((o, t)) }.toMap
+    out.keySet shouldBe Set(e(0).id, e(1).id, e(3).id)
+    out(e(0).id) shouldBe ("changed", "mutated") // NEW title reported
+    out(e(1).id) shouldBe ("removed", e(1).title) // OLD title reported
+    out(e(3).id) shouldBe ("added", e(3).title)
+    // identical endpoints diff empty
+    st.versionDiff(8L).count() shouldBe 0L
+  }
+
   test("change feed: net change per id in the window; untouched rows absent") {
     val st = freshStore()
     Fixtures.corpus.take(3).foreach(st.upsert) // versions 1-3

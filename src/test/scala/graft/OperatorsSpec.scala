@@ -607,6 +607,26 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       Pipeline.paddingEfficiency(docs, Seq(32, 16))
   }
 
+  test("epoch plan: floor-div arithmetic, over-cap flag, unlisted sources visible at weight 0") {
+    val docs = Seq(
+      (0L, Seq.fill(100)("w").mkString(" "), "a"), // a: 100 tokens available
+      (1L, Seq.fill(10)("w").mkString(" "), "b"), // b: 10 tokens — will over-epoch
+      (2L, Seq.fill(50)("w").mkString(" "), "c") // c: unlisted in the spec
+    ).toDF("doc_id", "text", "source")
+    val out = Pipeline.mixtureEpochPlan(docs,
+        Map("a" -> 600000L, "b" -> 400000L), budgetTokens = 1000L)
+      .as[(String, Long, Long, Long, Option[Long], Boolean)].collect().toSeq
+    out shouldBe Seq(
+      // a: plan 600 of 100 available → 6 epochs, over the 4-epoch cap
+      ("a", 100L, 600000L, 600L, Some(6000000L), true),
+      // b: plan 400 of 10 → 40 epochs, flagged
+      ("b", 10L, 400000L, 400L, Some(40000000L), true),
+      // c: in the corpus, not the spec — visible at weight 0, no flag
+      ("c", 50L, 0L, 0L, Some(0L), false))
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.mixtureEpochPlan(docs, Map("a" -> 1L), 10L) // weights ≠ 1e6
+  }
+
   test("zipf check: perfect 1/rank corpus scores 10^6 at every rank; deficit floors down") {
     // freqs a:4 b:2 c:1 — ranks 1,2,3; rank·freq = 4,4,3 vs f1 = 4
     val docs = Seq((0L, "a a a a b b c")).toDF("doc_id", "text")
