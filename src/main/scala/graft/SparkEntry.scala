@@ -1508,6 +1508,12 @@ object SparkEntry {
     // vs cumulative distinct types at each ingest decile — per-doc rank
     // via the c9 distributed bucketed prefix sum (no global sort),
     // first-occurrence decile = min-rank decile, all exact integers
+    // T28 code-vs-prose router: per-doc code-symbol density + indented-
+    // line fraction, exact integers, cross-multiplied flag — the cheap
+    // gate before t20's learned classifier
+    "t28_code_profile" -> ((s, d) =>
+      graft.operators.TextAnalysis.codeProfile(docs(s, d))),
+
     // T27 Zipf audit: top-20 token rank×frequency vs the rank-1 constant
     // in floor-divided micros — the frequency-distribution health gate
     // beside t26's Heaps curve; one exploded-token aggregate, TakeOrdered
@@ -4825,6 +4831,20 @@ object SparkEntry {
       // t26: ranks from the naive global row_number (the engine's bucketed
       // prefix sum must be value-invisible), min-rank-decile first
       // occurrences, cumulative sums over the decile spine
+      // t28: same regexp symbol class, same trailing-empty-keeping line
+      // split (DuckDB string_split ≡ Spark split limit -1), same
+      // cross-multiplied flag
+      "t28_code_profile" ->
+        ("WITH p AS (SELECT doc_id, " +
+          "len(regexp_extract_all(text, '[{}();=<>\\[\\]]'))::BIGINT AS n_sym, " +
+          "len(string_split(text, chr(10)))::BIGINT AS n_lines, " +
+          "len(list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '^[ \\t]')))::BIGINT AS n_indented, " +
+          "length(text)::BIGINT AS n_chars FROM documents) " +
+          "SELECT doc_id, n_sym, n_indented, n_lines, " +
+          "(CASE WHEN n_chars > 0 THEN (n_sym * 1000000) // n_chars ELSE 0 END)::BIGINT AS sym_e6, " +
+          "(CASE WHEN n_chars > 0 THEN (n_sym * 1000000) // n_chars ELSE 0 END) > 20000 " +
+          "OR n_indented * 10 >= n_lines * 3 AS is_code " +
+          "FROM p ORDER BY doc_id"),
       // t27: same token counts, same (freq desc, tok) top-20, same
       // floor-divided rank·freq/f1 micros
       "t27_zipf_check" ->

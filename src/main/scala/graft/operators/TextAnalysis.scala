@@ -777,6 +777,40 @@ object TextAnalysis {
     * k-row result with the 1-row max broadcast back (no global sort, no
     * single-partition window over anything bigger than k rows).
     */
+  /** CODE-vs-prose profile — the pretraining-mix router's cheap first
+    * gate ("is this document source code?") before anything expensive
+    * (language-specific parsing, a learned classifier) runs: per document,
+    * the count of code-symbol characters (`{}();=<>[]`), the count of
+    * INDENTED lines (leading space/tab — the structural signature prose
+    * almost never has), the symbol density in floor-divided micros, and
+    * the flag `is_code` = density > 2% OR ≥30% of lines indented (the
+    * cross-multiplied integer compare — no division decides anything).
+    *
+    * Everything exact integers off ONE codegen'd narrow projection — two
+    * regexp counts and a line split, no shuffle, no UDF; the flag
+    * thresholds are deliberately coarse (a ROUTER, not a judge — the
+    * judge is t20's learned classifier downstream).
+    */
+  def codeProfile(docs: DataFrame): DataFrame = {
+    val nSym = size(regexp_extract_all(col("text"),
+      lit("[{}();=<>\\[\\]]"), lit(0))).cast("long")
+    val lines = split(col("text"), "\n", -1)
+    val nLines = size(lines).cast("long")
+    val nIndented = size(filter(lines,
+      l => l.rlike("^[ \\t]"))).cast("long")
+    docs.select(col("doc_id"), nSym.as("n_sym"),
+        nLines.as("n_lines"), nIndented.as("n_indented"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("sym_e6",
+        when(col("n_chars") > 0, expr("(n_sym * 1000000) DIV n_chars"))
+          .otherwise(0L))
+      .withColumn("is_code",
+        col("sym_e6") > 20000L ||
+          col("n_indented") * 10 >= col("n_lines") * 3)
+      .select("doc_id", "n_sym", "n_indented", "n_lines", "sym_e6", "is_code")
+      .orderBy("doc_id")
+  }
+
   def zipfCheck(docs: DataFrame, k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val vocab = docs.select(explode(tokens(col("text"))).as("tok"))

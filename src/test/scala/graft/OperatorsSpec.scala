@@ -607,6 +607,23 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       Pipeline.paddingEfficiency(docs, Seq(32, 16))
   }
 
+  test("code profile: code flags on either signal, prose stays clean, empty doc safe") {
+    val code = "def f(x):\n  if (x > 0) {\n    return x[0];\n  }\n"
+    val indentOnly = "poem line one\n  indented verse two\n  indented verse three\n"
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((0L, code), (1L, indentOnly), (2L, prose), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeProfile(docs)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    byId(0L)._6 shouldBe true // symbol density AND indentation
+    byId(0L)._2 shouldBe 10L // (, ), (, >, ), {, [, ], ;, } — exact
+    byId(1L)._6 shouldBe true // indentation alone (2 of 4 lines ≥ 30%)
+    byId(1L)._2 shouldBe 0L
+    byId(2L) shouldBe ((2L, 0L, 0L, 1L, 0L, false))
+    byId(3L) shouldBe ((3L, 0L, 0L, 1L, 0L, false)) // empty: no div-by-zero
+  }
+
   test("epoch plan: floor-div arithmetic, over-cap flag, unlisted sources visible at weight 0") {
     val docs = Seq(
       (0L, Seq.fill(100)("w").mkString(" "), "a"), // a: 100 tokens available
