@@ -297,6 +297,39 @@ object SparkEntry {
     * exact scan on sf0.01's organic geometry (see the registration comment;
     * only runs when the SF fingerprint matches the pinned corpus).
     */
+  /** v25: measured recall of PARTIAL-probe range search vs the full-probe
+    * exact radius scan (the v11 discipline applied to v24) — for RANGE
+    * search, partial-probe loss is precisely the in-radius neighbors
+    * living in cells the query didn't probe, so the knob→recall curve is
+    * the capacity-planning evidence a caller sizing nprobe needs. Ground
+    * truth collects once (|queries|·avg-in-radius pairs — codebook-scale)
+    * and re-enters each leg as a broadcast local relation.
+    */
+  private def measuredRangeRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val q = e.where(col("vec_id") < 50)
+    val cents = Similarity.ivfCentroids(e, 32)
+    val idx = Similarity.ivfIndex(e, cents)
+    val tau = 0.25
+    val exactPairs = Similarity.rangeSearchIndexed(idx, cents, q, tau, nprobe = 32)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = broadcast(exactPairs.toDF("q_id", "vec_id"))
+    val total = exactPairs.size.toLong
+    def leg(name: String, nprobe: Int): DataFrame =
+      Similarity.rangeSearchIndexed(idx, cents, q, tau, nprobe)
+        .select("q_id", "vec_id")
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"), lit(total).as("total"),
+          round(col("hits") / lit(total.toDouble), 4).as("recall"))
+    leg("range_nprobe4", 4)
+      .unionByName(leg("range_nprobe8", 8))
+      .unionByName(leg("range_nprobe16", 16))
+      .orderBy("method")
+  }
+
   private def measuredRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
@@ -1958,6 +1991,21 @@ object SparkEntry {
     // index read back from parquet; assignments and norms never
     // recomputed, probed cells prune partition directories). Same planted
     // geometry ⇒ same exact-cosine oracle as v6
+    // V25 measured range-search recall at partial probe (the v11
+    // discipline on v24): pinned knob→recall curve behind the same SF
+    // fingerprint guard — for range search, loss = in-radius neighbors
+    // in unprobed cells, exactly what a caller sizing nprobe pays
+    "v25_range_recall" -> ((s, d) => {
+      import s.implicits._
+      val fp = s.read.parquet(s"$d/embeddings.parquet")
+        .agg((count(lit(1)) * 100000 + sum(col("label"))).cast("long"))
+        .collect()(0).getLong(0)
+      if (fp != 50002270L)
+        Seq(("PIN_STALE_expected_sf0.01", -1L, fp, -1.0))
+          .toDF("method", "hits", "total", "recall")
+      else measuredRangeRecall(s, d)
+    }),
+
     // V24 RANGE (radius) search over the persisted IVF index: every
     // corpus vector with round-6 cosine >= 0.25 of each query — result
     // sizes legitimately vary per query (6..14 here), the shape top-k
@@ -5163,6 +5211,21 @@ object SparkEntry {
       // recall and exact-rerank all of them
       "v2_lsh_topk" -> plantedTopkSql,
       "v6_ivf_partial" -> plantedTopkSql,
+      // v25: the pinned partial-probe range recalls (554 exact in-radius
+      // pairs over 50 organic queries at cos >= 0.25) behind the v11
+      // fingerprint guard — moderate-cosine neighbors scatter across
+      // cells, so range recall tracks probed-cell coverage much more
+      // steeply than planted top-k does (0.38/0.55/0.78 at 4/8/16 of 32)
+      "v25_range_recall" ->
+        ("WITH fp AS (SELECT (count(*)*100000 + sum(label))::BIGINT AS v FROM embeddings) " +
+          "SELECT * FROM (VALUES " +
+          "('range_nprobe16', 431::BIGINT, 554::BIGINT, 0.778::DOUBLE), " +
+          "('range_nprobe4', 211::BIGINT, 554::BIGINT, 0.3809::DOUBLE), " +
+          "('range_nprobe8', 305::BIGINT, 554::BIGINT, 0.5505::DOUBLE)" +
+          ") AS t(method, hits, total, recall) WHERE (SELECT v FROM fp) = 50002270 " +
+          "UNION ALL SELECT 'PIN_STALE_expected_sf0.01', -1::BIGINT, " +
+          "(SELECT v FROM fp), -1.0::DOUBLE WHERE (SELECT v FROM fp) <> 50002270 " +
+          "ORDER BY method"),
       // v24: full probe degrades the indexed range search to the exact
       // brute-force radius scan — same round-6 cosine, same >= 0.25 gate
       "v24_range_search" ->
