@@ -911,10 +911,13 @@ object Pipeline {
     * All exact integers: available tokens from ONE map-side-combining
     * aggregate (the only corpus-scale job), planned tokens and epochs by
     * floor division, the flag a long compare. Weights enter as literals
-    * (a mixture spec is configuration, not data). Sources in the corpus
-    * but not in the spec report weight 0 / planned 0 — visible, not
-    * silently dropped. Output: `(source, avail_tokens, weight_e6,
-    * planned_tokens, epochs_e6, over_cap)` ordered by source.
+    * (a mixture spec is configuration, not data). NO side is silently
+    * dropped: sources in the corpus but not in the spec report weight 0 /
+    * planned 0, and a spec'd source with NO corpus rows surfaces with
+    * avail 0, null epochs, and over_cap TRUE when it was assigned tokens
+    * — the one case the planner most needs to scream about. Output:
+    * `(source, avail_tokens, weight_e6, planned_tokens, epochs_e6,
+    * over_cap)` ordered by source.
     */
   def mixtureEpochPlan(docs: DataFrame, weights: Map[String, Long],
                        budgetTokens: Long, capE6: Long = 4000000L): DataFrame = {
@@ -926,15 +929,21 @@ object Pipeline {
     val wCol = weights.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col("source") === k, lit(v)).otherwise(acc)
     }
+    val spec = docs.sparkSession
+      .createDataFrame(weights.keys.toSeq.sorted.map(Tuple1(_)))
+      .toDF("source")
     docs.select(col("source"), toks.as("t"))
       .groupBy("source").agg(sum("t").as("avail_tokens"))
+      .join(spec, Seq("source"), "full_outer") // spec'd-but-absent surfaces
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
       .withColumn("weight_e6", wCol)
       .withColumn("planned_tokens",
         expr(s"(weight_e6 * ${budgetTokens}L) DIV 1000000"))
       .withColumn("epochs_e6",
         when(col("avail_tokens") > 0,
           expr("(planned_tokens * 1000000) DIV avail_tokens")))
-      .withColumn("over_cap", coalesce(col("epochs_e6") > capE6, lit(false)))
+      .withColumn("over_cap",
+        coalesce(col("epochs_e6") > capE6, col("planned_tokens") > 0))
       .orderBy("source")
   }
 

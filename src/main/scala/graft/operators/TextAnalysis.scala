@@ -815,7 +815,11 @@ object TextAnalysis {
     require(k >= 1, s"k must be >= 1, got $k")
     val vocab = docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
+    // materialize the k-row top EAGERLY: it is read twice below (rank
+    // branch + the f1 scalar), and without the cut each reference would
+    // re-run the corpus aggregate — the scan must happen ONCE
     val top = vocab.orderBy(col("freq").desc, col("tok")).limit(k)
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("tok"))
     top.withColumn("rank", row_number().over(w).cast("long"))

@@ -642,6 +642,12 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("c", 50L, 0L, 0L, Some(0L), false))
     an[IllegalArgumentException] should be thrownBy
       Pipeline.mixtureEpochPlan(docs, Map("a" -> 1L), 10L) // weights ≠ 1e6
+    // a spec'd source with NO corpus rows must SURFACE flagged, not vanish
+    val ghost = Pipeline.mixtureEpochPlan(docs,
+        Map("a" -> 500000L, "nosuch" -> 500000L), budgetTokens = 1000L)
+      .as[(String, Long, Long, Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    ghost("nosuch") shouldBe (("nosuch", 0L, 500000L, 500L, None, true))
   }
 
   test("zipf check: perfect 1/rank corpus scores 10^6 at every rank; deficit floors down") {
