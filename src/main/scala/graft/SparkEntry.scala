@@ -3156,6 +3156,16 @@ object SparkEntry {
           s.read.parquet(s"$d/events.parquet"),
           regexp_extract(col("props"), "(\\d+)", 1)))),
 
+    // G5 personalized PageRank from seed items {1,2,3}: proximity to the
+    // seed set (teleport returns to seeds) — the graph-walk recommender
+    // primitive; sparse integer rank vector, unreached items surface at 0
+    "g5_personalized_pr" -> ((s, d) =>
+      graft.operators.Graph.personalizedPageRank(
+        graft.operators.Graph.coviewEdges(
+          s.read.parquet(s"$d/events.parquet"),
+          regexp_extract(col("props"), "(\\d+)", 1)),
+        seeds = Seq(1, 2, 3))),
+
     // G4 degree assortativity: Newman's r over the co-view graph — the
     // one-number hub-wiring diagnostic; exact DECIMAL(38,0) moments, one
     // round-6 float ratio, explicit null on zero variance
@@ -3915,6 +3925,28 @@ object SparkEntry {
       "coalesce(CASE WHEN win_n > 0 AND win_sum > 0 THEN " +
       "abs(round(cnt * win_n / win_sum - 1.0, 6)) > 0.5 END, false) AS flagged " +
       "FROM w ORDER BY day"
+
+  /** g5: the personalized recurrence replayed as chained CTEs — seed-only
+    * teleport via FULL OUTER join each step, the same floor arithmetic,
+    * unreached items coalesced to 0 in the final report.
+    */
+  private lazy val personalizedPrSql: String = {
+    val base = coviewCte +
+      ", deg AS (SELECT src AS item, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+      "sd AS (SELECT unnest([1, 2, 3]) AS item), " +
+      "tele AS (SELECT item, (150000 // 3)::BIGINT AS t FROM sd), " +
+      "r0 AS (SELECT item, (1000000 // 3)::BIGINT AS r FROM sd)"
+    val steps = (1 to 5).map { i =>
+      s"r$i AS (SELECT coalesce(m.item, tele.item) AS item, " +
+        "(coalesce(tele.t, 0) + coalesce(m.in_sum, 0))::BIGINT AS r FROM " +
+        "(SELECT e.dst AS item, sum((p.r * 85) // (100 * d.deg))::BIGINT AS in_sum " +
+        s"FROM e JOIN r${i - 1} p ON e.src = p.item " +
+        "JOIN deg d ON e.src = d.item GROUP BY e.dst) m " +
+        "FULL OUTER JOIN tele ON m.item = tele.item)"
+    }.mkString(", ", ", ", " ")
+    base + steps + "SELECT deg.item, deg.deg, coalesce(r5.r, 0)::BIGINT AS rank_e6 " +
+      "FROM deg LEFT JOIN r5 USING (item) ORDER BY rank_e6 DESC, item"
+  }
 
   /** g2: the same degree-ordered orientation and once-per-triangle wedge
     * close replayed relationally — the (deg, id) row comparisons are the
@@ -6193,6 +6225,8 @@ object SparkEntry {
       // g3: same capped wedge counting, same non-adjacency anti-join,
       // same deterministic top-20
       "g3_link_prediction" -> linkPredictionSql,
+      // g5: the seed-teleport recurrence replayed as chained CTEs
+      "g5_personalized_pr" -> personalizedPrSql,
       // g4: the same exact HUGEINT moments and the same fixed-shape
       // round-6 Pearson ratio with the zero-variance null guard
       "g4_assortativity" -> (coviewCte +

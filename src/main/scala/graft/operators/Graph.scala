@@ -172,6 +172,60 @@ object Graph {
       .orderBy("rank")
   }
 
+  /** PERSONALIZED PageRank — proximity to a SEED SET instead of global
+    * centrality: teleport mass returns to the seeds every step, so rank
+    * measures "how reachable from these items", the graph-walk
+    * recommender primitive ("because you viewed X and Y") and the seed
+    * -expansion step of crawl frontier scoring. Same exact-integer
+    * discipline as [[pageRank]]:
+    *
+    *   r⁰(v) = 10⁶ div |seeds| on seeds, absent elsewhere
+    *   r⁺(v) = [v ∈ seeds] · (150000 div |seeds|)
+    *           + Σ_{u→v} (r(u)·85) div (100·deg(u))
+    *
+    * — every quantity a long, every sum order-free, so the oracle's
+    * chained-CTE replay matches bit-for-bit. The rank vector stays
+    * SPARSE: only nodes already reached carry rows (at scale the
+    * frontier is tiny vs the graph for small iteration counts — the
+    * whole point of personalization), and the final report left-joins
+    * the degree table so unreached nodes surface with rank 0 rather
+    * than vanishing.
+    *
+    * Same Pregel plan shape as [[pageRank]]: edges partitioned ONCE on
+    * the message key and persisted, one co-partitioned join + map-side-
+    * combining aggregate per superstep, the ≤|reached|-row rank vector
+    * the only thing that moves.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Int],
+                           iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val spark = edges.sparkSession
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist()
+    val n = seeds.size.toLong
+    val seedDf = spark.createDataFrame(seeds.distinct.map(Tuple1(_)))
+      .toDF("item")
+    require(seeds.distinct.size.toLong == n, s"seeds must be distinct: $seeds")
+    val tele = seedDf.select(col("item"), lit(150000L / n).as("t"))
+    var ranks = seedDf.select(col("item"), lit(1000000L / n).as("r"))
+    (1 to iters).foreach { _ =>
+      val inMass = e.join(ranks.withColumnRenamed("item", "src"), "src")
+        .groupBy("dst")
+        .agg(sum(expr("(r * 85) DIV (100 * deg)")).as("in_sum"))
+        .select(col("dst").as("item"), col("in_sum"))
+      ranks = inMass.join(tele, Seq("item"), "full_outer")
+        .select(col("item"),
+          (coalesce(col("t"), lit(0L)) + coalesce(col("in_sum"), lit(0L))).as("r"))
+    }
+    deg.select(col("src").as("item"), col("deg"))
+      .join(ranks, Seq("item"), "left")
+      .select(col("item"), col("deg"), coalesce(col("r"), lit(0L)).as("rank_e6"))
+      .orderBy(col("rank_e6").desc, col("item"))
+  }
+
   /** Degree ASSORTATIVITY — the one-number graph-health diagnostic beside
     * [[triangleStats]]' local view: the Pearson correlation of endpoint
     * degrees over all edges (Newman's r). Positive = hubs link to hubs

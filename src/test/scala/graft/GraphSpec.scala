@@ -104,6 +104,54 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
       .count() shouldBe 0L
   }
 
+  test("personalized PR: mass concentrates near the seed; unreached component reports 0") {
+    // path 0-1-2-3 plus a DISCONNECTED pair 8-9: seeding at 0 must rank
+    // 0 highest, decay along the path, and leave {8,9} at exactly 0
+    val edges = (Seq((0, 1), (1, 2), (2, 3), (8, 9))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, seeds = Seq(0))
+      .as[(Int, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    // reachability semantics (distance-monotone claims are false on small
+    // bipartite paths — mass oscillates by step parity; exactness is the
+    // property test's job): every node in the seed's component carries
+    // mass, the seed keeps its teleport floor, and the disconnected
+    // component is EXACTLY 0 while still reported as rows
+    Seq(0, 1, 2, 3).foreach(v => r(v) should be > 0L)
+    r(0) should be >= 150000L
+    r(8) shouldBe 0L
+    r(9) shouldBe 0L
+    // the walk is seed-local: the seed component holds all non-teleport
+    // mass, so its total dwarfs the dead component's (which is zero)
+    Seq(0, 1, 2, 3).map(r).sum should be > 900000L
+  }
+
+  test("property: personalized PR equals a driver-side integer reference on seeded random graphs") {
+    val rnd = new scala.util.Random(59)
+    val raw = (0 until 120).map(_ => (rnd.nextInt(15), rnd.nextInt(15)))
+      .filter { case (a, b) => a != b }
+    val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val seeds = Seq(0, 1)
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"), seeds)
+      .as[(Int, Long, Long)].collect().toSeq
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val ns = seeds.size
+    var r: Map[Int, Long] = seeds.map(_ -> 1000000L / ns).toMap
+    (1 to 5).foreach { _ =>
+      val in = r.toSeq.flatMap { case (u, ru) =>
+        val outs = out.getOrElse(u, Seq.empty)
+        if (outs.isEmpty) Seq.empty
+        else outs.map(_ -> (ru * 85) / (100 * outs.size))
+      }.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      val keys = in.keySet ++ seeds
+      r = keys.map(v => v ->
+        ((if (seeds.contains(v)) 150000L / ns else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    val expect = out.keys.toSeq.map(v =>
+        (v, out(v).size.toLong, r.getOrElse(v, 0L)))
+      .sortBy { case (v, _, rk) => (-rk, v) }
+    got shouldBe expect
+  }
+
   test("assortativity: star is exactly -1, regular cycle is null, random graph matches a driver reference") {
     // star 0—{1..4}: every edge pairs deg 4 with deg 1 — the perfectly
     // DISassortative wiring, closed form r = −1 exactly
