@@ -915,6 +915,24 @@ object SparkEntry {
       EventStream.foldTransitionLog(s, deltas)
     }),
 
+    // E31 STREAMING co-view fold: the g-family's edge substrate kept
+    // current by ingest — per-batch distinct (user, item) pairs land as
+    // an idempotent SET log (union is order-free and duplicate-immune),
+    // the read-side distinct-union rebuilds the exact batch ui table,
+    // and PageRank runs through the SHARED coviewEdgesFromPairs stage —
+    // stream ≡ batch by construction, g1's oracle VERBATIM
+    "e31_stream_coview" -> ((s, d) => {
+      val src = scratch("e31-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        s.read.parquet(s"$d/events.parquet").repartition(4).write.parquet(src)
+      val deltas = scratch("e31-deltas")
+      EventStream.streamCoviewFold(s, src, deltas)
+      graft.operators.Graph.pageRank(
+        graft.operators.Graph.coviewEdgesFromPairs(
+          EventStream.readDeltaLog(s, deltas)
+            .select("user_id", "item").distinct()))
+    }),
+
     // E30 STREAMING seasonal-volume fold: c10's daily-count statistic
     // kept current by ingest — per-batch per-day counts land as an
     // idempotent sum log (maxFilesPerTrigger=1 forces the real
@@ -6227,6 +6245,10 @@ object SparkEntry {
       "g3_link_prediction" -> linkPredictionSql,
       // g5: the seed-teleport recurrence replayed as chained CTEs
       "g5_personalized_pr" -> personalizedPrSql,
+      // e31: the streamed set fold must rebuild g1's edge table exactly —
+      // same oracle verbatim (distinct-union order-free, replay
+      // idempotent by batch-directory overwrite)
+      "e31_stream_coview" -> pagerankSql,
       // g4: the same exact HUGEINT moments and the same fixed-shape
       // round-6 Pearson ratio with the zero-variance null guard
       "g4_assortativity" -> (coviewCte +

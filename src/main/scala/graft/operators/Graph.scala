@@ -278,11 +278,21 @@ object Graph {
     */
   def coviewEdges(events: DataFrame, itemExpr: org.apache.spark.sql.Column,
                   eventType: String = "view",
-                  maxUserItems: Int = 50): DataFrame = {
-    val ui = events.where(col("event_type") === eventType)
-      .select(col("user_id"), itemExpr.cast("int").as("item"))
-      .where(col("item").isNotNull)
-      .distinct()
+                  maxUserItems: Int = 50): DataFrame =
+    coviewEdgesFromPairs(
+      events.where(col("event_type") === eventType)
+        .select(col("user_id"), itemExpr.cast("int").as("item"))
+        .where(col("item").isNotNull)
+        .distinct(),
+      maxUserItems)
+
+  /** The cap + pair-join stage of [[coviewEdges]] from an ALREADY-distinct
+    * `(user_id, item)` table — the entry point the streaming twin (e31)
+    * folds its per-batch view-pair log into: distinct (user, item) is a
+    * SET union across batches, so the fold is order-free and the shared
+    * code makes stream ≡ batch by construction.
+    */
+  def coviewEdgesFromPairs(ui: DataFrame, maxUserItems: Int = 50): DataFrame = {
     val capped = ui.join(
       ui.groupBy("user_id").agg(count(lit(1)).as("nu"))
         .where(col("nu") <= maxUserItems),

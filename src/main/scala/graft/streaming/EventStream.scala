@@ -1424,6 +1424,40 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING co-view pair maintenance — the g-family's edge substrate
+    * kept current by ingest: each micro-batch lands its within-batch
+    * DISTINCT (user_id, item) view pairs as an idempotent `batch=<id>/`
+    * directory. Distinct-(user, item) is a SET — union across batches is
+    * order-free and duplicate-delivery-immune (the e14 HLL argument for
+    * sets instead of sums), so the read-side distinct-union rebuilds the
+    * exact batch-mode `ui` table and the SHARED
+    * [[graft.operators.Graph.coviewEdgesFromPairs]] stage makes every
+    * downstream graph analytic (PageRank, triangles, link prediction)
+    * stream ≡ batch by construction. Per-batch cost: one narrow
+    * projection + within-batch distinct — the graph is never rebuilt
+    * from raw history to stay current.
+    */
+  def streamCoviewFold(spark: SparkSession, srcDir: String,
+                       deltaDir: String, eventType: String = "view"): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.where(col("event_type") === eventType)
+          .select(col("user_id"),
+            regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+          .where(col("item").isNotNull)
+          .distinct()
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING Markov-transition maintenance — the j15 matrix kept
     * current by ingest. Each micro-batch lands TWO idempotent
     * `batch=<id>/` directories (the e15 rule: replay overwrites its own
