@@ -2428,6 +2428,23 @@ object SparkEntry {
     // entropy per media row — exact integer symbol counts off the hex
     // rendering, ln absorbed by round-4, flag from the ROUNDED value;
     // every 97th payload planted degenerate (repeated byte → entropy 0)
+    // M7 media integrity gate: the structural pre-decode screen with
+    // PLANTED corruption (e13 style) — negative width every 13th id,
+    // NULL height every 17th (null counts corrupt), unroutable kind
+    // every 19th; per-check counts independent, good + quarantined =
+    // rows, payload bytes never leave the scan
+    "m7_media_integrity" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(docs(s, d))
+        .withColumn("width",
+          when(col("media_id") % 13 === 0, lit(-1)).otherwise(col("width")))
+        .withColumn("height",
+          when(col("media_id") % 17 === 0, lit(null).cast("int"))
+            .otherwise(col("height")))
+        .withColumn("kind",
+          when(col("media_id") % 19 === 0, "blob").otherwise(col("kind")))
+      Multimodal.integrityGate(media)
+    }),
+
     "m6_media_entropy" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
         .withColumn("payload",
@@ -5396,6 +5413,24 @@ object SparkEntry {
           "FROM m WHERE (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0 " +
           "ORDER BY abs(corr) DESC, dim_a, dim_b LIMIT 20"),
       "q9_hybrid_rrf" -> hybridRrfSql,
+      // m7: planted corruption replayed over the same derivation — null
+      // height is NOT ok (coalesce false), md5 payloads are always 16
+      // bytes so the payload check never fires here (pinned 0)
+      "m7_media_integrity" ->
+        ("WITH m AS (SELECT doc_id, " +
+          "CASE WHEN doc_id % 13 = 0 THEN -1 ELSE (n_chars % 640)::INT END AS width, " +
+          "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE (n_chars % 480)::INT END AS height, " +
+          "CASE WHEN doc_id % 19 = 0 THEN 'blob' WHEN doc_id % 3 = 0 THEN 'image' " +
+          "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind FROM documents), " +
+          "f AS (SELECT coalesce(width > 0 AND height > 0, false) AS dims_ok, " +
+          "true AS payload_ok, kind IN ('image', 'audio', 'video') AS kind_ok FROM m) " +
+          "SELECT count(*)::BIGINT AS n_rows, " +
+          "sum(CASE WHEN dims_ok AND payload_ok AND kind_ok THEN 1 ELSE 0 END)::BIGINT AS n_good, " +
+          "sum(CASE WHEN NOT dims_ok THEN 1 ELSE 0 END)::BIGINT AS n_bad_dims, " +
+          "0::BIGINT AS n_bad_payload, " +
+          "sum(CASE WHEN NOT kind_ok THEN 1 ELSE 0 END)::BIGINT AS n_bad_kind, " +
+          "sum(CASE WHEN NOT (dims_ok AND payload_ok AND kind_ok) THEN 1 ELSE 0 END)::BIGINT AS n_quarantined " +
+          "FROM f"),
       "m1_media_features" ->
         ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
           "16 AS dim, array_to_string(list_transform(range(0, 16), i -> " +

@@ -224,6 +224,38 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Media INTEGRITY gate — the structural pre-decode screen an ingest
+    * pipeline runs before paying for any codec: dimension sanity
+    * (positive width/height — NULL counts corrupt, the e13 null rule:
+    * "unknown" is not "valid"), payload length against the format's
+    * expected byte count (truncated uploads), and a kind whitelist
+    * (unroutable rows can't pick a decoder). One combine-safe aggregate
+    * pass over a narrow projection (the payload contributes only its
+    * length — bytes never leave the scan), one summary row out.
+    *
+    * Per-check counts are INDEPENDENT (a row can fail several);
+    * `n_quarantined` counts rows failing ≥ 1 check — the e13 invariant
+    * that every row lands in exactly one sink holds against
+    * `n_good + n_quarantined = n_rows`.
+    */
+  def integrityGate(media: DataFrame, expectedPayloadBytes: Int = 16,
+                    kinds: Seq[String] = Seq("image", "audio", "video")): DataFrame = {
+    require(expectedPayloadBytes > 0 && kinds.nonEmpty, "gate config invalid")
+    val dimsOk = coalesce(col("width") > 0 && col("height") > 0, lit(false))
+    val payloadOk = coalesce(
+      length(col("payload")) === expectedPayloadBytes, lit(false))
+    val kindOk = coalesce(col("kind").isInCollection(kinds), lit(false))
+    val good = dimsOk && payloadOk && kindOk
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    media.agg(
+      count(lit(1)).as("n_rows"),
+      cnt(good).as("n_good"),
+      cnt(!dimsOk).as("n_bad_dims"),
+      cnt(!payloadOk).as("n_bad_payload"),
+      cnt(!kindOk).as("n_bad_kind"),
+      cnt(!good).as("n_quarantined"))
+  }
+
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]

@@ -1940,6 +1940,24 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     r1 shouldBe r7
   }
 
+  test("media integrity gate: each check fires independently; good + quarantined = rows; nulls corrupt") {
+    import graft.operators.Multimodal
+    def bin(hex: String) = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows = Seq(
+      (1L, "image", bin("ab" * 16), Some(10), Some(10)), // clean
+      (2L, "audio", bin("ab" * 15), Some(10), Some(10)), // TRUNCATED payload
+      (3L, "video", bin("ab" * 16), Some(-5), Some(10)), // bad width
+      (4L, "image", bin("ab" * 16), Some(10), None), // NULL height → corrupt
+      (5L, "blob", bin("ab" * 16), Some(10), Some(10)), // unroutable kind
+      (6L, "blob", bin("ab" * 15), None, Some(10))) // fails all three at once
+      .toDF("media_id", "kind", "payload", "width", "height")
+    val out = Multimodal.integrityGate(rows)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // (n_rows, n_good, n_bad_dims, n_bad_payload, n_bad_kind, n_quarantined)
+    out shouldBe ((6L, 1L, 3L, 2L, 2L, 5L))
+    out._2 + out._6 shouldBe out._1 // every row in exactly one sink
+  }
+
   test("media entropy: degenerate payload flags, uniform payload hits ln 16, halves hit ln 2") {
     import graft.operators.Multimodal
     def bin(hex: String) = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
