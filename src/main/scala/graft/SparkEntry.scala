@@ -583,6 +583,23 @@ object SparkEntry {
       SearchExecutor.dateHistogram(Corpus.metadata(s, d))
         .select(col("bucket"), col("cnt"))),
 
+    // A6 composite facet (ES composite-aggregation lineage): (category,
+    // format) bucket counts ordered BY KEY with after-key pagination —
+    // page 2 from after ("cat2","csv"): a key-range scan, so pages never
+    // overlap/skip and page k+1 costs page 1
+    "a6_composite_facet" -> ((s, d) =>
+      SearchExecutor.compositeFacet(Corpus.metadata(s, d),
+        Seq("category", "format"), pageSize = 8,
+        after = Some(Seq("cat2", "csv")))),
+
+    // C13 catalog freshness: newest record per category and staleness in
+    // whole days vs the corpus high-water mark (never wall-clock now() —
+    // the report must be deterministic over identical data); c5 watches
+    // volume, this watches recency
+    "c13_freshness" -> ((s, d) =>
+      graft.operators.Quality.freshnessReport(
+        Corpus.metadata(s, d), "category", "creationTime", maxStaleDays = 3)),
+
     // Q6 prefix autocomplete (ES completion-suggester shape): top-5 title
     // terms starting with "b", ranked by corpus frequency, term ties
     "q6_autocomplete" -> ((s, d) =>
@@ -6692,6 +6709,21 @@ object SparkEntry {
         (M + s"SELECT category, count(*) AS cnt FROM meta WHERE $aclOr GROUP BY category ORDER BY cnt DESC, category LIMIT 100"),
       "a4_total_count" ->
         (M + s"SELECT count(*) AS total FROM meta WHERE $aclOr AND format = 'csv'"),
+      // a6: the same key-ordered bucket scan with a row-comparison
+      // after-key — pages are disjoint by construction
+      "a6_composite_facet" ->
+        (M + "SELECT category, format, count(*) AS cnt FROM meta " +
+          "GROUP BY category, format HAVING (category, format) > ('cat2', 'csv') " +
+          "ORDER BY category, format LIMIT 8"),
+      // c13: same per-group max + corpus high-water mark, exact day diffs
+      "c13_freshness" ->
+        (M + "SELECT category AS grp, count(*)::BIGINT AS n, " +
+          "max(creationTime::DATE)::VARCHAR AS max_day, " +
+          "datediff('day', max(creationTime::DATE), " +
+          "(SELECT max(creationTime::DATE) FROM meta))::BIGINT AS stale_days, " +
+          "datediff('day', max(creationTime::DATE), " +
+          "(SELECT max(creationTime::DATE) FROM meta)) > 3 AS stale " +
+          "FROM meta GROUP BY category ORDER BY grp"),
       "a5_date_histogram" ->
         // ::TIMESTAMP: DuckDB's month-truncation yields DATE, Spark's a
         // timestamp — align the bucket type

@@ -286,4 +286,35 @@ object SearchExecutor {
       .where(levenshtein(col("term"), lit(term)) <= 1)
       .orderBy(col("cnt").desc, col("term")).limit(k)
   }
+
+  /** COMPOSITE facet (the ES composite-aggregation lineage): bucket counts
+    * over a multi-dimension key, ordered BY KEY ascending and paginated by
+    * an `after` key — the only facet shape that can walk an unbounded
+    * bucket space in bounded pages (a top-N facet re-ranks globally per
+    * page; composite pagination is a key-range scan, so page k+1 costs
+    * the same as page 1 and pages never overlap or skip).
+    *
+    * The after-key filter is one struct comparison pushed below the
+    * limit; the aggregate is map-side-combining; the page is a
+    * TakeOrdered merge over the surviving buckets. At scale the bucket
+    * space (not the corpus) bounds everything downstream of the one
+    * grouping shuffle.
+    */
+  def compositeFacet(base: DataFrame, dims: Seq[String], pageSize: Int,
+                     after: Option[Seq[String]] = None): DataFrame = {
+    require(dims.nonEmpty && pageSize >= 1, "composite facet config invalid")
+    require(after.forall(_.size == dims.size),
+      s"after key must match dims arity: $after vs $dims")
+    // fully qualified: SearchExecutor.count (the A4 total) shadows
+    // functions.count in this scope
+    val counts = base.groupBy(dims.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    val paged = after match {
+      case Some(keys) =>
+        counts.where(struct(dims.map(col): _*) >
+          struct(keys.map(lit(_)): _*))
+      case None => counts
+    }
+    paged.orderBy(dims.map(col): _*).limit(pageSize)
+  }
 }

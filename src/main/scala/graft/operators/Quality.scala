@@ -317,6 +317,33 @@ object Quality {
       .orderBy("grp")
   }
 
+  /** Per-group FRESHNESS report — "which slices of the catalog have gone
+    * stale": newest record per group, staleness in whole days against the
+    * corpus-wide newest record (the corpus's own high-water mark, NOT
+    * wall-clock `now()` — a deterministic report must not change between
+    * two runs over identical data), and a flag past `maxStaleDays`.
+    * The ingest-health complement of [[volumeDrift]]: c5 watches how MUCH
+    * arrives per day, this watches how RECENTLY each slice arrived at all.
+    *
+    * Plan: one map-side-combining (group, max) aggregate — the only
+    * corpus-scale job — then the 1-row global max broadcast back as a
+    * crossJoin (the c4 stats shape). Day arithmetic is exact integers.
+    */
+  def freshnessReport(df: DataFrame, grpCol: String, tsCol: String,
+                      maxStaleDays: Int = 30): DataFrame = {
+    require(maxStaleDays >= 0, s"maxStaleDays must be >= 0: $maxStaleDays")
+    val perGrp = df.groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n"), max(to_date(col(tsCol))).as("max_day"))
+    perGrp
+      .crossJoin(broadcast(perGrp.agg(max("max_day").as("corpus_max"))))
+      .select(col("grp"), col("n"),
+        col("max_day").cast("string").as("max_day"),
+        datediff(col("corpus_max"), col("max_day")).cast("long")
+          .as("stale_days"))
+      .withColumn("stale", col("stale_days") > maxStaleDays)
+      .orderBy("grp")
+  }
+
   /** Join-key distribution profile: the `topK` heaviest keys with the
     * distributional context that decides a salting strategy —
     * `(key, cnt, n_keys, avg_cnt, p99_cnt, skew_ratio)` where

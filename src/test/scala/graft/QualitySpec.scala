@@ -222,6 +222,21 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     out2("2024-05-15") shouldBe None
   }
 
+  test("freshnessReport: staleness against the corpus high-water mark, strict flag boundary") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s"$s 12:00:00")
+    val rows = Seq(
+      ("fresh", t("2024-05-10")), ("fresh", t("2024-05-01")),
+      ("edge", t("2024-04-10")), // exactly 30 days behind: NOT stale (strict >)
+      ("old", t("2024-04-09"))) // 31 days behind: stale
+      .toDF("grp0", "ts")
+    val out = Quality.freshnessReport(rows, "grp0", "ts")
+      .as[(String, Long, String, Long, Boolean)].collect().toSeq
+    out shouldBe Seq(
+      ("edge", 1L, "2024-04-10", 30L, false),
+      ("fresh", 2L, "2024-05-10", 0L, false),
+      ("old", 1L, "2024-04-09", 31L, true))
+  }
+
   test("madOutliers: lower medians in exact cents; a planted extreme can't drag the gate") {
     val rows = Seq(
       // group a (7 rows): med = 4th of sorted cents = 12, MAD = 4th of

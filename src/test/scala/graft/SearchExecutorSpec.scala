@@ -179,4 +179,27 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
       .as[(String, Long)].collect().toSeq
     out shouldBe Seq(("001", 2L), ("002", 1L), ("005", 1L))
   }
+
+  test("A6 composite facet: after-key pages are disjoint, contiguous, and walk the full bucket space") {
+    val base = ds.toDF()
+    val all = base.groupBy("category", "format")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .orderBy("category", "format")
+      .as[(String, String, Long)].collect().toSeq
+    all.size should be >= 4
+    val page = all.size / 2
+    val p1 = SearchExecutor.compositeFacet(base, Seq("category", "format"), page)
+      .as[(String, String, Long)].collect().toSeq
+    p1 shouldBe all.take(page)
+    // page 2 resumes from page 1's LAST key — no overlap, no skips
+    val after = Seq(p1.last._1, p1.last._2)
+    val p2 = SearchExecutor.compositeFacet(base, Seq("category", "format"),
+        all.size, Some(after))
+      .as[(String, String, Long)].collect().toSeq
+    p2 shouldBe all.drop(page)
+    an[IllegalArgumentException] should be thrownBy
+      SearchExecutor.compositeFacet(base, Seq("category", "format"), 5,
+        Some(Seq("only-one-key")))
+  }
 }
