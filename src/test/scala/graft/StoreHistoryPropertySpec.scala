@@ -101,4 +101,45 @@ class StoreHistoryPropertySpec extends AnyFunSuite with Matchers with SparkSuppo
       }
     }
   }
+
+  test("property: versionDiff between random checkpoints equals the simulated state diff") {
+    for (seed <- 11 to 13) {
+      val rnd = new scala.util.Random(seed)
+      val st = new MetadataStore(spark,
+        Files.createTempDirectory(s"graft-vdiff-prop-$seed").toString, fixedClock)
+      val ids = (0 until 6).map(i => s"id$i")
+      var live = Map.empty[String, String] // id -> title (full row derives from it)
+      var v = 0L
+      val snapshots = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, String])]
+      for (op <- 1 to 30) {
+        val id = ids(rnd.nextInt(ids.size))
+        if (live.contains(id) && rnd.nextInt(4) == 0) {
+          st.delete(id) shouldBe true; v += 1; live -= id
+        } else if (live.contains(id) && rnd.nextInt(3) == 0) {
+          // a REWRITE of the same title: a no-op content-wise — the diff
+          // must NOT report it (hash equality, not version counting)
+          st.upsert(entry(id, live(id))); v += 1
+        } else {
+          val t = s"t$op"; st.upsert(entry(id, t)); v += 1; live += id -> t
+        }
+        if (op % 10 == 0) snapshots += ((v, live))
+      }
+      st.compact() // the diff must read through the restatement
+      // diff every snapshot pair (and each vs current) against the model
+      val states = snapshots.toSeq :+ ((Long.MaxValue, live))
+      for (Seq((vA, a), (vB, b)) <- states.combinations(2)) {
+        val want = (b.keySet ++ a.keySet).toSeq.sorted.flatMap { id =>
+          (a.get(id), b.get(id)) match {
+            case (None, Some(t)) => Some((id, "added", t))
+            case (Some(t), None) => Some((id, "removed", t))
+            case (Some(x), Some(y)) if x != y => Some((id, "changed", y))
+            case _ => None
+          }
+        }
+        val got = st.versionDiff(vA, vB)
+          .as[(String, String, String)].collect().toSeq
+        withClue(s"seed $seed diff v$vA -> v$vB: ") { got shouldBe want }
+      }
+    }
+  }
 }
