@@ -600,6 +600,13 @@ object SparkEntry {
       graft.operators.Quality.freshnessReport(
         Corpus.metadata(s, d), "category", "creationTime", maxStaleDays = 3)),
 
+    // Q12 minimum_should_match (ES lineage): "red widget gear" with
+    // m=2 — docs hitting ≥2 distinct terms qualify, ranked by the
+    // unchanged q1 3/2/1 score; the precision dial between OR and AND
+    "q12_min_should_match" -> ((s, d) =>
+      SearchExecutor.minShouldMatchSearch(Corpus.metadata(s, d),
+        "red widget gear", minMatch = 2)),
+
     // Q6 prefix autocomplete (ES completion-suggester shape): top-5 title
     // terms starting with "b", ranked by corpus frequency, term ties
     "q6_autocomplete" -> ((s, d) =>
@@ -930,6 +937,23 @@ object SparkEntry {
       val deltas = scratch("e29-deltas")
       EventStream.streamTransitionFold(s, src, deltas)
       EventStream.foldTransitionLog(s, deltas)
+    }),
+
+    // E32 STREAMING freshness fold: c13's recency statistic kept current
+    // by ingest — the fold family's third mergeable class (MAX log,
+    // beside the sum and set logs): per-batch (grp, count, newest-day)
+    // partials re-sum/re-max order-free, the report runs through the
+    // SHARED freshnessFromGroupMax — stream ≡ batch, c13's oracle VERBATIM
+    "e32_stream_freshness" -> ((s, d) => {
+      val src = scratch("e32-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        Corpus.metadata(s, d).repartition(4).write.parquet(src)
+      val deltas = scratch("e32-deltas")
+      EventStream.streamFreshnessFold(s, src, deltas, "category", "creationTime")
+      graft.operators.Quality.freshnessFromGroupMax(
+        EventStream.readDeltaLog(s, deltas)
+          .groupBy("grp").agg(sum("d_n").as("n"), max("max_day").as("max_day")),
+        maxStaleDays = 3)
     }),
 
     // E31 STREAMING co-view fold: the g-family's edge substrate kept
@@ -3956,6 +3980,19 @@ object SparkEntry {
       "FROM r5 JOIN deg USING (item) ORDER BY rank_e6 DESC, item"
   }
 
+  /** c13/e32: per-category max + corpus high-water mark, exact day diffs;
+    * e32's streamed (sum, max) fold must rebuild the identical per-group
+    * table, so it shares this SQL verbatim.
+    */
+  private lazy val freshnessSql: String =
+    Corpus.metaSql + "SELECT category AS grp, count(*)::BIGINT AS n, " +
+      "max(creationTime::DATE)::VARCHAR AS max_day, " +
+      "datediff('day', max(creationTime::DATE), " +
+      "(SELECT max(creationTime::DATE) FROM meta))::BIGINT AS stale_days, " +
+      "datediff('day', max(creationTime::DATE), " +
+      "(SELECT max(creationTime::DATE) FROM meta)) > 3 AS stale " +
+      "FROM meta GROUP BY category ORDER BY grp"
+
   /** c10/e30: the densified spine windowed PER WEEKDAY — isodow ≡ Spark's
     * weekday+1 (both pin Monday=1; the engines' default dayofweek disagree
     * on Sunday), same exact-integer deviation; e30's streamed fold must
@@ -4390,6 +4427,24 @@ object SparkEntry {
         (M + s"SELECT id, score FROM (SELECT id, ${score1("economy")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id"),
       "q1_multiterm" ->
         (M + s"SELECT id, score FROM (SELECT id, $scoreRW AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id"),
+      // q12: per-term hits via the same analyzers (title substring,
+      // std-token sample, uri-token source), gate at >= 2, q1 score
+      "q12_min_should_match" -> {
+        def hit(t: String) =
+          s"(CASE WHEN contains(lower(title), '$t') " +
+            s"OR list_contains(${stdToks("dataSample")}, '$t') " +
+            s"OR list_contains(${uriToks("sourceUri")}, '$t') THEN 1 ELSE 0 END)"
+        val terms = Seq("red", "widget", "gear")
+        val nm = terms.map(hit).mkString(" + ")
+        val sc =
+          s"(CASE WHEN contains(lower(title), 'red widget gear') THEN 3.0 ELSE 0.0 END + " +
+            terms.map(t => s"list_contains(${stdToks("dataSample")}, '$t')::INT")
+              .mkString("(", " + ", ")") + " / 3.0 * 2.0 + " +
+            terms.map(t => s"list_contains(${uriToks("sourceUri")}, '$t')::INT")
+              .mkString("(", " + ", ")") + " / 3.0 * 1.0)"
+        M + s"SELECT id, n_matched, score FROM (SELECT id, ($nm)::BIGINT AS n_matched, " +
+          s"$sc AS score FROM meta) WHERE n_matched >= 2 ORDER BY score DESC, id"
+      },
       "q2_pagination" ->
         (M + s"SELECT id, score FROM (SELECT id, ${score1("red")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id LIMIT 10 OFFSET 5"),
       "q3_default_page" ->
@@ -6716,14 +6771,11 @@ object SparkEntry {
           "GROUP BY category, format HAVING (category, format) > ('cat2', 'csv') " +
           "ORDER BY category, format LIMIT 8"),
       // c13: same per-group max + corpus high-water mark, exact day diffs
-      "c13_freshness" ->
-        (M + "SELECT category AS grp, count(*)::BIGINT AS n, " +
-          "max(creationTime::DATE)::VARCHAR AS max_day, " +
-          "datediff('day', max(creationTime::DATE), " +
-          "(SELECT max(creationTime::DATE) FROM meta))::BIGINT AS stale_days, " +
-          "datediff('day', max(creationTime::DATE), " +
-          "(SELECT max(creationTime::DATE) FROM meta)) > 3 AS stale " +
-          "FROM meta GROUP BY category ORDER BY grp"),
+      "c13_freshness" -> freshnessSql,
+      // e32: the streamed (sum, max) fold must rebuild c13's per-group
+      // table exactly — same oracle verbatim (max is order-free AND
+      // duplicate-delivery-immune; replay idempotent by batch overwrite)
+      "e32_stream_freshness" -> freshnessSql,
       "a5_date_histogram" ->
         // ::TIMESTAMP: DuckDB's month-truncation yields DATE, Spark's a
         // timestamp — align the bucket type

@@ -287,6 +287,41 @@ object SearchExecutor {
       .orderBy(col("cnt").desc, col("term")).limit(k)
   }
 
+  /** MINIMUM-SHOULD-MATCH search (the ES `minimum_should_match` lineage):
+    * a multi-term query where a document qualifies only when at least
+    * `minMatch` DISTINCT query terms hit any searched field — the
+    * precision dial between pure-OR multi_match (m = 1, noisy at scale)
+    * and pure-AND (m = |terms|, brittle). A term hits via the SAME
+    * analyzers as Q1 scoring: substring on the lowercased title, token
+    * membership on the standard-analyzed sample, token membership on the
+    * uri-analyzed sourceUri. Qualifying docs rank by the UNCHANGED Q1
+    * 3/2/1 score — the gate filters, it does not re-score.
+    *
+    * One codegen'd narrow pass (|terms| membership tests + the score
+    * expression), the threshold pushed as a plain filter below the sort —
+    * no join, no window beyond the final ordering.
+    */
+  def minShouldMatchSearch(entries: DataFrame, rawQuery: String,
+                           minMatch: Int): DataFrame = {
+    val qStd = graft.analyzers.Analyzers.standardTokensScala(rawQuery).distinct
+    require(minMatch >= 1 && minMatch <= qStd.size,
+      s"minMatch must be in [1, ${qStd.size}]: $minMatch")
+    val sampleToks = graft.analyzers.Analyzers.standardTokens(col("dataSample"))
+    val uriToks = graft.analyzers.Analyzers.uriTokens(col("sourceUri"))
+    val nMatched = qStd.map { t =>
+      when(lower(col("title")).contains(t) ||
+        array_contains(sampleToks, t) ||
+        array_contains(uriToks, t), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    entries
+      .withColumn("n_matched", nMatched)
+      .where(col("n_matched") >= minMatch)
+      .withColumn("score",
+        graft.compile.QueryCompiler.scoreColumn(rawQuery))
+      .select("id", "n_matched", "score")
+      .orderBy(col("score").desc, col("id"))
+  }
+
   /** COMPOSITE facet (the ES composite-aggregation lineage): bucket counts
     * over a multi-dimension key, ordered BY KEY ascending and paginated by
     * an `after` key — the only facet shape that can walk an unbounded

@@ -330,10 +330,25 @@ object Quality {
     * crossJoin (the c4 stats shape). Day arithmetic is exact integers.
     */
   def freshnessReport(df: DataFrame, grpCol: String, tsCol: String,
-                      maxStaleDays: Int = 30): DataFrame = {
+                      maxStaleDays: Int = 30): DataFrame =
+    freshnessFromGroupMax(
+      df.groupBy(col(grpCol).as("grp"))
+        .agg(count(lit(1)).as("n"), max(to_date(col(tsCol))).as("max_day")),
+      maxStaleDays)
+
+  /** [[freshnessReport]] from an ALREADY-aggregated `(grp, n, max_day)`
+    * table — the entry point the streaming twin (e32) folds its per-batch
+    * (count, max) partial log into: counts are sum-mergeable and maxima
+    * max-mergeable, so the fold is order-free and the shared report makes
+    * stream ≡ batch by construction. The per-group table is materialized
+    * EAGERLY before the high-water-mark branch — it is read twice (rows +
+    * its own max), and without the cut each reference would re-run the
+    * upstream aggregate.
+    */
+  def freshnessFromGroupMax(perGrpIn: DataFrame,
+                            maxStaleDays: Int = 30): DataFrame = {
     require(maxStaleDays >= 0, s"maxStaleDays must be >= 0: $maxStaleDays")
-    val perGrp = df.groupBy(col(grpCol).as("grp"))
-      .agg(count(lit(1)).as("n"), max(to_date(col(tsCol))).as("max_day"))
+    val perGrp = perGrpIn.localCheckpoint(true)
     perGrp
       .crossJoin(broadcast(perGrp.agg(max("max_day").as("corpus_max"))))
       .select(col("grp"), col("n"),

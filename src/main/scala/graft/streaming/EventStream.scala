@@ -1424,6 +1424,37 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING freshness maintenance — the c13 recency statistic kept
+    * current by ingest, and the fold family's THIRD mergeable-statistic
+    * class: beside the SUM logs (counts — e15/e30) and SET logs (distinct
+    * pairs — e31), this is a MAX log: each micro-batch lands per-group
+    * (row-count, newest-day) partials as an idempotent `batch=<id>/`
+    * directory; counts re-SUM and maxima re-MAX, both order-free and (for
+    * the max) duplicate-delivery-immune, so the read-side fold rebuilds
+    * the exact batch (grp, n, max_day) table and the SHARED
+    * [[graft.operators.Quality.freshnessFromGroupMax]] report makes
+    * stream ≡ batch by construction. Per-batch cost: one narrow
+    * projection + a ≤|groups|-row write.
+    */
+  def streamFreshnessFold(spark: SparkSession, srcDir: String,
+                          deltaDir: String, grpCol: String,
+                          tsCol: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col(grpCol).as("grp"))
+          .agg(count(lit(1)).as("d_n"), max(to_date(col(tsCol))).as("max_day"))
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING co-view pair maintenance — the g-family's edge substrate
     * kept current by ingest: each micro-batch lands its within-batch
     * DISTINCT (user_id, item) view pairs as an idempotent `batch=<id>/`

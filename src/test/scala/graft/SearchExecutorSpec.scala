@@ -180,6 +180,23 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe Seq(("001", 2L), ("002", 1L), ("005", 1L))
   }
 
+  test("Q12 minimum_should_match: strict term-count gate; scoring unchanged from Q1") {
+    val out = SearchExecutor.minShouldMatchSearch(ds.toDF(), "heart rate prices", 2)
+      .as[(String, Long, Double)].collect().toSeq
+    out.foreach(_._2 should be >= 2L) // nothing below the gate survives
+    // m=1 degenerates to the plain OR multi_match: strictly more docs
+    val m1 = SearchExecutor.minShouldMatchSearch(ds.toDF(), "heart rate prices", 1)
+      .collect().length
+    m1 should be > out.length
+    // qualifying docs carry the UNCHANGED q1 score
+    val q1 = ds.toDF().withColumn("score",
+        graft.compile.QueryCompiler.scoreColumn("heart rate prices"))
+      .select("id", "score").as[(String, Double)].collect().toMap
+    out.foreach { case (id, _, s) => s shouldBe q1(id) }
+    an[IllegalArgumentException] should be thrownBy
+      SearchExecutor.minShouldMatchSearch(ds.toDF(), "heart rate prices", 4)
+  }
+
   test("A6 composite facet: after-key pages are disjoint, contiguous, and walk the full bucket space") {
     val base = ds.toDF()
     val all = base.groupBy("category", "format")
