@@ -1992,6 +1992,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D19 shingle-df profile: per-df-stratum shingle/posting counts and
+    // the UNBLOCKED pair mass Σ C(df,2) — the measured trade behind the
+    // df∈[2,20] blocking knob every dedup path here uses
+    "d19_shingle_profile" -> ((s, d) =>
+      Dedup.shingleDfProfile(docs(s, d))),
+
     // D18 dedup ROI: cluster-size histogram + keep-one-per-cluster byte
     // savings over the SAME d6 closure — the audit run before a 100 TB
     // dedup pass is budgeted; ids+lengths only, two metadata aggregates
@@ -5280,6 +5286,19 @@ object SparkEntry {
       "d6_dup_clusters" ->
         (clusterCte + "SELECT doc_id, cluster_rep, cluster_rep = doc_id AS is_canonical " +
           "FROM mem ORDER BY doc_id"),
+      // d19: the same 3-shingle inverted index bucketed by df, with the
+      // exact Σ C(df,2) pair bound per stratum
+      "d19_shingle_profile" ->
+        (T + ", sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), " +
+          "i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks), " +
+          "inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+          "df AS (SELECT s, count(*)::BIGINT AS df FROM inv GROUP BY s), " +
+          "b AS (SELECT CASE WHEN df = 1 THEN 'df=1' WHEN df <= 5 THEN 'df=2-5' " +
+          "WHEN df <= 20 THEN 'df=6-20' WHEN df <= 100 THEN 'df=21-100' " +
+          "ELSE 'df=100+' END AS bucket, df FROM df) " +
+          "SELECT bucket, count(*)::BIGINT AS n_shingles, sum(df)::BIGINT AS n_postings, " +
+          "sum((df * (df - 1)) // 2)::BIGINT AS pair_bound " +
+          "FROM b GROUP BY bucket ORDER BY bucket"),
       // d18: the same closure joined to stored lengths — per-cluster
       // size/extra, then the size histogram; exact integers throughout
       "d18_dedup_roi" ->

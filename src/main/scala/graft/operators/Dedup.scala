@@ -686,6 +686,36 @@ object Dedup {
           .as("clean_hash"))
   }
 
+  /** Shingle document-frequency PROFILE — the knob-setting screen behind
+    * every df-capped blocking decision in this file: per df stratum, how
+    * many distinct shingles live there, how many postings they carry, and
+    * the PAIR MASS they would generate unblocked (Σ C(df, 2) — the exact
+    * quadratic bill a candidate generator pays for that stratum). The
+    * report that turns "df ∈ [2, 20]" from folklore into a measured
+    * trade: the hot tail is typically a sliver of postings carrying
+    * almost all pair mass, and this shows exactly where the knee is.
+    *
+    * One corpus tokenize + explode (the only data-scale job), a per-
+    * shingle count (hash keys — uniform), then a ≤5-row aggregate. All
+    * exact integers; `pair_bound` floor-divides df·(df−1)/2 (always
+    * integral, DIV keeps it long).
+    */
+  def shingleDfProfile(docs: DataFrame, n: Int = 3): DataFrame = {
+    val inv = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val dft = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val bucket = when(col("df") === 1, "df=1")
+      .when(col("df") <= 5, "df=2-5")
+      .when(col("df") <= 20, "df=6-20")
+      .when(col("df") <= 100, "df=21-100")
+      .otherwise("df=100+")
+    dft.select(bucket.as("bucket"), col("df"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"),
+        sum(expr("(df * (df - 1)) DIV 2")).as("pair_bound"))
+      .orderBy("bucket")
+  }
+
   /** Dedup ROI report — the audit that justifies (or kills) a dedup pass
     * before anyone runs it at 100 TB: the cluster-SIZE histogram of the
     * connected-component closure, with the bytes a keep-one-per-cluster

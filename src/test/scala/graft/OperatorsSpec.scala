@@ -577,6 +577,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     partial.subsetOf(full) shouldBe true
   }
 
+  test("shingle df profile: strata land exactly; pair bound is the closed-form C(df,2)") {
+    // a hot 3-shingle "x y z" planted in 25 docs (df=25 → 21-100 stratum,
+    // C(25,2)=300 pairs), a warm one in 3 (C(3,2)=3), plus unique tails
+    val docs = ((0L until 25L).map(i => (i, s"x y z tail$i only$i here$i")) ++
+      Seq((100L, "a b c p q"), (101L, "a b c r s"), (102L, "a b c t u")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.shingleDfProfile(docs)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    out("df=21-100") shouldBe (("df=21-100", 1L, 25L, 300L))
+    out("df=2-5")._4 shouldBe 3L // "a b c": C(3,2)
+    out("df=1")._4 shouldBe 0L // singletons generate no pairs
+  }
+
   test("dedup ROI: size histogram and keep-one savings charge only non-canonical members") {
     val docs = Seq((1L, 100L), (2L, 10L), (3L, 20L), (4L, 7L), (5L, 5L), (6L, 999L))
       .toDF("doc_id", "n_chars")
