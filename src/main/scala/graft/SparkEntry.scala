@@ -3995,8 +3995,8 @@ object SparkEntry {
       "max(creationTime::DATE)::VARCHAR AS max_day, " +
       "datediff('day', max(creationTime::DATE), " +
       "(SELECT max(creationTime::DATE) FROM meta))::BIGINT AS stale_days, " +
-      "datediff('day', max(creationTime::DATE), " +
-      "(SELECT max(creationTime::DATE) FROM meta)) > 3 AS stale " +
+      "coalesce(datediff('day', max(creationTime::DATE), " +
+      "(SELECT max(creationTime::DATE) FROM meta)) > 3, true) AS stale " +
       "FROM meta GROUP BY category ORDER BY grp"
 
   /** c10/e30: the densified spine windowed PER WEEKDAY — isodow ≡ Spark's

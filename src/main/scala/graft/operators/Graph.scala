@@ -195,6 +195,11 @@ object Graph {
     * the message key and persisted, one co-partitioned join + map-side-
     * combining aggregate per superstep, the ≤|reached|-row rank vector
     * the only thing that moves.
+    *
+    * Contract: the report covers GRAPH NODES (the degree table's rows) —
+    * a seed id absent from the graph teleports mass into the walk but has
+    * no node row to report; callers seeding from an external id space
+    * should intersect with the node set first.
     */
   def personalizedPageRank(edges: DataFrame, seeds: Seq[Int],
                            iters: Int = 5): DataFrame = {

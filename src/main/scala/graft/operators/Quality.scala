@@ -355,7 +355,11 @@ object Quality {
         col("max_day").cast("string").as("max_day"),
         datediff(col("corpus_max"), col("max_day")).cast("long")
           .as("stale_days"))
-      .withColumn("stale", col("stale_days") > maxStaleDays)
+      // a group whose timestamps are ALL null has no newest record — that
+      // is maximally stale, not unknown: flag TRUE (null stale_days kept
+      // so the reader sees why)
+      .withColumn("stale",
+        coalesce(col("stale_days") > maxStaleDays, lit(true)))
       .orderBy("grp")
   }
 

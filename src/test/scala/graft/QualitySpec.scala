@@ -235,6 +235,14 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
       ("edge", 1L, "2024-04-10", 30L, false),
       ("fresh", 2L, "2024-05-10", 0L, false),
       ("old", 1L, "2024-04-09", 31L, true))
+    // a group whose timestamps are ALL null has no newest record — that
+    // is maximally stale (flag TRUE), with null stale_days kept visible
+    val withNull = Quality.freshnessReport(
+        rows.unionByName(Seq(("ghost", Option.empty[java.sql.Timestamp]))
+          .toDF("grp0", "ts")), "grp0", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getBoolean(4)))).toMap
+    withNull("ghost") shouldBe ((None, None, true))
   }
 
   test("madOutliers: lower medians in exact cents; a planted extreme can't drag the gate") {
