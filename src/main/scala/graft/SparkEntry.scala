@@ -293,10 +293,6 @@ object SparkEntry {
           col("width"), col("height"), col("format")))
   }
 
-  /** The v11 measurement body: recall@10 of every approximate path vs the
-    * exact scan on sf0.01's organic geometry (see the registration comment;
-    * only runs when the SF fingerprint matches the pinned corpus).
-    */
   /** v25: measured recall of PARTIAL-probe range search vs the full-probe
     * exact radius scan (the v11 discipline applied to v24) — for RANGE
     * search, partial-probe loss is precisely the in-radius neighbors
@@ -330,6 +326,10 @@ object SparkEntry {
       .orderBy("method")
   }
 
+  /** The v11 measurement body: recall@10 of every approximate path vs the
+    * exact scan on sf0.01's organic geometry (see the registration comment;
+    * only runs when the SF fingerprint matches the pinned corpus).
+    */
   private def measuredRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
@@ -1596,10 +1596,6 @@ object SparkEntry {
     "t24_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
 
-    // T26 vocabulary-growth curve (Heaps' law audit): cumulative tokens
-    // vs cumulative distinct types at each ingest decile — per-doc rank
-    // via the c9 distributed bucketed prefix sum (no global sort),
-    // first-occurrence decile = min-rank decile, all exact integers
     // T28 code-vs-prose router: per-doc code-symbol density + indented-
     // line fraction, exact integers, cross-multiplied flag — the cheap
     // gate before t20's learned classifier
@@ -1613,6 +1609,10 @@ object SparkEntry {
     "t27_zipf_check" -> ((s, d) =>
       graft.operators.TextAnalysis.zipfCheck(docs(s, d))),
 
+    // T26 vocabulary-growth curve (Heaps' law audit): cumulative tokens
+    // vs cumulative distinct types at each ingest decile — per-doc rank
+    // via the c9 distributed bucketed prefix sum (no global sort),
+    // first-occurrence decile = min-rank decile, all exact integers
     "t26_vocab_growth" -> ((s, d) =>
       TextAnalysis.vocabGrowth(docs(s, d))),
 
@@ -1736,11 +1736,6 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
 
-    // Pipeline: DSIR data selection (Xie et al. 2023) — the top-50 raw docs
-    // by importance log-weight toward the English slice as target, explicit
-    // 256-token target vocabulary, Laplace-smoothed unigram feature models
-    // on both sides; the oracle re-derives vocabulary, both models, and the
-    // per-doc log-ratio fold independently
     // P21 mixture epoch plan: tokens-per-source and EPOCHS required to
     // hit a 50/30/20 mix at a 10k-token budget — the data-constrained-
     // scaling check; floor-div micros, unlisted sources visible at
@@ -1756,6 +1751,11 @@ object SparkEntry {
     "p20_padding_efficiency" -> ((s, d) =>
       graft.operators.Pipeline.paddingEfficiency(docs(s, d))),
 
+    // Pipeline: DSIR data selection (Xie et al. 2023) — the top-50 raw docs
+    // by importance log-weight toward the English slice as target, explicit
+    // 256-token target vocabulary, Laplace-smoothed unigram feature models
+    // on both sides; the oracle re-derives vocabulary, both models, and the
+    // per-doc log-ratio fold independently
     "p19_dsir_sample" -> ((s, d) => {
       val ds = docs(s, d)
       graft.operators.Pipeline
@@ -2051,11 +2051,6 @@ object SparkEntry {
     // top-10 sits ≈ on the query vector itself, so its plants share the
     // query's nearest cell and a partial probe must still return the exact
     // answer — the approximate path held to the exact-cosine oracle
-    // Similarity: IVF against the PERSISTED cell-partitioned index — the
-    // "index once at ingest, query many" path (v6's probe math over an
-    // index read back from parquet; assignments and norms never
-    // recomputed, probed cells prune partition directories). Same planted
-    // geometry ⇒ same exact-cosine oracle as v6
     // V25 measured range-search recall at partial probe (the v11
     // discipline on v24): pinned knob→recall curve behind the same SF
     // fingerprint guard — for range search, loss = in-radius neighbors
@@ -2088,6 +2083,11 @@ object SparkEntry {
         .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
     }),
 
+    // Similarity: IVF against the PERSISTED cell-partitioned index — the
+    // "index once at ingest, query many" path (v6's probe math over an
+    // index read back from parquet; assignments and norms never
+    // recomputed, probed cells prune partition directories). Same planted
+    // geometry ⇒ same exact-cosine oracle as v6
     "v7_ivf_indexed" -> ((s, d) => {
       val corpus = plantedTopKEmb(s, d)
       val cents = Similarity.ivfCentroids(corpus, 32)
@@ -2465,16 +2465,6 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // M5 takedown by VISUAL similarity — the notice names ONE media item,
-    // the obligation covers every near-duplicate: the target's pHash
-    // cluster (m4's banded pairs + CC closure) becomes the doomed id set,
-    // purged from the delivered export through p17's touched-shards
-    // machinery. Composition is the point: identification by content
-    // similarity, erasure by the same bounded-rewrite discipline as ids.
-    // M6 payload-entropy quality gate: nibble-distribution Shannon
-    // entropy per media row — exact integer symbol counts off the hex
-    // rendering, ln absorbed by round-4, flag from the ROUNDED value;
-    // every 97th payload planted degenerate (repeated byte → entropy 0)
     // M7 media integrity gate: the structural pre-decode screen with
     // PLANTED corruption (e13 style) — negative width every 13th id,
     // NULL height every 17th (null counts corrupt), unroutable kind
@@ -2492,6 +2482,16 @@ object SparkEntry {
       Multimodal.integrityGate(media)
     }),
 
+    // M5 takedown by VISUAL similarity — the notice names ONE media item,
+    // the obligation covers every near-duplicate: the target's pHash
+    // cluster (m4's banded pairs + CC closure) becomes the doomed id set,
+    // purged from the delivered export through p17's touched-shards
+    // machinery. Composition is the point: identification by content
+    // similarity, erasure by the same bounded-rewrite discipline as ids.
+    // M6 payload-entropy quality gate: nibble-distribution Shannon
+    // entropy per media row — exact integer symbol counts off the hex
+    // rendering, ln absorbed by round-4, flag from the ROUNDED value;
+    // every 97th payload planted degenerate (repeated byte → entropy 0)
     "m6_media_entropy" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
         .withColumn("payload",
@@ -5047,7 +5047,7 @@ object SparkEntry {
           "tok, freq FROM v ORDER BY freq DESC, tok LIMIT 20), " +
           "f1 AS (SELECT max(freq) AS f1 FROM top) " +
           "SELECT rank, tok, freq, (rank * freq)::BIGINT AS rank_freq, " +
-          "((rank * freq * 1000000) // f1)::BIGINT AS zipf_e6 " +
+          "((rank::HUGEINT * freq * 1000000) // f1)::BIGINT AS zipf_e6 " +
           "FROM top, f1 ORDER BY rank"),
       // p20: same whitespace token count, same CASE-chain cap assignment,
       // same clipped sums and floor-divided efficiency micros
@@ -5297,7 +5297,7 @@ object SparkEntry {
           "WHEN df <= 20 THEN 'df=6-20' WHEN df <= 100 THEN 'df=21-100' " +
           "ELSE 'df=100+' END AS bucket, df FROM df) " +
           "SELECT bucket, count(*)::BIGINT AS n_shingles, sum(df)::BIGINT AS n_postings, " +
-          "sum((df * (df - 1)) // 2)::BIGINT AS pair_bound " +
+          "sum((df::HUGEINT * (df - 1)) // 2)::BIGINT AS pair_bound " +
           "FROM b GROUP BY bucket ORDER BY bucket"),
       // d18: the same closure joined to stored lengths — per-cluster
       // size/extra, then the size histogram; exact integers throughout
@@ -5998,17 +5998,25 @@ object SparkEntry {
           "FROM r GROUP BY event_type ORDER BY event_type"),
       // p21: the same availability aggregate, CASE-literal weights, and
       // floor-div plan arithmetic
+      // full-outer against the spec VALUES so a spec'd-but-absent source
+      // surfaces (the engine's documented headline case), and over_cap's
+      // null fallback mirrors the engine's planned > 0
       "p21_epoch_plan" ->
         ("WITH a AS (SELECT source, " +
           "sum(len(regexp_extract_all(text, '[^ \\t\\n\\r]+')))::BIGINT AS avail_tokens " +
           "FROM documents GROUP BY 1), " +
+          "spec AS (SELECT * FROM (VALUES ('src0'), ('src1'), ('src2')) s(source)), " +
+          "u AS (SELECT coalesce(a.source, spec.source) AS source, " +
+          "coalesce(a.avail_tokens, 0)::BIGINT AS avail_tokens " +
+          "FROM a FULL OUTER JOIN spec ON a.source = spec.source), " +
           "w AS (SELECT source, avail_tokens, CASE source WHEN 'src0' THEN 500000 " +
           "WHEN 'src1' THEN 300000 WHEN 'src2' THEN 200000 ELSE 0 END::BIGINT AS weight_e6 " +
-          "FROM a), " +
+          "FROM u), " +
           "p AS (SELECT *, (weight_e6 * 10000) // 1000000 AS planned_tokens FROM w) " +
           "SELECT source, avail_tokens, weight_e6, planned_tokens::BIGINT AS planned_tokens, " +
           "(CASE WHEN avail_tokens > 0 THEN (planned_tokens * 1000000) // avail_tokens END)::BIGINT AS epochs_e6, " +
-          "coalesce(CASE WHEN avail_tokens > 0 THEN (planned_tokens * 1000000) // avail_tokens END > 4000000, false) AS over_cap " +
+          "coalesce(CASE WHEN avail_tokens > 0 THEN (planned_tokens * 1000000) // avail_tokens END > 4000000, " +
+          "planned_tokens > 0) AS over_cap " +
           "FROM p ORDER BY source"),
       // e30: the streamed fold must rebuild c10's daily table exactly —
       // same oracle verbatim (order-free integer sums; replay idempotent
@@ -6221,7 +6229,7 @@ object SparkEntry {
           "g AS (SELECT n_name, yr, rev_cents, " +
           "lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev_cents FROM rev) " +
           "SELECT n_name, yr, rev_cents, prev_cents, " +
-          "CASE WHEN prev_cents > 0 THEN ((rev_cents - prev_cents) * 1000000) // prev_cents " +
+          "CASE WHEN prev_cents > 0 THEN ((rev_cents::HUGEINT - prev_cents) * 1000000) // prev_cents " +
           "END::BIGINT AS growth_e6 FROM g ORDER BY n_name, yr"),
       "o27_nation_profit" ->
         ("SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
@@ -6787,6 +6795,7 @@ object SparkEntry {
       // after-key — pages are disjoint by construction
       "a6_composite_facet" ->
         (M + "SELECT category, format, count(*) AS cnt FROM meta " +
+          "WHERE category IS NOT NULL AND format IS NOT NULL " + // engine drops null buckets
           "GROUP BY category, format HAVING (category, format) > ('cat2', 'csv') " +
           "ORDER BY category, format LIMIT 8"),
       // c13: same per-group max + corpus high-water mark, exact day diffs

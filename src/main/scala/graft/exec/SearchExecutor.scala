@@ -340,9 +340,17 @@ object SearchExecutor {
     require(dims.nonEmpty && pageSize >= 1, "composite facet config invalid")
     require(after.forall(_.size == dims.size),
       s"after key must match dims arity: $after vs $dims")
-    // fully qualified: SearchExecutor.count (the A4 total) shadows
-    // functions.count in this scope
-    val counts = base.groupBy(dims.map(col): _*)
+    // NULL-keyed rows are EXCLUDED before grouping (ES composite's
+    // default missing-bucket behavior): a null key has no position in
+    // the after-key total order — the struct comparison would evaluate
+    // to NULL and silently swallow every later bucket sharing the
+    // non-null prefix, breaking the no-overlap/no-skip contract. Callers
+    // wanting missing buckets coalesce to a sentinel first.
+    // (functions.count fully qualified: SearchExecutor.count — the A4
+    // total — shadows it in this scope)
+    val counts = base
+      .where(dims.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(dims.map(col): _*)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
     val paged = after match {
       case Some(keys) =>

@@ -712,7 +712,10 @@ object Dedup {
     dft.select(bucket.as("bucket"), col("df"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"),
-        sum(expr("(df * (df - 1)) DIV 2")).as("pair_bound"))
+        // DECIMAL-widened product: df·(df−1) wraps a long past df ≈ 3×10⁹
+        // (a boilerplate shingle in a 10¹⁰-doc corpus); the per-stratum
+        // C(df,2) itself fits the long result
+        sum(expr("CAST(df AS DECIMAL(38,0)) * (df - 1) DIV 2")).as("pair_bound"))
       .orderBy("bucket")
   }
 

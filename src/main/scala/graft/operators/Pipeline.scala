@@ -880,25 +880,6 @@ object Pipeline {
       .select("doc_id", "n_feat", "logw", "gumbel_key")
   }
 
-  /** PADDING-efficiency audit of length-bucketed batching — the
-    * tokens-on-the-floor report that decides a training run's batching
-    * strategy: documents are assigned to power-of-two token-length
-    * buckets (every doc in a batch is padded to its bucket's cap, the
-    * standard bucketed-batching contract), and each bucket reports how
-    * much of its padded volume is real tokens.
-    *
-    * `caps` must be ascending; docs longer than the top cap are TRUNCATED
-    * to it (`sum_tokens` counts the clipped length) — the long-tail
-    * document is cut, not the batch geometry, which is what every
-    * sequence-length-capped trainer does. Efficiency is floor-divided
-    * micros `sum_tokens·10⁶ div padded` — exact integers end-to-end.
-    *
-    * Plan: ONE codegen'd narrow pass (token count + a CASE chain over the
-    * literal caps — no join for a ≤dozen-bucket table), then a
-    * |caps|-row map-side-combining aggregate. Nothing shuffles but the
-    * per-bucket partials. Output: `(cap, n_docs, sum_tokens, padded,
-    * waste, eff_e6)` ordered by cap.
-    */
   /** Mixture EPOCH plan — the data-constrained-scaling arithmetic run
     * before any training mix ships: given target mixture weights (micros,
     * must sum to 10⁶) and a total token budget, how many tokens each
@@ -947,6 +928,25 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** PADDING-efficiency audit of length-bucketed batching — the
+    * tokens-on-the-floor report that decides a training run's batching
+    * strategy: documents are assigned to power-of-two token-length
+    * buckets (every doc in a batch is padded to its bucket's cap, the
+    * standard bucketed-batching contract), and each bucket reports how
+    * much of its padded volume is real tokens.
+    *
+    * `caps` must be ascending; docs longer than the top cap are TRUNCATED
+    * to it (`sum_tokens` counts the clipped length) — the long-tail
+    * document is cut, not the batch geometry, which is what every
+    * sequence-length-capped trainer does. Efficiency is floor-divided
+    * micros `sum_tokens·10⁶ div padded` — exact integers end-to-end.
+    *
+    * Plan: ONE codegen'd narrow pass (token count + a CASE chain over the
+    * literal caps — no join for a ≤dozen-bucket table), then a
+    * |caps|-row map-side-combining aggregate. Nothing shuffles but the
+    * per-bucket partials. Output: `(cap, n_docs, sum_tokens, padded,
+    * waste, eff_e6)` ordered by cap.
+    */
   def paddingEfficiency(docs: DataFrame,
                         caps: Seq[Int] = Seq(16, 32, 64, 128)): DataFrame = {
     require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,

@@ -956,7 +956,10 @@ object Relational {
     rev.withColumn("prev_cents", lag("rev_cents", 1).over(w))
       .withColumn("growth_e6",
         when(col("prev_cents") > 0,
-          expr("((rev_cents - prev_cents) * 1000000) DIV prev_cents")))
+          // DECIMAL-widened: delta·10⁶ overflows a long near $92B/year
+          // deltas — wrapped garbage here, an overflow error in the
+          // oracle; the ratio itself always fits the long result
+          expr("(CAST(rev_cents AS DECIMAL(38,0)) - prev_cents) * 1000000 DIV prev_cents")))
       .select("n_name", "yr", "rev_cents", "prev_cents", "growth_e6")
       .orderBy("n_name", "yr")
   }

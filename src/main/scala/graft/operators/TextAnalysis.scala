@@ -763,20 +763,6 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
-  /** ZIPF audit of the corpus frequency distribution — the companion to
-    * [[vocabGrowth]]'s Heaps'-law curve: for the top-k tokens, rank ×
-    * frequency (Zipf's law predicts it constant at the rank-1 frequency)
-    * and its ratio to that constant in floor-divided micros. A corpus
-    * whose `zipf_e6` collapses far below 10⁶ at small ranks is
-    * boilerplate-dominated (a few tokens hogging mass); one far above is
-    * synthetic/uniform — both gates a pretraining mix monitors.
-    *
-    * Everything exact integers: counts from ONE map-side-combining
-    * aggregate over the exploded standard tokens (the only corpus-scale
-    * job), the top-k a TakeOrdered merge, rank and ratio computed on the
-    * k-row result with the 1-row max broadcast back (no global sort, no
-    * single-partition window over anything bigger than k rows).
-    */
   /** CODE-vs-prose profile — the pretraining-mix router's cheap first
     * gate ("is this document source code?") before anything expensive
     * (language-specific parsing, a learned classifier) runs: per document,
@@ -811,6 +797,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** ZIPF audit of the corpus frequency distribution — the companion to
+    * [[vocabGrowth]]'s Heaps'-law curve: for the top-k tokens, rank ×
+    * frequency (Zipf's law predicts it constant at the rank-1 frequency)
+    * and its ratio to that constant in floor-divided micros. A corpus
+    * whose `zipf_e6` collapses far below 10⁶ at small ranks is
+    * boilerplate-dominated (a few tokens hogging mass); one far above is
+    * synthetic/uniform — both gates a pretraining mix monitors.
+    *
+    * Everything exact integers: counts from ONE map-side-combining
+    * aggregate over the exploded standard tokens (the only corpus-scale
+    * job), the top-k a TakeOrdered merge, rank and ratio computed on the
+    * k-row result with the 1-row max broadcast back (no global sort, no
+    * single-partition window over anything bigger than k rows).
+    */
   def zipfCheck(docs: DataFrame, k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val vocab = docs.select(explode(tokens(col("text"))).as("tok"))
@@ -826,7 +826,9 @@ object TextAnalysis {
       .crossJoin(broadcast(top.agg(max("freq").as("f1"))))
       .select(col("rank"), col("tok"), col("freq"),
         (col("rank") * col("freq")).as("rank_freq"),
-        expr("(rank * freq * 1000000) DIV f1").as("zipf_e6"))
+        // DECIMAL-widened: rank·freq·10⁶ overflows a long once the top
+        // token's frequency passes ~5×10¹¹ — routine at corpus scale
+        expr("CAST(rank AS DECIMAL(38,0)) * freq * 1000000 DIV f1").as("zipf_e6"))
       .orderBy("rank")
   }
 }
