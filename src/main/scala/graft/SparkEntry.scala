@@ -583,6 +583,14 @@ object SparkEntry {
       SearchExecutor.dateHistogram(Corpus.metadata(s, d))
         .select(col("bucket"), col("cnt"))),
 
+    // A7 significant terms (ES significant-terms lineage): dataSample
+    // terms over-represented in the cat3 slice vs the whole corpus —
+    // lift in exact DECIMAL-widened micros, one conditional-aggregate
+    // pass, top-10 TakeOrdered
+    "a7_significant_terms" -> ((s, d) =>
+      SearchExecutor.significantTerms(Corpus.metadata(s, d),
+        col("category") === "cat3")),
+
     // A6 composite facet (ES composite-aggregation lineage): (category,
     // format) bucket counts ordered BY KEY with after-key pagination —
     // page 2 from after ("cat2","csv"): a key-range scan, so pages never
@@ -6791,6 +6799,19 @@ object SparkEntry {
         (M + s"SELECT category, count(*) AS cnt FROM meta WHERE $aclOr GROUP BY category ORDER BY cnt DESC, category LIMIT 100"),
       "a4_total_count" ->
         (M + s"SELECT count(*) AS total FROM meta WHERE $aclOr AND format = 'csv'"),
+      // a7: same one-pass fg/bg counts, HUGEINT-widened lift micros,
+      // same (lift desc, term) top-10
+      "a7_significant_terms" ->
+        (M + ", tk AS (SELECT category = 'cat3' AS fg, " +
+          s"unnest(${stdToks("dataSample")}) AS term FROM meta), " +
+          "pt AS (SELECT term, count(*)::BIGINT AS bg_count, " +
+          "sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fg_count FROM tk GROUP BY term), " +
+          "tt AS (SELECT sum(bg_count)::HUGEINT AS bg_total, " +
+          "sum(fg_count)::HUGEINT AS fg_total FROM pt) " +
+          "SELECT term, fg_count, bg_count, " +
+          "((fg_count::HUGEINT * bg_total * 1000000) // (bg_count::HUGEINT * fg_total))::BIGINT AS lift_e6 " +
+          "FROM pt, tt WHERE fg_count >= 3 " +
+          "ORDER BY lift_e6 DESC, term LIMIT 10"),
       // a6: the same key-ordered bucket scan with a row-comparison
       // after-key — pages are disjoint by construction
       "a6_composite_facet" ->

@@ -287,6 +287,45 @@ object SearchExecutor {
       .orderBy(col("cnt").desc, col("term")).limit(k)
   }
 
+  /** SIGNIFICANT TERMS (the ES significant-terms aggregation lineage):
+    * which dataSample terms are OVER-represented in a filtered slice
+    * relative to the whole corpus — the "what is special about this
+    * subset" primitive behind drill-down suggestions and anomaly triage
+    * (a plain top-terms facet just returns corpus-common words; this
+    * returns the slice's signature).
+    *
+    * Scoring is LIFT in exact floor-divided micros:
+    * `(fg_count · bg_total · 10⁶) div (bg_count · fg_total)` — the
+    * foreground/background rate ratio with every product widened to
+    * DECIMAL (counts at corpus scale overflow a long product), no float
+    * anywhere. `minFgCount` suppresses one-off terms (the ES shard-min
+    * heuristic); 10⁶ = exactly corpus-average.
+    *
+    * Plan: ONE tokenize+explode pass with the foreground flag carried as
+    * a conditional count beside the background count (the o24 one-pass
+    * conditional-aggregate rule — never two jobs diffed), the 1-row
+    * totals broadcast back, top-k a TakeOrdered merge.
+    */
+  def significantTerms(entries: DataFrame, fgPred: org.apache.spark.sql.Column, k: Int = 10,
+                       minFgCount: Long = 3L): DataFrame = {
+    require(k >= 1 && minFgCount >= 1, "significantTerms config invalid")
+    val toks = entries.select(fgPred.as("fg"),
+        explode(graft.analyzers.Analyzers.standardTokens(col("dataSample")))
+          .as("term"))
+    val perTerm = toks.groupBy("term")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("bg_count"),
+        sum(when(col("fg"), 1L).otherwise(0L)).as("fg_count"))
+    val totals = perTerm.agg(sum("bg_count").as("bg_total"),
+      sum("fg_count").as("fg_total"))
+    perTerm.where(col("fg_count") >= minFgCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_e6", expr(
+        "CAST(fg_count AS DECIMAL(38,0)) * bg_total * 1000000" +
+          " DIV (CAST(bg_count AS DECIMAL(38,0)) * fg_total)"))
+      .select("term", "fg_count", "bg_count", "lift_e6")
+      .orderBy(col("lift_e6").desc, col("term")).limit(k)
+  }
+
   /** MINIMUM-SHOULD-MATCH search (the ES `minimum_should_match` lineage):
     * a multi-term query where a document qualifies only when at least
     * `minMatch` DISTINCT query terms hit any searched field — the

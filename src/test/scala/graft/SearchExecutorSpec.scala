@@ -180,6 +180,27 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe Seq(("001", 2L), ("002", 1L), ("005", 1L))
   }
 
+  test("A7 significant terms: planted slice signature tops; corpus-common terms read ~1x; rare terms suppressed") {
+    // 'anomaly' appears ONLY in the foreground slice (lift = bg_total/fg_total),
+    // 'filler' is uniform (~1e6), 'rare' is fg-only but below minFgCount
+    val rows = (
+      (1 to 4).map(i => (s"f$i", "hot", "anomaly filler common words here")) ++
+        Seq(("f5", "hot", "rare filler common words here")) ++
+        (1 to 5).map(i => (s"b$i", "cold", "filler common words over there"))
+      ).toDF("id", "category", "dataSample")
+    val out = SearchExecutor.significantTerms(rows,
+        org.apache.spark.sql.functions.col("category") === "hot")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val byTerm = out.map(r => r._1 -> r).toMap
+    out.head._1 shouldBe "anomaly" // the slice signature ranks first
+    byTerm("anomaly")._2 shouldBe 4L
+    byTerm("anomaly")._3 shouldBe 4L
+    byTerm("anomaly")._4 should be > 1500000L // strictly over-represented
+    // uniform terms sit near 1e6 (exactly corpus-average rate ratio)
+    byTerm("filler")._4 should (be >= 900000L and be <= 1100000L)
+    byTerm.contains("rare") shouldBe false // below minFgCount
+  }
+
   test("Q12 minimum_should_match: strict term-count gate; scoring unchanged from Q1") {
     val out = SearchExecutor.minShouldMatchSearch(ds.toDF(), "heart rate prices", 2)
       .as[(String, Long, Double)].collect().toSeq
