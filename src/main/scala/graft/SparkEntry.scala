@@ -3290,6 +3290,13 @@ object SparkEntry {
       graft.operators.EventAnalytics.topPaths(
         s.read.parquet(s"$d/events.parquet"))),
 
+    // J19 bounce rate by session entry action: 1-event sessions over
+    // sessions starting with each type — the j16 gap discipline, one
+    // user sort, exact floor-div micros
+    "j19_bounce_rate" -> ((s, d) =>
+      graft.operators.EventAnalytics.bounceRate(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
+
     // J18 dwell-time profile: per-event-type time-to-next-action within
     // the 30-min session boundary — exact lower median/p90/max micros by
     // the c11 order-statistic rank rule; session-final events drop
@@ -5987,6 +5994,24 @@ object SparkEntry {
       // Spark's weekday+1 (both pin Monday=1; the engines' default
       // dayofweek disagree on Sunday), same exact-integer deviation
       "c10_seasonal_volume" -> seasonalVolumeSql,
+      // j19: the identical gap sessionization, rank-1 entry pick, and
+      // floor-div bounce micros
+      "j19_bounce_rate" ->
+        ("WITH e AS (SELECT user_id, event_id, event_type, " +
+          "epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "s0 AS (SELECT *, CASE WHEN us - lag(us) OVER " +
+          "(PARTITION BY user_id ORDER BY us, event_id) > 1800000000 " +
+          "THEN 1 ELSE 0 END AS new_s FROM e), " +
+          "s AS (SELECT *, sum(new_s) OVER " +
+          "(PARTITION BY user_id ORDER BY us, event_id) AS sess FROM s0), " +
+          "r AS (SELECT user_id, sess, event_type, " +
+          "row_number() OVER (PARTITION BY user_id, sess ORDER BY us, event_id) AS rn, " +
+          "count(*) OVER (PARTITION BY user_id, sess) AS n FROM s), " +
+          "p AS (SELECT event_type AS entry_type, n FROM r WHERE rn = 1) " +
+          "SELECT entry_type, count(*)::BIGINT AS n_sessions, " +
+          "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces, " +
+          "((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT AS bounce_e6 " +
+          "FROM p GROUP BY entry_type ORDER BY entry_type"),
       // j18: same user-timeline lead, same strict session boundary, same
       // (n+1)-rule order-statistic ranks over exact dwell micros
       "j18_dwell_times" ->

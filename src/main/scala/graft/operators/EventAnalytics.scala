@@ -350,6 +350,42 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** BOUNCE RATE by session entry action — the canonical session-quality
+    * metric: of the sessions that STARTED with each event type, what
+    * fraction ended after that single event (the visitor who landed and
+    * left). Sessionization is the j16/e2 discipline verbatim: per-user
+    * (ts, event_id) order, strict-> 30-min gap boundary, session id a
+    * running boundary sum. A session's ENTRY type is its first event's
+    * (value-based, tie-pinned); a bounce is a 1-event session. Rate in
+    * exact floor-divided micros.
+    *
+    * ONE user shuffle + sort serves the boundary flags, the entry pick,
+    * and the per-session count (stacked windows share the sort — the j9
+    * rule); the per-entry-type rollup is a metadata-scale aggregate.
+    */
+  def bounceRate(events: DataFrame,
+                 gapMicros: Long = 1800000000L): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive: $gapMicros")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sessioned = events
+      .select(col("user_id"), col("event_id"), col("event_type"), us.as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > gapMicros, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sess", sum(col("new_s")).over(w))
+    val perSession = sessioned
+      .groupBy("user_id", "sess")
+      .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        count(lit(1)).as("n_events"))
+    perSession.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_e6", expr("(n_bounces * 1000000) DIV n_sessions"))
+      .orderBy("entry_type")
+  }
+
   /** A/B EXPERIMENT READOUT — the statistical-inference primitive product
     * analytics runs on every experiment: users deterministically hash-
     * split into two variants (the p2 Knuth multiplicative rule — stable

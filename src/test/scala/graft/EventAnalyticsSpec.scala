@@ -367,6 +367,28 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     deg._8 shouldBe None
   }
 
+  test("bounce rate: entry-type attribution, strict gap boundary, exact micros") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: a 3-event session ENTERING on view (no bounce), then after
+      // a >30-min gap a lone click session (bounce)
+      (1L, 1L, "view", t("2024-01-01 10:00:00")),
+      (1L, 2L, "click", t("2024-01-01 10:10:00")),
+      (1L, 3L, "purchase", t("2024-01-01 10:20:00")),
+      (1L, 4L, "click", t("2024-01-01 12:00:00")),
+      // user 2: events exactly 30 min apart stay ONE session (strict >)
+      (2L, 5L, "view", t("2024-01-01 09:00:00")),
+      (2L, 6L, "view", t("2024-01-01 09:30:00")),
+      // user 3: lone view (bounce)
+      (3L, 7L, "view", t("2024-01-01 08:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventAnalytics.bounceRate(rows)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      ("click", 1L, 1L, 1000000L), // user 1's second session
+      ("view", 3L, 1L, 333333L)) // u1 s1 (no bounce), u2 (boundary-joined), u3 (bounce)
+  }
+
   test("dwell times: session boundary strict, final events drop, order statistics exact") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val rows = Seq(
