@@ -1604,6 +1604,12 @@ object SparkEntry {
     "t24_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
 
+    // T29 per-source language mix: (source, predicted_lang) doc counts
+    // and within-source share micros — the multilingual-composition
+    // audit beside p21's epoch plan; unknown rows stay visible
+    "t29_language_mix" -> ((s, d) =>
+      graft.operators.TextAnalysis.languageMix(docs(s, d))),
+
     // T28 code-vs-prose router: per-doc code-symbol density + indented-
     // line fraction, exact integers, cross-multiplied flag — the cheap
     // gate before t20's learned classifier
@@ -4712,6 +4718,19 @@ object SparkEntry {
       "t1_token_stats" ->
         (T + s"SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +
           s"len(list_filter(t, x -> x IN $stop)) AS n_stopwords FROM toks ORDER BY doc_id"),
+      // t29: the same lang-ID CASE per doc, grouped to (source, lang)
+      // cells with within-source floor-div share micros
+      "t29_language_mix" ->
+        (T + s", sc AS (SELECT doc_id, $langScores FROM toks), " +
+          "lg AS (SELECT d.source, CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en' " +
+          "WHEN es >= de AND es >= fr AND es > 0 THEN 'es' WHEN de >= fr AND de > 0 THEN 'de' " +
+          "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS predicted_lang " +
+          "FROM sc JOIN documents d USING (doc_id)), " +
+          "g AS (SELECT source, predicted_lang, count(*)::BIGINT AS n_docs FROM lg GROUP BY 1, 2), " +
+          "tt AS (SELECT source, sum(n_docs)::BIGINT AS n_src FROM g GROUP BY 1) " +
+          "SELECT g.source, predicted_lang, n_docs, " +
+          "((n_docs * 1000000) // n_src)::BIGINT AS share_e6 " +
+          "FROM g JOIN tt ON g.source = tt.source ORDER BY g.source, predicted_lang"),
       "t2_lang_id" ->
         (T + s", sc AS (SELECT doc_id, $langScores FROM toks) " +
           "SELECT doc_id, CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en' " +

@@ -82,6 +82,27 @@ object TextAnalysis {
       best.as("lang_score"))
   }
 
+  /** Per-source LANGUAGE-MIX report — the multilingual-composition audit a
+    * mix planner reads next to [[Pipeline.mixtureEpochPlan]]: for every
+    * (source, predicted language) cell, document count and the share of
+    * the source in exact floor-divided micros. "unknown" rows stay
+    * visible (a source full of unidentifiable text is a data problem,
+    * not a rounding detail). One lang-ID projection + one
+    * map-side-combining aggregate; per-source totals are a
+    * |sources|-scale join back.
+    */
+  def languageMix(docs: DataFrame): DataFrame = {
+    val (predicted, _) = langCols(tokens(col("text")))
+    val perCell = docs.select(col("source"), predicted.as("predicted_lang"))
+      .groupBy("source", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = perCell.groupBy("source").agg(sum("n_docs").as("n_src"))
+    perCell.join(broadcast(totals), "source")
+      .withColumn("share_e6", expr("(n_docs * 1000000) DIV n_src"))
+      .select("source", "predicted_lang", "n_docs", "share_e6")
+      .orderBy("source", "predicted_lang")
+  }
+
   // ---------------------------------------------------------- quality score
 
   /** Quality scoring: a deterministic blend of length, stopword ratio, and
