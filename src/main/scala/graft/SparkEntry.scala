@@ -3575,6 +3575,14 @@ object SparkEntry {
         s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"))),
 
+    // O31 customer revenue concentration: the Pareto decile report —
+    // global revenue-desc rank via the c9/t26 distributed bucketed
+    // prefix sum (no single-partition sort over the customer space),
+    // exact cents, DECIMAL-widened share/cumulative micros
+    "o31_revenue_concentration" -> ((s, d) =>
+      Relational.revenueConcentration(
+        s.read.parquet(s"$d/orders.parquet"))),
+
     // O30 year-over-year revenue growth per nation — LAG over the
     // |nations|×|years| metadata grid after one map-side-combining
     // cents aggregate over broadcast-joined dims; growth in exact
@@ -6271,6 +6279,22 @@ object SparkEntry {
           "FROM vol GROUP BY 1 ORDER BY 1"),
       // o27: profit per nation×year, the same retail-price cost proxy,
       // per-row decimal difference summed exactly
+      // o31: naive global-window rank (the oracle may single-sort; the
+      // engine may not), same decile assignment and floor-div micros
+      "o31_revenue_concentration" ->
+        ("WITH pc AS (SELECT o_custkey AS cust, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
+          "r AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, cust) AS r, " +
+          "count(*) OVER () AS n FROM pc), " +
+          "d AS (SELECT rev, ((r - 1) * 10) // n + 1 AS decile FROM r), " +
+          "g AS (SELECT decile, count(*)::BIGINT AS n_cust, sum(rev)::BIGINT AS rev_cents " +
+          "FROM d GROUP BY 1), " +
+          "t AS (SELECT sum(rev_cents)::HUGEINT AS total FROM g), " +
+          "c AS (SELECT *, sum(rev_cents) OVER (ORDER BY decile)::HUGEINT AS cum FROM g) " +
+          "SELECT decile, n_cust, rev_cents, " +
+          "((rev_cents::HUGEINT * 1000000) // total)::BIGINT AS share_e6, " +
+          "((cum * 1000000) // total)::BIGINT AS cum_share_e6 " +
+          "FROM c, t ORDER BY decile"),
       // o30: same cents aggregate, same LAG grid, same truncated-toward-
       // zero integral division (Spark DIV ≡ DuckDB // on negatives)
       "o30_yoy_growth" ->

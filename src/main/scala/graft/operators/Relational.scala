@@ -940,6 +940,67 @@ object Relational {
     * rows at any SF). Revenue is summed in cents (one exact long per
     * order), never as floats.
     */
+  /** Customer REVENUE CONCENTRATION — the Pareto report behind every
+    * account-tiering and risk decision ("the top decile carries X% of
+    * revenue"): customers ranked by lifetime revenue, bucketed into
+    * deciles of the CUSTOMER population, each decile's exact revenue and
+    * cumulative share in floor-divided micros.
+    *
+    * The global revenue-desc rank runs as the c9/t26 DISTRIBUTED bucketed
+    * prefix sum — order-preserving range buckets on (hi − rev) so bucket
+    * order follows revenue descending (equal revenues land in one bucket,
+    * so the (rev desc, custkey) tie order survives bucketing), per-bucket
+    * row_number + a metadata-scale offset table — never a global
+    * single-partition sort over the customer population (the c4 straggler
+    * shape this operator exists to avoid: a consumer-scale custkey space
+    * is exactly what a Window.orderBy would funnel into one task).
+    * Share products are DECIMAL-widened (total cents at 100 TB overflow
+    * a long product). Bucket boundaries use float math but are
+    * engine-internal only — the rank they reconstruct is the exact total
+    * order, bucket-assignment-independent.
+    */
+  def revenueConcentration(orders: DataFrame, deciles: Int = 10,
+                           rangeBuckets: Int = 1024): DataFrame = {
+    require(deciles >= 2 && rangeBuckets > 0, "concentration config invalid")
+    val perCust = orders.groupBy(col("o_custkey").as("cust"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = perCust.count()
+    require(n > 0, "revenueConcentration needs at least one customer")
+    val bounds = perCust.agg(min("rev").as("lo"), max("rev").as("hi"))
+    val span = (col("hi") - col("lo")).cast("double")
+    val bucket = when(col("hi") === col("lo"), lit(0L)).otherwise(
+      least(lit(rangeBuckets - 1L),
+        floor((col("hi") - col("rev")).cast("double") / span * rangeBuckets)
+          .cast("long")))
+    val b = perCust.crossJoin(broadcast(bounds))
+      .select(col("cust"), col("rev"), bucket.as("bkt"))
+    val inW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(col("rev").desc, col("cust"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy("bkt").rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .select(col("bkt"), coalesce(sum("bn").over(offW), lit(0L)).as("off"))
+    val per = b.withColumn("rn", row_number().over(inW))
+      .join(broadcast(offsets), "bkt")
+      .select(col("rev"),
+        (expr(s"(rn + off - 1) * $deciles DIV ${n}L") + 1L).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum("rev").as("rev_cents"))
+      .localCheckpoint(true) // read 3× below (rows, total, cumulative)
+    perCust.unpersist()
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per
+      .withColumn("cum_cents", sum("rev_cents").over(cumW))
+      .crossJoin(broadcast(per.agg(sum("rev_cents").as("total"))))
+      .select(col("decile"), col("n_cust"), col("rev_cents"),
+        expr("CAST(rev_cents AS DECIMAL(38,0)) * 1000000 DIV total").as("share_e6"),
+        expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 DIV total").as("cum_share_e6"))
+      .orderBy("decile")
+  }
+
   def yoyGrowth(orders: DataFrame, customer: DataFrame,
                 nation: DataFrame): DataFrame = {
     val rev = orders

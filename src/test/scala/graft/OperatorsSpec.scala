@@ -674,6 +674,23 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       (3L, "c", 1L, 3L, 750000L))
   }
 
+  test("revenue concentration: closed-form deciles with revenue ties broken by custkey") {
+    val ts = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+    // 10 customers, one order each: revenues 100,90,...,10 — decile k
+    // holds exactly one customer; total 550.00
+    val orders = (1 to 10).map(i =>
+      (i.toLong, (110 - i * 10).toDouble, ts))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val out = graft.operators.Relational.revenueConcentration(orders)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    out.size shouldBe 10
+    out.head shouldBe ((1L, 1L, 10000L, 181818L, 181818L)) // 100/550 floored
+    out.last._1 shouldBe 10L
+    out.last._5 shouldBe 1000000L // cumulative closes exactly
+    out.map(_._2).sum shouldBe 10L
+    out.map(_._3).sum shouldBe 55000L
+  }
+
   test("yoy growth: exact cents, first-year null, negative growth truncates toward zero") {
     val nation = Seq((1, "ALPHA"), (2, "BETA")).toDF("n_nationkey", "n_name")
     val customer = Seq((10L, 1), (20L, 2)).toDF("c_custkey", "c_nationkey")

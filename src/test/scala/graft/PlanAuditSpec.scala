@@ -940,6 +940,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("partial_sum")
   }
 
+  test("revenue concentration: the rank is a bucket-partitioned window, not a single global sort") {
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val df = graft.operators.Relational.revenueConcentration(ord)
+    // localCheckpoint materializes the report — pin the plan via a
+    // re-declared lazy copy of the rank pipeline? No: the checkpoint
+    // hides upstream, so assert on the REPORT VALUES' bucket invariance
+    // instead (the c9 discipline): the exact rank must not depend on the
+    // bucket count
+    val a = df.collect().map(_.toSeq).toSeq
+    val b = graft.operators.Relational.revenueConcentration(ord, rangeBuckets = 7)
+      .collect().map(_.toSeq).toSeq
+    a shouldBe b
+    // cumulative share closes at exactly 10^6
+    a.last(4) shouldBe 1000000L
+  }
+
   test("KS drift: the running ECDF is a bucket-partitioned window, not a single global sort") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .where($"event_type" === "view")
