@@ -615,6 +615,17 @@ object SparkEntry {
       SearchExecutor.minShouldMatchSearch(Corpus.metadata(s, d),
         "red widget gear", minMatch = 2)),
 
+    // Q13 FIELD COLLAPSING (ES collapse + inner_hits): best hit per
+    // category with each category's own top-3, groups ordered by their
+    // top hit's score — partial WindowGroupLimit below the exchange, the
+    // o5 top-k-per-group shape on the scored search stream
+    "q13_collapse" -> ((s, d) => {
+      val cq = QueryCompiler.compile(QueryCompiler.parse("""{"query":"red"}"""), admin)
+      SearchExecutor.collapseHits(
+        SearchExecutor.baseBranch(Corpus.metadata(s, d), cq),
+        "category", innerK = 3)
+    }),
+
     // Q6 prefix autocomplete (ES completion-suggester shape): top-5 title
     // terms starting with "b", ranked by corpus frequency, term ties
     "q6_autocomplete" -> ((s, d) =>
@@ -3065,6 +3076,15 @@ object SparkEntry {
       graft.operators.Quality.seasonalVolume(
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")), "ts")),
 
+    // C14 CHANGEPOINT gate: two-sided integer CUSUM over the daily spine —
+    // the persistent-small-shift detector the level (c5), cycle (c10) and
+    // distribution (c6/c8/c9) gates all miss; textbook max(0, S+d−k)
+    // recurrence in closed window form (running sum − running min), slack
+    // 2% of the daily mean, threshold one mean day's accumulated excess
+    "c14_cusum_shift" -> ((s, d) =>
+      graft.operators.Quality.cusumShift(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")), "ts")),
+
     // C11 robust outlier gate: per-priority lower-median and MAD of the
     // order value in exact integer cents, outliers past 1.5·MAD by
     // cross-multiplied integer compare — the z-score replacement a single
@@ -3279,6 +3299,23 @@ object SparkEntry {
         graft.operators.Graph.coviewEdges(
           s.read.parquet(s"$d/events.parquet"),
           regexp_extract(col("props"), "(\\d+)", 1)))),
+
+    // G6 communities: deterministic min-label propagation to FIXPOINT over
+    // the SUPPORT-THRESHOLDED co-view graph (≥8 shared viewers — the weak
+    // single-viewer edges that glue any real co-view graph into one blob
+    // are dropped first, the g4 screen's prescription); exact integer
+    // labels, Pregel-shaped supersteps on the once-partitioned edge cache
+    "g6_communities" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val ui = ev.where(col("event_type") === "view")
+        .select(col("user_id"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+        .where(col("item").isNotNull)
+        .distinct()
+      graft.operators.Graph.labelCommunities(
+        graft.operators.Graph.coviewEdgesWeightedFromPairs(ui)
+          .where(col("support") >= 8).select("src", "dst"))
+    }),
 
     // J17 A/B experiment readout: Knuth-hash variant split, exact per-
     // variant user/converter counts, exact-micros rates, pooled two-
@@ -4050,6 +4087,58 @@ object SparkEntry {
       "abs(round(cnt * win_n / win_sum - 1.0, 6)) > 0.5 END, false) AS flagged " +
       "FROM w ORDER BY day"
 
+  /** g6: the same capped co-view chain kept WEIGHTED (per-pair viewer
+    * support), thresholded at ≥8, then the min-label fixpoint replayed as
+    * recursive reachability — at fixpoint each node's label is the min id
+    * reachable from it, and the recursion propagates a label onward only
+    * while it beats the target's own id (safe: the component minimum is
+    * below every intermediate, so its walk is never pruned). Exact
+    * integers end-to-end, so the iterative engine and the recursive
+    * oracle hash-match.
+    */
+  private lazy val communitiesSql: String =
+    "WITH ui AS (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
+      "FROM events WHERE event_type = 'view' AND regexp_extract(props, '(\\d+)', 1) <> ''), " +
+      "ok AS (SELECT user_id FROM ui GROUP BY 1 HAVING count(*) <= 50), " +
+      "c AS (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id)), " +
+      "e AS (SELECT src, dst FROM (SELECT a.item AS src, b.item AS dst, count(*) AS support " +
+      "FROM c a JOIN c b ON a.user_id = b.user_id AND a.item <> b.item " +
+      "GROUP BY 1, 2) WHERE support >= 8), " +
+      "deg AS (SELECT src AS item, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+      "r AS (WITH RECURSIVE reach(item, lbl) AS (" +
+      "SELECT item, item::BIGINT AS lbl FROM deg " +
+      "UNION " +
+      "SELECT e.dst AS item, r.lbl FROM reach r JOIN e ON e.src = r.item " +
+      "WHERE r.lbl < e.dst) " +
+      "SELECT item, min(lbl)::BIGINT AS community FROM reach GROUP BY 1), " +
+      "cs AS (SELECT community, count(*)::BIGINT AS csize FROM r GROUP BY 1) " +
+      "SELECT deg.item, deg.deg, r.community, cs.csize " +
+      "FROM deg JOIN r USING (item) JOIN cs USING (community) ORDER BY deg.item"
+
+  /** c14: the same densified spine, the same baseline calibration (first
+    * 7 spine days), the same closed-form CUSUM — running sum minus
+    * running min of the slack-adjusted scaled deviations; `//` numerators
+    * (`bsum`) non-negative by construction, outputs pinned ::BIGINT.
+    */
+  private lazy val cusumShiftSql: String =
+    "WITH daily AS (SELECT ts::TIMESTAMP::DATE AS day, count(*)::BIGINT AS cnt " +
+      "FROM events GROUP BY 1), " +
+      "spine AS (SELECT unnest(generate_series((SELECT min(day) FROM daily), " +
+      "(SELECT max(day) FROM daily), INTERVAL 1 DAY))::DATE AS day), " +
+      "dense AS (SELECT s.day, coalesce(d.cnt, 0)::BIGINT AS cnt " +
+      "FROM spine s LEFT JOIN daily d USING (day)), " +
+      "b AS (SELECT sum(cnt)::BIGINT AS bsum FROM " +
+      "(SELECT cnt FROM dense ORDER BY day LIMIT 7)), " +
+      "c AS (SELECT day, cnt, bsum, " +
+      "sum(cnt * 7 - bsum - bsum // 50) OVER (ORDER BY day) AS cp, " +
+      "sum(bsum - cnt * 7 - bsum // 50) OVER (ORDER BY day) AS cm FROM dense, b), " +
+      "s AS (SELECT day, cnt, bsum, " +
+      "cp - least(0, min(cp) OVER (ORDER BY day)) AS sp, " +
+      "cm - least(0, min(cm) OVER (ORDER BY day)) AS sm FROM c) " +
+      "SELECT day::VARCHAR AS day, cnt, sp::BIGINT AS cusum_pos, " +
+      "sm::BIGINT AS cusum_neg, (sp > bsum // 4 OR sm > bsum // 4) AS flagged " +
+      "FROM s ORDER BY day"
+
   /** g5: the personalized recurrence replayed as chained CTEs — seed-only
     * teleport via FULL OUTER join each step, the same floor arithmetic,
     * unreached items coalesced to 0 in the final report.
@@ -4462,6 +4551,16 @@ object SparkEntry {
         (M + s"SELECT id, score FROM (SELECT id, ${score1("economy")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id"),
       "q1_multiterm" ->
         (M + s"SELECT id, score FROM (SELECT id, $scoreRW AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id"),
+      // q13: the q1 'red' scoring chain collapsed per category — rank
+      // within group by (score desc, id), keep ≤3, groups in top-hit
+      // score order (ES collapse + inner_hits)
+      "q13_collapse" ->
+        (M + "SELECT category, rnk, id, score, top_score FROM (" +
+          "SELECT category, id, score, " +
+          "row_number() OVER (PARTITION BY category ORDER BY score DESC, id)::BIGINT AS rnk, " +
+          "max(score) OVER (PARTITION BY category) AS top_score " +
+          s"FROM (SELECT id, category, ${score1("red")} AS score FROM meta) WHERE score > 0) " +
+          "WHERE rnk <= 3 ORDER BY top_score DESC, category, rnk"),
       // q12: per-term hits via the same analyzers (title substring,
       // std-token sample, uri-token source), gate at >= 2, q1 score
       "q12_min_should_match" -> {
@@ -5996,7 +6095,7 @@ object SparkEntry {
           "c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a, " +
           "sum(cb) OVER (ORDER BY v) AS cum_b FROM g) " +
           "SELECT n_a, n_b, max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num, " +
-          "(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000) // (n_a * n_b) AS ks_micros " +
+          "((max(abs(cum_a * n_b - cum_b * n_a)) * 1000000) // (n_a * n_b))::BIGINT AS ks_micros " +
           "FROM c, t GROUP BY n_a, n_b"),
       // c5: the trailing-window deviation recomputed with the same exact
       // integer-product form over the same DENSIFIED calendar spine (the
@@ -6295,8 +6394,10 @@ object SparkEntry {
           "((rev_cents::HUGEINT * 1000000) // total)::BIGINT AS share_e6, " +
           "((cum * 1000000) // total)::BIGINT AS cum_share_e6 " +
           "FROM c, t ORDER BY decile"),
-      // o30: same cents aggregate, same LAG grid, same truncated-toward-
-      // zero integral division (Spark DIV ≡ DuckDB // on negatives)
+      // o30: same cents aggregate, same LAG grid; division is written
+      // sign-factored (sign(d) * (abs(d)*1e6 // prev)) because DuckDB
+      // builds DISAGREE on floor-vs-truncate for negative // while floor
+      // ≡ trunc on non-negative operands — the only portable form
       "o30_yoy_growth" ->
         ("WITH rev AS (SELECT n_name, year(o_orderdate)::INT AS yr, " +
           "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents " +
@@ -6305,7 +6406,10 @@ object SparkEntry {
           "g AS (SELECT n_name, yr, rev_cents, " +
           "lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev_cents FROM rev) " +
           "SELECT n_name, yr, rev_cents, prev_cents, " +
-          "CASE WHEN prev_cents > 0 THEN ((rev_cents::HUGEINT - prev_cents) * 1000000) // prev_cents " +
+          "CASE WHEN prev_cents > 0 THEN " +
+          "(CASE WHEN rev_cents >= prev_cents " +
+          "THEN ((rev_cents::HUGEINT - prev_cents) * 1000000) // prev_cents " +
+          "ELSE -(((prev_cents::HUGEINT - rev_cents) * 1000000) // prev_cents) END) " +
           "END::BIGINT AS growth_e6 FROM g ORDER BY n_name, yr"),
       "o27_nation_profit" ->
         ("SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
@@ -6455,6 +6559,9 @@ object SparkEntry {
       "g3_link_prediction" -> linkPredictionSql,
       // g5: the seed-teleport recurrence replayed as chained CTEs
       "g5_personalized_pr" -> personalizedPrSql,
+      // g6: recursive-reachability replay of the min-label fixpoint over
+      // the support-≥8 co-view graph
+      "g6_communities" -> communitiesSql,
       // e31: the streamed set fold must rebuild g1's edge table exactly —
       // same oracle verbatim (distinct-union order-free, replay
       // idempotent by batch-directory overwrite)
@@ -6491,8 +6598,8 @@ object SparkEntry {
           "(1.0 / n_a + 1.0 / n_b) AS sq FROM t), " +
           "zc AS (SELECT *, CASE WHEN sq > 0 THEN " +
           "round((k_a::DOUBLE / n_a - k_b::DOUBLE / n_b) / sqrt(sq), 4) END AS z FROM sv) " +
-          "SELECT n_a, k_a, n_b, k_b, (k_a * 1000000) // n_a AS rate_a_micros, " +
-          "(k_b * 1000000) // n_b AS rate_b_micros, z, " +
+          "SELECT n_a, k_a, n_b, k_b, ((k_a * 1000000) // n_a)::BIGINT AS rate_a_micros, " +
+          "((k_b * 1000000) // n_b)::BIGINT AS rate_b_micros, z, " +
           "CASE WHEN z IS NOT NULL THEN abs(z) > 1.96 END AS significant " +
           "FROM zc"),
       // j16: the same gap split (strict >), running-sum session ids, and
@@ -6520,7 +6627,7 @@ object SparkEntry {
           "lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst FROM e), " +
           "c AS (SELECT src, dst, count(*)::BIGINT AS n FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), " +
           "t AS (SELECT src, sum(n)::BIGINT AS n_src FROM c GROUP BY 1) " +
-          "SELECT c.src, c.dst, c.n, (c.n * 1000000) // t.n_src AS p_micros " +
+          "SELECT c.src, c.dst, c.n, ((c.n * 1000000) // t.n_src)::BIGINT AS p_micros " +
           "FROM c JOIN t USING (src) ORDER BY src, dst"),
       // e29: the stream-folded matrix must equal the batch-free recompute
       "e29_stream_transitions" ->
@@ -6530,7 +6637,7 @@ object SparkEntry {
           "lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst FROM e), " +
           "c AS (SELECT src, dst, count(*)::BIGINT AS n FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), " +
           "t AS (SELECT src, sum(n)::BIGINT AS n_src FROM c GROUP BY 1) " +
-          "SELECT c.src, c.dst, c.n, (c.n * 1000000) // t.n_src AS p_micros " +
+          "SELECT c.src, c.dst, c.n, ((c.n * 1000000) // t.n_src)::BIGINT AS p_micros " +
           "FROM c JOIN t USING (src) ORDER BY src, dst"),
       // j13: same window join + position/count windows + the identical
       // integer credit cases — remainder on the last touch in both
@@ -6889,6 +6996,8 @@ object SparkEntry {
           "ORDER BY category, format LIMIT 8"),
       // c13: same per-group max + corpus high-water mark, exact day diffs
       "c13_freshness" -> freshnessSql,
+      // c14: closed-form CUSUM replay over the same spine
+      "c14_cusum_shift" -> cusumShiftSql,
       // e32: the streamed (sum, max) fold must rebuild c13's per-group
       // table exactly — same oracle verbatim (max is order-free AND
       // duplicate-delivery-immune; replay idempotent by batch overwrite)

@@ -137,6 +137,40 @@ object SearchExecutor {
     baseBranch(ds.toDF(), cq).where(cq.postFilter).count()
   }
 
+  /** FIELD COLLAPSING — Elasticsearch's `collapse` + `inner_hits` (the
+    * search-lineage feature beside pagination and facets: one result per
+    * group, e.g. "best hit per category", with each group's own top-k
+    * attached). Over the scored [[baseBranch]] stream: rank hits within
+    * each `field` group by (score desc, id) — rank 1 is the collapsed
+    * result page, ranks 2..innerK the group's inner hits — and order
+    * groups by their top hit's score, ES's collapsed-page order
+    * (deterministic: ties fall back to group key then rank).
+    *
+    * Plan shape: the rank-≤-k filter compiles to the partial
+    * WindowGroupLimit below the exchange (the o5 top-k-per-group shape) —
+    * each map task forwards at most innerK rows per group, so the shuffle
+    * carries k·|groups|-ish rows, not the corpus; the group-top score is a
+    * second window over the ALREADY rank-cut rows (≤ innerK per group).
+    * At 100 TB the one group-key exchange is the whole cost.
+    *
+    * Output: `(field, rnk, id, score, top_score)` ordered by
+    * (top_score desc, field, rnk).
+    */
+  def collapseHits(base: DataFrame, field: String = "category",
+                   innerK: Int = 3): DataFrame = {
+    require(innerK >= 1, s"innerK must be >= 1, got $innerK")
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(field)).orderBy(col(ScoreCol).desc, col("id").asc)
+    val topW = org.apache.spark.sql.expressions.Window.partitionBy(col(field))
+    base
+      .withColumn("rnk", row_number().over(grpW).cast("long"))
+      .where(col("rnk") <= innerK)
+      .withColumn("top_score", max(col(ScoreCol)).over(topW))
+      .select(col(field), col("rnk"), col("id"),
+        col(ScoreCol).as("score"), col("top_score"))
+      .orderBy(col("top_score").desc, col(field), col("rnk"))
+  }
+
   /** Date-histogram facet — Elasticsearch's `date_histogram` aggregation
     * (the time-axis companion of the category/format term facets the
     * reference compiles, query_translation.py:83-95): entry counts per

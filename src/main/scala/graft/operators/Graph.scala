@@ -43,6 +43,21 @@ object Graph {
     * degree (the whole point of the recursion).
     */
   def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    // materialize the per-node report, then release the superstep edge
+    // cache — repeated harness invocations must not accumulate cached
+    // partitions (the seasonalVolumeFromDaily idiom)
+    val (lazyOut, cache) = pageRankPlan(edges, iters)
+    val out = lazyOut.localCheckpoint(true)
+    cache.unpersist()
+    out
+  }
+
+  /** The lazy plan behind [[pageRank]] plus its edge-cache handle —
+    * exposed so plan audits can inspect the superstep shape before the
+    * public entry's materialize-and-unpersist hides it.
+    */
+  private[graft] def pageRankPlan(edges: DataFrame,
+                                  iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // one edge shuffle for ALL supersteps: partition on the join key and
@@ -60,9 +75,10 @@ object Graph {
         .agg(sum(expr("(r * 85) DIV (100 * deg)")).as("in_sum"))
         .select(col("dst").as("item"), (lit(tele) + col("in_sum")).as("r"))
     }
-    ranks.join(deg.select(col("src").as("item"), col("deg")), "item")
+    val out = ranks.join(deg.select(col("src").as("item"), col("deg")), "item")
       .select(col("item"), col("deg"), col("r").as("rank_e6"))
       .orderBy(col("rank_e6").desc, col("item"))
+    (out, e)
   }
 
   /** Per-node TRIANGLE counts and clustering coefficient over a symmetric
@@ -92,6 +108,16 @@ object Graph {
     * degree carried so readers see closure ≠ popularity.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    val (lazyOut, cache) = triangleStatsPlan(edges)
+    val out = lazyOut.localCheckpoint(true)
+    cache.unpersist()
+    out
+  }
+
+  /** The lazy plan behind [[triangleStats]] plus its oriented-edge cache
+    * handle — exposed for the plan audit, same split as [[pageRankPlan]].
+    */
+  private[graft] def triangleStatsPlan(edges: DataFrame): (DataFrame, DataFrame) = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val oriented = edges
       .join(deg.select(col("src"), col("deg").as("sdeg")), "src")
@@ -113,7 +139,7 @@ object Graph {
     val perNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("item"))
       .groupBy("item").agg(count(lit(1)).as("tri"))
-    deg.select(col("src").as("item"), col("deg"))
+    val out = deg.select(col("src").as("item"), col("deg"))
       .join(perNode, Seq("item"), "left")
       .select(col("item"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
@@ -121,6 +147,7 @@ object Graph {
         when(col("deg") >= 2,
           expr("(tri * 2000000) DIV (deg * (deg - 1))")).otherwise(0L))
       .orderBy(col("tri").desc, col("item"))
+    (out, oriented)
   }
 
   /** LINK PREDICTION by common-neighbor count: for every NON-adjacent
@@ -164,12 +191,15 @@ object Graph {
     val top = nonAdjacent
       .orderBy(col("common").desc, col("item_a"), col("item_b"))
       .limit(k)
-    top.withColumn("rank", row_number().over(
+    val out = top.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("common").desc, col("item_a"), col("item_b"))))
       .select(col("rank").cast("long").as("rank"),
         col("item_a"), col("item_b"), col("common"))
       .orderBy("rank")
+      .localCheckpoint(true)
+    adj.unpersist()
+    out
   }
 
   /** PERSONALIZED PageRank — proximity to a SEED SET instead of global
@@ -225,10 +255,86 @@ object Graph {
         .select(col("item"),
           (coalesce(col("t"), lit(0L)) + coalesce(col("in_sum"), lit(0L))).as("r"))
     }
-    deg.select(col("src").as("item"), col("deg"))
+    val out = deg.select(col("src").as("item"), col("deg"))
       .join(ranks, Seq("item"), "left")
       .select(col("item"), col("deg"), coalesce(col("r"), lit(0L)).as("rank_e6"))
       .orderBy(col("rank_e6").desc, col("item"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
+  /** COMMUNITY DETECTION by deterministic min-label propagation to
+    * FIXPOINT — the step [[degreeAssortativity]]'s screen defers to: which
+    * groups of items form closed viewing neighborhoods (merchandising
+    * clusters, crawl seed groups, the "users who view these view only
+    * these" partition). Every node starts labeled with its own id; each
+    * superstep every node adopts the MINIMUM of its own and its
+    * neighbors' labels; at fixpoint every node carries the minimum id
+    * reachable from it, so communities are exactly the connected
+    * components of the (support-thresholded) graph — deterministic by
+    * construction, no float, no tie-break ambiguity, order-free (min is
+    * commutative), so the engine and the oracle's recursive-reachability
+    * replay agree bit-for-bit. (Frequency-based LPA tie-breaks are
+    * seed-order-dependent and cannot hash-match themselves; min-label is
+    * the deterministic member of the family.)
+    *
+    * Same Pregel plan shape as [[pageRank]]: edges hash-partitioned ONCE
+    * on the message key and persisted, each superstep ONE co-partitioned
+    * join + map-side-combining min + a count action for the convergence
+    * check; the per-node label vector is the only thing that moves, and
+    * each superstep's labels are persisted while the previous step's are
+    * released. Supersteps needed = graph diameter (small for co-view
+    * graphs); `maxIters` guards the pathological-path case and the
+    * function REFUSES (require) rather than returning a non-fixpoint.
+    *
+    * Input `edges` must be symmetric (both directions present, as
+    * [[coviewEdgesFromPairs]] and [[coviewEdgesWeightedFromPairs]]
+    * emit) — on a directed graph min-label would propagate one way only
+    * and the result would depend on orientation. Output: `(item, deg,
+    * community, csize)` ordered by item — community = min item id of the
+    * component, csize its node count (carried so readers can tell a
+    * 2-item pair from a 40-item cluster without a second query).
+    */
+  def labelCommunities(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.repartition(col("src")).persist()
+    // each superstep reads `labels` TWICE (message join + keep-own merge),
+    // so a lazy lineage would double per step — 2^diameter plan blowup on
+    // a path graph. localCheckpoint(eager) truncates the plan to the
+    // materialized n-row label vector every step (which the convergence
+    // count forces anyway).
+    var labels = deg.select(col("src").as("item"),
+      col("src").cast("long").as("lbl")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val next = labels.join(
+          e.join(labels.withColumnRenamed("item", "src"), "src")
+            .groupBy("dst").agg(min("lbl").as("nlbl"))
+            .withColumnRenamed("dst", "item"),
+          Seq("item"), "left")
+        .select(col("item"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("item"), col("lbl").as("old")), "item")
+        .where(col("lbl") < col("old")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0,
+      s"labelCommunities did not reach fixpoint in $maxIters supersteps")
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    val out = deg.select(col("src").as("item"), col("deg"))
+      .join(labels, "item")
+      .join(sizes, "lbl") // ≤|nodes| rows, usually ≪ — AQE picks broadcast
+      .select(col("item"), col("deg"), col("lbl").as("community"), col("csize"))
+      .orderBy("item")
+      .localCheckpoint(true)
+    e.unpersist()
+    out
   }
 
   /** Degree ASSORTATIVITY — the one-number graph-health diagnostic beside
@@ -306,5 +412,27 @@ object Graph {
         col("a.user_id") === col("b.user_id") && col("a.item") =!= col("b.item"))
       .select(col("a.item").as("src"), col("b.item").as("dst"))
       .distinct()
+  }
+
+  /** The WEIGHTED co-view edge table — same capped chain as
+    * [[coviewEdgesFromPairs]] but keeping per-pair SUPPORT (how many
+    * users co-viewed the pair) instead of collapsing to distinct, so
+    * callers can threshold: a single shared viewer makes an edge in the
+    * distinct graph, which is why it collapses into one giant component
+    * on any real corpus — community structure only appears once weak
+    * edges are dropped (`where support >= k`). Symmetric by construction
+    * (both directions carry the same count). Output: `(src, dst,
+    * support)`.
+    */
+  def coviewEdgesWeightedFromPairs(ui: DataFrame,
+                                   maxUserItems: Int = 50): DataFrame = {
+    val capped = ui.join(
+      ui.groupBy("user_id").agg(count(lit(1)).as("nu"))
+        .where(col("nu") <= maxUserItems),
+      Seq("user_id"), "left_semi")
+    capped.as("a").join(capped.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+      .agg(count(lit(1)).as("support"))
   }
 }

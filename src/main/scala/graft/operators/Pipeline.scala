@@ -918,11 +918,15 @@ object Pipeline {
       .join(spec, Seq("source"), "full_outer") // spec'd-but-absent surfaces
       .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
       .withColumn("weight_e6", wCol)
+      // DECIMAL(38,0)-widened products: weight_e6·budget and planned·10⁶
+      // both overflow a long past ~9.2e12-token budgets (realistic for
+      // data-constrained scaling) while the oracle auto-widens to
+      // HUGEINT — the zipfCheck/significantTerms/d19 discipline
       .withColumn("planned_tokens",
-        expr(s"(weight_e6 * ${budgetTokens}L) DIV 1000000"))
+        expr(s"(CAST(weight_e6 AS DECIMAL(38,0)) * ${budgetTokens}L) DIV 1000000"))
       .withColumn("epochs_e6",
         when(col("avail_tokens") > 0,
-          expr("(planned_tokens * 1000000) DIV avail_tokens")))
+          expr("(CAST(planned_tokens AS DECIMAL(38,0)) * 1000000) DIV avail_tokens")))
       .withColumn("over_cap",
         coalesce(col("epochs_e6") > capE6, col("planned_tokens") > 0))
       .orderBy("source")

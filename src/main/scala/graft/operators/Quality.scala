@@ -263,6 +263,83 @@ object Quality {
     out
   }
 
+  /** CHANGEPOINT gate: two-sided integer CUSUM over the daily-count spine
+    * (Page 1954) — the drift family's detector for PERSISTENT SMALL
+    * SHIFTS. [[volumeDrift]] (c5) flags a day deviating ±50% from its
+    * trailing window and [[seasonalVolumeFromDaily]] (c10) the same per
+    * weekday; a feed that quietly steps up 8% forever never trips either,
+    * but its small daily excesses ACCUMULATE — which is exactly what
+    * CUSUM sums: everything beyond a slack allowance over an in-control
+    * target, reset whenever the sum goes negative.
+    *
+    * The target is CALIBRATED on the first `baselineDays` spine days (sum
+    * B = Σ baseline counts — the "in-control" reference every production
+    * CUSUM needs; targeting the global mean instead would flag BOTH sides
+    * of any step, since the pre-period sits below the all-time mean by
+    * construction). Exact-integer discipline: the scaled deviation of day
+    * i is dᵢ = cntᵢ·`baselineDays` − B (count·days units — the c5 trick
+    * of multiplying through instead of dividing), slack k = B div
+    * `slackDiv` (default 50 → 2% of the baseline daily mean, scaled), and
+    * the textbook recurrence S⁺ᵢ = max(0, S⁺ᵢ₋₁ + dᵢ − k) is computed in
+    * CLOSED FORM as S⁺ᵢ = cumᵢ − min(0, min_{j≤i} cumⱼ) over
+    * cumᵢ = Σ_{j≤i}(dⱼ − k) — a running sum minus a running min, both
+    * plain windows, so the sequential recurrence needs no iteration and
+    * the DuckDB oracle replays it verbatim. S⁻ mirrors with −dᵢ. A day
+    * fires when either side exceeds H = B div `threshDiv` (default 4 → a
+    * quarter baseline-day of accumulated excess — an 8% step trips in
+    * days, sf0.01's organic noise peaks at ~66% of it). Known caveat,
+    * inherent to CUSUM: a corrupted baseline period mis-calibrates the
+    * gate — c5/c10 remain the per-day screens that would catch that.
+    *
+    * Plan: one corpus-scale map-side-combining daily aggregate; the spine
+    * join, the 1-row baseline broadcast, and all four windows run over
+    * |days| metadata rows (the documented c4/c9 single-partition-spine
+    * discipline). Output: `(day, cnt, cusum_pos, cusum_neg, flagged)`
+    * ordered by day.
+    */
+  def cusumShift(events: DataFrame, tsCol: String, baselineDays: Int = 7,
+                 slackDiv: Long = 50, threshDiv: Long = 4): DataFrame =
+    cusumShiftFromDaily(
+      events.groupBy(to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      baselineDays, slackDiv, threshDiv)
+
+  /** [[cusumShift]] from an ALREADY-aggregated `(day, cnt)` table — the
+    * seam specs plant shifts through and a streamed daily-count log
+    * (e30's substrate) folds into.
+    */
+  def cusumShiftFromDaily(dailyIn: DataFrame, baselineDays: Int = 7,
+                          slackDiv: Long = 50, threshDiv: Long = 4): DataFrame = {
+    require(baselineDays > 0, s"baselineDays must be positive: $baselineDays")
+    require(slackDiv > 0, s"slackDiv must be positive: $slackDiv")
+    require(threshDiv > 0, s"threshDiv must be positive: $threshDiv")
+    val daily = dailyIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val dense = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val base = dense.orderBy("day").limit(baselineDays)
+      .agg(sum("cnt").as("bsum"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val out = dense.crossJoin(broadcast(base))
+      .select(col("day"), col("cnt"),
+        expr(s"cnt * ${baselineDays}L - bsum - bsum DIV $slackDiv").as("dp"),
+        expr(s"bsum - cnt * ${baselineDays}L - bsum DIV $slackDiv").as("dm"),
+        expr(s"bsum DIV $threshDiv").as("h"))
+      .select(col("day"), col("cnt"), col("h"),
+        sum("dp").over(w).as("cp"), sum("dm").over(w).as("cm"))
+      .select(col("day").cast("string").as("day"), col("cnt"), col("h"),
+        (col("cp") - least(lit(0L), min("cp").over(w))).as("cusum_pos"),
+        (col("cm") - least(lit(0L), min("cm").over(w))).as("cusum_neg"))
+      .select(col("day"), col("cnt"), col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > col("h") || col("cusum_neg") > col("h")).as("flagged"))
+      .orderBy("day")
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
   /** Robust per-group OUTLIER gate: lower-median and MAD (median absolute
     * deviation) of a value column in exact integer cents, and the count of
     * rows beyond `k10/10 · MAD` of the median — the outlier detector that

@@ -1019,8 +1019,14 @@ object Relational {
         when(col("prev_cents") > 0,
           // DECIMAL-widened: delta·10⁶ overflows a long near $92B/year
           // deltas — wrapped garbage here, an overflow error in the
-          // oracle; the ratio itself always fits the long result
-          expr("(CAST(rev_cents AS DECIMAL(38,0)) - prev_cents) * 1000000 DIV prev_cents")))
+          // oracle; the ratio itself always fits the long result.
+          // Sign-factored (sign(d)·(|d|·10⁶ DIV prev)) so both engines
+          // compute the identical value regardless of whether their
+          // integral division floors or truncates on negatives — floor
+          // ≡ trunc on the non-negative operands this form guarantees.
+          expr("CASE WHEN rev_cents >= prev_cents " +
+            "THEN (CAST(rev_cents AS DECIMAL(38,0)) - prev_cents) * 1000000 DIV prev_cents " +
+            "ELSE -((CAST(prev_cents AS DECIMAL(38,0)) - rev_cents) * 1000000 DIV prev_cents) END")))
       .select("n_name", "yr", "rev_cents", "prev_cents", "growth_e6")
       .orderBy("n_name", "yr")
   }

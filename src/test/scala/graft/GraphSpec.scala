@@ -198,4 +198,70 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
       .as[(Int, Int)].collect().toSet
     e shouldBe Set((1, 2), (2, 1))
   }
+
+  test("labelCommunities: two components + isolate-free contract — labels, sizes, degrees exact") {
+    // component A: path 1—2—3 (min label 1); component B: pair 7—9 (min 7)
+    val und = Seq((1, 2), (2, 3), (7, 9))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = Graph.labelCommunities(edges.toDF("src", "dst"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1, 1L, 1L, 3L), (2, 2L, 1L, 3L), (3, 1L, 1L, 3L),
+      (7, 1L, 7L, 2L), (9, 1L, 7L, 2L))
+  }
+
+  test("labelCommunities: long path needs diameter supersteps and still reaches the fixpoint") {
+    // path 0—1—…—12: min label 0 must walk the full diameter; a too-small
+    // cap must refuse rather than return a non-fixpoint
+    val und = (0 until 12).map(i => (i, i + 1))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = Graph.labelCommunities(edges).as[(Int, Long, Long, Long)].collect()
+    got.map(_._3).toSet shouldBe Set(0L)
+    got.map(_._4).toSet shouldBe Set(13L)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.labelCommunities(edges, maxIters = 3)
+  }
+
+  test("property: labelCommunities equals a driver-side union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(41)
+    (0 until 3).foreach { round =>
+      // sparse random graph: enough nodes vs edges that several
+      // components appear, made symmetric (the operator's contract)
+      val n = 40
+      val raw = (0 until 25).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }.distinct
+      val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val got = Graph.labelCommunities(edges.toDF("src", "dst"))
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Int, Int]()
+      def find(x: Int): Int = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.map(_._1).distinct
+      val comm = nodes.map(v => v -> nodes.filter(u => find(u) == find(v)).min).toMap
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      val size = comm.values.toSeq.groupBy(identity).map { case (c, vs) => c -> vs.size.toLong }
+      val expect = nodes.sorted.map(v =>
+        (v, deg(v), comm(v).toLong, size(comm(v))))
+      withClue(s"round $round: ") { got shouldBe expect }
+    }
+  }
+
+  test("coviewEdgesWeighted: support counts shared viewers; threshold drops weak edges") {
+    // items 1,2 share two viewers (support 2); 2,3 share one (support 1)
+    val ui = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2), (3L, 2), (3L, 3))
+      .toDF("user_id", "item")
+    val w = Graph.coviewEdgesWeightedFromPairs(ui)
+      .as[(Int, Int, Long)].collect().toSet
+    w shouldBe Set((1, 2, 2L), (2, 1, 2L), (2, 3, 1L), (3, 2, 1L))
+    val strong = Graph.coviewEdgesWeightedFromPairs(ui)
+      .where(col("support") >= 2).select("src", "dst")
+      .as[(Int, Int)].collect().toSet
+    strong shouldBe Set((1, 2), (2, 1))
+  }
 }

@@ -229,6 +229,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("Exchange")
   }
 
+  test("field collapsing: inner-hits rank cut runs as a partial WindowGroupLimit") {
+    val meta = Corpus.metadata(spark, "/root/testdata/sf0.001")
+    val cq = graft.compile.QueryCompiler.compile(
+      graft.compile.QueryCompiler.parse("""{"query":"red"}"""),
+      graft.model.AclContext(Nil, isAdmin = true))
+    val plan = graft.exec.SearchExecutor
+      .collapseHits(graft.exec.SearchExecutor.baseBranch(meta, cq), "category", 3)
+      .queryExecution.executedPlan.toString
+    // the rank ≤ innerK filter pushes below the group-key exchange as a
+    // map-side partial + final — the shuffle carries ≤ k rows per group
+    // per task, not the scored corpus
+    "WindowGroupLimit".r.findAllIn(plan).size should be >= 2
+    plan should include("Exchange")
+  }
+
   test("quality-survivor argmax runs as a partial WindowGroupLimit top-1") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
@@ -884,13 +899,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     val edges = graft.operators.Graph.coviewEdges(ev,
       org.apache.spark.sql.functions.regexp_extract(
         org.apache.spark.sql.functions.col("props"), "(\\d+)", 1))
-    val df = graft.operators.Graph.pageRank(edges, iters = 3)
+    val (df, cache) = graft.operators.Graph.pageRankPlan(edges, iters = 3)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
     // every superstep scans the in-memory edge table — the user-keyed
     // co-view self-join ran exactly once, at persist time
     "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+    cache.unpersist()
     edges.sparkSession.sharedState.cacheManager.clearCache()
   }
 
@@ -899,13 +915,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     val edges = graft.operators.Graph.coviewEdges(ev,
       org.apache.spark.sql.functions.regexp_extract(
         org.apache.spark.sql.functions.col("props"), "(\\d+)", 1))
-    val df = graft.operators.Graph.triangleStats(edges)
+    val (df, cache) = graft.operators.Graph.triangleStatsPlan(edges)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
     // both wedge legs AND the closing semi probe scan the cached oriented
     // table — the orientation chain (degree joins + filter) ran once
     "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+    cache.unpersist()
     edges.sparkSession.sharedState.cacheManager.clearCache()
   }
 

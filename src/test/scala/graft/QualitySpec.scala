@@ -201,6 +201,31 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     flat("2024-06-01") shouldBe true
   }
 
+  test("c14 CUSUM: an 8% persistent step is invisible to the c5 level gate but accumulates past CUSUM") {
+    // 20 days at 100/day then 20 at 108/day. Closed form: baseline
+    // B=7·100=700, slack=700//50=14, H=700//4=175; pre-shift dp=−14/day
+    // (runmin −280 at day 20), post-shift dp = 108·7−700−14 = +42/day →
+    // sp = 42·(i−19), crossing 175 five post-shift days in
+    val day0 = java.time.LocalDate.parse("2024-01-01")
+    val daily = (0 until 40).map { i =>
+      (java.sql.Date.valueOf(day0.plusDays(i)), if (i < 20) 100L else 108L)
+    }.toDF("day", "cnt")
+    val rows = Quality.cusumShiftFromDaily(daily)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    rows.size shouldBe 40
+    rows.take(20).count(_._5) shouldBe 0 // quiet before the shift
+    rows.filter(_._5).map(_._1) shouldBe
+      (24 until 40).map(i => day0.plusDays(i).toString) // fires 5 days in, stays on
+    rows.last._3 shouldBe 42L * 20 // sp on the last day, closed form
+    rows.map(_._4).max shouldBe 0L // the negative side never accumulates
+    // the c5 trailing-window gate never fires: the step day deviates
+    // +8% from its lookback mean, far under the 50% tolerance
+    val events = daily.select(col("day").cast("timestamp").as("ts"),
+      explode(expr("sequence(1, cnt)")).as("i"))
+    val flat = Quality.volumeDrift(events, "ts")
+    flat.where(col("flagged")).count() shouldBe 0L
+  }
+
   test("seasonalVolume densifies: silent days surface as rows; zero baselines report null dev") {
     // two Mondays of data with the Wednesday between them missing entirely
     val rows = for (d <- Seq("2024-05-06", "2024-05-07", "2024-05-09",

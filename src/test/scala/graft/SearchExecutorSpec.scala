@@ -201,6 +201,22 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     byTerm.contains("rare") shouldBe false // below minFgCount
   }
 
+  test("Q13 field collapsing: rank ≤ innerK per group, groups in top-hit-score order, id tie-break") {
+    // hand-built scored stream: group a has 4 hits (4th must drop),
+    // b has a score tie (id order decides), c's single hit leads the page
+    val base = Seq(
+      ("a", "1", 5.0), ("a", "2", 3.0), ("a", "3", 2.0), ("a", "4", 1.0),
+      ("b", "5", 4.0), ("b", "6", 4.0),
+      ("c", "7", 6.0)
+    ).toDF("category", "id", SearchExecutor.ScoreCol)
+    val got = SearchExecutor.collapseHits(base, "category", innerK = 3)
+      .as[(String, Long, String, Double, Double)].collect().toSeq
+    got shouldBe Seq(
+      ("c", 1L, "7", 6.0, 6.0),
+      ("a", 1L, "1", 5.0, 5.0), ("a", 2L, "2", 3.0, 5.0), ("a", 3L, "3", 2.0, 5.0),
+      ("b", 1L, "5", 4.0, 4.0), ("b", 2L, "6", 4.0, 4.0))
+  }
+
   test("Q12 minimum_should_match: strict term-count gate; scoring unchanged from Q1") {
     val out = SearchExecutor.minShouldMatchSearch(ds.toDF(), "heart rate prices", 2)
       .as[(String, Long, Double)].collect().toSeq
