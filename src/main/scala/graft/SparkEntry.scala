@@ -1745,6 +1745,13 @@ object SparkEntry {
     "p5_pack_sequences" -> ((s, d) =>
       graft.operators.Pipeline.packSequences(docs(s, d)).orderBy("doc_id")),
 
+    // Pipeline: packing v2 — shard-local FIRST-FIT-DECREASING into fixed
+    // 512-token bins: documents stay WHOLE (vs p5's chunk splits), waste
+    // is eaten near-optimally (FFD ≤ 11/9·OPT bins); deterministic
+    // (len desc, doc_id) scan per shard, honest sequential flatMapGroups
+    "p22_pack_ffd" -> ((s, d) =>
+      graft.operators.Pipeline.packFirstFitDecreasing(docs(s, d))),
+
     // Pipeline: CCNet perplexity bucketing — head/middle/tail at the
     // 33rd/67th cross-entropy percentile THRESHOLDS (value semantics, no
     // global sort); 1-row threshold broadcast, narrow bucketing map
@@ -3760,6 +3767,15 @@ object SparkEntry {
           col("n_events"), col("sum_value").cast("double").as("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // E33 streaming top-paths: j16's session-path mining kept current BY
+    // INGEST — per-user event buffers re-split at the strict-gap boundary
+    // each batch (out-of-order exact), sessions emit once the watermark
+    // passes last+gap, the report rides the SHARED path aggregation —
+    // stream ≡ batch j16 with the e2-style watermark cutoff
+    "e33_stream_paths" -> ((s, d) =>
+      graft.operators.EventAnalytics.topPathsFromSessionPaths(
+        EventStream.backfillSessionPaths(s, s"$d/events.parquet"))),
+
     // Streaming built-in state: the SAME sessionization via the native
     // session_window operator — inclusive gap merge at µs grain (an event
     // exactly `gap` later still merges, spec-pinned) and watermark-passes-
@@ -4923,6 +4939,31 @@ object SparkEntry {
           "(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset FROM c) " +
           "SELECT doc_id, shard, n_tokens, start_offset, " +
           "(shard * 1000000 + start_offset // 512)::BIGINT AS pack_id FROM o ORDER BY doc_id"),
+      // p22: the FFD scan replayed EXACTLY as a recursive CTE over the
+      // (len desc, doc_id) rank order — state is each shard's bin-load
+      // LIST, one rank consumed per recursion step across all shards in
+      // parallel; list_position finds the first fitting bin (coalesce/=0
+      // is the not-found branch: this build returns 0, others NULL)
+      "p22_pack_ffd" -> {
+        val P = "coalesce(list_position(list_transform(st.loads, x -> x + d.n <= 512), true), 0)"
+        "WITH RECURSIVE toks AS (SELECT doc_id, " +
+          "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t " +
+          "FROM documents), " +
+          "c AS (SELECT doc_id, doc_id % 32 AS shard, least(len(t), 512)::BIGINT AS n FROM toks), " +
+          "ranked AS (SELECT doc_id, shard, n, " +
+          "row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id) AS r FROM c), " +
+          "st(shard, r, loads, doc_id, n, bin) AS (" +
+          "SELECT shard, r, [n], doc_id, n, 0::BIGINT FROM ranked WHERE r = 1 " +
+          "UNION ALL " +
+          "SELECT d.shard, d.r, " +
+          s"CASE WHEN $P = 0 THEN list_concat(st.loads, [d.n]) " +
+          s"ELSE list_concat(list_concat(st.loads[1:$P - 1], [st.loads[$P] + d.n]), st.loads[$P + 1:]) END, " +
+          "d.doc_id, d.n, " +
+          s"CASE WHEN $P = 0 THEN len(st.loads)::BIGINT ELSE ($P - 1)::BIGINT END " +
+          "FROM st JOIN ranked d ON d.shard = st.shard AND d.r = st.r + 1) " +
+          "SELECT doc_id, shard::BIGINT AS shard, n AS n_tokens, bin, " +
+          "(shard * 1000000 + bin)::BIGINT AS bin_id FROM st ORDER BY doc_id"
+      },
       "p6_stratified_sample" ->
         (T + s", sc AS (SELECT doc_id, $langScores FROM toks) " +
           ", lang AS (SELECT doc_id, CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en' " +
@@ -6616,6 +6657,26 @@ object SparkEntry {
           "(PARTITION BY user_id, sess ORDER BY us, event_id) AS pos FROM s2), " +
           "p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY pos) AS path " +
           "FROM s3 WHERE pos <= 12 GROUP BY 1, 2) " +
+          "SELECT path, count(*)::BIGINT AS n_sessions FROM p " +
+          "GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"),
+      // e33: j16's chain VERBATIM plus the e2-style watermark cutoff —
+      // only sessions whose last event + gap lies strictly below the
+      // final watermark (max event ms − 1 h delay) are final and counted
+      "e33_stream_paths" ->
+        ("WITH e AS (SELECT user_id, event_id, event_type, " +
+          "epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "wm AS (SELECT max(us // 1000) - 3600000 AS w FROM e), " +
+          "s AS (SELECT *, CASE WHEN us - lag(us) OVER " +
+          "(PARTITION BY user_id ORDER BY us, event_id) > 1800000000 " +
+          "THEN 1 ELSE 0 END AS new_s FROM e), " +
+          "s2 AS (SELECT *, sum(new_s) OVER " +
+          "(PARTITION BY user_id ORDER BY us, event_id) AS sess FROM s), " +
+          "s3 AS (SELECT *, row_number() OVER " +
+          "(PARTITION BY user_id, sess ORDER BY us, event_id) AS pos FROM s2), " +
+          "ends AS (SELECT user_id, sess, max(us) AS last_us FROM s2 GROUP BY 1, 2), " +
+          "p AS (SELECT s3.user_id, s3.sess, string_agg(event_type, '>' ORDER BY pos) AS path " +
+          "FROM s3 JOIN ends USING (user_id, sess) CROSS JOIN wm " +
+          "WHERE pos <= 12 AND (last_us + 1800000000) // 1000 < wm.w GROUP BY 1, 2) " +
           "SELECT path, count(*)::BIGINT AS n_sessions FROM p " +
           "GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"),
       // j15: the same lead() pairing over (user; ts, event_id) and the

@@ -345,10 +345,19 @@ object EventAnalytics {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("event_type")))),
         e => e.getField("event_type")), ">").as("path"))
+    topPathsFromSessionPaths(paths, k)
+  }
+
+  /** The path-count top-k stage of [[topPaths]] from an ALREADY-rendered
+    * per-session `path` column — the seam the streaming twin (e33) feeds
+    * its finalized sessions through, so stream ≡ batch for the report
+    * stage by construction. Map-side-combining path aggregate, TakeOrdered
+    * top-k.
+    */
+  def topPathsFromSessionPaths(paths: DataFrame, k: Int = 20): DataFrame =
     paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(k)
-  }
 
   /** BOUNCE RATE by session entry action — the canonical session-quality
     * metric: of the sessions that STARTED with each event type, what

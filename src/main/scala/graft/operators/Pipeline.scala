@@ -141,6 +141,62 @@ object Pipeline {
       .select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
   }
 
+  /** Sequence packing v2: shard-local FIRST-FIT-DECREASING into fixed-
+    * capacity bins — the packer that reduces the padding waste
+    * [[paddingEfficiency]] (p20) prices. [[packSequences]] (p5)
+    * concatenates-and-chunks: zero padding but documents SPLIT across
+    * pack boundaries; FFD keeps every document whole (the contract
+    * attention-masked per-document batching needs) and eats the waste
+    * bin-packing-optimally-ish instead — FFD uses ≤ 11/9·OPT + 6/9 bins
+    * (Dósa's tight bound), in practice a few percent over optimal.
+    *
+    * Deterministic by construction: docs shard by `pmod(doc_id, shards)`
+    * (the p5 rule), each shard sorts its docs by (token length desc,
+    * doc_id) and scans once, placing each doc in the FIRST bin it fits,
+    * opening a new bin otherwise. Docs longer than `cap` are TRUNCATED to
+    * it (p20's long-tail rule — the document is cut, not the batch
+    * geometry). Integer arithmetic and a total order end to end, so any
+    * engine and any partitioning reproduce the identical assignment —
+    * the DuckDB oracle replays the scan as a recursive CTE over ranks.
+    *
+    * The per-shard scan is GENUINELY SEQUENTIAL (each placement depends
+    * on all previous loads), so this is the documented honest
+    * `flatMapGroups` shape (the MMR/session-state precedent): state is
+    * one (doc_id, n) array per shard plus bin loads — 24 B per doc,
+    * shard-bounded. At 100 TB the shard count scales with the corpus
+    * (1e5 shards keep shards at ~1e4 docs), the ONLY shuffle is the
+    * shard-key exchange, and shards pack embarrassingly parallel.
+    *
+    * Output: `(doc_id, shard, n_tokens, bin, bin_id)` ordered by doc_id,
+    * `bin_id = shard·10⁶ + bin` (p5's pack-id convention).
+    */
+  def packFirstFitDecreasing(docs: DataFrame, cap: Long = 512,
+                             shards: Int = 32): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        least(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(cap)),
+        pmod(col("doc_id"), lit(shards.toLong)))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val ds = it.map(t => (t._1, t._2)).toArray
+          .sortBy { case (id, n) => (-n, id) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.iterator.map { case (id, n) =>
+          var i = 0
+          while (i < loads.length && loads(i) + n > cap) i += 1
+          if (i == loads.length) loads += n else loads(i) += n
+          (id, shard, n, i.toLong)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "bin")
+      .withColumn("bin_id", col("shard") * 1000000L + col("bin"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical selection by QUALITY: collapse near-dup clusters keeping
     * the highest-quality member of each (ties by doc_id) — the realistic
     * survivor rule for a pre-training corpus, where a duplicate cluster

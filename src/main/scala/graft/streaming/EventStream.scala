@@ -29,6 +29,14 @@ final case class PendingStep(us: Long, rank: Int)
 final case class FunnelBuf(minViewUs: Long, events: Seq[PendingStep],
                            done: Boolean)
 
+/** One event buffered for streaming session-path mining (e33). */
+final case class PathEvent(us: Long, eventId: Long, eventType: String)
+/** Streaming session-path state: the user's not-yet-final events. */
+final case class PathBuf(events: Seq[PathEvent])
+/** One FINALIZED session's ordered path (streaming top-paths output). */
+final case class SessionPath(user_id: Long, session_start: java.sql.Timestamp,
+                             path: String)
+
 /** Structured-Streaming ingest over the driver's `events` table
   * (event_id, ts, user_id, event_type, value, props).
   *
@@ -360,6 +368,86 @@ object EventStream {
   }
 
   /** Deterministic streaming-funnel backfill: file stream → AvailableNow. */
+  /** STREAMING top-paths substrate — j16's session-path mining kept
+    * current by ingest (the e17 buffer-until-final discipline applied to
+    * whole sessions): per user, events buffer in
+    * `flatMapGroupsWithState` state; each batch re-sorts the buffer by
+    * (event time µs, event_id) and re-splits it at strict >`gapMicros`
+    * breaks (j16's boundary rule VERBATIM — re-splitting the whole
+    * buffer each batch is what makes out-of-order delivery exact: a
+    * late in-horizon event that bridges two provisional sessions merges
+    * them before anything is emitted); a session is emitted exactly
+    * once, when the watermark passes `last event + gap` (any event that
+    * could still extend it — including one landing BEFORE its start,
+    * which would have to bridge into it — now lies at or below the
+    * watermark and is late-dropped; an accepted event can never predate
+    * an emitted session, since emission requires the whole session
+    * below the watermark). Emission renders the session's first
+    * `maxLen` event types as the `a>b>c` path string — the j16 prefix
+    * cap.
+    *
+    * State per user is its OPEN sessions' events only (pruned on every
+    * batch, duplicate-delivery-immune via distinct), removed outright
+    * when empty; an event-time timeout at the earliest open session's
+    * close instant guarantees finalization even on a quiet stream.
+    * Stream ≡ batch: the emitted per-session paths feed the SHARED
+    * [[graft.operators.EventAnalytics.topPathsFromSessionPaths]]
+    * aggregation, so the report is j16's oracle with the e2-style
+    * watermark cutoff.
+    */
+  def streamSessionPaths(spark: SparkSession, events: DataFrame,
+                         gapMicros: Long = 1800000000L, maxLen: Int = 12,
+                         delay: String = "1 hour"): Dataset[SessionPath] = {
+    import spark.implicits._
+    require(gapMicros > 0 && maxLen >= 1, s"gap=$gapMicros, maxLen=$maxLen")
+
+    def split(evs: Seq[PathEvent]): List[List[PathEvent]] = {
+      val sorted = evs.sortBy(e => (e.us, e.eventId)).toList
+      sorted.foldLeft(List.empty[List[PathEvent]]) {
+        case ((cur @ (last :: _)) :: done, e) if e.us - last.us <= gapMicros =>
+          (e :: cur) :: done // sessions build reversed, newest event first
+        case (acc, e) => List(e) :: acc
+      }.map(_.reverse).reverse
+    }
+
+    withEventTime(events)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", delay)
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PathBuf, SessionPath](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          val st0 = if (state.exists) state.get else PathBuf(Nil)
+          val incoming = rows.map(r => PathEvent(tsMicros(r._4), r._2, r._3))
+          val sessions = split((st0.events ++ incoming).distinct)
+          val wmMs = state.getCurrentWatermarkMs()
+          val (closed, open) = sessions.partition(s =>
+            (s.last.us + gapMicros) / 1000L < wmMs)
+          if (open.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(PathBuf(open.flatten))
+            state.setTimeoutTimestamp(math.max(
+              open.map(s => (s.last.us + gapMicros) / 1000L + 1L).min,
+              wmMs + 1L))
+          }
+          closed.sortBy(_.head.us).iterator.map(s => SessionPath(uid,
+            usToTimestamp(s.head.us),
+            s.take(maxLen).map(_.eventType).mkString(">")))
+      }
+  }
+
+  /** Deterministic top-paths backfill: file stream → AvailableNow; the
+    * finalized per-session paths of [[streamSessionPaths]] as a DataFrame
+    * (trailing open sessions stay in state — live-stream semantics).
+    */
+  def backfillSessionPaths(spark: SparkSession, path: String,
+                           gapMicros: Long = 1800000000L,
+                           maxLen: Int = 12): DataFrame =
+    runToMemoryTableWithPeak(spark, "append")(bf =>
+      streamSessionPaths(bf, fileStream(bf, stageDir(path)), gapMicros,
+        maxLen).toDF())._1
+
   def backfillFunnelUsers(spark: SparkSession, path: String, steps: Seq[String],
                           horizonMicros: Long, delay: String = "1 hour",
                           tombstoneTtlMicros: Long = Long.MaxValue): DataFrame =

@@ -128,6 +128,46 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       (0L, 0L, 0L), (32L, 3L, 0L), (64L, 303L, 1L), (96L, 305L, 1L))
   }
 
+  test("FFD packing: decreasing first-fit placement, whole docs, truncation, new-bin opening") {
+    // one shard (ids ≡ 0 mod 32), cap 100. Sorted by (len desc, id):
+    // 0:60, 32:50, 64:40, 96:30, 128:10, 160:110→truncated 100
+    // scan: 160(100)→bin0 full; 0(60)→bin1; 32(50)→bin2(60+50>100);
+    // 64(40)→bin1 (60+40=100); 96(30)→bin2 (50+30=80); 128(10)→bin2 (90)
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((0L, doc(60)), (32L, doc(50)), (64L, doc(40)),
+      (96L, doc(30)), (128L, doc(10)), (160L, doc(110)))
+      .toDF("doc_id", "text")
+    val out = Pipeline.packFirstFitDecreasing(docs, cap = 100, shards = 32)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (0L, 0L, 60L, 1L, 1L), (32L, 0L, 50L, 2L, 2L), (64L, 0L, 40L, 1L, 1L),
+      (96L, 0L, 30L, 2L, 2L), (128L, 0L, 10L, 2L, 2L), (160L, 0L, 100L, 0L, 0L))
+    // contract: no bin exceeds cap, every doc appears exactly once
+    val loads = out.groupBy(_._5).map { case (_, ds) => ds.map(_._3).sum }
+    loads.max should be <= 100L
+    out.map(_._1).toSet shouldBe docs.select("doc_id").as[Long].collect().toSet
+  }
+
+  test("FFD packing beats the p20 bucketed-batching efficiency on the same corpus") {
+    // realistic mixed lengths across several shards
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 120L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(128))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val ffd = Pipeline.packFirstFitDecreasing(docs, cap = 128, shards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val ffdTokens = ffd.map(_._3).sum
+    val ffdPadded = ffd.map(_._5).distinct.size.toLong * 128
+    // p20's power-of-two bucketed batching on the same docs and top cap
+    val pad = Pipeline.paddingEfficiency(docs, Seq(16, 32, 64, 128))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val bucketEffE6 = pad.map(_._3).sum * 1000000L / pad.map(_._4).sum
+    val ffdEffE6 = ffdTokens * 1000000L / ffdPadded
+    // same real-token mass, packed into fewer padded slots
+    ffdEffE6 should be >= bucketEffE6
+    ffd.groupBy(_._5).map { case (_, ds) => ds.map(_._3).sum }.max should be <= 128L
+  }
+
   test("stratified sample: per-language quota with deterministic quality ranking") {
     val docs = Seq(
       (0L, "the of and to in it is was"), // en

@@ -353,6 +353,54 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     fromStream shouldBe batch
   }
 
+  test("streaming top-paths: finalized sessions equal the batch j16 chain; a late bridge merges; " +
+    "duplicates absorbed; trailing session withheld") {
+    import graft.streaming.EventStream
+    var nextId = 0L
+    def ev(u: Long, t: String, minute: Long) = {
+      nextId += 1
+      val ts = java.sql.Timestamp.from(java.sql.Timestamp
+        .valueOf("2024-01-01 00:00:00").toInstant.plusSeconds(minute * 60))
+      (nextId, ts, u, t, 1.0, "{}")
+    }
+    // gap 30 min. u1: one full session + a later singleton. u2: events
+    // listed OUT OF ORDER. u3: duplicate delivery. u5: the bridge case —
+    // view@0 and click@54 are 54 min apart (two sessions on their own);
+    // the click@27 listed LAST bridges them into one. u9: a late tail
+    // event pushes the watermark; its own session stays open (withheld).
+    val rows = Seq(
+      ev(1, "view", 0), ev(1, "click", 12), ev(1, "purchase", 24),
+      ev(1, "view", 300),
+      ev(2, "click", 24), ev(2, "view", 6), // arrival order ≠ event order
+      ev(5, "view", 0), ev(5, "click", 54), ev(5, "click", 27), // bridge
+      ev(9, "view", 6000))
+    val u3 = { val e1 = ev(3, "view", 0); Seq(e1, e1, ev(3, "click", 20)) }
+    val all = rows ++ u3
+    val dir = java.nio.file.Files.createTempDirectory("graft-spaths").toString + "/ev"
+    all.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3).write.parquet(dir)
+    val emitted = EventStream.backfillSessionPaths(spark, dir)
+      .select($"user_id", $"path").as[(Long, String)].collect().toSeq.sorted
+    emitted shouldBe Seq(
+      (1L, "view"), (1L, "view>click>purchase"), (2L, "view>click"),
+      (3L, "view>click"), (5L, "view>click>click"))
+    // stream report ≡ batch j16 on the finalized population (u9's trailing
+    // session is withheld exactly as a live stream would). u3 is excluded
+    // from the batch side: its duplicate is IN the source parquet, so the
+    // batch chain honestly renders "view>view>click" — the stream dedupes
+    // duplicate DELIVERY (asserted above), which is a different contract
+    // than duplicate source rows.
+    val streamReport = graft.operators.EventAnalytics.topPathsFromSessionPaths(
+        EventStream.backfillSessionPaths(spark, dir)
+          .where($"user_id" =!= 3L))
+      .as[(String, Long)].collect().toSeq
+    val batchReport = graft.operators.EventAnalytics.topPaths(
+        EventStream.withEventTime(spark.read.parquet(dir))
+          .where($"user_id" =!= 9L && $"user_id" =!= 3L))
+      .as[(String, Long)].collect().toSeq
+    streamReport shouldBe batchReport
+  }
+
   test("top-k count-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.operators.SketchRollup
