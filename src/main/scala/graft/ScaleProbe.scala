@@ -779,6 +779,33 @@ object ScaleProbe {
       f""""lp_rows":$nPred,"lp_sec":$tLp%.2f}"""
   }
 
+  /** g6 community probe: the support-thresholded co-view graph at 1× and
+    * on ten DISJOINT copies (user AND item ids shifted) — support is
+    * preserved within each copy, so the thresholded graph is exactly ten
+    * disjoint replicas and communities/nodes must scale exactly 10×
+    * while the superstep count (diameter) stays CONSTANT — the claim
+    * that makes fixpoint label propagation 100 TB-shaped.
+    */
+  private def profileComm(label: String, ev: DataFrame): String = {
+    val item = regexp_extract(col("props"), "(\\d+)", 1)
+    val ui = ev.where(col("event_type") === "view")
+      .select(col("user_id"), item.cast("int").as("item"))
+      .where(col("item").isNotNull).distinct()
+    val (edges, tEdges) = timed {
+      val e = graft.operators.Graph.coviewEdgesWeightedFromPairs(ui)
+        .where(col("support") >= 8).select("src", "dst").persist()
+      (e, e.count())
+    }
+    val (stats, tComm) = timed {
+      val r = graft.operators.Graph.labelCommunities(edges._1)
+        .agg(count(lit(1)), countDistinct("community")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    edges._1.unpersist()
+    f"""{"corpus":"$label","n_edges":${edges._2},"edges_sec":$tEdges%.2f,""" +
+      f""""n_nodes":${stats._1},"n_comms":${stats._2},"comm_sec":$tComm%.2f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -885,6 +912,19 @@ object ScaleProbe {
           regexp_extract(col("props"), "(\\d+)", 1)), iters = 2).count() // warm-up
       println(profileGraph(spark, "graph-1x", ev1))
       println(profileGraph(spark, "graph-10x", spark.read.parquet(dirG)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "comm" runs ONLY the g6 community probe on
+    // the disjoint-copies axis (communities must scale exactly 10×, the
+    // superstep count must not grow)
+    if (args.headOption.contains("comm")) {
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      val dirM = scratch("decade-comm/events")
+      synthesizeDecadeGraphEvents(ev1).write.mode("overwrite").parquet(dirM)
+      println(profileComm("comm-1x", ev1))
+      println(profileComm("comm-10x", spark.read.parquet(dirM)))
       spark.stop()
       return
     }

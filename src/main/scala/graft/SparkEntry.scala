@@ -626,6 +626,14 @@ object SparkEntry {
         "category", innerK = 3)
     }),
 
+    // Q14 MORE-LIKE-THIS (ES more_like_this): the seed doc's interesting
+    // terms — ranked by the INTEGER (tf desc, df asc, term) order, never
+    // float tf·idf (a libm ulp could swap the selection) — build the OR
+    // query, rest of the corpus ranked by round-6 IDF overlap, seed
+    // excluded; broadcast-scale stats, one narrow pass + TakeOrdered
+    "q14_more_like_this" -> ((s, d) =>
+      SearchExecutor.moreLikeThis(Corpus.metadata(s, d), "000042")),
+
     // Q6 prefix autocomplete (ES completion-suggester shape): top-5 title
     // terms starting with "b", ranked by corpus frequency, term ties
     "q6_autocomplete" -> ((s, d) =>
@@ -1007,6 +1015,22 @@ object SparkEntry {
       val deltas = scratch("e30-deltas")
       EventStream.streamDailyCountFold(s, src, deltas)
       graft.operators.Quality.seasonalVolumeFromDaily(
+        EventStream.readDeltaLog(s, deltas)
+          .groupBy("day").agg(sum("d_n").as("cnt")))
+    }),
+
+    // E34 STREAMING changepoint gate: c14's CUSUM fed by the SAME
+    // streamed daily-count sum log as e30 (one log, two monitors) — the
+    // order-free integer re-sum rebuilds the daily table and the report
+    // runs through the SHARED cusumShiftFromDaily, so stream ≡ batch by
+    // construction and the oracle is c14's VERBATIM
+    "e34_stream_cusum" -> ((s, d) => {
+      val src = scratch("e34-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        s.read.parquet(s"$d/events.parquet").repartition(4).write.parquet(src)
+      val deltas = scratch("e34-deltas")
+      EventStream.streamDailyCountFold(s, src, deltas)
+      graft.operators.Quality.cusumShiftFromDaily(
         EventStream.readDeltaLog(s, deltas)
           .groupBy("day").agg(sum("d_n").as("cnt")))
     }),
@@ -3307,6 +3331,22 @@ object SparkEntry {
           s.read.parquet(s"$d/events.parquet"),
           regexp_extract(col("props"), "(\\d+)", 1)))),
 
+    // G7 WEIGHTED PageRank: rank mass distributed proportionally to
+    // co-view SUPPORT — a neighbor backed by 80 shared viewers pulls 80×
+    // a single-viewer fluke's mass; same exact-integer Pregel shape as
+    // g1, chained-CTE oracle, weighted order diverges from degree order
+    "g7_weighted_pagerank" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val ui = ev.where(col("event_type") === "view")
+        .select(col("user_id"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+        .where(col("item").isNotNull)
+        .distinct()
+      graft.operators.Graph.pageRankWeighted(
+        graft.operators.Graph.coviewEdgesWeightedFromPairs(ui)
+          .withColumnRenamed("support", "w"))
+    }),
+
     // G6 communities: deterministic min-label propagation to FIXPOINT over
     // the SUPPORT-THRESHOLDED co-view graph (≥8 shared viewers — the weak
     // single-viewer edges that glue any real co-view graph into one blob
@@ -4131,6 +4171,32 @@ object SparkEntry {
       "SELECT deg.item, deg.deg, r.community, cs.csize " +
       "FROM deg JOIN r USING (item) JOIN cs USING (community) ORDER BY deg.item"
 
+  /** g7: the weighted co-view chain (per-pair support kept as the edge
+    * weight), then the weighted recurrence unrolled as 5 chained CTEs —
+    * rank mass split proportionally to out-weight, all floor division on
+    * positive longs, so the fixpoint hash-matches like g1's.
+    */
+  private lazy val weightedPagerankSql: String = {
+    val base =
+      "WITH ui AS (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
+        "FROM events WHERE event_type = 'view' AND regexp_extract(props, '(\\d+)', 1) <> ''), " +
+        "ok AS (SELECT user_id FROM ui GROUP BY 1 HAVING count(*) <= 50), " +
+        "c AS (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id)), " +
+        "e AS (SELECT a.item AS src, b.item AS dst, count(*)::BIGINT AS w FROM c a JOIN c b " +
+        "ON a.user_id = b.user_id AND a.item <> b.item GROUP BY 1, 2), " +
+        "ws AS (SELECT src AS item, sum(w)::BIGINT AS wsum, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+        "nn AS (SELECT count(*)::BIGINT AS n FROM ws), " +
+        "r0 AS (SELECT item, (1000000 // n)::BIGINT AS r FROM ws, nn)"
+    val steps = (1 to 5).map { i =>
+      s"r$i AS (SELECT e.dst AS item, (150000 // nn.n + " +
+        "sum((p.r * 85 * e.w) // (100 * d.wsum)))::BIGINT AS r " +
+        s"FROM e JOIN r${i - 1} p ON e.src = p.item " +
+        "JOIN ws d ON e.src = d.item CROSS JOIN nn GROUP BY e.dst, nn.n)"
+    }.mkString(", ", ", ", " ")
+    base + steps + "SELECT r5.item, ws.deg, ws.wsum, r5.r AS rank_e6 " +
+      "FROM r5 JOIN ws USING (item) ORDER BY rank_e6 DESC, item"
+  }
+
   /** c14: the same densified spine, the same baseline calibration (first
     * 7 spine days), the same closed-form CUSUM — running sum minus
     * running min of the slack-adjusted scaled deviations; `//` numerators
@@ -4567,6 +4633,20 @@ object SparkEntry {
         (M + s"SELECT id, score FROM (SELECT id, ${score1("economy")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id"),
       "q1_multiterm" ->
         (M + s"SELECT id, score FROM (SELECT id, $scoreRW AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id"),
+      // q14: the same integer interesting-term selection (tf desc, df
+      // asc, term) over the seed's tokens, q4's ln-IDF sum round-6
+      "q14_more_like_this" ->
+        (M + s", seed AS (SELECT ${stdToks("dataSample")} AS t FROM meta WHERE id = '000042') " +
+          ", terms AS (SELECT tok, count(*)::BIGINT AS tf FROM (SELECT unnest(t) AS tok FROM seed) GROUP BY 1) " +
+          ", nd AS (SELECT count(*)::BIGINT AS n FROM meta) " +
+          s", mt AS (SELECT id, unnest(list_distinct(${stdToks("dataSample")})) AS tok FROM meta) " +
+          ", df AS (SELECT t.tok, t.tf, count(m.id)::BIGINT AS df FROM terms t " +
+          "LEFT JOIN mt m ON m.tok = t.tok GROUP BY 1, 2) " +
+          ", top AS (SELECT tok, df FROM df ORDER BY tf DESC, df ASC, tok LIMIT 5) " +
+          ", sc AS (SELECT meta.id, round(sum(ln(1 + (SELECT n FROM nd) / (1.0 + top.df))), 6) AS score " +
+          s"FROM meta JOIN top ON list_contains(${stdToks("meta.dataSample")}, top.tok) " +
+          "WHERE meta.id <> '000042' GROUP BY 1) " +
+          "SELECT id, score FROM sc WHERE score > 0 ORDER BY score DESC, id LIMIT 10"),
       // q13: the q1 'red' scoring chain collapsed per category — rank
       // within group by (score desc, id), keep ≤3, groups in top-hit
       // score order (ES collapse + inner_hits)
@@ -6603,6 +6683,8 @@ object SparkEntry {
       // g6: recursive-reachability replay of the min-label fixpoint over
       // the support-≥8 co-view graph
       "g6_communities" -> communitiesSql,
+      // g7: the weighted recurrence replayed as chained CTEs
+      "g7_weighted_pagerank" -> weightedPagerankSql,
       // e31: the streamed set fold must rebuild g1's edge table exactly —
       // same oracle verbatim (distinct-union order-free, replay
       // idempotent by batch-directory overwrite)
@@ -7059,6 +7141,9 @@ object SparkEntry {
       "c13_freshness" -> freshnessSql,
       // c14: closed-form CUSUM replay over the same spine
       "c14_cusum_shift" -> cusumShiftSql,
+      // e34: the streamed daily-count fold rebuilds the identical daily
+      // table, so the batch CUSUM oracle applies verbatim
+      "e34_stream_cusum" -> cusumShiftSql,
       // e32: the streamed (sum, max) fold must rebuild c13's per-group
       // table exactly — same oracle verbatim (max is order-free AND
       // duplicate-delivery-immune; replay idempotent by batch overwrite)

@@ -171,6 +171,60 @@ object SearchExecutor {
       .orderBy(col("top_score").desc, col(field), col("rnk"))
   }
 
+  /** MORE-LIKE-THIS — Elasticsearch's `more_like_this` query (the
+    * "find documents similar to this one" primitive of the search
+    * lineage): extract the seed document's INTERESTING TERMS, build the
+    * implied OR query, and rank the rest of the corpus by IDF-weighted
+    * term overlap.
+    *
+    * Interesting-term selection is deliberately INTEGER-ONLY — rank the
+    * seed's distinct terms by (term frequency desc, document frequency
+    * asc, term asc) and take `maxQueryTerms` — where ES ranks by float
+    * tf·idf: the two orders agree in spirit (frequent-in-doc,
+    * rare-in-corpus first) but the integer total order is reproducible
+    * bit-for-bit on any engine, while a float ranking could swap two
+    * near-equal terms under libm ulp differences and silently change the
+    * whole result set (the q4 round-6 discipline protects scores, not
+    * selections). Scoring is then q4's IDF form — Σ ln(1 + N/(1+df))
+    * over matched interesting terms, round-6, seed excluded, score > 0,
+    * top-k by (score desc, id).
+    *
+    * Plan: the seed's token list and the |terms|+1-row df statistic are
+    * driver-collected broadcast-scale constants ([[graft.compile.QueryCompiler.idfWeights]]
+    * — the q8/e15-maintainable statistic), so scoring is ONE narrow
+    * codegen'd pass over the corpus with no join and a
+    * TakeOrderedAndProject top-k.
+    */
+  def moreLikeThis(entries: DataFrame, seedId: String,
+                   field: String = "dataSample", maxQueryTerms: Int = 5,
+                   k: Int = 10): DataFrame = {
+    require(maxQueryTerms >= 1 && k >= 1,
+      s"maxQueryTerms=$maxQueryTerms, k=$k must be positive")
+    val seedRows = entries.where(col("id") === seedId)
+      .select(graft.analyzers.Analyzers.standardTokens(col(field)))
+      .collect()
+    require(seedRows.nonEmpty, s"moreLikeThis: seed id $seedId not found")
+    val seedToks = seedRows.head.getSeq[String](0)
+    val tf = seedToks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val terms = tf.keys.toSeq.sorted
+    val (n, dfs) = graft.compile.QueryCompiler.idfWeights(entries, terms, field)
+    val interesting = terms
+      .map(t => (t, tf(t), dfs.getOrElse(t, 0L)))
+      .sortBy { case (t, f, d) => (-f, d, t) }
+      .take(maxQueryTerms).map(_._1)
+    def idf(t: String): Double =
+      math.log(1.0 + n.toDouble / (1.0 + dfs.getOrElse(t, 0L).toDouble))
+    val toks = graft.analyzers.Analyzers.standardTokens(col(field))
+    val score = interesting.map(t =>
+      when(array_contains(toks, t), lit(idf(t))).otherwise(0.0)).reduce(_ + _)
+    entries.where(col("id") =!= seedId)
+      .withColumn("score", round(score, 6))
+      .where(col("score") > 0)
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Date-histogram facet — Elasticsearch's `date_histogram` aggregation
     * (the time-axis companion of the category/format term facets the
     * reference compiles, query_translation.py:83-95): entry counts per

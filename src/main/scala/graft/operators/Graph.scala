@@ -81,6 +81,55 @@ object Graph {
     (out, e)
   }
 
+  /** WEIGHTED PageRank — [[pageRank]] with each edge carrying a long
+    * weight (co-view SUPPORT from [[coviewEdgesWeightedFromPairs]]):
+    * a neighbor backed by eighty shared viewers should pull eighty
+    * times the rank mass of a single-viewer fluke, which the unweighted
+    * walk cannot express. Same exact-integer discipline, the recurrence
+    * distributing each node's damped rank proportionally to out-weight:
+    *
+    *   r⁺(v) = (150000 div n) + Σ_{u→v} (r(u)·85·w(u,v)) div (100·W(u))
+    *
+    * with W(u) = Σ out-weights of u — every quantity a long, every sum
+    * order-free, so the chained-CTE oracle replay hash-matches. The
+    * floor leaks ≤1 micro per in-edge per step, fine for an ordering
+    * (the g1 argument). Same Pregel plan shape: the weight-annotated
+    * edge table partitions ONCE on the message key and persists; each
+    * superstep one co-partitioned join + map-side-combining aggregate;
+    * cache released after the terminal action.
+    *
+    * `edges` must be `(src, dst, w)` with positive long weights, every
+    * node appearing as a src (symmetric weighted co-view satisfies
+    * both). Output: `(item, deg, wsum, rank_e6)` ordered by rank desc,
+    * item — degree AND weight-sum carried so readers can see the
+    * weighted order diverge from both.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ws = edges.groupBy("src")
+      .agg(sum("w").as("wsum"), count(lit(1)).as("deg"))
+    val e = edges.join(ws, "src")
+      .repartition(col("src"))
+      .persist()
+    val n = ws.count()
+    require(n > 0, "pageRankWeighted needs a non-empty edge table")
+    val tele = 150000L / n
+    var ranks = ws.select(col("src").as("item"), lit(1000000L / n).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = e.join(ranks.withColumnRenamed("item", "src"), "src")
+        .groupBy("dst")
+        .agg(sum(expr("(r * 85 * w) DIV (100 * wsum)")).as("in_sum"))
+        .select(col("dst").as("item"), (lit(tele) + col("in_sum")).as("r"))
+    }
+    val out = ranks
+      .join(ws.select(col("src").as("item"), col("deg"), col("wsum")), "item")
+      .select(col("item"), col("deg"), col("wsum"), col("r").as("rank_e6"))
+      .orderBy(col("rank_e6").desc, col("item"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Per-node TRIANGLE counts and clustering coefficient over a symmetric
     * distinct edge table — the community-structure audit ("how clique-ish
     * is each item's neighborhood"), the signal behind spam-ring detection

@@ -54,6 +54,54 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
     got shouldBe expect
   }
 
+  test("weighted pageRank: heavier edges pull more mass; closed-form star values") {
+    // hub 0 → leaves {1, 2} with weights 3 and 1; leaves → hub weight 1.
+    // n=3, tele=50000, r0=333333; W(0)=4, W(1)=W(2)=1
+    val edges = Seq((0, 1, 3L), (0, 2, 1L), (1, 0, 1L), (2, 0, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(edges)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // driver replay of the same integer recurrence
+    var r = Map(0 -> 333333L, 1 -> 333333L, 2 -> 333333L)
+    (1 to 5).foreach { _ =>
+      r = Map(
+        0 -> (50000L + (r(1) * 85 * 1) / (100 * 1) + (r(2) * 85 * 1) / (100 * 1)),
+        1 -> (50000L + (r(0) * 85 * 3) / (100 * 4)),
+        2 -> (50000L + (r(0) * 85 * 1) / (100 * 4)))
+    }
+    val expect = Seq((0, 2L, 4L, r(0)), (1, 1L, 1L, r(1)), (2, 1L, 1L, r(2)))
+      .sortBy { case (v, _, _, rk) => (-rk, v) }
+    got shouldBe expect
+    // the weighting is visible: leaf 1 (weight-3 edge) out-ranks leaf 2
+    r(1) should be > r(2)
+  }
+
+  test("property: weighted pageRank equals a driver-side integer reference on seeded random graphs") {
+    val rnd = new scala.util.Random(31)
+    val raw = (0 until 120).map(_ => (rnd.nextInt(15), rnd.nextInt(15)))
+      .filter { case (a, b) => a != b }
+    val und = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = und.groupBy(identity).map { case ((a, b), xs) =>
+      (a, b, xs.size.toLong) }.toSeq // multiplicity as support weight
+    val got = Graph.pageRankWeighted(edges.toDF("src", "dst", "w"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val out = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    val n = out.size
+    val wsum = out.map { case (s, es) => s -> es.map(_._2).sum }
+    var r: Map[Int, Long] = out.keys.map(_ -> 1000000L / n).toMap
+    (1 to 5).foreach { _ =>
+      val in = out.toSeq.flatMap { case (u, vs) =>
+        vs.map { case (v, w) => v -> (r(u) * 85 * w) / (100 * wsum(u)) }
+      }.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      r = r.keys.map(v => v -> (150000L / n + in.getOrElse(v, 0L))).toMap
+    }
+    val expect = r.toSeq.map { case (v, rk) =>
+      (v, out(v).size.toLong, wsum(v), rk) }
+      .sortBy { case (v, _, _, rk) => (-rk, v) }
+    got shouldBe expect
+  }
+
   test("triangleStats: triangle-plus-pendant graph — exact counts, cc micros, zero rows kept") {
     // triangle 1-2-3 with pendant 4 hanging off 3 (symmetric edges)
     val und = Seq((1, 2), (1, 3), (2, 3), (3, 4))

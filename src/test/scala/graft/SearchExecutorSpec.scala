@@ -217,6 +217,33 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("b", 1L, "5", 4.0, 4.0), ("b", 2L, "6", 4.0, 4.0))
   }
 
+  test("Q14 more-like-this: integer interesting-term selection, IDF ranking, seed excluded") {
+    // seed: apple×2, banana×1, cherry×1. df over ALL 5 docs (seed
+    // included): apple 3, banana 3, cherry 2. selection (maxQueryTerms=2)
+    // by (tf desc, df asc, term asc): apple (tf 2), then banana vs cherry
+    // tie on tf 1 → cherry's lower df wins
+    val corpus = Seq(
+      ("s", "apple apple banana cherry"),
+      ("a", "apple banana grape"), // apple only of the selected pair
+      ("b", "apple cherry"), // both selected terms → top
+      ("c", "banana melon"), // banana not selected → absent
+      ("d", "melon grape") // no selected term → absent
+    ).toDF("id", "dataSample")
+    val got = SearchExecutor.moreLikeThis(corpus, "s", maxQueryTerms = 2)
+      .as[(String, Double)].collect().toSeq
+    val n = 5.0
+    def idf(df: Long) = math.log(1.0 + n / (1.0 + df))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe Seq(
+      ("b", r6(idf(3) + idf(2))), // apple + cherry
+      ("a", r6(idf(3)))) // apple
+    // seed never self-reports, unmatched docs absent
+    got.map(_._1) should not contain "s"
+    // unknown seed refuses loudly
+    an[IllegalArgumentException] should be thrownBy
+      SearchExecutor.moreLikeThis(corpus, "zzz")
+  }
+
   test("Q12 minimum_should_match: strict term-count gate; scoring unchanged from Q1") {
     val out = SearchExecutor.minShouldMatchSearch(ds.toDF(), "heart rate prices", 2)
       .as[(String, Long, Double)].collect().toSeq

@@ -401,6 +401,23 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamReport shouldBe batchReport
   }
 
+  test("streaming CUSUM: the folded daily-count log reproduces the batch changepoint gate verbatim") {
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files.createTempDirectory("graft-scusum").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(4).write.parquet(s"$root/src")
+    EventStream.streamDailyCountFold(spark, s"$root/src", s"$root/log")
+    val streamed = graft.operators.Quality.cusumShiftFromDaily(
+        EventStream.readDeltaLog(spark, s"$root/log")
+          .groupBy("day").agg(sum("d_n").as("cnt")))
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    val batch = graft.operators.Quality.cusumShift(
+        EventStream.withEventTime(spark.read.parquet(s"$root/src")), "ts")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    streamed should not be empty
+    streamed shouldBe batch
+  }
+
   test("top-k count-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.operators.SketchRollup
