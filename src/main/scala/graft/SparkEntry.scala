@@ -1645,6 +1645,12 @@ object SparkEntry {
     "t29_language_mix" -> ((s, d) =>
       graft.operators.TextAnalysis.languageMix(docs(s, d))),
 
+    // T30 Flesch readability in exact integer micros: long sentences +
+    // polysyllabic words penalized (a different axis than t2's quality
+    // blend); deterministic structural counts, one codegen'd pass
+    "t30_readability" -> ((s, d) =>
+      graft.operators.TextAnalysis.readability(docs(s, d))),
+
     // T28 code-vs-prose router: per-doc code-symbol density + indented-
     // line fraction, exact integers, cross-multiplied flag — the cheap
     // gate before t20's learned classifier
@@ -4923,6 +4929,23 @@ object SparkEntry {
           s"len(list_filter(t, x -> x IN $stop)) AS n_stopwords FROM toks ORDER BY doc_id"),
       // t29: the same lang-ID CASE per doc, grouped to (source, lang)
       // cells with within-source floor-div share micros
+      // t30: identical structural counts (std tokens, non-blank sentence
+      // segments min 1, vowel-group runs) and the same micros formula —
+      // each // on non-negative operands, final subtraction exact longs
+      "t30_readability" ->
+        ("WITH m AS (SELECT doc_id, " +
+          s"len(${stdToks("text")})::BIGINT AS w, " +
+          "greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'), " +
+          "x -> trim(x) <> '')))::BIGINT AS s, " +
+          "len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS y " +
+          "FROM documents) " +
+          "SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables, " +
+          "(CASE WHEN w > 0 THEN 206835000 - (1015000 * w) // s - (84600000 * y) // w END)::BIGINT AS flesch_e6, " +
+          "CASE WHEN w = 0 THEN NULL " +
+          "WHEN 206835000 - (1015000 * w) // s - (84600000 * y) // w >= 60000000 THEN 'easy' " +
+          "WHEN 206835000 - (1015000 * w) // s - (84600000 * y) // w >= 30000000 THEN 'medium' " +
+          "ELSE 'hard' END AS band " +
+          "FROM m ORDER BY doc_id"),
       "t29_language_mix" ->
         (T + s", sc AS (SELECT doc_id, $langScores FROM toks), " +
           "lg AS (SELECT d.source, CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en' " +

@@ -76,6 +76,51 @@ object TextAnalysis {
   /** Language-ID: (doc_id, predicted_lang, lang_score). `lang_score` is the
     * winning profile's function-word hit count.
     */
+  /** READABILITY score — Flesch reading ease (Flesch 1948), the classic
+    * "how hard is this text" gate a curation pipeline runs beside the
+    * quality blend (t2 rewards length/vocabulary; this penalizes long
+    * sentences and polysyllabic words — different axis, different
+    * failures):
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * carried as EXACT INTEGER MICROS: flesch_e6 = 206835000 −
+    * (1015000·W) div S − (84600000·Y) div W — each division's operands
+    * are non-negative (floor ≡ trunc, the portable form) and the final
+    * subtraction is exact long arithmetic, so both engines agree
+    * bit-for-bit even on the negative scores real tangled text
+    * produces. Deterministic structural counts, no NLP dependency:
+    * W = standard tokens, S = non-blank `[.!?]+`-separated segments
+    * (min 1 — headline-style text is one sentence, not zero),
+    * Y = vowel-group runs `[aeiouy]+` of the lowered text (the standard
+    * syllable heuristic — a run can't span a word boundary, so no
+    * tokenization needed). A tokenless doc reports null score/band.
+    * Bands read off the integer at the published 60/30 thresholds.
+    *
+    * Plan: ONE codegen'd narrow pass, no shuffle, no join — the same
+    * shape as t2/t24, ingest-time cheap at any scale. Output:
+    * `(doc_id, n_words, n_sentences, n_syllables, flesch_e6, band)`
+    * ordered by doc_id.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = size(tokens(col("text"))).cast("long")
+    val s = greatest(lit(1L),
+      size(filter(split(col("text"), "[.!?]+", -1),
+        x => trim(x) =!= "")).cast("long"))
+    val y = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        y.as("n_syllables"))
+      .withColumn("flesch_e6", when(col("n_words") > 0,
+        expr("206835000L - (1015000L * n_words) DIV n_sentences" +
+          " - (84600000L * n_syllables) DIV n_words")))
+      .withColumn("band", when(col("n_words") === 0, lit(null).cast("string"))
+        .when(col("flesch_e6") >= 60000000L, "easy")
+        .when(col("flesch_e6") >= 30000000L, "medium")
+        .otherwise("hard"))
+      .orderBy("doc_id")
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val (predicted, best) = langCols(tokens(col("text")))
     docs.select(col("doc_id"), predicted.as("predicted_lang"),

@@ -660,6 +660,23 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       Pipeline.paddingEfficiency(docs, Seq(32, 16))
   }
 
+  test("readability: closed-form Flesch micros, sentence fallback, tokenless doc reports null") {
+    val docs = Seq(
+      // 6 words, 2 sentences, 6 vowel runs:
+      // 206835000 − (1015000·6)//2 − (84600000·6)//6 = 119190000 → easy
+      (0L, "The cat sat. The dog ran!"),
+      // no sentence punctuation → the min-1 fallback, not a div-by-zero
+      (1L, "strengths rhythms myths"), // 3 words, 1 sentence, 3 vowel runs (e, y, y)
+      (2L, "???") // tokenless: null score, null band
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Option[Long], Option[String])].collect().toSeq
+    got(0) shouldBe ((0L, 6L, 2L, 6L, Some(119190000L), Some("easy")))
+    // 206835000 − (1015000·3)//1 − (84600000·3)//3 = 119190000 → easy
+    got(1) shouldBe ((1L, 3L, 1L, 3L, Some(119190000L), Some("easy")))
+    got(2) shouldBe ((2L, 0L, 1L, 0L, None, None))
+  }
+
   test("code profile: code flags on either signal, prose stays clean, empty doc safe") {
     val code = "def f(x):\n  if (x > 0) {\n    return x[0];\n  }\n"
     val indentOnly = "poem line one\n  indented verse two\n  indented verse three\n"
