@@ -3400,6 +3400,13 @@ object SparkEntry {
       graft.operators.EventAnalytics.dwellTimes(
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
 
+    // J20 time-to-convert: first view → first at-or-after purchase lag
+    // per acquisition-week cohort, exact lower median/p90 micros by the
+    // c11 rank rule — conversion velocity the j12 cohort way
+    "j20_time_to_convert" -> ((s, d) =>
+      graft.operators.EventAnalytics.timeToConvert(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
+
     // J15 first-order Markov transition matrix: adjacent event-type pairs
     // per user timeline (ts, event_id order), exact integer-micros row
     // probabilities via floor division — one user shuffle + sort, then a
@@ -6282,6 +6289,21 @@ object SparkEntry {
           "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces, " +
           "((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT AS bounce_e6 " +
           "FROM p GROUP BY entry_type ORDER BY entry_type"),
+      // j20: same first-view anchor, at-or-after purchase floor, Monday
+      // date_trunc week on both engines, (n+1)-rule order statistics
+      "j20_time_to_convert" ->
+        ("WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "v AS (SELECT user_id, min(us) AS tv FROM e WHERE event_type = 'view' GROUP BY 1), " +
+          "p AS (SELECT e.user_id, min(e.us) AS tp, min(v.tv) AS tv FROM e JOIN v USING (user_id) " +
+          "WHERE e.event_type = 'purchase' AND e.us >= v.tv GROUP BY 1), " +
+          "l AS (SELECT user_id, date_trunc('week', make_timestamp(tv))::DATE::VARCHAR AS cohort_week, " +
+          "(tp - tv)::BIGINT AS lag_us FROM p), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY cohort_week ORDER BY lag_us, user_id) AS rn, " +
+          "count(*) OVER (PARTITION BY cohort_week) AS n FROM l) " +
+          "SELECT cohort_week, max(n)::BIGINT AS n_users, " +
+          "max(CASE WHEN rn = (n + 1) // 2 THEN lag_us END)::BIGINT AS med_lag_us, " +
+          "max(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_us END)::BIGINT AS p90_lag_us " +
+          "FROM r GROUP BY 1 ORDER BY 1"),
       // j18: same user-timeline lead, same strict session boundary, same
       // (n+1)-rule order-statistic ranks over exact dwell micros
       "j18_dwell_times" ->

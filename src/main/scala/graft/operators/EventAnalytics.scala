@@ -462,6 +462,55 @@ object EventAnalytics {
       .orderBy("src", "dst")
   }
 
+  /** TIME-TO-CONVERT profile: per acquisition cohort, how long users take
+    * from their FIRST view to their first purchase at-or-after it — the
+    * conversion-velocity report behind "is the funnel getting faster",
+    * cohorted so product changes show up as between-cohort shifts instead
+    * of being averaged away (the j12 cohort discipline applied to a
+    * latency). Users whose only purchases predate their first view never
+    * converted FROM the view and drop out (the j9 anchor rule).
+    *
+    * Cohort = ISO week (date_trunc week — Monday-start on both engines)
+    * of the first view. The summary is the c11/j18 exact-order-statistic
+    * discipline: lower median and lower p90 of the per-user lag micros,
+    * rank `(n+1) DIV 2` / `(9n+9) DIV 10` — exact longs both engines
+    * agree on bit-for-bit.
+    *
+    * Plan: one user-keyed aggregate for first views, the purchase slice
+    * joined back on the SAME key (co-partitioned — AQE reuses the
+    * exchange) and min-aggregated, then the rank window over cohort-week
+    * partitions of one slim row per CONVERTING user — the same
+    * partitioned-window shape as j18, nothing global sorts. Output:
+    * `(cohort_week, n_users, med_lag_us, p90_lag_us)` ordered by week.
+    */
+  def timeToConvert(events: DataFrame, viewType: String = "view",
+                    convType: String = "purchase"): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val firstView = e.where(col("event_type") === viewType)
+      .groupBy("user_id").agg(min("us").as("tv"))
+    val firstConv = e.where(col("event_type") === convType)
+      .join(firstView, "user_id")
+      .where(col("us") >= col("tv"))
+      .groupBy("user_id").agg(min("us").as("tp"), min("tv").as("tv"))
+    val lags = firstConv.select(col("user_id"),
+      date_trunc("week", timestamp_micros(col("tv")))
+        .cast("date").cast("string").as("cohort_week"),
+      (col("tp") - col("tv")).as("lag_us"))
+    val wOrd = Window.partitionBy("cohort_week").orderBy(col("lag_us"), col("user_id"))
+    val wAll = Window.partitionBy("cohort_week")
+    lags
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("cohort_week")
+      .agg(max("n").as("n_users"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("lag_us")))
+          .as("med_lag_us"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("lag_us")))
+          .as("p90_lag_us"))
+      .orderBy("cohort_week")
+  }
+
   /** Per-event-type DWELL-TIME profile: how long users sit on each action
     * before their next one — the engagement statistic behind "is this
     * step where people stall". An event's dwell is the gap to the SAME

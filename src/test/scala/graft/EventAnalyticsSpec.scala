@@ -414,4 +414,31 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("click", 1L, 1800000000L, 1800000000L, 1800000000L),
       ("view", 4L, 20000000L, 40000000L, 40000000L))
   }
+
+  test("time to convert: first-view anchor, pre-view purchases ignored, weekly cohorts, exact ranks") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // u1: clean 1h conversion (cohort Mon 2024-01-01)
+      (1L, 10L, "view", t("2024-01-03 10:00:00")),
+      (1L, 11L, "purchase", t("2024-01-03 11:00:00")),
+      // u2: a purchase BEFORE the first view is not a conversion from it;
+      // the 2h-later one is (the anchor rule)
+      (2L, 20L, "purchase", t("2024-01-03 09:00:00")),
+      (2L, 21L, "view", t("2024-01-03 10:00:00")),
+      (2L, 22L, "purchase", t("2024-01-03 12:00:00")),
+      // u3 never buys, u4 never views — both drop
+      (3L, 30L, "view", t("2024-01-03 10:00:00")),
+      (4L, 40L, "purchase", t("2024-01-03 10:00:00")),
+      // u5: second cohort (Mon 2024-01-08), 30-min conversion
+      (5L, 50L, "view", t("2024-01-10 10:00:00")),
+      (5L, 51L, "purchase", t("2024-01-10 10:30:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventAnalytics.timeToConvert(rows)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // cohort 1: lags {3600s (u1), 7200s (u2)} → n 2, med rank 1 = 3600s,
+    // p90 rank 2 = 7200s; cohort 2: the single 1800s conversion
+    out shouldBe Seq(
+      ("2024-01-01", 2L, 3600000000L, 7200000000L),
+      ("2024-01-08", 1L, 1800000000L, 1800000000L))
+  }
 }
