@@ -3680,6 +3680,14 @@ object SparkEntry {
       Relational.revenueConcentration(
         s.read.parquet(s"$d/orders.parquet"))),
 
+    // O32 RFM segmentation: recency/frequency/monetary quintile scores by
+    // exact population rank (three bucketedRank passes — the o31 shape
+    // ×3, never a single-partition sort), whole-day recency vs the corpus
+    // high-water mark (the c13 no-wall-clock rule), segment counts +
+    // exact revenue cents
+    "o32_rfm_segments" -> ((s, d) =>
+      Relational.rfmSegments(s.read.parquet(s"$d/orders.parquet"))),
+
     // O30 year-over-year revenue growth per nation — LAG over the
     // |nations|×|years| metadata grid after one map-side-combining
     // cents aggregate over broadcast-joined dims; growth in exact
@@ -6545,6 +6553,25 @@ object SparkEntry {
       // o27: profit per nation×year, the same retail-price cost proxy,
       // per-row decimal difference summed exactly
       // o31: naive global-window rank (the oracle may single-sort; the
+      // o32: the same naive global row_number windows (three of them) —
+      // the engine's three bucketed ranks must be value-invisible; same
+      // (rank−1)·5 // n + 1 quantile rule, same day diffs vs the corpus
+      // high-water mark
+      "o32_rfm_segments" ->
+        ("WITH pc AS (SELECT o_custkey AS cust, max(o_orderdate::DATE) AS last_day, " +
+          "count(*)::BIGINT AS freq, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS mon FROM orders GROUP BY 1), " +
+          "t AS (SELECT max(last_day) AS hwm, count(*)::BIGINT AS n FROM pc), " +
+          "x AS (SELECT cust, datediff('day', last_day, hwm)::BIGINT AS rec_days, " +
+          "freq, mon, n FROM pc, t), " +
+          "r AS (SELECT *, row_number() OVER (ORDER BY rec_days DESC, cust) AS rr, " +
+          "row_number() OVER (ORDER BY freq, cust) AS fr, " +
+          "row_number() OVER (ORDER BY mon, cust) AS mr FROM x) " +
+          "SELECT (((rr - 1) * 5) // n + 1)::BIGINT AS r_score, " +
+          "(((fr - 1) * 5) // n + 1)::BIGINT AS f_score, " +
+          "(((mr - 1) * 5) // n + 1)::BIGINT AS m_score, " +
+          "count(*)::BIGINT AS n_cust, sum(mon)::BIGINT AS mon_cents " +
+          "FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
       // engine may not), same decile assignment and floor-div micros
       "o31_revenue_concentration" ->
         ("WITH pc AS (SELECT o_custkey AS cust, " +

@@ -926,20 +926,42 @@ object Relational {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
-  /** Year-over-year revenue GROWTH per nation — the trend report every
-    * BI deployment runs on every fact table: yearly revenue (exact cents),
-    * the prior year's via LAG, and growth in exact integer micros
-    * `((rev − prev)·10⁶) div prev` (both engines truncate integral
-    * division toward zero, so negative growth agrees bit-for-bit; a
-    * nation's first year reports null growth, not 0 — "no prior" and
-    * "flat" must not alias).
-    *
-    * Plan shape: the fact collapses to |nations|×|years| rows in one
-    * map-side-combining aggregate over the broadcast-joined dims; the LAG
-    * window then runs per-nation over that metadata-scale grid (25×7
-    * rows at any SF). Revenue is summed in cents (one exact long per
-    * order), never as floats.
+  /** EXACT GLOBAL RANK without a global sort — the c9/t26 distributed
+    * bucketed-prefix-sum shape factored for every operator that needs a
+    * total order over a fact-scale population: order-preserving range
+    * buckets on the value (ascending or descending), per-bucket
+    * row_number on (value, tie), and a metadata-scale bucket-offset
+    * table added back. Equal values land in one bucket, so the
+    * (value, tie) order survives bucketing; bucket boundaries use float
+    * math but are engine-internal only — the reconstructed rank is the
+    * exact total order, bucket-assignment-independent. Returns the input
+    * plus a 1-based `rank` column.
     */
+  private[graft] def bucketedRank(df: DataFrame, valueCol: String,
+                                  tieCol: String, ascending: Boolean,
+                                  rangeBuckets: Int = 1024): DataFrame = {
+    require(rangeBuckets > 0, s"rangeBuckets must be positive: $rangeBuckets")
+    val bounds = df.agg(min(valueCol).as("__lo"), max(valueCol).as("__hi"))
+    val span = (col("__hi") - col("__lo")).cast("double")
+    val pos = if (ascending) col(valueCol) - col("__lo")
+              else col("__hi") - col(valueCol)
+    val bucket = when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+      least(lit(rangeBuckets - 1L),
+        floor(pos.cast("double") / span * rangeBuckets).cast("long")))
+    val ord =
+      if (ascending) Seq(col(valueCol).asc, col(tieCol).asc)
+      else Seq(col(valueCol).desc, col(tieCol).asc)
+    val inW = Window.partitionBy("__bkt").orderBy(ord: _*)
+    val offW = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val b = df.crossJoin(broadcast(bounds)).withColumn("__bkt", bucket)
+    val offsets = b.groupBy("__bkt").agg(count(lit(1)).as("__bn"))
+      .select(col("__bkt"), coalesce(sum("__bn").over(offW), lit(0L)).as("__off"))
+    b.withColumn("__rn", row_number().over(inW))
+      .join(broadcast(offsets), "__bkt")
+      .withColumn("rank", col("__rn") + col("__off"))
+      .drop("__bkt", "__rn", "__off", "__lo", "__hi")
+  }
+
   /** Customer REVENUE CONCENTRATION — the Pareto report behind every
     * account-tiering and risk decision ("the top decile carries X% of
     * revenue"): customers ranked by lifetime revenue, bucketed into
@@ -961,31 +983,16 @@ object Relational {
     */
   def revenueConcentration(orders: DataFrame, deciles: Int = 10,
                            rangeBuckets: Int = 1024): DataFrame = {
-    require(deciles >= 2 && rangeBuckets > 0, "concentration config invalid")
+    require(deciles >= 2, "concentration config invalid")
     val perCust = orders.groupBy(col("o_custkey").as("cust"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = perCust.count()
     require(n > 0, "revenueConcentration needs at least one customer")
-    val bounds = perCust.agg(min("rev").as("lo"), max("rev").as("hi"))
-    val span = (col("hi") - col("lo")).cast("double")
-    val bucket = when(col("hi") === col("lo"), lit(0L)).otherwise(
-      least(lit(rangeBuckets - 1L),
-        floor((col("hi") - col("rev")).cast("double") / span * rangeBuckets)
-          .cast("long")))
-    val b = perCust.crossJoin(broadcast(bounds))
-      .select(col("cust"), col("rev"), bucket.as("bkt"))
-    val inW = org.apache.spark.sql.expressions.Window
-      .partitionBy("bkt").orderBy(col("rev").desc, col("cust"))
-    val offW = org.apache.spark.sql.expressions.Window
-      .orderBy("bkt").rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = b.groupBy("bkt").agg(count(lit(1)).as("bn"))
-      .select(col("bkt"), coalesce(sum("bn").over(offW), lit(0L)).as("off"))
-    val per = b.withColumn("rn", row_number().over(inW))
-      .join(broadcast(offsets), "bkt")
+    val per = bucketedRank(perCust, "rev", "cust", ascending = false,
+        rangeBuckets)
       .select(col("rev"),
-        (expr(s"(rn + off - 1) * $deciles DIV ${n}L") + 1L).as("decile"))
+        (expr(s"(rank - 1) * $deciles DIV ${n}L") + 1L).as("decile"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum("rev").as("rev_cents"))
       .localCheckpoint(true) // read 3× below (rows, total, cumulative)
@@ -1001,6 +1008,77 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** RFM SEGMENTATION — the classic customer-value report (recency /
+    * frequency / monetary, Hughes 1994): every customer scored 1..`buckets`
+    * on each axis by EXACT POPULATION RANK (the o31 quantile rule
+    * `(rank−1)·buckets div n + 1` — rank-based, so the buckets are
+    * equal-population by construction and no float threshold can
+    * misassign a boundary customer), then the 3-axis segments reported
+    * with exact customer counts and revenue cents. Recency is whole days
+    * against the CORPUS high-water-mark order date, never wall-clock
+    * now() (the c13 determinism rule); score `buckets` = most recent /
+    * most frequent / highest spend, ties broken by custkey.
+    *
+    * All three global ranks run as [[bucketedRank]] — the distributed
+    * bucketed prefix sum, never a single-partition sort over the
+    * customer population (the o31/c4 discipline, ×3). Plan: one
+    * map-side-combining per-customer aggregate off the fact, a 1-row
+    * high-water-mark broadcast, three rank passes over the slim
+    * (cust, metric) table co-keyed back on cust, one segments-scale
+    * aggregate. Output: `(r_score, f_score, m_score, n_cust, mon_cents)`
+    * ordered by the three scores.
+    */
+  def rfmSegments(orders: DataFrame, buckets: Int = 5,
+                  rangeBuckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val perCust = orders.groupBy(col("o_custkey").as("cust"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = perCust.count()
+    require(n > 0, "rfmSegments needs at least one customer")
+    val hwm = perCust.agg(max("last_day").as("hwm"))
+    val base = perCust.crossJoin(broadcast(hwm))
+      .withColumn("rec_days", datediff(col("hwm"), col("last_day")).cast("long"))
+      .drop("hwm")
+    def score(df: DataFrame, valueCol: String, ascending: Boolean,
+              name: String): DataFrame =
+      bucketedRank(df.select(col("cust"), col(valueCol)), valueCol, "cust",
+          ascending, rangeBuckets)
+        .select(col("cust"),
+          (expr(s"(rank - 1) * $buckets DIV ${n}L") + 1L).as(name))
+    // stalest customer ranks FIRST on the recency axis (descending days),
+    // so score 1 = most stale, `buckets` = most recent — same polarity as
+    // frequency/monetary ascending
+    val out = score(base, "rec_days", ascending = false, "r_score")
+      .join(score(base, "freq", ascending = true, "f_score"), "cust")
+      .join(score(base, "mon", ascending = true, "m_score"), "cust")
+      .join(base.select("cust", "mon"), "cust")
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_cust"), sum("mon").as("mon_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+      .localCheckpoint(true)
+    perCust.unpersist()
+    out
+  }
+
+  /** Year-over-year revenue GROWTH per nation — the trend report every
+    * BI deployment runs on every fact table: yearly revenue (exact cents),
+    * the prior year's via LAG, and growth in exact integer micros
+    * `((rev − prev)·10⁶) div prev`, written SIGN-FACTORED
+    * (sign(d)·(|d|·10⁶ div prev)) on both engines — floor ≡ trunc on the
+    * non-negative operands this form guarantees, so builds that disagree
+    * on negative floor-division still agree bit-for-bit; a nation's
+    * first year reports null growth, not 0 — "no prior" and "flat" must
+    * not alias.
+    *
+    * Plan shape: the fact collapses to |nations|×|years| rows in one
+    * map-side-combining aggregate over the broadcast-joined dims; the LAG
+    * window then runs per-nation over that metadata-scale grid (25×7
+    * rows at any SF). Revenue is summed in cents (one exact long per
+    * order), never as floats.
+    */
   def yoyGrowth(orders: DataFrame, customer: DataFrame,
                 nation: DataFrame): DataFrame = {
     val rev = orders

@@ -748,6 +748,26 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     out.map(_._3).sum shouldBe 55000L
   }
 
+  test("rfm segments: rank-based quintiles, recency polarity, whole-day recency vs corpus hwm") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 5 customers designed so the three axes DISAGREE:
+    // cust 1: most recent (hwm day), 1 order, cheap   → r5 f? m?
+    // cust 5: most stale, 5 orders, most spend        → r1 f5 m5
+    // freq: c1=1, c2=2, c3=3, c4=4, c5=5 → scores 1..5 exactly
+    // monetary ascending with freq (cheap→rich): same 1..5
+    // recency: last days 1995-03-05 (c1) … 03-01 (c5): c5 stalest → r1
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map(k => (c.toLong, 10.0 * c, ts(s"1995-03-0${6 - c}")))
+    }.toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val out = graft.operators.Relational.rfmSegments(orders)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // segments: each customer unique on all axes; recency score runs
+    // OPPOSITE to freq/monetary: cust c → (6−c, c, c)
+    out shouldBe (1 to 5).map { c =>
+      ((6 - c).toLong, c.toLong, c.toLong, 1L, (1000L * c * c))
+    }.sortBy(t => (t._1, t._2, t._3))
+  }
+
   test("yoy growth: exact cents, first-year null, negative growth truncates toward zero") {
     val nation = Seq((1, "ALPHA"), (2, "BETA")).toDF("n_nationkey", "n_name")
     val customer = Seq((10L, 1), (20L, 2)).toDF("c_custkey", "c_nationkey")
