@@ -3353,6 +3353,23 @@ object SparkEntry {
           .withColumnRenamed("support", "w"))
     }),
 
+    // G8 BFS layers: exact hop distance from seed items {0, 9} over the
+    // support-≥6 co-view graph — frontier BFS on the once-partitioned
+    // edge cache, first-discovery-is-min-distance, depths 0..5 at sf0.01;
+    // the hard-hop complement of g5's soft proximity
+    "g8_bfs_layers" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val ui = ev.where(col("event_type") === "view")
+        .select(col("user_id"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+        .where(col("item").isNotNull)
+        .distinct()
+      graft.operators.Graph.bfsLayers(
+        graft.operators.Graph.coviewEdgesWeightedFromPairs(ui)
+          .where(col("support") >= 6).select("src", "dst"),
+        seeds = Seq(0, 9))
+    }),
+
     // G6 communities: deterministic min-label propagation to FIXPOINT over
     // the SUPPORT-THRESHOLDED co-view graph (≥8 shared viewers — the weak
     // single-viewer edges that glue any real co-view graph into one blob
@@ -6757,6 +6774,25 @@ object SparkEntry {
       "g6_communities" -> communitiesSql,
       // g7: the weighted recurrence replayed as chained CTEs
       "g7_weighted_pagerank" -> weightedPagerankSql,
+      // g8: depth-capped recursive reachability, min d per node — BFS's
+      // first-discovery minimum replayed as an aggregate; explicit
+      // NULLS LAST (the engines' default null order disagrees)
+      "g8_bfs_layers" ->
+        ("WITH RECURSIVE ui AS (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
+          "FROM events WHERE event_type = 'view' AND regexp_extract(props, '(\\d+)', 1) <> ''), " +
+          "ok AS (SELECT user_id FROM ui GROUP BY 1 HAVING count(*) <= 50), " +
+          "c AS (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id)), " +
+          "e AS (SELECT src, dst FROM (SELECT a.item AS src, b.item AS dst, count(*) AS support " +
+          "FROM c a JOIN c b ON a.user_id = b.user_id AND a.item <> b.item " +
+          "GROUP BY 1, 2) WHERE support >= 6), " +
+          "deg AS (SELECT src AS item, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+          "sd AS (SELECT unnest([0, 9]) AS item), " +
+          "bfs(item, d) AS (SELECT item, 0 FROM sd " +
+          "UNION " +
+          "SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.item WHERE bfs.d < 10), " +
+          "dist AS (SELECT item, min(d)::BIGINT AS dist FROM bfs GROUP BY 1) " +
+          "SELECT deg.item, deg.deg, dist.dist FROM deg LEFT JOIN dist USING (item) " +
+          "ORDER BY dist NULLS LAST, deg.item"),
       // e31: the streamed set fold must rebuild g1's edge table exactly —
       // same oracle verbatim (distinct-union order-free, replay
       // idempotent by batch-directory overwrite)

@@ -386,6 +386,63 @@ object Graph {
     out
   }
 
+  /** BFS LAYERS — exact hop distance from a SEED SET: the crawl-depth /
+    * catalog-reachability primitive beside [[personalizedPageRank]]'s
+    * soft proximity (PPR says "how strongly connected", this says "how
+    * many hops", and the two disagree usefully on weak long paths).
+    * Classic frontier BFS in DataFrames: the frontier starts at the
+    * seeds, each round expands one co-partitioned join over the
+    * once-partitioned edge cache, anti-joins the already-labeled set
+    * (first discovery IS the minimum distance — the BFS invariant), and
+    * labels the new nodes with the round number. Exact integers, no
+    * tie-breaking anywhere (set semantics per layer), so the oracle's
+    * depth-capped recursive-reachability replay (min d per node)
+    * hash-matches.
+    *
+    * The frontier stays SPARSE (the g5 argument) and every round's
+    * label/frontier tables are localCheckpoint(eager) — both are read
+    * twice per round (anti-join + union), the g6 2^depth-lineage lesson.
+    * `maxDepth` bounds the walk; nodes first reachable beyond it report
+    * null dist (mirrored by the oracle's recursion cap), and unreached
+    * nodes surface as null rather than vanishing (the g5/c13 rule).
+    * Output: `(item, deg, dist)` ordered by (dist nulls last, item) —
+    * explicit null placement, the engines' defaults disagree.
+    */
+  def bfsLayers(edges: DataFrame, seeds: Seq[Int],
+                maxDepth: Int = 10): DataFrame = {
+    require(seeds.nonEmpty, "bfsLayers needs at least one seed")
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges.sparkSession
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.repartition(col("src")).persist()
+    val seedDf = spark.createDataFrame(seeds.distinct.map(Tuple1(_)))
+      .toDF("item")
+    var dist = seedDf.select(col("item"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist.select("item").localCheckpoint(true)
+    var d = 0L
+    var cont = true
+    while (cont && d < maxDepth) {
+      d += 1
+      val next = e.join(frontier.withColumnRenamed("item", "src"), "src")
+        .select(col("dst").as("item")).distinct()
+        .join(dist, Seq("item"), "left_anti")
+        .localCheckpoint(true)
+      cont = next.count() > 0
+      if (cont) {
+        dist = dist.union(next.select(col("item"), lit(d).as("dist")))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    val out = deg.select(col("src").as("item"), col("deg"))
+      .join(dist, Seq("item"), "left")
+      .orderBy(col("dist").asc_nulls_last, col("item"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Degree ASSORTATIVITY — the one-number graph-health diagnostic beside
     * [[triangleStats]]' local view: the Pearson correlation of endpoint
     * degrees over all edges (Newman's r). Positive = hubs link to hubs

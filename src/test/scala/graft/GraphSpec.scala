@@ -300,6 +300,26 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("bfsLayers: hop distances from the seed set, min over seeds, cap nulls, unreached nulls") {
+    // path 0—1—2—3—4 plus a disjoint pair 8—9; seeds {0, 4}: middle node
+    // 2 is 2 hops from EITHER seed (min over seeds), the pair unreached
+    val und = Seq((0, 1), (1, 2), (2, 3), (3, 4), (8, 9))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = Graph.bfsLayers(edges, seeds = Seq(0, 4))
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    got shouldBe Seq(
+      (0, 1L, Some(0L)), (4, 1L, Some(0L)),
+      (1, 2L, Some(1L)), (3, 2L, Some(1L)),
+      (2, 2L, Some(2L)),
+      (8, 1L, None), (9, 1L, None))
+    // a depth cap turns beyond-cap nodes into nulls, not wrong numbers
+    val capped = Graph.bfsLayers(edges, seeds = Seq(0), maxDepth = 2)
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    capped.find(_._1 == 2).get._3 shouldBe Some(2L)
+    capped.find(_._1 == 3).get._3 shouldBe None
+    capped.find(_._1 == 4).get._3 shouldBe None
+  }
+
   test("coviewEdgesWeighted: support counts shared viewers; threshold drops weak edges") {
     // items 1,2 share two viewers (support 2); 2,3 share one (support 1)
     val ui = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2), (3L, 2), (3L, 3))
