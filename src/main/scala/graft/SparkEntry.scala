@@ -3155,6 +3155,22 @@ object SparkEntry {
       graft.operators.Quality.qualityDrift(base, v2)
     }),
 
+    // C15 correlation drift: did the quality↔length RELATIONSHIP move
+    // between snapshots — the axis the per-margin gates (c6/c8/c9) miss;
+    // g4's exact DECIMAL moments per side, one round-6 ratio each,
+    // drift over the rounded values; same p10-rule v2 derivation as c6
+    "c15_correlation_drift" -> ((s, d) => {
+      val base = docs(s, d)
+      val v2 = base.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id")).as("text")))
+      graft.operators.Quality.correlationDrift(base, v2)
+    }),
+
     // C8 POPULATION STABILITY INDEX — c6's bucket table folded to the
     // industry single-number drift alarm (0.1/0.25 published thresholds),
     // Laplace-smoothed so vacated buckets penalize finitely; same
@@ -3415,6 +3431,13 @@ object SparkEntry {
     // the c11 order-statistic rank rule; session-final events drop
     "j18_dwell_times" -> ((s, d) =>
       graft.operators.EventAnalytics.dwellTimes(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
+
+    // J21 hourly session concurrency: sessions LIVE per clock hour —
+    // the capacity load curve; shared gap chain, bin-exploded interval
+    // counting (no global running-sum window), one per-hour aggregate
+    "j21_concurrency" -> ((s, d) =>
+      graft.operators.EventAnalytics.sessionConcurrency(
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
 
     // J20 time-to-convert: first view → first at-or-after purchase lag
@@ -6190,6 +6213,35 @@ object SparkEntry {
       // c6: both sides' decile histograms recomputed naively over the
       // same derived v2, densified over a 0..9 spine, same HALF_UP
       // integer fractions
+      // c15: the same v2 derivation and quality-micros formula per side,
+      // HUGEINT moments, the g4 guarded round-6 ratio, drift over the
+      // rounded values
+      "c15_correlation_drift" -> {
+        def sideCte(src: String, name: String): String =
+          s", tk_$name AS (SELECT ${stdToks("text")} AS t FROM $src) " +
+            s", st_$name AS (SELECT len(t)::BIGINT AS nt, " +
+            s"len(list_filter(t, x -> x IN $stop))::BIGINT AS ns, " +
+            s"len(list_distinct(t))::BIGINT AS nd FROM tk_$name) " +
+            s", $name AS (SELECT (CASE WHEN nt > 0 THEN " +
+            "((1000000 * (2 * least(nt, 100) * nt + 150 * (ns + nd)) + 250 * nt) // (500 * nt)) " +
+            s"ELSE 0 END)::HUGEINT AS x, nt::HUGEINT AS y FROM st_$name) " +
+            s", m_$name AS (SELECT count(*)::HUGEINT AS m, sum(x) AS sx, sum(y) AS sy, " +
+            s"sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM $name) "
+        def rsql(t: String): String =
+          s"CASE WHEN $t.m*$t.sxx - $t.sx*$t.sx > 0 AND $t.m*$t.syy - $t.sy*$t.sy > 0 THEN " +
+            s"round(($t.m*$t.sxy - $t.sx*$t.sy)::DOUBLE / (sqrt(($t.m*$t.sxx - $t.sx*$t.sx)::DOUBLE) * " +
+            s"sqrt(($t.m*$t.syy - $t.sy*$t.sy)::DOUBLE)), 6) END"
+        "WITH v2 AS (" +
+          "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text " +
+          "FROM documents WHERE doc_id % 17 <> 0 " +
+          "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'new doc ' || doc_id AS text " +
+          "FROM documents WHERE doc_id % 19 = 0) " +
+          sideCte("documents", "a") + sideCte("v2", "b") +
+          s"SELECT m_a.m::BIGINT AS n_1, ${rsql("m_a")} AS r_1, " +
+          s"m_b.m::BIGINT AS n_2, ${rsql("m_b")} AS r_2, " +
+          s"round(abs((${rsql("m_a")}) - (${rsql("m_b")})), 6) AS drift " +
+          "FROM m_a, m_b"
+      },
       "c6_quality_drift" ->
         ("WITH v2 AS (" +
           "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text " +
@@ -6314,6 +6366,18 @@ object SparkEntry {
           "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces, " +
           "((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT AS bounce_e6 " +
           "FROM p GROUP BY entry_type ORDER BY entry_type"),
+      // j21: same gap chain, same hour-bucket explode and per-hour count
+      "j21_concurrency" ->
+        ("WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "s AS (SELECT *, CASE WHEN us - lag(us) OVER " +
+          "(PARTITION BY user_id ORDER BY us, event_id) > 1800000000 " +
+          "THEN 1 ELSE 0 END AS new_s FROM e), " +
+          "s2 AS (SELECT *, sum(new_s) OVER " +
+          "(PARTITION BY user_id ORDER BY us, event_id) AS sess FROM s), " +
+          "sp AS (SELECT user_id, sess, min(us) AS st, max(us) AS en FROM s2 GROUP BY 1, 2), " +
+          "h AS (SELECT unnest(generate_series(st // 3600000000, en // 3600000000)) AS h FROM sp) " +
+          "SELECT make_timestamp(h * 3600000000) AS hour, count(*)::BIGINT AS n_sessions " +
+          "FROM h GROUP BY 1 ORDER BY 1"),
       // j20: same first-view anchor, at-or-after purchase floor, Monday
       // date_trunc week on both engines, (n+1)-rule order statistics
       "j20_time_to_convert" ->

@@ -462,6 +462,44 @@ object EventAnalytics {
       .orderBy("src", "dst")
   }
 
+  /** HOURLY session-CONCURRENCY profile — how many sessions were LIVE in
+    * each clock hour: the capacity-planning load curve behind "when do we
+    * scale" ("events per hour" undercounts long quiet sessions that
+    * still hold server state; this counts sessions OVERLAPPING the
+    * hour). Sessions come from the shared j16/e2 gap chain (strict >,
+    * (ts, event_id) order); each session explodes to the hour buckets
+    * its [first, last] span touches (bin-exploded interval counting —
+    * the Joins point-in-interval discipline: fan-out bounded by session
+    * duration in hours, never a session×hour join), then ONE map-side-
+    * combining per-hour count. No global window anywhere — the +1/−1
+    * running-sum formulation this replaces would funnel every session
+    * boundary through one ordered partition.
+    *
+    * Output: `(hour, n_sessions)` as exact timestamps/longs ordered by
+    * hour.
+    */
+  def sessionConcurrency(events: DataFrame,
+                         gapMicros: Long = 1800000000L): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive: $gapMicros")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val spans = events
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > gapMicros, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sess", sum(col("new_s")).over(w))
+      .groupBy("user_id", "sess")
+      .agg(min("us").as("st"), max("us").as("en"))
+    spans
+      .select(explode(sequence(expr("st DIV 3600000000"),
+        expr("en DIV 3600000000"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_sessions"))
+      .select(timestamp_micros(col("h") * lit(3600000000L)).as("hour"),
+        col("n_sessions"))
+      .orderBy("hour")
+  }
+
   /** TIME-TO-CONVERT profile: per acquisition cohort, how long users take
     * from their FIRST view to their first purchase at-or-after it — the
     * conversion-velocity report behind "is the funnel getting faster",

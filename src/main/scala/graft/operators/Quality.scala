@@ -340,6 +340,51 @@ object Quality {
     out
   }
 
+  /** Cross-snapshot CORRELATION DRIFT — did the RELATIONSHIP between two
+    * document statistics change between corpus versions? The c6/c8/c9
+    * family watches each distribution alone; a pipeline change that
+    * starts padding short documents with boilerplate shifts the
+    * quality↔length correlation while leaving either margin nearly
+    * intact — this gate is the one that sees it. Reports Pearson r of
+    * (quality micros, token count) per snapshot plus the absolute shift.
+    *
+    * The g4/v22 moment discipline: per side ONE combine-safe aggregate
+    * of exact DECIMAL(38,0) sums (both inputs are exact longs — no
+    * quantization step), one fixed-shape round-6 float ratio per side,
+    * drift = |r₁ − r₂| of the ROUNDED values re-rounded (the c4 rule:
+    * the gate reads only engine-identical numbers). A zero-variance
+    * side reports null r and null drift — "undefined" and "no drift"
+    * must not alias.
+    *
+    * Plan: one narrow codegen'd score pass + a 1-row scalar aggregate
+    * per snapshot, a cross join of two 1-row tables — nothing shuffles
+    * but the aggregate partials. Output: `(n_1, r_1, n_2, r_2, drift)`.
+    */
+  def correlationDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def moments(df: DataFrame, suffix: String): DataFrame = {
+      val t = TextAnalysis.tokens(col("text"))
+      df.select(TextAnalysis.qualityMicrosCol(t).as("x"),
+          size(t).cast("long").as("y"))
+        .agg(count(lit(1)).cast(d38).as(s"m$suffix"),
+          sum(col("x").cast(d38)).as(s"sx$suffix"),
+          sum(col("y").cast(d38)).as(s"sy$suffix"),
+          sum(col("x").cast(d38) * col("y").cast(d38)).as(s"sxy$suffix"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as(s"sxx$suffix"),
+          sum(col("y").cast(d38) * col("y").cast(d38)).as(s"syy$suffix"))
+    }
+    def r(s: String) = when(
+      col(s"m$s") * col(s"sxx$s") - col(s"sx$s") * col(s"sx$s") > 0 &&
+        col(s"m$s") * col(s"syy$s") - col(s"sy$s") * col(s"sy$s") > 0,
+      round((col(s"m$s") * col(s"sxy$s") - col(s"sx$s") * col(s"sy$s")).cast("double") /
+        (sqrt((col(s"m$s") * col(s"sxx$s") - col(s"sx$s") * col(s"sx$s")).cast("double")) *
+          sqrt((col(s"m$s") * col(s"syy$s") - col(s"sy$s") * col(s"sy$s")).cast("double"))), 6))
+    moments(v1, "1").crossJoin(moments(v2, "2"))
+      .select(col("m1").cast("long").as("n_1"), r("1").as("r_1"),
+        col("m2").cast("long").as("n_2"), r("2").as("r_2"))
+      .withColumn("drift", round(abs(col("r_1") - col("r_2")), 6))
+  }
+
   /** Robust per-group OUTLIER gate: lower-median and MAD (median absolute
     * deviation) of a value column in exact integer cents, and the count of
     * rows beyond `k10/10 · MAD` of the median — the outlier detector that

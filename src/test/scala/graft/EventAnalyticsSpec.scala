@@ -415,6 +415,25 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("view", 4L, 20000000L, 40000000L, 40000000L))
   }
 
+  test("session concurrency: hour-spanning sessions count in every touched hour, gap splits") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // u1 session A inside hour 10; session B spans hours 11→12
+      (1L, 10L, "view", t("2024-01-01 10:10:00")),
+      (1L, 11L, "view", t("2024-01-01 10:30:00")),
+      (1L, 12L, "view", t("2024-01-01 11:50:00")),
+      (1L, 13L, "view", t("2024-01-01 12:10:00")),
+      // u2: a single-event session in hour 10
+      (2L, 20L, "view", t("2024-01-01 10:05:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventAnalytics.sessionConcurrency(rows)
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    got shouldBe Seq(
+      (t("2024-01-01 10:00:00"), 2L),
+      (t("2024-01-01 11:00:00"), 1L),
+      (t("2024-01-01 12:00:00"), 1L))
+  }
+
   test("time to convert: first-view anchor, pre-view purchases ignored, weekly cohorts, exact ranks") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val rows = Seq(

@@ -226,6 +226,49 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     flat.where(col("flagged")).count() shouldBe 0L
   }
 
+  test("c15 correlation drift: moment machinery equals a driver Pearson; zero variance reports null") {
+    import graft.operators.TextAnalysis
+    // varied lengths/vocabulary so quality and length genuinely co-vary
+    def doc(i: Int, n: Int) = (i.toLong,
+      (1 to n).map(k => s"word${k % 7}").mkString(" "))
+    val v1 = (1 to 12).map(i => doc(i, 3 + i * 4)).toDF("doc_id", "text")
+    val v2 = (1 to 12).filter(_ % 3 != 0).map(i => doc(i, 60 - i * 4))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Quality.correlationDrift(v1, v2)
+      .as[(Long, Option[Double], Long, Option[Double], Option[Double])]
+      .collect().head
+    // driver reference: plain Pearson over the SAME (micros, tokens)
+    def ref(df: org.apache.spark.sql.DataFrame): Double = {
+      val xs = TextAnalysis.qualityScore(df)
+        .join(df.select(col("doc_id"),
+          org.apache.spark.sql.functions.size(
+            TextAnalysis.tokens(col("text"))).cast("long").as("y")), "doc_id")
+        .select((col("quality") * 1e6).cast("long"), col("y"))
+        .as[(Long, Long)].collect()
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._1.toDouble).sum, xs.map(_._2.toDouble).sum)
+      val sxy = xs.map(t => t._1.toDouble * t._2).sum
+      val sxx = xs.map(t => t._1.toDouble * t._1).sum
+      val syy = xs.map(t => t._2.toDouble * t._2).sum
+      val r = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got._1 shouldBe 12L
+    got._3 shouldBe 8L
+    got._2.get shouldBe ref(v1) +- 1e-6
+    got._4.get shouldBe ref(v2) +- 1e-6
+    got._5.get shouldBe (math.abs(got._2.get - got._4.get) +- 1e-6)
+    // zero variance on one side: r null, drift null — "undefined" never
+    // aliases "no drift"
+    val flat = Seq((1L, "same same"), (2L, "same same")).toDF("doc_id", "text")
+    val z = graft.operators.Quality.correlationDrift(v1, flat)
+      .as[(Long, Option[Double], Long, Option[Double], Option[Double])]
+      .collect().head
+    z._4 shouldBe None
+    z._5 shouldBe None
+  }
+
   test("seasonalVolume densifies: silent days surface as rows; zero baselines report null dev") {
     // two Mondays of data with the Wednesday between them missing entirely
     val rows = for (d <- Seq("2024-05-06", "2024-05-07", "2024-05-09",
