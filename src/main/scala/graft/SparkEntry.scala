@@ -4137,11 +4137,6 @@ object SparkEntry {
     "least(len(sa.shingles), len(sb.shingles))::DOUBLE, 6) AS containment " +
     "FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id) "
 
-  /** g1: the j14 capped co-view chain to a symmetric edge table, then the
-    * identical integer PageRank recurrence unrolled as 5 chained CTEs —
-    * DuckDB `//` on positives ≡ Spark `DIV`, every rank a long, so the
-    * iterative fixpoint hash-matches with no float anywhere.
-    */
   /** The co-view edge CTE shared by every g-family oracle — identical
     * derivation to Graph.coviewEdges: distinct (user, item) views, the
     * 50-item bot cap, symmetric distinct pairs, per-node degree.
@@ -4154,6 +4149,11 @@ object SparkEntry {
       "e AS (SELECT DISTINCT a.item AS src, b.item AS dst FROM c a JOIN c b " +
       "ON a.user_id = b.user_id AND a.item <> b.item)"
 
+  /** g1: the j14 capped co-view chain to a symmetric edge table, then the
+    * identical integer PageRank recurrence unrolled as 5 chained CTEs —
+    * DuckDB `//` on positives ≡ Spark `DIV`, every rank a long, so the
+    * iterative fixpoint hash-matches with no float anywhere.
+    */
   private lazy val pagerankSql: String = {
     val base = coviewCte +
       ", deg AS (SELECT src AS item, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +

@@ -73,9 +73,6 @@ object TextAnalysis {
     (predicted, greatest(en, es, de, fr).cast("long"))
   }
 
-  /** Language-ID: (doc_id, predicted_lang, lang_score). `lang_score` is the
-    * winning profile's function-word hit count.
-    */
   /** READABILITY score — Flesch reading ease (Flesch 1948), the classic
     * "how hard is this text" gate a curation pipeline runs beside the
     * quality blend (t2 rewards length/vocabulary; this penalizes long
@@ -121,6 +118,9 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID: (doc_id, predicted_lang, lang_score). `lang_score` is the
+    * winning profile's function-word hit count.
+    */
   def langId(docs: DataFrame): DataFrame = {
     val (predicted, best) = langCols(tokens(col("text")))
     docs.select(col("doc_id"), predicted.as("predicted_lang"),

@@ -367,7 +367,6 @@ object EventStream {
       }
   }
 
-  /** Deterministic streaming-funnel backfill: file stream → AvailableNow. */
   /** STREAMING top-paths substrate — j16's session-path mining kept
     * current by ingest (the e17 buffer-until-final discipline applied to
     * whole sessions): per user, events buffer in
@@ -448,6 +447,7 @@ object EventStream {
       streamSessionPaths(bf, fileStream(bf, stageDir(path)), gapMicros,
         maxLen).toDF())._1
 
+  /** Deterministic streaming-funnel backfill: file stream → AvailableNow. */
   def backfillFunnelUsers(spark: SparkSession, path: String, steps: Seq[String],
                           horizonMicros: Long, delay: String = "1 hour",
                           tombstoneTtlMicros: Long = Long.MaxValue): DataFrame =
