@@ -806,6 +806,27 @@ object ScaleProbe {
       f""""n_nodes":${stats._1},"n_comms":${stats._2},"comm_sec":$tComm%.2f}"""
   }
 
+  /** p22 FFD-packing probe on BOTH shard axes: 10× documents with the
+    * shard count FIXED (docs-per-shard grows 10× — the worst case the
+    * sequential per-shard scan faces) and with the shard count SCALED 10×
+    * (docs-per-shard constant — the documented at-scale design). The
+    * claim that matters: the scaled axis holds wall near-flat-per-doc
+    * while efficiency stays put, so "more data → more shards" is the
+    * whole scaling story.
+    */
+  private def profilePack(label: String, docs: DataFrame, shards: Int): String = {
+    val nDocs = docs.count()
+    val (eff, tPack) = timed {
+      val out = graft.operators.Pipeline
+        .packFirstFitDecreasing(docs, cap = 512, shards = shards)
+        .groupBy("bin_id").agg(sum("n_tokens").as("tok"))
+        .agg(sum("tok").as("toks"), count(lit(1)).as("bins")).head
+      (out.getLong(0) * 1000000L) / (out.getLong(1) * 512L)
+    }
+    f"""{"corpus":"$label","n_docs":$nDocs,"shards":$shards,""" +
+      f""""eff_e6":$eff,"pack_sec":$tPack%.2f}"""
+  }
+
   private def profile(label: String, docs: DataFrame): String = {
     val nDocs = docs.count()
     // candidate volume through the shared blocking chain (d2/d7's input)
@@ -912,6 +933,21 @@ object ScaleProbe {
           regexp_extract(col("props"), "(\\d+)", 1)), iters = 2).count() // warm-up
       println(profileGraph(spark, "graph-1x", ev1))
       println(profileGraph(spark, "graph-10x", spark.read.parquet(dirG)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "pack" runs ONLY the p22 FFD probe — 10×
+    // documents on both shard axes (fixed = worst case, scaled = design)
+    if (args.headOption.contains("pack")) {
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dirP = scratch("decade-pack/documents")
+      synthesizeDecade(docs1, 10).write.mode("overwrite").parquet(dirP)
+      val docs10 = spark.read.parquet(dirP)
+      graft.operators.Pipeline.packFirstFitDecreasing(docs1).count() // warm-up
+      println(profilePack("pack-1x", docs1, 32))
+      println(profilePack("pack-10x-fixed-shards", docs10, 32))
+      println(profilePack("pack-10x-scaled-shards", docs10, 320))
       spark.stop()
       return
     }
