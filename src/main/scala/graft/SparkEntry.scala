@@ -2060,6 +2060,13 @@ object SparkEntry {
     "d19_shingle_profile" -> ((s, d) =>
       Dedup.shingleDfProfile(docs(s, d))),
 
+    // D20 LSH band planning: FP/FN mass of every b·r = 64 factorization's
+    // S-curve vs the 0.8 Jaccard target, round-6 micros over the rational
+    // s grid — the third measure-first leg (d19 prices blocking, d16
+    // measures recall, this prices the banding knob itself)
+    "d20_band_plan" -> ((s, d) =>
+      Dedup.lshBandPlan(s, k = 64, thresholdE2 = 80)),
+
     // D18 dedup ROI: cluster-size histogram + keep-one-per-cluster byte
     // savings over the SAME d6 closure — the audit run before a 100 TB
     // dedup pass is budgeted; ids+lengths only, two metadata aggregates
@@ -5639,6 +5646,24 @@ object SparkEntry {
           "SELECT bucket, count(*)::BIGINT AS n_shingles, sum(df)::BIGINT AS n_postings, " +
           "sum((df::HUGEINT * (df - 1)) // 2)::BIGINT AS pair_bound " +
           "FROM b GROUP BY bucket ORDER BY bucket"),
+      // d20: the same rational s grid, the same S-curve 1−(1−sʳ)ᵇ, the
+      // same round-6 micros — pow/round on identical inputs (the t11
+      // libm discipline); best = (total, bands) lexicographic min
+      "d20_band_plan" ->
+        ("WITH plans AS (SELECT b::BIGINT AS bands, (64 // b)::BIGINT AS rows " +
+          "FROM (SELECT unnest(range(1, 65)) AS b) WHERE 64 % b = 0 AND b < 64 AND 64 // b > 1), " +
+          "g AS (SELECT unnest(range(1, 20))::BIGINT AS s20), " +
+          "p AS (SELECT bands, rows, s20, " +
+          "1.0 - power(1.0 - power(s20 / 20.0, rows::DOUBLE), bands::DOUBLE) AS p " +
+          "FROM plans, g), " +
+          "m AS (SELECT bands, rows, " +
+          "round(avg(CASE WHEN s20 < 16 THEN p END) * 1e6, 0)::BIGINT AS fp_e6, " +
+          "round(avg(CASE WHEN s20 >= 16 THEN 1.0 - p END) * 1e6, 0)::BIGINT AS fn_e6 " +
+          "FROM p GROUP BY 1, 2), " +
+          "t AS (SELECT *, (fp_e6 + fn_e6)::BIGINT AS total_e6 FROM m) " +
+          "SELECT bands, rows, fp_e6, fn_e6, total_e6, " +
+          "row_number() OVER (ORDER BY total_e6, bands) = 1 AS best " +
+          "FROM t ORDER BY bands"),
       // d18: the same closure joined to stored lengths — per-cluster
       // size/extra, then the size histogram; exact integers throughout
       "d18_dedup_roi" ->

@@ -742,4 +742,51 @@ object Dedup {
       .groupBy("size")
       .agg(count(lit(1)).as("n_clusters"), sum("extra").as("chars_saved"))
       .orderBy("size")
+
+  /** LSH BAND PLANNING — price the (bands, rows-per-band) choice BEFORE
+    * anyone pays for it: the third leg of the dedup measure-first
+    * trilogy (d19 prices the blocking df cap, d16 measures delivered
+    * recall, this prices the [[minhashPairs]] S-curve itself). For every
+    * factorization b·r = `k`, the candidate probability at similarity s
+    * is the textbook 1 − (1 − sʳ)ᵇ; integrating it below the target
+    * threshold gives the expected FALSE-POSITIVE mass (candidates the
+    * verifier must reject) and 1 − p above it the FALSE-NEGATIVE mass
+    * (true pairs the bucketing never surfaces). Reported per plan in
+    * round-6 micros over a fixed s = 0.05..0.95 grid (rational grid
+    * points, so both engines evaluate identical inputs; pow/round-6 is
+    * the t11 libm discipline), with `best` flagging the minimum
+    * fp + fn (ties to fewer bands — cheaper bucketing).
+    *
+    * Everything is metadata-scale (|divisors of k| × 19 grid rows) —
+    * this is the planning table a 100 TB dedup pass reads FIRST, not a
+    * corpus job. Output: `(bands, rows, fp_e6, fn_e6, total_e6, best)`
+    * ordered by bands.
+    */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession, k: Int = 64,
+                  thresholdE2: Int = 80): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(thresholdE2 > 0 && thresholdE2 < 100 && thresholdE2 % 5 == 0,
+      s"thresholdE2 must be a grid multiple of 5 in (0, 100): $thresholdE2")
+    import spark.implicits._
+    val plans = (1 to k).filter(b => k % b == 0 && b < k && k / b > 1)
+      .map(b => (b.toLong, (k / b).toLong))
+    val grid = (1 to 19).map(i => i.toLong)
+    val df = plans.toDF("bands", "rows")
+      .crossJoin(grid.toDF("s20"))
+      .withColumn("p", lit(1.0) - pow(lit(1.0) -
+        pow(col("s20").cast("double") / 20.0, col("rows").cast("double")),
+        col("bands").cast("double")))
+    df.groupBy("bands", "rows")
+      .agg(
+        round(avg(when(col("s20") < thresholdE2 / 5, col("p"))
+          .otherwise(lit(null))) * 1e6, 0).cast("long").as("fp_e6"),
+        round(avg(when(col("s20") >= thresholdE2 / 5, lit(1.0) - col("p"))
+          .otherwise(lit(null))) * 1e6, 0).cast("long").as("fn_e6"))
+      .withColumn("total_e6", col("fp_e6") + col("fn_e6"))
+      .withColumn("best",
+        struct(col("total_e6"), col("bands")) ===
+          min(struct(col("total_e6"), col("bands")))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy("bands")
+  }
 }

@@ -617,6 +617,26 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     partial.subsetOf(full) shouldBe true
   }
 
+  test("LSH band plan: S-curve masses match a driver integral; exactly one best, min total") {
+    val out = graft.operators.Dedup.lshBandPlan(spark, k = 64, thresholdE2 = 80)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    out.map(_._1) shouldBe Seq(1L, 2L, 4L, 8L, 16L, 32L)
+    out.foreach { case (b, r, _, _, _, _) => b * r shouldBe 64L }
+    // driver replay of the same grid integral
+    val ref = out.map { case (b, r, _, _, _, _) =>
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+      val fp = (1 to 15).map(i => p(i / 20.0))
+      val fn = (16 to 19).map(i => 1.0 - p(i / 20.0))
+      (b, math.round(fp.sum / fp.size * 1e6), math.round(fn.sum / fn.size * 1e6))
+    }
+    out.map(t => (t._1, t._3, t._4)) shouldBe ref
+    out.count(_._6) shouldBe 1
+    out.find(_._6).get._5 shouldBe out.map(_._5).min
+    // off-grid thresholds refuse instead of silently mis-bucketing
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Dedup.lshBandPlan(spark, 64, 83)
+  }
+
   test("shingle df profile: strata land exactly; pair bound is the closed-form C(df,2)") {
     // a hot 3-shingle "x y z" planted in 25 docs (df=25 → 21-100 stratum,
     // C(25,2)=300 pairs), a warm one in 3 (C(3,2)=3), plus unique tails
