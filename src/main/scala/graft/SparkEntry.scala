@@ -809,6 +809,22 @@ object SparkEntry {
         .select(col("id"), col("title")).orderBy("id")
     }),
 
+    // S25 replica reconciliation: per-bucket order-free fingerprint sums
+    // of the CDC-advanced replica — portable 60-bit md5 fingerprints,
+    // fp-mod bucketing (never an engine-private hash), DECIMAL sum folded
+    // mod 2^62 to a pinned BIGINT; oracle = the same checksum over the
+    // independently reconstructed expected state
+    "s25_replica_checksum" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // commits version 1
+      val snapshot = st.currentAt(1L).toDF()
+      st.partialUpdate("000010", Map("title" -> "cdc-title"))
+      st.delete("000020")
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert)
+      MetadataStore.stateChecksum(
+        MetadataStore.applyChanges(snapshot, st.changesBetween(1L)))
+    }),
+
     // S12 incremental aggregate maintenance: the materialized per-category
     // summary advanced by the change feed alone — a category MOVE
     // (retract old group, add new), a delete, and an insert, with
@@ -4908,6 +4924,16 @@ object SparkEntry {
         (M + "SELECT id, CASE WHEN id = '000010' THEN 'cdc-title' ELSE title END AS title " +
           "FROM meta WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' " +
           "UNION ALL SELECT id, title FROM meta WHERE id = '000200' ORDER BY id"),
+      // s25: the same 60-bit md5 fingerprints over the reconstructed
+      // expected state, the same fp-mod bucketing and mod-2^62 fold
+      "s25_replica_checksum" ->
+        (M + ", cur AS (SELECT id, CASE WHEN id = '000010' THEN 'cdc-title' ELSE title END AS title, " +
+          "category FROM meta WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' " +
+          "UNION ALL SELECT id, title, category FROM meta WHERE id = '000200'), " +
+          "f AS (SELECT ('0x' || substring(md5(id || '|' || title || '|' || category), 1, 15))::BIGINT AS fp FROM cur) " +
+          "SELECT fp % 16 AS bucket, count(*)::BIGINT AS n_rows, " +
+          "((sum(fp)::HUGEINT) % 4611686018427387904)::BIGINT AS checksum " +
+          "FROM f GROUP BY 1 ORDER BY 1"),
       // s12: the maintained aggregate equals a fresh aggregate over the
       // mutated final state (::BIGINT — DuckDB sum() yields HUGEINT)
       "s12_incremental_agg" ->

@@ -936,6 +936,37 @@ object MetadataStore {
       .unionByName(upserts)
   }
 
+  /** REPLICA-DIVERGENCE checksum — the reconciliation audit run after a
+    * CDC consumer ([[applyChanges]]) has folded change windows: a
+    * per-bucket, ORDER-FREE fingerprint sum of the replica-visible state
+    * (id, title, category), comparable row-for-row against the primary's
+    * without shipping either side. Divergence localizes to the bucket —
+    * the blast-radius property a full-state hash doesn't give.
+    *
+    * Portability discipline: the row fingerprint is the first 15 hex
+    * chars of md5 (60 bits — any engine derives the identical long), the
+    * bucket is fp mod `buckets` (never an engine-private hash like
+    * Murmur3), and the checksum is Σ fp carried in DECIMAL(38,0) then
+    * folded mod 2⁶² back to a pinned BIGINT (a raw decimal sum would
+    * hash as decimal128 vs int64 under type-sensitive comparators — the
+    * c9 lesson). Plan: one narrow projection + a buckets-row map-side-
+    * combining aggregate; at a 100 TB replica this is the cheapest scan
+    * that can prove anything. Output: `(bucket, n_rows, checksum)`
+    * ordered by bucket.
+    */
+  def stateChecksum(snapshot: DataFrame, buckets: Int = 16): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val fp = expr("CAST(conv(substring(md5(" +
+      "concat_ws('|', id, title, category)), 1, 15), 16, 10) AS BIGINT)")
+    snapshot.select(fp.as("fp"))
+      .select((col("fp") % buckets).as("bucket"), col("fp"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(CAST(sum(CAST(fp AS DECIMAL(38,0))) AS DECIMAL(38,0)) " +
+          "% 4611686018427387904 AS BIGINT)").as("checksum"))
+      .orderBy("bucket")
+  }
+
   /** Incremental SCD2 maintenance — the s12/s15 change-feed discipline on
     * the HISTORY table itself (what dbt snapshots do nightly, priced at
     * the change window): advance a materialized [[MetadataStore.history]]

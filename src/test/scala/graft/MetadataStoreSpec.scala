@@ -18,6 +18,31 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
 
   private val e0 = Fixtures.corpus.head
 
+  test("replica checksum: CDC-advanced replica matches the primary bucket-for-bucket; " +
+    "a planted divergence localizes to its bucket") {
+    val st = freshStore()
+    Fixtures.corpus.take(6).foreach(st.upsert)
+    val snapshot = st.currentAt(6L).toDF()
+    st.partialUpdate(Fixtures.corpus(1).id, Map("title" -> "drifted?"))
+    st.delete(Fixtures.corpus(2).id)
+    st.upsert(Fixtures.corpus(7))
+    val replica = MetadataStore.applyChanges(snapshot, st.changesBetween(6L))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      MetadataStore.stateChecksum(df).as[(Long, Long, Long)].collect().toSeq
+    val primary = sums(st.current.toDF())
+    sums(replica) shouldBe primary
+    // corrupt ONE replica row: exactly the affected bucket(s) diverge,
+    // the rest stay byte-identical — the blast-radius property
+    val corrupted = replica.withColumn("title",
+      org.apache.spark.sql.functions.when(
+        col("id") === Fixtures.corpus(3).id,
+        org.apache.spark.sql.functions.lit("bitrot"))
+        .otherwise(col("title")))
+    val diff = sums(corrupted).toSet.diff(primary.toSet)
+    diff.size should (be >= 1 and be <= 2) // row moved bucket or changed in place
+    primary.map(_._2).sum shouldBe sums(corrupted).map(_._2).sum // counts conserved
+  }
+
   test("version diff: added/removed/changed only; revert and compaction surface nothing") {
     val st = freshStore()
     val e = Fixtures.corpus
