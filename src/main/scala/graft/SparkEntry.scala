@@ -2265,6 +2265,24 @@ object SparkEntry {
     "v22_dim_correlation" -> ((s, d) =>
       Similarity.dimensionCorrelation(emb(s, d))),
 
+    // V26 embedding drift between corpus versions: per-dim mean shift in
+    // exact quantized micros (sign-factored floor means — component sums
+    // go negative), top-10 shifted dims; v2 = p10-rule churn + a planted
+    // +0.25 shift on dim 4 for vec_id % 7 == 0 — the re-versioned-encoder
+    // regression gate
+    "v26_embedding_drift" -> ((s, d) => {
+      val base = emb(s, d)
+      val e = col("embedding").cast("array<double>")
+      val v2 = base.where(pmod(col("vec_id"), lit(11L)) =!= 0)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(7L)) === 0,
+            concat(slice(e, 1, 3),
+              array(element_at(e, 4) + lit(0.25)),
+              slice(e, 5, 1000000)))
+            .otherwise(e).as("embedding"))
+      Similarity.embeddingDrift(base, v2)
+    }),
+
     // V23 PCA TOP-COMPONENT PROJECTION: exact integer-micros moments →
     // collected d²-row statistic → 12 driver-side power-iteration steps
     // (the Lloyd's-codebook shape) → distributed centered projection as
@@ -5881,6 +5899,26 @@ object SparkEntry {
       // v22: the same integer-micros moments (parallel unnest zips the
       // position range with the values), HUGEINT sums ≡ decimal(38,0),
       // the identical exact-integer variance filter and round-6 ratio
+      // v26: same double-cast, same planted derivation, same quantized
+      // sums and sign-factored floor means (o30's portable form)
+      "v26_embedding_drift" ->
+        ("WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
+          "v2 AS (SELECT vec_id, CASE WHEN vec_id % 7 = 0 THEN " +
+          "e[1:3] || [e[4] + 0.25] || e[5:] ELSE e END AS e " +
+          "FROM b WHERE vec_id % 11 <> 0), " +
+          "q1 AS (SELECT unnest(range(1, len(e) + 1))::BIGINT AS dim, " +
+          "round(unnest(e) * 1000000, 0)::BIGINT AS q FROM b), " +
+          "q2 AS (SELECT unnest(range(1, len(e) + 1))::BIGINT AS dim, " +
+          "round(unnest(e) * 1000000, 0)::BIGINT AS q FROM v2), " +
+          "m1 AS (SELECT dim, count(*)::BIGINT AS n_1, sum(q)::BIGINT AS s FROM q1 GROUP BY 1), " +
+          "m2 AS (SELECT dim, count(*)::BIGINT AS n_2, sum(q)::BIGINT AS s FROM q2 GROUP BY 1), " +
+          "f AS (SELECT dim, n_1, " +
+          "(CASE WHEN m1.s >= 0 THEN m1.s // n_1 ELSE -((-m1.s) // n_1) END)::BIGINT AS mean1_e6, " +
+          "n_2, (CASE WHEN m2.s >= 0 THEN m2.s // n_2 ELSE -((-m2.s) // n_2) END)::BIGINT AS mean2_e6 " +
+          "FROM m1 JOIN m2 USING (dim)) " +
+          "SELECT dim, n_1, mean1_e6, n_2, mean2_e6, " +
+          "(mean2_e6 - mean1_e6)::BIGINT AS shift_e6 FROM f " +
+          "ORDER BY abs(mean2_e6 - mean1_e6) DESC, dim LIMIT 10"),
       "v22_dim_correlation" ->
         ("WITH q AS (SELECT vec_id, unnest(range(1, len(embedding) + 1))::BIGINT AS j, " +
           "round(unnest(embedding)::DOUBLE * 1000000, 0)::BIGINT AS i FROM embeddings), " +

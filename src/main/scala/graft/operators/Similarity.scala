@@ -1130,6 +1130,42 @@ object Similarity {
       .limit(topK)
   }
 
+  /** EMBEDDING DRIFT between corpus versions — per-dimension mean shift,
+    * the representation-regression gate run when an embedding model or
+    * featurizer is re-versioned (the c6/c15 snapshot discipline applied
+    * to the vector space: a re-trained encoder that quietly re-centers
+    * one dimension shifts every downstream ANN distance while each
+    * corpus's own recall numbers still look fine). Reports the top-k
+    * most-shifted dimensions.
+    *
+    * The v22 quantization discipline makes it exact: components quantize
+    * to round-half-up integer micros FIRST, sums are exact longs, and
+    * the per-dim mean is a SIGN-FACTORED floor division (component sums
+    * go negative; sign(s)·(|s| div n) is the engine-portable form — the
+    * o30 lesson). Shift = mean₂ − mean₁ in micros, exact long
+    * subtraction. Plan: one posexplode + |dims|-row map-side-combining
+    * aggregate per side, a dims-scale join — the corpus never shuffles
+    * beyond its per-dim partials. Output: `(dim, n_1, mean1_e6, n_2,
+    * mean2_e6, shift_e6)`, top-k by (|shift| desc, dim).
+    */
+  def embeddingDrift(v1: DataFrame, v2: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    def side(df: DataFrame, n: String, mean: String): DataFrame =
+      df.select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          round(col("col").cast("double") * 1e6, 0).cast("long").as("q"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as(n), sum("q").as("__s"))
+        .withColumn(mean,
+          expr(s"CASE WHEN __s >= 0 THEN __s DIV $n ELSE -((-__s) DIV $n) END"))
+        .drop("__s")
+    side(v1, "n_1", "mean1_e6")
+      .join(side(v2, "n_2", "mean2_e6"), "dim")
+      .withColumn("shift_e6", col("mean2_e6") - col("mean1_e6"))
+      .orderBy(abs(col("shift_e6")).desc, col("dim"))
+      .limit(k)
+  }
+
   /** PCA TOP-COMPONENT PROJECTION — distributed principal-direction
     * scoring, the Lloyd's-codebook execution shape applied to PCA: the
     * covariance is reduced to EXACT integer-micros moments in one

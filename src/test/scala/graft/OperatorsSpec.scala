@@ -1986,6 +1986,21 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
 
   // ------------------------------------------ embedding diagnostics / PCA
 
+  test("embedding drift: exact micros means, sign-factored truncation on negative sums, planted shift") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // v1 dim2 sums to −1000001 micros over 2 rows: the sign-factored
+    // mean is −(1000001 DIV 2) = −500000 — truncation toward zero on
+    // BOTH engines, never a floor to −500001
+    val v1 = Seq((1L, v(1.0, -0.5)), (2L, v(0.0, -0.500001)))
+      .toDF("vec_id", "embedding")
+    val v2 = Seq((1L, v(1.0, -0.25))).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDrift(v1, v2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 500000L, 1L, 1000000L, 500000L),
+      (2L, 2L, -500000L, 1L, -250000L, 250000L))
+  }
+
   test("dimension correlation: planted linear dependence, sign, zero-variance filter") {
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
     // dim2 = 2·dim1 (corr +1), dim3 = −dim1 (corr −1), dim4 constant
