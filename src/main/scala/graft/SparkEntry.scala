@@ -3474,6 +3474,14 @@ object SparkEntry {
       graft.operators.EventAnalytics.dwellTimes(
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
 
+    // J22 exit actions: the LAST event of every non-converter (first
+    // view, no purchase inside the 24 h anchored window — unbounded
+    // windows are degenerate on a long corpus), histogram with floor-div
+    // micros shares — the abandonment-diagnosis report
+    "j22_exit_actions" -> ((s, d) =>
+      graft.operators.EventAnalytics.exitActions(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
+
     // J21 hourly session concurrency: sessions LIVE per clock hour —
     // the capacity load curve; shared gap chain, bin-exploded interval
     // counting (no global running-sum window), one per-hour aggregate
@@ -6455,6 +6463,23 @@ object SparkEntry {
           "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces, " +
           "((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT AS bounce_e6 " +
           "FROM p GROUP BY entry_type ORDER BY entry_type"),
+      // j22: same anchor rule (NOT IN = the anti-join), same
+      // (us, event_id)-max exit, same floor-div shares
+      "j22_exit_actions" ->
+        ("WITH e AS (SELECT user_id, event_id, event_type, " +
+          "epoch_us(ts::TIMESTAMP) AS us FROM events), " +
+          "v AS (SELECT user_id, min(us) AS tv FROM e WHERE event_type = 'view' GROUP BY 1), " +
+          "conv AS (SELECT DISTINCT e.user_id FROM e JOIN v USING (user_id) " +
+          "WHERE e.event_type = 'purchase' AND e.us >= v.tv AND e.us <= v.tv + 86400000000), " +
+          "nc AS (SELECT user_id FROM v WHERE user_id NOT IN (SELECT user_id FROM conv)), " +
+          "r AS (SELECT e.user_id, e.event_type, row_number() OVER " +
+          "(PARTITION BY e.user_id ORDER BY us DESC, event_id DESC) AS rn " +
+          "FROM e JOIN nc USING (user_id)), " +
+          "x AS (SELECT event_type AS exit_type, count(*)::BIGINT AS n_users " +
+          "FROM r WHERE rn = 1 GROUP BY 1), " +
+          "t AS (SELECT sum(n_users)::BIGINT AS tot FROM x) " +
+          "SELECT exit_type, n_users, ((n_users * 1000000) // tot)::BIGINT AS share_e6 " +
+          "FROM x, t ORDER BY n_users DESC, exit_type"),
       // j21: same gap chain, same hour-bucket explode and per-hour count
       "j21_concurrency" ->
         ("WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events), " +

@@ -462,6 +462,53 @@ object EventAnalytics {
       .orderBy("src", "dst")
   }
 
+  /** EXIT-ACTION histogram of NON-CONVERTERS — for the users
+    * [[timeToConvert]] drops (saw the product, never bought FROM that
+    * view), what was the LAST thing they did? The abandonment-diagnosis
+    * report behind "where do we lose people" — a tail of `view` exits
+    * reads as disinterest, a tail of `click` exits as a broken step
+    * after engagement. Population = users with a first view and NO
+    * purchase inside `[first view, first view + horizonMicros]` — the
+    * j9 anchored-conversion-window rule (an unbounded window is
+    * degenerate on a long-lived corpus: everyone converts eventually
+    * and the report is empty by construction).
+    * Each user's exit is their (event time, event_id)-maximal event —
+    * one deterministic per-user argmax, no session machinery needed.
+    *
+    * Plan: the first-view aggregate and the converter probe share the
+    * user key (co-partitioned anti-join), the exit argmax is one
+    * user-partitioned rank window over the non-converters' events, the
+    * histogram a |types|-row aggregate with shares in floor-divided
+    * micros. Output: `(exit_type, n_users, share_e6)` ordered by
+    * (n desc, type).
+    */
+  def exitActions(events: DataFrame, viewType: String = "view",
+                  convType: String = "purchase",
+                  horizonMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(horizonMicros > 0, "horizonMicros must be positive")
+    val e = events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val firstView = e.where(col("event_type") === viewType)
+      .groupBy("user_id").agg(min("us").as("tv"))
+    val converters = e.where(col("event_type") === convType)
+      .join(firstView, "user_id")
+      .where(col("us") >= col("tv") && col("us") <= col("tv") + horizonMicros)
+      .select("user_id").distinct()
+    val nonConv = firstView.join(converters, Seq("user_id"), "left_anti")
+      .select("user_id")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val exits = e.join(nonConv, "user_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_users"))
+    exits.crossJoin(broadcast(exits.agg(sum("n_users").as("tot"))))
+      .select(col("exit_type"), col("n_users"),
+        expr("(n_users * 1000000) DIV tot").as("share_e6"))
+      .orderBy(col("n_users").desc, col("exit_type"))
+  }
+
   /** HOURLY session-CONCURRENCY profile — how many sessions were LIVE in
     * each clock hour: the capacity-planning load curve behind "when do we
     * scale" ("events per hour" undercounts long quiet sessions that

@@ -415,6 +415,33 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("view", 4L, 20000000L, 40000000L, 40000000L))
   }
 
+  test("exit actions: anchored 24h conversion window, pre-view purchases don't convert, last-event argmax") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // u1 converts inside the window → excluded from the report
+      (1L, 10L, "view", t("2024-01-01 10:00:00")),
+      (1L, 11L, "purchase", t("2024-01-01 11:00:00")),
+      // u2's only purchase is 30h after the first view — outside the
+      // window, so u2 is a NON-converter whose last act is that purchase
+      (2L, 20L, "view", t("2024-01-01 10:00:00")),
+      (2L, 21L, "purchase", t("2024-01-02 16:00:00")),
+      // u3 just clicks away
+      (3L, 30L, "view", t("2024-01-01 10:00:00")),
+      (3L, 31L, "click", t("2024-01-01 11:00:00")),
+      // u4 never views — not in the population at all
+      (4L, 40L, "purchase", t("2024-01-01 10:00:00")),
+      // u5's purchase PREDATES the first view (no conversion from it);
+      // exits on an error
+      (5L, 50L, "purchase", t("2024-01-01 09:00:00")),
+      (5L, 51L, "view", t("2024-01-01 10:00:00")),
+      (5L, 52L, "error", t("2024-01-01 12:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventAnalytics.exitActions(rows)
+      .as[(String, Long, Long)].collect().toSeq
+    got shouldBe Seq( // three n=1 exits, ties by type asc; 1e6 DIV 3 shares
+      ("click", 1L, 333333L), ("error", 1L, 333333L), ("purchase", 1L, 333333L))
+  }
+
   test("session concurrency: hour-spanning sessions count in every touched hour, gap splits") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val rows = Seq(
