@@ -626,6 +626,20 @@ object SparkEntry {
         "category", innerK = 3)
     }),
 
+    // Q15 SEARCH-AFTER deep pagination (ES search_after): page 3 of the
+    // 'red' results via the (score, id) keyset cursor of row 20 — a
+    // predicate + TakeOrdered, no offset skip-scan; equals the offset
+    // page by the total order (the oracle IS the offset form)
+    "q15_search_after" -> ((s, d) => {
+      val cq = QueryCompiler.compile(QueryCompiler.parse("""{"query":"red"}"""), admin)
+      val base = SearchExecutor.baseBranch(Corpus.metadata(s, d), cq)
+      val cursor = base.orderBy(col(SearchExecutor.ScoreCol).desc, col("id").asc)
+        .limit(20).orderBy(col(SearchExecutor.ScoreCol).asc, col("id").desc)
+        .select(col(SearchExecutor.ScoreCol), col("id")).head() // row 20: ≤ page-scale collect
+      SearchExecutor.searchAfter(base, cursor.getDouble(0), cursor.getString(1))
+        .select(col("id"), col(SearchExecutor.ScoreCol).as("score"))
+    }),
+
     // Q14 MORE-LIKE-THIS (ES more_like_this): the seed doc's interesting
     // terms — ranked by the INTEGER (tf desc, df asc, term) order, never
     // float tf·idf (a libm ulp could swap the selection) — build the OR
@@ -4743,6 +4757,11 @@ object SparkEntry {
         (M + s"SELECT id, score FROM (SELECT id, ${score1("economy")} AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id"),
       "q1_multiterm" ->
         (M + s"SELECT id, score FROM (SELECT id, $scoreRW AS score FROM meta) WHERE score > 0 ORDER BY score DESC, id"),
+      // q15: the keyset page must equal the OFFSET page — the oracle is
+      // the naive offset form over the same total order
+      "q15_search_after" ->
+        (M + s"SELECT id, score FROM (SELECT id, ${score1("red")} AS score FROM meta) " +
+          "WHERE score > 0 ORDER BY score DESC, id OFFSET 20 LIMIT 10"),
       // q14: the same integer interesting-term selection (tf desc, df
       // asc, term) over the seed's tokens, q4's ln-IDF sum round-6
       "q14_more_like_this" ->

@@ -171,6 +171,28 @@ object SearchExecutor {
       .orderBy(col("top_score").desc, col(field), col("rnk"))
   }
 
+  /** SEARCH-AFTER deep pagination — Elasticsearch's `search_after`
+    * (the keyset cursor that replaced deep `from`/`size`: ES rejects
+    * from+size past 10 000 because an offset page makes every shard
+    * produce and ship `from + size` rows; a keyset page costs O(size)
+    * wherever it sits). The cursor is the last hit's (score, id) sort
+    * key; the next page is everything STRICTLY AFTER it in the
+    * (score desc, id asc) total order — a plain predicate
+    * `score < s ∨ (score = s ∧ id > i)`, so the page plan is
+    * filter → TakeOrdered(size): no offset, no skip-scan, the predicate
+    * eligible for pushdown. Identical results to [[hitsBranch]]'s
+    * offset form when the cursor is the previous page's last row
+    * (total order — oracle-pinned), without its deep-page cost.
+    */
+  def searchAfter(base: DataFrame, afterScore: Double, afterId: String,
+                  size: Int = 10): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    base.where(col(ScoreCol) < afterScore ||
+        (col(ScoreCol) === afterScore && col("id") > afterId))
+      .orderBy(col(ScoreCol).desc, col("id").asc)
+      .limit(size)
+  }
+
   /** MORE-LIKE-THIS — Elasticsearch's `more_like_this` query (the
     * "find documents similar to this one" primitive of the search
     * lineage): extract the seed document's INTERESTING TERMS, build the

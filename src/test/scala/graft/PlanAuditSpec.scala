@@ -229,6 +229,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("Exchange")
   }
 
+  test("search_after: keyset page plans as filter + TakeOrdered — no offset skip-scan") {
+    val meta = Corpus.metadata(spark, "/root/testdata/sf0.001")
+    val cq = graft.compile.QueryCompiler.compile(
+      graft.compile.QueryCompiler.parse("""{"query":"red"}"""),
+      graft.model.AclContext(Nil, isAdmin = true))
+    val plan = graft.exec.SearchExecutor
+      .searchAfter(graft.exec.SearchExecutor.baseBranch(meta, cq), 3.0, "000100")
+      .queryExecution.executedPlan.toString
+    // the page is a top-k merge over the keyset-filtered stream — the
+    // structural difference from the offset form, whose every shard
+    // produces from+size rows
+    plan should include("TakeOrderedAndProject")
+    plan should include("Filter")
+    plan should not include "Offset"
+  }
+
   test("field collapsing: inner-hits rank cut runs as a partial WindowGroupLimit") {
     val meta = Corpus.metadata(spark, "/root/testdata/sf0.001")
     val cq = graft.compile.QueryCompiler.compile(

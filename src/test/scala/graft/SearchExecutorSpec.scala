@@ -217,6 +217,17 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("b", 1L, "5", 4.0, 4.0), ("b", 2L, "6", 4.0, 4.0))
   }
 
+  test("Q15 search_after: keyset page equals the offset page; ties cursor by id") {
+    val base = Seq(("1", 5.0), ("2", 4.0), ("3", 4.0), ("4", 3.0), ("5", 2.0))
+      .toDF("id", SearchExecutor.ScoreCol)
+    // cursor = row 2 (score 4.0, id "2") → next page is rows 3-4
+    SearchExecutor.searchAfter(base, 4.0, "2", size = 2)
+      .as[(String, Double)].collect().toSeq shouldBe Seq(("3", 4.0), ("4", 3.0))
+    // cursor inside the tie group: strictly-after by id
+    SearchExecutor.searchAfter(base, 4.0, "3", size = 2)
+      .as[(String, Double)].collect().toSeq shouldBe Seq(("4", 3.0), ("5", 2.0))
+  }
+
   test("Q14 more-like-this: integer interesting-term selection, IDF ranking, seed excluded") {
     // seed: apple×2, banana×1, cherry×1. df over ALL 5 docs (seed
     // included): apple 3, banana 3, cherry 2. selection (maxQueryTerms=2)
