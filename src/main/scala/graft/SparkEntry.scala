@@ -3210,6 +3210,14 @@ object SparkEntry {
       graft.operators.Quality.qualityDrift(base, v2)
     }),
 
+    // C16 value-entropy profile: per-column Shannon entropy in exact
+    // quantized-term micros — the balance statistic cardinality alone
+    // can't see (uniform vs 99%-one-value profile identically in c2);
+    // one melt-explode, one (column, value) aggregate
+    "c16_value_entropy" -> ((s, d) =>
+      graft.operators.Quality.valueEntropy(Corpus.metadata(s, d),
+        Seq("category", "format", "orgUUID", "isPublic"))),
+
     // C15 correlation drift: did the quality↔length RELATIONSHIP move
     // between snapshots — the axis the per-margin gates (c6/c8/c9) miss;
     // g4's exact DECIMAL moments per side, one round-6 ratio each,
@@ -6329,6 +6337,20 @@ object SparkEntry {
       // c6: both sides' decile histograms recomputed naively over the
       // same derived v2, densified over a 0..9 spine, same HALF_UP
       // integer fractions
+      // c16: same melt, same per-term round-half-up micros quantization
+      // before the order-free sum, same floor division
+      "c16_value_entropy" ->
+        (M + ", m AS (SELECT unnest(['category','format','isPublic','orgUUID']) AS col, " +
+          "unnest([category, format, isPublic::VARCHAR, orgUUID]) AS val FROM meta), " +
+          "c AS (SELECT col, val, count(*)::BIGINT AS n FROM m GROUP BY 1, 2), " +
+          "nt AS (SELECT col, sum(n)::BIGINT AS nr FROM c GROUP BY 1), " +
+          "terms AS (SELECT c.col, c.n, " +
+          "round(c.n * ln(nt.nr / c.n::DOUBLE) * 1000000, 0)::BIGINT AS e " +
+          "FROM c JOIN nt USING (col)), " +
+          "f AS (SELECT col, count(*)::BIGINT AS n_distinct, sum(e)::BIGINT AS s FROM terms GROUP BY 1) " +
+          "SELECT f.col AS \"column\", nt.nr AS n_rows, f.n_distinct, " +
+          "(f.s // nt.nr)::BIGINT AS entropy_e6 " +
+          "FROM f JOIN nt USING (col) ORDER BY 1"),
       // c15: the same v2 derivation and quality-micros formula per side,
       // HUGEINT moments, the g4 guarded round-6 ratio, drift over the
       // rounded values

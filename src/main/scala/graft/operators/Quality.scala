@@ -340,6 +340,42 @@ object Quality {
     out
   }
 
+  /** Categorical VALUE-ENTROPY profile — Shannon entropy per column, the
+    * balance statistic beside [[columnProfile]]'s cardinality (two
+    * columns with 8 distinct values are profiled identically there even
+    * when one is uniform and the other is 99% a single value — the skew
+    * that decides partition keys, stratification axes, and whether a
+    * "category" column is real signal or a constant with typos). The
+    * Deequ-family Entropy check, made engine-exact.
+    *
+    * Exactness: entropy = Σ nᵢ·ln(N/nᵢ) / N. Each TERM quantizes to
+    * round-half-up integer micros BEFORE the sum (identical long counts
+    * into libm ln on both engines — the c8/t11 discipline), the sum is
+    * an order-free exact long, and the single division is a floor DIV
+    * on non-negative operands — so a uniform 8-value column reads
+    * ln 8 = 2.079441 e6 bit-for-bit anywhere. Columns melt through ONE
+    * explode into a single (column, value) aggregate — one pass for the
+    * whole profile, the columnProfile shape. Output: `(column, n_rows,
+    * n_distinct, entropy_e6)` ordered by column.
+    */
+  def valueEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "valueEntropy needs at least one column")
+    val melted = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col"), col(c).cast("string").as("val"))): _*)).as("m"))
+      .select("m.*")
+    val counts = melted.groupBy("col", "val").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("col").agg(sum("n").as("nr"))
+    counts.join(broadcast(totals), "col")
+      .withColumn("e",
+        expr("CAST(round(n * ln(nr / CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)"))
+      .groupBy("col")
+      .agg(max("nr").as("n_rows"), count(lit(1)).as("n_distinct"),
+        sum("e").as("s"))
+      .select(col("col").as("column"), col("n_rows"), col("n_distinct"),
+        expr("s DIV n_rows").as("entropy_e6"))
+      .orderBy("column")
+  }
+
   /** Cross-snapshot CORRELATION DRIFT — did the RELATIONSHIP between two
     * document statistics change between corpus versions? The c6/c8/c9
     * family watches each distribution alone; a pipeline change that

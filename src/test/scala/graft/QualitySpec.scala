@@ -226,6 +226,24 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     flat.where(col("flagged")).count() shouldBe 0L
   }
 
+  test("c16 value entropy: uniform = ln k exactly, constant = 0, skew between; one melt pass") {
+    val df = (0 until 64).map { i =>
+      ( s"u${i % 8}", // uniform over 8 → ln 8
+        "only", // constant → 0
+        if (i < 63) "hot" else "cold") // 63/64 skew → far below ln 2
+    }.toDF("uni", "konst", "skew")
+    val got = graft.operators.Quality.valueEntropy(df, Seq("uni", "konst", "skew"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // uniform: 8 groups of 8, each term round(8·ln 8·1e6) = 16635532 →
+    // sum 133084256 DIV 64 = 2079441 (ln 8 = 2.0794415…)
+    got("uni") shouldBe (("uni", 64L, 8L, 2079441L))
+    got("konst") shouldBe (("konst", 64L, 1L, 0L))
+    val skewE = (math.round(63 * math.log(64.0 / 63) * 1e6) +
+      math.round(1 * math.log(64.0) * 1e6)) / 64
+    got("skew") shouldBe (("skew", 64L, 2L, skewE))
+    got("skew")._4 should be < 693147L // far under ln 2: cardinality lies, entropy doesn't
+  }
+
   test("c15 correlation drift: moment machinery equals a driver Pearson; zero variance reports null") {
     import graft.operators.TextAnalysis
     // varied lengths/vocabulary so quality and length genuinely co-vary
