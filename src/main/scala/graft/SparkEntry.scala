@@ -2913,6 +2913,16 @@ object SparkEntry {
         s.read.parquet(s"$d/lineitem.parquet"),
         s.read.parquet(s"$d/nation.parquet"))),
 
+    // Relational OLAP o33: EXPLICIT grouping sets — just the two
+    // independent marginals ((nation), (year)), the shape neither
+    // rollup (prefixes) nor cube (all subsets) expresses alone; Expand
+    // factor exactly |sets| = 2, one aggregate pass for both axes
+    "o33_grouping_sets" -> ((s, d) =>
+      Relational.nationRevenueGroupingSets(s.read.parquet(s"$d/customer.parquet"),
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/nation.parquet"))),
+
     // Relational OLAP o4: Q17-shape correlated aggregate — revenue of
     // line items below half their part's average quantity, declared as
     // the decorrelated per-part-aggregate + equi-join Catalyst rewrites
@@ -6095,6 +6105,17 @@ object SparkEntry {
           "GROUP BY 1, 2, 3) " +
           "SELECT l_orderkey, round(rev, 2)::DOUBLE AS revenue, o_orderdate, o_orderpriority " +
           "FROM g ORDER BY rev DESC, l_orderkey LIMIT 10"),
+      // o33: the identical join chain under GROUPING SETS ((n), (y))
+      "o33_grouping_sets" ->
+        ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
+          "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +
+          "SELECT n_name, order_year, round(sum(dp::DECIMAL(28,10)), 2)::DOUBLE AS revenue, " +
+          "count(*) AS n_items FROM l " +
+          "JOIN o ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY GROUPING SETS ((n_name), (order_year)) " +
+          "ORDER BY n_name ASC NULLS FIRST, order_year ASC NULLS FIRST"),
       "o6_rollup_report" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
           "o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS order_year FROM orders) " +

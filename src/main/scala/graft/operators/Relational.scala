@@ -365,6 +365,29 @@ object Relational {
         count(lit(1)).as("n_items"))
       .sort(asc_nulls_first("n_name"), asc_nulls_first("order_year"))
 
+  /** The [[nationRevenue]] report over EXPLICIT GROUPING SETS — just the
+    * two independent marginals ((nation), (year)), the report shape
+    * NEITHER rollup nor cube can express alone (rollup's sets are
+    * prefixes, cube's are all subsets; a dashboard wanting two summary
+    * axes without the nation×year detail grid pays for rows it throws
+    * away under either). Same single-Expand execution as o6/o7 — each
+    * row replicated once per listed set into one map-side-combining
+    * aggregate, one shuffle for both axes (exactly the facetsBranch
+    * grouping-sets trick at OLAP scale) — but the Expand factor is
+    * |sets| = 2, not rollup's 3 or cube's 4. Nulls mark the other axis;
+    * NULLS FIRST ordering pinned on both engines.
+    */
+  def nationRevenueGroupingSets(customer: DataFrame, orders: DataFrame,
+                                lineitem: DataFrame, nation: DataFrame): DataFrame =
+    nationRevenueBase(customer, orders, lineitem, nation)
+      // Column-typed keys, NOT names (the rollup/cube lesson)
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("order_year"))),
+        col("n_name"), col("order_year"))
+      .agg(round(sum(money(col("disc_price"))), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .sort(asc_nulls_first("n_name"), asc_nulls_first("order_year"))
+
   /** TPC-H Q5-shape: revenue by customer nation × order year. Two
     * broadcast dimensions (nation always; customer is id+nation — the
     * projection makes it broadcastable far beyond its full width) and ONE

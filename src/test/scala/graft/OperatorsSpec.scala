@@ -1458,6 +1458,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       (Some("NATION_B"), Some(1996L), 100.0, 1L))
   }
 
+  test("grouping sets: exactly the two marginals — no detail grid, no grand total; one Expand pass") {
+    val li = Seq((1L, 100.0, 0.0), (2L, 200.0, 0.5)).toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Seq((1L, 10L, java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),
+      (2L, 20L, java.sql.Timestamp.valueOf("1996-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((10L, 1), (20L, 2)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((1, "NATION_A"), (2, "NATION_B")).toDF("n_nationkey", "n_name")
+    val gs = graft.operators.Relational.nationRevenueGroupingSets(cust, ord, li, nat)
+    val out = gs.collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1)), r.getDouble(2), r.getLong(3))).toSeq
+    out shouldBe Seq( // nation marginals (year null) + year marginals (nation null) ONLY
+      (None, Some(1995L), 100.0, 1L),
+      (None, Some(1996L), 100.0, 1L),
+      (Some("NATION_A"), None, 100.0, 1L),
+      (Some("NATION_B"), None, 100.0, 1L))
+    // one Expand feeding one aggregate — not two jobs
+    gs.queryExecution.executedPlan.toString should include("Expand")
+  }
+
   test("more-like-this: seed keywords query the corpus, closed-form scores, no-overlap docs absent") {
     val docs = Seq(
       (1L, "x x y common"), // seed: top-2 terms x (2·ln2), y (ln2); common (ln 4/3) misses the cut
