@@ -2582,6 +2582,20 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // M8 media dedup ROI: d18's budget report on the VISUAL near-dup
+    // path — cluster-size histogram of the m4 pHash closure with the
+    // payload bytes a keep-one-per-cluster purge reclaims; ids + octet
+    // lengths only, payloads never shuffle
+    "m8_media_roi" -> ((s, d) => {
+      val m = plantedMedia(s, d)
+      val sizes = m.select(col("media_id").as("doc_id"),
+        length(col("payload")).cast("long").as("n_chars"))
+      Dedup.dedupRoi(sizes,
+        Dedup.dupClusters(sizes.select("doc_id"),
+          Multimodal.mediaNearDupPairs(m).select(col("a_id"), col("b_id")))
+          .select("doc_id", "cluster_rep"))
+    }),
+
     // M7 media integrity gate: the structural pre-decode screen with
     // PLANTED corruption (e13 style) — negative width every 13th id,
     // NULL height every 17th (null counts corrupt), unroutable kind
@@ -6025,6 +6039,27 @@ object SparkEntry {
           "SELECT c.media_id, coalesce(l.rep, c.media_id) AS cluster_rep, " +
           "coalesce(l.rep, c.media_id) = c.media_id AS is_canonical " +
           "FROM corp c LEFT JOIN lbl l USING (media_id) ORDER BY c.media_id"),
+      // m8: the m4 closure re-derived, singletons included, every
+      // payload exactly 16 octets (md5-derived) — the d18 ROI tail
+      "m8_media_roi" ->
+        ("WITH RECURSIVE md AS (SELECT doc_id, md5(text) AS hx FROM documents), " +
+          "corp AS (SELECT doc_id AS media_id, hx FROM md " +
+          "UNION ALL SELECT doc_id + 300000 AS media_id, " +
+          s"substr(hx, 1, 30) || printf('%02x', xor(${hexByteSql("hx", 15)}, 1)) AS hx " +
+          "FROM md WHERE doc_id % 20 = 7), " +
+          s"ph AS (SELECT media_id, ${phashSql("hx")} AS ph FROM corp), " +
+          "e0 AS (SELECT a.media_id AS u, b.media_id AS v FROM ph a JOIN ph b " +
+          "ON a.media_id < b.media_id AND bit_count(xor(a.ph, b.ph)) <= 2), " +
+          "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), " +
+          "reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), " +
+          "lbl AS (SELECT u AS media_id, least(u, min(v)) AS rep FROM reach GROUP BY u), " +
+          "mem AS (SELECT c.media_id AS doc_id, coalesce(l.rep, c.media_id) AS cluster_rep " +
+          "FROM corp c LEFT JOIN lbl l USING (media_id)), " +
+          "per AS (SELECT cluster_rep, count(*)::BIGINT AS size, " +
+          "sum(CASE WHEN doc_id <> cluster_rep THEN 16 ELSE 0 END)::BIGINT AS extra " +
+          "FROM mem GROUP BY 1) " +
+          "SELECT size, count(*)::BIGINT AS n_clusters, sum(extra)::BIGINT AS chars_saved " +
+          "FROM per GROUP BY size ORDER BY size"),
       // m5: the m4 closure re-derived, then the corpus minus the target's
       // whole cluster (the target is the first planted original, so it is
       // guaranteed an edge to its twin and therefore a row in lbl)
