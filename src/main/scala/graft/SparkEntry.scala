@@ -2937,6 +2937,14 @@ object SparkEntry {
         s.read.parquet(s"$d/lineitem.parquet"),
         s.read.parquet(s"$d/nation.parquet"))),
 
+    // Relational OLAP o34: top-5 brands + the Other residual row so
+    // shares close to 100% (a bare top-k silently drops the tail); the
+    // fact collapses ONCE to the per-brand table, localCheckpoint'd for
+    // its three readers — never re-scanned per branch
+    "o34_top_brands_other" -> ((s, d) =>
+      Relational.topBrandsWithOther(s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/part.parquet"))),
+
     // Relational OLAP o4: Q17-shape correlated aggregate — revenue of
     // line items below half their part's average quantity, declared as
     // the decorrelated per-part-aggregate + equi-join Catalyst rewrites
@@ -6140,6 +6148,22 @@ object SparkEntry {
           "GROUP BY 1, 2, 3) " +
           "SELECT l_orderkey, round(rev, 2)::DOUBLE AS revenue, o_orderdate, o_orderpriority " +
           "FROM g ORDER BY rev DESC, l_orderkey LIMIT 10"),
+      // o34: the same per-brand cents table, top-5 by (rev desc, brand),
+      // Other = total − Σ top, DECIMAL-widened floor-div shares
+      "o34_top_brands_other" ->
+        ("WITH pb AS (SELECT p_brand AS brand, " +
+          "sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rev " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1), " +
+          "t AS (SELECT sum(rev)::HUGEINT AS tot FROM pb), " +
+          "top AS (SELECT brand, rev, rank FROM " +
+          "(SELECT brand, rev, row_number() OVER (ORDER BY rev DESC, brand) AS rank FROM pb) " +
+          "WHERE rank <= 5), " +
+          "oth AS (SELECT 6 AS rank, 'Other' AS brand, " +
+          "(tot - (SELECT sum(rev) FROM top))::BIGINT AS rev FROM t) " +
+          "SELECT rank::BIGINT AS rank, brand, rev AS rev_cents, " +
+          "((rev::HUGEINT * 1000000) // tot)::BIGINT AS share_e6 " +
+          "FROM (SELECT rank, brand, rev FROM top UNION ALL SELECT * FROM oth), t " +
+          "ORDER BY rank"),
       // o33: the identical join chain under GROUPING SETS ((n), (y))
       "o33_grouping_sets" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +

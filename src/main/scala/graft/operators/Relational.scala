@@ -388,6 +388,45 @@ object Relational {
         count(lit(1)).as("n_items"))
       .sort(asc_nulls_first("n_name"), asc_nulls_first("order_year"))
 
+  /** TOP-K + OTHER — the "top 5 brands and everything else" report
+    * every dashboard draws: the k highest-revenue brands ranked, plus
+    * ONE residual row so the shares visibly close to 100% (a bare top-k
+    * silently drops the tail — the classic misleading-pie mistake).
+    * Exact cents, shares in DECIMAL-widened floor-div micros.
+    *
+    * Plan: the fact collapses ONCE to the |brands|-row per-brand
+    * aggregate (broadcast dim join, map-side combine), which is then
+    * localCheckpoint'd because THREE readers need it (top-k, the grand
+    * total, the residual) — without the cut, each branch would re-scan
+    * the fact (Catalyst does not reuse the exchange across branches —
+    * the c5 persist lesson). Everything after is ≤ k+1 rows. Output:
+    * `(rank, brand, rev_cents, share_e6)` with Other at rank k+1.
+    */
+  def topBrandsWithOther(lineitem: DataFrame, part: DataFrame,
+                         k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val perBrand = lineitem
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+      .localCheckpoint(true)
+    val top = perBrand.orderBy(col("rev").desc, col("brand")).limit(k)
+      .withColumn("rank", row_number().over( // ≤ k rows — metadata window
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rev").desc, col("brand"))).cast("long"))
+    val tot = perBrand.agg(sum("rev").as("tot"))
+    val other = tot.crossJoin(top.agg(sum("rev").as("ts"), count(lit(1)).as("n")))
+      .select((col("n") + 1).as("rank"), lit("Other").as("brand"),
+        (col("tot") - col("ts")).as("rev"))
+    top.select("rank", "brand", "rev").unionByName(other)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("brand"), col("rev").as("rev_cents"),
+        expr("CAST(CAST(rev AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)")
+          .as("share_e6"))
+      .orderBy("rank")
+  }
+
   /** TPC-H Q5-shape: revenue by customer nation × order year. Two
     * broadcast dimensions (nation always; customer is id+nation — the
     * projection makes it broadcastable far beyond its full width) and ONE

@@ -1458,6 +1458,22 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       (Some("NATION_B"), Some(1996L), 100.0, 1L))
   }
 
+  test("top-k + Other: deterministic ranks, the residual row closes the total exactly") {
+    val li = Seq((1L, 1L, 100.0), (2L, 1L, 50.0), (3L, 2L, 120.0),
+      (4L, 3L, 30.0), (5L, 4L, 20.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    val part = Seq((1L, "B1"), (2L, "B2"), (3L, "B3"), (4L, "B4"))
+      .toDF("p_partkey", "p_brand")
+    val out = graft.operators.Relational.topBrandsWithOther(li, part, k = 2)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // cents: B1 15000, B2 12000, B3 3000, B4 2000 — total 32000
+    out shouldBe Seq(
+      (1L, "B1", 15000L, 468750L),
+      (2L, "B2", 12000L, 375000L),
+      (3L, "Other", 5000L, 156250L))
+    out.map(_._3).sum shouldBe 32000L // nothing silently dropped
+  }
+
   test("grouping sets: exactly the two marginals — no detail grid, no grand total; one Expand pass") {
     val li = Seq((1L, 100.0, 0.0), (2L, 200.0, 0.5)).toDF("l_orderkey", "l_extendedprice", "l_discount")
     val ord = Seq((1L, 10L, java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),
