@@ -6909,11 +6909,11 @@ object SparkEntry {
       // ≡ trunc on non-negative operands — the only portable form
       "o30_yoy_growth" ->
         ("WITH rev AS (SELECT n_name, year(o_orderdate)::INT AS yr, " +
-          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
           "g AS (SELECT n_name, yr, rev_cents, " +
-          "lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev_cents FROM rev) " +
+          "lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr)::BIGINT AS prev_cents FROM rev) " +
           "SELECT n_name, yr, rev_cents, prev_cents, " +
           "CASE WHEN prev_cents > 0 THEN " +
           "(CASE WHEN rev_cents >= prev_cents " +

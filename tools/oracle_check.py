@@ -22,6 +22,30 @@ def norm(v):
         return round(v, 6)
     return v
 
+def type_mismatches(spark_tbl, ora_tbl):
+    """Flag column-type divergences the driver's type-sensitive hasher
+    rejects but pylist value comparison is blind to — specifically a
+    decimal128 on one side vs a plain int/float on the other (DuckDB's
+    HUGEINT class: Python int == Decimal is True, so values compare
+    equal while the hashes differ). Timestamp unit and int-width
+    divergences are normalized by the driver and not flagged."""
+    import pyarrow.types as pt
+    bad = []
+    s_types = {f.name.lower(): f.type for f in spark_tbl.schema}
+    o_types = {f.name.lower(): f.type for f in ora_tbl.schema}
+    for c in sorted(set(s_types) & set(o_types)):
+        st, ot = s_types[c], o_types[c]
+        for dec, other in ((st, ot), (ot, st)):
+            if not pt.is_decimal(dec):
+                continue
+            # decimal vs integer: always the HUGEINT class (driver-red).
+            # decimal vs float: driver normalizes scale>0 decimals to
+            # double (observed green), so only scale-0 is suspicious.
+            if pt.is_integer(other) or (pt.is_floating(other) and dec.scale == 0):
+                bad.append(f"{c}: spark={st} vs oracle={ot}")
+            break
+    return bad
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -53,12 +77,15 @@ def main(outdir, sfdir):
         schema_ok = [c.lower() for c in spark_cols] == [c.lower() for c in ora_cols]
         rows_ok = len(spark_rows) == len(ora_rows)
         val_ok = spark_rows == ora_rows
-        if schema_ok and rows_ok and val_ok:
+        tmis = type_mismatches(spark_tbl, ora)
+        if schema_ok and rows_ok and val_ok and not tmis:
             print(f"  ✓ {name}: {len(spark_rows)} rows")
             n_ok += 1
         else:
             n_bad += 1
-            print(f"  ✗ {name}: schema_ok={schema_ok} rows {len(spark_rows)}v{len(ora_rows)} val_ok={val_ok}")
+            print(f"  ✗ {name}: schema_ok={schema_ok} rows {len(spark_rows)}v{len(ora_rows)} val_ok={val_ok} types_ok={not tmis}")
+            for t in tmis:
+                print(f"      TYPE: {t}")
             if not schema_ok:
                 print(f"      spark cols: {spark_cols}\n      ora cols:   {ora_cols}")
             elif not val_ok:
