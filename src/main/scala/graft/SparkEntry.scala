@@ -5010,12 +5010,18 @@ object SparkEntry {
           "FROM meta WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' " +
           "UNION ALL SELECT id, title FROM meta WHERE id = '000200' ORDER BY id"),
       // s25: the same 60-bit md5 fingerprints over the reconstructed
-      // expected state, the same fp-mod bucketing and mod-2^62 fold
+      // expected state, the same fp-mod bucketing and mod-2^62 fold; the
+      // same injective NULL/'|' field encoding as stateChecksum ('N' for
+      // NULL, 'V'+escaped value, chr(92)-escaped delimiter)
       "s25_replica_checksum" ->
         (M + ", cur AS (SELECT id, CASE WHEN id = '000010' THEN 'cdc-title' ELSE title END AS title, " +
           "category FROM meta WHERE id BETWEEN '000001' AND '000050' AND id <> '000020' " +
           "UNION ALL SELECT id, title, category FROM meta WHERE id = '000200'), " +
-          "f AS (SELECT ('0x' || substring(md5(id || '|' || title || '|' || category), 1, 15))::BIGINT AS fp FROM cur) " +
+          "f AS (SELECT ('0x' || substring(md5(" +
+          "CASE WHEN id IS NULL THEN 'N' ELSE 'V' || replace(replace(id, chr(92), chr(92) || chr(92)), '|', chr(92) || '|') END " +
+          "|| '|' || CASE WHEN title IS NULL THEN 'N' ELSE 'V' || replace(replace(title, chr(92), chr(92) || chr(92)), '|', chr(92) || '|') END " +
+          "|| '|' || CASE WHEN category IS NULL THEN 'N' ELSE 'V' || replace(replace(category, chr(92), chr(92) || chr(92)), '|', chr(92) || '|') END" +
+          "), 1, 15))::BIGINT AS fp FROM cur) " +
           "SELECT fp % 16 AS bucket, count(*)::BIGINT AS n_rows, " +
           "((sum(fp)::HUGEINT) % 4611686018427387904)::BIGINT AS checksum " +
           "FROM f GROUP BY 1 ORDER BY 1"),
@@ -5979,13 +5985,14 @@ object SparkEntry {
           "round(unnest(e) * 1000000, 0)::BIGINT AS q FROM v2), " +
           "m1 AS (SELECT dim, count(*)::BIGINT AS n_1, sum(q)::BIGINT AS s FROM q1 GROUP BY 1), " +
           "m2 AS (SELECT dim, count(*)::BIGINT AS n_2, sum(q)::BIGINT AS s FROM q2 GROUP BY 1), " +
-          "f AS (SELECT dim, n_1, " +
+          "f AS (SELECT dim, coalesce(n_1, 0) AS n_1, " +
           "(CASE WHEN m1.s >= 0 THEN m1.s // n_1 ELSE -((-m1.s) // n_1) END)::BIGINT AS mean1_e6, " +
-          "n_2, (CASE WHEN m2.s >= 0 THEN m2.s // n_2 ELSE -((-m2.s) // n_2) END)::BIGINT AS mean2_e6 " +
-          "FROM m1 JOIN m2 USING (dim)) " +
+          "coalesce(n_2, 0) AS n_2, " +
+          "(CASE WHEN m2.s >= 0 THEN m2.s // n_2 ELSE -((-m2.s) // n_2) END)::BIGINT AS mean2_e6 " +
+          "FROM m1 FULL OUTER JOIN m2 USING (dim)) " +
           "SELECT dim, n_1, mean1_e6, n_2, mean2_e6, " +
           "(mean2_e6 - mean1_e6)::BIGINT AS shift_e6 FROM f " +
-          "ORDER BY abs(mean2_e6 - mean1_e6) DESC, dim LIMIT 10"),
+          "ORDER BY abs(mean2_e6 - mean1_e6) DESC NULLS FIRST, dim LIMIT 10"),
       "v22_dim_correlation" ->
         ("WITH q AS (SELECT vec_id, unnest(range(1, len(embedding) + 1))::BIGINT AS j, " +
           "round(unnest(embedding)::DOUBLE * 1000000, 0)::BIGINT AS i FROM embeddings), " +

@@ -227,6 +227,8 @@ object SearchExecutor {
       .collect()
     require(seedRows.nonEmpty, s"moreLikeThis: seed id $seedId not found")
     val seedToks = seedRows.head.getSeq[String](0)
+    require(seedToks != null && seedToks.nonEmpty,
+      s"moreLikeThis: seed id $seedId has no analyzable text in field $field")
     val tf = seedToks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     val terms = tf.keys.toSeq.sorted
     val (n, dfs) = graft.compile.QueryCompiler.idfWeights(entries, terms, field)

@@ -539,8 +539,11 @@ object EventAnalytics {
       .groupBy("user_id", "sess")
       .agg(min("us").as("st"), max("us").as("en"))
     spans
-      .select(explode(sequence(expr("st DIV 3600000000"),
-        expr("en DIV 3600000000"))).as("h"))
+      // floor division via pmod (Spark DIV truncates toward zero, the
+      // DuckDB oracle's // floors — they disagree on negative epochs)
+      .select(explode(sequence(
+        expr("(st - pmod(st, 3600000000)) DIV 3600000000"),
+        expr("(en - pmod(en, 3600000000)) DIV 3600000000"))).as("h"))
       .groupBy("h").agg(count(lit(1)).as("n_sessions"))
       .select(timestamp_micros(col("h") * lit(3600000000L)).as("hour"),
         col("n_sessions"))

@@ -411,6 +411,11 @@ object Relational {
       .groupBy(col("p_brand").as("brand"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
       .localCheckpoint(true)
+    // Off the happy path (empty fact, or a join that matched nothing) the
+    // residual arithmetic degrades to NULLs and diverges from the oracle's
+    // hardcoded Other row — refuse cleanly instead (the g6 refusal rule).
+    require(!perBrand.isEmpty,
+      "topBrandsWithOther: no per-brand rows (empty lineitem or part join)")
     val top = perBrand.orderBy(col("rev").desc, col("brand")).limit(k)
       .withColumn("rank", row_number().over( // ≤ k rows — metadata window
         org.apache.spark.sql.expressions.Window

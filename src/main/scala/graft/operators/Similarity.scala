@@ -1159,10 +1159,17 @@ object Similarity {
         .withColumn(mean,
           expr(s"CASE WHEN __s >= 0 THEN __s DIV $n ELSE -((-__s) DIV $n) END"))
         .drop("__s")
+    // FULL OUTER on dim: a dimension present in only one version (a
+    // re-versioned encoder that changed dimensionality — the exact
+    // regression this gate exists for) must SURFACE as drift, not vanish
+    // from an inner join. Missing side: n = 0, mean NULL, shift NULL —
+    // ranked FIRST (nulls_first) so the dimensionality change heads the
+    // report.
     side(v1, "n_1", "mean1_e6")
-      .join(side(v2, "n_2", "mean2_e6"), "dim")
+      .join(side(v2, "n_2", "mean2_e6"), Seq("dim"), "full_outer")
+      .na.fill(0L, Seq("n_1", "n_2"))
       .withColumn("shift_e6", col("mean2_e6") - col("mean1_e6"))
-      .orderBy(abs(col("shift_e6")).desc, col("dim"))
+      .orderBy(abs(col("shift_e6")).desc_nulls_first, col("dim"))
       .limit(k)
   }
 

@@ -956,8 +956,17 @@ object MetadataStore {
     */
   def stateChecksum(snapshot: DataFrame, buckets: Int = 16): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    // Injective field encoding: NULL → 'N'; value → 'V' + value with '\'
+    // doubled and '|' escaped as '\|'. NULL can never collide with a
+    // literal value, and an unescaped '|' occurs only as the field
+    // delimiter — a fingerprint whose job is detecting divergence must
+    // not itself admit cross-field or NULL-vs-value collisions.
+    def enc(c: String): String =
+      s"CASE WHEN $c IS NULL THEN 'N' ELSE 'V' || " +
+        s"replace(replace($c, chr(92), chr(92) || chr(92)), '|', chr(92) || '|') END"
     val fp = expr("CAST(conv(substring(md5(" +
-      "concat_ws('|', id, title, category)), 1, 15), 16, 10) AS BIGINT)")
+      s"concat_ws('|', ${enc("id")}, ${enc("title")}, ${enc("category")})" +
+      "), 1, 15), 16, 10) AS BIGINT)")
     snapshot.select(fp.as("fp"))
       .select((col("fp") % buckets).as("bucket"), col("fp"))
       .groupBy("bucket")

@@ -43,6 +43,23 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     primary.map(_._2).sum shouldBe sums(corrupted).map(_._2).sum // counts conserved
   }
 
+  test("replica checksum: NULL fields and embedded delimiters cannot collide") {
+    import spark.implicits._
+    def sum(rows: Seq[(String, String, String)]) =
+      MetadataStore.stateChecksum(
+        rows.toDF("id", "title", "category"), buckets = 1)
+        .as[(Long, Long, Long)].collect().toSeq
+    // NULL title vs any literal title (incl. a sentinel-looking one) differ
+    val withNull = Seq[(String, String, String)](("a", null, "c"))
+    sum(withNull) should not be sum(Seq(("a", "N", "c")))
+    sum(withNull) should not be sum(Seq(("a", "", "c")))
+    // a '|' inside a field cannot shift content across field boundaries
+    sum(Seq(("a|b", "t", "c"))) should not be sum(Seq(("a", "b|t", "c")))
+    sum(Seq(("a", "t|x", "c"))) should not be sum(Seq(("a", "t", "x|c")))
+    // escape char itself round-trips injectively
+    sum(Seq(("a\\", "|t", "c"))) should not be sum(Seq(("a", "\\|t", "c")))
+  }
+
   test("version diff: added/removed/changed only; revert and compaction surface nothing") {
     val st = freshStore()
     val e = Fixtures.corpus

@@ -2036,6 +2036,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       (2L, 2L, -500000L, 1L, -250000L, 250000L))
   }
 
+  test("embedding drift: a dimensionality change SURFACES (full outer), ranked first") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // v2's encoder dropped dim 3 — the exact regression the gate exists
+    // for; it must head the report with a NULL mean2, not vanish
+    val v1 = Seq((1L, v(1.0, 0.5, 0.25))).toDF("vec_id", "embedding")
+    val v2 = Seq((1L, v(1.0, 0.75))).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDrift(v1, v2)
+      .as[(Long, Long, Option[Long], Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    got.head shouldBe ((3L, 1L, Some(250000L), 0L, None, None))
+    got.map(_._1).toSet shouldBe Set(1L, 2L, 3L)
+  }
+
   test("dimension correlation: planted linear dependence, sign, zero-variance filter") {
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
     // dim2 = 2·dim1 (corr +1), dim3 = −dim1 (corr −1), dim4 constant
