@@ -806,6 +806,36 @@ object ScaleProbe {
       f""""n_nodes":${stats._1},"n_comms":${stats._2},"comm_sec":$tComm%.2f}"""
   }
 
+  /** g9 SSSP probe: seeds {0, 9} live only in copy 0 of the ten disjoint
+    * replicas, so the REACHED set (and every distance) must be identical
+    * at 1× and 10× while the edge table grows tenfold — the sparse-
+    * frontier claim: per-superstep cost is one co-partitioned join over
+    * the bigger edge cache, the distance table stays seed-component-sized,
+    * and the superstep count (weighted diameter) is CONSTANT.
+    */
+  private def profileSssp(label: String, ev: DataFrame): String = {
+    val item = regexp_extract(col("props"), "(\\d+)", 1)
+    val ui = ev.where(col("event_type") === "view")
+      .select(col("user_id"), item.cast("int").as("item"))
+      .where(col("item").isNotNull).distinct()
+    val (edges, tEdges) = timed {
+      val e = graft.operators.Graph.coviewEdgesWeightedFromPairs(ui)
+        .where(col("support") >= 6)
+        .select(col("src"), col("dst"),
+          expr("CAST(1000000 DIV support AS BIGINT)").as("w")).persist()
+      (e, e.count())
+    }
+    val (stats, tSssp) = timed {
+      val r = graft.operators.Graph.sssp(edges._1, seeds = Seq(0, 9))
+        .agg(count(lit(1)), count("dist"), sum("dist")).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    edges._1.unpersist()
+    f"""{"corpus":"$label","n_edges":${edges._2},"edges_sec":$tEdges%.2f,""" +
+      f""""n_nodes":${stats._1},"n_reached":${stats._2},""" +
+      f""""dist_sum":${stats._3},"sssp_sec":$tSssp%.2f}"""
+  }
+
   /** p22 FFD-packing probe on BOTH shard axes: 10× documents with the
     * shard count FIXED (docs-per-shard grows 10× — the worst case the
     * sequential per-shard scan faces) and with the shard count SCALED 10×
@@ -961,6 +991,19 @@ object ScaleProbe {
       synthesizeDecadeGraphEvents(ev1).write.mode("overwrite").parquet(dirM)
       println(profileComm("comm-1x", ev1))
       println(profileComm("comm-10x", spark.read.parquet(dirM)))
+      spark.stop()
+      return
+    }
+
+    // optional section arg: "sssp" runs ONLY the g9 probe on the
+    // disjoint-copies axis (reached set and distances must be IDENTICAL
+    // at 10× edges — seeds live in copy 0 only; supersteps constant)
+    if (args.headOption.contains("sssp")) {
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      val dirS9 = scratch("decade-sssp/events")
+      synthesizeDecadeGraphEvents(ev1).write.mode("overwrite").parquet(dirS9)
+      println(profileSssp("sssp-1x", ev1))
+      println(profileSssp("sssp-10x", spark.read.parquet(dirS9)))
       spark.stop()
       return
     }

@@ -3481,6 +3481,26 @@ object SparkEntry {
         seeds = Seq(0, 9))
     }),
 
+    // G9 SSSP: exact min-plus cheapest-path distance from seeds {0, 9}
+    // over the support-≥6 co-view graph with cost = 1e6 DIV support
+    // (strong ties are SHORT — the co-view proximity metric); Bellman-Ford
+    // supersteps to fixpoint on the once-partitioned edge cache, exact
+    // longs end to end, the weighted complement of g8's hop count
+    "g9_sssp" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val ui = ev.where(col("event_type") === "view")
+        .select(col("user_id"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+        .where(col("item").isNotNull)
+        .distinct()
+      graft.operators.Graph.sssp(
+        graft.operators.Graph.coviewEdgesWeightedFromPairs(ui)
+          .where(col("support") >= 6)
+          .select(col("src"), col("dst"),
+            expr("CAST(1000000 DIV support AS BIGINT)").as("w")),
+        seeds = Seq(0, 9))
+    }),
+
     // G6 communities: deterministic min-label propagation to FIXPOINT over
     // the SUPPORT-THRESHOLDED co-view graph (≥8 shared viewers — the weak
     // single-viewer edges that glue any real co-view graph into one blob
@@ -7097,6 +7117,26 @@ object SparkEntry {
           "UNION " +
           "SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.item WHERE bfs.d < 10), " +
           "dist AS (SELECT item, min(d)::BIGINT AS dist FROM bfs GROUP BY 1) " +
+          "SELECT deg.item, deg.deg, dist.dist FROM deg LEFT JOIN dist USING (item) " +
+          "ORDER BY dist NULLS LAST, deg.item"),
+      // g9: hop-capped recursive min-cost replay of the min-plus fixpoint
+      // — cap 15 verified ≡ cap 6 at sf0.01 (fixpoint within 6 hops), the
+      // engine runs to a REFUSED-if-not fixpoint so the cap only needs to
+      // dominate the optimal-path hop count; same NULLS LAST discipline
+      "g9_sssp" ->
+        ("WITH RECURSIVE ui AS (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
+          "FROM events WHERE event_type = 'view' AND regexp_extract(props, '(\\d+)', 1) <> ''), " +
+          "ok AS (SELECT user_id FROM ui GROUP BY 1 HAVING count(*) <= 50), " +
+          "c AS (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id)), " +
+          "ew AS (SELECT a.item AS src, b.item AS dst, count(*)::BIGINT AS support " +
+          "FROM c a JOIN c b ON a.user_id = b.user_id AND a.item <> b.item GROUP BY 1, 2), " +
+          "e AS (SELECT src, dst, (1000000 // support)::BIGINT AS w FROM ew WHERE support >= 6), " +
+          "deg AS (SELECT src AS item, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+          "sd AS (SELECT unnest([0, 9]) AS item), " +
+          "r(item, cst, d) AS (SELECT item, 0::BIGINT, 0 FROM sd " +
+          "UNION " +
+          "SELECT e.dst, r.cst + e.w, r.d + 1 FROM r JOIN e ON e.src = r.item WHERE r.d < 15), " +
+          "dist AS (SELECT item, min(cst)::BIGINT AS dist FROM r GROUP BY 1) " +
           "SELECT deg.item, deg.deg, dist.dist FROM deg LEFT JOIN dist USING (item) " +
           "ORDER BY dist NULLS LAST, deg.item"),
       // e31: the streamed set fold must rebuild g1's edge table exactly —

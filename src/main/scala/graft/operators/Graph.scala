@@ -443,6 +443,71 @@ object Graph {
     out
   }
 
+  /** WEIGHTED SHORTEST PATHS (SSSP) — exact min-plus distance from a SEED
+    * SET over a non-negative integer-weighted edge table: the "cheapest
+    * path" member both [[bfsLayers]] (unweighted hops) and
+    * [[pageRankWeighted]] (weighted soft rank) point at. Classic
+    * Bellman-Ford as Pregel-shaped supersteps: each round relaxes every
+    * edge out of the current distance table in one co-partitioned join
+    * over the once-partitioned edge cache, folds candidate distances with
+    * a min per target, and merges with the incumbent via FULL OUTER +
+    * least. Distances are exact longs (min-plus over exact integer
+    * weights — no float anywhere), so the oracle's hop-capped recursive
+    * min-cost replay hash-matches.
+    *
+    * Convergence: with w ≥ 0 (enforced) the fixpoint arrives in at most
+    * |V|−1 supersteps; the loop stops at the first no-improvement round
+    * and REFUSES a non-fixpoint at `maxIters` (the g6 rule — a truncated
+    * distance table silently under-reports nothing visible downstream).
+    * Both per-round tables are read twice (merge + improvement count), so
+    * each is localCheckpoint(eager) — the g6 2^iters-lineage lesson.
+    * Unreached nodes report null dist, never vanish (the g8/c13 rule).
+    * At 100 TB the per-round cost is one co-partitioned edge join +
+    * |V|-row min — the honest Bellman-Ford bill; the distance table stays
+    * node-scale, never path-scale. Output: `(item, deg, dist)` ordered by
+    * (dist nulls last, item) — explicit null placement, the engines'
+    * defaults disagree.
+    */
+  def sssp(edges: DataFrame, seeds: Seq[Int], maxIters: Int = 50): DataFrame = {
+    require(seeds.nonEmpty, "sssp needs at least one seed")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val spark = edges.sparkSession
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src")).persist()
+    require(e.where(col("w") < 0).isEmpty,
+      "sssp requires non-negative edge weights (min-plus has no fixpoint " +
+        "guarantee under negative cycles)")
+    var dist = spark.createDataFrame(seeds.distinct.map(Tuple1(_)))
+      .toDF("item").select(col("item"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var improved = 1L
+    var it = 0
+    while (improved > 0 && it < maxIters) {
+      val cand = e.join(dist.withColumnRenamed("item", "src"), "src")
+        .groupBy("dst").agg(min(col("dist") + col("w")).as("nd"))
+        .withColumnRenamed("dst", "item")
+      val next = dist.join(cand, Seq("item"), "full_outer")
+        .select(col("item"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+      improved = next
+        .join(dist.select(col("item"), col("dist").as("old")), Seq("item"), "left")
+        .where(col("old").isNull || col("dist") < col("old")).count()
+      dist = next
+      it += 1
+    }
+    require(improved == 0,
+      s"sssp did not reach fixpoint in $maxIters supersteps")
+    val out = deg.select(col("src").as("item"), col("deg"))
+      .join(dist, Seq("item"), "left")
+      .orderBy(col("dist").asc_nulls_last, col("item"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Degree ASSORTATIVITY — the one-number graph-health diagnostic beside
     * [[triangleStats]]' local view: the Pearson correlation of endpoint
     * degrees over all edges (Newman's r). Positive = hubs link to hubs

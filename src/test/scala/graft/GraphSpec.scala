@@ -320,6 +320,66 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
     capped.find(_._1 == 4).get._3 shouldBe None
   }
 
+  test("sssp: min-plus distances, weighted path beats fewer hops, unreached nulls, refusal") {
+    // 0→1→2 costs 1+1=2, direct 0→2 costs 5: the cheap 2-hop path wins
+    // (the case hop-count BFS gets wrong); pair 8—9 disjoint → null
+    val und = Seq((0, 1, 1L), (1, 2, 1L), (0, 2, 5L), (2, 3, 10L), (8, 9, 1L))
+    val edges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val got = Graph.sssp(edges, seeds = Seq(0))
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    got shouldBe Seq(
+      (0, 2L, Some(0L)), (1, 2L, Some(1L)), (2, 3L, Some(2L)),
+      (3, 1L, Some(12L)),
+      (8, 1L, None), (9, 1L, None))
+    // refusal: an iteration budget below the fixpoint is an error, not a
+    // silently truncated distance table
+    val path = (0 until 6).map(i => (i, i + 1, 1L))
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    an[IllegalArgumentException] should be thrownBy
+      Graph.sssp(path, seeds = Seq(0), maxIters = 2)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.sssp(Seq((0, 1, -1L)).toDF("src", "dst", "w"), seeds = Seq(0))
+  }
+
+  test("sssp: seeded-random graphs match a driver-side Dijkstra reference") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val n = 12 + round * 4
+      val raw = (1 to n * 2).map(_ =>
+        (rnd.nextInt(n), rnd.nextInt(n), (rnd.nextInt(9) + 1).toLong))
+        .filter { case (a, b, _) => a != b }
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // one w per arc
+      val edges = raw.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        .groupBy(t => (t._1, t._2)).map { case (_, es) => es.minBy(_._3) }.toSeq
+      val seeds = Seq(raw.head._1)
+      val got = Graph.sssp(edges.toDF("src", "dst", "w"), seeds)
+        .as[(Int, Long, Option[Long])].collect().toSeq
+      // reference: plain Dijkstra over the same arcs
+      val adj = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => (e._2, e._3))
+      }
+      val distRef = scala.collection.mutable.Map[Int, Long](seeds.map(_ -> 0L): _*)
+      val pq = scala.collection.mutable.PriorityQueue[(Long, Int)](
+        seeds.map(s => (0L, s)): _*)(Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (dv, v) = pq.dequeue()
+        if (dv == distRef(v))
+          adj.getOrElse(v, Nil).foreach { case (u, w) =>
+            if (distRef.get(u).forall(_ > dv + w)) {
+              distRef(u) = dv + w; pq.enqueue((dv + w, u))
+            }
+          }
+      }
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      val expect = edges.map(_._1).distinct
+        .map(v => (v, deg(v), distRef.get(v)))
+        .sortBy(t => (t._3.getOrElse(Long.MaxValue), t._1))
+      withClue(s"round $round: ") { got shouldBe expect }
+    }
+  }
+
   test("coviewEdgesWeighted: support counts shared viewers; threshold drops weak edges") {
     // items 1,2 share two viewers (support 2); 2,3 share one (support 1)
     val ui = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2), (3L, 2), (3L, 3))
