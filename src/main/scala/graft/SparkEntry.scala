@@ -640,6 +640,16 @@ object SparkEntry {
         .select(col("id"), col(SearchExecutor.ScoreCol).as("score"))
     }),
 
+    // Q16 HIGHLIGHTING: matched-term snippets over the paged 'red widget'
+    // hits — TOKEN-space offsets under the scoring analyzers (the q10
+    // symmetry rule), first-occurrence position per (hit, field), ±2
+    // token fragment with the match <em>-wrapped; exact integers, the
+    // oracle replays the token/offset arithmetic verbatim
+    "q16_highlight" -> ((s, d) =>
+      SearchExecutor.highlight(
+        hits(s, d, """{"query":"red widget","size":20}""", admin),
+        terms = graft.analyzers.Analyzers.standardTokensScala("red widget"))),
+
     // Q14 MORE-LIKE-THIS (ES more_like_this): the seed doc's interesting
     // terms — ranked by the INTEGER (tf desc, df asc, term) order, never
     // float tf·idf (a libm ulp could swap the selection) — build the OR
@@ -4822,6 +4832,30 @@ object SparkEntry {
       "q15_search_after" ->
         (M + s"SELECT id, score FROM (SELECT id, ${score1("red")} AS score FROM meta) " +
           "WHERE score > 0 ORDER BY score DESC, id OFFSET 20 LIMIT 10"),
+      // q16: the same token/offset arithmetic over the same paged hits —
+      // per field, pos = least first-occurrence over the two terms
+      // (list_position 0→NULL), fragment = ±2 token window with the
+      // matched token <em>-wrapped, concat_ws skipping empty flanks on
+      // both engines
+      "q16_highlight" -> {
+        def fieldBranch(f: String): String = {
+          val inner = s"SELECT id, score, ${stdToks(f)} AS t FROM hits"
+          val pr = "nullif(list_position(t, 'red'), 0)"
+          val pw = "nullif(list_position(t, 'widget'), 0)"
+          s"SELECT id, score, '$f' AS field, " +
+            "CASE WHEN pr = pos THEN 'red' WHEN pw = pos THEN 'widget' END AS term, " +
+            "pos::BIGINT AS pos, " +
+            "concat_ws(' ', nullif(array_to_string(t[greatest(1, pos - 2):(pos - 1)], ' '), ''), " +
+            "'<em>' || t[pos] || '</em>', " +
+            "nullif(array_to_string(t[(pos + 1):(pos + 2)], ' '), '')) AS frag " +
+            s"FROM (SELECT id, score, t, $pr AS pr, $pw AS pw, least($pr, $pw) AS pos FROM ($inner)) " +
+            "WHERE pos IS NOT NULL"
+        }
+        M + s", hp AS (SELECT id, title, dataSample, $scoreRW AS score FROM meta), " +
+          "hits AS (SELECT * FROM hp WHERE score > 0 ORDER BY score DESC, id LIMIT 20) " +
+          fieldBranch("title") + " UNION ALL " + fieldBranch("dataSample") +
+          " ORDER BY score DESC, id, field"
+      },
       // q14: the same integer interesting-term selection (tf desc, df
       // asc, term) over the seed's tokens, q4's ln-IDF sum round-6
       "q14_more_like_this" ->

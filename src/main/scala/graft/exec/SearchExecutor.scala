@@ -249,6 +249,55 @@ object SearchExecutor {
       .limit(k)
   }
 
+  /** SEARCH HIGHLIGHTING — matched-term snippet extraction over a page of
+    * scored hits, the feature every search UI calls on every query (ES
+    * `highlight`; the reference returns raw `_source` only,
+    * search.py:121-135 — bonus fidelity like q4–q15). Offsets are in
+    * TOKEN space under the SAME analyzer the match scored with (the q10
+    * analyzer-symmetry rule): per (hit, field), `pos` is the 1-based
+    * index of the FIRST query-term occurrence in the field's token array
+    * (min over terms; a position names one token, so no tie exists), and
+    * the fragment is the ±`window` token context with the matched token
+    * wrapped in `<em>`. Exact integers and pure token arithmetic — char
+    * offsets would hinge on whitespace-run lengths the analyzer already
+    * erased, and could not be replayed engine-portably.
+    *
+    * Plan: one narrow codegen'd projection per field over the ALREADY
+    * PAGED hits (≤ size rows — highlighting never touches the corpus), a
+    * fields-way union of page-sized branches. Fields with no match drop
+    * out (a hit may have scored on a field outside `fields`). Output:
+    * `(id, score, field, term, pos, frag)` ordered by (score desc, id,
+    * field).
+    */
+  def highlight(hits: DataFrame, terms: Seq[String],
+                fields: Seq[String] = Seq("title", "dataSample"),
+                window: Int = 2): DataFrame = {
+    require(terms.nonEmpty, "highlight needs at least one analyzed query term")
+    require(fields.nonEmpty, "highlight needs at least one field")
+    require(window >= 0, s"window must be >= 0, got $window")
+    val ts = terms.map(_.toLowerCase).distinct.sorted
+    val branches = fields.map { f =>
+      val toks = graft.analyzers.Analyzers.standardTokens(col(f))
+      val posOf = ts.map(t =>
+        when(array_position(toks, t) > 0, array_position(toks, t)))
+      val pos = if (posOf.size == 1) posOf.head else least(posOf: _*)
+      val term = ts.zip(posOf).foldRight(lit(null).cast("string")) {
+        case ((t, p), acc) => when(p === pos, lit(t)).otherwise(acc)
+      }
+      val start = greatest(lit(1L), pos - window)
+      val left = array_join(slice(toks, start.cast("int"), (pos - start).cast("int")), " ")
+      val right = array_join(slice(toks, (pos + 1).cast("int"), lit(window)), " ")
+      val em = concat(lit("<em>"), get(toks, (pos - 1).cast("int")), lit("</em>"))
+      val frag = concat_ws(" ",
+        when(length(left) > 0, left), em, when(length(right) > 0, right))
+      hits.select(col("id"), col(ScoreCol).as("score"), lit(f).as("field"),
+        term.as("term"), pos.as("pos"), frag.as("frag"))
+    }
+    branches.reduce(_ unionByName _)
+      .where(col("pos").isNotNull)
+      .orderBy(col("score").desc, col("id"), col("field"))
+  }
+
   /** Date-histogram facet — Elasticsearch's `date_histogram` aggregation
     * (the time-axis companion of the category/format term facets the
     * reference compiles, query_translation.py:83-95): entry counts per

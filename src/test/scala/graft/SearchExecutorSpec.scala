@@ -180,6 +180,27 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     out shouldBe Seq(("001", 2L), ("002", 1L), ("005", 1L))
   }
 
+  test("Q16 highlight: token offsets, earliest term wins, boundary flanks, no substring match") {
+    import spark.implicits._
+    val hits = Seq(
+      // widget at 2 beats red at 4; title matches red at 1 (no left flank)
+      ("001", 3.0, "Red plates", "a widget and red things here"),
+      // match at the LAST token — no right flank
+      ("002", 2.0, "nothing here", "we sell a shiny red"),
+      // 'red' inside 'bored' must NOT match (token, not substring); title drops out
+      ("003", 1.0, "bored members", "bored of red tape"),
+      // no match in either field → no rows at all
+      ("004", 1.0, "plain", "nothing relevant")
+    ).toDF("id", SearchExecutor.ScoreCol, "title", "dataSample")
+    val out = SearchExecutor.highlight(hits, terms = Seq("red", "widget"))
+      .as[(String, Double, String, String, Long, String)].collect().toSeq
+    out shouldBe Seq(
+      ("001", 3.0, "dataSample", "widget", 2L, "a <em>widget</em> and red"),
+      ("001", 3.0, "title", "red", 1L, "<em>red</em> plates"),
+      ("002", 2.0, "dataSample", "red", 5L, "a shiny <em>red</em>"),
+      ("003", 1.0, "dataSample", "red", 3L, "bored of <em>red</em> tape"))
+  }
+
   test("A7 significant terms: planted slice signature tops; corpus-common terms read ~1x; rare terms suppressed") {
     // 'anomaly' appears ONLY in the foreground slice (lift = bg_total/fg_total),
     // 'filler' is uniform (~1e6), 'rare' is fg-only but below minFgCount
