@@ -1075,6 +1075,33 @@ object SparkEntry {
           .groupBy("day").agg(sum("d_n").as("cnt")))
     }),
 
+    // E35 STREAMING correlation-drift gate: c15's per-side moments are
+    // Σ-mergeable, so each side lands per-batch (n, Σx, Σy, Σx², Σy²,
+    // Σxy) DECIMAL deltas via the e15/e27 sum-log discipline; the
+    // order-free re-sum rebuilds both moment rows and the SHARED
+    // correlationReportFromMoments makes stream ≡ batch by construction
+    // — the oracle is c15's VERBATIM, no corpus rescan anywhere
+    "e35_stream_corr_drift" -> ((s, d) => {
+      val base = docs(s, d)
+      val v2 = base.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id")).as("text")))
+      val src1 = scratch("e35-src1"); val src2 = scratch("e35-src2")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src1)))
+        base.repartition(4).write.parquet(src1)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src2)))
+        v2.repartition(4).write.parquet(src2)
+      val del1 = scratch("e35-deltas1"); val del2 = scratch("e35-deltas2")
+      EventStream.streamMomentsFold(s, src1, del1)
+      EventStream.streamMomentsFold(s, src2, del2)
+      graft.operators.Quality.correlationReportFromMoments(
+        EventStream.foldMoments(s, del1), EventStream.foldMoments(s, del2))
+    }),
+
     // E24 STREAMING DSIR raw-model fold: the p19 statistic kept current by
     // ingest — per-batch (feat, d_rc) counts over the FROZEN target
     // vocabulary land in idempotent batch directories (maxFilesPerTrigger=1
@@ -1472,6 +1499,45 @@ object SparkEntry {
         .orderBy("id", "valid_from")
     }),
 
+    // S26 TWO-TABLE ATOMIC COMMIT: one manifest covering store +
+    // persisted history, closing the e22 exposure (two independent
+    // commits today). Scripted crash between generation publish and
+    // manifest swap is INVISIBLE to the pair reader (gated), healed as
+    // exactly one orphan, and the redone advance converges; a later
+    // advance absorbs TWO store versions in one manifest step; the final
+    // overlay must equal the store's rebuilt history row-for-row
+    "s26_pair_commit" -> ((s, d) => {
+      import graft.store.PairCommit
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // v1
+      val root = scratch("s26-pair")
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(root))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      val m1 = PairCommit.init(s, root, st, 8)
+      require(m1 == PairCommit.Manifest(1L, 1L), s"unexpected init manifest: $m1")
+      st.partialUpdate("000010", Map("title" -> "rev-b"))  // v2
+      // CRASH injected between generation publish and manifest swap
+      PairCommit.advance(s, root, st, 8, crashBeforeSwap = true)
+      require(PairCommit.manifest(root) == m1, "torn advance must be invisible")
+      require(PairCommit.readHistory(s, root)
+        .where(col("valid_to").isNotNull).count() == 0L,
+        "crash must not expose the half-advanced history")
+      require(PairCommit.heal(root) == 1L, "expected exactly one orphan generation")
+      val m2 = PairCommit.advance(s, root, st, 8) // redo converges
+      require(m2 == PairCommit.Manifest(2L, 2L), s"redo did not converge: $m2")
+      st.delete("000020")                                  // v3
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert) // v4
+      val m3 = PairCommit.advance(s, root, st, 8)          // one step, two versions
+      require(m3 == PairCommit.Manifest(4L, 3L), s"unexpected manifest: $m3")
+      val disk = PairCommit.readHistory(s, root)
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+      val rebuilt = st.history()
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+      val drift = disk.exceptAll(rebuilt).count() + rebuilt.exceptAll(disk).count()
+      require(drift == 0, s"pair history diverged from rebuild: $drift rows")
+      disk.orderBy("id", "valid_from")
+    }),
+
     // Set-oriented time travel: batch (id, as_of_version) probes answered
     // by ONE equi-join against the SCD2 history instead of |probes|
     // snapshot resolves — inner semantics, so probes at versions where the
@@ -1690,6 +1756,13 @@ object SparkEntry {
     // blend); deterministic structural counts, one codegen'd pass
     "t30_readability" -> ((s, d) =>
       graft.operators.TextAnalysis.readability(docs(s, d))),
+
+    // T31 SMOOTHED trigram LM: interpolated Kneser-Ney cross-entropy per
+    // document (fixed D = 3/4, all lower orders continuation-counted from
+    // the trigram type table) — the published CCNet-style quality signal
+    // beside t11/t16's MLE forms; docs with < 3 tokens drop
+    "t31_trigram_lm_kn" -> ((s, d) =>
+      graft.operators.TextAnalysis.trigramLmKN(docs(s, d)).orderBy("doc_id")),
 
     // T28 code-vs-prose router: per-doc code-symbol density + indented-
     // line fraction, exact integers, cross-multiplied flag — the cheap
@@ -4415,6 +4488,40 @@ object SparkEntry {
       "sm::BIGINT AS cusum_neg, (sp > bsum // 4 OR sm > bsum // 4) AS flagged " +
       "FROM s ORDER BY day"
 
+  /** c15/e35: the same v2 derivation and quality-micros formula per side,
+    * HUGEINT moments, the g4 guarded round-6 ratio, drift over the
+    * rounded values — shared verbatim by the batch gate and the streamed
+    * moments fold (stream ≡ batch by construction on the engine side, so
+    * one oracle serves both).
+    */
+  private lazy val corrDriftSql: String = {
+    val stop = sqlList(graft.analyzers.Analyzers.EnglishStopwords)
+    def sideCte(src: String, name: String): String =
+      s", tk_$name AS (SELECT ${stdToks("text")} AS t FROM $src) " +
+        s", st_$name AS (SELECT len(t)::BIGINT AS nt, " +
+        s"len(list_filter(t, x -> x IN $stop))::BIGINT AS ns, " +
+        s"len(list_distinct(t))::BIGINT AS nd FROM tk_$name) " +
+        s", $name AS (SELECT (CASE WHEN nt > 0 THEN " +
+        "((1000000 * (2 * least(nt, 100) * nt + 150 * (ns + nd)) + 250 * nt) // (500 * nt)) " +
+        s"ELSE 0 END)::HUGEINT AS x, nt::HUGEINT AS y FROM st_$name) " +
+        s", m_$name AS (SELECT count(*)::HUGEINT AS m, sum(x) AS sx, sum(y) AS sy, " +
+        s"sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM $name) "
+    def rsql(t: String): String =
+      s"CASE WHEN $t.m*$t.sxx - $t.sx*$t.sx > 0 AND $t.m*$t.syy - $t.sy*$t.sy > 0 THEN " +
+        s"round(($t.m*$t.sxy - $t.sx*$t.sy)::DOUBLE / (sqrt(($t.m*$t.sxx - $t.sx*$t.sx)::DOUBLE) * " +
+        s"sqrt(($t.m*$t.syy - $t.sy*$t.sy)::DOUBLE)), 6) END"
+    "WITH v2 AS (" +
+      "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 17 <> 0 " +
+      "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'new doc ' || doc_id AS text " +
+      "FROM documents WHERE doc_id % 19 = 0) " +
+      sideCte("documents", "a") + sideCte("v2", "b") +
+      s"SELECT m_a.m::BIGINT AS n_1, ${rsql("m_a")} AS r_1, " +
+      s"m_b.m::BIGINT AS n_2, ${rsql("m_b")} AS r_2, " +
+      s"round(abs((${rsql("m_a")}) - (${rsql("m_b")})), 6) AS drift " +
+      "FROM m_a, m_b"
+  }
+
   /** g5: the personalized recurrence replayed as chained CTEs — seed-only
     * teleport via FULL OUTER join each step, the same floor arithmetic,
     * unreached items coalesced to 0 in the final report.
@@ -4954,6 +5061,16 @@ object SparkEntry {
       // s21: identical lifecycle to s20, read back from the persisted
       // bucket-partitioned layout after three in-place advances
       "s21_persisted_history" ->
+        (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
+          "CAST(CASE WHEN id = '000010' THEN 2 WHEN id = '000020' THEN 3 END AS BIGINT) AS valid_to " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
+          "UNION ALL SELECT '000010', 'rev-b', 2, NULL " +
+          "UNION ALL SELECT id, title, 4, NULL FROM meta WHERE id = '000200' " +
+          "ORDER BY id, valid_from"),
+      // s26: the same mutation script as s21 driven through the pair
+      // manifest (crash + heal + redo leave no trace in the committed
+      // state by design), so the expected table is s21's verbatim
+      "s26_pair_commit" ->
         (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
           "CAST(CASE WHEN id = '000010' THEN 2 WHEN id = '000020' THEN 3 END AS BIGINT) AS valid_to " +
           "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
@@ -6254,6 +6371,34 @@ object SparkEntry {
           "SELECT doc_id, round(sum(c * -ln(bcnt::DOUBLE / pc)) / sum(c), 4) AS xent2 " +
           "FROM bc JOIN corpus USING (bg) JOIN pfx USING (w1) " +
           "GROUP BY doc_id ORDER BY doc_id"),
+      // t31: the identical interpolated-KN replay — trigram types, the
+      // four continuation-count tables re-aggregated from them, the same
+      // D = 0.75 expression shape term for term (association order
+      // matters to the shared doubles; round-4 absorbs only partial-sum
+      // reorder). Every multiply-referenced CTE is MATERIALIZED — the
+      // v23 lesson: DuckDB's default inlining re-expands `tri`'s whole
+      // tokenize→trigram chain at each of its five references and the
+      // plan blows past 10 minutes where the materialized form runs in
+      // 0.2 s (measured at sf0.01)
+      "t31_trigram_lm_kn" ->
+        (s"WITH toks AS MATERIALIZED (SELECT doc_id, ${stdToks("text")} AS t FROM documents) " +
+          ", tg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg FROM toks), " +
+          "tg AS MATERIALIZED (SELECT doc_id, tg, count(*) AS c FROM tg0 GROUP BY 1, 2), " +
+          "tri AS MATERIALIZED (SELECT tg, sum(c) AS tcnt, string_split(tg, ' ')[1] AS w1, " +
+          "string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3 FROM tg GROUP BY tg), " +
+          "ctx AS MATERIALIZED (SELECT w1, w2, sum(tcnt) AS ccnt, count(*) AS nctx FROM tri GROUP BY 1, 2), " +
+          "cont AS MATERIALIZED (SELECT w2, w3, count(*) AS cont23 FROM tri GROUP BY 1, 2), " +
+          "mid AS MATERIALIZED (SELECT w2, sum(cont23) AS midtot, count(*) AS fwd2 FROM cont GROUP BY 1), " +
+          "uni AS MATERIALIZED (SELECT w3, count(*) AS ucont FROM tri GROUP BY 1), " +
+          "tot AS (SELECT count(*)::DOUBLE AS ntypes FROM tri), " +
+          "p AS (SELECT doc_id, c, " +
+          "(greatest(tcnt::DOUBLE - 0.75, 0) + 0.75 * nctx::DOUBLE * " +
+          "((greatest(cont23::DOUBLE - 0.75, 0) + 0.75 * fwd2::DOUBLE * (ucont::DOUBLE / ntypes)) / midtot::DOUBLE)) " +
+          "/ ccnt::DOUBLE AS p3 " +
+          "FROM tg JOIN tri USING (tg) JOIN ctx USING (w1, w2) JOIN cont USING (w2, w3) " +
+          "JOIN mid USING (w2) JOIN uni USING (w3), tot) " +
+          "SELECT doc_id, round(sum(c * -ln(p3)) / sum(c), 4) AS xent3 " +
+          "FROM p GROUP BY doc_id ORDER BY doc_id"),
       "o4_small_qty_revenue" ->
         ("WITH pp AS (SELECT l_partkey, " +
           "sum(l_quantity::DECIMAL(28,10))::DOUBLE / count(*) AS avg_qty " +
@@ -6492,35 +6637,10 @@ object SparkEntry {
           "SELECT f.col AS \"column\", nt.nr AS n_rows, f.n_distinct, " +
           "(f.s // nt.nr)::BIGINT AS entropy_e6 " +
           "FROM f JOIN nt USING (col) ORDER BY 1"),
-      // c15: the same v2 derivation and quality-micros formula per side,
-      // HUGEINT moments, the g4 guarded round-6 ratio, drift over the
-      // rounded values
-      "c15_correlation_drift" -> {
-        def sideCte(src: String, name: String): String =
-          s", tk_$name AS (SELECT ${stdToks("text")} AS t FROM $src) " +
-            s", st_$name AS (SELECT len(t)::BIGINT AS nt, " +
-            s"len(list_filter(t, x -> x IN $stop))::BIGINT AS ns, " +
-            s"len(list_distinct(t))::BIGINT AS nd FROM tk_$name) " +
-            s", $name AS (SELECT (CASE WHEN nt > 0 THEN " +
-            "((1000000 * (2 * least(nt, 100) * nt + 150 * (ns + nd)) + 250 * nt) // (500 * nt)) " +
-            s"ELSE 0 END)::HUGEINT AS x, nt::HUGEINT AS y FROM st_$name) " +
-            s", m_$name AS (SELECT count(*)::HUGEINT AS m, sum(x) AS sx, sum(y) AS sy, " +
-            s"sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM $name) "
-        def rsql(t: String): String =
-          s"CASE WHEN $t.m*$t.sxx - $t.sx*$t.sx > 0 AND $t.m*$t.syy - $t.sy*$t.sy > 0 THEN " +
-            s"round(($t.m*$t.sxy - $t.sx*$t.sy)::DOUBLE / (sqrt(($t.m*$t.sxx - $t.sx*$t.sx)::DOUBLE) * " +
-            s"sqrt(($t.m*$t.syy - $t.sy*$t.sy)::DOUBLE)), 6) END"
-        "WITH v2 AS (" +
-          "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text " +
-          "FROM documents WHERE doc_id % 17 <> 0 " +
-          "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'new doc ' || doc_id AS text " +
-          "FROM documents WHERE doc_id % 19 = 0) " +
-          sideCte("documents", "a") + sideCte("v2", "b") +
-          s"SELECT m_a.m::BIGINT AS n_1, ${rsql("m_a")} AS r_1, " +
-          s"m_b.m::BIGINT AS n_2, ${rsql("m_b")} AS r_2, " +
-          s"round(abs((${rsql("m_a")}) - (${rsql("m_b")})), 6) AS drift " +
-          "FROM m_a, m_b"
-      },
+      // c15: see corrDriftSql — shared verbatim with the streamed fold
+      "c15_correlation_drift" -> corrDriftSql,
+      // e35: the STREAMED moments fold must equal the batch gate exactly
+      "e35_stream_corr_drift" -> corrDriftSql,
       "c6_quality_drift" ->
         ("WITH v2 AS (" +
           "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text " +

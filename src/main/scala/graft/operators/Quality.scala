@@ -396,26 +396,47 @@ object Quality {
     * per snapshot, a cross join of two 1-row tables — nothing shuffles
     * but the aggregate partials. Output: `(n_1, r_1, n_2, r_2, drift)`.
     */
-  def correlationDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+  def correlationDrift(v1: DataFrame, v2: DataFrame): DataFrame =
+    correlationReportFromMoments(correlationMoments(v1), correlationMoments(v2))
+
+  /** One side's exact moment sums — the combine-safe half of
+    * [[correlationDrift]], exposed so the STREAMED fold (e35) can land
+    * per-batch deltas of the same six DECIMAL(38,0) statistics and re-sum
+    * them order-free: counts and sums of exact longs and their products
+    * are all Σ-mergeable, so fold(stream) ≡ batch bit-for-bit. Output:
+    * one row `(m, sx, sy, sxy, sxx, syy)`.
+    */
+  def correlationMoments(df: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
-    def moments(df: DataFrame, suffix: String): DataFrame = {
-      val t = TextAnalysis.tokens(col("text"))
-      df.select(TextAnalysis.qualityMicrosCol(t).as("x"),
-          size(t).cast("long").as("y"))
-        .agg(count(lit(1)).cast(d38).as(s"m$suffix"),
-          sum(col("x").cast(d38)).as(s"sx$suffix"),
-          sum(col("y").cast(d38)).as(s"sy$suffix"),
-          sum(col("x").cast(d38) * col("y").cast(d38)).as(s"sxy$suffix"),
-          sum(col("x").cast(d38) * col("x").cast(d38)).as(s"sxx$suffix"),
-          sum(col("y").cast(d38) * col("y").cast(d38)).as(s"syy$suffix"))
-    }
+    val t = TextAnalysis.tokens(col("text"))
+    df.select(TextAnalysis.qualityMicrosCol(t).as("x"),
+        size(t).cast("long").as("y"))
+      .agg(count(lit(1)).cast(d38).as("m"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+  }
+
+  /** The report half of [[correlationDrift]]: two 1-row moment tables
+    * ([[correlationMoments]] schema, batch-aggregated or log-folded) →
+    * the `(n_1, r_1, n_2, r_2, drift)` gate row. Shared by the batch
+    * gate (c15) and the streamed fold (e35) so the two are equal BY
+    * CONSTRUCTION, not by parallel reimplementation.
+    */
+  def correlationReportFromMoments(m1: DataFrame, m2: DataFrame): DataFrame = {
+    def suffixed(df: DataFrame, suffix: String): DataFrame =
+      df.select(col("m").as(s"m$suffix"), col("sx").as(s"sx$suffix"),
+        col("sy").as(s"sy$suffix"), col("sxy").as(s"sxy$suffix"),
+        col("sxx").as(s"sxx$suffix"), col("syy").as(s"syy$suffix"))
     def r(s: String) = when(
       col(s"m$s") * col(s"sxx$s") - col(s"sx$s") * col(s"sx$s") > 0 &&
         col(s"m$s") * col(s"syy$s") - col(s"sy$s") * col(s"sy$s") > 0,
       round((col(s"m$s") * col(s"sxy$s") - col(s"sx$s") * col(s"sy$s")).cast("double") /
         (sqrt((col(s"m$s") * col(s"sxx$s") - col(s"sx$s") * col(s"sx$s")).cast("double")) *
           sqrt((col(s"m$s") * col(s"syy$s") - col(s"sy$s") * col(s"sy$s")).cast("double"))), 6))
-    moments(v1, "1").crossJoin(moments(v2, "2"))
+    suffixed(m1, "1").crossJoin(suffixed(m2, "2"))
       .select(col("m1").cast("long").as("n_1"), r("1").as("r_1"),
         col("m2").cast("long").as("n_2"), r("2").as("r_2"))
       .withColumn("drift", round(abs(col("r_1") - col("r_2")), 6))

@@ -311,6 +311,66 @@ object TextAnalysis {
         .as("xent2"))
   }
 
+  /** Per-document TRIGRAM cross-entropy under an interpolated KNESER-NEY
+    * model — the published corpus-quality signal beside [[unigramLm]] /
+    * [[bigramLm]]'s MLE forms (CCNet-style filtering scores documents
+    * under a SMOOTHED higher-order LM; MLE trigram probabilities would be
+    * spiky and assign everything-it-has-seen probability mass 1 at the
+    * tail). Fixed absolute discount D = 0.75 — the textbook value, exactly
+    * representable in binary so both engines evaluate the identical
+    * double — with every lower-order statistic derived from the TRIGRAM
+    * TYPE table by the standard KN continuation-count convention:
+    *
+    *   P(w₃|w₁w₂) = (max(c₁₂₃ − D, 0) + D·N₁₊(w₁w₂•)·P(w₃|w₂)) / c₁₂•
+    *   P(w₃|w₂)   = (max(N₁₊(•w₂w₃) − D, 0) + D·N₁₊(w₂•)·P꜀(w₃)) / N₁₊(•w₂•)
+    *   P꜀(w₃)     = N₁₊(•w₃) / N₁₊(••)
+    *
+    * Every denominator is ≥ 1 by construction — a scored trigram is itself
+    * a corpus trigram type, so its context total, middle continuation
+    * total, and the global type count all count it — hence no zero-count
+    * escape is needed and the score is closed-form for the oracle.
+    * Documents with fewer than three tokens drop (no trigram signal;
+    * t11/t16 cover them). Score: xent3 = Σc·(−ln P) / Σc, round-4 — the
+    * t11 output discipline.
+    *
+    * Plan shape at 100 TB: the trigram-type table is one map-side-
+    * combining aggregate off the narrow n-gram pass; the four lower-order
+    * statistic tables (context, continuation-bigram, middle, unigram-
+    * continuation) are successively smaller re-aggregates of it; scoring
+    * co-shuffles doc trigrams with the type table on the trigram key and
+    * picks up the statistics on their own keys — the t16 discipline one
+    * n-gram order up, nothing driver-side, one broadcast 1-row total.
+    */
+  def trigramLmKN(docs: DataFrame): DataFrame = {
+    val dD = lit(0.75)
+    val tg = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(ngrams(col("t"), 3)).as("tg"))
+      .groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
+    val tri = tg.groupBy("tg").agg(sum("c").as("tcnt"))
+      .withColumn("p", split(col("tg"), " "))
+      .select(col("tg"), col("tcnt"), element_at(col("p"), 1).as("w1"),
+        element_at(col("p"), 2).as("w2"), element_at(col("p"), 3).as("w3"))
+    val ctx = tri.groupBy("w1", "w2")
+      .agg(sum("tcnt").as("ccnt"), count(lit(1)).as("nctx"))
+    val cont = tri.groupBy("w2", "w3").agg(count(lit(1)).as("cont23"))
+    val mid = cont.groupBy("w2")
+      .agg(sum("cont23").as("midtot"), count(lit(1)).as("fwd2"))
+    val uni = tri.groupBy("w3").agg(count(lit(1)).as("ucont"))
+    val tot = tri.agg(count(lit(1)).cast("double").as("ntypes"))
+    // association order mirrors the oracle SQL verbatim — the round-4
+    // absorbs partial-sum reorder, not expression-shape divergence
+    val pcont = col("ucont").cast("double") / col("ntypes")
+    val p2 = (greatest(col("cont23").cast("double") - dD, lit(0d)) +
+      dD * col("fwd2").cast("double") * pcont) / col("midtot").cast("double")
+    val p3 = (greatest(col("tcnt").cast("double") - dD, lit(0d)) +
+      dD * col("nctx").cast("double") * p2) / col("ccnt").cast("double")
+    tg.join(tri, "tg").join(ctx, Seq("w1", "w2")).join(cont, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(uni, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * -log(p3)) / sum(col("c")), 4).as("xent3"))
+  }
+
   /** Per-source corpus profile: documents, token volume, and EXACT distinct
     * vocabulary per source — the per-domain report a mixing recipe is tuned
     * against. Two-level aggregation: (source, token) partial-counts map-side

@@ -186,6 +186,12 @@ class MetadataStore(spark: SparkSession, rootDir: String,
   /** Resolved current table as Dataset[MetadataEntry]. */
   def current: Dataset[MetadataEntry] = resolved.select(entryCols.map(col): _*).as[MetadataEntry]
 
+  /** The committed version pointer — public for pair-commit coordination
+    * ([[PairCommit]]): a manifest pins this value together with the
+    * history generation so a reader resolves BOTH tables at one instant.
+    */
+  def committedVersion: Long = currentVersion
+
   /** Time travel: the table as of an older committed version — the versioned
     * log gives historical reads for free (resolve with the version ceiling
     * lowered; segments above it are simply not read). Querying a version

@@ -1481,6 +1481,57 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING correlation-moment maintenance — the c15 gate's per-side
+    * statistics kept current by ingest, the SUM-log family extended to
+    * SECOND moments: each micro-batch lands ONE row of exact
+    * DECIMAL(38,0) deltas `(d_m, d_sx, d_sy, d_sxy, d_sxx, d_syy)` — that
+    * batch's [[graft.operators.Quality.correlationMoments]] — as an
+    * idempotent `batch=<id>/` directory. Counts, sums, and sums of
+    * PRODUCTS of exact longs are all Σ-mergeable and order-free, so the
+    * read-side re-sum ([[foldMoments]]) rebuilds the side's exact moment
+    * row and the SHARED
+    * [[graft.operators.Quality.correlationReportFromMoments]] makes
+    * stream ≡ batch by construction — correlation drift without ever
+    * rescanning the corpus. Per-batch cost: one narrow codegen'd score
+    * pass over the batch + a 1-row write. Pure per-key sum log with an
+    * EMPTY key set ⇒ [[compactSumLog]] (keyCols = Nil, sumCols = the six
+    * deltas) applies for lifecycle unchanged.
+    */
+  def streamMomentsFold(spark: SparkSession, srcDir: String,
+                        deltaDir: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quality.correlationMoments(batch)
+          .select(col("m").as("d_m"), col("sx").as("d_sx"),
+            col("sy").as("d_sy"), col("sxy").as("d_sxy"),
+            col("sxx").as("d_sxx"), col("syy").as("d_syy"))
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Order-free exact re-sum of a [[streamMomentsFold]] delta log back to
+    * one [[graft.operators.Quality.correlationMoments]]-schema row. An
+    * empty batch's row carries d_m = 0 and null product sums — nulls are
+    * additive identities under SUM, so replayed or empty batches cannot
+    * skew the fold. Types re-pinned DECIMAL(38,0) so the folded row is
+    * byte-compatible with the batch aggregate.
+    */
+  def foldMoments(spark: SparkSession, deltaDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    readDeltaLog(spark, deltaDir)
+      .agg(sum("d_m").cast(d38).as("m"), sum("d_sx").cast(d38).as("sx"),
+        sum("d_sy").cast(d38).as("sy"), sum("d_sxy").cast(d38).as("sxy"),
+        sum("d_sxx").cast(d38).as("sxx"), sum("d_syy").cast(d38).as("syy"))
+  }
+
   /** STREAMING daily-count maintenance — the c10/c5 volume statistic kept
     * current by ingest: each micro-batch lands its per-day event counts as
     * an idempotent `batch=<id>/` directory (the e15 rule — replay

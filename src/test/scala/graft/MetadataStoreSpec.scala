@@ -18,6 +18,49 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
 
   private val e0 = Fixtures.corpus.head
 
+  test("pair commit: a crash between generation publish and manifest swap is invisible, " +
+    "heals as one orphan, and the redone advance converges on the batch history") {
+    import graft.store.PairCommit
+    val st = freshStore()
+    Fixtures.corpus.take(5).foreach(st.upsert) // v1..v5
+    val root = Files.createTempDirectory("graft-pair").toString
+    val m0 = PairCommit.init(spark, root, st, 4)
+    m0 shouldBe PairCommit.Manifest(5L, 1L)
+    val gen1Files = graft.util.FsUtil.listDir(
+      java.nio.file.Paths.get(root, "hist", "gen-1"))(_.toSeq).toString
+    st.partialUpdate(Fixtures.corpus(1).id, Map("title" -> "rev-b")) // v6
+    // crash: gen-2 published, manifest NOT swapped
+    PairCommit.advance(spark, root, st, 4, crashBeforeSwap = true) shouldBe m0
+    PairCommit.manifest(root) shouldBe m0
+    // pair reader: BOTH halves still resolve at the old instant — the
+    // snapshot half shows the pre-update title and the history half has
+    // no closed interval, even though the store's CURRENT ran ahead
+    PairCommit.readSnapshot(st, root)
+      .where(col("id") === Fixtures.corpus(1).id)
+      .select("title").as[String].collect() shouldBe
+      Array(Fixtures.corpus(1).title)
+    PairCommit.readHistory(spark, root)
+      .where(col("valid_to").isNotNull).count() shouldBe 0L
+    // gen-1 untouched by the crashed advance (immutability)
+    graft.util.FsUtil.listDir(
+      java.nio.file.Paths.get(root, "hist", "gen-1"))(_.toSeq).toString shouldBe gen1Files
+    PairCommit.heal(root) shouldBe 1L
+    PairCommit.heal(root) shouldBe 0L // heal is idempotent
+    val m1 = PairCommit.advance(spark, root, st, 4)
+    m1 shouldBe PairCommit.Manifest(6L, 2L)
+    // the committed overlay equals the store's rebuilt history exactly
+    val disk = PairCommit.readHistory(spark, root)
+      .select("id", "title", "valid_from", "valid_to")
+    val rebuilt = st.history().select("id", "title", "valid_from", "valid_to")
+    disk.exceptAll(rebuilt).count() shouldBe 0L
+    rebuilt.exceptAll(disk).count() shouldBe 0L
+    // time travel on the pair: the gen-1 overlay still reads cleanly
+    PairCommit.readHistoryAt(spark, root, 1L)
+      .where(col("valid_to").isNotNull).count() shouldBe 0L
+    // a no-op advance leaves the manifest be
+    PairCommit.advance(spark, root, st, 4) shouldBe m1
+  }
+
   test("replica checksum: CDC-advanced replica matches the primary bucket-for-bucket; " +
     "a planted divergence localizes to its bucket") {
     val st = freshStore()

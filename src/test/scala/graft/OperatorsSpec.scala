@@ -1441,6 +1441,28 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       2L -> r4(math.log(2) / 2)) // (1·0 + 1·ln2)/2; doc 3 has no bigrams
   }
 
+  test("KN trigram LM: hand-computed interpolated probabilities; sub-3-token docs drop") {
+    // corpus trigram types: "a b c"×2 (doc1), "b c a", "c a b" (doc1),
+    // "a b d" (doc2) → ntypes=4, every continuation count 1, Pc = 1/4
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLmKN(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val D = 0.75
+    // mid-order around w2=b: midtot=2 (b c / b d), fwd2=2
+    val p2b = (math.max(1 - D, 0) + D * 2 * 0.25) / 2 // = 0.3125
+    // around w2=c and w2=a: midtot=1, fwd2=1
+    val p2one = (math.max(1 - D, 0) + D * 1 * 0.25) / 1 // = 0.4375
+    val pAbc = (math.max(2 - D, 0) + D * 2 * p2b) / 3   // ctx (a,b): ccnt 3, nctx 2
+    val pBca = (math.max(1 - D, 0) + D * 1 * p2one) / 1 // ctx (b,c): ccnt 1, nctx 1
+    val pCab = pBca                                     // symmetric statistics
+    val pAbd = (math.max(1 - D, 0) + D * 2 * p2b) / 3
+    out shouldBe Seq(
+      1L -> r4((2 * -math.log(pAbc) - math.log(pBca) - math.log(pCab)) / 4),
+      2L -> r4(-math.log(pAbd))) // doc 3 has no trigrams → absent
+  }
+
   test("rollup report: one pass yields exact per-nation subtotals and the grand total") {
     val li = Seq((1L, 100.0, 0.0), (2L, 200.0, 0.5)).toDF("l_orderkey", "l_extendedprice", "l_discount")
     val ord = Seq((1L, 10L, java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),

@@ -418,6 +418,28 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed shouldBe batch
   }
 
+  test("streaming moments: the folded second-moment log reproduces the batch correlation gate verbatim") {
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files.createTempDirectory("graft-smom").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base.repartition(4).write.parquet(s"$root/src1")
+    base.where($"doc_id" % 3 === 0).repartition(2).write.parquet(s"$root/src2")
+    EventStream.streamMomentsFold(spark, s"$root/src1", s"$root/log1")
+    EventStream.streamMomentsFold(spark, s"$root/src2", s"$root/log2")
+    // multi-batch path actually exercised (maxFilesPerTrigger = 1)
+    graft.util.FsUtil.listDir(java.nio.file.Paths.get(s"$root/log1/batches"))(
+      _.count(_.getFileName.toString.startsWith("batch="))) should be >= 4
+    val streamed = graft.operators.Quality.correlationReportFromMoments(
+        EventStream.foldMoments(spark, s"$root/log1"),
+        EventStream.foldMoments(spark, s"$root/log2"))
+      .as[(Long, Double, Long, Double, Double)].collect().toSeq
+    val batch = graft.operators.Quality.correlationDrift(
+        base, base.where($"doc_id" % 3 === 0))
+      .as[(Long, Double, Long, Double, Double)].collect().toSeq
+    streamed should not be empty
+    streamed shouldBe batch
+  }
+
   test("top-k count-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.operators.SketchRollup
