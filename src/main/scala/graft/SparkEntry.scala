@@ -683,6 +683,16 @@ object SparkEntry {
     "q7_spell_suggest" -> ((s, d) =>
       SearchExecutor.spellSuggest(Corpus.metadata(s, d), term = "hod")),
 
+    // Q17 FUZZY match query (ES match + fuzziness AUTO): docs whose title
+    // holds a token within edit distance 1 of the typo 'rad' — BOTH 'red'
+    // and 'rod' match at distance 1, so multi-term accumulation is live;
+    // SymSpell deletion blocking generalized to d, exact levenshtein on
+    // collisions only, score = Σ (d+1−dist) over distinct matched tokens.
+    // Oracle is the UNBLOCKED full-scan levenshtein — blocking recall is
+    // value-gated (the q7 rule)
+    "q17_fuzzy_search" -> ((s, d) =>
+      SearchExecutor.fuzzySearch(Corpus.metadata(s, d), term = "rad")),
+
     // ------------------------- store ops (S1-S7, X2) -----------------------
 
     // S1 index scan: resolved current table off the versioned store
@@ -3028,6 +3038,15 @@ object SparkEntry {
       Relational.topBrandsWithOther(s.read.parquet(s"$d/lineitem.parquet"),
         s.read.parquet(s"$d/part.parquet"))),
 
+    // Relational OLAP o35: brands-bought-together — support, directed
+    // confidence, and LIFT in exact floor-div micros over per-order
+    // distinct brand pairs (self-join co-partitioned on the order key —
+    // bounded-quadratic per basket, never all-pairs across orders);
+    // lift's triple product DECIMAL-widened, top-20 by lift
+    "o35_basket_lift" -> ((s, d) =>
+      Relational.brandBasketLift(s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/part.parquet"))),
+
     // Relational OLAP o4: Q17-shape correlated aggregate — revenue of
     // line items below half their part's average quantity, declared as
     // the decorrelated per-part-aggregate + equi-join Catalyst rewrites
@@ -3333,6 +3352,20 @@ object SparkEntry {
       graft.operators.Quality.valueEntropy(Corpus.metadata(s, d),
         Seq("category", "format", "orgUUID", "isPublic"))),
 
+    // C17 CHI-SQUARED categorical drift: the composition test for columns
+    // PSI (binned numeric) and KS (ordered) can't gate — category churn
+    // between snapshots (id%13 rows re-categorized into cat0, id%17 rows
+    // dropped) in exact cleared-denominator integer micros, per-category
+    // terms localizing which value moved
+    "c17_chi2_drift" -> ((s, d) => {
+      val m = Corpus.metadata(s, d)
+      val key = expr("CAST(id AS INT)")
+      val v2 = m.where(key % 17 =!= 0)
+        .withColumn("category",
+          when(key % 13 === 0, lit("cat0")).otherwise(col("category")))
+      graft.operators.Quality.chiSquareDrift(m, v2, "category")
+    }),
+
     // C15 correlation drift: did the quality↔length RELATIONSHIP move
     // between snapshots — the axis the per-margin gates (c6/c8/c9) miss;
     // g4's exact DECIMAL moments per side, one round-6 ratio each,
@@ -3584,6 +3617,19 @@ object SparkEntry {
         seeds = Seq(0, 9))
     }),
 
+    // G10 HITS hubs/authorities on the DIRECTED user→item bipartite view
+    // graph (the co-view projection is symmetric — hub ≡ authority there,
+    // so the bipartite table is the honest input): 3 power iterations in
+    // exact max-normalized integer micros, top-20 authorities
+    "g10_hits" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val ui = ev.where(col("event_type") === "view")
+        .select(col("user_id"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+        .where(col("item").isNotNull)
+      graft.operators.Graph.hits(ui)
+    }),
+
     // G6 communities: deterministic min-label propagation to FIXPOINT over
     // the SUPPORT-THRESHOLDED co-view graph (≥8 shared viewers — the weak
     // single-viewer edges that glue any real co-view graph into one blob
@@ -3637,6 +3683,14 @@ object SparkEntry {
     // micros shares — the abandonment-diagnosis report
     "j22_exit_actions" -> ((s, d) =>
       graft.operators.EventAnalytics.exitActions(
+        EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
+
+    // J23 stickiness: DAU over trailing-28-day MAU per spine day — the
+    // habit metric; events collapse once to distinct (day, user) pairs,
+    // the broadcast spine range-join bounds the window expansion, zero
+    // days stay visible, empty-window days null (never 0)
+    "j23_stickiness" -> ((s, d) =>
+      graft.operators.EventAnalytics.stickiness(
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
 
     // J21 hourly session concurrency: sessions LIVE per clock hour —
@@ -6342,6 +6396,22 @@ object SparkEntry {
           "((rev::HUGEINT * 1000000) // tot)::BIGINT AS share_e6 " +
           "FROM (SELECT rank, brand, rev FROM top UNION ALL SELECT * FROM oth), t " +
           "ORDER BY rank"),
+      // o35: the same distinct-basket pair counts, singles, and basket
+      // total; confidence and lift in HUGEINT floor-div micros, outputs
+      // pinned ::BIGINT (the o30 lesson — HUGEINT ships as decimal128)
+      "o35_basket_lift" ->
+        ("WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+          "t AS (SELECT count(DISTINCT okey)::BIGINT AS n FROM ob), " +
+          "s AS (SELECT brand, count(*)::BIGINT AS c1 FROM ob GROUP BY 1), " +
+          "p AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*)::BIGINT AS support " +
+          "FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand " +
+          "GROUP BY 1, 2 HAVING count(*) >= 50) " +
+          "SELECT brand_a, brand_b, support, " +
+          "((support::HUGEINT * 1000000) // sa.c1)::BIGINT AS conf_ab_e6, " +
+          "((support::HUGEINT * n * 1000000) // (sa.c1::HUGEINT * sb.c1))::BIGINT AS lift_e6 " +
+          "FROM p JOIN s sa ON p.brand_a = sa.brand JOIN s sb ON p.brand_b = sb.brand, t " +
+          "ORDER BY lift_e6 DESC, brand_a, brand_b LIMIT 20"),
       // o33: the identical join chain under GROUPING SETS ((n), (y))
       "o33_grouping_sets" ->
         ("WITH l AS (SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS dp FROM lineitem), " +
@@ -6625,6 +6695,22 @@ object SparkEntry {
       // integer fractions
       // c16: same melt, same per-term round-half-up micros quantization
       // before the order-free sum, same floor division
+      // c17: the identical contingency table and cleared-denominator
+      // exact terms — HUGEINT quadruple products, per-term // then the
+      // two-term sum, output pinned ::BIGINT
+      "c17_chi2_drift" ->
+        (M + ", v2 AS (SELECT CASE WHEN id::INT % 13 = 0 THEN 'cat0' ELSE category END AS category " +
+          "FROM meta WHERE id::INT % 17 <> 0), " +
+          "t AS (SELECT category, " +
+          "sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::HUGEINT AS a, " +
+          "sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)::HUGEINT AS b " +
+          "FROM (SELECT category, 1 AS side FROM meta UNION ALL SELECT category, 2 FROM v2) " +
+          "GROUP BY 1), " +
+          "s AS (SELECT sum(a)::HUGEINT AS n1, sum(b)::HUGEINT AS n2 FROM t) " +
+          "SELECT category, a::BIGINT AS n_1, b::BIGINT AS n_2, " +
+          "((a*(n1+n2) - n1*(a+b)) * (a*(n1+n2) - n1*(a+b)) * 1000000 // (n1*(a+b)*(n1+n2)) " +
+          "+ (b*(n1+n2) - n2*(a+b)) * (b*(n1+n2) - n2*(a+b)) * 1000000 // (n2*(a+b)*(n1+n2)))::BIGINT AS chi2_term_e6 " +
+          "FROM t, s ORDER BY category"),
       "c16_value_entropy" ->
         (M + ", m AS (SELECT unnest(['category','format','isPublic','orgUUID']) AS col, " +
           "unnest([category, format, isPublic::VARCHAR, orgUUID]) AS val FROM meta), " +
@@ -6782,6 +6868,22 @@ object SparkEntry {
           "t AS (SELECT sum(n_users)::BIGINT AS tot FROM x) " +
           "SELECT exit_type, n_users, ((n_users * 1000000) // tot)::BIGINT AS share_e6 " +
           "FROM x, t ORDER BY n_users DESC, exit_type"),
+      // j23: same distinct (day, user) pairs, same densified spine and
+      // trailing-28-day range join, floor-div micros, empty-window null
+      "j23_stickiness" ->
+        ("WITH pairs AS (SELECT DISTINCT ts::TIMESTAMP::DATE AS day, user_id FROM events), " +
+          "spine AS (SELECT unnest(generate_series((SELECT min(day) FROM pairs), " +
+          "(SELECT max(day) FROM pairs), INTERVAL 1 DAY))::DATE AS day), " +
+          "dau AS (SELECT day, count(*)::BIGINT AS dau FROM pairs GROUP BY 1), " +
+          "mau AS (SELECT s.day, count(DISTINCT p.user_id)::BIGINT AS mau " +
+          "FROM spine s JOIN pairs p ON p.day BETWEEN s.day - INTERVAL 27 DAY AND s.day " +
+          "GROUP BY 1) " +
+          "SELECT s.day::VARCHAR AS day, coalesce(d.dau, 0)::BIGINT AS dau, " +
+          "coalesce(m.mau, 0)::BIGINT AS mau, " +
+          "CASE WHEN coalesce(m.mau, 0) > 0 THEN " +
+          "((coalesce(d.dau, 0) * 1000000) // m.mau)::BIGINT END AS stickiness_e6 " +
+          "FROM spine s LEFT JOIN dau d USING (day) LEFT JOIN mau m USING (day) " +
+          "ORDER BY day"),
       // j21: same gap chain, same hour-bucket explode and per-hour count
       "j21_concurrency" ->
         ("WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events), " +
@@ -7293,6 +7395,23 @@ object SparkEntry {
           "dist AS (SELECT item, min(cst)::BIGINT AS dist FROM r GROUP BY 1) " +
           "SELECT deg.item, deg.deg, dist.dist FROM deg LEFT JOIN dist USING (item) " +
           "ORDER BY dist NULLS LAST, deg.item"),
+      // g10: the identical 3-iteration max-normalized integer replay as
+      // chained MATERIALIZED CTEs (the v23 inlining rule); HUGEINT
+      // products, outputs pinned ::BIGINT
+      "g10_hits" -> {
+        def step(i: Int): String =
+          s"a${i}r AS MATERIALIZED (SELECT item, sum(h)::HUGEINT AS ar FROM ui JOIN h${i - 1} USING (user_id) GROUP BY 1), " +
+            s"a$i AS MATERIALIZED (SELECT item, ((ar * 1000000) // (SELECT max(ar) FROM a${i}r))::BIGINT AS a FROM a${i}r), " +
+            s"h${i}r AS MATERIALIZED (SELECT user_id, sum(a)::HUGEINT AS hr FROM ui JOIN a$i USING (item) GROUP BY 1), " +
+            s"h$i AS MATERIALIZED (SELECT user_id, ((hr * 1000000) // (SELECT max(hr) FROM h${i}r))::BIGINT AS h FROM h${i}r), "
+        "WITH ui AS MATERIALIZED (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
+          "FROM events WHERE event_type = 'view' AND regexp_extract(props, '(\\d+)', 1) <> ''), " +
+          "h0 AS (SELECT DISTINCT user_id, 1000000::BIGINT AS h FROM ui), " +
+          (1 to 3).map(step).mkString +
+          "deg AS (SELECT item, count(*)::BIGINT AS views FROM ui GROUP BY 1) " +
+          "SELECT deg.item, deg.views, a3.a AS auth_e6 FROM deg JOIN a3 USING (item) " +
+          "ORDER BY auth_e6 DESC, item LIMIT 20"
+      },
       // e31: the streamed set fold must rebuild g1's edge table exactly —
       // same oracle verbatim (distinct-union order-free, replay
       // idempotent by batch-directory overwrite)
@@ -7810,6 +7929,17 @@ object SparkEntry {
           "SELECT term, count(*) AS cnt FROM terms " +
           "WHERE levenshtein(term, 'hod') <= 1 " +
           "GROUP BY term ORDER BY cnt DESC, term LIMIT 5"),
+      // q17: the UNBLOCKED replay — full-scan levenshtein over the title
+      // vocabulary (no deletion keys), same (d+1−dist) weights summed
+      // over each doc's distinct matched tokens; the engine's SymSpell
+      // blocking must recall every one of these matches to hash-equal
+      "q17_fuzzy_search" ->
+        (M + s", vt AS (SELECT DISTINCT unnest(${stdToks("title")}) AS tok FROM meta), " +
+          "mt AS (SELECT tok, (2 - levenshtein(tok, 'rad'))::BIGINT AS wt " +
+          "FROM vt WHERE levenshtein(tok, 'rad') <= 1), " +
+          s"dt AS (SELECT DISTINCT id, tok FROM (SELECT id, unnest(${stdToks("title")}) AS tok FROM meta)) " +
+          "SELECT id, sum(wt)::BIGINT AS score FROM dt JOIN mt USING (tok) " +
+          "GROUP BY id ORDER BY score DESC, id LIMIT 10"),
       "r1_result_shape" ->
         (M + s"""SELECT id, category, creation_date, data_sample, format, is_public, org_uuid,
                 | record_count, "size", source_uri, target_uri, title FROM (

@@ -448,6 +448,62 @@ object SearchExecutor {
       .orderBy(col("cnt").desc, col("term")).limit(k)
   }
 
+  /** FUZZY match query — the ES `match`-with-`fuzziness: AUTO` lineage
+    * (the typo tolerance every search box ships): documents whose TITLE
+    * contains a token within edit distance d of the query term, d by the
+    * published AUTO ladder (0 for |q| ≤ 2, 1 for 3–5, 2 for ≥ 6).
+    * Candidates generate by [[spellSuggest]]'s SymSpell deletion blocking
+    * GENERALIZED to depth d — if lev(a,b) ≤ d the two share a common
+    * ≤d-deletion subsequence, so the VOCABULARY (never the corpus) pays
+    * the O(|tok|ᵈ) key explosion, the query probes its own ≤d-deletion
+    * keys as a pushed IN filter, and exact levenshtein verifies only the
+    * key collisions. Matched terms come back over ONE token-exploded
+    * corpus pass as a broadcast join; score = Σ over a doc's DISTINCT
+    * matched tokens of (d + 1 − dist) — exact integers, an exact hit
+    * outranks a fuzzy one, ties by id. At 100 TB the (key, term)
+    * deletion index is the materialize-once artifact (the q7 discipline)
+    * and the scoring pass is the same explode + broadcast-semi shape as
+    * every Q1-family query.
+    */
+  def fuzzySearch(entries: DataFrame, term: String, k: Int = 10): DataFrame = {
+    val q = term.toLowerCase
+    require(q.nonEmpty && q.forall(c => c.isLetterOrDigit),
+      s"fuzzy term must be one analyzed token: '$term'")
+    val d = if (q.length <= 2) 0 else if (q.length <= 5) 1 else 2
+    def del1(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(1), length(s)), i =>
+      concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val tok = col("tok")
+    val keysCol = d match {
+      case 0 => array(tok)
+      case 1 => array_union(array(tok), del1(tok))
+      case _ => array_union(array_union(array(tok), del1(tok)),
+        array_distinct(flatten(transform(del1(tok), s => del1(s)))))
+    }
+    def dels(s: String): Seq[String] = s.indices.map(i => s.take(i) + s.drop(i + 1))
+    val qKeys = (d match {
+      case 0 => Seq(q)
+      case 1 => q +: dels(q)
+      case _ => (q +: dels(q)) ++ dels(q).flatMap(dels)
+    }).distinct
+    val vocab = entries
+      .select(explode(graft.analyzers.Analyzers.standardTokens(col("title"))).as("tok"))
+      .distinct()
+    val matched = vocab.select(tok, explode(keysCol).as("key"))
+      .where(col("key").isin(qKeys: _*))
+      .select("tok").distinct()
+      .withColumn("dist", levenshtein(tok, lit(q)))
+      .where(col("dist") <= d)
+      .select(tok, (lit((d + 1).toLong) - col("dist")).as("wt"))
+    entries
+      .select(col("id"),
+        explode(graft.analyzers.Analyzers.standardTokens(col("title"))).as("tok"))
+      .distinct()
+      .join(broadcast(matched), "tok")
+      .groupBy("id").agg(sum("wt").as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+  }
+
   /** SIGNIFICANT TERMS (the ES significant-terms aggregation lineage):
     * which dataSample terms are OVER-represented in a filtered slice
     * relative to the whole corpus — the "what is special about this

@@ -639,4 +639,43 @@ object EventAnalytics {
         max("dwell_us").as("max_dwell_us"))
       .orderBy("event_type")
   }
+
+  /** STICKINESS — the DAU/MAU engagement ratio per day, the one-number
+    * habit metric every product dashboard leads with (a product opened
+    * daily reads ~10⁶ micros against its own monthly audience; a
+    * once-a-month tool reads ~33 000): daily distinct users over
+    * trailing-`windowDays` distinct users, on the DENSIFIED calendar
+    * spine (the c5 rule — a zero-event day reports dau 0, it never
+    * vanishes), ratio in exact floor-div micros, null when the trailing
+    * window is empty ("undefined" never aliases "zero").
+    *
+    * Plan shape: events collapse ONCE to distinct (day, user) pairs —
+    * the only corpus-scale shuffle; the |days|-row spine then range-joins
+    * those pairs as a BROADCAST (spine side), so the trailing-window
+    * expansion is bounded at windowDays × |pairs| with no second pass
+    * over raw events. This is the exact GATE tier: at 100 TB the
+    * mergeable path is the x16 per-day distinct-sketch rollup (HLL
+    * union over any window, no pair expansion) — this entry holds that
+    * tier honest, the t12/c1 exact-vs-sketch discipline.
+    */
+  def stickiness(events: DataFrame, windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val pairs = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val spine = pairs.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = pairs
+      .join(broadcast(spine.select(col("day").as("sday"))),
+        col("day").between(date_sub(col("sday"), windowDays - 1), col("sday")))
+      .groupBy(col("sday").as("day"))
+      .agg(countDistinct("user_id").as("mau"))
+    spine.join(dau, Seq("day"), "left").join(mau, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness_e6",
+        when(col("mau") > 0, expr("dau * 1000000 DIV mau")))
+      .orderBy("day")
+  }
 }

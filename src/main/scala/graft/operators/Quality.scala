@@ -376,6 +376,70 @@ object Quality {
       .orderBy("column")
   }
 
+  /** CHI-SQUARED homogeneity test between two snapshots of a CATEGORICAL
+    * column — the drift battery's categorical member (c8's PSI bins a
+    * NUMERIC margin, c9's KS needs an ordering; a category/format/lang
+    * column has neither): did the composition of values change between
+    * corpus versions, weighted the way the published test weights it —
+    * rare categories' swings count more than the same absolute swing in
+    * a dominant one, exactly what a per-bucket |Δfraction| report
+    * undercounts.
+    *
+    * Each side's contribution for category i is computed in EXACT
+    * integers from the contingency table alone:
+    *
+    *   termₛ(i) = (obsₛ·N − nₛ·mᵢ)² · 10⁶ div (nₛ·mᵢ·N)
+    *
+    * (obsₛ the side's count, nₛ the side total, mᵢ the pooled category
+    * count, N = n₁+n₂) — the (o−e)²/e term with the rational expected
+    * count cleared of divisions: one floor DIV per term on non-negative
+    * DECIMAL-widened operands (the quadruple product overflows a long at
+    * corpus scale), so both engines agree bit-for-bit and the statistic
+    * is the exact-integer sum of per-category terms. A category absent
+    * from one side contributes through obs = 0 — the vanished-category
+    * signal PSI needs Laplace smoothing to see finitely; mᵢ ≥ 1 by
+    * construction so no zero division exists.
+    *
+    * Plan: both sides union-tagged into ONE map-side-combining
+    * (value, side) aggregate — one shuffle of category-scale rows, the
+    * 1-row side totals broadcast back, everything after metadata-scale.
+    * Output: `(category, n_1, n_2, chi2_term_e6)` per category ordered
+    * by category — Σ chi2_term_e6 against the df = k−1 critical value is
+    * the caller's one-number gate, and the per-category terms localize
+    * WHICH value moved.
+    *
+    * Range contract: the cleared-denominator numerator is O(N⁴·10⁶), so
+    * DECIMAL(38,0)/HUGEINT exactness holds to N ≈ 10⁸ rows per
+    * snapshot pair; past that, run the gate on a stratified sample (the
+    * exact-gate-vs-sketch discipline — composition drift at that scale
+    * is visible in any 10⁷-row stratum).
+    */
+  def chiSquareDrift(v1: DataFrame, v2: DataFrame, catCol: String): DataFrame = {
+    require(!v1.isEmpty && !v2.isEmpty,
+      "chiSquareDrift needs both snapshots non-empty (a zero side total " +
+        "has no expected counts)")
+    val tagged = v1.select(col(catCol).cast("string").as("category"), lit(1).as("side"))
+      .unionByName(v2.select(col(catCol).cast("string").as("category"), lit(2).as("side")))
+    val cells = tagged.groupBy("category")
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("b"))
+    val totals = cells.agg(sum("a").as("n1"), sum("b").as("n2"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("category"), col("a").as("n_1"), col("b").as("n_2"),
+        expr("""
+          CAST(
+            (CAST(a AS DECIMAL(38,0)) * (n1 + n2) - CAST(n1 AS DECIMAL(38,0)) * (a + b))
+              * (CAST(a AS DECIMAL(38,0)) * (n1 + n2) - CAST(n1 AS DECIMAL(38,0)) * (a + b))
+              * 1000000
+              DIV (CAST(n1 AS DECIMAL(38,0)) * (a + b) * (n1 + n2))
+            + (CAST(b AS DECIMAL(38,0)) * (n1 + n2) - CAST(n2 AS DECIMAL(38,0)) * (a + b))
+              * (CAST(b AS DECIMAL(38,0)) * (n1 + n2) - CAST(n2 AS DECIMAL(38,0)) * (a + b))
+              * 1000000
+              DIV (CAST(n2 AS DECIMAL(38,0)) * (a + b) * (n1 + n2))
+          AS BIGINT)""").as("chi2_term_e6"))
+      .orderBy("category")
+  }
+
   /** Cross-snapshot CORRELATION DRIFT — did the RELATIONSHIP between two
     * document statistics change between corpus versions? The c6/c8/c9
     * family watches each distribution alone; a pipeline change that

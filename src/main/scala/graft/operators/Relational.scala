@@ -1175,4 +1175,52 @@ object Relational {
       .select("n_name", "yr", "rev_cents", "prev_cents", "growth_e6")
       .orderBy("n_name", "yr")
   }
+
+  /** MARKET-BASKET association over orders — the brands-bought-together
+    * report behind every recommendation and assortment decision: for each
+    * unordered brand pair co-occurring in at least `minSupport` orders,
+    * the support count, directed confidence p(b|a), and LIFT
+    * n·c(ab) / (c(a)·c(b)) — the independence-normalized signal (a pair
+    * of individually popular brands co-occurs often by chance; lift > 1
+    * is the real association). Ratios in exact floor-divided micros with
+    * DECIMAL-widened products (c(ab)·n·10⁶ overflows a long at warehouse
+    * scale), every operand non-negative so floor ≡ trunc — the portable
+    * form.
+    *
+    * Plan shape at 100 TB: the fact joins the broadcast brand dim once
+    * and collapses to per-order DISTINCT brands (≤|brands| rows per
+    * order); pair generation is a SELF-JOIN CO-PARTITIONED ON THE ORDER
+    * KEY — bounded-quadratic per order since the brand domain caps the
+    * basket (the d19 blocked-pairs discipline: never all-pairs across
+    * orders); pair counts map-side combine to a ≤|brands|²-row table and
+    * everything after is metadata-scale with the 1-row basket total and
+    * |brands|-row singles broadcast. Output ordered lift desc, (a, b).
+    */
+  def brandBasketLift(lineitem: DataFrame, part: DataFrame,
+                      minSupport: Long = 50L, k: Int = 20): DataFrame = {
+    require(minSupport >= 1 && k >= 1, "brandBasketLift config invalid")
+    val ob = lineitem
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val total = ob.select(countDistinct("okey").as("n"))
+    val singles = ob.groupBy("brand").agg(count(lit(1)).as("c1"))
+    val pairs = ob.as("a")
+      .join(ob.withColumnRenamed("brand", "brand_b").as("b"), Seq("okey"))
+      .where(col("brand") < col("brand_b"))
+      .groupBy(col("brand").as("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    pairs
+      .join(broadcast(singles.select(col("brand").as("brand_a"), col("c1").as("ca"))), "brand_a")
+      .join(broadcast(singles.select(col("brand").as("brand_b"), col("c1").as("cb"))), "brand_b")
+      .crossJoin(broadcast(total))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        expr("CAST(support AS DECIMAL(38,0)) * 1000000 DIV ca").as("conf_ab_e6"),
+        expr("CAST(support AS DECIMAL(38,0)) * n * 1000000 DIV (CAST(ca AS DECIMAL(38,0)) * cb)")
+          .as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("brand_a"), col("brand_b"))
+      .limit(k)
+  }
 }

@@ -25,6 +25,26 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers with SparkSupport {
     EventAnalytics.funnel(df, "user_id", "ts", "event_type", Steps, horizon)
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
 
+  test("stickiness: hand-computed DAU/MAU on a gappy spine; zero day visible; empty window null") {
+    val events = Seq(
+      (1L, "view", "2024-01-01 10:00:00"), (2L, "view", "2024-01-01 11:00:00"),
+      (2L, "view", "2024-01-02 10:00:00"), (2L, "view", "2024-01-02 12:00:00"),
+      (3L, "view", "2024-01-04 10:00:00"))
+      .map { case (u, t, ts) => (u, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.stickiness(events, windowDays = 2)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    got shouldBe Seq(
+      ("2024-01-01", 2L, 2L, Some(1000000L)),
+      ("2024-01-02", 1L, 2L, Some(500000L)), // trailing window still sees both users
+      ("2024-01-03", 0L, 1L, Some(0L)),      // zero-event day visible, not dropped
+      ("2024-01-04", 1L, 1L, Some(1000000L)))
+    // window 1: the empty day has an EMPTY window → null, never 0
+    EventAnalytics.stickiness(events, windowDays = 1)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .find(_._1 == "2024-01-03").get shouldBe (("2024-01-03", 0L, 0L, None))
+  }
+
   test("strict ordering: out-of-order steps never qualify") {
     val df = ev(
       // user 1 completes in order

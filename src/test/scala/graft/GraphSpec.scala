@@ -380,6 +380,45 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("hits: hand bipartite graph — broad-explorer items outrank; dup views collapse") {
+    // u1→{i1,i2}, u2→{i1}, u3→{i1,i3}; u2's view of i1 duplicated (must
+    // collapse). i1 is viewed by every user → max authority 1e6 each
+    // round; i2 and i3 ride identical hub sets → tie, id-ordered.
+    val views = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 1), (3L, 1), (3L, 3))
+      .toDF("user_id", "item")
+    val got = Graph.hits(views, iters = 3, k = 10)
+      .as[(Int, Long, Long)].collect().toSeq
+    got.head shouldBe ((1, 3L, 1000000L))
+    got.map(_._1) shouldBe Seq(1, 2, 3)
+    got(1)._3 shouldBe got(2)._3 // symmetric items tie exactly
+    got(1)._3 should be < 1000000L
+  }
+
+  test("hits: seeded-random bipartite graphs match a driver-side integer replay") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val nu = 8 + rnd.nextInt(6); val ni = 6 + rnd.nextInt(5)
+      val pairs = (1 to nu * 3).map(_ => (rnd.nextInt(nu).toLong, rnd.nextInt(ni))).distinct
+      val got = Graph.hits(pairs.toDF("user_id", "item"), iters = 3, k = 1000)
+        .as[(Int, Long, Long)].collect().toSeq
+      // reference: the same exact-integer recurrence, driver-side
+      var h = pairs.map(_._1).distinct.map(_ -> 1000000L).toMap
+      var a = Map.empty[Int, Long]
+      for (_ <- 1 to 3) {
+        val ar = pairs.groupBy(_._2).map { case (i, ps) => i -> ps.map(p => h(p._1)).sum }
+        val amax = ar.values.max
+        a = ar.map { case (i, v) => i -> (BigInt(v) * 1000000 / amax).toLong }
+        val hr = pairs.groupBy(_._1).map { case (u, ps) => u -> ps.map(p => a(p._2)).sum }
+        val hmax = hr.values.max
+        h = hr.map { case (u, v) => u -> (BigInt(v) * 1000000 / hmax).toLong }
+      }
+      val views = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ref = a.toSeq.map { case (i, v) => (i, views(i), v) }
+        .sortBy { case (i, _, v) => (-v, i) }
+      got shouldBe ref
+    }
+  }
+
   test("coviewEdgesWeighted: support counts shared viewers; threshold drops weak edges") {
     // items 1,2 share two viewers (support 2); 2,3 share one (support 1)
     val ui = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2), (3L, 2), (3L, 3))

@@ -1463,6 +1463,27 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       2L -> r4(-math.log(pAbd))) // doc 3 has no trigrams → absent
   }
 
+  test("basket lift: hand-computed support/confidence/lift; same-brand dup items collapse; minSupport prunes") {
+    // baskets: o1{B1,B2} (B1 twice — must collapse), o2{B1,B2}, o3{B1,B3},
+    // o4{B2}, o5{B1,B2} → n=5, c(B1)=4, c(B2)=4, c(B3)=1
+    val li = Seq((1L, 10L), (1L, 11L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L), (4L, 20L), (5L, 10L), (5L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((10L, "B1"), (11L, "B1"), (20L, "B2"), (30L, "B3"))
+      .toDF("p_partkey", "p_brand")
+    val out = graft.operators.Relational.brandBasketLift(li, part, minSupport = 1L, k = 10)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      // (B1,B3): support 1, conf 1e6/4, lift 1·5·1e6/(4·1) = 1250000
+      ("B1", "B3", 1L, 250000L, 1250000L),
+      // (B1,B2): support 3, conf 3e6/4, lift 3·5·1e6/(4·4) = 937500
+      ("B1", "B2", 3L, 750000L, 937500L))
+    // minSupport 2 prunes the singleton pair
+    graft.operators.Relational.brandBasketLift(li, part, minSupport = 2L, k = 10)
+      .as[(String, String, Long, Long, Long)].collect().toSeq shouldBe
+      Seq(("B1", "B2", 3L, 750000L, 937500L))
+  }
+
   test("rollup report: one pass yields exact per-nation subtotals and the grand total") {
     val li = Seq((1L, 100.0, 0.0), (2L, 200.0, 0.5)).toDF("l_orderkey", "l_extendedprice", "l_discount")
     val ord = Seq((1L, 10L, java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),

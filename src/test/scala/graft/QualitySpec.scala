@@ -531,6 +531,24 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     back._1 shouldBe moved._1 +- 1e-9
   }
 
+  test("chi-squared drift: hand contingency terms; a vanished category dominates; empty side refused") {
+    def df(cats: String*) = cats.toSeq.toDF("category")
+    // v1 {A:3, B:1}, v2 {A:1, B:1}: n1=4, n2=2, N=6
+    Quality.chiSquareDrift(df("A", "A", "A", "B"), df("A", "B"), "category")
+      .as[(String, Long, Long, Long)].collect().toSeq shouldBe Seq(
+      // A: (18−16)²e6 div 96 + (6−8)²e6 div 48 = 41666 + 83333
+      ("A", 3L, 1L, 124999L),
+      // B: (6−8)²e6 div 48 + (6−4)²e6 div 24 = 83333 + 166666
+      ("B", 1L, 1L, 249999L))
+    // a category VANISHING from v2 contributes the dominant term —
+    // the signal PSI needs Laplace smoothing to see finitely
+    Quality.chiSquareDrift(df("A", "A", "C", "C"), df("A", "A"), "category")
+      .as[(String, Long, Long, Long)].collect().toSeq shouldBe Seq(
+      ("A", 2L, 2L, 499999L), ("C", 2L, 0L, 999999L))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.chiSquareDrift(df("A"), spark.emptyDataset[String].toDF("category"), "category")
+  }
+
   test("KS drift: exact integer gap, bucket-count invariance, degenerate cases") {
     import graft.operators.Quality
     def df(xs: Seq[Double]) = xs.map(Tuple1(_)).toDF("value")

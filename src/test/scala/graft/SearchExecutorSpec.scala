@@ -132,6 +132,55 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("Q17 fuzzy search: AUTO ladder, multi-term accumulation, exact outranks fuzzy, d=0 is exact-only") {
+    val entries = Seq(
+      ("1", "rose garden"), ("2", "rosy dawn"), ("3", "rose rosy mix"),
+      ("4", "royal blue"), ("5", "nothing here"), ("6", "ab cd"), ("7", "ax xy"))
+      .toDF("id", "title")
+    // |q|=5 → d=1: rose and rosy both at dist 1 (wt 1); royal at 2 excluded
+    SearchExecutor.fuzzySearch(entries, "rosey")
+      .as[(String, Long)].collect().toSeq shouldBe
+      Seq(("3", 2L), ("1", 1L), ("2", 1L))
+    // exact hit (wt 2) outranks fuzzy (wt 1): doc 3 holds both → 3
+    SearchExecutor.fuzzySearch(entries, "rose")
+      .as[(String, Long)].collect().toSeq shouldBe
+      Seq(("3", 3L), ("1", 2L), ("2", 1L))
+    // |q|=6 → d=2: both rose and rosy now at dist 2
+    SearchExecutor.fuzzySearch(entries, "roseey")
+      .as[(String, Long)].collect().toSeq shouldBe
+      Seq(("3", 2L), ("1", 1L), ("2", 1L))
+    // |q|=2 → d=0: exact only — 'ax' (dist 1) must NOT match
+    SearchExecutor.fuzzySearch(entries, "ab")
+      .as[(String, Long)].collect().toSeq shouldBe Seq(("6", 1L))
+  }
+
+  test("Q17 fuzzy search: d=2 deletion blocking equals brute-force levenshtein on seeded randoms") {
+    import org.apache.spark.sql.functions.{col, explode, levenshtein, lit, sum => fsum}
+    val rnd = new scala.util.Random(7)
+    def word(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    def edit(s: String): String = rnd.nextInt(3) match {
+      case 0 if s.length > 1 => { val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1) }
+      case 1 => { val i = rnd.nextInt(s.length + 1); s.take(i) + ('a' + rnd.nextInt(6)).toChar + s.drop(i) }
+      case _ => { val i = rnd.nextInt(s.length); s.take(i) + ('a' + rnd.nextInt(6)).toChar + s.drop(i + 1) }
+    }
+    for (_ <- 1 to 3) {
+      val entries = (1 to 80).map(i => (i.toString, s"${word(4 + rnd.nextInt(5))} ${word(4 + rnd.nextInt(5))}"))
+        .toDF("id", "title")
+      val q = edit(edit(word(6 + rnd.nextInt(3)))) // double edit off a ≥6-char base → d=2
+      val got = SearchExecutor.fuzzySearch(entries, q, k = 1000)
+        .as[(String, Long)].collect().toSeq
+      val brute = entries
+        .select(col("id"), explode(graft.analyzers.Analyzers.standardTokens(col("title"))).as("tok"))
+        .distinct()
+        .withColumn("dist", levenshtein(col("tok"), lit(q)))
+        .where(col("dist") <= 2)
+        .groupBy("id").agg(fsum(lit(3L) - col("dist")).as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .as[(String, Long)].collect().toSeq
+      got shouldBe brute
+    }
+  }
+
   test("BM25: tf saturation, length normalization, b=0 disables it, zero-match docs absent") {
     import spark.implicits._
     val entries = Seq(
