@@ -1930,6 +1930,14 @@ object SparkEntry {
         Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L),
         budgetTokens = 10000L)),
 
+    // P23 temperature-resampled mixture weights (α = 1/2, the mT5/XLM-R
+    // up-sampling recipe): sampling share ∝ √n via exact integer square
+    // root (float seed corrected ±1 — libm perfect-square rounding can't
+    // diverge engines), boost over natural share in floor-div micros —
+    // the derived-weights complement feeding p21's epoch planner
+    "p23_temperature_mix" -> ((s, d) =>
+      graft.operators.Pipeline.temperatureMixWeights(docs(s, d))),
+
     // P20 padding-efficiency audit of power-of-two length-bucketed
     // batching — tokens-on-the-floor per bucket cap, exact integers, one
     // codegen'd narrow pass + a |caps|-row aggregate
@@ -3366,6 +3374,29 @@ object SparkEntry {
       graft.operators.Quality.chiSquareDrift(m, v2, "category")
     }),
 
+    // E36 STREAMING chi-squared gate: c17's contingency counts are pure
+    // per-key sums, so each snapshot side lands per-batch (category, d_n)
+    // deltas via the e15/e27 sum-log discipline; the order-free re-sums
+    // FULL-OUTER align into the contingency table and the SHARED
+    // chiSquareFromCells makes stream ≡ batch — c17's oracle VERBATIM
+    "e36_stream_chi2" -> ((s, d) => {
+      val m = Corpus.metadata(s, d)
+      val key = expr("CAST(id AS INT)")
+      val v2 = m.where(key % 17 =!= 0)
+        .withColumn("category",
+          when(key % 13 === 0, lit("cat0")).otherwise(col("category")))
+      val src1 = scratch("e36-src1"); val src2 = scratch("e36-src2")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src1)))
+        m.repartition(4).write.parquet(src1)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src2)))
+        v2.repartition(4).write.parquet(src2)
+      val del1 = scratch("e36-deltas1"); val del2 = scratch("e36-deltas2")
+      EventStream.streamCategoryCountFold(s, src1, del1, "category")
+      EventStream.streamCategoryCountFold(s, src2, del2, "category")
+      graft.operators.Quality.chiSquareFromCells(
+        EventStream.foldContingency(s, del1, del2))
+    }),
+
     // C15 correlation drift: did the quality↔length RELATIONSHIP move
     // between snapshots — the axis the per-margin gates (c6/c8/c9) miss;
     // g4's exact DECIMAL moments per side, one round-6 ratio each,
@@ -4575,6 +4606,26 @@ object SparkEntry {
       s"round(abs((${rsql("m_a")}) - (${rsql("m_b")})), 6) AS drift " +
       "FROM m_a, m_b"
   }
+
+  /** c17/e36: the identical contingency table and cleared-denominator
+    * exact terms — HUGEINT quadruple products, per-term // then the
+    * two-term sum, output pinned ::BIGINT. Shared verbatim by the batch
+    * gate and the streamed category-count fold (stream ≡ batch by
+    * construction on the engine side).
+    */
+  private lazy val chi2DriftSql: String =
+    M + ", v2 AS (SELECT CASE WHEN id::INT % 13 = 0 THEN 'cat0' ELSE category END AS category " +
+      "FROM meta WHERE id::INT % 17 <> 0), " +
+      "t AS (SELECT category, " +
+      "sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::HUGEINT AS a, " +
+      "sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)::HUGEINT AS b " +
+      "FROM (SELECT category, 1 AS side FROM meta UNION ALL SELECT category, 2 FROM v2) " +
+      "GROUP BY 1), " +
+      "s AS (SELECT sum(a)::HUGEINT AS n1, sum(b)::HUGEINT AS n2 FROM t) " +
+      "SELECT category, a::BIGINT AS n_1, b::BIGINT AS n_2, " +
+      "((a*(n1+n2) - n1*(a+b)) * (a*(n1+n2) - n1*(a+b)) * 1000000 // (n1*(a+b)*(n1+n2)) " +
+      "+ (b*(n1+n2) - n2*(a+b)) * (b*(n1+n2) - n2*(a+b)) * 1000000 // (n2*(a+b)*(n1+n2)))::BIGINT AS chi2_term_e6 " +
+      "FROM t, s ORDER BY category"
 
   /** g5: the personalized recurrence replayed as chained CTEs — seed-only
     * teleport via FULL OUTER join each step, the same floor arithmetic,
@@ -6695,22 +6746,10 @@ object SparkEntry {
       // integer fractions
       // c16: same melt, same per-term round-half-up micros quantization
       // before the order-free sum, same floor division
-      // c17: the identical contingency table and cleared-denominator
-      // exact terms — HUGEINT quadruple products, per-term // then the
-      // two-term sum, output pinned ::BIGINT
-      "c17_chi2_drift" ->
-        (M + ", v2 AS (SELECT CASE WHEN id::INT % 13 = 0 THEN 'cat0' ELSE category END AS category " +
-          "FROM meta WHERE id::INT % 17 <> 0), " +
-          "t AS (SELECT category, " +
-          "sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::HUGEINT AS a, " +
-          "sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)::HUGEINT AS b " +
-          "FROM (SELECT category, 1 AS side FROM meta UNION ALL SELECT category, 2 FROM v2) " +
-          "GROUP BY 1), " +
-          "s AS (SELECT sum(a)::HUGEINT AS n1, sum(b)::HUGEINT AS n2 FROM t) " +
-          "SELECT category, a::BIGINT AS n_1, b::BIGINT AS n_2, " +
-          "((a*(n1+n2) - n1*(a+b)) * (a*(n1+n2) - n1*(a+b)) * 1000000 // (n1*(a+b)*(n1+n2)) " +
-          "+ (b*(n1+n2) - n2*(a+b)) * (b*(n1+n2) - n2*(a+b)) * 1000000 // (n2*(a+b)*(n1+n2)))::BIGINT AS chi2_term_e6 " +
-          "FROM t, s ORDER BY category"),
+      // c17: see chi2DriftSql — shared verbatim with the streamed fold
+      "c17_chi2_drift" -> chi2DriftSql,
+      // e36: the STREAMED contingency fold must equal the batch gate
+      "e36_stream_chi2" -> chi2DriftSql,
       "c16_value_entropy" ->
         (M + ", m AS (SELECT unnest(['category','format','isPublic','orgUUID']) AS col, " +
           "unnest([category, format, isPublic::VARCHAR, orgUUID]) AS val FROM meta), " +
@@ -6933,6 +6972,22 @@ object SparkEntry {
       // full-outer against the spec VALUES so a spec'd-but-absent source
       // surfaces (the engine's documented headline case), and over_cap's
       // null fallback mirrors the engine's planned > 0
+      // p23: the identical exact-isqrt weights (float seed, ±1 integer
+      // correction), HUGEINT-widened floor-div shares, null boost when
+      // the natural share floors to 0
+      "p23_temperature_mix" ->
+        ("WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1), " +
+          "q AS (SELECT source, n_docs, CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS s0 FROM c), " +
+          "w AS (SELECT source, n_docs, " +
+          "CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1 " +
+          "WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0 END AS w_sqrt FROM q), " +
+          "t AS (SELECT sum(w_sqrt)::HUGEINT AS wsum, sum(n_docs)::HUGEINT AS nsum FROM w) " +
+          "SELECT source, n_docs, w_sqrt, " +
+          "((w_sqrt::HUGEINT * 1000000) // wsum)::BIGINT AS share_e6, " +
+          "((n_docs::HUGEINT * 1000000) // nsum)::BIGINT AS natural_share_e6, " +
+          "CASE WHEN ((n_docs::HUGEINT * 1000000) // nsum) > 0 THEN " +
+          "((((w_sqrt::HUGEINT * 1000000) // wsum) * 1000000) // ((n_docs::HUGEINT * 1000000) // nsum))::BIGINT END AS boost_e6 " +
+          "FROM w, t ORDER BY source"),
       "p21_epoch_plan" ->
         ("WITH a AS (SELECT source, " +
           "sum(len(regexp_extract_all(text, '[^ \\t\\n\\r]+')))::BIGINT AS avail_tokens " +

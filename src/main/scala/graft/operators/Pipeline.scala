@@ -988,6 +988,52 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** TEMPERATURE-RESAMPLED mixture weights at α = 1/2 — the published
+    * multilingual up-sampling recipe (the mT5/XLM-R α-sampling family):
+    * sampling weight ∝ n^α flattens the source distribution so
+    * low-resource sources train more than their natural share without
+    * drowning the head — the DERIVED-weights complement of
+    * [[mixtureEpochPlan]] (which takes weights as given; this report's
+    * `share_e6` column is exactly its input) and the REPORT twin of
+    * [[temperatureMix]] (which applies the same α = 1/2 rule as a
+    * document-level thinning under a token budget).
+    *
+    * α = 1/2 is computed as an EXACT INTEGER SQUARE ROOT: the float
+    * `floor(sqrt(n))` seed is corrected ±1 by integer comparison, so a
+    * libm that rounds differently at a perfect-square boundary cannot
+    * diverge the engines (the general-α float form would leak ulps —
+    * pinned rational exponents only, the integer-micros discipline).
+    * Shares and the per-source BOOST (temperature share over natural
+    * share — > 10⁶ marks an up-sampled source) in floor-div micros,
+    * DECIMAL-widened where counts at corpus scale overflow a long
+    * product; a source whose natural share floors to 0 reports null
+    * boost ("unmeasurable", never ∞-as-garbage).
+    *
+    * Plan: one map-side-combining per-source count — the only
+    * corpus-scale job — then |sources|-row arithmetic with a 1-row
+    * broadcast total. Output: `(source, n_docs, w_sqrt, share_e6,
+    * natural_share_e6, boost_e6)` ordered by source.
+    */
+  def temperatureMixWeights(docs: DataFrame): DataFrame = {
+    val w = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_sqrt", expr(
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1 " +
+          "WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0 END"))
+      .drop("s0")
+    val tot = w.agg(sum("w_sqrt").as("wsum"), sum("n_docs").as("nsum"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_sqrt"),
+        expr("CAST(CAST(w_sqrt AS DECIMAL(38,0)) * 1000000 DIV wsum AS BIGINT)")
+          .as("share_e6"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 DIV nsum AS BIGINT)")
+          .as("natural_share_e6"))
+      .withColumn("boost_e6",
+        when(col("natural_share_e6") > 0,
+          expr("share_e6 * 1000000 DIV natural_share_e6")))
+      .orderBy("source")
+  }
+
   /** PADDING-efficiency audit of length-bucketed batching — the
     * tokens-on-the-floor report that decides a training run's batching
     * strategy: documents are assigned to power-of-two token-length

@@ -420,9 +420,17 @@ object Quality {
         "has no expected counts)")
     val tagged = v1.select(col(catCol).cast("string").as("category"), lit(1).as("side"))
       .unionByName(v2.select(col(catCol).cast("string").as("category"), lit(2).as("side")))
-    val cells = tagged.groupBy("category")
+    chiSquareFromCells(tagged.groupBy("category")
       .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("a"),
-        sum(when(col("side") === 2, 1L).otherwise(0L)).as("b"))
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("b")))
+  }
+
+  /** The report half of [[chiSquareDrift]]: a contingency table
+    * `(category, a, b)` — batch-aggregated or rebuilt from streamed
+    * count logs (e36) — to the per-category exact-term report. Shared so
+    * stream ≡ batch by construction, the e34/e35 rule.
+    */
+  def chiSquareFromCells(cells: DataFrame): DataFrame = {
     val totals = cells.agg(sum("a").as("n1"), sum("b").as("n2"))
     cells.crossJoin(broadcast(totals))
       .select(col("category"), col("a").as("n_1"), col("b").as("n_2"),

@@ -1532,6 +1532,52 @@ object EventStream {
         sum("d_sxx").cast(d38).as("sxx"), sum("d_syy").cast(d38).as("syy"))
   }
 
+  /** STREAMING categorical-count maintenance — the c17 contingency
+    * statistic kept current by ingest: each micro-batch lands per-value
+    * counts `(category, d_n)` of one snapshot source as an idempotent
+    * `batch=<id>/` directory (a pure per-key sum log — the e15/e27
+    * discipline; [[compactSumLog]] with keyCols = category applies
+    * unchanged). One log per snapshot side; the read-side re-sums each,
+    * FULL-OUTER aligns the two into the `(category, a, b)` contingency
+    * table (a category absent from one side re-enters as the exact 0 the
+    * batch aggregate would produce), and the SHARED
+    * [[graft.operators.Quality.chiSquareFromCells]] report makes stream
+    * ≡ batch by construction — composition drift without a corpus
+    * rescan. Per-batch cost: one narrow projection + a ≤|values|-row
+    * write.
+    */
+  def streamCategoryCountFold(spark: SparkSession, srcDir: String,
+                              deltaDir: String, catCol: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col(catCol).cast("string").as("category"))
+          .agg(count(lit(1)).as("d_n"))
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Align two [[streamCategoryCountFold]] logs into the c17 contingency
+    * table: order-free exact re-sum per side, FULL OUTER on the value,
+    * absent side = 0. */
+  def foldContingency(spark: SparkSession, deltaDir1: String,
+                      deltaDir2: String): DataFrame = {
+    def side(dir: String, name: String): DataFrame =
+      readDeltaLog(spark, dir).groupBy("category")
+        .agg(sum("d_n").as(name))
+    side(deltaDir1, "a").join(side(deltaDir2, "b"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+  }
+
   /** STREAMING daily-count maintenance — the c10/c5 volume statistic kept
     * current by ingest: each micro-batch lands its per-day event counts as
     * an idempotent `batch=<id>/` directory (the e15 rule — replay

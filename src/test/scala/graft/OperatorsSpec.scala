@@ -1463,6 +1463,29 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       2L -> r4(-math.log(pAbd))) // doc 3 has no trigrams → absent
   }
 
+  test("temperature mix: exact isqrt at perfect-square boundaries; boosts flatten the head") {
+    val docs = (
+      (1 to 9).map(i => (i.toLong, "srcA")) ++
+        (10 to 11).map(i => (i.toLong, "srcB")) ++
+        (12 to 27).map(i => (i.toLong, "srcC")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val out = graft.operators.Pipeline.temperatureMixWeights(docs)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // n: A 9 (isqrt 3, perfect square), B 2 (isqrt 1), C 16 (isqrt 4);
+    // wsum 8, nsum 27
+    def boost(share: Long, natural: Long) =
+      Some((BigInt(share) * 1000000 / natural).toLong)
+    out shouldBe Seq(
+      ("srcA", 9L, 3L, 375000L, 333333L, boost(375000L, 333333L)),
+      ("srcB", 2L, 1L, 125000L, 74074L, boost(125000L, 74074L)),
+      ("srcC", 16L, 4L, 500000L, 592592L, boost(500000L, 592592L)))
+    // the recipe's point: the low-resource source gets the largest boost,
+    // the dominant one is down-sampled below 1e6
+    val boosts = out.map(r => r._1 -> r._6.get).toMap
+    boosts("srcB") should be > boosts("srcA")
+    boosts("srcC") should be < 1000000L
+  }
+
   test("basket lift: hand-computed support/confidence/lift; same-brand dup items collapse; minSupport prunes") {
     // baskets: o1{B1,B2} (B1 twice — must collapse), o2{B1,B2}, o3{B1,B3},
     // o4{B2}, o5{B1,B2} → n=5, c(B1)=4, c(B2)=4, c(B3)=1

@@ -440,6 +440,25 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed shouldBe batch
   }
 
+  test("streaming chi-squared: folded category-count logs reproduce the batch gate; one-sided categories align at 0") {
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files.createTempDirectory("graft-schi2").toString
+    val v1 = Seq("A", "A", "A", "B", "C", "C").toDF("category")
+    val v2 = Seq("A", "B", "B", "D").toDF("category") // C vanishes, D appears
+    v1.repartition(3).write.parquet(s"$root/src1")
+    v2.repartition(2).write.parquet(s"$root/src2")
+    EventStream.streamCategoryCountFold(spark, s"$root/src1", s"$root/log1", "category")
+    EventStream.streamCategoryCountFold(spark, s"$root/src2", s"$root/log2", "category")
+    val streamed = graft.operators.Quality.chiSquareFromCells(
+        EventStream.foldContingency(spark, s"$root/log1", s"$root/log2"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Quality.chiSquareDrift(v1, v2, "category")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    streamed should not be empty
+    streamed shouldBe batch
+    streamed.map(_._1) should contain allOf ("C", "D") // one-sided categories present
+  }
+
   test("top-k count-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.operators.SketchRollup
