@@ -37,6 +37,45 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should not include "CartesianProduct"
   }
 
+  test("fuzzy search plan: pushed IN on the deletion key, broadcast matched terms, TakeOrdered") {
+    val plan = SearchExecutor.fuzzySearch(
+        Corpus.metadata(spark, "/root/testdata/sf0.001"), "rad")
+      .queryExecution.executedPlan.toString
+    // the query's deletion keys probe as a pushed IN filter — the
+    // dictionary is pruned before the exact levenshtein verify
+    plan should include("key#")
+    plan should include("IN (")
+    // the ≤|matches|-row matched-term table broadcasts into the corpus pass
+    plan should include("BroadcastHashJoin")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  test("basket lift plan: pair generation co-partitions on the order key, dims broadcast, no cartesian") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val plan = graft.operators.Relational.brandBasketLift(li, part, minSupport = 1L)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // the self-join keys on okey (an equi hash join, bounded per basket)
+    plan should include("SortMergeJoin")
+    // brand dim + singles + 1-row total all broadcast
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("stickiness plan: one distinct-pair exchange; the spine range join broadcasts the spine side") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = graft.operators.EventAnalytics.stickiness(
+        graft.streaming.EventStream.withEventTime(ev))
+      .queryExecution.executedPlan.toString
+    // the range join has no equi key — it must be the broadcast
+    // nested-loop with the |days|-row spine broadcast, never a cartesian
+    // of two corpus-scale sides
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+    plan should include("partial_count")
+  }
+
   test("jaccard pairs plan has no cartesian product and keeps map-side partial aggregates") {
     val plan = Dedup.jaccardPairs(docsDf).queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
