@@ -1767,6 +1767,25 @@ object SparkEntry {
     "t30_readability" -> ((s, d) =>
       graft.operators.TextAnalysis.readability(docs(s, d))),
 
+    // T32 ENCODING-corruption gate: U+FFFD replacement chars, C0 control
+    // leakage, and UTF-8-as-Latin-1 mojibake digraph markers per doc in
+    // floor-div ppm — run over a PLANTED corpus (id%7 mojibake, id%11
+    // binary+replacement) so the gate has live positives; one narrow
+    // codegen'd regex-count pass, RE2 ∩ java.regex class subset
+    "t32_encoding_profile" -> ((s, d) => {
+      val base = docs(s, d)
+      val planted = base.select(col("doc_id"),
+        // planted damage, pure escapes: \u00c3\u00a9 = the e-acute
+        // double-encoding pair, \u00e2\u20ac\u009d = the right-quote one
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" \u00c3\u00a9 \u00e2\u20ac\u009d bad")))
+          // NUL + SOH binary leak + an admitted replacement char
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit("\u0000\u0001 bin \ufffd")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.TextAnalysis.encodingProfile(planted)
+    }),
+
     // T31 SMOOTHED trigram LM: interpolated Kneser-Ney cross-entropy per
     // document (fixed D = 3/4, all lower orders continuation-counted from
     // the trigram type table) — the published CCNet-style quality signal
@@ -3724,6 +3743,21 @@ object SparkEntry {
       graft.operators.EventAnalytics.stickiness(
         EventStream.withEventTime(s.read.parquet(s"$d/events.parquet")))),
 
+    // E37 STREAMING stickiness: the (day, user) substrate as a SET log —
+    // per-batch distinct pairs land idempotently (union is order-free and
+    // duplicate-immune, the e31 argument), the distinct-union rebuilds
+    // the exact pair table, and the SHARED stickinessFromPairs report
+    // makes stream ≡ batch — j23's oracle VERBATIM
+    "e37_stream_stickiness" -> ((s, d) => {
+      val src = scratch("e37-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        s.read.parquet(s"$d/events.parquet").repartition(4).write.parquet(src)
+      val deltas = scratch("e37-deltas")
+      EventStream.streamDayUserFold(s, src, deltas)
+      graft.operators.EventAnalytics.stickinessFromPairs(
+        EventStream.readDeltaLog(s, deltas).select("day", "user_id").distinct())
+    }),
+
     // J21 hourly session concurrency: sessions LIVE per clock hour —
     // the capacity load curve; shared gap chain, bin-exploded interval
     // counting (no global running-sum window), one per-hour aggregate
@@ -4606,6 +4640,25 @@ object SparkEntry {
       s"round(abs((${rsql("m_a")}) - (${rsql("m_b")})), 6) AS drift " +
       "FROM m_a, m_b"
   }
+
+  /** j23/e37: the stickiness replay — shared by the batch gate and the
+    * streamed (day, user) set-log fold.
+    */
+  private lazy val stickinessSql: String =
+
+    ("WITH pairs AS (SELECT DISTINCT ts::TIMESTAMP::DATE AS day, user_id FROM events), " +
+          "spine AS (SELECT unnest(generate_series((SELECT min(day) FROM pairs), " +
+          "(SELECT max(day) FROM pairs), INTERVAL 1 DAY))::DATE AS day), " +
+          "dau AS (SELECT day, count(*)::BIGINT AS dau FROM pairs GROUP BY 1), " +
+          "mau AS (SELECT s.day, count(DISTINCT p.user_id)::BIGINT AS mau " +
+          "FROM spine s JOIN pairs p ON p.day BETWEEN s.day - INTERVAL 27 DAY AND s.day " +
+          "GROUP BY 1) " +
+          "SELECT s.day::VARCHAR AS day, coalesce(d.dau, 0)::BIGINT AS dau, " +
+          "coalesce(m.mau, 0)::BIGINT AS mau, " +
+          "CASE WHEN coalesce(m.mau, 0) > 0 THEN " +
+          "((coalesce(d.dau, 0) * 1000000) // m.mau)::BIGINT END AS stickiness_e6 " +
+          "FROM spine s LEFT JOIN dau d USING (day) LEFT JOIN mau m USING (day) " +
+          "ORDER BY day")
 
   /** c17/e36: the identical contingency table and cleared-denominator
     * exact terms — HUGEINT quadruple products, per-term // then the
@@ -6492,6 +6545,22 @@ object SparkEntry {
           "SELECT doc_id, round(sum(c * -ln(bcnt::DOUBLE / pc)) / sum(c), 4) AS xent2 " +
           "FROM bc JOIN corpus USING (bg) JOIN pfx USING (w1) " +
           "GROUP BY doc_id ORDER BY doc_id"),
+      // t32: the identical planted damage (chr() code points) and the
+      // identical RE2 classes — occurrence counts, floor-div ppm,
+      // coalesced flag
+      "t32_encoding_profile" ->
+        ("WITH planted AS (SELECT doc_id, CASE " +
+          "WHEN doc_id % 7 = 0 THEN text || ' ' || chr(195) || chr(169) || ' ' || chr(226) || chr(8364) || chr(157) || ' bad' " +
+          "WHEN doc_id % 11 = 0 THEN text || chr(0) || chr(1) || ' bin ' || chr(65533) " +
+          "ELSE text END AS text FROM documents), " +
+          "c AS (SELECT doc_id, length(text)::BIGINT AS n_chars, " +
+          "len(regexp_extract_all(text, '\\x{FFFD}'))::BIGINT AS n_replacement, " +
+          "len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))::BIGINT AS n_control, " +
+          "len(regexp_extract_all(text, '\\x{C3}|\\x{E2}\\x{20AC}'))::BIGINT AS n_mojibake FROM planted) " +
+          "SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake, " +
+          "CASE WHEN n_chars > 0 THEN ((n_replacement + n_control + n_mojibake) * 1000000) // n_chars END::BIGINT AS bad_ppm, " +
+          "coalesce(CASE WHEN n_chars > 0 THEN ((n_replacement + n_control + n_mojibake) * 1000000) // n_chars END > 1000, false) AS flagged " +
+          "FROM c ORDER BY doc_id"),
       // t31: the identical interpolated-KN replay — trigram types, the
       // four continuation-count tables re-aggregated from them, the same
       // D = 0.75 expression shape term for term (association order
@@ -6907,22 +6976,11 @@ object SparkEntry {
           "t AS (SELECT sum(n_users)::BIGINT AS tot FROM x) " +
           "SELECT exit_type, n_users, ((n_users * 1000000) // tot)::BIGINT AS share_e6 " +
           "FROM x, t ORDER BY n_users DESC, exit_type"),
-      // j23: same distinct (day, user) pairs, same densified spine and
-      // trailing-28-day range join, floor-div micros, empty-window null
-      "j23_stickiness" ->
-        ("WITH pairs AS (SELECT DISTINCT ts::TIMESTAMP::DATE AS day, user_id FROM events), " +
-          "spine AS (SELECT unnest(generate_series((SELECT min(day) FROM pairs), " +
-          "(SELECT max(day) FROM pairs), INTERVAL 1 DAY))::DATE AS day), " +
-          "dau AS (SELECT day, count(*)::BIGINT AS dau FROM pairs GROUP BY 1), " +
-          "mau AS (SELECT s.day, count(DISTINCT p.user_id)::BIGINT AS mau " +
-          "FROM spine s JOIN pairs p ON p.day BETWEEN s.day - INTERVAL 27 DAY AND s.day " +
-          "GROUP BY 1) " +
-          "SELECT s.day::VARCHAR AS day, coalesce(d.dau, 0)::BIGINT AS dau, " +
-          "coalesce(m.mau, 0)::BIGINT AS mau, " +
-          "CASE WHEN coalesce(m.mau, 0) > 0 THEN " +
-          "((coalesce(d.dau, 0) * 1000000) // m.mau)::BIGINT END AS stickiness_e6 " +
-          "FROM spine s LEFT JOIN dau d USING (day) LEFT JOIN mau m USING (day) " +
-          "ORDER BY day"),
+      // j23/e37: same distinct (day, user) pairs, same densified spine
+      // and trailing-28-day range join, floor-div micros, empty-window
+      // null — shared verbatim with the streamed set-log fold
+      "j23_stickiness" -> stickinessSql,
+      "e37_stream_stickiness" -> stickinessSql,
       // j21: same gap chain, same hour-bucket explode and per-hour count
       "j21_concurrency" ->
         ("WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events), " +

@@ -658,10 +658,19 @@ object EventAnalytics {
     * union over any window, no pair expansion) — this entry holds that
     * tier honest, the t12/c1 exact-vs-sketch discipline.
     */
-  def stickiness(events: DataFrame, windowDays: Int = 28): DataFrame = {
+  def stickiness(events: DataFrame, windowDays: Int = 28): DataFrame =
+    stickinessFromPairs(
+      events.select(to_date(col("ts")).as("day"), col("user_id")).distinct(),
+      windowDays)
+
+  /** The report half of [[stickiness]] over an already-distinct
+    * `(day, user_id)` pair table — batch-derived or rebuilt from a
+    * streamed SET log (e37): distinct-union is order-free and
+    * duplicate-delivery-immune (the e31 set-log argument), so the shared
+    * report makes stream ≡ batch by construction.
+    */
+  def stickinessFromPairs(pairs: DataFrame, windowDays: Int = 28): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
-    val pairs = events
-      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val spine = pairs.agg(min("day").as("lo"), max("day").as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
     val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))

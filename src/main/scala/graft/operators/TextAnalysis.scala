@@ -371,6 +371,36 @@ object TextAnalysis {
       .agg(round(sum(col("c") * -log(p3)) / sum(col("c")), 4).as("xent3"))
   }
 
+  /** ENCODING-corruption gate — the mojibake/byte-damage filter every
+    * web-scale ingest runs before any content gate can be trusted (a
+    * double-encoded or truncated-UTF-8 document scores plausibly on
+    * length/stopword blends while being garbage): per document the
+    * REPLACEMENT-character count (U+FFFD — the decoder already admitted
+    * damage), the C0 control-character count (except \t \n \r — binary
+    * leaking into text), and the classic UTF-8-as-Latin-1 double-encoding
+    * markers ('Ã' and 'â€' digraph heads, the signature of é→Ã©,
+    * ”→â€�-class damage). Badness in floor-div ppm of the character
+    * count, flag at > 1000 ppm, empty documents null ppm ("unmeasurable"
+    * never aliases "clean"). All four counts are regex occurrence counts
+    * over one narrow codegen'd pass — no shuffle, no UDF; the classes
+    * are pinned to the RE2 ∩ java.util.regex common subset so both
+    * engines count identically.
+    */
+  def encodingProfile(docs: DataFrame): DataFrame = {
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long")
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        cnt("\\ufffd").as("n_replacement"),
+        cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"),
+        cnt("\\u00c3|\\u00e2\\u20ac").as("n_mojibake"))
+      .withColumn("bad_ppm",
+        when(col("n_chars") > 0,
+          expr("(n_replacement + n_control + n_mojibake) * 1000000 DIV n_chars")))
+      .withColumn("flagged", coalesce(col("bad_ppm") > 1000L, lit(false)))
+      .orderBy("doc_id")
+  }
+
   /** Per-source corpus profile: documents, token volume, and EXACT distinct
     * vocabulary per source — the per-domain report a mixing recipe is tuned
     * against. Two-level aggregation: (source, token) partial-counts map-side

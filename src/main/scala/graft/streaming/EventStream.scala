@@ -1653,6 +1653,37 @@ object EventStream {
     * projection + within-batch distinct — the graph is never rebuilt
     * from raw history to stay current.
     */
+  /** STREAMING (day, user) pair maintenance — the j23 stickiness substrate
+    * kept current by ingest, the SET-log family's second member beside the
+    * co-view log: each micro-batch lands its within-batch DISTINCT
+    * `(day, user_id)` pairs as an idempotent `batch=<id>/` directory.
+    * Distinct pairs are a SET — union across batches is order-free and
+    * duplicate-delivery-immune (the e31/e14 argument), so the read-side
+    * distinct-union rebuilds the exact batch pair table and the SHARED
+    * [[graft.operators.EventAnalytics.stickinessFromPairs]] report makes
+    * stream ≡ batch by construction: DAU/MAU without ever rescanning raw
+    * events. Per-batch cost: one narrow date projection + a within-batch
+    * distinct.
+    */
+  def streamDayUserFold(spark: SparkSession, srcDir: String,
+                        deltaDir: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withEventTime(batch)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   def streamCoviewFold(spark: SparkSession, srcDir: String,
                        deltaDir: String, eventType: String = "view"): Unit = {
     val src = spark.readStream

@@ -1463,6 +1463,24 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       2L -> r4(-math.log(pAbd))) // doc 3 has no trigrams → absent
   }
 
+  test("encoding profile: planted mojibake/control/replacement counts; tab-newline exempt; empty doc null ppm") {
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "bad \u00c3\u00a9 and \u00e2\u20ac\u009d quote"), // mojibake digraphs
+      (3L, "bin\u0000\u0001ary\tok\nline"), // C0 leak; tab/newline exempt
+      (4L, "admitted \ufffd damage \ufffd"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.encodingProfile(docs)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    byId(1L) shouldBe ((1L, 15L, 0L, 0L, 0L, Some(0L), false))
+    byId(2L)._5 shouldBe 2L // the two digraph heads
+    byId(2L)._7 shouldBe true
+    byId(3L)._4 shouldBe 2L // NUL + SOH only — \t \n exempt
+    byId(4L)._3 shouldBe 2L
+    byId(5L) shouldBe ((5L, 0L, 0L, 0L, 0L, None, false)) // unmeasurable ≠ clean
+  }
+
   test("temperature mix: exact isqrt at perfect-square boundaries; boosts flatten the head") {
     val docs = (
       (1 to 9).map(i => (i.toLong, "srcA")) ++

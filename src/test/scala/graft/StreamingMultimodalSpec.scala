@@ -459,6 +459,23 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed.map(_._1) should contain allOf ("C", "D") // one-sided categories present
   }
 
+  test("streaming stickiness: the folded (day, user) set log reproduces the batch DAU/MAU verbatim") {
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files.createTempDirectory("graft-sstick").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(4).write.parquet(s"$root/src")
+    EventStream.streamDayUserFold(spark, s"$root/src", s"$root/log")
+    val streamed = graft.operators.EventAnalytics.stickinessFromPairs(
+        EventStream.readDeltaLog(spark, s"$root/log")
+          .select("day", "user_id").distinct())
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    val batch = graft.operators.EventAnalytics.stickiness(
+        EventStream.withEventTime(spark.read.parquet(s"$root/src")))
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    streamed should not be empty
+    streamed shouldBe batch
+  }
+
   test("top-k count-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.operators.SketchRollup
