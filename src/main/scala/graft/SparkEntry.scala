@@ -683,6 +683,15 @@ object SparkEntry {
     "q7_spell_suggest" -> ((s, d) =>
       SearchExecutor.spellSuggest(Corpus.metadata(s, d), term = "hod")),
 
+    // Q18 FUNCTION-SCORE with linear recency decay: relevance (matched-
+    // term share micros over 'red widget') × a clamped linear ramp from
+    // origin 2015-12-31 (1/2 at 180 d, 0 at 360 d) — exact integers end
+    // to end, the ES decay lineage with the one decay shape that needs
+    // no libm; negative pre-clamp numerators absorbed by the clamp
+    "q18_decay_search" -> ((s, d) =>
+      SearchExecutor.decaySearch(Corpus.metadata(s, d), "red widget",
+        origin = "2015-12-31", scaleDays = 180)),
+
     // Q17 FUZZY match query (ES match + fuzziness AUTO): docs whose title
     // holds a token within edit distance 1 of the typo 'rad' — BOTH 'red'
     // and 'rod' match at distance 1, so multi-term accumulation is live;
@@ -3678,6 +3687,22 @@ object SparkEntry {
           regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
         .where(col("item").isNotNull)
       graft.operators.Graph.hits(ui)
+    }),
+
+    // G11 K-CORE membership (k = 4) over the support-≥6 co-view graph:
+    // iterative peel to fixpoint (drop within-set degree < k, recompute,
+    // repeat — a 6-round cascade at sf0.01, 74 → 24 nodes), g6 refusal
+    // rule at maxIters; output members with within-core degree
+    "g11_kcore" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val ui = ev.where(col("event_type") === "view")
+        .select(col("user_id"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+        .where(col("item").isNotNull)
+        .distinct()
+      graft.operators.Graph.kCore(
+        graft.operators.Graph.coviewEdgesWeightedFromPairs(ui)
+          .where(col("support") >= 6).select("src", "dst"), k = 4)
     }),
 
     // G6 communities: deterministic min-label propagation to FIXPOINT over
@@ -7508,6 +7533,28 @@ object SparkEntry {
           "dist AS (SELECT item, min(cst)::BIGINT AS dist FROM r GROUP BY 1) " +
           "SELECT deg.item, deg.deg, dist.dist FROM deg LEFT JOIN dist USING (item) " +
           "ORDER BY dist NULLS LAST, deg.item"),
+      // g11: the identical peel as 12 chained MATERIALIZED steps — extra
+      // rounds past the fixpoint are no-ops (s_{i+1} = s_i), so a fixed
+      // unroll above the measured 6-round depth replays the engine's
+      // run-to-fixpoint exactly; the engine's refusal rule covers the
+      // other direction
+      "g11_kcore" -> {
+        val base = "WITH ui AS MATERIALIZED (SELECT DISTINCT user_id, regexp_extract(props, '(\\d+)', 1)::INT AS item " +
+          "FROM events WHERE event_type = 'view' AND regexp_extract(props, '(\\d+)', 1) <> ''), " +
+          "ok AS (SELECT user_id FROM ui GROUP BY 1 HAVING count(*) <= 50), " +
+          "c AS MATERIALIZED (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id)), " +
+          "e AS MATERIALIZED (SELECT a.item AS src, b.item AS dst FROM c a JOIN c b " +
+          "ON a.user_id = b.user_id AND a.item <> b.item GROUP BY 1, 2 HAVING count(*) >= 6), " +
+          "s0 AS MATERIALIZED (SELECT DISTINCT src AS item FROM e), "
+        val steps = (1 to 12).map(i =>
+          s"s$i AS MATERIALIZED (SELECT src AS item FROM e " +
+            s"WHERE src IN (SELECT item FROM s${i - 1}) AND dst IN (SELECT item FROM s${i - 1}) " +
+            "GROUP BY src HAVING count(*) >= 4), ").mkString
+        base + steps +
+          "f AS (SELECT src AS item, count(*)::BIGINT AS core_deg FROM e " +
+          "WHERE src IN (SELECT item FROM s12) AND dst IN (SELECT item FROM s12) GROUP BY src) " +
+          "SELECT item, core_deg FROM f WHERE core_deg >= 4 ORDER BY core_deg DESC, item"
+      },
       // g10: the identical 3-iteration max-normalized integer replay as
       // chained MATERIALIZED CTEs (the v23 inlining rule); HUGEINT
       // products, outputs pinned ::BIGINT
@@ -8042,6 +8089,17 @@ object SparkEntry {
           "SELECT term, count(*) AS cnt FROM terms " +
           "WHERE levenshtein(term, 'hod') <= 1 " +
           "GROUP BY term ORDER BY cnt DESC, term LIMIT 5"),
+      // q18: the same matched-share + clamped-ramp integer arithmetic;
+      // list_distinct before the membership count (Spark array_intersect
+      // dedups; DuckDB list_intersect semantics are not relied on)
+      "q18_decay_search" ->
+        (M + s", s AS (SELECT id, " +
+          s"len(list_filter(list_distinct(${stdToks("dataSample")}), x -> x IN ('red', 'widget')))::BIGINT AS n_hit, " +
+          "abs(date_diff('day', creationTime::DATE, DATE '2015-12-31'))::BIGINT AS age_days FROM meta) " +
+          "SELECT id, age_days, (n_hit * 1000000 // 2)::BIGINT AS relevance_e6, " +
+          "greatest(0, (360 - age_days) * 1000000 // 360)::BIGINT AS decay_e6, " +
+          "((n_hit * 1000000 // 2) * greatest(0, (360 - age_days) * 1000000 // 360) // 1000000)::BIGINT AS score_e6 " +
+          "FROM s WHERE n_hit > 0 ORDER BY score_e6 DESC, id LIMIT 10"),
       // q17: the UNBLOCKED replay — full-scan levenshtein over the title
       // vocabulary (no deletion keys), same (d+1−dist) weights summed
       // over each doc's distinct matched tokens; the engine's SymSpell

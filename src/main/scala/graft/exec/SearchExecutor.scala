@@ -448,6 +448,45 @@ object SearchExecutor {
       .orderBy(col("cnt").desc, col("term")).limit(k)
   }
 
+  /** FUNCTION-SCORE with LINEAR RECENCY DECAY — the ES
+    * function_score-with-decay lineage (the "recent documents first, but
+    * relevance still matters" ranking every catalog search ships):
+    * relevance × a recency multiplier that ramps linearly from 1 at the
+    * origin to 1/2 at `scaleDays` and 0 at 2·scaleDays — ES's linear
+    * decay with offset 0, decay 0.5, where scale'= scale/(1−decay). The
+    * LINEAR shape is chosen deliberately over gauss/exp: it is an exact
+    * rational, so the whole score pipeline stays in integer micros
+    * (relevance = matched-term share, decay = the clamped ramp, final =
+    * their micros product) and both engines agree bit-for-bit — libm exp
+    * differs in the last ulp across engines, the t20 no-ln rule. The
+    * negative pre-clamp numerator is absorbed by the greatest-0 clamp
+    * BEFORE anything reads it, so trunc-vs-floor divergence on negatives
+    * never surfaces (the o30 hazard, clamped away instead of
+    * sign-factored). One narrow codegen'd pass + TakeOrdered — the Q1
+    * plan shape with one more multiply.
+    */
+  def decaySearch(entries: DataFrame, rawQuery: String, origin: String,
+                  scaleDays: Int, k: Int = 10): DataFrame = {
+    val qStd = graft.analyzers.Analyzers.standardTokensScala(rawQuery).distinct
+    require(qStd.nonEmpty, s"query '$rawQuery' analyzes to no terms")
+    require(scaleDays >= 1, s"scaleDays must be >= 1: $scaleDays")
+    val span = 2L * scaleDays
+    entries
+      .select(col("id"),
+        size(array_intersect(
+          graft.analyzers.Analyzers.standardTokens(col("dataSample")),
+          lit(qStd.toArray))).cast("long").as("n_hit"),
+        abs(datediff(lit(origin).cast("date"), to_date(col("creationTime"))))
+          .cast("long").as("age_days"))
+      .where(col("n_hit") > 0)
+      .withColumn("relevance_e6", expr(s"n_hit * 1000000 DIV ${qStd.size}L"))
+      .withColumn("decay_e6",
+        greatest(lit(0L), expr(s"(${span}L - age_days) * 1000000 DIV ${span}L")))
+      .withColumn("score_e6", expr("relevance_e6 * decay_e6 DIV 1000000"))
+      .select("id", "age_days", "relevance_e6", "decay_e6", "score_e6")
+      .orderBy(col("score_e6").desc, col("id")).limit(k)
+  }
+
   /** FUZZY match query — the ES `match`-with-`fuzziness: AUTO` lineage
     * (the typo tolerance every search box ships): documents whose TITLE
     * contains a token within edit distance d of the query term, d by the

@@ -573,6 +573,57 @@ object Graph {
     out
   }
 
+  /** K-CORE decomposition (membership at a given k) — the classic
+    * cohesion screen the whole graph family funnels into: the k-core is
+    * the maximal subgraph where EVERY node keeps degree ≥ k after all
+    * peeling cascades (a high raw degree means nothing if the neighbors
+    * are leaves — the recursive survival criterion is what separates a
+    * dense community engine from a star hub, the g4/g6 gap). Computed by
+    * the standard iterative peel: drop every node whose degree WITHIN the
+    * surviving set is < k, recompute, repeat to fixpoint — monotone
+    * (the alive set only shrinks), so the fixpoint is order-free
+    * deterministic and unique (it IS the k-core by maximality).
+    *
+    * Pregel-shaped per round: two LEFT SEMI probes of the once-
+    * partitioned persisted edge cache against the alive set (both
+    * endpoints alive), one map-side-combining degree aggregate, the
+    * threshold filter — the alive table is node-scale, read twice per
+    * round (next join + convergence count), hence localCheckpoint(eager)
+    * per round (the g6 lineage lesson). REFUSES a non-fixpoint at
+    * `maxIters` (the g6 rule); convergence needs ≤ peel-depth rounds —
+    * bounded by the degeneracy ordering, tiny on real graphs. Extra
+    * rounds past the fixpoint are no-ops, which is what lets the oracle
+    * replay a FIXED unroll safely. Output: `(item, core_deg)` — members
+    * with their within-core degree, ordered by (core_deg desc, item).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e = edges.select("src", "dst").repartition(col("src")).persist()
+    var alive = e.select(col("src").as("item")).distinct().localCheckpoint(true)
+    var dropped = 1L
+    var it = 0
+    var deg: DataFrame = null
+    while (dropped > 0 && it < maxIters) {
+      val survived = e
+        .join(alive.withColumnRenamed("item", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("item", "dst"), Seq("dst"), "left_semi")
+      deg = survived.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      val next = deg.where(col("core_deg") >= k)
+        .select(col("src").as("item")).localCheckpoint(true)
+      dropped = alive.count() - next.count()
+      alive = next
+      it += 1
+    }
+    require(dropped == 0, s"kCore did not reach fixpoint in $maxIters rounds")
+    val out = deg.where(col("core_deg") >= k)
+      .select(col("src").as("item"), col("core_deg"))
+      .orderBy(col("core_deg").desc, col("item"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Degree ASSORTATIVITY — the one-number graph-health diagnostic beside
     * [[triangleStats]]' local view: the Pearson correlation of endpoint
     * degrees over all edges (Newman's r). Positive = hubs link to hubs

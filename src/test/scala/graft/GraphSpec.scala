@@ -419,6 +419,47 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("kCore: pendant cascade peels transitively; empty core is empty, not an error; refusal") {
+    // 4-clique {1,2,3,4} + pendant path 4—5—6: at k=2, 6 (deg 1) peels,
+    // THEN 5 (now deg 1) peels — the cascade a one-shot degree filter
+    // would miss; the clique survives with full within-core degrees
+    val und = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    Graph.kCore(edges, k = 2).as[(Int, Long)].collect().toSeq shouldBe
+      Seq((1, 3L), (2, 3L), (3, 3L), (4, 3L))
+    // k above the densest cohesion → empty membership
+    Graph.kCore(edges, k = 4).as[(Int, Long)].collect() shouldBe empty
+    // refusal: an iteration budget below the cascade depth errors loudly
+    an[IllegalArgumentException] should be thrownBy
+      Graph.kCore(edges, k = 2, maxIters = 1)
+  }
+
+  test("kCore: seeded-random graphs match a driver-side peeling reference") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 3) {
+      val n = 14 + round * 4
+      val und = (1 to n * 2).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }.distinct
+      val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .distinct.toDF("src", "dst")
+      val k = 2 + rnd.nextInt(3)
+      val got = Graph.kCore(edges.toDF("src", "dst"), k)
+        .as[(Int, Long)].collect().toSeq
+      // reference: plain iterative peel
+      val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      var alive = adj.keySet
+      var done = false
+      while (!done) {
+        val next = alive.filter(v => adj(v).count(alive) >= k)
+        done = next == alive; alive = next
+      }
+      val ref = alive.toSeq.map(v => (v, adj(v).count(alive).toLong))
+        .sortBy { case (v, d) => (-d, v) }
+      got shouldBe ref
+    }
+  }
+
   test("coviewEdgesWeighted: support counts shared viewers; threshold drops weak edges") {
     // items 1,2 share two viewers (support 2); 2,3 share one (support 1)
     val ui = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2), (3L, 2), (3L, 3))

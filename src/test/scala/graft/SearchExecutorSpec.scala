@@ -132,6 +132,26 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("Q18 decay search: linear ramp halves at scale and clamps at 2x; relevance share exact; recency reorders") {
+    def e(id: String, sample: String, date: String) =
+      (id, sample, java.sql.Timestamp.valueOf(date + " 00:00:00"))
+    // small scale for exact landmarks: scale 10 → span 20
+    val small = Seq(
+      e("a", "red widget", "2020-01-01"),  // age 0:  decay 1000000, score 1000000
+      e("b", "red widget", "2019-12-22"),  // age 10: decay 500000 (half at scale)
+      e("c", "red widget", "2019-12-02"),  // age 30: pre-clamp negative → 0
+      e("d", "red only here", "2020-01-01"), // rel 500000 (1 of 2 terms)
+      e("x", "nothing", "2020-01-01"))
+      .toDF("id", "dataSample", "creationTime")
+    val got = SearchExecutor.decaySearch(small, "red widget", "2020-01-01", scaleDays = 10)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("a", 0L, 1000000L, 1000000L, 1000000L),
+      ("b", 10L, 1000000L, 500000L, 500000L),
+      ("d", 0L, 500000L, 1000000L, 500000L),
+      ("c", 30L, 1000000L, 0L, 0L)) // matched but fully decayed: present at 0, x absent
+  }
+
   test("Q17 fuzzy search: AUTO ladder, multi-term accumulation, exact outranks fuzzy, d=0 is exact-only") {
     val entries = Seq(
       ("1", "rose garden"), ("2", "rosy dawn"), ("3", "rose rosy mix"),
