@@ -2408,6 +2408,13 @@ object SparkEntry {
     "v22_dim_correlation" -> ((s, d) =>
       Similarity.dimensionCorrelation(emb(s, d))),
 
+    // V27 embedding NORM profile: squared-norm distribution in exact
+    // quantized micros² (1e12 = unit), zero-vector count (the silent
+    // cosine-NaN factory), ±10% off-unit count (mixed-normalization
+    // detector); one aggregate-HOF pass, no explode, no shuffle
+    "v27_norm_profile" -> ((s, d) =>
+      graft.operators.Similarity.normProfile(emb(s, d))),
+
     // V26 embedding drift between corpus versions: per-dim mean shift in
     // exact quantized micros (sign-factored floor means — component sums
     // go negative), top-10 shifted dims; v2 = p10-rule churn + a planted
@@ -6328,6 +6335,18 @@ object SparkEntry {
       // the identical exact-integer variance filter and round-6 ratio
       // v26: same double-cast, same planted derivation, same quantized
       // sums and sign-factored floor means (o30's portable form)
+      // v27: the same quantize-first Σq² per vector (DOUBLE[] before the
+      // round — the v26 rule), HUGEINT corpus sum, floor-div mean
+      "v27_norm_profile" ->
+        ("WITH b AS (SELECT embedding::DOUBLE[] AS e FROM embeddings), " +
+          "q AS (SELECT list_sum(list_transform(e, x -> " +
+          "round(x * 1000000, 0)::BIGINT * round(x * 1000000, 0)::BIGINT))::BIGINT AS n2, " +
+          "len(e)::BIGINT AS nd FROM b) " +
+          "SELECT count(*)::BIGINT AS n_vecs, max(nd)::BIGINT AS n_dims, " +
+          "sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero, " +
+          "sum(CASE WHEN n2 < 810000000000 OR n2 > 1210000000000 THEN 1 ELSE 0 END)::BIGINT AS n_off_unit, " +
+          "min(n2)::BIGINT AS min_norm2_u, max(n2)::BIGINT AS max_norm2_u, " +
+          "(sum(n2::HUGEINT) // count(*))::BIGINT AS mean_norm2_u FROM q"),
       "v26_embedding_drift" ->
         ("WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
           "v2 AS (SELECT vec_id, CASE WHEN vec_id % 7 = 0 THEN " +

@@ -1247,4 +1247,38 @@ object Similarity {
       .orderBy(col("proj").desc, col("vec_id"))
       .limit(topK)
   }
+
+  /** Embedding NORM profile — the scale-sanity audit run before any
+    * similarity work ships: squared-norm distribution (quantize-first
+    * integer micros — the v22 discipline: components round-half-up to
+    * micros FIRST, the per-vector Σq² is an exact long, corpus sums
+    * DECIMAL-widened), zero-vector count (a zero norm breaks every
+    * cosine downstream — the silent NaN factory), and the count outside
+    * a ±10% unit-norm band (a mixed-normalization corpus — half unit,
+    * half raw — ruins dot-for-cosine shortcuts; this is the gate that
+    * sees the mix). norm² deliberately, never norm: the square root
+    * would re-introduce a float on the comparison path, and the band
+    * test is monotone in the square.
+    *
+    * Plan: ONE narrow codegen'd aggregate-HOF pass (no explode, no
+    * shuffle beyond the 1-row partials). Output: `(n_vecs, n_dims,
+    * n_zero, n_off_unit, min_norm2_u, max_norm2_u, mean_norm2_u)` in
+    * micros² units (1e12 = unit norm).
+    */
+  def normProfile(embeddings: DataFrame): DataFrame = {
+    // double-widened BEFORE the round: float·10⁶ rounds differently than
+    // the oracle's DOUBLE[] arithmetic at the half boundary (the v26 rule)
+    val n2 = expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0L, (acc, x) -> " +
+      "acc + CAST(round(x * 1000000) AS BIGINT) * CAST(round(x * 1000000) AS BIGINT))")
+    embeddings.select(n2.as("n2"), size(col("embedding")).cast("long").as("nd"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max("nd").as("n_dims"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("n2") < 810000000000L || col("n2") > 1210000000000L, 1L)
+          .otherwise(0L)).as("n_off_unit"),
+        min("n2").as("min_norm2_u"),
+        max("n2").as("max_norm2_u"),
+        expr("CAST(sum(CAST(n2 AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("mean_norm2_u"))
+  }
 }

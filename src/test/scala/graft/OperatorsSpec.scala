@@ -1463,6 +1463,20 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       2L -> r4(-math.log(pAbd))) // doc 3 has no trigrams → absent
   }
 
+  test("norm profile: zero vectors and off-unit norms counted; in-band survives; exact micros2 stats") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)),        // n2 = 1e12 — unit
+      (2L, Array(0f, 0f)),        // zero vector
+      (3L, Array(2f, 0f)),        // n2 = 4e12 — off-unit high
+      (4L, Array(0.95f, 0f)),     // n2 = 0.9025e12 — inside the ±10% band
+      (5L, Array(0.5f, 0.5f)))    // n2 = 0.5e12 — off-unit low
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.normProfile(emb)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val n2s = Seq(1000000000000L, 0L, 4000000000000L, 902500000000L, 500000000000L)
+    out shouldBe ((5L, 2L, 1L, 3L, 0L, 4000000000000L, n2s.sum / 5))
+  }
+
   test("encoding profile: planted mojibake/control/replacement counts; tab-newline exempt; empty doc null ppm") {
     val docs = Seq(
       (1L, "clean text here"),
