@@ -470,6 +470,9 @@ object SearchExecutor {
     val qStd = graft.analyzers.Analyzers.standardTokensScala(rawQuery).distinct
     require(qStd.nonEmpty, s"query '$rawQuery' analyzes to no terms")
     require(scaleDays >= 1, s"scaleDays must be >= 1: $scaleDays")
+    // validate eagerly: a malformed origin would cast to null and silently
+    // decay every hit to 0 instead of failing loudly
+    java.sql.Date.valueOf(origin)
     val span = 2L * scaleDays
     entries
       .select(col("id"),
