@@ -63,6 +63,8 @@ object PairCommit {
   private def genPath(root: String, g: Long): Path = histDir(root).resolve(s"gen-$g")
 
   def manifest(root: String): Manifest = {
+    require(Files.exists(manifestPath(root)),
+      s"no pair manifest under $root — call init() first")
     val parts = Files.readString(manifestPath(root)).trim.split(' ')
     Manifest(parts(0).toLong, parts(1).toLong)
   }
@@ -139,6 +141,10 @@ object PairCommit {
       val staging = histDir(root).resolve(s".gen-$g.staging")
       graft.util.FsUtil.deleteRecursively(staging)
       fold.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+      // a crashed prior advance may have published this generation name
+      // without committing it — manifest-invisible, so replacing it IS
+      // the redo (explicit heal() remains available but is not required)
+      graft.util.FsUtil.deleteRecursively(genPath(root, g))
       publish(staging, genPath(root, g))
     }
     if (crashBeforeSwap) return m
