@@ -874,6 +874,56 @@ object ScaleProbe {
       f""""p7_survivors":$nSurv,"p7_sec":$tP7%.2f}"""
   }
 
+  /** g11 k-core probe: ten disjoint graph copies → core membership must be
+    * EXACTLY 10× (each copy carries an identical core, peeling never
+    * crosses copies) with the peel-round count CONSTANT — per-round cost
+    * is the semi-join over the bigger once-partitioned edge cache, the
+    * honest iterative bill, never rounds × copies.
+    */
+  private def profileKcore(label: String, ev: DataFrame): String = {
+    val item = regexp_extract(col("props"), "(\\d+)", 1)
+    val ui = ev.where(col("event_type") === "view")
+      .select(col("user_id"), item.cast("int").as("item"))
+      .where(col("item").isNotNull).distinct()
+    val (core, t) = timed {
+      val r = graft.operators.Graph.kCore(
+        graft.operators.Graph.coviewEdgesWeightedFromPairs(ui)
+          .where(col("support") >= 6).select("src", "dst"), k = 4)
+        .agg(count(lit(1)), coalesce(sum("core_deg"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    f"""{"corpus":"$label","core_nodes":${core._1},"core_degsum":${core._2},"kcore_sec":$t%.2f}"""
+  }
+
+  /** o35 basket-lift probe: ten disjoint ORDER copies over the SAME brand
+    * domain → every per-order basket replicates, so supports scale ×10
+    * while confidence and lift are IDENTICAL (support·10, singles·10,
+    * total·10 — the ratios cancel): the report VALUES are invariant under
+    * uniform replication, which the probe REQUIRES row-for-row; wall
+    * scales with the fact, the pair join stays basket-bounded.
+    */
+  private def profileBasket(liRaw: DataFrame, part: DataFrame): Seq[String] = {
+    val li = liRaw.select("l_orderkey", "l_partkey")
+    val stride = 1L + li.agg(max("l_orderkey")).head.getLong(0)
+    val li10 = li.select(col("*"), explode(sequence(lit(0L), lit(9L))).as("c"))
+      .select((col("l_orderkey") + col("c") * lit(stride)).as("l_orderkey"),
+        col("l_partkey"))
+    def run(label: String, fact: DataFrame): (Seq[(String, String, Long, Long)], String) = {
+      val ((rows, nPairs), t) = timed {
+        val out = graft.operators.Relational.brandBasketLift(fact, part)
+          .collect().map(r => (r.getString(0), r.getString(1),
+            r.getLong(3), r.getLong(4))).toSeq
+        (out, out.size)
+      }
+      (rows, f"""{"corpus":"$label","top_pairs":$nPairs,"basket_sec":$t%.2f}""")
+    }
+    val (r1, s1) = run("basket-1x", li)
+    val (r10, s10) = run("basket-10x", li10)
+    require(r1 == r10,
+      "basket lift must be invariant under uniform x10 replication")
+    Seq(s1, s10)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -1004,6 +1054,25 @@ object ScaleProbe {
       synthesizeDecadeGraphEvents(ev1).write.mode("overwrite").parquet(dirS9)
       println(profileSssp("sssp-1x", ev1))
       println(profileSssp("sssp-10x", spark.read.parquet(dirS9)))
+      spark.stop()
+      return
+    }
+
+    // g11 on ten disjoint copies: membership exactly 10x, rounds constant
+    if (args.headOption.contains("kcore")) {
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      val dirK = scratch("decade-kcore/events")
+      synthesizeDecadeGraphEvents(ev1).write.mode("overwrite").parquet(dirK)
+      println(profileKcore("kcore-1x", ev1))
+      println(profileKcore("kcore-10x", spark.read.parquet(dirK)))
+      spark.stop()
+      return
+    }
+
+    // o35 on ten disjoint order copies: report values replication-invariant
+    if (args.headOption.contains("basket")) {
+      profileBasket(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        spark.read.parquet(s"$sfDir/part.parquet")).foreach(println)
       spark.stop()
       return
     }
