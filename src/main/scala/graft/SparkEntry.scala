@@ -2415,6 +2415,22 @@ object SparkEntry {
     "v27_norm_profile" -> ((s, d) =>
       graft.operators.Similarity.normProfile(emb(s, d))),
 
+    // E38 STREAMING norm profile: one partial row per batch carrying ALL
+    // THREE mergeable classes at once (count/sum re-SUM, extremes
+    // re-MIN/MAX); the shared normReport over the folded log equals the
+    // batch v27 — its oracle VERBATIM
+    "e38_stream_norm_profile" -> ((s, d) => {
+      val src = scratch("e38-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        emb(s, d).repartition(4).write.parquet(src)
+      val deltas = scratch("e38-deltas")
+      EventStream.streamNormFold(s, src, deltas)
+      graft.operators.Similarity.normReport(
+        EventStream.readDeltaLog(s, deltas)
+          .select("n_vecs", "n_dims", "n_zero", "n_off_unit",
+            "min_n2", "max_n2", "sum_n2"))
+    }),
+
     // V26 embedding drift between corpus versions: per-dim mean shift in
     // exact quantized micros (sign-factored floor means — component sums
     // go negative), top-10 shifted dims; v2 = p10-rule churn + a planted
@@ -4692,6 +4708,21 @@ object SparkEntry {
           "FROM spine s LEFT JOIN dau d USING (day) LEFT JOIN mau m USING (day) " +
           "ORDER BY day")
 
+  /** v27/e38: the same quantize-first Σq² per vector (DOUBLE[] before
+    * the round — the v26 rule), HUGEINT corpus sum, floor-div mean —
+    * shared verbatim by the batch profile and the streamed fold.
+    */
+  private lazy val normProfileSql: String =
+    ("WITH b AS (SELECT embedding::DOUBLE[] AS e FROM embeddings), " +
+          "q AS (SELECT list_sum(list_transform(e, x -> " +
+          "round(x * 1000000, 0)::BIGINT * round(x * 1000000, 0)::BIGINT))::BIGINT AS n2, " +
+          "len(e)::BIGINT AS nd FROM b) " +
+          "SELECT count(*)::BIGINT AS n_vecs, max(nd)::BIGINT AS n_dims, " +
+          "sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero, " +
+          "sum(CASE WHEN n2 < 810000000000 OR n2 > 1210000000000 THEN 1 ELSE 0 END)::BIGINT AS n_off_unit, " +
+          "min(n2)::BIGINT AS min_norm2_u, max(n2)::BIGINT AS max_norm2_u, " +
+          "(sum(n2::HUGEINT) // count(*))::BIGINT AS mean_norm2_u FROM q")
+
   /** c17/e36: the identical contingency table and cleared-denominator
     * exact terms — HUGEINT quadruple products, per-term // then the
     * two-term sum, output pinned ::BIGINT. Shared verbatim by the batch
@@ -6337,16 +6368,9 @@ object SparkEntry {
       // sums and sign-factored floor means (o30's portable form)
       // v27: the same quantize-first Σq² per vector (DOUBLE[] before the
       // round — the v26 rule), HUGEINT corpus sum, floor-div mean
-      "v27_norm_profile" ->
-        ("WITH b AS (SELECT embedding::DOUBLE[] AS e FROM embeddings), " +
-          "q AS (SELECT list_sum(list_transform(e, x -> " +
-          "round(x * 1000000, 0)::BIGINT * round(x * 1000000, 0)::BIGINT))::BIGINT AS n2, " +
-          "len(e)::BIGINT AS nd FROM b) " +
-          "SELECT count(*)::BIGINT AS n_vecs, max(nd)::BIGINT AS n_dims, " +
-          "sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero, " +
-          "sum(CASE WHEN n2 < 810000000000 OR n2 > 1210000000000 THEN 1 ELSE 0 END)::BIGINT AS n_off_unit, " +
-          "min(n2)::BIGINT AS min_norm2_u, max(n2)::BIGINT AS max_norm2_u, " +
-          "(sum(n2::HUGEINT) // count(*))::BIGINT AS mean_norm2_u FROM q"),
+      "v27_norm_profile" -> normProfileSql,
+      // e38: the streamed fold must equal the batch profile exactly
+      "e38_stream_norm_profile" -> normProfileSql,
       "v26_embedding_drift" ->
         ("WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
           "v2 AS (SELECT vec_id, CASE WHEN vec_id % 7 = 0 THEN " +

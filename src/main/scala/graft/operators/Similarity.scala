@@ -1265,7 +1265,17 @@ object Similarity {
     * n_zero, n_off_unit, min_norm2_u, max_norm2_u, mean_norm2_u)` in
     * micros² units (1e12 = unit norm).
     */
-  def normProfile(embeddings: DataFrame): DataFrame = {
+  def normProfile(embeddings: DataFrame): DataFrame =
+    normReport(normPartials(embeddings))
+
+  /** One combine-safe partial row of the norm statistics — every column
+    * mergeable (counts and the DECIMAL Σ re-SUM, extremes re-MIN/MAX),
+    * so the STREAMED fold (e38) lands one of these per micro-batch and
+    * [[normReport]] over the folded rows equals the batch profile by
+    * construction — the first log whose row mixes all three mergeable
+    * classes (sum + min + max) at once.
+    */
+  def normPartials(embeddings: DataFrame): DataFrame = {
     // double-widened BEFORE the round: float·10⁶ rounds differently than
     // the oracle's DOUBLE[] arithmetic at the half boundary (the v26 rule)
     val n2 = expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0L, (acc, x) -> " +
@@ -1276,9 +1286,21 @@ object Similarity {
         sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
         sum(when(col("n2") < 810000000000L || col("n2") > 1210000000000L, 1L)
           .otherwise(0L)).as("n_off_unit"),
-        min("n2").as("min_norm2_u"),
-        max("n2").as("max_norm2_u"),
-        expr("CAST(sum(CAST(n2 AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
-          .as("mean_norm2_u"))
+        min("n2").as("min_n2"),
+        max("n2").as("max_n2"),
+        sum(expr("CAST(n2 AS DECIMAL(38,0))")).as("sum_n2"))
   }
+
+  /** Merge [[normPartials]] rows (one, or a folded log's many) into the
+    * report row — the shared stage that makes stream ≡ batch. */
+  def normReport(partials: DataFrame): DataFrame =
+    partials.agg(
+      coalesce(sum("n_vecs"), lit(0L)).as("n_vecs"),
+      max("n_dims").as("n_dims"),
+      coalesce(sum("n_zero"), lit(0L)).as("n_zero"),
+      coalesce(sum("n_off_unit"), lit(0L)).as("n_off_unit"),
+      min("min_n2").as("min_norm2_u"),
+      max("max_n2").as("max_norm2_u"),
+      expr("CAST(sum(CAST(sum_n2 AS DECIMAL(38,0))) DIV sum(n_vecs) AS BIGINT)")
+        .as("mean_norm2_u"))
 }

@@ -1578,6 +1578,36 @@ object EventStream {
         coalesce(col("b"), lit(0L)).as("b"))
   }
 
+  /** STREAMING norm-profile maintenance — v27's scale-sanity audit kept
+    * current by embedding ingest, and the FIRST log whose row mixes all
+    * three mergeable classes at once (counts and the DECIMAL Σ re-SUM,
+    * the extremes re-MIN/MAX — the e15 sum / e32 max disciplines in one
+    * row): each micro-batch lands ONE
+    * [[graft.operators.Similarity.normPartials]] row as an idempotent
+    * `batch=<id>/` directory; the read-side
+    * [[graft.operators.Similarity.normReport]] over the folded rows
+    * equals the batch profile by construction — zero-vector and
+    * off-unit-band regressions surface per batch, the corpus never
+    * rescanned. Per-batch cost: one narrow aggregate-HOF pass + a
+    * 1-row write.
+    */
+  def streamNormFold(spark: SparkSession, srcDir: String,
+                     deltaDir: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.normPartials(batch)
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING daily-count maintenance — the c10/c5 volume statistic kept
     * current by ingest: each micro-batch lands its per-day event counts as
     * an idempotent `batch=<id>/` directory (the e15 rule — replay

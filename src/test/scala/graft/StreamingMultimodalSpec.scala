@@ -476,6 +476,23 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed shouldBe batch
   }
 
+  test("streaming norm profile: the folded sum+min+max partial log reproduces the batch audit verbatim") {
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files.createTempDirectory("graft-snorm").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.repartition(4).write.parquet(s"$root/src")
+    EventStream.streamNormFold(spark, s"$root/src", s"$root/log")
+    val streamed = graft.operators.Similarity.normReport(
+        EventStream.readDeltaLog(spark, s"$root/log")
+          .select("n_vecs", "n_dims", "n_zero", "n_off_unit",
+            "min_n2", "max_n2", "sum_n2"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Similarity.normProfile(emb)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    streamed shouldBe batch
+    streamed.head._1 should be > 0L
+  }
+
   test("top-k count-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.operators.SketchRollup
