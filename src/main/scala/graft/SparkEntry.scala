@@ -591,6 +591,19 @@ object SparkEntry {
       SearchExecutor.significantTerms(Corpus.metadata(s, d),
         col("category") === "cat3")),
 
+    // A8 TOP-HITS per facet bucket (ES terms + top_hits sub-aggregation):
+    // each category of the scored 'red' stream with its best 3 hits —
+    // buckets in terms-agg (count desc, key) order, per-bucket hits by
+    // (score desc, id); tiny bucket aggregate broadcast onto q13's
+    // partial-WindowGroupLimit rank cut (never a count-over-window,
+    // which would defeat the group-limit pushdown)
+    "a8_top_hits" -> ((s, d) => {
+      val cq = QueryCompiler.compile(QueryCompiler.parse("""{"query":"red"}"""), admin)
+      SearchExecutor.topHitsFacet(
+        SearchExecutor.baseBranch(Corpus.metadata(s, d), cq),
+        "category", numBuckets = 5, hitsPerBucket = 3)
+    }),
+
     // A6 composite facet (ES composite-aggregation lineage): (category,
     // format) bucket counts ordered BY KEY with after-key pagination —
     // page 2 from after ("cat2","csv"): a key-range scan, so pages never
@@ -1557,6 +1570,61 @@ object SparkEntry {
       disk.orderBy("id", "valid_from")
     }),
 
+    // S27 PAIR RE-BASE: the generation layout's compact() analog — after
+    // five advances the pair reads union six generations; a re-base
+    // writes the full resolved history as one subsuming generation,
+    // swaps the manifest (store version unchanged) and sweeps the
+    // shadowed gens, so reads return to a single-generation scan. The
+    // torn re-base (crash between publish and swap) is invisible and
+    // heals as exactly one orphan; the committed re-base must leave the
+    // resolved history IDENTICAL row-for-row and strictly shrink disk
+    "s27_pair_rebase" -> ((s, d) => {
+      import graft.store.PairCommit
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // v1
+      val root = scratch("s27-pair")
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(root))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      PairCommit.init(s, root, st, 8)                      // gen-1
+      st.partialUpdate("000010", Map("title" -> "rev-b"))  // v2
+      PairCommit.advance(s, root, st, 8)                   // gen-2
+      st.delete("000020")                                  // v3
+      PairCommit.advance(s, root, st, 8)                   // gen-3
+      corpusEntries(s, d, "000200", "000200").collect().foreach(st.upsert) // v4
+      PairCommit.advance(s, root, st, 8)                   // gen-4
+      st.partialUpdate("000030", Map("title" -> "rev-c"))  // v5
+      PairCommit.advance(s, root, st, 8)                   // gen-5
+      st.partialUpdate("000030", Map("title" -> "rev-d"))  // v6
+      val m6 = PairCommit.advance(s, root, st, 8)          // gen-6
+      require(m6 == PairCommit.Manifest(6L, 6L), s"unexpected manifest: $m6")
+      val hd = java.nio.file.Paths.get(root, "hist")
+      def gens(): Seq[String] = graft.util.FsUtil.listDir(hd)(
+        _.map(_.getFileName.toString).filter(_.startsWith("gen-")).toSeq.sorted)
+      // materialize the pre-rebase resolution: its plan names gen dirs
+      // the sweep is about to delete, so it cannot be re-run afterwards
+      val beforeRows = PairCommit.readHistory(s, root)
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+        .orderBy("id", "valid_from").collect().toSeq
+      val bytesBefore = graft.util.FsUtil.sizeOf(hd)
+      // CRASH between the subsuming-generation publish and the swap:
+      // manifest-invisible, exactly one orphan, the redo converges
+      PairCommit.rebase(s, root, 8, crashBeforeSwap = true)
+      require(PairCommit.manifest(root) == m6, "torn rebase must be invisible")
+      require(PairCommit.heal(root) == 1L, "expected exactly one orphan generation")
+      val m7 = PairCommit.rebase(s, root, 8)
+      require(m7 == PairCommit.Manifest(6L, 7L), s"rebase manifest: $m7")
+      require(gens() == Seq("gen-7"), s"subsumed generations not swept: ${gens()}")
+      val bytesAfter = graft.util.FsUtil.sizeOf(hd)
+      require(bytesAfter < bytesBefore,
+        s"rebase must shrink the layout: $bytesBefore -> $bytesAfter bytes")
+      val after = PairCommit.readHistory(s, root)
+        .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
+        .orderBy("id", "valid_from")
+      require(after.collect().toSeq == beforeRows,
+        "rebase changed the resolved history")
+      after
+    }),
+
     // Set-oriented time travel: batch (id, as_of_version) probes answered
     // by ONE equi-join against the SCD2 history instead of |probes|
     // snapshot resolves — inner semantics, so probes at versions where the
@@ -1982,6 +2050,19 @@ object SparkEntry {
       graft.operators.Pipeline
         .dsirTopK(ds, ds.where(col("lang") === "en"), n = 50, vocabSize = 256)
         .orderBy("rank")
+    }),
+
+    // P24 SELECTION-AGREEMENT audit: DSIR (p19) vs classifier (p14)
+    // scored on ONE corpus — exact-integer Spearman ρ over the two
+    // tie-broken rank permutations (floor-div micros, Σd² DECIMAL-
+    // widened), top-50 overlap count, and the disagreement slice (docs
+    // exactly one selector ships, both ranks + both raw scores); ranks
+    // by the distributed bucketed prefix sum, never a global sort —
+    // the audit that says when the two published methods diverge
+    "p24_selection_agreement" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.Pipeline.selectionAgreement(ds,
+        ds.where(col("lang") === "en"), k = 50)
     }),
 
     // Pipeline: temperature-sampled domain mixing (XLM-R α=0.5 shape) —
@@ -5298,6 +5379,19 @@ object SparkEntry {
           "UNION ALL SELECT '000010', 'rev-b', 2, NULL " +
           "UNION ALL SELECT id, title, 4, NULL FROM meta WHERE id = '000200' " +
           "ORDER BY id, valid_from"),
+      // s27: s26's lifecycle plus two 000030 revisions, read back AFTER
+      // the re-base — compaction must not change the resolved history,
+      // so the expected table is the plain SCD2 literal replay
+      "s27_pair_rebase" ->
+        (M + "SELECT id, title, CAST(1 AS BIGINT) AS valid_from, " +
+          "CAST(CASE WHEN id = '000010' THEN 2 WHEN id = '000020' THEN 3 " +
+          "WHEN id = '000030' THEN 5 END AS BIGINT) AS valid_to " +
+          "FROM meta WHERE id BETWEEN '000001' AND '000050' " +
+          "UNION ALL SELECT '000010', 'rev-b', 2, NULL " +
+          "UNION ALL SELECT id, title, 4, NULL FROM meta WHERE id = '000200' " +
+          "UNION ALL SELECT '000030', 'rev-c', 5, 6 " +
+          "UNION ALL SELECT '000030', 'rev-d', 6, NULL " +
+          "ORDER BY id, valid_from"),
       // s22: the persisted history after erasing 000010/000030 outright —
       // 000020's delete-closed interval SURVIVES (closed ≠ forgotten)
       "s22_history_takedown" ->
@@ -5549,6 +5643,47 @@ object SparkEntry {
       // batch count deltas, so the selection through it must equal the
       // batch-free p19 answer — the same oracle, verbatim
       "e24_stream_dsir_fold" -> dsirSampleSql,
+      // p24: both score chains re-derived verbatim (p14's classifier
+      // score, p19's DSIR logw), ranked by the same tie-broken total
+      // orders, exact HUGEINT Spearman + overlap, XOR slice; tc/vocab/j
+      // multiply-referenced → MATERIALIZED (the t31 rule)
+      "p24_selection_agreement" ->
+        (T + microsCte("q") + classifierWtsCte +
+          ", topw AS (SELECT token, weight_micros FROM wts " +
+          "ORDER BY abs(weight_micros) DESC, token LIMIT 256) " +
+          ", sc AS (SELECT t.doc_id, sum(coalesce(w.weight_micros, 0))::BIGINT AS s " +
+          "FROM tok t LEFT JOIN topw w USING (token) GROUP BY 1) " +
+          ", sc2 AS (SELECT d.doc_id, coalesce(s, 0)::BIGINT AS score_micros " +
+          "FROM documents d LEFT JOIN sc USING (doc_id)) " +
+          ", tc AS MATERIALIZED (SELECT doc_id, tok, count(*) AS c " +
+          "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2) " +
+          ", tgt AS (SELECT tok, sum(c) AS tc FROM tc JOIN documents USING (doc_id) " +
+          "WHERE lang = 'en' GROUP BY 1) " +
+          ", vocab AS MATERIALIZED (SELECT tok, tc FROM tgt ORDER BY tc DESC, tok LIMIT 256) " +
+          ", rawc AS (SELECT tok, sum(c) AS rc FROM tc JOIN vocab USING (tok) GROUP BY 1) " +
+          ", tt AS (SELECT sum(tc)::DOUBLE AS s FROM vocab) " +
+          ", rt AS (SELECT sum(rc)::DOUBLE AS s FROM rawc) " +
+          ", lr AS (SELECT tok, ln((tc + 1)::DOUBLE / (tt.s + 256)) - " +
+          "ln((rc + 1)::DOUBLE / (rt.s + 256)) AS lw " +
+          "FROM vocab JOIN rawc USING (tok), tt, rt) " +
+          ", dsc AS (SELECT d.doc_id, round(coalesce(sum(u.c * u.lw), 0), 4) AS logw " +
+          "FROM documents d LEFT JOIN " +
+          "(SELECT tc.doc_id, tc.c, lr.lw FROM tc JOIN lr USING (tok)) u " +
+          "ON d.doc_id = u.doc_id GROUP BY 1) " +
+          ", dsr AS (SELECT doc_id, logw, " +
+          "row_number() OVER (ORDER BY logw DESC, doc_id) AS dsir_rank FROM dsc) " +
+          ", csr AS (SELECT doc_id, score_micros, " +
+          "row_number() OVER (ORDER BY score_micros DESC, doc_id) AS clf_rank FROM sc2) " +
+          ", j AS MATERIALIZED (SELECT dsr.doc_id, logw, score_micros, dsir_rank, clf_rank " +
+          "FROM dsr JOIN csr USING (doc_id)) " +
+          ", summ AS (SELECT count(*)::HUGEINT AS n, " +
+          "sum((dsir_rank - clf_rank) * (dsir_rank - clf_rank))::HUGEINT AS sd2, " +
+          "sum(CASE WHEN dsir_rank <= 50 AND clf_rank <= 50 THEN 1 ELSE 0 END)::BIGINT AS overlap_n FROM j) " +
+          "SELECT doc_id, CASE WHEN dsir_rank <= 50 THEN 'dsir_only' ELSE 'clf_only' END AS side, " +
+          "dsir_rank::BIGINT AS dsir_rank, clf_rank::BIGINT AS clf_rank, logw, score_micros, " +
+          "(1000000 - (6 * sd2 * 1000000) // (n * n * n - n))::BIGINT AS rho_e6, overlap_n " +
+          "FROM j, summ WHERE (dsir_rank <= 50) <> (clf_rank <= 50) " +
+          "ORDER BY side, doc_id"),
       "p16_epoch_shuffle" ->
         ("WITH h AS (SELECT doc_id, " +
           "((doc_id + 3 * 1000003) * 2654435761) % 4294967296 AS hv FROM documents) " +
@@ -6624,7 +6759,7 @@ object SparkEntry {
           "c AS (SELECT doc_id, length(text)::BIGINT AS n_chars, " +
           "len(regexp_extract_all(text, '\\x{FFFD}'))::BIGINT AS n_replacement, " +
           "len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))::BIGINT AS n_control, " +
-          "len(regexp_extract_all(text, '\\x{C3}|\\x{E2}\\x{20AC}'))::BIGINT AS n_mojibake FROM planted) " +
+          "len(regexp_extract_all(text, '\\x{C3}[\\x{80}-\\x{BF}]|\\x{E2}\\x{20AC}'))::BIGINT AS n_mojibake FROM planted) " +
           "SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake, " +
           "CASE WHEN n_chars > 0 THEN ((n_replacement + n_control + n_mojibake) * 1000000) // n_chars END::BIGINT AS bad_ppm, " +
           "coalesce(CASE WHEN n_chars > 0 THEN ((n_replacement + n_control + n_mojibake) * 1000000) // n_chars END > 1000, false) AS flagged " +
@@ -8060,6 +8195,19 @@ object SparkEntry {
           "((fg_count::HUGEINT * bg_total * 1000000) // (bg_count::HUGEINT * fg_total))::BIGINT AS lift_e6 " +
           "FROM pt, tt WHERE fg_count >= 3 " +
           "ORDER BY lift_e6 DESC, term LIMIT 10"),
+      // a8: same scored stream, bucket table re-derived (count desc, key
+      // LIMIT 5), rank-within-bucket replayed, inner join drops cut
+      // buckets; sc is referenced twice → MATERIALIZED (the t31 rule)
+      "a8_top_hits" ->
+        (M + s", hp AS (SELECT id, category, ${score1("red")} AS score FROM meta), " +
+          "sc AS MATERIALIZED (SELECT * FROM hp WHERE score > 0), " +
+          "bk AS (SELECT category, count(*)::BIGINT AS bucket_cnt FROM sc " +
+          "GROUP BY 1 ORDER BY bucket_cnt DESC, category LIMIT 5), " +
+          "rk AS (SELECT category, id, score, " +
+          "row_number() OVER (PARTITION BY category ORDER BY score DESC, id)::BIGINT AS rnk FROM sc) " +
+          "SELECT r.category, b.bucket_cnt, r.rnk, r.id, r.score " +
+          "FROM rk r JOIN bk b USING (category) WHERE r.rnk <= 3 " +
+          "ORDER BY b.bucket_cnt DESC, r.category, r.rnk"),
       // a6: the same key-ordered bucket scan with a row-comparison
       // after-key — pages are disjoint by construction
       "a6_composite_facet" ->

@@ -585,6 +585,52 @@ object SearchExecutor {
       .orderBy(col("lift_e6").desc, col("term")).limit(k)
   }
 
+  /** TOP-HITS-PER-FACET-BUCKET — Elasticsearch's `top_hits` sub-aggregation
+    * inside a `terms` aggregation (the "each category with its best N
+    * datasets" shape every catalog landing page renders; the reference's
+    * facet branch returns bucket keys only, query_translation.py:83-95 /
+    * search.py:131-135 — this is the lineage feature beside it). Buckets
+    * are the top `numBuckets` values of `field` by doc count over the
+    * scored [[baseBranch]] stream, in terms-agg order (doc_count desc,
+    * key asc — the key tie-break also DECIDES which bucket survives a
+    * count tie at rank `numBuckets`, so the drop rule is closed-form);
+    * within each surviving bucket the top `hitsPerBucket` hits by
+    * (score desc, id asc) — a total order, ids unique, so hit ties
+    * cannot exist.
+    *
+    * Plan shape — two branches off the shared scored base, NOT one
+    * window: (1) the bucket table is a map-side-combining hash aggregate
+    * whose result is buckets-many rows (broadcast-scale by construction);
+    * (2) the per-bucket rank cut is q13's partial-WindowGroupLimit shape —
+    * the `rnk <= k` filter sits DIRECTLY above the row_number window, so
+    * each map task forwards at most k rows per group into the exchange.
+    * Folding the doc count into the same window (count().over(partition))
+    * would force every bucket's full row set through the shuffle — the
+    * count frame defeats the group-limit pushdown — so the tiny aggregate
+    * branch + broadcast join is the 100 TB-correct split. The join also
+    * applies the bucket top-N cut (hits of dropped buckets vanish on the
+    * inner join). Output: `(field, bucket_cnt, rnk, id, score)` ordered
+    * by (bucket_cnt desc, field asc, rnk).
+    */
+  def topHitsFacet(base: DataFrame, field: String = "category",
+                   numBuckets: Int = 10, hitsPerBucket: Int = 3): DataFrame = {
+    require(numBuckets >= 1 && hitsPerBucket >= 1,
+      s"topHitsFacet config invalid: numBuckets=$numBuckets, hitsPerBucket=$hitsPerBucket")
+    val buckets = base.groupBy(col(field))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("bucket_cnt"))
+      .orderBy(col("bucket_cnt").desc, col(field).asc)
+      .limit(numBuckets)
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(field)).orderBy(col(ScoreCol).desc, col("id").asc)
+    base
+      .withColumn("rnk", row_number().over(grpW).cast("long"))
+      .where(col("rnk") <= hitsPerBucket)
+      .join(broadcast(buckets), Seq(field))
+      .select(col(field), col("bucket_cnt"), col("rnk"), col("id"),
+        col(ScoreCol).as("score"))
+      .orderBy(col("bucket_cnt").desc, col(field).asc, col("rnk"))
+  }
+
   /** MINIMUM-SHOULD-MATCH search (the ES `minimum_should_match` lineage):
     * a multi-term query where a document qualifies only when at least
     * `minMatch` DISTINCT query terms hit any searched field — the

@@ -595,6 +595,13 @@ object Graph {
     * rounds past the fixpoint are no-ops, which is what lets the oracle
     * replay a FIXED unroll safely. Output: `(item, core_deg)` — members
     * with their within-core degree, ordered by (core_deg desc, item).
+    *
+    * PRECONDITION (the same both-directions contract as the other
+    * undirected graph ops here): `edges` must be SYMMETRIZED — every
+    * undirected edge present as (a,b) AND (b,a), the co-view table's
+    * shape. Degrees group by `src` and the initial alive set is distinct
+    * `src`, so a one-direction edge list under-counts degrees and drops
+    * dst-only nodes silently.
     */
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

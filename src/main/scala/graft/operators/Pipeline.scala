@@ -919,6 +919,76 @@ object Pipeline {
       .select("rank", "doc_id", "n_feat", "logw")
   }
 
+  /** SELECTION-AGREEMENT audit between the two published data-selection
+    * methods this pipeline ships — DSIR importance weighting (p19, Xie et
+    * al. 2023) and GPT-3-style classifier scoring (p14): would they ship
+    * the same corpus? Scores both selectors over ONE corpus, ranks each
+    * under its own (score desc, doc_id) TOTAL order (ties by id, never
+    * averaged — the q14 integer-selection discipline: averaged ties
+    * would force float midranks and an engine could swap two near-equal
+    * docs), and reports
+    *
+    *   - Spearman rank correlation over the two permutations in exact
+    *     floor-div micros: ρ_e6 = 10⁶ − (6·Σd²·10⁶) div (n·(n²−1)) —
+    *     with tie-broken permutation ranks the classic closed form is
+    *     EXACT, every term an integer (Σd² DECIMAL(38,0)-widened: it
+    *     reaches n³, past a long at corpus scale; the exact path caps at
+    *     n ≲ 10¹⁰ docs where 6·Σd²·10⁶ meets DECIMAL(38) — beyond that
+    *     the honest twin is a sampled-rank estimate, same shape);
+    *   - top-k overlap count — how many docs BOTH selectors would ship;
+    *   - the disagreement slice: every doc exactly one selector puts in
+    *     its top-k, with both ranks and both raw scores — the rows a
+    *     pipeline owner actually reads when the two methods diverge.
+    *
+    * Ranks come from the c9/t26 DISTRIBUTED bucketed prefix sum
+    * ([[Relational.bucketedRank]]) — never a global single-partition
+    * Window.orderBy over the corpus. The ranked table persists across
+    * its two readers (1-row summary aggregate + ≤2k-row slice); the
+    * summary broadcasts back onto the slice, so the output is
+    * metadata-scale. Output: `(doc_id, side, dsir_rank, clf_rank, logw,
+    * score_micros, rho_e6, overlap_n)` ordered by (side, doc_id).
+    */
+  def selectionAgreement(docs: DataFrame, target: DataFrame, k: Int,
+                         vocabSize: Int = 256,
+                         rangeBuckets: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dsir = dsirWeights(docs, target, vocabSize)
+      .select(col("doc_id"), col("logw"))
+    val clf = TextAnalysis.scoreWithClassifier(docs,
+        TextAnalysis.trainQualityClassifier(docs, vocabSize = vocabSize))
+      .select(col("doc_id"), col("score_micros"))
+    val ranked = Relational.bucketedRank(
+        Relational.bucketedRank(dsir.join(clf, Seq("doc_id")),
+            "logw", "doc_id", ascending = false, rangeBuckets)
+          .withColumnRenamed("rank", "dsir_rank"),
+        "score_micros", "doc_id", ascending = false, rangeBuckets)
+      .withColumnRenamed("rank", "clf_rank")
+    ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ranked.count()
+    require(n >= 2, s"selectionAgreement needs >= 2 documents, got $n")
+    val d = col("dsir_rank") - col("clf_rank")
+    val summary = ranked.agg(
+        sum((d * d).cast("decimal(38,0)")).as("sd2"),
+        sum(when(col("dsir_rank") <= k && col("clf_rank") <= k, 1L)
+          .otherwise(0L)).as("overlap_n"))
+      .select(
+        (lit(1000000L) - expr(
+          s"CAST(6 AS DECIMAL(38,0)) * sd2 * 1000000 DIV " +
+            s"(CAST($n AS DECIMAL(38,0)) * $n * $n - $n)")).as("rho_e6"),
+        col("overlap_n"))
+    val out = ranked
+      .where((col("dsir_rank") <= k) =!= (col("clf_rank") <= k))
+      .withColumn("side",
+        when(col("dsir_rank") <= k, "dsir_only").otherwise("clf_only"))
+      .crossJoin(broadcast(summary))
+      .select(col("doc_id"), col("side"), col("dsir_rank"), col("clf_rank"),
+        col("logw"), col("score_micros"), col("rho_e6"), col("overlap_n"))
+      .orderBy("side", "doc_id")
+      .localCheckpoint(true)
+    ranked.unpersist()
+    out
+  }
+
   /** DSIR's actual sampling rule: n draws WITHOUT replacement with
     * probability ∝ exp(logw), via the Gumbel-top-k equivalence — key =
     * logw + G_i with G_i = −ln(−ln(u_i)) and u_i a seeded per-doc hash

@@ -378,8 +378,11 @@ object TextAnalysis {
     * REPLACEMENT-character count (U+FFFD — the decoder already admitted
     * damage), the C0 control-character count (except \t \n \r — binary
     * leaking into text), and the classic UTF-8-as-Latin-1 double-encoding
-    * markers ('Ã' and 'â€' digraph heads, the signature of é→Ã©,
-    * ”→â€�-class damage). Badness in floor-div ppm of the character
+    * markers — 'Ã' ONLY when followed by a Latin-1-supplement
+    * continuation char (U+0080–U+00BF: the second byte of a
+    * double-decoded UTF-8 pair, the signature of é→Ã©), since a bare 'Ã'
+    * is legitimate Latin text ("SÃO PAULO" must not flag), plus the 'â€'
+    * digraph head (”→â€�-class damage). Badness in floor-div ppm of the character
     * count, flag at > 1000 ppm, empty documents null ppm ("unmeasurable"
     * never aliases "clean"). All four counts are regex occurrence counts
     * over one narrow codegen'd pass — no shuffle, no UDF; the classes
@@ -393,7 +396,7 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"),
         cnt("\\ufffd").as("n_replacement"),
         cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"),
-        cnt("\\u00c3|\\u00e2\\u20ac").as("n_mojibake"))
+        cnt("\\u00c3[\\u0080-\\u00bf]|\\u00e2\\u20ac").as("n_mojibake"))
       .withColumn("bad_ppm",
         when(col("n_chars") > 0,
           expr("(n_replacement + n_control + n_mojibake) * 1000000 DIV n_chars")))

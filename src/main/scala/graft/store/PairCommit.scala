@@ -48,11 +48,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale: an advance costs the touched slice (the refreshHistoryPartitions
   * bill — never the history's bulk); a read lists nBuckets × generations
-  * directory names (driver-side metadata). Generation count is bounded in
-  * practice by re-basing: a full writeHistory snapshot as `gen-(g+1)`
-  * subsumes every older generation, after which [[heal]]-style sweeps can
-  * reclaim them (not wired here; the store's own compact() is the
-  * precedent).
+  * directory names (driver-side metadata). Generation count is bounded by
+  * [[rebase]] — the pair's compact() analog: a full writeHistory snapshot
+  * as `gen-(g+1)` subsumes every older generation, the manifest swaps to
+  * it, and [[sweepSubsumed]] reclaims the shadowed ones — so reads return
+  * to a single-generation scan on whatever cadence the operator runs it.
   */
 object PairCommit {
 
@@ -153,6 +153,69 @@ object PairCommit {
     next
   }
 
+  /** RE-BASE the history generations — the pair layout's `compact()`
+    * analog. Without it a long-lived pair grows one generation per
+    * advance forever: each read unions one partition-pruned scan per
+    * CONTRIBUTING generation, so read fan-in (and the manifest's
+    * directory-listing bill) grows with commit count. The re-base writes
+    * the FULL resolved history at the current manifest generation as one
+    * new generation `g+1` — which, because maintainHistory never removes
+    * a bucket's rows (SCD2 closes intervals, never forgets them), wins
+    * EVERY bucket in the latest-wins overlay — then swaps the manifest to
+    * `(storeVersion unchanged, g+1)` and sweeps the now-subsumed older
+    * generations. Reads after a re-base scan exactly one generation
+    * again; resolved history is unchanged by construction (gated by the
+    * s27 oracle).
+    *
+    * Crash windows (the 5528a redo discipline, same as [[advance]]):
+    * a crash during staging leaves a `.gen-*.staging` dir [[heal]] sweeps;
+    * a crash after publish but before the swap (the `crashBeforeSwap`
+    * hook) leaves an orphan generation ABOVE the manifest — invisible to
+    * every reader, healed as one orphan, and the redone re-base replaces
+    * it idempotently; a crash after the swap but before the sweep leaves
+    * subsumed OLDER generations on disk — reads are already correct (the
+    * new full generation shadows every bucket) and the next
+    * [[sweepSubsumed]] (or re-base) reclaims them.
+    */
+  def rebase(spark: SparkSession, root: String, nBuckets: Int,
+             crashBeforeSwap: Boolean = false): Manifest = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val m = manifest(root)
+    val g = m.histGen + 1
+    val full = readHistoryAt(spark, root, m.histGen).drop("bucket")
+    val staging = histDir(root).resolve(s".gen-$g.staging")
+    graft.util.FsUtil.deleteRecursively(staging)
+    MetadataStore.writeHistory(full, nBuckets, staging.toString)
+    graft.util.FsUtil.deleteRecursively(genPath(root, g)) // crashed-redo replace
+    publish(staging, genPath(root, g))
+    if (crashBeforeSwap) return m
+    val next = Manifest(m.storeVersion, g)
+    swapManifest(root, next)
+    sweepSubsumed(root)
+    next
+  }
+
+  /** Reclaim generations that win NO bucket in the manifest overlay: a
+    * generation `gi` below the manifest's is dead once every bucket it
+    * contains also appears in some LATER generation ≤ the manifest's —
+    * no [[readHistoryAt]] resolution can reach it. The subset check is
+    * the proof, so this is safe even if a future fold ever shrank a
+    * bucket set; the manifest generation itself is never touched (it is
+    * the floor [[readHistoryAt]] requires). Returns directories removed.
+    */
+  def sweepSubsumed(root: String): Long = {
+    val g = manifest(root).histGen
+    val gens = listGens(root).filter(_ <= g)
+    val buckets: Map[Long, Set[Int]] =
+      gens.map(gi => gi -> bucketsOf(root, gi).toSet).toMap
+    val dead = gens.filter(_ < g).filter { gi =>
+      val shadow = gens.filter(_ > gi).flatMap(buckets(_)).toSet
+      buckets(gi).subsetOf(shadow)
+    }
+    dead.map(genPath(root, _)).foreach(graft.util.FsUtil.deleteRecursively)
+    dead.size.toLong
+  }
+
   /** Sweep crash remnants: generation directories the manifest does not
     * reach (published but never committed) and abandoned staging dirs.
     * Returns the number of directories removed. Safe any time under the
@@ -184,6 +247,22 @@ object PairCommit {
     // later gens overwrite earlier ones bucket by bucket
     val winner: Map[Int, Long] =
       gens.flatMap(gi => bucketsOf(root, gi).map(_ -> gi)).toMap
+    // a pair initialized over an EMPTY store publishes gen-1 with no
+    // bucket dirs (partitionBy writes nothing) — the overlay then has no
+    // contributing generation to union, so return the empty history with
+    // its schema spelled out (entry columns + SCD2 interval + bucket)
+    // instead of letting reduce() throw on the empty collection
+    if (winner.isEmpty) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        org.apache.spark.sql.Encoders.product[graft.model.MetadataEntry]
+          .schema.fields.toSeq ++ Seq(
+            StructField("valid_from", LongType),
+            StructField("valid_to", LongType),
+            StructField("bucket", IntegerType)))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    }
     val byGen: Map[Long, Seq[Int]] =
       winner.groupBy(_._2).map { case (gi, kvs) => gi -> kvs.keys.toSeq }
     byGen.toSeq.sortBy(_._1).map { case (gi, buckets) =>

@@ -1569,9 +1569,16 @@ object EventStream {
     * absent side = 0. */
   def foldContingency(spark: SparkSession, deltaDir1: String,
                       deltaDir2: String): DataFrame = {
-    def side(dir: String, name: String): DataFrame =
-      readDeltaLog(spark, dir).groupBy("category")
+    def side(dir: String, name: String): DataFrame = {
+      val s = readDeltaLog(spark, dir).groupBy("category")
         .agg(sum("d_n").as(name))
+      // same guard as the batch chiSquareDrift: a zero side total has no
+      // expected counts — a missing/empty log must fail loudly here, not
+      // surface as a silently null-valued chi² report (DIV by n=0)
+      require(!s.isEmpty,
+        s"foldContingency: side log $dir is empty — no expected counts")
+      s
+    }
     side(deltaDir1, "a").join(side(deltaDir2, "b"), Seq("category"), "full_outer")
       .select(col("category"),
         coalesce(col("a"), lit(0L)).as("a"),

@@ -14,6 +14,15 @@ object FsUtil {
     try f(s.iterator.asScala) finally s.close()
   }
 
+  /** Total regular-file bytes under a path (0 for missing paths) — the
+    * disk-shrink assertion primitive for compaction/re-base gates.
+    */
+  def sizeOf(p: Path): Long =
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      listDir(p)(_.map(sizeOf).sum)
+    else if (Files.isRegularFile(p)) Files.size(p)
+    else 0L
+
   /** Depth-first recursive delete; missing paths are a no-op. */
   def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))

@@ -62,6 +62,55 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     PairCommit.advance(spark, root, st, 4) shouldBe m1
   }
 
+  test("pair rebase: one subsuming generation replaces the chain, resolution unchanged, " +
+    "disk shrinks; torn rebase invisible; empty-store pair reads as empty history") {
+    import graft.store.PairCommit
+    val st = freshStore()
+    Fixtures.corpus.take(5).foreach(st.upsert) // v1..v5
+    val root = Files.createTempDirectory("graft-pair-rb").toString
+    PairCommit.init(spark, root, st, 4)
+    // three advances → four generations
+    st.partialUpdate(Fixtures.corpus(1).id, Map("title" -> "rev-b")) // v6
+    PairCommit.advance(spark, root, st, 4)
+    st.delete(Fixtures.corpus(2).id) // v7
+    PairCommit.advance(spark, root, st, 4)
+    st.partialUpdate(Fixtures.corpus(1).id, Map("title" -> "rev-c")) // v8
+    val m = PairCommit.advance(spark, root, st, 4)
+    m shouldBe PairCommit.Manifest(8L, 4L)
+    val hd = java.nio.file.Paths.get(root, "hist")
+    def gens(): Seq[String] = graft.util.FsUtil.listDir(hd)(
+      _.map(_.getFileName.toString).filter(_.startsWith("gen-")).toSeq.sorted)
+    gens() shouldBe Seq("gen-1", "gen-2", "gen-3", "gen-4")
+    val before = PairCommit.readHistory(spark, root)
+      .select("id", "title", "valid_from", "valid_to")
+      .orderBy("id", "valid_from").collect().toSeq
+    val bytesBefore = graft.util.FsUtil.sizeOf(hd)
+    // torn rebase: manifest unmoved, reader unaffected, one orphan
+    PairCommit.rebase(spark, root, 4, crashBeforeSwap = true) shouldBe m
+    PairCommit.manifest(root) shouldBe m
+    PairCommit.readHistory(spark, root)
+      .select("id", "title", "valid_from", "valid_to")
+      .orderBy("id", "valid_from").collect().toSeq shouldBe before
+    PairCommit.heal(root) shouldBe 1L
+    // committed rebase: single generation, same resolution, less disk
+    PairCommit.rebase(spark, root, 4) shouldBe PairCommit.Manifest(8L, 5L)
+    gens() shouldBe Seq("gen-5")
+    PairCommit.readHistory(spark, root)
+      .select("id", "title", "valid_from", "valid_to")
+      .orderBy("id", "valid_from").collect().toSeq shouldBe before
+    graft.util.FsUtil.sizeOf(hd) should be < bytesBefore
+    // sweep is idempotent and never touches the manifest generation
+    PairCommit.sweepSubsumed(root) shouldBe 0L
+    // a pair over an EMPTY store: gen-1 has no bucket dirs — the overlay
+    // returns the empty history with the full schema, not a reduce() throw
+    val empty = freshStore()
+    val eroot = Files.createTempDirectory("graft-pair-empty").toString
+    PairCommit.init(spark, eroot, empty, 4)
+    val eh = PairCommit.readHistory(spark, eroot)
+    eh.count() shouldBe 0L
+    eh.columns should contain allOf ("id", "title", "valid_from", "valid_to", "bucket")
+  }
+
   test("replica checksum: CDC-advanced replica matches the primary bucket-for-bucket; " +
     "a planted divergence localizes to its bucket") {
     val st = freshStore()

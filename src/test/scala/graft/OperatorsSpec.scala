@@ -1483,7 +1483,8 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       (2L, "bad \u00c3\u00a9 and \u00e2\u20ac\u009d quote"), // mojibake digraphs
       (3L, "bin\u0000\u0001ary\tok\nline"), // C0 leak; tab/newline exempt
       (4L, "admitted \ufffd damage \ufffd"),
-      (5L, "")).toDF("doc_id", "text")
+      (5L, ""),
+      (6L, "SÃO PAULO")).toDF("doc_id", "text") // legitimate bare Ã
     val out = graft.operators.TextAnalysis.encodingProfile(docs)
       .as[(Long, Long, Long, Long, Long, Option[Long], Boolean)].collect().toSeq
     val byId = out.map(r => r._1 -> r).toMap
@@ -1493,6 +1494,47 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
     byId(3L)._4 shouldBe 2L // NUL + SOH only — \t \n exempt
     byId(4L)._3 shouldBe 2L
     byId(5L) shouldBe ((5L, 0L, 0L, 0L, 0L, None, false)) // unmeasurable ≠ clean
+    // 'Ã' before a NON-continuation char is Latin script, not mojibake —
+    // without the continuation-tail requirement this short clean doc
+    // would cross the 1000 ppm threshold as a false positive
+    byId(6L)._5 shouldBe 0L
+    byId(6L)._7 shouldBe false
+  }
+
+  test("selection agreement: ranks match a driver-side sort, rho exact, slice sides balanced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    val k = 10
+    val out = graft.operators.Pipeline.selectionAgreement(
+        docs, docs.where($"lang" === "en"), k)
+      .as[(Long, String, Long, Long, Double, Long, Long, Long)].collect().toSeq
+    // independent rank re-derivation: collect both score tables and sort
+    // driver-side — validates the bucketed-prefix-sum rank path end to end
+    val dsir = graft.operators.Pipeline.dsirWeights(docs, docs.where($"lang" === "en"))
+      .select($"doc_id", $"logw").as[(Long, Double)].collect().toSeq
+    val clf = graft.operators.TextAnalysis.scoreWithClassifier(docs,
+        graft.operators.TextAnalysis.trainQualityClassifier(docs))
+      .select($"doc_id", $"score_micros").as[(Long, Long)].collect().toSeq
+    val dRank = dsir.sortBy { case (id, w) => (-w, id) }.map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val cRank = clf.sortBy { case (id, s) => (-s, id) }.map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val n = dRank.size.toLong
+    // iterate the Map as pairs — mapping over `.keys` (a Set view) would
+    // collapse duplicate d² values and under-count Σd²
+    val sd2 = dRank.toSeq.map { case (id, dr) => BigInt(dr - cRank(id)).pow(2) }.sum
+    val rho = 1000000L - (BigInt(6) * sd2 * 1000000 / (BigInt(n).pow(3) - n)).toLong
+    val overlap = dRank.keys.count(id => dRank(id) <= k && cRank(id) <= k).toLong
+    val expectSlice = dRank.keys
+      .filter(id => (dRank(id) <= k) != (cRank(id) <= k)).toSeq
+      .map(id => (id, if (dRank(id) <= k) "dsir_only" else "clf_only",
+        dRank(id), cRank(id)))
+      .sortBy { case (id, side, _, _) => (side, id) }
+    out.map(r => (r._1, r._2, r._3, r._4)) shouldBe expectSlice
+    out.foreach { r => r._7 shouldBe rho; r._8 shouldBe overlap }
+    // both selectors ship k docs, so the disagreement sides balance
+    out.count(_._2 == "dsir_only") shouldBe out.count(_._2 == "clf_only")
+    rho should (be >= -1000000L and be <= 1000000L)
   }
 
   test("temperature mix: exact isqrt at perfect-square boundaries; boosts flatten the head") {

@@ -299,6 +299,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("Exchange")
   }
 
+  test("top_hits facet: rank cut is a partial WindowGroupLimit, bucket table broadcast") {
+    val meta = Corpus.metadata(spark, "/root/testdata/sf0.001")
+    val cq = graft.compile.QueryCompiler.compile(
+      graft.compile.QueryCompiler.parse("""{"query":"red"}"""),
+      graft.model.AclContext(Nil, isAdmin = true))
+    val plan = graft.exec.SearchExecutor
+      .topHitsFacet(graft.exec.SearchExecutor.baseBranch(meta, cq), "category", 5, 3)
+      .queryExecution.executedPlan.toString
+    // per-bucket rank ≤ k pushes below the group-key exchange (q13's o5
+    // shape); the buckets-many count table joins as a broadcast, never a
+    // shuffled join — the corpus-side branch ships ≤ k rows per group per
+    // task and nothing else
+    "WindowGroupLimit".r.findAllIn(plan).size should be >= 2
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("quality-survivor argmax runs as a partial WindowGroupLimit top-1") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")

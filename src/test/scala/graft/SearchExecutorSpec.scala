@@ -307,6 +307,26 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("b", 1L, "5", 4.0, 4.0), ("b", 2L, "6", 4.0, 4.0))
   }
 
+  test("A8 top_hits: buckets by (count desc, key asc), drop by count not score, rank cut per bucket") {
+    // a has 4 docs (2 must cut at hitsPerBucket=2); b/c tie on count 2
+    // (key asc orders them, both survive numBuckets=3); d holds the
+    // corpus-max score 9.0 but only 1 doc — terms-agg order drops it:
+    // bucket survival is doc_count's business, never the hits'
+    val base = Seq(
+      ("a", "1", 5.0), ("a", "2", 3.0), ("a", "3", 2.0), ("a", "4", 1.0),
+      ("b", "5", 4.0), ("b", "6", 4.0),
+      ("c", "7", 6.0), ("c", "8", 1.0),
+      ("d", "9", 9.0)
+    ).toDF("category", "id", SearchExecutor.ScoreCol)
+    val got = SearchExecutor.topHitsFacet(base, "category",
+        numBuckets = 3, hitsPerBucket = 2)
+      .as[(String, Long, Long, String, Double)].collect().toSeq
+    got shouldBe Seq(
+      ("a", 4L, 1L, "1", 5.0), ("a", 4L, 2L, "2", 3.0),
+      ("b", 2L, 1L, "5", 4.0), ("b", 2L, 2L, "6", 4.0),
+      ("c", 2L, 1L, "7", 6.0), ("c", 2L, 2L, "8", 1.0))
+  }
+
   test("Q15 search_after: keyset page equals the offset page; ties cursor by id") {
     val base = Seq(("1", 5.0), ("2", 4.0), ("3", 4.0), ("4", 3.0), ("5", 2.0))
       .toDF("id", SearchExecutor.ScoreCol)
