@@ -895,6 +895,53 @@ object ScaleProbe {
     f"""{"corpus":"$label","core_nodes":${core._1},"core_degsum":${core._2},"kcore_sec":$t%.2f}"""
   }
 
+  /** g10 HITS probe on ten disjoint graph copies: per-copy structure is
+    * identical and both normalizations divide by the GLOBAL max — which
+    * every copy attains by symmetry — so the full authority table at 10×
+    * is each copy's table replicated: items ×10, Σauth ×10, max auth
+    * INVARIANT; superstep count fixed by construction (iters is a
+    * parameter, and each superstep is two co-partitioned aggregates over
+    * the once-persisted edge cache — the wall must track the edge mass,
+    * never 2^iters lineage).
+    */
+  private def profileHits(label: String, ev: DataFrame): String = {
+    val item = regexp_extract(col("props"), "(\\d+)", 1)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), item.cast("int").as("item"))
+      .where(col("item").isNotNull)
+    val (r, t) = timed {
+      val out = graft.operators.Graph.hits(views, iters = 3, k = Int.MaxValue)
+        .agg(count(lit(1)), coalesce(sum("auth_e6"), lit(0L)),
+          coalesce(max("auth_e6"), lit(0L))).head
+      (out.getLong(0), out.getLong(1), out.getLong(2))
+    }
+    f"""{"corpus":"$label","n_items":${r._1},"auth_sum":${r._2},"auth_max":${r._3},"hits_sec":$t%.2f}"""
+  }
+
+  /** t31 KN-trigram probe on the shard-suffixed decade: the vocabulary —
+    * and with it the trigram TYPE table every continuation count reads —
+    * grows ~10×, the axis that stresses a smoothed LM (a replicated-rows
+    * decade would leave the type tables untouched and measure nothing).
+    * Shards are isomorphic under token renaming and every interpolated-KN
+    * statistic is invariant under a vocabulary permutation, so the 10
+    * copies of a document MUST score identical xent3 even though the
+    * global denominators (type totals) all grew 10× — that equality is
+    * the probe's correctness gate (max_distinct_xent == 1).
+    */
+  private def profileKn(label: String, docs: DataFrame, stride: Long): String = {
+    val (r, t) = timed {
+      val g = graft.operators.TextAnalysis.trigramLmKN(docs)
+        .groupBy(pmod(col("doc_id"), lit(stride)).as("base"))
+        .agg(countDistinct(col("xent3")).as("nx"), count(lit(1)).as("nc"))
+        .agg(count(lit(1)), coalesce(max("nx"), lit(0L)),
+          coalesce(sum("nc"), lit(0L))).head
+      (g.getLong(0), g.getLong(1), g.getLong(2))
+    }
+    require(r._2 <= 1L,
+      s"KN copies diverged: a base doc scored ${r._2} distinct xent3 values")
+    f"""{"corpus":"$label","n_base_docs":${r._1},"max_distinct_xent":${r._2},"n_docs":${r._3},"kn_sec":$t%.2f}"""
+  }
+
   /** o35 basket-lift probe: ten disjoint ORDER copies over the SAME brand
     * domain → every per-order basket replicates, so supports scale ×10
     * while confidence and lift are IDENTICAL (support·10, singles·10,
@@ -1065,6 +1112,33 @@ object ScaleProbe {
       synthesizeDecadeGraphEvents(ev1).write.mode("overwrite").parquet(dirK)
       println(profileKcore("kcore-1x", ev1))
       println(profileKcore("kcore-10x", spark.read.parquet(dirK)))
+      spark.stop()
+      return
+    }
+
+    // g10 on ten disjoint copies: global-max normalization is per-copy
+    // invariant — the authority table replicates exactly; iters constant
+    if (args.headOption.contains("hits")) {
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      val dirH = scratch("decade-hits/events")
+      synthesizeDecadeGraphEvents(ev1).write.mode("overwrite").parquet(dirH)
+      println(profileHits("hits-1x", ev1))
+      println(profileHits("hits-10x", spark.read.parquet(dirH)))
+      spark.stop()
+      return
+    }
+
+    // t31 on the shard-suffixed decade: type tables grow ~10×, copies of
+    // a doc must score identical xent3 (KN is vocab-permutation-invariant)
+    if (args.headOption.contains("kn")) {
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val stride = 1L + docs1.agg(max("doc_id")).head.getLong(0)
+      val dirKn = scratch("decade-kn/documents")
+      synthesizeDecade(docs1, 10).write.mode("overwrite").parquet(dirKn)
+      TextAnalysis.trigramLmKN(docs1.limit(50)).count() // warm-up JIT/codegen
+      println(profileKn("kn-1x", docs1, stride))
+      println(profileKn("kn-10x", spark.read.parquet(dirKn), stride))
       spark.stop()
       return
     }

@@ -604,6 +604,19 @@ object SparkEntry {
         "category", numBuckets = 5, hitsPerBucket = 3)
     }),
 
+    // A9 FILTERS aggregation (ES filters agg): five NAMED arbitrary-
+    // predicate buckets — format, visibility, recency, org, size —
+    // counted in ONE conditional-aggregate pass (the o24 rule; never a
+    // job per filter), non-exclusive ES semantics, unpivoted to rows by
+    // a literal-array explode
+    "a9_filters_agg" -> ((s, d) =>
+      SearchExecutor.filtersAgg(Corpus.metadata(s, d), Seq(
+        "fmt_csv" -> (col("format") === "csv"),
+        "is_public" -> col("isPublic"),
+        "since_2015h2" -> (col("creationTime") >= lit("2015-07-01 00:00:00").cast("timestamp")),
+        "org1" -> (col("orgUUID") === "org1"),
+        "big" -> (col("recordCount") >= 500000L)))),
+
     // A6 composite facet (ES composite-aggregation lineage): (category,
     // format) bucket counts ordered BY KEY with after-key pagination —
     // page 2 from after ("cat2","csv"): a key-range scan, so pages never
@@ -612,6 +625,14 @@ object SparkEntry {
       SearchExecutor.compositeFacet(Corpus.metadata(s, d),
         Seq("category", "format"), pageSize = 8,
         after = Some(Seq("cat2", "csv")))),
+
+    // C18 BENFORD first-digit profile: the forensic fabricated-data
+    // screen on recordCount — observed vs log10(1+1/d) literal-micros
+    // shares per leading digit, signed deviation; exact integers, one
+    // 9-bucket aggregate + a literal spine, missing digits 0-count
+    "c18_benford" -> ((s, d) =>
+      graft.operators.Quality.benfordProfile(
+        Corpus.metadata(s, d).toDF(), "recordCount")),
 
     // C13 catalog freshness: newest record per category and staleness in
     // whole days vs the corpus high-water mark (never wall-clock now() —
@@ -687,6 +708,14 @@ object SparkEntry {
     // querying with punctuation/case the tokenizer must strip
     "q10_phrase_search" -> ((s, d) =>
       SearchExecutor.phraseSearch(Corpus.metadata(s, d), "Red, PLATE!")),
+
+    // Q19 MATCH-PHRASE-PREFIX (ES match_phrase_prefix): the search-as-
+    // you-type query — "red pla" must already hit "red plate": leading
+    // terms exact and adjacent, last term a PREFIX of the final-position
+    // token; ranked by occurrence count like q10, analyzer symmetry on
+    // the typed phrase
+    "q19_phrase_prefix" -> ((s, d) =>
+      SearchExecutor.phrasePrefixSearch(Corpus.metadata(s, d), "red pla")),
 
     // Q7 spelling suggestion ("did you mean") — SymSpell deletion-blocked
     // edit-distance-1 candidates over the title dictionary, exact
@@ -1870,6 +1899,19 @@ object SparkEntry {
     "t31_trigram_lm_kn" -> ((s, d) =>
       graft.operators.TextAnalysis.trigramLmKN(docs(s, d)).orderBy("doc_id")),
 
+    // T33 KATZ-BACKOFF trigram LM over a HELD-OUT corpus (train = even
+    // doc_ids, score = odd): the deployment shape t31 can't exercise —
+    // unseen trigrams/contexts/bigrams and OOV words all occur, so every
+    // backoff path is live; seen trigrams are PURE discounted MLE (the
+    // structural difference from KN's always-interpolate), backoff
+    // weights fixed float shapes over exact integer sums
+    "t33_trigram_lm_katz" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.TextAnalysis.trigramLmKatz(
+        ds.where(col("doc_id") % 2 === 0),
+        ds.where(col("doc_id") % 2 === 1)).orderBy("doc_id")
+    }),
+
     // T28 code-vs-prose router: per-doc code-symbol density + indented-
     // line fraction, exact integers, cross-multiplied flag — the cheap
     // gate before t20's learned classifier
@@ -2510,6 +2552,29 @@ object SparkEntry {
         EventStream.readDeltaLog(s, deltas)
           .select("n_vecs", "n_dims", "n_zero", "n_off_unit",
             "min_n2", "max_n2", "sum_n2"))
+    }),
+
+    // E39 STREAMED encoding-health fold: t32's corpus gate maintained by
+    // ingest — per-batch 1-row integer partials (the flag bit is batch-
+    // local, so even it merges), idempotent batch dirs, read-side report
+    // ≡ the batch aggregate by shared stage; same planted damage as t32
+    // so the fold has live positives
+    "e39_stream_encoding" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" \u00c3\u00a9 \u00e2\u20ac\u009d bad")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit("\u0000\u0001 bin \ufffd")))
+          .otherwise(col("text")).as("text"))
+      val src = scratch("e39-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        planted.repartition(4).write.parquet(src)
+      val deltas = scratch("e39-deltas")
+      EventStream.streamEncodingFold(s, src, deltas)
+      graft.operators.TextAnalysis.encodingReport(
+        EventStream.readDeltaLog(s, deltas)
+          .select("n_docs", "n_flagged", "n_chars", "n_replacement",
+            "n_control", "n_mojibake"))
     }),
 
     // V26 embedding drift between corpus versions: per-dim mean shift in
@@ -6764,6 +6829,74 @@ object SparkEntry {
           "CASE WHEN n_chars > 0 THEN ((n_replacement + n_control + n_mojibake) * 1000000) // n_chars END::BIGINT AS bad_ppm, " +
           "coalesce(CASE WHEN n_chars > 0 THEN ((n_replacement + n_control + n_mojibake) * 1000000) // n_chars END > 1000, false) AS flagged " +
           "FROM c ORDER BY doc_id"),
+      // e39: the identical planted damage and regex classes as t32,
+      // aggregated to the corpus report — the stream-folded totals must
+      // re-sum to exactly this; HUGEINT-widened corpus ppm
+      "e39_stream_encoding" ->
+        ("WITH planted AS (SELECT doc_id, CASE " +
+          "WHEN doc_id % 7 = 0 THEN text || ' ' || chr(195) || chr(169) || ' ' || chr(226) || chr(8364) || chr(157) || ' bad' " +
+          "WHEN doc_id % 11 = 0 THEN text || chr(0) || chr(1) || ' bin ' || chr(65533) " +
+          "ELSE text END AS text FROM documents), " +
+          "c AS (SELECT doc_id, length(text)::BIGINT AS n_chars, " +
+          "len(regexp_extract_all(text, '\\x{FFFD}'))::BIGINT AS n_replacement, " +
+          "len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))::BIGINT AS n_control, " +
+          "len(regexp_extract_all(text, '\\x{C3}[\\x{80}-\\x{BF}]|\\x{E2}\\x{20AC}'))::BIGINT AS n_mojibake FROM planted), " +
+          "f AS (SELECT *, CASE WHEN n_chars > 0 THEN " +
+          "((n_replacement + n_control + n_mojibake) * 1000000) // n_chars END AS bad_ppm FROM c) " +
+          "SELECT count(*)::BIGINT AS n_docs, " +
+          "sum(CASE WHEN coalesce(bad_ppm > 1000, false) THEN 1 ELSE 0 END)::BIGINT AS n_flagged, " +
+          "sum(n_chars)::BIGINT AS n_chars, sum(n_replacement)::BIGINT AS n_replacement, " +
+          "sum(n_control)::BIGINT AS n_control, sum(n_mojibake)::BIGINT AS n_mojibake, " +
+          "CASE WHEN sum(n_chars) > 0 THEN ((sum(n_replacement) + sum(n_control) + sum(n_mojibake))::HUGEINT " +
+          "* 1000000 // sum(n_chars)) END::BIGINT AS bad_ppm FROM f"),
+      // t33: the identical Katz chain — every count table re-derived
+      // from the even-docs trigram table, the same CASE/backoff shapes
+      // term for term (association order matters to the shared doubles;
+      // round-4 absorbs only the per-doc partial-sum reorder); every
+      // multiply-referenced CTE MATERIALIZED (the t31 rule)
+      "t33_trigram_lm_katz" ->
+        (s"WITH trt AS MATERIALIZED (SELECT doc_id, ${stdToks("text")} AS t " +
+          "FROM documents WHERE doc_id % 2 = 0) " +
+          ", tg0 AS (SELECT unnest(list_transform(range(1, len(t) - 1), " +
+          "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg FROM trt) " +
+          ", tri AS MATERIALIZED (SELECT string_split(tg, ' ')[1] AS w1, " +
+          "string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3, " +
+          "count(*)::BIGINT AS c3 FROM tg0 GROUP BY 1, 2, 3) " +
+          ", c23 AS MATERIALIZED (SELECT w2, w3, sum(c3)::BIGINT AS c23 FROM tri GROUP BY 1, 2) " +
+          ", c2t AS MATERIALIZED (SELECT w2, sum(c23)::BIGINT AS c2, " +
+          "count(*)::BIGINT AS n2 FROM c23 GROUP BY 1) " +
+          ", uni AS MATERIALIZED (SELECT w3, sum(c3)::BIGINT AS u3 FROM tri GROUP BY 1) " +
+          ", tot AS (SELECT sum(u3)::BIGINT AS uu, count(*)::BIGINT AS vv FROM uni) " +
+          ", ctx AS (SELECT w1, w2, sum(c3)::BIGINT AS c12, count(*)::BIGINT AS n12, " +
+          "sum(c23)::BIGINT AS s23 FROM tri JOIN c23 USING (w2, w3) GROUP BY 1, 2) " +
+          ", s2t AS (SELECT w2, sum(u3)::BIGINT AS s2 FROM c23 JOIN uni USING (w3) GROUP BY 1) " +
+          s", sct AS (SELECT doc_id, ${stdToks("text")} AS t FROM documents WHERE doc_id % 2 = 1) " +
+          ", dt0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+          "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg FROM sct) " +
+          ", dtri AS (SELECT doc_id, string_split(tg, ' ')[1] AS w1, " +
+          "string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3, " +
+          "count(*)::BIGINT AS c FROM dt0 GROUP BY 1, 2, 3, 4) " +
+          ", jj AS (SELECT d.doc_id, d.c, tri.c3, ctx.c12, ctx.n12, ctx.s23, " +
+          "c23.c23, c2t.c2, c2t.n2, s2t.s2, uni.u3, tot.uu, tot.vv " +
+          "FROM dtri d " +
+          "LEFT JOIN tri ON d.w1 = tri.w1 AND d.w2 = tri.w2 AND d.w3 = tri.w3 " +
+          "LEFT JOIN ctx ON d.w1 = ctx.w1 AND d.w2 = ctx.w2 " +
+          "LEFT JOIN c23 ON d.w2 = c23.w2 AND d.w3 = c23.w3 " +
+          "LEFT JOIN c2t ON d.w2 = c2t.w2 " +
+          "LEFT JOIN s2t ON d.w2 = s2t.w2 " +
+          "LEFT JOIN uni ON d.w3 = uni.w3, tot) " +
+          "SELECT doc_id, round(sum(c * -ln(" +
+          "CASE WHEN c3 IS NOT NULL THEN (c3 - 0.75) / c12 " +
+          "WHEN c12 IS NOT NULL THEN ((n12 * 0.75 / c12) / (1 - (s23 - n12 * 0.75) / c2)) * " +
+          "(CASE WHEN c23 IS NOT NULL THEN (c23 - 0.75) / c2 " +
+          "WHEN c2 IS NOT NULL THEN ((n2 * 0.75 / c2) / (1 - (s2 + n2) / (uu + vv + 1.0))) * " +
+          "((coalesce(u3, 0) + 1.0) / (uu + vv + 1.0)) " +
+          "ELSE ((coalesce(u3, 0) + 1.0) / (uu + vv + 1.0)) END) " +
+          "ELSE (CASE WHEN c23 IS NOT NULL THEN (c23 - 0.75) / c2 " +
+          "WHEN c2 IS NOT NULL THEN ((n2 * 0.75 / c2) / (1 - (s2 + n2) / (uu + vv + 1.0))) * " +
+          "((coalesce(u3, 0) + 1.0) / (uu + vv + 1.0)) " +
+          "ELSE ((coalesce(u3, 0) + 1.0) / (uu + vv + 1.0)) END) END" +
+          ")) / sum(c), 4) AS xent3_katz FROM jj GROUP BY doc_id ORDER BY doc_id"),
       // t31: the identical interpolated-KN replay — trigram types, the
       // four continuation-count tables re-aggregated from them, the same
       // D = 0.75 expression shape term for term (association order
@@ -8208,6 +8341,31 @@ object SparkEntry {
           "SELECT r.category, b.bucket_cnt, r.rnk, r.id, r.score " +
           "FROM rk r JOIN bk b USING (category) WHERE r.rnk <= 3 " +
           "ORDER BY b.bucket_cnt DESC, r.category, r.rnk"),
+      // a9: the same five predicates as one-row conditional sums,
+      // unpivoted by UNION ALL — values must match the one-pass engine
+      "a9_filters_agg" ->
+        (M + ", s AS (SELECT " +
+          "sum(CASE WHEN format = 'csv' THEN 1 ELSE 0 END)::BIGINT AS fmt_csv, " +
+          "sum(CASE WHEN isPublic THEN 1 ELSE 0 END)::BIGINT AS is_public, " +
+          "sum(CASE WHEN creationTime >= TIMESTAMP '2015-07-01 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS since_2015h2, " +
+          "sum(CASE WHEN orgUUID = 'org1' THEN 1 ELSE 0 END)::BIGINT AS org1, " +
+          "sum(CASE WHEN recordCount >= 500000 THEN 1 ELSE 0 END)::BIGINT AS big " +
+          "FROM meta) " +
+          "SELECT 'big' AS bucket, big AS cnt FROM s " +
+          "UNION ALL SELECT 'fmt_csv', fmt_csv FROM s " +
+          "UNION ALL SELECT 'is_public', is_public FROM s " +
+          "UNION ALL SELECT 'org1', org1 FROM s " +
+          "UNION ALL SELECT 'since_2015h2', since_2015h2 FROM s " +
+          "ORDER BY bucket"),
+      // q19: the same start-position scan as a list_filter lambda —
+      // leading terms exact positional, last term starts_with
+      "q19_phrase_prefix" ->
+        (M + s", tk AS (SELECT id, ${stdToks("dataSample")} AS t FROM meta) " +
+          ", c AS (SELECT id, (CASE WHEN len(t) >= 2 THEN " +
+          "len(list_filter(range(1, len(t)), p -> t[p] = 'red' AND starts_with(t[p+1], 'pla'))) " +
+          "ELSE 0 END)::BIGINT AS phrase_tf FROM tk) " +
+          "SELECT id, phrase_tf FROM c WHERE phrase_tf > 0 " +
+          "ORDER BY phrase_tf DESC, id LIMIT 10"),
       // a6: the same key-ordered bucket scan with a row-comparison
       // after-key — pages are disjoint by construction
       "a6_composite_facet" ->
@@ -8217,6 +8375,19 @@ object SparkEntry {
           "ORDER BY category, format LIMIT 8"),
       // c13: same per-group max + corpus high-water mark, exact day diffs
       "c13_freshness" -> freshnessSql,
+      // c18: leading decimal char per positive value, the identical
+      // literal Benford micros table (zipped unnests), HUGEINT-widened
+      // floor-div shares, 9-row spine left join
+      "c18_benford" ->
+        (M + ", c AS (SELECT CAST(substr(recordCount::VARCHAR, 1, 1) AS INT) AS digit, " +
+          "count(*)::BIGINT AS n_obs FROM meta WHERE recordCount > 0 GROUP BY 1), " +
+          "t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM c), " +
+          "b AS (SELECT unnest(range(1, 10))::INT AS digit, " +
+          "unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])::BIGINT AS benford_e6) " +
+          "SELECT b.digit, coalesce(n_obs, 0)::BIGINT AS n_obs, " +
+          "(coalesce(n_obs, 0)::HUGEINT * 1000000 // n_total)::BIGINT AS share_e6, benford_e6, " +
+          "((coalesce(n_obs, 0)::HUGEINT * 1000000 // n_total) - benford_e6)::BIGINT AS dev_e6 " +
+          "FROM b LEFT JOIN c USING (digit), t ORDER BY b.digit"),
       // c14: closed-form CUSUM replay over the same spine
       "c14_cusum_shift" -> cusumShiftSql,
       // e34: the streamed daily-count fold rebuilds the identical daily

@@ -417,6 +417,49 @@ object SearchExecutor {
       .limit(k)
   }
 
+  /** MATCH-PHRASE-PREFIX query — the ES `match_phrase_prefix` lineage
+    * (the search-as-you-type primitive: the user has typed a phrase
+    * whose LAST word is still incomplete, so "red pla" must already hit
+    * "red plate"): all terms analyze under the corpus-standard tokenizer
+    * (the q10 symmetry rule), every term but the last matches exactly
+    * and ADJACENT IN ORDER, the last matches as a PREFIX of the token in
+    * final position. Ranked like q10 by exact occurrence count desc, id.
+    *
+    * Counting is one per-row pass over the token array — a `filter` over
+    * the start positions with L positional equalities plus one
+    * startsWith (declarative HOF: the start-position domain is exact and
+    * the sub-L-token guard short-circuits Spark's descending-sequence
+    * surprise, as in q10); no join, shuffle only for the TakeOrdered
+    * top-k. The q10 native-kernel escalation path applies verbatim if
+    * this ever reaches a hot path: [[graft.functions.Tokenize.phraseCount]]
+    * generalizes by one prefix-compare flag on its last term.
+    */
+  def phrasePrefixSearch(entries: DataFrame, phrase: String,
+                         field: String = "dataSample", k: Int = 10): DataFrame = {
+    val terms = graft.analyzers.Analyzers.standardTokensScala(phrase)
+    require(terms.nonEmpty, s"phrase '$phrase' analyzes to no terms")
+    val exact = terms.init
+    val prefix = terms.last
+    val L = terms.size
+    val t = graft.analyzers.Analyzers.standardTokens(col(field))
+    def matchAt(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      exact.zipWithIndex.map { case (tm, i) =>
+        element_at(col("__t"), (p + lit(i)).cast("int")) === tm
+      }.foldLeft(
+        element_at(col("__t"), (p + lit(L - 1)).cast("int")).startsWith(prefix)
+      )(_ && _)
+    entries
+      .select(col("id"), t.as("__t"))
+      .select(col("id"),
+        when(size(col("__t")) >= L,
+          size(filter(sequence(lit(1), size(col("__t")) - lit(L - 1)),
+            p => matchAt(p))))
+          .otherwise(0).cast("long").as("phrase_tf"))
+      .where(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Spelling suggestion — the term-suggester of the search lineage (the
     * "did you mean" companion of [[autocomplete]]): top-k title terms
     * within edit distance 1 of the query term, ranked by corpus frequency
@@ -664,6 +707,32 @@ object SearchExecutor {
         graft.compile.QueryCompiler.scoreColumn(rawQuery))
       .select("id", "n_matched", "score")
       .orderBy(col("score").desc, col("id"))
+  }
+
+  /** FILTERS aggregation (the ES `filters` agg lineage): NAMED
+    * arbitrary-predicate buckets — "how many csv? how many public? how
+    * many 2015-or-later?" — where a terms facet can only bucket one
+    * field's values. Buckets are NON-exclusive (a row counts toward
+    * every predicate it satisfies, ES's semantics) and computed in ONE
+    * map-side-combining pass as |buckets| conditional sums (the o24
+    * one-pass conditional-aggregate rule — never one job per filter,
+    * which at 100 TB is |buckets| corpus scans instead of one). The
+    * 1-row aggregate then unpivots to `(bucket, cnt)` rows driver-free
+    * via a literal-array explode — metadata-scale by construction.
+    * Output ordered by bucket name (the caller's names, deterministic).
+    */
+  def filtersAgg(base: DataFrame, buckets: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(buckets.nonEmpty, "filtersAgg needs at least one named bucket")
+    require(buckets.map(_._1).distinct.size == buckets.size,
+      s"filtersAgg bucket names must be unique: ${buckets.map(_._1)}")
+    val sums = buckets.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"__b_$name") }
+    base.agg(sums.head, sums.tail: _*)
+      .select(explode(array(buckets.map { case (name, _) =>
+        struct(lit(name).as("bucket"), col(s"__b_$name").as("cnt")) }: _*))
+        .as("kv"))
+      .select(col("kv.bucket").as("bucket"), col("kv.cnt").as("cnt"))
+      .orderBy("bucket")
   }
 
   /** COMPOSITE facet (the ES composite-aggregation lineage): bucket counts

@@ -927,4 +927,55 @@ object Quality {
         ((col("scaled") - pmod(col("scaled"), col("den"))) / col("den"))
           .cast("long").as("ks_micros"))
   }
+
+  /** Benford's-law expected first-digit shares in micros — LITERAL
+    * constants, never a runtime log10 (the t20 no-libm rule: both
+    * engines must read the identical table); log10(1 + 1/d) for
+    * d = 1..9, rounded half-up to micros. The rounded row sums to
+    * EXACTLY 10⁶, so dev_e6 across digits sums to −(share remainder)
+    * ∈ (−9, 0] micros of floor-div loss only.
+    */
+  private[graft] val BenfordE6: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** BENFORD first-digit profile — the fabricated-data / unit-mix screen
+    * run on any positive magnitude-spanning numeric column (record
+    * counts, sizes, revenues): organic multiplicative data follows
+    * log10(1 + 1/d) first-digit shares; padded, invented, or
+    * constant-injected columns do not, and the per-digit deviation says
+    * WHICH digit band is off (the classic forensic-accounting screen,
+    * here as a catalog-quality gate beside c11's MAD outliers).
+    *
+    * Exact integers end to end: the first significant digit of a
+    * positive integer is its leading decimal character (no float log),
+    * observed shares floor-divide to micros (DECIMAL-widened product —
+    * count·10⁶ at corpus scale brushes a long), expectations are the
+    * [[BenfordE6]] literals, dev_e6 their signed difference. Non-positive
+    * values are excluded (Benford is undefined there — documented, not
+    * silent: the row count says how many survived). One
+    * map-side-combining 9-bucket aggregate over a narrow projection +
+    * a 9-row literal spine join — nothing corpus-scale shuffles. Missing
+    * digits surface as 0-count rows (absence IS the signal for a
+    * truncated distribution). Output: `(digit, n_obs, share_e6,
+    * benford_e6, dev_e6)` for d = 1..9 ordered by digit.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val pos = df.where(col(valueCol) > 0)
+    require(!pos.isEmpty,
+      s"benfordProfile: no positive values in $valueCol — no shares exist")
+    val counts = pos
+      .select(substring(col(valueCol).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(typedLit(BenfordE6), col("id").cast("int")).as("benford_e6"))
+    spine.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(counts.agg(sum("n_obs").as("n_total"))))
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("share_e6",
+        expr("CAST(n_obs AS DECIMAL(38,0)) * 1000000 DIV n_total"))
+      .withColumn("dev_e6", col("share_e6") - col("benford_e6"))
+      .select("digit", "n_obs", "share_e6", "benford_e6", "dev_e6")
+      .orderBy("digit")
+  }
 }

@@ -371,6 +371,96 @@ object TextAnalysis {
       .agg(round(sum(col("c") * -log(p3)) / sum(col("c")), 4).as("xent3"))
   }
 
+  /** KATZ-BACKOFF trigram cross-entropy over a HELD-OUT corpus —
+    * [[trigramLmKN]]'s spec-distinct twin and the deployment shape the
+    * KN entry cannot exercise: the model TRAINS on one corpus and scores
+    * ANOTHER (the CCNet quality-scoring deployment — perplexity of new
+    * data under a frozen reference LM), so unseen trigrams, unseen
+    * contexts, unseen bigrams, and out-of-vocabulary words all occur and
+    * every backoff path is LIVE. The two smoothing families differ
+    * structurally, which is what earns the twin its keep: KN
+    * INTERPOLATES lower orders into every probability (continuation
+    * counts always contribute); Katz BACKS OFF — a seen trigram's
+    * probability is pure discounted MLE `(c₁₂₃ − D)/c₁₂` touching no
+    * lower order, and the lower orders carry exactly the leftover mass:
+    *
+    *   P(w₃|w₁w₂) = (c₁₂₃ − D)/c₁₂                       if c₁₂₃ > 0
+    *              = α(w₁w₂) · P(w₃|w₂)                   if c₁₂ > 0
+    *              = P(w₃|w₂)                             (unseen context)
+    *   P(w₃|w₂)   = (c₂₃ − D)/c₂                         if c₂₃ > 0
+    *              = α(w₂) · P₁(w₃)                       if c₂ > 0
+    *              = P₁(w₃)                               (unseen middle)
+    *   P₁(w₃)     = (c(w₃) + 1)/(N + V + 1)              (Laplace floor — OOV lives)
+    *
+    * D = 3/4 fixed (exactly binary-representable — the t31 discipline);
+    * every backoff weight reduces to a FIXED float shape over exact
+    * integer sums — the classic Σ_seen(c−D) telescopes:
+    * α(w₁w₂) = (n₁₂·D/c₁₂) / (1 − (s₂₃ − n₁₂·D)/c₂) with s₂₃ the exact
+    * integer Σ of the seen continuations' bigram counts, and
+    * α(w₂) = (n₂·D/c₂) / (1 − (s₂ + n₂)/(N+V+1)) likewise — no
+    * order-dependent float sum exists outside the final per-doc fold
+    * (absorbed by round-4, the t11 rule). Every denominator is strictly
+    * positive by construction (s₂₃ ≤ c₂ and n₁₂·D > 0; s₂ ≤ N, n₂ ≤ V).
+    * All lower-order counts derive from the ONE trigram occurrence
+    * table (consistent denominators: Σ_w₃ c₂₃ = c₂ exactly). Docs under
+    * three tokens drop (the t31 rule).
+    *
+    * Plan shape: the t31 discipline — train tables are successively
+    * smaller re-aggregates of one map-side-combining trigram aggregate;
+    * scoring co-shuffles held-out doc trigrams with the type table on
+    * the trigram key and picks up each statistic on its own key; one
+    * broadcast 1-row total; nothing driver-side.
+    */
+  def trigramLmKatz(train: DataFrame, score: DataFrame): DataFrame = {
+    val dD = lit(0.75)
+    val tri = train.select(tokens(col("text")).as("t"))
+      .select(explode(ngrams(col("t"), 3)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c3"))
+      .withColumn("p", split(col("tg"), " "))
+      .select(col("c3"), element_at(col("p"), 1).as("w1"),
+        element_at(col("p"), 2).as("w2"), element_at(col("p"), 3).as("w3"))
+    val c23 = tri.groupBy("w2", "w3").agg(sum("c3").as("c23"))
+    val c2t = c23.groupBy("w2").agg(sum("c23").as("c2"), count(lit(1)).as("n2"))
+    val uni = tri.groupBy("w3").agg(sum("c3").as("u3"))
+    val tot = uni.agg(sum("u3").as("uu"), count(lit(1)).as("vv"))
+    val ctx = tri.join(c23, Seq("w2", "w3"))
+      .groupBy("w1", "w2")
+      .agg(sum("c3").as("c12"), count(lit(1)).as("n12"), sum("c23").as("s23"))
+    val s2t = c23.join(uni, Seq("w3")).groupBy("w2").agg(sum("u3").as("s2"))
+    val dtri = score.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(ngrams(col("t"), 3)).as("tg"))
+      .groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
+      .withColumn("p", split(col("tg"), " "))
+      .select(col("doc_id"), col("c"), element_at(col("p"), 1).as("w1"),
+        element_at(col("p"), 2).as("w2"), element_at(col("p"), 3).as("w3"))
+    // association order mirrors the oracle SQL verbatim (the t31 rule)
+    val pu = (coalesce(col("u3"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("uu").cast("double") + col("vv") + lit(1.0))
+    val alpha2 = (col("n2").cast("double") * dD / col("c2")) /
+      (lit(1.0) - (col("s2").cast("double") + col("n2")) /
+        (col("uu").cast("double") + col("vv") + lit(1.0)))
+    val pbo2 = when(col("c23").isNotNull,
+        (col("c23").cast("double") - dD) / col("c2"))
+      .when(col("c2").isNotNull, alpha2 * pu)
+      .otherwise(pu)
+    val alpha12 = (col("n12").cast("double") * dD / col("c12")) /
+      (lit(1.0) - (col("s23").cast("double") - col("n12") * dD) / col("c2"))
+    val pKatz = when(col("c3").isNotNull,
+        (col("c3").cast("double") - dD) / col("c12"))
+      .when(col("c12").isNotNull, alpha12 * pbo2)
+      .otherwise(pbo2)
+    dtri
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2t, Seq("w2"), "left")
+      .join(s2t, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * -log(pKatz)) / sum(col("c")), 4).as("xent3_katz"))
+  }
+
   /** ENCODING-corruption gate — the mojibake/byte-damage filter every
     * web-scale ingest runs before any content gate can be trusted (a
     * double-encoded or truncated-UTF-8 document scores plausibly on
@@ -403,6 +493,43 @@ object TextAnalysis {
       .withColumn("flagged", coalesce(col("bad_ppm") > 1000L, lit(false)))
       .orderBy("doc_id")
   }
+
+  /** One combine-safe partial row of the CORPUS encoding-health
+    * statistics — the aggregate face of [[encodingProfile]] (which stays
+    * per-document): doc/flag counts and the four damage-class totals,
+    * every column an order-free integer SUM, so the streamed fold (e39)
+    * lands one row per micro-batch and [[encodingReport]] over the
+    * folded rows equals the batch report by construction (the e34/e35
+    * shared-stage rule). The per-doc `flagged` bit is batch-local —
+    * a document lives entirely in its batch — so its count is mergeable
+    * too.
+    */
+  def encodingPartials(docs: DataFrame): DataFrame =
+    encodingProfile(docs).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+      sum("n_chars").as("n_chars"),
+      sum("n_replacement").as("n_replacement"),
+      sum("n_control").as("n_control"),
+      sum("n_mojibake").as("n_mojibake"))
+
+  /** Merge [[encodingPartials]] rows (one, or a folded log's many) into
+    * the corpus encoding-health report — totals plus corpus badness in
+    * floor-div ppm (DECIMAL-widened product: damage-count · 10⁶ at
+    * corpus scale brushes a long), null when no characters exist
+    * ("unmeasurable" never aliases "clean", the t32 rule).
+    */
+  def encodingReport(partials: DataFrame): DataFrame =
+    partials.agg(
+      coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+      coalesce(sum("n_flagged"), lit(0L)).as("n_flagged"),
+      coalesce(sum("n_chars"), lit(0L)).as("n_chars"),
+      coalesce(sum("n_replacement"), lit(0L)).as("n_replacement"),
+      coalesce(sum("n_control"), lit(0L)).as("n_control"),
+      coalesce(sum("n_mojibake"), lit(0L)).as("n_mojibake"))
+    .withColumn("bad_ppm", when(col("n_chars") > 0,
+      expr("CAST(n_replacement + n_control + n_mojibake AS DECIMAL(38,0))" +
+        " * 1000000 DIV n_chars")))
 
   /** Per-source corpus profile: documents, token volume, and EXACT distinct
     * vocabulary per source — the per-domain report a mixing recipe is tuned

@@ -1615,6 +1615,35 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING encoding-health maintenance — t32's corpus gate kept
+    * current by document ingest (the e-family twin discipline): each
+    * micro-batch lands ONE [[graft.operators.TextAnalysis.encodingPartials]]
+    * row as an idempotent `batch=<id>/` directory — every column an
+    * order-free integer sum (the per-doc flag bit is batch-local, so
+    * even it merges) — and the read-side
+    * [[graft.operators.TextAnalysis.encodingReport]] over the folded
+    * rows equals the batch report by construction. A mojibake spike in
+    * one ingest batch surfaces that batch, the corpus never rescanned.
+    * Per-batch cost: one narrow codegen'd regex-count pass + a 1-row
+    * write.
+    */
+  def streamEncodingFold(spark: SparkSession, srcDir: String,
+                         deltaDir: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextAnalysis.encodingPartials(batch)
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING daily-count maintenance — the c10/c5 volume statistic kept
     * current by ingest: each micro-batch lands its per-day event counts as
     * an idempotent `batch=<id>/` directory (the e15 rule — replay

@@ -1463,6 +1463,34 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSupport {
       2L -> r4(-math.log(pAbd))) // doc 3 has no trigrams → absent
   }
 
+  test("Katz trigram LM: held-out backoff — seen = pure discounted MLE, every backoff path live") {
+    // TRAIN "a b c a b c": tri abc×2, bca, cab → c23 (b,c)=2 (c,a)=1
+    // (a,b)=1; c2 b=2 c=1 a=1 (n2 all 1); uni c=2 a=1 b=1, N=4 V=3 →
+    // Laplace denom 8; ctx (a,b): c12=2 n12=1 s23=2; (b,c)/(c,a): 1/1/1;
+    // s2 b=2 c=1 a=1. Every α here equals 1 in closed form — e.g.
+    // α(b,c) = (0.75/1)/(1 − (1−0.75)/1) = 1 — so the hand arithmetic
+    // isolates the PATH taken, not weight soup.
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c x"), // seen trigram (pure discounted MLE) + ctx-backoff→OOV
+      (3L, "x y z w"), // nothing seen anywhere → unigram floor both times
+      (5L, "b c a a"), // seen trigram + ctx-backoff→bigram-miss→seen unigram
+      (7L, "hi")       // sub-3-token: drops
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLmKatz(train, score).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1: P(c|a,b) = (2−.75)/2 = .625 (NO lower order touched — the
+    // Katz-vs-KN structural pin); P(x|b,c) = α(b,c)·α(c)·(0+1)/8 = .125
+    val d1 = r4((-math.log(0.625) - math.log(0.125)) / 2)
+    // doc3: both trigrams fully unseen → (0+1)/8 twice
+    val d3 = r4(math.log(8.0))
+    // doc5: P(a|b,c) = (1−.75)/1 = .25; P(a|c,a): ctx seen, bigram
+    // (a,a) unseen → α(c,a)·α(a)·(1+1)/8 = .25
+    val d5 = r4(math.log(4.0))
+    out shouldBe Seq(1L -> d1, 3L -> d3, 5L -> d5)
+  }
+
   test("norm profile: zero vectors and off-unit norms counted; in-band survives; exact micros2 stats") {
     val emb = Seq(
       (1L, Array(1f, 0f)),        // n2 = 1e12 — unit

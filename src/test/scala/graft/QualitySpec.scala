@@ -573,4 +573,28 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
     Quality.ksDrift(df(Seq(5, 5, 5)), df(Seq(5.0)))
       .as[(Long, Long, Long, Long)].collect().head shouldBe ((3L, 1L, 0L, 0L))
   }
+
+  test("Benford profile: leading-digit counts, literal expectations, zero rows for absent digits, " +
+    "non-positives excluded") {
+    import graft.operators.Quality
+    // positives: digits 1×2 (1, 10), 2×2 (25, 2), 3/4/5/8/9 ×1; 0 and
+    // negative excluded; 6 and 7 absent → must surface as 0-count rows
+    val vals = Seq(1L, 10L, 25L, 300L, 41L, 5L, 9123L, 88L, 2L, 0L, -7L)
+      .map(Tuple1(_)).toDF("v")
+    val out = Quality.benfordProfile(vals, "v")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    out.map(_._1) shouldBe (1 to 9)
+    out.map(_._2) shouldBe Seq(2L, 2L, 1L, 1L, 1L, 0L, 0L, 1L, 1L)
+    // n = 9: share for a 2-count digit = 222222 (floor), 1-count 111111
+    out.head._3 shouldBe 222222L
+    out(2)._3 shouldBe 111111L
+    out(5)._3 shouldBe 0L
+    // expectations are the literal micros table and sum to exactly 1e6
+    out.map(_._4) shouldBe Quality.BenfordE6
+    Quality.BenfordE6.sum shouldBe 1000000L
+    // dev is the signed difference
+    out.foreach(r => r._5 shouldBe r._3 - r._4)
+    an[IllegalArgumentException] should be thrownBy
+      Quality.benfordProfile(Seq(Tuple1(0L)).toDF("v"), "v")
+  }
 }

@@ -307,6 +307,37 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("b", 1L, "5", 4.0, 4.0), ("b", 2L, "6", 4.0, 4.0))
   }
 
+  test("A9 filters agg: non-exclusive named buckets in one pass, zero-count bucket surfaces") {
+    val rows = Seq(
+      ("1", "csv", true), ("2", "csv", false), ("3", "json", true))
+      .toDF("id", "format", "isPublic")
+    val out = SearchExecutor.filtersAgg(rows, Seq(
+        "fmt_csv" -> ($"format" === "csv"),
+        "is_public" -> $"isPublic",
+        "nope" -> ($"format" === "orc")))
+      .as[(String, Long)].collect().toSeq
+    // row 1 counts toward BOTH buckets (ES non-exclusive semantics);
+    // an unmatched bucket reports 0, never disappears; name order
+    out shouldBe Seq(("fmt_csv", 2L), ("is_public", 2L), ("nope", 0L))
+    an[IllegalArgumentException] should be thrownBy
+      SearchExecutor.filtersAgg(rows, Seq(
+        "dup" -> $"isPublic", "dup" -> $"isPublic"))
+  }
+
+  test("Q19 match_phrase_prefix: leading terms exact-adjacent, last term prefix, analyzer symmetry") {
+    val rows = Seq(
+      ("1", "the red plate on the red platter"), // two hits: plate + platter
+      ("2", "red plank"),                        // pla-prefix after red: hit
+      ("3", "redder plate"),                     // 'redder' ≠ exact 'red'
+      ("4", "plate red"),                        // order matters
+      ("5", "red"),                              // sub-L doc: guard, no hit
+      ("6", "RED, Plax!")                        // analyzer strips case/punct
+    ).toDF("id", "dataSample")
+    val got = SearchExecutor.phrasePrefixSearch(rows, "Red pla")
+      .as[(String, Long)].collect().toSeq
+    got shouldBe Seq(("1", 2L), ("2", 1L), ("6", 1L))
+  }
+
   test("A8 top_hits: buckets by (count desc, key asc), drop by count not score, rank cut per bucket") {
     // a has 4 docs (2 must cut at hitsPerBucket=2); b/c tie on count 2
     // (key asc orders them, both survive numBuckets=3); d holds the

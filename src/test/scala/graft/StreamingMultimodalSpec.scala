@@ -493,6 +493,35 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     streamed.head._1 should be > 0L
   }
 
+  test("streamed encoding fold: report over batch partials equals the batch report, positives live") {
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val root = java.nio.file.Files.createTempDirectory("graft-senc").toString
+    val planted = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" \u00c3\u00a9 \u00e2\u20ac\u009d bad")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit("\u0000\u0001 bin \ufffd")))
+          .otherwise(col("text")).as("text"))
+    planted.repartition(4).write.parquet(s"$root/src")
+    EventStream.streamEncodingFold(spark, s"$root/src", s"$root/log")
+    val streamed = graft.operators.TextAnalysis.encodingReport(
+        EventStream.readDeltaLog(spark, s"$root/log")
+          .select("n_docs", "n_flagged", "n_chars", "n_replacement",
+            "n_control", "n_mojibake"))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    val batch = graft.operators.TextAnalysis.encodingReport(
+        graft.operators.TextAnalysis.encodingPartials(planted))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    streamed shouldBe batch
+    val r = streamed.head
+    r._1 should be > 0L // docs
+    r._2 should be > 0L // flagged positives live
+    r._4 should be > 0L // replacement chars planted
+    r._6 should be > 0L // mojibake planted
+  }
+
   test("top-k count-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.operators.SketchRollup
