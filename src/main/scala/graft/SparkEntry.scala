@@ -626,6 +626,30 @@ object SparkEntry {
         Seq("category", "format"), pageSize = 8,
         after = Some(Seq("cat2", "csv")))),
 
+    // C19 FUNCTIONAL-DEPENDENCY check: three declared dependencies —
+    // id→title (a real key, 0 violations), category→format and
+    // orgUUID→isPublic (believed taxonomies that branch) — melted
+    // through ONE explode into a single two-level aggregate; violation
+    // share in DECIMAL floor-div ppm, dependent NULLs not a branch
+    "c19_fd_check" -> ((s, d) =>
+      graft.operators.Quality.fdCheck(Corpus.metadata(s, d).toDF(), Seq(
+        "id" -> "title", "category" -> "format", "orgUUID" -> "isPublic"))),
+
+    // A10 RARE-TERMS aggregation (ES rare_terms): the long-tail dual of
+    // the top-N facet — title terms with document frequency ≤ 2, rarest
+    // first; where typos and mis-tags live, structurally invisible to
+    // a1. The synthetic corpus has a deliberately uniform vocabulary
+    // (min title df ≈ 227 at sf0.01 — no organic tail), so one-off tags
+    // are PLANTED on id % 37 == 0 (the t32 live-positives pattern)
+    "a10_rare_terms" -> ((s, d) => {
+      val planted = Corpus.metadata(s, d).toDF()
+        .withColumn("title",
+          when(col("id").cast("long") % 37 === 0,
+            concat(col("title"), lit(" tg"), col("id")))
+            .otherwise(col("title")))
+      SearchExecutor.rareTerms(planted)
+    }),
+
     // C18 BENFORD first-digit profile: the forensic fabricated-data
     // screen on recordCount — observed vs log10(1+1/d) literal-micros
     // shares per leading digit, signed deviation; exact integers, one
@@ -2554,6 +2578,21 @@ object SparkEntry {
             "min_n2", "max_n2", "sum_n2"))
     }),
 
+    // E40 STREAMED Benford fold: c18's digit profile maintained by
+    // ingest — per-batch ≤9-row keyed sum log (compactSumLog applies
+    // verbatim), shared report stage so stream ≡ batch; c18's oracle
+    // applies VERBATIM to the folded report
+    "e40_stream_benford" -> ((s, d) => {
+      val src = scratch("e40-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        Corpus.metadata(s, d).select(col("id"), col("recordCount"))
+          .repartition(4).write.parquet(src)
+      val deltas = scratch("e40-deltas")
+      EventStream.streamBenfordFold(s, src, deltas, "recordCount")
+      graft.operators.Quality.benfordFromCounts(
+        EventStream.readDeltaLog(s, deltas).select("digit", "n_obs"))
+    }),
+
     // E39 STREAMED encoding-health fold: t32's corpus gate maintained by
     // ingest — per-batch 1-row integer partials (the flag bit is batch-
     // local, so even it merges), idempotent batch dirs, read-side report
@@ -3760,6 +3799,18 @@ object SparkEntry {
     // exact floor-divided micros
     "g2_triangle_stats" -> ((s, d) =>
       graft.operators.Graph.triangleStats(
+        graft.operators.Graph.coviewEdges(
+          s.read.parquet(s"$d/events.parquet"),
+          regexp_extract(col("props"), "(\\d+)", 1)))),
+
+    // G12 EDGE EMBEDDEDNESS: per-edge triangle support + neighborhood
+    // Jaccard over the co-view graph — Granovetter tie strength, the
+    // edge dual of g2's node view; support-0 edges flagged as LOCAL
+    // BRIDGES (community-boundary links); support from the SAME degree-
+    // ordered triangle enumeration (each triangle credits its 3 edges),
+    // never a per-edge neighborhood intersection
+    "g12_edge_embeddedness" -> ((s, d) =>
+      graft.operators.Graph.edgeEmbeddedness(
         graft.operators.Graph.coviewEdges(
           s.read.parquet(s"$d/events.parquet"),
           regexp_extract(col("props"), "(\\d+)", 1)))),
@@ -5033,6 +5084,21 @@ object SparkEntry {
     * doc_id). Zero-feature docs score 0 via the LEFT join. e24 shares it
     * verbatim: the stream-folded raw model is an exact integer re-sum.
     */
+  /** c18 + e40: the Benford report over meta.recordCount — the streamed
+    * digit log re-sums to exactly the batch counts, so one oracle serves
+    * both (the c13/e32 shared-oracle rule).
+    */
+  private lazy val benfordSql: String =
+    Corpus.metaSql + ", c AS (SELECT CAST(substr(recordCount::VARCHAR, 1, 1) AS INT) AS digit, " +
+      "count(*)::BIGINT AS n_obs FROM meta WHERE recordCount > 0 GROUP BY 1), " +
+      "t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM c), " +
+      "b AS (SELECT unnest(range(1, 10))::INT AS digit, " +
+      "unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])::BIGINT AS benford_e6) " +
+      "SELECT b.digit, coalesce(n_obs, 0)::BIGINT AS n_obs, " +
+      "(coalesce(n_obs, 0)::HUGEINT * 1000000 // n_total)::BIGINT AS share_e6, benford_e6, " +
+      "((coalesce(n_obs, 0)::HUGEINT * 1000000 // n_total) - benford_e6)::BIGINT AS dev_e6 " +
+      "FROM b LEFT JOIN c USING (digit), t ORDER BY b.digit"
+
   private lazy val dsirSampleSql: String =
     T + ", tc AS (SELECT doc_id, tok, count(*) AS c " +
       "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2), " +
@@ -7795,6 +7861,25 @@ object SparkEntry {
       // g2: same orientation total order, same once-per-triangle wedge
       // close, same floor-divided cc micros
       "g2_triangle_stats" -> triangleSql,
+      // g12: naive common-neighbor count per ADJACENT pair (w ranges
+      // over genuine third parties — self-loops don't exist, so the
+      // endpoints drop out naturally), same floor-div Jaccard, same
+      // NULLS LAST page order
+      "g12_edge_embeddedness" -> (coviewCte +
+        ", deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+        "p AS (SELECT src AS item_a, dst AS item_b FROM e WHERE src < dst), " +
+        "cm AS (SELECT p.item_a, p.item_b, count(*)::BIGINT AS support FROM p " +
+        "JOIN e e1 ON e1.src = p.item_a JOIN e e2 ON e2.src = p.item_b AND e2.dst = e1.dst " +
+        "GROUP BY 1, 2), " +
+        "j AS (SELECT p.item_a, p.item_b, coalesce(cm.support, 0)::BIGINT AS support, " +
+        "da.deg AS deg_a, db.deg AS deg_b FROM p " +
+        "LEFT JOIN cm ON p.item_a = cm.item_a AND p.item_b = cm.item_b " +
+        "JOIN deg da ON da.src = p.item_a JOIN deg db ON db.src = p.item_b) " +
+        "SELECT item_a, item_b, support, deg_a, deg_b, " +
+        "CASE WHEN deg_a + deg_b - 2 - support > 0 THEN " +
+        "(support * 1000000) // (deg_a + deg_b - 2 - support) END::BIGINT AS jaccard_e6, " +
+        "support = 0 AS local_bridge FROM j " +
+        "ORDER BY jaccard_e6 DESC NULLS LAST, item_a, item_b"),
       // g3: same capped wedge counting, same non-adjacency anti-join,
       // same deterministic top-20
       "g3_link_prediction" -> linkPredictionSql,
@@ -8378,16 +8463,30 @@ object SparkEntry {
       // c18: leading decimal char per positive value, the identical
       // literal Benford micros table (zipped unnests), HUGEINT-widened
       // floor-div shares, 9-row spine left join
-      "c18_benford" ->
-        (M + ", c AS (SELECT CAST(substr(recordCount::VARCHAR, 1, 1) AS INT) AS digit, " +
-          "count(*)::BIGINT AS n_obs FROM meta WHERE recordCount > 0 GROUP BY 1), " +
-          "t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM c), " +
-          "b AS (SELECT unnest(range(1, 10))::INT AS digit, " +
-          "unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])::BIGINT AS benford_e6) " +
-          "SELECT b.digit, coalesce(n_obs, 0)::BIGINT AS n_obs, " +
-          "(coalesce(n_obs, 0)::HUGEINT * 1000000 // n_total)::BIGINT AS share_e6, benford_e6, " +
-          "((coalesce(n_obs, 0)::HUGEINT * 1000000 // n_total) - benford_e6)::BIGINT AS dev_e6 " +
-          "FROM b LEFT JOIN c USING (digit), t ORDER BY b.digit"),
+      "c18_benford" -> benfordSql,
+      // e40: the streamed per-digit sum log re-sums to exactly the
+      // batch counts, so c18's oracle applies verbatim
+      "e40_stream_benford" -> benfordSql,
+      // c19: the same three dependencies melted by UNION ALL, identical
+      // two-level distinct-branch aggregate, HUGEINT floor-div ppm
+      "c19_fd_check" ->
+        (M + ", mel AS (SELECT 'id->title' AS fd, id::VARCHAR AS det, title::VARCHAR AS dep FROM meta " +
+          "UNION ALL SELECT 'category->format', category, format FROM meta " +
+          "UNION ALL SELECT 'orgUUID->isPublic', orgUUID, isPublic::VARCHAR FROM meta), " +
+          "g AS (SELECT fd, det, count(DISTINCT dep)::BIGINT AS nd FROM mel GROUP BY 1, 2) " +
+          "SELECT fd, count(*)::BIGINT AS n_det, " +
+          "sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating, " +
+          "max(nd)::BIGINT AS max_branches, " +
+          "(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::HUGEINT * 1000000 // count(*))::BIGINT AS violation_ppm " +
+          "FROM g GROUP BY fd ORDER BY fd"),
+      // a10: the identical planting, per-document distinct tokens,
+      // doc-frequency count, the ≤2 cut, rarest-first page
+      "a10_rare_terms" ->
+        (M + ", pl AS (SELECT id, CASE WHEN id::BIGINT % 37 = 0 " +
+          "THEN title || ' tg' || id ELSE title END AS title FROM meta), " +
+          s"tk AS (SELECT id, unnest(list_distinct(${stdToks("title")})) AS term FROM pl) " +
+          "SELECT term, count(*)::BIGINT AS doc_count FROM tk GROUP BY term " +
+          "HAVING count(*) <= 2 ORDER BY doc_count, term LIMIT 20"),
       // c14: closed-form CUSUM replay over the same spine
       "c14_cusum_shift" -> cusumShiftSql,
       // e34: the streamed daily-count fold rebuilds the identical daily

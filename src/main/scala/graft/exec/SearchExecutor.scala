@@ -709,6 +709,34 @@ object SearchExecutor {
       .orderBy(col("score").desc, col("id"))
   }
 
+  /** RARE-TERMS aggregation (the ES `rare_terms` agg lineage): the
+    * LONG-TAIL dual of the top-N terms facet — terms whose DOCUMENT
+    * frequency is at most `maxDocCount`, rarest first. A top-N facet
+    * structurally cannot surface these (they sort last); rare terms are
+    * where typos, vandalism, and emerging vocabulary live — the facet a
+    * catalog curator reads to find mis-tagged entries. Document
+    * frequency (not term frequency): tokens dedupe per document before
+    * the count, ES's semantics. One exploded map-side-combining
+    * aggregate (the q6 plan), the ≤ cut a plain post-aggregate filter,
+    * the page a TakeOrdered merge over (doc_count asc, term asc). ES
+    * approximates this with a CuckooFilter at scale and documents the
+    * false-positive trade; the exact aggregate is the same one job
+    * here, so no sketch is needed.
+    */
+  def rareTerms(entries: DataFrame, field: String = "title",
+                maxDocCount: Long = 2L, k: Int = 20): DataFrame = {
+    require(maxDocCount >= 1 && k >= 1,
+      s"rareTerms config invalid: maxDocCount=$maxDocCount, k=$k")
+    entries
+      .select(explode(array_distinct(
+        graft.analyzers.Analyzers.standardTokens(col(field)))).as("term"))
+      .groupBy("term")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"))
+      .where(col("doc_count") <= maxDocCount)
+      .orderBy(col("doc_count").asc, col("term").asc)
+      .limit(k)
+  }
+
   /** FILTERS aggregation (the ES `filters` agg lineage): NAMED
     * arbitrary-predicate buckets — "how many csv? how many public? how
     * many 2015-or-later?" — where a terms facet can only bucket one

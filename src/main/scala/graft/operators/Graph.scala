@@ -168,6 +168,31 @@ object Graph {
     */
   private[graft] def triangleStatsPlan(edges: DataFrame): (DataFrame, DataFrame) = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val (tris, oriented) = trianglesPlan(edges, deg)
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("tri"))
+    val out = deg.select(col("src").as("item"), col("deg"))
+      .join(perNode, Seq("item"), "left")
+      .select(col("item"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc_e6",
+        when(col("deg") >= 2,
+          expr("(tri * 2000000) DIV (deg * (deg - 1))")).otherwise(0L))
+      .orderBy(col("tri").desc, col("item"))
+    (out, oriented)
+  }
+
+  /** The shared triangle-enumeration core of [[triangleStats]] and
+    * [[edgeEmbeddedness]]: degree-ordered orientation (each undirected
+    * edge kept low→high by `(deg, id)`), co-partitioned wedge self-join
+    * at the lowest-ordered apex, LEFT SEMI close — every triangle
+    * emitted exactly once as `(a, b, c)` in orientation order. Returns
+    * the lazy triangle stream plus the persisted oriented-edge cache
+    * handle (the caller unpersists).
+    */
+  private[graft] def trianglesPlan(edges: DataFrame,
+                                   deg: DataFrame): (DataFrame, DataFrame) = {
     val oriented = edges
       .join(deg.select(col("src"), col("deg").as("sdeg")), "src")
       .join(deg.select(col("src").as("dst"), col("deg").as("ddeg")), "dst")
@@ -185,18 +210,58 @@ object Graph {
     val tris = wedges.join(
       oriented.select(col("src").as("b"), col("dst").as("c")),
       Seq("b", "c"), "left_semi")
-    val perNode = tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("item"))
-      .groupBy("item").agg(count(lit(1)).as("tri"))
-    val out = deg.select(col("src").as("item"), col("deg"))
-      .join(perNode, Seq("item"), "left")
-      .select(col("item"), col("deg"),
-        coalesce(col("tri"), lit(0L)).as("tri"))
-      .withColumn("cc_e6",
-        when(col("deg") >= 2,
-          expr("(tri * 2000000) DIV (deg * (deg - 1))")).otherwise(0L))
-      .orderBy(col("tri").desc, col("item"))
-    (out, oriented)
+    (tris, oriented)
+  }
+
+  /** EDGE EMBEDDEDNESS — per-EDGE triangle support and neighborhood
+    * Jaccard over a symmetric distinct edge table: how many common
+    * neighbors each CONNECTED pair shares, and what fraction of their
+    * combined neighborhoods that is — Granovetter tie strength, the
+    * edge-level dual of [[triangleStats]]' node view and the mirror of
+    * [[linkPrediction]] (which scores NON-adjacent pairs; this scores
+    * the existing edges). A support-0 edge is a LOCAL BRIDGE — the only
+    * path between its endpoints' neighborhoods, the structural-hole
+    * signal behind community-boundary detection and recommendation
+    * diversity ("this co-view link crosses communities").
+    *
+    * Support is computed from the SAME degree-ordered triangle
+    * enumeration as g2 (each triangle found once, O(√m) wedge fan-out —
+    * never a per-edge neighborhood intersection, which squares the hub
+    * neighborhoods): every triangle supports its three edges, exploded
+    * and counted map-side. Jaccard in exact floor-div micros:
+    * `support·10⁶ div (deg_a + deg_b − 2 − support)` (the union
+    * excludes the endpoints themselves); a degree-1–degree-1 edge has
+    * an empty union → null ("undefined" never aliases "0 overlap").
+    * Output: `(item_a, item_b, support, deg_a, deg_b, jaccard_e6,
+    * local_bridge)` ordered by (jaccard desc NULLS LAST, item_a,
+    * item_b).
+    */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val (tris, cache) = trianglesPlan(edges, deg)
+    val supp = tris.select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("a").as("x"), col("c").as("y")),
+        struct(col("b").as("x"), col("c").as("y")))).as("e"))
+      .select(least(col("e.x"), col("e.y")).as("item_a"),
+        greatest(col("e.x"), col("e.y")).as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+    val out = edges.where(col("src") < col("dst"))
+      .select(col("src").as("item_a"), col("dst").as("item_b"))
+      .join(supp, Seq("item_a", "item_b"), "left")
+      .withColumn("support", coalesce(col("support"), lit(0L)))
+      .join(deg.select(col("src").as("item_a"), col("deg").as("deg_a")), "item_a")
+      .join(deg.select(col("src").as("item_b"), col("deg").as("deg_b")), "item_b")
+      .withColumn("union_n", col("deg_a") + col("deg_b") - 2 - col("support"))
+      .withColumn("jaccard_e6",
+        when(col("union_n") > 0, expr("support * 1000000 DIV union_n")))
+      .withColumn("local_bridge", col("support") === 0L)
+      .select("item_a", "item_b", "support", "deg_a", "deg_b",
+        "jaccard_e6", "local_bridge")
+      .orderBy(col("jaccard_e6").desc_nulls_last, col("item_a"), col("item_b"))
+      .localCheckpoint(true)
+    cache.unpersist()
+    out
   }
 
   /** LINK PREDICTION by common-neighbor count: for every NON-adjacent

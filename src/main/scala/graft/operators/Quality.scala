@@ -928,6 +928,45 @@ object Quality {
           .cast("long").as("ks_micros"))
   }
 
+  /** FUNCTIONAL-DEPENDENCY check — the schema-contract audit beside
+    * [[constraintChecks]]' row predicates (Deequ's Uniqueness/FD class):
+    * for each declared dependency A→B, does every determinant value map
+    * to ONE dependent value? A violated id→title says the key isn't a
+    * key; a violated category→format quantifies how far a believed
+    * 1:1 taxonomy actually branches — the statistic behind join-key
+    * trust and dimension-table normalization decisions.
+    *
+    * Per FD: determinant-group count, groups with > 1 distinct
+    * dependent (the violations), the widest branch, and the violation
+    * share in DECIMAL-widened floor-div ppm. Dependent NULLs don't
+    * count as a branch (count-distinct semantics, mirrored exactly by
+    * the oracle); a NULL determinant forms its own group (it can still
+    * branch). All declared FDs melt through ONE struct-array explode
+    * into a single two-level aggregate (the c16 one-pass melt rule —
+    * never a job per FD), both levels map-side-combining. Output:
+    * `(fd, n_det, n_violating, max_branches, violation_ppm)` by fd.
+    */
+  def fdCheck(df: DataFrame, fds: Seq[(String, String)]): DataFrame = {
+    require(fds.nonEmpty, "fdCheck needs at least one declared dependency")
+    val names = fds.map { case (a, b) => s"$a->$b" }
+    require(names.distinct.size == names.size, s"duplicate FDs: $names")
+    val melted = df.select(explode(array(fds.map { case (det, dep) =>
+        struct(lit(s"$det->$dep").as("fd"),
+          col(det).cast("string").as("det"),
+          col(dep).cast("string").as("dep"))
+      }: _*)).as("kv"))
+      .select(col("kv.fd").as("fd"), col("kv.det").as("det"), col("kv.dep").as("dep"))
+    melted.groupBy("fd", "det").agg(countDistinct(col("dep")).as("nd"))
+      .groupBy("fd").agg(
+        count(lit(1)).as("n_det"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max("nd").as("max_branches"))
+      .withColumn("violation_ppm",
+        expr("CAST(n_violating AS DECIMAL(38,0)) * 1000000 DIV n_det"))
+      .select("fd", "n_det", "n_violating", "max_branches", "violation_ppm")
+      .orderBy("fd")
+  }
+
   /** Benford's-law expected first-digit shares in micros — LITERAL
     * constants, never a runtime log10 (the t20 no-libm rule: both
     * engines must read the identical table); log10(1 + 1/d) for
@@ -963,10 +1002,25 @@ object Quality {
     val pos = df.where(col(valueCol) > 0)
     require(!pos.isEmpty,
       s"benfordProfile: no positive values in $valueCol — no shares exist")
-    val counts = pos
+    benfordFromCounts(benfordDigitCounts(pos, valueCol))
+  }
+
+  /** The per-digit observed counts — one map-side-combining 9-bucket
+    * aggregate over positive values. Sum-mergeable (the e15 rule), which
+    * is what the streamed fold (e40) lands per batch; [[benfordFromCounts]]
+    * over the folded rows equals the batch profile by construction.
+    */
+  def benfordDigitCounts(pos: DataFrame, valueCol: String): DataFrame =
+    pos.where(col(valueCol) > 0)
       .select(substring(col(valueCol).cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
-    val spine = df.sparkSession.range(1, 10)
+
+  /** The report half: re-sum (digit, n_obs) rows — one aggregate's or a
+    * folded log's — onto the literal spine. Shared so stream ≡ batch.
+    */
+  def benfordFromCounts(countsIn: DataFrame): DataFrame = {
+    val counts = countsIn.groupBy("digit").agg(sum("n_obs").as("n_obs"))
+    val spine = countsIn.sparkSession.range(1, 10)
       .select(col("id").cast("int").as("digit"),
         element_at(typedLit(BenfordE6), col("id").cast("int")).as("benford_e6"))
     spine.join(counts, Seq("digit"), "left")

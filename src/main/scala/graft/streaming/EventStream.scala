@@ -1615,6 +1615,34 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING Benford maintenance — c18's first-digit profile kept
+    * current by ingest: each micro-batch lands its per-digit observed
+    * counts ([[graft.operators.Quality.benfordDigitCounts]], ≤ 9 rows)
+    * as an idempotent `batch=<id>/` directory — a pure keyed sum log,
+    * so [[compactSumLog]] (keyCols = digit) applies verbatim — and the
+    * shared [[graft.operators.Quality.benfordFromCounts]] over the
+    * folded rows equals the batch profile by construction. A source
+    * that starts fabricating round numbers shifts the digit mass in its
+    * own ingest batches; the corpus is never rescanned. Per-batch cost:
+    * one narrow leading-char projection + a ≤9-row write.
+    */
+  def streamBenfordFold(spark: SparkSession, srcDir: String,
+                        deltaDir: String, valueCol: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quality.benfordDigitCounts(batch, valueCol)
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING encoding-health maintenance — t32's corpus gate kept
     * current by document ingest (the e-family twin discipline): each
     * micro-batch lands ONE [[graft.operators.TextAnalysis.encodingPartials]]

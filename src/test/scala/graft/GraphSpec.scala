@@ -460,6 +460,23 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSupport {
     }
   }
 
+  test("edgeEmbeddedness: triangle support per edge, Jaccard micros, degree-1 pair null, bridge flag") {
+    // square 1-2-3-4 with diagonal 1-3 (triangles 123 and 134) plus the
+    // isolated edge 5-6 — a LOCAL BRIDGE with an EMPTY union (both
+    // endpoints degree 1): jaccard must be null, never 0
+    val und = Seq((1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.edgeEmbeddedness(edges)
+      .as[(Int, Int, Long, Long, Long, Option[Long], Boolean)].collect().toSeq
+    got shouldBe Seq(
+      (1, 3, 2L, 3L, 3L, Some(1000000L), false), // both triangles; union {2,4}
+      (1, 2, 1L, 3L, 2L, Some(500000L), false),
+      (1, 4, 1L, 3L, 2L, Some(500000L), false),
+      (2, 3, 1L, 2L, 3L, Some(500000L), false),
+      (3, 4, 1L, 3L, 2L, Some(500000L), false),
+      (5, 6, 0L, 1L, 1L, None, true))
+  }
+
   test("coviewEdgesWeighted: support counts shared viewers; threshold drops weak edges") {
     // items 1,2 share two viewers (support 2); 2,3 share one (support 1)
     val ui = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2), (3L, 2), (3L, 3))

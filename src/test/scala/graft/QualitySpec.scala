@@ -574,6 +574,23 @@ class QualitySpec extends AnyFunSuite with Matchers with SparkSupport {
       .as[(Long, Long, Long, Long)].collect().head shouldBe ((3L, 1L, 0L, 0L))
   }
 
+  test("FD check: branching determinants counted, null dep not a branch, null det its own group") {
+    import graft.operators.Quality
+    val rows = Seq(
+      (1L, Some("a"), Some("x")), (2L, Some("a"), Some("x")),
+      (3L, Some("b"), Some("x")), (4L, Some("b"), Some("y")), // b branches
+      (5L, None, Some("z")), (6L, None, Some("w")),           // null det branches
+      (7L, Some("c"), None), (8L, Some("c"), Some("q"))       // null dep ignored
+    ).toDF("id", "cat", "fmt")
+    val out = Quality.fdCheck(rows, Seq("cat" -> "fmt", "id" -> "cat"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      ("cat->fmt", 4L, 2L, 2L, 500000L), // dets a/b/null/c; b and null branch
+      ("id->cat", 8L, 0L, 1L, 0L))       // a real key
+    an[IllegalArgumentException] should be thrownBy
+      Quality.fdCheck(rows, Seq("cat" -> "fmt", "cat" -> "fmt"))
+  }
+
   test("Benford profile: leading-digit counts, literal expectations, zero rows for absent digits, " +
     "non-positives excluded") {
     import graft.operators.Quality

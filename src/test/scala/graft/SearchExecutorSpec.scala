@@ -307,6 +307,16 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("b", 1L, "5", 4.0, 4.0), ("b", 2L, "6", 4.0, 4.0))
   }
 
+  test("A10 rare_terms: document frequency (per-doc dedup), ≤ cut, rarest-first order") {
+    val rows = Seq(
+      ("1", "alpha beta"), ("2", "alpha beta"), ("3", "gamma"),
+      ("4", "delta delta"), // in-doc repeat counts ONCE (doc frequency)
+      ("5", "beta gamma")).toDF("id", "title")
+    SearchExecutor.rareTerms(rows, "title", maxDocCount = 2, k = 20)
+      .as[(String, Long)].collect().toSeq shouldBe Seq(
+        ("delta", 1L), ("alpha", 2L), ("gamma", 2L)) // beta (3) cut
+  }
+
   test("A9 filters agg: non-exclusive named buckets in one pass, zero-count bucket surfaces") {
     val rows = Seq(
       ("1", "csv", true), ("2", "csv", false), ("3", "json", true))

@@ -522,6 +522,23 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     r._6 should be > 0L // mojibake planted
   }
 
+  test("streamed Benford fold: report over the digit sum log equals the batch profile") {
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files.createTempDirectory("graft-sbenf").toString
+    val vals = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 997 + 1).as("v"))
+    vals.repartition(4).write.parquet(s"$root/src")
+    EventStream.streamBenfordFold(spark, s"$root/src", s"$root/log", "v")
+    val streamed = graft.operators.Quality.benfordFromCounts(
+        EventStream.readDeltaLog(spark, s"$root/log").select("digit", "n_obs"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Quality.benfordProfile(vals, "v")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    streamed shouldBe batch
+    streamed.map(_._1) shouldBe (1 to 9)
+    streamed.map(_._2).sum should be > 0L
+  }
+
   test("top-k count-log compaction: fold invariant, stale replays ignored, second pass a no-op") {
     import graft.streaming.EventStream
     import graft.operators.SketchRollup
