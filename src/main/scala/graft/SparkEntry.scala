@@ -1623,6 +1623,39 @@ object SparkEntry {
       disk.orderBy("id", "valid_from")
     }),
 
+    // S28 MERGE INTO: the lakehouse three-arm batch mutation in ONE
+    // atomic mixed-op commit — matched UPDATE as merge-patch (null
+    // source fields keep current: 000010's title changes, its
+    // dataSample must NOT), matched DELETE (000020), not-matched INSERT
+    // (000200), not-matched delete a no-op (000300); per-arm stats
+    // gated in-script, duplicate source ids refused (spec)
+    "s28_merge_into" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // v1
+      val base = corpusEntries(s, d, "000001", "000300").toDF()
+      val fields = graft.model.MetadataSchema.structType.fields.toSeq
+      def nulledExcept(overrides: Map[String, org.apache.spark.sql.Column]) =
+        fields.map { f =>
+          overrides.getOrElse(f.name,
+            if (f.name == "id") col("id")
+            else lit(null).cast(f.dataType).as(f.name)).as(f.name)
+        }
+      val patch = base.where(col("id") === "000010")
+        .select(nulledExcept(Map("title" -> lit("merged-title"))): _*)
+        .withColumn("_delete", lit(false))
+      val del = base.where(col("id") === "000020")
+        .select(nulledExcept(Map.empty): _*).withColumn("_delete", lit(true))
+      val ins = base.where(col("id") === "000200").withColumn("_delete", lit(false))
+      val noop = base.where(col("id") === "000300")
+        .select(nulledExcept(Map.empty): _*).withColumn("_delete", lit(true))
+      val stats = st.merge(patch.unionByName(del).unionByName(ins).unionByName(noop))
+      require(stats == graft.store.MetadataStore.MergeStats(1L, 1L, 1L),
+        s"unexpected merge stats: $stats")
+      st.current.toDF()
+        .select(col("id"), col("title"), col("dataSample"))
+        .orderBy("id")
+    }),
+
     // S27 PAIR RE-BASE: the generation layout's compact() analog — after
     // five advances the pair reads union six generations; a re-base
     // writes the full resolved history as one subsuming generation,
@@ -2576,6 +2609,25 @@ object SparkEntry {
         EventStream.readDeltaLog(s, deltas)
           .select("n_vecs", "n_dims", "n_zero", "n_off_unit",
             "min_n2", "max_n2", "sum_n2"))
+    }),
+
+    // E41 STREAMED FD fold: c19's dependency audit maintained by ingest
+    // — per-batch DISTINCT (fd, det, dep) triples as a SET log (the e31
+    // union argument), shared report stage insensitive to cross-batch
+    // duplicates, so stream ≡ batch with no read-side distinct; c19's
+    // oracle applies VERBATIM
+    "e41_stream_fd" -> ((s, d) => {
+      val src = scratch("e41-src")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        Corpus.metadata(s, d)
+          .select(col("id"), col("title"), col("category"), col("format"),
+            col("orgUUID"), col("isPublic"))
+          .repartition(4).write.parquet(src)
+      val deltas = scratch("e41-deltas")
+      EventStream.streamFdFold(s, src, deltas,
+        Seq("id" -> "title", "category" -> "format", "orgUUID" -> "isPublic"))
+      graft.operators.Quality.fdReportFromTriples(
+        EventStream.readDeltaLog(s, deltas).select("fd", "det", "dep"))
     }),
 
     // E40 STREAMED Benford fold: c18's digit profile maintained by
@@ -5099,6 +5151,22 @@ object SparkEntry {
       "((coalesce(n_obs, 0)::HUGEINT * 1000000 // n_total) - benford_e6)::BIGINT AS dev_e6 " +
       "FROM b LEFT JOIN c USING (digit), t ORDER BY b.digit"
 
+  /** c19 + e41: the FD report over meta — the streamed distinct-triple
+    * set log re-aggregates to exactly the batch report (count-distinct
+    * and group existence are duplicate-insensitive), so one oracle
+    * serves both.
+    */
+  private lazy val fdCheckSql: String =
+    Corpus.metaSql + ", mel AS (SELECT 'id->title' AS fd, id::VARCHAR AS det, title::VARCHAR AS dep FROM meta " +
+      "UNION ALL SELECT 'category->format', category, format FROM meta " +
+      "UNION ALL SELECT 'orgUUID->isPublic', orgUUID, isPublic::VARCHAR FROM meta), " +
+      "g AS (SELECT fd, det, count(DISTINCT dep)::BIGINT AS nd FROM mel GROUP BY 1, 2) " +
+      "SELECT fd, count(*)::BIGINT AS n_det, " +
+      "sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating, " +
+      "max(nd)::BIGINT AS max_branches, " +
+      "(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::HUGEINT * 1000000 // count(*))::BIGINT AS violation_ppm " +
+      "FROM g GROUP BY fd ORDER BY fd"
+
   private lazy val dsirSampleSql: String =
     T + ", tc AS (SELECT doc_id, tok, count(*) AS c " +
       "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2), " +
@@ -5510,6 +5578,14 @@ object SparkEntry {
           "UNION ALL SELECT '000010', 'rev-b', 2, NULL " +
           "UNION ALL SELECT id, title, 4, NULL FROM meta WHERE id = '000200' " +
           "ORDER BY id, valid_from"),
+      // s28: the three-arm literal replay — 000010's title patched but
+      // its dataSample UNTOUCHED (null source fields keep current — the
+      // merge-patch proof), 000020 gone, 000200 inserted, 000300 no-op
+      "s28_merge_into" ->
+        (M + "SELECT id, CASE WHEN id = '000010' THEN 'merged-title' ELSE title END AS title, " +
+          "dataSample FROM meta " +
+          "WHERE (id BETWEEN '000001' AND '000050' AND id <> '000020') OR id = '000200' " +
+          "ORDER BY id"),
       // s27: s26's lifecycle plus two 000030 revisions, read back AFTER
       // the re-base — compaction must not change the resolved history,
       // so the expected table is the plain SCD2 literal replay
@@ -8469,16 +8545,10 @@ object SparkEntry {
       "e40_stream_benford" -> benfordSql,
       // c19: the same three dependencies melted by UNION ALL, identical
       // two-level distinct-branch aggregate, HUGEINT floor-div ppm
-      "c19_fd_check" ->
-        (M + ", mel AS (SELECT 'id->title' AS fd, id::VARCHAR AS det, title::VARCHAR AS dep FROM meta " +
-          "UNION ALL SELECT 'category->format', category, format FROM meta " +
-          "UNION ALL SELECT 'orgUUID->isPublic', orgUUID, isPublic::VARCHAR FROM meta), " +
-          "g AS (SELECT fd, det, count(DISTINCT dep)::BIGINT AS nd FROM mel GROUP BY 1, 2) " +
-          "SELECT fd, count(*)::BIGINT AS n_det, " +
-          "sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating, " +
-          "max(nd)::BIGINT AS max_branches, " +
-          "(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::HUGEINT * 1000000 // count(*))::BIGINT AS violation_ppm " +
-          "FROM g GROUP BY fd ORDER BY fd"),
+      "c19_fd_check" -> fdCheckSql,
+      // e41: the streamed distinct-triple set log re-aggregates to
+      // exactly the batch report — c19's oracle verbatim
+      "e41_stream_fd" -> fdCheckSql,
       // a10: the identical planting, per-document distinct tokens,
       // doc-frequency count, the ≤2 cut, rarest-first page
       "a10_rare_terms" ->

@@ -946,16 +946,34 @@ object Quality {
     * never a job per FD), both levels map-side-combining. Output:
     * `(fd, n_det, n_violating, max_branches, violation_ppm)` by fd.
     */
-  def fdCheck(df: DataFrame, fds: Seq[(String, String)]): DataFrame = {
+  def fdCheck(df: DataFrame, fds: Seq[(String, String)]): DataFrame =
+    fdReportFromTriples(fdTriples(df, fds))
+
+  /** The melt half: every declared FD's (fd, det, dep) triples off ONE
+    * struct-array explode. The DISTINCT triple set is union-mergeable
+    * (the e31 set-log argument — order-free AND duplicate-delivery-
+    * immune), which is what the streamed fold (e41) lands per batch;
+    * [[fdReportFromTriples]] is insensitive to duplicate triples
+    * (count-distinct + group existence), so the same report stage serves
+    * the raw batch melt and the folded set log unchanged.
+    */
+  def fdTriples(df: DataFrame, fds: Seq[(String, String)]): DataFrame = {
     require(fds.nonEmpty, "fdCheck needs at least one declared dependency")
     val names = fds.map { case (a, b) => s"$a->$b" }
     require(names.distinct.size == names.size, s"duplicate FDs: $names")
-    val melted = df.select(explode(array(fds.map { case (det, dep) =>
+    df.select(explode(array(fds.map { case (det, dep) =>
         struct(lit(s"$det->$dep").as("fd"),
           col(det).cast("string").as("det"),
           col(dep).cast("string").as("dep"))
       }: _*)).as("kv"))
       .select(col("kv.fd").as("fd"), col("kv.det").as("det"), col("kv.dep").as("dep"))
+  }
+
+  /** The report half: two-level map-side-combining aggregate over
+    * triples — one aggregate's worth or a folded log's (stream ≡ batch
+    * because duplicates cannot change count-distinct or group
+    * existence). */
+  def fdReportFromTriples(melted: DataFrame): DataFrame =
     melted.groupBy("fd", "det").agg(countDistinct(col("dep")).as("nd"))
       .groupBy("fd").agg(
         count(lit(1)).as("n_det"),
@@ -965,7 +983,6 @@ object Quality {
         expr("CAST(n_violating AS DECIMAL(38,0)) * 1000000 DIV n_det"))
       .select("fd", "n_det", "n_violating", "max_branches", "violation_ppm")
       .orderBy("fd")
-  }
 
   /** Benford's-law expected first-digit shares in micros — LITERAL
     * constants, never a runtime log10 (the t20 no-libm rule: both

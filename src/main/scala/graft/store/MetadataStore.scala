@@ -513,6 +513,95 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     }
   }
 
+  /** MERGE INTO — the lakehouse three-arm batch mutation (Delta/Iceberg's
+    * headline write): one source table drives matched-UPDATE,
+    * not-matched-INSERT, and matched-DELETE against the store in ONE
+    * atomic commit, where today the same intent costs one commit per arm
+    * (upsertAll + per-id deletes) with readers able to observe the
+    * half-applied middle. Source rows carry the entry columns plus an
+    * optional `_delete` boolean:
+    *
+    *   - `_delete` ∧ matched      → the id's current image lands as a
+    *                                delete row (the [[delete]] shape)
+    *   - ¬`_delete` ∧ matched     → MERGE-PATCH update: non-null source
+    *                                fields overwrite, null fields keep the
+    *                                current value — the distributed batch
+    *                                form of [[partialUpdate]]
+    *   - ¬`_delete` ∧ not matched → insert (creationTime defaulted)
+    *   - `_delete` ∧ not matched  → no-op (Delta's semantics)
+    *
+    * A source id appearing more than once is REFUSED up front — the Delta
+    * multiple-source-rows rule: an ambiguous merge must fail loudly, never
+    * pick a winner silently. Any merged/inserted row failing validation
+    * aborts the whole merge before the commit point (the upsertAll
+    * all-or-nothing contract). The commit is one MIXED-OP delta segment —
+    * resolution reads `_op` per row, so a segment may carry upserts and
+    * deletes together; one row per id keeps within-segment identity
+    * unambiguous (rows share `_version`).
+    *
+    * At 100 TB: the source joins the resolved current LEFT on id — an
+    * incremental batch against the snapshot, the [[applyChanges]] shape —
+    * and everything else is narrow per-row column arithmetic; the one
+    * commit is O(|source|). Returns per-arm row counts.
+    */
+  def merge(source: DataFrame): MetadataStore.MergeStats = this.synchronized {
+    val src = (if (source.columns.contains("_delete")) source
+      else source.withColumn("_delete", lit(false)))
+      .withColumn("_delete", coalesce(col("_delete"), lit(false)))
+    val dup = src.groupBy("id").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).count()
+    require(dup == 0,
+      s"merge refused: $dup source id(s) appear more than once — an " +
+        "ambiguous merge must fail, not resolve silently (the Delta " +
+        "multiple-source-rows rule)")
+    val now = clock()
+    val cur = resolved.select(entryCols.map(col): _*)
+    val j = src.alias("s").join(cur.alias("c"), col("s.id") === col("c.id"), "left")
+    val matched = col("c.id").isNotNull
+    def sc(n: String) = col(s"s.$n")
+    def cc(n: String) = col(s"c.$n")
+    val deleteRows = j.where(col("s._delete") && matched)
+      .select(entryCols.map(n => cc(n).as(n)): _*)
+      .withColumn(OpCol, lit("delete")).withColumn("_arm", lit("deleted"))
+    val updateRows = j.where(!col("s._delete") && matched)
+      .select(entryCols.map(n =>
+        if (n == "id") sc(n).as(n) else coalesce(sc(n), cc(n)).as(n)): _*)
+      .withColumn(OpCol, lit("upsert")).withColumn("_arm", lit("updated"))
+    val insertRows = j.where(!col("s._delete") && !matched)
+      .select(entryCols.map(n => sc(n).as(n)): _*)
+      .withColumn("creationTime", coalesce(col("creationTime"), lit(now)))
+      .withColumn(OpCol, lit("upsert")).withColumn("_arm", lit("inserted"))
+    val all = deleteRows.unionByName(updateRows).unionByName(insertRows)
+    all.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val invalid = all
+        .where(col(OpCol) === "upsert" && !Validation.validColumn).count()
+      require(invalid == 0L,
+        s"merge rejected: $invalid invalid merged row(s) — nothing committed")
+      val byArm = all.groupBy("_arm").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val stats = MetadataStore.MergeStats(
+        byArm.getOrElse("inserted", 0L),
+        byArm.getOrElse("updated", 0L),
+        byArm.getOrElse("deleted", 0L))
+      if (stats.inserted + stats.updated + stats.deleted == 0L) return stats
+      var committed = false
+      while (!committed) {
+        val v = nextVersion
+        val staging = root.resolve(
+          s".staging-delta-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        try {
+          all.drop("_arm").withColumn(VersionCol, lit(v))
+            .write.mode("overwrite").parquet(staging.toString)
+          committed = claimAndCommit(staging, "delta", v)
+        } finally {
+          if (!committed) graft.util.FsUtil.deleteRecursively(staging)
+        }
+      }
+      stats
+    } finally { all.unpersist(); () }
+  }
+
   /** S4 partial update: replace a subset of fields on one entry; update keys
     * must be ⊆ schema (reference: metadata_entry.py:216-274, subset check
     * :239-241). Returns false when the id does not exist (404).
@@ -919,6 +1008,9 @@ object MetadataStore {
     * kind ∈ delta | base | truncate.
     */
   final case class VersionEvent(version: Long, kind: String)
+
+  /** Per-arm row counts of one [[MetadataStore.merge]] commit. */
+  final case class MergeStats(inserted: Long, updated: Long, deleted: Long)
 
   // One JVM monitor per canonical root path: nio FileLocks are held
   // per-process, so in-process instances must serialize on a shared monitor

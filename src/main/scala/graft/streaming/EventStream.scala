@@ -1615,6 +1615,36 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING functional-dependency maintenance — c19's FD audit kept
+    * current by ingest: each micro-batch lands its DISTINCT
+    * (fd, det, dep) triples ([[graft.operators.Quality.fdTriples]]) as
+    * an idempotent `batch=<id>/` SET log (the e31 argument: distinct
+    * union is order-free AND duplicate-delivery-immune), and the shared
+    * [[graft.operators.Quality.fdReportFromTriples]] over the folded
+    * rows equals the batch report by construction — the report is
+    * insensitive to cross-batch duplicate triples, so no read-side
+    * distinct is even needed. A batch that introduces a NEW branch for
+    * a determinant is the batch the violation count moves in; the
+    * corpus is never rescanned. Log growth is bounded by the DISTINCT
+    * (det, dep) type space per FD, not the row count.
+    */
+  def streamFdFold(spark: SparkSession, srcDir: String, deltaDir: String,
+                   fds: Seq[(String, String)]): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$deltaDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quality.fdTriples(batch, fds).distinct()
+          .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING Benford maintenance — c18's first-digit profile kept
     * current by ingest: each micro-batch lands its per-digit observed
     * counts ([[graft.operators.Quality.benfordDigitCounts]], ≤ 9 rows)

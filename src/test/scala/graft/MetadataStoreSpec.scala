@@ -111,6 +111,48 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     eh.columns should contain allOf ("id", "title", "valid_from", "valid_to", "bucket")
   }
 
+  test("merge: three arms in one atomic mixed-op commit; patch keeps unpatched fields; " +
+    "dup ids refused; an invalid insert aborts the whole merge") {
+    val st = freshStore()
+    val e = Fixtures.corpus
+    e.take(4).foreach(st.upsert) // v1..v4
+    val v0 = st.committedVersion
+    val all = spark.createDataset(e).toDF()
+    val fields = graft.model.MetadataSchema.structType.fields.toSeq
+    def nulled(id: String, over: Map[String, org.apache.spark.sql.Column]) =
+      all.where(col("id") === id).select(fields.map { f =>
+        over.getOrElse(f.name,
+          if (f.name == "id") col("id")
+          else org.apache.spark.sql.functions.lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+    import org.apache.spark.sql.functions.lit
+    val patch = nulled(e(1).id, Map("title" -> lit("patched"))).withColumn("_delete", lit(false))
+    val del = nulled(e(2).id, Map.empty).withColumn("_delete", lit(true))
+    val ins = all.where(col("id") === e(5).id).withColumn("_delete", lit(false))
+    val noop = nulled(e(6).id, Map.empty).withColumn("_delete", lit(true)) // not matched
+    val stats = st.merge(patch.unionByName(del).unionByName(ins).unionByName(noop))
+    stats shouldBe MetadataStore.MergeStats(1L, 1L, 1L)
+    st.committedVersion shouldBe v0 + 1 // ONE commit carried all three arms
+    val cur = st.current.collect().map(x => x.id -> x).toMap
+    cur(e(1).id).title shouldBe "patched"
+    cur(e(1).id).category shouldBe e(1).category // null patch field kept current
+    cur.contains(e(2).id) shouldBe false
+    cur(e(5).id).title shouldBe e(5).title
+    cur.contains(e(6).id) shouldBe false // not-matched delete is a no-op
+    // ambiguous source refused up front — the Delta multiple-source-rows rule
+    an[IllegalArgumentException] should be thrownBy st.merge(patch.unionByName(patch))
+    // an invalid INSERT aborts the WHOLE merge — the valid patch beside it
+    // must not land (all-or-nothing)
+    // a fresh id built off an existing row — all required fields null →
+    // the insert arm must reject it
+    val badIns = nulled(e(7).id, Map("id" -> lit("zzz999"))).withColumn("_delete", lit(false))
+    val okPatch = nulled(e(0).id, Map("title" -> lit("should-not-land")))
+      .withColumn("_delete", lit(false))
+    an[IllegalArgumentException] should be thrownBy st.merge(okPatch.unionByName(badIns))
+    st.get(e(0).id).get.title shouldBe e(0).title
+    st.committedVersion shouldBe v0 + 1
+  }
+
   test("replica checksum: CDC-advanced replica matches the primary bucket-for-bucket; " +
     "a planted divergence localizes to its bucket") {
     val st = freshStore()

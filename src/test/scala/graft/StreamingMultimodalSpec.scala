@@ -522,6 +522,26 @@ class StreamingMultimodalSpec extends AnyFunSuite with Matchers with SparkSuppor
     r._6 should be > 0L // mojibake planted
   }
 
+  test("streamed FD fold: report over the distinct-triple set log equals the batch report") {
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files.createTempDirectory("graft-sfd").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"))
+    src.repartition(4).write.parquet(s"$root/src")
+    val fds = Seq("doc_id" -> "lang", "source" -> "lang")
+    EventStream.streamFdFold(spark, s"$root/src", s"$root/log", fds)
+    val streamed = graft.operators.Quality.fdReportFromTriples(
+        EventStream.readDeltaLog(spark, s"$root/log").select("fd", "det", "dep"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Quality.fdCheck(src, fds)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    streamed shouldBe batch
+    // the key FD holds, the taxonomy FD genuinely branches — positives live
+    val bySrc = streamed.map(r => r._1 -> r).toMap
+    bySrc("doc_id->lang")._3 shouldBe 0L
+    bySrc("source->lang")._3 should be > 0L
+  }
+
   test("streamed Benford fold: report over the digit sum log equals the batch profile") {
     import graft.streaming.EventStream
     val root = java.nio.file.Files.createTempDirectory("graft-sbenf").toString
