@@ -583,6 +583,13 @@ object SparkEntry {
       SearchExecutor.dateHistogram(Corpus.metadata(s, d))
         .select(col("bucket"), col("cnt"))),
 
+    // A11 TERMS × DATE-HISTOGRAM (ES terms + date_histogram sub-agg):
+    // top-5 categories by doc count, each with its monthly entry
+    // counts — the a8 broadcast-bucket split over the calendar grid;
+    // null timestamps land in a NULLS FIRST calendar bucket
+    "a11_bucket_date_histogram" -> ((s, d) =>
+      SearchExecutor.bucketDateHistogram(Corpus.metadata(s, d))),
+
     // A7 significant terms (ES significant-terms lineage): dataSample
     // terms over-represented in the cat3 slice vs the whole corpus —
     // lift in exact DECIMAL-widened micros, one conditional-aggregate
@@ -2609,6 +2616,41 @@ object SparkEntry {
         EventStream.readDeltaLog(s, deltas)
           .select("n_vecs", "n_dims", "n_zero", "n_off_unit",
             "min_n2", "max_n2", "sum_n2"))
+    }),
+
+    // E42 STREAMED MERGE feed: s28's three-arm CDC script delivered as a
+    // micro-batch stream — each batch one atomic mixed-op merge commit,
+    // exactly-once from the operation's content-idempotence (the e23
+    // argument), disjoint-id batches commute; final state must equal
+    // the batch merge — s28's oracle VERBATIM
+    "e42_stream_merge" -> ((s, d) => {
+      val st = freshStore(s)
+      st.bulkLoad(corpusEntries(s, d, "000001", "000050")) // v1
+      val base = corpusEntries(s, d, "000001", "000300").toDF()
+      val fields = graft.model.MetadataSchema.structType.fields.toSeq
+      def nulledExcept(overrides: Map[String, org.apache.spark.sql.Column]) =
+        fields.map { f =>
+          overrides.getOrElse(f.name,
+            if (f.name == "id") col("id")
+            else lit(null).cast(f.dataType).as(f.name)).as(f.name)
+        }
+      val feed = base.where(col("id") === "000010")
+        .select(nulledExcept(Map("title" -> lit("merged-title"))): _*)
+        .withColumn("_delete", lit(false))
+        .unionByName(base.where(col("id") === "000020")
+          .select(nulledExcept(Map.empty): _*).withColumn("_delete", lit(true)))
+        .unionByName(base.where(col("id") === "000200").withColumn("_delete", lit(false)))
+        .unionByName(base.where(col("id") === "000300")
+          .select(nulledExcept(Map.empty): _*).withColumn("_delete", lit(true)))
+      val src = scratch("e42-src")
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(src))
+      graft.util.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(src).resolveSibling("_merge_checkpoint"))
+      feed.repartition(3).write.parquet(src)
+      EventStream.streamMergeFeed(s, src, st)
+      st.current.toDF()
+        .select(col("id"), col("title"), col("dataSample"))
+        .orderBy("id")
     }),
 
     // E41 STREAMED FD fold: c19's dependency audit maintained by ingest
@@ -5151,6 +5193,16 @@ object SparkEntry {
       "((coalesce(n_obs, 0)::HUGEINT * 1000000 // n_total) - benford_e6)::BIGINT AS dev_e6 " +
       "FROM b LEFT JOIN c USING (digit), t ORDER BY b.digit"
 
+  /** s28 + e42: the three-arm merge script's final state — the streamed
+    * CDC delivery must converge on the identical table, so one oracle
+    * serves both.
+    */
+  private lazy val mergeSql: String =
+    Corpus.metaSql + "SELECT id, CASE WHEN id = '000010' THEN 'merged-title' ELSE title END AS title, " +
+      "dataSample FROM meta " +
+      "WHERE (id BETWEEN '000001' AND '000050' AND id <> '000020') OR id = '000200' " +
+      "ORDER BY id"
+
   /** c19 + e41: the FD report over meta — the streamed distinct-triple
     * set log re-aggregates to exactly the batch report (count-distinct
     * and group existence are duplicate-insensitive), so one oracle
@@ -5581,11 +5633,10 @@ object SparkEntry {
       // s28: the three-arm literal replay — 000010's title patched but
       // its dataSample UNTOUCHED (null source fields keep current — the
       // merge-patch proof), 000020 gone, 000200 inserted, 000300 no-op
-      "s28_merge_into" ->
-        (M + "SELECT id, CASE WHEN id = '000010' THEN 'merged-title' ELSE title END AS title, " +
-          "dataSample FROM meta " +
-          "WHERE (id BETWEEN '000001' AND '000050' AND id <> '000020') OR id = '000200' " +
-          "ORDER BY id"),
+      "s28_merge_into" -> mergeSql,
+      // e42: the same script delivered as a micro-batch CDC stream must
+      // converge on the identical state — s28's oracle verbatim
+      "e42_stream_merge" -> mergeSql,
       // s27: s26's lifecycle plus two 000030 revisions, read back AFTER
       // the re-base — compaction must not change the resolved history,
       // so the expected table is the plain SCD2 literal replay
@@ -8566,6 +8617,15 @@ object SparkEntry {
       // table exactly — same oracle verbatim (max is order-free AND
       // duplicate-delivery-immune; replay idempotent by batch overwrite)
       "e32_stream_freshness" -> freshnessSql,
+      // a11: the same top-5 bucket table joined onto the monthly grid,
+      // a5's ::TIMESTAMP bucket-type alignment and NULLS FIRST pin
+      "a11_bucket_date_histogram" ->
+        (M + ", bk AS (SELECT category, count(*)::BIGINT AS bucket_cnt FROM meta " +
+          "GROUP BY 1 ORDER BY bucket_cnt DESC, category LIMIT 5), " +
+          "h AS (SELECT category, date_trunc('month', creationTime)::TIMESTAMP AS bucket, " +
+          "count(*)::BIGINT AS cnt FROM meta GROUP BY 1, 2) " +
+          "SELECT h.category, bucket_cnt, bucket, cnt FROM h JOIN bk USING (category) " +
+          "ORDER BY bucket_cnt DESC, h.category, bucket NULLS FIRST"),
       "a5_date_histogram" ->
         // ::TIMESTAMP: DuckDB's month-truncation yields DATE, Spark's a
         // timestamp — align the bucket type

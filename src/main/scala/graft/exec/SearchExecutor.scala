@@ -311,6 +311,40 @@ object SearchExecutor {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt")) // functions.count: the object's own count() endpoint shadows the import
       .orderBy("bucket")
 
+  /** TERMS × DATE-HISTOGRAM composition — ES's `terms` aggregation with a
+    * `date_histogram` sub-aggregation (the "activity over time, per
+    * category" panel every catalog dashboard renders beside [[topHitsFacet]]'s
+    * "best hits per category"): the top `numBuckets` values of `field` by
+    * doc count in terms-agg order (count desc, key asc — a8's closed-form
+    * drop rule), each carrying its per-calendar-unit entry counts.
+    *
+    * Plan shape — the a8 split again: the bucket table is a tiny
+    * map-side-combining aggregate broadcast onto the (field, unit)
+    * histogram aggregate (itself one map-side-combining pass whose
+    * output is buckets × units rows); folding the bucket cut into a
+    * window over the histogram would shuffle the full (field, unit)
+    * grid per partition instead. A null timestamp lands in a null
+    * calendar bucket ordered NULLS FIRST — pinned on both engines (the
+    * a5/o6 discipline). Output: `(field, bucket_cnt, bucket, cnt)`
+    * ordered by (bucket_cnt desc, field asc, bucket asc NULLS FIRST).
+    */
+  def bucketDateHistogram(entries: DataFrame, field: String = "category",
+                          unit: String = "month",
+                          ts: String = "creationTime",
+                          numBuckets: Int = 5): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val buckets = entries.groupBy(col(field))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("bucket_cnt"))
+      .orderBy(col("bucket_cnt").desc, col(field).asc)
+      .limit(numBuckets)
+    entries
+      .groupBy(col(field), date_trunc(unit, col(ts)).as("bucket"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+      .join(broadcast(buckets), Seq(field))
+      .select(col(field), col("bucket_cnt"), col("bucket"), col("cnt"))
+      .orderBy(col("bucket_cnt").desc, col(field).asc, col("bucket").asc)
+  }
+
   /** Prefix autocomplete — the completion-suggester shape of the search
     * lineage: top-k title terms (standard analyzer, the same tokens the
     * text match scores on) beginning with `prefix`, ranked by corpus

@@ -1615,6 +1615,36 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING MERGE feed — a CDC row stream driving
+    * [[graft.store.MetadataStore.merge]]'s three arms per micro-batch:
+    * each batch of (entry columns + `_delete`) rows lands as ONE atomic
+    * mixed-op commit (patch-updates, deletes, inserts together), the
+    * upstream-sync shape a catalog mirrors a producer with. Exactly-once
+    * comes from the OPERATION's content-idempotence, not sink
+    * bookkeeping (the e23 argument): re-merging a replayed batch
+    * converges — a patch re-applies to the same image, a delete of a
+    * deleted id is not-matched (no-op), an insert of a present id
+    * becomes a full-field update to the identical image. Batches whose
+    * id sets are disjoint commute, so the final state is batch-order
+    * free for a partitioned feed; within a batch the merge's own
+    * duplicate-id refusal guards ambiguity. Per-batch cost: one
+    * O(|batch|) merge commit.
+    */
+  def streamMergeFeed(spark: SparkSession, srcDir: String,
+                      store: graft.store.MetadataStore): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$srcDir/../_merge_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { store.merge(batch); () }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAMING functional-dependency maintenance — c19's FD audit kept
     * current by ingest: each micro-batch lands its DISTINCT
     * (fd, det, dep) triples ([[graft.operators.Quality.fdTriples]]) as

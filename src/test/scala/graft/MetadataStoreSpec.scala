@@ -153,6 +153,47 @@ class MetadataStoreSpec extends AnyFunSuite with Matchers with SparkSupport {
     st.committedVersion shouldBe v0 + 1
   }
 
+  test("streamed merge feed: converges on the batch-merge state; full replay is content-idempotent") {
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions.lit
+    val st = freshStore()
+    val e = Fixtures.corpus
+    e.take(4).foreach(st.upsert)
+    val all = spark.createDataset(e).toDF()
+    val fields = graft.model.MetadataSchema.structType.fields.toSeq
+    def nulled(id: String, over: Map[String, org.apache.spark.sql.Column]) =
+      all.where(col("id") === id).select(fields.map { f =>
+        over.getOrElse(f.name,
+          if (f.name == "id") col("id")
+          else org.apache.spark.sql.functions.lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+    val feed = nulled(e(1).id, Map("title" -> lit("patched"))).withColumn("_delete", lit(false))
+      .unionByName(nulled(e(2).id, Map.empty).withColumn("_delete", lit(true)))
+      .unionByName(all.where(col("id") === e(5).id).withColumn("_delete", lit(false)))
+      .unionByName(nulled(e(6).id, Map.empty).withColumn("_delete", lit(true)))
+    val root = Files.createTempDirectory("graft-smerge").toString
+    feed.repartition(3).write.parquet(s"$root/src")
+    EventStream.streamMergeFeed(spark, s"$root/src", st)
+    val after = st.current.collect().map(x => x.id -> x).toMap
+    after(e(1).id).title shouldBe "patched"
+    after(e(1).id).category shouldBe e(1).category
+    after.contains(e(2).id) shouldBe false
+    after(e(5).id).title shouldBe e(5).title
+    after.contains(e(6).id) shouldBe false
+    // full replay from a wiped checkpoint: every batch re-merges, and the
+    // operation's content-idempotence means the state cannot move — a
+    // re-patch lands the same image, a re-delete is not-matched, a
+    // re-insert becomes a full-field update to the identical image
+    graft.util.FsUtil.deleteRecursively(
+      java.nio.file.Paths.get(s"$root/_merge_checkpoint"))
+    EventStream.streamMergeFeed(spark, s"$root/src", st)
+    val replayed = st.current.collect().map(x => x.id -> x).toMap
+    replayed.keySet shouldBe after.keySet
+    replayed(e(1).id).title shouldBe "patched"
+    replayed(e(1).id).category shouldBe e(1).category
+    replayed.contains(e(2).id) shouldBe false
+  }
+
   test("replica checksum: CDC-advanced replica matches the primary bucket-for-bucket; " +
     "a planted divergence localizes to its bucket") {
     val st = freshStore()

@@ -307,6 +307,25 @@ class SearchExecutorSpec extends AnyFunSuite with Matchers with SparkSupport {
       ("b", 1L, "5", 4.0, 4.0), ("b", 2L, "6", 4.0, 4.0))
   }
 
+  test("A11 terms×date_histogram: terms-agg bucket cut over the monthly grid, null-ts NULLS FIRST") {
+    val rows = Seq(
+      ("1", "a", Some("2015-01-15 00:00:00")),
+      ("2", "a", Some("2015-01-20 00:00:00")),
+      ("3", "a", None), // null timestamp: its own calendar bucket, first
+      ("4", "b", Some("2015-02-01 00:00:00")),
+      ("5", "b", Some("2015-03-01 00:00:00")),
+      ("6", "c", Some("2015-01-01 00:00:00"))) // bucket c cut at numBuckets=2
+      .toDF("id", "category", "cts")
+      .withColumn("creationTime", $"cts".cast("timestamp")).drop("cts")
+    val got = SearchExecutor.bucketDateHistogram(rows, numBuckets = 2)
+      .as[(String, Long, Option[java.sql.Timestamp], Long)].collect().toSeq
+    got shouldBe Seq(
+      ("a", 3L, None, 1L),
+      ("a", 3L, Some(java.sql.Timestamp.valueOf("2015-01-01 00:00:00")), 2L),
+      ("b", 2L, Some(java.sql.Timestamp.valueOf("2015-02-01 00:00:00")), 1L),
+      ("b", 2L, Some(java.sql.Timestamp.valueOf("2015-03-01 00:00:00")), 1L))
+  }
+
   test("A10 rare_terms: document frequency (per-doc dedup), ≤ cut, rarest-first order") {
     val rows = Seq(
       ("1", "alpha beta"), ("2", "alpha beta"), ("3", "gamma"),
