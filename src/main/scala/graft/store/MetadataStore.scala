@@ -539,10 +539,13 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     * deletes together; one row per id keeps within-segment identity
     * unambiguous (rows share `_version`).
     *
-    * At 100 TB: the source joins the resolved current LEFT on id — an
-    * incremental batch against the snapshot, the [[applyChanges]] shape —
-    * and everything else is narrow per-row column arithmetic; the one
-    * commit is O(|source|). Returns per-arm row counts.
+    * At 100 TB: the incremental source BROADCASTS against the resolved
+    * snapshot (the [[applyChanges]] discipline) — the matched current
+    * images come from ONE snapshot scan probed by the broadcast source
+    * keys, and every later join runs between source-scale tables, so
+    * the snapshot is never shuffled; everything else is narrow per-row
+    * column arithmetic and the one commit is O(|source|). Returns
+    * per-arm row counts.
     */
   def merge(source: DataFrame): MetadataStore.MergeStats = this.synchronized {
     val src = (if (source.columns.contains("_delete")) source
@@ -555,8 +558,14 @@ class MetadataStore(spark: SparkSession, rootDir: String,
         "ambiguous merge must fail, not resolve silently (the Delta " +
         "multiple-source-rows rule)")
     val now = clock()
-    val cur = resolved.select(entryCols.map(col): _*)
-    val j = src.alias("s").join(cur.alias("c"), col("s.id") === col("c.id"), "left")
+    // ONE snapshot scan, probed by the broadcast source keys — the
+    // matched images are a source-scale table, so nothing downstream
+    // ever shuffles (or re-reads) the snapshot; a plain left join of
+    // source against the full current would put the corpus on the
+    // stream side of a sort-merge instead
+    val curHit = resolved.select(entryCols.map(col): _*)
+      .join(broadcast(src.select(col("id"))), Seq("id"))
+    val j = src.alias("s").join(curHit.alias("c"), col("s.id") === col("c.id"), "left")
     val matched = col("c.id").isNotNull
     def sc(n: String) = col(s"s.$n")
     def cc(n: String) = col(s"c.$n")
