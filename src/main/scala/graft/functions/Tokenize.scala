@@ -84,6 +84,32 @@ object Tok {
     * {http, https, ftp, www, com}.
     */
   def uri(s: UTF8String): ArrayData = scan(s, isLetter, uriStop.contains)
+
+  private val ngramSep = UTF8String.fromString(" ")
+
+  /** Word n-grams of a token array in positional order, optionally
+    * first-occurrence-distinct — the single-pass backing of
+    * [[NgramsExpr]]. Semantics are bit-identical to the HOF reference
+    * (`zip_with`-reduced shifted slices joined by `concat_ws(" ", …)`,
+    * then `array_distinct` when distinct): concat_ws skips null elements,
+    * and distinct keeps the FIRST occurrence, exactly like array_distinct.
+    */
+  def ngrams(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](m - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(ngramSep, parts: _*)
+      if (seen == null || seen.add(s)) { out.add(s); () }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 abstract class TokenizeBase extends UnaryExpression {
@@ -278,6 +304,38 @@ case class PhraseCountExpr(child: Expression, terms: Seq[String])
     copy(child = newChild)
 }
 
+/** `graft_ngrams(tokens)` — word n-grams of a token array in one native
+  * pass, optionally first-occurrence-distinct (r17 optimization kernel).
+  *
+  * The Column-pipeline equivalent — n shifted `slice`s zip_with-reduced
+  * with `concat_ws` (TextAnalysis.ngrams' former body) — evaluates
+  * interpreted (HOFs have no codegen) and, worse, re-evaluates its CHILD
+  * per slice: callers had to materialize the token array behind an explicit
+  * `repartition` shuffle barrier just to stop CollapseProject from inlining
+  * the tokenizer n times (see Dedup.withShingles' r16 comment). A native
+  * UnaryExpression evaluates its child exactly once per row, so that
+  * barrier exchange disappears from every shingle pipeline, and the n-gram
+  * assembly itself is one allocation-light loop inside whole-stage codegen.
+  * Equivalence with the HOF reference is spec-asserted (TokenizeSpec).
+  */
+case class NgramsExpr(child: Expression, n: Int, distinct: Boolean)
+  extends UnaryExpression {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    Tok.ngrams(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Tok.ngrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Tokenize {
   /** Column forms, usable anywhere a built-in is. */
   def standardTokens(c: Column): Column =
@@ -290,4 +348,6 @@ object Tokenize {
     GraftBridge.column(QualityMicrosExpr(GraftBridge.expression(tokens), stopwords))
   def phraseCount(tokens: Column, terms: Seq[String]): Column =
     GraftBridge.column(PhraseCountExpr(GraftBridge.expression(tokens), terms))
+  def ngrams(tokens: Column, n: Int, distinct: Boolean = false): Column =
+    GraftBridge.column(NgramsExpr(GraftBridge.expression(tokens), n, distinct))
 }

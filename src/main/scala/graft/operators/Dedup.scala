@@ -26,37 +26,41 @@ object Dedup {
   private def toks(c: Column): Column = Analyzers.standardTokens(c)
 
   /** Distinct word-n-gram shingles of the text (empty for docs shorter than
-    * n tokens — they cannot participate in shingle-based dedup).
-    *
-    * NOTE for operator authors: `ngrams` references its token array inside a
-    * lambda, and interpreted higher-order functions re-evaluate lambda-body
-    * subexpressions per element — so apply this to a MATERIALIZED token
-    * column (see [[withShingles]]), not directly to `toks(text)`, or the
-    * tokenizer runs once per n-gram position per row.
+    * n tokens — they cannot participate in shingle-based dedup). One native
+    * codegen'd pass (r17): tokenizer and n-gram kernel each evaluate their
+    * child exactly once per row, so no materialization barrier is needed
+    * anywhere this is applied (the former HOF formulation re-evaluated the
+    * tokenizer once per n-gram slice unless callers shuffled a materialized
+    * token column first).
     */
   def shingles(text: Column, n: Int = 3): Column =
-    array_distinct(TextAnalysis.ngrams(toks(text), n))
+    graft.functions.Tokenize.ngrams(toks(text), n, distinct = true)
 
-  /** (doc_id, sh) with the tokenize → shingle pipeline split by shuffle
-    * barriers: tokens materialize once per row (and the single-file scan
-    * spreads across cores) before the per-position n-gram lambda reads them.
+  /** (doc_id, sh) behind ONE shuffle barrier carrying the RAW TEXT — the
+    * multi-consumer entry of every shingle pipeline. The barrier serves two
+    * jobs (r17 shape): it spreads the single-file scan across cores, and it
+    * is the exchange ReuseExchange hands to every downstream consumer
+    * (inverted index + both verify joins). It deliberately ships text, not
+    * token or shingle arrays: the shingle representation is ~20× the bytes
+    * of its source text, and recomputing the native tokenize→ngram chain
+    * per consumer is a narrow codegen'd map — compute scales with cores,
+    * shuffle bytes don't (guide §2.2/§2.3). The former two-barrier chain
+    * (tokens exchange, then shingles exchange) also tokenized the whole
+    * corpus INSIDE the one-task scan stage; here the scan ships raw bytes
+    * and all per-row work runs post-exchange, fully parallel.
     */
   private[graft] def withShingles(docs: DataFrame, n: Int): DataFrame =
-    withShinglesFromTokens(
-      docs.select(col("doc_id"), toks(col("text")).as("toks"))
-        .repartition(col("doc_id")), n)
+    graft.util.Spread.byKey(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
 
   /** The shingle half of [[withShingles]] over an ALREADY-tokenized
     * (doc_id, toks) frame — the entry point for pipelines that materialize
     * one token pass and feed several consumers (see Pipeline.pretrainCorpus).
-    * The input must be behind a shuffle barrier (repartition) so the
-    * per-position n-gram lambda reads a materialized array, not the
-    * re-inlined tokenizer expression.
+    * Native n-gram kernel: no barrier needed between tokens and shingles.
     */
   private[graft] def withShinglesFromTokens(tok: DataFrame, n: Int): DataFrame =
     tok.select(col("doc_id"),
-        array_distinct(TextAnalysis.ngrams(col("toks"), n)).as("sh"))
-      .repartition(col("doc_id"))
+      graft.functions.Tokenize.ngrams(col("toks"), n, distinct = true).as("sh"))
 
   // ------------------------------------------------------------ exact dedup
 
@@ -96,13 +100,26 @@ object Dedup {
     * Mirrored 1:1 by the oracle's PairsChain CTEs (SparkEntry).
     */
   private[graft] def blockedIdPairs(sh: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, maxDf))
-    val cands = inv.join(keep, "s").select(col("s"), col("doc_id"))
-    cands.as("a").join(cands.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Aggregate-then-expand (r17): ONE posting shuffle builds the per-
+    // shingle id list (df = list size — sh is per-doc distinct, so each doc
+    // posts a shingle at most once), the df window filters it, and the
+    // ordered pairs expand NARROWLY from the sorted list (posexplode + tail
+    // slice — a<b by sort order). The former formulation reached the same
+    // pair multiset through inv⋈keep plus an inv⋈inv self-join: two more
+    // joins, two more reads of the posting exchange, and the ~25-char
+    // shingle string shipped once PER POSTING where the partial collect_list
+    // ships it once per (partition, shingle). Worst-case per-key work is
+    // C(df,2) in both shapes (the self-join also fanned a hot shingle's df²
+    // pairs inside one task), and maxDf bounds it exactly as before.
+    val lists = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+      .select(array_sort(col("ids")).as("ids"))
+    lists
+      .select(col("ids"), posexplode(col("ids")).as(Seq("p", "a_id")))
+      .select(col("a_id"), explode(slice(col("ids"), col("p") + 2,
+        greatest(size(col("ids")) - col("p") - 1, lit(0)))).as("b_id"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("_shared"))
       .where(col("_shared") >= minShared)
       .select(col("a_id"), col("b_id"))
@@ -215,10 +232,9 @@ object Dedup {
     // candidate pair (measured: one 20-minute task at sf0.1 vs seconds with
     // barriers). Each barrier materializes the named column exactly once per
     // row; ReuseExchange makes both join sides read a single shuffle.
-    val sigs = withShingles(docs, shingleN)
+    val sigs = graft.util.Spread.byKey(withShingles(docs, shingleN)
       .where(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
-      .repartition(col("doc_id"))
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig")), col("doc_id"))
     // Banded rows carry (doc_id, band, key) ONLY: a doc colliding in many
     // bands would otherwise ship its k-element signature once per candidate
     // row through the pair-dedup shuffle. Pairs dedup as two longs, then the
@@ -301,8 +317,8 @@ object Dedup {
   def incrementalPairsFromIndex(corpusIndex: DataFrame, batchIndex: DataFrame,
                                 k: Int = 64, bands: Int = 16,
                                 threshold: Double = 0.8): DataFrame = {
-    val corpusSigs = corpusIndex.repartition(col("doc_id"))
-    val batchSigs = batchIndex.repartition(col("doc_id"))
+    val corpusSigs = graft.util.Spread.byKey(corpusIndex, col("doc_id"))
+    val batchSigs = graft.util.Spread.byKey(batchIndex, col("doc_id"))
     // ids-only through the pair dedup (the minhashPairs two-phase pattern);
     // banding and verify are shared with minhashPairs — identical math is
     // the operator's contract
@@ -338,11 +354,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // Same barrier pattern as minhashPairs: materialize token hashes, then
     // the signature, before banding/joining — see the comment there.
-    val sigs = docs
-      .select(col("doc_id"), transform(toks(col("text")), t => xxhash64(t)).as("hashes"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), simhashFromHashes(col("hashes")).as("sig"))
-      .repartition(col("doc_id"))
+    val sigs = graft.util.Spread.byKey(
+      graft.util.Spread.byKey(docs.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(col("doc_id"),
+          simhashFromHashes(transform(toks(col("text")), t => xxhash64(t))).as("sig")),
+      col("doc_id"))
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(3)),
           b => struct(b.as("band"),
@@ -383,9 +399,11 @@ object Dedup {
     * Each round a node takes the min of its own label, its neighbors'
     * labels, and its label's label (pointer jumping / path halving), so
     * rounds needed grow with log(component diameter), not diameter. One
-    * round = two shuffle-keyed joins + one map-side-combining min aggregate;
-    * the edge list materializes once and labels re-checkpoint per round to
-    * keep lineage flat. The lineage-cut strategy is injectable (`cut`): the
+    * round = a message aggregate (map-side-combining min over the neighbor
+    * messages only) joined back to the label table plus the jump join; the
+    * edge list materializes once and labels re-checkpoint per round to
+    * keep lineage flat. Labels seed at min(self, neighbors) — round 1 of
+    * the identity init, collapsed into one aggregate over the edge cache. The lineage-cut strategy is injectable (`cut`): the
     * default ([[graft.util.LineageCut.cut]]) uses a reliable `checkpoint()`
     * whenever the context has a checkpoint dir — the cluster-safe choice,
     * since localCheckpoint blocks die with their executor (lost to failure
@@ -394,10 +412,9 @@ object Dedup {
     * large-star/small-star MapReduce CC algorithm; near-dup graphs are
     * shallow (dups of a doc are dups of each other), so the loop terminates
     * in a handful of rounds. Convergence detection is one cheap scalar
-    * aggregate per round: the PREVIOUS label rides through the round's
-    * aggregate (each node has exactly one original row in the merge union,
-    * so `max(_old)` recovers it for free), and the round counts nodes whose
-    * label changed — `changed == 0` is a true fixpoint. A label-SUM
+    * aggregate per round: the PREVIOUS label rides the label table through
+    * the round's join untouched, and the round counts nodes whose label
+    * changed — `changed == 0` is a true fixpoint. A label-SUM
     * comparison would be the same cost but could alias two states through
     * Long-overflow wraparound at extreme id scales; the changed-count is
     * bounded by the node count and cannot.
@@ -407,18 +424,35 @@ object Dedup {
     val e = cut(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .repartition(col("u")))
-    var labels = cut(e.select(col("u")).distinct()
-      .select(col("u"), col("u").as("lbl")))
+    // Seeded init (r17): lbl₀ = min(u, neighbors) — exactly the state the
+    // old identity init (lbl = u) reached after round 1's neighbor-join and
+    // aggregate, computed here by ONE map-side-combining aggregate over the
+    // already-materialized edge cache instead of a full superstep (join +
+    // checkpoint + convergence action). Same fixpoint, one round fewer;
+    // star/clique components (the planted-dup shape) now converge in a
+    // single checked round.
+    var labels = cut(e.groupBy("u")
+      .agg(min(least(col("u"), col("v"))).as("lbl")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbr = e.join(labels.select(col("u").as("_v"), col("lbl")), col("v") === col("_v"))
-        .select(col("u"), col("lbl"), lit(null).cast("long").as("_old"))
-      val tagged = labels.select(col("u"), col("lbl"), col("lbl").as("_old"))
-      val merged = tagged.unionByName(nbr).groupBy("u")
-        .agg(min("lbl").as("lbl"), max("_old").as("_old"))
-      val jump = merged.select(col("u").as("_ju"), col("lbl").as("_jl"))
-      val next = cut(merged.join(jump, col("lbl") === col("_ju"), "left")
+      // Per-round merge as LEFT JOIN + least (r17): the former
+      // label∪neighbor UNION into one aggregate shipped every node's own
+      // row through the shuffle alongside the messages and needed the
+      // max(_old) trick to recover the previous label; aggregating the
+      // messages ALONE and joining them back is the same min over
+      // {self, neighbors} with the previous label kept for free, and the
+      // aggregate's shuffle carries messages only. (It also sidesteps a
+      // Spark constraint-rewrite crash the union form trips when both
+      // union children descend from the same checkpointed plan.)
+      val nbrMin = e.join(labels.select(col("u").as("_v"), col("lbl")), col("v") === col("_v"))
+        .groupBy("u").agg(min("lbl").as("_nl"))
+      val stepped = labels.select(col("u"), col("lbl").as("_old"))
+        .join(nbrMin, Seq("u"), "left")
+        .select(col("u"), least(col("_old"), coalesce(col("_nl"), col("_old"))).as("lbl"),
+          col("_old"))
+      val jump = stepped.select(col("u").as("_ju"), col("lbl").as("_jl"))
+      val next = cut(stepped.join(jump, col("lbl") === col("_ju"), "left")
         .select(col("u"), least(col("lbl"), coalesce(col("_jl"), col("lbl"))).as("lbl"),
           col("_old")))
       val changed = Option(next.agg(sum(when(col("lbl") =!= col("_old"), 1L))).head().get(0))
@@ -508,9 +542,12 @@ object Dedup {
     */
   def repeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"span window k must be >= 2, got $k")
-    val pos = docs.select(col("doc_id"), toks(col("text")).as("t"))
-      .repartition(col("doc_id")) // materialize tokens before the per-position lambda
-      .select(col("doc_id"), posexplode(TextAnalysis.ngrams(col("t"), k)).as(Seq("p", "s")))
+    // barrier ships raw text; the native tokenize→ngram chain runs fully
+    // parallel post-exchange (the r17 withShingles argument)
+    val pos = graft.util.Spread.byKey(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngrams(toks(col("text")), k)).as(Seq("p", "s")))
     val repeated = pos.groupBy("s").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2).select("s")
     val hits = pos.join(repeated, "s").select(col("doc_id"), col("p"))
@@ -614,10 +651,13 @@ object Dedup {
     */
   def removeRepeatedWindows(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"span window k must be >= 2, got $k")
-    val tok = docs.select(col("doc_id"), toks(col("text")).as("t"))
-      .repartition(col("doc_id"))
-    val pos = tok.select(col("doc_id"),
-      posexplode(TextAnalysis.ngrams(col("t"), k)).as(Seq("p", "s")))
+    // one raw-text barrier; tokens recompute natively per consumer (the
+    // rewrite join and the posting explode) instead of shuffling arrays
+    val txt = graft.util.Spread.byKey(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
+    val tok = txt.select(col("doc_id"), toks(col("text")).as("t"))
+    val pos = txt.select(col("doc_id"),
+      posexplode(TextAnalysis.ngrams(toks(col("text")), k)).as(Seq("p", "s")))
     // detection + first-occurrence election in ONE combine-safe aggregate:
     // min(struct(doc_id, p)) is the lexicographically-first occurrence of
     // each repeated window content — it survives, every other occurrence
@@ -654,8 +694,9 @@ object Dedup {
   }
 
   def removeRepeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val tok = docs.select(col("doc_id"), toks(col("text")).as("t"))
-      .repartition(col("doc_id"))
+    val tok = graft.util.Spread.byKey(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
     // span content key: re-join the span's tokens from the doc's own
     // materialized token array (slice is 1-based; spans are inclusive)
     val keyed = repeatedSpans(docs, k).join(tok, "doc_id")

@@ -1106,18 +1106,22 @@ object Similarity {
   def dimensionCorrelation(embeddings: DataFrame, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be positive, got $topK")
     val dec = "decimal(38,0)"
-    val q = embeddings.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
-        round(col("col").cast("double") * 1e6, 0).cast("long").as("i"))
-    val moments = q.as("a").join(q.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.j") < col("b.j"))
-      .groupBy(col("a.j").as("dim_a"), col("b.j").as("dim_b"))
+    // Join-free moment generation (r17): the former q⋈q self-join on vec_id
+    // shuffled every quantized component twice just to pair dimensions that
+    // already sit side by side in one row's array. Both generates below are
+    // NARROW — the only exchange left is the d²-group partial aggregate,
+    // whose map-side combine ships ≤ d²·partitions rows regardless of corpus
+    // size. Row multiset reaching the aggregate is identical to the join's
+    // (every (dim_a < dim_b) pair of each vector exactly once), so the exact
+    // decimal sums — and the result — are unchanged.
+    val moments = quantizedPairRows(embeddings, diagonal = false)
+      .groupBy(col("ja").as("dim_a"), col("jb").as("dim_b"))
       .agg(count(lit(1)).cast(dec).as("n"),
-        sum(col("a.i").cast(dec)).as("sa"),
-        sum(col("b.i").cast(dec)).as("sb"),
-        sum((col("a.i") * col("a.i")).cast(dec)).as("saa"),
-        sum((col("b.i") * col("b.i")).cast(dec)).as("sbb"),
-        sum((col("a.i") * col("b.i")).cast(dec)).as("sab"))
+        sum(col("ia").cast(dec)).as("sa"),
+        sum(col("ib").cast(dec)).as("sb"),
+        sum((col("ia") * col("ia")).cast(dec)).as("saa"),
+        sum((col("ib") * col("ib")).cast(dec)).as("sbb"),
+        sum((col("ia") * col("ib")).cast(dec)).as("sab"))
     val num = col("n") * col("sab") - col("sa") * col("sb")
     val da = col("n") * col("saa") - col("sa") * col("sa")
     val db = col("n") * col("sbb") - col("sb") * col("sb")
@@ -1194,20 +1198,57 @@ object Similarity {
     * vector, absorbed by the round-4 output (the t11 rule, stressed by
     * 12 extra steps and measured stable in the spec's recomputation).
     */
+  /** (ja, jb, ia, ib) rows: for every vector, every ordered dimension pair
+    * ja < jb (or ja <= jb with `diagonal`) with the round-half-up integer-
+    * micros quantized components — the moment-table row source shared by
+    * [[dimensionCorrelation]] and [[pcaProject]]. Produced WITHOUT a self-
+    * join (r17): quantize the array once per row (narrow), posexplode to the
+    * left element, then posexplode the array's tail slice for the right —
+    * two chained generators, no exchange anywhere. The old q⋈q-on-vec_id
+    * formulation shuffled all |corpus|·d quantized rows twice (both join
+    * sides) before the d²-group aggregate; this ships nothing until the
+    * aggregate's map-side combine, which is the only shuffle left and is
+    * d²-bounded. Same row multiset, so downstream exact-integer sums are
+    * bit-identical.
+    */
+  private def quantizedPairRows(embeddings: DataFrame, diagonal: Boolean): DataFrame = {
+    val tailFrom = if (diagonal) col("p") + 1 else col("p") + 2
+    embeddings
+      .select(col("vec_id"), col("embedding"))
+      // spread the corpus BEFORE the d²-per-row expansion: each input row
+      // fans out to ~d²/2 pair rows plus the moment partials, so the narrow
+      // (vec_id, embedding) shuffle here is ~d²× cheaper than the work it
+      // parallelizes. The partition count is pinned to defaultParallelism
+      // (cluster cores — scale-adaptive, not a constant): AQE's coalescing
+      // sizes partitions by SHUFFLED bytes and would fold this kB-scale
+      // exchange into one partition, serializing the d²-heavy stage it
+      // feeds (measured: 3.9 s single-task vs 0.5 s spread at sf0.1/32).
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6, 0).cast("long")).as("qa"))
+      .select(col("vec_id"), col("qa"), posexplode(col("qa")).as(Seq("p", "ia")))
+      .select((col("p") + 1).cast("long").as("ja"), col("ia"),
+        posexplode(slice(col("qa"), tailFrom, greatest(size(col("qa")) - tailFrom + 1, lit(0))))
+          .as(Seq("t", "ib")))
+      .select(col("ja"), (col("ja") + col("t") + lit(if (diagonal) 0 else 1)).cast("long").as("jb"),
+        col("ia"), col("ib"))
+  }
+
   def pcaProject(embeddings: DataFrame, iters: Int = 12,
                  topK: Int = 50): DataFrame = {
     require(iters >= 1 && topK >= 1, s"iters=$iters, topK=$topK must be positive")
     val dec = "decimal(38,0)"
-    val q = embeddings.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), (col("pos") + 1).cast("int").as("j"),
-        round(col("col").cast("double") * 1e6, 0).cast("long").as("i"))
-    val mom = q.as("a").join(q.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.j") <= col("b.j"))
-      .groupBy(col("a.j").as("ja"), col("b.j").as("jb"))
+    // Same join-free moment generation as [[dimensionCorrelation]] (r17),
+    // diagonal included: identical row multiset to the former a⋈b (ja <= jb)
+    // join, so the collected exact-integer moments are unchanged.
+    val mom = quantizedPairRows(embeddings, diagonal = true)
+      .groupBy(col("ja").cast("int").as("ja"), col("jb").cast("int").as("jb"))
       .agg(count(lit(1)).cast(dec).as("n"),
-        sum(col("a.i").cast(dec)).as("sa"),
-        sum(col("b.i").cast(dec)).as("sb"),
-        sum((col("a.i") * col("b.i")).cast(dec)).as("sab"))
+        sum(col("ia").cast(dec)).as("sa"),
+        sum(col("ib").cast(dec)).as("sb"),
+        sum((col("ia") * col("ib")).cast(dec)).as("sab"))
       .select(col("ja"), col("jb"),
         col("n").cast("double").as("nd"),
         col("sa").cast("double").as("sad"),

@@ -707,12 +707,15 @@ object TextAnalysis {
     * dedup at sf0.1). Slice/zip_with arguments evaluate exactly once,
     * whatever the optimizer does to surrounding projections.
     */
-  def ngrams(toks: Column, n: Int): Column = {
-    val len = greatest(size(toks) - (n - 1), lit(0))
-    val shifted = (0 until n).map(k => slice(toks, lit(k + 1), len))
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
-  }
+  def ngrams(toks: Column, n: Int): Column =
+    // Native single-pass kernel (r17): the former HOF formulation — n
+    // shifted slices zip_with-reduced with concat_ws — evaluated
+    // interpreted AND re-evaluated `toks` once per slice, which is why
+    // every caller had to materialize tokens behind a repartition barrier.
+    // The native expression evaluates its child exactly once per row inside
+    // codegen; equivalence with the HOF reference is spec-asserted
+    // (TokenizeSpec "ngrams native kernel").
+    graft.functions.Tokenize.ngrams(toks, n)
 
   /** Corpus-level top-K n-grams by document frequency-weighted count.
     * One explode + one partial/final hash aggregate + top-K — the canonical
@@ -720,9 +723,9 @@ object TextAnalysis {
     * n-gram with AQE handling skew.
     */
   def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .repartition(col("doc_id")) // materialize tokens before the per-position lambda
-      .select(explode(ngrams(col("toks"), n)).as("ngram"))
+    docs.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")) // spread the scan; native chain runs post-exchange
+      .select(explode(ngrams(tokens(col("text")), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)

@@ -209,7 +209,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     // signature pipeline into band/join expressions (SCALE.md, Dedup scaladoc)
     val plan = Dedup.minhashPairs(docsDf).queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
-    "REPARTITION_BY_COL".r.findAllIn(plan).size should be >= 2
+    // r17: the barriers are core-count-pinned keyed repartitions
+    // (Spread.byKey → REPARTITION_BY_NUM), exempt from AQE coalescing
+    "REPARTITION_BY_NUM".r.findAllIn(plan).size should be >= 2
   }
 
   test("banded pair dedup shuffles ids only — vectors re-join after the dedup") {
@@ -937,22 +939,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include("MapGroups")
   }
 
-  test("dimension correlation: the exploded table's exchange is REUSED by the self-join's second side") {
-    // pin the AT-SCALE shuffle-join shape: at fleet scale neither side
-    // broadcasts, so force the threshold off for the assertion
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      val df = graft.operators.Similarity.dimensionCorrelation(e, topK = 5)
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      plan should not include "CartesianProduct"
-      // identical subplans on both join sides → one exchange, read twice
-      plan should include("ReusedExchange")
-      // the d²/2 moment aggregate partial-combines before the wire
-      plan should include("partial_")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  test("dimension correlation: join-free moment generation — only the d²-group aggregate shuffles") {
+    // r17 shape: the dimension pairs expand NARROWLY from each row's own
+    // array (two chained generators), so no join of any kind exists and the
+    // only exchange in the plan is the d²-group moment aggregate's — the
+    // corpus itself never crosses the wire
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.operators.Similarity.dimensionCorrelation(e, topK = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should include("Generate")
+    // the d²/2 moment aggregate partial-combines before the wire
+    plan should include("partial_")
+    // exactly two exchanges: the corpus spread before the d² expansion and
+    // the aggregate's — never a corpus-scale join shuffle (count the AQE
+    // FINAL plan only; executedPlan.toString appends the initial plan)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    "Exchange hashpartitioning".r.findAllIn(finalPlan).size shouldBe 2
   }
 
   test("PCA projection: literal-vector HOF — no join, no exchange, TakeOrdered top-k") {

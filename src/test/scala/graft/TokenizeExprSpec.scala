@@ -161,6 +161,40 @@ class TokenizeExprSpec extends AnyFunSuite with Matchers with SparkSupport {
     plan should include regex """\*\(\d+\) Project \[graft_phrase_count"""
   }
 
+  test("ngrams native kernel: ≡ HOF reference (positional and distinct tiers), inside codegen") {
+    import org.apache.spark.sql.functions.{array, array_distinct, concat_ws, greatest, lit, slice, when, zip_with}
+    val asize = org.apache.spark.sql.functions.size _
+    // the HOF formulation TextAnalysis.ngrams replaced (r17) — kept here as
+    // the executable spec the native kernel is held to
+    def hofNgrams(toks: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+      val len = greatest(asize(toks) - (n - 1), lit(0))
+      val shifted = (0 until n).map(k => slice(toks, lit(k + 1), len))
+      when(asize(toks) < n, array().cast("array<string>"))
+        .otherwise(shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
+    }
+    val rnd = new scala.util.Random(7)
+    val pool = Seq("a", "b", "c", "dd", "e")
+    val samples = Seq("", "a", "a b", "a b c", "a a a a", "x y x y x y") ++
+      Seq.fill(50)(Seq.fill(rnd.nextInt(30))(pool(rnd.nextInt(pool.size))).mkString(" "))
+    val docs = samples.toDF("text")
+    val toks = Analyzers.standardTokens(col("text"))
+    for (n <- Seq(2, 3, 8)) {
+      val native = docs.select(graft.functions.Tokenize.ngrams(toks, n))
+        .as[Seq[String]].collect().toSeq
+      val hof = docs.select(hofNgrams(toks, n)).as[Seq[String]].collect().toSeq
+      native shouldBe hof
+      val nd = docs.select(graft.functions.Tokenize.ngrams(toks, n, distinct = true))
+        .as[Seq[String]].collect().toSeq
+      val hd = docs.select(array_distinct(hofNgrams(toks, n)))
+        .as[Seq[String]].collect().toSeq
+      nd shouldBe hd
+    }
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.Tokenize.ngrams(Analyzers.standardTokens(col("text")), 3))
+      .queryExecution.executedPlan.toString
+    plan should include regex """\*\(\d+\) Project \[graft_ngrams"""
+  }
+
   test("codegen: tokenizer runs inside WholeStageCodegen (not interpreted fallback)") {
     // parquet-backed source — a LocalRelation constant-folds away the stage
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
