@@ -18,7 +18,7 @@ import scala.collection.mutable
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val passes = if (args.length > 1) args(1).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,34 +58,36 @@ object JobProfile {
       }
     })
 
-    def materialize(): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
+    names.foreach { name =>
+      def materialize(): Unit =
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
 
-    materialize() // warm-up
-    var lastSpan = (0L, 0L)
-    (1 to passes).foreach { p =>
-      jobs.synchronized { jobs.clear(); stageToJob.clear() }
-      val t0 = System.currentTimeMillis()
-      materialize()
-      val t1 = System.currentTimeMillis()
-      lastSpan = (t0, t1)
-      System.err.println(f"[profile] $name pass $p: ${(t1 - t0) / 1e3}%.3f s")
-    }
-    Thread.sleep(300) // let listener drain
-    val (t0, t1) = lastSpan
-    var covered = 0L
-    jobs.synchronized {
-      jobs.values.toSeq.sortBy(_.start).foreach { j =>
-        val dur = (j.end - j.start) / 1e3
-        covered += (j.end - j.start)
-        System.err.println(f"[profile]   job ${j.id}%3d ${dur}%7.3f s  " +
-          f"stages=${j.stages}%2d tasks=${j.tasks}%4d " +
-          f"shufR=${j.shufRead / 1024}%8d KB shufW=${j.shufWrite / 1024}%8d KB  ${j.desc.take(80)}")
+      materialize() // warm-up
+      var lastSpan = (0L, 0L)
+      (1 to passes).foreach { p =>
+        jobs.synchronized { jobs.clear(); stageToJob.clear() }
+        val t0 = System.currentTimeMillis()
+        materialize()
+        val t1 = System.currentTimeMillis()
+        lastSpan = (t0, t1)
+        System.err.println(f"[profile] $name pass $p: ${(t1 - t0) / 1e3}%.3f s")
       }
-      System.err.println(f"[profile]   jobs total ${covered / 1e3}%.3f s; " +
-        f"wall ${(t1 - t0) / 1e3}%.3f s; driver gap ${(t1 - t0 - covered) / 1e3}%.3f s " +
-        "(gaps overlap-naive: concurrent jobs double-count)")
+      Thread.sleep(300) // let listener drain
+      val (t0, t1) = lastSpan
+      var covered = 0L
+      jobs.synchronized {
+        jobs.values.toSeq.sortBy(_.start).foreach { j =>
+          val dur = (j.end - j.start) / 1e3
+          covered += (j.end - j.start)
+          System.err.println(f"[profile]   job ${j.id}%3d ${dur}%7.3f s  " +
+            f"stages=${j.stages}%2d tasks=${j.tasks}%4d " +
+            f"shufR=${j.shufRead / 1024}%8d KB shufW=${j.shufWrite / 1024}%8d KB  ${j.desc.take(80)}")
+        }
+        System.err.println(f"[profile]   jobs total ${covered / 1e3}%.3f s; " +
+          f"wall ${(t1 - t0) / 1e3}%.3f s; driver gap ${(t1 - t0 - covered) / 1e3}%.3f s " +
+          "(gaps overlap-naive: concurrent jobs double-count)")
+      }
     }
     spark.stop()
   }

@@ -92,6 +92,18 @@ object SparkEntry {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** lineitem with the r17 scan-parallelism guard: the sf tables are laid
+    * out as a few parquet row groups, which caps every downstream stage of
+    * the compute-heavy OLAP pipelines (joins, Expand, decimal aggregates
+    * all run inside the scan stage once dims broadcast) at 2-3 tasks; at
+    * real scale the guard is a no-op (see util.Spread.scanWide). Keyed on
+    * l_orderkey — the fact key the order-grain joins use. Filters still
+    * push into the scan (predicates push through RepartitionByExpression).
+    */
+  private def lineitemWide(s: SparkSession, d: String): DataFrame =
+    graft.util.Spread.scanWide(
+      s.read.parquet(s"$d/lineitem.parquet"), col("l_orderkey"))
+
   /** Shared j1/j4 harness: purchases as-of-joined to the same user's most
     * recent prior click, output (purchase_id, user_id, purchase_ts,
     * click_ts, click_id) ordered by purchase id.
@@ -2491,7 +2503,8 @@ object SparkEntry {
       val e = emb(s, d)
       val cents = Similarity.ivfCentroids(e, 32)
       val dir = scratch("v24-ivfidx")
-      Similarity.ivfIndex(e, cents).write.mode("overwrite")
+      Similarity.ivfIndex(e, cents).transform(d0 => graft.util.Spread.byKey(d0, col("cell")))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(dir)
       Similarity.rangeSearchIndexed(s.read.parquet(dir), cents,
           e.where(col("vec_id") < 5), minCos = 0.25, nprobe = 32)
@@ -2507,7 +2520,8 @@ object SparkEntry {
       val corpus = plantedTopKEmb(s, d)
       val cents = Similarity.ivfCentroids(corpus, 32)
       val dir = scratch("v7-ivfidx") // per-process fixed dir: no per-run leak
-      Similarity.ivfIndex(corpus, cents).write.mode("overwrite")
+      Similarity.ivfIndex(corpus, cents).transform(d0 => graft.util.Spread.byKey(d0, col("cell")))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(dir)
       Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
           emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8)
@@ -2525,7 +2539,8 @@ object SparkEntry {
       val batch = all.where(col("vec_id") >= 200000L)
       val cents = Similarity.ivfCentroids(base, 32)
       val dir = scratch("v8-ivfidx")
-      Similarity.ivfIndex(base, cents).write.mode("overwrite")
+      Similarity.ivfIndex(base, cents).transform(d0 => graft.util.Spread.byKey(d0, col("cell")))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(dir)
       Similarity.ivfAppend(batch, cents, dir)
       Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
@@ -2762,7 +2777,8 @@ object SparkEntry {
       val batch = all.where(col("vec_id") >= 200000L)
       val cents = Similarity.ivfCentroids(base, 32)
       val dir = scratch("v18-ivfidx")
-      Similarity.ivfIndex(base, cents).write.mode("overwrite")
+      Similarity.ivfIndex(base, cents).transform(d0 => graft.util.Spread.byKey(d0, col("cell")))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(dir)
       (0 until 4).foreach { i =>
         Similarity.ivfAppend(batch.where(pmod(col("vec_id"), lit(4)) === i), cents, dir)
@@ -2808,7 +2824,8 @@ object SparkEntry {
       val corpus = plantedTopKEmb(s, d)
       val cents = Similarity.lloydRefine(corpus, Similarity.ivfCentroids(corpus, 32))
       val dir = scratch("v10-ivfidx")
-      Similarity.ivfIndex(corpus, cents).write.mode("overwrite")
+      Similarity.ivfIndex(corpus, cents).transform(d0 => graft.util.Spread.byKey(d0, col("cell")))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(dir)
       Similarity.ivfTopKIndexed(s.read.parquet(dir), cents,
           emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8)
@@ -2826,7 +2843,8 @@ object SparkEntry {
       val cents = Similarity.ivfCentroids(corpus, 32)
       val books = Similarity.pqCodebooks(corpus, 8, 64)
       val dir = scratch("v12-ivfpqidx") // per-process fixed dir: no per-run leak
-      Similarity.ivfPqIndex(corpus, cents, books).write.mode("overwrite")
+      Similarity.ivfPqIndex(corpus, cents, books).transform(d0 => graft.util.Spread.byKey(d0, col("cell")))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(dir)
       Similarity.ivfPqTopKIndexed(s.read.parquet(dir), cents, books, corpus,
           emb(s, d).where(col("vec_id") < 5), 10, nprobe = 8, shortlistSize = 150)
@@ -2867,7 +2885,8 @@ object SparkEntry {
       val corpus = plantedTopKEmb(s, d)
       val cents = Similarity.ivfCentroids(corpus, 32)
       val dir = scratch("v14-ivfidx") // per-process fixed dir: no per-run leak
-      Similarity.ivfIndex(corpus, cents).write.mode("overwrite")
+      Similarity.ivfIndex(corpus, cents).transform(d0 => graft.util.Spread.byKey(d0, col("cell")))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(dir) // static overwrite also clears stale tombstones
       Similarity.ivfDelete(
         corpus.where(col("vec_id") >= 200000L &&
@@ -2892,7 +2911,8 @@ object SparkEntry {
       val corpus = plantedLabeledEmb(s, d)
       val cents = Similarity.ivfCentroids(corpus, 32)
       val dir = scratch("v13-ivfidx") // per-process fixed dir: no per-run leak
-      Similarity.ivfIndex(corpus, cents).write.mode("overwrite")
+      Similarity.ivfIndex(corpus, cents).transform(d0 => graft.util.Spread.byKey(d0, col("cell")))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(dir)
       Similarity.ivfFilteredTopKIndexed(s.read.parquet(dir), cents,
           emb(s, d).where(col("vec_id") < 5), 5, nprobe = 8, col("label") === 0)
@@ -2915,7 +2935,7 @@ object SparkEntry {
       val books = Similarity.pqCodebooks(corpus, 8, 64)
       val dir = scratch("v16-ivfpqidx") // per-process fixed dir: no per-run leak
       Similarity.ivfPqIndex(corpus, cents, books, carry = Seq("label"))
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        .transform(d0 => graft.util.Spread.byKey(d0, col("cell"))).write.mode("overwrite").partitionBy("cell").parquet(dir)
       Similarity.ivfPqFilteredTopKIndexed(s.read.parquet(dir), cents, books,
           corpus, emb(s, d).where(col("vec_id") < 5), 5, nprobe = 8,
           shortlistSize = 150, col("label") === 0)
@@ -3202,7 +3222,8 @@ object SparkEntry {
       val cents = Similarity.ivfCentroids(base, 32)
       val dir = scratch("e11-ivfidx")
       val landing = scratch("e11-landing")
-      Similarity.ivfIndex(base, cents).write.mode("overwrite")
+      Similarity.ivfIndex(base, cents).transform(d0 => graft.util.Spread.byKey(d0, col("cell")))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(dir) // static overwrite resets the scratch index
       batch.repartition(4).write.mode("overwrite").parquet(landing)
       EventStream.streamIngestToIndex(s, landing, cents, dir)
@@ -3331,7 +3352,7 @@ object SparkEntry {
     // predicate, map-side partials into a 4-group exchange, exact decimal
     // money sums (double division only for the averages)
     "o1_pricing_summary" -> ((s, d) =>
-      Relational.pricingSummary(s.read.parquet(s"$d/lineitem.parquet"))),
+      Relational.pricingSummary(lineitemWide(s, d))),
 
     // Relational OLAP o2: Q3-shape top-10 open-order revenue in a market
     // segment — the selective customer dim broadcasts, revenue ranks on
@@ -3339,14 +3360,14 @@ object SparkEntry {
     "o2_top_orders" -> ((s, d) =>
       Relational.topOrderRevenue(s.read.parquet(s"$d/customer.parquet"),
         s.read.parquet(s"$d/orders.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"))),
+        lineitemWide(s, d))),
 
     // Relational OLAP o3: Q5-shape revenue by customer nation × order year
     // — two broadcast dims + ONE co-keyed fact-fact shuffle on orderkey
     "o3_nation_revenue" -> ((s, d) =>
       Relational.nationRevenue(s.read.parquet(s"$d/customer.parquet"),
         s.read.parquet(s"$d/orders.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"),
+        lineitemWide(s, d),
         s.read.parquet(s"$d/nation.parquet"))),
 
     // Relational OLAP o6: the nation×year report with ROLLUP subtotals —
@@ -3355,7 +3376,7 @@ object SparkEntry {
     "o6_rollup_report" -> ((s, d) =>
       Relational.nationRevenueRollup(s.read.parquet(s"$d/customer.parquet"),
         s.read.parquet(s"$d/orders.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"),
+        lineitemWide(s, d),
         s.read.parquet(s"$d/nation.parquet"))),
 
     // Relational OLAP o33: EXPLICIT grouping sets — just the two
@@ -3365,7 +3386,7 @@ object SparkEntry {
     "o33_grouping_sets" -> ((s, d) =>
       Relational.nationRevenueGroupingSets(s.read.parquet(s"$d/customer.parquet"),
         s.read.parquet(s"$d/orders.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"),
+        lineitemWide(s, d),
         s.read.parquet(s"$d/nation.parquet"))),
 
     // Relational OLAP o34: top-5 brands + the Other residual row so
@@ -3373,7 +3394,7 @@ object SparkEntry {
     // fact collapses ONCE to the per-brand table, localCheckpoint'd for
     // its three readers — never re-scanned per branch
     "o34_top_brands_other" -> ((s, d) =>
-      Relational.topBrandsWithOther(s.read.parquet(s"$d/lineitem.parquet"),
+      Relational.topBrandsWithOther(lineitemWide(s, d),
         s.read.parquet(s"$d/part.parquet"))),
 
     // Relational OLAP o35: brands-bought-together — support, directed
@@ -3382,7 +3403,7 @@ object SparkEntry {
     // bounded-quadratic per basket, never all-pairs across orders);
     // lift's triple product DECIMAL-widened, top-20 by lift
     "o35_basket_lift" -> ((s, d) =>
-      Relational.brandBasketLift(s.read.parquet(s"$d/lineitem.parquet"),
+      Relational.brandBasketLift(lineitemWide(s, d),
         s.read.parquet(s"$d/part.parquet"))),
 
     // Relational OLAP o4: Q17-shape correlated aggregate — revenue of
@@ -3390,7 +3411,7 @@ object SparkEntry {
     // the decorrelated per-part-aggregate + equi-join Catalyst rewrites
     // the subquery form into
     "o4_small_qty_revenue" -> ((s, d) =>
-      Relational.smallQuantityRevenue(s.read.parquet(s"$d/lineitem.parquet"))),
+      Relational.smallQuantityRevenue(lineitemWide(s, d))),
 
     // Relational OLAP o5: ranked-window analytics — each customer's top-2
     // orders by total price; the rank predicate plans as a partial
@@ -3405,7 +3426,7 @@ object SparkEntry {
     // side ids-only (plan-pinned: no cartesian, no post-join distinct)
     "o7_returned_breakdown" -> ((s, d) =>
       Relational.returnedOrderBreakdown(s.read.parquet(s"$d/orders.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"))),
+        lineitemWide(s, d))),
 
     // Relational OLAP o10: FRAME-aggregate window analytics — running
     // revenue total + 3-order moving average per customer (the ranking
@@ -3539,7 +3560,7 @@ object SparkEntry {
     // counted, not just that green suites stay green
     "c2_constraint_checks" -> ((s, d) =>
       graft.operators.Quality.constraintChecks(
-        s.read.parquet(s"$d/lineitem.parquet"),
+        lineitemWide(s, d),
         rowChecks = Seq(
           "quantity_in_range" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
           "quantity_le_30" -> (col("l_quantity") > 30),
@@ -3555,7 +3576,7 @@ object SparkEntry {
     // engines fabricate the same -1/-2/-3 rows) so the detector's nonzero
     // path is exercised; orders→customer is organic and clean
     "c3_referential_integrity" -> ((s, d) => {
-      val li = s.read.parquet(s"$d/lineitem.parquet").select("l_orderkey")
+      val li = lineitemWide(s, d).select("l_orderkey")
         .unionByName(s.range(1, 4).select((-col("id")).as("l_orderkey")))
       graft.operators.Quality.refIntegrity(li, "l_orderkey",
           s.read.parquet(s"$d/orders.parquet"), "o_orderkey", "lineitem_orders")
@@ -4295,21 +4316,21 @@ object SparkEntry {
     // integer-multiply (no division) against a 1-row broadcast stats join
     "o19_part_concentration" -> ((s, d) =>
       Relational.partValueConcentration(
-        s.read.parquet(s"$d/lineitem.parquet"))),
+        lineitemWide(s, d))),
 
     // O20 TPC-H Q15-shape: view + global max with ties — quarter revenue
     // per supplier, winners where the exact DECIMAL sum equals the max
     "o20_top_supplier" -> ((s, d) =>
       Relational.topRevenueSupplier(
         s.read.parquet(s"$d/supplier.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"))),
+        lineitemWide(s, d))),
 
     // O21 TPC-H Q16-shape: distinct-supplier counts per part attribute
     // with an ids-only exclusion anti join below the count
     "o21_supplier_diversity" -> ((s, d) =>
       Relational.supplierDiversity(
         s.read.parquet(s"$d/part.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"))),
+        lineitemWide(s, d))),
 
     // O22 TPC-H Q20-shape: the nested aggregate-threshold semi chain —
     // suppliers moving >45 units of a name-prefixed part in 1997
@@ -4328,7 +4349,7 @@ object SparkEntry {
     "o23_promo_revenue" -> ((s, d) =>
       Relational.promoRevenue(
         s.read.parquet(s"$d/part.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"),
+        lineitemWide(s, d),
         Seq(Relational.PromoBlock("Brand#12", 5, 1, 11),
           Relational.PromoBlock("Brand#23", 10, 10, 20),
           Relational.PromoBlock("Brand#3", 15, 20, 30)))),
@@ -4339,7 +4360,7 @@ object SparkEntry {
     "o24_promo_share" -> ((s, d) =>
       Relational.promoRevenueShare(
         s.read.parquet(s"$d/part.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"))),
+        lineitemWide(s, d))),
 
     // Relational OLAP o25 (TPC-H Q12 shape): per-returnflag line counts
     // bucketed by order priority — conditional counts across the one
@@ -4347,7 +4368,7 @@ object SparkEntry {
     "o25_priority_lines" -> ((s, d) =>
       Relational.priorityLineBuckets(
         s.read.parquet(s"$d/orders.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"))),
+        lineitemWide(s, d))),
 
     // Relational OLAP o26 (TPC-H Q8 shape): a supplier nation's market
     // share per order year inside one region × part-type market — the
@@ -4406,7 +4427,7 @@ object SparkEntry {
     // one scan, zero joins, all three predicates reaching the parquet
     // footers; completes the 22/22 TPC-H plan-shape sweep with o29
     "o28_discount_revenue" -> ((s, d) =>
-      Relational.discountRevenue(s.read.parquet(s"$d/lineitem.parquet"))),
+      Relational.discountRevenue(lineitemWide(s, d))),
 
     // Relational OLAP o29 (TPC-H Q10 shape): top-20 customers by returned
     // revenue — top-k BEFORE the dimension join, so the k-row side
@@ -4424,7 +4445,7 @@ object SparkEntry {
     "o8_cube_report" -> ((s, d) =>
       Relational.nationRevenueCube(s.read.parquet(s"$d/customer.parquet"),
         s.read.parquet(s"$d/orders.parquet"),
-        s.read.parquet(s"$d/lineitem.parquet"),
+        lineitemWide(s, d),
         s.read.parquet(s"$d/nation.parquet"))),
 
     "x5_bucketed_join" -> ((s, d) => {

@@ -249,33 +249,71 @@ object Bpe {
   /** The in-memory Sennrich loop over a (word, count) table. */
   private[graft] def trainMergesOnVocab(vocab: Seq[(String, Long)],
                                             numMerges: Int): Seq[(String, String)] = {
-    // words as symbol arrays; merging rewrites arrays in place
-    var words: Array[(Array[String], Long)] =
+    // Incremental Sennrich loop (r17): the previous form recounted EVERY
+    // adjacent pair of EVERY word per merge — O(corpus symbols) per merge,
+    // the dominant driver cost of a production-merge-count train (t19 runs
+    // to exhaustion under a 5000-merge cap). Here pair counts live in one
+    // mutable table maintained incrementally: a merge touches only the
+    // words that contain its pair (tracked by an inverted index), and the
+    // next top pair pops from an ordered candidate set. Selection
+    // semantics are unchanged and spec-pinned: exact long counts,
+    // overlap-inclusive adjacency, ties count desc then UTF-8-binary
+    // left/right asc, stop below count 2.
+    import scala.collection.mutable
+    val words: Array[(Array[String], Long)] =
       vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val symsOf = mutable.ArrayBuffer[Array[String]](words.map(_._1): _*)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // candidate order: count desc, then left/right UTF-8 asc — head = top
+    val byRank = new java.util.TreeSet[((String, String), Long)](
+      new java.util.Comparator[((String, String), Long)] {
+        def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+          if (x._2 != y._2) return if (x._2 > y._2) -1 else 1
+          if (x._1._1 != y._1._1) return if (utf8Lt(x._1._1, y._1._1)) -1 else 1
+          if (x._1._2 != y._1._2) return if (utf8Lt(x._1._2, y._1._2)) -1 else 1
+          0
+        }
+      })
+    def bump(k: (String, String), idx: Int, delta: Long): Unit = {
+      val old = counts.getOrElse(k, 0L)
+      if (old != 0L) { byRank.remove((k, old)); () }
+      val nw = old + delta
+      if (nw == 0L) { counts.remove(k); () }
+      else { counts.update(k, nw); byRank.add((k, nw)); () }
+      if (delta > 0) { where.getOrElseUpdate(k, mutable.Set.empty) += idx; () }
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val (syms, cnt) = (symsOf(wi), words(wi)._2)
+      var i = 0
+      while (i < syms.length - 1) { bump((syms(i), syms(i + 1)), wi, cnt); i += 1 }
+      wi += 1
+    }
+    val out = mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (out.length < numMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((syms, cnt) <- words if syms.length >= 2) {
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + cnt)
-          i += 1
+      if (byRank.isEmpty || byRank.first()._2 < 2L) exhausted = true
+      else {
+        val (a, b) = byRank.first()._1
+        out += ((a, b))
+        val touched = where.getOrElse((a, b), mutable.Set.empty).toArray
+        java.util.Arrays.sort(touched)
+        touched.foreach { idx =>
+          val cnt = words(idx)._2
+          val oldSyms = symsOf(idx)
+          var i = 0
+          while (i < oldSyms.length - 1) {
+            val k = (oldSyms(i), oldSyms(i + 1))
+            bump(k, idx, -cnt)
+            where.get(k).foreach { s => s -= idx; () }
+            i += 1
+          }
+          val newSyms = applyMergeLocal(oldSyms, a, b)
+          symsOf(idx) = newSyms
+          i = 0
+          while (i < newSyms.length - 1) { bump((newSyms(i), newSyms(i + 1)), idx, cnt); i += 1 }
         }
-      }
-      val top = counts.foldLeft(Option.empty[((String, String), Long)]) {
-        case (best, (k, c)) => best match {
-          case Some((bk, bc)) if bc > c || (bc == c && (utf8Lt(bk._1, k._1) ||
-            (bk._1 == k._1 && utf8Lt(bk._2, k._2)))) => best
-          case _ => Some((k, c))
-        }
-      }
-      top match {
-        case Some(((a, b), c)) if c >= 2 =>
-          out += ((a, b))
-          words = words.map { case (syms, cnt) => (applyMergeLocal(syms, a, b), cnt) }
-        case _ => exhausted = true
       }
     }
     out.toList

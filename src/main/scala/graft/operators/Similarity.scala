@@ -179,21 +179,32 @@ object Similarity {
   def lloydRefine(corpus: DataFrame, seed: Seq[Seq[Float]], iters: Int = 4): Seq[Seq[Float]] = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val dim = seed.headOption.map(_.size).getOrElse(0)
+    if (dim == 0) return seed // empty codebook: nothing to refine
     var cents = seed
     for (_ <- 0 until iters) {
+      // ONE map-side-combining aggregate per iteration, WITHOUT a Generate
+      // (r17): the former posexplode-to-(cell,dim,x) shape let the
+      // optimizer hoist the nearest-centroid probe ABOVE the explode, so
+      // the nlist×dim dot-product scan ran once per exploded row — d×
+      // overcomputed (measured: 1.9 s vs 0.33 s for the assignment scan at
+      // sf0.1). Per-dim aggregate columns keep the probe once per VECTOR
+      // and the decimal sum/count/divide chain is expression-for-
+      // expression the one the exploded groupBy ran — decimal addition is
+      // exact and order-free, so every mean is bit-identical. The nlist-row
+      // × dim-column result IS the codebook snapshot, collected directly.
       val assigned = corpus.select(
         element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
           .as("cell"),
-        posexplode(col("embedding")).as(Seq("dim", "x")))
-      // ONE map-side-combining aggregate per iteration; the nlist × dim
-      // (cell, dim, mean) rows ARE the codebook snapshot, so they collect
-      // directly — no second shuffle to re-assemble vectors distributedly
-      val means = assigned.groupBy("cell", "dim")
-        .agg((sum(col("x").cast("decimal(38,16)")) / count(lit(1)))
-          .cast("float").as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(2)).toMap
+        col("embedding"))
+      val meanCols = (0 until dim).map(j =>
+        (sum(element_at(col("embedding"), j + 1).cast("decimal(38,16)")) / count(lit(1)))
+          .cast("float").as(s"m$j"))
+      val rows = assigned.groupBy("cell")
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      val means = rows.map(r => r.getInt(0) -> (0 until dim).map(j => r.getFloat(j + 1))).toMap
       cents = cents.indices.map(i =>
-        (0 until dim).map(j => means.getOrElse((i, j), cents(i)(j))))
+        means.get(i).map(m => (0 until dim).map(m)).getOrElse(cents(i)))
     }
     cents
   }
@@ -960,7 +971,18 @@ object Similarity {
         (-cosineWithNorms(v, col("embedding"), norm(v), nrm)).as("neg"),
         lit(sid).as("sid"), lit(lab).as("lab"))
     }
-    val top = slice(sort_array(array(entries.toIndexedSeq: _*)), 1, k)
+    val topExpr = slice(sort_array(array(entries.toIndexedSeq: _*)), 1, k)
+    // `top` MUST be a materialized column, not an inline expression: the
+    // vote/argmax tree below references it ~2·|labels|+ times, and outside
+    // whole-stage-codegen CSE each reference would re-score and re-sort all
+    // |seeds| candidates — measured ~10× overcompute per row (r17). The
+    // Spread exchange doubles as the materialization barrier (CollapseProject
+    // cannot inline across it) and parallelizes the scoring scan, which the
+    // caller's deterministic ORDER BY additionally evaluates twice
+    // (range-partitioning sample + real pass — both now read the exchange).
+    val scored = graft.util.Spread.byKey(
+      corpus.select(col("vec_id"), topExpr.as("top")), col("vec_id"))
+    val top = col("top")
     val voteOf: Map[Long, Column] = labels.map(l =>
       l -> size(filter(top, x => x.getField("lab") === l)).cast("long")).toMap
     // argmax with ties to the smallest label: strictly-greater replaces
@@ -970,7 +992,7 @@ object Similarity {
         (when(voteOf(l) > bc, lit(l)).otherwise(bl),
           when(voteOf(l) > bc, voteOf(l)).otherwise(bc))
     }
-    corpus.select(col("vec_id"), predLab.as("label"), predVotes.as("votes"))
+    scored.select(col("vec_id"), predLab.as("label"), predVotes.as("votes"))
   }
 
   // ------------------------------------------------ MMR diversified top-k

@@ -299,8 +299,9 @@ object TextAnalysis {
     * n-gram order up.
     */
   def bigramLm(docs: DataFrame): DataFrame = {
-    val bc = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(ngrams(col("t"), 2)).as("bg"))
+    val bc = graft.util.Spread.byKey(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), explode(ngrams(tokens(col("text")), 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     val corpus = bc.groupBy("bg").agg(sum("c").as("bcnt"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
@@ -343,8 +344,13 @@ object TextAnalysis {
     */
   def trigramLmKN(docs: DataFrame): DataFrame = {
     val dD = lit(0.75)
-    val tg = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(ngrams(col("t"), 3)).as("tg"))
+    // r17: spread the raw text so tokenize+explode run parallel (the
+    // withShingles argument); the aggregates keep their own map-side-
+    // combining exchanges (a keyed pre-spread of RAW occurrences was
+    // measured 2x WORSE — it ships every occurrence string uncombined)
+    val tg = graft.util.Spread.byKey(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), explode(ngrams(tokens(col("text")), 3)).as("tg"))
       .groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
     val tri = tg.groupBy("tg").agg(sum("c").as("tcnt"))
       .withColumn("p", split(col("tg"), " "))
