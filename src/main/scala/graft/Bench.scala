@@ -179,8 +179,20 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}") }
+    // Output-contract ordering (r18, from the r17 verdict): the ~20 KB
+    // [bench-full] stderr dump raced the compact stdout line under sbt —
+    // stderr flushed last and evicted the compact line from the harness's
+    // 2000-char combined-output tail in BENCH_r16/r17 (PERF parsed: null
+    // every round). So: full dump first, stderr flushed, Spark stopped
+    // (its shutdown logging also goes to stderr), and the compact line is
+    // the LAST thing this process writes.
     System.err.println("[bench-full] " + full)
+    System.err.flush()
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
+    System.err.flush()
     println(compact)
-    spark.stop()
+    System.out.flush()
   }
 }

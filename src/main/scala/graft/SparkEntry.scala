@@ -1287,7 +1287,9 @@ object SparkEntry {
         .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
       val rebuilt = st.history()
         .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
-      val drift = disk.exceptAll(rebuilt).count() + rebuilt.exceptAll(disk).count()
+      // both exceptAll directions counted in ONE job (r18: the gate is the
+      // same set equality; two sequential counts paid planning + job twice)
+      val drift = disk.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(disk)).count()
       require(drift == 0, s"maintained history diverged from rebuild: $drift rows")
       disk.orderBy("id", "valid_from")
     }),
@@ -1637,7 +1639,8 @@ object SparkEntry {
         .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
       val rebuilt = st.history()
         .select(col("id"), col("title"), col("valid_from"), col("valid_to"))
-      val drift = disk.exceptAll(rebuilt).count() + rebuilt.exceptAll(disk).count()
+      // both exceptAll directions counted in ONE job (r18 gate fusion)
+      val drift = disk.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(disk)).count()
       require(drift == 0, s"pair history diverged from rebuild: $drift rows")
       disk.orderBy("id", "valid_from")
     }),

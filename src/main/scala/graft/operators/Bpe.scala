@@ -75,7 +75,7 @@ object Bpe {
     */
   def trainMerges(docs: DataFrame, numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
-    var vocab = docs
+    val vocab = docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(wrapped(col("w")).as("syms"), col("cnt"))
@@ -83,7 +83,18 @@ object Bpe {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (out.length < numMerges && !exhausted) {
-      val arr = split(trim(col("syms")), "  ")
+      // ONE job per merge (r18): the learned merges apply INLINE over the
+      // single checkpointed vocab — replace() composed left-to-right is
+      // exactly the stepwise re-merge the former per-iteration checkpoint
+      // materialized, so the counted symbols (and every selected pair) are
+      // identical, while the second scheduled job per merge (the
+      // localCheckpoint write) disappears. Re-evaluating ≤numMerges cheap
+      // replaces per row per iteration is the price; this gate runs at
+      // tens of merges by contract (production counts use the local
+      // trainer), where scheduling dominated.
+      val syms = out.foldLeft(col("syms")) { case (c, (a, b)) =>
+        replace(c, lit(pat(a, b)), lit(rep(a, b))) }
+      val arr = split(trim(syms), "  ")
       val top = vocab
         .where(size(arr) >= 2)
         .select(col("cnt"), explode(transform(sequence(lit(0), size(arr) - 2),
@@ -94,19 +105,7 @@ object Bpe {
         .orderBy(col("c").desc, col("a"), col("b"))
         .head(1)
       if (top.isEmpty || top.head.getLong(2) < 2) exhausted = true
-      else {
-        val (a, b) = (top.head.getString(0), top.head.getString(1))
-        out += ((a, b))
-        val next = vocab
-          .select(replace(col("syms"), lit(pat(a, b)), lit(rep(a, b))).as("syms"),
-            col("cnt"))
-          .localCheckpoint(true)
-        // the superseded checkpoint is never read again (next is fully
-        // materialized) — release its block-manager storage now instead of
-        // accumulating numMerges cached vocab copies for the session
-        unpersistCheckpoint(vocab)
-        vocab = next
-      }
+      else out += ((top.head.getString(0), top.head.getString(1)))
     }
     unpersistCheckpoint(vocab)
     out.toList

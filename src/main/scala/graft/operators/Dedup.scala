@@ -111,10 +111,19 @@ object Dedup {
     // ships it once per (partition, shingle). Worst-case per-key work is
     // C(df,2) in both shapes (the self-join also fanned a hot shingle's df²
     // pairs inside one task), and maxDf bounds it exactly as before.
+    // Hot-key memory bound (r18, guide §5): the list aggregate is the capped
+    // kernel — exact df count plus at most maxDf+1 collected ids per key, so
+    // a corpus-hot stop-shingle (df ≫ maxDf) costs a counter and a bounded
+    // buffer instead of materializing its whole posting list before the df
+    // cut (the r17 shape buffered first, filtered after). Every key the df
+    // window KEEPS has df ≤ maxDf < cap, so its list is complete — the pair
+    // expansion below is unchanged row-for-row.
+    val cap = if (maxDf >= Int.MaxValue) Int.MaxValue else maxDf + 1
     val lists = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")).between(2, maxDf))
-      .select(array_sort(col("ids")).as("ids"))
+      .groupBy("s")
+      .agg(graft.functions.CappedCollect.ids(col("doc_id"), cap).as("cl"))
+      .where(col("cl.df").between(2, maxDf))
+      .select(array_sort(col("cl.ids")).as("ids"))
     lists
       .select(col("ids"), posexplode(col("ids")).as(Seq("p", "a_id")))
       .select(col("a_id"), explode(slice(col("ids"), col("p") + 2,

@@ -952,10 +952,18 @@ object Pipeline {
                          vocabSize: Int = 256,
                          rangeBuckets: Int = 1024): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val dsir = dsirWeights(docs, target, vocabSize)
+    // ONE corpus barrier feeds all three tokenize consumers (r18, the
+    // withShingles discipline): DSIR's (doc_id, feat) counts, the
+    // classifier's training counts, and the scoring pass all descend from
+    // the same doc_id-keyed exchange, so ReuseExchange runs the scan once
+    // and each consumer re-tokenizes post-exchange in parallel — the
+    // former shape re-scanned and re-tokenized the corpus per leg, twice
+    // of it inside one-task scan stages (the p24 profile's serial legs).
+    val raw = graft.util.Spread.byKey(docs, col("doc_id"))
+    val dsir = dsirWeights(raw, target, vocabSize)
       .select(col("doc_id"), col("logw"))
-    val clf = TextAnalysis.scoreWithClassifier(docs,
-        TextAnalysis.trainQualityClassifier(docs, vocabSize = vocabSize))
+    val clf = TextAnalysis.scoreWithClassifier(raw,
+        TextAnalysis.trainQualityClassifier(raw, vocabSize = vocabSize))
       .select(col("doc_id"), col("score_micros"))
     val ranked = Relational.bucketedRank(
         Relational.bucketedRank(dsir.join(clf, Seq("doc_id")),

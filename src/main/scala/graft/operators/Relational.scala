@@ -1029,6 +1029,43 @@ object Relational {
       .drop("__bkt", "__rn", "__off", "__lo", "__hi")
   }
 
+  /** [[bucketedRank]] fused across INDEPENDENT rank axes sharing one scan
+    * (r18): rows carry a `groupCol` axis tag, and every windowed/aggregate
+    * step partitions by (axis, bucket) — so N axes cost ONE bounds
+    * aggregate, ONE offsets aggregate, and ONE window pass instead of N of
+    * each (the o32 profile: three sequential bucketedRank pipelines ≈ 60
+    * small jobs, each a broadcast-build + window leg). Ascending only:
+    * callers encode a descending axis by negating the (long) value — exact,
+    * and order-isomorphic including ties. Per-axis ranks are bit-identical
+    * to per-axis [[bucketedRank]] calls: bucket boundaries derive from the
+    * axis's own min/max with the same float formula, and the reconstructed
+    * rank is the exact (value, tie) total order regardless of bucketing.
+    */
+  private[graft] def bucketedRankGrouped(df: DataFrame, groupCol: String,
+                                         valueCol: String, tieCol: String,
+                                         rangeBuckets: Int = 1024): DataFrame = {
+    require(rangeBuckets > 0, s"rangeBuckets must be positive: $rangeBuckets")
+    val bounds = df.groupBy(groupCol)
+      .agg(min(valueCol).as("__lo"), max(valueCol).as("__hi"))
+    val span = (col("__hi") - col("__lo")).cast("double")
+    val pos = col(valueCol) - col("__lo")
+    val bucket = when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+      least(lit(rangeBuckets - 1L),
+        floor(pos.cast("double") / span * rangeBuckets).cast("long")))
+    val inW = Window.partitionBy(groupCol, "__bkt")
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    val offW = Window.partitionBy(groupCol).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = df.join(broadcast(bounds), groupCol).withColumn("__bkt", bucket)
+    val offsets = b.groupBy(groupCol, "__bkt").agg(count(lit(1)).as("__bn"))
+      .select(col(groupCol), col("__bkt"),
+        coalesce(sum("__bn").over(offW), lit(0L)).as("__off"))
+    b.withColumn("__rn", row_number().over(inW))
+      .join(broadcast(offsets), Seq(groupCol, "__bkt"))
+      .withColumn("rank", col("__rn") + col("__off"))
+      .drop("__bkt", "__rn", "__off", "__lo", "__hi")
+  }
+
   /** Customer REVENUE CONCENTRATION — the Pareto report behind every
     * account-tiering and risk decision ("the top decile carries X% of
     * revenue"): customers ranked by lifetime revenue, bucketed into
@@ -1109,19 +1146,28 @@ object Relational {
     val base = perCust.crossJoin(broadcast(hwm))
       .withColumn("rec_days", datediff(col("hwm"), col("last_day")).cast("long"))
       .drop("hwm")
-    def score(df: DataFrame, valueCol: String, ascending: Boolean,
-              name: String): DataFrame =
-      bucketedRank(df.select(col("cust"), col(valueCol)), valueCol, "cust",
-          ascending, rangeBuckets)
-        .select(col("cust"),
-          (expr(s"(rank - 1) * $buckets DIV ${n}L") + 1L).as(name))
-    // stalest customer ranks FIRST on the recency axis (descending days),
-    // so score 1 = most stale, `buckets` = most recent — same polarity as
-    // frequency/monetary ascending
-    val out = score(base, "rec_days", ascending = false, "r_score")
-      .join(score(base, "freq", ascending = true, "f_score"), "cust")
-      .join(score(base, "mon", ascending = true, "m_score"), "cust")
-      .join(base.select("cust", "mon"), "cust")
+    // The three global ranks run FUSED (r18): one (cust, axis, value) unpivot
+    // through a single [[bucketedRankGrouped]] pass — one bounds aggregate,
+    // one offsets aggregate, one window — where the former three sequential
+    // bucketedRank pipelines paid each of those per axis (~60 small jobs in
+    // the o32 profile). Per-axis ranks are bit-identical: recency's
+    // descending order is encoded exactly as ascending −rec_days (same
+    // buckets, same (value, tie) total order — stalest customer still ranks
+    // first, score 1 = most stale), and the m-axis row carries `mon` itself,
+    // so the final segment aggregate needs no join back to the base.
+    val un = base.select(col("cust"), explode(array(
+        struct(lit("r").as("ax"), (lit(0L) - col("rec_days")).as("v")),
+        struct(lit("f").as("ax"), col("freq").as("v")),
+        struct(lit("m").as("ax"), col("mon").as("v")))).as("x"))
+      .select(col("cust"), col("x.ax").as("ax"), col("x.v").as("v"))
+    val scored = bucketedRankGrouped(un, "ax", "v", "cust", rangeBuckets)
+      .select(col("cust"), col("ax"), col("v"),
+        (expr(s"(rank - 1) * $buckets DIV ${n}L") + 1L).as("score"))
+    val out = scored.groupBy("cust").agg(
+        max(when(col("ax") === "r", col("score"))).as("r_score"),
+        max(when(col("ax") === "f", col("score"))).as("f_score"),
+        max(when(col("ax") === "m", col("score"))).as("m_score"),
+        max(when(col("ax") === "m", col("v"))).as("mon"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_cust"), sum("mon").as("mon_cents"))
       .orderBy("r_score", "f_score", "m_score")

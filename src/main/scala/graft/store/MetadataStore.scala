@@ -408,9 +408,9 @@ class MetadataStore(spark: SparkSession, rootDir: String,
           val v = nextVersion
           val staging = root.resolve(
             s".staging-delta-$v-${java.util.UUID.randomUUID.toString.take(8)}")
-          Seq(normalized).toDS().toDF()
-            .withColumn(VersionCol, lit(v)).withColumn(OpCol, lit("upsert"))
-            .write.mode("overwrite").parquet(staging.toString)
+          // driver-side stage (one entry — see writeDelta); protocol unchanged
+          DirectParquet.writeRows(spark, staging, deltaSchema,
+            Seq(deltaRow(normalized, v, "upsert")))
           if (claimAndCommit(staging, "delta", v,
               fresh = versionOf(entry.id) == expectedVersion))
             outcome = Some(true)
@@ -984,8 +984,40 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     }
   }
 
-  private def writeDelta(entries: Seq[MetadataEntry], op: String): Unit =
-    writeDeltaDF(entries.toDS().toDF(), op)
+  /** One delta row in [[deltaSchema]] field order. */
+  private def deltaRow(e: MetadataEntry, v: Long, op: String): Row =
+    Row(e.id, e.category, e.creationTime, e.dataSample, e.format, e.isPublic,
+      e.orgUUID, e.recordCount, e.size, e.sourceUri, e.targetUri, e.title,
+      e.storeType.orNull, v, op)
+
+  /** Seq-overload delta write — DRIVER-SIDE (r18): the rows are already
+    * driver-resident and metadata-scale by the caller's contract (point
+    * mutations, small validated batches), so staging them through a
+    * Dataset plan + a scheduled one-task job + the Hadoop commit protocol
+    * was ~100 ms of pure engine overhead per mutation (the JobProfile
+    * "driver gap" that dominated every store scenario). The staged file
+    * is produced by Spark's own ParquetWriteSupport under the session
+    * conf (byte-compatible with the executor write path — see
+    * [[DirectParquet]]); the optimistic stage → claim → atomic publish →
+    * pointer-swap protocol around it is IDENTICAL to [[writeDeltaDF]]'s.
+    * Corpus-scale mutations keep their executor-side writes ([[bulkLoad]],
+    * the Dataset [[upsertAll]], [[merge]]).
+    */
+  private def writeDelta(entries: Seq[MetadataEntry], op: String): Unit = this.synchronized {
+    var committed = false
+    while (!committed) {
+      val v = nextVersion
+      val staging = root.resolve(
+        s".staging-delta-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+      try {
+        DirectParquet.writeRows(spark, staging, deltaSchema,
+          entries.map(deltaRow(_, v, op)))
+        committed = claimAndCommit(staging, "delta", v)
+      } finally {
+        if (!committed) graft.util.FsUtil.deleteRecursively(staging)
+      }
+    }
+  }
 
   /** Executor-side delta write — bulk loads never pass through the driver.
     *
@@ -1017,6 +1049,18 @@ object MetadataStore {
     * kind ∈ delta | base | truncate.
     */
   final case class VersionEvent(version: Long, kind: String)
+
+  /** Schema of the PERSISTED SCD2 history layout ([[writeHistory]]): entry
+    * columns + the [valid_from, valid_to) interval + the `bucket` partition
+    * column. Passing it to readers skips per-directory footer inference —
+    * the layout is this module's own write contract, so inference buys
+    * nothing and costs one footer read per directory per maintenance op.
+    */
+  val historySchema: org.apache.spark.sql.types.StructType =
+    MetadataSchema.structType
+      .add("valid_from", "long", nullable = true)
+      .add("valid_to", "long", nullable = true)
+      .add("bucket", "int", nullable = true)
 
   /** Per-arm row counts of one [[MetadataStore.merge]] commit. */
   final case class MergeStats(inserted: Long, updated: Long, deleted: Long)
@@ -1199,7 +1243,9 @@ object MetadataStore {
   private[graft] def historyRefreshFold(spark: SparkSession, histPath: String,
                                         changes: DataFrame, nBuckets: Int,
                                         touched: Seq[Int]): DataFrame = {
-    val histOld = spark.read.parquet(histPath)
+    // explicit schema (r18): the layout is writeHistory's own contract —
+    // per-advance footer inference was pure driver overhead
+    val histOld = spark.read.schema(MetadataStore.historySchema).parquet(histPath)
       .where(col("bucket").isin(touched.map(Int.box): _*))
     maintainHistory(histOld,
       changes.withColumn("bucket",
@@ -1236,7 +1282,7 @@ object MetadataStore {
       .select(graft.operators.ViewMaintenance.viewBucket(col("id"), nBuckets)
         .as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val slice = spark.read.parquet(histPath)
+    val slice = spark.read.schema(MetadataStore.historySchema).parquet(histPath)
       .where(col("bucket").isin(touched.map(Int.box): _*)) // static partition pruning
     val doomed = slice.join(broadcast(ids), Seq("id"), "left_semi").count()
     if (doomed == 0L) return 0L // already purged (or never present): no-op

@@ -267,7 +267,11 @@ object PairCommit {
       winner.groupBy(_._2).map { case (gi, kvs) => gi -> kvs.keys.toSeq }
     byGen.toSeq.sortBy(_._1).map { case (gi, buckets) =>
       val p = genPath(root, gi).toString
-      spark.read.option("basePath", p).parquet(p)
+      // explicit schema (r18): the layout is writeHistory's by contract, so
+      // per-generation footer inference — one read per gen per advance, a
+      // growing driver cost as generations accrete — buys nothing
+      spark.read.option("basePath", p).schema(MetadataStore.historySchema)
+        .parquet(p)
         .where(col("bucket").isin(buckets.map(Int.box): _*))
     }.reduce(_ unionByName _)
   }

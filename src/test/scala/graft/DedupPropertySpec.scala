@@ -231,6 +231,60 @@ class DedupPropertySpec extends AnyFunSuite with Matchers with SparkSupport {
     out(2L) shouldBe ((2L, 11L, 10L, md5hex("sep")))
   }
 
+  test("capped collect kernel: exact df always; complete list below the cap; bounded above it") {
+    import org.apache.spark.sql.functions.{col, array_sort, collect_list, count, size, struct}
+    // heavy-tailed keys: key k appears k times (k = 1..40), values distinct
+    val rows = for (k <- 1 to 40; i <- 1 to k) yield (s"k$k", k.toLong * 1000 + i)
+    val df = rows.toDF("s", "doc_id").repartition(7) // force partial/merge paths
+    val cap = 21 // maxDf = 20 consumer shape
+    val got = df.groupBy("s")
+      .agg(graft.functions.CappedCollect.ids(col("doc_id"), cap).as("cl"))
+      .select(col("s"), col("cl.df").as("df"), array_sort(col("cl.ids")).as("ids"))
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val ref = df.groupBy("s")
+      .agg(count(col("doc_id")).as("df"), array_sort(collect_list(col("doc_id"))).as("ids"))
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for (k <- 1 to 40) {
+      val (gotDf, gotIds) = got(s"k$k")
+      gotDf shouldBe k.toLong // df exact on every key, hot or not
+      if (k < cap) gotIds shouldBe ref(s"k$k")._2 // complete below the cap
+      else {
+        gotIds.length shouldBe cap // bounded above it — the §5 memory contract
+        gotIds.toSet.subsetOf(ref(s"k$k")._2.toSet) shouldBe true
+      }
+    }
+  }
+
+  test("blockedIdPairs unchanged by the capped kernel: equals the uncapped count-filter reference") {
+    import org.apache.spark.sql.functions.{col, collect_list, count, explode, array_sort, posexplode, slice, greatest, lit}
+    import org.apache.spark.sql.functions.{size => asize}
+    for (seed <- 1 to 2) {
+      val d = corpus(seed)
+      val pairs = Dedup.jaccardPairs(d, maxDf = 5, minShared = 2)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      // reference blocking: plain collect_list with a size filter (the r17
+      // shape), identical expansion
+      val sh = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      val lists = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+        .where(asize(col("ids")).between(2, 5))
+        .select(array_sort(col("ids")).as("ids"))
+      val refPairs = lists
+        .select(col("ids"), posexplode(col("ids")).as(Seq("p", "a_id")))
+        .select(col("a_id"), explode(slice(col("ids"), col("p") + 2,
+          greatest(asize(col("ids")) - col("p") - 1, lit(0)))).as("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).select("a_id", "b_id")
+      val j = graft.functions.VectorHash.jaccardCol(col("sa"), col("sb"))
+      val refVerified = refPairs
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+        .where(org.apache.spark.sql.functions.round(j, 6) >= 0.8)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      pairs shouldBe refVerified
+    }
+  }
+
   test("property: exact dedup output ids are minimal per hash and cover all distinct texts") {
     val d = corpus(31)
     val out = Dedup.exact(d).select("doc_id", "content_hash")
