@@ -461,11 +461,20 @@ object Dedup {
         .select(col("u"), least(col("_old"), coalesce(col("_nl"), col("_old"))).as("lbl"),
           col("_old"))
       val jump = stepped.select(col("u").as("_ju"), col("lbl").as("_jl"))
+      // convergence rides the checkpoint's own materialization as an
+      // observe() metric (r18): the former separate count job cost one
+      // scheduled action + plan per round for a number the checkpoint pass
+      // already computes
+      val obs = org.apache.spark.sql.Observation(
+        s"graft-cc-changed-${java.util.UUID.randomUUID.toString.take(8)}")
       val next = cut(stepped.join(jump, col("lbl") === col("_ju"), "left")
         .select(col("u"), least(col("lbl"), coalesce(col("_jl"), col("lbl"))).as("lbl"),
-          col("_old")))
-      val changed = Option(next.agg(sum(when(col("lbl") =!= col("_old"), 1L))).head().get(0))
-        .fold(0L)(_.asInstanceOf[Long]) // null = empty graph: already converged
+          col("_old"))
+        .observe(obs, sum(when(col("lbl") =!= col("_old"), 1L)).as("changed")))
+      val changed = obs.get.get("changed") match {
+        case Some(n: Number) => n.longValue
+        case _ => 0L // null = empty graph: already converged
+      }
       converged = changed == 0L
       labels = next.drop("_old")
       iter += 1

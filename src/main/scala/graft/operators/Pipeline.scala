@@ -952,48 +952,90 @@ object Pipeline {
                          vocabSize: Int = 256,
                          rangeBuckets: Int = 1024): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // ONE corpus barrier feeds all three tokenize consumers (r18, the
-    // withShingles discipline): DSIR's (doc_id, feat) counts, the
-    // classifier's training counts, and the scoring pass all descend from
-    // the same doc_id-keyed exchange, so ReuseExchange runs the scan once
-    // and each consumer re-tokenizes post-exchange in parallel — the
-    // former shape re-scanned and re-tokenized the corpus per leg, twice
-    // of it inside one-task scan stages (the p24 profile's serial legs).
-    val raw = graft.util.Spread.byKey(docs, col("doc_id"))
-    val dsir = dsirWeights(raw, target, vocabSize)
-      .select(col("doc_id"), col("logw"))
-    val clf = TextAnalysis.scoreWithClassifier(raw,
-        TextAnalysis.trainQualityClassifier(raw, vocabSize = vocabSize))
-      .select(col("doc_id"), col("score_micros"))
+    // The corpus (doc_id, feat, c) count table is materialized ONCE and
+    // read by its consumers from storage (r18): DSIR reads it twice (the
+    // raw-model counts broadcast and the per-doc score fold), and the
+    // classifier's scoring leg derives score_micros from it as
+    // Σ c·weight(feat) — long-exact and occurrence-for-occurrence equal to
+    // the weightSum kernel over re-tokenized text (spec-pinned) — instead
+    // of re-tokenizing the corpus a third time. The former shape tokenized
+    // the corpus once per leg (the p24 profile's four ~0.3-1.0 s corpus
+    // jobs). A full-corpus Spread barrier was tried first and measured
+    // WORSE (7.7 s vs 6.2: every broadcast subquery re-read the exchange
+    // and re-tokenized) and reverted — §1 discipline.
+    // EAGER materialization (localCheckpoint(true)), not a lazy persist: the
+    // consumers launch as ~10 CONCURRENT broadcast-subquery jobs, and a lazy
+    // cache races — every concurrent reader recomputes the unbuilt
+    // partitions independently (measured: 10 simultaneous copies of the
+    // tokenize+count stage, 16.9 s). The eager cut runs the corpus pass
+    // once; everything downstream reads the materialized rows.
+    val rawTc = docTokenCounts(docs).localCheckpoint(true)
+    // the target's feature space, eager for the same reason — it feeds the
+    // log-ratio join AND the target-total broadcast, each of which would
+    // otherwise re-run the target tokenize pass
+    val space = dsirVocab(target, vocabSize).localCheckpoint(true)
+    val lr = dsirLogRatio(space, dsirRawCounts(rawTc, space), vocabSize)
+    val weights = TextAnalysis.trainQualityClassifier(docs, vocabSize = vocabSize)
+      .withColumnRenamed("token", "feat")
+    // BOTH selectors fold in ONE pass over the count table: a combined
+    // per-feature reference (lw for DSIR, weight_micros for the classifier;
+    // both metadata-scale) broadcasts, and one doc_id aggregate computes the
+    // two scores. Exactness: the DSIR float sum sees the identical c·lw
+    // terms in the identical row order (extra vocab-only rows contribute the
+    // exact additive identity c·0.0 = +0.0), and the classifier sum is long
+    // arithmetic, order-free and occurrence-for-occurrence equal to the
+    // weightSum kernel (Σ over occurrences ≡ Σ c·w over per-doc counts).
+    val ref = lr.join(weights, Seq("feat"), "full_outer")
+    val folded = rawTc.join(broadcast(ref), Seq("feat"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * coalesce(col("lw"), lit(0.0))).as("w"),
+        sum(col("c") * coalesce(col("weight_micros"), lit(0L))).as("s"))
+    val scoredAll = docs.select("doc_id").join(folded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("w"), lit(0.0)), 4).as("logw"),
+        coalesce(col("s"), lit(0L)).as("score_micros"))
     val ranked = Relational.bucketedRank(
-        Relational.bucketedRank(dsir.join(clf, Seq("doc_id")),
+        Relational.bucketedRank(scoredAll,
             "logw", "doc_id", ascending = false, rangeBuckets)
           .withColumnRenamed("rank", "dsir_rank"),
         "score_micros", "doc_id", ascending = false, rangeBuckets)
       .withColumnRenamed("rank", "clf_rank")
     ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = ranked.count()
-    require(n >= 2, s"selectionAgreement needs >= 2 documents, got $n")
+    // ONE summary action materializes the persisted ranks and carries n,
+    // Σd², and the top-k overlap together; ρ is then EXACT driver-side
+    // BigInt arithmetic (the same 6·Σd²·10⁶ div (n³−n) floor division —
+    // operands non-negative, so trunc ≡ floor ≡ the SQL DIV) injected as
+    // literals — the former shape paid a separate count() job plus a
+    // summary-broadcast build job for the same three numbers.
     val d = col("dsir_rank") - col("clf_rank")
-    val summary = ranked.agg(
+    val sumRow = ranked.agg(
         sum((d * d).cast("decimal(38,0)")).as("sd2"),
         sum(when(col("dsir_rank") <= k && col("clf_rank") <= k, 1L)
-          .otherwise(0L)).as("overlap_n"))
-      .select(
-        (lit(1000000L) - expr(
-          s"CAST(6 AS DECIMAL(38,0)) * sd2 * 1000000 DIV " +
-            s"(CAST($n AS DECIMAL(38,0)) * $n * $n - $n)")).as("rho_e6"),
-        col("overlap_n"))
+          .otherwise(0L)).as("overlap_n"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    val n = sumRow.getLong(2)
+    require(n >= 2, s"selectionAgreement needs >= 2 documents, got $n")
+    val sd2 = BigInt(sumRow.getDecimal(0).toBigInteger)
+    val overlapN = sumRow.getLong(1)
+    val rhoE6 = 1000000L - (BigInt(6) * sd2 * 1000000 /
+      (BigInt(n) * n * n - n)).toLong
     val out = ranked
       .where((col("dsir_rank") <= k) =!= (col("clf_rank") <= k))
       .withColumn("side",
         when(col("dsir_rank") <= k, "dsir_only").otherwise("clf_only"))
-      .crossJoin(broadcast(summary))
       .select(col("doc_id"), col("side"), col("dsir_rank"), col("clf_rank"),
-        col("logw"), col("score_micros"), col("rho_e6"), col("overlap_n"))
+        col("logw"), col("score_micros"),
+        lit(rhoE6).as("rho_e6"), lit(overlapN).as("overlap_n"))
       .orderBy("side", "doc_id")
       .localCheckpoint(true)
     ranked.unpersist()
+    // release the eager checkpoints' block-manager storage (dead once `out`
+    // is materialized — the Bpe.unpersistCheckpoint discipline)
+    Seq(rawTc, space).foreach(_.queryExecution.analyzed match {
+      case lrdd: org.apache.spark.sql.execution.LogicalRDD => lrdd.rdd.unpersist(false)
+      case _ => ()
+    })
     out
   }
 

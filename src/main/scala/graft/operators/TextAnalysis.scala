@@ -814,7 +814,14 @@ object TextAnalysis {
     */
   def trainQualityClassifier(docs: DataFrame, posMicros: Long = 500000L,
                              vocabSize: Int = 256): DataFrame =
-    classifierWeights(classifierCounts(docs, posMicros), vocabSize)
+    // eager count table (r18): classifierWeights reads its input TWICE (the
+    // class-total broadcast and the weight projection), and as broadcast
+    // subqueries those reads re-ran the corpus tokenize+count pass once
+    // each; the checkpoint (|corpus vocab| rows — metadata-scale) runs it
+    // once. Values unchanged; maintenance paths call classifierWeights
+    // directly with their own materialized count tables.
+    classifierWeights(
+      classifierCounts(docs, posMicros).localCheckpoint(true), vocabSize)
 
   /** The classifier's TRAINING STATE: one `(token, pc, nc)` row per
     * corpus token — per-class occurrence counts under the quality label.

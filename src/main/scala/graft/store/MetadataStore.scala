@@ -565,36 +565,47 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     // stream side of a sort-merge instead
     val curHit = resolved.select(entryCols.map(col): _*)
       .join(broadcast(src.select(col("id"))), Seq("id"))
+    // the source⋈current probe is materialized ONCE (source-scale, the
+    // former persist's role — still exactly one snapshot scan), with
+    // columns disambiguated so the three arms read the checkpoint
     val j = src.alias("s").join(curHit.alias("c"), col("s.id") === col("c.id"), "left")
-    val matched = col("c.id").isNotNull
-    def sc(n: String) = col(s"s.$n")
-    def cc(n: String) = col(s"c.$n")
-    val deleteRows = j.where(col("s._delete") && matched)
+      .select((entryCols.map(n => col(s"s.$n").as(s"s_$n")) :+
+        col("s._delete").as("_delete")) ++
+        entryCols.map(n => col(s"c.$n").as(s"c_$n")): _*)
+      .localCheckpoint(true)
+    val matched = col("c_id").isNotNull
+    def sc(n: String) = col(s"s_$n")
+    def cc(n: String) = col(s"c_$n")
+    val deleteRows = j.where(col("_delete") && matched)
       .select(entryCols.map(n => cc(n).as(n)): _*)
       .withColumn(OpCol, lit("delete")).withColumn("_arm", lit("deleted"))
-    val updateRows = j.where(!col("s._delete") && matched)
+    val updateRows = j.where(!col("_delete") && matched)
       .select(entryCols.map(n =>
         if (n == "id") sc(n).as(n) else coalesce(sc(n), cc(n)).as(n)): _*)
       .withColumn(OpCol, lit("upsert")).withColumn("_arm", lit("updated"))
-    val insertRows = j.where(!col("s._delete") && !matched)
+    val insertRows = j.where(!col("_delete") && !matched)
       .select(entryCols.map(n => sc(n).as(n)): _*)
       .withColumn("creationTime", coalesce(col("creationTime"), lit(now)))
       .withColumn(OpCol, lit("upsert")).withColumn("_arm", lit("inserted"))
+    // per-arm counts and the validity audit ride the staging write itself
+    // as observe() metrics (r18, the upsertAll discipline) — the former
+    // shape paid a persisted invalid-count job plus a byArm collect job
+    // for numbers the write pass computes anyway. An invalid row still
+    // aborts BEFORE the commit point (the staged dir is discarded —
+    // readers can never observe it), and a zero-arm merge still commits
+    // nothing.
+    val audit = org.apache.spark.sql.Observation(
+      s"graft-merge-audit-${java.util.UUID.randomUUID.toString.take(8)}")
     val all = deleteRows.unionByName(updateRows).unionByName(insertRows)
-    all.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .observe(audit,
+        sum(when(col("_arm") === "inserted", 1L).otherwise(0L)).as("inserted"),
+        sum(when(col("_arm") === "updated", 1L).otherwise(0L)).as("updated"),
+        sum(when(col("_arm") === "deleted", 1L).otherwise(0L)).as("deleted"),
+        sum(when(col(OpCol) === "upsert" && !Validation.validColumn, 1L)
+          .otherwise(0L)).as("invalid"))
     try {
-      val invalid = all
-        .where(col(OpCol) === "upsert" && !Validation.validColumn).count()
-      require(invalid == 0L,
-        s"merge rejected: $invalid invalid merged row(s) — nothing committed")
-      val byArm = all.groupBy("_arm").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val stats = MetadataStore.MergeStats(
-        byArm.getOrElse("inserted", 0L),
-        byArm.getOrElse("updated", 0L),
-        byArm.getOrElse("deleted", 0L))
-      if (stats.inserted + stats.updated + stats.deleted == 0L) return stats
       var committed = false
+      var stats: MetadataStore.MergeStats = null
       while (!committed) {
         val v = nextVersion
         val staging = root.resolve(
@@ -602,13 +613,32 @@ class MetadataStore(spark: SparkSession, rootDir: String,
         try {
           all.drop("_arm").withColumn(VersionCol, lit(v))
             .write.mode("overwrite").parquet(staging.toString)
+          // metrics latch on the FIRST action; a CAS-retry re-write (only
+          // the version literal changes) needs no re-audit
+          val m = audit.get
+          def mLong(name: String): Long = m.get(name) match {
+            case Some(n: Number) => n.longValue
+            case _ => 0L
+          }
+          val invalid = mLong("invalid")
+          require(invalid == 0L,
+            s"merge rejected: $invalid invalid merged row(s) — nothing committed")
+          stats = MetadataStore.MergeStats(
+            mLong("inserted"), mLong("updated"), mLong("deleted"))
+          if (stats.inserted + stats.updated + stats.deleted == 0L) return stats
           committed = claimAndCommit(staging, "delta", v)
         } finally {
           if (!committed) graft.util.FsUtil.deleteRecursively(staging)
         }
       }
       stats
-    } finally { all.unpersist(); () }
+    } finally {
+      // release the eager checkpoint's block-manager storage
+      j.queryExecution.analyzed match {
+        case lrdd: org.apache.spark.sql.execution.LogicalRDD => lrdd.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
   }
 
   /** S4 partial update: replace a subset of fields on one entry; update keys

@@ -1068,12 +1068,16 @@ object EventStream {
     if (fold.nonEmpty) {
       graft.util.FsUtil.deleteRecursively(
         java.nio.file.Paths.get(s"$logDir/batches/batch=-1"))
-      spark.read.parquet(staging).coalesce(1)
-        .write.mode("overwrite").parquet(s"$logDir/batches/batch=-1")
+      // the staged fold IS the new segment — promote it with one atomic
+      // rename (r18) instead of a second read-and-rewrite job; the staging
+      // dir was fully written before any delete, so the crash windows are
+      // unchanged (single-writer maintenance contract)
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(s"$logDir/batches/batch=-1"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(logDir, "_compacted_up_to"),
         math.max(horizon, upToBatch).toString)
-      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
     }
     spark.catalog.refreshByPath(s"$logDir/batches")
     stale.length + fold.length
@@ -1317,12 +1321,16 @@ object EventStream {
     if (fold.nonEmpty) {
       graft.util.FsUtil.deleteRecursively(
         java.nio.file.Paths.get(s"$deltaDir/batches/batch=-1"))
-      spark.read.parquet(staging).coalesce(1)
-        .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=-1")
+      // the staged fold IS the new segment — promote it with one atomic
+      // rename (r18) instead of a second read-and-rewrite job; the staging
+      // dir was fully written before any delete, so the crash windows are
+      // unchanged (single-writer maintenance contract)
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(s"$deltaDir/batches/batch=-1"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(deltaDir, "_compacted_up_to"),
         math.max(horizon, upToBatch).toString)
-      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
     }
     spark.catalog.refreshByPath(s"$deltaDir/batches")
     stale.length + fold.length
@@ -1370,12 +1378,16 @@ object EventStream {
     if (fold.nonEmpty) {
       graft.util.FsUtil.deleteRecursively(
         java.nio.file.Paths.get(s"$deltaDir/batches/batch=-1"))
-      spark.read.parquet(staging).coalesce(1)
-        .write.mode("overwrite").parquet(s"$deltaDir/batches/batch=-1")
+      // the staged fold IS the new segment — promote it with one atomic
+      // rename (r18) instead of a second read-and-rewrite job; the staging
+      // dir was fully written before any delete, so the crash windows are
+      // unchanged (single-writer maintenance contract)
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(s"$deltaDir/batches/batch=-1"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(deltaDir, "_compacted_up_to"),
         math.max(horizon, upToBatch).toString)
-      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
     }
     spark.catalog.refreshByPath(s"$deltaDir/batches")
     stale.length + fold.length
@@ -1434,12 +1446,16 @@ object EventStream {
     if (fold.nonEmpty) {
       graft.util.FsUtil.deleteRecursively(
         java.nio.file.Paths.get(s"$indexDir/batch=-1"))
-      spark.read.parquet(staging).coalesce(1)
-        .write.mode("overwrite").parquet(s"$indexDir/batch=-1")
+      // the staged fold IS the new segment — promote it with one atomic
+      // rename (r18) instead of a second read-and-rewrite job; the staging
+      // dir was fully written before any delete, so the crash windows are
+      // unchanged (single-writer maintenance contract)
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(s"$indexDir/batch=-1"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(indexDir, "_compacted_up_to"),
         math.max(horizon, upToBatch).toString)
-      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(staging))
     }
     spark.catalog.refreshByPath(indexDir)
     stale.length + fold.length
