@@ -1862,7 +1862,14 @@ object SparkEntry {
       val local = graft.operators.Bpe.trainMergesLocal(ds, 5000)
       val dist = graft.operators.Bpe.trainMerges(ds, 20)
       val prefixOk = local.take(dist.length) == dist
-      val words = ds.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      // text barrier before the encode (r18, the withShingles discipline):
+      // the per-word BPE encode is the compute-heavy stage and was running
+      // INSIDE the 1-2-task scan stage (0.65 s single-task in the profile);
+      // post-exchange it parallelizes across cores, and the exchange ships
+      // raw text once
+      val words = graft.util.Spread
+        .byKey(ds.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       // full-table encode rides the broadcast-vocab path (the 32k-merge
       // production form); the 20-merge prefix rides the codegen'd
       // nested-replace twin — both value-gated in one aggregate

@@ -176,10 +176,24 @@ object Similarity {
     * driver as the usual broadcast-able codebook snapshot. Empty cells
     * keep their previous centroid (standard Lloyd fallback).
     */
+  /** Dimension contract (r18, from the r17 advice): the per-dim aggregate
+    * emits one decimal(38,16) sum column per embedding dimension — right
+    * for the catalog's embedding widths (tens to a few hundred dims);
+    * past ~1k dims the aggregate row grows past codegen's comfortable
+    * width and the means should be chunked into grouped aggregates.
+    * Vectors are fixed-width by the embeddings-table contract (shorter
+    * vectors would null-pad element_at and bias the count).
+    */
   def lloydRefine(corpus: DataFrame, seed: Seq[Seq[Float]], iters: Int = 4): Seq[Seq[Float]] = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val dim = seed.headOption.map(_.size).getOrElse(0)
     if (dim == 0) return seed // empty codebook: nothing to refine
+    // scan-parallelism guard (r18, the o6 scanWide argument): each Lloyd
+    // iteration is its own job over `corpus`, and the sf embeddings lay out
+    // as 2 parquet row groups — the nlist×dim probe ran at 2 tasks per
+    // iteration (~0.3 s each in the v10 profile). At real scale the scan
+    // has thousands of splits and this is a no-op by construction.
+    val pts = graft.util.Spread.scanWide(corpus, col("vec_id"))
     var cents = seed
     for (_ <- 0 until iters) {
       // ONE map-side-combining aggregate per iteration, WITHOUT a Generate
@@ -192,7 +206,7 @@ object Similarity {
       // expression the one the exploded groupBy ran — decimal addition is
       // exact and order-free, so every mean is bit-identical. The nlist-row
       // × dim-column result IS the codebook snapshot, collected directly.
-      val assigned = corpus.select(
+      val assigned = pts.select(
         element_at(graft.functions.VectorHash.ivfProbeCol(col("embedding"), cents, 1), 1)
           .as("cell"),
         col("embedding"))

@@ -562,7 +562,12 @@ class MetadataStore(spark: SparkSession, rootDir: String,
     // matched images are a source-scale table, so nothing downstream
     // ever shuffles (or re-reads) the snapshot; a plain left join of
     // source against the full current would put the corpus on the
-    // stream side of a sort-merge instead
+    // stream side of a sort-merge instead.
+    // CONTRACT (r18, from the r17 advice): the broadcast hint assumes the
+    // documented incremental-batch source — a caller handing a
+    // snapshot-scale source must pre-shrink it (or split the merge),
+    // exactly as with applyChanges/maintainHistory; the hint is the
+    // design, not an oversight.
     val curHit = resolved.select(entryCols.map(col): _*)
       .join(broadcast(src.select(col("id"))), Seq("id"))
     // the source⋈current probe is materialized ONCE (source-scale, the

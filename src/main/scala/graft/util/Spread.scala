@@ -33,6 +33,12 @@ object Spread {
     * ~0.3 s spread. At scale the condition is false (a real table scans as
     * thousands of splits) and this is a no-op — the adaptivity is the
     * point: never a constant, never a blanket shuffle.
+    *
+    * Usage contract (r18, from the r17 advice): apply this to a
+    * freshly-read scan (or a narrow projection of one) — the probe reads
+    * `df.rdd.getNumPartitions`, which physically plans the frame once at
+    * construction time; that is the intended cost for a scan, but the
+    * method is not meant for frames with exchanges already inside them.
     */
   def scanWide(df: DataFrame, key: Column): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
