@@ -969,6 +969,10 @@ object Pipeline {
     // partitions independently (measured: 10 simultaneous copies of the
     // tokenize+count stage, 16.9 s). The eager cut runs the corpus pass
     // once; everything downstream reads the materialized rows.
+    // (a text barrier inside this checkpointed subtree was ALSO tried — it
+    // parallelized the tokenize but measured +1.3 s in full-bench context:
+    // the exchange ships the full text and adds a stage per eager
+    // checkpoint; reverted, §1 discipline)
     val rawTc = docTokenCounts(docs).localCheckpoint(true)
     // the target's feature space, eager for the same reason — it feeds the
     // log-ratio join AND the target-total broadcast, each of which would

@@ -820,6 +820,9 @@ object TextAnalysis {
     // each; the checkpoint (|corpus vocab| rows — metadata-scale) runs it
     // once. Values unchanged; maintenance paths call classifierWeights
     // directly with their own materialized count tables.
+    // (a text barrier before the count pass was tried and measured WORSE in
+    // full-bench context — the exchange ships full text for a pass the
+    // map-side combine already keeps narrow; reverted, §1 discipline)
     classifierWeights(
       classifierCounts(docs, posMicros).localCheckpoint(true), vocabSize)
 
