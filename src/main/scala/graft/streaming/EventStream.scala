@@ -1979,7 +1979,17 @@ object EventStream {
     val q = docs.writeStream
       .option("checkpointLocation", s"$indexDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // REBALANCE before the segment write (guide §6 output sizing): the
+        // signature pass itself runs core-wide behind signatureIndex's
+        // explicit spread, but writing FROM those compute partitions lands
+        // one near-empty file per task (32 tiny files per micro-batch at
+        // bench scale — and the index is read back per probe, so the file
+        // count taxes every later scan). The narrow (doc_id, sig) rows
+        // re-shuffle once more so AQE sizes the segment's files by BYTES
+        // (advisoryPartitionSizeInBytes) — scale-adaptive: a kB batch folds
+        // to one file, a 100 TB-ingest batch still writes ~64 MB files.
         graft.operators.Dedup.signatureIndex(batch)
+          .hint("rebalance")
           .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         ()
       }
